@@ -1,13 +1,299 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core._
+import graft.functions.Relational
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in `queries` exercises one operator of the engine
+  * (SURVEY.md §2); `oracleSql` carries the equivalent DuckDB SQL. Column
+  * names are aliased identically on both sides, and floating-point
+  * aggregates use the exact-decimal pattern (cast operand to DECIMAL,
+  * aggregate exactly, cast the final result to DOUBLE) so Spark and DuckDB
+  * produce bit-identical values regardless of summation order — this is
+  * also what makes the results reproducible on a 1000-executor cluster
+  * where partial-aggregation order is nondeterministic.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** read one of the driver-generated tables (TESTDATA.md) */
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS): with
+    // spark.sql.legacy.parquet.nanosAsLong=true it arrives as long nanos;
+    // values are µs-aligned so the conversion is exact.
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  private def ctx(s: SparkSession): ActionPipelineContext =
+    ActionPipelineContext(s, new InstanceRegistry())
+
+  /** exact sum of a double column: decimal-aggregate then cast back */
+  private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Revenue per nation: 4-way join + exact-decimal aggregation with
+    * broadcast dimensions. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q3_revenue_by_nation")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------------
+  // Relational operator coverage (SURVEY §2.4) — each runs through the
+  // engine's operator surface.
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Aggregation (hash) — GenericDataFrame.groupBy/agg
+    "q1_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+            .cast(DoubleType).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // Projection + filter with parquet pushdown — FilterTransformer
+    "q2_filter_project" -> ((s, dir) => {
+      implicit val c: ActionPipelineContext = ctx(s)
+      val filtered = FilterTransformer(
+        "l_shipdate >= timestamp'1996-01-01 00:00:00' AND l_shipdate < timestamp'1997-01-01 00:00:00' AND l_discount > 0.05")
+        .transform(t(s, dir, "lineitem"))
+      WhitelistTransformer(Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"))
+        .transform(filtered)
+    }),
+
+    // Multi-way equi join + agg; dims broadcast — GenericDataFrame.join
+    "q3_revenue_by_nation" -> ((s, dir) => {
+      val lineitem = t(s, dir, "lineitem")
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      val nation = broadcast(t(s, dir, "nation"))
+      val region = broadcast(t(s, dir, "region"))
+      lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .join(nation, col("c_nationkey") === col("n_nationkey"))
+        .join(region, col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+            .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("num_items"))
+    }),
+
+    // Sort / limit / top-k with deterministic tie-break
+    "q4_topk_orders" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+
+    // distinct / countDistinct
+    "q5_distinct_counts" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("distinct_parts"),
+          countDistinct(col("l_suppkey")).as("distinct_supps"),
+          count(lit(1)).as("num_rows"))
+    }),
+
+    // Window function dedup (latest per key) — DeduplicateTransformer
+    "q6_latest_event_per_user" -> ((s, dir) => {
+      implicit val c: ActionPipelineContext = ctx(s)
+      DeduplicateTransformer(Seq("user_id"), "struct(ts, event_id)", descending = true)
+        .transform(t(s, dir, "events"))
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+    }),
+
+    // Anti join (NOT EXISTS); against large orders so the result is non-empty
+    "q7_customers_without_orders" -> ((s, dir) => {
+      val bigOrders = t(s, dir, "orders").where(col("o_totalprice") > 300000.0)
+      t(s, dir, "customer")
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // Semi join (EXISTS)
+    "q8_customers_with_big_orders" -> ((s, dir) => {
+      val bigOrders = t(s, dir, "orders").where(col("o_totalprice") > 400000.0)
+      t(s, dir, "customer")
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+    }),
+
+    // Set ops: except/unionByName — Relational.symmetricDifference
+    "q9_part_symmetric_difference" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val a = li.where(col("l_quantity") >= 49).select(col("l_partkey")).distinct()
+      val b = li.where(col("l_quantity") <= 2).select(col("l_partkey")).distinct()
+      Relational.symmetricDifference(a, b, "in_first")
+    }),
+
+    // Grouping sets / rollup
+    "q10_rollup_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("num_rows"))
+    }),
+
+    // String scalar functions
+    "q11_string_functions" -> ((s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_upper"),
+        substring(col("p_type"), 1, 5).as("type_prefix"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+        length(col("p_name")).cast(IntegerType).as("name_len"),
+        floor(col("p_retailprice") * 10).cast(LongType).as("price_tenths"))
+    }),
+
+    // Date/time scalar functions
+    "q12_date_functions" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast(IntegerType).as("order_year"),
+        month(col("o_orderdate")).cast(IntegerType).as("order_month"),
+        dayofmonth(col("o_orderdate")).cast(IntegerType).as("order_day"),
+        date_trunc("month", col("o_orderdate")).as("month_start"))
+    }),
+
+    // Conditional aggregation (CASE WHEN inside agg)
+    "q13_conditional_agg" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("num_orders"),
+          sum(when(col("o_totalprice") > 250000.0, 1L).otherwise(0L)).as("num_big"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("num_finished"))
+    }),
+
+    // PK violators (null ∪ duplicate keys) — Relational.getPKviolators,
+    // used by PKViolatorsDataObject; orders.o_custkey is deliberately
+    // non-unique so this returns rows.
+    "q14_pk_violators" -> ((s, dir) => {
+      Relational.getPKviolators(t(s, dir, "orders"), Seq("o_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"))
+    }),
+
+    // Left outer join + agg preserving unmatched rows
+    "q15_orders_per_customer" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(
+          count(col("o_orderkey")).as("num_orders"),
+          dsum(coalesce(col("o_totalprice"), lit(0.0))).as("total_spent"))
+    }),
+
+    // approx_count_distinct (HLL) — no exact oracle; driver records
+    // rows-only check. UniqueKeyExpectation(approximate=true) equivalent.
+    "q16_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' AND l_discount > 0.05""".stripMargin,
+    "q3_revenue_by_nation" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS num_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
+    "q4_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q5_distinct_counts" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS distinct_parts,
+        |  count(DISTINCT l_suppkey) AS distinct_supps,
+        |  count(*) AS num_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q6_latest_event_per_user" ->
+      """SELECT user_id, event_id, ts, event_type, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    "q7_customers_without_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)""".stripMargin,
+    "q8_customers_with_big_orders" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)""".stripMargin,
+    "q9_part_symmetric_difference" ->
+      """WITH a AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity >= 49),
+        |     b AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity <= 2)
+        |SELECT l_partkey, TRUE AS in_first FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+        |UNION ALL
+        |SELECT l_partkey, FALSE AS in_first FROM (SELECT * FROM b EXCEPT SELECT * FROM a)""".stripMargin,
+    "q10_rollup_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS num_rows
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q11_string_functions" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_upper,
+        |  substring(p_type, 1, 5) AS type_prefix,
+        |  concat(p_brand, '#', p_type) AS brand_type,
+        |  CAST(length(p_name) AS INTEGER) AS name_len,
+        |  CAST(floor(p_retailprice * 10) AS BIGINT) AS price_tenths
+        |FROM part""".stripMargin,
+    "q12_date_functions" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS order_year,
+        |  CAST(month(o_orderdate) AS INTEGER) AS order_month,
+        |  CAST(day(o_orderdate) AS INTEGER) AS order_day,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
+        |FROM orders""".stripMargin,
+    "q13_conditional_agg" ->
+      """SELECT o_orderpriority,
+        |  count(*) AS num_orders,
+        |  sum(CASE WHEN o_totalprice > 250000.0 THEN 1 ELSE 0 END) AS num_big,
+        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS num_finished
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q14_pk_violators" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey IS NULL OR o_custkey IN (
+        |  SELECT o_custkey FROM orders GROUP BY o_custkey HAVING count(*) > 1)""".stripMargin,
+    "q15_orders_per_customer" ->
+      """SELECT c_custkey,
+        |  count(o_orderkey) AS num_orders,
+        |  CAST(sum(CAST(coalesce(o_totalprice, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin
+    // q16_approx_distinct: HLL sketch result is engine-specific — rows-only check.
+  )
 }

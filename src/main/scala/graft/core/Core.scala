@@ -1,0 +1,165 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Execution phase of a pipeline run.
+  *
+  * Mirrors the reference's three-phase model (prepare/init/exec) — see
+  * smart-data-lake `sdl-core/workflow/ExecutionPhase` usage in
+  * `workflow/action/Action.scala:157-244`: Prepare validates config and
+  * endpoints, Init traverses the whole DAG lazily (schema propagation, no
+  * data movement), Exec moves data.
+  */
+sealed trait ExecutionPhase
+object ExecutionPhase {
+  case object Prepare extends ExecutionPhase
+  case object Init extends ExecutionPhase
+  case object Exec extends ExecutionPhase
+}
+
+/** A single partition-column→value assignment set: the unit of incremental
+  * processing. Reference: `sdl-core/util/hdfs/Partition.scala:37`.
+  *
+  * At 100 TB scale partitions are the coarse parallelism/pruning unit —
+  * every read of a partitioned DataObject turns `PartitionValues` into a
+  * pushed-down filter so only the matching directories/row-groups are
+  * scanned.
+  */
+case class PartitionValues(elements: Map[String, String]) {
+  def isEmpty: Boolean = elements.isEmpty
+  def keys: Set[String] = elements.keySet
+  def apply(col: String): String = elements(col)
+  def get(col: String): Option[String] = elements.get(col)
+  /** Hive-style relative path, e.g. `dt=2024-01-01/region=EU`. */
+  def asPath(partitionCols: Seq[String]): String =
+    partitionCols.flatMap(c => elements.get(c).map(v => s"$c=$v")).mkString("/")
+  /** SQL predicate selecting this partition, e.g. `dt='2024-01-01' AND region='EU'`. */
+  def asFilterExpr: String =
+    elements.map { case (k, v) => s"$k = '${v.replace("'", "''")}'" }.mkString(" AND ")
+}
+object PartitionValues {
+  def apply(elems: (String, String)*): PartitionValues = PartitionValues(elems.toMap)
+  /** One OR-of-ANDs predicate for a set of partition values (partition pruning). */
+  def filterExpr(pvs: Seq[PartitionValues]): Option[String] =
+    if (pvs.isEmpty) None
+    else Some(pvs.map(pv => s"(${pv.asFilterExpr})").mkString(" OR "))
+}
+
+/** Save modes, superset of Spark's. Reference:
+  * `sdl-core/definitions/SDLSaveMode.scala:32-99`.
+  */
+sealed trait SdlSaveMode
+object SdlSaveMode {
+  case object Overwrite extends SdlSaveMode
+  case object Append extends SdlSaveMode
+  case object ErrorIfExists extends SdlSaveMode
+  case object Ignore extends SdlSaveMode
+  /** Overwrite only the partitions present in the written DataFrame
+    * (dynamic partition overwrite); non-partitioned: same as Overwrite.
+    * Reference `SDLSaveMode.OverwriteOptimized:79`. */
+  case object OverwriteOptimized extends SdlSaveMode
+  /** Delete files but preserve directory structure/ACLs. Reference
+    * `SDLSaveMode.OverwritePreserveDirectories:65`. */
+  case object OverwritePreserveDirectories extends SdlSaveMode
+  /** Upsert by primary key. Reference `SDLSaveMode.Merge:88`. */
+  case object Merge extends SdlSaveMode
+
+  def toSpark(m: SdlSaveMode): org.apache.spark.sql.SaveMode = m match {
+    case Overwrite | OverwritePreserveDirectories => org.apache.spark.sql.SaveMode.Overwrite
+    case Append => org.apache.spark.sql.SaveMode.Append
+    case ErrorIfExists => org.apache.spark.sql.SaveMode.ErrorIfExists
+    case Ignore => org.apache.spark.sql.SaveMode.Ignore
+    case other => throw new IllegalArgumentException(s"$other has no direct Spark SaveMode")
+  }
+}
+
+/** Fine-grained control of Merge behaviour. Reference:
+  * `sdl-core/definitions/SDLSaveMode.scala:126-146` (SaveModeMergeOptions).
+  * All conditions are SQL expressions over `existing.*` / `new.*` aliases.
+  */
+case class SaveModeMergeOptions(
+    deleteCondition: Option[String] = None,
+    updateCondition: Option[String] = None,
+    updateColumns: Seq[String] = Seq.empty,
+    insertCondition: Option[String] = None,
+    insertColumnsToIgnore: Seq[String] = Seq.empty,
+    insertValuesOverride: Map[String, String] = Map.empty,
+    additionalMergePredicate: Option[String] = None)
+
+/** Runtime metrics of one action output write. Reference records
+  * records_written / bytes / duration per action via
+  * `metrics/SparkStageMetricsListener.scala:35-90`. */
+case class ActionMetrics(
+    recordsWritten: Long = -1,
+    durationMillis: Long = -1,
+    observedMetrics: Map[String, Any] = Map.empty)
+
+/** Token flowing along DAG edges: which DataObject, which partitions, and —
+  * once init/exec has run — the DataFrame. Reference:
+  * `sdl-core/workflow/SubFeed.scala:32-73` and `DataFrameSubFeed.scala:35-80`.
+  * We are Spark-only, so the DataFrame is carried directly.
+  */
+case class SubFeed(
+    dataObjectId: String,
+    dataFrame: Option[DataFrame] = None,
+    partitionValues: Seq[PartitionValues] = Seq.empty,
+    isStreaming: Boolean = false,
+    isSkipped: Boolean = false,
+    metrics: Option[ActionMetrics] = None) {
+  def withDataFrame(df: DataFrame): SubFeed = copy(dataFrame = Some(df))
+}
+
+/** Context threaded through every prepare/init/exec call. Reference:
+  * `ActionPipelineContext` in `sdl-core/workflow/ActionPipelineContext.scala`.
+  */
+case class ActionPipelineContext(
+    spark: SparkSession,
+    registry: InstanceRegistry,
+    phase: ExecutionPhase = ExecutionPhase.Exec,
+    runId: Int = 1,
+    attemptId: Int = 1,
+    runStateDir: Option[String] = None,
+    /** arbitrary runtime options usable in transformer expressions */
+    runtimeOptions: Map[String, String] = Map.empty) {
+  def isExecPhase: Boolean = phase == ExecutionPhase.Exec
+}
+
+/** Registry of named DataObjects / Actions / Connections parsed from config
+  * or registered programmatically. Reference:
+  * `sdl-core/config/InstanceRegistry.scala`.
+  */
+class InstanceRegistry {
+  import graft.sources.DataObject
+  import graft.operators.Action
+
+  private val dataObjects = scala.collection.mutable.LinkedHashMap.empty[String, DataObject]
+  private val actions = scala.collection.mutable.LinkedHashMap.empty[String, Action]
+  private val connections = scala.collection.mutable.LinkedHashMap.empty[String, Connection]
+
+  def register(d: DataObject): this.type = { dataObjects(d.id) = d; this }
+  def register(a: Action): this.type = { actions(a.id) = a; this }
+  def register(c: Connection): this.type = { connections(c.id) = c; this }
+  def dataObject(id: String): DataObject =
+    dataObjects.getOrElse(id, throw new NoSuchElementException(s"DataObject '$id' not registered"))
+  def action(id: String): Action =
+    actions.getOrElse(id, throw new NoSuchElementException(s"Action '$id' not registered"))
+  def connection(id: String): Connection =
+    connections.getOrElse(id, throw new NoSuchElementException(s"Connection '$id' not registered"))
+  def allDataObjects: Seq[DataObject] = dataObjects.values.toSeq
+  def allActions: Seq[Action] = actions.values.toSeq
+}
+
+/** Shared endpoint configuration (JDBC url, Kafka brokers, …). Reference:
+  * `sdl-core/workflow/connection/`. */
+trait Connection { def id: String }
+
+/** JDBC connection (url/driver/user). Reference `connection/JdbcTableConnection.scala`. */
+case class JdbcConnection(
+    id: String, url: String, driver: String,
+    user: Option[String] = None, password: Option[String] = None) extends Connection
+
+/** Table identity for table-like DataObjects; primaryKey drives
+  * dedup/historize/merge. Reference `sdl-core/workflow/dataobject/Table.scala:50`. */
+case class Table(db: Option[String], name: String, primaryKey: Option[Seq[String]] = None) {
+  def fullName: String = db.map(_ + ".").getOrElse("") + name
+}

@@ -1,0 +1,129 @@
+package graft.core
+
+import graft.operators.Action
+import graft.operators.modes.NoDataToProcessWarning
+import java.util.concurrent.Executors
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
+/** Topologically-ordered pipeline DAG with three-phase execution
+  * (prepare → init → exec). Nodes are actions; edges derived from shared
+  * DataObject ids (producer's output = consumer's input). Reference:
+  * `sdl-core/workflow/ActionDAGRun.scala:318-355` (DAG build),
+  * `util/dag/DAG.scala:67-141` (topo sort + task graph), monix replaced by
+  * a plain fixed thread pool — Spark jobs from independent branches overlap
+  * and keep a big cluster busy (pair with `spark.scheduler.mode=FAIR`).
+  */
+class ActionDAGRun(actions: Seq[Action], parallelism: Int = 1) {
+
+  // producer map: dataObjectId -> action producing it
+  private val producers: Map[String, Action] =
+    actions.flatMap(a => a.outputIds.map(_ -> a)).toMap
+
+  /** edges: predecessor action -> successor action */
+  private val edges: Map[String, Seq[String]] = {
+    val e = for {
+      consumer <- actions
+      inId <- consumer.inputIds
+      producer <- producers.get(inId)
+    } yield producer.id -> consumer.id
+    e.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+  }
+  private val indegree0: Map[String, Int] = {
+    val inc = edges.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    actions.map(a => a.id -> inc.getOrElse(a.id, 0)).toMap
+  }
+
+  /** Kahn topological sort into parallel layers; fails on cycles. */
+  val layers: Seq[Seq[Action]] = {
+    val byId = actions.map(a => a.id -> a).toMap
+    var indeg = indegree0
+    var remaining = actions.map(_.id).toSet
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Action]]
+    while (remaining.nonEmpty) {
+      val ready = remaining.filter(indeg(_) == 0).toSeq.sorted
+      if (ready.isEmpty) throw new IllegalArgumentException(
+        s"Pipeline DAG has a cycle among: ${remaining.mkString(", ")}")
+      out += ready.map(byId)
+      remaining --= ready
+      ready.foreach(r => edges.getOrElse(r, Nil).foreach(s => indeg = indeg.updated(s, indeg(s) - 1)))
+    }
+    out.toSeq
+  }
+
+  def prepare(implicit ctx: ActionPipelineContext): Unit = {
+    val c = ctx.copy(phase = ExecutionPhase.Prepare)
+    actions.foreach(_.prepare(c))
+  }
+
+  /** Runs phase Init (schema propagation, no data) then phase Exec.
+    * Returns final SubFeeds per action id. Skipped actions (NoData) are
+    * recorded with isSkipped=true and their outputs propagate as skipped.
+    */
+  def run(initialSubFeeds: Seq[SubFeed] = Seq.empty)
+         (implicit ctx: ActionPipelineContext): Map[String, Seq[SubFeed]] = {
+    prepare
+    runPhase(ExecutionPhase.Init, initialSubFeeds)(ctx)
+    runPhase(ExecutionPhase.Exec, initialSubFeeds)(ctx)
+  }
+
+  /** Init-only run with injected SubFeeds — the reference's simulation mode
+    * (`app/SmartDataLakeBuilder.scala:398-426`), used to unit-test whole
+    * pipelines in memory. */
+  def simulate(initialSubFeeds: Seq[SubFeed])
+              (implicit ctx: ActionPipelineContext): Map[String, Seq[SubFeed]] =
+    runPhase(ExecutionPhase.Init, initialSubFeeds)(ctx)
+
+  private def runPhase(phase: ExecutionPhase, initialSubFeeds: Seq[SubFeed])
+                      (ctx0: ActionPipelineContext): Map[String, Seq[SubFeed]] = {
+    implicit val c: ActionPipelineContext = ctx0.copy(phase = phase)
+    val pool = Executors.newFixedThreadPool(math.max(1, parallelism))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val results = scala.collection.concurrent.TrieMap.empty[String, Seq[SubFeed]]
+    val skipped = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+    try {
+      layers.foreach { layer =>
+        val fs = layer.map { action =>
+          Future {
+            val inputs = action.inputIds.flatMap { inId =>
+              producers.get(inId) match {
+                case Some(p) => results.getOrElse(p.id, Seq.empty).filter(_.dataObjectId == inId)
+                case None => initialSubFeeds.filter(_.dataObjectId == inId)
+              }
+            }
+            val inputsSkipped = action.inputIds.nonEmpty &&
+              action.inputIds.forall(inId => producers.get(inId).exists(p => skipped.getOrElse(p.id, false)))
+            if (inputsSkipped) {
+              skipped(action.id) = true
+              results(action.id) = action.outputIds.map(SubFeed(_, isSkipped = true))
+            } else try {
+              val out = phase match {
+                case ExecutionPhase.Init => action.init(inputs)
+                case ExecutionPhase.Exec => action.exec(inputs)
+                case ExecutionPhase.Prepare => Seq.empty
+              }
+              results(action.id) = out
+            } catch {
+              case w: NoDataToProcessWarning =>
+                skipped(action.id) = true
+                results(action.id) = action.outputIds.map(SubFeed(_, isSkipped = true))
+            }
+          }
+        }
+        Await.result(Future.sequence(fs), Duration.Inf)
+      }
+    } finally pool.shutdown()
+    results.toMap
+  }
+}
+
+object ActionDAGRun {
+  /** Select actions by feed/id regex like the reference's `feedSel`
+    * (`AppUtil.filterActionList`). */
+  def fromRegistry(registry: InstanceRegistry, actionSel: Option[String] = None,
+                   parallelism: Int = 1): ActionDAGRun = {
+    val all = registry.allActions
+    val selected = actionSel.fold(all)(sel => all.filter(_.id.matches(sel)))
+    new ActionDAGRun(selected, parallelism)
+  }
+}

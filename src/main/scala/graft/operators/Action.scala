@@ -1,0 +1,184 @@
+package graft.operators
+
+import graft.core._
+import graft.sources._
+import org.apache.spark.sql.DataFrame
+
+/** Node of the pipeline DAG: reads input DataObjects, transforms, writes
+  * output DataObjects. Reference:
+  * `sdl-core/workflow/action/Action.scala:157-244` (prepare/init/exec hooks).
+  */
+trait Action {
+  def id: String
+  def inputIds: Seq[String]
+  def outputIds: Seq[String]
+  /** Optional execution mode computing the increment to process (reference
+    * `executionMode` attribute of Action). */
+  def executionMode: Option[graft.operators.modes.ExecutionMode] = None
+
+  /** Phase Prepare: config/endpoint checks. */
+  def prepare(implicit ctx: ActionPipelineContext): Unit = {
+    (inputIds ++ outputIds).foreach(ctx.registry.dataObject(_).prepare)
+  }
+  /** Phase Init: full lazy traversal — builds DataFrames, propagates
+    * schemas, no data movement. */
+  def init(subFeeds: Seq[SubFeed])(implicit ctx: ActionPipelineContext): Seq[SubFeed]
+  /** Phase Exec: move data. */
+  def exec(subFeeds: Seq[SubFeed])(implicit ctx: ActionPipelineContext): Seq[SubFeed]
+}
+
+/** Shared logic of DataFrame actions: assemble input DataFrames, apply the
+  * execution-mode filter, run the transformer chain, write outputs.
+  * Reference: `workflow/action/ActionSubFeedsImpl.scala:83-189` +
+  * `DataFrameActionImpl.scala`.
+  */
+abstract class DataFrameAction extends Action {
+  def transformers: Seq[DfTransformer]
+  def saveMode: Option[SdlSaveMode] = None
+
+  protected def readInput(doId: String, pvs: Seq[PartitionValues])
+                         (implicit ctx: ActionPipelineContext): DataFrame =
+    ctx.registry.dataObject(doId) match {
+      case c: CanCreateDataFrame => c.getDataFrame(pvs)
+      case other => throw new IllegalArgumentException(s"DataObject ${other.id} cannot create DataFrames")
+    }
+
+  /** Fold the 1:1 transformer chain — one Catalyst plan, no materialization
+    * between steps (reference `DataFrameActionImpl.applyTransformers:487-495`). */
+  protected def applyTransformers(df: DataFrame, doId: String)
+                                 (implicit ctx: ActionPipelineContext): DataFrame =
+    transformers.foldLeft(df)((acc, t) => t.transform(acc, doId))
+
+  protected def writeOutput(doId: String, df: DataFrame, pvs: Seq[PartitionValues])
+                           (implicit ctx: ActionPipelineContext): ActionMetrics =
+    ctx.registry.dataObject(doId) match {
+      case w: CanWriteDataFrame => w.writeDataFrame(df, pvs, saveMode)
+      case other => throw new IllegalArgumentException(s"DataObject ${other.id} cannot write DataFrames")
+    }
+
+  /** Apply execution mode to compute the partitions/filter to process. */
+  protected def applyExecutionMode(in: SubFeed)(implicit ctx: ActionPipelineContext): SubFeed =
+    executionMode.fold(in) { m => m.apply(this, in) }
+}
+
+/** 1:1 copy with transformer chain. Reference
+  * `sdl-core/workflow/action/CopyAction.scala:48-107`. */
+case class CopyAction(
+    id: String, inputId: String, outputId: String,
+    transformers: Seq[DfTransformer] = Seq.empty,
+    override val saveMode: Option[SdlSaveMode] = None,
+    override val executionMode: Option[graft.operators.modes.ExecutionMode] = None)
+  extends DataFrameAction {
+
+  def inputIds: Seq[String] = Seq(inputId)
+  def outputIds: Seq[String] = Seq(outputId)
+
+  private def buildOutput(subFeeds: Seq[SubFeed])(implicit ctx: ActionPipelineContext): SubFeed = {
+    val in0 = subFeeds.find(_.dataObjectId == inputId)
+      .getOrElse(SubFeed(inputId))
+    val in = applyExecutionMode(in0)
+    val df = in.dataFrame.getOrElse(readInput(inputId, in.partitionValues))
+    val out = applyTransformers(df, inputId)
+    SubFeed(outputId, Some(out), transformers.foldLeft(in.partitionValues)((pvs, t) => t.transformPartitionValues(pvs)))
+  }
+
+  override def init(subFeeds: Seq[SubFeed])(implicit ctx: ActionPipelineContext): Seq[SubFeed] = {
+    val out = buildOutput(subFeeds)
+    ctx.registry.dataObject(outputId) match {
+      case w: CanWriteDataFrame => w.initWrite(out.dataFrame.get)
+      case _ => ()
+    }
+    Seq(out)
+  }
+
+  override def exec(subFeeds: Seq[SubFeed])(implicit ctx: ActionPipelineContext): Seq[SubFeed] = {
+    val out = buildOutput(subFeeds)
+    val metrics = writeOutput(outputId, out.dataFrame.get, out.partitionValues)
+    Seq(out.copy(metrics = Some(metrics)))
+  }
+}
+
+/** N inputs → M outputs through a chain of N:M transformers. Reference
+  * `CustomDataFrameAction.scala:54-124`. */
+case class CustomDataFrameAction(
+    id: String, inputIds: Seq[String], outputIds: Seq[String],
+    dfsTransformers: Seq[DfsTransformer],
+    override val saveMode: Option[SdlSaveMode] = None)
+  extends DataFrameAction {
+
+  def transformers: Seq[DfTransformer] = Seq.empty
+
+  private def buildOutputs(subFeeds: Seq[SubFeed])(implicit ctx: ActionPipelineContext): Map[String, DataFrame] = {
+    val byId = subFeeds.map(sf => sf.dataObjectId -> sf).toMap
+    val inputs: Map[String, DataFrame] = inputIds.map { inId =>
+      inId -> byId.get(inId).flatMap(_.dataFrame).getOrElse(readInput(inId, Seq.empty))
+    }.toMap
+    // fold the N:M chain (reference DataFrameActionImpl.scala:487-495)
+    dfsTransformers.foldLeft(inputs)((acc, t) => acc ++ t.transform(acc))
+  }
+
+  override def init(subFeeds: Seq[SubFeed])(implicit ctx: ActionPipelineContext): Seq[SubFeed] = {
+    val outs = buildOutputs(subFeeds)
+    outputIds.map { outId =>
+      val df = outs.getOrElse(outId,
+        throw new IllegalStateException(s"Action $id: transformer chain did not produce output '$outId'"))
+      ctx.registry.dataObject(outId) match {
+        case w: CanWriteDataFrame => w.initWrite(df)
+        case _ => ()
+      }
+      SubFeed(outId, Some(df))
+    }
+  }
+
+  override def exec(subFeeds: Seq[SubFeed])(implicit ctx: ActionPipelineContext): Seq[SubFeed] = {
+    val outs = buildOutputs(subFeeds)
+    outputIds.map { outId =>
+      val df = outs(outId)
+      val metrics = writeOutput(outId, df, Seq.empty)
+      SubFeed(outId, Some(df), metrics = Some(metrics))
+    }
+  }
+}
+
+/** Copy files 1:1 between file-based DataObjects without interpreting
+  * content. Reference `FileTransferAction.scala:49-118`. Implemented with
+  * Hadoop FS streams on the driver for small control files; large-scale
+  * binary movement should use RawFileDataObject + distributed write.
+  */
+case class FileTransferAction(id: String, inputId: String, outputId: String)
+  extends Action {
+  def inputIds: Seq[String] = Seq(inputId)
+  def outputIds: Seq[String] = Seq(outputId)
+
+  override def init(subFeeds: Seq[SubFeed])(implicit ctx: ActionPipelineContext): Seq[SubFeed] =
+    Seq(SubFeed(outputId))
+
+  override def exec(subFeeds: Seq[SubFeed])(implicit ctx: ActionPipelineContext): Seq[SubFeed] = {
+    import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+    val (src, dst) = (ctx.registry.dataObject(inputId), ctx.registry.dataObject(outputId))
+    def pathOf(d: DataObject): Path = d match {
+      case f: SparkFileDataObject => new Path(f.path)
+      case r: RawFileDataObject => new Path(r.path)
+      case other => throw new IllegalArgumentException(s"${other.id} is not file-based")
+    }
+    val conf = ctx.spark.sparkContext.hadoopConfiguration
+    val (sp, dp) = (pathOf(src), pathOf(dst))
+    val (sfs, dfs) = (sp.getFileSystem(conf), dp.getFileSystem(conf))
+    val n = FileUtil.copy(sfs, sp, dfs, dp, false, true, conf)
+    Seq(SubFeed(outputId, metrics = Some(ActionMetrics(recordsWritten = if (n) 1 else 0))))
+  }
+}
+
+/** Run a shell command as a DAG node. Reference `CustomScriptAction.scala`
+  * + `workflow/action/script/CmdScript.scala`. */
+case class CustomScriptAction(id: String, cmd: Seq[String],
+    inputIds: Seq[String] = Seq.empty, outputIds: Seq[String] = Seq.empty)
+  extends Action {
+  override def init(subFeeds: Seq[SubFeed])(implicit ctx: ActionPipelineContext): Seq[SubFeed] =
+    outputIds.map(SubFeed(_))
+  override def exec(subFeeds: Seq[SubFeed])(implicit ctx: ActionPipelineContext): Seq[SubFeed] = {
+    val exit = new ProcessBuilder(cmd: _*).inheritIO().start().waitFor()
+    require(exit == 0, s"Action $id: script exited with $exit")
+    outputIds.map(SubFeed(_))
+  }
+}

@@ -1,0 +1,301 @@
+package graft.sources
+
+import graft.core._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Named dataset: location + format (+ connection). Capabilities are mixed
+  * in as traits exactly like the reference
+  * (`sdl-core/workflow/dataobject/DataObject.scala:1-166`).
+  */
+trait DataObject {
+  def id: String
+  /** Config/endpoint validation; called in phase Prepare. */
+  def prepare(implicit ctx: ActionPipelineContext): Unit = ()
+}
+
+/** Reference `CanCreateDataFrame.scala`. */
+trait CanCreateDataFrame { this: DataObject =>
+  def getDataFrame(partitionValues: Seq[PartitionValues] = Seq.empty)
+                  (implicit ctx: ActionPipelineContext): DataFrame
+}
+
+/** Reference `CanWriteDataFrame.scala`. */
+trait CanWriteDataFrame { this: DataObject =>
+  def writeDataFrame(df: DataFrame, partitionValues: Seq[PartitionValues] = Seq.empty,
+                     saveMode: Option[SdlSaveMode] = None)
+                    (implicit ctx: ActionPipelineContext): ActionMetrics
+  /** Init-phase hook: validate schema without moving data. */
+  def initWrite(df: DataFrame)(implicit ctx: ActionPipelineContext): Unit = ()
+}
+
+/** Reference `CanCreateStreamingDataFrame.scala`. */
+trait CanCreateStreamingDataFrame { this: DataObject =>
+  def getStreamingDataFrame(options: Map[String, String], schema: Option[StructType])
+                           (implicit ctx: ActionPipelineContext): DataFrame
+}
+
+/** Reference `CanWriteStreamingDataFrame` (part of CanWriteDataFrame in ref). */
+trait CanWriteStreamingDataFrame { this: DataObject =>
+  def writeStreamingDataFrame(df: DataFrame, trigger: org.apache.spark.sql.streaming.Trigger,
+                              options: Map[String, String], checkpointLocation: String,
+                              queryName: String, outputMode: String = "append")
+                             (implicit ctx: ActionPipelineContext): org.apache.spark.sql.streaming.StreamingQuery
+}
+
+/** Upsert by primary key. Reference `CanMergeDataFrame.scala:24`. */
+trait CanMergeDataFrame { this: DataObject =>
+  def mergeDataFrame(df: DataFrame, joinCols: Seq[String],
+                     options: SaveModeMergeOptions = SaveModeMergeOptions())
+                    (implicit ctx: ActionPipelineContext): ActionMetrics
+}
+
+/** Schema evolution on write. Reference `CanEvolveSchema.scala`. */
+trait CanEvolveSchema { this: DataObject => }
+
+/** Partition handling. Reference `CanHandlePartitions.scala:52-96`. */
+trait CanHandlePartitions { this: DataObject =>
+  def partitions: Seq[String]
+  def listPartitions(implicit ctx: ActionPipelineContext): Seq[PartitionValues]
+  def deletePartitions(pvs: Seq[PartitionValues])(implicit ctx: ActionPipelineContext): Unit = ()
+  /** expression evaluated per partition-values row to select partitions to keep */
+  def retentionCondition: Option[String] = None
+}
+
+/** Source supports incremental output via stored state (offsets, mod-time…).
+  * Reference `CanCreateIncrementalOutput.scala`. */
+trait CanCreateIncrementalOutput { this: DataObject =>
+  def setState(state: Option[String])(implicit ctx: ActionPipelineContext): Unit
+  def getState: Option[String]
+}
+
+/** Base for Hadoop-FS-backed file DataObjects: path handling, partition
+  * dir listing/pruning, save modes, filename column, mod-time increments.
+  * Reference: `sdl-core/workflow/dataobject/SparkFileDataObject.scala:60-596`
+  * and `HadoopFileDataObject`.
+  *
+  * Scale notes:
+  *  - reads use one `.load(basePath)` plus partition *filters* (never a
+  *    driver-side list of files) so Catalyst prunes directories and the
+  *    scan parallelism follows `spark.sql.files.maxPartitionBytes`;
+  *  - `OverwriteOptimized` maps to Spark dynamic partition overwrite so a
+  *    100 TB table is never fully rewritten for a 1-partition load.
+  */
+abstract class SparkFileDataObject extends DataObject
+    with CanCreateDataFrame with CanWriteDataFrame with CanHandlePartitions
+    with CanCreateStreamingDataFrame with CanWriteStreamingDataFrame
+    with CanCreateIncrementalOutput {
+
+  def path: String
+  def format: String
+  def options: Map[String, String] = Map.empty
+  def partitions: Seq[String] = Seq.empty
+  def schemaMin: Option[StructType] = None
+  def schema: Option[StructType] = None
+  /** If set, adds a column with the input file name (reference
+    * `SparkFileDataObject.filenameColumn`). */
+  def filenameColumn: Option[String] = None
+  /** Repartition to this many files per written partition (reference
+    * `util/hdfs/SparkRepartitionDef.scala`). */
+  def numberOfTasksPerPartition: Option[Int] = None
+
+  protected var incrementalState: Option[String] = None
+  override def setState(state: Option[String])(implicit ctx: ActionPipelineContext): Unit =
+    incrementalState = state
+  override def getState: Option[String] = incrementalState
+
+  protected def hadoopPath = new Path(path)
+  protected def fs(implicit ctx: ActionPipelineContext): FileSystem =
+    hadoopPath.getFileSystem(ctx.spark.sparkContext.hadoopConfiguration)
+
+  override def prepare(implicit ctx: ActionPipelineContext): Unit = {
+    // like reference SparkFileDataObject.prepare: verify path parent accessible
+    ()
+  }
+
+  protected def reader(implicit ctx: ActionPipelineContext) = {
+    val r = ctx.spark.read.format(format).options(options)
+    // incremental by file modification time (reference SparkFileDataObject.scala:241-254)
+    val r2 = incrementalState.fold(r)(ts => r.option("modifiedAfter", ts))
+    schema.fold(r2)(s => r2.schema(s))
+  }
+
+  override def getDataFrame(partitionValues: Seq[PartitionValues] = Seq.empty)
+                           (implicit ctx: ActionPipelineContext): DataFrame = {
+    if (!exists) {
+      // empty frame with declared schema, mirrors reference handling of missing data
+      val s = schema.orElse(schemaMin).getOrElse(
+        throw new IllegalStateException(s"DataObject $id: path $path does not exist and no schema defined"))
+      return ctx.spark.createDataFrame(ctx.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    }
+    val base =
+      if (partitions.nonEmpty) reader.option("basePath", path).load(path)
+      else reader.load(path)
+    // partition pruning: emit a filter; Catalyst turns it into directory pruning
+    val pruned = PartitionValues.filterExpr(partitionValues).fold(base)(base.filter _)
+    val named = filenameColumn.fold(pruned)(c => pruned.withColumn(c, input_file_name()))
+    validateSchemaMin(named)
+    named
+  }
+
+  def exists(implicit ctx: ActionPipelineContext): Boolean = fs.exists(hadoopPath)
+
+  protected def validateSchemaMin(df: DataFrame): Unit = schemaMin.foreach { s =>
+    val missing = s.fields.filterNot(f => df.schema.fieldNames.contains(f.name))
+    require(missing.isEmpty, s"DataObject $id: columns ${missing.map(_.name).mkString(",")} missing (schemaMin)")
+  }
+
+  override def initWrite(df: DataFrame)(implicit ctx: ActionPipelineContext): Unit =
+    validateSchemaMin(df)
+
+  override def writeDataFrame(df: DataFrame, partitionValues: Seq[PartitionValues] = Seq.empty,
+                              saveMode: Option[SdlSaveMode] = None)
+                             (implicit ctx: ActionPipelineContext): ActionMetrics = {
+    validateSchemaMin(df)
+    val mode = saveMode.getOrElse(SdlSaveMode.Overwrite)
+    val t0 = System.currentTimeMillis()
+    // count via observe so we don't pay a second scan for metrics
+    val obs = org.apache.spark.sql.Observation(s"graft_write_${id}_${System.nanoTime()}")
+    val observed = df.observe(obs, count(lit(1)).as("records_written"))
+    val repartitioned = numberOfTasksPerPartition.fold(observed) { n =>
+      if (partitions.nonEmpty) observed.repartition(n, partitions.map(col): _*)
+      else observed.repartition(n)
+    }
+    val writer0 = repartitioned.write.format(format).options(options)
+    val writer = if (partitions.nonEmpty) writer0.partitionBy(partitions: _*) else writer0
+    mode match {
+      case SdlSaveMode.OverwriteOptimized if partitions.nonEmpty =>
+        // dynamic partition overwrite: only rewrite partitions present in df
+        writer.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .save(path)
+      case m =>
+        writer.mode(SdlSaveMode.toSpark(m)).save(path)
+    }
+    val rows = try obs.get("records_written").asInstanceOf[Long] catch { case _: Throwable => -1L }
+    ActionMetrics(recordsWritten = rows, durationMillis = System.currentTimeMillis() - t0)
+  }
+
+  override def listPartitions(implicit ctx: ActionPipelineContext): Seq[PartitionValues] = {
+    if (partitions.isEmpty || !exists) return Seq.empty
+    // recursive dir listing, one level per partition col (reference
+    // SparkFileDataObject partition listing via PartitionLayout)
+    def list(p: Path, cols: Seq[String], acc: Map[String, String]): Seq[PartitionValues] = cols match {
+      case Nil => Seq(PartitionValues(acc))
+      case c +: rest =>
+        fs.listStatus(p).toSeq.filter(_.isDirectory)
+          .map(_.getPath).filter(_.getName.startsWith(c + "="))
+          .flatMap(d => list(d, rest, acc + (c -> d.getName.stripPrefix(c + "="))))
+    }
+    list(hadoopPath, partitions, Map.empty)
+  }
+
+  override def deletePartitions(pvs: Seq[PartitionValues])(implicit ctx: ActionPipelineContext): Unit =
+    pvs.foreach { pv =>
+      val rel = pv.asPath(partitions)
+      if (rel.nonEmpty) fs.delete(new Path(hadoopPath, rel), true)
+    }
+
+  override def getStreamingDataFrame(extraOptions: Map[String, String], userSchema: Option[StructType])
+                                    (implicit ctx: ActionPipelineContext): DataFrame = {
+    val s = userSchema.orElse(schema).getOrElse(
+      throw new IllegalArgumentException(s"DataObject $id: streaming read needs a schema"))
+    ctx.spark.readStream.format(format).options(options ++ extraOptions).schema(s).load(path)
+  }
+
+  override def writeStreamingDataFrame(df: DataFrame, trigger: org.apache.spark.sql.streaming.Trigger,
+                                       extraOptions: Map[String, String], checkpointLocation: String,
+                                       queryName: String, outputMode: String = "append")
+                                      (implicit ctx: ActionPipelineContext): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w0 = df.writeStream.format(format).options(options ++ extraOptions)
+      .option("checkpointLocation", checkpointLocation)
+      .outputMode(outputMode).trigger(trigger).queryName(queryName)
+    val w = if (partitions.nonEmpty) w0.partitionBy(partitions: _*) else w0
+    w.start(path)
+  }
+}
+
+/** Parquet files. Reference `ParquetFileDataObject.scala` (79 LoC). */
+case class ParquetFileDataObject(
+    id: String, path: String,
+    override val partitions: Seq[String] = Seq.empty,
+    override val schema: Option[StructType] = None,
+    override val schemaMin: Option[StructType] = None,
+    override val options: Map[String, String] = Map.empty,
+    override val filenameColumn: Option[String] = None,
+    override val numberOfTasksPerPartition: Option[Int] = None)
+  extends SparkFileDataObject with CanEvolveSchema {
+  val format = "parquet"
+}
+
+/** CSV files: delimiter/quote/header/inferSchema options. Reference
+  * `CsvFileDataObject.scala:68-103`. */
+case class CsvFileDataObject(
+    id: String, path: String,
+    csvOptions: Map[String, String] = Map.empty,
+    override val partitions: Seq[String] = Seq.empty,
+    override val schema: Option[StructType] = None,
+    override val schemaMin: Option[StructType] = None,
+    override val filenameColumn: Option[String] = None,
+    override val numberOfTasksPerPartition: Option[Int] = None)
+  extends SparkFileDataObject {
+  val format = "csv"
+  // reference defaults: header=true, inferSchema=true when no schema given
+  override val options: Map[String, String] =
+    Map("header" -> "true", "delimiter" -> ",", "quote" -> "\"") ++
+      (if (schema.isEmpty) Map("inferSchema" -> "true") else Map.empty) ++ csvOptions
+}
+
+/** JSON lines (or multiline) files. Reference `JsonFileDataObject.scala`. */
+case class JsonFileDataObject(
+    id: String, path: String,
+    jsonOptions: Map[String, String] = Map.empty,
+    override val partitions: Seq[String] = Seq.empty,
+    override val schema: Option[StructType] = None)
+  extends SparkFileDataObject {
+  val format = "json"
+  override val options: Map[String, String] = jsonOptions
+}
+
+/** Avro files. Reference `AvroFileDataObject.scala`. */
+case class AvroFileDataObject(
+    id: String, path: String,
+    override val partitions: Seq[String] = Seq.empty,
+    override val schema: Option[StructType] = None)
+  extends SparkFileDataObject {
+  val format = "avro"
+}
+
+/** ORC files (not in reference; natural on Spark). */
+case class OrcFileDataObject(
+    id: String, path: String,
+    override val partitions: Seq[String] = Seq.empty,
+    override val schema: Option[StructType] = None)
+  extends SparkFileDataObject {
+  val format = "orc"
+}
+
+/** Opaque files read as `binaryFile` (path, modificationTime, length,
+  * content). Reference `RawFileDataObject.scala` treats them as FileRefs;
+  * on Spark the binaryFile source gives us a DataFrame view for free and is
+  * the substrate for multimodal (image/audio/video) columns.
+  */
+case class RawFileDataObject(id: String, path: String,
+    pathGlobFilter: Option[String] = None)
+  extends DataObject with CanCreateDataFrame {
+  override def getDataFrame(partitionValues: Seq[PartitionValues] = Seq.empty)
+                           (implicit ctx: ActionPipelineContext): DataFrame = {
+    val r = ctx.spark.read.format("binaryFile")
+    pathGlobFilter.fold(r)(g => r.option("pathGlobFilter", g)).load(path)
+  }
+}
+
+/** User-supplied Scala logic producing a DataFrame. Reference
+  * `CustomDfDataObject.scala` + `spark/customlogic/CustomDfCreator.scala`. */
+case class CustomDfDataObject(id: String, creator: SparkSession => DataFrame)
+  extends DataObject with CanCreateDataFrame {
+  override def getDataFrame(partitionValues: Seq[PartitionValues] = Seq.empty)
+                           (implicit ctx: ActionPipelineContext): DataFrame = creator(ctx.spark)
+}
