@@ -207,8 +207,79 @@ object SparkEntry {
       t(s, dir, "lineitem").agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+    }),
+
+    // ---------------------------------------------------------------
+    // Pipeline table operators (SURVEY §2.2) run as pure state
+    // transitions on deterministic synthetic loads so DuckDB can oracle
+    // the subtle SCD2/dedup/merge semantics.
+    // ---------------------------------------------------------------
+
+    // DeduplicateAction semantics: latest record per key across two loads
+    "q17_dedup_two_loads" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val existing = orders.where(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .withColumn(operators.Historization.captured, lit(T1))
+      val feed = orders.where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") + 1000.0).as("o_totalprice"))
+      operators.Historization.deduplicate(existing, feed, Seq("o_orderkey"), T2)
+    }),
+
+    // HistorizeAction full SCD2: changed keys closed+reopened, deleted keys
+    // closed, unchanged keep original capture ts
+    "q18_historize_full" -> ((s, dir) => {
+      val customer = t(s, dir, "customer")
+      val existing = customer.select(col("c_custkey"), col("c_acctbal"))
+        .withColumn(operators.Historization.captured, lit(T1))
+        .withColumn(operators.Historization.delimited, lit(operators.Historization.doomsday))
+      val feed = customer.where(col("c_custkey") % 5 =!= 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 3 === 0, col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal")).as("c_acctbal"))
+      operators.Historization.fullHistorize(existing, feed, Seq("c_custkey"), T2)
+    }),
+
+    // HistorizeAction incremental: feed carries only changed rows; absent
+    // keys stay open
+    "q19_historize_incremental" -> ((s, dir) => {
+      val customer = t(s, dir, "customer")
+      val existing = customer.select(col("c_custkey"), col("c_acctbal"))
+        .withColumn(operators.Historization.captured, lit(T1))
+        .withColumn(operators.Historization.delimited, lit(operators.Historization.doomsday))
+      val feed = customer.where(col("c_custkey") % 4 === 0)
+        .select(col("c_custkey"), (col("c_acctbal") + 50.0).as("c_acctbal"))
+      operators.Historization.incrementalHistorize(existing, feed, Seq("c_custkey"), T2)
+    }),
+
+    // CDC historization: replay events as a change stream (event_type
+    // 'error' = delete op); one window, no join
+    "q20_cdc_historize" -> ((s, dir) => {
+      operators.Historization.cdcHistorize(
+        t(s, dir, "events").select(col("user_id"), col("event_id"), col("value"), col("ts"), col("event_type")),
+        pk = Seq("user_id"), tsCol = "ts", opCol = "event_type",
+        deleteOp = "error", tieBreakCols = Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("dl_ts_captured"), col("dl_ts_delimited"))
+    }),
+
+    // MERGE upsert semantics (SaveModeMergeOptions): update / delete /
+    // insert conditions in one pass
+    "q21_merge_upsert" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val existing = orders.where(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val feed = orders.where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), (col("o_totalprice") * 1.1).as("o_totalprice"))
+      sources.MergeEmulation.computeMergedState(existing, feed, Seq("o_orderkey"),
+        SaveModeMergeOptions(
+          deleteCondition = Some("new.o_orderstatus = 'P'"),
+          updateCondition = Some("new.o_totalprice > existing.o_totalprice")))
     })
   )
+
+  private val T1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+  private val T2 = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -293,7 +364,78 @@ object SparkEntry {
         |  count(o_orderkey) AS num_orders,
         |  CAST(sum(CAST(coalesce(o_totalprice, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-        |GROUP BY c_custkey""".stripMargin
+        |GROUP BY c_custkey""".stripMargin,
     // q16_approx_distinct: HLL sketch result is engine-specific — rows-only check.
+    "q17_dedup_two_loads" ->
+      """WITH existing AS (
+        |  SELECT o_orderkey, o_totalprice, TIMESTAMP '2024-01-01' AS dl_ts_captured
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |feed AS (
+        |  SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice, TIMESTAMP '2024-01-02' AS dl_ts_captured
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |u AS (SELECT * FROM existing UNION ALL SELECT * FROM feed)
+        |SELECT o_orderkey, o_totalprice, dl_ts_captured FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY dl_ts_captured DESC) AS rn FROM u)
+        |WHERE rn = 1""".stripMargin,
+    "q18_historize_full" ->
+      """WITH cur AS (SELECT c_custkey, c_acctbal FROM customer),
+        |feed AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey % 5 <> 0)
+        |SELECT e.c_custkey, e.c_acctbal,
+        |  TIMESTAMP '2024-01-01' AS dl_ts_captured, TIMESTAMP '9999-12-31' AS dl_ts_delimited
+        |FROM cur e JOIN feed n ON e.c_custkey = n.c_custkey AND e.c_acctbal = n.c_acctbal
+        |UNION ALL
+        |SELECT e.c_custkey, e.c_acctbal, TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-01 23:59:59.999'
+        |FROM cur e LEFT JOIN feed n ON e.c_custkey = n.c_custkey
+        |WHERE n.c_custkey IS NULL OR e.c_acctbal <> n.c_acctbal
+        |UNION ALL
+        |SELECT n.c_custkey, n.c_acctbal, TIMESTAMP '2024-01-02', TIMESTAMP '9999-12-31'
+        |FROM feed n LEFT JOIN cur e ON n.c_custkey = e.c_custkey
+        |WHERE e.c_custkey IS NULL OR e.c_acctbal <> n.c_acctbal""".stripMargin,
+    "q19_historize_incremental" ->
+      """WITH cur AS (SELECT c_custkey, c_acctbal FROM customer),
+        |feed AS (SELECT c_custkey, c_acctbal + 50.0 AS c_acctbal FROM customer WHERE c_custkey % 4 = 0)
+        |SELECT e.c_custkey, e.c_acctbal,
+        |  TIMESTAMP '2024-01-01' AS dl_ts_captured, TIMESTAMP '9999-12-31' AS dl_ts_delimited
+        |FROM cur e LEFT JOIN feed n ON e.c_custkey = n.c_custkey
+        |WHERE n.c_custkey IS NULL OR e.c_acctbal = n.c_acctbal
+        |UNION ALL
+        |SELECT e.c_custkey, e.c_acctbal, TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-01 23:59:59.999'
+        |FROM cur e JOIN feed n ON e.c_custkey = n.c_custkey
+        |WHERE e.c_acctbal <> n.c_acctbal
+        |UNION ALL
+        |SELECT n.c_custkey, n.c_acctbal, TIMESTAMP '2024-01-02', TIMESTAMP '9999-12-31'
+        |FROM feed n LEFT JOIN cur e ON n.c_custkey = e.c_custkey
+        |WHERE e.c_custkey IS NULL OR e.c_acctbal <> n.c_acctbal""".stripMargin,
+    "q20_cdc_historize" ->
+      """SELECT user_id, event_id, value, ts AS dl_ts_captured,
+        |  CASE WHEN next_ts IS NULL THEN TIMESTAMP '9999-12-31'
+        |       ELSE next_ts - INTERVAL 1 MILLISECOND END AS dl_ts_delimited
+        |FROM (
+        |  SELECT user_id, event_id, value, ts, event_type,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+        |  FROM events)
+        |WHERE event_type <> 'error'""".stripMargin,
+    "q21_merge_upsert" ->
+      """WITH existing AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0),
+        |feed AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice * 1.1 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT e.o_orderkey,
+        |  CASE WHEN n.o_totalprice > e.o_totalprice THEN n.o_orderstatus ELSE e.o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN n.o_totalprice > e.o_totalprice THEN n.o_totalprice ELSE e.o_totalprice END AS o_totalprice
+        |FROM existing e JOIN feed n ON e.o_orderkey = n.o_orderkey
+        |WHERE n.o_orderstatus <> 'P'
+        |UNION ALL
+        |SELECT e.o_orderkey, e.o_orderstatus, e.o_totalprice
+        |FROM existing e LEFT JOIN feed n ON e.o_orderkey = n.o_orderkey
+        |WHERE n.o_orderkey IS NULL
+        |UNION ALL
+        |SELECT n.o_orderkey, n.o_orderstatus, n.o_totalprice
+        |FROM feed n LEFT JOIN existing e ON n.o_orderkey = e.o_orderkey
+        |WHERE e.o_orderkey IS NULL""".stripMargin
   )
 }

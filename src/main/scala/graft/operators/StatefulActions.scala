@@ -1,0 +1,171 @@
+package graft.operators
+
+import graft.core._
+import graft.sources._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Shared machinery of actions that read their own output to compute the
+  * next state (deduplicate, historize). */
+abstract class StatefulAction extends DataFrameAction {
+  def inputId: String
+  def outputId: String
+  def primaryKey: Seq[String]
+  /** capture-time provider; injectable for deterministic tests (reference
+    * passes a referenceTimestamp through ActionPipelineContext) */
+  def referenceTimestamp: () => Timestamp = () => new Timestamp(System.currentTimeMillis())
+
+  def inputIds: Seq[String] = Seq(inputId)
+  def outputIds: Seq[String] = Seq(outputId)
+
+  protected def effectivePk(implicit ctx: ActionPipelineContext): Seq[String] =
+    if (primaryKey.nonEmpty) primaryKey
+    else ctx.registry.dataObject(outputId) match {
+      case t: TableDataObject => t.table.primaryKey.getOrElse(Seq.empty)
+      case _ => Seq.empty
+    }
+
+  protected def readExisting(expected: DataFrame)(implicit ctx: ActionPipelineContext): Option[DataFrame] =
+    ctx.registry.dataObject(outputId) match {
+      case f: SparkFileDataObject if f.exists => Some(f.getDataFrame())
+      case t: TableDataObject if t.isTableExisting => Some(t.getDataFrame())
+      case _ => None
+    }
+
+  /** write new full state, handling the self-overwrite problem */
+  protected def writeState(df: DataFrame)(implicit ctx: ActionPipelineContext): ActionMetrics =
+    ctx.registry.dataObject(outputId) match {
+      case f: SparkFileDataObject => f.writeDataFrameStaged(df)
+      case w: CanWriteDataFrame => w.writeDataFrame(df, Seq.empty, Some(SdlSaveMode.Overwrite))
+      case other => throw new IllegalArgumentException(s"${other.id} cannot write DataFrames")
+    }
+
+  protected def transformedInput(subFeeds: Seq[SubFeed])(implicit ctx: ActionPipelineContext): DataFrame = {
+    val in0 = subFeeds.find(_.dataObjectId == inputId).getOrElse(SubFeed(inputId))
+    val in = applyExecutionMode(in0)
+    val df = in.dataFrame.getOrElse(readInput(inputId, in.partitionValues))
+    applyTransformers(df, inputId)
+  }
+
+  protected def computeState(feed: DataFrame, existing: Option[DataFrame])
+                            (implicit ctx: ActionPipelineContext): DataFrame
+
+  override def init(subFeeds: Seq[SubFeed])(implicit ctx: ActionPipelineContext): Seq[SubFeed] = {
+    val feed = transformedInput(subFeeds)
+    val out = computeState(feed, readExisting(feed))
+    Seq(SubFeed(outputId, Some(out)))
+  }
+
+  override def exec(subFeeds: Seq[SubFeed])(implicit ctx: ActionPipelineContext): Seq[SubFeed] = {
+    val feed = transformedInput(subFeeds)
+    val out = computeState(feed, readExisting(feed))
+    val metrics = writeState(out)
+    Seq(SubFeed(outputId, Some(out), metrics = Some(metrics)))
+  }
+}
+
+/** Keep the latest record per primary key across loads; adds
+  * `dl_ts_captured`. Reference `DeduplicateAction.scala:71-229`:
+  * full mode = union existing + window row_number; merge mode = upsert with
+  * `updateCapturedColumnOnlyWhenChanged` change predicate (:106-113).
+  * With a merge-capable output and mergeModeEnable the work scales with the
+  * feed, not the table.
+  */
+case class DeduplicateAction(
+    id: String, inputId: String, outputId: String,
+    primaryKey: Seq[String] = Seq.empty,
+    transformers: Seq[DfTransformer] = Seq.empty,
+    mergeModeEnable: Boolean = false,
+    updateCapturedColumnOnlyWhenChanged: Boolean = false,
+    override val referenceTimestamp: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
+    override val executionMode: Option[graft.operators.modes.ExecutionMode] = None)
+  extends StatefulAction {
+
+  override protected def computeState(feed: DataFrame, existing: Option[DataFrame])
+                                     (implicit ctx: ActionPipelineContext): DataFrame = {
+    val pk = effectivePk
+    require(pk.nonEmpty, s"Action $id: primaryKey required for deduplication")
+    val refTs = referenceTimestamp()
+    existing match {
+      case Some(e) => Historization.deduplicate(e, feed, pk, refTs, updateCapturedColumnOnlyWhenChanged)
+      case None => feed.withColumn(Historization.captured, lit(refTs))
+    }
+  }
+
+  override def exec(subFeeds: Seq[SubFeed])(implicit ctx: ActionPipelineContext): Seq[SubFeed] = {
+    val output = ctx.registry.dataObject(outputId)
+    (output, mergeModeEnable) match {
+      case (m: CanMergeDataFrame with TableDataObject, true) if m.isTableExisting =>
+        // merge mode: upsert only the feed (reference DeduplicateAction.scala:106-113)
+        val pk = effectivePk
+        val refTs = referenceTimestamp()
+        val feed = transformedInput(subFeeds).withColumn(Historization.captured, lit(refTs))
+        val changePredicate = feed.columns.filterNot(c => pk.contains(c) || c == Historization.captured)
+          .map(c => s"NOT (existing.`$c` <=> new.`$c`)").mkString(" OR ")
+        val opts =
+          if (updateCapturedColumnOnlyWhenChanged && changePredicate.nonEmpty)
+            SaveModeMergeOptions(updateCondition = Some(changePredicate))
+          else SaveModeMergeOptions()
+        val metrics = m.mergeDataFrame(feed, pk, opts)
+        Seq(SubFeed(outputId, Some(feed), metrics = Some(metrics)))
+      case _ => super.exec(subFeeds)
+    }
+  }
+}
+
+/** SCD2 historization action. Reference `HistorizeAction.scala:89-306`,
+  * three algorithms:
+  *  - full (default): complete snapshot vs history, detects deletes
+  *  - incremental (`incrementalUpdate`): feed has only new/changed rows
+  *  - CDC (`cdcOptions`): replay a change stream, no join at all
+  */
+case class HistorizeAction(
+    id: String, inputId: String, outputId: String,
+    primaryKey: Seq[String] = Seq.empty,
+    transformers: Seq[DfTransformer] = Seq.empty,
+    incrementalUpdate: Boolean = false,
+    cdcOptions: Option[CdcOptions] = None,
+    override val referenceTimestamp: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
+    override val executionMode: Option[graft.operators.modes.ExecutionMode] = None)
+  extends StatefulAction {
+
+  override protected def computeState(feed: DataFrame, existing: Option[DataFrame])
+                                     (implicit ctx: ActionPipelineContext): DataFrame = {
+    val pk = effectivePk
+    require(pk.nonEmpty, s"Action $id: primaryKey required for historization")
+    val refTs = referenceTimestamp()
+    cdcOptions match {
+      case Some(cdc) =>
+        val replayed = Historization.cdcHistorize(feed, pk, cdc.timestampColumn, cdc.operationColumn, cdc.deleteValue)
+        existing.fold(replayed)(e => mergeCdc(e, replayed))
+      case None =>
+        existing match {
+          case Some(e) if incrementalUpdate => Historization.incrementalHistorize(e, feed, pk, refTs)
+          case Some(e) => Historization.fullHistorize(e, feed, pk, refTs)
+          case None =>
+            feed.withColumn(Historization.captured, lit(refTs))
+              .withColumn(Historization.delimited, lit(Historization.doomsday))
+        }
+    }
+  }
+
+  /** CDC replay over existing history: new versions append; the previously
+    * open record of each affected key is closed at the first new version's
+    * captured − 1ms. */
+  private def mergeCdc(existing: DataFrame, replayed: DataFrame): DataFrame = {
+    val pk = primaryKey
+    val firstNew = replayed.groupBy(pk.map(col): _*)
+      .agg(min(col(Historization.captured)).as("_first_new_ts"))
+    val closed = existing.join(firstNew, pk, "left")
+      .withColumn(Historization.delimited,
+        when(col("_first_new_ts").isNotNull && col(Historization.delimited) === lit(Historization.doomsday),
+          expr("timestampadd(MILLISECOND, -1, _first_new_ts)"))
+          .otherwise(col(Historization.delimited)))
+      .drop("_first_new_ts")
+    closed.unionByName(replayed.select(closed.columns.map(c => col(s"`$c`")).toIndexedSeq: _*))
+  }
+}
+
+/** CDC column mapping for HistorizeAction. */
+case class CdcOptions(timestampColumn: String, operationColumn: String, deleteValue: String = "d")

@@ -178,6 +178,28 @@ abstract class SparkFileDataObject extends DataObject
     ActionMetrics(recordsWritten = rows, durationMillis = System.currentTimeMillis() - t0)
   }
 
+  /** Overwrite `path` with a DataFrame *derived from this object's own
+    * data* (dedup/historize read-modify-write): stage to a sibling dir,
+    * then swap. Plain `save(path)` would fail ("cannot overwrite a path
+    * that is also being read from") or corrupt on failure. The reference
+    * solves the same problem with `TickTockHiveTableDataObject:94-173`
+    * (alternating tick/tock locations); staging+rename is the
+    * Hadoop-FS-native equivalent (rename = metadata op).
+    */
+  def writeDataFrameStaged(df: DataFrame)(implicit ctx: ActionPipelineContext): ActionMetrics = {
+    val t0 = System.currentTimeMillis()
+    val staging = new Path(path + "_graft_staging")
+    val obs = org.apache.spark.sql.Observation(s"graft_stage_${id}_${System.nanoTime()}")
+    val observed = df.observe(obs, count(lit(1)).as("records_written"))
+    val w0 = observed.write.format(format).options(options)
+    val w = if (partitions.nonEmpty) w0.partitionBy(partitions: _*) else w0
+    w.mode("overwrite").save(staging.toString)
+    fs.delete(hadoopPath, true)
+    fs.rename(staging, hadoopPath)
+    val rows = try obs.get("records_written").asInstanceOf[Long] catch { case _: Throwable => -1L }
+    ActionMetrics(rows, System.currentTimeMillis() - t0)
+  }
+
   override def listPartitions(implicit ctx: ActionPipelineContext): Seq[PartitionValues] = {
     if (partitions.isEmpty || !exists) return Seq.empty
     // recursive dir listing, one level per partition col (reference

@@ -1,0 +1,271 @@
+package graft.sources
+
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Table-like DataObject with db/name/primaryKey identity. Reference
+  * `sdl-core/workflow/dataobject/TableDataObject.scala`. */
+trait TableDataObject extends DataObject with CanCreateDataFrame with CanWriteDataFrame {
+  def table: Table
+  def isTableExisting(implicit ctx: ActionPipelineContext): Boolean
+}
+
+/** Join-based MERGE (upsert) semantics computed as a new table state —
+  * used to emulate `MERGE INTO` for stores without a transactional merge
+  * (plain parquet / Hive-format tables). Semantics follow the reference's
+  * `SaveModeMergeOptions` mapping to Delta merge
+  * (`sdl-core/definitions/SDLSaveMode.scala:126-146`):
+  * whenMatched(deleteCondition).delete / whenMatched(updateCondition)
+  * .update(updateColumns) / whenNotMatched(insertCondition).insert.
+  * Conditions reference `existing.*` / `new.*`.
+  *
+  * Scale: one shuffle join on the merge key; with AQE this broadcasts when
+  * the feed is small. A real lakehouse sink (Delta/Iceberg) replaces the
+  * full rewrite with file-level conflict resolution, but the *plan shape*
+  * (join on key + conditional projection) is identical.
+  */
+object MergeEmulation {
+  def computeMergedState(existing: DataFrame, feed: DataFrame, joinCols: Seq[String],
+                         opts: SaveModeMergeOptions = SaveModeMergeOptions()): DataFrame = {
+    val cols = existing.columns.toSeq
+    val joined = existing.alias("existing").join(
+      feed.alias("new"),
+      joinCols.map(k => col(s"existing.`$k`") <=> col(s"new.`$k`")).reduce(_ and _) &&
+        opts.additionalMergePredicate.map(expr).getOrElse(lit(true)),
+      "full")
+    val eExists = col(s"existing.`${joinCols.head}`").isNotNull
+    val nExists = col(s"new.`${joinCols.head}`").isNotNull
+    val del = opts.deleteCondition.map(expr).getOrElse(lit(false))
+    val upd = opts.updateCondition.map(expr).getOrElse(lit(true))
+    val ins = opts.insertCondition.map(expr).getOrElse(lit(true))
+    val updateCols = if (opts.updateColumns.nonEmpty) opts.updateColumns else cols.filterNot(joinCols.contains)
+
+    def updatedRec: Column = struct(cols.map { c =>
+      (if (updateCols.contains(c)) col(s"new.`$c`") else col(s"existing.`$c`")).as(c)
+    }: _*)
+    def insertedRec: Column = struct(cols.map { c =>
+      val v =
+        if (opts.insertValuesOverride.contains(c)) expr(opts.insertValuesOverride(c))
+        else if (opts.insertColumnsToIgnore.contains(c)) lit(null)
+        else col(s"new.`$c`")
+      v.as(c)
+    }: _*)
+    def existingRec: Column = struct(cols.map(c => col(s"existing.`$c`").as(c)): _*)
+
+    val result = when(eExists and nExists,
+        when(del, lit(null)) // matched + deleteCondition → drop
+          .when(upd, updatedRec) // matched + updateCondition → update
+          .otherwise(existingRec)) // matched, no condition met → keep
+      .when(eExists and !nExists, existingRec) // unmatched existing → keep
+      .when(!eExists and nExists, when(ins, insertedRec)) // new → insert if condition
+    joined.select(result.as("r")).where(col("r").isNotNull).select(col("r.*"))
+  }
+}
+
+/** Hive/catalog table (metastore or in-memory catalog). Reference
+  * `HiveTableDataObject.scala` + `util/hive/HiveUtil.scala:69-138`.
+  * Stats via ANALYZE TABLE feed Catalyst's CBO — matters for join reorder
+  * at scale.
+  */
+case class HiveTableDataObject(
+    id: String, table: Table,
+    override val partitions: Seq[String] = Seq.empty,
+    format: String = "parquet",
+    analyzeTableAfterWrite: Boolean = false)
+  extends TableDataObject with CanHandlePartitions with CanMergeDataFrame with CanEvolveSchema {
+
+  override def isTableExisting(implicit ctx: ActionPipelineContext): Boolean =
+    ctx.spark.catalog.tableExists(table.fullName)
+
+  override def getDataFrame(partitionValues: Seq[PartitionValues] = Seq.empty)
+                           (implicit ctx: ActionPipelineContext): DataFrame = {
+    val df = ctx.spark.table(table.fullName)
+    PartitionValues.filterExpr(partitionValues).fold(df)(df.filter _)
+  }
+
+  override def writeDataFrame(df: DataFrame, partitionValues: Seq[PartitionValues] = Seq.empty,
+                              saveMode: Option[SdlSaveMode] = None)
+                             (implicit ctx: ActionPipelineContext): ActionMetrics = {
+    val t0 = System.currentTimeMillis()
+    val mode = saveMode.getOrElse(SdlSaveMode.Overwrite)
+    val obs = org.apache.spark.sql.Observation(s"graft_write_${id}_${System.nanoTime()}")
+    val observed = df.observe(obs, count(lit(1)).as("records_written"))
+    val w0 = observed.write.format(format)
+    val w = if (partitions.nonEmpty) w0.partitionBy(partitions: _*) else w0
+    mode match {
+      case SdlSaveMode.Append => w.mode("append").saveAsTable(table.fullName)
+      case SdlSaveMode.OverwriteOptimized if partitions.nonEmpty && isTableExisting =>
+        // dynamic partition overwrite via insertInto
+        ctx.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        observed.write.mode("overwrite").insertInto(table.fullName)
+      case _ => w.mode("overwrite").saveAsTable(table.fullName)
+    }
+    if (analyzeTableAfterWrite)
+      ctx.spark.sql(s"ANALYZE TABLE ${table.fullName} COMPUTE STATISTICS")
+    val rows = try obs.get("records_written").asInstanceOf[Long] catch { case _: Throwable => -1L }
+    ActionMetrics(rows, System.currentTimeMillis() - t0)
+  }
+
+  override def mergeDataFrame(df: DataFrame, joinCols: Seq[String],
+                              options: SaveModeMergeOptions = SaveModeMergeOptions())
+                             (implicit ctx: ActionPipelineContext): ActionMetrics = {
+    val t0 = System.currentTimeMillis()
+    val merged =
+      if (isTableExisting) MergeEmulation.computeMergedState(getDataFrame(), df, joinCols, options)
+      else df
+    // self-overwrite needs materialization outside the source table: stage
+    // to a temp table then swap (reference solves the same problem with
+    // TickTockHiveTableDataObject:94-173 / Delta ACID)
+    val tmp = table.fullName + "_graft_staging"
+    merged.write.mode("overwrite").format(format).saveAsTable(tmp)
+    ctx.spark.sql(s"DROP TABLE IF EXISTS ${table.fullName}")
+    ctx.spark.sql(s"ALTER TABLE $tmp RENAME TO ${table.fullName}")
+    ActionMetrics(-1, System.currentTimeMillis() - t0)
+  }
+
+  override def listPartitions(implicit ctx: ActionPipelineContext): Seq[PartitionValues] = {
+    if (partitions.isEmpty || !isTableExisting) return Seq.empty
+    ctx.spark.sql(s"SHOW PARTITIONS ${table.fullName}").collect().toSeq.map { r =>
+      PartitionValues(r.getString(0).split('/').map { kv =>
+        val Array(k, v) = kv.split("=", 2); k -> v
+      }.toMap)
+    }
+  }
+}
+
+/** JDBC table: Spark jdbc read, temp-table + SQL MERGE upsert over the
+  * connection, pre/post SQL. Reference `JdbcTableDataObject.scala:92-449`,
+  * merge statement built as in `util/misc/SQLUtil.scala`.
+  */
+case class JdbcTableDataObject(
+    id: String, table: Table, connection: JdbcConnection,
+    preReadSql: Option[String] = None, postWriteSql: Option[String] = None,
+    jdbcOptions: Map[String, String] = Map.empty)
+  extends TableDataObject with CanMergeDataFrame {
+
+  private def withConnection[T](f: java.sql.Connection => T): T = {
+    Class.forName(connection.driver)
+    val props = new java.util.Properties()
+    connection.user.foreach(props.setProperty("user", _))
+    connection.password.foreach(props.setProperty("password", _))
+    val c = java.sql.DriverManager.getConnection(connection.url, props)
+    try f(c) finally c.close()
+  }
+
+  private def readerOpts: Map[String, String] =
+    Map("url" -> connection.url, "driver" -> connection.driver) ++
+      connection.user.map("user" -> _) ++ connection.password.map("password" -> _) ++ jdbcOptions
+
+  override def isTableExisting(implicit ctx: ActionPipelineContext): Boolean =
+    withConnection { c =>
+      val rs = c.getMetaData.getTables(null, table.db.map(_.toUpperCase).orNull, table.name.toUpperCase, null)
+      try rs.next() finally rs.close()
+    }
+
+  override def prepare(implicit ctx: ActionPipelineContext): Unit =
+    preReadSql.foreach(sql => withConnection(_.createStatement().execute(sql)))
+
+  override def getDataFrame(partitionValues: Seq[PartitionValues] = Seq.empty)
+                           (implicit ctx: ActionPipelineContext): DataFrame =
+    ctx.spark.read.format("jdbc").options(readerOpts)
+      .option("dbtable", table.fullName).load()
+
+  override def writeDataFrame(df: DataFrame, partitionValues: Seq[PartitionValues] = Seq.empty,
+                              saveMode: Option[SdlSaveMode] = None)
+                             (implicit ctx: ActionPipelineContext): ActionMetrics = {
+    val t0 = System.currentTimeMillis()
+    val mode = saveMode.getOrElse(SdlSaveMode.Append)
+    mode match {
+      case SdlSaveMode.Merge =>
+        return mergeDataFrame(df, table.primaryKey.getOrElse(
+          throw new IllegalArgumentException(s"$id: merge needs primaryKey")))
+      case m =>
+        df.write.format("jdbc").options(readerOpts)
+          .option("dbtable", table.fullName).mode(SdlSaveMode.toSpark(m)).save()
+    }
+    postWriteSql.foreach(sql => withConnection(_.createStatement().execute(sql)))
+    ActionMetrics(-1, System.currentTimeMillis() - t0)
+  }
+
+  /** Reference pattern `JdbcTableDataObject.scala:375-400`: write feed to a
+    * temp table, then one `MERGE INTO` statement over the JDBC connection. */
+  override def mergeDataFrame(df: DataFrame, joinCols: Seq[String],
+                              options: SaveModeMergeOptions = SaveModeMergeOptions())
+                             (implicit ctx: ActionPipelineContext): ActionMetrics = {
+    val t0 = System.currentTimeMillis()
+    val tmpName = table.name + "_graft_tmp"
+    val tmpFull = table.db.map(_ + ".").getOrElse("") + tmpName
+    df.write.format("jdbc").options(readerOpts)
+      .option("dbtable", tmpFull).mode("overwrite").save()
+    val cols = df.columns.toSeq
+    val onClause = joinCols.map(k => s"t.$k = s.$k").mkString(" AND ")
+    val updCols = (if (options.updateColumns.nonEmpty) options.updateColumns
+                   else cols.filterNot(joinCols.contains))
+    val updClause = updCols.map(c => s"$c = s.$c").mkString(", ")
+    val insCols = cols.filterNot(options.insertColumnsToIgnore.contains)
+    val mergeSql =
+      s"""MERGE INTO ${table.fullName} t USING $tmpFull s ON ($onClause)
+         |WHEN MATCHED THEN UPDATE SET $updClause
+         |WHEN NOT MATCHED THEN INSERT (${insCols.mkString(", ")})
+         |VALUES (${insCols.map("s." + _).mkString(", ")})""".stripMargin
+    withConnection { c =>
+      c.createStatement().execute(mergeSql)
+      c.createStatement().execute(s"DROP TABLE $tmpFull")
+    }
+    ActionMetrics(-1, System.currentTimeMillis() - t0)
+  }
+}
+
+/** Virtual DataObject listing PK violations of all registered tables with a
+  * primary key. Reference `PKViolatorsDataObject.scala` using
+  * `GenericDataFrame.getPKviolators:152`. */
+case class PKViolatorsDataObject(id: String) extends DataObject with CanCreateDataFrame {
+  override def getDataFrame(partitionValues: Seq[PartitionValues] = Seq.empty)
+                           (implicit ctx: ActionPipelineContext): DataFrame = {
+    import graft.functions.Relational
+    val frames = ctx.registry.allDataObjects.collect {
+      case t: TableDataObject if t.table.primaryKey.exists(_.nonEmpty) && t.isTableExisting =>
+        val pk = t.table.primaryKey.get
+        Relational.getPKviolators(t.getDataFrame(), pk)
+          .select(
+            lit(t.id).as("data_object_id"),
+            lit(t.table.fullName).as("table_name"),
+            lit(pk.mkString(",")).as("primary_key"),
+            to_json(struct(col("*"))).as("row_json"))
+    }
+    frames.reduceOption(_ unionByName _).getOrElse(
+      ctx.spark.emptyDataFrame
+        .withColumn("data_object_id", lit(""))
+        .withColumn("table_name", lit(""))
+        .withColumn("primary_key", lit(""))
+        .withColumn("row_json", lit("")))
+  }
+}
+
+/** Export registered DataObject metadata as a DataFrame (catalog/lineage).
+  * Reference `DataObjectsExporterDataObject.scala`. */
+case class DataObjectsExporterDataObject(id: String) extends DataObject with CanCreateDataFrame {
+  override def getDataFrame(partitionValues: Seq[PartitionValues] = Seq.empty)
+                           (implicit ctx: ActionPipelineContext): DataFrame = {
+    val rows = ctx.registry.allDataObjects.map { d =>
+      (d.id, d.getClass.getSimpleName,
+        d match { case f: SparkFileDataObject => f.path; case t: TableDataObject => t.table.fullName; case _ => "" })
+    }
+    import ctx.spark.implicits._
+    rows.toDF("id", "type", "location")
+  }
+}
+
+/** Export registered Action metadata as a DataFrame (lineage edges).
+  * Reference `ActionsExporterDataObject.scala`. */
+case class ActionsExporterDataObject(id: String) extends DataObject with CanCreateDataFrame {
+  override def getDataFrame(partitionValues: Seq[PartitionValues] = Seq.empty)
+                           (implicit ctx: ActionPipelineContext): DataFrame = {
+    val rows = ctx.registry.allActions.map { a =>
+      (a.id, a.getClass.getSimpleName, a.inputIds.mkString(","), a.outputIds.mkString(","))
+    }
+    import ctx.spark.implicits._
+    rows.toDF("id", "type", "input_ids", "output_ids")
+  }
+}

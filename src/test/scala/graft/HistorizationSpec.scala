@@ -1,0 +1,127 @@
+package graft
+
+import graft.operators.Historization
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Golden-logic tests for SCD2 historization/dedup, scenarios from the
+  * reference's `FullHistorizationTest` / `IncrementalHistorizationTest` /
+  * `IncrementalCDCHistorizationTest` with the `(id, name, age, health_state)`
+  * fixture (`HistorizationTestUtils.scala:50`, see FIXTURES.md §1). */
+class HistorizationSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  val t1 = Timestamp.valueOf("2024-01-01 10:00:00")
+  val t2 = Timestamp.valueOf("2024-01-02 10:00:00")
+  val t3 = Timestamp.valueOf("2024-01-03 10:00:00")
+  val dd = Historization.doomsday
+  def tick(t: Timestamp) = new Timestamp(t.getTime - 1)
+
+  def person(rows: (Int, String, Int, String)*): DataFrame =
+    rows.toDF("id", "name", "age", "health_state")
+
+  def snapshot(df: DataFrame): Set[(Int, String, Int, String, Timestamp, Timestamp)] =
+    df.select("id", "name", "age", "health_state", "dl_ts_captured", "dl_ts_delimited")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getString(3),
+        r.getTimestamp(4), r.getTimestamp(5))).toSet
+
+  def initialLoad(feed: DataFrame, ts: Timestamp): DataFrame = {
+    import org.apache.spark.sql.functions._
+    feed.withColumn("dl_ts_captured", lit(ts)).withColumn("dl_ts_delimited", lit(dd))
+  }
+
+  test("full historize: initial load opens all records") {
+    val h = initialLoad(person((1, "alice", 30, "good"), (2, "bob", 40, "bad")), t1)
+    assert(snapshot(h) == Set(
+      (1, "alice", 30, "good", t1, dd),
+      (2, "bob", 40, "bad", t1, dd)))
+  }
+
+  test("full historize: unchanged record keeps original capture ts") {
+    val existing = initialLoad(person((1, "alice", 30, "good")), t1)
+    val result = Historization.fullHistorize(existing, person((1, "alice", 30, "good")), Seq("id"), t2)
+    assert(snapshot(result) == Set((1, "alice", 30, "good", t1, dd)))
+  }
+
+  test("full historize: changed attribute closes old version and opens new") {
+    val existing = initialLoad(person((1, "alice", 30, "good")), t1)
+    val result = Historization.fullHistorize(existing, person((1, "alice", 31, "good")), Seq("id"), t2)
+    assert(snapshot(result) == Set(
+      (1, "alice", 30, "good", t1, tick(t2)),
+      (1, "alice", 31, "good", t2, dd)))
+  }
+
+  test("full historize: record missing from snapshot is closed (delete)") {
+    val existing = initialLoad(person((1, "alice", 30, "good"), (2, "bob", 40, "bad")), t1)
+    val result = Historization.fullHistorize(existing, person((1, "alice", 30, "good")), Seq("id"), t2)
+    assert(snapshot(result) == Set(
+      (1, "alice", 30, "good", t1, dd),
+      (2, "bob", 40, "bad", t1, tick(t2))))
+  }
+
+  test("full historize: re-appearing record gets a new open version") {
+    val existing = initialLoad(person((1, "alice", 30, "good"), (2, "bob", 40, "bad")), t1)
+    val afterDelete = Historization.fullHistorize(existing, person((1, "alice", 30, "good")), Seq("id"), t2)
+    val reappeared = Historization.fullHistorize(afterDelete,
+      person((1, "alice", 30, "good"), (2, "bob", 41, "bad")), Seq("id"), t3)
+    assert(snapshot(reappeared) == Set(
+      (1, "alice", 30, "good", t1, dd),
+      (2, "bob", 40, "bad", t1, tick(t2)),
+      (2, "bob", 41, "bad", t3, dd)))
+  }
+
+  test("full historize: closed history rows pass through untouched") {
+    val existing = initialLoad(person((1, "alice", 30, "good")), t1)
+    val v2 = Historization.fullHistorize(existing, person((1, "alice", 31, "good")), Seq("id"), t2)
+    val v3 = Historization.fullHistorize(v2, person((1, "alice", 32, "good")), Seq("id"), t3)
+    assert(snapshot(v3) == Set(
+      (1, "alice", 30, "good", t1, tick(t2)),
+      (1, "alice", 31, "good", t2, tick(t3)),
+      (1, "alice", 32, "good", t3, dd)))
+  }
+
+  test("incremental historize: absent keys are NOT closed") {
+    val existing = initialLoad(person((1, "alice", 30, "good"), (2, "bob", 40, "bad")), t1)
+    val result = Historization.incrementalHistorize(existing, person((1, "alice", 31, "good")), Seq("id"), t2)
+    assert(snapshot(result) == Set(
+      (1, "alice", 30, "good", t1, tick(t2)),
+      (1, "alice", 31, "good", t2, dd),
+      (2, "bob", 40, "bad", t1, dd)))
+  }
+
+  test("cdc historize: versions delimited by next change; deletes close without insert") {
+    val cdc = Seq(
+      (1, "alice", 30, "good", t1, "i"),
+      (1, "alice", 31, "good", t2, "u"),
+      (2, "bob", 40, "bad", t1, "i"),
+      (2, "bob", 40, "bad", t2, "d"),
+      (3, "carol", 20, "good", t3, "i"))
+      .toDF("id", "name", "age", "health_state", "ts", "op")
+    val result = Historization.cdcHistorize(cdc, Seq("id"), "ts", "op").drop("ts")
+    assert(snapshot(result) == Set(
+      (1, "alice", 30, "good", t1, tick(t2)),
+      (1, "alice", 31, "good", t2, dd),
+      (2, "bob", 40, "bad", t1, tick(t2)),
+      (3, "carol", 20, "good", t3, dd)))
+  }
+
+  test("deduplicate: newest record per key wins") {
+    val existing = person((1, "alice", 30, "good"), (2, "bob", 40, "bad"))
+      .withColumn("dl_ts_captured", org.apache.spark.sql.functions.lit(t1))
+    val result = Historization.deduplicate(existing, person((1, "alice", 31, "good")), Seq("id"), t2)
+    val got = result.select("id", "age", "dl_ts_captured").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getTimestamp(2))).toSet
+    assert(got == Set((1, 31, t2), (2, 40, t1)))
+  }
+
+  test("deduplicate: unchanged values keep original captured ts when configured") {
+    val existing = person((1, "alice", 30, "good"))
+      .withColumn("dl_ts_captured", org.apache.spark.sql.functions.lit(t1))
+    val result = Historization.deduplicate(existing, person((1, "alice", 30, "good")), Seq("id"), t2,
+      keepCapturedTsWhenUnchanged = true)
+    val got = result.select("id", "dl_ts_captured").collect().map(r => (r.getInt(0), r.getTimestamp(1))).toSet
+    assert(got == Set((1, t1)))
+  }
+}

@@ -1,0 +1,158 @@
+package graft
+
+import graft.core._
+import graft.operators._
+import graft.sources._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** End-to-end pipeline DAG tests (reference `workflow/ActionDAGTest.scala`). */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  def tmpDir(): String = Files.createTempDirectory("graft-test").toString
+
+  def newCtx(reg: InstanceRegistry = new InstanceRegistry()) =
+    ActionPipelineContext(spark, reg)
+
+  test("copy pipeline: csv → filter+sql transform → parquet, DAG 2 actions") {
+    val dir = tmpDir()
+    Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)).toDF("id", "name", "value")
+      .write.option("header", "true").csv(s"$dir/src")
+
+    val reg = new InstanceRegistry()
+    reg.register(CsvFileDataObject("src", s"$dir/src"))
+    reg.register(ParquetFileDataObject("stage", s"$dir/stage"))
+    reg.register(ParquetFileDataObject("mart", s"$dir/mart"))
+    reg.register(CopyAction("copy_stage", "src", "stage",
+      transformers = Seq(FilterTransformer("value > 15"))))
+    reg.register(CopyAction("copy_mart", "stage", "mart",
+      transformers = Seq(SQLDfTransformer("SELECT id, value * 2 AS value2 FROM %{inputViewName}"))))
+
+    implicit val ctx: ActionPipelineContext = newCtx(reg)
+    val dag = ActionDAGRun.fromRegistry(reg, parallelism = 2)
+    assert(dag.layers.map(_.map(_.id)) == Seq(Seq("copy_stage"), Seq("copy_mart")))
+    val results = dag.run()
+
+    val mart = spark.read.parquet(s"$dir/mart").orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    assert(mart.toSeq == Seq((2, 40.0), (3, 60.0)))
+    assert(results("copy_mart").head.metrics.exists(_.recordsWritten == 2))
+  }
+
+  test("partitioned write + PartitionDiffMode processes only new partitions") {
+    val dir = tmpDir()
+    val reg = new InstanceRegistry()
+    reg.register(ParquetFileDataObject("in", s"$dir/in", partitions = Seq("dt")))
+    reg.register(ParquetFileDataObject("out", s"$dir/out", partitions = Seq("dt")))
+    reg.register(CopyAction("cp", "in", "out",
+      executionMode = Some(graft.operators.modes.PartitionDiffMode()),
+      saveMode = Some(SdlSaveMode.OverwriteOptimized)))
+    implicit val ctx: ActionPipelineContext = newCtx(reg)
+
+    Seq((1, "2024-01-01"), (2, "2024-01-02")).toDF("v", "dt")
+      .write.partitionBy("dt").parquet(s"$dir/in")
+    new ActionDAGRun(Seq(reg.action("cp"))).run()
+    assert(spark.read.parquet(s"$dir/out").count() == 2)
+
+    // add one new partition; only it should be copied (out gets 3 rows, not rewritten)
+    Seq((3, "2024-01-03")).toDF("v", "dt")
+      .write.mode("append").partitionBy("dt").parquet(s"$dir/in")
+    new ActionDAGRun(Seq(reg.action("cp"))).run()
+    assert(spark.read.parquet(s"$dir/out").count() == 3)
+
+    // third run: no new partitions → action skipped, output unchanged
+    val res3 = new ActionDAGRun(Seq(reg.action("cp"))).run()
+    assert(res3("cp").head.isSkipped)
+    assert(spark.read.parquet(s"$dir/out").count() == 3)
+  }
+
+  test("DeduplicateAction across two loads via parquet output") {
+    val dir = tmpDir()
+    val reg = new InstanceRegistry()
+    reg.register(ParquetFileDataObject("feed", s"$dir/feed"))
+    reg.register(ParquetFileDataObject("dedup", s"$dir/dedup"))
+    val t1 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val t2 = Timestamp.valueOf("2024-01-02 00:00:00")
+    implicit val ctx: ActionPipelineContext = newCtx(reg)
+
+    Seq((1, "a"), (2, "b")).toDF("id", "name").write.parquet(s"$dir/feed")
+    new ActionDAGRun(Seq(DeduplicateAction("dd", "feed", "dedup", Seq("id"),
+      referenceTimestamp = () => t1))).run()
+
+    Seq((2, "b2"), (3, "c")).toDF("id", "name").write.mode("overwrite").parquet(s"$dir/feed")
+    new ActionDAGRun(Seq(DeduplicateAction("dd", "feed", "dedup", Seq("id"),
+      referenceTimestamp = () => t2))).run()
+
+    val got = spark.read.parquet(s"$dir/dedup")
+      .select("id", "name", "dl_ts_captured").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getTimestamp(2))).toSet
+    assert(got == Set((1, "a", t1), (2, "b2", t2), (3, "c", t2)))
+  }
+
+  test("HistorizeAction full across two loads via parquet output") {
+    val dir = tmpDir()
+    val reg = new InstanceRegistry()
+    reg.register(ParquetFileDataObject("feed", s"$dir/feed"))
+    reg.register(ParquetFileDataObject("hist", s"$dir/hist"))
+    val t1 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val t2 = Timestamp.valueOf("2024-01-02 00:00:00")
+    implicit val ctx: ActionPipelineContext = newCtx(reg)
+
+    Seq((1, "a"), (2, "b")).toDF("id", "name").write.parquet(s"$dir/feed")
+    new ActionDAGRun(Seq(HistorizeAction("h", "feed", "hist", Seq("id"),
+      referenceTimestamp = () => t1))).run()
+
+    Seq((1, "a"), (2, "b2")).toDF("id", "name").write.mode("overwrite").parquet(s"$dir/feed")
+    new ActionDAGRun(Seq(HistorizeAction("h", "feed", "hist", Seq("id"),
+      referenceTimestamp = () => t2))).run()
+
+    val got = spark.read.parquet(s"$dir/hist")
+      .select("id", "name", "dl_ts_captured", "dl_ts_delimited").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getTimestamp(2), r.getTimestamp(3))).toSet
+    assert(got == Set(
+      (1, "a", t1, Historization.doomsday),
+      (2, "b", t1, new Timestamp(t2.getTime - 1)),
+      (2, "b2", t2, Historization.doomsday)))
+  }
+
+  test("CustomDataFrameAction N:M with SQLDfsTransformer") {
+    val dir = tmpDir()
+    val reg = new InstanceRegistry()
+    Seq((1, 10.0), (2, 20.0)).toDF("id", "v").write.parquet(s"$dir/a")
+    Seq((1, "x"), (2, "y")).toDF("id", "label").write.parquet(s"$dir/b")
+    reg.register(ParquetFileDataObject("a", s"$dir/a"))
+    reg.register(ParquetFileDataObject("b", s"$dir/b"))
+    reg.register(ParquetFileDataObject("joined", s"$dir/joined"))
+    reg.register(CustomDataFrameAction("join_ab", Seq("a", "b"), Seq("joined"),
+      Seq(SQLDfsTransformer(Map("joined" -> "SELECT a.id, a.v, b.label FROM a JOIN b ON a.id = b.id")))))
+    implicit val ctx: ActionPipelineContext = newCtx(reg)
+    new ActionDAGRun(Seq(reg.action("join_ab"))).run()
+    assert(spark.read.parquet(s"$dir/joined").count() == 2)
+  }
+
+  test("simulation mode: init-only run with injected subfeeds, no IO") {
+    val reg = new InstanceRegistry()
+    reg.register(ParquetFileDataObject("in", "/nonexistent/in"))
+    reg.register(ParquetFileDataObject("out", "/nonexistent/out"))
+    reg.register(CopyAction("cp", "in", "out", Seq(FilterTransformer("x > 1"))))
+    implicit val ctx: ActionPipelineContext = newCtx(reg)
+    val injected = SubFeed("in", Some(Seq(1, 2, 3).toDF("x")))
+    val results = new ActionDAGRun(Seq(reg.action("cp"))).simulate(Seq(injected))
+    assert(results("cp").head.dataFrame.get.count() == 2)
+    assert(!new java.io.File("/nonexistent/out").exists())
+  }
+
+  test("merge emulation honors delete/update/insert conditions") {
+    val existing = Seq((1, "a", 1), (2, "b", 2), (3, "c", 3)).toDF("id", "v", "n")
+    val feed = Seq((1, "a2", 1), (2, "b2", -1), (4, "d", 4)).toDF("id", "v", "n")
+    val merged = MergeEmulation.computeMergedState(existing, feed, Seq("id"),
+      SaveModeMergeOptions(deleteCondition = Some("new.n < 0")))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSet
+    // id=2 deleted (n<0), id=1 updated, id=3 kept, id=4 inserted
+    assert(merged == Set((1, "a2", 1), (3, "c", 3), (4, "d", 4)))
+  }
+}
