@@ -275,6 +275,18 @@ object SparkEntry {
         SaveModeMergeOptions(
           deleteCondition = Some("new.o_orderstatus = 'P'"),
           updateCondition = Some("new.o_totalprice > existing.o_totalprice")))
+    }),
+
+    // Schema evolution: old load (with c_acctbal) + new load (dropped
+    // c_acctbal, added c_mktsegment) aligned to the merged schema —
+    // SchemaEvolution.process (SURVEY §1.3)
+    "q22_schema_evolution" -> ((s, dir) => {
+      val customer = t(s, dir, "customer")
+      val oldLoad = customer.select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val newLoad = customer.where(col("c_custkey") > 100)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val (o, n) = graft.functions.SchemaEvolution.process(oldLoad, newLoad)
+      o.unionByName(n)
     })
   )
 
@@ -436,6 +448,11 @@ object SparkEntry {
         |UNION ALL
         |SELECT n.o_orderkey, n.o_orderstatus, n.o_totalprice
         |FROM feed n LEFT JOIN existing e ON n.o_orderkey = e.o_orderkey
-        |WHERE e.o_orderkey IS NULL""".stripMargin
+        |WHERE e.o_orderkey IS NULL""".stripMargin,
+    "q22_schema_evolution" ->
+      """SELECT c_custkey, c_name, c_acctbal, CAST(NULL AS VARCHAR) AS c_mktsegment FROM customer
+        |UNION ALL
+        |SELECT c_custkey, c_name, CAST(NULL AS DOUBLE), c_mktsegment FROM customer
+        |WHERE c_custkey > 100""".stripMargin
   )
 }

@@ -91,10 +91,41 @@ case class CopyAction(
     Seq(out)
   }
 
-  override def exec(subFeeds: Seq[SubFeed])(implicit ctx: ActionPipelineContext): Seq[SubFeed] = {
-    val out = buildOutput(subFeeds)
-    val metrics = writeOutput(outputId, out.dataFrame.get, out.partitionValues)
-    Seq(out.copy(metrics = Some(metrics)))
+  override def exec(subFeeds: Seq[SubFeed])(implicit ctx: ActionPipelineContext): Seq[SubFeed] =
+    executionMode match {
+      case Some(m: graft.operators.modes.SparkStreamingMode) => execStreaming(m)
+      case _ =>
+        val out = buildOutput(subFeeds)
+        val metrics = writeOutput(outputId, out.dataFrame.get, out.partitionValues)
+        Seq(out.copy(metrics = Some(metrics)))
+    }
+
+  /** Structured Streaming execution (reference
+    * `DataFrameActionImpl.scala:410-455`): synchronous triggers
+    * (Once/AvailableNow) await termination per DAG run; ProcessingTime
+    * starts a long-lived query and awaits only the first micro-batch like
+    * the reference. */
+  private def execStreaming(m: graft.operators.modes.SparkStreamingMode)
+                           (implicit ctx: ActionPipelineContext): Seq[SubFeed] = {
+    val in = m.apply(this, SubFeed(inputId))
+    val transformed = applyTransformers(in.dataFrame.get, inputId)
+    val sink = ctx.registry.dataObject(outputId) match {
+      case w: graft.sources.CanWriteStreamingDataFrame => w
+      case other => throw new IllegalArgumentException(s"${other.id} cannot write streams")
+    }
+    val query = sink.writeStreamingDataFrame(transformed, m.trigger, m.outputOptions,
+      m.checkpointLocation, queryName = id, m.outputMode)
+    m.triggerType match {
+      case "Once" | "AvailableNow" =>
+        query.awaitTermination()
+        Seq(SubFeed(outputId, isStreaming = true,
+          metrics = Some(ActionMetrics(recordsWritten =
+            Option(query.lastProgress).map(_.sink.numOutputRows).getOrElse(-1L)))))
+      case _ =>
+        // async: await first micro-batch so downstream sees data
+        query.processAllAvailable()
+        Seq(SubFeed(outputId, isStreaming = true))
+    }
   }
 }
 

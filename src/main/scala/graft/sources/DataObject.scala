@@ -100,6 +100,12 @@ abstract class SparkFileDataObject extends DataObject
   /** Repartition to this many files per written partition (reference
     * `util/hdfs/SparkRepartitionDef.scala`). */
   def numberOfTasksPerPartition: Option[Int] = None
+  /** row-level constraints checked during write (reference attaches them to
+    * the DataObject config, `Constraint.scala`) */
+  def constraints: Seq[graft.quality.Constraint] = Seq.empty
+  /** dataset-level expectations validated on write (reference
+    * `Expectation.scala`) */
+  def expectations: Seq[graft.quality.Expectation] = Seq.empty
 
   protected var incrementalState: Option[String] = None
   override def setState(state: Option[String])(implicit ctx: ActionPipelineContext): Unit =
@@ -156,9 +162,14 @@ abstract class SparkFileDataObject extends DataObject
     validateSchemaMin(df)
     val mode = saveMode.getOrElse(SdlSaveMode.Overwrite)
     val t0 = System.currentTimeMillis()
+    // data quality: constraints ride along the write (raise_error on
+    // violation), Job-scope expectations via a second observe — zero scans
+    val constrained = graft.quality.DataQualityValidation.applyConstraints(df, constraints)
+    val (instrumented, expObs) =
+      graft.quality.DataQualityValidation.observeExpectations(constrained, expectations)
     // count via observe so we don't pay a second scan for metrics
     val obs = org.apache.spark.sql.Observation(s"graft_write_${id}_${System.nanoTime()}")
-    val observed = df.observe(obs, count(lit(1)).as("records_written"))
+    val observed = instrumented.observe(obs, count(lit(1)).as("records_written"))
     val repartitioned = numberOfTasksPerPartition.fold(observed) { n =>
       if (partitions.nonEmpty) observed.repartition(n, partitions.map(col): _*)
       else observed.repartition(n)
@@ -175,7 +186,14 @@ abstract class SparkFileDataObject extends DataObject
         writer.mode(SdlSaveMode.toSpark(m)).save(path)
     }
     val rows = try obs.get("records_written").asInstanceOf[Long] catch { case _: Throwable => -1L }
-    ActionMetrics(recordsWritten = rows, durationMillis = System.currentTimeMillis() - t0)
+    val jobMetrics = expObs.map(o =>
+      graft.quality.DataQualityValidation.evaluateObserved(o, expectations)).getOrElse(Map.empty)
+    val tableMetrics =
+      if (expectations.exists(_.scope != graft.quality.ExpectationScope.Job))
+        graft.quality.DataQualityValidation.evaluateAgainstTable(getDataFrame(), expectations, partitions)
+      else Map.empty[String, Any]
+    ActionMetrics(recordsWritten = rows, durationMillis = System.currentTimeMillis() - t0,
+      observedMetrics = jobMetrics ++ tableMetrics)
   }
 
   /** Overwrite `path` with a DataFrame *derived from this object's own
@@ -247,7 +265,9 @@ case class ParquetFileDataObject(
     override val schemaMin: Option[StructType] = None,
     override val options: Map[String, String] = Map.empty,
     override val filenameColumn: Option[String] = None,
-    override val numberOfTasksPerPartition: Option[Int] = None)
+    override val numberOfTasksPerPartition: Option[Int] = None,
+    override val constraints: Seq[graft.quality.Constraint] = Seq.empty,
+    override val expectations: Seq[graft.quality.Expectation] = Seq.empty)
   extends SparkFileDataObject with CanEvolveSchema {
   val format = "parquet"
 }

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import graft.core._
+import graft.operators.DfTransformer
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-time tumbling/sliding window aggregation with watermark — exposed
+  * as a declarative transformer. The reference does NOT support
+  * watermarks/windows (SURVEY §2.6: "late data is not handled"); Spark
+  * Structured Streaming gives them for free, so our engine surfaces them
+  * as first-class pipeline config. Works identically on batch DataFrames
+  * (the window function is the same), which keeps pipelines testable.
+  *
+  * Scale: watermark bounds the state store; without it a windowed agg on an
+  * unbounded stream grows state forever — this transformer makes the bound
+  * mandatory for streaming inputs.
+  */
+case class EventTimeWindowTransformer(
+    eventTimeColumn: String,
+    windowDuration: String,
+    slideDuration: Option[String] = None,
+    watermarkDuration: String = "0 seconds",
+    groupByColumns: Seq[String] = Seq.empty,
+    /** output column name → SQL aggregate expression */
+    aggExpressions: Map[String, String]) extends DfTransformer {
+
+  override def transform(df: DataFrame, dataObjectId: String = "")(implicit ctx: ActionPipelineContext): DataFrame = {
+    val withWm =
+      if (df.isStreaming) df.withWatermark(eventTimeColumn, watermarkDuration) else df
+    val windowCol = slideDuration match {
+      case Some(slide) => window(col(eventTimeColumn), windowDuration, slide)
+      case None => window(col(eventTimeColumn), windowDuration)
+    }
+    val aggs = aggExpressions.toSeq.map { case (name, e) => expr(e).as(name) }
+    withWm
+      .groupBy((windowCol.as("window") +: groupByColumns.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      // flatten the window struct so file sinks/oracles see plain timestamps
+      .withColumn("window_start", col("window.start"))
+      .withColumn("window_end", col("window.end"))
+      .drop("window")
+  }
+}
+
+/** Session-window aggregation (gap-based). Also absent in the reference. */
+case class SessionWindowTransformer(
+    eventTimeColumn: String,
+    gapDuration: String,
+    watermarkDuration: String = "0 seconds",
+    groupByColumns: Seq[String] = Seq.empty,
+    aggExpressions: Map[String, String]) extends DfTransformer {
+
+  override def transform(df: DataFrame, dataObjectId: String = "")(implicit ctx: ActionPipelineContext): DataFrame = {
+    val withWm =
+      if (df.isStreaming) df.withWatermark(eventTimeColumn, watermarkDuration) else df
+    val aggs = aggExpressions.toSeq.map { case (name, e) => expr(e).as(name) }
+    withWm
+      .groupBy((session_window(col(eventTimeColumn), gapDuration).as("window") +: groupByColumns.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", col("window.start"))
+      .withColumn("window_end", col("window.end"))
+      .drop("window")
+  }
+}
+
+/** Arbitrary stateful per-key processing via
+  * `KeyValueGroupedDataset.flatMapGroupsWithState` — exposed for user logic
+  * needing custom state (reference covers this only via user Scala code).
+  * Kept as a thin typed helper so the state encoder is explicit. */
+object StatefulProcessing {
+  import org.apache.spark.sql.{Dataset, Encoder}
+  import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+  def flatMapGroupsWithState[K: Encoder, V: Encoder, S: Encoder, O: Encoder](
+      ds: Dataset[V], keyFn: V => K,
+      fn: (K, Iterator[V], GroupState[S]) => Iterator[O],
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout,
+      outputMode: OutputMode = OutputMode.Append): Dataset[O] =
+    ds.groupByKey(keyFn).flatMapGroupsWithState(outputMode, timeout)(fn)
+}

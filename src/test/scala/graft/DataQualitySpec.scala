@@ -1,0 +1,66 @@
+package graft
+
+import graft.core._
+import graft.quality._
+import graft.sources.ParquetFileDataObject
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Constraints + expectations around writes (reference
+  * `ExpectationValidation` tests). */
+class DataQualitySpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  def newCtx() = ActionPipelineContext(spark, new InstanceRegistry())
+
+  test("constraint violation aborts the write") {
+    implicit val ctx: ActionPipelineContext = newCtx()
+    val dir = Files.createTempDirectory("graft-dq").toString
+    val out = ParquetFileDataObject("out", s"$dir/out",
+      constraints = Seq(Constraint("positive_value", "v > 0", errorMsgCols = Seq("id"))))
+    val bad = Seq((1, 10), (2, -5)).toDF("id", "v")
+    val e = intercept[Exception] {
+      out.writeDataFrame(bad)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("positive_value")))
+  }
+
+  test("constraints pass and expectations computed via observe") {
+    implicit val ctx: ActionPipelineContext = newCtx()
+    val dir = Files.createTempDirectory("graft-dq").toString
+    val out = ParquetFileDataObject("out", s"$dir/out",
+      constraints = Seq(Constraint("positive_value", "v > 0")),
+      expectations = Seq(
+        CountExpectation("cnt", Some("value = 3"), failOnError = true),
+        SQLFractionExpectation("frac_big", "v >= 20", Some("value >= 0.5"), failOnError = true)))
+    val metrics = out.writeDataFrame(Seq((1, 10), (2, 20), (3, 30)).toDF("id", "v"))
+    assert(metrics.recordsWritten == 3)
+    assert(metrics.observedMetrics("cnt") == 3L)
+    assert(metrics.observedMetrics("frac_big").asInstanceOf[Double] > 0.6)
+  }
+
+  test("failing expectation with failOnError throws") {
+    implicit val ctx: ActionPipelineContext = newCtx()
+    val dir = Files.createTempDirectory("graft-dq").toString
+    val out = ParquetFileDataObject("out", s"$dir/out",
+      expectations = Seq(CountExpectation("cnt", Some("value > 100"), failOnError = true)))
+    intercept[ExpectationViolation] {
+      out.writeDataFrame(Seq((1, 10)).toDF("id", "v"))
+    }
+  }
+
+  test("UniqueKeyExpectation All-scope checks the output table") {
+    implicit val ctx: ActionPipelineContext = newCtx()
+    val dir = Files.createTempDirectory("graft-dq").toString
+    val out = ParquetFileDataObject("out", s"$dir/out",
+      expectations = Seq(UniqueKeyExpectation("uk", Seq("id"), failOnError = true)))
+    out.writeDataFrame(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    // now append a duplicate id -> uniqueness on whole table violated
+    intercept[ExpectationViolation] {
+      out.writeDataFrame(Seq((2, "dup")).toDF("id", "v"), saveMode = Some(SdlSaveMode.Append))
+    }
+  }
+}
