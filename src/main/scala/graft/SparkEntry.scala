@@ -287,6 +287,125 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       val (o, n) = graft.functions.SchemaEvolution.process(oldLoad, newLoad)
       o.unionByName(n)
+    }),
+
+    // ---------------------------------------------------------------
+    // Training-data pipeline operators (dedup / similarity / text /
+    // multimodal) on the documents+embeddings tables.
+    // ---------------------------------------------------------------
+
+    // Text statistics: token counting + length features (TextAnalysis)
+    "q23_text_stats" -> ((s, dir) => {
+      import graft.functions.TextAnalysis._
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).cast(IntegerType).as("n_chars"),
+        tokenCount(col("text")).cast(IntegerType).as("n_tokens"),
+        meanTokenLength(col("text")).as("mean_tok_len"),
+        stopwordHits(col("text"), Seq("the", "a", "and", "of")).cast(IntegerType).as("stop_hits"))
+    }),
+
+    // Exact dedup (hash-groupBy) over a corpus with injected duplicates
+    "q24_exact_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dups = docs.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      graft.functions.Dedup.exactDedup(docs.unionByName(dups), "doc_id", "text")
+    }),
+
+    // Text quality ratio features (regex-based, oracle-checkable)
+    "q25_quality_ratios" -> ((s, dir) => {
+      import graft.functions.TextAnalysis._
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        punctRatio(col("text")).as("punct_ratio"),
+        digitRatio(col("text")).as("digit_ratio"),
+        uppercaseRatio(col("text")).as("upper_ratio"),
+        stopwordRatio(col("text"), englishStopwords).as("stop_ratio"))
+    }),
+
+    // Composite quality score + language-ID + fingerprint (heuristics —
+    // no SQL oracle; engine-deterministic, spec-tested)
+    "q26_quality_lang_fingerprint" -> ((s, dir) => {
+      import graft.functions.TextAnalysis._
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        qualityScore(col("text")).as("quality"),
+        langId(col("text")).as("lang_pred"),
+        fingerprint(col("text")).as("fingerprint"))
+    }),
+
+    // MinHash+LSH near-duplicate pairs on a corpus with planted near-dups
+    // (xxhash-based — no DuckDB oracle; recall/precision spec-tested)
+    "q27_minhash_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val nearDups = docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" extra trailing tokens appended here")).as("text"))
+      graft.functions.Dedup.minhashDuplicatePairs(
+        docs.unionByName(nearDups), "doc_id", "text",
+        shingleSize = 5, numHashes = 32, bands = 8, threshold = 0.5)
+    }),
+
+    // SimHash near-dup pairs on the same planted corpus (rows-only check)
+    "q28_simhash_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val nearDups = docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" extra trailing tokens appended here")).as("text"))
+      graft.functions.Dedup.simhashNearDupPairs(
+        docs.unionByName(nearDups), "doc_id", "text", shingleSize = 5, maxHamming = 12)
+    }),
+
+    // n-gram (token-set) Jaccard for the planted pairs — exact, oracled
+    "q29_token_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val modified = docs.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" extra trailing tokens appended here")).as("text2"))
+      val a = array_distinct(split(col("text"), " "))
+      val b = array_distinct(split(col("text2"), " "))
+      docs.join(modified, "doc_id")
+        .select(col("doc_id"),
+          (size(array_intersect(a, b)).cast(DoubleType) /
+            size(array_union(a, b)).cast(DoubleType)).as("jaccard"))
+    }),
+
+    // Brute-force cosine top-k over the embeddings table (ANN baseline);
+    // query = embedding of vec_id 0; sequential-fold double arithmetic
+    // makes the scores bit-identical to the DuckDB oracle
+    "q30_embedding_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val query = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+      graft.functions.Similarity.bruteForceTopK(
+        emb.where(col("vec_id") =!= 0), "vec_id", "embedding", query, 10)
+    }),
+
+    // LSH-bucketed ANN top-k (the 100TB path) — same query vector;
+    // bucket pruning is hash-based (rows-only check; recall spec-tested)
+    "q31_ann_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val query = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+      graft.functions.Similarity.lshTopK(
+        emb.where(col("vec_id") =!= 0), "vec_id", "embedding", query,
+        k = 10, dim = 64, numPlanes = 12, probeHamming = 4)
+    }),
+
+    // Multimodal plumbing: binary content column + stub decode metadata +
+    // pseudo-features + frame sampling (rows-only check)
+    "q32_multimodal_pipeline" -> ((s, dir) => {
+      val media = t(s, dir, "documents").select(
+        concat(lit("doc://"), col("doc_id")).as("path"),
+        col("doc_id"),
+        col("text").cast(BinaryType).as("content"))
+      val withMeta = graft.operators.Multimodal.withImageMetadata(media)
+      val withFeat = graft.operators.Multimodal.withImageFeatures(withMeta, dim = 8)
+      graft.operators.Multimodal.sampleFrames(withFeat, "content", frameSize = 16, stride = 4)
+        .select(col("doc_id"), col("image_meta.width").as("width"),
+          col("image_meta.height").as("height"), size(col("features")).as("n_features"),
+          size(col("frames")).as("n_frames"))
     })
   )
 
@@ -453,6 +572,66 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_acctbal, CAST(NULL AS VARCHAR) AS c_mktsegment FROM customer
         |UNION ALL
         |SELECT c_custkey, c_name, CAST(NULL AS DOUBLE), c_mktsegment FROM customer
-        |WHERE c_custkey > 100""".stripMargin
+        |WHERE c_custkey > 100""".stripMargin,
+    "q23_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INTEGER) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |    / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) AS mean_tok_len,
+        |  CAST(len(list_filter(string_split(lower(text), ' '),
+        |    t -> t IN ('the', 'a', 'and', 'of'))) AS INTEGER) AS stop_hits
+        |FROM documents""".stripMargin,
+    "q24_exact_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0),
+        |normed AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'),
+        |      '\s+', ' ', 'g'))) AS text_hash
+        |  FROM corpus)
+        |SELECT text_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
+        |FROM normed GROUP BY text_hash""".stripMargin,
+    "q25_quality_ratios" ->
+      """SELECT doc_id,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\[\]{}]', '', 'g')) AS DOUBLE)
+        |    / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+        |    / greatest(CAST(length(text) AS DOUBLE), 1.0) AS digit_ratio,
+        |  CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
+        |    / greatest(CAST(length(text) AS DOUBLE), 1.0) AS upper_ratio,
+        |  CAST(len(list_filter(string_split(lower(text), ' '),
+        |    t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','was','for','on','with','as','at','by','be','this'))) AS DOUBLE)
+        |    / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) AS stop_ratio
+        |FROM documents""".stripMargin,
+    "q29_token_jaccard" ->
+      """WITH modified AS (
+        |  SELECT doc_id, text,
+        |    text || ' extra trailing tokens appended here' AS text2
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |sets AS (
+        |  SELECT doc_id,
+        |    list_distinct(string_split(text, ' ')) AS a,
+        |    list_distinct(string_split(text2, ' ')) AS b
+        |  FROM modified)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(a, x -> list_contains(b, x))) AS DOUBLE) /
+        |  CAST(len(a) + len(b) - len(list_filter(a, x -> list_contains(b, x))) AS DOUBLE) AS jaccard
+        |FROM sets""".stripMargin,
+    "q30_embedding_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT vec_id,
+        |    list_reduce(list_transform(list_zip(embedding, (SELECT qe FROM q)),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)
+        |    / (sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v))
+        |       * sqrt(list_reduce(list_transform((SELECT qe FROM q), x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v)))
+        |    AS cosine
+        |  FROM embeddings WHERE vec_id <> 0)
+        |SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin
+    // q26/q27/q28/q31/q32: xxhash64/LSH/stub-codec based — engine-specific
+    // values, no SQL oracle; covered by ScalaTest specs + rows-only check.
   )
 }

@@ -1,0 +1,211 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Document deduplication for training-data pipelines: exact (hash),
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design (100 TB corpus):
+  *  - signatures (shingles → minhash/simhash) are computed per-row with
+  *    higher-order functions — map-only, no shuffle, whole-stage codegen;
+  *  - candidate generation is a shuffle on (band, bandHash) — the ONLY
+  *    shuffle — with band-bucket size bounded by LSH parameters, so no
+  *    quadratic blow-up; skewed buckets (boilerplate docs) are capped with
+  *    a per-bucket limit before pairing;
+  *  - verification (exact jaccard/cosine) runs only on candidate pairs.
+  */
+object Dedup {
+
+  /** lower-case, collapse whitespace, strip punctuation — canonical form
+    * for exact dedup */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^\\p{L}\\p{N}\\s]", ""), "\\s+", " "))
+
+  /** 128-bit content hash of the normalized text */
+  def contentHash(text: Column): Column = md5(normalizeText(text))
+
+  /** Exact deduplication: one row per distinct normalized text, keeping the
+    * smallest id as canonical; `n_copies` counts collapsed duplicates.
+    * One hash-groupBy shuffle (map-side partial agg). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(contentHash(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** distinct hashes of character `n`-gram shingles — per-row, no shuffle */
+  def shingleHashes(text: Column, n: Int): Column =
+    array_distinct(TextAnalysis.rollingFingerprints(normalizeText(text), n))
+
+  /** distinct hashes of `n`-word shingles */
+  def wordShingleHashes(text: Column, n: Int): Column = {
+    val toks = split(normalizeText(text), " ")
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => xxhash64(concat_ws(" ", slice(toks, i, lit(n))))))
+  }
+
+  /** MinHash signature: k permutations simulated as xxhash64(shingle, seed),
+    * taking the min per seed. Per-row compute, no shuffle. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      seed => array_min(transform(shingles, h => xxhash64(h, seed))))
+
+  /** LSH band hashes: signature split into `bands` bands of `rowsPerBand`,
+    * each hashed to one bucket key. */
+  def lshBandHashes(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map(b =>
+      xxhash64(slice(signature, b * rowsPerBand + 1, rowsPerBand), lit(b))): _*)
+
+  /** Candidate duplicate pairs via MinHash+LSH, verified with exact Jaccard
+    * over the shingle sets.
+    *
+    * @param maxBucketSize skew guard: buckets larger than this (boilerplate)
+    *                      are dropped — standard practice, docs this common
+    *                      are better handled by exact dedup first.
+    * @return (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold
+    */
+  def minhashDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
+                            shingleSize: Int = 5, numHashes: Int = 32, bands: Int = 8,
+                            threshold: Double = 0.7, maxBucketSize: Int = 1000): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    // Materialize signatures ONCE: without the barrier Catalyst's projection
+    // collapse inlines the 32-hash minhash into every band expression and
+    // the self-join recomputes the whole scan+signature on both sides —
+    // O(bands × numHashes × shingles) per row instead of O(numHashes ×
+    // shingles). At cluster scale this table is the thing you'd write to
+    // storage between stages; in-process, MEMORY_AND_DISK persist.
+    val sigs = ensureParallelism(df, idCol).select(
+      col(idCol).as("id"),
+      shingleHashes(col(textCol), shingleSize).as("shingles"))
+      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // band explode carries only (id, band, bucket) — never the shingle
+    // arrays — so the candidate-generation shuffle is a few bytes per row
+    val banded = sigs.select(col("id"),
+      posexplode(lshBandHashes(col("sig"), bands, rowsPerBand)).as(Seq("band", "bucket")))
+    // skew guard: drop oversized buckets (boilerplate docs). Oversized
+    // buckets are rare by construction → broadcast anti-join, no sort of
+    // the full banded set.
+    val bigBuckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_n")).where(col("_n") > maxBucketSize)
+    val pruned = banded.join(broadcast(bigBuckets), Seq("band", "bucket"), "left_anti")
+    val candidates = pruned.alias("a").join(pruned.alias("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    // exact-jaccard verification only on the (small) candidate set
+    candidates
+      .join(sigs.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Rebalance a DataFrame to the session's shuffle parallelism if it has
+    * fewer partitions — per-row signature work (minhash/simhash) is CPU
+    * bound and a few small input files would otherwise serialize it on one
+    * core. A 100 TB input already exceeds the target and passes through
+    * untouched (no shuffle). */
+  private def ensureParallelism(df: DataFrame, byCol: String): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < target) df.repartition(target, col(byCol)) else df
+  }
+
+  /** Jaccard similarity of two (distinct-element) arrays */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast(DoubleType)
+    val union = (size(a) + size(b)).cast(DoubleType) - inter
+    when(union > 0, inter / union).otherwise(lit(0.0))
+  }
+
+  /** SimHash (64-bit): per shingle-hash bit votes ±1, sign of the vote sum
+    * becomes the bit. Entirely per-row via aggregate/zip_with — no UDF. */
+  def simhash64(shingles: Column): Column = {
+    val bitVotes = aggregate(
+      shingles,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc,
+        array((0 until 64).map(j =>
+          when(shiftright(h, j).bitwiseAND(lit(1L)) === 1, lit(1L)).otherwise(lit(-1L))): _*),
+        (a, v) => a + v))
+    (0 until 64).map(j =>
+      when(element_at(bitVotes, j + 1) > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+  }
+
+  /** Hamming distance between two 64-bit signatures */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Near-duplicate pairs by SimHash with Manku-style blocking (WWW'07
+    * "Detecting Near-Duplicates for Web Crawling"): the 64-bit signature is
+    * split into `maxHamming + 1` blocks, so by pigeonhole any pair within
+    * the hamming threshold shares at least one identical block — bucketing
+    * on (blockIndex, blockValue) has guaranteed recall. Verification is the
+    * exact `bit_count(xor)` on candidates only.
+    *
+    * Block width shrinks as maxHamming grows (64 / (maxHamming+1) bits), so
+    * buckets get denser; for web-scale corpora keep maxHamming <= 7 (8-bit+
+    * blocks) and rely on `maxBucketSize` to cap boilerplate-driven skew. */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          shingleSize: Int = 5, maxHamming: Int = 3,
+                          maxBucketSize: Int = 1000): DataFrame = {
+    val numBlocks = math.min(maxHamming + 1, 32)
+    // distribute 64 bits as evenly as possible: first (64 % numBlocks) blocks
+    // get an extra bit
+    val widths = Array.tabulate(numBlocks)(i => 64 / numBlocks + (if (i < 64 % numBlocks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    // persist: the simhash aggregate is O(64 × shingles) per row — compute
+    // it once, not once per block expression / join side
+    val withSim = ensureParallelism(df, idCol).select(col(idCol).as("id"),
+      simhash64(shingleHashes(col(textCol), shingleSize)).as("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val blocked = withSim.select(col("id"), col("simhash"),
+      posexplode(array((0 until numBlocks).map(i =>
+        shiftrightunsigned(col("simhash"), offsets(i))
+          .bitwiseAND(lit((1L << widths(i)) - 1))): _*)).as(Seq("block", "bkey")))
+    val bigBuckets = blocked.groupBy(col("block"), col("bkey"))
+      .agg(count(lit(1)).as("_n")).where(col("_n") > maxBucketSize)
+    val guarded = blocked.join(broadcast(bigBuckets), Seq("block", "bkey"), "left_anti")
+    guarded.alias("a").join(guarded.alias("b"),
+        col("a.block") === col("b.block") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hammingDistance(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** n-gram (word) Jaccard similarity for all pairs within a blocking key —
+    * exact, for verification or small candidate sets. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        blockCol: String, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val prepared = df.select(col(idCol).as("id"), col(blockCol).as("block"),
+      wordShingleHashes(col(textCol), n).as("sh"))
+    prepared.alias("a").join(prepared.alias("b"),
+        col("a.block") === col("b.block") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Embedding near-duplicates: random-hyperplane LSH buckets → exact cosine
+    * verification on candidates. Hyperplanes are deterministic (fixed seed).
+    */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, embCol: String,
+                            dim: Int, numPlanes: Int = 16,
+                            threshold: Double = 0.95): DataFrame = {
+    val sigCol = Similarity.hyperplaneSignature(col(embCol), dim, numPlanes)
+    // persist: the numPlanes × dim dot products are computed once, not once
+    // per self-join side
+    val withSig = df.select(col(idCol).as("id"), col(embCol).as("emb"), sigCol.as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    withSig.alias("a").join(withSig.alias("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        Similarity.cosineSimilarity(col("a.emb"), col("b.emb")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k — one scan, no shuffle except the
+  * final top-k (`orderBy.limit` = partial top-k per partition + driver
+  * merge, Spark's TakeOrderedAndProject).
+  * Scale path: random-hyperplane LSH buckets bound the candidate set; the
+  * exact re-rank runs only inside buckets. All arithmetic via zip_with/
+  * aggregate (codegen'd, sequential fold → deterministic results).
+  */
+object Similarity {
+
+  /** dot product in double precision, sequential fold (deterministic) */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
+
+  def cosineSimilarity(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom > 0, dotProduct(a, b) / denom).otherwise(lit(0.0))
+  }
+
+  def euclideanDistance(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => {
+      val d = x.cast(DoubleType) - y.cast(DoubleType); d * d
+    }), lit(0.0), (acc, v) => acc + v))
+
+  /** deterministic pseudo-random hyperplanes (fixed seed) as literal arrays */
+  private[functions] def hyperplanes(dim: Int, numPlanes: Int): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** LSH bucket id: sign bits of the embedding against `numPlanes` fixed
+    * hyperplanes, packed into a long. Per-row compute, no shuffle. */
+  def hyperplaneSignature(emb: Column, dim: Int, numPlanes: Int = 16): Column = {
+    val planes = hyperplanes(dim, numPlanes)
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dotProduct(emb, planeLit) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+
+  /** Brute-force top-k most similar rows to one query vector. */
+  def bruteForceTopK(df: DataFrame, idCol: String, embCol: String,
+                     query: Array[Float], k: Int): DataFrame = {
+    val qLit = array(query.map(v => lit(v.toDouble)): _*)
+    df.select(col(idCol), cosineSimilarity(col(embCol), qLit).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Top-k neighbors for EVERY query row against a corpus: broadcast the
+    * (small) query set, score, window top-k per query. The corpus is
+    * scanned once regardless of query count. */
+  def topKForQueries(corpus: DataFrame, queries: DataFrame,
+                     corpusId: String, queryId: String, embCol: String, k: Int): DataFrame = {
+    val scored = corpus.alias("c").join(
+        broadcast(queries.select(col(queryId).as("qid"), col(embCol).as("qemb"))),
+        col(s"c.$corpusId") =!= col("qid")) // exclude self when ids share a space
+      .select(col("qid"), col(s"c.$corpusId").as("id"),
+        cosineSimilarity(col(s"c.$embCol"), col("qemb")).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cosine").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** LSH-bucketed ANN top-k for one query: score only rows in the query's
+    * hyperplane bucket (or within `probeHamming` bits of it) — the 100 TB
+    * path where brute force is off the table.
+    * Recall/latency tradeoff via numPlanes + probeHamming. */
+  def lshTopK(df: DataFrame, idCol: String, embCol: String,
+              query: Array[Float], k: Int, dim: Int,
+              numPlanes: Int = 12, probeHamming: Int = 2): DataFrame = {
+    val planes = hyperplanes(dim, numPlanes)
+    val qSig = planes.zipWithIndex.map { case (p, i) =>
+      val dot = p.zip(query).map { case (w, v) => w * v }.sum
+      if (dot > 0) 1L << i else 0L
+    }.reduce(_ | _)
+    val sig = hyperplaneSignature(col(embCol), dim, numPlanes)
+    df.select(col(idCol), col(embCol), sig.as("_sig"))
+      .where(bit_count(col("_sig").bitwiseXOR(lit(qSig))) <= probeHamming)
+      .select(col(idCol),
+        cosineSimilarity(col(embCol), array(query.map(v => lit(v.toDouble)): _*)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text analysis for large-scale training-data pipelines: tokenization,
+  * quality scoring, language identification, fingerprinting.
+  *
+  * Everything is built from codegen'd builtin expressions (split/transform/
+  * aggregate/xxhash64) — no UDFs — so a 100 TB corpus pays one scan and no
+  * serialization boundary. Higher-order functions keep the work per-row
+  * (no explode/shuffle) until an aggregation is explicitly requested.
+  */
+object TextAnalysis {
+
+  /** whitespace tokens (single-space split, matches simple oracles) */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** word tokens: letters/digits runs — BPE-ish pre-tokenization regex */
+  def wordTokens(text: Column): Column =
+    split(text, "[^\\p{L}\\p{N}]+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** count of regex-token matches (words + standalone punctuation), the
+    * usual BPE pre-token count proxy */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => length(t) > 0)) +
+      length(regexp_replace(text, "[\\p{L}\\p{N}\\s]", "")).cast(IntegerType)
+
+  /** mean token length: chars-without-spaces / token count */
+  def meanTokenLength(text: Column): Column =
+    length(regexp_replace(text, " ", "")).cast(DoubleType) /
+      greatest(tokenCount(text).cast(DoubleType), lit(1.0))
+
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.,!?;:'\"()\\[\\]{}]", "")))
+      .cast(DoubleType) / greatest(length(text).cast(DoubleType), lit(1.0))
+
+  def digitRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast(DoubleType) /
+      greatest(length(text).cast(DoubleType), lit(1.0))
+
+  def uppercaseRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[A-Z]", ""))).cast(DoubleType) /
+      greatest(length(text).cast(DoubleType), lit(1.0))
+
+  /** fraction of tokens found in `stopwords` */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    stopwordHits(text, stopwords).cast(DoubleType) /
+      greatest(tokenCount(text).cast(DoubleType), lit(1.0))
+
+  /** number of tokens found in `stopwords` (lower-cased match) */
+  def stopwordHits(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(lower(text)), t => t.isin(stopwords.map(lit): _*)))
+
+  /** Composite quality score in [0,1] for corpus filtering: favors texts of
+    * reasonable length, low punctuation/digit noise, plausible word length.
+    * The exact recipe mirrors common web-corpus quality heuristics
+    * (length / punct / stopword ratio features). */
+  def qualityScore(text: Column, stopwords: Seq[String] = englishStopwords): Column = {
+    val lenScore = least(length(text).cast(DoubleType) / lit(500.0), lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val digitScore = lit(1.0) - least(digitRatio(text) * 5.0, lit(1.0))
+    val wordLen = meanTokenLength(text)
+    val wordLenScore = when(wordLen.between(2.5, 9.0), 1.0).otherwise(0.3)
+    val stopScore = least(stopwordRatio(text, stopwords) * 4.0, lit(1.0))
+    (lenScore * 0.25 + punctScore * 0.2 + digitScore * 0.15 +
+      wordLenScore * 0.2 + stopScore * 0.2)
+  }
+
+  val englishStopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to",
+    "in", "is", "it", "that", "was", "for", "on", "with", "as", "at", "by", "be", "this")
+
+  /** per-language stopword profiles for n-gram/stopword language ID */
+  val stopwordProfiles: Map[String, Seq[String]] = Map(
+    "en" -> englishStopwords,
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "für", "auf", "ein",
+      "eine", "nicht", "den", "des", "im", "zu", "sich", "dass", "auch", "wird"),
+    "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "en", "un", "una",
+      "es", "por", "con", "para", "del", "se", "su", "al", "lo", "como"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "est", "un", "une", "du",
+      "dans", "que", "qui", "pour", "sur", "avec", "au", "pas", "ce", "il"))
+
+  /** CJK character ratio (for zh/ja/ko detection) */
+  def cjkRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\x{4e00}-\\x{9fff}]", "")))
+      .cast(DoubleType) / greatest(length(text).cast(DoubleType), lit(1.0))
+
+  /** Language identification by stopword-profile scoring + CJK ratio.
+    * Returns the language code with the highest score, 'und' if no signal.
+    * Deterministic tie-break: profile order en,de,es,fr (strict >). */
+  def langId(text: Column): Column = {
+    val ordered = Seq("en", "de", "es", "fr")
+    val scores = ordered.map(l => stopwordRatio(text, stopwordProfiles(l)))
+    val bestLatin = ordered.zip(scores).foldLeft((lit("und"), lit(0.0))) {
+      case ((bestL, bestS), (l, s)) =>
+        (when(s > bestS, lit(l)).otherwise(bestL), greatest(s, bestS))
+    }
+    when(cjkRatio(text) > 0.25, "zh")
+      .when(bestLatin._2 > 0.05, bestLatin._1)
+      .otherwise("und")
+  }
+
+  /** 64-bit document fingerprint of normalized text (rolling-hash family:
+    * xxhash64 over the whitespace-normalized, lower-cased body). */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(text), "\\s+", " "))
+
+  /** array of window fingerprints (rolling hash over `n`-char windows) —
+    * substrate for shingle-based dedup */
+  def rollingFingerprints(text: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => xxhash64(text.substr(i, lit(n))))
+}

@@ -1,0 +1,110 @@
+package graft
+
+import graft.functions.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dedup / similarity / text-analysis operators with planted ground truth. */
+class TrainingDataOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  val baseText = "the quick brown fox jumps over the lazy dog and runs far away " * 5
+
+  test("minhash LSH finds planted near-duplicates and skips unrelated docs") {
+    val docs = Seq(
+      (1L, baseText),
+      (2L, baseText + " slightly changed tail"),
+      (3L, "completely different content about databases and query engines " * 5),
+      (4L, "another unrelated document discussing weather patterns in spring " * 5))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashDuplicatePairs(docs, "doc_id", "text",
+      shingleSize = 5, numHashes = 32, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash near-dup pairs: planted pair within hamming distance") {
+    val docs = Seq(
+      (1L, baseText),
+      (2L, baseText + " tail"),
+      (3L, "totally different text about mountains rivers and oceans everywhere " * 5))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", shingleSize = 5, maxHamming = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("exact dedup collapses normalized variants") {
+    val docs = Seq(
+      (10L, "Hello, World!"),
+      (11L, "hello   world"),
+      (12L, "different text")).toDF("doc_id", "text")
+    val got = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("canonical_id", "n_copies").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 2L), (12L, 1L)))
+  }
+
+  test("embedding near-dup pairs via hyperplane LSH + cosine verification") {
+    val vecA = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
+    val vecA2 = vecA.map(v => v * 1.001f) // same direction → cosine ~1
+    val vecB = Array.tabulate(16)(i => math.cos(3 * i + 2).toFloat)
+    val df = Seq((1L, vecA.toSeq), (2L, vecA2.toSeq), (3L, vecB.toSeq)).toDF("id", "emb")
+    val pairs = Dedup.embeddingNearDupPairs(df, "id", "emb", dim = 16, numPlanes = 8, threshold = 0.99)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("lsh top-k recall vs brute force on identical-direction vectors") {
+    val rnd = new scala.util.Random(7)
+    val corpus = (1L to 200L).map(i => (i, Array.fill(32)(rnd.nextGaussian().toFloat).toSeq))
+    val query = corpus.head._2.toArray // vec 1 itself → its bucket must match
+    val df = corpus.toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding", query, 1).collect()
+    assert(brute.head.getLong(0) == 1L && math.abs(brute.head.getDouble(1) - 1.0) < 1e-9)
+    val lsh = Similarity.lshTopK(df, "vec_id", "embedding", query, k = 5, dim = 32,
+      numPlanes = 12, probeHamming = 3).collect()
+    // the identical vector falls in the query's own bucket (hamming 0)
+    assert(lsh.head.getLong(0) == 1L)
+  }
+
+  test("language id identifies real multilingual samples") {
+    implicit val ctx = graft.core.ActionPipelineContext(spark, new graft.core.InstanceRegistry())
+    val samples = Seq(
+      ("en", "the cat sat on the mat and it was a good day for all of us"),
+      ("de", "der hund und die katze sind nicht mit dem auto auf der straße gefahren"),
+      ("es", "el perro y el gato están en la casa de mi madre con los niños"),
+      ("fr", "le chien et le chat sont dans la maison avec les enfants du village"),
+      ("zh", "今天天气很好我们一起去公园散步吧这是一个美丽的城市")).toDF("expected", "text")
+    val got = samples.withColumn("pred", TextAnalysis.langId(col("text")))
+      .where(col("pred") === col("expected")).count()
+    assert(got == 5)
+  }
+
+  test("quality score separates clean text from noise") {
+    val clean = baseText
+    val noisy = "x@#$ 1234 !!!! ???? 9876 @@@@ ## $$ %% 3.14159 0000000"
+    val df = Seq(("clean", clean), ("noisy", noisy)).toDF("kind", "text")
+    val scores = df.select(col("kind"), TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(scores("clean") > scores("noisy") + 0.2)
+  }
+
+  test("multimodal plumbing: metadata, features, frames have correct shape") {
+    implicit val ctx = graft.core.ActionPipelineContext(spark, new graft.core.InstanceRegistry())
+    val media = Seq((1L, "some binary payload content here".getBytes),
+      (2L, Array.fill[Byte](256)(42))).toDF("id", "content")
+    val out = graft.operators.Multimodal.sampleFrames(
+      graft.operators.Multimodal.withImageFeatures(
+        graft.operators.Multimodal.withImageMetadata(media), dim = 16),
+      "content", frameSize = 8, stride = 2)
+    val rows = out.select(col("image_meta.width"), size(col("features")), size(col("frames"))).collect()
+    assert(rows.forall(r => r.getInt(0) > 0 && r.getInt(1) == 16 && r.getInt(2) >= 1))
+    // determinism: same content → same stub features
+    val f1 = out.where(col("id") === 1).select(col("features")).collect().head.getSeq[Float](0)
+    val f2 = out.where(col("id") === 1).select(col("features")).collect().head.getSeq[Float](0)
+    assert(f1 == f2)
+  }
+}

@@ -35,7 +35,7 @@ def main(sf_dir, out_dir):
             res = con.execute(sql)
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
-            ours = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            ours = con.execute(f"SELECT * FROM '{out_dir}/{name}.parquet/*.parquet'")
             scols = [d[0] for d in ours.description]
             srows = ours.fetchall()
         except Exception as e:
