@@ -46,8 +46,14 @@ object Dedup {
   }
 
   /** MinHash signature: k permutations simulated as xxhash64(shingle, seed),
-    * taking the min per seed. Per-row compute, no shuffle. */
+    * taking the min per seed. Per-row compute, no shuffle — native codegen
+    * expression (tight loop, no per-element lambda dispatch). */
   def minhashSignature(shingles: Column, k: Int): Column =
+    graft.plans.SignatureExpressions.minhashSignature(shingles, k)
+
+  /** reference formulation of [[minhashSignature]] from builtin higher-order
+    * functions — bit-identical, kept for cross-checking the native kernel */
+  private[graft] def minhashSignatureHof(shingles: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
       seed => array_min(transform(shingles, h => xxhash64(h, seed))))
 
@@ -122,8 +128,13 @@ object Dedup {
   }
 
   /** SimHash (64-bit): per shingle-hash bit votes ±1, sign of the vote sum
-    * becomes the bit. Entirely per-row via aggregate/zip_with — no UDF. */
-  def simhash64(shingles: Column): Column = {
+    * becomes the bit. Native codegen expression. */
+  def simhash64(shingles: Column): Column =
+    graft.plans.SignatureExpressions.simhash64(shingles)
+
+  /** reference formulation of [[simhash64]] via aggregate/zip_with — kept
+    * for cross-checking the native kernel */
+  private[graft] def simhash64Hof(shingles: Column): Column = {
     val bitVotes = aggregate(
       shingles,
       array_repeat(lit(0L), 64),

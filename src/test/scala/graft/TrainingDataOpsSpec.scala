@@ -36,6 +36,21 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("native simhash/minhash expressions match the HOF reference formulation") {
+    val docs = Seq((1L, baseText), (2L, baseText + " tail"),
+      (3L, "short text"), (4L, "unrelated words entirely different content here"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingleHashes(col("text"), 5)
+    val rows = docs.select(
+      Dedup.simhash64(sh).as("native_sim"), Dedup.simhash64Hof(sh).as("hof_sim"),
+      Dedup.minhashSignature(sh, 16).as("native_mh"), Dedup.minhashSignatureHof(sh, 16).as("hof_mh"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1))
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3))
+    }
+  }
+
   test("exact dedup collapses normalized variants") {
     val docs = Seq(
       (10L, "Hello, World!"),
