@@ -1,0 +1,318 @@
+package graft.core
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+import graft.operators._
+import graft.operators.modes._
+import graft.quality.{Constraint, CountExpectation, Expectation, SQLExpectation, SQLFractionExpectation, UniqueKeyExpectation}
+import graft.sources._
+import org.apache.spark.sql.types.StructType
+import scala.jdk.CollectionConverters._
+
+/** Declarative pipeline configuration: connections / dataObjects / actions
+  * declared in YAML (or JSON — YAML 1.2 superset), parsed into an
+  * [[InstanceRegistry]], from which [[ActionDAGRun]] builds the pipeline.
+  *
+  * Mirrors the reference's HOCON config layer
+  * (`sdl-core/config/ConfigParser.scala:53-187`: one factory per `type`,
+  * ids as map keys, feed selection). HOCON itself isn't on the offline
+  * classpath, so the concrete syntax is YAML/JSON via jackson; the
+  * structure matches the reference's `application.conf`:
+  *
+  * {{{
+  * dataObjects:
+  *   src-orders:  {type: CsvFileDataObject, path: /data/in}
+  *   stg-orders:  {type: ParquetFileDataObject, path: /data/out, partitions: [dt]}
+  * actions:
+  *   load-orders:
+  *     type: CopyAction
+  *     inputId: src-orders
+  *     outputId: stg-orders
+  *     transformers:
+  *       - {type: SQLDfTransformer, sql: "select * from %{inputViewName}"}
+  *     metadata: {feed: staging}
+  * }}}
+  */
+object ConfigParser {
+
+  private val mapper = new ObjectMapper(new YAMLFactory())
+
+  /** Parse config text into a fresh registry. */
+  def parse(configText: String): InstanceRegistry = {
+    val root = mapper.readTree(configText)
+    val registry = new InstanceRegistry
+    val connections = obj(root, "connections").map { case (id, n) => id -> parseConnection(id, n) }
+    connections.values.foreach(registry.register)
+    obj(root, "dataObjects").foreach { case (id, n) =>
+      registry.register(parseDataObject(id, n, connections))
+    }
+    obj(root, "actions").foreach { case (id, n) => registry.register(parseAction(id, n)) }
+    registry
+  }
+
+  def parseFile(path: String): InstanceRegistry =
+    parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
+
+  /** Feed membership of each parsed action (`metadata.feed`), for feedSel. */
+  def parseFeeds(configText: String): Map[String, String] =
+    obj(mapper.readTree(configText), "actions").map { case (id, n) =>
+      id -> str(n, "metadata.feed").getOrElse("default")
+    }
+
+  // ----------------------------------------------------------------- helpers
+
+  private def obj(n: JsonNode, field: String): Map[String, JsonNode] =
+    Option(n.get(field)).map(_.properties().asScala.map(e => e.getKey -> e.getValue).toMap)
+      .getOrElse(Map.empty)
+
+  private def get(n: JsonNode, path: String): Option[JsonNode] =
+    path.split('.').foldLeft(Option(n))((acc, f) => acc.flatMap(x => Option(x.get(f))))
+  private def str(n: JsonNode, f: String): Option[String] = get(n, f).map(_.asText)
+  private def int(n: JsonNode, f: String): Option[Int] = get(n, f).map(_.asInt)
+  private def bool(n: JsonNode, f: String, dflt: Boolean = false): Boolean =
+    get(n, f).map(_.asBoolean).getOrElse(dflt)
+  private def strSeq(n: JsonNode, f: String): Seq[String] =
+    get(n, f).map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Seq.empty)
+  private def strMap(n: JsonNode, f: String): Map[String, String] =
+    get(n, f).map(_.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap)
+      .getOrElse(Map.empty)
+  private def nodeSeq(n: JsonNode, f: String): Seq[JsonNode] =
+    get(n, f).map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+  private def require(o: Option[String], id: String, field: String): String =
+    o.getOrElse(throw new IllegalArgumentException(s"config '$id': missing required field '$field'"))
+  private def typeName(n: JsonNode, id: String): String = require(str(n, "type"), id, "type")
+  private def ddlSchema(n: JsonNode, f: String): Option[StructType] =
+    str(n, f).map(StructType.fromDDL)
+
+  // ------------------------------------------------------------- connections
+
+  private def parseConnection(id: String, n: JsonNode): Connection =
+    typeName(n, id) match {
+      case "JdbcConnection" | "jdbc" =>
+        JdbcConnection(id, require(str(n, "url"), id, "url"),
+          require(str(n, "driver"), id, "driver"), str(n, "user"), str(n, "password"))
+      case t => throw new IllegalArgumentException(s"connection '$id': unknown type '$t'")
+    }
+
+  // ------------------------------------------------------------- dataObjects
+
+  private def parseDataObject(id: String, n: JsonNode,
+                              connections: Map[String, Connection]): DataObject = {
+    def constraints = nodeSeq(n, "constraints").map(c =>
+      Constraint(require(str(c, "name"), id, "constraints.name"),
+        require(str(c, "expression"), id, "constraints.expression"),
+        strSeq(c, "errorMsgCols")))
+    def expectations: Seq[Expectation] = nodeSeq(n, "expectations").map(parseExpectation(id, _))
+    typeName(n, id) match {
+      case "ParquetFileDataObject" | "parquet" =>
+        ParquetFileDataObject(id, require(str(n, "path"), id, "path"),
+          partitions = strSeq(n, "partitions"), schema = ddlSchema(n, "schema"),
+          schemaMin = ddlSchema(n, "schemaMin"), options = strMap(n, "options"),
+          filenameColumn = str(n, "filenameColumn"),
+          numberOfTasksPerPartition = int(n, "numberOfTasksPerPartition"),
+          constraints = constraints, expectations = expectations)
+      case "CsvFileDataObject" | "csv" =>
+        CsvFileDataObject(id, require(str(n, "path"), id, "path"),
+          csvOptions = strMap(n, "csvOptions"), partitions = strSeq(n, "partitions"),
+          schema = ddlSchema(n, "schema"), schemaMin = ddlSchema(n, "schemaMin"),
+          filenameColumn = str(n, "filenameColumn"),
+          numberOfTasksPerPartition = int(n, "numberOfTasksPerPartition"))
+      case "JsonFileDataObject" | "json" =>
+        JsonFileDataObject(id, require(str(n, "path"), id, "path"),
+          jsonOptions = strMap(n, "jsonOptions"), partitions = strSeq(n, "partitions"),
+          schema = ddlSchema(n, "schema"))
+      case "AvroFileDataObject" | "avro" =>
+        AvroFileDataObject(id, require(str(n, "path"), id, "path"),
+          partitions = strSeq(n, "partitions"), schema = ddlSchema(n, "schema"))
+      case "OrcFileDataObject" | "orc" =>
+        OrcFileDataObject(id, require(str(n, "path"), id, "path"),
+          partitions = strSeq(n, "partitions"), schema = ddlSchema(n, "schema"))
+      case "RawFileDataObject" | "raw" =>
+        RawFileDataObject(id, require(str(n, "path"), id, "path"), str(n, "pathGlobFilter"))
+      case "HiveTableDataObject" | "hive" =>
+        HiveTableDataObject(id, parseTable(n, id),
+          partitions = strSeq(n, "partitions"),
+          format = str(n, "format").getOrElse("parquet"),
+          analyzeTableAfterWrite = bool(n, "analyzeTableAfterWrite"))
+      case "JdbcTableDataObject" | "jdbcTable" =>
+        val connId = require(str(n, "connectionId"), id, "connectionId")
+        val conn = connections.getOrElse(connId,
+          throw new IllegalArgumentException(s"dataObject '$id': unknown connectionId '$connId'")) match {
+          case j: JdbcConnection => j
+          case other => throw new IllegalArgumentException(
+            s"dataObject '$id': connection '${other.id}' is not a JdbcConnection")
+        }
+        JdbcTableDataObject(id, parseTable(n, id), conn,
+          preReadSql = str(n, "preReadSql"), postWriteSql = str(n, "postWriteSql"),
+          jdbcOptions = strMap(n, "jdbcOptions"))
+      case "PKViolatorsDataObject" | "pkViolators" => PKViolatorsDataObject(id)
+      case "DataObjectsExporterDataObject" => DataObjectsExporterDataObject(id)
+      case "ActionsExporterDataObject" => ActionsExporterDataObject(id)
+      case t => throw new IllegalArgumentException(s"dataObject '$id': unknown type '$t'")
+    }
+  }
+
+  private def parseTable(n: JsonNode, id: String): Table = {
+    val t = get(n, "table").getOrElse(
+      throw new IllegalArgumentException(s"dataObject '$id': missing 'table'"))
+    Table(str(t, "db"), require(str(t, "name"), id, "table.name"),
+      Some(strSeq(t, "primaryKey")).filter(_.nonEmpty))
+  }
+
+  private def parseExpectation(id: String, n: JsonNode): Expectation =
+    typeName(n, id) match {
+      case "CountExpectation" | "count" =>
+        CountExpectation(str(n, "name").getOrElse("count"), str(n, "expectation"))
+      case "SQLExpectation" | "sql" =>
+        SQLExpectation(require(str(n, "name"), id, "expectation.name"),
+          require(str(n, "aggregationExpression"), id, "aggregationExpression"),
+          str(n, "expectation"))
+      case "SQLFractionExpectation" | "sqlFraction" =>
+        SQLFractionExpectation(require(str(n, "name"), id, "expectation.name"),
+          require(str(n, "countConditionExpression"), id, "countConditionExpression"),
+          str(n, "expectation"))
+      case "UniqueKeyExpectation" | "uniqueKey" =>
+        UniqueKeyExpectation(str(n, "name").getOrElse("uniqueKey"),
+          keyCols = strSeq(n, "keyCols"), approximate = bool(n, "approximate"))
+      case t => throw new IllegalArgumentException(s"dataObject '$id': unknown expectation type '$t'")
+    }
+
+  // ----------------------------------------------------------------- actions
+
+  private def parseAction(id: String, n: JsonNode): Action = {
+    def transformers = nodeSeq(n, "transformers").map(parseTransformer(id, _))
+    def saveMode = str(n, "saveMode").map(parseSaveMode(id, _))
+    def execMode = get(n, "executionMode").map(parseExecutionMode(id, _))
+    typeName(n, id) match {
+      case "CopyAction" | "copy" =>
+        CopyAction(id, require(str(n, "inputId"), id, "inputId"),
+          require(str(n, "outputId"), id, "outputId"), transformers, saveMode, execMode)
+      case "CustomDataFrameAction" | "customDataFrame" =>
+        val sqls = strMap(n, "outputSql")
+        val dfs: Seq[DfsTransformer] =
+          if (sqls.nonEmpty) Seq(SQLDfsTransformer(sqls)) else Seq.empty
+        CustomDataFrameAction(id, strSeq(n, "inputIds"), strSeq(n, "outputIds"), dfs, saveMode)
+      case "DeduplicateAction" | "deduplicate" =>
+        DeduplicateAction(id, require(str(n, "inputId"), id, "inputId"),
+          require(str(n, "outputId"), id, "outputId"),
+          primaryKey = strSeq(n, "primaryKey"), transformers = transformers,
+          mergeModeEnable = bool(n, "mergeModeEnable"),
+          updateCapturedColumnOnlyWhenChanged = bool(n, "updateCapturedColumnOnlyWhenChanged"),
+          executionMode = execMode)
+      case "HistorizeAction" | "historize" =>
+        HistorizeAction(id, require(str(n, "inputId"), id, "inputId"),
+          require(str(n, "outputId"), id, "outputId"),
+          primaryKey = strSeq(n, "primaryKey"), transformers = transformers,
+          incrementalUpdate = bool(n, "incrementalUpdate"),
+          cdcOptions = get(n, "cdcOptions").map(c => CdcOptions(
+            require(str(c, "timestampColumn"), id, "cdcOptions.timestampColumn"),
+            require(str(c, "operationColumn"), id, "cdcOptions.operationColumn"),
+            str(c, "deleteValue").getOrElse("d"))),
+          executionMode = execMode)
+      case "FileTransferAction" | "fileTransfer" =>
+        FileTransferAction(id, require(str(n, "inputId"), id, "inputId"),
+          require(str(n, "outputId"), id, "outputId"))
+      case "CustomScriptAction" | "script" =>
+        CustomScriptAction(id, strSeq(n, "cmd"),
+          inputIds = strSeq(n, "inputIds"), outputIds = strSeq(n, "outputIds"))
+      case t => throw new IllegalArgumentException(s"action '$id': unknown type '$t'")
+    }
+  }
+
+  private def parseSaveMode(id: String, s: String): SdlSaveMode = s match {
+    case "Overwrite" | "overwrite" => SdlSaveMode.Overwrite
+    case "Append" | "append" => SdlSaveMode.Append
+    case "ErrorIfExists" | "error" => SdlSaveMode.ErrorIfExists
+    case "Ignore" | "ignore" => SdlSaveMode.Ignore
+    case "OverwriteOptimized" | "overwrite_optimized" => SdlSaveMode.OverwriteOptimized
+    case "OverwritePreserveDirectories" | "overwrite_preserve_directories" =>
+      SdlSaveMode.OverwritePreserveDirectories
+    case "Merge" | "merge" => SdlSaveMode.Merge
+    case other => throw new IllegalArgumentException(s"action '$id': unknown saveMode '$other'")
+  }
+
+  private def parseExecutionMode(id: String, n: JsonNode): ExecutionMode =
+    typeName(n, id) match {
+      case "PartitionDiffMode" | "partitionDiff" =>
+        PartitionDiffMode(partitionColNb = int(n, "partitionColNb"),
+          nbOfPartitionValuesPerRun = int(n, "nbOfPartitionValuesPerRun"),
+          failConditionOnMissingInput = bool(n, "failConditionOnMissingInput"))
+      case "DataFrameIncrementalMode" | "incremental" =>
+        DataFrameIncrementalMode(require(str(n, "compareCol"), id, "compareCol"))
+      case "DataObjectStateIncrementalMode" | "stateIncremental" =>
+        DataObjectStateIncrementalMode()
+      case "FileIncrementalMoveMode" | "fileMove" =>
+        FileIncrementalMoveMode(str(n, "archivePath"))
+      case "ProcessAllMode" | "processAll" => ProcessAllMode()
+      case "FailIfNoPartitionValuesMode" | "failIfNoPartitionValues" =>
+        FailIfNoPartitionValuesMode()
+      case "SparkStreamingMode" | "streaming" =>
+        SparkStreamingMode(
+          checkpointLocation = require(str(n, "checkpointLocation"), id, "checkpointLocation"),
+          triggerType = str(n, "triggerType").getOrElse("Once"),
+          triggerIntervalSec = get(n, "triggerIntervalSec").map(_.asLong),
+          inputOptions = strMap(n, "inputOptions"),
+          outputOptions = strMap(n, "outputOptions"),
+          outputMode = str(n, "outputMode").getOrElse("append"))
+      case t => throw new IllegalArgumentException(s"action '$id': unknown executionMode type '$t'")
+    }
+
+  private def parseTransformer(id: String, n: JsonNode): DfTransformer =
+    typeName(n, id) match {
+      case "SQLDfTransformer" | "sql" =>
+        SQLDfTransformer(require(str(n, "sql"), id, "transformer.sql"), str(n, "inputViewName"))
+      case "FilterTransformer" | "filter" =>
+        FilterTransformer(require(str(n, "filterClause"), id, "filterClause"))
+      case "AdditionalColumnsTransformer" | "additionalColumns" =>
+        AdditionalColumnsTransformer(strMap(n, "additionalColumns"))
+      case "BlacklistTransformer" | "blacklist" => BlacklistTransformer(strSeq(n, "columnBlacklist"))
+      case "WhitelistTransformer" | "whitelist" => WhitelistTransformer(strSeq(n, "columnWhitelist"))
+      case "StandardizeColNamesTransformer" | "standardizeColNames" => StandardizeColNamesTransformer()
+      case "StandardizeDatatypesTransformer" | "standardizeDatatypes" => StandardizeDatatypesTransformer()
+      case "DataValidationTransformer" | "dataValidation" =>
+        DataValidationTransformer(nodeSeq(n, "rules").map(r =>
+          ValidationRule(require(str(r, "condition"), id, "rule.condition"), str(r, "errorMsg"))),
+          str(n, "errorsColumn").getOrElse("errors"))
+      case "DeduplicateTransformer" | "deduplicateTransformer" =>
+        DeduplicateTransformer(strSeq(n, "keyColumns"),
+          require(str(n, "rankingExpression"), id, "rankingExpression"))
+      case "ConvertNullValuesTransformer" | "convertNullValues" =>
+        ConvertNullValuesTransformer(str(n, "valueForString").getOrElse(""),
+          int(n, "valueForNumber").getOrElse(0), strSeq(n, "columnBlacklist"))
+      case "FlattenTransformer" | "flatten" =>
+        FlattenTransformer(bool(n, "explodeArrays", dflt = true),
+          str(n, "separator").getOrElse("_"))
+      case "RepartitionTransformer" | "repartition" =>
+        RepartitionTransformer(int(n, "numberOfTasksPerPartition").getOrElse(1), strSeq(n, "keyCols"))
+      case "DebugTransformer" | "debug" => DebugTransformer(int(n, "numRows").getOrElse(5))
+      case "EncryptColumnsTransformer" | "encryptColumns" =>
+        EncryptColumnsTransformer(strSeq(n, "encryptColumns"), require(str(n, "key"), id, "key"))
+      case "DecryptColumnsTransformer" | "decryptColumns" =>
+        DecryptColumnsTransformer(strSeq(n, "decryptColumns"), require(str(n, "key"), id, "key"))
+      case t => throw new IllegalArgumentException(s"action '$id': unknown transformer type '$t'")
+    }
+}
+
+/** Programmatic equivalent of the reference's `LocalSmartDataLakeBuilder`
+  * CLI entry (`app/SmartDataLakeBuilder.scala:315-…`): parse config, select
+  * actions by feed (`feedSel` regex over `metadata.feed`), run the 3-phase
+  * DAG. */
+object PipelineRunner {
+  def run(configText: String, spark: org.apache.spark.sql.SparkSession,
+          feedSel: Option[String] = None, parallelism: Int = 1,
+          runtimeOptions: Map[String, String] = Map.empty): Map[String, Seq[SubFeed]] = {
+    val registry = ConfigParser.parse(configText)
+    val feeds = ConfigParser.parseFeeds(configText)
+    val selected = feedSel.map { sel =>
+      val re = sel.r
+      feeds.collect { case (aid, feed) if re.pattern.matcher(feed).matches => aid }.toSet
+    }
+    val actions = registry.allActions.filter(a => selected.forall(_.contains(a.id)))
+    require(actions.nonEmpty, s"no actions selected (feedSel=$feedSel)")
+    implicit val ctx: ActionPipelineContext =
+      ActionPipelineContext(spark, registry, runtimeOptions = runtimeOptions)
+    val dag = new ActionDAGRun(actions, parallelism)
+    dag.prepare
+    dag.run()
+  }
+}

@@ -89,7 +89,12 @@ case class DeduplicateAction(
     val refTs = referenceTimestamp()
     existing match {
       case Some(e) => Historization.deduplicate(e, feed, pk, refTs, updateCapturedColumnOnlyWhenChanged)
-      case None => feed.withColumn(Historization.captured, lit(refTs))
+      case None =>
+        // first load: the feed itself may carry duplicate keys — exactly one
+        // row per key must survive (reference DeduplicateAction.scala:214-219
+        // always applies the window, existing or not)
+        val empty = feed.withColumn(Historization.captured, lit(refTs)).limit(0)
+        Historization.deduplicate(empty, feed, pk, refTs, updateCapturedColumnOnlyWhenChanged)
     }
   }
 

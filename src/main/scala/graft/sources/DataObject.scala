@@ -146,7 +146,20 @@ abstract class SparkFileDataObject extends DataObject
     named
   }
 
-  def exists(implicit ctx: ActionPipelineContext): Boolean = fs.exists(hadoopPath)
+  /** true only if the path holds actual data files — an existing-but-empty
+    * directory (fresh target) must read as "no existing data" or reads of
+    * it fail schema inference (reference `SparkFileDataObject` no-data
+    * handling). Hidden/_-prefixed files (_SUCCESS, .crc) don't count. */
+  def exists(implicit ctx: ActionPipelineContext): Boolean =
+    fs.exists(hadoopPath) && {
+      val it = fs.listFiles(hadoopPath, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val name = it.next().getPath.getName
+        found = !name.startsWith("_") && !name.startsWith(".")
+      }
+      found
+    }
 
   protected def validateSchemaMin(df: DataFrame): Unit = schemaMin.foreach { s =>
     val missing = s.fields.filterNot(f => df.schema.fieldNames.contains(f.name))

@@ -1,0 +1,115 @@
+package graft
+
+import graft.core.{ConfigParser, PipelineRunner}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Declarative YAML config → registry → 3-phase DAG run, mirroring the
+  * reference's HOCON-driven pipelines (config/ConfigParsingTest.scala,
+  * app/SmartDataLakeBuilderTest.scala). */
+class ConfigSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  def tmpDir(): String = java.nio.file.Files.createTempDirectory("graft_cfg").toString
+
+  test("config parse registers dataObjects/actions with transformers and modes") {
+    val cfg =
+      """dataObjects:
+        |  src: {type: CsvFileDataObject, path: /tmp/in, csvOptions: {delimiter: ";"}}
+        |  dst:
+        |    type: ParquetFileDataObject
+        |    path: /tmp/out
+        |    partitions: [dt]
+        |    expectations:
+        |      - {type: CountExpectation, name: cnt, expectation: "> 0"}
+        |actions:
+        |  a1:
+        |    type: CopyAction
+        |    inputId: src
+        |    outputId: dst
+        |    saveMode: OverwriteOptimized
+        |    transformers:
+        |      - {type: FilterTransformer, filterClause: "x > 1"}
+        |      - {type: SQLDfTransformer, sql: "select * from %{inputViewName}"}
+        |    executionMode: {type: PartitionDiffMode, nbOfPartitionValuesPerRun: 2}
+        |    metadata: {feed: staging}
+        |""".stripMargin
+    val reg = ConfigParser.parse(cfg)
+    val src = reg.dataObject("src").asInstanceOf[graft.sources.CsvFileDataObject]
+    assert(src.options("delimiter") == ";")
+    val dst = reg.dataObject("dst").asInstanceOf[graft.sources.ParquetFileDataObject]
+    assert(dst.partitions == Seq("dt") && dst.expectations.size == 1)
+    val a = reg.action("a1").asInstanceOf[graft.operators.CopyAction]
+    assert(a.transformers.size == 2 && a.saveMode.contains(graft.core.SdlSaveMode.OverwriteOptimized))
+    assert(a.executionMode.exists(_.isInstanceOf[graft.operators.modes.PartitionDiffMode]))
+    assert(ConfigParser.parseFeeds(cfg) == Map("a1" -> "staging"))
+  }
+
+  test("config-driven pipeline runs end-to-end: csv -> filter/sql -> partitioned parquet") {
+    import spark.implicits._
+    val in = tmpDir(); val out = tmpDir()
+    Seq((1, "a", "2024-01-01"), (2, "b", "2024-01-01"), (30, "c", "2024-01-02"))
+      .toDF("amount", "name", "dt")
+      .write.mode("overwrite").option("header", "true").csv(in)
+    val cfg =
+      s"""dataObjects:
+         |  src-csv: {type: csv, path: $in}
+         |  stg-parquet: {type: parquet, path: $out, partitions: [dt]}
+         |actions:
+         |  load:
+         |    type: copy
+         |    inputId: src-csv
+         |    outputId: stg-parquet
+         |    saveMode: overwrite
+         |    transformers:
+         |      - {type: sql, sql: "select amount * 2 as amount2, name, dt from %{inputViewName} where amount >= 2"}
+         |    metadata: {feed: staging}
+         |""".stripMargin
+    val result = PipelineRunner.run(cfg, spark, feedSel = Some("stag.*"))
+    assert(result.contains("load"))
+    val got = spark.read.parquet(out).orderBy("amount2")
+      .collect().map(r => (r.getAs[Int]("amount2"), r.getAs[String]("name"))).toSeq
+    assert(got == Seq((4, "b"), (60, "c")))
+    // partition layout on disk (dt=...)
+    assert(new java.io.File(out).listFiles().exists(_.getName.startsWith("dt=")))
+  }
+
+  test("feedSel selects no actions -> error; unknown type -> clear error") {
+    val cfg =
+      """dataObjects:
+        |  d1: {type: parquet, path: /tmp/x}
+        |actions:
+        |  a1: {type: copy, inputId: d1, outputId: d1, metadata: {feed: f1}}
+        |""".stripMargin
+    val e1 = intercept[IllegalArgumentException](PipelineRunner.run(cfg, spark, Some("nomatch")))
+    assert(e1.getMessage.contains("no actions selected"))
+    val e2 = intercept[IllegalArgumentException](
+      ConfigParser.parse("dataObjects:\n  d1: {type: bogus, path: /x}\n"))
+    assert(e2.getMessage.contains("unknown type 'bogus'"))
+  }
+
+  test("multi-action DAG from config: copy then deduplicate downstream") {
+    import spark.implicits._
+    val in = tmpDir(); val mid = tmpDir(); val out = tmpDir()
+    Seq((1, "x", "2024-01-01 10:00:00"), (1, "y", "2024-01-02 10:00:00"), (2, "z", "2024-01-01 10:00:00"))
+      .toDF("id", "payload", "ts")
+      .write.mode("overwrite").option("header", "true").csv(in)
+    val cfg =
+      s"""dataObjects:
+         |  raw: {type: csv, path: $in}
+         |  staged: {type: parquet, path: $mid}
+         |  deduped: {type: parquet, path: $out}
+         |actions:
+         |  stage: {type: copy, inputId: raw, outputId: staged, saveMode: overwrite}
+         |  dedup:
+         |    type: deduplicate
+         |    inputId: staged
+         |    outputId: deduped
+         |    primaryKey: [id]
+         |""".stripMargin
+    PipelineRunner.run(cfg, spark)
+    val got = spark.read.parquet(out)
+    assert(got.count() == 2) // one row per id
+    assert(got.columns.contains("dl_ts_captured"))
+  }
+}
