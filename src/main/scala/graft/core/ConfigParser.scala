@@ -127,6 +127,20 @@ object ConfigParser {
       case "OrcFileDataObject" | "orc" =>
         OrcFileDataObject(id, require(str(n, "path"), id, "path"),
           partitions = strSeq(n, "partitions"), schema = ddlSchema(n, "schema"))
+      case "XmlFileDataObject" | "xml" =>
+        XmlFileDataObject(id, require(str(n, "path"), id, "path"),
+          rowTag = str(n, "rowTag").getOrElse("row"), xmlOptions = strMap(n, "xmlOptions"),
+          partitions = strSeq(n, "partitions"), schema = ddlSchema(n, "schema"))
+      case "RelaxedCsvFileDataObject" | "relaxedCsv" =>
+        RelaxedCsvFileDataObject(id, require(str(n, "path"), id, "path"),
+          csvOptions = strMap(n, "csvOptions"), schema = ddlSchema(n, "schema"),
+          corruptRecordColumn = str(n, "corruptRecordColumn"),
+          filenameColumn = str(n, "filenameColumn"))
+      case "TickTockHiveTableDataObject" | "tickTock" =>
+        TickTockHiveTableDataObject(id, parseTable(n, id),
+          require(str(n, "basePath"), id, "basePath"),
+          format = str(n, "format").getOrElse("parquet"),
+          partitions = strSeq(n, "partitions"))
       case "RawFileDataObject" | "raw" =>
         RawFileDataObject(id, require(str(n, "path"), id, "path"), str(n, "pathGlobFilter"))
       case "HiveTableDataObject" | "hive" =>

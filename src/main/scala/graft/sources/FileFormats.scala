@@ -1,0 +1,175 @@
+package graft.sources
+
+import graft.core._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.hadoop.fs.Path
+
+/** XML files via Spark 4's built-in XML source (`rowTag`). Reference:
+  * `sdl-core/workflow/dataobject/XmlFileDataObject.scala:48-59` (spark-xml
+  * was an external package on Spark 3; built-in since Spark 4.0). */
+case class XmlFileDataObject(
+    id: String, path: String, rowTag: String = "row",
+    xmlOptions: Map[String, String] = Map.empty,
+    override val partitions: Seq[String] = Seq.empty,
+    override val schema: Option[StructType] = None)
+  extends SparkFileDataObject {
+  val format = "xml"
+  override val options: Map[String, String] = Map("rowTag" -> rowTag) ++ xmlOptions
+}
+
+/** CSV tolerant to schema drift across files. Reference:
+  * `sdl-core/workflow/dataobject/RelaxedCsvFileDataObject.scala` (232 LoC):
+  * each file is read with its OWN header; columns missing in a file come
+  * back null, extra columns are dropped (or kept when no schema is fixed);
+  * unparsable rows land in `corruptRecordColumn` under permissive mode.
+  *
+  * Scale design: files are grouped by their header line and one Spark read
+  * is issued PER DISTINCT HEADER (not per file) — a million drifting files
+  * collapse into a handful of scans, each fully parallel; the driver only
+  * reads first lines (one tiny ranged read per file).
+  */
+case class RelaxedCsvFileDataObject(
+    id: String, path: String,
+    csvOptions: Map[String, String] = Map.empty,
+    override val schema: Option[StructType] = None,
+    corruptRecordColumn: Option[String] = None,
+    override val filenameColumn: Option[String] = None)
+  extends SparkFileDataObject {
+  val format = "csv"
+  private val delimiter = csvOptions.getOrElse("delimiter", ",")
+  override val options: Map[String, String] =
+    Map("header" -> "true", "delimiter" -> delimiter) ++ csvOptions
+
+  private def headerOf(p: Path)(implicit ctx: ActionPipelineContext): String = {
+    val in = fs.open(p)
+    try {
+      val reader = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
+      Option(reader.readLine()).getOrElse("")
+    } finally in.close()
+  }
+
+  override def getDataFrame(partitionValues: Seq[PartitionValues] = Seq.empty)
+                           (implicit ctx: ActionPipelineContext): DataFrame = {
+    require(exists, s"DataObject $id: path $path has no data")
+    val files = {
+      val it = fs.listFiles(hadoopPath, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (!f.getName.startsWith("_") && !f.getName.startsWith(".")) buf += f
+      }
+      buf.toSeq
+    }
+    val byHeader: Map[String, Seq[Path]] = files.groupBy(headerOf)
+    val parts = byHeader.toSeq.sortBy(_._1).map { case (_, group) =>
+      val r0 = ctx.spark.read.options(options)
+      val r1 = corruptRecordColumn.fold(r0)(c =>
+        r0.option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", c))
+      // each header group parses with its OWN columns; aligned below
+      val df = r1.option("inferSchema", "true").csv(group.map(_.toString): _*)
+      filenameColumn.fold(df)(c => df.withColumn(c, input_file_name()))
+    }
+    val aligned = schema match {
+      case Some(s) =>
+        val extraCols = corruptRecordColumn.toSeq ++ filenameColumn.toSeq
+        parts.map { df =>
+          val cols = s.fields.map { f =>
+            if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          } ++ extraCols.filter(df.columns.contains).map(col)
+          df.select(cols.toIndexedSeq: _*)
+        }
+      case None => parts
+    }
+    val out = aligned.reduce(_.unionByName(_, allowMissingColumns = true))
+    validateSchemaMin(out)
+    out
+  }
+}
+
+/** Hive-style table written alternately to `tick`/`tock` subdirectories so
+  * concurrent readers never observe partial data, and the table can be
+  * read and rewritten in one pipeline step (historize/dedup without merge
+  * support). Reference: `TickTockHiveTableDataObject.scala:94-173`
+  * (alternating locations + `ALTER TABLE SET LOCATION`).
+  *
+  * The active side is tracked in a marker file; reads resolve the marker
+  * and scan only the active directory. The swap is a metadata-only commit:
+  * write fully to the inactive side, then atomically rewrite the marker.
+  */
+case class TickTockHiveTableDataObject(
+    id: String, table: Table, basePath: String,
+    format: String = "parquet",
+    override val partitions: Seq[String] = Seq.empty,
+    registerInCatalog: Boolean = true)
+  extends DataObject with CanCreateDataFrame with CanWriteDataFrame
+  with CanHandlePartitions with CanEvolveSchema {
+
+  private def base = new Path(basePath)
+  private def marker = new Path(base, ".graft_active_side")
+  private def fs(implicit ctx: ActionPipelineContext) =
+    base.getFileSystem(ctx.spark.sparkContext.hadoopConfiguration)
+
+  def activeSide(implicit ctx: ActionPipelineContext): String =
+    if (!fs.exists(marker)) "tick"
+    else {
+      val in = fs.open(marker)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+      finally in.close()
+    }
+  private def inactiveSide(implicit ctx: ActionPipelineContext): String =
+    if (activeSide == "tick") "tock" else "tick"
+  def activePath(implicit ctx: ActionPipelineContext): Path = new Path(base, activeSide)
+
+  def isTableExisting(implicit ctx: ActionPipelineContext): Boolean =
+    fs.exists(marker)
+
+  override def getDataFrame(partitionValues: Seq[PartitionValues] = Seq.empty)
+                           (implicit ctx: ActionPipelineContext): DataFrame = {
+    require(isTableExisting, s"DataObject $id: table not yet written at $basePath")
+    val df = ctx.spark.read.format(format).load(activePath.toString)
+    PartitionValues.filterExpr(partitionValues).fold(df)(df.filter _)
+  }
+
+  override def writeDataFrame(df: DataFrame, partitionValues: Seq[PartitionValues] = Seq.empty,
+                              saveMode: Option[SdlSaveMode] = None)
+                             (implicit ctx: ActionPipelineContext): ActionMetrics = {
+    val t0 = System.currentTimeMillis()
+    val side = inactiveSide
+    val target = new Path(base, side)
+    val obs = org.apache.spark.sql.Observation(s"graft_tt_${id}_${System.nanoTime()}")
+    val observed = df.observe(obs, count(lit(1)).as("records_written"))
+    val w0 = observed.write.format(format)
+    val w = if (partitions.nonEmpty) w0.partitionBy(partitions: _*) else w0
+    w.mode("overwrite").save(target.toString)
+    // commit: atomically flip the marker to the freshly-written side
+    val out = fs.create(marker, true)
+    try out.write(side.getBytes("UTF-8")) finally out.close()
+    if (registerInCatalog) syncCatalog(target)
+    val rows = try obs.get("records_written").asInstanceOf[Long] catch { case _: Throwable => -1L }
+    ActionMetrics(rows, System.currentTimeMillis() - t0)
+  }
+
+  /** point the catalog table at the active location (reference
+    * `ALTER TABLE SET LOCATION`, HiveUtil) */
+  private def syncCatalog(location: Path)(implicit ctx: ActionPipelineContext): Unit = {
+    val spark = ctx.spark
+    spark.sql(s"DROP TABLE IF EXISTS ${table.fullName}")
+    table.db.foreach(db => spark.sql(s"CREATE DATABASE IF NOT EXISTS $db"))
+    spark.sql(s"CREATE TABLE ${table.fullName} USING $format LOCATION '${location.toString}'")
+  }
+
+  override def listPartitions(implicit ctx: ActionPipelineContext): Seq[PartitionValues] = {
+    if (partitions.isEmpty || !isTableExisting) return Seq.empty
+    def list(p: Path, cols: Seq[String], acc: Map[String, String]): Seq[PartitionValues] = cols match {
+      case Nil => Seq(PartitionValues(acc))
+      case c +: rest =>
+        fs.listStatus(p).toSeq.filter(_.isDirectory)
+          .map(_.getPath).filter(_.getName.startsWith(c + "="))
+          .flatMap(d => list(d, rest, acc + (c -> d.getName.stripPrefix(c + "="))))
+    }
+    list(activePath, partitions, Map.empty)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import graft.core._
+import graft.sources._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.scalatest.funsuite.AnyFunSuite
+
+class FileFormatsSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  implicit lazy val ctx: ActionPipelineContext =
+    ActionPipelineContext(spark, new InstanceRegistry)
+
+  def tmpDir(): String = java.nio.file.Files.createTempDirectory("graft_ff").toString
+
+  test("xml data object round-trips rows via builtin xml source") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val xml = XmlFileDataObject("x1", dir, rowTag = "item")
+    val df = Seq((1, "alpha"), (2, "beta")).toDF("id", "name")
+    xml.writeDataFrame(df, Seq.empty, Some(SdlSaveMode.Overwrite))
+    val back = xml.getDataFrame()
+    assert(back.select("id", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "alpha"), (2L, "beta")))
+  }
+
+  test("relaxed csv reconciles drifting schemas across files") {
+    val dir = tmpDir()
+    // two files with different headers (column drift)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "a.csv"),
+      "id,name,age\n1,ann,30\n2,bob,40\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "b.csv"),
+      "id,name,city\n3,carl,berlin\n")
+    val rel = RelaxedCsvFileDataObject("r1", dir,
+      schema = Some(StructType.fromDDL("id INT, name STRING, age INT, city STRING")))
+    val got = rel.getDataFrame().orderBy("id").collect()
+    assert(got.length == 3)
+    assert(got(0).getAs[Int]("age") == 30 && got(0).getAs[String]("city") == null)
+    assert(got(2).getAs[Any]("age") == null && got(2).getAs[String]("city") == "berlin")
+  }
+
+  test("relaxed csv without fixed schema unions by name") {
+    val dir = tmpDir()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "a.csv"), "id,v\n1,x\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "b.csv"), "id,w\n2,y\n")
+    val rel = RelaxedCsvFileDataObject("r2", dir)
+    val got = rel.getDataFrame()
+    assert(got.columns.toSet == Set("id", "v", "w") && got.count() == 2)
+  }
+
+  test("tick-tock table swaps sides atomically and supports read-then-rewrite") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val tt = TickTockHiveTableDataObject("tt1", Table(None, "tt_test"), dir,
+      registerInCatalog = false)
+    assert(!tt.isTableExisting)
+    tt.writeDataFrame(Seq((1, "a")).toDF("id", "v"), Seq.empty, None)
+    assert(tt.activeSide == "tock") // first write lands on the inactive side of default "tick"
+    val first = tt.getDataFrame()
+    assert(first.count() == 1)
+    // read-modify-write: derive new state from current table, write back
+    val next = first.union(Seq((2, "b")).toDF("id", "v"))
+    tt.writeDataFrame(next, Seq.empty, None)
+    assert(tt.activeSide == "tick")
+    assert(tt.getDataFrame().count() == 2)
+    // both sides exist on disk; reader only sees the active one
+    assert(new java.io.File(dir, "tick").exists() && new java.io.File(dir, "tock").exists())
+  }
+
+  test("tick-tock registers catalog table at active location") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val tt = TickTockHiveTableDataObject("tt2", Table(None, "tt_cat"), dir)
+    tt.writeDataFrame(Seq((7, "z")).toDF("id", "v"), Seq.empty, None)
+    assert(spark.table("tt_cat").count() == 1)
+    spark.sql("DROP TABLE IF EXISTS tt_cat")
+  }
+}
