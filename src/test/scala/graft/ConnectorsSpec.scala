@@ -1,0 +1,115 @@
+package graft
+
+import graft.core._
+import graft.sources._
+import org.apache.spark.sql.types.StructType
+import org.scalatest.funsuite.AnyFunSuite
+
+class ConnectorsSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  implicit lazy val ctx: ActionPipelineContext =
+    ActionPipelineContext(spark, new InstanceRegistry)
+
+  class FakeHttp(responses: Map[String, String]) extends HttpTransport {
+    val calls = scala.collection.mutable.ArrayBuffer.empty[(String, Map[String, String])]
+    override def get(url: String, headers: Map[String, String]): Array[Byte] = {
+      calls += ((url, headers))
+      responses.getOrElse(url, throw new IllegalArgumentException(s"no fake for $url")).getBytes("UTF-8")
+    }
+  }
+
+  test("webservice: query-param partitions become requests and columns; auth header sent") {
+    val http = new FakeHttp(Map(
+      "https://api.example.com/data?region=eu" -> """[{"id":1,"v":"a"},{"id":2,"v":"b"}]""",
+      "https://api.example.com/data?region=us" -> """[{"id":3,"v":"c"}]"""))
+    val ws = WebserviceFileDataObject("ws1", "https://api.example.com/data",
+      authMode = TokenAuthMode("t0k"), queryParameters = Map("region" -> Seq("eu", "us")),
+      transport = http)
+    val df = ws.getDataFrame()
+    assert(df.count() == 3)
+    assert(df.where(df("region") === "eu").count() == 2)
+    assert(http.calls.forall(_._2("Authorization") == "Bearer t0k"))
+    assert(ws.listPartitions.map(_.elements("region")).sorted == Seq("eu", "us"))
+  }
+
+  test("odata: follows @odata.nextLink pagination") {
+    val http = new FakeHttp(Map(
+      "https://svc/odata/Items" ->
+        """{"value":[{"k":1},{"k":2}],"@odata.nextLink":"https://svc/odata/Items?page=2"}""",
+      "https://svc/odata/Items?page=2" -> """{"value":[{"k":3}]}"""))
+    val od = ODataDataObject("od1", "https://svc/odata", "Items", transport = http)
+    val got = od.getDataFrame().collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("splunk client rows become a string DataFrame") {
+    val client = new SplunkClient {
+      override def search(q: String, from: String, to: String) =
+        Seq(Map("host" -> "h1", "msg" -> "up"), Map("host" -> "h2"))
+    }
+    val sp = SplunkDataObject("sp1", "search index=x", client = client)
+    val df = sp.getDataFrame()
+    assert(df.columns.toSeq == Seq("host", "msg") && df.count() == 2)
+    assert(df.where(df("host") === "h2").collect().head.isNullAt(1))
+  }
+
+  test("airbyte subprocess protocol stream: RECORD kept for stream, STATE captured") {
+    val script = java.nio.file.Files.createTempFile("airbyte", ".sh")
+    java.nio.file.Files.writeString(script,
+      """#!/bin/sh
+        |echo '{"type":"LOG","log":{"message":"starting"}}'
+        |echo '{"type":"RECORD","record":{"stream":"users","data":{"uid":1,"name":"ann"}}}'
+        |echo '{"type":"RECORD","record":{"stream":"other","data":{"x":9}}}'
+        |echo '{"type":"RECORD","record":{"stream":"users","data":{"uid":2,"name":"bob"}}}'
+        |echo '{"type":"STATE","state":{"cursor":"42"}}'
+        |""".stripMargin)
+    script.toFile.setExecutable(true)
+    val ab = AirbyteDataObject("ab1", Seq("/bin/sh", script.toString), streamName = "users")
+    val df = ab.getDataFrame()
+    assert(df.count() == 2 && df.columns.contains("uid"))
+    assert(ab.getState.exists(_.contains("42")))
+  }
+
+  test("fileref transfer copies matching files and tracks watermark state") {
+    val srcDir = java.nio.file.Files.createTempDirectory("fr_src")
+    val dstDir = java.nio.file.Files.createTempDirectory("fr_dst")
+    java.nio.file.Files.writeString(srcDir.resolve("a.txt"), "one")
+    java.nio.file.Files.writeString(srcDir.resolve("b.txt"), "two")
+    java.nio.file.Files.writeString(srcDir.resolve("skip.dat"), "no")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = FileRefDataObject("src", s"$srcDir/*.txt", new HadoopFileRefTransport(conf))
+    val dst = FileRefDataObject("dst", s"$dstDir/*", new HadoopFileRefTransport(conf),
+      targetDir = Some(dstDir.toString))
+    val moved = src.transferTo(dst)
+    assert(moved.size == 2)
+    assert(new java.io.File(dstDir.toFile, "a.txt").exists())
+    assert(!new java.io.File(dstDir.toFile, "skip.dat").exists())
+    // watermark: second transfer moves nothing new
+    assert(src.transferTo(dst).isEmpty)
+  }
+
+  test("kafka option mapping and json decode/encode plumbing") {
+    val k = KafkaTopicDataObject("k1", "events", "broker:9092", valueType = "json",
+      valueSchema = Some(StructType.fromDDL("a INT, b STRING")),
+      batchReadMaxOffsetsPerTrigger = Some(500L))
+    assert(k.readOptions("subscribe") == "events")
+    assert(k.readOptions("maxOffsetsPerTrigger") == "500")
+    // decode on a frame with kafka's wire schema
+    import spark.implicits._
+    val wire = Seq(("k1", """{"a":5,"b":"x"}""", "events", 0, 7L, new java.sql.Timestamp(0)))
+      .toDF("key", "value", "topic", "partition", "offset", "timestamp")
+      .select($"key".cast("binary").as("key"), $"value".cast("binary").as("value"),
+        $"topic", $"partition", $"offset", $"timestamp")
+    val decoded = k.decode(wire)
+    val row = decoded.selectExpr("value.a", "value.b", "offset").collect().head
+    assert(row.getInt(0) == 5 && row.getString(1) == "x" && row.getLong(2) == 7L)
+    val encoded = k.encodeForWrite(Seq((1, "z")).toDF("a", "b"))
+    assert(encoded.columns.toSeq == Seq("key", "value"))
+    assert(encoded.selectExpr("value").collect().head.getString(0).contains("\"a\":1"))
+  }
+
+  test("jms receiver rows parsed as json") {
+    val jms = JmsDataObject("j1", () => Seq("""{"m":"hello"}""", """{"m":"world"}"""))
+    assert(jms.getDataFrame().count() == 2)
+  }
+}
