@@ -110,7 +110,8 @@ object ConfigParser {
           schemaMin = ddlSchema(n, "schemaMin"), options = strMap(n, "options"),
           filenameColumn = str(n, "filenameColumn"),
           numberOfTasksPerPartition = int(n, "numberOfTasksPerPartition"),
-          constraints = constraints, expectations = expectations)
+          constraints = constraints, expectations = expectations,
+          housekeepingMode = get(n, "housekeepingMode").map(parseHousekeeping(id, _)))
       case "CsvFileDataObject" | "csv" =>
         CsvFileDataObject(id, require(str(n, "path"), id, "path"),
           csvOptions = strMap(n, "csvOptions"), partitions = strSeq(n, "partitions"),
@@ -172,6 +173,19 @@ object ConfigParser {
     Table(str(t, "db"), require(str(t, "name"), id, "table.name"),
       Some(strSeq(t, "primaryKey")).filter(_.nonEmpty))
   }
+
+  private def parseHousekeeping(id: String, n: JsonNode): HousekeepingMode =
+    typeName(n, id) match {
+      case "PartitionRetentionMode" | "retention" =>
+        PartitionRetentionMode(require(str(n, "retentionCondition"), id, "retentionCondition"))
+      case "PartitionArchiveCompactionMode" | "archiveCompaction" =>
+        PartitionArchiveCompactionMode(
+          archiveCondition = str(n, "archiveCondition"),
+          archiveExpression = str(n, "archiveExpression"),
+          compactCondition = str(n, "compactCondition"),
+          compactNumFiles = int(n, "compactNumFiles").getOrElse(1))
+      case t => throw new IllegalArgumentException(s"dataObject '$id': unknown housekeeping type '$t'")
+    }
 
   private def parseExpectation(id: String, n: JsonNode): Expectation =
     typeName(n, id) match {
@@ -299,6 +313,8 @@ object ConfigParser {
       case "RepartitionTransformer" | "repartition" =>
         RepartitionTransformer(int(n, "numberOfTasksPerPartition").getOrElse(1), strSeq(n, "keyCols"))
       case "DebugTransformer" | "debug" => DebugTransformer(int(n, "numRows").getOrElse(5))
+      case "ScalaCodeDfTransformer" | "scalaCode" =>
+        ScalaCodeDfTransformer(require(str(n, "code"), id, "transformer.code"))
       case "EncryptColumnsTransformer" | "encryptColumns" =>
         EncryptColumnsTransformer(strSeq(n, "encryptColumns"), require(str(n, "key"), id, "key"))
       case "DecryptColumnsTransformer" | "decryptColumns" =>

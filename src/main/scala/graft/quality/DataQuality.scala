@@ -70,6 +70,46 @@ case class UniqueKeyExpectation(name: String = "uniqueKey", keyCols: Seq[String]
   }
 }
 
+/** full SQL query over the output table (view token `%{inputViewName}`),
+  * first column of the first row is the metric. Reference
+  * `SQLQueryExpectation`. */
+case class SQLQueryExpectation(name: String, code: String,
+    expectation: Option[String] = None,
+    override val scope: ExpectationScope = ExpectationScope.All,
+    override val failOnError: Boolean = false) extends Expectation {
+  def aggExpr: Column =
+    throw new UnsupportedOperationException("SQLQueryExpectation runs its own query")
+}
+/** average row count per partition of the written table. Reference
+  * `AvgCountPerPartitionExpectation` (JobPartition metrics averaged). */
+case class AvgCountPerPartitionExpectation(name: String = "avgCountPerPartition",
+    expectation: Option[String] = None,
+    override val failOnError: Boolean = false) extends Expectation {
+  override def scope: ExpectationScope = ExpectationScope.All
+  def aggExpr: Column =
+    throw new UnsupportedOperationException("computed against partition columns at evaluation")
+}
+/** fraction of non-null cells over `columns` (1.0 = fully populated).
+  * Reference action-level `CompletenessExpectation`. */
+case class CompletenessExpectation(name: String = "completeness", columns: Seq[String],
+    expectation: Option[String] = None,
+    override val scope: ExpectationScope = ExpectationScope.Job,
+    override val failOnError: Boolean = false) extends Expectation {
+  def aggExpr: Column = {
+    val nonNull = columns.map(c => count(col(c)).cast("double")).reduce(_ + _)
+    (nonNull / (count(lit(1)) * columns.size)).as(name)
+  }
+}
+/** records written per second, evaluated from write metrics (no scan).
+  * Reference action-level `TransferRateExpectation`. */
+case class TransferRateExpectation(name: String = "transferRate",
+    expectation: Option[String] = None,
+    override val failOnError: Boolean = false) extends Expectation {
+  override def scope: ExpectationScope = ExpectationScope.Job
+  def aggExpr: Column =
+    throw new UnsupportedOperationException("computed from write metrics, not a scan")
+}
+
 /** validation failure */
 case class ExpectationViolation(name: String, value: Any, condition: String)
   extends RuntimeException(s"Expectation '$name' violated: value=$value, expected $condition")
@@ -99,9 +139,17 @@ object DataQualityValidation {
   /** Attach a Job-scope observation computing all expectation metrics;
     * returns (instrumented df, observation handle). Call
     * [[evaluateObserved]] after the df has been written. */
+  /** expectations whose metric comes from an aggregate over rows (vs.
+    * own-query / metrics-derived ones) */
+  private def isAggBased(e: Expectation): Boolean = e match {
+    case _: SQLQueryExpectation | _: AvgCountPerPartitionExpectation |
+         _: TransferRateExpectation => false
+    case _ => true
+  }
+
   def observeExpectations(df: DataFrame, expectations: Seq[Expectation])
       : (DataFrame, Option[org.apache.spark.sql.Observation]) = {
-    val jobExp = expectations.filter(_.scope == ExpectationScope.Job)
+    val jobExp = expectations.filter(e => e.scope == ExpectationScope.Job && isAggBased(e))
     if (jobExp.isEmpty) (df, None)
     else {
       val obs = org.apache.spark.sql.Observation(s"graft_expectations_${System.nanoTime()}")
@@ -112,7 +160,7 @@ object DataQualityValidation {
   /** evaluate Job-scope metrics collected by the observation */
   def evaluateObserved(obs: org.apache.spark.sql.Observation, expectations: Seq[Expectation])
                       (implicit ctx: ActionPipelineContext): Map[String, Any] = {
-    val jobExp = expectations.filter(_.scope == ExpectationScope.Job)
+    val jobExp = expectations.filter(e => e.scope == ExpectationScope.Job && isAggBased(e))
     val metrics = obs.get
     jobExp.foreach(e => check(e, metrics(e.name)))
     metrics.toMap
@@ -123,8 +171,26 @@ object DataQualityValidation {
   def evaluateAgainstTable(table: DataFrame, expectations: Seq[Expectation],
                            partitionCols: Seq[String] = Seq.empty)
                           (implicit ctx: ActionPipelineContext): Map[String, Any] = {
-    val allExp = expectations.filter(_.scope == ExpectationScope.All)
-    val partExp = expectations.filter(_.scope == ExpectationScope.JobPartition)
+    val allExp = expectations.filter(e => e.scope == ExpectationScope.All && isAggBased(e))
+    val partExp = expectations.filter(e => e.scope == ExpectationScope.JobPartition && isAggBased(e))
+    val queryExp = expectations.collect { case q: SQLQueryExpectation => q }
+    val avgExp = expectations.collect { case a: AvgCountPerPartitionExpectation => a }
+    val queryMetrics: Map[String, Any] = queryExp.map { q =>
+      val view = s"graft_exp_${q.name.replaceAll("[^A-Za-z0-9_]", "_")}"
+      table.createOrReplaceTempView(view)
+      val sql = q.code.replace("%{inputViewName}", view)
+      q.name -> ctx.spark.sql(sql).collect().headOption.map(_.get(0)).orNull
+    }.toMap
+    val avgMetrics: Map[String, Any] = avgExp.flatMap { a =>
+      if (partitionCols.isEmpty) None
+      else {
+        val row = table.agg((count(lit(1)).cast("double") /
+          count_distinct(struct(partitionCols.map(col): _*))).as(a.name)).collect().head
+        Some(a.name -> row.getAs[Any](a.name))
+      }
+    }.toMap
+    queryExp.foreach(q => check(q, queryMetrics(q.name)))
+    avgExp.foreach(a => avgMetrics.get(a.name).foreach(v => check(a, v)))
     val allMetrics: Map[String, Any] =
       if (allExp.isEmpty) Map.empty
       else {
@@ -145,7 +211,17 @@ object DataQualityValidation {
     partMetrics.foreach { case (k, v) =>
       partExp.find(e => k.startsWith(e.name + "#")).foreach(e => check(e, v))
     }
-    allMetrics ++ partMetrics
+    allMetrics ++ partMetrics ++ queryMetrics ++ avgMetrics
+  }
+
+  /** evaluate TransferRateExpectations from write metrics (records/sec) */
+  def evaluateTransferRate(expectations: Seq[Expectation],
+                           recordsWritten: Long, durationMillis: Long)
+                          (implicit ctx: ActionPipelineContext): Map[String, Any] = {
+    val rateExp = expectations.collect { case t: TransferRateExpectation => t }
+    if (rateExp.isEmpty || recordsWritten < 0) return Map.empty
+    val rate = recordsWritten.toDouble / math.max(durationMillis, 1L) * 1000.0
+    rateExp.map { e => check(e, rate); e.name -> (rate: Any) }.toMap
   }
 
   private def check(e: Expectation, value: Any)(implicit ctx: ActionPipelineContext): Unit =

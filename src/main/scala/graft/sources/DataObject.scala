@@ -106,6 +106,9 @@ abstract class SparkFileDataObject extends DataObject
   /** dataset-level expectations validated on write (reference
     * `Expectation.scala`) */
   def expectations: Seq[graft.quality.Expectation] = Seq.empty
+  /** post-write housekeeping (partition retention / archive+compaction),
+    * reference `HousekeepingMode.scala:49-151` */
+  def housekeepingMode: Option[HousekeepingMode] = None
 
   protected var incrementalState: Option[String] = None
   override def setState(state: Option[String])(implicit ctx: ActionPipelineContext): Unit =
@@ -199,14 +202,18 @@ abstract class SparkFileDataObject extends DataObject
         writer.mode(SdlSaveMode.toSpark(m)).save(path)
     }
     val rows = try obs.get("records_written").asInstanceOf[Long] catch { case _: Throwable => -1L }
+    housekeepingMode.foreach(_.exec(this))
     val jobMetrics = expObs.map(o =>
       graft.quality.DataQualityValidation.evaluateObserved(o, expectations)).getOrElse(Map.empty)
     val tableMetrics =
       if (expectations.exists(_.scope != graft.quality.ExpectationScope.Job))
         graft.quality.DataQualityValidation.evaluateAgainstTable(getDataFrame(), expectations, partitions)
       else Map.empty[String, Any]
-    ActionMetrics(recordsWritten = rows, durationMillis = System.currentTimeMillis() - t0,
-      observedMetrics = jobMetrics ++ tableMetrics)
+    val duration = System.currentTimeMillis() - t0
+    val rateMetrics =
+      graft.quality.DataQualityValidation.evaluateTransferRate(expectations, rows, duration)
+    ActionMetrics(recordsWritten = rows, durationMillis = duration,
+      observedMetrics = jobMetrics ++ tableMetrics ++ rateMetrics)
   }
 
   /** Overwrite `path` with a DataFrame *derived from this object's own
@@ -280,7 +287,8 @@ case class ParquetFileDataObject(
     override val filenameColumn: Option[String] = None,
     override val numberOfTasksPerPartition: Option[Int] = None,
     override val constraints: Seq[graft.quality.Constraint] = Seq.empty,
-    override val expectations: Seq[graft.quality.Expectation] = Seq.empty)
+    override val expectations: Seq[graft.quality.Expectation] = Seq.empty,
+    override val housekeepingMode: Option[HousekeepingMode] = None)
   extends SparkFileDataObject with CanEvolveSchema {
   val format = "parquet"
 }

@@ -1,0 +1,123 @@
+package graft.sources
+
+import graft.core._
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Housekeeping on partitioned DataObjects. Reference:
+  * `sdl-core/definitions/HousekeepingMode.scala:49-151`
+  * (`PartitionRetentionMode`, `PartitionArchiveCompactionMode`) and
+  * `util/misc/CompactionUtil.scala` (132 LoC).
+  *
+  * Both modes operate on the PARTITION LIST (driver-side, thousands of
+  * rows) to decide, and on Spark scans to move data — a retention sweep of
+  * a 100 TB table deletes directories without reading them; archiving
+  * reads only the partitions being re-binned.
+  */
+sealed trait HousekeepingMode {
+  def exec(obj: SparkFileDataObject)(implicit ctx: ActionPipelineContext): Unit
+}
+
+/** Delete partitions for which `retentionCondition` (SQL boolean over the
+  * partition columns, e.g. `dt >= '2024-01-01'`) is false. */
+case class PartitionRetentionMode(retentionCondition: String) extends HousekeepingMode {
+  override def exec(obj: SparkFileDataObject)(implicit ctx: ActionPipelineContext): Unit = {
+    val expired = Housekeeping.evalPartitions(obj.listPartitions, obj.partitions,
+      s"NOT ($retentionCondition)")
+    obj.deletePartitions(expired)
+  }
+}
+
+/** Re-bin old partitions into coarser archive partitions and/or compact
+  * partition files.
+  *
+  * @param archiveCondition SQL boolean over partition cols selecting
+  *                         partitions to archive
+  * @param archiveExpression SQL `named_struct(...)` over partition cols
+  *                          computing the TARGET partition values
+  * @param compactCondition  SQL boolean selecting partitions to rewrite
+  *                          into `compactNumFiles` files
+  */
+case class PartitionArchiveCompactionMode(
+    archiveCondition: Option[String] = None,
+    archiveExpression: Option[String] = None,
+    compactCondition: Option[String] = None,
+    compactNumFiles: Int = 1) extends HousekeepingMode {
+
+  override def exec(obj: SparkFileDataObject)(implicit ctx: ActionPipelineContext): Unit = {
+    archiveCondition.zip(archiveExpression).foreach { case (cond, exprStr) =>
+      val toArchive = Housekeeping.evalPartitions(obj.listPartitions, obj.partitions, cond)
+      if (toArchive.nonEmpty) {
+        val targets = Housekeeping.evalStruct(toArchive, obj.partitions, exprStr)
+        toArchive.zip(targets).filter { case (src, tgt) => src != tgt }
+          .groupBy(_._2).foreach { case (target, group) =>
+            val sources = group.map(_._1)
+            val df = obj.getDataFrame(sources)
+            // re-stamp partition columns to the archive values — as STRINGS:
+            // partition dirs are strings on disk, and casting an archive
+            // value (e.g. '2024-01') into an inferred finer type (DateType
+            // from '2024-01-01' dirs) would null it into the hive default
+            // partition
+            val restamped = target.elements.foldLeft(df) { case (d, (c, v)) =>
+              d.withColumn(c, lit(v))
+            }
+            obj.writeDataFrame(restamped, Seq(target), Some(SdlSaveMode.Append))
+            obj.deletePartitions(sources)
+          }
+      }
+    }
+    compactCondition.foreach { cond =>
+      val toCompact = Housekeeping.evalPartitions(obj.listPartitions, obj.partitions, cond)
+      toCompact.foreach { pv =>
+        val df = obj.getDataFrame(Seq(pv)).repartition(compactNumFiles)
+        // stage-and-swap the single partition directory
+        Housekeeping.rewritePartition(obj, pv, df)
+      }
+    }
+  }
+}
+
+object Housekeeping {
+  /** evaluate a SQL boolean over the partition columns, returning matching
+    * partition values (driver-side list, Spark-evaluated expression) */
+  def evalPartitions(pvs: Seq[PartitionValues], cols: Seq[String], condition: String)
+                    (implicit ctx: ActionPipelineContext): Seq[PartitionValues] = {
+    if (pvs.isEmpty) return Seq.empty
+    df(pvs, cols).where(expr(condition)).collect().toSeq
+      .map(r => PartitionValues(cols.map(c => c -> r.getAs[String](c)).toMap))
+  }
+
+  /** evaluate a named_struct expression over partition cols per partition */
+  def evalStruct(pvs: Seq[PartitionValues], cols: Seq[String], structExpr: String)
+                (implicit ctx: ActionPipelineContext): Seq[PartitionValues] = {
+    df(pvs, cols).select(expr(structExpr).as("t")).collect().toSeq.map { r =>
+      val s = r.getStruct(0)
+      PartitionValues(s.schema.fieldNames.map(f => f -> String.valueOf(s.getAs[Any](f))).toMap)
+    }
+  }
+
+  private def df(pvs: Seq[PartitionValues], cols: Seq[String])
+                (implicit ctx: ActionPipelineContext): DataFrame = {
+    val rows = pvs.map(pv => Row.fromSeq(cols.map(pv.elements.getOrElse(_, null))))
+    ctx.spark.createDataFrame(
+      ctx.spark.sparkContext.parallelize(rows, 1),
+      StructType(cols.map(StructField(_, StringType))))
+  }
+
+  /** rewrite ONE partition's files from `df` via stage-and-swap */
+  def rewritePartition(obj: SparkFileDataObject, pv: PartitionValues, df: DataFrame)
+                      (implicit ctx: ActionPipelineContext): Unit = {
+    import org.apache.hadoop.fs.Path
+    val rel = pv.asPath(obj.partitions)
+    require(rel.nonEmpty, s"DataObject ${obj.id}: cannot rewrite unpartitioned path this way")
+    val partDir = new Path(obj.path, rel)
+    val staging = new Path(obj.path, rel + "_graft_compact")
+    val fs = partDir.getFileSystem(ctx.spark.sparkContext.hadoopConfiguration)
+    // write WITHOUT partition columns (they're encoded in the path)
+    df.drop(obj.partitions: _*).write.format(obj.format).options(obj.options)
+      .mode("overwrite").save(staging.toString)
+    fs.delete(partDir, true)
+    fs.rename(staging, partDir)
+  }
+}

@@ -63,4 +63,42 @@ class DataQualitySpec extends AnyFunSuite {
       out.writeDataFrame(Seq((2, "dup")).toDF("id", "v"), saveMode = Some(SdlSaveMode.Append))
     }
   }
+
+  test("SQLQueryExpectation runs its own query over the output table") {
+    implicit val ctx: ActionPipelineContext = newCtx()
+    val dir = Files.createTempDirectory("graft-dq").toString
+    val out = ParquetFileDataObject("out", s"$dir/out",
+      expectations = Seq(SQLQueryExpectation("max_v",
+        "SELECT max(v) FROM %{inputViewName}", Some("value = 30"), failOnError = true)))
+    val m = out.writeDataFrame(Seq((1, 10), (2, 30)).toDF("id", "v"))
+    assert(m.observedMetrics("max_v") == 30)
+    intercept[ExpectationViolation] {
+      out.writeDataFrame(Seq((3, 99)).toDF("id", "v"), saveMode = Some(SdlSaveMode.Append))
+    }
+  }
+
+  test("CompletenessExpectation measures non-null cell fraction") {
+    implicit val ctx: ActionPipelineContext = newCtx()
+    val dir = Files.createTempDirectory("graft-dq").toString
+    val out = ParquetFileDataObject("out", s"$dir/out",
+      expectations = Seq(CompletenessExpectation("comp", Seq("a", "b"), Some("value >= 0.7"), failOnError = true)))
+    val df = Seq((Some(1), Some("x")), (Some(2), None), (Some(3), Some("z")))
+      .toDF("a", "b")
+    val m = out.writeDataFrame(df)
+    val v = m.observedMetrics("comp").asInstanceOf[Double]
+    assert(math.abs(v - 5.0 / 6.0) < 1e-9)
+  }
+
+  test("AvgCountPerPartitionExpectation and TransferRateExpectation compute metrics") {
+    implicit val ctx: ActionPipelineContext = newCtx()
+    val dir = Files.createTempDirectory("graft-dq").toString
+    val out = ParquetFileDataObject("out", s"$dir/out", partitions = Seq("dt"),
+      expectations = Seq(
+        AvgCountPerPartitionExpectation("avg_cnt", Some("value >= 1"), failOnError = true),
+        TransferRateExpectation("rate", Some("value > 0"), failOnError = true)))
+    val df = Seq(("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 3)).toDF("dt", "v")
+    val m = out.writeDataFrame(df)
+    assert(m.observedMetrics("avg_cnt").asInstanceOf[Double] == 1.5)
+    assert(m.observedMetrics("rate").asInstanceOf[Double] > 0)
+  }
 }
