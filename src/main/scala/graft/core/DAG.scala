@@ -14,7 +14,10 @@ import scala.concurrent.duration.Duration
   * a plain fixed thread pool — Spark jobs from independent branches overlap
   * and keep a big cluster busy (pair with `spark.scheduler.mode=FAIR`).
   */
-class ActionDAGRun(actions: Seq[Action], parallelism: Int = 1) {
+class ActionDAGRun(actions: Seq[Action], parallelism: Int = 1,
+                   /** exec-phase checkpoint hook (run-state store) — called
+                     * after each action completes with its output SubFeeds */
+                   onActionComplete: (String, Seq[SubFeed]) => Unit = (_, _) => ()) {
 
   // producer map: dataObjectId -> action producing it
   private val producers: Map[String, Action] =
@@ -103,10 +106,13 @@ class ActionDAGRun(actions: Seq[Action], parallelism: Int = 1) {
                 case ExecutionPhase.Prepare => Seq.empty
               }
               results(action.id) = out
+              if (phase == ExecutionPhase.Exec) onActionComplete(action.id, out)
             } catch {
               case w: NoDataToProcessWarning =>
                 skipped(action.id) = true
-                results(action.id) = action.outputIds.map(SubFeed(_, isSkipped = true))
+                val out = action.outputIds.map(SubFeed(_, isSkipped = true))
+                results(action.id) = out
+                if (phase == ExecutionPhase.Exec) onActionComplete(action.id, out)
             }
           }
         }

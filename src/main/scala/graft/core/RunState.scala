@@ -1,0 +1,137 @@
+package graft.core
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.operators.Action
+import graft.sources.CanCreateIncrementalOutput
+import org.apache.hadoop.fs.Path
+import scala.jdk.CollectionConverters._
+
+/** Per-run state: which actions finished, their metrics, and the
+  * incremental state of each DataObject (offsets / watermarks / file
+  * mod-times). Reference: `ActionDAGRunState` +
+  * `HadoopFileActionDAGRunStateStore` (per-node checkpointing
+  * `ActionDAGRun.scala:237-246`) and recovery `recoverRun`
+  * (`app/SmartDataLakeBuilder.scala:377-396`).
+  */
+case class ActionState(state: String, recordsWritten: Long = -1)
+case class RunState(
+    appName: String, runId: Int, attemptId: Int,
+    actionsState: Map[String, ActionState] = Map.empty,
+    dataObjectStates: Map[String, String] = Map.empty,
+    finished: Boolean = false)
+
+/** JSON state files on any Hadoop FS:
+  * `<statePath>/current/<app>.<runId>.<attemptId>.json` while running,
+  * moved to `<statePath>/succeeded/` when the run completes. */
+class RunStateStore(statePath: String, appName: String,
+                    hadoopConf: org.apache.hadoop.conf.Configuration) {
+  private val mapper = new ObjectMapper()
+  private def fs = new Path(statePath).getFileSystem(hadoopConf)
+  private def currentDir = new Path(statePath, "current")
+  private def succeededDir = new Path(statePath, "succeeded")
+  private def fileFor(dir: Path, runId: Int, attemptId: Int) =
+    new Path(dir, s"$appName.$runId.$attemptId.json")
+
+  def save(rs: RunState): Unit = {
+    val root = mapper.createObjectNode()
+    root.put("appName", rs.appName); root.put("runId", rs.runId)
+    root.put("attemptId", rs.attemptId); root.put("finished", rs.finished)
+    val as = root.putObject("actionsState")
+    rs.actionsState.foreach { case (id, st) =>
+      val n = as.putObject(id); n.put("state", st.state); n.put("recordsWritten", st.recordsWritten)
+    }
+    val ds = root.putObject("dataObjectStates")
+    rs.dataObjectStates.foreach { case (id, st) => ds.put(id, st) }
+    val target = fileFor(if (rs.finished) succeededDir else currentDir, rs.runId, rs.attemptId)
+    fs.mkdirs(target.getParent)
+    val out = fs.create(target, true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    finally out.close()
+    // a finished run clears ALL its attempts from current/ (earlier failed
+    // attempts' files would otherwise read as unfinished forever)
+    if (rs.finished && fs.exists(currentDir))
+      fs.listStatus(currentDir).filter(_.getPath.getName.startsWith(s"$appName.${rs.runId}."))
+        .foreach(s => fs.delete(s.getPath, false))
+  }
+
+  private def read(p: Path): RunState = {
+    val in = fs.open(p)
+    val root = try mapper.readTree(in) finally in.close()
+    RunState(
+      root.get("appName").asText, root.get("runId").asInt, root.get("attemptId").asInt,
+      Option(root.get("actionsState")).map(_.properties().asScala.map { e =>
+        e.getKey -> ActionState(e.getValue.get("state").asText,
+          e.getValue.get("recordsWritten").asLong)
+      }.toMap).getOrElse(Map.empty),
+      Option(root.get("dataObjectStates")).map(_.properties().asScala.map(e =>
+        e.getKey -> e.getValue.asText).toMap).getOrElse(Map.empty),
+      root.get("finished").asBoolean)
+  }
+
+  private def listStates(dir: Path): Seq[RunState] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.filter(_.getPath.getName.startsWith(appName + "."))
+      .map(s => read(s.getPath))
+
+  /** unfinished run to recover, if any (highest runId/attemptId in current/) */
+  def unfinishedRun: Option[RunState] =
+    listStates(currentDir).sortBy(s => (s.runId, s.attemptId)).lastOption
+
+  def latestSucceeded: Option[RunState] =
+    listStates(succeededDir).sortBy(s => (s.runId, s.attemptId)).lastOption
+
+  /** next run coordinates: recover (same runId, attemptId+1) or new runId */
+  def nextRun(): RunState = unfinishedRun match {
+    case Some(prev) => prev.copy(attemptId = prev.attemptId + 1, finished = false)
+    case None =>
+      val runId = latestSucceeded.map(_.runId + 1).getOrElse(1)
+      RunState(appName, runId, 1)
+  }
+}
+
+/** Stateful pipeline run: restores DataObject incremental state, skips
+  * actions already succeeded in a recovered attempt, checkpoints per
+  * action, and marks the run finished — the reference's
+  * `SmartDataLakeBuilder.run/recoverRun` semantics on top of
+  * [[ActionDAGRun]]. */
+object StatefulRun {
+  def run(actions: Seq[Action], store: RunStateStore, parallelism: Int = 1)
+         (implicit ctx: ActionPipelineContext): Map[String, Seq[SubFeed]] = {
+    val rs0 = store.nextRun()
+    // restore incremental DataObject states (offsets/watermarks) from the
+    // last state (recovered attempt or latest succeeded run)
+    val baseState = if (rs0.attemptId > 1) Some(rs0) else store.latestSucceeded
+    baseState.foreach(_.dataObjectStates.foreach { case (doId, st) =>
+      try ctx.registry.dataObject(doId) match {
+        case inc: CanCreateIncrementalOutput => inc.setState(Some(st))
+        case _ => ()
+      } catch { case _: NoSuchElementException => () }
+    })
+    val doneBefore = rs0.actionsState.filter(_._2.state == "SUCCEEDED")
+    val remaining = actions.filterNot(a => doneBefore.contains(a.id))
+    val runCtx = ctx.copy(runId = rs0.runId, attemptId = rs0.attemptId)
+    @volatile var rs = rs0
+    store.save(rs)
+    def snapshotDoStates(): Map[String, String] =
+      ctx.registry.allDataObjects.collect {
+        case inc: CanCreateIncrementalOutput if inc.getState.isDefined =>
+          inc.asInstanceOf[graft.sources.DataObject].id -> inc.getState.get
+      }.toMap
+    val dag = new ActionDAGRun(remaining, parallelism, onActionComplete = (id, feeds) => {
+      val written = feeds.flatMap(_.metrics.map(_.recordsWritten)).headOption.getOrElse(-1L)
+      val st = if (feeds.exists(_.isSkipped)) "SKIPPED" else "SUCCEEDED"
+      rs = rs.copy(actionsState = rs.actionsState + (id -> ActionState(st, written)),
+        dataObjectStates = rs.dataObjectStates ++ snapshotDoStates())
+      store.save(rs)
+    })
+    val result =
+      try dag.run()(runCtx)
+      catch {
+        case e: Throwable =>
+          store.save(rs) // leave the partial state in current/ for recovery
+          throw e
+      }
+    store.save(rs.copy(finished = true, dataObjectStates = rs.dataObjectStates ++ snapshotDoStates()))
+    result
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.core._
+import graft.operators._
+import graft.sources._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RunStateSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  def tmpDir(): String = java.nio.file.Files.createTempDirectory("graft_rs").toString
+
+  test("state store: run ids advance, recovery picks up unfinished attempt") {
+    val store = new RunStateStore(tmpDir(), "app", spark.sparkContext.hadoopConfiguration)
+    val r1 = store.nextRun()
+    assert(r1.runId == 1 && r1.attemptId == 1)
+    store.save(r1.copy(actionsState = Map("a" -> ActionState("SUCCEEDED", 5))))
+    // unfinished -> recovery attempt 2 with preserved action state
+    val r2 = store.nextRun()
+    assert(r2.runId == 1 && r2.attemptId == 2)
+    assert(r2.actionsState("a").state == "SUCCEEDED")
+    store.save(r2.copy(finished = true))
+    val r3 = store.nextRun()
+    assert(r3.runId == 2 && r3.attemptId == 1)
+    assert(store.unfinishedRun.isEmpty)
+  }
+
+  test("failed run recovers: succeeded action not re-executed, attemptId bumped") {
+    import spark.implicits._
+    val stateDir = tmpDir(); val inDir = tmpDir(); val midDir = tmpDir(); val outDir = tmpDir()
+    Seq((1, "a"), (2, "b")).toDF("id", "v").write.mode("overwrite").parquet(inDir)
+    val reg = new InstanceRegistry
+    reg.register(ParquetFileDataObject("in", inDir))
+    reg.register(ParquetFileDataObject("mid", midDir))
+    reg.register(ParquetFileDataObject("out", outDir))
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    val store = new RunStateStore(stateDir, "app", spark.sparkContext.hadoopConfiguration)
+    // stage appends (so a re-execution would duplicate rows); second action fails
+    val stage = CopyAction("stage", "in", "mid", saveMode = Some(SdlSaveMode.Append))
+    // fails only in the exec phase (init passes schema checks like a
+    // realistic runtime failure)
+    val execBoom = new DfTransformer {
+      override def transform(df: org.apache.spark.sql.DataFrame, dataObjectId: String)
+                            (implicit c: ActionPipelineContext): org.apache.spark.sql.DataFrame =
+        if (c.isExecPhase) throw new RuntimeException("boom") else df
+    }
+    val boom = CopyAction("publish", "mid", "out", transformers = Seq(execBoom))
+    intercept[RuntimeException] { StatefulRun.run(Seq(stage, boom), store) }
+    assert(store.unfinishedRun.exists(_.actionsState("stage").state == "SUCCEEDED"))
+    // recover with a fixed second action
+    val fixed = CopyAction("publish", "mid", "out", saveMode = Some(SdlSaveMode.Overwrite))
+    StatefulRun.run(Seq(stage, fixed), store)
+    // stage ran exactly once across both attempts (no duplicated append)
+    assert(spark.read.parquet(midDir).count() == 2)
+    assert(spark.read.parquet(outDir).count() == 2)
+    val last = store.latestSucceeded.get
+    assert(last.runId == 1 && last.attemptId == 2 && last.finished)
+  }
+
+  test("dataObject incremental state persists across runs") {
+    import spark.implicits._
+    val stateDir = tmpDir(); val inDir = tmpDir(); val outDir = tmpDir()
+    Seq((1, "a")).toDF("id", "v").write.mode("overwrite").parquet(inDir)
+    val store = new RunStateStore(stateDir, "app", spark.sparkContext.hadoopConfiguration)
+    val reg = new InstanceRegistry
+    val src = ParquetFileDataObject("in", inDir)
+    reg.register(src); reg.register(ParquetFileDataObject("out", outDir))
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    src.setState(Some("2000-01-01T00:00:00")) // file-object state = mod-time watermark
+    StatefulRun.run(Seq(CopyAction("c", "in", "out", saveMode = Some(SdlSaveMode.Overwrite))), store)
+    assert(store.latestSucceeded.get.dataObjectStates("in") == "2000-01-01T00:00:00")
+    // new registry (fresh process) -> state restored on next run
+    val reg2 = new InstanceRegistry
+    val src2 = ParquetFileDataObject("in", inDir)
+    reg2.register(src2); reg2.register(ParquetFileDataObject("out", outDir))
+    val ctx2 = ActionPipelineContext(spark, reg2)
+    StatefulRun.run(Seq(CopyAction("c", "in", "out", saveMode = Some(SdlSaveMode.Overwrite))), store)(ctx2)
+    assert(src2.getState.contains("2000-01-01T00:00:00"))
+  }
+}
