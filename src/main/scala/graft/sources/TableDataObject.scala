@@ -199,16 +199,20 @@ case class JdbcTableDataObject(
     df.write.format("jdbc").options(readerOpts)
       .option("dbtable", tmpFull).mode("overwrite").save()
     val cols = df.columns.toSeq
-    val onClause = joinCols.map(k => s"t.$k = s.$k").mkString(" AND ")
+    // ANSI double-quoted identifiers: Spark's JDBC writer creates columns
+    // quoted in their original (lower) case, so unquoted references would
+    // upper-case-fold and miss (Derby/Postgres/HSQLDB semantics)
+    def q(c: String) = "\"" + c + "\""
+    val onClause = joinCols.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
     val updCols = (if (options.updateColumns.nonEmpty) options.updateColumns
                    else cols.filterNot(joinCols.contains))
-    val updClause = updCols.map(c => s"$c = s.$c").mkString(", ")
+    val updClause = updCols.map(c => s"${q(c)} = s.${q(c)}").mkString(", ")
     val insCols = cols.filterNot(options.insertColumnsToIgnore.contains)
     val mergeSql =
       s"""MERGE INTO ${table.fullName} t USING $tmpFull s ON ($onClause)
          |WHEN MATCHED THEN UPDATE SET $updClause
-         |WHEN NOT MATCHED THEN INSERT (${insCols.mkString(", ")})
-         |VALUES (${insCols.map("s." + _).mkString(", ")})""".stripMargin
+         |WHEN NOT MATCHED THEN INSERT (${insCols.map(q).mkString(", ")})
+         |VALUES (${insCols.map(c => "s." + q(c)).mkString(", ")})""".stripMargin
     withConnection { c =>
       c.createStatement().execute(mergeSql)
       c.createStatement().execute(s"DROP TABLE $tmpFull")
