@@ -33,8 +33,15 @@ object Dedup {
     df.groupBy(contentHash(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  /** distinct hashes of character `n`-gram shingles — per-row, no shuffle */
+  /** distinct hashes of character `n`-gram shingles — per-row, no shuffle;
+    * native one-pass expression (sorted-distinct; all downstream consumers
+    * are order-invariant) */
   def shingleHashes(text: Column, n: Int): Column =
+    graft.plans.SignatureExpressions.shingleHashes(normalizeText(text), n)
+
+  /** HOF reference formulation of [[shingleHashes]] — same multiset of
+    * hashes (order differs), kept for cross-checking the native kernel */
+  private[graft] def shingleHashesHof(text: Column, n: Int): Column =
     array_distinct(TextAnalysis.rollingFingerprints(normalizeText(text), n))
 
   /** distinct hashes of `n`-word shingles */

@@ -61,6 +61,64 @@ object SignatureKernels {
   }
 }
 
+/** distinct xxhash64 values of all `n`-codepoint character windows of a
+  * string — one pass, no per-window Column/lambda machinery. Bit-compatible
+  * with `array_distinct(transform(sequence(...), i => xxhash64(substr(text,
+  * i, n))))` up to element ORDER (sorted here; all consumers — minhash,
+  * simhash votes, jaccard intersections — are order-invariant). */
+object ShingleKernel {
+  def shingles(text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    val len = s.codePointCount(0, s.length)
+    val count = math.max(len - n + 1, 1)
+    val hashes = new Array[Long](count)
+    var charIdx = 0
+    var i = 0
+    while (i < count) {
+      // SQL substr(i+1, n) semantics: n codepoints starting at codepoint i
+      val end = {
+        var e = charIdx; var c = 0
+        while (c < n && e < s.length) { e += Character.charCount(s.codePointAt(e)); c += 1 }
+        e
+      }
+      val window = org.apache.spark.unsafe.types.UTF8String.fromString(s.substring(charIdx, end))
+      hashes(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(window.getBaseObject, window.getBaseOffset, window.numBytes, 42L)
+      charIdx += Character.charCount(s.codePointAt(charIdx))
+      i += 1
+    }
+    java.util.Arrays.sort(hashes)
+    var uniq = if (count > 0) 1 else 0
+    var j = 1
+    while (j < count) { if (hashes(j) != hashes(j - 1)) uniq += 1; j += 1 }
+    if (uniq == count) new GenericArrayData(hashes)
+    else {
+      val out = new Array[Long](uniq)
+      out(0) = hashes(0)
+      var k = 1; var o = 1
+      while (k < count) {
+        if (hashes(k) != hashes(k - 1)) { out(o) = hashes(k); o += 1 }
+        k += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+}
+
+/** char n-gram shingle hashes (distinct) as a codegen'd expression */
+case class ShingleHashesExpr(child: Expression, n: Int)
+  extends UnaryExpression {
+  require(n > 0, "shingle size must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleKernel.shingles(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ShingleKernel.shingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "shingle_hashes"
+}
+
 /** 64-bit SimHash of an array of shingle hashes, as a codegen'd Catalyst
   * expression. */
 case class SimHash64Expr(child: Expression)
@@ -95,4 +153,6 @@ object SignatureExpressions {
     GraftSqlShims.column(SimHash64Expr(GraftSqlShims.expression(hashes)))
   def minhashSignature(hashes: Column, k: Int): Column =
     GraftSqlShims.column(MinHashSigExpr(GraftSqlShims.expression(hashes), k))
+  def shingleHashes(text: Column, n: Int): Column =
+    GraftSqlShims.column(ShingleHashesExpr(GraftSqlShims.expression(text), n))
 }

@@ -41,11 +41,15 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       (3L, "short text"), (4L, "unrelated words entirely different content here"))
       .toDF("doc_id", "text")
     val sh = Dedup.shingleHashes(col("text"), 5)
+    val shHof = Dedup.shingleHashesHof(col("text"), 5)
     val rows = docs.select(
-      Dedup.simhash64(sh).as("native_sim"), Dedup.simhash64Hof(sh).as("hof_sim"),
-      Dedup.minhashSignature(sh, 16).as("native_mh"), Dedup.minhashSignatureHof(sh, 16).as("hof_mh"))
+      Dedup.simhash64(sh).as("native_sim"), Dedup.simhash64Hof(shHof).as("hof_sim"),
+      Dedup.minhashSignature(sh, 16).as("native_mh"), Dedup.minhashSignatureHof(shHof, 16).as("hof_mh"),
+      sh.as("native_sh"), shHof.as("hof_sh"))
       .collect()
     rows.foreach { r =>
+      // native shingle kernel produces the same distinct-hash multiset
+      assert(r.getSeq[Long](4).sorted == r.getSeq[Long](5).sorted)
       assert(r.getLong(0) == r.getLong(1))
       assert(r.getSeq[Long](2) == r.getSeq[Long](3))
     }
