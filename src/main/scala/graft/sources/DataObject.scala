@@ -124,11 +124,18 @@ abstract class SparkFileDataObject extends DataObject
     ()
   }
 
+  /** schema-on-read formats benefit from the persisted schema file (no
+    * inference scan); self-describing formats carry their own */
+  private def isSelfDescribing: Boolean =
+    format == "parquet" || format == "orc" || format == "avro"
+
   protected def reader(implicit ctx: ActionPipelineContext) = {
     val r = ctx.spark.read.format(format).options(options)
     // incremental by file modification time (reference SparkFileDataObject.scala:241-254)
     val r2 = incrementalState.fold(r)(ts => r.option("modifiedAfter", ts))
-    schema.fold(r2)(s => r2.schema(s))
+    val effectiveSchema = schema.orElse(
+      if (isSelfDescribing) None else SchemaUtil.readPersistedSchema(path))
+    effectiveSchema.fold(r2)(s => r2.schema(s))
   }
 
   override def getDataFrame(partitionValues: Seq[PartitionValues] = Seq.empty)
@@ -156,10 +163,13 @@ abstract class SparkFileDataObject extends DataObject
   def exists(implicit ctx: ActionPipelineContext): Boolean =
     fs.exists(hadoopPath) && {
       val it = fs.listFiles(hadoopPath, true)
+      val baseUri = hadoopPath.toUri.getPath
       var found = false
       while (!found && it.hasNext) {
-        val name = it.next().getPath.getName
-        found = !name.startsWith("_") && !name.startsWith(".")
+        // hidden check applies to every path component under the base
+        // (e.g. files inside a .schema/ metadata dir are not data)
+        val rel = it.next().getPath.toUri.getPath.stripPrefix(baseUri).stripPrefix("/")
+        found = rel.split('/').forall(c => !c.startsWith("_") && !c.startsWith("."))
       }
       found
     }
@@ -192,16 +202,22 @@ abstract class SparkFileDataObject extends DataObject
     }
     val writer0 = repartitioned.write.format(format).options(options)
     val writer = if (partitions.nonEmpty) writer0.partitionBy(partitions: _*) else writer0
-    mode match {
-      case SdlSaveMode.OverwriteOptimized if partitions.nonEmpty =>
-        // dynamic partition overwrite: only rewrite partitions present in df
-        writer.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .save(path)
-      case m =>
-        writer.mode(SdlSaveMode.toSpark(m)).save(path)
+    // stage metrics per write (reference SparkStageMetricsListener)
+    val (_, stageMetrics) = StageMetrics.collect(ctx.spark.sparkContext, id) {
+      mode match {
+        case SdlSaveMode.OverwriteOptimized if partitions.nonEmpty =>
+          // dynamic partition overwrite: only rewrite partitions present in df
+          writer.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .save(path)
+        case m =>
+          writer.mode(SdlSaveMode.toSpark(m)).save(path)
+      }
     }
     val rows = try obs.get("records_written").asInstanceOf[Long] catch { case _: Throwable => -1L }
+    // persist schema for schema-stable later reads (reference
+    // SparkFileDataObject .schema/currentSchema.json)
+    if (!isSelfDescribing) SchemaUtil.persistSchema(path, df.schema)
     housekeepingMode.foreach(_.exec(this))
     val jobMetrics = expObs.map(o =>
       graft.quality.DataQualityValidation.evaluateObserved(o, expectations)).getOrElse(Map.empty)
@@ -213,7 +229,7 @@ abstract class SparkFileDataObject extends DataObject
     val rateMetrics =
       graft.quality.DataQualityValidation.evaluateTransferRate(expectations, rows, duration)
     ActionMetrics(recordsWritten = rows, durationMillis = duration,
-      observedMetrics = jobMetrics ++ tableMetrics ++ rateMetrics)
+      observedMetrics = jobMetrics ++ tableMetrics ++ rateMetrics ++ stageMetrics)
   }
 
   /** Overwrite `path` with a DataFrame *derived from this object's own

@@ -20,8 +20,9 @@ class FileFormatsSpec extends AnyFunSuite {
     val df = Seq((1, "alpha"), (2, "beta")).toDF("id", "name")
     xml.writeDataFrame(df, Seq.empty, Some(SdlSaveMode.Overwrite))
     val back = xml.getDataFrame()
-    assert(back.select("id", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
-      Set((1L, "alpha"), (2L, "beta")))
+    // persisted schema keeps the written types (id stays Int, not inferred Long)
+    assert(back.select("id", "name").collect().map(r => (r.getInt(0), r.getString(1))).toSet ==
+      Set((1, "alpha"), (2, "beta")))
   }
 
   test("relaxed csv reconciles drifting schemas across files") {
