@@ -406,6 +406,29 @@ object SparkEntry {
         .select(col("doc_id"), col("image_meta.width").as("width"),
           col("image_meta.height").as("height"), size(col("features")).as("n_features"),
           size(col("frames")).as("n_frames"))
+    }),
+
+    // Connected components over a deterministic duplicate-pair graph
+    // (doc_id -> doc_id*2 chains) — clusters near-dup pairs into groups;
+    // oracle = DuckDB recursive CTE computing min-reachable id
+    "q33_duplicate_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val maxId = docs.agg(max(col("doc_id"))).collect().head.getLong(0)
+      val pairs = docs.where(col("doc_id") > 0 && col("doc_id") * 2 <= maxId)
+        .select(col("doc_id").as("id_a"), (col("doc_id") * 2).as("id_b"))
+      graft.functions.Dedup.duplicateClusters(pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+    }),
+
+    // IVF ANN top-k (KMeans cells, nprobe probing) — the index-backed
+    // 100TB similarity path; rows-only check (KMeans cells engine-specific)
+    "q34_ivf_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val query = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+      val index = graft.functions.Similarity.buildIvfIndex(
+        emb.where(col("vec_id") =!= 0), "vec_id", "embedding", nlist = 16)
+      index.topK(query, k = 10, nprobe = 4)
     })
   )
 
@@ -630,8 +653,20 @@ object SparkEntry {
         |       * sqrt(list_reduce(list_transform((SELECT qe FROM q), x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v)))
         |    AS cosine
         |  FROM embeddings WHERE vec_id <> 0)
-        |SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin
-    // q26/q27/q28/q31/q32: xxhash64/LSH/stub-codec based — engine-specific
-    // values, no SQL oracle; covered by ScalaTest specs + rows-only check.
+        |SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q33_duplicate_clusters" ->
+      """WITH RECURSIVE
+        |edges AS (
+        |  SELECT doc_id AS src, doc_id * 2 AS dst FROM documents
+        |  WHERE doc_id > 0 AND doc_id * 2 <= (SELECT max(doc_id) FROM documents)),
+        |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        |nodes AS (SELECT DISTINCT src AS id FROM sym),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT s.dst, reach.r FROM sym s JOIN reach ON s.src = reach.id)
+        |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
+    // q26/q27/q28/q31/q32/q34: xxhash64/LSH/stub-codec/KMeans based —
+    // engine-specific values, no SQL oracle; ScalaTest specs + rows-only.
   )
 }

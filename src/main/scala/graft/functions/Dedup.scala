@@ -196,6 +196,44 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over duplicate PAIRS → cluster id per document
+    * (the step after pair generation in a dedup pipeline: keep one doc per
+    * cluster). Iterative min-label propagation: each round every node takes
+    * the minimum label among itself and its neighbors — one shuffle join
+    * per round over the PAIR graph only (tiny next to the corpus), with
+    * early exit on convergence and lineage cuts via localCheckpoint so the
+    * plan stays bounded. Converges in O(component diameter) rounds; near-dup
+    * clusters are small and dense, so a handful in practice.
+    *
+    * @param pairs columns (id_a, id_b)
+    * @return (id, cluster_id) where cluster_id = min doc id in the component
+    */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val sym = edges.unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = updated.alias("u")
+        .join(labels.alias("l"), col("u.id") === col("l.id"))
+        .where(col("u.label") =!= col("l.label")).isEmpty
+      converged = changed
+      labels = updated
+      i += 1
+    }
+    sym.unpersist()
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** n-gram (word) Jaccard similarity for all pairs within a blocking key —
     * exact, for verification or small candidate sets. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,

@@ -73,6 +73,52 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) ANN index: corpus partitioned into `nlist` KMeans
+    * cells; a query probes only the `nprobe` nearest cells and re-ranks
+    * exactly inside them — the classic 100 TB ANN layout (build once, store
+    * the cell assignment as a partition column; queries scan nprobe/nlist
+    * of the data). KMeans from Spark ML, trained on a bounded sample.
+    */
+  case class IvfIndex(assigned: DataFrame, centroids: Array[Array[Double]],
+                      idCol: String, embCol: String) {
+    /** top-k by cosine among the `nprobe` cells nearest to the query */
+    def topK(query: Array[Float], k: Int, nprobe: Int): DataFrame = {
+      val qd = query.map(_.toDouble)
+      def dist2(c: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < c.length) { val d = c(i) - qd(i); s += d * d; i += 1 }
+        s
+      }
+      val cells = centroids.zipWithIndex.sortBy { case (c, _) => dist2(c) }
+        .take(math.max(nprobe, 1)).map(_._2)
+      assigned.where(col("_ivf_cell").isin(cells.toIndexedSeq: _*))
+        .select(col(idCol),
+          cosineSimilarity(col(embCol), array(qd.map(lit).toIndexedSeq: _*)).as("cosine"))
+        .orderBy(col("cosine").desc, col(idCol).asc)
+        .limit(k)
+    }
+  }
+
+  /** build an IVF index: sample-train KMeans, assign every row to a cell.
+    * The assignment is persisted — at scale you'd WRITE it partitioned by
+    * `_ivf_cell` so probes are partition-pruned scans. */
+  def buildIvfIndex(df: DataFrame, idCol: String, embCol: String,
+                    nlist: Int, trainSampleFraction: Double = 1.0,
+                    seed: Long = 42L): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecs = df.select(col(idCol), col(embCol),
+      array_to_vector(col(embCol).cast("array<double>")).as("_features"))
+    val train = if (trainSampleFraction >= 1.0) vecs else vecs.sample(trainSampleFraction, seed)
+    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("_features")
+      .fit(train)
+    val assigned = model.transform(vecs)
+      .withColumnRenamed(model.getPredictionCol, "_ivf_cell")
+      .select(col(idCol), col(embCol), col("_ivf_cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    IvfIndex(assigned, model.clusterCenters.map(_.toArray), idCol, embCol)
+  }
+
   /** LSH-bucketed ANN top-k for one query: score only rows in the query's
     * hyperplane bucket (or within `probeHamming` bits of it) — the 100 TB
     * path where brute force is off the table.

@@ -89,6 +89,36 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(lsh.head.getLong(0) == 1L)
   }
 
+  test("duplicate clusters: connected components of pair graph") {
+    // components: {1,2,3}, {5,6}, {9}
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 9L)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    assert(got(5L) == 5L && got(6L) == 5L)
+    assert(got(9L) == 9L)
+    // a longer chain converges too (diameter > 1 hop)
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val chained = Dedup.duplicateClusters(chain).collect().map(_.getLong(1)).distinct
+    assert(chained.toSeq == Seq(1L))
+  }
+
+  test("ivf index: identical vector found via nearest cells; recall vs brute force") {
+    val rnd = new scala.util.Random(11)
+    val corpus = (1L to 300L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat).toSeq))
+    val df = corpus.toDF("vec_id", "embedding")
+    val query = corpus(41)._2.toArray
+    val index = Similarity.buildIvfIndex(df, "vec_id", "embedding", nlist = 8)
+    val hits = index.topK(query, k = 5, nprobe = 2).collect()
+    assert(hits.head.getLong(0) == 42L) // its own cell is always probed first
+    assert(math.abs(hits.head.getDouble(1) - 1.0) < 1e-9)
+    // probing all cells == brute force
+    val all = index.topK(query, k = 5, nprobe = 8).collect().map(_.getLong(0)).toSeq
+    val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding", query, 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(all == brute)
+  }
+
   test("language id identifies real multilingual samples") {
     implicit val ctx = graft.core.ActionPipelineContext(spark, new graft.core.InstanceRegistry())
     val samples = Seq(
