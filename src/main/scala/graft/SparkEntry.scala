@@ -408,6 +408,18 @@ object SparkEntry {
           size(col("frames")).as("n_frames"))
     }),
 
+    // Grouping sets (multi-level aggregate in one pass — map-side partial
+    // aggregation per grouping set, single shuffle)
+    "q35_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  count(*) AS cnt,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+    }),
+
     // Connected components over a deterministic duplicate-pair graph
     // (doc_id -> doc_id*2 chains) — clusters near-dup pairs into groups;
     // oracle = DuckDB recursive CTE computing min-reachable id
@@ -665,7 +677,13 @@ object SparkEntry {
         |  SELECT id, id FROM nodes
         |  UNION
         |  SELECT s.dst, reach.r FROM sym s JOIN reach ON s.src = reach.id)
-        |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
+        |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+    "q35_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin
     // q26/q27/q28/q31/q32/q34: xxhash64/LSH/stub-codec/KMeans based —
     // engine-specific values, no SQL oracle; ScalaTest specs + rows-only.
   )

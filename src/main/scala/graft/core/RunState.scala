@@ -89,6 +89,36 @@ class RunStateStore(statePath: String, appName: String,
   }
 }
 
+/** Synchronous streaming: re-execute the whole DAG every trigger interval,
+  * runId incrementing per iteration, caches cleared between runs — the
+  * reference's `execActionDAG` loop (`app/SmartDataLakeBuilder.scala:
+  * 566-623`). Actions with incremental execution modes process only the
+  * new increment each iteration; a NoDataToProcessWarning iteration is a
+  * cheap no-op. Stop via `maxIterations` or the `stopSignal` flag. */
+object SyncStreamingRunner {
+  def runLoop(actions: Seq[Action], triggerIntervalSec: Long,
+              maxIterations: Int = Int.MaxValue,
+              stopSignal: () => Boolean = () => false,
+              parallelism: Int = 1)
+             (implicit ctx: ActionPipelineContext): Int = {
+    var iteration = 0
+    while (iteration < maxIterations && !stopSignal()) {
+      val iterCtx = ctx.copy(runId = ctx.runId + iteration)
+      val dag = new ActionDAGRun(actions, parallelism)
+      val t0 = System.currentTimeMillis()
+      dag.run()(iterCtx)
+      ctx.spark.sqlContext.clearCache() // reference clears cache between runs
+      iteration += 1
+      if (iteration < maxIterations && !stopSignal()) {
+        val elapsed = System.currentTimeMillis() - t0
+        val sleepMs = triggerIntervalSec * 1000 - elapsed
+        if (sleepMs > 0) Thread.sleep(sleepMs)
+      }
+    }
+    iteration
+  }
+}
+
 /** Stateful pipeline run: restores DataObject incremental state, skips
   * actions already succeeded in a recovered attempt, checkpoints per
   * action, and marks the run finished — the reference's

@@ -57,6 +57,31 @@ class RunStateSpec extends AnyFunSuite {
     assert(last.runId == 1 && last.attemptId == 2 && last.finished)
   }
 
+  test("synchronous streaming loop re-executes DAG per trigger, incremental mode picks up new data") {
+    import spark.implicits._
+    val inDir = tmpDir(); val outDir = tmpDir()
+    Seq((1, 100)).toDF("id", "ts").write.mode("append").parquet(inDir)
+    val reg = new InstanceRegistry
+    reg.register(ParquetFileDataObject("in", inDir))
+    reg.register(ParquetFileDataObject("out", outDir))
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    val action = CopyAction("c", "in", "out", saveMode = Some(SdlSaveMode.Append),
+      executionMode = Some(graft.operators.modes.DataFrameIncrementalMode("ts")))
+    var iterations = 0
+    val n = SyncStreamingRunner.runLoop(Seq(action), triggerIntervalSec = 0,
+      maxIterations = 3, stopSignal = () => {
+        // inject new data after the first iteration
+        if (iterations == 1)
+          Seq((2, 200)).toDF("id", "ts").write.mode("append").parquet(inDir)
+        iterations += 1
+        false
+      })
+    assert(n == 3)
+    // row 1 written once (iteration 2/3 saw no new ts <= skip), row 2 once
+    val out = spark.read.parquet(outDir).orderBy("id").collect().map(_.getInt(0)).toSeq
+    assert(out == Seq(1, 2))
+  }
+
   test("dataObject incremental state persists across runs") {
     import spark.implicits._
     val stateDir = tmpDir(); val inDir = tmpDir(); val outDir = tmpDir()
