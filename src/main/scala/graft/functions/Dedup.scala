@@ -215,6 +215,12 @@ object Dedup {
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    // labels only ever decrease, so the label SUM is a convergence
+    // fingerprint — one cheap agg over the checkpointed frame instead of a
+    // change-detection join per round
+    def fingerprint(df: DataFrame): Long =
+      df.agg(sum(col("label"))).collect().head.getLong(0)
+    var prevSum = fingerprint(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -223,10 +229,9 @@ object Dedup {
       val updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .localCheckpoint(true)
-      val changed = updated.alias("u")
-        .join(labels.alias("l"), col("u.id") === col("l.id"))
-        .where(col("u.label") =!= col("l.label")).isEmpty
-      converged = changed
+      val newSum = fingerprint(updated)
+      converged = newSum == prevSum
+      prevSum = newSum
       labels = updated
       i += 1
     }

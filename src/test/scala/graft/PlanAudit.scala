@@ -4,8 +4,8 @@ object PlanAudit {
   def main(args: Array[String]): Unit = {
     val spark = TestSession.spark
     val dir = "/root/testdata/sf0.01"
-    val interesting = Seq("q2_filter_project", "q3_revenue_by_nation", "q6_latest_event_per_user",
-      "q7_customers_without_orders", "q14_pk_violators", "q15_orders_per_customer", "q4_topk_orders")
+    val interesting = Seq("q17_dedup_two_loads", "q18_historize_full", "q19_historize_incremental",
+      "q20_cdc_historize", "q21_merge_upsert", "q24_exact_dedup", "q10_rollup_summary", "q16_approx_distinct")
     interesting.foreach { q =>
       val df = SparkEntry.queries(q)(spark, dir)
       val plan = df.queryExecution.executedPlan.toString
