@@ -82,7 +82,8 @@ object ConfigParser {
     o.getOrElse(throw new IllegalArgumentException(s"config '$id': missing required field '$field'"))
   private def typeName(n: JsonNode, id: String): String = require(str(n, "type"), id, "type")
   private def ddlSchema(n: JsonNode, f: String): Option[StructType] =
-    str(n, f).map(StructType.fromDDL)
+    str(n, f).map(spec => graft.sources.SchemaUtil.resolve(spec,
+      new org.apache.hadoop.conf.Configuration()))
 
   // ------------------------------------------------------------- connections
 

@@ -33,6 +33,60 @@ object SchemaUtil {
     if (path.endsWith(".ddl")) fromDdl(text) else fromJson(text)
   }
 
+  /** JSON Schema (draft-style: type/properties/items/required) →
+    * StructType. Reference supports JSON-schema files as a provider
+    * (`SchemaUtil.scala:312-325`). */
+  def fromJsonSchema(jsonSchema: String): StructType = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def convert(node: com.fasterxml.jackson.databind.JsonNode): DataType =
+      node.get("type").asText match {
+        case "object" =>
+          val required = Option(node.get("required")).map { r =>
+            val b = Seq.newBuilder[String]; r.elements().forEachRemaining(e => b += e.asText); b.result().toSet
+          }.getOrElse(Set.empty[String])
+          val props = node.get("properties")
+          val fields = Seq.newBuilder[org.apache.spark.sql.types.StructField]
+          if (props != null) props.properties().forEach { e =>
+            fields += org.apache.spark.sql.types.StructField(
+              e.getKey, convert(e.getValue), nullable = !required.contains(e.getKey))
+          }
+          StructType(fields.result())
+        case "array" =>
+          org.apache.spark.sql.types.ArrayType(convert(node.get("items")))
+        case "string" =>
+          Option(node.get("format")).map(_.asText) match {
+            case Some("date") => org.apache.spark.sql.types.DateType
+            case Some("date-time") => org.apache.spark.sql.types.TimestampType
+            case _ => org.apache.spark.sql.types.StringType
+          }
+        case "integer" => org.apache.spark.sql.types.LongType
+        case "number" => org.apache.spark.sql.types.DoubleType
+        case "boolean" => org.apache.spark.sql.types.BooleanType
+        case other => throw new IllegalArgumentException(s"unsupported JSON-schema type '$other'")
+      }
+    convert(mapper.readTree(jsonSchema)).asInstanceOf[StructType]
+  }
+
+  /** provider-string resolution, reference-style prefixes:
+    * `ddl:`, `json:` (StructType json), `jsonSchema:`,
+    * `ddlFile:`, `jsonFile:`, `jsonSchemaFile:`; no prefix = DDL. */
+  def resolve(spec: String, hadoopConf: org.apache.hadoop.conf.Configuration): StructType = {
+    def fileText(path: String): String = {
+      val p = new Path(path.trim)
+      val in = p.getFileSystem(hadoopConf).open(p)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+    }
+    spec.split(":", 2) match {
+      case Array("ddl", s) => fromDdl(s)
+      case Array("json", s) => fromJson(s)
+      case Array("jsonSchema", s) => fromJsonSchema(s)
+      case Array("ddlFile", p) => fromDdl(fileText(p))
+      case Array("jsonFile", p) => fromJson(fileText(p))
+      case Array("jsonSchemaFile", p) => fromJsonSchema(fileText(p))
+      case _ => fromDdl(spec)
+    }
+  }
+
   // ---- persisted schema alongside a file DataObject --------------------
 
   private def schemaFile(basePath: String) = new Path(basePath, ".schema/currentSchema.json")

@@ -21,6 +21,27 @@ class SchemaMetricsSpec extends AnyFunSuite {
     assert(SchemaUtil.fromDdl("id INT, name STRING").fieldNames.length == 2)
   }
 
+  test("json-schema provider and prefix resolution") {
+    val js =
+      """{"type":"object","required":["id"],"properties":{
+        |  "id": {"type":"integer"},
+        |  "name": {"type":"string"},
+        |  "born": {"type":"string","format":"date"},
+        |  "scores": {"type":"array","items":{"type":"number"}},
+        |  "addr": {"type":"object","properties":{"city":{"type":"string"}}}
+        |}}""".stripMargin
+    val s = SchemaUtil.fromJsonSchema(js)
+    assert(s("id").dataType == org.apache.spark.sql.types.LongType && !s("id").nullable)
+    assert(s("born").dataType == org.apache.spark.sql.types.DateType)
+    assert(s("scores").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+    assert(s("addr").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(SchemaUtil.resolve("ddl: x INT, y STRING", conf).fieldNames.length == 2)
+    assert(SchemaUtil.resolve("x INT", conf).fieldNames.toSeq == Seq("x"))
+    assert(SchemaUtil.resolve("jsonSchema:" + js, conf) == s)
+  }
+
   test("written csv persists schema; reads skip inference and keep types") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_sch").toString
