@@ -408,6 +408,25 @@ object SparkEntry {
           size(col("frames")).as("n_frames"))
     }),
 
+    // End-to-end corpus curation: quality ratios -> filter -> exact dedup
+    // -> per-language stats, composed as ONE declarative plan (single scan
+    // + one aggregation shuffle after the dedup groupBy)
+    "q36_corpus_curation" -> ((s, dir) => {
+      import graft.functions.{Dedup, TextAnalysis}
+      val docs = t(s, dir, "documents")
+      val scored = docs.select(col("doc_id"), col("text"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .where(col("n_tokens") >= 20 && col("punct_ratio") < 0.2)
+      val canonical = scored
+        .groupBy(Dedup.contentHash(col("text")).as("text_hash"))
+        .agg(min(col("doc_id")).as("doc_id"), min(col("n_tokens")).as("n_tokens"))
+      canonical.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("doc_id")).as("min_doc_id"))
+    }),
+
     // Grouping sets (multi-level aggregate in one pass — map-side partial
     // aggregation per grouping set, single shuffle)
     "q35_grouping_sets" -> ((s, dir) => {
@@ -678,6 +697,22 @@ object SparkEntry {
         |  UNION
         |  SELECT s.dst, reach.r FROM sym s JOIN reach ON s.src = reach.id)
         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+    "q36_corpus_curation" ->
+      """WITH scored AS (
+        |  SELECT doc_id, text,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\[\]{}]', '', 'g')) AS DOUBLE)
+        |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
+        |    len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents),
+        |filtered AS (
+        |  SELECT * FROM scored WHERE n_tokens >= 20 AND punct_ratio < 0.2),
+        |canonical AS (
+        |  SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'),
+        |    '\s+', ' ', 'g'))) AS text_hash,
+        |    min(doc_id) AS doc_id, min(n_tokens) AS n_tokens
+        |  FROM filtered GROUP BY 1)
+        |SELECT count(*) AS n_docs, sum(n_tokens) AS total_tokens, min(doc_id) AS min_doc_id
+        |FROM canonical""".stripMargin,
     "q35_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  count(*) AS cnt,
