@@ -6,6 +6,9 @@ unmanagedBase := file("/opt/spark/jars")
 // Test-only deps resolve from the pre-warmed coursier cache; anything
 // else is intentionally not resolvable (COURSIER_MODE=offline).
 libraryDependencies ++= Seq(
+  // HOCON — the reference's entire user surface is application.conf;
+  // com.typesafe:config:1.4.2 is present in the pre-warmed cache.
+  "com.typesafe" % "config" % "1.4.2",
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )

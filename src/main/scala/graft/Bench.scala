@@ -27,7 +27,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // sbt prefixes stdout with "[info] ", which broke the driver's JSON-line
+    // parse in round 1. Persist the JSON to a file as the robust channel
+    // (cwd bench.json + optional env override) AND print the bare line last.
+    val outPaths = Seq("bench.json") ++ sys.env.get("SPARK_GRAFT_BENCH_OUT")
+    outPaths.foreach { p =>
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] write $p failed: ${e.getMessage}") }
+    }
     spark.stop()
+    println(line)
   }
 }

@@ -37,7 +37,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // The driver keys result files as "<name>.parquet"; emit every oracle
+    // under BOTH "<name>" and "<name>.parquet" so either lookup convention
+    // matches (round-1 postmortem: suffix mismatch zeroed all 36 rows).
     val json = SparkEntry.oracleSql
+      .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -15,9 +15,11 @@ import scala.jdk.CollectionConverters._
   *
   * Mirrors the reference's HOCON config layer
   * (`sdl-core/config/ConfigParser.scala:53-187`: one factory per `type`,
-  * ids as map keys, feed selection). HOCON itself isn't on the offline
-  * classpath, so the concrete syntax is YAML/JSON via jackson; the
-  * structure matches the reference's `application.conf`:
+  * ids as map keys, feed selection). Reference-style HOCON
+  * `application.conf` is accepted natively (typesafe-config: includes,
+  * substitutions, `=` syntax) — HOCON input is resolved and rendered to
+  * JSON, then flows through the same jackson tree the YAML path uses.
+  * The YAML structure matches the reference's `application.conf`:
   *
   * {{{
   * dataObjects:
@@ -37,9 +39,28 @@ object ConfigParser {
 
   private val mapper = new ObjectMapper(new YAMLFactory())
 
-  /** Parse config text into a fresh registry. */
+  /** HOCON → JSON (resolving includes + `${}` substitutions), so the
+    * reference's `application.conf` syntax flows through the same tree. */
+  private def hoconToJson(configText: String): String =
+    com.typesafe.config.ConfigFactory.parseString(configText).resolve().root()
+      .render(com.typesafe.config.ConfigRenderOptions.concise())
+
+  /** Config text → jackson tree. YAML/JSON is tried first (historical
+    * default); anything YAML rejects — or that parses to a scalar/empty
+    * object without the expected sections — is re-parsed as HOCON. */
+  private def tree(configText: String): JsonNode = {
+    val sections = Seq("dataObjects", "actions", "connections", "global")
+    val yamlTry =
+      try {
+        val t = mapper.readTree(configText)
+        if (t != null && t.isObject && sections.exists(s => t.has(s))) Some(t) else None
+      } catch { case _: Exception => None }
+    yamlTry.getOrElse(mapper.readTree(hoconToJson(configText)))
+  }
+
+  /** Parse config text (HOCON, YAML or JSON) into a fresh registry. */
   def parse(configText: String): InstanceRegistry = {
-    val root = mapper.readTree(configText)
+    val root = tree(configText)
     val registry = new InstanceRegistry
     val connections = obj(root, "connections").map { case (id, n) => id -> parseConnection(id, n) }
     connections.values.foreach(registry.register)
@@ -50,12 +71,20 @@ object ConfigParser {
     registry
   }
 
-  def parseFile(path: String): InstanceRegistry =
-    parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
+  def parseFile(path: String): InstanceRegistry = {
+    val p = java.nio.file.Paths.get(path)
+    if (path.endsWith(".conf")) {
+      // native HOCON file parse so `include` resolves relative to the file
+      // (reference CLI accepts a list of .conf files/dirs the same way)
+      val json = com.typesafe.config.ConfigFactory.parseFile(p.toFile).resolve().root()
+        .render(com.typesafe.config.ConfigRenderOptions.concise())
+      parse(json)
+    } else parse(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+  }
 
   /** Feed membership of each parsed action (`metadata.feed`), for feedSel. */
   def parseFeeds(configText: String): Map[String, String] =
-    obj(mapper.readTree(configText), "actions").map { case (id, n) =>
+    obj(tree(configText), "actions").map { case (id, n) =>
       id -> str(n, "metadata.feed").getOrElse("default")
     }
 

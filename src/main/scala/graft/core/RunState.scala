@@ -141,6 +141,11 @@ object StatefulRun {
     val remaining = actions.filterNot(a => doneBefore.contains(a.id))
     val runCtx = ctx.copy(runId = rs0.runId, attemptId = rs0.attemptId)
     @volatile var rs = rs0
+    // actions complete concurrently (DAG pool threads): the read-modify-write
+    // below must be atomic or completions overwrite each other's entries —
+    // a lost SUCCEEDED entry re-executes its action on recovery (duplicate
+    // writes for Append/merge sinks)
+    val rsLock = new Object
     store.save(rs)
     def snapshotDoStates(): Map[String, String] =
       ctx.registry.allDataObjects.collect {
@@ -150,9 +155,11 @@ object StatefulRun {
     val dag = new ActionDAGRun(remaining, parallelism, onActionComplete = (id, feeds) => {
       val written = feeds.flatMap(_.metrics.map(_.recordsWritten)).headOption.getOrElse(-1L)
       val st = if (feeds.exists(_.isSkipped)) "SKIPPED" else "SUCCEEDED"
-      rs = rs.copy(actionsState = rs.actionsState + (id -> ActionState(st, written)),
-        dataObjectStates = rs.dataObjectStates ++ snapshotDoStates())
-      store.save(rs)
+      rsLock.synchronized {
+        rs = rs.copy(actionsState = rs.actionsState + (id -> ActionState(st, written)),
+          dataObjectStates = rs.dataObjectStates ++ snapshotDoStates())
+        store.save(rs)
+      }
     })
     val result =
       try dag.run()(runCtx)

@@ -33,11 +33,12 @@ abstract class StatefulAction extends DataFrameAction {
       case _ => None
     }
 
-  /** write new full state, handling the self-overwrite problem */
+  /** write new full state; ALWAYS staged — the plan reads the same object
+    * it overwrites, and a plain Overwrite truncates the source before the
+    * plan runs (JDBC drops the table first, Hive refuses outright) */
   protected def writeState(df: DataFrame)(implicit ctx: ActionPipelineContext): ActionMetrics =
     ctx.registry.dataObject(outputId) match {
-      case f: SparkFileDataObject => f.writeDataFrameStaged(df)
-      case w: CanWriteDataFrame => w.writeDataFrame(df, Seq.empty, Some(SdlSaveMode.Overwrite))
+      case w: CanWriteDataFrame => w.writeDataFrameStaged(df)
       case other => throw new IllegalArgumentException(s"${other.id} cannot write DataFrames")
     }
 
@@ -143,7 +144,7 @@ case class HistorizeAction(
     cdcOptions match {
       case Some(cdc) =>
         val replayed = Historization.cdcHistorize(feed, pk, cdc.timestampColumn, cdc.operationColumn, cdc.deleteValue)
-        existing.fold(replayed)(e => mergeCdc(e, replayed))
+        existing.fold(replayed)(e => mergeCdc(e, replayed, pk))
       case None =>
         existing match {
           case Some(e) if incrementalUpdate => Historization.incrementalHistorize(e, feed, pk, refTs)
@@ -158,8 +159,11 @@ case class HistorizeAction(
   /** CDC replay over existing history: new versions append; the previously
     * open record of each affected key is closed at the first new version's
     * captured − 1ms. */
-  private def mergeCdc(existing: DataFrame, replayed: DataFrame): DataFrame = {
-    val pk = primaryKey
+  /** pk is the RESOLVED key from computeState (effectivePk) — the raw
+    * constructor field may be empty when the key comes from table metadata,
+    * and groupBy() on zero columns would close every record at the global
+    * minimum CDC timestamp. */
+  private def mergeCdc(existing: DataFrame, replayed: DataFrame, pk: Seq[String]): DataFrame = {
     val firstNew = replayed.groupBy(pk.map(col): _*)
       .agg(min(col(Historization.captured)).as("_first_new_ts"))
     val closed = existing.join(firstNew, pk, "left")

@@ -95,6 +95,11 @@ case class DataFrameIncrementalMode(compareCol: String) extends ExecutionMode {
       case _ => None
     }
     val filtered = watermark.fold(inputDf)(w => inputDf.where(col(compareCol) > lit(w)))
+    // Empty increment MUST skip the action (reference
+    // DataFrameIncrementalMode.scala:89/106): with save mode Overwrite an
+    // empty write would destroy the existing output AND the watermark in it.
+    if (filtered.isEmpty)
+      throw NoDataToProcessWarning(action.id, s"no data above watermark ${watermark.getOrElse("-")} for ${action.id}")
     in.withDataFrame(filtered)
   }
 }

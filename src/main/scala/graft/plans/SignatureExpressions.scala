@@ -84,7 +84,9 @@ object ShingleKernel {
       val window = org.apache.spark.unsafe.types.UTF8String.fromString(s.substring(charIdx, end))
       hashes(i) = org.apache.spark.sql.catalyst.expressions.XXH64
         .hashUnsafeBytes(window.getBaseObject, window.getBaseOffset, window.numBytes, 42L)
-      charIdx += Character.charCount(s.codePointAt(charIdx))
+      // empty input still yields count=1 (hash of "" — matches substr("",i,n)
+      // HOF semantics); guard the advance or codePointAt(0) throws on ""
+      if (charIdx < s.length) charIdx += Character.charCount(s.codePointAt(charIdx))
       i += 1
     }
     java.util.Arrays.sort(hashes)

@@ -29,6 +29,19 @@ trait CanWriteDataFrame { this: DataObject =>
                     (implicit ctx: ActionPipelineContext): ActionMetrics
   /** Init-phase hook: validate schema without moving data. */
   def initWrite(df: DataFrame)(implicit ctx: ActionPipelineContext): Unit = ()
+  /** Overwrite with a plan that may READ THIS OBJECT's current data
+    * (dedup/historize read-modify-write). Plain Overwrite would truncate
+    * the source before the plan runs (JDBC drops the table first; Hive
+    * refuses). Sinks with a real staging path override this; the fallback
+    * materializes the plan into the block manager before overwriting.
+    * Reference solves the same with TickTockHiveTableDataObject:94-173. */
+  def writeDataFrameStaged(df: DataFrame)(implicit ctx: ActionPipelineContext): ActionMetrics = {
+    import org.apache.spark.storage.StorageLevel
+    val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    cached.count() // force full materialization — the write below must not re-read this object
+    try writeDataFrame(cached, Seq.empty, Some(SdlSaveMode.Overwrite))
+    finally cached.unpersist()
+  }
 }
 
 /** Reference `CanCreateStreamingDataFrame.scala`. */
@@ -240,7 +253,7 @@ abstract class SparkFileDataObject extends DataObject
     * (alternating tick/tock locations); staging+rename is the
     * Hadoop-FS-native equivalent (rename = metadata op).
     */
-  def writeDataFrameStaged(df: DataFrame)(implicit ctx: ActionPipelineContext): ActionMetrics = {
+  override def writeDataFrameStaged(df: DataFrame)(implicit ctx: ActionPipelineContext): ActionMetrics = {
     val t0 = System.currentTimeMillis()
     val staging = new Path(path + "_graft_staging")
     val obs = org.apache.spark.sql.Observation(s"graft_stage_${id}_${System.nanoTime()}")

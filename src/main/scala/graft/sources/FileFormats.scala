@@ -152,6 +152,11 @@ case class TickTockHiveTableDataObject(
     ActionMetrics(rows, System.currentTimeMillis() - t0)
   }
 
+  /** Tick-tock IS a staged write: the plan reading the active side writes
+    * to the inactive side, and the marker flip is the atomic commit. */
+  override def writeDataFrameStaged(df: DataFrame)(implicit ctx: ActionPipelineContext): ActionMetrics =
+    writeDataFrame(df, Seq.empty, Some(SdlSaveMode.Overwrite))
+
   /** point the catalog table at the active location (reference
     * `ALTER TABLE SET LOCATION`, HiveUtil) */
   private def syncCatalog(location: Path)(implicit ctx: ActionPipelineContext): Unit = {

@@ -75,11 +75,26 @@ case class HiveTableDataObject(
     analyzeTableAfterWrite: Boolean = false)
   extends TableDataObject with CanHandlePartitions with CanMergeDataFrame with CanEvolveSchema {
 
-  override def isTableExisting(implicit ctx: ActionPipelineContext): Boolean =
+  private def stagingName = table.fullName + "_graft_staging"
+  private def backupName = table.fullName + "_graft_old"
+
+  /** Crash recovery for the staged swap: if a failure hit between
+    * "rename target away" and "rename staging in", the backup still holds
+    * the complete previous state — restore it so readers keep serving the
+    * old state (reference guards failed writes the same way,
+    * `SparkFileDataObject.scala:537-542`). */
+  private def recoverSwap()(implicit ctx: ActionPipelineContext): Unit =
+    if (!ctx.spark.catalog.tableExists(table.fullName) && ctx.spark.catalog.tableExists(backupName))
+      ctx.spark.sql(s"ALTER TABLE $backupName RENAME TO ${table.fullName}")
+
+  override def isTableExisting(implicit ctx: ActionPipelineContext): Boolean = {
+    recoverSwap()
     ctx.spark.catalog.tableExists(table.fullName)
+  }
 
   override def getDataFrame(partitionValues: Seq[PartitionValues] = Seq.empty)
                            (implicit ctx: ActionPipelineContext): DataFrame = {
+    recoverSwap()
     val df = ctx.spark.table(table.fullName)
     PartitionValues.filterExpr(partitionValues).fold(df)(df.filter _)
   }
@@ -107,21 +122,71 @@ case class HiveTableDataObject(
     ActionMetrics(rows, System.currentTimeMillis() - t0)
   }
 
+  /** Overwrite with a plan that may read this table itself: stage to a temp
+    * table (materializing the plan), then swap. The swap is
+    * rename-away / rename-in / drop-backup — every crash window leaves a
+    * complete copy recoverable by `recoverSwap()` (the former DROP+RENAME
+    * had a window where the table was simply gone). */
+  override def writeDataFrameStaged(df: DataFrame)(implicit ctx: ActionPipelineContext): ActionMetrics = {
+    val t0 = System.currentTimeMillis()
+    ctx.spark.sql(s"DROP TABLE IF EXISTS $stagingName")
+    val obs = org.apache.spark.sql.Observation(s"graft_stage_${id}_${System.nanoTime()}")
+    val observed = df.observe(obs, count(lit(1)).as("records_written"))
+    val w0 = observed.write.format(format)
+    val w = if (partitions.nonEmpty) w0.partitionBy(partitions: _*) else w0
+    w.mode("overwrite").saveAsTable(stagingName)
+    ctx.spark.sql(s"DROP TABLE IF EXISTS $backupName")
+    if (ctx.spark.catalog.tableExists(table.fullName))
+      ctx.spark.sql(s"ALTER TABLE ${table.fullName} RENAME TO $backupName")
+    ctx.spark.sql(s"ALTER TABLE $stagingName RENAME TO ${table.fullName}")
+    ctx.spark.sql(s"DROP TABLE IF EXISTS $backupName")
+    val rows = try obs.get("records_written").asInstanceOf[Long] catch { case _: Throwable => -1L }
+    ActionMetrics(rows, System.currentTimeMillis() - t0)
+  }
+
   override def mergeDataFrame(df: DataFrame, joinCols: Seq[String],
                               options: SaveModeMergeOptions = SaveModeMergeOptions())
                              (implicit ctx: ActionPipelineContext): ActionMetrics = {
     val t0 = System.currentTimeMillis()
-    val merged =
-      if (isTableExisting) MergeEmulation.computeMergedState(getDataFrame(), df, joinCols, options)
-      else df
-    // self-overwrite needs materialization outside the source table: stage
-    // to a temp table then swap (reference solves the same problem with
-    // TickTockHiveTableDataObject:94-173 / Delta ACID)
-    val tmp = table.fullName + "_graft_staging"
-    merged.write.mode("overwrite").format(format).saveAsTable(tmp)
-    ctx.spark.sql(s"DROP TABLE IF EXISTS ${table.fullName}")
-    ctx.spark.sql(s"ALTER TABLE $tmp RENAME TO ${table.fullName}")
-    ActionMetrics(-1, System.currentTimeMillis() - t0)
+    if (!isTableExisting)
+      return writeDataFrame(df, Seq.empty, Some(SdlSaveMode.Overwrite))
+    if (partitions.nonEmpty) {
+      // Partition-scoped merge: only partitions TOUCHED by the feed are
+      // read and rewritten — at 100 TB an incremental load pays for its
+      // partitions, not the whole table. Assumes merge keys don't move rows
+      // across partitions (same constraint Hive/Delta partitioned merges
+      // carry in practice). Mirrors the reference's partition-pruning
+      // philosophy (`SparkFileDataObject.scala:265-294`).
+      val touched = df.select(partitions.map(c => col(c).cast("string")): _*).distinct()
+        .collect().map(r => PartitionValues(partitions.zipWithIndex.map { case (c, i) => c -> r.getString(i) }.toMap)).toSeq
+      val existingTouched = getDataFrame(touched)
+      val merged = MergeEmulation.computeMergedState(existingTouched, df, joinCols, options)
+      // materialize before insertInto: the plan reads the target table
+      val cached = merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        cached.count()
+        ctx.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        // insertInto is position-based: project to the catalog column order
+        val tableCols = ctx.spark.table(table.fullName).columns
+        cached.select(tableCols.map(c => col(s"`$c`")).toIndexedSeq: _*)
+          .write.mode("overwrite").insertInto(table.fullName)
+        // dynamic overwrite only replaces partitions PRESENT in the output;
+        // a touched partition emptied by deleteCondition must be dropped
+        if (options.deleteCondition.isDefined) {
+          val remaining = cached.select(partitions.map(c => col(c).cast("string")): _*).distinct()
+            .collect().map(r => partitions.zipWithIndex.map { case (c, i) => c -> r.getString(i) }.toMap).toSet
+          touched.map(_.elements).filterNot(remaining.contains).foreach { pv =>
+            val spec = pv.map { case (k, v) => s"$k='${v.replace("'", "''")}'" }.mkString(", ")
+            ctx.spark.sql(s"ALTER TABLE ${table.fullName} DROP IF EXISTS PARTITION ($spec)")
+          }
+        }
+      } finally cached.unpersist()
+      ActionMetrics(-1, System.currentTimeMillis() - t0)
+    } else {
+      val merged = MergeEmulation.computeMergedState(getDataFrame(), df, joinCols, options)
+      writeDataFrameStaged(merged)
+      ActionMetrics(-1, System.currentTimeMillis() - t0)
+    }
   }
 
   override def listPartitions(implicit ctx: ActionPipelineContext): Seq[PartitionValues] = {
@@ -185,6 +250,25 @@ case class JdbcTableDataObject(
           .option("dbtable", table.fullName).mode(SdlSaveMode.toSpark(m)).save()
     }
     postWriteSql.foreach(sql => withConnection(_.createStatement().execute(sql)))
+    ActionMetrics(-1, System.currentTimeMillis() - t0)
+  }
+
+  /** Overwrite with a plan that may read this table itself. Spark's JDBC
+    * overwrite DROPS the target before executing the plan, so a lazy
+    * read-modify-write would read an empty table and silently lose all
+    * history. Stage the plan into a temp JDBC table first (the plan still
+    * reads the intact target), then overwrite the target from a RE-READ of
+    * the staging table, then drop it. */
+  override def writeDataFrameStaged(df: DataFrame)(implicit ctx: ActionPipelineContext): ActionMetrics = {
+    val t0 = System.currentTimeMillis()
+    val tmpFull = table.db.map(_ + ".").getOrElse("") + table.name + "_graft_staging"
+    df.write.format("jdbc").options(readerOpts)
+      .option("dbtable", tmpFull).mode("overwrite").save()
+    val staged = ctx.spark.read.format("jdbc").options(readerOpts)
+      .option("dbtable", tmpFull).load()
+    staged.write.format("jdbc").options(readerOpts)
+      .option("dbtable", table.fullName).mode("overwrite").save()
+    withConnection(_.createStatement().execute(s"DROP TABLE $tmpFull"))
     ActionMetrics(-1, System.currentTimeMillis() - t0)
   }
 

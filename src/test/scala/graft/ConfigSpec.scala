@@ -88,6 +88,91 @@ class ConfigSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("unknown type 'bogus'"))
   }
 
+  test("HOCON config (reference application.conf syntax) parses: = syntax, substitutions, nested blocks") {
+    // mirrors reference sdl-core/src/test/resources/config/config.conf layout
+    // (`dataObjects = { id = { type = ... } }`, HOCON `=`, ${} substitution)
+    val cfg =
+      """basePath = /tmp/hocon_test
+        |connections {
+        |  conn1 = {
+        |    type = JdbcConnection
+        |    url = "jdbc:derby:memory:cfgdb;create=true"
+        |    driver = org.apache.derby.jdbc.EmbeddedDriver
+        |  }
+        |}
+        |dataObjects {
+        |  src-orders = {
+        |    type = CsvFileDataObject
+        |    path = ${basePath}"/in"
+        |    csvOptions { delimiter = ";" }
+        |  }
+        |  stg-orders = {
+        |    type = ParquetFileDataObject
+        |    path = ${basePath}"/out"
+        |    partitions = [dt]
+        |  }
+        |  tbl-orders = {
+        |    type = JdbcTableDataObject
+        |    connectionId = conn1
+        |    table { db = app, name = orders, primaryKey = [id] }
+        |  }
+        |}
+        |actions {
+        |  load-orders = {
+        |    type = CopyAction
+        |    inputId = src-orders
+        |    outputId = stg-orders
+        |    saveMode = OverwriteOptimized
+        |    transformers = [
+        |      { type = FilterTransformer, filterClause = "x > 1" }
+        |      { type = SQLDfTransformer, sql = "select * from %{inputViewName}" }
+        |    ]
+        |    executionMode = { type = PartitionDiffMode, nbOfPartitionValuesPerRun = 2 }
+        |    metadata { feed = staging }
+        |  }
+        |}
+        |""".stripMargin
+    val reg = ConfigParser.parse(cfg)
+    val src = reg.dataObject("src-orders").asInstanceOf[graft.sources.CsvFileDataObject]
+    assert(src.path == "/tmp/hocon_test/in" && src.options("delimiter") == ";")
+    val dst = reg.dataObject("stg-orders").asInstanceOf[graft.sources.ParquetFileDataObject]
+    assert(dst.partitions == Seq("dt"))
+    val tbl = reg.dataObject("tbl-orders").asInstanceOf[graft.sources.JdbcTableDataObject]
+    assert(tbl.table.fullName == "app.orders" && tbl.table.primaryKey.contains(Seq("id")))
+    assert(tbl.connection.url.startsWith("jdbc:derby:memory:cfgdb"))
+    val a = reg.action("load-orders").asInstanceOf[graft.operators.CopyAction]
+    assert(a.transformers.size == 2 && a.saveMode.contains(graft.core.SdlSaveMode.OverwriteOptimized))
+    assert(ConfigParser.parseFeeds(cfg) == Map("load-orders" -> "staging"))
+  }
+
+  test("HOCON config file with include runs a pipeline end-to-end") {
+    import spark.implicits._
+    val in = tmpDir(); val out = tmpDir(); val cfgDir = tmpDir()
+    Seq((1, "a"), (2, "b"), (3, "c")).toDF("amount", "name")
+      .write.mode("overwrite").option("header", "true").csv(in)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$cfgDir/objects.conf"),
+      s"""dataObjects {
+         |  src = { type = csv, path = "$in" }
+         |  dst = { type = parquet, path = "$out" }
+         |}""".stripMargin)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$cfgDir/application.conf"),
+      s"""include "objects.conf"
+         |actions {
+         |  load = {
+         |    type = copy
+         |    inputId = src
+         |    outputId = dst
+         |    transformers = [{ type = sql, sql = "select amount * 10 as amount10, name from %{inputViewName}" }]
+         |  }
+         |}""".stripMargin)
+    val reg = ConfigParser.parseFile(s"$cfgDir/application.conf")
+    implicit val ctx: graft.core.ActionPipelineContext = graft.core.ActionPipelineContext(spark, reg)
+    new graft.core.ActionDAGRun(reg.allActions, 1).run()
+    val got = spark.read.parquet(out).orderBy("amount10")
+      .collect().map(_.getAs[Int]("amount10")).toSeq
+    assert(got == Seq(10, 20, 30))
+  }
+
   test("multi-action DAG from config: copy then deduplicate downstream") {
     import spark.implicits._
     val in = tmpDir(); val mid = tmpDir(); val out = tmpDir()

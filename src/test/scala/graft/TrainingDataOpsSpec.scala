@@ -156,4 +156,31 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     val f2 = out.where(col("id") === 1).select(col("features")).collect().head.getSeq[Float](0)
     assert(f1 == f2)
   }
+
+  test("multimodal decode is REAL for JDK-supported formats: PNG metadata equals encoded dimensions") {
+    // author an actual 20x10 PNG in-memory (javax.imageio, JDK built-in)
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, png(20, 10, 0xff0000)),                       // real PNG
+      (2L, "definitely not an image".getBytes("UTF-8"))  // undecodable → stub fallback
+    ).toDF("id", "content")
+    val out = graft.operators.Multimodal.withImageFeatures(
+      graft.operators.Multimodal.withImageMetadata(media), dim = 12)
+    val byId = out.select(col("id"), col("image_meta.width"), col("image_meta.height"),
+        col("image_meta.format"), col("features"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3), r.getSeq[Float](4)))).toMap
+    val (w1, h1, fmt1, feat1) = byId(1L)
+    assert(w1 == 20 && h1 == 10 && fmt1 == "png")
+    // pure red image → R channel samples saturate to +1, G/B to -1
+    assert(feat1.zipWithIndex.forall { case (v, i) =>
+      if (i % 3 == 0) math.abs(v - 1f) < 0.02f else math.abs(v + 1f) < 0.02f })
+    val (_, _, fmt2, feat2) = byId(2L)
+    assert(fmt2 == "stub" && feat2.size == 12)
+  }
 }

@@ -29,6 +29,10 @@ def main(sf_dir, out_dir):
               "events","documents","embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Verify emits each oracle under both "<name>" and "<name>.parquet"
+    # (the driver looks up by result file name); dedupe to the bare name.
+    oracle = {name[:-len(".parquet")] if name.endswith(".parquet") else name: sql
+              for name, sql in oracle.items()}
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         try:
