@@ -460,6 +460,32 @@ object SparkEntry {
       val index = graft.functions.Similarity.buildIvfIndex(
         emb.where(col("vec_id") =!= 0), "vec_id", "embedding", nlist = 16)
       index.topK(query, k = 10, nprobe = 4)
+    }),
+
+    // MinHash+LSH PLANTED-pair recall, oracled exactly: the planted
+    // near-dups (doc ⊕ fixed suffix) have exact char-5-gram Jaccard the
+    // oracle can compute in DuckDB; LSH must find every one (recall = 1.0 —
+    // deterministic with fixed hash seeds), and the verified jaccard values
+    // are set-cardinality ratios → bit-identical across engines.
+    "q37_minhash_planted_recall" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val nearDups = docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" extra trailing tokens appended here")).as("text"))
+      graft.functions.Dedup.minhashDuplicatePairs(docs.unionByName(nearDups), "doc_id", "text",
+        shingleSize = 5, numHashes = 32, bands = 8, threshold = 0.5)
+        .where(col("id_b") === col("id_a") + 2000000L && col("id_a") % 7 === 0)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    }),
+
+    // Benchmark decontamination: corpus docs sharing word-5-grams with a
+    // benchmark set (docs ≡ 1 mod 13 stand in for the eval set). One
+    // broadcast join + partial-agg count — DuckDB-expressible exactly.
+    "q38_decontamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val benchmark = docs.where(col("doc_id") % 13 === 1).select(col("text"))
+      graft.functions.Decontamination.contaminationReport(
+        docs, "doc_id", "text", benchmark, "text", n = 5, minOverlap = 1)
     })
   )
 
@@ -718,8 +744,48 @@ object SparkEntry {
         |  count(*) AS cnt,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders
-        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
     // q26/q27/q28/q31/q32/q34: xxhash64/LSH/stub-codec/KMeans based —
     // engine-specific values, no SQL oracle; ScalaTest specs + rows-only.
+
+    // q37: the planted pairs' exact char-5-gram jaccard IS computable in SQL
+    // (shingle-hash sets are collision-free at this scale, so |hash set| =
+    // |string set| and the ratio matches bit-for-bit); LSH recall on the
+    // planted pairs must be 1.0 for rows to match.
+    "q37_minhash_planted_recall" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS na,
+        |    trim(regexp_replace(regexp_replace(lower(text || ' extra trailing tokens appended here'), '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS nb
+        |  FROM documents WHERE doc_id % 7 = 0
+        |), sets AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(length(na)-4,1)+1), i -> substring(na, i, 5))) AS sa,
+        |    list_distinct(list_transform(range(1, greatest(length(nb)-4,1)+1), i -> substring(nb, i, 5))) AS sb
+        |  FROM planted
+        |), j AS (
+        |  SELECT doc_id AS id_a, doc_id + 2000000 AS id_b,
+        |    CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
+        |      (CAST(len(sa) + len(sb) AS DOUBLE) - CAST(len(list_intersect(sa, sb)) AS DOUBLE)) AS jaccard
+        |  FROM sets
+        |)
+        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin,
+    "q38_decontamination" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS n
+        |  FROM documents
+        |), ngrams AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(string_split(n, ' '))-4,1)+1),
+        |    i -> array_to_string(list_slice(string_split(n, ' '), i, i+4), ' '))) AS ngs
+        |  FROM norm
+        |), bench AS (
+        |  SELECT DISTINCT unnest(ngs) AS ng FROM ngrams WHERE doc_id % 13 = 1
+        |), corpus AS (
+        |  SELECT doc_id, unnest(ngs) AS ng FROM ngrams
+        |)
+        |SELECT c.doc_id, count(*) AS n_contaminated_ngrams
+        |FROM corpus c JOIN bench b USING (ng)
+        |GROUP BY c.doc_id
+        |HAVING count(*) >= 1""".stripMargin
   )
 }

@@ -122,7 +122,7 @@ object Dedup {
     * bound and a few small input files would otherwise serialize it on one
     * core. A 100 TB input already exceeds the target and passes through
     * untouched (no shuffle). */
-  private def ensureParallelism(df: DataFrame, byCol: String): DataFrame = {
+  private[functions] def ensureParallelism(df: DataFrame, byCol: String): DataFrame = {
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
     if (df.rdd.getNumPartitions < target) df.repartition(target, col(byCol)) else df
   }

@@ -81,7 +81,10 @@ object Similarity {
     */
   case class IvfIndex(assigned: DataFrame, centroids: Array[Array[Double]],
                       idCol: String, embCol: String) {
-    /** top-k by cosine among the `nprobe` cells nearest to the query */
+    /** top-k by cosine among the `nprobe` cells nearest to the query.
+      * On a LOADED index (see [[IvfIndex.load]]) `_ivf_cell` is a partition
+      * column, so this `isin` becomes a PartitionFilter — the scan touches
+      * only nprobe/nlist of the files, which is the whole point at 100 TB. */
     def topK(query: Array[Float], k: Int, nprobe: Int): DataFrame = {
       val qd = query.map(_.toDouble)
       def dist2(c: Array[Double]): Double = {
@@ -96,6 +99,37 @@ object Similarity {
           cosineSimilarity(col(embCol), array(qd.map(lit).toIndexedSeq: _*)).as("cosine"))
         .orderBy(col("cosine").desc, col(idCol).asc)
         .limit(k)
+    }
+
+    /** Persist the index: row→cell assignment written `partitionBy(_ivf_cell)`
+      * (one directory per cell → probes are partition-pruned scans) plus the
+      * centroid matrix as a small JSON sidecar. */
+    def write(path: String)(implicit spark: org.apache.spark.sql.SparkSession): Unit = {
+      assigned.write.mode("overwrite").partitionBy("_ivf_cell").parquet(s"$path/data")
+      val json = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+      val p = new org.apache.hadoop.fs.Path(s"$path/centroids.json")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  object IvfIndex {
+    /** Load a persisted index. The returned index's `topK` reads ONLY the
+      * probed cells' directories (`_ivf_cell` is a partition column, so the
+      * cell filter prunes at planning time — verify with PartitionFilters
+      * in the executed plan). */
+    def load(spark: org.apache.spark.sql.SparkSession, path: String,
+             idCol: String, embCol: String): IvfIndex = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/centroids.json")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(p)
+      val json = try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+      // tiny fixed-shape doc ([[d,d,...],...]) — parse without a json lib
+      val centroids = json.trim.stripPrefix("[").stripSuffix("]")
+        .split("\\],\\s*\\[").map(row =>
+          row.replaceAll("[\\[\\]]", "").split(",").map(_.trim.toDouble))
+      IvfIndex(spark.read.parquet(s"$path/data"), centroids, idCol, embCol)
     }
   }
 

@@ -351,7 +351,11 @@ case class JsonFileDataObject(
   override val options: Map[String, String] = jsonOptions
 }
 
-/** Avro files. Reference `AvroFileDataObject.scala`. */
+/** Avro files. Reference `AvroFileDataObject.scala`. Spark 4 bundles the
+  * avro classes in spark-sql but not its DataSourceRegister entry; this
+  * library ships the service registration
+  * (`META-INF/services/...DataSourceRegister`) so `format("avro")`
+  * resolves — fully functional at runtime, round-trip tested. */
 case class AvroFileDataObject(
     id: String, path: String,
     override val partitions: Seq[String] = Seq.empty,

@@ -5,11 +5,13 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Schema definition sources ("schema providers"). Reference:
-  * `sdl-core/util/misc/SchemaUtil.scala:147-151,312-325` — DDL string/file,
-  * Scala case class, JSON schema; plus the persisted
+  * `sdl-core/util/misc/SchemaUtil.scala:143-151,312-325` — DDL string/file,
+  * Scala case class, JSON schema, Avro schema (`getSchemaFromAvroSchema`),
+  * XSD (`getSchemaFromXsd` via `SdlbXsdURIResolver`); plus the persisted
   * `.schema/currentSchema.json` written next to file DataObjects
-  * (`SparkFileDataObject.scala:114-170`). XSD/Avro schema providers need
-  * jars not present offline.
+  * (`SparkFileDataObject.scala:114-170`). Avro maps through Spark's bundled
+  * `sql.avro.SchemaConverters`; XSD through xmlschema-core (both ship in
+  * /opt/spark/jars).
   */
 object SchemaUtil {
 
@@ -67,9 +69,94 @@ object SchemaUtil {
     convert(mapper.readTree(jsonSchema)).asInstanceOf[StructType]
   }
 
+  /** Avro schema (.avsc text) → StructType, exactly the reference's
+    * mapping (`SchemaUtil.getSchemaFromAvroSchema:143-145`): Avro unions
+    * with null become nullable fields, logical date/timestamp types map to
+    * DateType/TimestampType. */
+  def fromAvroSchema(avsc: String): StructType =
+    org.apache.spark.sql.avro.SchemaConverters
+      .toSqlType(new org.apache.avro.Schema.Parser().parse(avsc))
+      .dataType.asInstanceOf[StructType]
+
+  /** XSD → StructType (reference `getSchemaFromXsd:147-151` /
+    * `SdlbXsdURIResolver.readXsd`). Supports the practical subset:
+    * complexTypes with sequence/all particles, named-type references,
+    * attributes (prefixed `_` like spark-xml), maxOccurs>1 → ArrayType,
+    * minOccurs=0 or nillable → nullable; recursion capped at
+    * `maxRecursion` (reference default 10). */
+  def fromXsd(xsdContent: String, rowElementName: Option[String] = None,
+              maxRecursion: Int = 10): StructType = {
+    import org.apache.ws.commons.schema._
+    import scala.jdk.CollectionConverters._
+    val collection = new XmlSchemaCollection()
+    val schema = collection.read(new java.io.StringReader(xsdContent))
+    val elements = schema.getElements.asScala
+    val root = rowElementName match {
+      case Some(n) => elements.collectFirst { case (q, e) if q.getLocalPart == n => e }
+        .getOrElse(throw new IllegalArgumentException(s"XSD: no top-level element '$n'"))
+      case None =>
+        require(elements.size == 1, s"XSD has ${elements.size} top-level elements; pass rowElementName")
+        elements.values.head
+    }
+    def simpleType(qn: javax.xml.namespace.QName): DataType = qn.getLocalPart match {
+      case "string" | "normalizedString" | "token" | "anyURI" | "QName" => org.apache.spark.sql.types.StringType
+      case "int" | "unsignedShort" => org.apache.spark.sql.types.IntegerType
+      case "long" | "integer" | "unsignedInt" | "nonNegativeInteger" | "positiveInteger" => org.apache.spark.sql.types.LongType
+      case "short" | "byte" | "unsignedByte" => org.apache.spark.sql.types.ShortType
+      case "decimal" => org.apache.spark.sql.types.DecimalType(38, 18)
+      case "double" => org.apache.spark.sql.types.DoubleType
+      case "float" => org.apache.spark.sql.types.FloatType
+      case "boolean" => org.apache.spark.sql.types.BooleanType
+      case "date" => org.apache.spark.sql.types.DateType
+      case "dateTime" => org.apache.spark.sql.types.TimestampType
+      case "base64Binary" | "hexBinary" => org.apache.spark.sql.types.BinaryType
+      case _ => org.apache.spark.sql.types.StringType
+    }
+    def resolveType(e: XmlSchemaElement): XmlSchemaType =
+      Option(e.getSchemaType).orElse(
+        Option(e.getSchemaTypeName).map(collection.getTypeByQName)).orNull
+    def typeOf(t: XmlSchemaType, e: XmlSchemaElement, depth: Int): DataType = t match {
+      case null => org.apache.spark.sql.types.StringType
+      case _: XmlSchemaSimpleType =>
+        Option(e.getSchemaTypeName).map(simpleType).getOrElse(org.apache.spark.sql.types.StringType)
+      case ct: XmlSchemaComplexType =>
+        if (depth >= maxRecursion) org.apache.spark.sql.types.StringType
+        else complexToStruct(ct, depth + 1)
+      case _ => org.apache.spark.sql.types.StringType
+    }
+    def complexToStruct(ct: XmlSchemaComplexType, depth: Int): StructType = {
+      val attrFields = ct.getAttributes.asScala.collect {
+        case a: XmlSchemaAttribute =>
+          val dt = Option(a.getSchemaTypeName).map(simpleType)
+            .getOrElse(org.apache.spark.sql.types.StringType)
+          org.apache.spark.sql.types.StructField("_" + a.getName, dt,
+            nullable = a.getUse != XmlSchemaUse.REQUIRED)
+      }.toSeq
+      val members: Seq[XmlSchemaElement] = ct.getParticle match {
+        case s: XmlSchemaSequence => s.getItems.asScala.collect { case e: XmlSchemaElement => e }.toSeq
+        case a: XmlSchemaAll => a.getItems.asScala.collect { case e: XmlSchemaElement => e }.toSeq
+        case c: XmlSchemaChoice => c.getItems.asScala.collect { case e: XmlSchemaElement => e }.toSeq
+        case _ => Seq.empty
+      }
+      val elemFields = members.map { m =>
+        val base = typeOf(resolveType(m), m, depth)
+        val dt = if (m.getMaxOccurs > 1) org.apache.spark.sql.types.ArrayType(base) else base
+        org.apache.spark.sql.types.StructField(m.getName, dt,
+          nullable = m.getMinOccurs == 0 || m.isNillable || m.getMaxOccurs > 1)
+      }
+      StructType(attrFields ++ elemFields)
+    }
+    resolveType(root) match {
+      case ct: XmlSchemaComplexType => complexToStruct(ct, 0)
+      case _ => throw new IllegalArgumentException("XSD root element must have a complexType")
+    }
+  }
+
   /** provider-string resolution, reference-style prefixes:
-    * `ddl:`, `json:` (StructType json), `jsonSchema:`,
-    * `ddlFile:`, `jsonFile:`, `jsonSchemaFile:`; no prefix = DDL. */
+    * `ddl:`, `json:` (StructType json), `jsonSchema:`, `avroSchema:`,
+    * `ddlFile:`, `jsonFile:`, `jsonSchemaFile:`, `avroSchemaFile:`,
+    * `xsdFile:` (optionally `xsdFile:<path>;<rowElement>`);
+    * no prefix = DDL. */
   def resolve(spec: String, hadoopConf: org.apache.hadoop.conf.Configuration): StructType = {
     def fileText(path: String): String = {
       val p = new Path(path.trim)
@@ -80,9 +167,15 @@ object SchemaUtil {
       case Array("ddl", s) => fromDdl(s)
       case Array("json", s) => fromJson(s)
       case Array("jsonSchema", s) => fromJsonSchema(s)
+      case Array("avroSchema", s) => fromAvroSchema(s)
       case Array("ddlFile", p) => fromDdl(fileText(p))
       case Array("jsonFile", p) => fromJson(fileText(p))
       case Array("jsonSchemaFile", p) => fromJsonSchema(fileText(p))
+      case Array("avroSchemaFile", p) => fromAvroSchema(fileText(p))
+      case Array("xsdFile", p) => p.split(";", 2) match {
+        case Array(path, rowEl) => fromXsd(fileText(path), Some(rowEl.trim))
+        case Array(path) => fromXsd(fileText(path))
+      }
       case _ => fromDdl(spec)
     }
   }

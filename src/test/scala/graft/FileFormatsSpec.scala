@@ -76,4 +76,20 @@ class FileFormatsSpec extends AnyFunSuite {
     assert(spark.table("tt_cat").count() == 1)
     spark.sql("DROP TABLE IF EXISTS tt_cat")
   }
+
+  test("avro data object round-trips rows and partitions (builtin avro in Spark 4)") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val avro = AvroFileDataObject("av1", dir, partitions = Seq("dt"))
+    avro.writeDataFrame(
+      Seq((1, "a", "2024-01-01"), (2, "b", "2024-01-02")).toDF("id", "v", "dt"),
+      Seq.empty, Some(graft.core.SdlSaveMode.Overwrite))
+    val back = avro.getDataFrame().orderBy("id")
+      .collect().map(r => (r.getAs[Int]("id"), r.getAs[String]("v"))).toSeq
+    assert(back == Seq((1, "a"), (2, "b")))
+    assert(avro.listPartitions.map(_.elements("dt")).sorted == Seq("2024-01-01", "2024-01-02"))
+    // avro files actually on disk
+    val files = new java.io.File(dir, "dt=2024-01-01").listFiles()
+    assert(files.exists(_.getName.endsWith(".avro")))
+  }
 }

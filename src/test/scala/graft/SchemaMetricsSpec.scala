@@ -42,6 +42,82 @@ class SchemaMetricsSpec extends AnyFunSuite {
     assert(SchemaUtil.resolve("jsonSchema:" + js, conf) == s)
   }
 
+  test("avro-schema provider: records, nullable unions, logical types") {
+    val avsc =
+      """{"type":"record","name":"Person","fields":[
+        |  {"name":"id","type":"long"},
+        |  {"name":"name","type":["null","string"],"default":null},
+        |  {"name":"born","type":{"type":"int","logicalType":"date"}},
+        |  {"name":"scores","type":{"type":"array","items":"double"}},
+        |  {"name":"addr","type":{"type":"record","name":"Addr","fields":[
+        |    {"name":"city","type":"string"}]}}
+        |]}""".stripMargin
+    val s = SchemaUtil.fromAvroSchema(avsc)
+    assert(s("id").dataType == org.apache.spark.sql.types.LongType && !s("id").nullable)
+    assert(s("name").dataType == org.apache.spark.sql.types.StringType && s("name").nullable)
+    assert(s("born").dataType == org.apache.spark.sql.types.DateType)
+    assert(s("scores").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType, containsNull = false))
+    assert(s("addr").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    // file-prefix round trip
+    val f = java.nio.file.Files.createTempFile("graft_schema", ".avsc")
+    java.nio.file.Files.writeString(f, avsc)
+    assert(SchemaUtil.resolve(s"avroSchemaFile:$f", spark.sparkContext.hadoopConfiguration) == s)
+  }
+
+  test("xsd provider: sequence elements, attributes, occurs/nillable, nesting") {
+    val xsd =
+      """<?xml version="1.0"?>
+        |<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |  <xs:element name="order">
+        |    <xs:complexType>
+        |      <xs:sequence>
+        |        <xs:element name="id" type="xs:long"/>
+        |        <xs:element name="note" type="xs:string" minOccurs="0"/>
+        |        <xs:element name="qty" type="xs:int" nillable="true"/>
+        |        <xs:element name="price" type="xs:double"/>
+        |        <xs:element name="placed" type="xs:dateTime"/>
+        |        <xs:element name="tag" type="xs:string" maxOccurs="unbounded"/>
+        |        <xs:element name="addr">
+        |          <xs:complexType><xs:sequence>
+        |            <xs:element name="city" type="xs:string"/>
+        |          </xs:sequence></xs:complexType>
+        |        </xs:element>
+        |      </xs:sequence>
+        |      <xs:attribute name="version" type="xs:int" use="required"/>
+        |    </xs:complexType>
+        |  </xs:element>
+        |</xs:schema>""".stripMargin
+    val s = SchemaUtil.fromXsd(xsd)
+    assert(s("id").dataType == org.apache.spark.sql.types.LongType && !s("id").nullable)
+    assert(s("note").nullable)
+    assert(s("qty").dataType == org.apache.spark.sql.types.IntegerType && s("qty").nullable)
+    assert(s("price").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(s("placed").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(s("tag").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))
+    assert(s("addr").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]("city").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(s("_version").dataType == org.apache.spark.sql.types.IntegerType && !s("_version").nullable)
+    // xsdFile: prefix with explicit row element
+    val f = java.nio.file.Files.createTempFile("graft_schema", ".xsd")
+    java.nio.file.Files.writeString(f, xsd)
+    assert(SchemaUtil.resolve(s"xsdFile:$f;order", spark.sparkContext.hadoopConfiguration) == s)
+    // an XSD-declared schema drives a real XML read
+    val dir = java.nio.file.Files.createTempDirectory("graft_xsdxml").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/orders.xml"),
+      """<orders>
+        |  <order version="1"><id>7</id><qty>3</qty><price>9.5</price>
+        |    <placed>2024-01-01T10:00:00Z</placed><tag>a</tag><tag>b</tag>
+        |    <addr><city>Bern</city></addr></order>
+        |</orders>""".stripMargin)
+    val xml = XmlFileDataObject("x1", dir, rowTag = "order", schema = Some(s))
+    val row = xml.getDataFrame().collect().head
+    assert(row.getAs[Long]("id") == 7L)
+    assert(row.getAs[scala.collection.Seq[String]]("tag").toSeq == Seq("a", "b"))
+    assert(row.getAs[Int]("_version") == 1)
+  }
+
   test("written csv persists schema; reads skip inference and keep types") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_sch").toString

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Dedup, Similarity, TextAnalysis}
+import graft.functions.{Decontamination, Dedup, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -117,6 +117,51 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding", query, 5)
       .collect().map(_.getLong(0)).toSeq
     assert(all == brute)
+  }
+
+  test("ivf index write/load: probe is a partition-pruned scan (PartitionFilters on _ivf_cell)") {
+    implicit val s = spark
+    val rnd = new scala.util.Random(7)
+    val corpus = (1L to 300L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat).toSeq))
+    val df = corpus.toDF("vec_id", "embedding")
+    val query = corpus(41)._2.toArray
+    val built = Similarity.buildIvfIndex(df, "vec_id", "embedding", nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    built.write(dir)
+    val loaded = Similarity.IvfIndex.load(spark, dir, "vec_id", "embedding")
+    assert(loaded.centroids.length == 8 && loaded.centroids.forall(_.length == 16))
+    // identical results from the persisted index
+    val fromLoaded = loaded.topK(query, k = 5, nprobe = 8).collect().map(_.getLong(0)).toSeq
+    val fromBuilt = built.topK(query, k = 5, nprobe = 8).collect().map(_.getLong(0)).toSeq
+    assert(fromLoaded == fromBuilt)
+    // the probe plan must prune at the partition level: the cell filter
+    // shows up as PartitionFilters on the file scan, NOT a post-scan Filter
+    val probe = loaded.topK(query, k = 5, nprobe = 2)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_ivf_cell"))
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("_ivf_cell"), s"cell filter not in PartitionFilters: $pf")
+    // and only nprobe of the 8 cell directories are actually read
+    val scanned = probe.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(scanned.nonEmpty && scanned.head == 2, s"expected 2 cells scanned, got $scanned")
+  }
+
+  test("decontamination flags docs sharing word n-grams with a benchmark") {
+    val bench = Seq("the quick brown fox jumps over the lazy dog tonight").toDF("text")
+    val corpus = Seq(
+      (1L, "something about the quick brown fox jumps over the lazy dog again"), // 5-gram overlap
+      (2L, "completely unrelated content with no shared phrases at all here"),
+      (3L, "the quick brown fox jumps over the lazy dog tonight")                // the benchmark doc itself
+    ).toDF("doc_id", "text")
+    val got = Decontamination.contaminationReport(corpus, "doc_id", "text", bench, "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.contains(1L) && got.contains(3L) && !got.contains(2L))
+    // doc 3 is identical: every one of its 5-grams overlaps (6 five-grams in 10 tokens)
+    assert(got(3L) == 6L)
+    assert(got(1L) >= 1L && got(1L) < got(3L))
   }
 
   test("language id identifies real multilingual samples") {
