@@ -121,10 +121,17 @@ object Dedup {
     * fewer partitions — per-row signature work (minhash/simhash) is CPU
     * bound and a few small input files would otherwise serialize it on one
     * core. A 100 TB input already exceeds the target and passes through
-    * untouched (no shuffle). */
+    * untouched (no shuffle).
+    *
+    * Parallelism is estimated from the leaf scans' file count: `inputFiles`
+    * reuses the relation's cached file listing, where `df.rdd` would force
+    * a full extra physical-planning pass per call. Non-file-backed frames
+    * (in-memory test data, post-shuffle inputs) report zero files and get
+    * repartitioned — tiny by construction, so the extra shuffle is noise. */
   private[functions] def ensureParallelism(df: DataFrame, byCol: String): DataFrame = {
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions < target) df.repartition(target, col(byCol)) else df
+    val nFiles = try df.inputFiles.length catch { case _: Exception => target }
+    if (nFiles < target) df.repartition(target, col(byCol)) else df
   }
 
   /** Jaccard similarity of two (distinct-element) arrays */

@@ -114,6 +114,25 @@ object Multimodal {
       }
       out
     }
+
+    /** decode → scale (smooth) → PNG bytes; null when not a decodable image */
+    def resizeImage(content: Array[Byte], width: Int, height: Int): Array[Byte] = {
+      if (content == null || content.isEmpty || !looksLikeImage(content)) return null
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+        catch { case _: Exception => null }
+      if (img == null) return null
+      val scaled = new java.awt.image.BufferedImage(width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = scaled.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, width, height, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(scaled, "png", bos)
+      bos.toByteArray
+    }
   }
 
   /** STUB decode fallback: deterministic metadata/features derived from the
@@ -157,6 +176,23 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         Row.fromSeq(r.toSeq :+ Codecs.imageFeatures(r.getAs[Array[Byte]](contentIdx), dim).toSeq)
+      }
+    }(enc)
+  }
+
+  /** Real image resize (JDK-decodable formats): decode → smooth-scale →
+    * re-encode as PNG. Undecodable payloads map to null (carry the original
+    * in `contentCol` if needed). Runs in the same batched mapPartitions
+    * shape as decode. */
+  def withResizedImage(df: DataFrame, contentCol: String = "content",
+                       width: Int = 224, height: Int = 224,
+                       outCol: String = "content_resized"): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(outCol, BinaryType))
+    val contentIdx = df.schema.fieldIndex(contentCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        Row.fromSeq(r.toSeq :+ Codecs.resizeImage(r.getAs[Array[Byte]](contentIdx), width, height))
       }
     }(enc)
   }

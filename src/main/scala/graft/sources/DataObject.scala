@@ -142,12 +142,36 @@ abstract class SparkFileDataObject extends DataObject
   private def isSelfDescribing: Boolean =
     format == "parquet" || format == "orc" || format == "avro"
 
+  private def samplePath = new Path(hadoopPath, ".sample")
+
+  /** Schema inference from a persisted `.sample` data file (reference
+    * `SparkFileDataObject.scala:133-136,162-170`): one tiny file read
+    * instead of a full-directory inference scan. Used only when neither a
+    * declared schema nor a persisted schema file is available. */
+  private def inferSchemaFromSample(implicit ctx: ActionPipelineContext): Option[StructType] =
+    if (!fs.exists(samplePath)) None
+    else try Some(ctx.spark.read.format(format).options(options).load(samplePath.toString).schema)
+    catch { case _: Exception => None }
+
+  /** Persist a small `.sample` data file for later inference-free reads
+    * (reference creates it through file-based actions when no schema is
+    * defined). Reads back a bounded slice of the just-written data. */
+  def persistSample(sampleSize: Int = 20)(implicit ctx: ActionPipelineContext): Unit =
+    if (!isSelfDescribing && exists)
+      ctx.spark.read.format(format).options(options).load(path).limit(sampleSize)
+        .coalesce(1).write.format(format).options(options)
+        .mode("overwrite").save(samplePath.toString)
+
   protected def reader(implicit ctx: ActionPipelineContext) = {
     val r = ctx.spark.read.format(format).options(options)
     // incremental by file modification time (reference SparkFileDataObject.scala:241-254)
     val r2 = incrementalState.fold(r)(ts => r.option("modifiedAfter", ts))
+    // resolution order mirrors the reference (SparkFileDataObject.scala:125-140):
+    // declared schema → persisted schema file → sample-file inference →
+    // full inference scan
     val effectiveSchema = schema.orElse(
-      if (isSelfDescribing) None else SchemaUtil.readPersistedSchema(path))
+      if (isSelfDescribing) None
+      else SchemaUtil.readPersistedSchema(path).orElse(inferSchemaFromSample))
     effectiveSchema.fold(r2)(s => r2.schema(s))
   }
 

@@ -136,6 +136,25 @@ class SchemaMetricsSpec extends AnyFunSuite {
     assert(!CsvFileDataObject("c3", empty).exists)
   }
 
+  test("sample-file schema inference: .sample drives the read schema when no schema file exists") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sample").toString
+    // data written by an "external" producer: no .schema dir, only raw files
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/part1.json"), "{\"a\": 1}\n")
+    // a representative .sample file carries the richer schema
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/.sample"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/.sample/sampleData.json"),
+      "{\"a\": 1, \"b\": \"x\"}\n")
+    val obj = JsonFileDataObject("smp1", dir)
+    val df = obj.getDataFrame()
+    // column b exists only in the sample — proof inference used .sample,
+    // not a full scan of the data files
+    assert(df.schema.fieldNames.toSet == Set("a", "b"))
+    assert(df.count() == 1)
+    // persistSample writes a bounded sample for later inference-free reads
+    obj.persistSample()
+    assert(new java.io.File(s"$dir/.sample").listFiles().exists(_.getName.endsWith(".json")))
+  }
+
   test("write metrics include stage-level records/bytes") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_met").toString

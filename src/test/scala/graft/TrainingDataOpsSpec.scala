@@ -228,4 +228,21 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     val (_, _, fmt2, feat2) = byId(2L)
     assert(fmt2 == "stub" && feat2.size == 12)
   }
+
+  test("multimodal resize: real PNG scales to target dims; non-image maps to null") {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, 0x00ff00)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq((1L, png(64, 32)), (2L, "not an image".getBytes("UTF-8"))).toDF("id", "content")
+    val out = graft.operators.Multimodal.withResizedImage(media, width = 16, height = 16)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("content_resized")).toMap
+    val resized = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out(1L)))
+    assert(resized.getWidth == 16 && resized.getHeight == 16)
+    assert((resized.getRGB(8, 8) & 0xffffff) == 0x00ff00) // color survives the scale
+    assert(out(2L) == null)
+  }
 }
