@@ -13,9 +13,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: absorb session/codegen/scan init so the first measured query
-    // isn't charged for it
-    try SparkEntry.queries.head._2(spark, sfDir).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // isn't charged for it — one query per major scan path (lineitem,
+    // documents, embeddings); queries.head alone left the alphabetically
+    // first measured query paying residual init
+    Seq("q1_pricing_summary", "q23_text_stats", "q30_embedding_topk").foreach { w =>
+      try SparkEntry.queries(w)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes EVERY column (count() would let Catalyst

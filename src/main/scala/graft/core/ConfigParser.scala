@@ -174,6 +174,11 @@ object ConfigParser {
           partitions = strSeq(n, "partitions"))
       case "RawFileDataObject" | "raw" =>
         RawFileDataObject(id, require(str(n, "path"), id, "path"), str(n, "pathGlobFilter"))
+      case "ExcelFileDataObject" | "excel" =>
+        ExcelFileDataObject(id, require(str(n, "path"), id, "path"),
+          sheetName = str(n, "sheetName"),
+          useHeader = bool(n, "useHeader", dflt = true),
+          schema = ddlSchema(n, "schema"))
       case "HiveTableDataObject" | "hive" =>
         HiveTableDataObject(id, parseTable(n, id),
           partitions = strSeq(n, "partitions"),

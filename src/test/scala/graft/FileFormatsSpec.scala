@@ -77,6 +77,35 @@ class FileFormatsSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS tt_cat")
   }
 
+  test("excel (.xlsx) round-trip via JDK-only codec: header, types, sheet selection") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val xl = ExcelFileDataObject("xl1", dir)
+    xl.writeDataFrame(
+      Seq((1, "alpha & <beta>", 2.5, true), (2, "gamma", 3.5, false))
+        .toDF("id", "name", "score", "flag"),
+      Seq.empty, Some(graft.core.SdlSaveMode.Overwrite))
+    assert(new java.io.File(dir).listFiles().exists(_.getName.endsWith(".xlsx")))
+    // header-driven schema; numeric columns inferred from xlsx cell types
+    val back = ExcelFileDataObject("xl2", dir).getDataFrame()
+    assert(back.columns.toSeq == Seq("id", "name", "score", "flag"))
+    assert(back.schema("id").dataType == org.apache.spark.sql.types.DoubleType) // xlsx numbers are doubles
+    assert(back.schema("name").dataType == org.apache.spark.sql.types.StringType)
+    val got = back.orderBy("id").collect()
+      .map(r => (r.getDouble(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1.0, "alpha & <beta>", 2.5), (2.0, "gamma", 3.5)))
+    // declared schema wins over inference
+    val typed = ExcelFileDataObject("xl3", dir,
+      schema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+        "id INT, name STRING, score DOUBLE, flag BOOLEAN")))
+      .getDataFrame().orderBy("id").collect()
+    assert(typed.head.getInt(0) == 1 && typed.head.getBoolean(3))
+    // unknown sheet → clear error
+    val e = intercept[Exception](
+      ExcelFileDataObject("xl4", dir, sheetName = Some("nope")).getDataFrame().collect())
+    assert(e.getMessage.contains("not found"))
+  }
+
   test("avro data object round-trips rows and partitions (builtin avro in Spark 4)") {
     import spark.implicits._
     val dir = tmpDir()
