@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions for the properties that make these operators
+  * scale: filter pushdown + column pruning into the parquet scan,
+  * broadcast of dimension tables, map-side partial aggregation, top-k
+  * without a global sort, and broadcast of the benchmark n-gram set.
+  * Regressions here change plan SHAPE long before they show in a
+  * small-scale benchmark.
+  */
+class PlanAssertionsSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q2 filter+project: predicates pushed to parquet, schema pruned to selected columns") {
+    val p = plan("q2_filter_project")
+    assert(p.contains("PushedFilters: ["), "no pushed filters in scan")
+    assert("PushedFilters: \\[[^\\]]*GreaterThan".r.findFirstIn(p).isDefined, s"discount/date not pushed: $p")
+    // ReadSchema carries only the columns the query needs, not all of lineitem
+    val read = "ReadSchema: [^\n]*".r.findFirstIn(p).getOrElse("")
+    assert(read.contains("l_orderkey") && read.contains("l_quantity"))
+    assert(!read.contains("l_comment") && !read.contains("l_partkey"), s"scan reads unneeded columns: $read")
+  }
+
+  test("q3 revenue join: all dimension tables broadcast, no sort-merge join") {
+    val p = plan("q3_revenue_by_nation")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins (orders/customer/nation/region dims), got $broadcasts")
+    assert(!p.contains("SortMergeJoin"), "dimension join degraded to sort-merge")
+  }
+
+  test("q1 aggregation: map-side partial aggregation before the exchange") {
+    val p = plan("q1_pricing_summary")
+    val aggs = "HashAggregate".r.findAllIn(p).length
+    assert(aggs >= 2, s"expected partial+final HashAggregate, got $aggs")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      "aggregation should shuffle exactly once")
+  }
+
+  test("q4 top-k: TakeOrderedAndProject, not a global sort") {
+    val p = plan("q4_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k compiled to a full sort: $p")
+  }
+
+  test("q38 decontamination: benchmark n-gram set broadcast, corpus side not shuffled for the join") {
+    val p = plan("q38_decontamination")
+    assert(p.contains("BroadcastHashJoin"), "benchmark set should broadcast")
+  }
+
+  test("q30 brute-force cosine: single scan, no join, top-k via TakeOrdered") {
+    val p = plan("q30_embedding_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Join"), "brute-force top-k must not join")
+  }
+}
