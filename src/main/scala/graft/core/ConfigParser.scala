@@ -246,15 +246,21 @@ object ConfigParser {
     def transformers = nodeSeq(n, "transformers").map(parseTransformer(id, _))
     def saveMode = str(n, "saveMode").map(parseSaveMode(id, _))
     def execMode = get(n, "executionMode").map(parseExecutionMode(id, _))
+    def execCond = get(n, "executionCondition").map(c =>
+      Condition(require(str(c, "expression"), id, "executionCondition.expression"),
+        str(c, "description")))
+    def metricsFail = str(n, "metricsFailCondition")
     typeName(n, id) match {
       case "CopyAction" | "copy" =>
         CopyAction(id, require(str(n, "inputId"), id, "inputId"),
-          require(str(n, "outputId"), id, "outputId"), transformers, saveMode, execMode)
+          require(str(n, "outputId"), id, "outputId"), transformers, saveMode, execMode,
+          execCond, metricsFail)
       case "CustomDataFrameAction" | "customDataFrame" =>
         val sqls = strMap(n, "outputSql")
         val dfs: Seq[DfsTransformer] =
           if (sqls.nonEmpty) Seq(SQLDfsTransformer(sqls)) else Seq.empty
-        CustomDataFrameAction(id, strSeq(n, "inputIds"), strSeq(n, "outputIds"), dfs, saveMode)
+        CustomDataFrameAction(id, strSeq(n, "inputIds"), strSeq(n, "outputIds"), dfs, saveMode,
+          execCond, metricsFail)
       case "DeduplicateAction" | "deduplicate" =>
         DeduplicateAction(id, require(str(n, "inputId"), id, "inputId"),
           require(str(n, "outputId"), id, "outputId"),

@@ -109,6 +109,55 @@ case class SubFeed(
   def withDataFrame(df: DataFrame): SubFeed = copy(dataFrame = Some(df))
 }
 
+/** A Spark-SQL boolean expression with an optional human description.
+  * Reference `definitions/Condition.scala` (used by `executionCondition`
+  * and friends; evaluated via SparkExpressionUtil). */
+case class Condition(expression: String, description: Option[String] = None)
+
+/** Evaluates [[Condition]]s against pipeline state by compiling the
+  * expression with Spark SQL over literal rows — the same expression
+  * language users already write in transformers (reference
+  * `util/misc/SparkExpressionUtil.scala`). */
+object ConditionEvaluator {
+
+  private def sqlStr(s: String): String = "'" + s.replace("'", "\\'") + "'"
+
+  /** `executionCondition` data model: `inputSubFeeds.<dataObjectId>` struct
+    * with isSkipped / numRecords (reference SubFeedsExpressionData). */
+  def evalExecutionCondition(cond: Condition, subFeeds: Seq[SubFeed])
+                            (implicit ctx: ActionPipelineContext): Boolean = {
+    def one(s: SubFeed) =
+      s"named_struct('isSkipped', ${s.isSkipped}, 'numRecords', " +
+        s"${s.metrics.map(_.recordsWritten).getOrElse(-1L)}L)"
+    val data =
+      if (subFeeds.isEmpty) "named_struct('_empty', true)"
+      else "named_struct(" + subFeeds.map(s => s"${sqlStr(s.dataObjectId)}, ${one(s)}").mkString(", ") + ")"
+    val df = ctx.spark.sql(
+      s"SELECT CAST((${cond.expression}) AS BOOLEAN) AS _r FROM (SELECT $data AS inputSubFeeds)")
+    Option(df.collect().head.get(0)).exists(_.asInstanceOf[Boolean])
+  }
+
+  /** `metricsFailCondition` data model: one row per metric with
+    * (dataObjectId, key, value); rows matching the expression fail the
+    * action (reference Action.scala:119 + evaluateMetricsFailCondition). */
+  def failingMetrics(expression: String, out: Seq[SubFeed])
+                    (implicit ctx: ActionPipelineContext): Seq[String] = {
+    val rows: Seq[(String, String, Double)] = out.flatMap { sf =>
+      sf.metrics.toSeq.flatMap { m =>
+        (("records_written", m.recordsWritten.toDouble) +:
+          m.observedMetrics.toSeq.collect { case (k, v: java.lang.Number) => (k, v.doubleValue) })
+          .map { case (k, v) => (sf.dataObjectId, k, v) }
+      }
+    }
+    if (rows.isEmpty) return Seq.empty
+    val values = rows.map { case (d, k, v) =>
+      s"(${sqlStr(d)}, ${sqlStr(k)}, CAST($v AS DOUBLE))" }.mkString(", ")
+    ctx.spark.sql(
+      s"SELECT dataObjectId, key, value FROM VALUES $values AS t(dataObjectId, key, value) WHERE $expression")
+      .collect().map(r => s"${r.getString(0)}.${r.getString(1)}=${r.getDouble(2)}").toSeq
+  }
+}
+
 /** Context threaded through every prepare/init/exec call. Reference:
   * `ActionPipelineContext` in `sdl-core/workflow/ActionPipelineContext.scala`.
   */

@@ -94,9 +94,21 @@ class ActionDAGRun(actions: Seq[Action], parallelism: Int = 1,
                 case None => initialSubFeeds.filter(_.dataObjectId == inId)
               }
             }
-            val inputsSkipped = action.inputIds.nonEmpty &&
-              action.inputIds.forall(inId => producers.get(inId).exists(p => skipped.getOrElse(p.id, false)))
-            if (inputsSkipped) {
+            // skip decision (reference Action.checkExecutionCondition:186-207):
+            // a custom executionCondition REPLACES the default "skip if any
+            // input is skipped" rule — condition true = run
+            val shouldSkip = action.executionCondition match {
+              case Some(cond) if phase == ExecutionPhase.Exec =>
+                // every declared input is visible to the expression, source
+                // inputs (no producer) as non-skipped placeholders
+                val condInputs = action.inputIds.map(inId =>
+                  inputs.find(_.dataObjectId == inId).getOrElse(SubFeed(inId)))
+                !ConditionEvaluator.evalExecutionCondition(cond, condInputs)
+              case Some(_) => false // condition needs exec-phase metrics; run init
+              case None =>
+                action.inputIds.exists(inId => producers.get(inId).exists(p => skipped.getOrElse(p.id, false)))
+            }
+            if (shouldSkip) {
               skipped(action.id) = true
               results(action.id) = action.outputIds.map(SubFeed(_, isSkipped = true))
             } else try {
@@ -104,6 +116,14 @@ class ActionDAGRun(actions: Seq[Action], parallelism: Int = 1,
                 case ExecutionPhase.Init => action.init(inputs)
                 case ExecutionPhase.Exec => action.exec(inputs)
                 case ExecutionPhase.Prepare => Seq.empty
+              }
+              // metricsFailCondition: a matching metric row fails the run
+              // AFTER the write (reference Action.scala:119) — data landed,
+              // but the run is marked failed for the operator to inspect
+              if (phase == ExecutionPhase.Exec) action.metricsFailCondition.foreach { expr =>
+                val failing = ConditionEvaluator.failingMetrics(expr, out)
+                if (failing.nonEmpty) throw new IllegalStateException(
+                  s"Action ${action.id}: metricsFailCondition '$expr' matched: ${failing.mkString(", ")}")
               }
               results(action.id) = out
               if (phase == ExecutionPhase.Exec) onActionComplete(action.id, out)

@@ -15,6 +15,17 @@ trait Action {
   /** Optional execution mode computing the increment to process (reference
     * `executionMode` attribute of Action). */
   def executionMode: Option[graft.operators.modes.ExecutionMode] = None
+  /** Custom skip/run decision over input SubFeeds (reference
+    * `Action.executionCondition:89-101`): when set it REPLACES the default
+    * "skip if any input is skipped" rule — e.g.
+    * `!inputSubFeeds.src1.isSkipped or !inputSubFeeds.src2.isSkipped`
+    * lets a union action run on partial inputs. */
+  def executionCondition: Option[Condition] = None
+  /** Fail the action AFTER exec when any metric row matches this SQL
+    * predicate over (dataObjectId, key, value) — reference
+    * `Action.metricsFailCondition:119`. E.g.
+    * `key = 'records_written' and value = 0`. */
+  def metricsFailCondition: Option[String] = None
 
   /** Phase Prepare: config/endpoint checks. */
   def prepare(implicit ctx: ActionPipelineContext): Unit = {
@@ -67,7 +78,9 @@ case class CopyAction(
     id: String, inputId: String, outputId: String,
     transformers: Seq[DfTransformer] = Seq.empty,
     override val saveMode: Option[SdlSaveMode] = None,
-    override val executionMode: Option[graft.operators.modes.ExecutionMode] = None)
+    override val executionMode: Option[graft.operators.modes.ExecutionMode] = None,
+    override val executionCondition: Option[Condition] = None,
+    override val metricsFailCondition: Option[String] = None)
   extends DataFrameAction {
 
   def inputIds: Seq[String] = Seq(inputId)
@@ -134,7 +147,9 @@ case class CopyAction(
 case class CustomDataFrameAction(
     id: String, inputIds: Seq[String], outputIds: Seq[String],
     dfsTransformers: Seq[DfsTransformer],
-    override val saveMode: Option[SdlSaveMode] = None)
+    override val saveMode: Option[SdlSaveMode] = None,
+    override val executionCondition: Option[Condition] = None,
+    override val metricsFailCondition: Option[String] = None)
   extends DataFrameAction {
 
   def transformers: Seq[DfTransformer] = Seq.empty

@@ -146,6 +146,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(!new java.io.File("/nonexistent/out").exists())
   }
 
+  test("metricsFailCondition fails the run when a metric row matches") {
+    val in = tmpDir(); val out = tmpDir()
+    Seq((1, "a"), (2, "b")).toDF("x", "v").write.mode("overwrite").parquet(in)
+    val reg = new InstanceRegistry()
+    reg.register(ParquetFileDataObject("src", in))
+    reg.register(ParquetFileDataObject("dst", out))
+    // the filter drops every row → records_written = 0 → condition matches
+    reg.register(CopyAction("cp", "src", "dst", Seq(FilterTransformer("x > 100")),
+      metricsFailCondition = Some("key = 'records_written' and value = 0")))
+    implicit val ctx: ActionPipelineContext = newCtx(reg)
+    val e = intercept[IllegalStateException](new ActionDAGRun(reg.allActions).run())
+    assert(e.getMessage.contains("metricsFailCondition"))
+    // without the condition the same pipeline passes
+    val reg2 = new InstanceRegistry()
+    reg2.register(ParquetFileDataObject("src", in))
+    reg2.register(ParquetFileDataObject("dst", out))
+    reg2.register(CopyAction("cp", "src", "dst", Seq(FilterTransformer("x > 100"))))
+    new ActionDAGRun(reg2.allActions).run()(newCtx(reg2))
+  }
+
+  test("executionCondition overrides the default skip-propagation rule") {
+    val in = tmpDir(); val mid = tmpDir(); val outA = tmpDir(); val outB = tmpDir()
+    Seq((1, "a")).toDF("x", "v").write.mode("overwrite").parquet(in)
+    def registry(withCondition: Boolean): InstanceRegistry = {
+      val reg = new InstanceRegistry()
+      reg.register(ParquetFileDataObject("src", in))
+      reg.register(ParquetFileDataObject("mid", mid))
+      reg.register(ParquetFileDataObject("dst", if (withCondition) outB else outA))
+      reg.register(CopyAction("stage", "src", "mid",
+        executionMode = Some(graft.operators.modes.DataFrameIncrementalMode("x"))))
+      reg.register(CopyAction("load", "mid", "dst",
+        executionCondition =
+          if (withCondition) Some(Condition("true", Some("run even on skipped input")))
+          else None))
+      reg
+    }
+    // first run materializes mid; second run: stage skips (no data above
+    // watermark) and by DEFAULT the downstream action skips too
+    val r1 = new ActionDAGRun(registry(false).allActions)
+    r1.run()(newCtx(registry(false)))
+    val res2 = new ActionDAGRun(registry(false).allActions).run()(newCtx(registry(false)))
+    assert(res2("stage").head.isSkipped && res2("load").head.isSkipped)
+    // with executionCondition=true the downstream action runs anyway
+    val res3 = new ActionDAGRun(registry(true).allActions).run()(newCtx(registry(true)))
+    assert(res3("stage").head.isSkipped && !res3("load").head.isSkipped)
+    assert(spark.read.parquet(outB).count() == 1)
+  }
+
   test("merge emulation honors delete/update/insert conditions") {
     val existing = Seq((1, "a", 1), (2, "b", 2), (3, "c", 3)).toDF("id", "v", "n")
     val feed = Seq((1, "a2", 1), (2, "b2", -1), (4, "d", 4)).toDF("id", "v", "n")
