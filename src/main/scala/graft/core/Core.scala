@@ -198,14 +198,40 @@ class InstanceRegistry {
   def allActions: Seq[Action] = actions.values.toSeq
 }
 
+/** Secret resolution for config-carried credentials. Reference
+  * `util/secrets/SecretsUtil.scala:41-60`: values of the form
+  * `###<PROVIDERID>#<NAME>###` resolve through a provider —
+  * `###ENV#VAR###` (environment), `###FILE#/path###` (file content,
+  * trimmed) built in, custom providers registrable by id. Plain values
+  * pass through, so secrets are opt-in per field. Resolution happens at
+  * USE time (a missing env var only fails the pipeline that needs it). */
+object SecretsUtil {
+  private val WithProvider = "^###([^#]*)#(.*)###$".r
+  private val custom = scala.collection.concurrent.TrieMap.empty[String, String => String]
+  def registerProvider(id: String, resolver: String => String): Unit = custom(id) = resolver
+  def resolve(value: String): String = value match {
+    case WithProvider("ENV", name) => sys.env.getOrElse(name,
+      throw new IllegalArgumentException(s"secret: environment variable '$name' not set"))
+    case WithProvider("FILE", path) =>
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path.trim)), "UTF-8").trim
+    case WithProvider(provider, name) => custom.get(provider).map(_(name)).getOrElse(
+      throw new IllegalArgumentException(s"secret: unknown provider '$provider' (registered: ${custom.keys.mkString(",")})"))
+    case v => v
+  }
+}
+
 /** Shared endpoint configuration (JDBC url, Kafka brokers, …). Reference:
   * `sdl-core/workflow/connection/`. */
 trait Connection { def id: String }
 
-/** JDBC connection (url/driver/user). Reference `connection/JdbcTableConnection.scala`. */
+/** JDBC connection (url/driver/user). Reference `connection/JdbcTableConnection.scala`.
+  * user/password accept `###ENV#...###`-style secret references. */
 case class JdbcConnection(
     id: String, url: String, driver: String,
-    user: Option[String] = None, password: Option[String] = None) extends Connection
+    user: Option[String] = None, password: Option[String] = None) extends Connection {
+  def resolvedUser: Option[String] = user.map(SecretsUtil.resolve)
+  def resolvedPassword: Option[String] = password.map(SecretsUtil.resolve)
+}
 
 /** Table identity for table-like DataObjects; primaryKey drives
   * dedup/historize/merge. Reference `sdl-core/workflow/dataobject/Table.scala:50`. */

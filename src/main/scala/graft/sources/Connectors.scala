@@ -39,18 +39,20 @@ class JavaHttpTransport(timeoutSec: Long = 60) extends HttpTransport {
 }
 
 /** Auth modes of the reference's webservice object (basic / bearer /
-  * custom header / none) as header providers. */
+  * custom header / none) as header providers. Credential fields accept
+  * `###ENV#...###`-style secret references (resolved at request time). */
 sealed trait AuthMode { def headers: Map[String, String] }
 case object NoAuthMode extends AuthMode { val headers = Map.empty[String, String] }
 case class BasicAuthMode(user: String, password: String) extends AuthMode {
   def headers = Map("Authorization" -> ("Basic " + java.util.Base64.getEncoder
-    .encodeToString(s"$user:$password".getBytes(UTF_8))))
+    .encodeToString(s"${graft.core.SecretsUtil.resolve(user)}:${graft.core.SecretsUtil.resolve(password)}"
+      .getBytes(UTF_8))))
 }
 case class TokenAuthMode(token: String) extends AuthMode {
-  def headers = Map("Authorization" -> s"Bearer $token")
+  def headers = Map("Authorization" -> s"Bearer ${graft.core.SecretsUtil.resolve(token)}")
 }
 case class HeaderAuthMode(headerName: String, value: String) extends AuthMode {
-  def headers = Map(headerName -> value)
+  def headers = Map(headerName -> graft.core.SecretsUtil.resolve(value))
 }
 
 /** REST reader: one GET per partition-value combination (query params),

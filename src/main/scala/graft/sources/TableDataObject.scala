@@ -212,15 +212,16 @@ case class JdbcTableDataObject(
   private def withConnection[T](f: java.sql.Connection => T): T = {
     Class.forName(connection.driver)
     val props = new java.util.Properties()
-    connection.user.foreach(props.setProperty("user", _))
-    connection.password.foreach(props.setProperty("password", _))
+    connection.resolvedUser.foreach(props.setProperty("user", _))
+    connection.resolvedPassword.foreach(props.setProperty("password", _))
     val c = java.sql.DriverManager.getConnection(connection.url, props)
     try f(c) finally c.close()
   }
 
   private def readerOpts: Map[String, String] =
     Map("url" -> connection.url, "driver" -> connection.driver) ++
-      connection.user.map("user" -> _) ++ connection.password.map("password" -> _) ++ jdbcOptions
+      connection.resolvedUser.map("user" -> _) ++
+      connection.resolvedPassword.map("password" -> _) ++ jdbcOptions
 
   override def isTableExisting(implicit ctx: ActionPipelineContext): Boolean =
     withConnection { c =>

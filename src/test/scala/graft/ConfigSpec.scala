@@ -173,6 +173,32 @@ class ConfigSpec extends AnyFunSuite {
     assert(got == Seq(10, 20, 30))
   }
 
+  test("secret providers: ENV/FILE/custom resolution in credentials") {
+    import graft.core.SecretsUtil
+    // plain values pass through untouched
+    assert(SecretsUtil.resolve("plaintext") == "plaintext")
+    // FILE provider reads trimmed content
+    val f = java.nio.file.Files.createTempFile("graft_secret", ".txt")
+    java.nio.file.Files.writeString(f, "  s3cret\n")
+    assert(SecretsUtil.resolve(s"###FILE#$f###") == "s3cret")
+    // ENV provider (PATH always exists); missing var → clear error
+    assert(SecretsUtil.resolve("###ENV#PATH###") == sys.env("PATH"))
+    val e = intercept[IllegalArgumentException](SecretsUtil.resolve("###ENV#GRAFT_NO_SUCH_VAR###"))
+    assert(e.getMessage.contains("not set"))
+    // custom provider
+    SecretsUtil.registerProvider("VAULT", name => s"vault:$name")
+    assert(SecretsUtil.resolve("###VAULT#db/pass###") == "vault:db/pass")
+    // resolution is lazy: constructing the connection never touches providers
+    val conn = graft.core.JdbcConnection("c", "jdbc:derby:memory:x", "d",
+      password = Some(s"###FILE#$f###"))
+    assert(conn.password.contains(s"###FILE#$f###"))
+    assert(conn.resolvedPassword.contains("s3cret"))
+    // auth headers resolve at request time
+    val auth = graft.sources.BasicAuthMode("admin", s"###FILE#$f###")
+    val expected = java.util.Base64.getEncoder.encodeToString("admin:s3cret".getBytes("UTF-8"))
+    assert(auth.headers("Authorization") == s"Basic $expected")
+  }
+
   test("multi-action DAG from config: copy then deduplicate downstream") {
     import spark.implicits._
     val in = tmpDir(); val mid = tmpDir(); val out = tmpDir()
