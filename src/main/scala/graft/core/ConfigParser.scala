@@ -71,6 +71,14 @@ object ConfigParser {
     registry
   }
 
+  /** `global.sparkOptions` of the config (reference `GlobalConfig.sparkOptions`,
+    * `app/GlobalConfig.scala`) — applied by [[PipelineRunner]] to the session
+    * for runtime-settable confs. */
+  def parseGlobalSparkOptions(configText: String): Map[String, String] =
+    get(tree(configText), "global.sparkOptions")
+      .map(_.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap)
+      .getOrElse(Map.empty)
+
   def parseFile(path: String): InstanceRegistry = {
     val p = java.nio.file.Paths.get(path)
     if (path.endsWith(".conf")) {
@@ -373,6 +381,14 @@ object PipelineRunner {
           feedSel: Option[String] = None, parallelism: Int = 1,
           runtimeOptions: Map[String, String] = Map.empty): Map[String, Seq[SubFeed]] = {
     val registry = ConfigParser.parse(configText)
+    // global.sparkOptions: runtime-settable confs (shuffle partitions, AQE
+    // flags, session timezone, …) — reference GlobalConfig applies them at
+    // session build; on an existing session only dynamic confs apply
+    ConfigParser.parseGlobalSparkOptions(configText).foreach { case (k, v) =>
+      try spark.conf.set(k, v)
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        System.err.println(s"[config] global.sparkOptions: cannot set static conf '$k' on a running session: ${e.getMessage}") }
+    }
     val feeds = ConfigParser.parseFeeds(configText)
     val selected = feedSel.map { sel =>
       val re = sel.r

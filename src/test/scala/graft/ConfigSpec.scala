@@ -173,6 +173,26 @@ class ConfigSpec extends AnyFunSuite {
     assert(got == Seq(10, 20, 30))
   }
 
+  test("global.sparkOptions applies runtime confs through PipelineRunner") {
+    import spark.implicits._
+    val in = tmpDir(); val out = tmpDir()
+    Seq((1, "a")).toDF("x", "v").write.mode("overwrite").option("header", "true").csv(in)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val cfg =
+        s"""global { sparkOptions { "spark.sql.shuffle.partitions" = "7" } }
+           |dataObjects {
+           |  src = { type = csv, path = "$in" }
+           |  dst = { type = parquet, path = "$out" }
+           |}
+           |actions { load = { type = copy, inputId = src, outputId = dst } }
+           |""".stripMargin
+      PipelineRunner.run(cfg, spark)
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
+      assert(spark.read.parquet(out).count() == 1)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("secret providers: ENV/FILE/custom resolution in credentials") {
     import graft.core.SecretsUtil
     // plain values pass through untouched
