@@ -472,8 +472,11 @@ object SparkEntry {
       val nearDups = docs.where(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 2000000L).as("doc_id"),
           concat(col("text"), lit(" extra trailing tokens appended here")).as("text"))
+      // bands=16 (2 rows/band): planted pairs bottom out at jaccard ≈ 0.57,
+      // where a band match has prob 1-(1-j²)¹⁶ ≈ 0.998 — with fixed seeds
+      // the outcome is deterministic, and verified recall IS 1.0 here
       graft.functions.Dedup.minhashDuplicatePairs(docs.unionByName(nearDups), "doc_id", "text",
-        shingleSize = 5, numHashes = 32, bands = 8, threshold = 0.5)
+        shingleSize = 5, numHashes = 32, bands = 16, threshold = 0.5)
         .where(col("id_b") === col("id_a") + 2000000L && col("id_a") % 7 === 0)
         .select(col("id_a"), col("id_b"), col("jaccard"))
     }),

@@ -45,18 +45,30 @@ object ConfigParser {
     com.typesafe.config.ConfigFactory.parseString(configText).resolve().root()
       .render(com.typesafe.config.ConfigRenderOptions.concise())
 
-  /** Config text → jackson tree. YAML/JSON is tried first (historical
-    * default); anything YAML rejects — or that parses to a scalar/empty
-    * object without the expected sections — is re-parsed as HOCON. */
-  private def tree(configText: String): JsonNode = {
-    val sections = Seq("dataObjects", "actions", "connections", "global")
-    val yamlTry =
-      try {
-        val t = mapper.readTree(configText)
-        if (t != null && t.isObject && sections.exists(s => t.has(s))) Some(t) else None
-      } catch { case _: Exception => None }
-    yamlTry.getOrElse(mapper.readTree(hoconToJson(configText)))
-  }
+  /** Config text → jackson tree. Text using HOCON-only features
+    * (`${}` substitutions, `include`) goes straight to the HOCON parser —
+    * colon-style HOCON is often ALSO valid YAML, and a YAML parse would
+    * silently keep `${basePath}` as a literal string. Otherwise YAML/JSON
+    * is tried first (historical default) with HOCON as fallback. Parses are
+    * memoized (PipelineRunner consults the same text for registry, feeds
+    * and global options). */
+  private val treeCache = new java.util.concurrent.ConcurrentHashMap[String, JsonNode]()
+  private def tree(configText: String): JsonNode =
+    treeCache.computeIfAbsent(configText, { text =>
+      if (treeCache.size > 64) treeCache.clear()
+      val hoconOnly = text.contains("${") || text.linesIterator.exists(_.trim.startsWith("include "))
+      def hocon = mapper.readTree(hoconToJson(text))
+      if (hoconOnly) hocon
+      else {
+        val sections = Seq("dataObjects", "actions", "connections", "global")
+        val yamlTry =
+          try {
+            val t = mapper.readTree(text)
+            if (t != null && t.isObject && sections.exists(s => t.has(s))) Some(t) else None
+          } catch { case _: Exception => None }
+        yamlTry.getOrElse(hocon)
+      }
+    })
 
   /** Parse config text (HOCON, YAML or JSON) into a fresh registry. */
   def parse(configText: String): InstanceRegistry = {
@@ -73,11 +85,18 @@ object ConfigParser {
 
   /** `global.sparkOptions` of the config (reference `GlobalConfig.sparkOptions`,
     * `app/GlobalConfig.scala`) — applied by [[PipelineRunner]] to the session
-    * for runtime-settable confs. */
-  def parseGlobalSparkOptions(configText: String): Map[String, String] =
+    * for runtime-settable confs. Unquoted dotted HOCON keys
+    * (`spark.sql.shuffle.partitions = 7`) arrive as NESTED objects — flatten
+    * them back to dotted keys instead of silently dropping them. */
+  def parseGlobalSparkOptions(configText: String): Map[String, String] = {
+    def flatten(prefix: String, n: JsonNode): Seq[(String, String)] =
+      if (n.isObject)
+        n.properties().asScala.toSeq.flatMap(e =>
+          flatten(if (prefix.isEmpty) e.getKey else s"$prefix.${e.getKey}", e.getValue))
+      else Seq(prefix -> n.asText)
     get(tree(configText), "global.sparkOptions")
-      .map(_.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap)
-      .getOrElse(Map.empty)
+      .map(flatten("", _).toMap).getOrElse(Map.empty)
+  }
 
   def parseFile(path: String): InstanceRegistry = {
     val p = java.nio.file.Paths.get(path)
@@ -275,7 +294,8 @@ object ConfigParser {
           primaryKey = strSeq(n, "primaryKey"), transformers = transformers,
           mergeModeEnable = bool(n, "mergeModeEnable"),
           updateCapturedColumnOnlyWhenChanged = bool(n, "updateCapturedColumnOnlyWhenChanged"),
-          executionMode = execMode)
+          executionMode = execMode,
+          executionCondition = execCond, metricsFailCondition = metricsFail)
       case "HistorizeAction" | "historize" =>
         HistorizeAction(id, require(str(n, "inputId"), id, "inputId"),
           require(str(n, "outputId"), id, "outputId"),
@@ -285,7 +305,8 @@ object ConfigParser {
             require(str(c, "timestampColumn"), id, "cdcOptions.timestampColumn"),
             require(str(c, "operationColumn"), id, "cdcOptions.operationColumn"),
             str(c, "deleteValue").getOrElse("d"))),
-          executionMode = execMode)
+          executionMode = execMode,
+          executionCondition = execCond, metricsFailCondition = metricsFail)
       case "FileTransferAction" | "fileTransfer" =>
         FileTransferAction(id, require(str(n, "inputId"), id, "inputId"),
           require(str(n, "outputId"), id, "outputId"))

@@ -150,8 +150,10 @@ object ConditionEvaluator {
       }
     }
     if (rows.isEmpty) return Seq.empty
+    // string-literal CAST survives NaN/Infinity (bare NaN would parse as a
+    // column reference)
     val values = rows.map { case (d, k, v) =>
-      s"(${sqlStr(d)}, ${sqlStr(k)}, CAST($v AS DOUBLE))" }.mkString(", ")
+      s"(${sqlStr(d)}, ${sqlStr(k)}, CAST('$v' AS DOUBLE))" }.mkString(", ")
     ctx.spark.sql(
       s"SELECT dataObjectId, key, value FROM VALUES $values AS t(dataObjectId, key, value) WHERE $expression")
       .collect().map(r => s"${r.getString(0)}.${r.getString(1)}=${r.getDouble(2)}").toSeq

@@ -123,15 +123,26 @@ object Dedup {
     * core. A 100 TB input already exceeds the target and passes through
     * untouched (no shuffle).
     *
-    * Parallelism is estimated from the leaf scans' file count: `inputFiles`
-    * reuses the relation's cached file listing, where `df.rdd` would force
-    * a full extra physical-planning pass per call. Non-file-backed frames
-    * (in-memory test data, post-shuffle inputs) report zero files and get
-    * repartitioned — tiny by construction, so the extra shuffle is noise. */
+    * Scan parallelism is estimated WITHOUT forcing physical planning
+    * (`df.rdd` would re-plan per call): max of the cached file-listing
+    * count and optimizer size estimate / maxPartitionBytes — Spark splits
+    * large splittable files, so few-big-files inputs still read wide and
+    * must NOT be re-shuffled. Unknown-size non-file frames (JDBC) estimate
+    * huge and pass through; small in-memory frames estimate small and get
+    * spread. */
   private[functions] def ensureParallelism(df: DataFrame, byCol: String): DataFrame = {
-    val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    val nFiles = try df.inputFiles.length catch { case _: Exception => target }
-    if (nFiles < target) df.repartition(target, col(byCol)) else df
+    val conf = df.sparkSession.sessionState.conf
+    val target = conf.numShufflePartitions
+    val est: Long =
+      try {
+        val nFiles = df.inputFiles.length.toLong
+        val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        val byBytes =
+          if (bytes.isValidLong) bytes.toLong / math.max(1L, conf.filesMaxPartitionBytes)
+          else Long.MaxValue
+        math.max(nFiles, byBytes)
+      } catch { case _: Exception => target.toLong }
+    if (est < target) df.repartition(target, col(byCol)) else df
   }
 
   /** Jaccard similarity of two (distinct-element) arrays */

@@ -80,7 +80,9 @@ case class DeduplicateAction(
     mergeModeEnable: Boolean = false,
     updateCapturedColumnOnlyWhenChanged: Boolean = false,
     override val referenceTimestamp: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
-    override val executionMode: Option[graft.operators.modes.ExecutionMode] = None)
+    override val executionMode: Option[graft.operators.modes.ExecutionMode] = None,
+    override val executionCondition: Option[Condition] = None,
+    override val metricsFailCondition: Option[String] = None)
   extends StatefulAction {
 
   override protected def computeState(feed: DataFrame, existing: Option[DataFrame])
@@ -133,7 +135,9 @@ case class HistorizeAction(
     incrementalUpdate: Boolean = false,
     cdcOptions: Option[CdcOptions] = None,
     override val referenceTimestamp: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
-    override val executionMode: Option[graft.operators.modes.ExecutionMode] = None)
+    override val executionMode: Option[graft.operators.modes.ExecutionMode] = None,
+    override val executionCondition: Option[Condition] = None,
+    override val metricsFailCondition: Option[String] = None)
   extends StatefulAction {
 
   override protected def computeState(feed: DataFrame, existing: Option[DataFrame])

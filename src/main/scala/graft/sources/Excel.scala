@@ -128,7 +128,10 @@ object XlsxCodec {
     val r = xmlReader(sheet)
     val rows = Seq.newBuilder[IndexedSeq[Cell]]
     var row: java.util.TreeMap[Integer, Cell] = null
-    var cellRef = ""; var cellType = ""; var inV = false; var inIs = false
+    var cellRef = ""; var cellType = ""; var inCell = false
+    var capture = false; var sawValue = false; var inIs = false
+    // text accumulates across ALL <v>/<t> runs of one cell — rich-text
+    // inline strings carry several <r><t>…</t></r> runs per cell
     var text = new StringBuilder
     var nextCol = 0
     while (r.hasNext) {
@@ -137,6 +140,7 @@ object XlsxCodec {
           r.getLocalName match {
             case "row" => row = new java.util.TreeMap(); nextCol = 0
             case "c" =>
+              inCell = true; sawValue = false; text = new StringBuilder
               cellRef = ""; cellType = "n"
               for (i <- 0 until r.getAttributeCount) {
                 r.getAttributeLocalName(i) match {
@@ -145,27 +149,30 @@ object XlsxCodec {
                   case _ => ()
                 }
               }
-            case "v" => inV = true; text = new StringBuilder
+            case "v" if inCell => capture = true; sawValue = true
             case "is" => inIs = true
-            case "t" if inIs => inV = true; text = new StringBuilder
+            case "t" if inIs => capture = true; sawValue = true
             case _ => ()
           }
-        case javax.xml.stream.XMLStreamConstants.CHARACTERS if inV =>
+        case javax.xml.stream.XMLStreamConstants.CHARACTERS if capture =>
           text.append(r.getText)
         case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
           r.getLocalName match {
-            case "v" | "t" if inV =>
-              inV = false
-              val raw = text.toString
-              val cell = cellType match {
-                case "s" => Cell(strings(raw.trim.toInt), numeric = false)
-                case "b" => Cell(if (raw.trim == "1") "true" else "false", numeric = false)
-                case "n" => Cell(raw, numeric = true)
-                case _ => Cell(raw, numeric = false) // str (formula result), inlineStr
-              }
-              val idx = if (cellRef.nonEmpty) colIndex(cellRef) else nextCol
-              if (row != null) { row.put(idx, cell); nextCol = idx + 1 }
+            case "v" | "t" => capture = false
             case "is" => inIs = false
+            case "c" if inCell =>
+              inCell = false
+              if (sawValue && row != null) {
+                val raw = text.toString
+                val cell = cellType match {
+                  case "s" => Cell(strings(raw.trim.toInt), numeric = false)
+                  case "b" => Cell(if (raw.trim == "1") "true" else "false", numeric = false)
+                  case "n" => Cell(raw, numeric = true)
+                  case _ => Cell(raw, numeric = false) // str (formula result), inlineStr
+                }
+                val idx = if (cellRef.nonEmpty) colIndex(cellRef) else nextCol
+                row.put(idx, cell); nextCol = idx + 1
+              }
             case "row" =>
               val width = if (row.isEmpty) 0 else row.lastKey() + 1
               val dense = IndexedSeq.tabulate(width)(i => row.get(i))

@@ -63,6 +63,23 @@ object MergeEmulation {
   }
 }
 
+/** Scope `partitionOverwriteMode=dynamic` to one write: the analysis-time
+  * self-overwrite check consults the SESSION conf (writer options are
+  * ignored there), so the conf must be set — and restored, or every later
+  * static overwrite silently keeps stale partitions. */
+private[sources] object DynamicOverwrite {
+  private val Key = "spark.sql.sources.partitionOverwriteMode"
+  def apply[T](ctx: ActionPipelineContext)(body: => T): T = {
+    val prev = ctx.spark.conf.getOption(Key)
+    ctx.spark.conf.set(Key, "dynamic")
+    try body
+    finally prev match {
+      case Some(v) => ctx.spark.conf.set(Key, v)
+      case None => ctx.spark.conf.unset(Key)
+    }
+  }
+}
+
 /** Hive/catalog table (metastore or in-memory catalog). Reference
   * `HiveTableDataObject.scala` + `util/hive/HiveUtil.scala:69-138`.
   * Stats via ANALYZE TABLE feed Catalyst's CBO — matters for join reorder
@@ -111,9 +128,12 @@ case class HiveTableDataObject(
     mode match {
       case SdlSaveMode.Append => w.mode("append").saveAsTable(table.fullName)
       case SdlSaveMode.OverwriteOptimized if partitions.nonEmpty && isTableExisting =>
-        // dynamic partition overwrite via insertInto
-        ctx.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        observed.write.mode("overwrite").insertInto(table.fullName)
+        // dynamic partition overwrite; the session conf must be set (the
+        // analysis-time self-overwrite check ignores writer options) but is
+        // RESTORED afterwards so later static overwrites keep their semantics
+        DynamicOverwrite(ctx) {
+          observed.write.mode("overwrite").insertInto(table.fullName)
+        }
       case _ => w.mode("overwrite").saveAsTable(table.fullName)
     }
     if (analyzeTableAfterWrite)
@@ -165,11 +185,13 @@ case class HiveTableDataObject(
       val cached = merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         cached.count()
-        ctx.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        // insertInto is position-based: project to the catalog column order
+        // insertInto is position-based: project to the catalog column order;
+        // dynamic overwrite with the session conf restored after the write
         val tableCols = ctx.spark.table(table.fullName).columns
-        cached.select(tableCols.map(c => col(s"`$c`")).toIndexedSeq: _*)
-          .write.mode("overwrite").insertInto(table.fullName)
+        DynamicOverwrite(ctx) {
+          cached.select(tableCols.map(c => col(s"`$c`")).toIndexedSeq: _*)
+            .write.mode("overwrite").insertInto(table.fullName)
+        }
         // dynamic overwrite only replaces partitions PRESENT in the output;
         // a touched partition emptied by deleteCondition must be dropped
         if (options.deleteCondition.isDefined) {
@@ -258,17 +280,33 @@ case class JdbcTableDataObject(
     * overwrite DROPS the target before executing the plan, so a lazy
     * read-modify-write would read an empty table and silently lose all
     * history. Stage the plan into a temp JDBC table first (the plan still
-    * reads the intact target), then overwrite the target from a RE-READ of
-    * the staging table, then drop it. */
+    * reads the intact target), then swap the content in ONE transaction
+    * (DELETE + INSERT...SELECT + commit) — a crash before commit rolls
+    * back and the old state keeps serving, matching the Hive path's
+    * recoverSwap guarantee on databases' own ACID. */
   override def writeDataFrameStaged(df: DataFrame)(implicit ctx: ActionPipelineContext): ActionMetrics = {
     val t0 = System.currentTimeMillis()
     val tmpFull = table.db.map(_ + ".").getOrElse("") + table.name + "_graft_staging"
     df.write.format("jdbc").options(readerOpts)
       .option("dbtable", tmpFull).mode("overwrite").save()
-    val staged = ctx.spark.read.format("jdbc").options(readerOpts)
-      .option("dbtable", tmpFull).load()
-    staged.write.format("jdbc").options(readerOpts)
-      .option("dbtable", table.fullName).mode("overwrite").save()
+    if (!isTableExisting) {
+      val staged = ctx.spark.read.format("jdbc").options(readerOpts)
+        .option("dbtable", tmpFull).load()
+      staged.write.format("jdbc").options(readerOpts)
+        .option("dbtable", table.fullName).mode("overwrite").save()
+      withConnection(_.createStatement().execute(s"DROP TABLE $tmpFull"))
+      return ActionMetrics(-1, System.currentTimeMillis() - t0)
+    }
+    withConnection { c =>
+      c.setAutoCommit(false)
+      try {
+        val st = c.createStatement()
+        st.execute(s"DELETE FROM ${table.fullName}")
+        st.execute(s"INSERT INTO ${table.fullName} SELECT * FROM $tmpFull")
+        c.commit()
+      } catch { case e: Throwable => c.rollback(); throw e }
+      finally c.setAutoCommit(true)
+    }
     withConnection(_.createStatement().execute(s"DROP TABLE $tmpFull"))
     ActionMetrics(-1, System.currentTimeMillis() - t0)
   }

@@ -106,6 +106,31 @@ class FileFormatsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not found"))
   }
 
+  test("xlsx codec: rich-text inline strings concatenate runs; gap cells stay null") {
+    // hand-build a workbook with a rich-text cell (<is> with two <r><t> runs)
+    // and a column gap, as Excel itself produces
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    def part(name: String, content: String): Unit = {
+      z.putNextEntry(new java.util.zip.ZipEntry(name)); z.write(content.getBytes("UTF-8")); z.closeEntry()
+    }
+    part("xl/workbook.xml",
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin)
+    part("xl/_rels/workbook.xml.rels",
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="w" Target="worksheets/sheet1.xml"/></Relationships>""".stripMargin)
+    part("xl/worksheets/sheet1.xml",
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row><c r="A1" t="inlineStr"><is><r><t>Hello </t></r><r><t>World</t></r></is></c><c r="C1"><v>7</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    z.close()
+    val rows = XlsxCodec.parse(bos.toByteArray)
+    assert(rows.head(0).value == "Hello World") // runs concatenated, not last-wins
+    assert(rows.head(1) == null)                // B1 gap stays null
+    assert(rows.head(2).value == "7" && rows.head(2).numeric)
+  }
+
   test("avro data object round-trips rows and partitions (builtin avro in Spark 4)") {
     import spark.implicits._
     val dir = tmpDir()
