@@ -287,7 +287,7 @@ object ConfigParser {
         val dfs: Seq[DfsTransformer] =
           if (sqls.nonEmpty) Seq(SQLDfsTransformer(sqls)) else Seq.empty
         CustomDataFrameAction(id, strSeq(n, "inputIds"), strSeq(n, "outputIds"), dfs, saveMode,
-          execCond, metricsFail)
+          execCond, metricsFail, recursiveInputIds = strSeq(n, "recursiveInputIds"))
       case "DeduplicateAction" | "deduplicate" =>
         DeduplicateAction(id, require(str(n, "inputId"), id, "inputId"),
           require(str(n, "outputId"), id, "outputId"),

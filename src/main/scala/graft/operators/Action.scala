@@ -149,18 +149,34 @@ case class CustomDataFrameAction(
     dfsTransformers: Seq[DfsTransformer],
     override val saveMode: Option[SdlSaveMode] = None,
     override val executionCondition: Option[Condition] = None,
-    override val metricsFailCondition: Option[String] = None)
+    override val metricsFailCondition: Option[String] = None,
+    /** outputs of THIS action readable as additional inputs (reference
+      * `CustomDataFrameAction.recursiveInputIds:69-73`) — running totals,
+      * self-referencing aggregates. Their writes are staged automatically
+      * (the plan reads the object being overwritten). */
+    recursiveInputIds: Seq[String] = Seq.empty)
   extends DataFrameAction {
 
   def transformers: Seq[DfTransformer] = Seq.empty
+  require(recursiveInputIds.forall(outputIds.contains),
+    s"Action $id: recursiveInputIds must be outputs of this action")
 
   private def buildOutputs(subFeeds: Seq[SubFeed])(implicit ctx: ActionPipelineContext): Map[String, DataFrame] = {
     val byId = subFeeds.map(sf => sf.dataObjectId -> sf).toMap
-    val inputs: Map[String, DataFrame] = inputIds.map { inId =>
+    val regular: Map[String, DataFrame] = inputIds.map { inId =>
       inId -> byId.get(inId).flatMap(_.dataFrame).getOrElse(readInput(inId, Seq.empty))
     }.toMap
+    // recursive inputs read the CURRENT state of this action's own outputs;
+    // absent state (first run) is skipped — the transformer sees no entry
+    val recursive: Map[String, DataFrame] = recursiveInputIds.flatMap { rId =>
+      ctx.registry.dataObject(rId) match {
+        case f: SparkFileDataObject if f.exists => Some(rId -> f.getDataFrame())
+        case t: TableDataObject if t.isTableExisting => Some(rId -> t.getDataFrame())
+        case _ => None
+      }
+    }.toMap
     // fold the N:M chain (reference DataFrameActionImpl.scala:487-495)
-    dfsTransformers.foldLeft(inputs)((acc, t) => acc ++ t.transform(acc))
+    dfsTransformers.foldLeft(regular ++ recursive)((acc, t) => acc ++ t.transform(acc))
   }
 
   override def init(subFeeds: Seq[SubFeed])(implicit ctx: ActionPipelineContext): Seq[SubFeed] = {
@@ -180,7 +196,14 @@ case class CustomDataFrameAction(
     val outs = buildOutputs(subFeeds)
     outputIds.map { outId =>
       val df = outs(outId)
-      val metrics = writeOutput(outId, df, Seq.empty)
+      val metrics =
+        if (recursiveInputIds.contains(outId))
+          // plan reads this very object → staged overwrite
+          ctx.registry.dataObject(outId) match {
+            case w: CanWriteDataFrame => w.writeDataFrameStaged(df)
+            case other => throw new IllegalArgumentException(s"${other.id} cannot write DataFrames")
+          }
+        else writeOutput(outId, df, Seq.empty)
       SubFeed(outId, Some(df), metrics = Some(metrics))
     }
   }

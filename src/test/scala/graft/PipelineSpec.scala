@@ -194,6 +194,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(outB).count() == 1)
   }
 
+  test("recursiveInputIds: running total reads this action's own output across runs") {
+    val in = tmpDir(); val tot = tmpDir()
+    def reg() = {
+      val r = new InstanceRegistry()
+      r.register(ParquetFileDataObject("delta", in))
+      r.register(ParquetFileDataObject("total", tot))
+      r.register(CustomDataFrameAction("acc", Seq("delta"), Seq("total"),
+        Seq(new DfsTransformer {
+          def transform(dfs: Map[String, org.apache.spark.sql.DataFrame])
+                       (implicit ctx: ActionPipelineContext): Map[String, org.apache.spark.sql.DataFrame] = {
+            val delta = dfs("delta")
+            // first run has no 'total' entry; later runs union the previous state
+            val combined = dfs.get("total").fold(delta)(prev => prev.unionByName(delta))
+            Map("total" -> combined.groupBy("k").agg(sum("v").as("v")))
+          }
+        }),
+        recursiveInputIds = Seq("total")))
+      r
+    }
+    Seq(("a", 1L), ("b", 2L)).toDF("k", "v").write.mode("overwrite").parquet(in)
+    new ActionDAGRun(reg().allActions).run()(newCtx(reg()))
+    Seq(("a", 10L)).toDF("k", "v").write.mode("overwrite").parquet(in)
+    new ActionDAGRun(reg().allActions).run()(newCtx(reg()))
+    val got = spark.read.parquet(tot).orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 11L), ("b", 2L))) // second run folded into the first's state
+  }
+
   test("merge emulation honors delete/update/insert conditions") {
     val existing = Seq((1, "a", 1), (2, "b", 2), (3, "c", 3)).toDF("id", "v", "n")
     val feed = Seq((1, "a2", 1), (2, "b2", -1), (4, "d", 4)).toDF("id", "v", "n")
