@@ -50,6 +50,28 @@ case class RelaxedCsvFileDataObject(
     } finally in.close()
   }
 
+  /** group files by header line. Few files: tiny ranged reads on the
+    * driver. Many files: the reads are DISTRIBUTED (one task per batch of
+    * files) — a million drifting files must not serialize a million
+    * round-trips through the driver. */
+  private def groupByHeader(files: Seq[Path])(implicit ctx: ActionPipelineContext): Map[String, Seq[Path]] =
+    if (files.size <= 64) files.groupBy(headerOf)
+    else {
+      val confSer = org.apache.spark.graftshims.GraftCoreShims
+        .serializableConf(ctx.spark.sparkContext.hadoopConfiguration)
+      val paths = files.map(_.toString)
+      val slices = math.min(paths.size, 256)
+      ctx.spark.sparkContext.parallelize(paths, slices).map { s =>
+        val p = new Path(s)
+        val efs = p.getFileSystem(confSer.value)
+        val in = efs.open(p)
+        val header =
+          try Option(new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8")).readLine()).getOrElse("")
+          finally in.close()
+        header -> s
+      }.collect().toSeq.groupBy(_._1).view.mapValues(_.map(kv => new Path(kv._2))).toMap
+    }
+
   override def getDataFrame(partitionValues: Seq[PartitionValues] = Seq.empty)
                            (implicit ctx: ActionPipelineContext): DataFrame = {
     require(exists, s"DataObject $id: path $path has no data")
@@ -62,7 +84,7 @@ case class RelaxedCsvFileDataObject(
       }
       buf.toSeq
     }
-    val byHeader: Map[String, Seq[Path]] = files.groupBy(headerOf)
+    val byHeader: Map[String, Seq[Path]] = groupByHeader(files)
     val parts = byHeader.toSeq.sortBy(_._1).map { case (_, group) =>
       val r0 = ctx.spark.read.options(options)
       val r1 = corruptRecordColumn.fold(r0)(c =>

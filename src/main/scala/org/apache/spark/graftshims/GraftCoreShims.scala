@@ -10,4 +10,10 @@ object GraftCoreShims {
   def waitListenerBusEmpty(sc: SparkContext, timeoutMillis: Long): Unit =
     try sc.listenerBus.waitUntilEmpty(timeoutMillis)
     catch { case _: Throwable => () } // best effort — metrics, not correctness
+
+  /** wrap a Hadoop Configuration for task-side use (the class is
+    * `private[spark]`) — needed to open files on executors with the
+    * session's filesystem settings (S3 credentials, defaultFS, …) */
+  def serializableConf(conf: org.apache.hadoop.conf.Configuration): org.apache.spark.util.SerializableConfiguration =
+    new org.apache.spark.util.SerializableConfiguration(conf)
 }

@@ -68,6 +68,23 @@ class FileFormatsSpec extends AnyFunSuite {
     assert(new java.io.File(dir, "tick").exists() && new java.io.File(dir, "tock").exists())
   }
 
+  test("relaxed csv with many files takes the distributed header-read path") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // 70 files (> the 64-file driver-side threshold), two header groups
+    (1 to 70).foreach { i =>
+      val (hdr, row) = if (i % 2 == 0) ("a,b", s"$i,x$i") else ("a,c", s"$i,y$i")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/f$i.csv"), s"$hdr\n$row\n")
+    }
+    val relaxed = RelaxedCsvFileDataObject("many", dir)
+    val df = relaxed.getDataFrame()
+    assert(df.count() == 70)
+    assert(df.columns.toSet == Set("a", "b", "c"))
+    // each row carries its own header's column; the other group's is null
+    assert(df.where(col("b").isNotNull).count() == 35)
+    assert(df.where(col("c").isNotNull).count() == 35)
+  }
+
   test("tick-tock registers catalog table at active location") {
     import spark.implicits._
     val dir = tmpDir()
