@@ -281,7 +281,7 @@ object ConfigParser {
       case "CopyAction" | "copy" =>
         CopyAction(id, require(str(n, "inputId"), id, "inputId"),
           require(str(n, "outputId"), id, "outputId"), transformers, saveMode, execMode,
-          execCond, metricsFail)
+          execCond, metricsFail, breakDataFrameLineage = bool(n, "breakDataFrameLineage"))
       case "CustomDataFrameAction" | "customDataFrame" =>
         val sqls = strMap(n, "outputSql")
         val dfs: Seq[DfsTransformer] =

@@ -46,6 +46,16 @@ trait Action {
 abstract class DataFrameAction extends Action {
   def transformers: Seq[DfTransformer]
   def saveMode: Option[SdlSaveMode] = None
+  /** Cut the Catalyst lineage at this action's outputs: downstream actions
+    * re-read from the written DataObject instead of extending this
+    * action's plan (reference `DataFrameActionImpl.breakDataFrameLineage:58`).
+    * For 100-action DAGs the accumulated plan otherwise grows unboundedly —
+    * analysis/optimization time blows up long before data does. */
+  def breakDataFrameLineage: Boolean = false
+
+  /** apply [[breakDataFrameLineage]] to an exec-phase output SubFeed */
+  protected def maybeBreakLineage(sf: SubFeed): SubFeed =
+    if (breakDataFrameLineage) sf.copy(dataFrame = None) else sf
 
   protected def readInput(doId: String, pvs: Seq[PartitionValues])
                          (implicit ctx: ActionPipelineContext): DataFrame =
@@ -80,7 +90,8 @@ case class CopyAction(
     override val saveMode: Option[SdlSaveMode] = None,
     override val executionMode: Option[graft.operators.modes.ExecutionMode] = None,
     override val executionCondition: Option[Condition] = None,
-    override val metricsFailCondition: Option[String] = None)
+    override val metricsFailCondition: Option[String] = None,
+    override val breakDataFrameLineage: Boolean = false)
   extends DataFrameAction {
 
   def inputIds: Seq[String] = Seq(inputId)
@@ -110,7 +121,7 @@ case class CopyAction(
       case _ =>
         val out = buildOutput(subFeeds)
         val metrics = writeOutput(outputId, out.dataFrame.get, out.partitionValues)
-        Seq(out.copy(metrics = Some(metrics)))
+        Seq(maybeBreakLineage(out.copy(metrics = Some(metrics))))
     }
 
   /** Structured Streaming execution (reference

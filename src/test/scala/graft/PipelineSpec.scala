@@ -222,6 +222,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Seq(("a", 11L), ("b", 2L))) // second run folded into the first's state
   }
 
+  test("breakDataFrameLineage: downstream re-reads from storage, results unchanged") {
+    val in = tmpDir(); val mid = tmpDir(); val out = tmpDir()
+    Seq((1, "a"), (5, "b")).toDF("x", "v").write.mode("overwrite").parquet(in)
+    val reg = new InstanceRegistry()
+    reg.register(ParquetFileDataObject("src", in))
+    reg.register(ParquetFileDataObject("mid", mid))
+    reg.register(ParquetFileDataObject("dst", out))
+    reg.register(CopyAction("stage", "src", "mid",
+      Seq(FilterTransformer("x > 1")), breakDataFrameLineage = true))
+    reg.register(CopyAction("load", "mid", "dst"))
+    implicit val ctx: ActionPipelineContext = newCtx(reg)
+    val res = new ActionDAGRun(reg.allActions).run()
+    // the staged subfeed carries NO DataFrame — the plan was cut at storage
+    assert(res("stage").head.dataFrame.isEmpty)
+    assert(spark.read.parquet(out).collect().map(_.getInt(0)).toSeq == Seq(5))
+  }
+
   test("merge emulation honors delete/update/insert conditions") {
     val existing = Seq((1, "a", 1), (2, "b", 2), (3, "c", 3)).toDF("id", "v", "n")
     val feed = Seq((1, "a2", 1), (2, "b2", -1), (4, "d", 4)).toDF("id", "v", "n")
