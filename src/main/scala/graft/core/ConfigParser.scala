@@ -78,6 +78,12 @@ object ConfigParser {
     connections.values.foreach(registry.register)
     obj(root, "dataObjects").foreach { case (id, n) =>
       registry.register(parseDataObject(id, n, connections))
+      get(n, "metadata").foreach { m =>
+        registry.setMetadata(id, DataObjectMetadata(
+          name = str(m, "name"), description = str(m, "description"),
+          layer = str(m, "layer"), subjectArea = str(m, "subjectArea"),
+          tags = strSeq(m, "tags")))
+      }
     }
     obj(root, "actions").foreach { case (id, n) => registry.register(parseAction(id, n)) }
     registry

@@ -179,6 +179,14 @@ case class ActionPipelineContext(
   * or registered programmatically. Reference:
   * `sdl-core/config/InstanceRegistry.scala`.
   */
+/** Catalog metadata attached to a DataObject in config (reference
+  * `DataObjectMetadata`: name/description/layer/subjectArea/tags) —
+  * surfaced through the exporter objects for catalog/lineage UIs. */
+case class DataObjectMetadata(
+    name: Option[String] = None, description: Option[String] = None,
+    layer: Option[String] = None, subjectArea: Option[String] = None,
+    tags: Seq[String] = Seq.empty)
+
 class InstanceRegistry {
   import graft.sources.DataObject
   import graft.operators.Action
@@ -186,6 +194,12 @@ class InstanceRegistry {
   private val dataObjects = scala.collection.mutable.LinkedHashMap.empty[String, DataObject]
   private val actions = scala.collection.mutable.LinkedHashMap.empty[String, Action]
   private val connections = scala.collection.mutable.LinkedHashMap.empty[String, Connection]
+  private val dataObjectMeta = scala.collection.mutable.LinkedHashMap.empty[String, DataObjectMetadata]
+
+  def setMetadata(dataObjectId: String, meta: DataObjectMetadata): this.type = {
+    dataObjectMeta(dataObjectId) = meta; this
+  }
+  def metadata(dataObjectId: String): Option[DataObjectMetadata] = dataObjectMeta.get(dataObjectId)
 
   def register(d: DataObject): this.type = { dataObjects(d.id) = d; this }
   def register(a: Action): this.type = { actions(a.id) = a; this }

@@ -376,11 +376,14 @@ case class DataObjectsExporterDataObject(id: String) extends DataObject with Can
   override def getDataFrame(partitionValues: Seq[PartitionValues] = Seq.empty)
                            (implicit ctx: ActionPipelineContext): DataFrame = {
     val rows = ctx.registry.allDataObjects.map { d =>
+      val m = ctx.registry.metadata(d.id)
       (d.id, d.getClass.getSimpleName,
-        d match { case f: SparkFileDataObject => f.path; case t: TableDataObject => t.table.fullName; case _ => "" })
+        d match { case f: SparkFileDataObject => f.path; case t: TableDataObject => t.table.fullName; case _ => "" },
+        m.flatMap(_.name).orNull, m.flatMap(_.description).orNull,
+        m.flatMap(_.layer).orNull, m.map(_.tags.mkString(",")).getOrElse(""))
     }
     import ctx.spark.implicits._
-    rows.toDF("id", "type", "location")
+    rows.toDF("id", "type", "location", "name", "description", "layer", "tags")
   }
 }
 

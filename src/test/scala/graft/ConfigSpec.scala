@@ -173,6 +173,28 @@ class ConfigSpec extends AnyFunSuite {
     assert(got == Seq(10, 20, 30))
   }
 
+  test("dataObject metadata parsed and surfaced by DataObjectsExporter") {
+    val cfg =
+      """dataObjects {
+        |  stg-orders = {
+        |    type = ParquetFileDataObject
+        |    path = /tmp/meta_test
+        |    metadata { name = "Orders staging", description = "raw orders", layer = staging, tags = [pii, core] }
+        |  }
+        |  exporter = { type = DataObjectsExporterDataObject }
+        |}
+        |""".stripMargin
+    val reg = ConfigParser.parse(cfg)
+    assert(reg.metadata("stg-orders").exists(m =>
+      m.name.contains("Orders staging") && m.layer.contains("staging") && m.tags == Seq("pii", "core")))
+    implicit val ctx: graft.core.ActionPipelineContext = graft.core.ActionPipelineContext(spark, reg)
+    val exported = reg.dataObject("exporter").asInstanceOf[graft.sources.DataObjectsExporterDataObject]
+      .getDataFrame().where(col("id") === "stg-orders").collect().head
+    assert(exported.getAs[String]("name") == "Orders staging")
+    assert(exported.getAs[String]("layer") == "staging")
+    assert(exported.getAs[String]("tags") == "pii,core")
+  }
+
   test("global.sparkOptions applies runtime confs through PipelineRunner") {
     import spark.implicits._
     val in = tmpDir(); val out = tmpDir()
