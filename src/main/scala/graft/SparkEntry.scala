@@ -489,6 +489,21 @@ object SparkEntry {
       val benchmark = docs.where(col("doc_id") % 13 === 1).select(col("text"))
       graft.functions.Decontamination.contaminationReport(
         docs, "doc_id", "text", benchmark, "text", n = 5, minOverlap = 1)
+    }),
+
+    // Embedding near-dup with PLANTED exact copies, oracled: an identical
+    // vector hashes to the identical hyperplane bucket (structural, not
+    // probabilistic), so LSH recall on planted copies is guaranteed and
+    // the found-pair SET matches the oracle exactly (ids only — cosine of
+    // float vectors isn't portably bit-stable across engines).
+    "q39_embedding_neardup_planted" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.where(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+      graft.functions.Dedup.embeddingNearDupPairs(
+        emb.unionByName(planted), "vec_id", "embedding", dim = 64, threshold = 0.95)
+        .where(col("id_b") === col("id_a") + 2000000L && col("id_a") % 5 === 0)
+        .select(col("id_a"), col("id_b"))
     })
   )
 
@@ -789,6 +804,9 @@ object SparkEntry {
         |SELECT c.doc_id, count(*) AS n_contaminated_ngrams
         |FROM corpus c JOIN bench b USING (ng)
         |GROUP BY c.doc_id
-        |HAVING count(*) >= 1""".stripMargin
+        |HAVING count(*) >= 1""".stripMargin,
+    "q39_embedding_neardup_planted" ->
+      """SELECT vec_id AS id_a, vec_id + 2000000 AS id_b
+        |FROM embeddings WHERE vec_id % 5 = 0""".stripMargin
   )
 }
