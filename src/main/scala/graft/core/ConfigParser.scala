@@ -293,7 +293,8 @@ object ConfigParser {
         val dfs: Seq[DfsTransformer] =
           if (sqls.nonEmpty) Seq(SQLDfsTransformer(sqls)) else Seq.empty
         CustomDataFrameAction(id, strSeq(n, "inputIds"), strSeq(n, "outputIds"), dfs, saveMode,
-          execCond, metricsFail, recursiveInputIds = strSeq(n, "recursiveInputIds"))
+          execCond, metricsFail, recursiveInputIds = strSeq(n, "recursiveInputIds"),
+          breakDataFrameLineage = bool(n, "breakDataFrameLineage"))
       case "DeduplicateAction" | "deduplicate" =>
         DeduplicateAction(id, require(str(n, "inputId"), id, "inputId"),
           require(str(n, "outputId"), id, "outputId"),

@@ -57,6 +57,17 @@ abstract class DataFrameAction extends Action {
   protected def maybeBreakLineage(sf: SubFeed): SubFeed =
     if (breakDataFrameLineage) sf.copy(dataFrame = None) else sf
 
+  /** current committed state of a DataObject, if any exists — the shared
+    * dispatch for read-modify-write patterns (stateful actions, recursive
+    * inputs). Covers file, tick-tock and catalog/JDBC table objects. */
+  protected def readCurrentStateIfExists(doId: String)(implicit ctx: ActionPipelineContext): Option[DataFrame] =
+    ctx.registry.dataObject(doId) match {
+      case f: SparkFileDataObject if f.exists => Some(f.getDataFrame())
+      case tt: TickTockHiveTableDataObject if tt.isTableExisting => Some(tt.getDataFrame())
+      case t: TableDataObject if t.isTableExisting => Some(t.getDataFrame())
+      case _ => None
+    }
+
   protected def readInput(doId: String, pvs: Seq[PartitionValues])
                          (implicit ctx: ActionPipelineContext): DataFrame =
     ctx.registry.dataObject(doId) match {
@@ -165,7 +176,8 @@ case class CustomDataFrameAction(
       * `CustomDataFrameAction.recursiveInputIds:69-73`) — running totals,
       * self-referencing aggregates. Their writes are staged automatically
       * (the plan reads the object being overwritten). */
-    recursiveInputIds: Seq[String] = Seq.empty)
+    recursiveInputIds: Seq[String] = Seq.empty,
+    override val breakDataFrameLineage: Boolean = false)
   extends DataFrameAction {
 
   def transformers: Seq[DfTransformer] = Seq.empty
@@ -179,13 +191,8 @@ case class CustomDataFrameAction(
     }.toMap
     // recursive inputs read the CURRENT state of this action's own outputs;
     // absent state (first run) is skipped — the transformer sees no entry
-    val recursive: Map[String, DataFrame] = recursiveInputIds.flatMap { rId =>
-      ctx.registry.dataObject(rId) match {
-        case f: SparkFileDataObject if f.exists => Some(rId -> f.getDataFrame())
-        case t: TableDataObject if t.isTableExisting => Some(rId -> t.getDataFrame())
-        case _ => None
-      }
-    }.toMap
+    val recursive: Map[String, DataFrame] =
+      recursiveInputIds.flatMap(rId => readCurrentStateIfExists(rId).map(rId -> _)).toMap
     // fold the N:M chain (reference DataFrameActionImpl.scala:487-495)
     dfsTransformers.foldLeft(regular ++ recursive)((acc, t) => acc ++ t.transform(acc))
   }
@@ -206,16 +213,21 @@ case class CustomDataFrameAction(
   override def exec(subFeeds: Seq[SubFeed])(implicit ctx: ActionPipelineContext): Seq[SubFeed] = {
     val outs = buildOutputs(subFeeds)
     outputIds.map { outId =>
+      val recursive = recursiveInputIds.contains(outId)
       val df = outs(outId)
       val metrics =
-        if (recursiveInputIds.contains(outId))
+        if (recursive)
           // plan reads this very object → staged overwrite
           ctx.registry.dataObject(outId) match {
             case w: CanWriteDataFrame => w.writeDataFrameStaged(df)
             case other => throw new IllegalArgumentException(s"${other.id} cannot write DataFrames")
           }
         else writeOutput(outId, df, Seq.empty)
-      SubFeed(outId, Some(df), metrics = Some(metrics))
+      // a recursive output's plan reads files the staged swap just REPLACED
+      // — downstream must re-read the committed state, so its lineage is
+      // always cut (same mechanism as breakDataFrameLineage)
+      val out = SubFeed(outId, if (recursive) None else Some(df), metrics = Some(metrics))
+      maybeBreakLineage(out)
     }
   }
 }

@@ -27,11 +27,7 @@ abstract class StatefulAction extends DataFrameAction {
     }
 
   protected def readExisting(expected: DataFrame)(implicit ctx: ActionPipelineContext): Option[DataFrame] =
-    ctx.registry.dataObject(outputId) match {
-      case f: SparkFileDataObject if f.exists => Some(f.getDataFrame())
-      case t: TableDataObject if t.isTableExisting => Some(t.getDataFrame())
-      case _ => None
-    }
+    readCurrentStateIfExists(outputId)
 
   /** write new full state; ALWAYS staged — the plan reads the same object
     * it overwrites, and a plain Overwrite truncates the source before the
@@ -62,7 +58,9 @@ abstract class StatefulAction extends DataFrameAction {
     val feed = transformedInput(subFeeds)
     val out = computeState(feed, readExisting(feed))
     val metrics = writeState(out)
-    Seq(SubFeed(outputId, Some(out), metrics = Some(metrics)))
+    // the state plan read the object the staged write just replaced —
+    // downstream must re-read the committed state
+    Seq(SubFeed(outputId, None, metrics = Some(metrics)))
   }
 }
 

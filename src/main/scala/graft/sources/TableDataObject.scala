@@ -380,10 +380,11 @@ case class DataObjectsExporterDataObject(id: String) extends DataObject with Can
       (d.id, d.getClass.getSimpleName,
         d match { case f: SparkFileDataObject => f.path; case t: TableDataObject => t.table.fullName; case _ => "" },
         m.flatMap(_.name).orNull, m.flatMap(_.description).orNull,
-        m.flatMap(_.layer).orNull, m.map(_.tags.mkString(",")).getOrElse(""))
+        m.flatMap(_.layer).orNull, m.flatMap(_.subjectArea).orNull,
+        m.map(_.tags.mkString(",")).getOrElse(""))
     }
     import ctx.spark.implicits._
-    rows.toDF("id", "type", "location", "name", "description", "layer", "tags")
+    rows.toDF("id", "type", "location", "name", "description", "layer", "subject_area", "tags")
   }
 }
 

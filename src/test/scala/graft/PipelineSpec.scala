@@ -195,11 +195,12 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("recursiveInputIds: running total reads this action's own output across runs") {
-    val in = tmpDir(); val tot = tmpDir()
+    val in = tmpDir(); val tot = tmpDir(); val rep = tmpDir()
     def reg() = {
       val r = new InstanceRegistry()
       r.register(ParquetFileDataObject("delta", in))
       r.register(ParquetFileDataObject("total", tot))
+      r.register(ParquetFileDataObject("report", rep))
       r.register(CustomDataFrameAction("acc", Seq("delta"), Seq("total"),
         Seq(new DfsTransformer {
           def transform(dfs: Map[String, org.apache.spark.sql.DataFrame])
@@ -211,6 +212,9 @@ class PipelineSpec extends AnyFunSuite {
           }
         }),
         recursiveInputIds = Seq("total")))
+      // downstream consumer: must re-read committed state, not the stale plan
+      // whose files the staged swap replaced
+      r.register(CopyAction("publish", "total", "report"))
       r
     }
     Seq(("a", 1L), ("b", 2L)).toDF("k", "v").write.mode("overwrite").parquet(in)
@@ -220,6 +224,38 @@ class PipelineSpec extends AnyFunSuite {
     val got = spark.read.parquet(tot).orderBy("k")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got == Seq(("a", 11L), ("b", 2L))) // second run folded into the first's state
+    val published = spark.read.parquet(rep).orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(published == got) // downstream saw the committed state
+  }
+
+  test("recursiveInputIds works with a tick-tock output (read-and-rewrite object)") {
+    val in = tmpDir(); val tt = tmpDir()
+    def reg() = {
+      val r = new InstanceRegistry()
+      r.register(ParquetFileDataObject("delta", in))
+      r.register(TickTockHiveTableDataObject("total", Table(None, "rec_tt_total"), tt,
+        registerInCatalog = false))
+      r.register(CustomDataFrameAction("acc", Seq("delta"), Seq("total"),
+        Seq(new DfsTransformer {
+          def transform(dfs: Map[String, org.apache.spark.sql.DataFrame])
+                       (implicit ctx: ActionPipelineContext): Map[String, org.apache.spark.sql.DataFrame] = {
+            val delta = dfs("delta")
+            val combined = dfs.get("total").fold(delta)(prev => prev.unionByName(delta))
+            Map("total" -> combined.groupBy("k").agg(sum("v").as("v")))
+          }
+        }),
+        recursiveInputIds = Seq("total")))
+      r
+    }
+    Seq(("a", 1L)).toDF("k", "v").write.mode("overwrite").parquet(in)
+    new ActionDAGRun(reg().allActions).run()(newCtx(reg()))
+    Seq(("a", 5L)).toDF("k", "v").write.mode("overwrite").parquet(in)
+    new ActionDAGRun(reg().allActions).run()(newCtx(reg()))
+    implicit val ctx: ActionPipelineContext = newCtx(reg())
+    val got = reg().dataObject("total").asInstanceOf[TickTockHiveTableDataObject]
+      .getDataFrame().collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 6L))) // previous tick-tock state was read, not lost
   }
 
   test("breakDataFrameLineage: downstream re-reads from storage, results unchanged") {
