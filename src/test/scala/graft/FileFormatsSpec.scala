@@ -85,6 +85,32 @@ class FileFormatsSpec extends AnyFunSuite {
     assert(df.where(col("c").isNotNull).count() == 35)
   }
 
+  test("zip codec: reads .zip-packed csv transparently and writes zip via compression option") {
+    graft.sources.GraftZipCodec.register(ctx)
+    // hand-pack a csv into a zip, as an external producer would
+    val dir = tmpDir()
+    val zos = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(s"$dir/drop.zip"))
+    zos.putNextEntry(new java.util.zip.ZipEntry("export.csv"))
+    zos.write("id,v\n1,a\n2,b\n".getBytes("UTF-8"))
+    zos.closeEntry(); zos.close()
+    val got = CsvFileDataObject("z1", dir).getDataFrame()
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got == Seq((1, "a"), (2, "b")))
+    // write side: compression option produces a real zip archive
+    import spark.implicits._
+    val out = tmpDir()
+    CsvFileDataObject("z2", out,
+      csvOptions = Map("compression" -> classOf[graft.sources.GraftZipCodec].getName))
+      .writeDataFrame(Seq((3, "c")).toDF("id", "v"), Seq.empty, Some(graft.core.SdlSaveMode.Overwrite))
+    val zipFile = new java.io.File(out).listFiles().find(_.getName.endsWith(".zip"))
+    assert(zipFile.isDefined)
+    val zin = new java.util.zip.ZipInputStream(new java.io.FileInputStream(zipFile.get))
+    assert(zin.getNextEntry.getName == "data.csv")
+    val content = new String(zin.readAllBytes(), "UTF-8")
+    assert(content.contains("3,c"))
+  }
+
   test("tick-tock registers catalog table at active location") {
     import spark.implicits._
     val dir = tmpDir()
