@@ -115,6 +115,66 @@ object Multimodal {
       out
     }
 
+    /** audio magic bytes: RIFF/WAVE and AIFF containers (JDK-decodable) */
+    private def looksLikeAudio(c: Array[Byte]): Boolean =
+      c.length >= 12 && (
+        (c(0) == 'R' && c(1) == 'I' && c(2) == 'F' && c(3) == 'F' &&
+          c(8) == 'W' && c(9) == 'A' && c(10) == 'V' && c(11) == 'E') ||
+        (c(0) == 'F' && c(1) == 'O' && c(2) == 'R' && c(3) == 'M'))
+
+    /** Real audio metadata for WAV/AIFF via `javax.sound.sampled` (JDK
+      * built-in — no codecs jar): (sampleRate, channels, frames, format).
+      * Compressed formats (mp3/ogg/aac) → stub. */
+    def audioMeta(content: Array[Byte]): (Int, Int, Long, String) = {
+      if (content == null || content.isEmpty) return (0, 0, 0L, "empty")
+      if (!looksLikeAudio(content)) return (0, 0, 0L, "stub")
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(content))
+        try {
+          val f = ais.getFormat
+          val fmt = if (content(0) == 'R') "wav" else "aiff"
+          (f.getSampleRate.toInt, f.getChannels, ais.getFrameLength, fmt)
+        } finally ais.close()
+      } catch { case _: Exception => (0, 0, 0L, "stub") }
+    }
+
+    /** RMS energy per window over the decoded PCM stream — `dim` windows
+      * spanning the clip, normalized to [0, 1]. Real signal features for
+      * JDK-decodable audio; stub fallback otherwise. */
+    def audioFeatures(content: Array[Byte], dim: Int): Array[Float] = {
+      if (content == null || content.isEmpty || !looksLikeAudio(content))
+        return StubCodecs.imageFeatures(content, dim)
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(content))
+        try {
+          val f = ais.getFormat
+          require(f.getSampleSizeInBits == 16, "expect 16-bit PCM")
+          val bytes = ais.readAllBytes()
+          val samples = bytes.length / 2
+          if (samples == 0) return StubCodecs.imageFeatures(content, dim)
+          val out = new Array[Float](dim)
+          val window = math.max(1, samples / dim)
+          var w = 0
+          while (w < dim) {
+            val start = w * window
+            val end = math.min(samples, start + window)
+            var sum = 0.0; var i = start
+            while (i < end) {
+              val lo = bytes(2 * i) & 0xff
+              val hi = bytes(2 * i + 1).toInt
+              val s = (if (f.isBigEndian) (lo << 8) | (hi & 0xff) else (hi << 8) | lo).toShort / 32768.0
+              sum += s * s; i += 1
+            }
+            out(w) = if (end > start) math.sqrt(sum / (end - start)).toFloat else 0f
+            w += 1
+          }
+          out
+        } finally ais.close()
+      } catch { case _: Exception => StubCodecs.imageFeatures(content, dim) }
+    }
+
     /** decode → scale (smooth) → PNG bytes; null when not a decodable image */
     def resizeImage(content: Array[Byte], width: Int, height: Int): Array[Byte] = {
       if (content == null || content.isEmpty || !looksLikeImage(content)) return null
@@ -176,6 +236,39 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         Row.fromSeq(r.toSeq :+ Codecs.imageFeatures(r.getAs[Array[Byte]](contentIdx), dim).toSeq)
+      }
+    }(enc)
+  }
+
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("frames", LongType),
+    StructField("format", StringType)))
+
+  /** Attach decoded audio metadata (real for WAV/AIFF) via mapPartitions. */
+  def withAudioMetadata(df: DataFrame, contentCol: String = "content"): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("audio_meta", audioMetaSchema))
+    val contentIdx = df.schema.fieldIndex(contentCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val (sr, ch, fr, fmt) = Codecs.audioMeta(r.getAs[Array[Byte]](contentIdx))
+        Row.fromSeq(r.toSeq :+ Row(sr, ch, fr, fmt))
+      }
+    }(enc)
+  }
+
+  /** RMS-energy feature vector per audio payload (real for WAV/AIFF). */
+  def withAudioFeatures(df: DataFrame, contentCol: String = "content",
+                        dim: Int = 64, featureCol: String = "audio_features"): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField(featureCol, ArrayType(FloatType, containsNull = false)))
+    val contentIdx = df.schema.fieldIndex(contentCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        Row.fromSeq(r.toSeq :+ Codecs.audioFeatures(r.getAs[Array[Byte]](contentIdx), dim).toSeq)
       }
     }(enc)
   }

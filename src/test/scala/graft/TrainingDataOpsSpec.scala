@@ -229,6 +229,37 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(fmt2 == "stub" && feat2.size == 12)
   }
 
+  test("multimodal audio decode is REAL for WAV: metadata and RMS energy from actual PCM") {
+    // author a 16-bit mono WAV: 0.5s of a loud sine then 0.5s of silence
+    val sampleRate = 8000
+    val n = sampleRate // 1 second
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n / 2) {
+      val s = (math.sin(2 * math.Pi * 440 * i / sampleRate) * 30000).toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val media = Seq((1L, bos.toByteArray), (2L, "not audio at all".getBytes("UTF-8")))
+      .toDF("id", "content")
+    val out = graft.operators.Multimodal.withAudioFeatures(
+      graft.operators.Multimodal.withAudioMetadata(media), dim = 8)
+    val rows = out.select(col("id"), col("audio_meta.sample_rate"), col("audio_meta.channels"),
+        col("audio_meta.frames"), col("audio_meta.format"), col("audio_features"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3), r.getString(4), r.getSeq[Float](5)))).toMap
+    val (sr, ch, frames, f, feat) = rows(1L)
+    assert(sr == 8000 && ch == 1 && frames == 8000L && f == "wav")
+    // first half (sine) carries energy, second half (silence) none
+    assert(feat.take(4).forall(_ > 0.3f) && feat.drop(4).forall(_ < 0.01f))
+    val (_, _, _, f2, feat2) = rows(2L)
+    assert(f2 == "stub" && feat2.size == 8)
+  }
+
   test("multimodal resize: real PNG scales to target dims; non-image maps to null") {
     def png(w: Int, h: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
