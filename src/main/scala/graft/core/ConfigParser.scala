@@ -409,6 +409,10 @@ object PipelineRunner {
           feedSel: Option[String] = None, parallelism: Int = 1,
           runtimeOptions: Map[String, String] = Map.empty): Map[String, Seq[SubFeed]] = {
     val registry = ConfigParser.parse(configText)
+    // zip-packed text inputs read transparently in config-driven pipelines
+    // (additive codec registration — only .zip-suffixed files are affected)
+    graft.sources.GraftZipCodec.register(
+      ActionPipelineContext(spark, registry))
     // global.sparkOptions: runtime-settable confs (shuffle partitions, AQE
     // flags, session timezone, …) — reference GlobalConfig applies them at
     // session build; on an existing session only dynamic confs apply

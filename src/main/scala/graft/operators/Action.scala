@@ -57,6 +57,15 @@ abstract class DataFrameAction extends Action {
   protected def maybeBreakLineage(sf: SubFeed): SubFeed =
     if (breakDataFrameLineage) sf.copy(dataFrame = None) else sf
 
+  /** Init-phase lineage cut: schema must still propagate (the output may
+    * not exist yet, so downstream can't re-read), but the accumulated plan
+    * need not — substitute an empty frame carrying only the schema. */
+  protected def maybeBreakLineageInit(sf: SubFeed)(implicit ctx: ActionPipelineContext): SubFeed =
+    if (breakDataFrameLineage)
+      sf.copy(dataFrame = sf.dataFrame.map(df =>
+        ctx.spark.createDataFrame(ctx.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)))
+    else sf
+
   /** current committed state of a DataObject, if any exists — the shared
     * dispatch for read-modify-write patterns (stateful actions, recursive
     * inputs). Covers file, tick-tock and catalog/JDBC table objects. */
@@ -123,7 +132,7 @@ case class CopyAction(
       case w: CanWriteDataFrame => w.initWrite(out.dataFrame.get)
       case _ => ()
     }
-    Seq(out)
+    Seq(maybeBreakLineageInit(out))
   }
 
   override def exec(subFeeds: Seq[SubFeed])(implicit ctx: ActionPipelineContext): Seq[SubFeed] =
@@ -206,13 +215,21 @@ case class CustomDataFrameAction(
         case w: CanWriteDataFrame => w.initWrite(df)
         case _ => ()
       }
-      SubFeed(outId, Some(df))
+      maybeBreakLineageInit(SubFeed(outId, Some(df)))
     }
   }
 
   override def exec(subFeeds: Seq[SubFeed])(implicit ctx: ActionPipelineContext): Seq[SubFeed] = {
     val outs = buildOutputs(subFeeds)
-    outputIds.map { outId =>
+    // NON-recursive outputs write FIRST: their plans may read a recursive
+    // sibling's current state, which the staged swap below replaces —
+    // executing them before the swap keeps the files they reference alive.
+    // (Two recursive outputs could read EACH OTHER — unsequenceable;
+    // rejected rather than silently corrupted.)
+    require(recursiveInputIds.size <= 1,
+      s"Action $id: at most one recursive output is supported")
+    val ordered = outputIds.sortBy(recursiveInputIds.contains) // false < true
+    val written = ordered.map { outId =>
       val recursive = recursiveInputIds.contains(outId)
       val df = outs(outId)
       val metrics =
@@ -227,8 +244,9 @@ case class CustomDataFrameAction(
       // — downstream must re-read the committed state, so its lineage is
       // always cut (same mechanism as breakDataFrameLineage)
       val out = SubFeed(outId, if (recursive) None else Some(df), metrics = Some(metrics))
-      maybeBreakLineage(out)
-    }
+      outId -> maybeBreakLineage(out)
+    }.toMap
+    outputIds.map(written)
   }
 }
 

@@ -144,7 +144,7 @@ object Multimodal {
       * JDK-decodable audio; stub fallback otherwise. */
     def audioFeatures(content: Array[Byte], dim: Int): Array[Float] = {
       if (content == null || content.isEmpty || !looksLikeAudio(content))
-        return StubCodecs.imageFeatures(content, dim)
+        return StubCodecs.audioFeatures(content, dim)
       try {
         val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(content))
@@ -153,7 +153,7 @@ object Multimodal {
           require(f.getSampleSizeInBits == 16, "expect 16-bit PCM")
           val bytes = ais.readAllBytes()
           val samples = bytes.length / 2
-          if (samples == 0) return StubCodecs.imageFeatures(content, dim)
+          if (samples == 0) return StubCodecs.audioFeatures(content, dim)
           val out = new Array[Float](dim)
           val window = math.max(1, samples / dim)
           var w = 0
@@ -172,7 +172,7 @@ object Multimodal {
           }
           out
         } finally ais.close()
-      } catch { case _: Exception => StubCodecs.imageFeatures(content, dim) }
+      } catch { case _: Exception => StubCodecs.audioFeatures(content, dim) }
     }
 
     /** decode → scale (smooth) → PNG bytes; null when not a decodable image */
@@ -210,35 +210,37 @@ object Multimodal {
       val rnd = new scala.util.Random(seed)
       Array.fill(dim)(rnd.nextFloat() * 2 - 1)
     }
+    /** STUB audio features — kept in [0, 1] like real RMS energies so
+      * stub and decoded rows share one value range */
+    def audioFeatures(content: Array[Byte], dim: Int): Array[Float] =
+      imageFeatures(content, dim).map(math.abs)
+  }
+
+  /** Shared decode scaffold: append ONE derived field computed from the
+    * binary content column, batched per partition (the Scala analogue of
+    * mapInPandas — one iterator per partition, no per-row driver trips). */
+  private def withDerivedField(df: DataFrame, contentCol: String, field: StructField)
+                              (derive: Array[Byte] => Any): DataFrame = {
+    val schema = StructType(df.schema.fields :+ field)
+    val contentIdx = df.schema.fieldIndex(contentCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map(r => Row.fromSeq(r.toSeq :+ derive(r.getAs[Array[Byte]](contentIdx))))
+    }(enc)
   }
 
   /** Attach decoded metadata via mapPartitions (batched, executor-side). */
-  def withImageMetadata(df: DataFrame, contentCol: String = "content"): DataFrame = {
-    val schema = StructType(df.schema.fields :+ StructField("image_meta", imageMetaSchema))
-    val contentIdx = df.schema.fieldIndex(contentCol)
-    val enc = org.apache.spark.sql.Encoders.row(schema)
-    df.mapPartitions { rows =>
-      rows.map { r =>
-        val (w, h, c, f) = Codecs.imageMeta(r.getAs[Array[Byte]](contentIdx))
-        Row.fromSeq(r.toSeq :+ Row(w, h, c, f))
-      }
-    }(enc)
-  }
+  def withImageMetadata(df: DataFrame, contentCol: String = "content"): DataFrame =
+    withDerivedField(df, contentCol, StructField("image_meta", imageMetaSchema)) { bytes =>
+      val (w, h, c, f) = Codecs.imageMeta(bytes); Row(w, h, c, f)
+    }
 
-  /** Feature extraction: content → Array[Float] embedding column (stub
-    * features, real batched execution shape). */
+  /** Feature extraction: content → Array[Float] embedding column. */
   def withImageFeatures(df: DataFrame, contentCol: String = "content",
-                        dim: Int = 64, featureCol: String = "features"): DataFrame = {
-    val schema = StructType(df.schema.fields :+
-      StructField(featureCol, ArrayType(FloatType, containsNull = false)))
-    val contentIdx = df.schema.fieldIndex(contentCol)
-    val enc = org.apache.spark.sql.Encoders.row(schema)
-    df.mapPartitions { rows =>
-      rows.map { r =>
-        Row.fromSeq(r.toSeq :+ Codecs.imageFeatures(r.getAs[Array[Byte]](contentIdx), dim).toSeq)
-      }
-    }(enc)
-  }
+                        dim: Int = 64, featureCol: String = "features"): DataFrame =
+    withDerivedField(df, contentCol,
+      StructField(featureCol, ArrayType(FloatType, containsNull = false)))(
+      bytes => Codecs.imageFeatures(bytes, dim).toSeq)
 
   val audioMetaSchema: StructType = StructType(Seq(
     StructField("sample_rate", IntegerType),
@@ -247,31 +249,17 @@ object Multimodal {
     StructField("format", StringType)))
 
   /** Attach decoded audio metadata (real for WAV/AIFF) via mapPartitions. */
-  def withAudioMetadata(df: DataFrame, contentCol: String = "content"): DataFrame = {
-    val schema = StructType(df.schema.fields :+ StructField("audio_meta", audioMetaSchema))
-    val contentIdx = df.schema.fieldIndex(contentCol)
-    val enc = org.apache.spark.sql.Encoders.row(schema)
-    df.mapPartitions { rows =>
-      rows.map { r =>
-        val (sr, ch, fr, fmt) = Codecs.audioMeta(r.getAs[Array[Byte]](contentIdx))
-        Row.fromSeq(r.toSeq :+ Row(sr, ch, fr, fmt))
-      }
-    }(enc)
-  }
+  def withAudioMetadata(df: DataFrame, contentCol: String = "content"): DataFrame =
+    withDerivedField(df, contentCol, StructField("audio_meta", audioMetaSchema)) { bytes =>
+      val (sr, ch, fr, fmt) = Codecs.audioMeta(bytes); Row(sr, ch, fr, fmt)
+    }
 
   /** RMS-energy feature vector per audio payload (real for WAV/AIFF). */
   def withAudioFeatures(df: DataFrame, contentCol: String = "content",
-                        dim: Int = 64, featureCol: String = "audio_features"): DataFrame = {
-    val schema = StructType(df.schema.fields :+
-      StructField(featureCol, ArrayType(FloatType, containsNull = false)))
-    val contentIdx = df.schema.fieldIndex(contentCol)
-    val enc = org.apache.spark.sql.Encoders.row(schema)
-    df.mapPartitions { rows =>
-      rows.map { r =>
-        Row.fromSeq(r.toSeq :+ Codecs.audioFeatures(r.getAs[Array[Byte]](contentIdx), dim).toSeq)
-      }
-    }(enc)
-  }
+                        dim: Int = 64, featureCol: String = "audio_features"): DataFrame =
+    withDerivedField(df, contentCol,
+      StructField(featureCol, ArrayType(FloatType, containsNull = false)))(
+      bytes => Codecs.audioFeatures(bytes, dim).toSeq)
 
   /** Real image resize (JDK-decodable formats): decode → smooth-scale →
     * re-encode as PNG. Undecodable payloads map to null (carry the original
@@ -279,16 +267,9 @@ object Multimodal {
     * shape as decode. */
   def withResizedImage(df: DataFrame, contentCol: String = "content",
                        width: Int = 224, height: Int = 224,
-                       outCol: String = "content_resized"): DataFrame = {
-    val schema = StructType(df.schema.fields :+ StructField(outCol, BinaryType))
-    val contentIdx = df.schema.fieldIndex(contentCol)
-    val enc = org.apache.spark.sql.Encoders.row(schema)
-    df.mapPartitions { rows =>
-      rows.map { r =>
-        Row.fromSeq(r.toSeq :+ Codecs.resizeImage(r.getAs[Array[Byte]](contentIdx), width, height))
-      }
-    }(enc)
-  }
+                       outCol: String = "content_resized"): DataFrame =
+    withDerivedField(df, contentCol, StructField(outCol, BinaryType))(
+      bytes => Codecs.resizeImage(bytes, width, height))
 
   /** Frame sampling for video-like payloads: every `stride`-th chunk of
     * `frameSize` bytes, as an array of binary frames — pure builtin

@@ -114,7 +114,10 @@ case class DeduplicateAction(
             SaveModeMergeOptions(updateCondition = Some(changePredicate))
           else SaveModeMergeOptions()
         val metrics = m.mergeDataFrame(feed, pk, opts)
-        Seq(SubFeed(outputId, Some(feed), metrics = Some(metrics)))
+        // consistent with the non-merge path: downstream re-reads the full
+        // committed table (propagating only the feed would make a
+        // downstream Overwrite publish just this run's increment)
+        Seq(SubFeed(outputId, None, metrics = Some(metrics)))
       case _ => super.exec(subFeeds)
     }
   }

@@ -279,16 +279,27 @@ abstract class SparkFileDataObject extends DataObject
     */
   override def writeDataFrameStaged(df: DataFrame)(implicit ctx: ActionPipelineContext): ActionMetrics = {
     val t0 = System.currentTimeMillis()
+    // same quality instrumentation as the plain write path — a staged
+    // write must not silently skip constraints/expectations
+    validateSchemaMin(df)
+    val constrained = graft.quality.DataQualityValidation.applyConstraints(df, constraints)
+    val (instrumented, expObs) =
+      graft.quality.DataQualityValidation.observeExpectations(constrained, expectations)
     val staging = new Path(path + "_graft_staging")
     val obs = org.apache.spark.sql.Observation(s"graft_stage_${id}_${System.nanoTime()}")
-    val observed = df.observe(obs, count(lit(1)).as("records_written"))
+    val observed = instrumented.observe(obs, count(lit(1)).as("records_written"))
     val w0 = observed.write.format(format).options(options)
     val w = if (partitions.nonEmpty) w0.partitionBy(partitions: _*) else w0
     w.mode("overwrite").save(staging.toString)
     fs.delete(hadoopPath, true)
     fs.rename(staging, hadoopPath)
+    // the swap deleted the previous .schema file — re-persist so the next
+    // schema-on-read doesn't fall back to inference and drift types
+    if (!isSelfDescribing) SchemaUtil.persistSchema(path, df.schema)
+    val jobMetrics = expObs.map(o =>
+      graft.quality.DataQualityValidation.evaluateObserved(o, expectations)).getOrElse(Map.empty)
     val rows = try obs.get("records_written").asInstanceOf[Long] catch { case _: Throwable => -1L }
-    ActionMetrics(rows, System.currentTimeMillis() - t0)
+    ActionMetrics(rows, System.currentTimeMillis() - t0, observedMetrics = jobMetrics)
   }
 
   override def listPartitions(implicit ctx: ActionPipelineContext): Seq[PartitionValues] = {

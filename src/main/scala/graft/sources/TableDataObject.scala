@@ -381,7 +381,7 @@ case class DataObjectsExporterDataObject(id: String) extends DataObject with Can
         d match { case f: SparkFileDataObject => f.path; case t: TableDataObject => t.table.fullName; case _ => "" },
         m.flatMap(_.name).orNull, m.flatMap(_.description).orNull,
         m.flatMap(_.layer).orNull, m.flatMap(_.subjectArea).orNull,
-        m.map(_.tags.mkString(",")).getOrElse(""))
+        m.map(_.tags.mkString(",")).orNull)
     }
     import ctx.spark.implicits._
     rows.toDF("id", "type", "location", "name", "description", "layer", "subject_area", "tags")
