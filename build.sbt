@@ -14,6 +14,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through unprefixed: sbt's default
+// LoggedOutput prepends "[info] " to every child line, which broke the
+// driver's parse of Bench's final bare-JSON stdout line (BENCH_r0{1,2}
+// "parsed": null). StdoutOutput inherits the parent's streams directly.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -237,7 +237,8 @@ object SparkEntry {
         .select(col("c_custkey"),
           when(col("c_custkey") % 3 === 0, col("c_acctbal") + 100.0)
             .otherwise(col("c_acctbal")).as("c_acctbal"))
-      operators.Historization.fullHistorize(existing, feed, Seq("c_custkey"), T2)
+      fmtTs(operators.Historization.fullHistorize(existing, feed, Seq("c_custkey"), T2),
+        operators.Historization.captured, operators.Historization.delimited)
     }),
 
     // HistorizeAction incremental: feed carries only changed rows; absent
@@ -249,7 +250,8 @@ object SparkEntry {
         .withColumn(operators.Historization.delimited, lit(operators.Historization.doomsday))
       val feed = customer.where(col("c_custkey") % 4 === 0)
         .select(col("c_custkey"), (col("c_acctbal") + 50.0).as("c_acctbal"))
-      operators.Historization.incrementalHistorize(existing, feed, Seq("c_custkey"), T2)
+      fmtTs(operators.Historization.incrementalHistorize(existing, feed, Seq("c_custkey"), T2),
+        operators.Historization.captured, operators.Historization.delimited)
     }),
 
     // CDC historization: replay events as a change stream (event_type
@@ -261,6 +263,7 @@ object SparkEntry {
         deleteOp = "error", tieBreakCols = Seq("event_id"))
         .select(col("user_id"), col("event_id"), col("value"),
           col("dl_ts_captured"), col("dl_ts_delimited"))
+        .transform(fmtTs(_, "dl_ts_captured", "dl_ts_delimited"))
     }),
 
     // MERGE upsert semantics (SaveModeMergeOptions): update / delete /
@@ -510,6 +513,16 @@ object SparkEntry {
   private val T1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
   private val T2 = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
 
+  /** Render SCD2 timestamp columns as fixed-precision strings for the oracle
+    * compare. The doomsday bound 9999-12-31 overflows pandas' datetime64[ns]
+    * range (max 2262-04-11), so a timestamp-typed result column hashes
+    * differently depending on how the driver materializes it; a millisecond
+    * string is representation-independent. The DuckDB side mirrors this with
+    * strftime(..., '%Y-%m-%d %H:%M:%S.%g'). */
+  private def fmtTs(df: DataFrame, cols: String*): DataFrame =
+    cols.foldLeft(df)((d, c) =>
+      d.withColumn(c, date_format(col(c), "yyyy-MM-dd HH:mm:ss.SSS")))
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -581,8 +594,8 @@ object SparkEntry {
     "q13_conditional_agg" ->
       """SELECT o_orderpriority,
         |  count(*) AS num_orders,
-        |  sum(CASE WHEN o_totalprice > 250000.0 THEN 1 ELSE 0 END) AS num_big,
-        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS num_finished
+        |  CAST(sum(CASE WHEN o_totalprice > 250000.0 THEN 1 ELSE 0 END) AS BIGINT) AS num_big,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS num_finished
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q14_pk_violators" ->
       """SELECT o_orderkey, o_custkey FROM orders
@@ -606,8 +619,15 @@ object SparkEntry {
         |SELECT o_orderkey, o_totalprice, dl_ts_captured FROM (
         |  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY dl_ts_captured DESC) AS rn FROM u)
         |WHERE rn = 1""".stripMargin,
+    // dl_ts_* rendered as ms-strings on both sides: the doomsday bound
+    // 9999-12-31 is outside pandas' datetime64[ns] range, so a
+    // timestamp-typed column is representation-dependent in the compare.
     "q18_historize_full" ->
-      """WITH cur AS (SELECT c_custkey, c_acctbal FROM customer),
+      """SELECT c_custkey, c_acctbal,
+        |  strftime(dl_ts_captured, '%Y-%m-%d %H:%M:%S.%g') AS dl_ts_captured,
+        |  strftime(dl_ts_delimited, '%Y-%m-%d %H:%M:%S.%g') AS dl_ts_delimited
+        |FROM (
+        |WITH cur AS (SELECT c_custkey, c_acctbal FROM customer),
         |feed AS (
         |  SELECT c_custkey,
         |    CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
@@ -622,9 +642,14 @@ object SparkEntry {
         |UNION ALL
         |SELECT n.c_custkey, n.c_acctbal, TIMESTAMP '2024-01-02', TIMESTAMP '9999-12-31'
         |FROM feed n LEFT JOIN cur e ON n.c_custkey = e.c_custkey
-        |WHERE e.c_custkey IS NULL OR e.c_acctbal <> n.c_acctbal""".stripMargin,
+        |WHERE e.c_custkey IS NULL OR e.c_acctbal <> n.c_acctbal
+        |)""".stripMargin,
     "q19_historize_incremental" ->
-      """WITH cur AS (SELECT c_custkey, c_acctbal FROM customer),
+      """SELECT c_custkey, c_acctbal,
+        |  strftime(dl_ts_captured, '%Y-%m-%d %H:%M:%S.%g') AS dl_ts_captured,
+        |  strftime(dl_ts_delimited, '%Y-%m-%d %H:%M:%S.%g') AS dl_ts_delimited
+        |FROM (
+        |WITH cur AS (SELECT c_custkey, c_acctbal FROM customer),
         |feed AS (SELECT c_custkey, c_acctbal + 50.0 AS c_acctbal FROM customer WHERE c_custkey % 4 = 0)
         |SELECT e.c_custkey, e.c_acctbal,
         |  TIMESTAMP '2024-01-01' AS dl_ts_captured, TIMESTAMP '9999-12-31' AS dl_ts_delimited
@@ -637,16 +662,22 @@ object SparkEntry {
         |UNION ALL
         |SELECT n.c_custkey, n.c_acctbal, TIMESTAMP '2024-01-02', TIMESTAMP '9999-12-31'
         |FROM feed n LEFT JOIN cur e ON n.c_custkey = e.c_custkey
-        |WHERE e.c_custkey IS NULL OR e.c_acctbal <> n.c_acctbal""".stripMargin,
+        |WHERE e.c_custkey IS NULL OR e.c_acctbal <> n.c_acctbal
+        |)""".stripMargin,
     "q20_cdc_historize" ->
-      """SELECT user_id, event_id, value, ts AS dl_ts_captured,
+      """SELECT user_id, event_id, value,
+        |  strftime(dl_ts_captured, '%Y-%m-%d %H:%M:%S.%g') AS dl_ts_captured,
+        |  strftime(dl_ts_delimited, '%Y-%m-%d %H:%M:%S.%g') AS dl_ts_delimited
+        |FROM (
+        |SELECT user_id, event_id, value, ts AS dl_ts_captured,
         |  CASE WHEN next_ts IS NULL THEN TIMESTAMP '9999-12-31'
         |       ELSE next_ts - INTERVAL 1 MILLISECOND END AS dl_ts_delimited
         |FROM (
         |  SELECT user_id, event_id, value, ts, event_type,
         |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
         |  FROM events)
-        |WHERE event_type <> 'error'""".stripMargin,
+        |WHERE event_type <> 'error'
+        |)""".stripMargin,
     "q21_merge_upsert" ->
       """WITH existing AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0),
@@ -755,7 +786,7 @@ object SparkEntry {
         |    '\s+', ' ', 'g'))) AS text_hash,
         |    min(doc_id) AS doc_id, min(n_tokens) AS n_tokens
         |  FROM filtered GROUP BY 1)
-        |SELECT count(*) AS n_docs, sum(n_tokens) AS total_tokens, min(doc_id) AS min_doc_id
+        |SELECT count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens, min(doc_id) AS min_doc_id
         |FROM canonical""".stripMargin,
     "q35_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
