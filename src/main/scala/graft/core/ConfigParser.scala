@@ -53,9 +53,12 @@ object ConfigParser {
     * memoized (PipelineRunner consults the same text for registry, feeds
     * and global options). */
   private val treeCache = new java.util.concurrent.ConcurrentHashMap[String, JsonNode]()
-  private def tree(configText: String): JsonNode =
+  private def tree(configText: String): JsonNode = {
+    // Evict BEFORE the compute: ConcurrentHashMap forbids the mapping
+    // function from mutating the map (clear() inside could drop the
+    // in-progress reservation node and corrupt size accounting).
+    if (treeCache.size > 64) treeCache.clear()
     treeCache.computeIfAbsent(configText, { text =>
-      if (treeCache.size > 64) treeCache.clear()
       val hoconOnly = text.contains("${") || text.linesIterator.exists(_.trim.startsWith("include "))
       def hocon = mapper.readTree(hoconToJson(text))
       if (hoconOnly) hocon
@@ -69,6 +72,7 @@ object ConfigParser {
         yamlTry.getOrElse(hocon)
       }
     })
+  }
 
   /** Parse config text (HOCON, YAML or JSON) into a fresh registry. */
   def parse(configText: String): InstanceRegistry = {

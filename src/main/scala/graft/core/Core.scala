@@ -120,20 +120,25 @@ case class Condition(expression: String, description: Option[String] = None)
   * `util/misc/SparkExpressionUtil.scala`). */
 object ConditionEvaluator {
 
-  private def sqlStr(s: String): String = "'" + s.replace("'", "\\'") + "'"
-
   /** `executionCondition` data model: `inputSubFeeds.<dataObjectId>` struct
-    * with isSkipped / numRecords (reference SubFeedsExpressionData). */
+    * with isSkipped / numRecords (reference SubFeedsExpressionData).
+    * The state is bound via the DataFrame API (struct field names are
+    * metadata, never parsed), so dataObjectIds containing quotes can't
+    * break — or inject into — the SQL regardless of the session's
+    * string-literal parser mode (escapedStringLiterals etc.); only the
+    * user's expression itself goes through the parser. */
   def evalExecutionCondition(cond: Condition, subFeeds: Seq[SubFeed])
                             (implicit ctx: ActionPipelineContext): Boolean = {
-    def one(s: SubFeed) =
-      s"named_struct('isSkipped', ${s.isSkipped}, 'numRecords', " +
-        s"${s.metrics.map(_.recordsWritten).getOrElse(-1L)}L)"
+    import org.apache.spark.sql.functions.{expr, lit, struct}
+    def one(s: SubFeed) = struct(
+      lit(s.isSkipped).as("isSkipped"),
+      lit(s.metrics.map(_.recordsWritten).getOrElse(-1L)).as("numRecords")
+    ).as(s.dataObjectId)
     val data =
-      if (subFeeds.isEmpty) "named_struct('_empty', true)"
-      else "named_struct(" + subFeeds.map(s => s"${sqlStr(s.dataObjectId)}, ${one(s)}").mkString(", ") + ")"
-    val df = ctx.spark.sql(
-      s"SELECT CAST((${cond.expression}) AS BOOLEAN) AS _r FROM (SELECT $data AS inputSubFeeds)")
+      if (subFeeds.isEmpty) struct(lit(true).as("_empty"))
+      else struct(subFeeds.map(one): _*)
+    val df = ctx.spark.range(1).select(data.as("inputSubFeeds"))
+      .select(expr(cond.expression).cast("boolean").as("_r"))
     Option(df.collect().head.get(0)).exists(_.asInstanceOf[Boolean])
   }
 
@@ -150,12 +155,12 @@ object ConditionEvaluator {
       }
     }
     if (rows.isEmpty) return Seq.empty
-    // string-literal CAST survives NaN/Infinity (bare NaN would parse as a
-    // column reference)
-    val values = rows.map { case (d, k, v) =>
-      s"(${sqlStr(d)}, ${sqlStr(k)}, CAST('$v' AS DOUBLE))" }.mkString(", ")
-    ctx.spark.sql(
-      s"SELECT dataObjectId, key, value FROM VALUES $values AS t(dataObjectId, key, value) WHERE $expression")
+    // bind values as a DataFrame (ids/keys never hit the SQL parser;
+    // NaN/Infinity doubles survive as values, where a bare NaN literal in
+    // SQL text would parse as a column reference)
+    import ctx.spark.implicits._
+    ctx.spark.createDataset(rows).toDF("dataObjectId", "key", "value")
+      .where(expression)
       .collect().map(r => s"${r.getString(0)}.${r.getString(1)}=${r.getDouble(2)}").toSeq
   }
 }

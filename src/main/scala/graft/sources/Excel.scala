@@ -269,7 +269,10 @@ case class ExcelFileDataObject(
   /** declared schema, or header+cell-type inference from the first file */
   private def resolveSchema(implicit ctx: ActionPipelineContext): StructType =
     schema.getOrElse {
-      val it = fs.listFiles(hadoopPath, true)
+      // non-recursive on purpose: getDataFrame's binaryFile scan does not
+      // set recursiveFileLookup, so a workbook in a subdirectory must not
+      // contribute schema either
+      val it = fs.listFiles(hadoopPath, false)
       var first: org.apache.hadoop.fs.Path = null
       while (first == null && it.hasNext) {
         val f = it.next().getPath
@@ -326,7 +329,27 @@ case class ExcelFileDataObject(
       if (useHeader) df.columns.toSeq else Seq.empty,
       rows.iterator.map(_.toSeq), sheetName.getOrElse("Sheet1"))
     fs.mkdirs(hadoopPath)
-    val target = new org.apache.hadoop.fs.Path(hadoopPath, "part-0000.xlsx")
+    def parts(): Seq[org.apache.hadoop.fs.Path] = {
+      val it = fs.listFiles(hadoopPath, false)
+      val b = Seq.newBuilder[org.apache.hadoop.fs.Path]
+      while (it.hasNext) { val f = it.next().getPath; if (f.getName.endsWith(".xlsx")) b += f }
+      b.result()
+    }
+    val target = saveMode.getOrElse(SdlSaveMode.Overwrite) match {
+      case SdlSaveMode.Overwrite =>
+        parts().foreach(fs.delete(_, false))
+        new org.apache.hadoop.fs.Path(hadoopPath, "part-0000.xlsx")
+      case SdlSaveMode.Append => // a NEW part file per append, like any file sink
+        new org.apache.hadoop.fs.Path(hadoopPath, f"part-${parts().size}%04d.xlsx")
+      case SdlSaveMode.ErrorIfExists =>
+        require(parts().isEmpty, s"DataObject $id: $path already holds workbooks")
+        new org.apache.hadoop.fs.Path(hadoopPath, "part-0000.xlsx")
+      case SdlSaveMode.Ignore =>
+        if (parts().nonEmpty) return ActionMetrics(0L, System.currentTimeMillis() - t0)
+        new org.apache.hadoop.fs.Path(hadoopPath, "part-0000.xlsx")
+      case m => throw new IllegalArgumentException(
+        s"DataObject $id: save mode $m is not supported for xlsx (single-workbook interchange format)")
+    }
     val out = fs.create(target, true)
     try out.write(bytes) finally out.close()
     ActionMetrics(rows.length.toLong, System.currentTimeMillis() - t0)

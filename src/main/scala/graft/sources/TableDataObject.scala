@@ -69,7 +69,13 @@ object MergeEmulation {
   * static overwrite silently keeps stale partitions. */
 private[sources] object DynamicOverwrite {
   private val Key = "spark.sql.sources.partitionOverwriteMode"
-  def apply[T](ctx: ActionPipelineContext)(body: => T): T = {
+  /** The conf flip is session-global, so two concurrent partitioned writes
+    * on the DAG's execution pool could interleave flip/restore: one
+    * action's restore-to-static landing mid-write of another turns its
+    * dynamic overwrite into a static one that deletes untouched
+    * partitions. Serialize the whole flip-write-restore window. */
+  private val lock = new Object
+  def apply[T](ctx: ActionPipelineContext)(body: => T): T = lock.synchronized {
     val prev = ctx.spark.conf.getOption(Key)
     ctx.spark.conf.set(Key, "dynamic")
     try body
@@ -302,7 +308,12 @@ case class JdbcTableDataObject(
       try {
         val st = c.createStatement()
         st.execute(s"DELETE FROM ${table.fullName}")
-        st.execute(s"INSERT INTO ${table.fullName} SELECT * FROM $tmpFull")
+        // Explicit column lists on both sides: a transformer may have
+        // reordered columns vs the target DDL, and a positional SELECT *
+        // would silently swap same-typed columns.
+        val colList = df.columns.map(c0 => "\"" + c0 + "\"").mkString(", ")
+        st.execute(
+          s"INSERT INTO ${table.fullName} ($colList) SELECT $colList FROM $tmpFull")
         c.commit()
       } catch { case e: Throwable => c.rollback(); throw e }
       finally c.setAutoCommit(true)

@@ -149,6 +149,35 @@ class FileFormatsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not found"))
   }
 
+  test("excel save modes: append adds a part file, errorIfExists/ignore honored, schema skips subdirs") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val xl = ExcelFileDataObject("xlm", dir)
+    def files() = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".xlsx")).map(_.getName).sorted.toSeq
+    xl.writeDataFrame(Seq((1, "a")).toDF("id", "v"), Seq.empty, Some(SdlSaveMode.Overwrite))
+    assert(files() == Seq("part-0000.xlsx"))
+    // Append must NOT clobber the existing workbook
+    xl.writeDataFrame(Seq((2, "b")).toDF("id", "v"), Seq.empty, Some(SdlSaveMode.Append))
+    assert(files() == Seq("part-0000.xlsx", "part-0001.xlsx"))
+    val all = xl.getDataFrame().orderBy("id").collect().map(r => (r.getDouble(0), r.getString(1))).toSeq
+    assert(all == Seq((1.0, "a"), (2.0, "b")))
+    // ErrorIfExists refuses a non-empty dir; Ignore is a no-op
+    intercept[IllegalArgumentException](
+      xl.writeDataFrame(Seq((3, "c")).toDF("id", "v"), Seq.empty, Some(SdlSaveMode.ErrorIfExists)))
+    xl.writeDataFrame(Seq((3, "c")).toDF("id", "v"), Seq.empty, Some(SdlSaveMode.Ignore))
+    assert(files().size == 2)
+    // overwrite replaces all prior parts
+    xl.writeDataFrame(Seq((9, "z")).toDF("id", "v"), Seq.empty, Some(SdlSaveMode.Overwrite))
+    assert(files() == Seq("part-0000.xlsx") && xl.getDataFrame().count() == 1)
+    // a workbook inside a subdirectory is invisible to the (non-recursive)
+    // binaryFile read, so it must not contribute schema either
+    val sub = new java.io.File(dir, "nested"); sub.mkdirs()
+    val extraDf = Seq(("x", "y", "zz")).toDF("other", "cols", "entirely")
+    ExcelFileDataObject("xls", sub.toString).writeDataFrame(extraDf, Seq.empty, None)
+    val back = ExcelFileDataObject("xlm2", dir).getDataFrame()
+    assert(back.columns.toSeq == Seq("id", "v") && back.count() == 1)
+  }
+
   test("xlsx codec: rich-text inline strings concatenate runs; gap cells stay null") {
     // hand-build a workbook with a rich-text cell (<is> with two <r><t> runs)
     // and a column gap, as Excel itself produces

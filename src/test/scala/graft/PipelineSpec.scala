@@ -166,6 +166,24 @@ class PipelineSpec extends AnyFunSuite {
     new ActionDAGRun(reg2.allActions).run()(newCtx(reg2))
   }
 
+  test("condition SQL survives quoted ids under escapedStringLiterals") {
+    // ids/keys are interpolated into SQL literals; '' doubling (not \')
+    // stays a quote in BOTH parser modes
+    implicit val ctx: ActionPipelineContext = newCtx()
+    val quotedId = "src's_table"
+    val feeds = Seq(SubFeed(quotedId, isSkipped = false,
+      metrics = Some(ActionMetrics(recordsWritten = 5))))
+    for (escaped <- Seq("false", "true")) {
+      spark.conf.set("spark.sql.parser.escapedStringLiterals", escaped)
+      try {
+        assert(ConditionEvaluator.evalExecutionCondition(
+          Condition(s"inputSubFeeds.`$quotedId`.numRecords = 5"), feeds))
+        assert(ConditionEvaluator.failingMetrics("value > 4", feeds)
+          .exists(_.startsWith(quotedId)))
+      } finally spark.conf.unset("spark.sql.parser.escapedStringLiterals")
+    }
+  }
+
   test("executionCondition overrides the default skip-propagation rule") {
     val in = tmpDir(); val mid = tmpDir(); val outA = tmpDir(); val outB = tmpDir()
     Seq((1, "a")).toDF("x", "v").write.mode("overwrite").parquet(in)
