@@ -507,6 +507,87 @@ object SparkEntry {
         emb.unionByName(planted), "vec_id", "embedding", dim = 64, threshold = 0.95)
         .where(col("id_b") === col("id_a") + 2000000L && col("id_a") % 5 === 0)
         .select(col("id_a"), col("id_b"))
+    }),
+
+    // As-of join: each click gets the latest purchase (per user) at or
+    // before it. Tagged-union + window — ONE shuffle, no join operator;
+    // oracle = DuckDB's native ASOF LEFT JOIN. Right side reduced to
+    // unique (user_id, ts) first for a deterministic payload.
+    "q40_asof_join" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+      val clicks = events.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val purchases = events.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(dsum(col("value")).as("purchase_value"))
+      graft.functions.TemporalJoins.asOfJoin(
+        clicks, purchases, Seq("user_id"), "ts", "ts", Seq("purchase_value"))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("purchase_value_asof"), col("ts_asof"))
+    }),
+
+    // Gap sessionization (30-min inactivity) + per-session stats — the
+    // batch twin of streaming session windows; two windows share one sort,
+    // the group-by reuses the partitioning
+    "q41_sessionize" -> ((s, dir) => {
+      val sessions = graft.functions.TemporalJoins.sessionize(
+        t(s, dir, "events").select(col("user_id"), col("event_id"), col("ts")),
+        Seq("user_id"), "ts", maxGapSeconds = 1800)
+      sessions.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (unix_millis(max(col("ts"))) - unix_millis(min(col("ts")))).as("duration_ms"))
+    }),
+
+    // Interval join via domain bucketing: part-derived [lo, lo+3] bands
+    // against event values — the equi-join-on-bucket plan that replaces
+    // the O(n·m) theta join; oracle = DuckDB inequality join
+    "q42_range_join" -> ((s, dir) => {
+      val intervals = t(s, dir, "part").where(col("p_partkey") % 17 === 0)
+        .select(col("p_partkey"),
+          (col("p_partkey") % 480).cast("double").as("lo"),
+          ((col("p_partkey") % 480) + 3.0).as("hi"))
+      val points = t(s, dir, "events").select(col("event_id"), col("value"))
+      graft.functions.TemporalJoins.rangeJoin(points, "value", intervals, "lo", "hi", bucketWidth = 3.0)
+        .groupBy(col("p_partkey"))
+        .agg(count(lit(1)).as("n_points"), dsum(col("value")).as("sum_value"))
+    }),
+
+    // Gopher-style repetition quality signals, exact per-row HOFs (staged
+    // so each n-gram array is built once — see withRepetitionSignals)
+    "q43_repetition_ratios" -> ((s, dir) => {
+      graft.functions.TextAnalysis.withRepetitionSignals(
+        t(s, dir, "documents"), "text", maxN = 3)
+        .select(col("doc_id"), col("dup_word_frac"),
+          col("dup_2gram_frac").as("dup_bigram_frac"),
+          col("dup_3gram_frac").as("dup_trigram_frac"))
+    }),
+
+    // PII scrub: counts + redacted length over text with synthesized
+    // contact info (corpus text carries none, so both engines append the
+    // same deterministic PII before scrubbing)
+    "q44_pii_redaction" -> ((s, dir) => {
+      import graft.functions.TextAnalysis
+      val withPii = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or +1 555 01"), col("doc_id")).as("text"))
+      withPii.select(col("doc_id"),
+        TextAnalysis.countPattern(col("text"), TextAnalysis.emailPattern).as("n_emails"),
+        TextAnalysis.countPattern(col("text"), TextAnalysis.phonePattern).as("n_phones"),
+        length(TextAnalysis.redactPII(col("text"))).cast("integer").as("redacted_len"))
+    }),
+
+    // Deterministic stratified sampling (domain-mixing weights): the keep
+    // decision is md5(doc_id)-derived so ANY engine reproduces the exact
+    // sample — oracled row-for-row in DuckDB with the same hash formula
+    "q45_weighted_sample" -> ((s, dir) => {
+      import graft.functions.{Sampling, TextAnalysis}
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), (col("doc_id") % 5).as("domain"))
+      val rates = Map("0" -> 0.9, "1" -> 0.5, "2" -> 0.25, "3" -> 0.1)
+      Sampling.stratifiedSample(docs, col("doc_id"), col("domain").cast("string"), rates, defaultRate = 0.05)
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("sum_tokens"))
     })
   )
 
@@ -838,6 +919,83 @@ object SparkEntry {
         |HAVING count(*) >= 1""".stripMargin,
     "q39_embedding_neardup_planted" ->
       """SELECT vec_id AS id_a, vec_id + 2000000 AS id_b
-        |FROM embeddings WHERE vec_id % 5 = 0""".stripMargin
+        |FROM embeddings WHERE vec_id % 5 = 0""".stripMargin,
+
+    // q40: DuckDB's native ASOF LEFT JOIN is the ground truth for our
+    // union+window implementation
+    "q40_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, ts, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT c.user_id, c.event_id, c.ts,
+        |  p.purchase_value AS purchase_value_asof, p.ts AS ts_asof
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+    "q41_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  epoch_ms(max(ts)) - epoch_ms(min(ts)) AS duration_ms
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+    "q42_range_join" ->
+      """WITH intervals AS (
+        |  SELECT p_partkey, CAST(p_partkey % 480 AS DOUBLE) AS lo,
+        |    CAST(p_partkey % 480 AS DOUBLE) + 3.0 AS hi
+        |  FROM part WHERE p_partkey % 17 = 0)
+        |SELECT i.p_partkey, count(*) AS n_points,
+        |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN intervals i ON e.value >= i.lo AND e.value <= i.hi
+        |GROUP BY i.p_partkey""".stripMargin,
+    "q43_repetition_ratios" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1]) ELSE [] END AS g2,
+        |    CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks)-1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [] END AS g3
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN len(toks) > 0 THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)/CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS dup_word_frac,
+        |  CASE WHEN len(g2) > 0 THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)/CAST(len(g2) AS DOUBLE) ELSE 0.0 END AS dup_bigram_frac,
+        |  CASE WHEN len(g3) > 0 THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)/CAST(len(g3) AS DOUBLE) ELSE 0.0 END AS dup_trigram_frac
+        |FROM g""".stripMargin,
+    "q44_pii_redaction" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com or +1 555 01' || doc_id AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}')) AS INTEGER) AS n_phones,
+        |  CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}', '<PHONE>', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS INTEGER) AS redacted_len
+        |FROM w""".stripMargin,
+    // q45: the keep decision is md5-derived on both sides — the sample is a
+    // pure function of the data, so the engines agree row-for-row
+    "q45_weighted_sample" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text, doc_id % 5 AS domain,
+        |    CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+        |      / 4294967296.0 AS u
+        |  FROM documents),
+        |kept AS (
+        |  SELECT * FROM docs WHERE u <
+        |    CASE CAST(domain AS VARCHAR) WHEN '0' THEN 0.9 WHEN '1' THEN 0.5
+        |      WHEN '2' THEN 0.25 WHEN '3' THEN 0.1 ELSE 0.05 END)
+        |SELECT domain, count(*) AS n_kept,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+        |FROM kept GROUP BY domain""".stripMargin
   )
 }

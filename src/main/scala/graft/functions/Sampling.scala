@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic sampling for corpus curation and domain mixing.
+  *
+  * `df.sample()` is seed-stable only for a fixed partitioning — a repartition
+  * or AQE re-plan changes which rows are kept, which is unacceptable for
+  * reproducible training mixes. These operators derive the keep/drop
+  * decision from a HASH OF THE ROW KEY instead, so the sample is a pure
+  * function of the data: stable across partitionings, cluster sizes, and
+  * engines (md5 is portable, so an external system computes the same
+  * sample). Per-row codegen'd expressions — no shuffle, no UDF.
+  */
+object Sampling {
+
+  /** uniform double in [0,1) derived from the md5 of the key's string form */
+  def uniformHash(key: Column): Column =
+    conv(substring(md5(key.cast(StringType)), 1, 8), 16, 10)
+      .cast(LongType).cast(DoubleType) / lit(4294967296.0)
+
+  /** keep a deterministic `rate` fraction of rows, keyed by `key` */
+  def sampleByKey(df: DataFrame, key: Column, rate: Double): DataFrame =
+    df.where(uniformHash(key) < rate)
+
+  /** Stratified deterministic sampling: per-stratum keep rates (domain
+    * mixing weights). Rows in strata missing from `rates` use
+    * `defaultRate`. The rate lookup compiles to a chained CASE WHEN —
+    * no join, no broadcast needed for the usual handful of strata. */
+  def stratifiedSample(df: DataFrame, key: Column, stratum: Column,
+                       rates: Map[String, Double],
+                       defaultRate: Double = 0.0): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
+      when(stratum === s, lit(r)).otherwise(acc)
+    }
+    df.where(uniformHash(key) < rate)
+  }
+
+  /** Deterministic reservoir-style cap: at most `n` rows per stratum,
+    * chosen by smallest key hash (an order-statistic sample — stable under
+    * any partitioning, unlike rank-by-arrival). One shuffle on the stratum.
+    */
+  def capPerStratum(df: DataFrame, key: Column, stratum: Column, n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(stratum)
+      .orderBy(uniformHash(key), key.cast(StringType))
+    df.withColumn("_rk", row_number().over(w)).where(col("_rk") <= n).drop("_rk")
+  }
+}

@@ -114,4 +114,87 @@ object TextAnalysis {
     transform(
       sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
       i => xxhash64(text.substr(i, lit(n))))
+
+  // ------------------------------------------------------------------
+  // Repetition signals (Gopher-style "repetitious text" quality filters,
+  // Rae et al. 2021 §A1.1): fraction of duplicate tokens / n-grams within
+  // a document. Pure per-row HOF expressions — one scan, no shuffle.
+  // ------------------------------------------------------------------
+
+  /** word n-grams as strings (space-joined); n >= 1; empty array when the
+    * text has fewer than n tokens (guarded — ANSI element_at throws on an
+    * out-of-range index) */
+  def wordNgrams(text: Column, n: Int): Column =
+    if (n == 1) tokens(text) else ngramsOfTokens(tokens(text), n)
+
+  /** fraction of occurrences of word n-grams that are repeats:
+    * 1 - distinct/total (0 when fewer than n tokens) */
+  def duplicateNgramFraction(text: Column, n: Int): Column =
+    duplicateFraction(wordNgrams(text, n))
+
+  private def duplicateFraction(grams: Column): Column = {
+    val total = size(grams).cast(DoubleType)
+    when(total > 0,
+      lit(1.0) - size(array_distinct(grams)).cast(DoubleType) / total)
+      .otherwise(lit(0.0))
+  }
+
+  /** Append `dup_word_frac` / `dup_<n>gram_frac` columns for n in 1..maxN.
+    * Staged through intermediate projections so each n-gram array is built
+    * ONCE per row: higher-order functions are interpreted (no whole-stage
+    * codegen), so they get no common-subexpression elimination — inlining
+    * the array into both size() and array_distinct() doubles the work, and
+    * CollapseProject keeps the stages separate exactly because each staged
+    * array is referenced more than once by non-cheap consumers. */
+  def withRepetitionSignals(df: org.apache.spark.sql.DataFrame, textCol: String,
+                            maxN: Int = 3): org.apache.spark.sql.DataFrame = {
+    val gramCols = (1 to maxN).map(n => s"_grams$n")
+    val staged0 = df.withColumn("_toks", tokens(col(textCol)))
+    val staged = (2 to maxN).foldLeft(staged0)((d, n) =>
+      d.withColumn(s"_grams$n", ngramsOfTokens(col("_toks"), n)))
+      .withColumnRenamed("_toks", "_grams1")
+    val named = Seq("dup_word_frac") ++ (2 to maxN).map(n => s"dup_${n}gram_frac")
+    gramCols.zip(named).foldLeft(staged) { case (d, (g, out)) =>
+      d.withColumn(out, duplicateFraction(col(g)))
+    }.drop(gramCols: _*)
+  }
+
+  /** n-grams from an already-split token array (n >= 2) */
+  private def ngramsOfTokens(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** fraction of lines (split on \n) that are duplicates of an earlier line */
+  def duplicateLineFraction(text: Column): Column = {
+    val lines = split(text, "\n")
+    lit(1.0) - size(array_distinct(lines)).cast(DoubleType) /
+      greatest(size(lines).cast(DoubleType), lit(1.0))
+  }
+
+  // ------------------------------------------------------------------
+  // PII scrubbing: regex detection + redaction, the standard pre-training
+  // privacy pass. Codegen'd regexp expressions; patterns kept to syntax
+  // portable across RE2/PCRE-class engines so oracles can mirror them.
+  // ------------------------------------------------------------------
+
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}"
+  val ipPattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  def countPattern(text: Column, pattern: String): Column =
+    // idx=0 (whole match): Spark's 2-arg form defaults to capture group 1,
+    // which throws on groupless patterns
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** redact every match of `pattern` with `replacement` */
+  def redact(text: Column, pattern: String, replacement: String): Column =
+    regexp_replace(text, pattern, replacement)
+
+  /** one-pass standard PII scrub: emails, then phones, then IPv4 */
+  def redactPII(text: Column): Column =
+    redact(redact(redact(text, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>"), ipPattern, "<IP>")
 }
