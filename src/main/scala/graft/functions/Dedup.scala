@@ -223,13 +223,30 @@ object Dedup {
     * plan stays bounded. Converges in O(component diameter) rounds; near-dup
     * clusters are small and dense, so a handful in practice.
     *
+    * When the pair graph is small (≤ `localThreshold` edges — near-dup
+    * pair sets are orders of magnitude smaller than the corpus, often
+    * driver-sized even at 100 TB corpus scale), a driver-side union-find
+    * replaces the iterative rounds: one job to collect edges, zero to
+    * converge. The distributed path remains for genuinely large graphs.
+    *
     * @param pairs columns (id_a, id_b)
     * @return (id, cluster_id) where cluster_id = min doc id in the component
     */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20,
+                        localThreshold: Long = 1000000L): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val sym = edges.unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Size-probe over the PERSISTED symmetric frame (the iterative path
+    // needs it cached anyway, so nothing is wasted), with limit() so a
+    // huge pair graph stops scanning once the threshold is disproven
+    // instead of being counted in full.
+    val cap = math.min(localThreshold, Int.MaxValue / 2 - 1) * 2
+    if (sym.limit(cap.toInt + 1).count() <= cap) {
+      val out = localUnionFind(pairs.sparkSession, sym)
+      sym.unpersist()
+      return out
+    }
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
@@ -255,6 +272,34 @@ object Dedup {
     }
     sym.unpersist()
     labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Driver-side union-find for small pair graphs: path-compressed, with
+    * the smaller root kept as parent so each component's root IS its min
+    * id (same semantics as the iterative min-label propagation). Returns a
+    * LocalRelation, so downstream joins against the corpus broadcast. */
+  private def localUnionFind(spark: org.apache.spark.sql.SparkSession,
+                             sym: DataFrame): DataFrame = {
+    val parent = scala.collection.mutable.HashMap[Any, Any]()
+    def cmp(a: Any, b: Any): Int = a.asInstanceOf[Comparable[Any]].compareTo(b)
+    def find(x: Any): Any = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    sym.collect().foreach { row =>
+      val (a, b) = (row.get(0), row.get(1))
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (cmp(ra, rb) <= 0) parent(rb) = ra else parent(ra) = rb }
+    }
+    val idType = sym.schema.fields(0).dataType
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(parent.keysIterator.map(k =>
+        org.apache.spark.sql.Row(k, find(k))).toArray: _*)
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("id", idType), StructField("cluster_id", idType))))
   }
 
   /** n-gram (word) Jaccard similarity for all pairs within a blocking key —

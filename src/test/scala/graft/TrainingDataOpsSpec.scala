@@ -101,6 +101,13 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val chained = Dedup.duplicateClusters(chain).collect().map(_.getLong(1)).distinct
     assert(chained.toSeq == Seq(1L))
+    // driver union-find (default) and distributed label propagation
+    // (forced via localThreshold = 0) agree exactly
+    val viaLocal = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val viaIter = Dedup.duplicateClusters(pairs, localThreshold = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(viaLocal == viaIter)
   }
 
   test("ivf index: identical vector found via nearest cells; recall vs brute force") {
