@@ -56,4 +56,31 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
     assert(!p.contains("Join"), "brute-force top-k must not join")
   }
+
+  test("q40 as-of join: window pass, no join operator at all") {
+    val p = plan("q40_asof_join")
+    assert(p.contains("Window"), "as-of join should compile to a window pass")
+    assert(!p.contains("Join"), s"as-of join must not produce a join operator:\n$p")
+  }
+
+  test("q42 range join: equi-join on bucket id, never a nested-loop theta join") {
+    val p = plan("q42_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degraded to a theta-join plan:\n$p")
+    assert(p.contains("Join"), "bucketed range join should still be a (hash/merge) join")
+  }
+
+  test("q41 sessionize: both windows and the aggregation share one shuffle") {
+    val p = plan("q41_sessionize")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"sessionize should partition once on the key and reuse it, got $exchanges exchanges:\n$p")
+  }
+
+  test("q45 weighted sample: no shuffle before the final aggregation, no join for rate lookup") {
+    val p = plan("q45_weighted_sample")
+    assert(!p.contains("Join"), "stratified rate lookup must compile to CASE, not a join")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      "sampling itself must not shuffle; only the final aggregation may")
+  }
 }
