@@ -135,6 +135,7 @@ object ConfigParser {
     path.split('.').foldLeft(Option(n))((acc, f) => acc.flatMap(x => Option(x.get(f))))
   private def str(n: JsonNode, f: String): Option[String] = get(n, f).map(_.asText)
   private def int(n: JsonNode, f: String): Option[Int] = get(n, f).map(_.asInt)
+  private def dbl(n: JsonNode, f: String): Option[Double] = get(n, f).map(_.asDouble)
   private def bool(n: JsonNode, f: String, dflt: Boolean = false): Boolean =
     get(n, f).map(_.asBoolean).getOrElse(dflt)
   private def strSeq(n: JsonNode, f: String): Seq[String] =
@@ -400,6 +401,32 @@ object ConfigParser {
         EncryptColumnsTransformer(strSeq(n, "encryptColumns"), require(str(n, "key"), id, "key"))
       case "DecryptColumnsTransformer" | "decryptColumns" =>
         DecryptColumnsTransformer(strSeq(n, "decryptColumns"), require(str(n, "key"), id, "key"))
+      case "NearDedupTransformer" | "nearDedup" =>
+        NearDedupTransformer(
+          require(str(n, "idColumn"), id, "idColumn"),
+          require(str(n, "textColumn"), id, "textColumn"),
+          method = str(n, "method").getOrElse("minhash"),
+          threshold = dbl(n, "threshold").getOrElse(0.7),
+          shingleSize = int(n, "shingleSize").getOrElse(5),
+          numHashes = int(n, "numHashes").getOrElse(32),
+          bands = int(n, "bands").getOrElse(8),
+          maxHamming = int(n, "maxHamming").getOrElse(3))
+      case "SessionizeTransformer" | "sessionize" =>
+        SessionizeTransformer(strSeq(n, "keyColumns"),
+          require(str(n, "tsColumn"), id, "tsColumn"),
+          maxGapSeconds = get(n, "maxGapSeconds").map(_.asLong).getOrElse(1800L))
+      case "DeterministicSampleTransformer" | "sample" =>
+        DeterministicSampleTransformer(
+          require(str(n, "keyColumn"), id, "keyColumn"),
+          rate = dbl(n, "rate").getOrElse(1.0),
+          stratumColumn = str(n, "stratumColumn"),
+          rates = strMap(n, "rates").map { case (k, v) => k -> v.toDouble },
+          defaultRate = dbl(n, "defaultRate").getOrElse(0.0))
+      case "TextQualityTransformer" | "textQuality" =>
+        TextQualityTransformer(require(str(n, "textColumn"), id, "textColumn"),
+          repetitionMaxN = int(n, "repetitionMaxN").getOrElse(3))
+      case "PiiRedactTransformer" | "piiRedact" =>
+        PiiRedactTransformer(require(str(n, "textColumn"), id, "textColumn"))
       case t => throw new IllegalArgumentException(s"action '$id': unknown transformer type '$t'")
     }
 }

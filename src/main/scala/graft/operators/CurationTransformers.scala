@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.core._
+import graft.functions.{Dedup, Sampling, TemporalJoins, TextAnalysis}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Config-surface transformers for the training-data curation operators, so
+  * a declarative pipeline (HOCON/YAML) can run near-dedup, sessionization,
+  * deterministic sampling, repetition scoring and PII scrubbing the same
+  * way it runs the reference's transformers. Thin wrappers — the scale
+  * design lives in `graft.functions.*`.
+  */
+
+/** Remove near-duplicate documents, keeping the smallest id per duplicate
+  * cluster. `method`: exact | minhash | simhash. The corpus loses only
+  * non-canonical cluster members (left_anti on the drop set, which is tiny
+  * next to the corpus and broadcasts). */
+case class NearDedupTransformer(
+    idColumn: String, textColumn: String,
+    method: String = "minhash", threshold: Double = 0.7,
+    shingleSize: Int = 5, numHashes: Int = 32, bands: Int = 8,
+    maxHamming: Int = 3) extends DfTransformer {
+  override def transform(df: DataFrame, dataObjectId: String = "")
+                        (implicit ctx: ActionPipelineContext): DataFrame = {
+    val pairs = method match {
+      case "minhash" => Dedup.minhashDuplicatePairs(df, idColumn, textColumn,
+        shingleSize, numHashes, bands, threshold).select("id_a", "id_b")
+      case "simhash" => Dedup.simhashNearDupPairs(df, idColumn, textColumn,
+        shingleSize, maxHamming).select("id_a", "id_b")
+      case "exact" =>
+        // exact dupes pair every id with its canonical id
+        val canon = Dedup.exactDedup(df, idColumn, textColumn)
+        df.select(Dedup.contentHash(col(textColumn)).as("text_hash"), col(idColumn).as("id_b"))
+          .join(canon.where(col("n_copies") > 1), Seq("text_hash"))
+          .where(col("id_b") =!= col("canonical_id"))
+          .select(col("canonical_id").as("id_a"), col("id_b"))
+      case m => throw new IllegalArgumentException(s"NearDedupTransformer: unknown method '$m'")
+    }
+    val drop = Dedup.duplicateClusters(pairs)
+      .where(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idColumn))
+    df.join(broadcast(drop), Seq(idColumn), "left_anti")
+  }
+}
+
+/** Append `session_id` per key from timestamp gaps. */
+case class SessionizeTransformer(
+    keyColumns: Seq[String], tsColumn: String,
+    maxGapSeconds: Long = 1800) extends DfTransformer {
+  override def transform(df: DataFrame, dataObjectId: String = "")
+                        (implicit ctx: ActionPipelineContext): DataFrame =
+    TemporalJoins.sessionize(df, keyColumns, tsColumn, maxGapSeconds)
+}
+
+/** Deterministic (md5-keyed, partitioning-independent) sampling; with
+  * `stratumColumn` + `rates` it applies per-stratum domain-mixing rates. */
+case class DeterministicSampleTransformer(
+    keyColumn: String, rate: Double = 1.0,
+    stratumColumn: Option[String] = None,
+    rates: Map[String, Double] = Map.empty,
+    defaultRate: Double = 0.0) extends DfTransformer {
+  override def transform(df: DataFrame, dataObjectId: String = "")
+                        (implicit ctx: ActionPipelineContext): DataFrame =
+    stratumColumn match {
+      case Some(s) => Sampling.stratifiedSample(df, col(keyColumn),
+        col(s).cast("string"), rates, defaultRate)
+      case None => Sampling.sampleByKey(df, col(keyColumn), rate)
+    }
+}
+
+/** Append text-quality signal columns: token stats, quality score,
+  * repetition fractions (up to `repetitionMaxN`). */
+case class TextQualityTransformer(
+    textColumn: String, repetitionMaxN: Int = 3) extends DfTransformer {
+  override def transform(df: DataFrame, dataObjectId: String = "")
+                        (implicit ctx: ActionPipelineContext): DataFrame = {
+    val scored = df
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textColumn)))
+      .withColumn("quality_score", TextAnalysis.qualityScore(col(textColumn)))
+    if (repetitionMaxN >= 1)
+      TextAnalysis.withRepetitionSignals(scored, textColumn, repetitionMaxN)
+    else scored
+  }
+}
+
+/** Redact emails/phones/IPv4 in place (standard pre-training PII pass). */
+case class PiiRedactTransformer(textColumn: String) extends DfTransformer {
+  override def transform(df: DataFrame, dataObjectId: String = "")
+                        (implicit ctx: ActionPipelineContext): DataFrame =
+    df.withColumn(textColumn, TextAnalysis.redactPII(col(textColumn)))
+}

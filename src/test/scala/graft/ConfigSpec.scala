@@ -265,4 +265,42 @@ class ConfigSpec extends AnyFunSuite {
     assert(got.count() == 2) // one row per id
     assert(got.columns.contains("dl_ts_captured"))
   }
+
+  test("curation pipeline from HOCON: near-dedup + text quality + pii redact + deterministic sample") {
+    import spark.implicits._
+    val in = tmpDir(); val out = tmpDir()
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " * 5
+    Seq(
+      (1L, base + "contact a@b.org"),
+      (2L, base + " slightly changed tail contact a@b.org"), // near-dup of 1 -> dropped
+      (3L, "completely different content about engines and queries " * 5))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(in)
+    val cfg =
+      s"""dataObjects {
+         |  corpus { type = parquet, path = "$in" }
+         |  curated { type = parquet, path = "$out" }
+         |}
+         |actions {
+         |  curate {
+         |    type = copy
+         |    inputId = corpus
+         |    outputId = curated
+         |    transformers = [
+         |      { type = nearDedup, idColumn = doc_id, textColumn = text, threshold = 0.5 },
+         |      { type = textQuality, textColumn = text, repetitionMaxN = 2 },
+         |      { type = piiRedact, textColumn = text },
+         |      { type = sample, keyColumn = doc_id, rate = 1.0 }
+         |    ]
+         |  }
+         |}
+         |""".stripMargin
+    PipelineRunner.run(cfg, spark)
+    val got = spark.read.parquet(out)
+    val ids = got.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L), s"near-dup 2 should drop, got $ids")
+    assert(got.columns.contains("quality_score") && got.columns.contains("dup_2gram_frac"))
+    assert(got.where(col("text").contains("a@b.org")).count() == 0)
+    assert(got.where(col("text").contains("<EMAIL>")).count() == 1)
+  }
 }
