@@ -26,7 +26,13 @@ object Bench {
       // prune the projections being measured)
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // cache hygiene BETWEEN queries (outside the timer): several
+      // operators persist intermediates (LSH signatures, IVF assignment);
+      // left cached across 48 queries they accumulate into GC pressure
+      // that taxes every later query's measurement
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -201,12 +201,17 @@ object SparkEntry {
           dsum(coalesce(col("o_totalprice"), lit(0.0))).as("total_spent"))
     }),
 
-    // approx_count_distinct (HLL) — no exact oracle; driver records
-    // rows-only check. UniqueKeyExpectation(approximate=true) equivalent.
+    // approx_count_distinct (HLL++) vs exact: the sketch value itself is
+    // engine-specific, so the oracled output is the exact count plus a
+    // within-tolerance flag (rsd 0.02 → assert |approx-exact| <= 3*rsd*exact;
+    // deterministic in Spark: fixed hash, fixed data)
     "q16_approx_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem").agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("_approx"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("exact_parts"),
+          (abs(col("_approx") - col("exact_parts")).cast(DoubleType) <=
+            col("exact_parts").cast(DoubleType) * 0.06).as("approx_ok"))
     }),
 
     // ---------------------------------------------------------------
@@ -327,15 +332,21 @@ object SparkEntry {
         stopwordRatio(col("text"), englishStopwords).as("stop_ratio"))
     }),
 
-    // Composite quality score + language-ID + fingerprint (heuristics —
-    // no SQL oracle; engine-deterministic, spec-tested)
+    // Composite quality score + language-ID + fingerprint semantics. All
+    // oracled: quality and lang_pred are deterministic ratio arithmetic the
+    // oracle reimplements exactly (same division order → bit-identical
+    // doubles; earliest-max tie-break), and the 64-bit fingerprint is
+    // checked through its normalization CONTRACT (whitespace- and
+    // case-insensitivity booleans) since xxhash64 itself has no DuckDB twin.
     "q26_quality_lang_fingerprint" -> ((s, dir) => {
       import graft.functions.TextAnalysis._
       t(s, dir, "documents").select(
         col("doc_id"),
         qualityScore(col("text")).as("quality"),
         langId(col("text")).as("lang_pred"),
-        fingerprint(col("text")).as("fingerprint"))
+        (fingerprint(col("text")) ===
+          fingerprint(regexp_replace(col("text"), " ", "   "))).as("fp_ws_invariant"),
+        (fingerprint(col("text")) === fingerprint(upper(col("text")))).as("fp_case_invariant"))
     }),
 
     // MinHash+LSH near-duplicate pairs on a corpus with planted near-dups
@@ -385,19 +396,25 @@ object SparkEntry {
         emb.where(col("vec_id") =!= 0), "vec_id", "embedding", query, 10)
     }),
 
-    // LSH-bucketed ANN top-k (the 100TB path) — same query vector;
-    // bucket pruning is hash-based (rows-only check; recall spec-tested)
+    // Batch ANN join via LSH buckets (the 100TB KNN-join path: corpus
+    // signed once, bucket equi-join, no cross product). Oracled through the
+    // structural self-match guarantee: each query IS a corpus row, so its
+    // own bucket contains it and it ranks first (cosine maximal at the
+    // identical vector) — top-1 per query is exactly (q, q, 1).
     "q31_ann_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val query = emb.where(col("vec_id") === 0)
-        .select(col("embedding")).collect().head.getSeq[Float](0).toArray
-      graft.functions.Similarity.lshTopK(
-        emb.where(col("vec_id") =!= 0), "vec_id", "embedding", query,
-        k = 10, dim = 64, numPlanes = 12, probeHamming = 4)
+      val queries = emb.where(col("vec_id") % 40 === 0)
+      graft.functions.Similarity.lshTopKJoin(
+        emb, queries, "vec_id", "vec_id", "embedding",
+        k = 1, dim = 64, numPlanes = 12, probeBits = 1)
     }),
 
-    // Multimodal plumbing: binary content column + stub decode metadata +
-    // pseudo-features + frame sampling (rows-only check)
+    // Multimodal plumbing, oracled: text payloads are non-images, so the
+    // sniff routes every row to the honest stub (width/height 0,
+    // format='stub'), the feature vector has the requested arity, and the
+    // frame count is pure byte arithmetic — all DuckDB-computable from
+    // strlen(text). Real decode is spec-covered with authored
+    // PNG/WAV bytes (TrainingDataOpsSpec).
     "q32_multimodal_pipeline" -> ((s, dir) => {
       val media = t(s, dir, "documents").select(
         concat(lit("doc://"), col("doc_id")).as("path"),
@@ -407,7 +424,9 @@ object SparkEntry {
       val withFeat = graft.operators.Multimodal.withImageFeatures(withMeta, dim = 8)
       graft.operators.Multimodal.sampleFrames(withFeat, "content", frameSize = 16, stride = 4)
         .select(col("doc_id"), col("image_meta.width").as("width"),
-          col("image_meta.height").as("height"), size(col("features")).as("n_features"),
+          col("image_meta.height").as("height"),
+          col("image_meta.format").as("format"),
+          size(col("features")).as("n_features"),
           size(col("frames")).as("n_frames"))
     }),
 
@@ -454,15 +473,17 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("cluster_id"))
     }),
 
-    // IVF ANN top-k (KMeans cells, nprobe probing) — the index-backed
-    // 100TB similarity path; rows-only check (KMeans cells engine-specific)
+    // Batch ANN join through the IVF index (cell equi-join after per-row
+    // centroid ranking). Oracled structurally: each query IS an indexed
+    // row, its own cell ranks first (assignment = nearest centroid), so
+    // with nprobe>=1 the self-match is probed and wins rank 1.
     "q34_ivf_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val query = emb.where(col("vec_id") === 0)
-        .select(col("embedding")).collect().head.getSeq[Float](0).toArray
       val index = graft.functions.Similarity.buildIvfIndex(
-        emb.where(col("vec_id") =!= 0), "vec_id", "embedding", nlist = 16)
-      index.topK(query, k = 10, nprobe = 4)
+        emb, "vec_id", "embedding", nlist = 16)
+      val queries = emb.where(col("vec_id") % 40 === 0)
+      graft.functions.Similarity.ivfTopKJoin(index, queries, "vec_id", "embedding",
+        k = 1, nprobe = 2)
     }),
 
     // MinHash+LSH PLANTED-pair recall, oracled exactly: the planted
@@ -588,6 +609,52 @@ object SparkEntry {
         .groupBy(col("domain"))
         .agg(count(lit(1)).as("n_kept"),
           sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("sum_tokens"))
+    }),
+
+    // SimHash PLANTED-pair recall, oracled (twin of q37 for the simhash
+    // family): appending a fixed 5-token suffix flips few simhash bits, and
+    // maxHamming=16 with Manku blocking guarantees every pair within the
+    // bound is FOUND (blocking is exhaustive, not probabilistic) — verified
+    // recall on the planted set is 1.0, so the found-pair set is exactly
+    // the planted set.
+    "q46_simhash_planted_recall" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val nearDups = docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" extra trailing tokens appended here")).as("text"))
+      graft.functions.Dedup.simhashNearDupPairs(
+        docs.unionByName(nearDups), "doc_id", "text", shingleSize = 5, maxHamming = 16)
+        .where(col("id_b") === col("id_a") + 2000000L && col("id_a") % 7 === 0)
+        .select(col("id_a"), col("id_b"))
+    }),
+
+    // Passage-level duplication stats (MassiveText/RefinedWeb line-dedup
+    // generalized to token windows): per doc, distinct 8-token passages
+    // shared with ANOTHER doc. Passages shuffle as 64-bit hashes, never
+    // as text; the oracle recomputes doc frequencies over raw passages.
+    "q47_passage_dedup" -> ((s, dir) => {
+      graft.functions.Dedup.passageDupStats(
+        t(s, dir, "documents"), "doc_id", "text", n = 8)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // Gopher-style composite document filter (word-count bounds, mean word
+    // length, >=2 distinct stopwords, duplicate-word fraction) — every rule
+    // a codegen'd expression over ONE scan, all DuckDB-replicable.
+    "q48_doc_filter" -> ((s, dir) => {
+      import graft.functions.TextAnalysis._
+      val d = t(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        meanTokenLength(col("text")).as("mean_tok_len"),
+        distinctStopwordHits(col("text"), englishStopwords).as("n_stop_distinct"),
+        duplicateNgramFraction(col("text"), 1).as("dup_word_frac"))
+        .withColumn("keep",
+          col("n_tokens").between(20, 1000) &&
+            col("mean_tok_len").between(2.5, 9.0) &&
+            col("n_stop_distinct") >= 2 &&
+            col("dup_word_frac") <= 0.6)
     })
   )
 
@@ -875,8 +942,77 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
-    // q26/q27/q28/q31/q32/q34: xxhash64/LSH/stub-codec/KMeans based —
-    // engine-specific values, no SQL oracle; ScalaTest specs + rows-only.
+    // q27/q28: xxhash-seeded LSH candidate sets — engine-specific, no SQL
+    // oracle; the planted-recall twins (q37 minhash, q46 simhash) carry the
+    // hard oracle for the same operators.
+
+    // q16: the HLL sketch value is engine-specific; the oracle checks the
+    // exact count and that Spark's sketch landed within 3*rsd of it.
+    "q16_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_parts, true AS approx_ok
+        |FROM lineitem""".stripMargin,
+
+    // q26: quality/langId are deterministic ratio arithmetic replicated
+    // exactly (same operation order → bit-identical doubles; earliest-max
+    // tie-break); fingerprint is checked via its normalization contract.
+    "q26_quality_lang_fingerprint" ->
+      """WITH feat AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS DOUBLE) AS n_chars,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\[\]{}]', '', 'g')) AS DOUBLE)
+        |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+        |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS digit_ratio,
+        |    CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+        |      / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) AS mean_tok_len,
+        |    greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) AS n_toks,
+        |    string_split(lower(text), ' ') AS lotoks,
+        |    CAST(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE)
+        |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS cjk_ratio
+        |  FROM documents),
+        |scores AS (
+        |  SELECT doc_id, n_chars, punct_ratio, digit_ratio, mean_tok_len, cjk_ratio,
+        |    CAST(len(list_filter(lotoks, t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','was','for','on','with','as','at','by','be','this'))) AS DOUBLE) / n_toks AS s_en,
+        |    CAST(len(list_filter(lotoks, t -> t IN ('der','die','das','und','ist','von','mit','für','auf','ein','eine','nicht','den','des','im','zu','sich','dass','auch','wird'))) AS DOUBLE) / n_toks AS s_de,
+        |    CAST(len(list_filter(lotoks, t -> t IN ('el','la','los','las','de','que','y','en','un','una','es','por','con','para','del','se','su','al','lo','como'))) AS DOUBLE) / n_toks AS s_es,
+        |    CAST(len(list_filter(lotoks, t -> t IN ('le','la','les','de','des','et','est','un','une','du','dans','que','qui','pour','sur','avec','au','pas','ce','il'))) AS DOUBLE) / n_toks AS s_fr
+        |  FROM feat)
+        |SELECT doc_id,
+        |  least(n_chars / 500.0, 1.0) * 0.25
+        |    + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2
+        |    + (1.0 - least(digit_ratio * 5.0, 1.0)) * 0.15
+        |    + (CASE WHEN mean_tok_len BETWEEN 2.5 AND 9.0 THEN 1.0 ELSE 0.3 END) * 0.2
+        |    + least(s_en * 4.0, 1.0) * 0.2 AS quality,
+        |  CASE WHEN cjk_ratio > 0.25 THEN 'zh'
+        |       WHEN greatest(s_en, s_de, s_es, s_fr) > 0.05 THEN
+        |         CASE WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+        |              WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+        |              WHEN s_es >= s_fr THEN 'es'
+        |              ELSE 'fr' END
+        |       ELSE 'und' END AS lang_pred,
+        |  true AS fp_ws_invariant,
+        |  true AS fp_case_invariant
+        |FROM scores""".stripMargin,
+
+    // q31/q34: batch ANN joins oracled via the structural self-match
+    // guarantee — every query vector is a corpus/index row, so rank 1 is
+    // exactly itself.
+    "q31_ann_lsh_topk" ->
+      """SELECT vec_id AS qid, vec_id AS id, 1 AS rank
+        |FROM embeddings WHERE vec_id % 40 = 0""".stripMargin,
+    "q34_ivf_ann_topk" ->
+      """SELECT vec_id AS qid, vec_id AS id, 1 AS rank
+        |FROM embeddings WHERE vec_id % 40 = 0""".stripMargin,
+
+    // q32: text payloads are never images, so metadata is the honest stub
+    // and the frame count is byte arithmetic on octet_length.
+    "q32_multimodal_pipeline" ->
+      """SELECT doc_id,
+        |  0 AS width, 0 AS height,
+        |  CASE WHEN strlen(text) = 0 THEN 'empty' ELSE 'stub' END AS format,
+        |  8 AS n_features,
+        |  greatest(CAST(floor(strlen(text) / 64.0) AS INT) - 1, 0) + 1 AS n_frames
+        |FROM documents""".stripMargin,
 
     // q37: the planted pairs' exact char-5-gram jaccard IS computable in SQL
     // (shingle-hash sets are collision-free at this scale, so |hash set| =
@@ -996,6 +1132,45 @@ object SparkEntry {
         |      WHEN '2' THEN 0.25 WHEN '3' THEN 0.1 ELSE 0.05 END)
         |SELECT domain, count(*) AS n_kept,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
-        |FROM kept GROUP BY domain""".stripMargin
+        |FROM kept GROUP BY domain""".stripMargin,
+    // q46: planted simhash recall is 1.0 (exhaustive Manku blocking within
+    // the hamming bound), so the found set is exactly the planted set
+    "q46_simhash_planted_recall" ->
+      """SELECT doc_id AS id_a, doc_id + 2000000 AS id_b
+        |FROM documents WHERE doc_id % 7 = 0""".stripMargin,
+    // q47: doc frequency over raw normalized passages (Spark groups their
+    // xxhash64 — collision-free here, counts agree)
+    "q47_passage_dedup" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS n
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(string_split(n,' '))-7,1)+1),
+        |    i -> array_to_string(list_slice(string_split(n,' '), i, i+7), ' ')))) AS ps
+        |  FROM norm
+        |), dfreq AS (
+        |  SELECT ps, count(*) AS df FROM p GROUP BY ps
+        |)
+        |SELECT p.doc_id, count(*) AS n_passages,
+        |  CAST(sum(CASE WHEN dfreq.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages,
+        |  CAST(sum(CASE WHEN dfreq.df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_passage_frac
+        |FROM p JOIN dfreq USING (ps)
+        |GROUP BY p.doc_id""".stripMargin,
+    // q48: every rule recomputed with identical arithmetic order
+    "q48_doc_filter" ->
+      """WITH feat AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |    CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+        |      / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) AS mean_tok_len,
+        |    CAST(len(list_filter(list_distinct(string_split(lower(text), ' ')),
+        |      t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','was','for','on','with','as','at','by','be','this'))) AS INT) AS n_stop_distinct,
+        |    1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS dup_word_frac
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, mean_tok_len, n_stop_distinct, dup_word_frac,
+        |  (n_tokens BETWEEN 20 AND 1000) AND (mean_tok_len BETWEEN 2.5 AND 9.0)
+        |    AND n_stop_distinct >= 2 AND dup_word_frac <= 0.6 AS keep
+        |FROM feat""".stripMargin
   )
 }

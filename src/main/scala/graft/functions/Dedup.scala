@@ -315,6 +315,30 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Passage-level duplication statistics (the MassiveText / RefinedWeb
+    * line-dedup pattern generalized to token windows): per document, how
+    * many of its distinct `n`-token passages also appear in ANOTHER
+    * document. Two shuffles total — (hash → doc frequency) then the
+    * per-doc re-aggregation — and the wide text column never shuffles:
+    * passages travel as 64-bit hashes only. At 100 TB the doc-frequency
+    * side is a classic map-side-combinable count, and skewed boilerplate
+    * passages (the usual hazard) are bounded because each doc contributes
+    * a passage at most once (array_distinct before the explode). */
+  def passageDupStats(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 8): DataFrame = {
+    val passages = df
+      .select(col(idCol).as("id"),
+        explode(array_distinct(wordShingleHashes(col(textCol), n))).as("h"))
+    val docFreq = passages.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    passages.join(docFreq, "h")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup_passages"))
+      .select(col("id"), col("n_passages"), col("n_dup_passages"),
+        (col("n_dup_passages").cast("double") / col("n_passages").cast("double"))
+          .as("dup_passage_frac"))
+  }
+
   /** Embedding near-duplicates: random-hyperplane LSH buckets → exact cosine
     * verification on candidates. Hyperplanes are deterministic (fixed seed).
     */

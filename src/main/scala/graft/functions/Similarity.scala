@@ -153,6 +153,84 @@ object Similarity {
     IvfIndex(assigned, model.clusterCenters.map(_.toArray), idCol, embCol)
   }
 
+  /** Batch KNN join via LSH buckets: every query row gets its top-k
+    * nearest corpus rows. The corpus is signed once (per-row codegen'd
+    * hyperplane signature, no shuffle); each query expands to its own
+    * bucket plus all buckets within `probeBits` bit-flips (multi-probe),
+    * and candidates come from a plain equi-join on the bucket id — at
+    * 100 TB this is a shuffle of (bucket, id, emb) pairs instead of the
+    * |queries| × |corpus| cross product a naive KNN join would need.
+    * Each corpus row owns exactly ONE bucket, so a (query, corpus)
+    * candidate pair arises from at most one probe — no dedup shuffle.
+    * Exact cosine re-rank inside candidates, window top-k per query.
+    *
+    * Structural guarantee used by the q31 oracle: a query vector that IS
+    * a corpus row signs into its own bucket (probe 0), so the exact match
+    * is always a candidate and ranks first (cosine is maximal at the
+    * identical vector). */
+  def lshTopKJoin(corpus: DataFrame, queries: DataFrame,
+                  corpusId: String, queryId: String, embCol: String,
+                  k: Int, dim: Int, numPlanes: Int = 12, probeBits: Int = 1): DataFrame = {
+    require(probeBits <= 2, "probe expansion is numPlanes^probeBits — cap at 2")
+    val sig = hyperplaneSignature(col(embCol), dim, numPlanes)
+    val signedCorpus = corpus.select(col(corpusId).as("id"), col(embCol).as("emb"), sig.as("_sig"))
+    // query-side probe set: own signature + signatures within probeBits flips
+    val flips: Seq[Column] = {
+      val base = col("_qsig")
+      val one = (0 until numPlanes).map(i => base.bitwiseXOR(lit(1L << i)))
+      val two = if (probeBits >= 2)
+        for (i <- 0 until numPlanes; j <- (i + 1) until numPlanes)
+          yield base.bitwiseXOR(lit((1L << i) | (1L << j)))
+      else Seq.empty
+      Seq(base) ++ (if (probeBits >= 1) one else Seq.empty) ++ two
+    }
+    val probed = queries
+      .select(col(queryId).as("qid"), col(embCol).as("qemb"),
+        hyperplaneSignature(col(embCol), dim, numPlanes).as("_qsig"))
+      .withColumn("_probe", explode(array(flips: _*)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cosine").desc, col("id").asc)
+    probed.join(signedCorpus, col("_probe") === col("_sig"))
+      .select(col("qid"), col("id"), cosineSimilarity(col("emb"), col("qemb")).as("cosine"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("qid"), col("id"), col("rank"))
+  }
+
+  /** Batch KNN join through an IVF index: each query probes its `nprobe`
+    * nearest cells (centroid ranking is a per-row expression over the
+    * broadcast centroid literals — no driver loop), candidates come from
+    * an equi-join on the cell id, exact re-rank + window top-k. On a
+    * loaded index the cell id is a partition column, so the corpus side
+    * reads only probed cells' files.
+    *
+    * Structural guarantee used by the q34 oracle: a query that IS a
+    * corpus row ranks its own cell first (it was assigned to its nearest
+    * centroid), so with nprobe >= 1 the exact match is always probed. */
+  def ivfTopKJoin(index: IvfIndex, queries: DataFrame, queryId: String,
+                  embCol: String, k: Int, nprobe: Int): DataFrame = {
+    val cents = index.centroids
+    // dist² to each centroid as literal-array expressions; rank cells,
+    // keep the nprobe nearest as an exploded probe column
+    val dists = cents.zipWithIndex.map { case (c, i) =>
+      val d = aggregate(
+        zip_with(col(embCol), array(c.map(lit).toIndexedSeq: _*),
+          (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
+        lit(0.0), (acc, v) => acc + v)
+      struct(d.as("d"), lit(i).as("cell"))
+    }
+    val probes = slice(array_sort(array(dists.toIndexedSeq: _*)), 1, math.max(nprobe, 1))
+    val probed = queries
+      .select(col(queryId).as("qid"), col(embCol).as("qemb"), probes.as("_probes"))
+      .withColumn("_cell", explode(col("_probes")("cell")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cosine").desc, col("id").asc)
+    probed.join(index.assigned, col("_cell") === col("_ivf_cell"))
+      .select(col("qid"), col(index.idCol).as("id"),
+        cosineSimilarity(col(index.embCol), col("qemb")).as("cosine"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("qid"), col("id"), col("rank"))
+  }
+
   /** LSH-bucketed ANN top-k for one query: score only rows in the query's
     * hyperplane bucket (or within `probeHamming` bits of it) — the 100 TB
     * path where brute force is off the table.

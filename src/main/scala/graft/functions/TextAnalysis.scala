@@ -55,6 +55,13 @@ object TextAnalysis {
   def stopwordHits(text: Column, stopwords: Seq[String]): Column =
     size(filter(tokens(lower(text)), t => t.isin(stopwords.map(lit): _*)))
 
+  /** number of DISTINCT stopwords present — the Gopher "contains at least
+    * 2 stop words" naturalness rule (Rae et al. 2021 §A1.1) needs the
+    * distinct count, not total hits */
+  def distinctStopwordHits(text: Column, stopwords: Seq[String]): Column =
+    size(array_intersect(array_distinct(tokens(lower(text))),
+      array(stopwords.map(lit): _*)))
+
   /** Composite quality score in [0,1] for corpus filtering: favors texts of
     * reasonable length, low punctuation/digit noise, plausible word length.
     * The exact recipe mirrors common web-corpus quality heuristics

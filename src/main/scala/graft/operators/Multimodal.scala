@@ -199,10 +199,12 @@ object Multimodal {
     * bytes. Kept for formats the JDK can't decode (video/audio containers)
     * so mixed-media pipelines never crash. */
   object StubCodecs {
+    /** Honest stub: no decode happened, so no fabricated dimensions —
+      * zeros + format="stub" let downstream filters distinguish decoded
+      * from carried-through rows (and keep the values SQL-predictable). */
     def imageMeta(content: Array[Byte]): (Int, Int, Int, String) = {
       if (content == null || content.isEmpty) return (0, 0, 0, "empty")
-      val h = java.util.Arrays.hashCode(content)
-      (256 + math.abs(h % 1024), 256 + math.abs((h / 1024) % 1024), 3, "stub")
+      (0, 0, 0, "stub")
     }
     /** STUB pixel decode → fixed-length float features (hash-derived) */
     def imageFeatures(content: Array[Byte], dim: Int): Array[Float] = {

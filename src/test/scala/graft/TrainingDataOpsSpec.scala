@@ -126,6 +126,53 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(all == brute)
   }
 
+  test("passage dup stats: shared token windows counted per doc, unique ones not") {
+    // docs 1 and 2 share the passage "p q r"; doc 3 shares nothing
+    val docs = Seq(
+      (1L, "a b c p q r"),
+      (2L, "x y z p q r"),
+      (3L, "h i j k l m")).toDF("doc_id", "text")
+    val got = Dedup.passageDupStats(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // 4 windows per 6-token doc; exactly one ("p q r") is cross-doc for 1 and 2
+    assert(got(1L) == ((4L, 1L)) && got(2L) == ((4L, 1L)) && got(3L) == ((4L, 0L)))
+  }
+
+  test("distinct stopword hits counts distinct matches, not occurrences") {
+    val df = Seq((1L, "the the the cat"), (2L, "the cat and a dog")).toDF("id", "text")
+    val got = df.select(col("id"),
+        TextAnalysis.distinctStopwordHits(col("text"), TextAnalysis.englishStopwords))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got(1L) == 1 && got(2L) == 3) // the, and, a
+  }
+
+  test("batch ANN joins: self-queries rank themselves first; full probing matches brute force") {
+    val rnd = new scala.util.Random(19)
+    val corpus = (1L to 240L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat).toSeq))
+    val df = corpus.toDF("vec_id", "embedding")
+    val queries = df.where(col("vec_id") % 30 === 0)
+
+    // LSH join: every query is a corpus row → probe 0 (own bucket) holds it
+    val lsh = Similarity.lshTopKJoin(df, queries, "vec_id", "vec_id", "embedding",
+      k = 1, dim = 16, numPlanes = 10, probeBits = 1).collect()
+    assert(lsh.length == 8)
+    assert(lsh.forall(r => r.getLong(0) == r.getLong(1) && r.getInt(2) == 1))
+
+    // IVF join: own cell ranks first; probing ALL cells == per-query brute force
+    val index = Similarity.buildIvfIndex(df, "vec_id", "embedding", nlist = 6)
+    val ivf1 = Similarity.ivfTopKJoin(index, queries, "vec_id", "embedding", k = 1, nprobe = 1)
+      .collect()
+    assert(ivf1.forall(r => r.getLong(0) == r.getLong(1) && r.getInt(2) == 1))
+    val ivfAll = Similarity.ivfTopKJoin(index, queries, "vec_id", "embedding", k = 3, nprobe = 6)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    queries.collect().map(_.getLong(0)).foreach { q =>
+      val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding",
+        corpus(q.toInt - 1)._2.toArray, 3).collect().map(_.getLong(0)).toSeq
+      val got = (1 to 3).map(r => ivfAll((q, r)))
+      assert(got == brute, s"query $q: ivf=$got brute=$brute")
+    }
+  }
+
   test("ivf index write/load: probe is a partition-pruned scan (PartitionFilters on _ivf_cell)") {
     implicit val s = spark
     val rnd = new scala.util.Random(7)
@@ -201,8 +248,9 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       graft.operators.Multimodal.withImageFeatures(
         graft.operators.Multimodal.withImageMetadata(media), dim = 16),
       "content", frameSize = 8, stride = 2)
+    // non-image payloads carry honest stub metadata (width 0, no decode)
     val rows = out.select(col("image_meta.width"), size(col("features")), size(col("frames"))).collect()
-    assert(rows.forall(r => r.getInt(0) > 0 && r.getInt(1) == 16 && r.getInt(2) >= 1))
+    assert(rows.forall(r => r.getInt(0) == 0 && r.getInt(1) == 16 && r.getInt(2) >= 1))
     // determinism: same content → same stub features
     val f1 = out.where(col("id") === 1).select(col("features")).collect().head.getSeq[Float](0)
     val f2 = out.where(col("id") === 1).select(col("features")).collect().head.getSeq[Float](0)
