@@ -655,6 +655,38 @@ object SparkEntry {
             col("mean_tok_len").between(2.5, 9.0) &&
             col("n_stop_distinct") >= 2 &&
             col("dup_word_frac") <= 0.6)
+    }),
+
+    // Token-budget domain mixing: per-domain totals → keep rates →
+    // deterministic md5 sample. The training-mix freeze step: reproducible
+    // across partitionings AND engines (oracle reproduces it row-for-row).
+    "q49_token_budget_mix" -> ((s, dir) => {
+      import graft.functions.{Sampling, TextAnalysis}
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), (col("doc_id") % 4).cast("string").as("domain"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      // budgets scale with the corpus so the query is meaningful at every SF:
+      // domain 0 effectively uncapped, 1 and 2 squeezed, 3 barely capped
+      val total = docs.agg(sum(col("n_tokens").cast("long"))).collect().head.getLong(0)
+      val budgets = Map("0" -> total, "1" -> total / 16, "2" -> total / 32, "3" -> total / 5)
+      Sampling.tokenBudgetMix(docs, col("doc_id"), col("domain"),
+        col("n_tokens"), budgets)
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tokens").cast("long")).as("kept_tokens"),
+          min(col("_mix_rate")).as("rate"))
+    }),
+
+    // Sequence packing (concat-then-cut LM batch prep), per shard so it
+    // parallelizes; offsets/pack ids are exact window arithmetic.
+    "q50_sequence_packing" -> ((s, dir) => {
+      import graft.functions.{Packing, TextAnalysis}
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Packing.packSequences(docs, col("doc_id"), col("shard"), col("n_tokens"), seqLen = 512)
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          col("start_offset"), col("pack_id"), col("pack_offset"))
     })
   )
 
@@ -1138,6 +1170,46 @@ object SparkEntry {
     "q46_simhash_planted_recall" ->
       """SELECT doc_id AS id_a, doc_id + 2000000 AS id_b
         |FROM documents WHERE doc_id % 7 = 0""".stripMargin,
+    // q49: the whole mix is deterministic arithmetic — md5 keep decision
+    // (q45's pattern), integer-division budgets, double rate comparison
+    "q49_token_budget_mix" ->
+      """WITH docs AS (
+        |  SELECT doc_id, CAST(doc_id % 4 AS VARCHAR) AS domain,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+        |      / 4294967296.0 AS u
+        |  FROM documents),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM docs),
+        |dt AS (SELECT domain, CAST(sum(n_tokens) AS BIGINT) AS dtot FROM docs GROUP BY domain),
+        |rates AS (
+        |  SELECT domain,
+        |    least(1.0, CAST(CASE domain
+        |      WHEN '0' THEN (SELECT total FROM tot)
+        |      WHEN '1' THEN (SELECT total FROM tot) // 16
+        |      WHEN '2' THEN (SELECT total FROM tot) // 32
+        |      WHEN '3' THEN (SELECT total FROM tot) // 5
+        |      ELSE 9223372036854775807 END AS DOUBLE) / CAST(dtot AS DOUBLE)) AS rate
+        |  FROM dt)
+        |SELECT d.domain, count(*) AS n_kept,
+        |  CAST(sum(d.n_tokens) AS BIGINT) AS kept_tokens, min(r.rate) AS rate
+        |FROM docs d JOIN rates r USING (domain)
+        |WHERE d.u < r.rate
+        |GROUP BY d.domain""".stripMargin,
+    // q50: exclusive shard-local cumulative sum, integer-exact
+    "q50_sequence_packing" ->
+      """WITH docs AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |off AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset
+        |  FROM docs)
+        |SELECT doc_id, shard, n_tokens, start_offset,
+        |  CAST(floor(CAST(start_offset AS DOUBLE) / 512.0) AS BIGINT) AS pack_id,
+        |  start_offset % 512 AS pack_offset
+        |FROM off""".stripMargin,
     // q47: doc frequency over raw normalized passages (Spark groups their
     // xxhash64 — collision-free here, counts agree)
     "q47_passage_dedup" ->

@@ -326,9 +326,14 @@ object Dedup {
     * a passage at most once (array_distinct before the explode). */
   def passageDupStats(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 8): DataFrame = {
+    // persist barrier: the exploded (id, hash) frame feeds BOTH the
+    // doc-frequency aggregation and the join side — without it the
+    // shingle+explode scan runs twice (same lesson as the minhash
+    // signature persist)
     val passages = df
       .select(col(idCol).as("id"),
         explode(array_distinct(wordShingleHashes(col(textCol), n))).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docFreq = passages.groupBy(col("h")).agg(count(lit(1)).as("df"))
     passages.join(docFreq, "h")
       .groupBy(col("id"))

@@ -47,4 +47,28 @@ object Sampling {
       .orderBy(uniformHash(key), key.cast(StringType))
     df.withColumn("_rk", row_number().over(w)).where(col("_rk") <= n).drop("_rk")
   }
+
+  /** Token-budget domain mixing: downsample each domain deterministically so
+    * its expected token mass meets `budgetTokens(domain)` (domains already
+    * under budget keep everything). The per-domain totals are ONE partial-agg
+    * shuffle over tiny (domain, count) pairs; the rates come back via a
+    * broadcast join (domains are few); keep/drop is the md5 decision — so
+    * the mix is reproducible across partitionings and engines, which is the
+    * property a training-data freeze needs. Returns the input rows that
+    * survive, with `_mix_rate` attached for audit. */
+  def tokenBudgetMix(df: DataFrame, key: Column, stratum: Column,
+                     tokenCount: Column, budgetTokens: Map[String, Long],
+                     defaultBudget: Long = Long.MaxValue): DataFrame = {
+    val totals = df.groupBy(stratum.as("_mix_stratum"))
+      .agg(sum(tokenCount.cast(LongType)).as("_mix_total"))
+    val budget = budgetTokens.foldLeft(lit(defaultBudget)) { case (acc, (s, b)) =>
+      when(col("_mix_stratum") === s, lit(b)).otherwise(acc)
+    }
+    val rates = totals.select(col("_mix_stratum"),
+      least(lit(1.0), budget.cast(DoubleType) / col("_mix_total").cast(DoubleType))
+        .as("_mix_rate"))
+    df.join(broadcast(rates), stratum === col("_mix_stratum"))
+      .where(uniformHash(key) < col("_mix_rate"))
+      .drop("_mix_stratum")
+  }
 }

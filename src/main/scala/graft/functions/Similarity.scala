@@ -174,20 +174,22 @@ object Similarity {
     require(probeBits <= 2, "probe expansion is numPlanes^probeBits — cap at 2")
     val sig = hyperplaneSignature(col(embCol), dim, numPlanes)
     val signedCorpus = corpus.select(col(corpusId).as("id"), col(embCol).as("emb"), sig.as("_sig"))
-    // query-side probe set: own signature + signatures within probeBits flips
-    val flips: Seq[Column] = {
-      val base = col("_qsig")
-      val one = (0 until numPlanes).map(i => base.bitwiseXOR(lit(1L << i)))
-      val two = if (probeBits >= 2)
+    // Probe set as XOR masks (mask 0 = own bucket) applied in ONE transform
+    // lambda: building a separate column per flip made the optimizer inline
+    // the (numPlanes × dim)-literal signature tree into every probe — a
+    // 13-fold plan blow-up for 1-bit probing; with the mask array the
+    // signature subtree appears once.
+    val masks: Seq[Long] = Seq(0L) ++
+      (if (probeBits >= 1) (0 until numPlanes).map(1L << _) else Seq.empty[Long]) ++
+      (if (probeBits >= 2)
         for (i <- 0 until numPlanes; j <- (i + 1) until numPlanes)
-          yield base.bitwiseXOR(lit((1L << i) | (1L << j)))
-      else Seq.empty
-      Seq(base) ++ (if (probeBits >= 1) one else Seq.empty) ++ two
-    }
+          yield (1L << i) | (1L << j)
+      else Seq.empty[Long])
     val probed = queries
       .select(col(queryId).as("qid"), col(embCol).as("qemb"),
         hyperplaneSignature(col(embCol), dim, numPlanes).as("_qsig"))
-      .withColumn("_probe", explode(array(flips: _*)))
+      .withColumn("_probe",
+        explode(transform(array(masks.map(lit): _*), m => col("_qsig").bitwiseXOR(m))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cosine").desc, col("id").asc)
     probed.join(signedCorpus, col("_probe") === col("_sig"))

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Sampling, TemporalJoins, TextAnalysis}
+import graft.functions.{Packing, Sampling, TemporalJoins, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -93,6 +93,40 @@ class TemporalJoinsSpec extends AnyFunSuite {
     val b = Sampling.capPerStratum(df.repartition(13), col("id"), col("s"), 5)
       .select("id").collect().map(_.getLong(0)).toSet
     assert(a == b)
+  }
+
+  test("tokenBudgetMix: over-budget strata downsampled to rate, under-budget kept whole") {
+    val df = spark.range(0, 2000).toDF("id")
+      .withColumn("d", (col("id") % 2).cast("string"))
+      .withColumn("n", lit(10L)) // each domain holds 10k tokens
+    val out = Sampling.tokenBudgetMix(df, col("id"), col("d"), col("n"),
+      Map("0" -> 100000L, "1" -> 2500L)) // 0 uncapped, 1 → rate 0.25
+    val byDomain = out.groupBy("d").agg(count(lit(1)).as("n"), min("_mix_rate").as("r"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(byDomain("0") == ((1000L, 1.0)))          // under budget: all kept
+    val (kept1, rate1) = byDomain("1")
+    assert(rate1 == 0.25)
+    assert(kept1 > 150 && kept1 < 350)               // ≈ 25% of 1000
+    // reproducible across partitionings (the freeze property)
+    val again = Sampling.tokenBudgetMix(df.repartition(13), col("id"), col("d"), col("n"),
+      Map("0" -> 100000L, "1" -> 2500L)).select("id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("packSequences: offsets are exact shard-local cumsums; pack ids cut at seqLen") {
+    val df = Seq((1L, 0L, 300L), (2L, 0L, 300L), (3L, 0L, 300L), (4L, 1L, 700L))
+      .toDF("id", "shard", "n")
+    val got = Packing.packSequences(df, col("id"), col("shard"), col("n"), seqLen = 512)
+      .select("id", "start_offset", "pack_id", "pack_offset")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((0L, 0L, 0L)))
+    assert(got(2L) == ((300L, 0L, 300L)))   // starts in pack 0, straddles into 1
+    assert(got(3L) == ((600L, 1L, 88L)))
+    assert(got(4L) == ((0L, 0L, 0L)))       // shard 1 is an independent stream
+    // stability under repartitioning (window orders by id within shard)
+    val again = Packing.packSequences(df.repartition(7), col("id"), col("shard"), col("n"), 512)
+      .select("id", "start_offset").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got.map { case (k, (s, _, _)) => k -> s })
   }
 
   test("repetition fractions: exact on crafted strings, 0 on short text") {
