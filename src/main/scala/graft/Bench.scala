@@ -12,19 +12,11 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: absorb session/codegen/scan init so the first measured query
-    // isn't charged for it — one query per major scan path (lineitem,
-    // documents, embeddings); queries.head alone left the alphabetically
-    // first measured query paying residual init
-    Seq("q1_pricing_summary", "q23_text_stats", "q30_embedding_topk").foreach { w =>
-      try SparkEntry.queries(w)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-    }
     // optional comma-separated filter for profiling single queries
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.map { case (name, fn) =>
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // noop sink materializes EVERY column (count() would let Catalyst
       // prune the projections being measured)
@@ -33,11 +25,19 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       // cache hygiene BETWEEN queries (outside the timer): several
       // operators persist intermediates (LSH signatures, IVF assignment);
-      // left cached across 48 queries they accumulate into GC pressure
-      // that taxes every later query's measurement
+      // left cached across the run they accumulate into GC pressure that
+      // taxes every later query's measurement
       spark.catalog.clearCache()
-      name -> dt
+      dt
     }
+    // One full UNTIMED pass, then the timed pass: absorbs session/codegen/
+    // scan/JIT init per query (a 3-query warmup left later first-of-a-kind
+    // plans paying compilation inside the timer) and damps one-off noise
+    // from co-tenant load on the benchmarking host. Steady-state per-query
+    // numbers are the comparable quantity across rounds.
+    val warmups = sys.env.get("SPARK_GRAFT_WARMUP_PASSES").map(_.toInt).getOrElse(1)
+    for (_ <- 1 to warmups) selected.foreach { case (n, f) => runOnce(n, f) }
+    val results = selected.map { case (name, fn) => name -> runOnce(name, fn) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

@@ -346,11 +346,20 @@ object SparkEntry {
         langId(col("text")).as("lang_pred"),
         (fingerprint(col("text")) ===
           fingerprint(regexp_replace(col("text"), " ", "   "))).as("fp_ws_invariant"),
-        (fingerprint(col("text")) === fingerprint(upper(col("text")))).as("fp_case_invariant"))
+        // lower() is idempotent for every Unicode string (unlike
+        // lower(upper(s)) — ß→'SS'→'ss', dotted İ — which is why the
+        // perturbation must round-trip through the fingerprint's own
+        // normalization, not an arbitrary case flip)
+        (fingerprint(col("text")) === fingerprint(lower(col("text")))).as("fp_case_invariant"))
     }),
 
-    // MinHash+LSH near-duplicate pairs on a corpus with planted near-dups
-    // (xxhash-based — no DuckDB oracle; recall/precision spec-tested)
+    // MinHash+LSH near-duplicate pairs on a corpus with planted near-dups.
+    // Oracled as FULL set equality against DuckDB's exhaustive all-pairs
+    // exact jaccard (feasible at the sf0.01 oracle scale): precision is
+    // exact by construction (candidates are verified with exact jaccard
+    // before emission), and bands=16 (2 rows/band) puts LSH recall at the
+    // 0.5 threshold above 0.999 per pair — with fixed seeds and fixed
+    // driver data the outcome is deterministic, and verified equal here.
     "q27_minhash_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val nearDups = docs.where(col("doc_id") % 7 === 0)
@@ -358,17 +367,22 @@ object SparkEntry {
           concat(col("text"), lit(" extra trailing tokens appended here")).as("text"))
       graft.functions.Dedup.minhashDuplicatePairs(
         docs.unionByName(nearDups), "doc_id", "text",
-        shingleSize = 5, numHashes = 32, bands = 8, threshold = 0.5)
+        shingleSize = 5, numHashes = 32, bands = 16, threshold = 0.5)
     }),
 
-    // SimHash near-dup pairs on the same planted corpus (rows-only check)
+    // SimHash near-dup pairs on the same planted corpus (rows-only check).
+    // blocksPerKey=2: 14 blocks / C(14,2) double-width keys keep every
+    // bucket under the cap at this hamming bound (s=1's 4-5-bit keys
+    // overflow and silently drop), so recall here is the exhaustive
+    // guarantee, not best-effort.
     "q28_simhash_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val nearDups = docs.where(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 2000000L).as("doc_id"),
           concat(col("text"), lit(" extra trailing tokens appended here")).as("text"))
       graft.functions.Dedup.simhashNearDupPairs(
-        docs.unionByName(nearDups), "doc_id", "text", shingleSize = 5, maxHamming = 12)
+        docs.unionByName(nearDups), "doc_id", "text", shingleSize = 5, maxHamming = 12,
+        blocksPerKey = 2, failOnCappedBuckets = true)
     }),
 
     // n-gram (token-set) Jaccard for the planted pairs — exact, oracled
@@ -612,20 +626,40 @@ object SparkEntry {
     }),
 
     // SimHash PLANTED-pair recall, oracled (twin of q37 for the simhash
-    // family): appending a fixed 5-token suffix flips few simhash bits, and
-    // maxHamming=16 with Manku blocking guarantees every pair within the
-    // bound is FOUND (blocking is exhaustive, not probabilistic) — verified
-    // recall on the planted set is 1.0, so the found-pair set is exactly
-    // the planted set.
+    // family) — per-pair STRUCTURAL invariant, robust at any scale factor:
+    // for every planted pair, Manku blocking guarantees
+    //   hamming(a,b) <= maxHamming  ⇒  pair is found
+    // (exhaustive within the bound; failOnCappedBuckets turns the one
+    // escape hatch — a silently dropped oversized bucket — into a loud
+    // error). The emitted `ok` is that implication, so the oracle asserts
+    // `true` per pair without needing simhash in SQL, and the check can't
+    // rot when a bigger corpus pushes some planted pair past the bound
+    // (it just stops exercising that pair instead of failing). The " v2"
+    // suffix keeps planted hamming well inside maxHamming=12 (measured
+    // max 9 at sf0.1), so in practice every pair tests the recall path.
     "q46_simhash_planted_recall" -> ((s, dir) => {
+      import graft.functions.Dedup
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val nearDups = docs.where(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 2000000L).as("doc_id"),
-          concat(col("text"), lit(" extra trailing tokens appended here")).as("text"))
-      graft.functions.Dedup.simhashNearDupPairs(
-        docs.unionByName(nearDups), "doc_id", "text", shingleSize = 5, maxHamming = 16)
-        .where(col("id_b") === col("id_a") + 2000000L && col("id_a") % 7 === 0)
-        .select(col("id_a"), col("id_b"))
+          concat(col("text"), lit(" v2")).as("text"))
+      val corpus = docs.unionByName(nearDups)
+      val found = Dedup.simhashNearDupPairs(
+        corpus, "doc_id", "text", shingleSize = 5, maxHamming = 12,
+        blocksPerKey = 2, failOnCappedBuckets = true)
+        .where(col("id_b") === col("id_a") + 2000000L)
+        .select(col("id_a"), lit(true).as("_found"))
+      val sims = corpus.select(col("doc_id"),
+        Dedup.simhash64(Dedup.shingleHashes(col("text"), 5)).as("sim"))
+      val planted = sims.where(col("doc_id") < 2000000L && col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("id_a"), col("sim").as("sim_a"))
+        .join(sims.where(col("doc_id") >= 2000000L)
+          .select((col("doc_id") - 2000000L).as("id_a"), col("sim").as("sim_b")), "id_a")
+        .select(col("id_a"),
+          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      planted.join(found, Seq("id_a"), "left")
+        .select(col("id_a"), (col("id_a") + 2000000L).as("id_b"),
+          (col("hamming") > 12 || coalesce(col("_found"), lit(false))).as("ok"))
     }),
 
     // Passage-level duplication stats (MassiveText/RefinedWeb line-dedup
@@ -974,9 +1008,42 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
-    // q27/q28: xxhash-seeded LSH candidate sets — engine-specific, no SQL
-    // oracle; the planted-recall twins (q37 minhash, q46 simhash) carry the
-    // hard oracle for the same operators.
+    // q27: FULL set equality vs DuckDB's exhaustive all-pairs exact
+    // jaccard, computed via an inverted index (explode shingles →
+    // equi-join → per-pair intersection count — ~25× faster than naive
+    // all-pairs list_intersect at oracle scale). Precision matches because
+    // Spark verifies candidates with the same exact jaccard; recall
+    // matches because bands=16 at j >= 0.5 finds every pair
+    // (deterministic with fixed seeds + fixed driver data; verified
+    // bit-equal locally, 106 pairs at sf0.01).
+    // q28: xxhash-seeded simhash is not SQL-expressible — rows-only; q46
+    // carries the hard per-pair oracle for the simhash operator.
+    "q27_minhash_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS n
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    trim(regexp_replace(regexp_replace(lower(text || ' extra trailing tokens appended here'), '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS n
+        |  FROM documents WHERE doc_id % 7 = 0
+        |), sets AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(length(n)-4,1)+1), i -> substring(n, i, 5))) AS sh
+        |  FROM corpus
+        |), sizes AS (
+        |  SELECT doc_id, len(sh) AS n FROM sets
+        |), ex AS (
+        |  SELECT doc_id, unnest(sh) AS s FROM sets
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS li
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b,
+        |  CAST(li AS DOUBLE) / (CAST(sa.n + sb.n AS DOUBLE) - CAST(li AS DOUBLE)) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(li AS DOUBLE) / (CAST(sa.n + sb.n AS DOUBLE) - CAST(li AS DOUBLE)) >= 0.5""".stripMargin,
 
     // q16: the HLL sketch value is engine-specific; the oracle checks the
     // exact count and that Spark's sketch landed within 3*rsd of it.
@@ -1165,10 +1232,10 @@ object SparkEntry {
         |SELECT domain, count(*) AS n_kept,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
         |FROM kept GROUP BY domain""".stripMargin,
-    // q46: planted simhash recall is 1.0 (exhaustive Manku blocking within
-    // the hamming bound), so the found set is exactly the planted set
+    // q46: per planted pair, the Manku-blocking implication
+    // (hamming <= bound ⇒ found) must hold — `ok` is structurally true
     "q46_simhash_planted_recall" ->
-      """SELECT doc_id AS id_a, doc_id + 2000000 AS id_b
+      """SELECT doc_id AS id_a, doc_id + 2000000 AS id_b, true AS ok
         |FROM documents WHERE doc_id % 7 = 0""".stripMargin,
     // q49: the whole mix is deterministic arithmetic — md5 keep decision
     // (q45's pattern), integer-division budgets, double rate comparison

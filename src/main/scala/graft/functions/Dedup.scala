@@ -44,8 +44,16 @@ object Dedup {
   private[graft] def shingleHashesHof(text: Column, n: Int): Column =
     array_distinct(TextAnalysis.rollingFingerprints(normalizeText(text), n))
 
-  /** distinct hashes of `n`-word shingles */
-  def wordShingleHashes(text: Column, n: Int): Column = {
+  /** sorted-distinct hashes of `n`-word shingles — native one-pass kernel
+    * over the normalized text's bytes (each n-token window is a byte range
+    * of the single-space-normalized string, so no per-window string
+    * building) */
+  def wordShingleHashes(text: Column, n: Int): Column =
+    graft.plans.SignatureExpressions.wordShingleHashes(normalizeText(text), n)
+
+  /** HOF reference formulation of [[wordShingleHashes]] — same SET of
+    * hashes (order differs), kept for cross-checking the native kernel */
+  private[graft] def wordShingleHashesHof(text: Column, n: Int): Column = {
     val toks = split(normalizeText(text), " ")
     array_distinct(transform(
       sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
@@ -80,7 +88,8 @@ object Dedup {
     */
   def minhashDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
                             shingleSize: Int = 5, numHashes: Int = 32, bands: Int = 8,
-                            threshold: Double = 0.7, maxBucketSize: Int = 1000): DataFrame = {
+                            threshold: Double = 0.7, maxBucketSize: Int = 1000,
+                            failOnCappedBuckets: Boolean = false): DataFrame = {
     val rowsPerBand = numHashes / bands
     // Materialize signatures ONCE: without the barrier Catalyst's projection
     // collapse inlines the 32-hash minhash into every band expression and
@@ -102,19 +111,48 @@ object Dedup {
     // the full banded set.
     val bigBuckets = banded.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("_n")).where(col("_n") > maxBucketSize)
-    val pruned = banded.join(broadcast(bigBuckets), Seq("band", "bucket"), "left_anti")
+    val pruned = guardBuckets(banded, bigBuckets, Seq("band", "bucket"),
+      failOnCappedBuckets, "minhash LSH")
     val candidates = pruned.alias("a").join(pruned.alias("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // exact-jaccard verification only on the (small) candidate set
+    // exact-jaccard verification only on the candidate set; shingle arrays
+    // are sorted-distinct (native kernel), so the intersection size is a
+    // single zero-allocation merge pass instead of array_intersect's
+    // per-pair hash set — the verification step dominates minhash cost
+    // once bands are tuned for high recall, so this is the hot loop
     candidates
       .join(sigs.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", sortedJaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Skew guard shared by the LSH family: anti-join away rows of oversized
+    * buckets — or, when the caller depends on exhaustive recall
+    * (`failOnCapped`), poison the plan with an in-flight `raise_error` so a
+    * capped bucket fails the query loudly instead of silently dropping
+    * pairs. The check rides the existing broadcast (one extra 1-row
+    * aggregate), keeping the whole thing lazy/declarative. */
+  private def guardBuckets(banded: DataFrame, bigBuckets: DataFrame,
+                           keyCols: Seq[String], failOnCapped: Boolean,
+                           what: String): DataFrame = {
+    val pruned = banded.join(broadcast(bigBuckets.select(keyCols.map(col): _*)),
+      keyCols, "left_anti")
+    if (!failOnCapped) pruned
+    else {
+      val cappedCount = bigBuckets.agg(count(lit(1)).as("_capped"))
+      pruned.join(broadcast(cappedCount))
+        .where(when(col("_capped") > 0,
+          raise_error(concat(lit(s"$what: "), col("_capped"),
+            lit(" bucket(s) exceeded maxBucketSize — exhaustive recall not guaranteed; " +
+              "raise maxBucketSize or reduce maxHamming/bands"))))
+          .otherwise(lit(true)))
+        .drop("_capped")
+    }
   }
 
   /** Rebalance a DataFrame to the session's shuffle parallelism if it has
@@ -152,6 +190,14 @@ object Dedup {
     when(union > 0, inter / union).otherwise(lit(0.0))
   }
 
+  /** [[jaccard]] over SORTED distinct arrays (the native shingle kernels'
+    * output) — same doubles, merge-pass intersection */
+  def sortedJaccard(a: Column, b: Column): Column = {
+    val inter = graft.plans.SignatureExpressions.sortedIntersectCount(a, b).cast(DoubleType)
+    val union = (size(a) + size(b)).cast(DoubleType) - inter
+    when(union > 0, inter / union).otherwise(lit(0.0))
+  }
+
   /** SimHash (64-bit): per shingle-hash bit votes ±1, sign of the vote sum
     * becomes the bit. Native codegen expression. */
   def simhash64(shingles: Column): Column =
@@ -176,19 +222,33 @@ object Dedup {
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** Near-duplicate pairs by SimHash with Manku-style blocking (WWW'07
-    * "Detecting Near-Duplicates for Web Crawling"): the 64-bit signature is
-    * split into `maxHamming + 1` blocks, so by pigeonhole any pair within
-    * the hamming threshold shares at least one identical block — bucketing
-    * on (blockIndex, blockValue) has guaranteed recall. Verification is the
-    * exact `bit_count(xor)` on candidates only.
+    * "Detecting Near-Duplicates for Web Crawling"), generalized to
+    * multi-block keys: the 64-bit signature is split into
+    * `maxHamming + blocksPerKey` blocks; a bucket key is the hash of
+    * `blocksPerKey` blocks' values, one key per block combination. By
+    * pigeonhole, `maxHamming` bit flips touch at most `maxHamming` blocks,
+    * leaving at least `blocksPerKey` blocks untouched — so every pair
+    * within the hamming bound shares at least one FULL key: recall is
+    * guaranteed, not probabilistic. Verification is the exact
+    * `bit_count(xor)` on candidates only.
     *
-    * Block width shrinks as maxHamming grows (64 / (maxHamming+1) bits), so
-    * buckets get denser; for web-scale corpora keep maxHamming <= 7 (8-bit+
-    * blocks) and rely on `maxBucketSize` to cap boilerplate-driven skew. */
+    * `blocksPerKey` trades probe count for key width: with 1 (classic
+    * Manku) keys are `64/(maxHamming+1)` bits — too dense beyond
+    * maxHamming ≈ 7; with 2 the keyspace squares (C(B,2) probes of
+    * double-width keys), keeping buckets sparse up to maxHamming ≈ 16.
+    *
+    * @param maxBucketSize skew cap (boilerplate guard); capped buckets are
+    *        dropped, which can silently cost recall — set
+    *        `failOnCappedBuckets` when the caller depends on the
+    *        exhaustive-recall guarantee.
+    * @param failOnCappedBuckets fail the query (raise_error in-plan) if any
+    *        bucket exceeded the cap instead of silently dropping it. */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           shingleSize: Int = 5, maxHamming: Int = 3,
-                          maxBucketSize: Int = 1000): DataFrame = {
-    val numBlocks = math.min(maxHamming + 1, 32)
+                          maxBucketSize: Int = 1000, blocksPerKey: Int = 1,
+                          failOnCappedBuckets: Boolean = false): DataFrame = {
+    require(blocksPerKey >= 1 && blocksPerKey <= 3, "blocksPerKey in [1,3]")
+    val numBlocks = math.min(maxHamming + blocksPerKey, 64)
     // distribute 64 bits as evenly as possible: first (64 % numBlocks) blocks
     // get an extra bit
     val widths = Array.tabulate(numBlocks)(i => 64 / numBlocks + (if (i < 64 % numBlocks) 1 else 0))
@@ -198,20 +258,40 @@ object Dedup {
     val withSim = ensureParallelism(df, idCol).select(col(idCol).as("id"),
       simhash64(shingleHashes(col(textCol), shingleSize)).as("simhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val blocked = withSim.select(col("id"), col("simhash"),
-      posexplode(array((0 until numBlocks).map(i =>
-        shiftrightunsigned(col("simhash"), offsets(i))
-          .bitwiseAND(lit((1L << widths(i)) - 1))): _*)).as(Seq("block", "bkey")))
+    // one key per combination of blocksPerKey blocks; the key value hashes
+    // the participating blocks' values (hash collisions only add
+    // candidates — verified away — never lose recall). The combinations
+    // live in a LITERAL array walked by a transform lambda over a
+    // once-computed block-value array: inlining C(B,s) separate xxhash64
+    // trees instead blows the generated code past JIT-able size (a 91-key
+    // plan cost ~10 s of codegen alone).
+    val blockVals = array((0 until numBlocks).map(i =>
+      shiftrightunsigned(col("simhash"), offsets(i))
+        .bitwiseAND(lit((1L << widths(i)) - 1))): _*)
+    val combosLit = array((0 until numBlocks).combinations(blocksPerKey).toSeq.map(c =>
+      array(c.map(lit): _*)): _*)
+    val blocked = withSim
+      .withColumn("_blocks", blockVals)
+      .select(col("id"), col("simhash"),
+        posexplode(transform(combosLit,
+          c => xxhash64(transform(c, p => element_at(col("_blocks"), p + 1)))))
+          .as(Seq("block", "bkey")))
     val bigBuckets = blocked.groupBy(col("block"), col("bkey"))
       .agg(count(lit(1)).as("_n")).where(col("_n") > maxBucketSize)
-    val guarded = blocked.join(broadcast(bigBuckets), Seq("block", "bkey"), "left_anti")
+    val guarded = guardBuckets(blocked, bigBuckets, Seq("block", "bkey"),
+      failOnCappedBuckets, "simhash blocking")
+    // verify BEFORE dedup: unlike minhash (whose jaccard verification joins
+    // shingle arrays and so must run on the deduped candidate set), the
+    // hamming check is two longs through codegen'd bit_count — filtering
+    // first shrinks the dropDuplicates shuffle from |candidates| (millions)
+    // to |near-dup pairs × key multiplicity| (thousands)
     guarded.alias("a").join(guarded.alias("b"),
         col("a.block") === col("b.block") && col("a.bkey") === col("b.bkey") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hammingDistance(col("a.simhash"), col("b.simhash")).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
       .where(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Connected components over duplicate PAIRS → cluster id per document
@@ -311,7 +391,7 @@ object Dedup {
     prepared.alias("a").join(prepared.alias("b"),
         col("a.block") === col("b.block") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+        sortedJaccard(col("a.sh"), col("b.sh")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
@@ -323,17 +403,29 @@ object Dedup {
     * passages travel as 64-bit hashes only. At 100 TB the doc-frequency
     * side is a classic map-side-combinable count, and skewed boilerplate
     * passages (the usual hazard) are bounded because each doc contributes
-    * a passage at most once (array_distinct before the explode). */
+    * a passage at most once (array_distinct before the explode).
+    *
+    * Caching contract (applies to every LSH-family function here that
+    * persists an intermediate): the returned frame references a persisted
+    * intermediate that stays cached until the caller runs
+    * `spark.catalog.clearCache()` or the executors evict it (storage is
+    * MEMORY_AND_DISK with LRU, so leaked blocks degrade gracefully rather
+    * than OOM). One-shot callers that materialize exactly once can pass
+    * `persist = false` and pay the second shingle scan instead of the
+    * cache residue. */
   def passageDupStats(df: DataFrame, idCol: String, textCol: String,
-                      n: Int = 8): DataFrame = {
+                      n: Int = 8, persist: Boolean = true): DataFrame = {
     // persist barrier: the exploded (id, hash) frame feeds BOTH the
     // doc-frequency aggregation and the join side — without it the
     // shingle+explode scan runs twice (same lesson as the minhash
     // signature persist)
-    val passages = df
+    val exploded = df
       .select(col(idCol).as("id"),
-        explode(array_distinct(wordShingleHashes(col(textCol), n))).as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // wordShingleHashes is already distinct (sorted-distinct kernel)
+        explode(wordShingleHashes(col(textCol), n)).as("h"))
+    val passages =
+      if (persist) exploded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else exploded
     val docFreq = passages.groupBy(col("h")).agg(count(lit(1)).as("df"))
     passages.join(docFreq, "h")
       .groupBy(col("id"))

@@ -190,8 +190,13 @@ object Similarity {
         hyperplaneSignature(col(embCol), dim, numPlanes).as("_qsig"))
       .withColumn("_probe",
         explode(transform(array(masks.map(lit): _*), m => col("_qsig").bitwiseXOR(m))))
+    // tie-break prefers the query's own row: duplicate corpus vectors tie
+    // at cosine 1.0 (and a zero vector ties everything at 0), so (cosine,
+    // id) alone could rank a smaller-id twin above the query itself —
+    // the self-match guarantee must be structural, not data-dependent
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("cosine").desc, col("id").asc)
+      .partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, (col("id") === col("qid")).desc, col("id").asc)
     probed.join(signedCorpus, col("_probe") === col("_sig"))
       .select(col("qid"), col("id"), cosineSimilarity(col("emb"), col("qemb")).as("cosine"))
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
@@ -224,8 +229,10 @@ object Similarity {
     val probed = queries
       .select(col(queryId).as("qid"), col(embCol).as("qemb"), probes.as("_probes"))
       .withColumn("_cell", explode(col("_probes")("cell")))
+    // same structural tie-break as lshTopKJoin: self-match wins cosine ties
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("cosine").desc, col("id").asc)
+      .partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, (col("id") === col("qid")).desc, col("id").asc)
     probed.join(index.assigned, col("_cell") === col("_ivf_cell"))
       .select(col("qid"), col(index.idCol).as("id"),
         cosineSimilarity(col(index.embCol), col("qemb")).as("cosine"))

@@ -45,12 +45,28 @@ object Multimodal {
     /** magic-byte sniff: skip ImageIO machinery entirely for payloads that
       * can't be a JDK-decodable image (the common case in mixed corpora —
       * and ~10× cheaper than a per-row reader lookup + disk-cached stream) */
+    /** BMP needs more than the 2-byte 'BM' prefix (ordinary text can start
+      * with it, and the JDK reader would then parse garbage dimensions out
+      * of text bytes without throwing): require a known DIB header size at
+      * offset 14 and a declared file size matching the payload (0 is
+      * tolerated — some encoders leave it unset). */
+    private def looksLikeBmp(c: Array[Byte]): Boolean = {
+      def le32(o: Int): Long =
+        (c(o) & 0xffL) | (c(o + 1) & 0xffL) << 8 | (c(o + 2) & 0xffL) << 16 | (c(o + 3) & 0xffL) << 24
+      c.length >= 18 && c(0) == 'B' && c(1) == 'M' && {
+        val dib = le32(14)
+        (dib == 12L || dib == 40L || dib == 52L || dib == 56L || dib == 64L ||
+          dib == 108L || dib == 124L) &&
+          (le32(2) == c.length.toLong || le32(2) == 0L)
+      }
+    }
+
     private def looksLikeImage(c: Array[Byte]): Boolean =
       c.length >= 4 && (
         (c(0) == 0x89.toByte && c(1) == 'P' && c(2) == 'N' && c(3) == 'G') ||       // PNG
         (c(0) == 0xff.toByte && c(1) == 0xd8.toByte && c(2) == 0xff.toByte) ||      // JPEG
-        (c(0) == 'B' && c(1) == 'M') ||                                             // BMP
-        (c(0) == 'G' && c(1) == 'I' && c(2) == 'F'))                                // GIF
+        looksLikeBmp(c) ||                                                          // BMP
+        (c(0) == 'G' && c(1) == 'I' && c(2) == 'F' && c(3) == '8'))                 // GIF87a/89a
 
     def imageMeta(content: Array[Byte]): (Int, Int, Int, String) = {
       if (content == null || content.isEmpty) return (0, 0, 0, "empty")

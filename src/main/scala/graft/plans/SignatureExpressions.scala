@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshims.GraftSqlShims
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -107,6 +107,82 @@ object ShingleKernel {
   }
 }
 
+/** distinct xxhash64 values of all `n`-WORD windows of a single-space-
+  * separated string (the output of `normalizeText`) — one pass over the
+  * UTF-8 bytes. An n-token window joined with " " is exactly a byte range
+  * of the input (tokens are single-space separated), so each window hashes
+  * in place: no per-window string building, no lambda dispatch — the
+  * reason this beats the `transform(sequence(...), i =>
+  * xxhash64(concat_ws(" ", slice(toks, i, n))))` HOF formulation.
+  * Bit-compatible with that formulation up to element ORDER (sorted
+  * here); fewer-than-n-token inputs yield ONE window of all tokens,
+  * matching `greatest(size - (n-1), 1)` + slice semantics. */
+object WordShingleKernel {
+  def shingles(text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes // compact copy; offsets below are 0-based
+    val len = bytes.length
+    // token start offsets (tokens = runs between single 0x20 separators —
+    // multi-byte UTF-8 never contains 0x20 in continuation bytes)
+    var nTokens = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == ' '.toByte) nTokens += 1; i += 1 }
+    val starts = new Array[Int](nTokens)
+    starts(0) = 0
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (bytes(i) == ' '.toByte) { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    val count = math.max(nTokens - n + 1, 1)
+    val hashes = new Array[Long](count)
+    val off = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+    var w = 0
+    while (w < count) {
+      val from = starts(w)
+      val lastTok = math.min(w + n - 1, nTokens - 1)
+      val to = if (lastTok == nTokens - 1) len else starts(lastTok + 1) - 1
+      hashes(w) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(bytes, off + from, to - from, 42L)
+      w += 1
+    }
+    java.util.Arrays.sort(hashes)
+    var uniq = if (count > 0) 1 else 0
+    var j = 1
+    while (j < count) { if (hashes(j) != hashes(j - 1)) uniq += 1; j += 1 }
+    if (uniq == count) new GenericArrayData(hashes)
+    else {
+      val out = new Array[Long](uniq)
+      out(0) = hashes(0)
+      var k = 1; var o = 1
+      while (k < count) {
+        if (hashes(k) != hashes(k - 1)) { out(o) = hashes(k); o += 1 }
+        k += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+}
+
+/** intersection SIZE of two SORTED long arrays — single merge pass, zero
+  * allocation. The exact-jaccard verification kernel: on LSH candidate
+  * sets this replaces `size(array_intersect(a, b))`, which builds a hash
+  * set per invocation. Inputs MUST be sorted (ShingleHashesExpr /
+  * WordShingleHashesExpr emit sorted-distinct arrays). */
+object SortedIntersectKernel {
+  def count(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
 /** char n-gram shingle hashes (distinct) as a codegen'd expression */
 case class ShingleHashesExpr(child: Expression, n: Int)
   extends UnaryExpression {
@@ -150,6 +226,33 @@ case class MinHashSigExpr(child: Expression, k: Int)
   override def prettyName: String = "minhash_signature"
 }
 
+/** word n-gram shingle hashes (sorted-distinct) as a codegen'd expression */
+case class WordShingleHashesExpr(child: Expression, n: Int)
+  extends UnaryExpression {
+  require(n > 0, "shingle size must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    WordShingleKernel.shingles(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.WordShingleKernel.shingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "word_shingle_hashes"
+}
+
+/** sorted-array intersection size as a codegen'd expression */
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectKernel.count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.SortedIntersectKernel.count($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SortedIntersectCountExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "sorted_intersect_count"
+}
+
 object SignatureExpressions {
   def simhash64(hashes: Column): Column =
     GraftSqlShims.column(SimHash64Expr(GraftSqlShims.expression(hashes)))
@@ -157,4 +260,9 @@ object SignatureExpressions {
     GraftSqlShims.column(MinHashSigExpr(GraftSqlShims.expression(hashes), k))
   def shingleHashes(text: Column, n: Int): Column =
     GraftSqlShims.column(ShingleHashesExpr(GraftSqlShims.expression(text), n))
+  def wordShingleHashes(normText: Column, n: Int): Column =
+    GraftSqlShims.column(WordShingleHashesExpr(GraftSqlShims.expression(normText), n))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftSqlShims.column(SortedIntersectCountExpr(
+      GraftSqlShims.expression(a), GraftSqlShims.expression(b)))
 }

@@ -55,6 +55,41 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("native word-shingle kernel matches the HOF reference formulation") {
+    val docs = Seq(
+      (1L, baseText),
+      (2L, "one two three"),            // fewer tokens than n → one window
+      (3L, ""),                          // empty → one hash-of-"" window
+      (4L, "  Spaced,   and Punctuated!  text  here  now ok "),
+      (5L, "unicode Ünïcødé tökens ß mixed in 中文 body")).toDF("doc_id", "text")
+    for (n <- Seq(2, 5, 8)) {
+      val rows = docs.select(
+        graft.functions.Dedup.wordShingleHashes(col("text"), n).as("native"),
+        graft.functions.Dedup.wordShingleHashesHof(col("text"), n).as("hof")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1).distinct.sorted,
+          s"n=$n mismatch")
+      }
+    }
+  }
+
+  test("sorted intersect count matches array_intersect size on sorted-distinct arrays") {
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 9L, 11L)),
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(4L, 8L), Seq(4L, 8L)),
+      (Seq(-5L, 0L, 7L), Seq(-5L, 6L, 7L, 8L, 9L))).toDF("a", "b")
+    val rows = df.select(
+      graft.plans.SignatureExpressions.sortedIntersectCount(col("a"), col("b")).as("n"),
+      size(array_intersect(col("a"), col("b"))).as("ref"),
+      graft.functions.Dedup.sortedJaccard(col("a"), col("b")).as("sj"),
+      graft.functions.Dedup.jaccard(col("a"), col("b")).as("j")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getInt(1).toLong)
+      assert(r.getDouble(2) == r.getDouble(3))
+    }
+  }
+
   test("exact dedup collapses normalized variants") {
     val docs = Seq(
       (10L, "Hello, World!"),
