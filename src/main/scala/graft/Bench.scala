@@ -37,7 +37,16 @@ object Bench {
     // numbers are the comparable quantity across rounds.
     val warmups = sys.env.get("SPARK_GRAFT_WARMUP_PASSES").map(_.toInt).getOrElse(1)
     for (_ <- 1 to warmups) selected.foreach { case (n, f) => runOnce(n, f) }
-    val results = selected.map { case (name, fn) => name -> runOnce(name, fn) }
+    // min over timed passes: the benchmark host is shared, and a co-tenant
+    // burst during a single pass showed up as a phantom 5× "regression" on
+    // trivial queries (q1 1.7s→9.5s round 4). The minimum is the standard
+    // robust estimator of true cost under one-sided noise.
+    val timedPasses = sys.env.get("SPARK_GRAFT_TIMED_PASSES").map(_.toInt).getOrElse(2)
+    val passes = (1 to timedPasses).map { _ =>
+      selected.map { case (name, fn) => name -> runOnce(name, fn) }.toMap
+    }
+    val results = selected.map { case (name, _) =>
+      name -> passes.map(_(name)).min }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

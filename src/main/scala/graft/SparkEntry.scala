@@ -370,19 +370,22 @@ object SparkEntry {
         shingleSize = 5, numHashes = 32, bands = 16, threshold = 0.5)
     }),
 
-    // SimHash near-dup pairs on the same planted corpus (rows-only check).
-    // blocksPerKey=2: 14 blocks / C(14,2) double-width keys keep every
-    // bucket under the cap at this hamming bound (s=1's 4-5-bit keys
-    // overflow and silently drop), so recall here is the exhaustive
-    // guarantee, not best-effort.
+    // SimHash near-dup pairs on the same planted corpus — FULLY oracled:
+    // the portable md5-derived 32-bit signature is reproducible in DuckDB,
+    // which brute-forces exact all-pairs hamming over the same signatures.
+    // Manku blocking (blocksPerKey=2 → C(8,2) 8-bit keys) is exhaustive
+    // within the bound, so blocked-join output == all-pairs output, and
+    // failOnCappedBuckets turns the one escape hatch (a dropped oversized
+    // bucket) into a loud error instead of a silent mismatch. The native
+    // xxhash64 kernel stays oracled through q46's planted-recall check.
     "q28_simhash_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val nearDups = docs.where(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 2000000L).as("doc_id"),
           concat(col("text"), lit(" extra trailing tokens appended here")).as("text"))
-      graft.functions.Dedup.simhashNearDupPairs(
-        docs.unionByName(nearDups), "doc_id", "text", shingleSize = 5, maxHamming = 12,
-        blocksPerKey = 2, failOnCappedBuckets = true)
+      graft.functions.Dedup.simhashNearDupPairsPortable(
+        docs.unionByName(nearDups), "doc_id", "text", shingleSize = 5,
+        bits = 32, maxHamming = 6, blocksPerKey = 2, failOnCappedBuckets = true)
     }),
 
     // n-gram (token-set) Jaccard for the planted pairs — exact, oracled
@@ -1044,6 +1047,40 @@ object SparkEntry {
         |  CAST(li AS DOUBLE) / (CAST(sa.n + sb.n AS DOUBLE) - CAST(li AS DOUBLE)) AS jaccard
         |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(li AS DOUBLE) / (CAST(sa.n + sb.n AS DOUBLE) - CAST(li AS DOUBLE)) >= 0.5""".stripMargin,
+
+    // q28: full simhash pipeline replicated — portable md5-derived 32-bit
+    // shingle hashes → per-bit majority vote → signature → exact all-pairs
+    // hamming. Manku blocking on the Spark side is exhaustive within the
+    // bound, so the blocked-join result must equal this brute force.
+    "q28_simhash_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS n
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    trim(regexp_replace(regexp_replace(lower(text || ' extra trailing tokens appended here'), '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS n
+        |  FROM documents WHERE doc_id % 7 = 0
+        |), sets AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(length(n)-4,1)+1), i -> substring(n, i, 5))) AS sh
+        |  FROM corpus
+        |), ex AS (
+        |  SELECT doc_id, CAST(('0x' || substring(md5(unnest(sh)), 1, 8)) AS BIGINT) AS h
+        |  FROM sets
+        |), votes AS (
+        |  SELECT doc_id, j,
+        |    sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM ex, range(0, 32) t(j) GROUP BY doc_id, j
+        |), sim AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS s
+        |  FROM votes GROUP BY doc_id
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.s, b.s)) <= 6""".stripMargin,
 
     // q16: the HLL sketch value is engine-specific; the oracle checks the
     // exact count and that Spark's sketch landed within 3*rsd of it.

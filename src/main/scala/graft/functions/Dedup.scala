@@ -221,6 +221,43 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Per-shingle PORTABLE 32-bit hashes: DISTINCT shingle strings first,
+    * then first-8-hex-chars-of-md5 each (matching an external oracle that
+    * dedups strings — distinct-by-hash would differ under a 32-bit prefix
+    * collision). HOF reference formulation, kept for cross-checking the
+    * native kernel. */
+  private[graft] def portableShingleHashes(text: Column, n: Int): Column = {
+    val norm = normalizeText(text)
+    transform(
+      array_distinct(transform(
+        sequence(lit(1), greatest(length(norm) - (n - 1), lit(1))),
+        i => norm.substr(i, lit(n)))),
+      s => conv(substring(md5(s), 1, 8), 16, 10).cast(LongType))
+  }
+
+  /** SimHash over an arbitrary signature width (`bits` ≤ 63) — HOF
+    * reference formulation of the native kernel
+    * ([[graft.plans.PortableSimhashKernel]]), kept for cross-checking. */
+  private[graft] def portableSimhashHof(shingles: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 63, "bits in [1,63]")
+    val votes = aggregate(
+      shingles,
+      array_repeat(lit(0L), bits),
+      (acc, h) => zip_with(acc,
+        array((0 until bits).map(j =>
+          when(shiftright(h, j).bitwiseAND(lit(1L)) === 1, lit(1L)).otherwise(lit(-1L))): _*),
+        (a, v) => a + v))
+    (0 until bits).map(j =>
+      when(element_at(votes, j + 1) > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+  }
+
+  /** Portable md5-based simhash signature — native one-pass codegen kernel
+    * (text → distinct shingles → 32-bit md5-prefix votes → signature);
+    * reproducible bit-for-bit in any engine with md5. */
+  def portableSimhash(text: Column, shingleSize: Int, bits: Int): Column =
+    graft.plans.SignatureExpressions.portableSimhash(normalizeText(text), shingleSize, bits)
+
   /** Near-duplicate pairs by SimHash with Manku-style blocking (WWW'07
     * "Detecting Near-Duplicates for Web Crawling"), generalized to
     * multi-block keys: the 64-bit signature is split into
@@ -246,17 +283,45 @@ object Dedup {
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           shingleSize: Int = 5, maxHamming: Int = 3,
                           maxBucketSize: Int = 1000, blocksPerKey: Int = 1,
-                          failOnCappedBuckets: Boolean = false): DataFrame = {
+                          failOnCappedBuckets: Boolean = false): DataFrame =
+    simhashBlockedPairs(
+      ensureParallelism(df, idCol).select(col(idCol).as("id"),
+        simhash64(shingleHashes(col(textCol), shingleSize)).as("simhash")),
+      bits = 64, maxHamming = maxHamming, maxBucketSize = maxBucketSize,
+      blocksPerKey = blocksPerKey, failOnCappedBuckets = failOnCappedBuckets)
+
+  /** [[simhashNearDupPairs]] over the PORTABLE md5-derived signature
+    * ([[portableSimhash]]): same blocking/verification machinery, but the
+    * per-row hash is reproducible in any engine with md5 — which makes the
+    * full pair set independently checkable (the DuckDB oracle brute-forces
+    * exact all-pairs hamming over the same signatures). The native
+    * xxhash64 kernel ([[simhashNearDupPairs]]) remains the production
+    * path — this variant trades per-row hash throughput for portability. */
+  def simhashNearDupPairsPortable(df: DataFrame, idCol: String, textCol: String,
+                                  shingleSize: Int = 5, bits: Int = 32,
+                                  maxHamming: Int = 6, maxBucketSize: Int = 1000,
+                                  blocksPerKey: Int = 1,
+                                  failOnCappedBuckets: Boolean = false): DataFrame =
+    simhashBlockedPairs(
+      ensureParallelism(df, idCol).select(col(idCol).as("id"),
+        portableSimhash(col(textCol), shingleSize, bits).as("simhash")),
+      bits = bits, maxHamming = maxHamming, maxBucketSize = maxBucketSize,
+      blocksPerKey = blocksPerKey, failOnCappedBuckets = failOnCappedBuckets)
+
+  /** Manku blocking + hamming verification over a prepared (id, simhash)
+    * frame; `bits` = signature width (64 for the native kernel). */
+  private def simhashBlockedPairs(sigs: DataFrame, bits: Int, maxHamming: Int,
+                                  maxBucketSize: Int, blocksPerKey: Int,
+                                  failOnCappedBuckets: Boolean): DataFrame = {
     require(blocksPerKey >= 1 && blocksPerKey <= 3, "blocksPerKey in [1,3]")
-    val numBlocks = math.min(maxHamming + blocksPerKey, 64)
-    // distribute 64 bits as evenly as possible: first (64 % numBlocks) blocks
-    // get an extra bit
-    val widths = Array.tabulate(numBlocks)(i => 64 / numBlocks + (if (i < 64 % numBlocks) 1 else 0))
+    val numBlocks = math.min(maxHamming + blocksPerKey, bits)
+    // distribute the signature bits as evenly as possible: first
+    // (bits % numBlocks) blocks get an extra bit
+    val widths = Array.tabulate(numBlocks)(i => bits / numBlocks + (if (i < bits % numBlocks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
-    // persist: the simhash aggregate is O(64 × shingles) per row — compute
+    // persist: the simhash aggregate is O(bits × shingles) per row — compute
     // it once, not once per block expression / join side
-    val withSim = ensureParallelism(df, idCol).select(col(idCol).as("id"),
-      simhash64(shingleHashes(col(textCol), shingleSize)).as("simhash"))
+    val withSim = sigs
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one key per combination of blocksPerKey blocks; the key value hashes
     // the participating blocks' values (hash collisions only add

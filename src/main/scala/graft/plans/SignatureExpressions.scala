@@ -164,6 +164,52 @@ object WordShingleKernel {
   }
 }
 
+/** PORTABLE SimHash in one pass: distinct n-codepoint shingle STRINGS of the
+  * (already normalized) text → 32-bit hash = first 4 md5 bytes (exactly
+  * `conv(substring(md5(s),1,8),16,10)`, which any engine with md5
+  * reproduces) → per-bit majority vote over the low `bits` bits. The
+  * window/distinct semantics mirror the HOF reference formulation in
+  * `Dedup.portableShingleHashes` (distinct by STRING before hashing, so a
+  * 32-bit prefix collision between two distinct shingles votes twice —
+  * matching an external oracle that dedups strings). */
+object PortableSimhashKernel {
+  def simhash(text: org.apache.spark.unsafe.types.UTF8String, n: Int, bits: Int): Long = {
+    val s = text.toString
+    val len = s.codePointCount(0, s.length)
+    val count = math.max(len - n + 1, 1)
+    val seen = new java.util.HashSet[String](math.min(count * 2, 1 << 20))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val counts = new Array[Int](bits)
+    var charIdx = 0
+    var i = 0
+    while (i < count) {
+      // SQL substr(i+1, n) semantics: n codepoints starting at codepoint i
+      val end = {
+        var e = charIdx; var c = 0
+        while (c < n && e < s.length) { e += Character.charCount(s.codePointAt(e)); c += 1 }
+        e
+      }
+      val window = s.substring(charIdx, end)
+      if (seen.add(window)) {
+        val d = md.digest(window.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        var j = 0
+        while (j < bits) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+      }
+      if (charIdx < s.length) charIdx += Character.charCount(s.codePointAt(charIdx))
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < bits) { if (counts(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+}
+
 /** intersection SIZE of two SORTED long arrays — single merge pass, zero
   * allocation. The exact-jaccard verification kernel: on LSH candidate
   * sets this replaces `size(array_intersect(a, b))`, which builds a hash
@@ -226,6 +272,23 @@ case class MinHashSigExpr(child: Expression, k: Int)
   override def prettyName: String = "minhash_signature"
 }
 
+/** portable md5-based simhash (normalized text → signature) as a codegen'd
+  * expression */
+case class PortableSimhashExpr(child: Expression, n: Int, bits: Int)
+  extends UnaryExpression {
+  require(n > 0, "shingle size must be positive")
+  require(bits >= 1 && bits <= 63, "bits in [1,63]")
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    PortableSimhashKernel.simhash(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.PortableSimhashKernel.simhash($c, $n, $bits)")
+  override protected def withNewChildInternal(newChild: Expression): PortableSimhashExpr =
+    copy(child = newChild)
+  override def prettyName: String = "portable_simhash"
+}
+
 /** word n-gram shingle hashes (sorted-distinct) as a codegen'd expression */
 case class WordShingleHashesExpr(child: Expression, n: Int)
   extends UnaryExpression {
@@ -262,6 +325,8 @@ object SignatureExpressions {
     GraftSqlShims.column(ShingleHashesExpr(GraftSqlShims.expression(text), n))
   def wordShingleHashes(normText: Column, n: Int): Column =
     GraftSqlShims.column(WordShingleHashesExpr(GraftSqlShims.expression(normText), n))
+  def portableSimhash(normText: Column, n: Int, bits: Int): Column =
+    GraftSqlShims.column(PortableSimhashExpr(GraftSqlShims.expression(normText), n, bits))
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftSqlShims.column(SortedIntersectCountExpr(
       GraftSqlShims.expression(a), GraftSqlShims.expression(b)))

@@ -36,6 +36,38 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("portable simhash blocked pairs equal brute-force all-pairs hamming") {
+    val docs = Seq(
+      (1L, baseText),
+      (2L, baseText + " tail"),
+      (3L, "totally different text about mountains rivers and oceans everywhere " * 5),
+      (4L, baseText + " other tail"),
+      (5L, "short"))
+      .toDF("doc_id", "text")
+    val bits = 32
+    val maxH = 6
+    // the native kernel must match the HOF reference formulation exactly
+    val cmp = docs.select(
+      Dedup.portableSimhash(col("text"), 5, bits).as("native"),
+      Dedup.portableSimhashHof(Dedup.portableShingleHashes(col("text"), 5), bits).as("hof"))
+      .collect()
+    cmp.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // brute force over the SAME portable signatures
+    val sigs = docs.select(col("doc_id"),
+      Dedup.portableSimhash(col("text"), 5, bits).as("s"))
+    val expected = sigs.alias("a").join(sigs.alias("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.s").bitwiseXOR(col("b.s"))).as("hamming"))
+      .where(col("hamming") <= maxH)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val got = Dedup.simhashNearDupPairsPortable(docs, "doc_id", "text",
+      shingleSize = 5, bits = bits, maxHamming = maxH, blocksPerKey = 2,
+      failOnCappedBuckets = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected)
+    assert(got.map(p => (p._1, p._2)).contains((1L, 2L)))
+  }
+
   test("native simhash/minhash expressions match the HOF reference formulation") {
     val docs = Seq((1L, baseText), (2L, baseText + " tail"),
       (3L, "short text"), (4L, "unrelated words entirely different content here"))
