@@ -714,6 +714,23 @@ object SparkEntry {
           min(col("_mix_rate")).as("rate"))
     }),
 
+    // INCREMENTAL dedup: a new crawl batch joined against the existing
+    // corpus signature STORE — only the delta is signed, candidates come
+    // from delta-band × corpus-band equi-join (never corpus × corpus).
+    // Oracled as FULL set equality vs DuckDB's exhaustive new × corpus
+    // exact jaccard (the q27 argument: precision exact by construction,
+    // recall ≈ 1 at these planted jaccards with bands=16).
+    "q51_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val newBatch = docs.where(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit(" appended updates for the second crawl")).as("text"))
+      val store = graft.functions.Dedup.minhashSignatures(
+        docs, "doc_id", "text", shingleSize = 5, numHashes = 32)
+      graft.functions.Dedup.minhashIncrementalPairs(newBatch, store, "doc_id", "text",
+        shingleSize = 5, numHashes = 32, bands = 16, threshold = 0.5)
+    }),
+
     // Sequence packing (concat-then-cut LM batch prep), per shard so it
     // parallelizes; offsets/pack ids are exact window arithmetic.
     "q50_sequence_packing" -> ((s, dir) => {
@@ -1314,6 +1331,33 @@ object SparkEntry {
         |  CAST(floor(CAST(start_offset AS DOUBLE) / 512.0) AS BIGINT) AS pack_id,
         |  start_offset % 512 AS pack_offset
         |FROM off""".stripMargin,
+    // q51: exhaustive new-batch × corpus exact char-5-gram jaccard — the
+    // incremental LSH join must find exactly these pairs (q27 argument).
+    "q51_incremental_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS n
+        |  FROM documents
+        |), newb AS (
+        |  SELECT doc_id + 3000000 AS doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text || ' appended updates for the second crawl'), '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS n
+        |  FROM documents WHERE doc_id % 9 = 0
+        |), cs AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(n)-4,1)+1), i -> substring(n, i, 5))) AS sh FROM corpus
+        |), ns AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(n)-4,1)+1), i -> substring(n, i, 5))) AS sh FROM newb
+        |), csz AS (SELECT doc_id, len(sh) AS n FROM cs
+        |), nsz AS (SELECT doc_id, len(sh) AS n FROM ns
+        |), cex AS (SELECT doc_id, unnest(sh) AS s FROM cs
+        |), nex AS (SELECT doc_id, unnest(sh) AS s FROM ns
+        |), inter AS (
+        |  SELECT a.doc_id AS id_new, b.doc_id AS id_corpus, count(*) AS li
+        |  FROM nex a JOIN cex b ON a.s = b.s GROUP BY 1, 2
+        |)
+        |SELECT id_new, id_corpus,
+        |  CAST(li AS DOUBLE) / (CAST(na.n + nb.n AS DOUBLE) - CAST(li AS DOUBLE)) AS jaccard
+        |FROM inter JOIN nsz na ON na.doc_id = id_new JOIN csz nb ON nb.doc_id = id_corpus
+        |WHERE CAST(li AS DOUBLE) / (CAST(na.n + nb.n AS DOUBLE) - CAST(li AS DOUBLE)) >= 0.5""".stripMargin,
     // q47: doc frequency over raw normalized passages (Spark groups their
     // xxhash64 — collision-free here, counts agree)
     "q47_passage_dedup" ->

@@ -131,6 +131,58 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** MinHash signature STORE for a corpus: (id, shingles, sig) — the frame
+    * you persist (parquet, bucketed by id) so later batches join against it
+    * instead of re-signing the corpus. Shingle sets ride along because the
+    * exact-jaccard verification needs them; at 100 TB that is the deliberate
+    * space-for-rescan tradeoff (the alternative — re-reading raw text for
+    * every candidate — re-shuffles the wide text column per batch). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int = 5, numHashes: Int = 32): DataFrame =
+    ensureParallelism(df, idCol).select(
+      col(idCol).as("id"),
+      shingleHashes(col(textCol), shingleSize).as("shingles"))
+      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+
+  /** INCREMENTAL near-dup detection: find pairs between a NEW batch and an
+    * EXISTING corpus signature store ([[minhashSignatures]] output) without
+    * touching corpus text. Only the delta is signed; candidates come from a
+    * band equi-join of delta bands against corpus bands (never
+    * corpus × corpus), so per-batch cost scales with |delta| + matched
+    * buckets, not |corpus|. This is the production shape of continuous
+    * corpus ingestion: sign once, store, join deltas forever.
+    *
+    * @return (id_new, id_corpus, jaccard) with jaccard >= threshold
+    */
+  def minhashIncrementalPairs(newDocs: DataFrame, corpusSigs: DataFrame,
+                              idCol: String, textCol: String,
+                              shingleSize: Int = 5, numHashes: Int = 32, bands: Int = 8,
+                              threshold: Double = 0.7, maxBucketSize: Int = 1000,
+                              failOnCappedBuckets: Boolean = false): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val newSigs = minhashSignatures(newDocs, idCol, textCol, shingleSize, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def banded(sigs: DataFrame) = sigs.select(col("id"),
+      posexplode(lshBandHashes(col("sig"), bands, rowsPerBand)).as(Seq("band", "bucket")))
+    val corpusBanded = banded(corpusSigs)
+    // skew guard on the CORPUS side: an oversized corpus bucket (boilerplate)
+    // would fan every matching delta row out maxBucketSize-fold
+    val bigBuckets = corpusBanded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_n")).where(col("_n") > maxBucketSize)
+    val prunedCorpus = guardBuckets(corpusBanded, bigBuckets, Seq("band", "bucket"),
+      failOnCappedBuckets, "incremental minhash LSH")
+    val candidates = banded(newSigs).alias("a").join(prunedCorpus.alias("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("id_new"), col("b.id").as("id_corpus"))
+      .dropDuplicates("id_new", "id_corpus")
+    candidates
+      .join(newSigs.select(col("id").as("id_new"), col("shingles").as("sh_a")), "id_new")
+      .join(corpusSigs.select(col("id").as("id_corpus"), col("shingles").as("sh_b")), "id_corpus")
+      .withColumn("jaccard", sortedJaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_corpus"), col("jaccard"))
+  }
+
   /** Skew guard shared by the LSH family: anti-join away rows of oversized
     * buckets — or, when the caller depends on exhaustive recall
     * (`failOnCapped`), poison the plan with an in-flight `raise_error` so a

@@ -138,13 +138,18 @@ object Similarity {
     * `_ivf_cell` so probes are partition-pruned scans. */
   def buildIvfIndex(df: DataFrame, idCol: String, embCol: String,
                     nlist: Int, trainSampleFraction: Double = 1.0,
-                    seed: Long = 42L): IvfIndex = {
+                    seed: Long = 42L, maxIter: Int = 10): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val vecs = df.select(col(idCol), col(embCol),
       array_to_vector(col(embCol).cast("array<double>")).as("_features"))
     val train = if (trainSampleFraction >= 1.0) vecs else vecs.sample(trainSampleFraction, seed)
+    // A coarse quantizer doesn't need a converged clustering — probe
+    // quality degrades gracefully with centroid error (recall is restored
+    // by nprobe), so cap iterations well below KMeans' default 20; each
+    // iteration is a full Spark job over the training sample.
     val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("_features")
+      .setMaxIter(maxIter)
       .fit(train)
     val assigned = model.transform(vecs)
       .withColumnRenamed(model.getPredictionCol, "_ivf_cell")

@@ -36,6 +36,23 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("incremental minhash: delta batch finds its corpus twin via the signature store") {
+    val corpus = Seq(
+      (1L, baseText),
+      (2L, "completely different content about databases and query engines " * 5),
+      (3L, "another unrelated document discussing weather patterns in spring " * 5))
+      .toDF("doc_id", "text")
+    val newBatch = Seq(
+      (101L, baseText + " second crawl tail"),     // near-dup of corpus doc 1
+      (102L, "entirely novel text about deep sea exploration and marine biology " * 5))
+      .toDF("doc_id", "text")
+    val store = Dedup.minhashSignatures(corpus, "doc_id", "text", shingleSize = 5, numHashes = 32)
+    val pairs = Dedup.minhashIncrementalPairs(newBatch, store, "doc_id", "text",
+      shingleSize = 5, numHashes = 32, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((101L, 1L)))
+  }
+
   test("portable simhash blocked pairs equal brute-force all-pairs hamming") {
     val docs = Seq(
       (1L, baseText),
