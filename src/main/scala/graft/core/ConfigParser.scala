@@ -296,7 +296,8 @@ object ConfigParser {
       case "CustomDataFrameAction" | "customDataFrame" =>
         val sqls = strMap(n, "outputSql")
         val dfs: Seq[DfsTransformer] =
-          if (sqls.nonEmpty) Seq(SQLDfsTransformer(sqls)) else Seq.empty
+          (if (sqls.nonEmpty) Seq(SQLDfsTransformer(sqls)) else Seq.empty) ++
+            nodeSeq(n, "dfsTransformers").map(parseDfsTransformer(id, _))
         CustomDataFrameAction(id, strSeq(n, "inputIds"), strSeq(n, "outputIds"), dfs, saveMode,
           execCond, metricsFail, recursiveInputIds = strSeq(n, "recursiveInputIds"),
           breakDataFrameLineage = bool(n, "breakDataFrameLineage"))
@@ -428,6 +429,23 @@ object ConfigParser {
       case "PiiRedactTransformer" | "piiRedact" =>
         PiiRedactTransformer(require(str(n, "textColumn"), id, "textColumn"))
       case t => throw new IllegalArgumentException(s"action '$id': unknown transformer type '$t'")
+    }
+
+  /** N:M transformers available to CustomDataFrameAction's `dfsTransformers` */
+  private def parseDfsTransformer(id: String, n: JsonNode): DfsTransformer =
+    typeName(n, id) match {
+      case "SQLDfsTransformer" | "sqlDfs" => SQLDfsTransformer(strMap(n, "outputSql"))
+      case "IncrementalDedupTransformer" | "incrementalDedup" =>
+        IncrementalDedupTransformer(
+          require(str(n, "batchInput"), id, "batchInput"),
+          require(str(n, "storeInput"), id, "storeInput"),
+          require(str(n, "idColumn"), id, "idColumn"),
+          require(str(n, "textColumn"), id, "textColumn"),
+          threshold = dbl(n, "threshold").getOrElse(0.7),
+          shingleSize = int(n, "shingleSize").getOrElse(5),
+          numHashes = int(n, "numHashes").getOrElse(32),
+          bands = int(n, "bands").getOrElse(8))
+      case t => throw new IllegalArgumentException(s"action '$id': unknown dfs transformer type '$t'")
     }
 }
 

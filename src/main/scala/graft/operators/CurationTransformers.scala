@@ -90,3 +90,33 @@ case class PiiRedactTransformer(textColumn: String) extends DfTransformer {
                         (implicit ctx: ActionPipelineContext): DataFrame =
     df.withColumn(textColumn, TextAnalysis.redactPII(col(textColumn)))
 }
+
+/** Incremental near-dedup for continuous ingestion: drop new-batch docs
+  * that near-duplicate the EXISTING corpus, by joining the batch against
+  * the corpus signature STORE (`Dedup.minhashSignatures` output, persisted
+  * between runs) — per-batch cost scales with the delta, never
+  * corpus × corpus. Two named inputs: `batchInput` (raw new docs) and
+  * `storeInput` (signature store); two outputs: `<batchInput>` = surviving
+  * novel docs, `<storeInput>` = the store grown by the survivors'
+  * signatures (write it back with SDLSaveMode.Overwrite/Merge to complete
+  * the ingestion loop). */
+case class IncrementalDedupTransformer(
+    batchInput: String, storeInput: String,
+    idColumn: String, textColumn: String,
+    threshold: Double = 0.7, shingleSize: Int = 5,
+    numHashes: Int = 32, bands: Int = 8) extends DfsTransformer {
+  override def transform(dfs: Map[String, DataFrame])
+                        (implicit ctx: ActionPipelineContext): Map[String, DataFrame] = {
+    val batch = dfs.getOrElse(batchInput,
+      throw new IllegalArgumentException(s"IncrementalDedupTransformer: missing input '$batchInput'"))
+    val store = dfs.getOrElse(storeInput,
+      throw new IllegalArgumentException(s"IncrementalDedupTransformer: missing input '$storeInput'"))
+    val dupIds = Dedup.minhashIncrementalPairs(batch, store, idColumn, textColumn,
+      shingleSize, numHashes, bands, threshold)
+      .select(col("id_new").as(idColumn)).distinct()
+    val novel = batch.join(broadcast(dupIds), Seq(idColumn), "left_anti")
+    val grownStore = store.unionByName(
+      Dedup.minhashSignatures(novel, idColumn, textColumn, shingleSize, numHashes))
+    Map(batchInput -> novel, storeInput -> grownStore)
+  }
+}

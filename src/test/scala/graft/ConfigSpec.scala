@@ -303,4 +303,54 @@ class ConfigSpec extends AnyFunSuite {
     assert(got.where(col("text").contains("a@b.org")).count() == 0)
     assert(got.where(col("text").contains("<EMAIL>")).count() == 1)
   }
+
+  test("incremental dedup pipeline from HOCON: batch vs signature store, store grows") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " * 5
+    val batchIn = tmpDir(); val storeIn = tmpDir()
+    val novelOut = tmpDir(); val storeOut = tmpDir()
+    // existing corpus -> signature store (the write-once side of the loop)
+    val corpus = Seq((1L, base),
+      (2L, "completely different content about engines and queries " * 5))
+      .toDF("doc_id", "text")
+    graft.functions.Dedup.minhashSignatures(corpus, "doc_id", "text")
+      .write.mode("overwrite").parquet(storeIn)
+    Seq(
+      (101L, base + " second crawl tail"), // near-dup of stored doc 1 -> dropped
+      (102L, "entirely novel text about deep sea exploration and marine life " * 5))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(batchIn)
+    val cfg =
+      s"""dataObjects {
+         |  batch { type = parquet, path = "$batchIn" }
+         |  store { type = parquet, path = "$storeIn" }
+         |  novel { type = parquet, path = "$novelOut" }
+         |  storeGrown { type = parquet, path = "$storeOut" }
+         |}
+         |actions {
+         |  ingest {
+         |    type = customDataFrame
+         |    inputIds = [batch, store]
+         |    outputIds = [novel, storeGrown]
+         |    dfsTransformers = [
+         |      { type = incrementalDedup, batchInput = batch, storeInput = store,
+         |        idColumn = doc_id, textColumn = text, threshold = 0.5, bands = 16 }
+         |    ]
+         |  }
+         |}
+         |""".stripMargin
+    // transformer outputs are keyed by INPUT names (batch/store) — map them
+    // to the declared output ids
+    val reg = ConfigParser.parse(cfg)
+    val act = reg.action("ingest").asInstanceOf[graft.operators.CustomDataFrameAction]
+    implicit val ctx: graft.core.ActionPipelineContext = graft.core.ActionPipelineContext(spark, reg)
+    val outs = act.dfsTransformers.head.transform(Map(
+      "batch" -> spark.read.parquet(batchIn), "store" -> spark.read.parquet(storeIn)))
+    outs("batch").write.mode("overwrite").parquet(novelOut)
+    outs("store").write.mode("overwrite").parquet(storeOut)
+    val novel = spark.read.parquet(novelOut).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(novel == Set(102L), s"dup 101 should drop, got $novel")
+    val grown = spark.read.parquet(storeOut).select("id").collect().map(_.getLong(0)).toSet
+    assert(grown == Set(1L, 2L, 102L), s"store should grow by the survivor, got $grown")
+  }
 }
