@@ -428,6 +428,25 @@ object ConfigParser {
           repetitionMaxN = int(n, "repetitionMaxN").getOrElse(3))
       case "PiiRedactTransformer" | "piiRedact" =>
         PiiRedactTransformer(require(str(n, "textColumn"), id, "textColumn"))
+      case "EventTimeWindowTransformer" | "eventTimeWindow" =>
+        graft.streaming.EventTimeWindowTransformer(
+          require(str(n, "eventTimeColumn"), id, "eventTimeColumn"),
+          require(str(n, "windowDuration"), id, "windowDuration"),
+          slideDuration = str(n, "slideDuration"),
+          watermarkDuration = str(n, "watermarkDuration").getOrElse("0 seconds"),
+          groupByColumns = strSeq(n, "groupByColumns"),
+          aggExpressions = strMap(n, "aggExpressions"))
+      case "SessionWindowTransformer" | "sessionWindow" =>
+        graft.streaming.SessionWindowTransformer(
+          require(str(n, "eventTimeColumn"), id, "eventTimeColumn"),
+          require(str(n, "gapDuration"), id, "gapDuration"),
+          watermarkDuration = str(n, "watermarkDuration").getOrElse("0 seconds"),
+          groupByColumns = strSeq(n, "groupByColumns"),
+          aggExpressions = strMap(n, "aggExpressions"))
+      case "StreamingDedupTransformer" | "streamingDedup" =>
+        graft.streaming.StreamingDedupTransformer(strSeq(n, "keyColumns"),
+          eventTimeColumn = str(n, "eventTimeColumn"),
+          withinWatermark = str(n, "withinWatermark"))
       case t => throw new IllegalArgumentException(s"action '$id': unknown transformer type '$t'")
     }
 

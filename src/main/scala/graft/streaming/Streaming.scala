@@ -64,6 +64,29 @@ case class SessionWindowTransformer(
   }
 }
 
+/** Streaming deduplication — the streaming twin of exact dedup.
+  * `withinWatermark = Some(d)` uses `dropDuplicatesWithinWatermark`: state
+  * for a key is dropped once the watermark passes it, so state is bounded
+  * by the watermark horizon instead of growing with every key ever seen —
+  * the only shape that survives an unbounded stream. With `None` (or on a
+  * batch frame) this is plain `dropDuplicates` (full-history dedup: state
+  * grows with distinct keys; fine for bounded streams/backfills).
+  * Content-keyed dedup composes by passing a derived column (e.g.
+  * `Dedup.contentHash`) appended upstream. */
+case class StreamingDedupTransformer(
+    keyColumns: Seq[String],
+    eventTimeColumn: Option[String] = None,
+    withinWatermark: Option[String] = None) extends DfTransformer {
+  require(withinWatermark.isEmpty || eventTimeColumn.nonEmpty,
+    "withinWatermark needs eventTimeColumn for the watermark")
+  override def transform(df: DataFrame, dataObjectId: String = "")(implicit ctx: ActionPipelineContext): DataFrame =
+    (withinWatermark, eventTimeColumn) match {
+      case (Some(d), Some(ts)) if df.isStreaming =>
+        df.withWatermark(ts, d).dropDuplicatesWithinWatermark(keyColumns)
+      case _ => df.dropDuplicates(keyColumns)
+    }
+}
+
 /** Arbitrary stateful per-key processing via
   * `KeyValueGroupedDataset.flatMapGroupsWithState` — exposed for user logic
   * needing custom state (reference covers this only via user Scala code).

@@ -74,6 +74,32 @@ class StreamingSpec extends AnyFunSuite {
       ("2024-01-01 00:02:00", 8.0, 1L)))
   }
 
+  test("streaming dedup within watermark: duplicate keys collapse, state bounded") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    Seq(
+      (1L, "2024-01-01 00:00:10", 1.0),
+      (1L, "2024-01-01 00:00:20", 1.0),  // dup key within watermark -> dropped
+      (2L, "2024-01-01 00:00:30", 2.0),
+      (3L, "2024-01-01 00:01:10", 3.0))
+      .toDF("id", "ts", "v").selectExpr("id", "CAST(ts AS TIMESTAMP) ts", "v")
+      .write.json(s"$dir/src")
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, new InstanceRegistry())
+    val src = JsonFileDataObject("src", s"$dir/src", schema = Some(eventSchema))
+    val deduped = StreamingDedupTransformer(Seq("id"),
+      eventTimeColumn = Some("ts"), withinWatermark = Some("10 minutes"))
+      .transform(src.getStreamingDataFrame(Map.empty, None))
+    assert(deduped.isStreaming)
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    q.awaitTermination()
+    val ids = spark.table("dedup_stream").select("id").collect().map(_.getLong(0)).toSeq
+    assert(ids.sorted == Seq(1L, 2L, 3L))
+    // batch frame: same transformer degrades to plain dropDuplicates
+    val batch = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("id", "x")
+    assert(StreamingDedupTransformer(Seq("id")).transform(batch).count() == 2)
+  }
+
   test("windowed transformer works identically on batch input") {
     implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, new InstanceRegistry())
     val batch = Seq((1L, "2024-01-01 00:00:10", 1.0), (2L, "2024-01-01 00:01:20", 2.0))
