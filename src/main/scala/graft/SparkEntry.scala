@@ -731,6 +731,15 @@ object SparkEntry {
         shingleSize = 5, numHashes = 32, bands = 16, threshold = 0.5)
     }),
 
+    // Corpus-relative vocabulary coverage (CCNet-style): fraction of each
+    // doc's tokens that are in the corpus top-1000 vocabulary. Global agg
+    // -> broadcast top-K vocab -> per-doc re-agg; coverage is one int/int
+    // IEEE division, so DuckDB reproduces it bit-for-bit.
+    "q52_vocab_coverage" -> ((s, dir) => {
+      graft.functions.TextAnalysis.vocabularyCoverage(
+        t(s, dir, "documents"), "doc_id", "text", topK = 1000)
+    }),
+
     // Sequence packing (concat-then-cut LM batch prep), per shard so it
     // parallelizes; offsets/pack ids are exact window arithmetic.
     "q50_sequence_packing" -> ((s, dir) => {
@@ -1331,6 +1340,26 @@ object SparkEntry {
         |  CAST(floor(CAST(start_offset AS DOUBLE) / 512.0) AS BIGINT) AS pack_id,
         |  start_offset % 512 AS pack_offset
         |FROM off""".stripMargin,
+    // q52: same three stages in SQL; the (count desc, token asc) order is
+    // total, so the top-K cut is identical in both engines.
+    "q52_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+        |    ORDER BY cnt DESC, tok ASC LIMIT 1000)
+        |), per AS (
+        |  SELECT t.doc_id, count(*) AS n_tokens,
+        |    sum(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS n_in_topk
+        |  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+        |  GROUP BY t.doc_id
+        |)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_in_topk AS BIGINT) AS n_in_topk,
+        |  CAST(n_in_topk AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS topk_coverage
+        |FROM per""".stripMargin,
+
     // q51: exhaustive new-batch × corpus exact char-5-gram jaccard — the
     // incremental LSH join must find exactly these pairs (q27 argument).
     "q51_incremental_dedup" ->

@@ -166,6 +166,31 @@ object TextAnalysis {
     }.drop(gramCols: _*)
   }
 
+  /** Corpus-relative vocabulary coverage (the CCNet-style signal: how much
+    * of a document is made of the corpus' common words — boilerplate and
+    * gibberish both score low). Three-stage plan, each stage bounded:
+    * (1) token counts — one shuffle, map-side partial agg collapses each
+    * partition to its distinct tokens; (2) top-K vocab — TakeOrdered with a
+    * total (count desc, token asc) order, K rows to the driver, broadcast
+    * back; (3) per-doc coverage — broadcast semijoin + one (id)-keyed
+    * partial-agg shuffle. The corpus text never shuffles; only (id, counts)
+    * pairs do. Coverage is a single int/int IEEE division — bit-identical
+    * in any engine. */
+  def vocabularyCoverage(df: org.apache.spark.sql.DataFrame, idCol: String,
+                         textCol: String, topK: Int = 1000): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc).limit(topK)
+      .select(col("tok"), lit(1).as("_in"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("_in"), lit(0))).cast(LongType).as("n_in_topk"))
+      .select(col("id").as(idCol), col("n_tokens"), col("n_in_topk"),
+        (col("n_in_topk").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .as("topk_coverage"))
+  }
+
   /** n-grams from an already-split token array (n >= 2) */
   private def ngramsOfTokens(toks: Column, n: Int): Column =
     when(size(toks) >= n,
