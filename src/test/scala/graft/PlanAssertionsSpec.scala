@@ -83,4 +83,17 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
       "sampling itself must not shuffle; only the final aggregation may")
   }
+
+  test("q52 vocab coverage: vocab broadcast to the per-doc stage, no sort-merge join") {
+    val p = plan("q52_vocab_coverage")
+    assert(p.contains("BroadcastHashJoin"), "top-K vocab must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "per-doc coverage join degraded to sort-merge — corpus side would shuffle")
+  }
+
+  test("q51 incremental dedup: band join is an equi-join, no cartesian/nested-loop") {
+    val p = plan("q51_incremental_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"delta x store candidate generation must stay an equi-join: $p")
+  }
 }
