@@ -740,6 +740,17 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", topK = 1000)
     }),
 
+    // Per-source document caps (anti-boilerplate / source-balance step):
+    // deterministic order-statistic sample — at most n docs per source,
+    // chosen by smallest md5(key) hash, so the kept set is a pure function
+    // of the data (stable across partitionings/engines; oracle reproduces
+    // it row-for-row). One shuffle on the stratum.
+    "q53_source_caps" -> ((s, dir) => {
+      graft.functions.Sampling.capPerStratum(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        col("doc_id"), col("source"), n = 15)
+    }),
+
     // Sequence packing (concat-then-cut LM batch prep), per shard so it
     // parallelizes; offsets/pack ids are exact window arithmetic.
     "q50_sequence_packing" -> ((s, dir) => {
@@ -1340,6 +1351,19 @@ object SparkEntry {
         |  CAST(floor(CAST(start_offset AS DOUBLE) / 512.0) AS BIGINT) AS pack_id,
         |  start_offset % 512 AS pack_offset
         |FROM off""".stripMargin,
+    // q53: same md5-derived order statistic, same (u, key-string) tie-break.
+    "q53_source_caps" ->
+      """WITH u AS (
+        |  SELECT doc_id, source,
+        |    CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+        |      / 4294967296.0 AS u
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY u, CAST(doc_id AS VARCHAR)) AS rk
+        |  FROM u)
+        |SELECT doc_id, source FROM r WHERE rk <= 15""".stripMargin,
+
     // q52: same three stages in SQL; the (count desc, token asc) order is
     // total, so the top-K cut is identical in both engines.
     "q52_vocab_coverage" ->
