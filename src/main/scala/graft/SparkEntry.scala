@@ -761,6 +761,86 @@ object SparkEntry {
       Packing.packSequences(docs, col("doc_id"), col("shard"), col("n_tokens"), seqLen = 512)
         .select(col("doc_id"), col("shard"), col("n_tokens"),
           col("start_offset"), col("pack_id"), col("pack_offset"))
+    }),
+
+    // Train/val/test split freeze: md5-derived label per doc — a pure
+    // function of the data (no seed, no partitioning dependence), so the
+    // split survives recluster/re-run/engine-swap. Row-level oracle.
+    "q54_train_split" -> ((s, dir) => {
+      import graft.functions.Sampling
+      t(s, dir, "documents").select(col("doc_id"),
+        Sampling.splitLabel(col("doc_id"),
+          Seq("val" -> 0.05, "test" -> 0.05)).as("split"))
+    }),
+
+    // Deterministic global shuffle → shard + within-shard training order.
+    // Shard comes straight off the key hash (no coordination); order is a
+    // per-shard window — numShards-way parallel, never a single-partition
+    // global row_number. Row-level oracle on (doc_id, shard, pos).
+    "q55_shard_assignment" -> ((s, dir) => {
+      graft.functions.Sampling.shardAssignment(
+        t(s, dir, "documents").select(col("doc_id")), col("doc_id"), numShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+    }),
+
+    // Corpus-wide boilerplate n-gram hot spots: top-20 trigrams by DOCUMENT
+    // frequency (distinct-per-doc bounds spam skew), total-ordered cut.
+    "q56_ngram_hotspots" -> ((s, dir) => {
+      graft.functions.TextAnalysis.ngramHotspots(
+        t(s, dir, "documents"), "text", n = 3, topK = 20)
+    }),
+
+    // Exact grouped percentiles (corpus length/price profiling): Spark's
+    // exact percentile (sort-based within group) vs DuckDB quantile_cont —
+    // both linear-interpolation definitions; rounded to 4 decimals so the
+    // comparison tests the percentile machinery, not last-ulp FP noise.
+    "q57_exact_percentiles" -> ((s, dir) => {
+      // ONE percentile aggregate with an array argument — a single
+      // per-group buffer and sort, instead of four independent ones
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.9, 0.99))").as("ps"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ps"), 1), 4).as("p25"),
+          round(element_at(col("ps"), 2), 4).as("p50"),
+          round(element_at(col("ps"), 3), 4).as("p90"),
+          round(element_at(col("ps"), 4), 4).as("p99"),
+          col("n"))
+    }),
+
+    // Unicode NFC normalization (codegen'd kernel): combining-mark text
+    // (every 'a' followed by U+0300) composes back to precomposed 'à' —
+    // len shrinks by the number of 'a's, md5 of the normalized UTF-8 is
+    // engine-portable (DuckDB nfc_normalize agrees byte-for-byte).
+    "q58_nfc_normalize" -> ((s, dir) => {
+      import graft.functions.TextAnalysis
+      val perturbed = regexp_replace(col("text"), "a", "a\u0300")
+      t(s, dir, "documents").select(col("doc_id"),
+        length(perturbed).as("len_raw"),
+        length(TextAnalysis.nfcNormalize(perturbed)).as("len_nfc"),
+        md5(TextAnalysis.nfcNormalize(perturbed).cast("binary")).as("md5_nfc"))
+    }),
+
+    // Mergeable distinct-count sketches (the 100 TB path for vocabulary /
+    // cardinality tracking: per-partition HLL sketches union WITHOUT
+    // rescanning — datasketches HLL, same family the reference exposes via
+    // approx_count_distinct). Structural oracle: the merged estimate must
+    // land within the sketch's error envelope of the exact count (which
+    // both engines compute exactly).
+    "q59_hll_union" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("lang"), col("source"),
+          explode(graft.functions.TextAnalysis.tokens(col("text"))).as("tok"))
+      val est = toks.groupBy(col("lang"), col("source"))
+        .agg(hll_sketch_agg(col("tok"), lit(12)).as("sk"))
+        .groupBy(col("lang"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = toks.groupBy(col("lang"))
+        .agg(countDistinct(col("tok")).as("n_exact"))
+      exact.join(est, Seq("lang"))
+        .select(col("lang"), col("n_exact"),
+          (abs(col("est") - col("n_exact")) <=
+            greatest(col("n_exact") * 0.05, lit(8.0))).as("ok"))
     })
   )
 
@@ -1444,6 +1524,75 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, mean_tok_len, n_stop_distinct, dup_word_frac,
         |  (n_tokens BETWEEN 20 AND 1000) AND (mean_tok_len BETWEEN 2.5 AND 9.0)
         |    AND n_stop_distinct >= 2 AND dup_word_frac <= 0.6 AS keep
-        |FROM feat""".stripMargin
+        |FROM feat""".stripMargin,
+
+    // q54: the split label is pure md5 arithmetic — same cumulative-
+    // threshold CASE on both sides
+    "q54_train_split" ->
+      """SELECT doc_id,
+        |  CASE
+        |    WHEN u >= 0.0 AND u < 0.05 THEN 'val'
+        |    WHEN u >= 0.05 AND u < 0.10 THEN 'test'
+        |    ELSE 'train' END AS split
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+        |      / 4294967296.0 AS u
+        |  FROM documents)""".stripMargin,
+    // q55: shard from md5 chars 9-16 (independent of the order hash from
+    // chars 1-8); pos = per-shard rank with the same (u, key-string)
+    // tie-break as the Spark window
+    "q55_shard_assignment" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+        |      / 4294967296.0 AS u,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 9, 8)) AS BIGINT) % 8 AS shard
+        |  FROM documents)
+        |SELECT doc_id, shard,
+        |  row_number() OVER (PARTITION BY shard ORDER BY u, CAST(doc_id AS VARCHAR)) - 1 AS pos
+        |FROM h""".stripMargin,
+    // q56: document frequency over per-doc DISTINCT trigrams; the
+    // (doc_freq desc, ngram asc) order is total so the top-20 cut is
+    // identical in both engines
+    "q56_ngram_hotspots" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+        |      list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])
+        |    ELSE [] END)) AS ngram
+        |  FROM documents)
+        |SELECT ngram, count(*) AS doc_freq FROM g
+        |GROUP BY ngram ORDER BY doc_freq DESC, ngram ASC LIMIT 20""".stripMargin,
+    // q57: quantile_cont is the same linear-interpolation definition as
+    // Spark's exact percentile; round(4) absorbs last-ulp differences
+    "q57_exact_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // q58: DuckDB's nfc_normalize is the same Unicode NFC; md5 runs over
+    // identical UTF-8 bytes. chr(224) = 'à' precomposed... the perturbed
+    // text uses the decomposed form a+U+0300 (chr(768)) on both sides.
+    "q58_nfc_normalize" ->
+      """WITH p AS (
+        |  SELECT doc_id, replace(text, 'a', 'a' || chr(768)) AS t FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(t) AS INT) AS len_raw,
+        |  CAST(length(nfc_normalize(t)) AS INT) AS len_nfc,
+        |  md5(nfc_normalize(t)) AS md5_nfc
+        |FROM p""".stripMargin,
+    // q59: the sketch estimate must land in the error envelope of the
+    // exact distinct count — ok is structurally true; exact count is
+    // recomputed exactly in SQL
+    "q59_hll_union" ->
+      """SELECT lang,
+        |  CAST(count(DISTINCT tok) AS BIGINT) AS n_exact, true AS ok
+        |FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY lang""".stripMargin
   )
 }

@@ -221,7 +221,9 @@ object ConfigParser {
         HiveTableDataObject(id, parseTable(n, id),
           partitions = strSeq(n, "partitions"),
           format = str(n, "format").getOrElse("parquet"),
-          analyzeTableAfterWrite = bool(n, "analyzeTableAfterWrite"))
+          analyzeTableAfterWrite = bool(n, "analyzeTableAfterWrite"),
+          bucketCols = strSeq(n, "bucketCols"),
+          numBuckets = int(n, "numBuckets").getOrElse(0))
       case "JdbcTableDataObject" | "jdbcTable" =>
         val connId = require(str(n, "connectionId"), id, "connectionId")
         val conn = connections.getOrElse(connId,
@@ -428,6 +430,17 @@ object ConfigParser {
           repetitionMaxN = int(n, "repetitionMaxN").getOrElse(3))
       case "PiiRedactTransformer" | "piiRedact" =>
         PiiRedactTransformer(require(str(n, "textColumn"), id, "textColumn"))
+      case "TrainSplitTransformer" | "trainSplit" =>
+        TrainSplitTransformer(require(str(n, "keyColumn"), id, "keyColumn"),
+          valFraction = dbl(n, "valFraction").getOrElse(0.05),
+          testFraction = dbl(n, "testFraction").getOrElse(0.05),
+          labelColumn = str(n, "labelColumn").getOrElse("split"))
+      case "ShardAssignmentTransformer" | "shardAssignment" =>
+        ShardAssignmentTransformer(require(str(n, "keyColumn"), id, "keyColumn"),
+          numShards = int(n, "numShards").getOrElse(throw new IllegalArgumentException(
+            s"config '$id': missing required field 'numShards'")))
+      case "NfcNormalizeTransformer" | "nfcNormalize" =>
+        NfcNormalizeTransformer(require(str(n, "textColumn"), id, "textColumn"))
       case "EventTimeWindowTransformer" | "eventTimeWindow" =>
         graft.streaming.EventTimeWindowTransformer(
           require(str(n, "eventTimeColumn"), id, "eventTimeColumn"),

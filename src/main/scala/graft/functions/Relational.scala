@@ -54,4 +54,31 @@ object Relational {
     left.schema.fields.map(f => (f.name, f.dataType)).sameElements(
       right.schema.fields.map(f => (f.name, f.dataType))) &&
       symmetricDifference(left, right).isEmpty
+
+  /** Salted equi-join for skewed keys: the big (skewed) side gets a random
+    * salt in [0, saltFactor); the small side is replicated `saltFactor`
+    * ways (explode of a literal range — `saltFactor`× its size, which is
+    * the explicit cost of the technique). The join key becomes
+    * (key, salt), so a hot key's rows spread over `saltFactor` reducers
+    * instead of hammering one.
+    *
+    * This is the MANUAL fallback for when AQE's skew-join splitting can't
+    * help: AQE only splits sort-merge join partitions after a shuffle
+    * materializes, so a skewed broadcast-ineligible join feeding a
+    * same-key aggregation (no intermediate shuffle boundary) or a
+    * deliberately AQE-off pipeline still needs salting. Result equals the
+    * plain inner join (salt columns are dropped).
+    *
+    * The salt is `rand`-derived (seeded — deterministic per partition
+    * layout) because the DISTRIBUTION is what matters, not
+    * reproducibility of which reducer got which row: the join RESULT is
+    * identical regardless of salt values. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 saltFactor: Int = 8, seed: Long = 42L): DataFrame = {
+    require(saltFactor > 0, "saltFactor must be positive")
+    val salted = big.withColumn("_salt", (rand(seed) * saltFactor).cast("int"))
+    val replicated = small.withColumn("_salt",
+      explode(array((0 until saltFactor).map(lit): _*)))
+    salted.join(replicated, keys :+ "_salt").drop("_salt")
+  }
 }

@@ -71,4 +71,46 @@ object Sampling {
       .where(uniformHash(key) < col("_mix_rate"))
       .drop("_mix_stratum")
   }
+
+  /** Deterministic train/validation/test split label, derived from the key
+    * hash: cumulative fraction thresholds over [[uniformHash]]. A pure
+    * per-row expression (no shuffle, no state): the split is frozen by the
+    * DATA, not by a seed + partitioning, so re-running on a different
+    * cluster (or another engine — md5 is portable) reassigns nothing.
+    * `fractions` are (label, fraction) in priority order; any remainder
+    * falls to `defaultLabel`. */
+  def splitLabel(key: Column, fractions: Seq[(String, Double)],
+                 defaultLabel: String = "train"): Column = {
+    require(fractions.map(_._2).sum <= 1.0 + 1e-9, "fractions must sum to <= 1")
+    val u = uniformHash(key)
+    val (expr, _) = fractions.foldLeft((lit(defaultLabel), 0.0)) {
+      case ((acc, cum), (label, frac)) =>
+        val hi = cum + frac
+        (when(u >= cum && u < hi, lit(label)).otherwise(acc), hi)
+    }
+    expr
+  }
+
+  /** Deterministic shard assignment + within-shard training order for a
+    * frozen corpus: shard = hash-derived (uniform, no global coordination),
+    * position = rank of the key hash WITHIN the shard. This is the scalable
+    * form of "globally shuffle the corpus and cut it into N files": a
+    * global row_number would serialize through one partition, whereas the
+    * per-shard window is `numShards`-way parallel and each shard's order is
+    * still a pure function of the data. Returns (original columns) +
+    * `shard` + `pos` (0-based). */
+  def shardAssignment(df: DataFrame, key: Column, numShards: Int): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val u = uniformHash(key)
+    val shard = pmod(conv(substring(md5(key.cast(StringType)), 9, 8), 16, 10)
+      .cast(LongType), lit(numShards.toLong))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_shard"))
+      .orderBy(col("_u"), col("_k"))
+    df.withColumn("_shard", shard)
+      .withColumn("_u", u)
+      .withColumn("_k", key.cast(StringType))
+      .withColumn("pos", row_number().over(w).cast(LongType) - 1L)
+      .withColumn("shard", col("_shard"))
+      .drop("_shard", "_u", "_k")
+  }
 }

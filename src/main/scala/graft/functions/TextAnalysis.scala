@@ -191,6 +191,32 @@ object TextAnalysis {
           .as("topk_coverage"))
   }
 
+  /** Corpus-wide duplicated n-gram hot spots: the `topK` word n-grams that
+    * appear in the most DOCUMENTS (boilerplate banners, license headers,
+    * navigation chrome — the stuff passage dedup later removes; this is the
+    * diagnostic view). Per-doc distinct n-grams (array_distinct before the
+    * explode bounds skew: one vote per document, so a million-repeat spam
+    * page can't dominate), one map-side-combinable count shuffle, then a
+    * total-ordered (df desc, ngram asc) TakeOrdered top-K — per-partition
+    * top-K + driver merge, no global sort. */
+  def ngramHotspots(df: org.apache.spark.sql.DataFrame, textCol: String,
+                    n: Int, topK: Int): org.apache.spark.sql.DataFrame =
+    // stage the token array: the n-gram lambda reads it n times per gram,
+    // and an inlined split(text) would re-tokenize the document on every
+    // element_at (same staging lesson as withRepetitionSignals)
+    df.select(tokens(col(textCol)).as("_toks"))
+      .select(explode(array_distinct(
+        if (n == 1) col("_toks") else ngramsOfTokens(col("_toks"), n))).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("ngram").asc).limit(topK)
+
+  /** Unicode NFC canonical normalization (codegen'd expression; see
+    * [[graft.plans.NfcKernel]]) — the head-of-pipeline pass that makes
+    * hash-keyed dedup/fingerprinting insensitive to combining-mark vs
+    * precomposed encodings of identical glyphs. */
+  def nfcNormalize(text: Column): Column =
+    graft.plans.UnicodeExpressions.nfcNormalize(text)
+
   /** n-grams from an already-split token array (n >= 2) */
   private def ngramsOfTokens(toks: Column, n: Int): Column =
     when(size(toks) >= n,

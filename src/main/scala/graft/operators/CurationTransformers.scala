@@ -120,3 +120,31 @@ case class IncrementalDedupTransformer(
     Map(batchInput -> novel, storeInput -> grownStore)
   }
 }
+
+/** Append a deterministic train/val/test split label (md5-thresholded —
+  * partitioning/seed/engine-independent; see `Sampling.splitLabel`). */
+case class TrainSplitTransformer(
+    keyColumn: String, valFraction: Double = 0.05,
+    testFraction: Double = 0.05, labelColumn: String = "split") extends DfTransformer {
+  override def transform(df: DataFrame, dataObjectId: String = "")
+                        (implicit ctx: ActionPipelineContext): DataFrame =
+    df.withColumn(labelColumn, Sampling.splitLabel(col(keyColumn),
+      Seq("val" -> valFraction, "test" -> testFraction)))
+}
+
+/** Append deterministic `shard` + within-shard `pos` training order
+  * (hash shard + per-shard window; see `Sampling.shardAssignment`). */
+case class ShardAssignmentTransformer(
+    keyColumn: String, numShards: Int) extends DfTransformer {
+  override def transform(df: DataFrame, dataObjectId: String = "")
+                        (implicit ctx: ActionPipelineContext): DataFrame =
+    Sampling.shardAssignment(df, col(keyColumn), numShards)
+}
+
+/** Unicode NFC normalization of a text column in place (codegen'd kernel,
+  * zero-copy on already-normalized rows; see `TextAnalysis.nfcNormalize`). */
+case class NfcNormalizeTransformer(textColumn: String) extends DfTransformer {
+  override def transform(df: DataFrame, dataObjectId: String = "")
+                        (implicit ctx: ActionPipelineContext): DataFrame =
+    df.withColumn(textColumn, TextAnalysis.nfcNormalize(col(textColumn)))
+}

@@ -95,8 +95,24 @@ case class HiveTableDataObject(
     id: String, table: Table,
     override val partitions: Seq[String] = Seq.empty,
     format: String = "parquet",
-    analyzeTableAfterWrite: Boolean = false)
+    analyzeTableAfterWrite: Boolean = false,
+    bucketCols: Seq[String] = Seq.empty,
+    numBuckets: Int = 0)
   extends TableDataObject with CanHandlePartitions with CanMergeDataFrame with CanEvolveSchema {
+
+  require(bucketCols.isEmpty == (numBuckets == 0),
+    "bucketCols and numBuckets must be set together")
+
+  /** Hash-bucketed layout: tables bucketed on their join/agg key by the
+    * same bucket count join and aggregate WITHOUT a shuffle (the scan
+    * reports the bucket hash as its output partitioning) — the storage-
+    * level answer to a repeated 100 TB join. Buckets are also sorted so
+    * one-file-per-bucket reads skip the sort of a sort-merge join. */
+  private def bucketed[T](w: org.apache.spark.sql.DataFrameWriter[T]): org.apache.spark.sql.DataFrameWriter[T] =
+    if (bucketCols.nonEmpty)
+      w.bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+        .sortBy(bucketCols.head, bucketCols.tail: _*)
+    else w
 
   private def stagingName = table.fullName + "_graft_staging"
   private def backupName = table.fullName + "_graft_old"
@@ -129,7 +145,7 @@ case class HiveTableDataObject(
     val mode = saveMode.getOrElse(SdlSaveMode.Overwrite)
     val obs = org.apache.spark.sql.Observation(s"graft_write_${id}_${System.nanoTime()}")
     val observed = df.observe(obs, count(lit(1)).as("records_written"))
-    val w0 = observed.write.format(format)
+    val w0 = bucketed(observed.write.format(format))
     val w = if (partitions.nonEmpty) w0.partitionBy(partitions: _*) else w0
     mode match {
       case SdlSaveMode.Append => w.mode("append").saveAsTable(table.fullName)
@@ -158,7 +174,7 @@ case class HiveTableDataObject(
     ctx.spark.sql(s"DROP TABLE IF EXISTS $stagingName")
     val obs = org.apache.spark.sql.Observation(s"graft_stage_${id}_${System.nanoTime()}")
     val observed = df.observe(obs, count(lit(1)).as("records_written"))
-    val w0 = observed.write.format(format)
+    val w0 = bucketed(observed.write.format(format))
     val w = if (partitions.nonEmpty) w0.partitionBy(partitions: _*) else w0
     w.mode("overwrite").saveAsTable(stagingName)
     ctx.spark.sql(s"DROP TABLE IF EXISTS $backupName")

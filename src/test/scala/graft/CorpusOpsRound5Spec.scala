@@ -1,0 +1,102 @@
+package graft
+
+import graft.functions.{Sampling, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-5 corpus operators: split freeze, shard assignment, n-gram
+  * hot spots, NFC normalization, HLL sketch union. */
+class CorpusOpsRound5Spec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("splitLabel: deterministic, partitioning-independent, fractions roughly honored") {
+    val docs = (0L until 2000L).toDF("id")
+    val labeled = docs.select(col("id"),
+      Sampling.splitLabel(col("id"), Seq("val" -> 0.05, "test" -> 0.05)).as("split"))
+    val counts = labeled.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("train") > 1600 && counts("val") > 50 && counts("test") > 50)
+    // repartitioning must not move any row between splits
+    val relabeled = docs.repartition(17).select(col("id"),
+      Sampling.splitLabel(col("id"), Seq("val" -> 0.05, "test" -> 0.05)).as("split"))
+    assert(labeled.except(relabeled).isEmpty && relabeled.except(labeled).isEmpty)
+  }
+
+  test("shardAssignment: positions are a dense 0..n-1 sequence per shard") {
+    val docs = (0L until 500L).toDF("id")
+    val sharded = Sampling.shardAssignment(docs, col("id"), numShards = 4)
+    assert(sharded.count() == 500)
+    val bad = sharded.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"))
+      .where(col("lo") =!= 0 || col("hi") =!= col("n") - 1)
+    assert(bad.isEmpty)
+    assert(sharded.select("shard").distinct().count() == 4)
+  }
+
+  test("ngramHotspots: planted boilerplate trigram dominates document frequency") {
+    val banner = "subscribe to our newsletter"
+    val docs = (0 until 50).map(i =>
+      (i.toLong, s"unique words $i here padding tokens $banner closing line $i"))
+      .toDF("doc_id", "text")
+    val top = TextAnalysis.ngramHotspots(docs, "text", n = 3, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(top.head._2 == 50)
+    assert(top.map(_._1).contains("subscribe to our"))
+  }
+
+  test("nfcNormalize composes combining marks and is identity on ASCII") {
+    val df = Seq(
+      (1L, "plain ascii text"),
+      (2L, "café au lait"),     // e + combining acute -> é
+      (3L, "à la carte")        // a + combining grave -> à
+    ).toDF("id", "t")
+    val out = df.select(col("id"),
+      TextAnalysis.nfcNormalize(col("t")).as("n"),
+      length(col("t")).as("lr"), length(TextAnalysis.nfcNormalize(col("t"))).as("ln"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    assert(out(1L)._1 == "plain ascii text" && out(1L)._2 == out(1L)._3)
+    assert(out(2L)._1 == "café au lait" && out(2L)._3 == out(2L)._2 - 1)
+    assert(out(3L)._1 == "à la carte" && out(3L)._3 == out(3L)._2 - 1)
+  }
+
+  test("split/shard/nfc transformers are declarable in HOCON and transform correctly") {
+    import graft.core._
+    import graft.operators._
+    val hocon =
+      """dataObjects { d { type = parquet, path = "/tmp/unused" } }
+        |actions {
+        |  a {
+        |    type = copy, inputId = d, outputId = d
+        |    transformers = [
+        |      {type = trainSplit, keyColumn = id, valFraction = 0.1, testFraction = 0.1},
+        |      {type = shardAssignment, keyColumn = id, numShards = 4},
+        |      {type = nfcNormalize, textColumn = t}
+        |    ]
+        |  }
+        |}""".stripMargin
+    val reg = ConfigParser.parse(hocon)
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    val chain = reg.action("a").asInstanceOf[CopyAction].transformers
+    assert(chain.map(_.getClass.getSimpleName) == Seq(
+      "TrainSplitTransformer", "ShardAssignmentTransformer", "NfcNormalizeTransformer"))
+    val in = Seq((1L, "café"), (2L, "plain")).toDF("id", "t")
+    val out = chain.foldLeft(in)((d, tr) => tr.asInstanceOf[DfTransformer].transform(d))
+    assert(out.columns.toSet == Set("id", "t", "split", "shard", "pos"))
+    assert(out.where(col("id") === 1L).select("t").head.getString(0) == "café")
+  }
+
+  test("hll union across groups lands within the error envelope of exact") {
+    val toks = (0L until 10000L).map(i => (s"g${i % 3}", s"s${i % 5}", s"tok${i % 700}"))
+      .toDF("g", "src", "tok")
+    val est = toks.groupBy("g", "src").agg(hll_sketch_agg(col("tok"), lit(12)).as("sk"))
+      .groupBy("g").agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = toks.groupBy("g").agg(countDistinct(col("tok")).as("n_exact"))
+    val rows = exact.join(est, Seq("g")).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (n, e) = (r.getLong(1), r.getLong(2).toDouble)
+      assert(math.abs(e - n) <= math.max(n * 0.05, 8.0), s"group ${r.getString(0)}: est $e vs exact $n")
+    }
+  }
+}

@@ -96,4 +96,44 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"delta x store candidate generation must stay an equi-join: $p")
   }
+
+  test("q6 latest-per-key: WindowGroupLimit prunes to rank<=1 BEFORE the shuffle") {
+    // Spark's InferWindowGroupLimit turns the rn=1 filter into a partial
+    // per-partition top-1 ahead of the exchange — at 100 TB this is the
+    // difference between shuffling the events table and shuffling one row
+    // per (user, input partition).
+    val p = plan("q6_latest_event_per_user")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter not pushed below the window shuffle:\n$p")
+  }
+
+  test("q55 shard assignment: per-shard window, never a single-partition global sort") {
+    val p = plan("q55_shard_assignment")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"shard order degraded to a global row_number through one partition:\n$p")
+    assert(p.contains("Exchange hashpartitioning"),
+      "within-shard rank should hash-partition on the shard id")
+  }
+
+  test("q56 ngram hotspots: top-K via TakeOrdered, count is partially aggregated") {
+    val p = plan("q56_ngram_hotspots")
+    assert(p.contains("TakeOrderedAndProject"), s"top-K compiled to a full sort:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "doc-frequency count should partial-aggregate map-side")
+  }
+
+  test("q58 nfc normalize: pure per-row projection — zero exchanges, codegen'd") {
+    val p = plan("q58_nfc_normalize")
+    assert(!p.contains("Exchange"), s"normalization pass must not shuffle:\n$p")
+    // "*(n)" prefixes mark WholeStageCodegen stages in toString form
+    assert(p.contains("*(1) Project"), s"nfc expression fell out of codegen:\n$p")
+  }
+
+  test("q59 hll union: sketches partial-aggregate before each exchange") {
+    val p = plan("q59_hll_union")
+    // both aggregation stages (per-source sketch, per-lang union) must show
+    // ObjectHashAggregate partial/merge pairs, not a sort-based fallback
+    assert(p.contains("ObjectHashAggregate"), s"HLL agg fell back to sort-based:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
