@@ -841,6 +841,43 @@ object SparkEntry {
         .select(col("lang"), col("n_exact"),
           (abs(col("est") - col("n_exact")) <=
             greatest(col("n_exact") * 0.05, lit(8.0))).as("ok"))
+    }),
+
+    // HTML boilerplate stripping (web-corpus text extraction): documents
+    // wrapped in deterministic markup + escaped entities, then cleaned by
+    // the tag-strip / entity-unescape / whitespace-squash chain. Every
+    // step is a portable regex — the oracle replicates the cleaning
+    // byte-for-byte (md5 over the cleaned text).
+    "q60_html_strip" -> ((s, dir) => {
+      import graft.functions.TextAnalysis
+      val html = concat(lit("<html><body><h1>Doc</h1><p class=\"c\">"),
+        regexp_replace(col("text"), " the ", " &amp;the&#39; "),
+        lit("</p><div>footer &lt;nav&gt;</div></body></html>"))
+      t(s, dir, "documents").select(col("doc_id"),
+        length(TextAnalysis.stripHtml(html)).as("n_chars_clean"),
+        md5(TextAnalysis.stripHtml(html).cast("binary")).as("md5_clean"))
+    }),
+
+    // End-to-end near-dedup (the NearDedupTransformer path, oracled):
+    // planted near-dup corpus → minhash LSH pairs → connected components
+    // → drop non-canonical members → surviving doc ids. Row-level oracle:
+    // DuckDB brute-forces exact all-pairs jaccard and replays the
+    // clustering with a recursive CTE.
+    "q61_near_dedup_survivors" -> ((s, dir) => {
+      import graft.functions.Dedup
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val nearDups = docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" extra trailing tokens appended here")).as("text"))
+      val corpus = docs.unionByName(nearDups)
+      val pairs = Dedup.minhashDuplicatePairs(corpus, "doc_id", "text",
+        shingleSize = 5, numHashes = 32, bands = 16, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val drop = Dedup.duplicateClusters(pairs)
+        .where(col("id") =!= col("cluster_id"))
+        .select(col("id").as("doc_id"))
+      corpus.join(broadcast(drop), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"))
     })
   )
 
@@ -1593,6 +1630,66 @@ object SparkEntry {
       """SELECT lang,
         |  CAST(count(DISTINCT tok) AS BIGINT) AS n_exact, true AS ok
         |FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
-        |GROUP BY lang""".stripMargin
+        |GROUP BY lang""".stripMargin,
+
+    // q60: identical regex chain (tags → entities with &amp; last →
+    // whitespace squash); md5 over the same UTF-8 bytes
+    "q60_html_strip" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><body><h1>Doc</h1><p class="c">'
+        |      || replace(text, ' the ', ' &amp;the&#39; ')
+        |      || '</p><div>footer &lt;nav&gt;</div></body></html>' AS html
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(
+        |        regexp_replace(html, '<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS t
+        |  FROM h)
+        |SELECT doc_id, CAST(length(t) AS INT) AS n_chars_clean, md5(t) AS md5_clean
+        |FROM c""".stripMargin,
+    // q61: exact all-pairs jaccard (q27's inverted-index oracle) → pair
+    // graph → recursive min-label clustering (q33's pattern) → survivors
+    "q61_near_dedup_survivors" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS n
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    trim(regexp_replace(regexp_replace(lower(text || ' extra trailing tokens appended here'), '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS n
+        |  FROM documents WHERE doc_id % 7 = 0
+        |), sets AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(length(n)-4,1)+1), i -> substring(n, i, 5))) AS sh
+        |  FROM corpus
+        |), sizes AS (
+        |  SELECT doc_id, len(sh) AS nsh FROM sets
+        |), ex AS (
+        |  SELECT doc_id, unnest(sh) AS s FROM sets
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS li
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(li AS DOUBLE) / (CAST(sa.nsh + sb.nsh AS DOUBLE) - CAST(li AS DOUBLE)) >= 0.5
+        |), sym AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |), nodes AS (SELECT DISTINCT src AS id FROM sym),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT s.dst, reach.r FROM sym s JOIN reach ON s.src = reach.id
+        |), clusters AS (
+        |  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+        |)
+        |SELECT doc_id FROM corpus
+        |WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)""".stripMargin
   )
 }

@@ -125,7 +125,8 @@ object SyncStreamingRunner {
   * `SmartDataLakeBuilder.run/recoverRun` semantics on top of
   * [[ActionDAGRun]]. */
 object StatefulRun {
-  def run(actions: Seq[Action], store: RunStateStore, parallelism: Int = 1)
+  def run(actions: Seq[Action], store: RunStateStore, parallelism: Int = 1,
+          initialSubFeeds: Seq[SubFeed] = Seq.empty)
          (implicit ctx: ActionPipelineContext): Map[String, Seq[SubFeed]] = {
     val rs0 = store.nextRun()
     // restore incremental DataObject states (offsets/watermarks) from the
@@ -162,7 +163,7 @@ object StatefulRun {
       }
     })
     val result =
-      try dag.run()(runCtx)
+      try dag.run(initialSubFeeds)(runCtx)
       catch {
         case e: Throwable =>
           store.save(rs) // leave the partial state in current/ for recovery

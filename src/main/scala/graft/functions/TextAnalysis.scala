@@ -210,6 +210,20 @@ object TextAnalysis {
       .groupBy(col("ngram")).agg(count(lit(1)).as("doc_freq"))
       .orderBy(col("doc_freq").desc, col("ngram").asc).limit(topK)
 
+  /** Strip HTML to text (the boilerplate-removal head of a web-corpus
+    * pipeline): drop tags, unescape the five predefined entities (&amp;
+    * LAST, so "&amp;lt;" correctly yields "&lt;" and not a re-parsed tag),
+    * squash whitespace. Chained codegen'd regexp/replace — one scan, no
+    * UDF; every step is portable regex so an external engine replicates
+    * the cleaning byte-for-byte. */
+  def stripHtml(html: Column): Column = {
+    val untagged = regexp_replace(html, "<[^>]*>", " ")
+    val unescaped = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(untagged, "&lt;", "<"), "&gt;", ">"), "&quot;", "\""),
+      "&#39;", "'"), "&amp;", "&")
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
   /** Unicode NFC canonical normalization (codegen'd expression; see
     * [[graft.plans.NfcKernel]]) — the head-of-pipeline pass that makes
     * hash-keyed dedup/fingerprinting insensitive to combining-mark vs

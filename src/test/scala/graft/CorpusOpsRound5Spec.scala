@@ -86,6 +86,38 @@ class CorpusOpsRound5Spec extends AnyFunSuite {
     assert(out.where(col("id") === 1L).select("t").head.getString(0) == "café")
   }
 
+  test("stripHtml: tags dropped, entities unescaped in the right order, whitespace squashed") {
+    val df = Seq(
+      (1L, "<html><body><p>hello   <b>world</b></p></body></html>"),
+      (2L, "a &amp;lt; b means a &lt; b &quot;quoted&quot; &#39;x&#39;"),
+      (3L, "no markup at all")
+    ).toDF("id", "h")
+    val out = df.select(col("id"), TextAnalysis.stripHtml(col("h")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "hello world")
+    // &amp;lt; must become the literal string "&lt;" (amp unescaped LAST),
+    // while the real &lt; becomes "<"
+    assert(out(2L) == "a &lt; b means a < b \"quoted\" 'x'")
+    assert(out(3L) == "no markup at all")
+  }
+
+  test("near-dedup survivors: planted duplicates dropped, canonical + unrelated kept") {
+    import graft.functions.Dedup
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " * 5
+    val corpus = Seq(
+      (1L, base), (2L, base + " tail words"),
+      (3L, "completely different content about databases and query engines " * 5))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashDuplicatePairs(corpus, "doc_id", "text",
+      shingleSize = 5, numHashes = 32, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b")
+    val drop = Dedup.duplicateClusters(pairs)
+      .where(col("id") =!= col("cluster_id")).select(col("id").as("doc_id"))
+    val survivors = corpus.join(broadcast(drop), Seq("doc_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 3L))
+  }
+
   test("hll union across groups lands within the error envelope of exact") {
     val toks = (0L until 10000L).map(i => (s"g${i % 3}", s"s${i % 5}", s"tok${i % 700}"))
       .toDF("g", "src", "tok")

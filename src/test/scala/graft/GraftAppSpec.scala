@@ -1,0 +1,105 @@
+package graft
+
+import graft.app.GraftApp
+import graft.core.PartitionValues
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CLI entry point: arg parsing, config-dir merge, batch run, simulate,
+  * stateful run (reference `LocalSmartDataLakeBuilder` surface). */
+class GraftAppSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  def tmpDir(): String = Files.createTempDirectory("graft-app").toString
+
+  private def writePipelineConf(dir: String): String = {
+    Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)).toDF("id", "name", "value")
+      .write.option("header", "true").mode("overwrite").csv(s"$dir/src")
+    val conf =
+      s"""dataObjects {
+         |  src { type = csv, path = "$dir/src" }
+         |  out { type = parquet, path = "$dir/out" }
+         |}
+         |actions {
+         |  load { type = copy, inputId = src, outputId = out, metadata { feed = staging }
+         |         transformers = [{type = filter, filterClause = "value > 15"}] }
+         |}
+         |""".stripMargin
+    val f = s"$dir/pipeline.conf"
+    Files.writeString(java.nio.file.Paths.get(f), conf)
+    f
+  }
+
+  test("parseArgs: full option surface") {
+    val a = GraftApp.parseArgs(Array(
+      "--config", "x.conf,y.conf", "-f", "stag.*", "-p", "4",
+      "--partition-values", "dt=2024-01-01,region=eu",
+      "--state-path", "/tmp/state", "-n", "myapp", "--simulate",
+      "--trigger-interval-sec", "5", "--max-iterations", "3"))
+    assert(a.configPaths == Seq("x.conf", "y.conf") && a.feedSel.contains("stag.*"))
+    assert(a.parallelism == 4 && a.appName == "myapp" && a.simulate)
+    assert(a.partitionValues == Seq(PartitionValues(Map("dt" -> "2024-01-01", "region" -> "eu"))))
+    assert(a.triggerIntervalSec == 5 && a.maxIterations == 3)
+    intercept[IllegalArgumentException](GraftApp.parseArgs(Array("--bogus")))
+    intercept[IllegalArgumentException](GraftApp.parseArgs(Array.empty))
+  }
+
+  test("batch run from a config file: csv -> filter -> parquet") {
+    val dir = tmpDir()
+    val conf = writePipelineConf(dir)
+    val results = GraftApp.run(GraftApp.CliArgs(configPaths = Seq(conf)), spark)
+    assert(results.contains("load"))
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() == 2)
+  }
+
+  test("feed-sel regex selects actions; non-matching regex errors clearly") {
+    val dir = tmpDir()
+    val conf = writePipelineConf(dir)
+    val res = GraftApp.run(GraftApp.CliArgs(configPaths = Seq(conf),
+      feedSel = Some("stag.*")), spark)
+    assert(res.contains("load"))
+    val e = intercept[IllegalArgumentException](GraftApp.run(
+      GraftApp.CliArgs(configPaths = Seq(conf), feedSel = Some("nomatch")), spark))
+    assert(e.getMessage.contains("no actions selected"))
+  }
+
+  test("config directory: *.conf files merged in name order") {
+    val dir = tmpDir()
+    writePipelineConf(dir)
+    val confDir = s"$dir/confs"
+    new java.io.File(confDir).mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$confDir/10-objects.conf"),
+      s"""dataObjects {
+         |  src { type = csv, path = "$dir/src" }
+         |  out { type = parquet, path = "$dir/out2" }
+         |}""".stripMargin)
+    Files.writeString(java.nio.file.Paths.get(s"$confDir/20-actions.conf"),
+      """actions { load2 { type = copy, inputId = src, outputId = out } }""")
+    GraftApp.run(GraftApp.CliArgs(configPaths = Seq(confDir)), spark)
+    assert(spark.read.parquet(s"$dir/out2").count() == 3)
+  }
+
+  test("simulate: init-only dry run propagates schemas, writes nothing") {
+    val dir = tmpDir()
+    val conf = writePipelineConf(dir)
+    val res = GraftApp.run(GraftApp.CliArgs(configPaths = Seq(conf), simulate = true), spark)
+    val outFeed = res("load").head
+    assert(outFeed.dataFrame.isDefined)
+    assert(outFeed.dataFrame.get.schema.fieldNames.toSet == Set("id", "name", "value"))
+    assert(!new java.io.File(s"$dir/out").exists(), "simulate must not write output")
+  }
+
+  test("stateful run: state file lands in succeeded/ and records the action") {
+    val dir = tmpDir()
+    val conf = writePipelineConf(dir)
+    GraftApp.run(GraftApp.CliArgs(configPaths = Seq(conf),
+      statePath = Some(s"$dir/state"), appName = "cli-test"), spark)
+    val succeeded = new java.io.File(s"$dir/state/succeeded")
+      .listFiles((_, name) => name.endsWith(".json"))
+    assert(succeeded != null && succeeded.nonEmpty)
+    val content = new String(Files.readAllBytes(succeeded.head.toPath))
+    assert(content.contains("\"load\"") && content.contains("SUCCEEDED"))
+  }
+}
