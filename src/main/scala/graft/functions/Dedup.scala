@@ -431,8 +431,13 @@ object Dedup {
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20,
                         localThreshold: Long = 1000000L): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-    val sym = edges.unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // symmetrize via a per-row explode, NOT edges ∪ reversed(edges): the
+    // union's two branches are independent plans, so an expensive pairs
+    // input (LSH candidate generation + verification) would execute twice
+    val sym = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Size-probe over the PERSISTED symmetric frame (the iterative path
     // needs it cached anyway, so nothing is wasted), with limit() so a
