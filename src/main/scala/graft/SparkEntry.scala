@@ -647,17 +647,18 @@ object SparkEntry {
         .select((col("doc_id") + 2000000L).as("doc_id"),
           concat(col("text"), lit(" v2")).as("text"))
       val corpus = docs.unionByName(nearDups)
-      val found = Dedup.simhashNearDupPairs(
-        corpus, "doc_id", "text", shingleSize = 5, maxHamming = 12,
-        blocksPerKey = 2, failOnCappedBuckets = true)
+      // sign ONCE: the same persisted signature frame feeds pair generation
+      // AND the planted hamming audit (previously two full signature passes)
+      val sims = Dedup.simhashSignatures(corpus, "doc_id", "text", shingleSize = 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val found = Dedup.simhashNearDupPairsFromSigs(
+        sims, maxHamming = 12, blocksPerKey = 2, failOnCappedBuckets = true)
         .where(col("id_b") === col("id_a") + 2000000L)
         .select(col("id_a"), lit(true).as("_found"))
-      val sims = corpus.select(col("doc_id"),
-        Dedup.simhash64(Dedup.shingleHashes(col("text"), 5)).as("sim"))
-      val planted = sims.where(col("doc_id") < 2000000L && col("doc_id") % 7 === 0)
-        .select(col("doc_id").as("id_a"), col("sim").as("sim_a"))
-        .join(sims.where(col("doc_id") >= 2000000L)
-          .select((col("doc_id") - 2000000L).as("id_a"), col("sim").as("sim_b")), "id_a")
+      val planted = sims.where(col("id") < 2000000L && col("id") % 7 === 0)
+        .select(col("id").as("id_a"), col("simhash").as("sim_a"))
+        .join(sims.where(col("id") >= 2000000L)
+          .select((col("id") - 2000000L).as("id_a"), col("simhash").as("sim_b")), "id_a")
         .select(col("id_a"),
           bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       planted.join(found, Seq("id_a"), "left")

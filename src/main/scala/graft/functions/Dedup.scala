@@ -336,9 +336,25 @@ object Dedup {
                           shingleSize: Int = 5, maxHamming: Int = 3,
                           maxBucketSize: Int = 1000, blocksPerKey: Int = 1,
                           failOnCappedBuckets: Boolean = false): DataFrame =
-    simhashBlockedPairs(
-      ensureParallelism(df, idCol).select(col(idCol).as("id"),
-        simhash64(shingleHashes(col(textCol), shingleSize)).as("simhash")),
+    simhashNearDupPairsFromSigs(simhashSignatures(df, idCol, textCol, shingleSize),
+      maxHamming = maxHamming, maxBucketSize = maxBucketSize,
+      blocksPerKey = blocksPerKey, failOnCappedBuckets = failOnCappedBuckets)
+
+  /** Per-doc simhash signature frame `(id, simhash)` — the sign-once form
+    * (mirror of [[minhashSignatures]]): compute/persist signatures a single
+    * time and feed both pair generation ([[simhashNearDupPairsFromSigs]])
+    * and any audit/incremental consumer, instead of re-signing the corpus
+    * per use. */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int = 5): DataFrame =
+    ensureParallelism(df, idCol).select(col(idCol).as("id"),
+      simhash64(shingleHashes(col(textCol), shingleSize)).as("simhash"))
+
+  /** [[simhashNearDupPairs]] over a prepared `(id, simhash)` frame. */
+  def simhashNearDupPairsFromSigs(sigs: DataFrame, maxHamming: Int = 3,
+                                  maxBucketSize: Int = 1000, blocksPerKey: Int = 1,
+                                  failOnCappedBuckets: Boolean = false): DataFrame =
+    simhashBlockedPairs(sigs.select(col("id"), col("simhash")),
       bits = 64, maxHamming = maxHamming, maxBucketSize = maxBucketSize,
       blocksPerKey = blocksPerKey, failOnCappedBuckets = failOnCappedBuckets)
 
