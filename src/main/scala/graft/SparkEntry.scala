@@ -879,6 +879,15 @@ object SparkEntry {
         .select(col("id").as("doc_id"))
       corpus.join(broadcast(drop), Seq("doc_id"), "left_anti")
         .select(col("doc_id"))
+    }),
+
+    // BPE first-merge candidates (tokenizer induction): top-20 adjacent
+    // char pairs weighted by word frequency — char work runs over the
+    // DISTINCT vocabulary, not the corpus. Exact integer counts, total
+    // (cnt desc, pair asc) order → identical cut in any engine.
+    "q62_bpe_merge_candidates" -> ((s, dir) => {
+      graft.functions.TextAnalysis.bpeMergeCandidates(
+        t(s, dir, "documents"), "text", topK = 20)
     })
   )
 
@@ -1691,6 +1700,20 @@ object SparkEntry {
         |  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
         |)
         |SELECT doc_id FROM corpus
-        |WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)""".stripMargin
+        |WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)""".stripMargin,
+
+    // q62: same two stages — distinct-word counts, then char-pair explode
+    // weighted by word count; integer-exact, total-ordered cut
+    "q62_bpe_merge_candidates" ->
+      """WITH words AS (
+        |  SELECT w, count(*) AS wcnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) > 0 GROUP BY w),
+        |pairs AS (
+        |  SELECT unnest(list_transform(range(1, greatest(length(w) - 1, 0) + 1),
+        |    i -> substring(w, i, 2))) AS pair, wcnt
+        |  FROM words WHERE length(w) >= 2)
+        |SELECT pair, CAST(sum(wcnt) AS BIGINT) AS cnt FROM pairs
+        |GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin
   )
 }

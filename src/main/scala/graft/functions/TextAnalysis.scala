@@ -224,6 +224,29 @@ object TextAnalysis {
     trim(regexp_replace(unescaped, "\\s+", " "))
   }
 
+  /** BPE first-merge candidates (tokenizer induction over the corpus): the
+    * `topK` adjacent character pairs by total occurrence count, weighted by
+    * word frequency. Two-stage: (1) collapse the corpus to its distinct
+    * words + counts — ONE map-side-combinable shuffle, after which all
+    * character work scales with |vocabulary|, not corpus size (the BPE
+    * trick); (2) explode each distinct word's adjacent char pairs, weight
+    * by the word's count, re-aggregate, TakeOrdered top-K with a total
+    * (count desc, pair asc) order. */
+  def bpeMergeCandidates(df: org.apache.spark.sql.DataFrame, textCol: String,
+                         topK: Int): org.apache.spark.sql.DataFrame = {
+    val words = df.select(explode(tokens(col(textCol))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
+    // sequence(1, len-1) DESCENDS for len < 2 (sequence(1,0) = [1,0]) —
+    // guard single-char words to an empty pair array
+    val pairs = words.select(col("wcnt"), explode(
+      when(length(col("w")) >= 2,
+        transform(sequence(lit(1), length(col("w")) - 1), i => col("w").substr(i, lit(2))))
+        .otherwise(array().cast(ArrayType(StringType)))).as("pair"))
+    pairs.groupBy(col("pair")).agg(sum(col("wcnt")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc).limit(topK)
+  }
+
   /** Unicode NFC canonical normalization (codegen'd expression; see
     * [[graft.plans.NfcKernel]]) — the head-of-pipeline pass that makes
     * hash-keyed dedup/fingerprinting insensitive to combining-mark vs

@@ -118,6 +118,17 @@ class CorpusOpsRound5Spec extends AnyFunSuite {
     assert(survivors == Set(1L, 3L))
   }
 
+  test("bpeMergeCandidates: repeated word's pairs dominate; single-char words ignored") {
+    val docs = Seq(
+      (1L, "aaab aaab aaab x"),
+      (2L, "aaab zq")).toDF("doc_id", "text")
+    val top = TextAnalysis.bpeMergeCandidates(docs, "text", topK = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // "aaab" occurs 4 times: pairs aa(×2 per word → 8), aa+ab; "x" contributes nothing
+    assert(top.head == ("aa", 8L))
+    assert(top.map(_._1).contains("ab"))
+  }
+
   test("hll union across groups lands within the error envelope of exact") {
     val toks = (0L until 10000L).map(i => (s"g${i % 3}", s"s${i % 5}", s"tok${i % 700}"))
       .toDF("g", "src", "tok")
