@@ -3,6 +3,7 @@ package graft
 import graft.app.GraftApp
 import graft.core.PartitionValues
 import java.nio.file.Files
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** CLI entry point: arg parsing, config-dir merge, batch run, simulate,
@@ -89,6 +90,26 @@ class GraftAppSpec extends AnyFunSuite {
     assert(outFeed.dataFrame.isDefined)
     assert(outFeed.dataFrame.get.schema.fieldNames.toSet == Set("id", "name", "value"))
     assert(!new java.io.File(s"$dir/out").exists(), "simulate must not write output")
+  }
+
+  test("examples/training_pipeline.conf: full curation DAG runs through the CLI") {
+    val dir = tmpDir()
+    val conf = new String(Files.readAllBytes(
+      java.nio.file.Paths.get("examples/training_pipeline.conf")))
+      .replace("/tmp/graft-example-out", s"$dir/out")
+    val confPath = s"$dir/pipeline.conf"
+    Files.writeString(java.nio.file.Paths.get(confPath), conf)
+    val res = GraftApp.run(GraftApp.CliArgs(configPaths = Seq(confPath),
+      feedSel = Some("curation"), parallelism = 2), spark)
+    assert(res.keySet == Set("clean", "score", "dedup", "freeze"))
+    val frozen = spark.read.parquet(s"$dir/out/frozen")
+    assert(frozen.count() > 0)
+    assert(frozen.columns.toSet.contains("shard") && frozen.columns.toSet.contains("pos"))
+    // split is the partition column of the final table
+    val splits = frozen.select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")) && splits.contains("train"))
+    // PII pass really ran: no raw emails survive in the frozen corpus
+    assert(frozen.where(col("text").rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+")).isEmpty)
   }
 
   test("stateful run: state file lands in succeeded/ and records the action") {
