@@ -888,6 +888,22 @@ object SparkEntry {
     "q62_bpe_merge_candidates" -> ((s, dir) => {
       graft.functions.TextAnalysis.bpeMergeCandidates(
         t(s, dir, "documents"), "text", topK = 20)
+    }),
+
+    // Split-integrity guard: held-out docs leaking 8-gram runs into train
+    // (planted: every doc_id % 11 == 0 gets a train twin sharing its text
+    // prefix, so some leaks are guaranteed at every SF). Row-level oracle:
+    // DuckDB recomputes the same split labels, passages and overlap.
+    "q63_split_contamination" -> ((s, dir) => {
+      import graft.functions.{Decontamination, Sampling}
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val twins = docs.where(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 4000000L).as("doc_id"),
+          concat(col("text"), lit(" trailing continuation for the twin copy")).as("text"))
+      val corpus = docs.unionByName(twins)
+        .withColumn("split", Sampling.splitLabel(col("doc_id"),
+          Seq("val" -> 0.1, "test" -> 0.1)))
+      Decontamination.splitContamination(corpus, "doc_id", "text", "split", n = 8)
     })
   )
 
@@ -1714,6 +1730,44 @@ object SparkEntry {
         |    i -> substring(w, i, 2))) AS pair, wcnt
         |  FROM words WHERE length(w) >= 2)
         |SELECT pair, CAST(sum(wcnt) AS BIGINT) AS cnt FROM pairs
-        |GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin
+        |GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin,
+
+    // q63: same split labels (md5 thresholds), same normalized word
+    // 8-gram windows (fewer-than-8-token docs yield ONE window), same
+    // train-vs-held-out overlap — leak counts match row for row
+    "q63_split_contamination" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 4000000, text || ' trailing continuation for the twin copy'
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |lab AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN u >= 0.0 AND u < 0.1 THEN 'val'
+        |         WHEN u >= 0.1 AND u < 0.2 THEN 'test'
+        |         ELSE 'train' END AS split
+        |  FROM (
+        |    SELECT doc_id, text,
+        |      CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+        |        / 4294967296.0 AS u
+        |    FROM base)),
+        |norm AS (
+        |  SELECT doc_id, split,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS n
+        |  FROM lab),
+        |p AS (
+        |  SELECT doc_id, split, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(n, ' ')) - 7, 1) + 1),
+        |    i -> array_to_string(list_slice(string_split(n, ' '), i, i + 7), ' ')))) AS ps
+        |  FROM norm),
+        |trainp AS (SELECT DISTINCT ps FROM p WHERE split = 'train'),
+        |held AS (SELECT doc_id, split, ps FROM p WHERE split <> 'train'),
+        |leaks AS (
+        |  SELECT doc_id, count(*) AS nl FROM held JOIN trainp USING (ps) GROUP BY doc_id)
+        |SELECT h.doc_id, h.split,
+        |  CAST(coalesce(l.nl, 0) AS BIGINT) AS n_leaked_ngrams,
+        |  coalesce(l.nl, 0) > 0 AS leaked
+        |FROM (SELECT DISTINCT doc_id, split FROM held) h
+        |LEFT JOIN leaks l USING (doc_id)""".stripMargin
   )
 }

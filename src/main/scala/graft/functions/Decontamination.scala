@@ -40,4 +40,37 @@ object Decontamination {
       .agg(count(lit(1)).as("n_contaminated_ngrams"))
       .where(col("n_contaminated_ngrams") >= minOverlap)
   }
+
+  /** Split-integrity guard: for every held-out (non-train) document, count
+    * its distinct word n-grams that also occur in ANY train document — the
+    * check that a frozen train/val/test split didn't leak eval text into
+    * training (near-duplicates straddling the split boundary defeat the
+    * purpose of the held-out set).
+    *
+    * Scale shape is the transpose of [[contaminationReport]]: the held-out
+    * side is the small one (a few % of the corpus), so ITS (id, ngram)
+    * pairs broadcast, and the 100 TB train side streams map-only through
+    * the join; per-(doc, gram) dedup + the final per-doc count shuffle
+    * only overlap hits (output-sized). Returns one row per held-out doc:
+    * (idCol, splitCol, n_leaked_ngrams, leaked).
+    */
+  def splitContamination(df: DataFrame, idCol: String, textCol: String,
+                         splitCol: String, n: Int = 8): DataFrame = {
+    val train = df.where(col(splitCol) === "train")
+    val heldOut = df.where(col(splitCol) =!= "train")
+    val heldNgrams = Dedup.ensureParallelism(heldOut, idCol)
+      .select(col(idCol), explode(wordNgramHashes(col(textCol), n)).as("_ng"))
+    val trainNgrams = Dedup.ensureParallelism(train, idCol)
+      .select(explode(wordNgramHashes(col(textCol), n)).as("_ng"))
+    val leaks = trainNgrams.join(broadcast(heldNgrams), "_ng")
+      // a gram hit by many train docs counts once per held-out doc
+      .select(col(idCol), col("_ng")).distinct()
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_leaked_ngrams"))
+    heldOut.select(col(idCol), col(splitCol))
+      .join(leaks, Seq(idCol), "left")
+      .select(col(idCol), col(splitCol),
+        coalesce(col("n_leaked_ngrams"), lit(0L)).as("n_leaked_ngrams"))
+      .withColumn("leaked", col("n_leaked_ngrams") > 0)
+  }
 }

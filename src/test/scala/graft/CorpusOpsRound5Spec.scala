@@ -129,6 +129,21 @@ class CorpusOpsRound5Spec extends AnyFunSuite {
     assert(top.map(_._1).contains("ab"))
   }
 
+  test("splitContamination: planted leak flagged, clean held-out doc is not") {
+    import graft.functions.Decontamination
+    val shared = "one two three four five six seven eight nine ten eleven twelve"
+    val docs = Seq(
+      (1L, s"$shared and some extra training material here", "train"),
+      (2L, s"$shared with a different continuation", "val"),   // leaks the 8-gram prefix
+      (3L, "completely unrelated held out text about oceans rivers mountains and valleys", "test"))
+      .toDF("doc_id", "text", "split")
+    val rep = Decontamination.splitContamination(docs, "doc_id", "text", "split", n = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(rep.keySet == Set(2L, 3L))
+    assert(rep(2L)._2 && rep(2L)._1 > 0, "shared 8-gram run must flag doc 2")
+    assert(!rep(3L)._2 && rep(3L)._1 == 0)
+  }
+
   test("hll union across groups lands within the error envelope of exact") {
     val toks = (0L until 10000L).map(i => (s"g${i % 3}", s"s${i % 5}", s"tok${i % 700}"))
       .toDF("g", "src", "tok")
