@@ -157,7 +157,11 @@ case class CopyAction(
       case w: graft.sources.CanWriteStreamingDataFrame => w
       case other => throw new IllegalArgumentException(s"${other.id} cannot write streams")
     }
-    val query = sink.writeStreamingDataFrame(transformed, m.trigger, m.outputOptions,
+    // the action's save mode rides along as an option so table sinks can
+    // pick their per-micro-batch write path (merge vs append)
+    val optionsWithMode = m.outputOptions ++
+      saveMode.map(sm => "graft.saveMode" -> sm.toString.toLowerCase)
+    val query = sink.writeStreamingDataFrame(transformed, m.trigger, optionsWithMode,
       m.checkpointLocation, queryName = id, m.outputMode)
     m.triggerType match {
       case "Once" | "AvailableNow" =>

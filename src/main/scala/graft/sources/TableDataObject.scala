@@ -6,9 +6,42 @@ import org.apache.spark.sql.functions._
 
 /** Table-like DataObject with db/name/primaryKey identity. Reference
   * `sdl-core/workflow/dataobject/TableDataObject.scala`. */
-trait TableDataObject extends DataObject with CanCreateDataFrame with CanWriteDataFrame {
+trait TableDataObject extends DataObject with CanCreateDataFrame with CanWriteDataFrame
+    with CanWriteStreamingDataFrame {
   def table: Table
   def isTableExisting(implicit ctx: ActionPipelineContext): Boolean
+
+  /** Streaming write via `foreachBatch`: every micro-batch goes through the
+    * BATCH write path, so the table's transactional semantics — staged
+    * swaps, MERGE upsert on the primary key — apply per batch. This is the
+    * reference's streaming-write behavior for transactional table sinks
+    * (`DeltaLakeTableDataObject` streams via its normal write), expressed
+    * with Spark's standard foreachBatch pattern. The action passes its
+    * save mode as option `graft.saveMode` (`merge` upserts on the table's
+    * primaryKey; anything else appends). */
+  override def writeStreamingDataFrame(df: DataFrame,
+                                       trigger: org.apache.spark.sql.streaming.Trigger,
+                                       extraOptions: Map[String, String], checkpointLocation: String,
+                                       queryName: String, outputMode: String = "append")
+                                      (implicit ctx: ActionPipelineContext): org.apache.spark.sql.streaming.StreamingQuery = {
+    val merge = extraOptions.get("graft.saveMode").exists(_.equalsIgnoreCase("merge"))
+    val writeBatch: (DataFrame, Long) => Unit = (batch, _) =>
+      if (merge) this match {
+        case m: CanMergeDataFrame =>
+          val pk = table.primaryKey.getOrElse(throw new IllegalArgumentException(
+            s"DataObject $id: streaming merge needs table.primaryKey"))
+          m.mergeDataFrame(batch, pk)
+          ()
+        case _ => throw new IllegalArgumentException(
+          s"DataObject $id: streaming merge requested but sink cannot merge")
+      }
+      else { writeDataFrame(batch, saveMode = Some(SdlSaveMode.Append)); () }
+    df.writeStream
+      .foreachBatch(writeBatch)
+      .option("checkpointLocation", checkpointLocation)
+      .outputMode(outputMode).trigger(trigger).queryName(queryName)
+      .start()
+  }
 }
 
 /** Join-based MERGE (upsert) semantics computed as a new table state —

@@ -122,4 +122,29 @@ class StreamingSpec extends AnyFunSuite {
       })
     assert(out.collect().toSet == Set(("a", 3), ("b", 5)))
   }
+
+  test("streaming merge into a table sink: micro-batches upsert on the primary key") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val kvSchema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val reg = new InstanceRegistry()
+    reg.register(JsonFileDataObject("src", s"$dir/src", schema = Some(kvSchema)))
+    reg.register(HiveTableDataObject("tbl",
+      Table(None, "stream_merge_tbl", Some(Seq("id")))))
+    val action = CopyAction("stream_merge", "src", "tbl",
+      saveMode = Some(SdlSaveMode.Merge),
+      executionMode = Some(SparkStreamingMode(s"$dir/ckpt", "AvailableNow")))
+    reg.register(action)
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name").write.json(s"$dir/src")
+    action.exec(Seq.empty)
+    // second increment: update id 2, insert id 3 — the checkpoint makes the
+    // stream pick up only the new file; merge upserts it into the table
+    Seq((2L, "b2"), (3L, "c")).toDF("id", "name").write.mode("append").json(s"$dir/src")
+    action.exec(Seq.empty)
+    val got = spark.table("stream_merge_tbl").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "b2"), (3L, "c")))
+  }
 }
