@@ -904,6 +904,34 @@ object SparkEntry {
         .withColumn("split", Sampling.splitLabel(col("doc_id"),
           Seq("val" -> 0.1, "test" -> 0.1)))
       Decontamination.splitContamination(corpus, "doc_id", "text", "split", n = 8)
+    }),
+
+    // Token-length histogram (corpus profiling): fixed-width buckets over
+    // token counts — one partial-agg shuffle of (bucket, count, sum),
+    // integer-exact on both engines.
+    "q64_length_histogram" -> ((s, dir) => {
+      import graft.functions.TextAnalysis
+      t(s, dir, "documents")
+        .select(TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("bucket", (col("n_tokens") / 10L).cast("long") * 10L)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+    }),
+
+    // Top-3 docs per source by (quality desc, doc_id asc): the keyed top-k
+    // selection every curation pipeline runs. The rank<=k filter compiles
+    // to WindowGroupLimit — per-partition top-k BEFORE the shuffle (plan
+    // asserted in PlanAssertionsSpec for the same shape).
+    "q65_topk_per_source" -> ((s, dir) => {
+      import graft.functions.TextAnalysis
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("doc_id"), col("source"), col("rk").cast("long").as("rk"))
     })
   )
 
@@ -1768,6 +1796,41 @@ object SparkEntry {
         |  CAST(coalesce(l.nl, 0) AS BIGINT) AS n_leaked_ngrams,
         |  coalesce(l.nl, 0) > 0 AS leaked
         |FROM (SELECT DISTINCT doc_id, split FROM held) h
-        |LEFT JOIN leaks l USING (doc_id)""".stripMargin
+        |LEFT JOIN leaks l USING (doc_id)""".stripMargin,
+
+    "q64_length_histogram" ->
+      """SELECT (CAST(len(string_split(text, ' ')) AS BIGINT) // 10) * 10 AS bucket,
+        |  count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    // q65: quality is the q26 recipe (bit-identical there), so the
+    // (quality desc, doc_id asc) total order cuts identically
+    "q65_topk_per_source" ->
+      """WITH feat AS (
+        |  SELECT doc_id, source,
+        |    CAST(length(text) AS DOUBLE) AS n_chars,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\[\]{}]', '', 'g')) AS DOUBLE)
+        |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+        |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS digit_ratio,
+        |    CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+        |      / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) AS mean_tok_len,
+        |    greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) AS n_toks,
+        |    string_split(lower(text), ' ') AS lotoks
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, source,
+        |    least(n_chars / 500.0, 1.0) * 0.25
+        |      + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2
+        |      + (1.0 - least(digit_ratio * 5.0, 1.0)) * 0.15
+        |      + (CASE WHEN mean_tok_len BETWEEN 2.5 AND 9.0 THEN 1.0 ELSE 0.3 END) * 0.2
+        |      + least(CAST(len(list_filter(lotoks, t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','was','for','on','with','as','at','by','be','this'))) AS DOUBLE) / n_toks * 4.0, 1.0) * 0.2 AS quality
+        |  FROM feat),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS rk
+        |  FROM scored)
+        |SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 3""".stripMargin
   )
 }
