@@ -107,6 +107,12 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"rank filter not pushed below the window shuffle:\n$p")
   }
 
+  test("q65 keyed top-k: rank<=3 filter prunes via WindowGroupLimit too") {
+    val p = plan("q65_topk_per_source")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-source top-3 should prune before the shuffle:\n$p")
+  }
+
   test("q55 shard assignment: per-shard window, never a single-partition global sort") {
     val p = plan("q55_shard_assignment")
     assert(!p.contains("Exchange SinglePartition"),
