@@ -15,19 +15,32 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** dot product in double precision, sequential fold (deterministic) */
+  /** dot product in double precision, sequential fold (deterministic) —
+    * native one-pass codegen kernel ([[graft.plans.VectorKernels]]),
+    * bit-compatible with the HOF formulation kept below for cross-checks */
   def dotProduct(a: Column, b: Column): Column =
+    graft.plans.VectorExpressions.dotProduct(a, b)
+
+  private[graft] def dotProductHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, v) => acc + v)
 
   def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
 
-  def cosineSimilarity(a: Column, b: Column): Column = {
-    val denom = l2Norm(a) * l2Norm(b)
-    when(denom > 0, dotProduct(a, b) / denom).otherwise(lit(0.0))
+  /** cosine similarity — native kernel folding a·b, a·a, b·b in ONE pass
+    * (the HOF version ran three interpreted aggregate passes per row) */
+  def cosineSimilarity(a: Column, b: Column): Column =
+    graft.plans.VectorExpressions.cosineSimilarity(a, b)
+
+  private[graft] def cosineSimilarityHof(a: Column, b: Column): Column = {
+    val denom = sqrt(dotProductHof(a, a)) * sqrt(dotProductHof(b, b))
+    when(denom > 0, dotProductHof(a, b) / denom).otherwise(lit(0.0))
   }
 
   def euclideanDistance(a: Column, b: Column): Column =
+    graft.plans.VectorExpressions.euclideanDistance(a, b)
+
+  private[graft] def euclideanDistanceHof(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(a, b, (x, y) => {
       val d = x.cast(DoubleType) - y.cast(DoubleType); d * d
     }), lit(0.0), (acc, v) => acc + v))
@@ -224,10 +237,10 @@ object Similarity {
     // dist² to each centroid as literal-array expressions; rank cells,
     // keep the nprobe nearest as an exploded probe column
     val dists = cents.zipWithIndex.map { case (c, i) =>
-      val d = aggregate(
-        zip_with(col(embCol), array(c.map(lit).toIndexedSeq: _*),
-          (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
-        lit(0.0), (acc, v) => acc + v)
+      // euclidean (native kernel) orders identically to the former dist²
+      // HOF — sqrt is monotone, and only the RANKING of cells is used
+      val d = graft.plans.VectorExpressions.euclideanDistance(
+        col(embCol), array(c.map(lit).toIndexedSeq: _*))
       struct(d.as("d"), lit(i).as("cell"))
     }
     val probes = slice(array_sort(array(dists.toIndexedSeq: _*)), 1, math.max(nprobe, 1))

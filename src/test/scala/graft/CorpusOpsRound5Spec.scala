@@ -144,6 +144,38 @@ class CorpusOpsRound5Spec extends AnyFunSuite {
     assert(!rep(3L)._2 && rep(3L)._1 == 0)
   }
 
+  test("native vector kernels are bit-identical to the HOF formulation") {
+    import graft.functions.Similarity
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(50)((
+      Array.fill(64)(rnd.nextFloat() * 2 - 1),
+      Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+    val cmp = df.select(
+      Similarity.cosineSimilarity(col("a"), col("b")).as("c_native"),
+      Similarity.cosineSimilarityHof(col("a"), col("b")).as("c_hof"),
+      Similarity.dotProduct(col("a"), col("b")).as("d_native"),
+      Similarity.dotProductHof(col("a"), col("b")).as("d_hof"),
+      Similarity.euclideanDistance(col("a"), col("b")).as("e_native"),
+      Similarity.euclideanDistanceHof(col("a"), col("b")).as("e_hof")).collect()
+    cmp.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), "cosine differs")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(3)), "dot differs")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(4)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(5)), "euclidean differs")
+    }
+    // mixed float-array × double-literal-array side (the query-vector case)
+    val q = Array.fill(64)(rnd.nextDouble() * 2 - 1)
+    val qLit = array(q.map(lit).toIndexedSeq: _*)
+    val mixed = df.select(
+      Similarity.cosineSimilarity(col("a"), qLit).as("n"),
+      Similarity.cosineSimilarityHof(col("a"), qLit).as("h")).collect()
+    mixed.foreach(r => assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+      java.lang.Double.doubleToLongBits(r.getDouble(1)), "mixed cosine differs"))
+  }
+
   test("hll union across groups lands within the error envelope of exact") {
     val toks = (0L until 10000L).map(i => (s"g${i % 3}", s"s${i % 5}", s"tok${i % 700}"))
       .toDF("g", "src", "tok")
