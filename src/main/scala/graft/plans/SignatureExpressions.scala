@@ -68,25 +68,37 @@ object SignatureKernels {
   * simhash votes, jaccard intersections — are order-invariant). */
 object ShingleKernel {
   def shingles(text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
-    val s = text.toString
-    val len = s.codePointCount(0, s.length)
-    val count = math.max(len - n + 1, 1)
-    val hashes = new Array[Long](count)
-    var charIdx = 0
+    // Hash each n-CODEPOINT window as a byte RANGE of the UTF-8 buffer —
+    // a substring's UTF-8 bytes are exactly a contiguous slice of the
+    // original, so the hashes are bit-identical to hashing the substring
+    // while allocating nothing per window (the former String/UTF8String
+    // per window dominated the signature pass).
+    val bytes = text.getBytes // compact copy
+    val blen = bytes.length
+    // codepoint start offsets (a UTF-8 lead byte is any non-continuation
+    // byte; continuation bytes are 10xxxxxx)
+    var nCp = 0
     var i = 0
+    while (i < blen) { if ((bytes(i) & 0xC0) != 0x80) nCp += 1; i += 1 }
+    val starts = new Array[Int](nCp + 1)
+    var cp = 0
+    i = 0
+    while (i < blen) {
+      if ((bytes(i) & 0xC0) != 0x80) { starts(cp) = i; cp += 1 }
+      i += 1
+    }
+    starts(nCp) = blen
+    val count = math.max(nCp - n + 1, 1)
+    val hashes = new Array[Long](count)
+    val off = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+    i = 0
     while (i < count) {
       // SQL substr(i+1, n) semantics: n codepoints starting at codepoint i
-      val end = {
-        var e = charIdx; var c = 0
-        while (c < n && e < s.length) { e += Character.charCount(s.codePointAt(e)); c += 1 }
-        e
-      }
-      val window = org.apache.spark.unsafe.types.UTF8String.fromString(s.substring(charIdx, end))
+      // (clamped at the end; empty input yields ONE hash of "")
+      val from = if (i < nCp) starts(i) else blen
+      val to = starts(math.min(i + n, nCp))
       hashes(i) = org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashUnsafeBytes(window.getBaseObject, window.getBaseOffset, window.numBytes, 42L)
-      // empty input still yields count=1 (hash of "" — matches substr("",i,n)
-      // HOF semantics); guard the advance or codePointAt(0) throws on ""
-      if (charIdx < s.length) charIdx += Character.charCount(s.codePointAt(charIdx))
+        .hashUnsafeBytes(bytes, off + from, to - from, 42L)
       i += 1
     }
     java.util.Arrays.sort(hashes)
