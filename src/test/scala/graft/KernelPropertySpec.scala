@@ -1,0 +1,78 @@
+package graft
+
+import graft.functions.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-style cross-checks (scalacheck generators, deterministic
+  * seeds): every native codegen kernel must be bit-identical (hashes,
+  * signatures, doubles) to its higher-order-function reference formulation
+  * on arbitrary input — including unicode text with multi-byte codepoints,
+  * surrogate pairs, combining marks and empty strings. The fixed-corpus
+  * specs catch regressions; these catch edge classes nobody planted.
+  */
+class KernelPropertySpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  // text mixing ASCII words, multi-byte unicode, surrogate-pair emoji,
+  // combining marks, spaces and empties
+  private val textGen: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(8)),
+    Gen.oneOf("é", "漢", "字", "à", "😀", "ß", "İ", "é"),
+    Gen.const(" "))).map(_.mkString).map(_.take(120))
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).map(i => g.apply(Gen.Parameters.default, Seed(i.toLong)).get)
+
+  test("char/word shingles + simhash + minhash: native == HOF on arbitrary unicode") {
+    val texts = samples(textGen, 60)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val sh = Dedup.shingleHashes(col("text"), 3)
+    val shHof = Dedup.shingleHashesHof(col("text"), 3)
+    val rows = df.select(
+      array_sort(sh).as("n_sh"), array_sort(shHof).as("h_sh"),
+      Dedup.simhash64(sh).as("n_sim"), Dedup.simhash64Hof(shHof).as("h_sim"),
+      Dedup.minhashSignature(sh, 8).as("n_mh"), Dedup.minhashSignatureHof(shHof, 8).as("h_mh"),
+      array_sort(Dedup.wordShingleHashes(col("text"), 2)).as("n_w"),
+      array_sort(Dedup.wordShingleHashesHof(col("text"), 2)).as("h_w")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), "char shingles differ")
+      assert(r.getLong(2) == r.getLong(3), "simhash differs")
+      assert(r.getSeq[Long](4) == r.getSeq[Long](5), "minhash differs")
+      assert(r.getSeq[Long](6) == r.getSeq[Long](7), "word shingles differ")
+    }
+  }
+
+  test("nfcNormalize agrees with java.text.Normalizer on arbitrary unicode") {
+    val texts = samples(textGen, 60)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val got = df.select(col("id"), TextAnalysis.nfcNormalize(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) ==
+        java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC))
+    }
+  }
+
+  test("vector kernels: native == HOF on arbitrary float vectors incl. zeros") {
+    val vecGen: Gen[Array[Float]] = Gen.frequency(
+      9 -> Gen.listOfN(16, Gen.chooseNum(-1.0f, 1.0f)).map(_.toArray),
+      1 -> Gen.const(Array.fill(16)(0.0f)))
+    val pairs = samples(Gen.zip(vecGen, vecGen), 60)
+    val df = pairs.toDF("a", "b")
+    val rows = df.select(
+      Similarity.cosineSimilarity(col("a"), col("b")).as("cn"),
+      Similarity.cosineSimilarityHof(col("a"), col("b")).as("ch"),
+      Similarity.euclideanDistance(col("a"), col("b")).as("en"),
+      Similarity.euclideanDistanceHof(col("a"), col("b")).as("eh")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), "cosine differs")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(3)), "euclidean differs")
+    }
+  }
+}
