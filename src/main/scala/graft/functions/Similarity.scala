@@ -52,12 +52,17 @@ object Similarity {
   }
 
   /** LSH bucket id: sign bits of the embedding against `numPlanes` fixed
-    * hyperplanes, packed into a long. Per-row compute, no shuffle. */
-  def hyperplaneSignature(emb: Column, dim: Int, numPlanes: Int = 16): Column = {
+    * hyperplanes, packed into a long. Per-row compute, no shuffle — ONE
+    * pass over the embedding for all planes (native kernel; the per-plane
+    * dot-expression fold it replaces traversed the array numPlanes times). */
+  def hyperplaneSignature(emb: Column, dim: Int, numPlanes: Int = 16): Column =
+    graft.plans.VectorExpressions.hyperplaneSignature(emb, hyperplanes(dim, numPlanes))
+
+  private[graft] def hyperplaneSignatureHof(emb: Column, dim: Int, numPlanes: Int = 16): Column = {
     val planes = hyperplanes(dim, numPlanes)
     val bits = planes.zipWithIndex.map { case (p, i) =>
       val planeLit = array(p.map(lit): _*)
-      when(dotProduct(emb, planeLit) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      when(dotProductHof(emb, planeLit) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
     bits.reduce(_ bitwiseOR _)
   }

@@ -97,6 +97,50 @@ case class EuclideanDistanceExpr(left: Expression, right: Expression) extends Ve
   override def prettyName: String = "euclidean_distance"
 }
 
+/** Random-hyperplane LSH signature in ONE pass: all `planes.length` dot
+  * products accumulate while the embedding streams through once, instead
+  * of one kernel invocation (and one array traversal) per plane. Sign
+  * bits pack ascending — bit-identical to the per-plane
+  * `when(dot(emb, plane) > 0, 1L << i)` OR-fold it replaces. */
+object HyperplaneKernel {
+  def signature(emb: ArrayData, planes: Array[Array[Double]], isFloat: Boolean): Long = {
+    var sig = 0L
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      val n = math.min(emb.numElements(), plane.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += (if (isFloat) emb.getFloat(i).toDouble else emb.getDouble(i)) * plane(i)
+        i += 1
+      }
+      if (acc > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+}
+
+case class HyperplaneSignatureExpr(child: Expression, planes: Seq[Array[Double]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(planes.nonEmpty && planes.size <= 64, "1..64 hyperplanes")
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  @transient private lazy val planeMatrix: Array[Array[Double]] = planes.toArray
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override protected def nullSafeEval(input: Any): Any =
+    HyperplaneKernel.signature(input.asInstanceOf[ArrayData], planeMatrix, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hyperplanes", planeMatrix, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.HyperplaneKernel.signature($c, $ref, $isFloat)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSignatureExpr =
+    copy(child = newChild)
+  override def prettyName: String = "hyperplane_signature"
+}
+
 object VectorExpressions {
   def cosineSimilarity(a: Column, b: Column): Column =
     GraftSqlShims.column(CosineSimilarityExpr(
@@ -107,4 +151,7 @@ object VectorExpressions {
   def euclideanDistance(a: Column, b: Column): Column =
     GraftSqlShims.column(EuclideanDistanceExpr(
       GraftSqlShims.expression(a), GraftSqlShims.expression(b)))
+  def hyperplaneSignature(emb: Column, planes: Seq[Array[Double]]): Column =
+    GraftSqlShims.column(HyperplaneSignatureExpr(
+      GraftSqlShims.expression(emb), planes))
 }

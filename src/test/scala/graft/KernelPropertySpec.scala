@@ -74,5 +74,10 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
         java.lang.Double.doubleToLongBits(r.getDouble(3)), "euclidean differs")
     }
+    val sigRows = df.select(
+      Similarity.hyperplaneSignature(col("a"), 16, 16).as("sn"),
+      Similarity.hyperplaneSignatureHof(col("a"), 16, 16).as("sh")).collect()
+    sigRows.foreach(r =>
+      assert(r.getLong(0) == r.getLong(1), "hyperplane signature differs"))
   }
 }
