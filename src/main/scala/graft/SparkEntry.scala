@@ -932,6 +932,117 @@ object SparkEntry {
         .withColumn("rk", row_number().over(w))
         .where(col("rk") <= 3)
         .select(col("doc_id"), col("source"), col("rk").cast("long").as("rk"))
+    }),
+
+    // Fine-grained MERGE options in one statement (SURVEY §2.1
+    // SDLSaveModes; reference sdl-core/definitions/SDLSaveMode.scala:126-146):
+    // deleteCondition, updateCondition + updateColumns restriction,
+    // insertCondition + insertColumnsToIgnore + insertValuesOverride, and
+    // additionalMergePredicate (key-matched rows failing it fall into BOTH
+    // unmatched branches, exactly like Delta's extra merge predicate).
+    "q66_merge_fine_grained" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("o_orderpriority"))
+      val existing = orders.where(col("o_orderkey") % 3 =!= 0)
+      val feed = orders.where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 5 === 0, lit("P")).otherwise(col("o_orderstatus")).as("o_orderstatus"),
+          (col("o_totalprice") * 1.1).as("o_totalprice"),
+          col("o_orderpriority"))
+      sources.MergeEmulation.computeMergedState(existing, feed, Seq("o_orderkey"),
+        SaveModeMergeOptions(
+          deleteCondition = Some("new.o_orderstatus = 'P' AND existing.o_totalprice < 150000"),
+          updateCondition = Some("new.o_totalprice > existing.o_totalprice"),
+          updateColumns = Seq("o_totalprice"),
+          insertCondition = Some("new.o_totalprice > 50000"),
+          insertColumnsToIgnore = Seq("o_orderpriority"),
+          insertValuesOverride = Map("o_orderstatus" -> "upper(new.o_orderstatus) || '!'"),
+          additionalMergePredicate = Some("existing.o_orderstatus = new.o_orderstatus")))
+    }),
+
+    // Nested-struct schema evolution (SchemaEvolution.process recursive
+    // path, mirrors reference ComplexTypeEvolution/ValueProjector): the old
+    // load's struct drops a field, the new load's adds one; both are
+    // projected to the merged struct type, including the null-struct
+    // branch. Flattened at the end only so DuckDB can oracle the values.
+    "q67_nested_schema_evolution" -> ((s, dir) => {
+      val customer = t(s, dir, "customer")
+      val oldLoad = customer.select(col("c_custkey"),
+        when(col("c_custkey") % 50 === 0, lit(null))
+          .otherwise(struct(col("c_name").as("name"), col("c_acctbal").as("acctbal")))
+          .as("profile"))
+      val newLoad = customer.where(col("c_custkey") > 100)
+        .select(col("c_custkey"),
+          struct(col("c_name").as("name"), col("c_mktsegment").as("segment")).as("profile"))
+      val (o, n) = graft.functions.SchemaEvolution.process(oldLoad, newLoad)
+      o.unionByName(n).select(col("c_custkey"),
+        col("profile.name").as("p_name"),
+        col("profile.acctbal").as("p_acctbal"),
+        col("profile.segment").as("p_segment"))
+    }),
+
+    // CSV round-trip under the value-hash gate: quote/escape/newline/null
+    // handling through CsvFileDataObject write→read (not just a spec). The
+    // oracle reconstructs the same rows from parquet + literals, so any
+    // parse defect (trimming, quote mangling, null/empty confusion) breaks
+    // the hash.
+    "q68_csv_roundtrip" -> ((s, dir) => {
+      implicit val c: ActionPipelineContext = ctx(s)
+      import scala.jdk.CollectionConverters._
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      val tricky = s.createDataFrame(Seq[org.apache.spark.sql.Row](
+        org.apache.spark.sql.Row(9001, "comma, separated", 90),
+        org.apache.spark.sql.Row(9002, "quoted \"name\" here", 91),
+        org.apache.spark.sql.Row(9003, "line one\nline two", 92),
+        org.apache.spark.sql.Row(9004, null, 93),
+        org.apache.spark.sql.Row(9005, "  padded  ", 94)).asJava, schema)
+      val data = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .unionByName(tricky)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q68").toString
+      val csv = sources.CsvFileDataObject("q68_csv", s"$tmp/nation_csv",
+        // write side must not trim (Spark CSV write trims by default);
+        // read side needs multiLine for the embedded newline
+        csvOptions = Map(
+          "ignoreLeadingWhiteSpace" -> "false", "ignoreTrailingWhiteSpace" -> "false",
+          "multiLine" -> "true"),
+        schema = Some(schema))
+      csv.writeDataFrame(data)
+      csv.getDataFrame()
+    }),
+
+    // Data-quality layer under the oracle (SURVEY §2.7): Job-scope
+    // expectations ride the write via Dataset.observe (zero extra scan),
+    // All-scope ones run one agg query; the resulting metrics are emitted
+    // as rows so DuckDB can recompute every number exactly.
+    "q69_quality_metrics" -> ((s, dir) => {
+      implicit val c: ActionPipelineContext = ctx(s)
+      import graft.quality._
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val jobExp: Seq[Expectation] = Seq(
+        CountExpectation("row_count", Some("value > 0")),
+        SQLFractionExpectation("returned_frac", "l_returnflag = 'R'", Some("value < 1")),
+        CompletenessExpectation("completeness", Seq("l_orderkey", "l_shipdate", "l_returnflag"),
+          Some("value = 1")))
+      val allExp: Seq[Expectation] = Seq(
+        UniqueKeyExpectation("unique_key", Seq("l_orderkey", "l_linenumber")),
+        SQLQueryExpectation("max_qty",
+          "SELECT max(l_quantity) FROM %{inputViewName}", Some("value > 0")))
+      val (instrumented, obsOpt) = DataQualityValidation.observeExpectations(li, jobExp)
+      instrumented.write.format("noop").mode("overwrite").save()
+      val jobMetrics = obsOpt.map(o => DataQualityValidation.evaluateObserved(o, jobExp)).getOrElse(Map.empty)
+      val allMetrics = DataQualityValidation.evaluateAgainstTable(li, allExp)
+      (jobMetrics ++ allMetrics).toSeq.map { case (k, v) =>
+        (k, v match {
+          case d: Double => d
+          case l: Long => l.toDouble
+          case i: Int => i.toDouble
+          case other => other.toString.toDouble
+        })
+      }.toDF("metric", "value")
     })
   )
 
@@ -1831,6 +1942,72 @@ object SparkEntry {
         |  SELECT doc_id, source,
         |    row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS rk
         |  FROM scored)
-        |SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 3""".stripMargin
+        |SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 3""".stripMargin,
+
+    // q66: the oracle replays the merge clauses branch by branch. The
+    // additionalMergePredicate joins on key AND status, so a key-matched
+    // row with differing status lands in BOTH unmatched branches.
+    "q66_merge_fine_grained" ->
+      """WITH existing AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |feed AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN 'P' ELSE o_orderstatus END AS o_orderstatus,
+        |    o_totalprice * 1.1 AS o_totalprice,
+        |    o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT e.o_orderkey, e.o_orderstatus,
+        |  CASE WHEN n.o_totalprice > e.o_totalprice THEN n.o_totalprice ELSE e.o_totalprice END AS o_totalprice,
+        |  e.o_orderpriority
+        |FROM existing e JOIN feed n
+        |  ON e.o_orderkey = n.o_orderkey AND e.o_orderstatus = n.o_orderstatus
+        |WHERE NOT (n.o_orderstatus = 'P' AND e.o_totalprice < 150000)
+        |UNION ALL
+        |SELECT e.o_orderkey, e.o_orderstatus, e.o_totalprice, e.o_orderpriority
+        |FROM existing e LEFT JOIN feed n
+        |  ON e.o_orderkey = n.o_orderkey AND e.o_orderstatus = n.o_orderstatus
+        |WHERE n.o_orderkey IS NULL
+        |UNION ALL
+        |SELECT n.o_orderkey, upper(n.o_orderstatus) || '!' AS o_orderstatus,
+        |  n.o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+        |FROM feed n LEFT JOIN existing e
+        |  ON n.o_orderkey = e.o_orderkey AND n.o_orderstatus = e.o_orderstatus
+        |WHERE e.o_orderkey IS NULL AND n.o_totalprice > 50000""".stripMargin,
+
+    "q67_nested_schema_evolution" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 50 = 0 THEN NULL ELSE c_name END AS p_name,
+        |  CASE WHEN c_custkey % 50 = 0 THEN NULL ELSE c_acctbal END AS p_acctbal,
+        |  CAST(NULL AS VARCHAR) AS p_segment
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey, c_name, CAST(NULL AS DOUBLE), c_mktsegment
+        |FROM customer WHERE c_custkey > 100""".stripMargin,
+
+    "q68_csv_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |UNION ALL
+        |SELECT * FROM (VALUES
+        |  (9001, 'comma, separated', 90),
+        |  (9002, 'quoted "name" here', 91),
+        |  (9003, 'line one' || chr(10) || 'line two', 92),
+        |  (9004, CAST(NULL AS VARCHAR), 93),
+        |  (9005, '  padded  ', 94)) AS v(n_nationkey, n_name, n_regionkey)""".stripMargin,
+
+    "q69_quality_metrics" ->
+      """WITH m AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS row_count,
+        |    CAST(count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS DOUBLE) / count(*) AS returned_frac,
+        |    (CAST(count(l_orderkey) AS DOUBLE) + CAST(count(l_shipdate) AS DOUBLE)
+        |      + CAST(count(l_returnflag) AS DOUBLE)) / (count(*) * 3) AS completeness,
+        |    CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS DOUBLE) / count(*) AS unique_key,
+        |    max(l_quantity) AS max_qty
+        |  FROM lineitem)
+        |SELECT 'row_count' AS metric, row_count AS value FROM m
+        |UNION ALL SELECT 'returned_frac', returned_frac FROM m
+        |UNION ALL SELECT 'completeness', completeness FROM m
+        |UNION ALL SELECT 'unique_key', unique_key FROM m
+        |UNION ALL SELECT 'max_qty', max_qty FROM m""".stripMargin
   )
 }
