@@ -1043,6 +1043,41 @@ object SparkEntry {
           case other => other.toString.toDouble
         })
       }.toDF("metric", "value")
+    }),
+
+    // Whole-pipeline e2e under the oracle: HOCON config → registry → 2-action
+    // DAG (filter stage, then SQL aggregate) with staged parquet writes —
+    // the layer the reference's users actually run. Everything the other
+    // queries exercise operator-by-operator flows here through the config
+    // parser, feed selection, DAG ordering and the staged write path, and
+    // the final table's values are hash-gated by DuckDB.
+    "q70_pipeline_e2e" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q70").toString
+      val cfg =
+        s"""dataObjects:
+           |  src-lineitem: {type: parquet, path: $dir/lineitem.parquet}
+           |  stg-filtered: {type: parquet, path: $tmp/stg}
+           |  dm-agg: {type: parquet, path: $tmp/agg}
+           |actions:
+           |  stage:
+           |    type: copy
+           |    inputId: src-lineitem
+           |    outputId: stg-filtered
+           |    saveMode: overwrite
+           |    transformers:
+           |      - {type: filter, filterClause: "l_discount > 0.02"}
+           |    metadata: {feed: e2e}
+           |  aggregate:
+           |    type: copy
+           |    inputId: stg-filtered
+           |    outputId: dm-agg
+           |    saveMode: overwrite
+           |    transformers:
+           |      - {type: sql, sql: "select l_returnflag, cast(sum(cast(l_quantity as decimal(18,2))) as double) as sum_qty, count(*) as n_items from %{inputViewName} group by l_returnflag"}
+           |    metadata: {feed: e2e}
+           |""".stripMargin
+      core.PipelineRunner.run(cfg, s, feedSel = Some("e2e"))
+      s.read.parquet(s"$tmp/agg")
     })
   )
 
@@ -2008,6 +2043,13 @@ object SparkEntry {
         |UNION ALL SELECT 'returned_frac', returned_frac FROM m
         |UNION ALL SELECT 'completeness', completeness FROM m
         |UNION ALL SELECT 'unique_key', unique_key FROM m
-        |UNION ALL SELECT 'max_qty', max_qty FROM m""".stripMargin
+        |UNION ALL SELECT 'max_qty', max_qty FROM m""".stripMargin,
+
+    "q70_pipeline_e2e" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_items
+        |FROM lineitem WHERE l_discount > 0.02
+        |GROUP BY l_returnflag""".stripMargin
   )
 }

@@ -52,12 +52,16 @@ object ConfigParser {
     * is tried first (historical default) with HOCON as fallback. Parses are
     * memoized (PipelineRunner consults the same text for registry, feeds
     * and global options). */
-  private val treeCache = new java.util.concurrent.ConcurrentHashMap[String, JsonNode]()
+  // access-order LinkedHashMap = LRU: a long-lived session parsing many
+  // distinct configs evicts only the stalest entry instead of dumping the
+  // whole cache (the previous full clear() re-parsed every live config on
+  // the next touch). Synchronized: parse volume is driver-side and tiny.
+  private val treeCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, JsonNode](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, JsonNode]): Boolean =
+        size > 64
+    })
   private def tree(configText: String): JsonNode = {
-    // Evict BEFORE the compute: ConcurrentHashMap forbids the mapping
-    // function from mutating the map (clear() inside could drop the
-    // in-progress reservation node and corrupt size accounting).
-    if (treeCache.size > 64) treeCache.clear()
     treeCache.computeIfAbsent(configText, { text =>
       val hoconOnly = text.contains("${") || text.linesIterator.exists(_.trim.startsWith("include "))
       def hocon = mapper.readTree(hoconToJson(text))

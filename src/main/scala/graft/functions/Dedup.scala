@@ -383,6 +383,17 @@ object Dedup {
                                   failOnCappedBuckets: Boolean): DataFrame = {
     require(blocksPerKey >= 1 && blocksPerKey <= 3, "blocksPerKey in [1,3]")
     val numBlocks = math.min(maxHamming + blocksPerKey, bits)
+    // Density check: candidate pairs grow as n²·C(B,s)/2^(keyBits) where
+    // keyBits ≈ bits·s/(h+s) — a loose hamming budget shrinks the key space
+    // and turns blocking quadratic against corpus size (measured in
+    // SCALE.md round-6). Warn loudly; the bucket cap remains the hard
+    // backstop. For loose thresholds prefer minhash banding (64-bit keys).
+    val keyBits = bits.toDouble * blocksPerKey / numBlocks
+    if (keyBits < 12)
+      System.err.println(f"[graft] simhash blocking: maxHamming=$maxHamming%d with " +
+        f"blocksPerKey=$blocksPerKey%d yields ~$keyBits%.1f-bit block keys — candidate " +
+        "generation scales quadratically with corpus size at this looseness; " +
+        "consider a tighter hamming budget or minhash banding for large corpora")
     // distribute the signature bits as evenly as possible: first
     // (bits % numBlocks) blocks get an extra bit
     val widths = Array.tabulate(numBlocks)(i => bits / numBlocks + (if (i < bits % numBlocks) 1 else 0))

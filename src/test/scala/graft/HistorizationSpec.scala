@@ -116,6 +116,48 @@ class HistorizationSpec extends AnyFunSuite {
     assert(got == Set((1, 31, t2), (2, 40, t1)))
   }
 
+  test("cdc historize at scale: zero joins, one shuffle, correct under heavy key skew") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // 200k changes, 30% of them on ONE hot key (the pathological CDC shape:
+    // a chatty entity), the rest over 20k keys. The algorithm must stay
+    // join-free with a single pk shuffle — its cost scales with the changes,
+    // never the table, and skew concentrates in one window partition
+    // without affecting correctness.
+    val n = 200000L
+    val cdc = spark.range(n).select(
+      when(col("id") % 10 < 3, lit(0L)).otherwise(col("id") % 20000L).as("k"),
+      expr("timestampadd(SECOND, cast(id as int), timestamp'2024-01-01 00:00:00')").as("ts"),
+      when(col("id") % 97 === 0, lit("d")).otherwise(lit("u")).as("op"),
+      (col("id") * 7 % 1000).as("v"))
+    val out = Historization.cdcHistorize(cdc, Seq("k"), "ts", "op")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"CDC historize must not join:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"expected exactly one pk shuffle:\n$plan")
+    out.persist()
+    try {
+      // every non-delete change becomes exactly one version
+      val deletes = n / 97 + 1 // ids 0, 97, 194, ...
+      assert(out.count() == n - deletes)
+      // versions of a key never overlap: each closes before the next opens
+      val w = Window.partitionBy("k").orderBy("dl_ts_captured")
+      val overlaps = out.withColumn("_nxt", lead(col("dl_ts_captured"), 1).over(w))
+        .where(col("_nxt").isNotNull && col("dl_ts_delimited") >= col("_nxt")).count()
+      assert(overlaps == 0, s"$overlaps overlapping validity intervals")
+      // exactly one open record per key, iff the key's last op is not a delete
+      val openKeys = out.where(col("dl_ts_delimited") === lit(dd))
+        .groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(openKeys.values.forall(_ == 1), "key with multiple open records")
+      val lastW = Window.partitionBy("k").orderBy(col("ts").desc)
+      val expectedOpen = cdc.withColumn("_rn", row_number().over(lastW))
+        .where(col("_rn") === 1 && col("op") =!= "d")
+        .select("k").collect().map(_.getLong(0)).toSet
+      assert(openKeys.keySet == expectedOpen,
+        "open-record keys differ from keys whose latest change is not a delete")
+    } finally out.unpersist()
+  }
+
   test("deduplicate: unchanged values keep original captured ts when configured") {
     val existing = person((1, "alice", 30, "good"))
       .withColumn("dl_ts_captured", org.apache.spark.sql.functions.lit(t1))
