@@ -1078,6 +1078,35 @@ object SparkEntry {
            |""".stripMargin
       core.PipelineRunner.run(cfg, s, feedSel = Some("e2e"))
       s.read.parquet(s"$tmp/agg")
+    }),
+
+    // Structured Streaming under the oracle (SURVEY §2.6, previously
+    // spec-only): file-source stream → filter/project → parquet sink via
+    // the DataObject streaming surface, Trigger.AvailableNow (drains the
+    // static input exactly once, deterministically), then the sink's rows
+    // are hash-compared by DuckDB. Gates the readStream/writeStream
+    // plumbing — schema-carried source, checkpointed sink, append mode.
+    "q71_streaming_pipeline" -> ((s, dir) => {
+      implicit val c: ActionPipelineContext = ctx(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q71").toString
+      val schema = s.read.parquet(s"$dir/lineitem.parquet").schema
+      // the file stream source requires a DIRECTORY; expose the single
+      // parquet file through one (symlink — no copy of the data)
+      java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$tmp/src"))
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(s"$tmp/src/lineitem.parquet"),
+        java.nio.file.Paths.get(s"$dir/lineitem.parquet"))
+      val src = sources.ParquetFileDataObject("q71_src", s"$tmp/src")
+      val dst = sources.ParquetFileDataObject("q71_dst", s"$tmp/out")
+      val sdf = src.getStreamingDataFrame(Map.empty, Some(schema))
+        .where(col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+      val q = dst.writeStreamingDataFrame(sdf,
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+        Map.empty, s"$tmp/cp", "q71_stream")
+      q.awaitTermination()
+      dst.getDataFrame()
     })
   )
 
@@ -2050,6 +2079,10 @@ object SparkEntry {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  count(*) AS n_items
         |FROM lineitem WHERE l_discount > 0.02
-        |GROUP BY l_returnflag""".stripMargin
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "q71_streaming_pipeline" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+        |FROM lineitem WHERE l_discount > 0.05""".stripMargin
   )
 }

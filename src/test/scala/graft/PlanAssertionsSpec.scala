@@ -97,6 +97,19 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"delta x store candidate generation must stay an equi-join: $p")
   }
 
+  test("q66 fine-grained merge: ONE full-outer join on the key, no cartesian") {
+    // Every merge clause (delete/update/insert conditions, column
+    // restrictions, value overrides, the additional predicate) must fold
+    // into the single key join's projection — a second join or a
+    // nested-loop would multiply the cost of every 100 TB merge.
+    val p = plan("q66_merge_fine_grained")
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).length == 1,
+      s"merge should be exactly one shuffled key join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"merge degraded to a non-equi plan:\n$p")
+    assert(p.contains("FullOuter"), "merge join must be full-outer")
+  }
+
   test("q6 latest-per-key: WindowGroupLimit prunes to rank<=1 BEFORE the shuffle") {
     // Spark's InferWindowGroupLimit turns the rn=1 filter into a partial
     // per-partition top-1 ahead of the exchange — at 100 TB this is the
