@@ -1107,6 +1107,26 @@ object SparkEntry {
         Map.empty, s"$tmp/cp", "q71_stream")
       q.awaitTermination()
       dst.getDataFrame()
+    }),
+
+    // One-Permutation-Hashing minhash (O(shingles+k) signatures vs classic
+    // O(shingles×k)) through the SAME banding/verification machinery:
+    // planted near-dups (jaccard ≈ 0.98 — a band match at 2 rows/band ×
+    // 16 bands misses with p ≈ 1e-22, deterministic with fixed seeds) must
+    // all surface, and the reported jaccard is the exact shingle-set value
+    // DuckDB recomputes independently.
+    "q72_oph_planted_recall" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val nearDups = docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" v2")).as("text"))
+      val sigs = graft.functions.Dedup.minhashSignaturesOph(
+        docs.unionByName(nearDups), "doc_id", "text", shingleSize = 5, numHashes = 32)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.functions.Dedup.minhashPairsFromSigs(sigs, bands = 16, rowsPerBand = 2,
+        threshold = 0.7)
+        .where(col("id_b") === col("id_a") + 2000000L && col("id_a") % 7 === 0)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
     })
   )
 
@@ -2083,6 +2103,28 @@ object SparkEntry {
 
     "q71_streaming_pipeline" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
-        |FROM lineitem WHERE l_discount > 0.05""".stripMargin
+        |FROM lineitem WHERE l_discount > 0.05""".stripMargin,
+
+    // q72: same exhaustive-planted-recall construction as q37 — DuckDB
+    // recomputes the exact jaccard of every planted pair; Spark must find
+    // them all via OPH banding and report identical values.
+    "q72_oph_planted_recall" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS na,
+        |    trim(regexp_replace(regexp_replace(lower(text || ' v2'), '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS nb
+        |  FROM documents WHERE doc_id % 7 = 0
+        |), sets AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(length(na)-4,1)+1), i -> substring(na, i, 5))) AS sa,
+        |    list_distinct(list_transform(range(1, greatest(length(nb)-4,1)+1), i -> substring(nb, i, 5))) AS sb
+        |  FROM planted
+        |), j AS (
+        |  SELECT doc_id AS id_a, doc_id + 2000000 AS id_b,
+        |    CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
+        |      (CAST(len(sa) + len(sb) AS DOUBLE) - CAST(len(list_intersect(sa, sb)) AS DOUBLE)) AS jaccard
+        |  FROM sets
+        |)
+        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.7""".stripMargin
   )
 }

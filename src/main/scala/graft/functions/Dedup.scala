@@ -90,18 +90,26 @@ object Dedup {
                             shingleSize: Int = 5, numHashes: Int = 32, bands: Int = 8,
                             threshold: Double = 0.7, maxBucketSize: Int = 1000,
                             failOnCappedBuckets: Boolean = false): DataFrame = {
-    val rowsPerBand = numHashes / bands
     // Materialize signatures ONCE: without the barrier Catalyst's projection
     // collapse inlines the 32-hash minhash into every band expression and
     // the self-join recomputes the whole scan+signature on both sides —
     // O(bands × numHashes × shingles) per row instead of O(numHashes ×
     // shingles). At cluster scale this table is the thing you'd write to
     // storage between stages; in-process, MEMORY_AND_DISK persist.
-    val sigs = ensureParallelism(df, idCol).select(
-      col(idCol).as("id"),
-      shingleHashes(col(textCol), shingleSize).as("shingles"))
-      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+    val sigs = minhashSignatures(df, idCol, textCol, shingleSize, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    minhashPairsFromSigs(sigs, bands, numHashes / bands, threshold,
+      maxBucketSize, failOnCappedBuckets)
+  }
+
+  /** Banding + verification over a prepared `(id, shingles, sig)` frame
+    * ([[minhashSignatures]] / [[minhashSignaturesOph]] output — any
+    * signature scheme with the same shape feeds the same machinery). The
+    * caller is responsible for persisting `sigs` (it is consumed three
+    * times: banding + both verification joins). */
+  def minhashPairsFromSigs(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+                           threshold: Double = 0.7, maxBucketSize: Int = 1000,
+                           failOnCappedBuckets: Boolean = false): DataFrame = {
     // band explode carries only (id, band, bucket) — never the shingle
     // arrays — so the candidate-generation shuffle is a few bytes per row
     val banded = sigs.select(col("id"),
@@ -143,6 +151,21 @@ object Dedup {
       col(idCol).as("id"),
       shingleHashes(col(textCol), shingleSize).as("shingles"))
       .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+
+  /** [[minhashSignatures]] with the One-Permutation-Hashing kernel:
+    * O(shingles + k) per row instead of O(shingles × k) — same output
+    * shape, so the store/banding/verification paths are interchangeable.
+    * Prefer this at corpus scale when docs carry ≳k shingles (the usual
+    * case); collision statistics match classic minhash there. Signature
+    * VALUES differ from [[minhashSignatures]] — don't mix schemes within
+    * one store. */
+  def minhashSignaturesOph(df: DataFrame, idCol: String, textCol: String,
+                           shingleSize: Int = 5, numHashes: Int = 32): DataFrame =
+    ensureParallelism(df, idCol).select(
+      col(idCol).as("id"),
+      shingleHashes(col(textCol), shingleSize).as("shingles"))
+      .withColumn("sig",
+        graft.plans.SignatureExpressions.minhashOphSignature(col("shingles"), numHashes))
 
   /** INCREMENTAL near-dup detection: find pairs between a NEW batch and an
     * EXISTING corpus signature store ([[minhashSignatures]] output) without

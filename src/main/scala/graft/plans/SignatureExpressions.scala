@@ -59,6 +59,48 @@ object SignatureKernels {
     }
     new GenericArrayData(sig)
   }
+
+  /** One-Permutation MinHash with rotation densification: each shingle
+    * lands in ONE bin (hash mod k) and the bin keeps the minimum rehash;
+    * empty bins borrow circularly from the nearest filled bin to the
+    * right, offset by the distance so borrowed values stay distinct
+    * across bins. O(shingles + k) per row vs classic minhash's
+    * O(shingles × k) — the published fix for signature CPU being the
+    * dominant corpus-scale cost (Li/Owen/Zhang 2012 one-permutation
+    * hashing; Shrivastava/Li 2014 rotation densification). Same output
+    * shape as [[minhash]], so banding/verification reuse unchanged;
+    * collision statistics are near-identical for docs with ≳k shingles. */
+  def minhashOph(hashes: ArrayData, k: Int): ArrayData = {
+    val n = hashes.numElements()
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      // bin choice uses the raw shingle hash; the stored value is an
+      // independent rehash so bin index and value are decorrelated
+      val bin = java.lang.Long.remainderUnsigned(h, k).toInt
+      val v = XXH64.hashLong(h, 42L)
+      if (v < sig(bin)) sig(bin) = v
+      i += 1
+    }
+    // rotation densification over the ORIGINAL fill state (borrowing from
+    // an already-densified bin would correlate empty runs)
+    val filled = new Array[Boolean](k)
+    var f = 0
+    while (f < k) { filled(f) = sig(f) != Long.MaxValue; f += 1 }
+    var b = 0
+    while (b < k) {
+      if (!filled(b)) {
+        var d = 1
+        while (d < k && !filled((b + d) % k)) d += 1
+        // shingles() never yields an empty array, so some bin is filled
+        sig(b) = sig((b + d) % k) + d * 0x9E3779B97F4A7C15L
+      }
+      b += 1
+    }
+    new GenericArrayData(sig)
+  }
 }
 
 /** distinct xxhash64 values of all `n`-codepoint character windows of a
@@ -284,6 +326,21 @@ case class MinHashSigExpr(child: Expression, k: Int)
   override def prettyName: String = "minhash_signature"
 }
 
+/** One-Permutation MinHash signature (k bins, rotation-densified) as a
+  * codegen'd Catalyst expression. */
+case class MinHashOphExpr(child: Expression, k: Int)
+  extends UnaryExpression {
+  require(k > 0, "oph bin count must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    SignatureKernels.minhashOph(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.SignatureKernels.minhashOph($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashOphExpr =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_oph_signature"
+}
+
 /** portable md5-based simhash (normalized text → signature) as a codegen'd
   * expression */
 case class PortableSimhashExpr(child: Expression, n: Int, bits: Int)
@@ -333,6 +390,8 @@ object SignatureExpressions {
     GraftSqlShims.column(SimHash64Expr(GraftSqlShims.expression(hashes)))
   def minhashSignature(hashes: Column, k: Int): Column =
     GraftSqlShims.column(MinHashSigExpr(GraftSqlShims.expression(hashes), k))
+  def minhashOphSignature(hashes: Column, k: Int): Column =
+    GraftSqlShims.column(MinHashOphExpr(GraftSqlShims.expression(hashes), k))
   def shingleHashes(text: Column, n: Int): Column =
     GraftSqlShims.column(ShingleHashesExpr(GraftSqlShims.expression(text), n))
   def wordShingleHashes(normText: Column, n: Int): Column =

@@ -46,6 +46,46 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("OPH minhash: matches an independent reference implementation, " +
+       "is permutation-invariant, and leaves no undensified bin") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    // independent re-statement of the algorithm (bin = hash mod k keeping
+    // min rehash; empty bins borrow right circularly with distance offset)
+    def reference(hashes: Seq[Long], k: Int): Seq[Long] = {
+      val sig = Array.fill(k)(Long.MaxValue)
+      hashes.foreach { h =>
+        val bin = java.lang.Long.remainderUnsigned(h, k).toInt
+        val v = XXH64.hashLong(h, 42L)
+        if (v < sig(bin)) sig(bin) = v
+      }
+      val filled = sig.map(_ != Long.MaxValue)
+      (0 until k).map { b =>
+        if (filled(b)) sig(b)
+        else {
+          val d = (1 until k).find(d => filled((b + d) % k)).get
+          sig((b + d) % k) + d * 0x9E3779B97F4A7C15L
+        }
+      }
+    }
+    val texts = samples(textGen, 60).filter(_.nonEmpty)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val sh = Dedup.shingleHashes(col("text"), 3)
+    val k = 8
+    val rows = df.select(col("id"), sh.as("sh"),
+      graft.plans.SignatureExpressions.minhashOphSignature(sh, k).as("oph"),
+      // permutation invariance: the kernel over the REVERSED shingle array
+      graft.plans.SignatureExpressions.minhashOphSignature(reverse(sh), k).as("oph_rev"))
+      .collect()
+    rows.foreach { r =>
+      val shingles = r.getSeq[Long](1)
+      val oph = r.getSeq[Long](2)
+      assert(oph.size == k)
+      assert(oph == reference(shingles, k), "kernel != reference implementation")
+      assert(oph == r.getSeq[Long](3), "OPH not permutation-invariant")
+      assert(!oph.contains(Long.MaxValue), "undensified bin survived")
+    }
+  }
+
   test("nfcNormalize agrees with java.text.Normalizer on arbitrary unicode") {
     val texts = samples(textGen, 60)
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
