@@ -289,6 +289,15 @@ object ConfigParser {
   private def parseAction(id: String, n: JsonNode): Action = {
     def transformers = nodeSeq(n, "transformers").map(parseTransformer(id, _))
     def saveMode = str(n, "saveMode").map(parseSaveMode(id, _))
+    // reference SDLSaveMode.scala:126-146 — all fields optional
+    def saveModeOptions = get(n, "saveModeOptions").map(o => SaveModeMergeOptions(
+      deleteCondition = str(o, "deleteCondition"),
+      updateCondition = str(o, "updateCondition"),
+      updateColumns = strSeq(o, "updateColumns"),
+      insertCondition = str(o, "insertCondition"),
+      insertColumnsToIgnore = strSeq(o, "insertColumnsToIgnore"),
+      insertValuesOverride = strMap(o, "insertValuesOverride"),
+      additionalMergePredicate = str(o, "additionalMergePredicate")))
     def execMode = get(n, "executionMode").map(parseExecutionMode(id, _))
     def execCond = get(n, "executionCondition").map(c =>
       Condition(require(str(c, "expression"), id, "executionCondition.expression"),
@@ -298,7 +307,8 @@ object ConfigParser {
       case "CopyAction" | "copy" =>
         CopyAction(id, require(str(n, "inputId"), id, "inputId"),
           require(str(n, "outputId"), id, "outputId"), transformers, saveMode, execMode,
-          execCond, metricsFail, breakDataFrameLineage = bool(n, "breakDataFrameLineage"))
+          execCond, metricsFail, breakDataFrameLineage = bool(n, "breakDataFrameLineage"),
+          saveModeOptions = saveModeOptions)
       case "CustomDataFrameAction" | "customDataFrame" =>
         val sqls = strMap(n, "outputSql")
         val dfs: Seq[DfsTransformer] =

@@ -46,6 +46,11 @@ trait Action {
 abstract class DataFrameAction extends Action {
   def transformers: Seq[DfTransformer]
   def saveMode: Option[SdlSaveMode] = None
+  /** fine-grained clauses for `saveMode: merge` (delete/update/insert
+    * conditions, column restrictions, value overrides, additional join
+    * predicate) — reference `DataFrameActionImpl.saveModeOptions` /
+    * `SDLSaveMode.scala:126-146` */
+  def saveModeOptions: Option[SaveModeMergeOptions] = None
   /** Cut the Catalyst lineage at this action's outputs: downstream actions
     * re-read from the written DataObject instead of extending this
     * action's plan (reference `DataFrameActionImpl.breakDataFrameLineage:58`).
@@ -93,6 +98,12 @@ abstract class DataFrameAction extends Action {
   protected def writeOutput(doId: String, df: DataFrame, pvs: Seq[PartitionValues])
                            (implicit ctx: ActionPipelineContext): ActionMetrics =
     ctx.registry.dataObject(doId) match {
+      // merge dispatches here so the action-level clauses reach the sink —
+      // writeDataFrame's signature carries only the mode
+      case m: CanMergeDataFrame with TableDataObject if saveMode.contains(SdlSaveMode.Merge) =>
+        val pk = m.table.primaryKey.getOrElse(throw new IllegalArgumentException(
+          s"$id: saveMode merge needs table.primaryKey on ${m.id}"))
+        m.mergeDataFrame(df, pk, saveModeOptions.getOrElse(SaveModeMergeOptions()))
       case w: CanWriteDataFrame => w.writeDataFrame(df, pvs, saveMode)
       case other => throw new IllegalArgumentException(s"DataObject ${other.id} cannot write DataFrames")
     }
@@ -111,7 +122,8 @@ case class CopyAction(
     override val executionMode: Option[graft.operators.modes.ExecutionMode] = None,
     override val executionCondition: Option[Condition] = None,
     override val metricsFailCondition: Option[String] = None,
-    override val breakDataFrameLineage: Boolean = false)
+    override val breakDataFrameLineage: Boolean = false,
+    override val saveModeOptions: Option[SaveModeMergeOptions] = None)
   extends DataFrameAction {
 
   def inputIds: Seq[String] = Seq(inputId)

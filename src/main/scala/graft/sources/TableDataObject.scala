@@ -181,6 +181,11 @@ case class HiveTableDataObject(
     val w0 = bucketed(observed.write.format(format))
     val w = if (partitions.nonEmpty) w0.partitionBy(partitions: _*) else w0
     mode match {
+      // without this, merge fell into the catch-all OVERWRITE below —
+      // silently replacing the table instead of upserting
+      case SdlSaveMode.Merge =>
+        return mergeDataFrame(df, table.primaryKey.getOrElse(
+          throw new IllegalArgumentException(s"$id: merge needs table.primaryKey")))
       case SdlSaveMode.Append => w.mode("append").saveAsTable(table.fullName)
       case SdlSaveMode.OverwriteOptimized if partitions.nonEmpty && isTableExisting =>
         // dynamic partition overwrite; the session conf must be set (the

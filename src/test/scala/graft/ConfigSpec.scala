@@ -74,6 +74,44 @@ class ConfigSpec extends AnyFunSuite {
     assert(new java.io.File(out).listFiles().exists(_.getName.startsWith("dt=")))
   }
 
+  test("config-level merge with fine-grained saveModeOptions upserts a keyed hive table") {
+    import spark.implicits._
+    val in1 = tmpDir(); val in2 = tmpDir()
+    Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)).toDF("id", "name", "v")
+      .write.mode("overwrite").parquet(in1)
+    // feed: id=2 price-only update, id=3 flagged for delete, id=4 new with
+    // name override, id=5 new but under the insert condition
+    Seq((2, "b2", 25.0), (3, "DEL", 30.0), (4, "d", 40.0), (5, "e", 1.0))
+      .toDF("id", "name", "v").write.mode("overwrite").parquet(in2)
+    def cfg(src: String) =
+      s"""dataObjects:
+         |  src: {type: parquet, path: $src}
+         |  tgt: {type: hive, table: {name: cfg_merge_tgt, primaryKey: [id]}}
+         |actions:
+         |  load:
+         |    type: copy
+         |    inputId: src
+         |    outputId: tgt
+         |    saveMode: merge
+         |    saveModeOptions:
+         |      deleteCondition: "new.name = 'DEL'"
+         |      updateCondition: "new.v > existing.v"
+         |      updateColumns: [v]
+         |      insertCondition: "new.v >= 10"
+         |      insertValuesOverride: {name: "upper(new.name)"}
+         |    metadata: {feed: merge}
+         |""".stripMargin
+    spark.sql("DROP TABLE IF EXISTS cfg_merge_tgt")
+    PipelineRunner.run(cfg(in1), spark, Some("merge")) // table absent -> initial write
+    PipelineRunner.run(cfg(in2), spark, Some("merge")) // real merge
+    val got = spark.table("cfg_merge_tgt").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set(
+      (1, "a", 10.0),  // untouched
+      (2, "b", 25.0),  // updateColumns=[v]: price updated, name kept
+      (4, "D", 40.0))) // inserted with the name override; 3 deleted, 5 filtered
+  }
+
   test("feedSel selects no actions -> error; unknown type -> clear error") {
     val cfg =
       """dataObjects:
