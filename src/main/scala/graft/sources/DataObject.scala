@@ -247,6 +247,18 @@ abstract class SparkFileDataObject extends DataObject
           writer.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .save(path)
+        case SdlSaveMode.OverwritePreserveDirectories =>
+          // full overwrite that deletes FILES but keeps the directory tree
+          // (partition-dir ACLs/ownership survive) — mapping this to plain
+          // Spark overwrite would drop the directories with their ACLs,
+          // which is the one thing the mode exists to prevent (reference
+          // SDLSaveMode.OverwritePreserveDirectories). Not atomic, same as
+          // the reference; use staged writes where atomicity matters.
+          if (fs.exists(hadoopPath)) {
+            val it = fs.listFiles(hadoopPath, true)
+            while (it.hasNext) fs.delete(it.next().getPath, false)
+          }
+          writer.mode("append").save(path)
         case m =>
           writer.mode(SdlSaveMode.toSpark(m)).save(path)
       }

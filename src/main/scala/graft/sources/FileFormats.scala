@@ -161,8 +161,18 @@ case class TickTockHiveTableDataObject(
     val t0 = System.currentTimeMillis()
     val side = inactiveSide
     val target = new Path(base, side)
+    // tick-tock always rewrites the inactive side in full, so non-overwrite
+    // modes must be emulated on the plan — silently treating Append as
+    // overwrite would drop the existing rows
+    val effective = saveMode.getOrElse(SdlSaveMode.Overwrite) match {
+      case SdlSaveMode.Append if isTableExisting => getDataFrame().unionByName(df)
+      case SdlSaveMode.Append | SdlSaveMode.Overwrite | SdlSaveMode.OverwriteOptimized |
+           SdlSaveMode.OverwritePreserveDirectories => df
+      case m => throw new IllegalArgumentException(
+        s"DataObject $id: tick-tock table cannot apply saveMode $m (use a Hive/JDBC sink for merge)")
+    }
     val obs = org.apache.spark.sql.Observation(s"graft_tt_${id}_${System.nanoTime()}")
-    val observed = df.observe(obs, count(lit(1)).as("records_written"))
+    val observed = effective.observe(obs, count(lit(1)).as("records_written"))
     val w0 = observed.write.format(format)
     val w = if (partitions.nonEmpty) w0.partitionBy(partitions: _*) else w0
     w.mode("overwrite").save(target.toString)

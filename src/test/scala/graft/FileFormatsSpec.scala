@@ -68,6 +68,23 @@ class FileFormatsSpec extends AnyFunSuite {
     assert(new java.io.File(dir, "tick").exists() && new java.io.File(dir, "tock").exists())
   }
 
+  test("tick-tock append unions existing rows; merge is rejected loudly") {
+    import spark.implicits._
+    val tt = TickTockHiveTableDataObject("tt3", Table(None, "tt_append"), tmpDir(),
+      registerInCatalog = false)
+    tt.writeDataFrame(Seq((1, "a")).toDF("id", "v"), Seq.empty, None)
+    // append must carry the active side forward, not silently overwrite it
+    tt.writeDataFrame(Seq((2, "b")).toDF("id", "v"), Seq.empty,
+      Some(graft.core.SdlSaveMode.Append))
+    assert(tt.getDataFrame().orderBy("id").as[(Int, String)].collect().toSeq ==
+      Seq((1, "a"), (2, "b")))
+    val e = intercept[IllegalArgumentException] {
+      tt.writeDataFrame(Seq((3, "c")).toDF("id", "v"), Seq.empty,
+        Some(graft.core.SdlSaveMode.Merge))
+    }
+    assert(e.getMessage.contains("tick-tock"))
+  }
+
   test("relaxed csv with many files takes the distributed header-read path") {
     import spark.implicits._
     val dir = tmpDir()

@@ -18,6 +18,25 @@ class PipelineSpec extends AnyFunSuite {
   def newCtx(reg: InstanceRegistry = new InstanceRegistry()) =
     ActionPipelineContext(spark, reg)
 
+  test("OverwritePreserveDirectories keeps the directory tree; plain overwrite does not") {
+    val dir = tmpDir() + "/tgt"
+    implicit val ctx: ActionPipelineContext = newCtx()
+    val dst = ParquetFileDataObject("pres", dir, partitions = Seq("dt"))
+    val df = Seq((1, "a"), (2, "b")).toDF("x", "dt")
+    dst.writeDataFrame(df, Seq.empty, Some(SdlSaveMode.Overwrite))
+    // stand-in for a partition dir carrying ACLs/ownership set out-of-band
+    val aclDir = new java.io.File(dir, "custom_acl_dir")
+    assert(aclDir.mkdir())
+    dst.writeDataFrame(df.withColumn("x", col("x") * 10), Seq.empty,
+      Some(SdlSaveMode.OverwritePreserveDirectories))
+    assert(aclDir.exists, "preserve-directories overwrite deleted a sibling directory")
+    assert(new java.io.File(dir, "dt=a").exists, "partition dir not preserved")
+    assert(dst.getDataFrame().select("x").as[Int].collect().toSet == Set(10, 20),
+      "data not fully overwritten")
+    dst.writeDataFrame(df, Seq.empty, Some(SdlSaveMode.Overwrite))
+    assert(!aclDir.exists, "plain overwrite is expected to drop the tree (contrast case)")
+  }
+
   test("copy pipeline: csv → filter+sql transform → parquet, DAG 2 actions") {
     val dir = tmpDir()
     Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)).toDF("id", "name", "value")
