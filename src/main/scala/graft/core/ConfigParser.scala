@@ -316,7 +316,8 @@ object ConfigParser {
             nodeSeq(n, "dfsTransformers").map(parseDfsTransformer(id, _))
         CustomDataFrameAction(id, strSeq(n, "inputIds"), strSeq(n, "outputIds"), dfs, saveMode,
           execCond, metricsFail, recursiveInputIds = strSeq(n, "recursiveInputIds"),
-          breakDataFrameLineage = bool(n, "breakDataFrameLineage"))
+          breakDataFrameLineage = bool(n, "breakDataFrameLineage"),
+          saveModeOptions = saveModeOptions)
       case "DeduplicateAction" | "deduplicate" =>
         DeduplicateAction(id, require(str(n, "inputId"), id, "inputId"),
           require(str(n, "outputId"), id, "outputId"),

@@ -202,7 +202,8 @@ case class CustomDataFrameAction(
       * self-referencing aggregates. Their writes are staged automatically
       * (the plan reads the object being overwritten). */
     recursiveInputIds: Seq[String] = Seq.empty,
-    override val breakDataFrameLineage: Boolean = false)
+    override val breakDataFrameLineage: Boolean = false,
+    override val saveModeOptions: Option[SaveModeMergeOptions] = None)
   extends DataFrameAction {
 
   def transformers: Seq[DfTransformer] = Seq.empty

@@ -48,15 +48,40 @@ abstract class StatefulAction extends DataFrameAction {
   protected def computeState(feed: DataFrame, existing: Option[DataFrame])
                             (implicit ctx: ActionPipelineContext): DataFrame
 
+  /** Align a schema-drifted feed and the existing state to their merged
+    * schema before state computation — the reference runs
+    * `SchemaEvolution.process` on every historize/dedup load
+    * (`HistorizeAction`/`DeduplicateAction` via `DataFrameActionImpl`);
+    * without it a feed that adds or drops a column fails the state union
+    * with a missing-column error. SCD2 technical columns ride along on the
+    * existing side untouched. No-op (same frames) when schemas match. */
+  protected def evolveForState(feed: DataFrame, existing: Option[DataFrame]): (DataFrame, Option[DataFrame]) =
+    existing match {
+      case Some(e) =>
+        import graft.functions.SchemaEvolution
+        val tech = Seq(Historization.captured, Historization.delimited).filter(e.columns.contains)
+        val eBiz = e.drop(tech: _*)
+        if (!SchemaEvolution.hasSchemaChanged(eBiz.schema, feed.schema)) (feed, Some(e))
+        else {
+          val target = SchemaEvolution.mergedSchema(eBiz.schema, feed.schema)
+          val targetFull = org.apache.spark.sql.types.StructType(
+            target.fields ++ e.schema.fields.filter(f => tech.contains(f.name)))
+          (SchemaEvolution.alignTo(feed, target), Some(SchemaEvolution.alignTo(e, targetFull)))
+        }
+      case None => (feed, None)
+    }
+
   override def init(subFeeds: Seq[SubFeed])(implicit ctx: ActionPipelineContext): Seq[SubFeed] = {
-    val feed = transformedInput(subFeeds)
-    val out = computeState(feed, readExisting(feed))
+    val feed0 = transformedInput(subFeeds)
+    val (feed, existing) = evolveForState(feed0, readExisting(feed0))
+    val out = computeState(feed, existing)
     Seq(SubFeed(outputId, Some(out)))
   }
 
   override def exec(subFeeds: Seq[SubFeed])(implicit ctx: ActionPipelineContext): Seq[SubFeed] = {
-    val feed = transformedInput(subFeeds)
-    val out = computeState(feed, readExisting(feed))
+    val feed0 = transformedInput(subFeeds)
+    val (feed, existing) = evolveForState(feed0, readExisting(feed0))
+    val out = computeState(feed, existing)
     val metrics = writeState(out)
     // the state plan read the object the staged write just replaced —
     // downstream must re-read the committed state

@@ -112,6 +112,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Set((1, "a", t1), (2, "b2", t2), (3, "c", t2)))
   }
 
+  test("DeduplicateAction evolves schema across loads: added column null-filled, dropped column kept") {
+    val dir = tmpDir()
+    val reg = new InstanceRegistry()
+    reg.register(ParquetFileDataObject("feed", s"$dir/feed"))
+    reg.register(ParquetFileDataObject("dedup", s"$dir/dedup"))
+    val t1 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val t2 = Timestamp.valueOf("2024-01-02 00:00:00")
+    implicit val ctx: ActionPipelineContext = newCtx(reg)
+
+    Seq((1, "a", 1.0), (2, "b", 2.0)).toDF("id", "name", "score")
+      .write.parquet(s"$dir/feed")
+    new ActionDAGRun(Seq(DeduplicateAction("dd", "feed", "dedup", Seq("id"),
+      referenceTimestamp = () => t1))).run()
+
+    // second load drops `score` and adds `lang` — previously failed with a
+    // missing-column error instead of evolving like the reference
+    Seq((2, "b2", "en"), (3, "c", "de")).toDF("id", "name", "lang")
+      .write.mode("overwrite").parquet(s"$dir/feed")
+    new ActionDAGRun(Seq(DeduplicateAction("dd", "feed", "dedup", Seq("id"),
+      referenceTimestamp = () => t2))).run()
+
+    val got = spark.read.parquet(s"$dir/dedup")
+      .select("id", "name", "score", "lang").collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]), Option(r.getString(3)))).toSet
+    assert(got == Set(
+      (1, "a", Some(1.0), None),      // untouched row keeps score, lang null
+      (2, "b2", None, Some("en")),    // updated row: new schema, score null
+      (3, "c", None, Some("de"))))
+  }
+
   test("HistorizeAction full across two loads via parquet output") {
     val dir = tmpDir()
     val reg = new InstanceRegistry()
