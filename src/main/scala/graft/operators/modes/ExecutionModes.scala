@@ -87,6 +87,10 @@ case class DataFrameIncrementalMode(compareCol: String) extends ExecutionMode {
       case c: CanCreateDataFrame =>
         val existsData = output match {
           case f: SparkFileDataObject => f.exists
+          // a fresh table target must mean "no watermark yet" — probing it
+          // with getDataFrame would throw TABLE_OR_VIEW_NOT_FOUND on the
+          // very first incremental run
+          case t: graft.sources.TableDataObject => t.isTableExisting
           case _ => true
         }
         if (existsData)

@@ -225,7 +225,11 @@ object DataQualityValidation {
   }
 
   private def check(e: Expectation, value: Any)(implicit ctx: ActionPipelineContext): Unit =
-    e.expectation.foreach { cond =>
+    e.expectation.foreach { cond0 =>
+      // the reference writes expectations as operator+literal shorthand
+      // ("= 0", "> 0.9" — Expectation.scala scaladoc); the long form
+      // "value > 0.9" is also accepted
+      val cond = if (cond0.trim.matches("^(=|!=|<>|<=|>=|<|>).*")) s"value ${cond0.trim}" else cond0
       val lit = value match {
         case null => "NULL"
         case s: String => s"'${s.replace("'", "''")}'"

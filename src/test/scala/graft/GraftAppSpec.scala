@@ -112,6 +112,30 @@ class GraftAppSpec extends AnyFunSuite {
     assert(frozen.where(col("text").rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+")).isEmpty)
   }
 
+  test("examples/warehouse_pipeline.conf: incremental stage + config merge + historize") {
+    val dir = tmpDir()
+    val conf = new String(Files.readAllBytes(
+      java.nio.file.Paths.get("examples/warehouse_pipeline.conf")))
+      .replace("/tmp/graft-warehouse-out", s"$dir/out")
+    val confPath = s"$dir/pipeline.conf"
+    Files.writeString(java.nio.file.Paths.get(confPath), conf)
+    spark.sql("DROP TABLE IF EXISTS example_cur_orders")
+    val res = GraftApp.run(GraftApp.CliArgs(configPaths = Seq(confPath),
+      feedSel = Some("warehouse")), spark)
+    assert(res.keySet == Set("stage", "upsert", "historize"))
+    val src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    // no 'X' status in the source, so the initial merge carries all rows
+    assert(spark.table("example_cur_orders").count() == src.count())
+    val hist = spark.read.parquet(s"$dir/out/hist_customer")
+    assert(hist.columns.contains("dl_ts_delimited") && hist.count() > 0)
+    // second run: stage skips (no rows above the watermark) but the DAG
+    // completes; current state unchanged
+    val res2 = GraftApp.run(GraftApp.CliArgs(configPaths = Seq(confPath),
+      feedSel = Some("warehouse")), spark)
+    assert(res2("stage").head.isSkipped)
+    assert(spark.table("example_cur_orders").count() == src.count())
+  }
+
   test("stateful run: state file lands in succeeded/ and records the action") {
     val dir = tmpDir()
     val conf = writePipelineConf(dir)

@@ -234,6 +234,26 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("DataFrameIncrementalMode into a fresh hive table processes all on first run") {
+    val in = tmpDir()
+    Seq((1, 10), (2, 20)).toDF("id", "x").write.mode("overwrite").parquet(in)
+    val reg = new InstanceRegistry()
+    reg.register(ParquetFileDataObject("src", in))
+    reg.register(HiveTableDataObject("tgt", Table(None, "inc_fresh_tgt")))
+    reg.register(CopyAction("load", "src", "tgt", saveMode = Some(SdlSaveMode.Append),
+      executionMode = Some(graft.operators.modes.DataFrameIncrementalMode("x"))))
+    implicit val ctx: ActionPipelineContext = newCtx(reg)
+    spark.sql("DROP TABLE IF EXISTS inc_fresh_tgt")
+    // no output table yet: watermark must resolve to "none" (previously
+    // this threw TABLE_OR_VIEW_NOT_FOUND probing the missing table)
+    new ActionDAGRun(reg.allActions).run()
+    assert(spark.table("inc_fresh_tgt").count() == 2)
+    // second run: rows above the watermark only
+    Seq((3, 30)).toDF("id", "x").write.mode("overwrite").parquet(in)
+    new ActionDAGRun(reg.allActions).run()
+    assert(spark.table("inc_fresh_tgt").count() == 3)
+  }
+
   test("executionCondition overrides the default skip-propagation rule") {
     val in = tmpDir(); val mid = tmpDir(); val outA = tmpDir(); val outB = tmpDir()
     Seq((1, "a")).toDF("x", "v").write.mode("overwrite").parquet(in)
