@@ -112,6 +112,53 @@ class ConfigSpec extends AnyFunSuite {
       (4, "D", 40.0))) // inserted with the name override; 3 deleted, 5 filtered
   }
 
+  test("config-driven Structured Streaming action drains a file source") {
+    import spark.implicits._
+    val dir = tmpDir()
+    Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v").write.parquet(s"$dir/src")
+    val cfg =
+      s"""dataObjects:
+         |  src: {type: parquet, path: $dir/src, schema: "id INT, v STRING"}
+         |  dst: {type: parquet, path: $dir/dst}
+         |actions:
+         |  stream:
+         |    type: copy
+         |    inputId: src
+         |    outputId: dst
+         |    transformers:
+         |      - {type: filter, filterClause: "id >= 2"}
+         |    executionMode:
+         |      type: streaming
+         |      checkpointLocation: $dir/cp
+         |      triggerType: AvailableNow
+         |    metadata: {feed: stream}
+         |""".stripMargin
+    PipelineRunner.run(cfg, spark, Some("stream"))
+    assert(spark.read.parquet(s"$dir/dst").select("id").as[Int].collect().toSet == Set(2, 3))
+  }
+
+  test("config-declared constraint aborts the write naming the violating row") {
+    import spark.implicits._
+    val dir = tmpDir()
+    Seq((1, 5.0), (2, -1.0)).toDF("id", "v").write.parquet(s"$dir/src")
+    val cfg =
+      s"""dataObjects:
+         |  src: {type: parquet, path: $dir/src}
+         |  dst:
+         |    type: parquet
+         |    path: $dir/dst
+         |    constraints:
+         |      - {name: v_nonneg, expression: "v >= 0", errorMsgCols: [id]}
+         |actions:
+         |  load: {type: copy, inputId: src, outputId: dst, metadata: {feed: c}}
+         |""".stripMargin
+    val e = intercept[Exception](PipelineRunner.run(cfg, spark, Some("c")))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("v_nonneg")),
+      s"constraint name not in failure: ${msgs(e).mkString(" | ")}")
+  }
+
   test("feedSel selects no actions -> error; unknown type -> clear error") {
     val cfg =
       """dataObjects:
