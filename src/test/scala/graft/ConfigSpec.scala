@@ -137,6 +137,43 @@ class ConfigSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/dst").select("id").as[Int].collect().toSet == Set(2, 3))
   }
 
+  test("config-driven CDC historize replays a change stream into SCD2") {
+    import spark.implicits._
+    val dir = tmpDir()
+    Seq(
+      (1, "a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "i"),
+      (1, "a2", java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), "u"),
+      (2, "b", java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), "i"),
+      (2, "b", java.sql.Timestamp.valueOf("2024-01-03 00:00:00"), "d"))
+      .toDF("id", "name", "ts", "op").write.parquet(s"$dir/cdc")
+    val cfg =
+      s"""dataObjects:
+         |  src: {type: parquet, path: $dir/cdc}
+         |  hist: {type: parquet, path: $dir/hist}
+         |actions:
+         |  historize:
+         |    type: historize
+         |    inputId: src
+         |    outputId: hist
+         |    primaryKey: [id]
+         |    cdcOptions: {timestampColumn: ts, operationColumn: op}
+         |    metadata: {feed: cdc}
+         |""".stripMargin
+    PipelineRunner.run(cfg, spark, Some("cdc"))
+    val got = spark.read.parquet(s"$dir/hist")
+      .select("id", "name", "dl_ts_delimited").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getTimestamp(2))).toSet
+    val dd = graft.operators.Historization.doomsday
+    assert(got == Set(
+      (1, "a", new java.sql.Timestamp(
+        java.sql.Timestamp.valueOf("2024-01-02 00:00:00").getTime - 1)),
+      (1, "a2", dd), // latest version open
+      (2, "b", new java.sql.Timestamp(
+        java.sql.Timestamp.valueOf("2024-01-03 00:00:00").getTime - 1))
+      // the delete op closes id=2 and emits nothing
+    ))
+  }
+
   test("config-declared constraint aborts the write naming the violating row") {
     import spark.implicits._
     val dir = tmpDir()
