@@ -97,6 +97,27 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"delta x store candidate generation must stay an equi-join: $p")
   }
 
+  test("whole-suite plan sweep: no cartesian or nested-loop join in any query plan") {
+    // every query's physical plan, including ones added later — the two
+    // operators banned here are the classic silent 100 TB killers (a theta
+    // join or a missing equi-condition compiles fine and runs forever).
+    // Allowed exception: the failOnCappedBuckets guard joins a ONE-ROW
+    // broadcast count with no condition (a scalar carrier keeping the
+    // whole check lazy) — that prints as BroadcastNestedLoopJoin but its
+    // build side is exactly one row by construction.
+    val allowed = Map(
+      "q28_simhash_pairs" -> Set("BroadcastNestedLoopJoin"),
+      "q46_simhash_planted_recall" -> Set("BroadcastNestedLoopJoin"))
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val p = fn(spark, dir).queryExecution.executedPlan.toString
+      Seq("CartesianProduct", "BroadcastNestedLoopJoin").collect {
+        case op if p.contains(op) && !allowed.getOrElse(name, Set.empty).contains(op) =>
+          s"$name: $op"
+      }
+    }
+    assert(offenders.isEmpty, s"quadratic join shapes: ${offenders.mkString("; ")}")
+  }
+
   test("q66 fine-grained merge: ONE full-outer join on the key, no cartesian") {
     // Every merge clause (delete/update/insert conditions, column
     // restrictions, value overrides, the additional predicate) must fold
