@@ -186,6 +186,28 @@ case class HiveTableDataObject(
       case SdlSaveMode.Merge =>
         return mergeDataFrame(df, table.primaryKey.getOrElse(
           throw new IllegalArgumentException(s"$id: merge needs table.primaryKey")))
+      case SdlSaveMode.Append if isTableExisting &&
+          graft.functions.SchemaEvolution.hasSchemaChanged(
+            ctx.spark.table(table.fullName).schema, df.schema) =>
+        // CanEvolveSchema: a drifted feed appends after evolving the TABLE —
+        // new columns are added to the catalog (old rows read them as null),
+        // dropped columns are kept and null-filled in the feed. Type changes
+        // need a rewrite, not an append — fail loudly rather than corrupt.
+        val existing = ctx.spark.table(table.fullName).schema
+        val merged = graft.functions.SchemaEvolution.mergedSchema(existing, df.schema)
+        val typeChanged = existing.fields.filter(f =>
+          merged.fields.exists(m => m.name == f.name && m.dataType != f.dataType))
+        require(typeChanged.isEmpty,
+          s"$id: append with changed column types ${typeChanged.map(_.name).mkString(",")} " +
+            "requires a rewrite (use Overwrite)")
+        val added = merged.fields.filterNot(f => existing.fieldNames.contains(f.name))
+        if (added.nonEmpty)
+          ctx.spark.sql(s"ALTER TABLE ${table.fullName} ADD COLUMNS (" +
+            added.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ") + ")")
+        val aligned = graft.functions.SchemaEvolution.alignTo(observed, merged)
+        val wa0 = bucketed(aligned.write.format(format))
+        val wa = if (partitions.nonEmpty) wa0.partitionBy(partitions: _*) else wa0
+        wa.mode("append").saveAsTable(table.fullName)
       case SdlSaveMode.Append => w.mode("append").saveAsTable(table.fullName)
       case SdlSaveMode.OverwriteOptimized if partitions.nonEmpty && isTableExisting =>
         // dynamic partition overwrite; the session conf must be set (the

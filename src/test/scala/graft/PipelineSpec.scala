@@ -234,6 +234,27 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("hive append evolves the table on a drifted feed; type change is rejected") {
+    implicit val ctx: ActionPipelineContext = newCtx()
+    val t = HiveTableDataObject("evo", Table(None, "evo_append_tgt"))
+    spark.sql("DROP TABLE IF EXISTS evo_append_tgt")
+    t.writeDataFrame(Seq((1, "a", 1.0)).toDF("id", "name", "score"), Seq.empty, None)
+    // drifted feed: drops `score`, adds `lang`
+    t.writeDataFrame(Seq((2, "b", "en")).toDF("id", "name", "lang"), Seq.empty,
+      Some(SdlSaveMode.Append))
+    val got = spark.table("evo_append_tgt").select("id", "name", "score", "lang")
+      .collect().map(r => (r.getInt(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]), Option(r.getString(3)))).toSet
+    assert(got == Set((1, "a", Some(1.0), None), (2, "b", None, Some("en"))))
+    // a changed column TYPE cannot append in place — loud failure, no write
+    val e = intercept[IllegalArgumentException] {
+      t.writeDataFrame(Seq((3, 9, "de")).toDF("id", "name", "lang"), Seq.empty,
+        Some(SdlSaveMode.Append))
+    }
+    assert(e.getMessage.contains("name"))
+    assert(spark.table("evo_append_tgt").count() == 2)
+  }
+
   test("DataFrameIncrementalMode into a fresh hive table processes all on first run") {
     val in = tmpDir()
     Seq((1, 10), (2, 20)).toDF("id", "x").write.mode("overwrite").parquet(in)
