@@ -142,6 +142,11 @@ abstract class SparkFileDataObject extends DataObject
   private def isSelfDescribing: Boolean =
     format == "parquet" || format == "orc" || format == "avro"
 
+  /** columnar formats whose readers null-fill columns missing from a file
+    * when given an explicit schema — the property append-evolution relies
+    * on (avro is strict about missing fields, so it stays inference-based) */
+  private def schemaEvolvable: Boolean = format == "parquet" || format == "orc"
+
   private def samplePath = new Path(hadoopPath, ".sample")
 
   /** Schema inference from a persisted `.sample` data file (reference
@@ -168,9 +173,12 @@ abstract class SparkFileDataObject extends DataObject
     val r2 = incrementalState.fold(r)(ts => r.option("modifiedAfter", ts))
     // resolution order mirrors the reference (SparkFileDataObject.scala:125-140):
     // declared schema → persisted schema file → sample-file inference →
-    // full inference scan
+    // full inference scan. Parquet/orc ALSO consult the persisted schema:
+    // after an append-evolution the union schema lives there, and footer
+    // inference from one file would silently drop the other files' columns.
     val effectiveSchema = schema.orElse(
-      if (isSelfDescribing) None
+      if (isSelfDescribing && !schemaEvolvable) None
+      else if (isSelfDescribing) SchemaUtil.readPersistedSchema(path)
       else SchemaUtil.readPersistedSchema(path).orElse(inferSchemaFromSample))
     effectiveSchema.fold(r2)(s => r2.schema(s))
   }
@@ -225,9 +233,29 @@ abstract class SparkFileDataObject extends DataObject
     validateSchemaMin(df)
     val mode = saveMode.getOrElse(SdlSaveMode.Overwrite)
     val t0 = System.currentTimeMillis()
+    // append-evolution (CanEvolveSchema, parquet/orc): align a drifted feed
+    // to the union schema and persist it so reads see every file's columns
+    // (footer inference from one file would silently drop the others');
+    // changed column TYPES need a rewrite, not an append
+    val dfEff =
+      if (mode == SdlSaveMode.Append && schemaEvolvable &&
+          this.isInstanceOf[CanEvolveSchema] && exists) {
+        val existingSchema = StructType(getDataFrame().schema.fields
+          .filterNot(f => filenameColumn.contains(f.name)))
+        if (!graft.functions.SchemaEvolution.hasSchemaChanged(existingSchema, df.schema)) df
+        else {
+          val merged = graft.functions.SchemaEvolution.mergedSchema(existingSchema, df.schema)
+          val typeChanged = existingSchema.fields.filter(f =>
+            merged.fields.exists(m => m.name == f.name && m.dataType != f.dataType))
+          require(typeChanged.isEmpty,
+            s"DataObject $id: append with changed column types " +
+              s"${typeChanged.map(_.name).mkString(",")} requires a rewrite (use Overwrite)")
+          graft.functions.SchemaEvolution.alignTo(df, merged)
+        }
+      } else df
     // data quality: constraints ride along the write (raise_error on
     // violation), Job-scope expectations via a second observe — zero scans
-    val constrained = graft.quality.DataQualityValidation.applyConstraints(df, constraints)
+    val constrained = graft.quality.DataQualityValidation.applyConstraints(dfEff, constraints)
     val (instrumented, expObs) =
       graft.quality.DataQualityValidation.observeExpectations(constrained, expectations)
     // count via observe so we don't pay a second scan for metrics
@@ -265,8 +293,9 @@ abstract class SparkFileDataObject extends DataObject
     }
     val rows = try obs.get("records_written").asInstanceOf[Long] catch { case _: Throwable => -1L }
     // persist schema for schema-stable later reads (reference
-    // SparkFileDataObject .schema/currentSchema.json)
-    if (!isSelfDescribing) SchemaUtil.persistSchema(path, df.schema)
+    // SparkFileDataObject .schema/currentSchema.json); parquet/orc persist
+    // it too so reads resolve the UNION schema after append-evolution
+    if (!isSelfDescribing || schemaEvolvable) SchemaUtil.persistSchema(path, dfEff.schema)
     housekeepingMode.foreach(_.exec(this))
     val jobMetrics = expObs.map(o =>
       graft.quality.DataQualityValidation.evaluateObserved(o, expectations)).getOrElse(Map.empty)
@@ -307,7 +336,7 @@ abstract class SparkFileDataObject extends DataObject
     fs.rename(staging, hadoopPath)
     // the swap deleted the previous .schema file — re-persist so the next
     // schema-on-read doesn't fall back to inference and drift types
-    if (!isSelfDescribing) SchemaUtil.persistSchema(path, df.schema)
+    if (!isSelfDescribing || schemaEvolvable) SchemaUtil.persistSchema(path, df.schema)
     val jobMetrics = expObs.map(o =>
       graft.quality.DataQualityValidation.evaluateObserved(o, expectations)).getOrElse(Map.empty)
     val rows = try obs.get("records_written").asInstanceOf[Long] catch { case _: Throwable => -1L }

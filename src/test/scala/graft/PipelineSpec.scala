@@ -255,6 +255,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.table("evo_append_tgt").count() == 2)
   }
 
+  test("parquet append evolves: union schema persisted, old and new files both readable") {
+    implicit val ctx: ActionPipelineContext = newCtx()
+    val dir = tmpDir() + "/tgt"
+    val t = ParquetFileDataObject("pevo", dir)
+    t.writeDataFrame(Seq((1, "a", 1.0)).toDF("id", "name", "score"), Seq.empty, None)
+    // drifted append: drops `score`, adds `lang`. Without the persisted
+    // union schema a later read infers from ONE footer and silently drops
+    // the other file's columns.
+    t.writeDataFrame(Seq((2, "b", "en")).toDF("id", "name", "lang"), Seq.empty,
+      Some(SdlSaveMode.Append))
+    val got = t.getDataFrame().select("id", "name", "score", "lang")
+      .collect().map(r => (r.getInt(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]), Option(r.getString(3)))).toSet
+    assert(got == Set((1, "a", Some(1.0), None), (2, "b", None, Some("en"))))
+    val e = intercept[IllegalArgumentException] {
+      t.writeDataFrame(Seq((3, 9, "de")).toDF("id", "name", "lang"), Seq.empty,
+        Some(SdlSaveMode.Append))
+    }
+    assert(e.getMessage.contains("name"))
+  }
+
   test("DataFrameIncrementalMode into a fresh hive table processes all on first run") {
     val in = tmpDir()
     Seq((1, 10), (2, 20)).toDF("id", "x").write.mode("overwrite").parquet(in)
