@@ -252,6 +252,18 @@ abstract class SparkFileDataObject extends DataObject
               s"${typeChanged.map(_.name).mkString(",")} requires a rewrite (use Overwrite)")
           graft.functions.SchemaEvolution.alignTo(df, merged)
         }
+      } else if (mode == SdlSaveMode.Append && exists &&
+          !this.isInstanceOf[RelaxedCsvFileDataObject]) {
+        // non-evolvable formats must match exactly: csv is positional (one
+        // schema cannot read mixed-header files — old rows would misparse
+        // into the wrong columns), avro is strict about missing fields.
+        // RelaxedCsv is exempt — drifting headers are its whole purpose.
+        val existingSchema = StructType(getDataFrame().schema.fields
+          .filterNot(f => filenameColumn.contains(f.name)))
+        require(!graft.functions.SchemaEvolution.hasSchemaChanged(existingSchema, df.schema),
+          s"DataObject $id: append with a drifted schema on format '$format' would corrupt " +
+            "reads — use Overwrite, or a parquet/orc object for append-evolution")
+        df
       } else df
     // data quality: constraints ride along the write (raise_error on
     // violation), Job-scope expectations via a second observe — zero scans

@@ -276,6 +276,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("name"))
   }
 
+  test("csv append with a drifted schema is rejected (positional format would misparse)") {
+    implicit val ctx: ActionPipelineContext = newCtx()
+    val t = CsvFileDataObject("cevo", tmpDir() + "/tgt")
+    t.writeDataFrame(Seq((1, "a", 1.0)).toDF("id", "name", "score"), Seq.empty, None)
+    val e = intercept[IllegalArgumentException] {
+      t.writeDataFrame(Seq((2, "b", "en")).toDF("id", "name", "lang"), Seq.empty,
+        Some(SdlSaveMode.Append))
+    }
+    assert(e.getMessage.contains("drifted schema"))
+    // same-schema append stays allowed
+    t.writeDataFrame(Seq((2, "b", 2.0)).toDF("id", "name", "score"), Seq.empty,
+      Some(SdlSaveMode.Append))
+    assert(t.getDataFrame().count() == 2)
+  }
+
   test("DataFrameIncrementalMode into a fresh hive table processes all on first run") {
     val in = tmpDir()
     Seq((1, 10), (2, 20)).toDF("id", "x").write.mode("overwrite").parquet(in)
