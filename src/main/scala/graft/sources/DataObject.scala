@@ -142,10 +142,11 @@ abstract class SparkFileDataObject extends DataObject
   private def isSelfDescribing: Boolean =
     format == "parquet" || format == "orc" || format == "avro"
 
-  /** columnar formats whose readers null-fill columns missing from a file
-    * when given an explicit schema — the property append-evolution relies
-    * on (avro is strict about missing fields, so it stays inference-based) */
-  private def schemaEvolvable: Boolean = format == "parquet" || format == "orc"
+  /** formats whose readers resolve columns BY NAME and null-fill missing
+    * ones when given an explicit schema — the property append-evolution
+    * relies on (csv is positional, avro strict about missing fields) */
+  private def schemaEvolvable: Boolean =
+    format == "parquet" || format == "orc" || format == "json"
 
   private def samplePath = new Path(hadoopPath, ".sample")
 
@@ -434,7 +435,7 @@ case class JsonFileDataObject(
     jsonOptions: Map[String, String] = Map.empty,
     override val partitions: Seq[String] = Seq.empty,
     override val schema: Option[StructType] = None)
-  extends SparkFileDataObject {
+  extends SparkFileDataObject with CanEvolveSchema {
   val format = "json"
   override val options: Map[String, String] = jsonOptions
 }

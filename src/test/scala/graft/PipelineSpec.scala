@@ -276,6 +276,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("name"))
   }
 
+  test("json append evolves like parquet (by-name reader null-fills)") {
+    implicit val ctx: ActionPipelineContext = newCtx()
+    val t = JsonFileDataObject("jevo", tmpDir() + "/tgt")
+    t.writeDataFrame(Seq((1, "a", 1.0)).toDF("id", "name", "score"), Seq.empty, None)
+    t.writeDataFrame(Seq((2, "b", "en")).toDF("id", "name", "lang"), Seq.empty,
+      Some(SdlSaveMode.Append))
+    val got = t.getDataFrame().select("id", "name", "score", "lang")
+      .collect().map(r => (r.getInt(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]), Option(r.getString(3)))).toSet
+    assert(got == Set((1, "a", Some(1.0), None), (2, "b", None, Some("en"))))
+  }
+
   test("csv append with a drifted schema is rejected (positional format would misparse)") {
     implicit val ctx: ActionPipelineContext = newCtx()
     val t = CsvFileDataObject("cevo", tmpDir() + "/tgt")
