@@ -174,6 +174,32 @@ class ConfigSpec extends AnyFunSuite {
     ))
   }
 
+  test("config-declared partition retention prunes expired partitions after the write") {
+    import spark.implicits._
+    val dir = tmpDir()
+    Seq((1, "2024-01-01"), (2, "2024-06-01"), (3, "2024-12-01"))
+      .toDF("x", "dt").write.parquet(s"$dir/src")
+    val cfg =
+      s"""dataObjects:
+         |  src: {type: parquet, path: $dir/src}
+         |  dst:
+         |    type: parquet
+         |    path: $dir/dst
+         |    partitions: [dt]
+         |    housekeepingMode:
+         |      type: retention
+         |      retentionCondition: "dt >= '2024-06-01'"
+         |actions:
+         |  load: {type: copy, inputId: src, outputId: dst, metadata: {feed: hk}}
+         |""".stripMargin
+    PipelineRunner.run(cfg, spark, Some("hk"))
+    val kept = spark.read.parquet(s"$dir/dst")
+      .select(col("dt").cast("string"))
+      .collect().map(_.getString(0)).toSet
+    assert(kept == Set("2024-06-01", "2024-12-01"), s"got $kept")
+    assert(!new java.io.File(s"$dir/dst/dt=2024-01-01").exists)
+  }
+
   test("config-declared constraint aborts the write naming the violating row") {
     import spark.implicits._
     val dir = tmpDir()
