@@ -1127,6 +1127,26 @@ object SparkEntry {
         threshold = 0.7)
         .where(col("id_b") === col("id_a") + 2000000L && col("id_a") % 7 === 0)
         .select(col("id_a"), col("id_b"), col("jaccard"))
+    }),
+
+    // File-level append-evolution under the oracle: a second load that
+    // drops one column and adds another APPENDS to the parquet object; the
+    // persisted union schema makes both file generations readable (old
+    // rows null-fill the new column and vice versa). DuckDB rebuilds the
+    // same union from the source table, value-hashing the whole read path.
+    "q73_append_evolution" -> ((s, dir) => {
+      implicit val c: ActionPipelineContext = ctx(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q73").toString
+      val obj = sources.ParquetFileDataObject("q73_evo", s"$tmp/t")
+      val customer = t(s, dir, "customer")
+      obj.writeDataFrame(
+        customer.select(col("c_custkey"), col("c_name"), col("c_acctbal")))
+      obj.writeDataFrame(
+        customer.where(col("c_custkey") > 100)
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
+        Seq.empty, Some(SdlSaveMode.Append))
+      obj.getDataFrame()
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
     })
   )
 
@@ -2125,6 +2145,13 @@ object SparkEntry {
         |      (CAST(len(sa) + len(sb) AS DOUBLE) - CAST(len(list_intersect(sa, sb)) AS DOUBLE)) AS jaccard
         |  FROM sets
         |)
-        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.7""".stripMargin
+        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.7""".stripMargin,
+
+    "q73_append_evolution" ->
+      """SELECT c_custkey, c_name, c_acctbal, CAST(NULL AS VARCHAR) AS c_mktsegment
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey, c_name, CAST(NULL AS DOUBLE), c_mktsegment
+        |FROM customer WHERE c_custkey > 100""".stripMargin
   )
 }
