@@ -458,7 +458,7 @@ case class OrcFileDataObject(
     id: String, path: String,
     override val partitions: Seq[String] = Seq.empty,
     override val schema: Option[StructType] = None)
-  extends SparkFileDataObject {
+  extends SparkFileDataObject with CanEvolveSchema {
   val format = "orc"
 }
 

@@ -68,6 +68,19 @@ class FileFormatsSpec extends AnyFunSuite {
     assert(new java.io.File(dir, "tick").exists() && new java.io.File(dir, "tock").exists())
   }
 
+  test("orc round-trip and append-evolution (union schema persisted)") {
+    import spark.implicits._
+    val orc = OrcFileDataObject("orc1", tmpDir() + "/t")
+    orc.writeDataFrame(Seq((1, "a", 1.0)).toDF("id", "name", "score"), Seq.empty, None)
+    assert(orc.getDataFrame().count() == 1)
+    orc.writeDataFrame(Seq((2, "b", "en")).toDF("id", "name", "lang"), Seq.empty,
+      Some(graft.core.SdlSaveMode.Append))
+    val got = orc.getDataFrame().select("id", "name", "score", "lang")
+      .collect().map(r => (r.getInt(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]), Option(r.getString(3)))).toSet
+    assert(got == Set((1, "a", Some(1.0), None), (2, "b", None, Some("en"))))
+  }
+
   test("tick-tock append unions existing rows; merge is rejected loudly") {
     import spark.implicits._
     val tt = TickTockHiveTableDataObject("tt3", Table(None, "tt_append"), tmpDir(),
