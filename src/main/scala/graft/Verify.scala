@@ -28,6 +28,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // several operators persist intermediates (LSH/OPH signatures, IVF
+      // assignment) — drop them between queries so cached blocks don't
+      // accumulate across the 70+ query dump (Bench does the same)
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -48,6 +48,14 @@ abstract class StatefulAction extends DataFrameAction {
   protected def computeState(feed: DataFrame, existing: Option[DataFrame])
                             (implicit ctx: ActionPipelineContext): DataFrame
 
+  /** Feed-side technical columns excluded from the schema-drift compare and
+    * re-attached after alignment — the CDC operation column is consumed by
+    * the replay (never stored), so comparing it against the stored history's
+    * business schema would fire a spurious evolution that null-fills an `op`
+    * column into the history and breaks the merge select (the reference
+    * evolves schemas only *after* mapping CDC columns away). */
+  protected def feedTechColumns: Seq[String] = Seq.empty
+
   /** Align a schema-drifted feed and the existing state to their merged
     * schema before state computation — the reference runs
     * `SchemaEvolution.process` on every historize/dedup load
@@ -61,12 +69,16 @@ abstract class StatefulAction extends DataFrameAction {
         import graft.functions.SchemaEvolution
         val tech = Seq(Historization.captured, Historization.delimited).filter(e.columns.contains)
         val eBiz = e.drop(tech: _*)
-        if (!SchemaEvolution.hasSchemaChanged(eBiz.schema, feed.schema)) (feed, Some(e))
+        val feedTech = feedTechColumns.filter(feed.columns.contains)
+        val feedBiz = feed.drop(feedTech: _*)
+        if (!SchemaEvolution.hasSchemaChanged(eBiz.schema, feedBiz.schema)) (feed, Some(e))
         else {
-          val target = SchemaEvolution.mergedSchema(eBiz.schema, feed.schema)
+          val target = SchemaEvolution.mergedSchema(eBiz.schema, feedBiz.schema)
+          val targetFeed = org.apache.spark.sql.types.StructType(
+            target.fields ++ feed.schema.fields.filter(f => feedTech.contains(f.name)))
           val targetFull = org.apache.spark.sql.types.StructType(
             target.fields ++ e.schema.fields.filter(f => tech.contains(f.name)))
-          (SchemaEvolution.alignTo(feed, target), Some(SchemaEvolution.alignTo(e, targetFull)))
+          (SchemaEvolution.alignTo(feed, targetFeed), Some(SchemaEvolution.alignTo(e, targetFull)))
         }
       case None => (feed, None)
     }
@@ -166,6 +178,12 @@ case class HistorizeAction(
     override val metricsFailCondition: Option[String] = None)
   extends StatefulAction {
 
+  // the operation column never reaches the stored history (cdcHistorize drops
+  // it); the event-time column DOES persist as a business column, so only the
+  // op column must be kept out of the drift compare
+  override protected def feedTechColumns: Seq[String] =
+    cdcOptions.map(_.operationColumn).toSeq
+
   override protected def computeState(feed: DataFrame, existing: Option[DataFrame])
                                      (implicit ctx: ActionPipelineContext): DataFrame = {
     val pk = effectivePk
@@ -174,7 +192,7 @@ case class HistorizeAction(
     cdcOptions match {
       case Some(cdc) =>
         val replayed = Historization.cdcHistorize(feed, pk, cdc.timestampColumn, cdc.operationColumn, cdc.deleteValue)
-        existing.fold(replayed)(e => mergeCdc(e, replayed, pk))
+        existing.fold(replayed)(e => mergeCdc(e, replayed, feed, cdc.timestampColumn, pk))
       case None =>
         existing match {
           case Some(e) if incrementalUpdate => Historization.incrementalHistorize(e, feed, pk, refTs)
@@ -187,15 +205,20 @@ case class HistorizeAction(
   }
 
   /** CDC replay over existing history: new versions append; the previously
-    * open record of each affected key is closed at the first new version's
-    * captured − 1ms. */
+    * open record of each affected key is closed at the first new change's
+    * event ts − 1ms. The close point comes from the RAW feed (`rawFeed`,
+    * before delete filtering) — a key whose only change this run is a delete
+    * has no replayed rows, but its open record must still close at the
+    * delete's timestamp, matching the within-batch delimiting of
+    * [[Historization.cdcHistorize]]. */
   /** pk is the RESOLVED key from computeState (effectivePk) — the raw
     * constructor field may be empty when the key comes from table metadata,
     * and groupBy() on zero columns would close every record at the global
     * minimum CDC timestamp. */
-  private def mergeCdc(existing: DataFrame, replayed: DataFrame, pk: Seq[String]): DataFrame = {
-    val firstNew = replayed.groupBy(pk.map(col): _*)
-      .agg(min(col(Historization.captured)).as("_first_new_ts"))
+  private def mergeCdc(existing: DataFrame, replayed: DataFrame, rawFeed: DataFrame,
+                       tsCol: String, pk: Seq[String]): DataFrame = {
+    val firstNew = rawFeed.groupBy(pk.map(col): _*)
+      .agg(min(col(tsCol)).as("_first_new_ts"))
     val closed = existing.join(firstNew, pk, "left")
       .withColumn(Historization.delimited,
         when(col("_first_new_ts").isNotNull && col(Historization.delimited) === lit(Historization.doomsday),

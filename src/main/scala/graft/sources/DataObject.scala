@@ -238,30 +238,51 @@ abstract class SparkFileDataObject extends DataObject
     // to the union schema and persist it so reads see every file's columns
     // (footer inference from one file would silently drop the others');
     // changed column TYPES need a rewrite, not an append
+    // Drift compare excludes partition columns on BOTH sides: they live in
+    // directory names, not data files, so their read-side types come from
+    // directory inference (dt='2024-01-01' reads back as date while the feed
+    // carries string) and their read-side position is always trailing — a
+    // partitioned append with identical file schemas would otherwise
+    // false-trip the drift check.
+    def driftSchemas(): (StructType, StructType) = {
+      val dropExisting = partitions.toSet ++ filenameColumn.toSet
+      val existing = StructType(getDataFrame().schema.fields
+        .filterNot(f => dropExisting.contains(f.name)))
+      val feed = StructType(df.schema.fields.filterNot(f => partitions.contains(f.name)))
+      (existing, feed)
+    }
     val dfEff =
       if (mode == SdlSaveMode.Append && schemaEvolvable &&
           this.isInstanceOf[CanEvolveSchema] && exists) {
-        val existingSchema = StructType(getDataFrame().schema.fields
-          .filterNot(f => filenameColumn.contains(f.name)))
-        if (!graft.functions.SchemaEvolution.hasSchemaChanged(existingSchema, df.schema)) df
+        val (existingSchema, feedSchema) = driftSchemas()
+        if (!graft.functions.SchemaEvolution.hasSchemaChanged(existingSchema, feedSchema)) df
         else {
-          val merged = graft.functions.SchemaEvolution.mergedSchema(existingSchema, df.schema)
+          val merged = graft.functions.SchemaEvolution.mergedSchema(existingSchema, feedSchema)
           val typeChanged = existingSchema.fields.filter(f =>
             merged.fields.exists(m => m.name == f.name && m.dataType != f.dataType))
           require(typeChanged.isEmpty,
             s"DataObject $id: append with changed column types " +
               s"${typeChanged.map(_.name).mkString(",")} requires a rewrite (use Overwrite)")
-          graft.functions.SchemaEvolution.alignTo(df, merged)
+          // re-attach partition columns (excluded from the compare) so
+          // partitionBy still finds them in the aligned frame
+          val target = StructType(
+            merged.fields ++ df.schema.fields.filter(f => partitions.contains(f.name)))
+          graft.functions.SchemaEvolution.alignTo(df, target)
         }
       } else if (mode == SdlSaveMode.Append && exists &&
           !this.isInstanceOf[RelaxedCsvFileDataObject]) {
-        // non-evolvable formats must match exactly: csv is positional (one
-        // schema cannot read mixed-header files — old rows would misparse
-        // into the wrong columns), avro is strict about missing fields.
-        // RelaxedCsv is exempt — drifting headers are its whole purpose.
-        val existingSchema = StructType(getDataFrame().schema.fields
-          .filterNot(f => filenameColumn.contains(f.name)))
-        require(!graft.functions.SchemaEvolution.hasSchemaChanged(existingSchema, df.schema),
+        // non-evolvable formats must match: csv is positional (one schema
+        // cannot read mixed-header files — old rows would misparse into the
+        // wrong columns), avro is strict about missing fields. Avro/json
+        // resolve fields by NAME, so column order is not drift for them;
+        // csv keeps order-sensitivity. RelaxedCsv is exempt — drifting
+        // headers are its whole purpose.
+        val (existingSchema, feedSchema) = driftSchemas()
+        def byName(s: StructType) = StructType(s.fields.sortBy(_.name))
+        val (e, n) =
+          if (format == "csv") (existingSchema, feedSchema)
+          else (byName(existingSchema), byName(feedSchema))
+        require(!graft.functions.SchemaEvolution.hasSchemaChanged(e, n),
           s"DataObject $id: append with a drifted schema on format '$format' would corrupt " +
             "reads — use Overwrite, or a parquet/orc object for append-evolution")
         df
@@ -293,13 +314,41 @@ abstract class SparkFileDataObject extends DataObject
           // (partition-dir ACLs/ownership survive) — mapping this to plain
           // Spark overwrite would drop the directories with their ACLs,
           // which is the one thing the mode exists to prevent (reference
-          // SDLSaveMode.OverwritePreserveDirectories). Not atomic, same as
-          // the reference; use staged writes where atomicity matters.
-          if (fs.exists(hadoopPath)) {
+          // SDLSaveMode.OverwritePreserveDirectories). The new data is
+          // staged under a hidden subdir FIRST (underscore prefix → invisible
+          // to reads), so a mid-write failure leaves the old data intact;
+          // only the delete+move tail is non-atomic.
+          val staging = new org.apache.hadoop.fs.Path(hadoopPath, "_staging_overwrite")
+          if (fs.exists(staging)) fs.delete(staging, true)
+          writer.mode("overwrite").save(staging.toString)
+          // collect the old file list FULLY before deleting — deleting while
+          // iterating listFiles is filesystem-dependent
+          val stagingPrefix = staging.toUri.getPath
+          val oldFiles = {
+            val b = Seq.newBuilder[org.apache.hadoop.fs.Path]
             val it = fs.listFiles(hadoopPath, true)
-            while (it.hasNext) fs.delete(it.next().getPath, false)
+            while (it.hasNext) {
+              val p = it.next().getPath
+              if (!p.toUri.getPath.startsWith(stagingPrefix + "/")) b += p
+            }
+            b.result()
           }
-          writer.mode("append").save(path)
+          oldFiles.foreach(p => fs.delete(p, false))
+          // move staged files into their final locations, creating only
+          // directories that don't already exist
+          val staged = {
+            val b = Seq.newBuilder[org.apache.hadoop.fs.Path]
+            val it = fs.listFiles(staging, true)
+            while (it.hasNext) b += it.next().getPath
+            b.result()
+          }
+          staged.foreach { p =>
+            val rel = p.toUri.getPath.stripPrefix(stagingPrefix).stripPrefix("/")
+            val dest = new org.apache.hadoop.fs.Path(hadoopPath, rel)
+            if (!fs.exists(dest.getParent)) fs.mkdirs(dest.getParent)
+            fs.rename(p, dest)
+          }
+          fs.delete(staging, true)
         case m =>
           writer.mode(SdlSaveMode.toSpark(m)).save(path)
       }

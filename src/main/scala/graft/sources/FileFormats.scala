@@ -164,16 +164,20 @@ case class TickTockHiveTableDataObject(
     // tick-tock always rewrites the inactive side in full, so non-overwrite
     // modes must be emulated on the plan — silently treating Append as
     // overwrite would drop the existing rows
+    // observe the FEED, not the unioned frame — Append rewrites the full
+    // table but records_written must report only the appended rows (matching
+    // Hive/file appends; a metricsFailCondition keyed on records_written
+    // would otherwise see the whole table size)
+    val obs = org.apache.spark.sql.Observation(s"graft_tt_${id}_${System.nanoTime()}")
+    val feedObserved = df.observe(obs, count(lit(1)).as("records_written"))
     val effective = saveMode.getOrElse(SdlSaveMode.Overwrite) match {
-      case SdlSaveMode.Append if isTableExisting => getDataFrame().unionByName(df)
+      case SdlSaveMode.Append if isTableExisting => getDataFrame().unionByName(feedObserved)
       case SdlSaveMode.Append | SdlSaveMode.Overwrite | SdlSaveMode.OverwriteOptimized |
-           SdlSaveMode.OverwritePreserveDirectories => df
+           SdlSaveMode.OverwritePreserveDirectories => feedObserved
       case m => throw new IllegalArgumentException(
         s"DataObject $id: tick-tock table cannot apply saveMode $m (use a Hive/JDBC sink for merge)")
     }
-    val obs = org.apache.spark.sql.Observation(s"graft_tt_${id}_${System.nanoTime()}")
-    val observed = effective.observe(obs, count(lit(1)).as("records_written"))
-    val w0 = observed.write.format(format)
+    val w0 = effective.write.format(format)
     val w = if (partitions.nonEmpty) w0.partitionBy(partitions: _*) else w0
     w.mode("overwrite").save(target.toString)
     // commit: atomically flip the marker to the freshly-written side

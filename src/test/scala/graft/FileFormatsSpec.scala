@@ -248,4 +248,28 @@ class FileFormatsSpec extends AnyFunSuite {
     val files = new java.io.File(dir, "dt=2024-01-01").listFiles()
     assert(files.exists(_.getName.endsWith(".avro")))
   }
+
+  test("partitioned avro append with identical schema is NOT rejected as drift") {
+    // regression: the strict append drift check compared the feed against the
+    // READ-side schema, where partition columns come back appended last with
+    // directory-inferred types (dt='2024-01-01' → date vs the feed's string)
+    // — every identical-schema append on a partitioned avro object threw
+    import spark.implicits._
+    val dir = tmpDir()
+    val avro = AvroFileDataObject("av2", dir, partitions = Seq("dt"))
+    // partition column NOT trailing, value infers to date on read
+    val load1 = Seq((1, "2024-01-01", "a"), (2, "2024-01-02", "b")).toDF("id", "dt", "v")
+    avro.writeDataFrame(load1, Seq.empty, Some(graft.core.SdlSaveMode.Overwrite))
+    val load2 = Seq((3, "2024-01-03", "c")).toDF("id", "dt", "v")
+    avro.writeDataFrame(load2, Seq.empty, Some(graft.core.SdlSaveMode.Append))
+    val back = avro.getDataFrame().select("id", "v").orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(back == Seq((1, "a"), (2, "b"), (3, "c")))
+    // genuinely drifted append must still be rejected loudly
+    val drifted = Seq((4, "2024-01-04", 9.9)).toDF("id", "dt", "extra")
+    val e = intercept[IllegalArgumentException] {
+      avro.writeDataFrame(drifted, Seq.empty, Some(graft.core.SdlSaveMode.Append))
+    }
+    assert(e.getMessage.contains("drifted schema"))
+  }
 }

@@ -169,6 +169,41 @@ class PipelineSpec extends AnyFunSuite {
       (2, "b2", t2, Historization.doomsday)))
   }
 
+  test("HistorizeAction CDC across two loads: op column never drifts into history; pure delete closes") {
+    // regression: the CDC feed always carries the op column, which is absent
+    // from the stored history — evolveForState used to fire and null-fill an
+    // `op` column into the history, making mergeCdc's select throw on every
+    // run after the first; a load-2 feed with ONLY a delete for a key also
+    // failed to close that key's open record
+    val dir = tmpDir()
+    val reg = new InstanceRegistry()
+    reg.register(ParquetFileDataObject("cdcfeed", s"$dir/feed"))
+    reg.register(ParquetFileDataObject("cdchist", s"$dir/hist"))
+    val t1 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val t2 = Timestamp.valueOf("2024-01-02 00:00:00")
+    implicit val ctx: ActionPipelineContext = newCtx(reg)
+    val action = HistorizeAction("h", "cdcfeed", "cdchist", Seq("id"),
+      cdcOptions = Some(CdcOptions(timestampColumn = "ts", operationColumn = "op")))
+
+    Seq((1, "a", t1, "i"), (2, "b", t1, "i")).toDF("id", "name", "ts", "op")
+      .write.parquet(s"$dir/feed")
+    new ActionDAGRun(Seq(action)).run()
+
+    // load 2: update key 2, PURE delete of key 1 (no other change for it)
+    Seq((2, "b2", t2, "u"), (1, "a", t2, "d")).toDF("id", "name", "ts", "op")
+      .write.mode("overwrite").parquet(s"$dir/feed")
+    new ActionDAGRun(Seq(action)).run()
+
+    val hist = spark.read.parquet(s"$dir/hist")
+    assert(!hist.columns.contains("op"), "op column must never reach the stored history")
+    val got = hist.select("id", "name", "dl_ts_captured", "dl_ts_delimited").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getTimestamp(2), r.getTimestamp(3))).toSet
+    assert(got == Set(
+      (1, "a", t1, new Timestamp(t2.getTime - 1)),   // closed by the pure delete
+      (2, "b", t1, new Timestamp(t2.getTime - 1)),   // closed by the update
+      (2, "b2", t2, Historization.doomsday)))        // new open version
+  }
+
   test("CustomDataFrameAction N:M with SQLDfsTransformer") {
     val dir = tmpDir()
     val reg = new InstanceRegistry()
