@@ -1147,6 +1147,80 @@ object SparkEntry {
         Seq.empty, Some(SdlSaveMode.Append))
       obj.getDataFrame()
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+    }),
+
+    // Incremental execution modes under the oracle — the reference's core
+    // value proposition (PartitionDiffMode.scala:61-170), previously
+    // spec-only. Two config-driven loads over a partitioned copy of orders:
+    // load 1 sees only partitions 1,2; load 2 adds 3,4,5 and re-runs with
+    // PartitionDiffMode. Each load stamps `load_nr` via a transformer, so
+    // "load 2 processed ONLY the new partitions" is itself hash-gated: had
+    // it re-read partitions 1/2, their rows would carry load_nr=2 and the
+    // DuckDB compare would fail. At 100 TB this mode is what keeps a daily
+    // run proportional to the new partition, not the table.
+    "q74_partition_diff_incremental" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q74").toString
+      val orders = t(s, dir, "orders")
+        .withColumn("prio", substring(col("o_orderpriority"), 1, 1))
+      orders.where(col("prio").isin("1", "2"))
+        .write.partitionBy("prio").parquet(s"$tmp/src")
+      def cfg(loadNr: Int) =
+        s"""dataObjects:
+           |  src-orders: {type: parquet, path: $tmp/src, partitions: [prio]}
+           |  dst-orders: {type: parquet, path: $tmp/dst, partitions: [prio]}
+           |actions:
+           |  load:
+           |    type: copy
+           |    inputId: src-orders
+           |    outputId: dst-orders
+           |    saveMode: append
+           |    executionMode: {type: partitionDiff}
+           |    transformers:
+           |      - {type: additionalColumns, additionalColumns: {load_nr: "$loadNr"}}
+           |    metadata: {feed: incr}
+           |""".stripMargin
+      core.PipelineRunner.run(cfg(1), s, feedSel = Some("incr"))
+      orders.where(col("prio").isin("3", "4", "5"))
+        .write.mode("append").partitionBy("prio").parquet(s"$tmp/src")
+      core.PipelineRunner.run(cfg(2), s, feedSel = Some("incr"))
+      s.read.parquet(s"$tmp/dst")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"),
+          col("load_nr"), col("prio").cast("string").as("prio"))
+    }),
+
+    // The watermark variant (DataFrameIncrementalMode.scala:42-111): load 1
+    // processes orders before 1995; load 2 sees the FULL table but the mode
+    // reads max(o_orderdate) from the output and filters the input to rows
+    // beyond it — a plain `where`, so it pushes down to the parquet scan.
+    // Same load_nr stamping: re-processing an already-loaded row would flip
+    // its stamp and fail the hash.
+    "q74b_watermark_incremental" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q74b").toString
+      val orders = t(s, dir, "orders")
+      orders.where(col("o_orderdate") < lit("1995-01-01").cast("timestamp"))
+        .write.parquet(s"$tmp/src")
+      def cfg(loadNr: Int) =
+        s"""dataObjects:
+           |  src-orders: {type: parquet, path: $tmp/src}
+           |  dst-orders: {type: parquet, path: $tmp/dst}
+           |actions:
+           |  load:
+           |    type: copy
+           |    inputId: src-orders
+           |    outputId: dst-orders
+           |    saveMode: append
+           |    executionMode: {type: incremental, compareCol: o_orderdate}
+           |    transformers:
+           |      - {type: additionalColumns, additionalColumns: {load_nr: "$loadNr"}}
+           |    metadata: {feed: incr}
+           |""".stripMargin
+      core.PipelineRunner.run(cfg(1), s, feedSel = Some("incr"))
+      orders.write.mode("overwrite").parquet(s"$tmp/src")
+      core.PipelineRunner.run(cfg(2), s, feedSel = Some("incr"))
+      s.read.parquet(s"$tmp/dst")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"), col("load_nr"))
     })
   )
 
@@ -2152,6 +2226,18 @@ object SparkEntry {
         |FROM customer
         |UNION ALL
         |SELECT c_custkey, c_name, CAST(NULL AS DOUBLE), c_mktsegment
-        |FROM customer WHERE c_custkey > 100""".stripMargin
+        |FROM customer WHERE c_custkey > 100""".stripMargin,
+
+    "q74_partition_diff_incremental" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+        |  CASE WHEN substring(o_orderpriority, 1, 1) IN ('1','2') THEN 1 ELSE 2 END AS load_nr,
+        |  substring(o_orderpriority, 1, 1) AS prio
+        |FROM orders""".stripMargin,
+
+    "q74b_watermark_incremental" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+        |  CASE WHEN o_orderdate <= (SELECT max(o_orderdate) FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01')
+        |       THEN 1 ELSE 2 END AS load_nr
+        |FROM orders""".stripMargin
   )
 }

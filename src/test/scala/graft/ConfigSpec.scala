@@ -501,4 +501,39 @@ class ConfigSpec extends AnyFunSuite {
     val grown = spark.read.parquet(storeOut).select("id").collect().map(_.getLong(0)).toSet
     assert(grown == Set(1L, 2L, 102L), s"store should grow by the survivor, got $grown")
   }
+
+  test("PartitionDiffMode config pipeline: run 2 processes ONLY the new partition (metrics)") {
+    import spark.implicits._
+    val dir = tmpDir()
+    Seq((1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2"))
+      .toDF("id", "v", "dt").write.partitionBy("dt").parquet(s"$dir/src")
+    val cfg =
+      s"""dataObjects:
+         |  src: {type: parquet, path: $dir/src, partitions: [dt]}
+         |  dst: {type: parquet, path: $dir/dst, partitions: [dt]}
+         |actions:
+         |  load:
+         |    type: copy
+         |    inputId: src
+         |    outputId: dst
+         |    saveMode: append
+         |    executionMode: {type: partitionDiff}
+         |    metadata: {feed: incr}
+         |""".stripMargin
+    val r1 = PipelineRunner.run(cfg, spark, feedSel = Some("incr"))
+    assert(r1("load").head.metrics.map(_.recordsWritten) == Some(3L))
+
+    Seq((4, "d", "p3")).toDF("id", "v", "dt")
+      .write.mode("append").partitionBy("dt").parquet(s"$dir/src")
+    val r2 = PipelineRunner.run(cfg, spark, feedSel = Some("incr"))
+    // the metrics gate: run 2 wrote exactly the one new partition's row,
+    // not a re-copy of p1/p2
+    assert(r2("load").head.metrics.map(_.recordsWritten) == Some(1L))
+    assert(spark.read.parquet(s"$dir/dst").count() == 4)
+
+    // run 3 with nothing new: the mode must signal no-data and skip
+    val r3 = PipelineRunner.run(cfg, spark, feedSel = Some("incr"))
+    assert(r3("load").head.isSkipped)
+    assert(spark.read.parquet(s"$dir/dst").count() == 4)
+  }
 }
