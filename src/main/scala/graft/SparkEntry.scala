@@ -1221,6 +1221,29 @@ object SparkEntry {
       s.read.parquet(s"$tmp/dst")
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"), col("load_nr"))
+    }),
+
+    // Excel codec under the oracle (the from-scratch JDK StAX xlsx writer+
+    // parser, sources/Excel.scala): write a customer slice to a workbook and
+    // read it back through the distributed binaryFile parse. The slice is
+    // adversarial on purpose — nulls (empty <c/> cells), a synthesized string
+    // with commas/quotes/XML-special chars (exercises inline-string escaping
+    // both ways), and numeric columns whose types must survive the
+    // cell-type-inference path (numeric cells → DOUBLE). Expected rows come
+    // from the PARQUET source via DuckDB, so a symmetric write/read codec bug
+    // can no longer cancel out like it could in the round-trip spec.
+    "q75_excel_roundtrip" -> ((s, dir) => {
+      implicit val c: ActionPipelineContext = ctx(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q75").toString
+      val slice = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"),
+          concat(col("c_name"), lit(", \""), col("c_mktsegment"), lit("\" <&>")).as("tricky"),
+          when(col("c_custkey") % 7 === 0, lit(null).cast("string"))
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+          col("c_nationkey"), col("c_acctbal"))
+      val xl = sources.ExcelFileDataObject("q75_xl", s"$tmp/wb")
+      xl.writeDataFrame(slice)
+      xl.getDataFrame()
     })
   )
 
@@ -2238,6 +2261,13 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
         |  CASE WHEN o_orderdate <= (SELECT max(o_orderdate) FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01')
         |       THEN 1 ELSE 2 END AS load_nr
-        |FROM orders""".stripMargin
+        |FROM orders""".stripMargin,
+
+    "q75_excel_roundtrip" ->
+      """SELECT CAST(c_custkey AS DOUBLE) AS c_custkey, c_name,
+        |  c_name || ', "' || c_mktsegment || '" <&>' AS tricky,
+        |  CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment,
+        |  CAST(c_nationkey AS DOUBLE) AS c_nationkey, c_acctbal
+        |FROM customer""".stripMargin
   )
 }

@@ -172,6 +172,13 @@ object XlsxCodec {
                 }
                 val idx = if (cellRef.nonEmpty) colIndex(cellRef) else nextCol
                 row.put(idx, cell); nextCol = idx + 1
+              } else {
+                // a valueless cell (<c/>, a null) still occupies its grid
+                // position — without advancing the cursor, every later cell
+                // of a ref-less row shifts one column left (caught by the
+                // q75 oracle: null c_mktsegment pulled c_nationkey into it)
+                val idx = if (cellRef.nonEmpty) colIndex(cellRef) else nextCol
+                nextCol = idx + 1
               }
             case "row" =>
               val width = if (row.isEmpty) 0 else row.lastKey() + 1
