@@ -1244,6 +1244,54 @@ object SparkEntry {
       val xl = sources.ExcelFileDataObject("q75_xl", s"$tmp/wb")
       xl.writeDataFrame(slice)
       xl.getDataFrame()
+    }),
+
+    // Avro write→append→read under the oracle (q68's pattern for the binary
+    // formats): half of orders written Overwrite, the other half + tricky
+    // rows (nulls, empty-vs-null strings, unicode, a sub-second timestamp)
+    // Appended — gating the avro append drift check AND the value fidelity
+    // of timestamps/doubles/strings through the avro codec against
+    // DuckDB's read of the original parquet.
+    "q76_avro_roundtrip" -> ((s, dir) => {
+      implicit val c: ActionPipelineContext = ctx(s)
+      import scala.jdk.CollectionConverters._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q76").toString
+      // parquet timestamps (isAdjustedToUTC=false) surface as TIMESTAMP_NTZ
+      // in Spark 4 and round-trip avro as local-timestamp-micros — the
+      // declared schema must match or the read-side conversion rejects it
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType), StructField("o_orderdate", TimestampNTZType)))
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+      val tricky = s.createDataFrame(Seq[org.apache.spark.sql.Row](
+        org.apache.spark.sql.Row(9000000001L, "é-ünïcode ✓", 1.25,
+          java.time.LocalDateTime.of(2031, 5, 6, 7, 8, 9, 123000000)),
+        org.apache.spark.sql.Row(9000000002L, "", -2.5, null),
+        org.apache.spark.sql.Row(9000000003L, null, null, null)).asJava, schema)
+      val avro = sources.AvroFileDataObject("q76_avro", s"$tmp/orders_avro", schema = Some(schema))
+      avro.writeDataFrame(base.where(col("o_orderkey") % 2 === 0))
+      avro.writeDataFrame(base.where(col("o_orderkey") % 2 === 1).unionByName(tricky),
+        Seq.empty, Some(SdlSaveMode.Append))
+      avro.getDataFrame()
+    }),
+
+    // Same hash gate for ORC (whose first direct spec in round 6 caught a
+    // real missing-marker bug): overwrite + append-evolution — the appended
+    // half drops c_acctbal and adds c_mktsegment, so the persisted union
+    // schema must serve BOTH file generations on read.
+    "q76b_orc_roundtrip" -> ((s, dir) => {
+      implicit val c: ActionPipelineContext = ctx(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q76b").toString
+      val customer = t(s, dir, "customer")
+      val orc = sources.OrcFileDataObject("q76b_orc", s"$tmp/cust_orc")
+      orc.writeDataFrame(customer.where(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal")))
+      orc.writeDataFrame(customer.where(col("c_custkey") % 2 === 1)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
+        Seq.empty, Some(SdlSaveMode.Append))
+      orc.getDataFrame()
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
     })
   )
 
@@ -2268,6 +2316,21 @@ object SparkEntry {
         |  c_name || ', "' || c_mktsegment || '" <&>' AS tricky,
         |  CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment,
         |  CAST(c_nationkey AS DOUBLE) AS c_nationkey, c_acctbal
-        |FROM customer""".stripMargin
+        |FROM customer""".stripMargin,
+
+    "q76_avro_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders
+        |UNION ALL SELECT * FROM (VALUES
+        |  (9000000001, 'é-ünïcode ✓', 1.25, TIMESTAMP '2031-05-06 07:08:09.123'),
+        |  (9000000002, '', -2.5, NULL),
+        |  (9000000003, NULL, NULL, NULL))
+        |  t(o_orderkey, o_orderstatus, o_totalprice, o_orderdate)""".stripMargin,
+
+    "q76b_orc_roundtrip" ->
+      """SELECT c_custkey, c_name, c_acctbal, CAST(NULL AS VARCHAR) AS c_mktsegment
+        |FROM customer WHERE c_custkey % 2 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_name, CAST(NULL AS DOUBLE), c_mktsegment
+        |FROM customer WHERE c_custkey % 2 = 1""".stripMargin
   )
 }
