@@ -1292,6 +1292,34 @@ object SparkEntry {
         Seq.empty, Some(SdlSaveMode.Append))
       orc.getDataFrame()
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+    }),
+
+    // JDBC write→MERGE INTO→read against embedded Derby, under the hash
+    // gate (reference JdbcTableDataObject.scala:375-400 builds the same
+    // temp-table + MERGE statement). Initial load = custkey ≤ 1000; the
+    // merge feed (custkey > 500, acctbal+100, lowercased segment) updates
+    // the 501–1000 overlap and inserts 1001+, with updateColumns
+    // restricting the update to c_acctbal — so matched rows must keep
+    // their ORIGINAL segment while inserted rows carry the feed's. Every
+    // branch of the SQL builder lands in the final table DuckDB replays.
+    "q77_jdbc_merge" -> ((s, dir) => {
+      implicit val c: ActionPipelineContext = ctx(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q77").toString
+      val conn = core.JdbcConnection("q77_conn",
+        s"jdbc:derby:$tmp/db;create=true", "org.apache.derby.jdbc.EmbeddedDriver")
+      val obj = sources.JdbcTableDataObject("q77_jdbc",
+        Table(None, "q77_cust", Some(Seq("c_custkey"))), conn)
+      val customer = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+      obj.writeDataFrame(customer.where(col("c_custkey") <= 1000),
+        Seq.empty, Some(SdlSaveMode.Overwrite))
+      val feed = customer.where(col("c_custkey") > 500)
+        .withColumn("c_acctbal", col("c_acctbal") + lit(100.0))
+        .withColumn("c_mktsegment", lower(col("c_mktsegment")))
+      obj.mergeDataFrame(feed, Seq("c_custkey"),
+        SaveModeMergeOptions(updateColumns = Seq("c_acctbal")))
+      obj.getDataFrame()
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
     })
   )
 
@@ -2331,6 +2359,12 @@ object SparkEntry {
         |FROM customer WHERE c_custkey % 2 = 0
         |UNION ALL
         |SELECT c_custkey, c_name, CAST(NULL AS DOUBLE), c_mktsegment
-        |FROM customer WHERE c_custkey % 2 = 1""".stripMargin
+        |FROM customer WHERE c_custkey % 2 = 1""".stripMargin,
+
+    "q77_jdbc_merge" ->
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey > 500 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
+        |  CASE WHEN c_custkey > 1000 THEN lower(c_mktsegment) ELSE c_mktsegment END AS c_mktsegment
+        |FROM customer""".stripMargin
   )
 }
