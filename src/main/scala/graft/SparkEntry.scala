@@ -1320,6 +1320,73 @@ object SparkEntry {
         SaveModeMergeOptions(updateColumns = Seq("c_acctbal")))
       obj.getDataFrame()
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+    }),
+
+    // The DISTRIBUTED connected-components path under the oracle: q33's
+    // chain graph with localThreshold=0, so the iterative min-label
+    // propagation — the code that actually runs when a 100 TB corpus's
+    // pair graph exceeds the driver-side union-find gate — is hash-gated
+    // against the same recursive-CTE DuckDB oracle, not just
+    // spec-cross-checked against the local path.
+    "q78_distributed_components" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val maxId = docs.agg(max(col("doc_id"))).collect().head.getLong(0)
+      val pairs = docs.where(col("doc_id") > 0 && col("doc_id") * 2 <= maxId)
+        .select(col("doc_id").as("id_a"), (col("doc_id") * 2).as("id_b"))
+      graft.functions.Dedup.duplicateClusters(pairs, localThreshold = 0L)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+    }),
+
+    // Event-time tumbling windows with watermark driven as a REAL stream
+    // (beyond-reference: SURVEY §2.6 notes the reference drops late data) —
+    // file stream source → EventTimeWindowTransformer → parquet sink,
+    // Trigger.AvailableNow. Append mode only emits windows the watermark
+    // has passed, so the trailing window (end > max event time) is withheld
+    // in state — the DuckDB oracle reproduces exactly that semantics with
+    // time_bucket + the max(ts) cutoff.
+    "q79_event_time_windows" -> ((s, dir) => {
+      implicit val c: ActionPipelineContext = ctx(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q79").toString
+      java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$tmp/src"))
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(s"$tmp/src/events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = sources.ParquetFileDataObject("q79_src", s"$tmp/src")
+      val dst = sources.ParquetFileDataObject("q79_dst", s"$tmp/out")
+      val sdf0 = src.getStreamingDataFrame(Map.empty, Some(schema))
+      val sdf =
+        if (schema("ts").dataType == LongType)
+          sdf0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else sdf0
+      val windowed = graft.streaming.EventTimeWindowTransformer(
+        eventTimeColumn = "ts", windowDuration = "1 hour",
+        watermarkDuration = "0 seconds", groupByColumns = Seq("event_type"),
+        aggExpressions = Map(
+          "n_events" -> "count(*)",
+          "sum_value" -> "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"))
+        .transform(sdf)
+      val q = dst.writeStreamingDataFrame(windowed,
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+        Map.empty, s"$tmp/cp", "q79_stream")
+      q.awaitTermination()
+      dst.getDataFrame()
+    }),
+
+    // Session windows (gap-based) on the same transformer's batch path —
+    // identical code to the streaming shape minus the watermark. DuckDB
+    // reproduces with islands logic: a session breaks where the gap to the
+    // previous event is ≥ 30 minutes; window_end = last event + gap.
+    "q79b_session_windows" -> ((s, dir) => {
+      implicit val c: ActionPipelineContext = ctx(s)
+      val ev = t(s, dir, "events").select(col("user_id"), col("ts"), col("value"))
+      graft.streaming.SessionWindowTransformer(
+        eventTimeColumn = "ts", gapDuration = "30 minutes",
+        groupByColumns = Seq("user_id"),
+        aggExpressions = Map(
+          "n_events" -> "count(*)",
+          "sum_value" -> "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"))
+        .transform(ev)
     })
   )
 
@@ -2365,6 +2432,44 @@ object SparkEntry {
       """SELECT c_custkey, c_name,
         |  CASE WHEN c_custkey > 500 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
         |  CASE WHEN c_custkey > 1000 THEN lower(c_mktsegment) ELSE c_mktsegment END AS c_mktsegment
-        |FROM customer""".stripMargin
+        |FROM customer""".stripMargin,
+
+    "q78_distributed_components" ->
+      """WITH RECURSIVE
+        |edges AS (
+        |  SELECT doc_id AS src, doc_id * 2 AS dst FROM documents
+        |  WHERE doc_id > 0 AND doc_id * 2 <= (SELECT max(doc_id) FROM documents)),
+        |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        |nodes AS (SELECT DISTINCT src AS id FROM sym),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT s.dst, reach.r FROM sym s JOIN reach ON s.src = reach.id)
+        |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+
+    "q79_event_time_windows" ->
+      """WITH b AS (
+        |  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+        |    count(*) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, n_events, sum_value, window_start,
+        |  window_start + INTERVAL 1 HOUR AS window_end
+        |FROM b
+        |WHERE window_start + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)""".stripMargin,
+
+    "q79b_session_windows" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS grp FROM o)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  min(ts) AS window_start, max(ts) + INTERVAL 30 MINUTE AS window_end
+        |FROM g GROUP BY user_id, grp""".stripMargin
   )
 }
