@@ -89,7 +89,8 @@ object Dedup {
   def minhashDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
                             shingleSize: Int = 5, numHashes: Int = 32, bands: Int = 8,
                             threshold: Double = 0.7, maxBucketSize: Int = 1000,
-                            failOnCappedBuckets: Boolean = false): DataFrame = {
+                            failOnCappedBuckets: Boolean = false,
+                            cappedBucketExactFallback: Boolean = true): DataFrame = {
     // Materialize signatures ONCE: without the barrier Catalyst's projection
     // collapse inlines the 32-hash minhash into every band expression and
     // the self-join recomputes the whole scan+signature on both sides —
@@ -99,7 +100,7 @@ object Dedup {
     val sigs = minhashSignatures(df, idCol, textCol, shingleSize, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     minhashPairsFromSigs(sigs, bands, numHashes / bands, threshold,
-      maxBucketSize, failOnCappedBuckets)
+      maxBucketSize, failOnCappedBuckets, cappedBucketExactFallback)
   }
 
   /** Banding + verification over a prepared `(id, shingles, sig)` frame
@@ -109,7 +110,8 @@ object Dedup {
     * times: banding + both verification joins). */
   def minhashPairsFromSigs(sigs: DataFrame, bands: Int, rowsPerBand: Int,
                            threshold: Double = 0.7, maxBucketSize: Int = 1000,
-                           failOnCappedBuckets: Boolean = false): DataFrame = {
+                           failOnCappedBuckets: Boolean = false,
+                           cappedBucketExactFallback: Boolean = true): DataFrame = {
     // band explode carries only (id, band, bucket) — never the shingle
     // arrays — so the candidate-generation shuffle is a few bytes per row
     val banded = sigs.select(col("id"),
@@ -131,9 +133,43 @@ object Dedup {
     // single zero-allocation merge pass instead of array_intersect's
     // per-pair hash set — the verification step dominates minhash cost
     // once bands are tuned for high recall, so this is the hot loop
-    candidates
+    val lshPairs = candidates
       .join(sigs.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .withColumn("jaccard", sortedJaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    if (!cappedBucketExactFallback || failOnCappedBuckets) lshPairs
+    else lshPairs.unionByName(
+        cappedExactPairs(sigs, banded, bigBuckets, threshold))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Auto-mitigation for capped LSH buckets: rows of over-cap buckets are
+    * routed through an EXACT duplicate pre-pass (hash-groupBy of the full
+    * shingle set) instead of being silently dropped. Correlated/boilerplate
+    * corpora — the documented quadratic regime — are dominated by exact
+    * copies, so a linear content-hash pass recovers the recall that the cap
+    * would otherwise cost without any all-pairs work: candidates shrink to
+    * one star (min-id head → others) per identical-content group, each still
+    * verified with the exact-jaccard kernel (hash-collision guard). Genuine
+    * NEAR-dups inside a capped bucket stay dropped — that trade-off is the
+    * cap's purpose; this pass removes only the silent-exact-dup failure
+    * mode. When no bucket is capped the semi-join against the broadcast
+    * bucket list is empty and the whole branch costs one empty shuffle. */
+  private def cappedExactPairs(sigs: DataFrame, banded: DataFrame,
+                               bigBuckets: DataFrame, threshold: Double): DataFrame = {
+    val cappedIds = banded.join(
+        broadcast(bigBuckets.select(col("band"), col("bucket"))),
+        Seq("band", "bucket"), "left_semi")
+      .select(col("id")).distinct()
+    val keyed = sigs.join(cappedIds, "id")
+      .withColumn("_ck", xxhash64(col("shingles")))
+    val heads = keyed.groupBy(col("_ck")).agg(min(col("id")).as("_head"))
+    keyed.join(heads, "_ck")
+      .where(col("id") > col("_head"))
+      .select(col("_head").as("id_a"), col("id").as("id_b"), col("shingles").as("sh_b"))
+      .join(sigs.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .withColumn("jaccard", sortedJaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -181,7 +217,8 @@ object Dedup {
                               idCol: String, textCol: String,
                               shingleSize: Int = 5, numHashes: Int = 32, bands: Int = 8,
                               threshold: Double = 0.7, maxBucketSize: Int = 1000,
-                              failOnCappedBuckets: Boolean = false): DataFrame = {
+                              failOnCappedBuckets: Boolean = false,
+                              cappedBucketExactFallback: Boolean = true): DataFrame = {
     val rowsPerBand = numHashes / bands
     val newSigs = minhashSignatures(newDocs, idCol, textCol, shingleSize, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -198,12 +235,32 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .select(col("a.id").as("id_new"), col("b.id").as("id_corpus"))
       .dropDuplicates("id_new", "id_corpus")
-    candidates
+    val lshPairs = candidates
       .join(newSigs.select(col("id").as("id_new"), col("shingles").as("sh_a")), "id_new")
       .join(corpusSigs.select(col("id").as("id_corpus"), col("shingles").as("sh_b")), "id_corpus")
       .withColumn("jaccard", sortedJaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_new"), col("id_corpus"), col("jaccard"))
+    if (!cappedBucketExactFallback || failOnCappedBuckets) lshPairs
+    else {
+      // capped-bucket mitigation, delta-shaped: exact-content hash join of
+      // the delta against ONLY the capped corpus rows — linear, never
+      // delta × bucket fan-out, recovers exact copies of boilerplate the
+      // cap pruned
+      val cappedCorpus = corpusSigs.join(
+          corpusBanded.join(broadcast(bigBuckets.select(col("band"), col("bucket"))),
+            Seq("band", "bucket"), "left_semi").select(col("id")).distinct(), "id")
+        .select(col("id").as("id_corpus"), col("shingles").as("sh_b"),
+          xxhash64(col("shingles")).as("_ck"))
+      val exact = newSigs
+        .select(col("id").as("id_new"), col("shingles").as("sh_a"),
+          xxhash64(col("shingles")).as("_ck"))
+        .join(cappedCorpus, "_ck")
+        .withColumn("jaccard", sortedJaccard(col("sh_a"), col("sh_b")))
+        .where(col("jaccard") >= threshold)
+        .select(col("id_new"), col("id_corpus"), col("jaccard"))
+      lshPairs.unionByName(exact).dropDuplicates("id_new", "id_corpus")
+    }
   }
 
   /** Skew guard shared by the LSH family: anti-join away rows of oversized

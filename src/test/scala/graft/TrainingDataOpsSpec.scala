@@ -415,4 +415,31 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert((resized.getRGB(8, 8) & 0xffffff) == 0x00ff00) // color survives the scale
     assert(out(2L) == null)
   }
+
+  test("capped LSH buckets route exact dups through the fallback instead of dropping them") {
+    // 40 identical boilerplate docs with maxBucketSize=10: every band bucket
+    // holds all 40 → every bucket is capped and the banding path yields
+    // NOTHING. The exact-content fallback must still surface the dups as
+    // star pairs (head=1), verified at jaccard 1.0 — recall on a
+    // boilerplate-heavy corpus no longer depends on reading the cap warning.
+    val boiler = (1L to 40L).map(i => (i, baseText)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashDuplicatePairs(boiler, "doc_id", "text",
+      shingleSize = 5, numHashes = 32, bands = 8, threshold = 0.5, maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs == (2L to 40L).map(j => (1L, j, 1.0)).toSet)
+
+    // fallback off → the old drop semantics (documented trade-off) remain
+    val dropped = Dedup.minhashDuplicatePairs(boiler, "doc_id", "text",
+      shingleSize = 5, numHashes = 32, bands = 8, threshold = 0.5, maxBucketSize = 10,
+      cappedBucketExactFallback = false)
+    assert(dropped.isEmpty)
+
+    // incremental shape: a delta twin of capped-corpus boilerplate surfaces
+    val store = Dedup.minhashSignatures(boiler, "doc_id", "text", 5, 32)
+    val delta = Seq((100L, baseText)).toDF("doc_id", "text")
+    val inc = Dedup.minhashIncrementalPairs(delta, store, "doc_id", "text",
+      shingleSize = 5, numHashes = 32, bands = 8, threshold = 0.5, maxBucketSize = 10)
+      .select("id_new", "id_corpus").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == (1L to 40L).map(j => (100L, j)).toSet)
+  }
 }
