@@ -1387,6 +1387,61 @@ object SparkEntry {
           "n_events" -> "count(*)",
           "sum_value" -> "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"))
         .transform(ev)
+    }),
+
+    // XML round-trip under the oracle (Spark 4 built-in xml source, q68's
+    // pattern): entity escaping both ways (<>&'"), unicode, embedded
+    // newline, and a null element (omitted on write, null on read) against
+    // the parquet-derived expected rows.
+    "q80_xml_roundtrip" -> ((s, dir) => {
+      implicit val c: ActionPipelineContext = ctx(s)
+      import scala.jdk.CollectionConverters._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q80").toString
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType), StructField("note", StringType)))
+      val tricky = s.createDataFrame(Seq[org.apache.spark.sql.Row](
+        org.apache.spark.sql.Row(9001, "<angle & amp>", 90, "quote \" and 'single'"),
+        org.apache.spark.sql.Row(9002, "é-ünïcode ✓", 91, "line one\nline two"),
+        org.apache.spark.sql.Row(9003, null, 92, null)).asJava, schema)
+      val data = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          concat(col("n_name"), lit(" <&> ")).as("note"))
+        .unionByName(tricky)
+      val xml = sources.XmlFileDataObject("q80_xml", s"$tmp/nation_xml",
+        rowTag = "nation", schema = Some(schema),
+        // faithful round-trip: the reader trims element whitespace by
+        // default, which would drop the planted trailing space
+        xmlOptions = Map("ignoreSurroundingSpaces" -> "false"))
+      xml.writeDataFrame(data)
+      xml.getDataFrame()
+    }),
+
+    // RelaxedCsvFileDataObject under the oracle: two file generations with
+    // DIFFERENT headers in one directory — one missing n_regionkey, one
+    // missing n_name but carrying an extra column — read through the
+    // per-distinct-header scan; missing columns null-fill, extra columns
+    // drop against the fixed schema.
+    "q81_relaxed_csv_headers" -> ((s, dir) => {
+      implicit val c: ActionPipelineContext = ctx(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q81").toString
+      val nation = t(s, dir, "nation")
+      def stageCsv(df: DataFrame, sub: String, out: String): Unit = {
+        df.coalesce(1).write.option("header", "true").csv(s"$tmp/$sub")
+        val part = new java.io.File(s"$tmp/$sub").listFiles()
+          .find(f => f.getName.endsWith(".csv")).get
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/mixed"))
+        java.nio.file.Files.copy(part.toPath,
+          java.nio.file.Paths.get(s"$tmp/mixed/$out"))
+      }
+      stageCsv(nation.select(col("n_nationkey"), col("n_name")), "g1", "gen1.csv")
+      stageCsv(nation.select(col("n_nationkey"), col("n_regionkey"),
+        lit("x").as("extra")), "g2", "gen2.csv")
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      sources.RelaxedCsvFileDataObject("q81_relaxed", s"$tmp/mixed",
+        schema = Some(schema)).getDataFrame()
     })
   )
 
@@ -2470,6 +2525,20 @@ object SparkEntry {
         |SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |  min(ts) AS window_start, max(ts) + INTERVAL 30 MINUTE AS window_end
-        |FROM g GROUP BY user_id, grp""".stripMargin
+        |FROM g GROUP BY user_id, grp""".stripMargin,
+
+    "q80_xml_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey, n_name || ' <&> ' AS note FROM nation
+        |UNION ALL
+        |SELECT * FROM (VALUES
+        |  (9001, '<angle & amp>', 90, 'quote "' || ' and ''single'''),
+        |  (9002, 'é-ünïcode ✓', 91, 'line one' || chr(10) || 'line two'),
+        |  (9003, CAST(NULL AS VARCHAR), 92, CAST(NULL AS VARCHAR)))
+        |  AS v(n_nationkey, n_name, n_regionkey, note)""".stripMargin,
+
+    "q81_relaxed_csv_headers" ->
+      """SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey FROM nation
+        |UNION ALL
+        |SELECT n_nationkey, CAST(NULL AS VARCHAR), n_regionkey FROM nation""".stripMargin
   )
 }
