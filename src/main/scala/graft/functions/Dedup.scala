@@ -116,33 +116,31 @@ object Dedup {
     // arrays — so the candidate-generation shuffle is a few bytes per row
     val banded = sigs.select(col("id"),
       posexplode(lshBandHashes(col("sig"), bands, rowsPerBand)).as(Seq("band", "bucket")))
-    // skew guard: drop oversized buckets (boilerplate docs). Oversized
-    // buckets are rare by construction → broadcast anti-join, no sort of
-    // the full banded set.
-    val bigBuckets = banded.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("_n")).where(col("_n") > maxBucketSize)
-    val pruned = guardBuckets(banded, bigBuckets, Seq("band", "bucket"),
-      failOnCappedBuckets, "minhash LSH")
-    val candidates = pruned.alias("a").join(pruned.alias("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
     // exact-jaccard verification only on the candidate set; shingle arrays
     // are sorted-distinct (native kernel), so the intersection size is a
     // single zero-allocation merge pass instead of array_intersect's
     // per-pair hash set — the verification step dominates minhash cost
     // once bands are tuned for high recall, so this is the hot loop
-    val lshPairs = candidates
+    def pairsOf(pruned: DataFrame): DataFrame = pruned.alias("a").join(pruned.alias("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
       .join(sigs.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
       .withColumn("jaccard", sortedJaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    if (!cappedBucketExactFallback || failOnCappedBuckets) lshPairs
-    else lshPairs.unionByName(
-        cappedExactPairs(sigs, banded, bigBuckets, threshold))
-      .dropDuplicates("id_a", "id_b")
+    probeCappedBuckets(banded, Seq("band", "bucket"), maxBucketSize,
+        failOnCappedBuckets, "minhash LSH") match {
+      case None => pairsOf(banded)
+      case Some(big) =>
+        val pruned = banded.join(broadcast(big), Seq("band", "bucket"), "left_anti")
+        if (!cappedBucketExactFallback) pairsOf(pruned)
+        else pairsOf(pruned).unionByName(
+            cappedExactPairs(sigs, banded, big, threshold))
+          .dropDuplicates("id_a", "id_b")
+    }
   }
 
   /** Auto-mitigation for capped LSH buckets: rows of over-cap buckets are
@@ -155,8 +153,8 @@ object Dedup {
     * verified with the exact-jaccard kernel (hash-collision guard). Genuine
     * NEAR-dups inside a capped bucket stay dropped — that trade-off is the
     * cap's purpose; this pass removes only the silent-exact-dup failure
-    * mode. When no bucket is capped the semi-join against the broadcast
-    * bucket list is empty and the whole branch costs one empty shuffle. */
+    * mode. Only built when the eager probe found capped buckets — the
+    * common uncapped case never pays for these stages. */
   private def cappedExactPairs(sigs: DataFrame, banded: DataFrame,
                                bigBuckets: DataFrame, threshold: Double): DataFrame = {
     val cappedIds = banded.join(
@@ -227,64 +225,73 @@ object Dedup {
     val corpusBanded = banded(corpusSigs)
     // skew guard on the CORPUS side: an oversized corpus bucket (boilerplate)
     // would fan every matching delta row out maxBucketSize-fold
-    val bigBuckets = corpusBanded.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("_n")).where(col("_n") > maxBucketSize)
-    val prunedCorpus = guardBuckets(corpusBanded, bigBuckets, Seq("band", "bucket"),
-      failOnCappedBuckets, "incremental minhash LSH")
-    val candidates = banded(newSigs).alias("a").join(prunedCorpus.alias("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
-      .select(col("a.id").as("id_new"), col("b.id").as("id_corpus"))
-      .dropDuplicates("id_new", "id_corpus")
-    val lshPairs = candidates
-      .join(newSigs.select(col("id").as("id_new"), col("shingles").as("sh_a")), "id_new")
-      .join(corpusSigs.select(col("id").as("id_corpus"), col("shingles").as("sh_b")), "id_corpus")
-      .withColumn("jaccard", sortedJaccard(col("sh_a"), col("sh_b")))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_new"), col("id_corpus"), col("jaccard"))
-    if (!cappedBucketExactFallback || failOnCappedBuckets) lshPairs
-    else {
-      // capped-bucket mitigation, delta-shaped: exact-content hash join of
-      // the delta against ONLY the capped corpus rows — linear, never
-      // delta × bucket fan-out, recovers exact copies of boilerplate the
-      // cap pruned
-      val cappedCorpus = corpusSigs.join(
-          corpusBanded.join(broadcast(bigBuckets.select(col("band"), col("bucket"))),
-            Seq("band", "bucket"), "left_semi").select(col("id")).distinct(), "id")
-        .select(col("id").as("id_corpus"), col("shingles").as("sh_b"),
-          xxhash64(col("shingles")).as("_ck"))
-      val exact = newSigs
-        .select(col("id").as("id_new"), col("shingles").as("sh_a"),
-          xxhash64(col("shingles")).as("_ck"))
-        .join(cappedCorpus, "_ck")
+    def pairsOf(prunedCorpus: DataFrame): DataFrame =
+      banded(newSigs).alias("a").join(prunedCorpus.alias("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+        .select(col("a.id").as("id_new"), col("b.id").as("id_corpus"))
+        .dropDuplicates("id_new", "id_corpus")
+        .join(newSigs.select(col("id").as("id_new"), col("shingles").as("sh_a")), "id_new")
+        .join(corpusSigs.select(col("id").as("id_corpus"), col("shingles").as("sh_b")), "id_corpus")
         .withColumn("jaccard", sortedJaccard(col("sh_a"), col("sh_b")))
         .where(col("jaccard") >= threshold)
         .select(col("id_new"), col("id_corpus"), col("jaccard"))
-      lshPairs.unionByName(exact).dropDuplicates("id_new", "id_corpus")
+    probeCappedBuckets(corpusBanded, Seq("band", "bucket"), maxBucketSize,
+        failOnCappedBuckets, "incremental minhash LSH") match {
+      case None => pairsOf(corpusBanded)
+      case Some(big) =>
+        val prunedCorpus = corpusBanded.join(broadcast(big), Seq("band", "bucket"), "left_anti")
+        val lshPairs = pairsOf(prunedCorpus)
+        if (!cappedBucketExactFallback) lshPairs
+        else {
+          // capped-bucket mitigation, delta-shaped: exact-content hash join of
+          // the delta against ONLY the capped corpus rows — linear, never
+          // delta × bucket fan-out, recovers exact copies of boilerplate the
+          // cap pruned
+          val cappedCorpus = corpusSigs.join(
+              corpusBanded.join(broadcast(big.select(col("band"), col("bucket"))),
+                Seq("band", "bucket"), "left_semi").select(col("id")).distinct(), "id")
+            .select(col("id").as("id_corpus"), col("shingles").as("sh_b"),
+              xxhash64(col("shingles")).as("_ck"))
+          val exact = newSigs
+            .select(col("id").as("id_new"), col("shingles").as("sh_a"),
+              xxhash64(col("shingles")).as("_ck"))
+            .join(cappedCorpus, "_ck")
+            .withColumn("jaccard", sortedJaccard(col("sh_a"), col("sh_b")))
+            .where(col("jaccard") >= threshold)
+            .select(col("id_new"), col("id_corpus"), col("jaccard"))
+          lshPairs.unionByName(exact).dropDuplicates("id_new", "id_corpus")
+        }
     }
   }
 
-  /** Skew guard shared by the LSH family: anti-join away rows of oversized
-    * buckets — or, when the caller depends on exhaustive recall
-    * (`failOnCapped`), poison the plan with an in-flight `raise_error` so a
-    * capped bucket fails the query loudly instead of silently dropping
-    * pairs. The check rides the existing broadcast (one extra 1-row
-    * aggregate), keeping the whole thing lazy/declarative. */
-  private def guardBuckets(banded: DataFrame, bigBuckets: DataFrame,
-                           keyCols: Seq[String], failOnCapped: Boolean,
-                           what: String): DataFrame = {
-    val pruned = banded.join(broadcast(bigBuckets.select(keyCols.map(col): _*)),
-      keyCols, "left_anti")
-    if (!failOnCapped) pruned
-    else {
-      val cappedCount = bigBuckets.agg(count(lit(1)).as("_capped"))
-      pruned.join(broadcast(cappedCount))
-        .where(when(col("_capped") > 0,
-          raise_error(concat(lit(s"$what: "), col("_capped"),
-            lit(" bucket(s) exceeded maxBucketSize — exhaustive recall not guaranteed; " +
-              "raise maxBucketSize or reduce maxHamming/bands"))))
-          .otherwise(lit(true)))
-        .drop("_capped")
-    }
+  /** Skew guard shared by the LSH family, probed EAGERLY: aggregate the
+    * banded set once for the over-cap bucket list and branch on whether any
+    * bucket is actually capped. Returns None when none are (the
+    * overwhelmingly common case) so callers emit the clean plan — no
+    * anti-join, no fallback stages, no extra pair-dedup shuffle; the probe
+    * costs exactly the aggregation pass the broadcast build side would have
+    * run anyway, so at 100 TB this trades one extra job submission for a
+    * strictly smaller plan. When buckets ARE capped the (tiny, over-cap-only)
+    * list comes back persisted so the anti-join and the exact-dup fallback
+    * share one computation instead of re-aggregating the full banded set
+    * each. `failOnCapped` fails here, at construction, with the count —
+    * previously a lazy raise_error rode a one-row broadcast carrier that
+    * showed up as a BroadcastNestedLoopJoin in every guarded plan. */
+  private def probeCappedBuckets(banded: DataFrame, keyCols: Seq[String],
+                                 maxBucketSize: Int, failOnCapped: Boolean,
+                                 what: String): Option[DataFrame] = {
+    val bigBuckets = banded.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_n")).where(col("_n") > maxBucketSize)
+      .select(keyCols.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = bigBuckets.count()
+    if (n == 0) { bigBuckets.unpersist(); None }
+    else if (failOnCapped) {
+      bigBuckets.unpersist()
+      throw new IllegalStateException(
+        s"$what: $n bucket(s) exceeded maxBucketSize — exhaustive recall not " +
+          "guaranteed; raise maxBucketSize or reduce maxHamming/bands")
+    } else Some(bigBuckets)
   }
 
   /** Rebalance a DataFrame to the session's shuffle parallelism if it has
@@ -500,10 +507,11 @@ object Dedup {
         posexplode(transform(combosLit,
           c => xxhash64(transform(c, p => element_at(col("_blocks"), p + 1)))))
           .as(Seq("block", "bkey")))
-    val bigBuckets = blocked.groupBy(col("block"), col("bkey"))
-      .agg(count(lit(1)).as("_n")).where(col("_n") > maxBucketSize)
-    val guarded = guardBuckets(blocked, bigBuckets, Seq("block", "bkey"),
-      failOnCappedBuckets, "simhash blocking")
+    val guarded = probeCappedBuckets(blocked, Seq("block", "bkey"), maxBucketSize,
+        failOnCappedBuckets, "simhash blocking") match {
+      case None => blocked
+      case Some(big) => blocked.join(broadcast(big), Seq("block", "bkey"), "left_anti")
+    }
     // verify BEFORE dedup: unlike minhash (whose jaccard verification joins
     // shingle arrays and so must run on the deduped candidate set), the
     // hamming check is two longs through codegen'd bit_count — filtering

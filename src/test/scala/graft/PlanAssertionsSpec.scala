@@ -101,18 +101,14 @@ class PlanAssertionsSpec extends AnyFunSuite {
     // every query's physical plan, including ones added later — the two
     // operators banned here are the classic silent 100 TB killers (a theta
     // join or a missing equi-condition compiles fine and runs forever).
-    // Allowed exception: the failOnCappedBuckets guard joins a ONE-ROW
-    // broadcast count with no condition (a scalar carrier keeping the
-    // whole check lazy) — that prints as BroadcastNestedLoopJoin but its
-    // build side is exactly one row by construction.
-    val allowed = Map(
-      "q28_simhash_pairs" -> Set("BroadcastNestedLoopJoin"),
-      "q46_simhash_planted_recall" -> Set("BroadcastNestedLoopJoin"))
+    // No exceptions: the failOnCappedBuckets guard used to ride a one-row
+    // broadcast carrier (printed as BroadcastNestedLoopJoin); since the
+    // eager capped-bucket probe it fails at construction instead, so every
+    // plan must be clean.
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       Seq("CartesianProduct", "BroadcastNestedLoopJoin").collect {
-        case op if p.contains(op) && !allowed.getOrElse(name, Set.empty).contains(op) =>
-          s"$name: $op"
+        case op if p.contains(op) => s"$name: $op"
       }
     }
     assert(offenders.isEmpty, s"quadratic join shapes: ${offenders.mkString("; ")}")

@@ -442,4 +442,16 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       .select("id_new", "id_corpus").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(inc == (1L to 40L).map(j => (100L, j)).toSet)
   }
+
+  test("failOnCappedBuckets fails at construction with the capped-bucket count") {
+    // the eager probe replaces the old lazy raise_error carrier: a corpus
+    // whose every bucket is capped must throw when the pair frame is BUILT
+    // (not when some downstream action finally runs), carrying the count
+    val boiler = (1L to 40L).map(i => (i, baseText)).toDF("doc_id", "text")
+    val e = intercept[IllegalStateException](
+      Dedup.minhashDuplicatePairs(boiler, "doc_id", "text",
+        shingleSize = 5, numHashes = 32, bands = 8, threshold = 0.5,
+        maxBucketSize = 10, failOnCappedBuckets = true))
+    assert(e.getMessage.contains("exceeded maxBucketSize"))
+  }
 }
