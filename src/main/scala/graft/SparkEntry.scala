@@ -1442,6 +1442,79 @@ object SparkEntry {
         StructField("n_regionkey", IntegerType)))
       sources.RelaxedCsvFileDataObject("q81_relaxed", s"$tmp/mixed",
         schema = Some(schema)).getDataFrame()
+    }),
+
+    // FileIncrementalMoveMode under the oracle (reference
+    // FileIncrementalMoveMode.scala): load 1 ingests generation 1 and the
+    // mode CONSUMES the source files after the write; generation 2 lands;
+    // load 2 sees only it. The load_nr stamp hash-encodes exactly-once file
+    // processing: had the move failed, load 2 would re-ingest generation 1
+    // and those rows would appear under both stamps, failing rows+hash. At
+    // 100 TB this is the landing-zone pattern — each run's cost follows the
+    // files that arrived, not the archive.
+    "q82_file_move_incremental" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q82").toString
+      val nation = t(s, dir, "nation")
+      def cfg(loadNr: Int) =
+        s"""dataObjects:
+           |  lz: {type: parquet, path: $tmp/src}
+           |  ing: {type: parquet, path: $tmp/dst}
+           |actions:
+           |  ingest:
+           |    type: copy
+           |    inputId: lz
+           |    outputId: ing
+           |    saveMode: append
+           |    executionMode: {type: fileMove}
+           |    transformers:
+           |      - {type: additionalColumns, additionalColumns: {load_nr: "$loadNr"}}
+           |    metadata: {feed: mv}
+           |""".stripMargin
+      nation.where(col("n_nationkey") < 12).write.parquet(s"$tmp/src")
+      core.PipelineRunner.run(cfg(1), s, feedSel = Some("mv"))
+      nation.where(col("n_nationkey") >= 12).write.parquet(s"$tmp/src")
+      core.PipelineRunner.run(cfg(2), s, feedSel = Some("mv"))
+      s.read.parquet(s"$tmp/dst")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"), col("load_nr"))
+    }),
+
+    // DataObjectStateIncrementalMode under the oracle (reference
+    // DataObjectStateIncrementalMode.scala:31-60): two STATEFUL CLI runs
+    // sharing a state path. Load 1 reads everything and postExec advances
+    // the source's mod-time watermark into the run state; load 2 restores
+    // it and its scan carries `modifiedAfter`, so only generation-2 files
+    // are read — unlike q82 the source is never mutated, the increment
+    // lives entirely in the persisted state.
+    "q83_state_incremental" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q83").toString
+      val nation = t(s, dir, "nation")
+      def cfg(loadNr: Int) =
+        s"""dataObjects:
+           |  src83: {type: parquet, path: $tmp/src}
+           |  dst83: {type: parquet, path: $tmp/dst}
+           |actions:
+           |  load:
+           |    type: copy
+           |    inputId: src83
+           |    outputId: dst83
+           |    saveMode: append
+           |    executionMode: {type: stateIncremental}
+           |    transformers:
+           |      - {type: additionalColumns, additionalColumns: {load_nr: "$loadNr"}}
+           |    metadata: {feed: st}
+           |""".stripMargin
+      def runLoad(loadNr: Int): Unit = {
+        val cfgPath = s"$tmp/pipeline_$loadNr.conf"
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(cfgPath), cfg(loadNr))
+        app.GraftApp.run(app.GraftApp.CliArgs(configPaths = Seq(cfgPath),
+          feedSel = Some("st"), statePath = Some(s"$tmp/state"), appName = "q83"), s)
+      }
+      nation.where(col("n_nationkey") < 12).write.parquet(s"$tmp/src")
+      runLoad(1)
+      nation.where(col("n_nationkey") >= 12).write.mode("append").parquet(s"$tmp/src")
+      runLoad(2)
+      s.read.parquet(s"$tmp/dst")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"), col("load_nr"))
     })
   )
 
@@ -2539,6 +2612,16 @@ object SparkEntry {
     "q81_relaxed_csv_headers" ->
       """SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey FROM nation
         |UNION ALL
-        |SELECT n_nationkey, CAST(NULL AS VARCHAR), n_regionkey FROM nation""".stripMargin
+        |SELECT n_nationkey, CAST(NULL AS VARCHAR), n_regionkey FROM nation""".stripMargin,
+
+    "q82_file_move_incremental" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+        |  CASE WHEN n_nationkey < 12 THEN 1 ELSE 2 END AS load_nr
+        |FROM nation""".stripMargin,
+
+    "q83_state_incremental" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+        |  CASE WHEN n_nationkey < 12 THEN 1 ELSE 2 END AS load_nr
+        |FROM nation""".stripMargin
   )
 }

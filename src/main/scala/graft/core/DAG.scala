@@ -125,6 +125,11 @@ class ActionDAGRun(actions: Seq[Action], parallelism: Int = 1,
                 if (failing.nonEmpty) throw new IllegalStateException(
                   s"Action ${action.id}: metricsFailCondition '$expr' matched: ${failing.mkString(", ")}")
               }
+              // mode post-processing (move processed files, advance
+              // mod-time watermarks) only after the write landed AND the
+              // metrics gate passed — a failed run must not consume inputs
+              if (phase == ExecutionPhase.Exec)
+                action.executionMode.foreach(_.postExec(action))
               results(action.id) = out
               if (phase == ExecutionPhase.Exec) onActionComplete(action.id, out)
             } catch {

@@ -13,6 +13,11 @@ import org.apache.spark.sql.functions._
 trait ExecutionMode extends Serializable {
   /** Narrow the input SubFeed (select partitions / attach filtered DataFrame). */
   def apply(action: Action, in: SubFeed)(implicit ctx: ActionPipelineContext): SubFeed
+  /** Called by the DAG after the action's exec succeeded (and its
+    * metricsFailCondition passed): advance watermarks / move processed
+    * files. Reference `ExecutionMode.postExec` — without this hook the
+    * incremental modes silently reprocess everything every run. */
+  def postExec(action: Action)(implicit ctx: ActionPipelineContext): Unit = ()
 }
 
 /** Thrown when a mode determines there is nothing to process; the DAG marks
@@ -120,14 +125,46 @@ case class DataObjectStateIncrementalMode() extends ExecutionMode {
       case o => throw new IllegalArgumentException(s"${o.id} does not support incremental state")
     }
   }
+  /** Advance the file-object watermark to the max data-file modification
+    * time just processed — the next run's read then carries
+    * `modifiedAfter` and touches only newer files. Strictly-after
+    * semantics match Spark's filter and the reference: the boundary file
+    * itself is excluded. A file landing between the exec read and this
+    * listing with an older-or-equal mod time would be skipped — the same
+    * inherent race the reference's mod-time increments have; sources with
+    * self-managed offsets (Kafka/JDBC) advance their own state instead. */
+  override def postExec(action: Action)(implicit ctx: ActionPipelineContext): Unit =
+    ctx.registry.dataObject(action.inputIds.head) match {
+      case f: SparkFileDataObject =>
+        val p = new org.apache.hadoop.fs.Path(f.path)
+        val fs = p.getFileSystem(ctx.spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) {
+          val it = fs.listFiles(p, true)
+          var maxT = -1L
+          while (it.hasNext) {
+            val s = it.next()
+            val n = s.getPath.getName
+            if (!n.startsWith("_") && !n.startsWith("."))
+              maxT = math.max(maxT, s.getModificationTime)
+          }
+          // modifiedAfter is parsed in the SESSION timezone — format the
+          // state string in the same zone or the threshold shifts
+          val zone = java.time.ZoneId.of(ctx.spark.conf.get(
+            "spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID))
+          if (maxT >= 0) f.setState(Some(
+            java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS")
+              .withZone(zone).format(java.time.Instant.ofEpochMilli(maxT))))
+        }
+      case _ => ()
+    }
 }
 
 /** Process files then delete (or archive) inputs. Reference
   * `FileIncrementalMoveMode.scala`. */
 case class FileIncrementalMoveMode(archivePath: Option[String] = None) extends ExecutionMode {
   override def apply(action: Action, in: SubFeed)(implicit ctx: ActionPipelineContext): SubFeed = in
-  /** called by the action after a successful write */
-  def postExec(action: Action)(implicit ctx: ActionPipelineContext): Unit = {
+  /** called by the DAG after a successful write */
+  override def postExec(action: Action)(implicit ctx: ActionPipelineContext): Unit = {
     import org.apache.hadoop.fs.Path
     ctx.registry.dataObject(action.inputIds.head) match {
       case f: SparkFileDataObject =>
