@@ -23,6 +23,21 @@ class ActionDAGRun(actions: Seq[Action], parallelism: Int = 1,
   private val producers: Map[String, Action] =
     actions.flatMap(a => a.outputIds.map(_ -> a)).toMap
 
+  // A FileIncrementalMoveMode action consumes (moves/deletes) its input in
+  // postExec — another action reading the same DataObject would race the
+  // move and see a partial or empty source. Reject at build time.
+  actions.foreach { a =>
+    a.executionMode match {
+      case Some(_: graft.operators.modes.FileIncrementalMoveMode) =>
+        val moved = a.inputIds.head
+        val others = actions.filter(o => o.id != a.id && o.inputIds.contains(moved))
+        require(others.isEmpty,
+          s"Action ${a.id}: FileIncrementalMoveMode consumes input '$moved', but " +
+            s"${others.map(_.id).mkString(", ")} also read(s) it — the move would race their reads")
+      case _ => ()
+    }
+  }
+
   /** edges: predecessor action -> successor action */
   private val edges: Map[String, Seq[String]] = {
     val e = for {
@@ -77,6 +92,12 @@ class ActionDAGRun(actions: Seq[Action], parallelism: Int = 1,
               (implicit ctx: ActionPipelineContext): Map[String, Seq[SubFeed]] =
     runPhase(ExecutionPhase.Init, initialSubFeeds)(ctx)
 
+  /** Dependency-triggered scheduling: an action starts the moment ITS
+    * predecessors complete, not when a whole topological layer drains
+    * (reference `util/dag/DAG.scala:106-141` schedules per-task the same
+    * way). With heterogeneous branch costs a layer barrier idles the
+    * cluster behind the slowest sibling — at 100-action scale the fast
+    * branch's downstream work should overlap the slow branch's tail. */
   private def runPhase(phase: ExecutionPhase, initialSubFeeds: Seq[SubFeed])
                       (ctx0: ActionPipelineContext): Map[String, Seq[SubFeed]] = {
     implicit val c: ActionPipelineContext = ctx0.copy(phase = phase)
@@ -84,67 +105,83 @@ class ActionDAGRun(actions: Seq[Action], parallelism: Int = 1,
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val results = scala.collection.concurrent.TrieMap.empty[String, Seq[SubFeed]]
     val skipped = scala.collection.concurrent.TrieMap.empty[String, Boolean]
-    try {
-      layers.foreach { layer =>
-        val fs = layer.map { action =>
-          Future {
-            val inputs = action.inputIds.flatMap { inId =>
-              producers.get(inId) match {
-                case Some(p) => results.getOrElse(p.id, Seq.empty).filter(_.dataObjectId == inId)
-                case None => initialSubFeeds.filter(_.dataObjectId == inId)
-              }
-            }
-            // skip decision (reference Action.checkExecutionCondition:186-207):
-            // a custom executionCondition REPLACES the default "skip if any
-            // input is skipped" rule — condition true = run
-            val shouldSkip = action.executionCondition match {
-              case Some(cond) if phase == ExecutionPhase.Exec =>
-                // every declared input is visible to the expression, source
-                // inputs (no producer) as non-skipped placeholders
-                val condInputs = action.inputIds.map(inId =>
-                  inputs.find(_.dataObjectId == inId).getOrElse(SubFeed(inId)))
-                !ConditionEvaluator.evalExecutionCondition(cond, condInputs)
-              case Some(_) => false // condition needs exec-phase metrics; run init
-              case None =>
-                action.inputIds.exists(inId => producers.get(inId).exists(p => skipped.getOrElse(p.id, false)))
-            }
-            if (shouldSkip) {
-              skipped(action.id) = true
-              results(action.id) = action.outputIds.map(SubFeed(_, isSkipped = true))
-            } else try {
-              val out = phase match {
-                case ExecutionPhase.Init => action.init(inputs)
-                case ExecutionPhase.Exec => action.exec(inputs)
-                case ExecutionPhase.Prepare => Seq.empty
-              }
-              // metricsFailCondition: a matching metric row fails the run
-              // AFTER the write (reference Action.scala:119) — data landed,
-              // but the run is marked failed for the operator to inspect
-              if (phase == ExecutionPhase.Exec) action.metricsFailCondition.foreach { expr =>
-                val failing = ConditionEvaluator.failingMetrics(expr, out)
-                if (failing.nonEmpty) throw new IllegalStateException(
-                  s"Action ${action.id}: metricsFailCondition '$expr' matched: ${failing.mkString(", ")}")
-              }
-              // mode post-processing (move processed files, advance
-              // mod-time watermarks) only after the write landed AND the
-              // metrics gate passed — a failed run must not consume inputs
-              if (phase == ExecutionPhase.Exec)
-                action.executionMode.foreach(_.postExec(action))
-              results(action.id) = out
-              if (phase == ExecutionPhase.Exec) onActionComplete(action.id, out)
-            } catch {
-              case w: NoDataToProcessWarning =>
-                skipped(action.id) = true
-                val out = action.outputIds.map(SubFeed(_, isSkipped = true))
-                results(action.id) = out
-                if (phase == ExecutionPhase.Exec) onActionComplete(action.id, out)
-            }
-          }
+
+    def runAction(action: Action): Unit = {
+      val inputs = action.inputIds.flatMap { inId =>
+        producers.get(inId) match {
+          case Some(p) => results.getOrElse(p.id, Seq.empty).filter(_.dataObjectId == inId)
+          case None => initialSubFeeds.filter(_.dataObjectId == inId)
         }
-        Await.result(Future.sequence(fs), Duration.Inf)
       }
+      // skip decision (reference Action.checkExecutionCondition:186-207):
+      // a custom executionCondition REPLACES the default "skip if any
+      // input is skipped" rule — condition true = run
+      val shouldSkip = action.executionCondition match {
+        case Some(cond) if phase == ExecutionPhase.Exec =>
+          // every declared input is visible to the expression, source
+          // inputs (no producer) as non-skipped placeholders
+          val condInputs = action.inputIds.map(inId =>
+            inputs.find(_.dataObjectId == inId).getOrElse(SubFeed(inId)))
+          !ConditionEvaluator.evalExecutionCondition(cond, condInputs)
+        case Some(_) => false // condition needs exec-phase metrics; run init
+        case None =>
+          action.inputIds.exists(inId => producers.get(inId).exists(p => skipped.getOrElse(p.id, false)))
+      }
+      if (shouldSkip) {
+        skipped(action.id) = true
+        results(action.id) = action.outputIds.map(SubFeed(_, isSkipped = true))
+      } else try {
+        val out = phase match {
+          case ExecutionPhase.Init => action.init(inputs)
+          case ExecutionPhase.Exec => action.exec(inputs)
+          case ExecutionPhase.Prepare => Seq.empty
+        }
+        // metricsFailCondition: a matching metric row fails the run
+        // AFTER the write (reference Action.scala:119) — data landed,
+        // but the run is marked failed for the operator to inspect
+        if (phase == ExecutionPhase.Exec) action.metricsFailCondition.foreach { expr =>
+          val failing = ConditionEvaluator.failingMetrics(expr, out)
+          if (failing.nonEmpty) throw new IllegalStateException(
+            s"Action ${action.id}: metricsFailCondition '$expr' matched: ${failing.mkString(", ")}")
+        }
+        // mode post-processing (move processed files, advance mod-time
+        // watermarks) only after the write landed AND the metrics gate
+        // passed — a failed run must not consume inputs. Destructive hooks
+        // (fileMove) are additionally guarded at DAG build: no other action
+        // may consume the same input.
+        if (phase == ExecutionPhase.Exec)
+          action.executionMode.foreach(_.postExec(action))
+        results(action.id) = out
+        if (phase == ExecutionPhase.Exec) onActionComplete(action.id, out)
+      } catch {
+        case w: NoDataToProcessWarning =>
+          skipped(action.id) = true
+          val out = action.outputIds.map(SubFeed(_, isSkipped = true))
+          results(action.id) = out
+          if (phase == ExecutionPhase.Exec) onActionComplete(action.id, out)
+      }
+    }
+
+    try {
+      // Build one future per action chained on its predecessors' futures.
+      // `layers` (topo order) guarantees every predecessor is registered
+      // before its dependents; a failed predecessor future fails the
+      // dependent chain without running it, while INDEPENDENT branches
+      // keep running to completion.
+      val futures = scala.collection.mutable.LinkedHashMap.empty[String, Future[Unit]]
+      layers.flatten.foreach { action =>
+        val preds = action.inputIds.flatMap(producers.get).map(_.id).distinct.flatMap(futures.get)
+        futures(action.id) =
+          if (preds.isEmpty) Future(runAction(action))
+          else Future.sequence(preds).map(_ => runAction(action))
+      }
+      // settle EVERY action (in-flight work is not abandoned on the first
+      // failure), then surface the first failure in scheduling order
+      val settled = futures.values.toSeq.map(_.transform(scala.util.Success(_)))
+      val outcomes = Await.result(Future.sequence(settled), Duration.Inf)
+      outcomes.collectFirst { case scala.util.Failure(e) => throw e }
+      results.toMap
     } finally pool.shutdown()
-    results.toMap
   }
 }
 

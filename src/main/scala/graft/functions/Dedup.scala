@@ -113,7 +113,11 @@ object Dedup {
                            failOnCappedBuckets: Boolean = false,
                            cappedBucketExactFallback: Boolean = true): DataFrame = {
     // band explode carries only (id, band, bucket) — never the shingle
-    // arrays — so the candidate-generation shuffle is a few bytes per row
+    // arrays — so the candidate-generation shuffle is a few bytes per row.
+    // (Measured dead end: an explicit repartition(band, bucket) here to
+    // share one exchange across the guard/join consumers makes every
+    // query 1.2-2× SLOWER — the narrow banding recompute per consumer is
+    // cheaper than forcing all consumers through one full shuffle.)
     val banded = sigs.select(col("id"),
       posexplode(lshBandHashes(col("sig"), bands, rowsPerBand)).as(Seq("band", "bucket")))
     // exact-jaccard verification only on the candidate set; shingle arrays
@@ -131,43 +135,57 @@ object Dedup {
       .withColumn("jaccard", sortedJaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    probeCappedBuckets(banded, Seq("band", "bucket"), maxBucketSize,
-        failOnCappedBuckets, "minhash LSH") match {
-      case None => pairsOf(banded)
-      case Some(big) =>
-        val pruned = banded.join(broadcast(big), Seq("band", "bucket"), "left_anti")
-        if (!cappedBucketExactFallback) pairsOf(pruned)
-        else pairsOf(pruned).unionByName(
-            cappedExactPairs(sigs, banded, big, threshold))
-          .dropDuplicates("id_a", "id_b")
+    if (failOnCappedBuckets) {
+      assertNoCappedBuckets(banded, Seq("band", "bucket"), maxBucketSize, "minhash LSH")
+      pairsOf(banded)
+    } else {
+      // lazy skew guard: the over-cap bucket list is a broadcast anti-join
+      // build side INSIDE the plan — no job at construction (init phases
+      // stay job-free), and the aggregation overlaps the main query
+      // instead of running as a separate synchronous probe
+      val bigBuckets = banded.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("_n")).where(col("_n") > maxBucketSize)
+        .select(col("band"), col("bucket"))
+      val pruned = banded.join(broadcast(bigBuckets), Seq("band", "bucket"), "left_anti")
+      val lshPairs = pairsOf(pruned)
+      if (!cappedBucketExactFallback) lshPairs
+      else lshPairs.unionByName(exactStarPairs(sigs, threshold))
+        .dropDuplicates("id_a", "id_b")
     }
   }
 
-  /** Auto-mitigation for capped LSH buckets: rows of over-cap buckets are
-    * routed through an EXACT duplicate pre-pass (hash-groupBy of the full
-    * shingle set) instead of being silently dropped. Correlated/boilerplate
+  /** Auto-mitigation for capped LSH buckets: an EXACT duplicate star pass
+    * (hash-groupBy of the full shingle set, min-id head → members) over the
+    * WHOLE corpus, unioned with the LSH pairs. Correlated/boilerplate
     * corpora — the documented quadratic regime — are dominated by exact
-    * copies, so a linear content-hash pass recovers the recall that the cap
-    * would otherwise cost without any all-pairs work: candidates shrink to
-    * one star (min-id head → others) per identical-content group, each still
-    * verified with the exact-jaccard kernel (hash-collision guard). Genuine
-    * NEAR-dups inside a capped bucket stay dropped — that trade-off is the
-    * cap's purpose; this pass removes only the silent-exact-dup failure
-    * mode. Only built when the eager probe found capped buckets — the
-    * common uncapped case never pays for these stages. */
-  private def cappedExactPairs(sigs: DataFrame, banded: DataFrame,
-                               bigBuckets: DataFrame, threshold: Double): DataFrame = {
-    val cappedIds = banded.join(
-        broadcast(bigBuckets.select(col("band"), col("bucket"))),
-        Seq("band", "bucket"), "left_semi")
-      .select(col("id")).distinct()
-    val keyed = sigs.join(cappedIds, "id")
-      .withColumn("_ck", xxhash64(col("shingles")))
-    val heads = keyed.groupBy(col("_ck")).agg(min(col("id")).as("_head"))
-    keyed.join(heads, "_ck")
+    * copies, so this linear pass recovers the recall the cap would
+    * silently cost, wherever the copies land: inside capped buckets (where
+    * banding yields nothing) the star pairs are the recovery; inside
+    * uncapped buckets the LSH output already contains them and the
+    * caller's pair-dedup absorbs the overlap. Genuine NEAR-dups inside a
+    * capped bucket stay dropped — that trade-off is the cap's purpose.
+    *
+    * Plan shape: only (id, content-hash) ever shuffles — two slim
+    * exchanges, independent of the banding stages. Each verification join
+    * (hash-collision guard) streams the fat signature frame and broadcasts
+    * the star side, which is empty/tiny in real corpora; when empty, AQE's
+    * empty-relation propagation collapses the stages before any fat
+    * exchange is submitted. (Earlier capped-rows-only designs recomputed
+    * the banded frame or shuffled the signature store just to find the
+    * capped ids — measurably slower even with zero capped buckets.) */
+  private def exactStarPairs(sigs: DataFrame, threshold: Double): DataFrame = {
+    val slim = sigs.select(col("id"), xxhash64(col("shingles")).as("_ck"))
+    val heads = slim.groupBy(col("_ck"))
+      .agg(min(col("id")).as("_head"), count(lit(1)).as("_n"))
+      .where(col("_n") > 1)
+      .select(col("_ck"), col("_head"))
+    val star = slim.join(heads, "_ck")
       .where(col("id") > col("_head"))
-      .select(col("_head").as("id_a"), col("id").as("id_b"), col("shingles").as("sh_b"))
-      .join(sigs.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .select(col("_head").as("id_a"), col("id").as("id_b"))
+    val withA = sigs.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+      .join(broadcast(star), "id_a")
+    sigs.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+      .join(broadcast(withA), "id_b")
       .withColumn("jaccard", sortedJaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -235,64 +253,79 @@ object Dedup {
         .withColumn("jaccard", sortedJaccard(col("sh_a"), col("sh_b")))
         .where(col("jaccard") >= threshold)
         .select(col("id_new"), col("id_corpus"), col("jaccard"))
-    probeCappedBuckets(corpusBanded, Seq("band", "bucket"), maxBucketSize,
-        failOnCappedBuckets, "incremental minhash LSH") match {
-      case None => pairsOf(corpusBanded)
-      case Some(big) =>
-        val prunedCorpus = corpusBanded.join(broadcast(big), Seq("band", "bucket"), "left_anti")
-        val lshPairs = pairsOf(prunedCorpus)
-        if (!cappedBucketExactFallback) lshPairs
-        else {
-          // capped-bucket mitigation, delta-shaped: exact-content hash join of
-          // the delta against ONLY the capped corpus rows — linear, never
-          // delta × bucket fan-out, recovers exact copies of boilerplate the
-          // cap pruned
-          val cappedCorpus = corpusSigs.join(
-              corpusBanded.join(broadcast(big.select(col("band"), col("bucket"))),
-                Seq("band", "bucket"), "left_semi").select(col("id")).distinct(), "id")
-            .select(col("id").as("id_corpus"), col("shingles").as("sh_b"),
-              xxhash64(col("shingles")).as("_ck"))
-          val exact = newSigs
-            .select(col("id").as("id_new"), col("shingles").as("sh_a"),
-              xxhash64(col("shingles")).as("_ck"))
-            .join(cappedCorpus, "_ck")
-            .withColumn("jaccard", sortedJaccard(col("sh_a"), col("sh_b")))
-            .where(col("jaccard") >= threshold)
-            .select(col("id_new"), col("id_corpus"), col("jaccard"))
-          lshPairs.unionByName(exact).dropDuplicates("id_new", "id_corpus")
-        }
+    if (failOnCappedBuckets) {
+      assertNoCappedBuckets(corpusBanded, Seq("band", "bucket"), maxBucketSize,
+        "incremental minhash LSH")
+      pairsOf(corpusBanded)
+    } else {
+      val bigBuckets = corpusBanded.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("_n")).where(col("_n") > maxBucketSize)
+        .select(col("band"), col("bucket"))
+      val prunedCorpus = corpusBanded.join(broadcast(bigBuckets), Seq("band", "bucket"), "left_anti")
+      val lshPairs = pairsOf(prunedCorpus)
+      if (!cappedBucketExactFallback) lshPairs
+      else {
+        // capped-bucket mitigation, delta-shaped: exact-content hash join
+        // of the delta against the corpus store. Only the delta's
+        // (id, hash) pairs broadcast — 16 bytes per delta doc — the corpus
+        // is STREAMED once (never shuffled for the fallback), and exact
+        // copies of boilerplate are recovered no matter which buckets the
+        // cap pruned. Shingle arrays are fetched per MATCH (tiny/empty)
+        // for the collision-guard verification.
+        val deltaSlim = newSigs
+          .select(col("id").as("id_new"), xxhash64(col("shingles")).as("_ck"))
+        val matches = corpusSigs
+          .select(col("id").as("id_corpus"), xxhash64(col("shingles")).as("_ck"))
+          .join(broadcast(deltaSlim), "_ck")
+          .select(col("id_new"), col("id_corpus"))
+        val withA = newSigs.select(col("id").as("id_new"), col("shingles").as("sh_a"))
+          .join(broadcast(matches), "id_new")
+        val exact = corpusSigs.select(col("id").as("id_corpus"), col("shingles").as("sh_b"))
+          .join(broadcast(withA), "id_corpus")
+          .withColumn("jaccard", sortedJaccard(col("sh_a"), col("sh_b")))
+          .where(col("jaccard") >= threshold)
+          .select(col("id_new"), col("id_corpus"), col("jaccard"))
+        lshPairs.unionByName(exact).dropDuplicates("id_new", "id_corpus")
+      }
     }
   }
 
-  /** Skew guard shared by the LSH family, probed EAGERLY: aggregate the
-    * banded set once for the over-cap bucket list and branch on whether any
-    * bucket is actually capped. Returns None when none are (the
-    * overwhelmingly common case) so callers emit the clean plan — no
-    * anti-join, no fallback stages, no extra pair-dedup shuffle; the probe
-    * costs exactly the aggregation pass the broadcast build side would have
-    * run anyway, so at 100 TB this trades one extra job submission for a
-    * strictly smaller plan. When buckets ARE capped the (tiny, over-cap-only)
-    * list comes back persisted so the anti-join and the exact-dup fallback
-    * share one computation instead of re-aggregating the full banded set
-    * each. `failOnCapped` fails here, at construction, with the count —
+  /** Skew guard used ONLY for `failOnCappedBuckets = true`: aggregate the
+    * banded set once and fail at CONSTRUCTION with the over-cap count —
     * previously a lazy raise_error rode a one-row broadcast carrier that
-    * showed up as a BroadcastNestedLoopJoin in every guarded plan. */
-  private def probeCappedBuckets(banded: DataFrame, keyCols: Seq[String],
-                                 maxBucketSize: Int, failOnCapped: Boolean,
-                                 what: String): Option[DataFrame] = {
-    val bigBuckets = banded.groupBy(keyCols.map(col): _*)
+    * showed up as a BroadcastNestedLoopJoin in every guarded plan.
+    *
+    * The default (non-failing) guard is deliberately LAZY: the over-cap
+    * bucket list rides inside the plan as a broadcast anti-join build side,
+    * so no Spark job runs at plan construction — a config pipeline's init
+    * phase stays job-free, and direct callers pay the aggregation exactly
+    * once, overlapped inside the main query instead of as an extra
+    * synchronous job (round-7's eager probe regressed q72 by 64% this way).
+    * When no bucket is capped the anti-join prunes nothing and the exact-dup
+    * fallback's build side is empty — AQE's empty-relation propagation
+    * collapses those stages at runtime. */
+  private def assertNoCappedBuckets(banded: DataFrame, keyCols: Seq[String],
+                                    maxBucketSize: Int, what: String): Unit = {
+    val n = banded.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("_n")).where(col("_n") > maxBucketSize)
-      .select(keyCols.map(col): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = bigBuckets.count()
-    if (n == 0) { bigBuckets.unpersist(); None }
-    else if (failOnCapped) {
-      bigBuckets.unpersist()
-      throw new IllegalStateException(
-        s"$what: $n bucket(s) exceeded maxBucketSize — exhaustive recall not " +
-          "guaranteed; raise maxBucketSize or reduce maxHamming/bands")
-    } else Some(bigBuckets)
+      .count()
+    if (n > 0) throw new IllegalStateException(
+      s"$what: $n bucket(s) exceeded maxBucketSize — exhaustive recall not " +
+        "guaranteed; raise maxBucketSize or reduce maxHamming/bands")
   }
+
+  /** Annotate each banded row with its bucket size `_n` via a window over
+    * ONE exchange of the slim (id, keyCols…) frame. The window's hash
+    * partitioning and sort are exactly what the downstream sort-merge
+    * self-join needs, so the skew guard costs no extra shuffle, no
+    * broadcast aggregation build, and no additional pass over the fat
+    * persisted signature frame — the exchange is shared by the pair join's
+    * two sides and the capped-row branch (ReuseExchange). Round-7's eager
+    * probe paid a full separate aggregation job here; round-6's lazy
+    * anti-join paid a second signature scan for the broadcast build. */
+  private def bucketSized(banded: DataFrame, keyCols: Seq[String]): DataFrame =
+    banded.withColumn("_n", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(keyCols.map(col): _*)))
 
   /** Rebalance a DataFrame to the session's shuffle parallelism if it has
     * fewer partitions — per-row signature work (minhash/simhash) is CPU
@@ -507,11 +540,13 @@ object Dedup {
         posexplode(transform(combosLit,
           c => xxhash64(transform(c, p => element_at(col("_blocks"), p + 1)))))
           .as(Seq("block", "bkey")))
-    val guarded = probeCappedBuckets(blocked, Seq("block", "bkey"), maxBucketSize,
-        failOnCappedBuckets, "simhash blocking") match {
-      case None => blocked
-      case Some(big) => blocked.join(broadcast(big), Seq("block", "bkey"), "left_anti")
-    }
+    val guarded =
+      if (failOnCappedBuckets) {
+        assertNoCappedBuckets(blocked, Seq("block", "bkey"), maxBucketSize, "simhash blocking")
+        blocked
+      } else
+        bucketSized(blocked, Seq("block", "bkey")).where(col("_n") <= maxBucketSize)
+          .select(col("id"), col("simhash"), col("block"), col("bkey"))
     // verify BEFORE dedup: unlike minhash (whose jaccard verification joins
     // shingle arrays and so must run on the deduped candidate set), the
     // hamming check is two longs through codegen'd bit_count — filtering

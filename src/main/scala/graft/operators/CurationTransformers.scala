@@ -23,6 +23,12 @@ case class NearDedupTransformer(
     maxHamming: Int = 3) extends DfTransformer {
   override def transform(df: DataFrame, dataObjectId: String = "")
                         (implicit ctx: ActionPipelineContext): DataFrame = {
+    // Init phase propagates SCHEMAS only, and dedup never changes the
+    // schema — return the input untouched so the DAG's init runs zero
+    // Spark jobs (duplicateClusters' size probe would otherwise execute
+    // the whole pair pipeline once in init and again at exec: at 100 TB
+    // that doubles the most expensive stage of the run).
+    if (ctx.phase == ExecutionPhase.Init) return df
     val pairs = method match {
       case "minhash" => Dedup.minhashDuplicatePairs(df, idColumn, textColumn,
         shingleSize, numHashes, bands, threshold).select("id_a", "id_b")
@@ -111,6 +117,10 @@ case class IncrementalDedupTransformer(
       throw new IllegalArgumentException(s"IncrementalDedupTransformer: missing input '$batchInput'"))
     val store = dfs.getOrElse(storeInput,
       throw new IllegalArgumentException(s"IncrementalDedupTransformer: missing input '$storeInput'"))
+    // Init: schemas are unchanged (survivors ⊆ batch, grown store has the
+    // store's shape) — propagate without running the pair pipeline
+    if (ctx.phase == ExecutionPhase.Init)
+      return Map(batchInput -> batch, storeInput -> store)
     val dupIds = Dedup.minhashIncrementalPairs(batch, store, idColumn, textColumn,
       shingleSize, numHashes, bands, threshold)
       .select(col("id_new").as(idColumn)).distinct()

@@ -114,66 +114,133 @@ case class DataFrameIncrementalMode(compareCol: String) extends ExecutionMode {
 }
 
 /** Source DataObject keeps a state string (file mod-time, offsets, …) in
-  * the run state. Reference `DataObjectStateIncrementalMode.scala:31-60`. */
+  * the run state. Reference `DataObjectStateIncrementalMode.scala:31-60`.
+  *
+  * The mod-time watermark is snapshotted when the READ is set up, not
+  * after it: `apply` bounds the exec read with `modifiedBefore = T` (T =
+  * wall clock at plan build) and `postExec` persists `T - 1ms` as the next
+  * run's `modifiedAfter`. Both Spark filters are strict, so run N reads
+  * `t < T` and run N+1 reads `t > T-1ms` ⇔ `t ≥ T` at FS millisecond
+  * granularity — adjacent half-open windows with no gap and no overlap.
+  * A file landing DURING the exec read is excluded by the upper bound and
+  * picked up next run; re-listing after the write (the previous design)
+  * would have skipped it forever. Sources with self-managed offsets
+  * (Kafka/JDBC) advance their own state instead. */
 case class DataObjectStateIncrementalMode() extends ExecutionMode {
+  /** watermark to persist after a successful exec: read-snapshot T - 1ms */
+  @transient private var pendingState: Option[String] = None
+
+  private def fmt(millis: Long)(implicit ctx: ActionPipelineContext): String = {
+    // modifiedAfter/Before are parsed in the SESSION timezone — format the
+    // state string in the same zone or the threshold shifts
+    val zone = java.time.ZoneId.of(ctx.spark.conf.get(
+      "spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID))
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS")
+      .withZone(zone).format(java.time.Instant.ofEpochMilli(millis))
+  }
+
   override def apply(action: Action, in: SubFeed)(implicit ctx: ActionPipelineContext): SubFeed = {
     ctx.registry.dataObject(action.inputIds.head) match {
+      case f: SparkFileDataObject =>
+        if (ctx.isExecPhase) {
+          val t = System.currentTimeMillis()
+          f.setReadUpperBound(Some(fmt(t)))
+          pendingState = Some(fmt(t - 1))
+        }
+        in
       case inc: CanCreateIncrementalOutput =>
-        // state is loaded/saved by the DAG run (RunStateStore); mode itself
-        // just requires the capability.
+        // state is loaded/saved by the DAG run (RunStateStore); offset-based
+        // sources manage their own increment
         in
       case o => throw new IllegalArgumentException(s"${o.id} does not support incremental state")
     }
   }
-  /** Advance the file-object watermark to the max data-file modification
-    * time just processed — the next run's read then carries
-    * `modifiedAfter` and touches only newer files. Strictly-after
-    * semantics match Spark's filter and the reference: the boundary file
-    * itself is excluded. A file landing between the exec read and this
-    * listing with an older-or-equal mod time would be skipped — the same
-    * inherent race the reference's mod-time increments have; sources with
-    * self-managed offsets (Kafka/JDBC) advance their own state instead. */
+
+  /** Persist the read-time watermark and drop the read bound so later
+    * consumers of the same DataObject see an unbounded view again. */
   override def postExec(action: Action)(implicit ctx: ActionPipelineContext): Unit =
     ctx.registry.dataObject(action.inputIds.head) match {
       case f: SparkFileDataObject =>
-        val p = new org.apache.hadoop.fs.Path(f.path)
-        val fs = p.getFileSystem(ctx.spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(p)) {
-          val it = fs.listFiles(p, true)
-          var maxT = -1L
-          while (it.hasNext) {
-            val s = it.next()
-            val n = s.getPath.getName
-            if (!n.startsWith("_") && !n.startsWith("."))
-              maxT = math.max(maxT, s.getModificationTime)
-          }
-          // modifiedAfter is parsed in the SESSION timezone — format the
-          // state string in the same zone or the threshold shifts
-          val zone = java.time.ZoneId.of(ctx.spark.conf.get(
-            "spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID))
-          if (maxT >= 0) f.setState(Some(
-            java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS")
-              .withZone(zone).format(java.time.Instant.ofEpochMilli(maxT))))
-        }
+        pendingState.foreach(s => f.setState(Some(s)))
+        pendingState = None
+        f.setReadUpperBound(None)
       case _ => ()
     }
 }
 
-/** Process files then delete (or archive) inputs. Reference
-  * `FileIncrementalMoveMode.scala`. */
+/** Process files then delete (or archive) them — the landing-zone pattern.
+  * Reference `FileIncrementalMoveMode.scala:89-135`.
+  *
+  * File-granular: `apply` snapshots the data files present at plan-build
+  * time and attaches a DataFrame reading EXACTLY those files; `postExec`
+  * moves/deletes only that snapshot. A file landing between the read and
+  * postExec is neither read nor moved — it is ingested by the next run.
+  * (Moving the whole directory instead — the naive design — silently
+  * destroys late-landing files without ever ingesting them.) */
 case class FileIncrementalMoveMode(archivePath: Option[String] = None) extends ExecutionMode {
-  override def apply(action: Action, in: SubFeed)(implicit ctx: ActionPipelineContext): SubFeed = in
-  /** called by the DAG after a successful write */
+  /** files captured by the exec-phase apply, consumed by postExec */
+  @transient private var processedFiles: Seq[String] = Seq.empty
+
+  override def apply(action: Action, in: SubFeed)(implicit ctx: ActionPipelineContext): SubFeed =
+    ctx.registry.dataObject(action.inputIds.head) match {
+      case f: SparkFileDataObject =>
+        val files = f.listDataFiles
+        if (files.isEmpty) throw NoDataToProcessWarning(action.id, s"no files to process for ${action.id}")
+        if (ctx.isExecPhase) processedFiles = files
+        in.withDataFrame(f.getDataFrameForFiles(files))
+      case _ => in
+    }
+
+  /** called by the DAG after a successful write; moves only the snapshot */
   override def postExec(action: Action)(implicit ctx: ActionPipelineContext): Unit = {
     import org.apache.hadoop.fs.Path
     ctx.registry.dataObject(action.inputIds.head) match {
       case f: SparkFileDataObject =>
         val conf = ctx.spark.sparkContext.hadoopConfiguration
-        val src = new Path(f.path)
-        val fs = src.getFileSystem(conf)
-        archivePath match {
-          case Some(a) => fs.rename(src, new Path(a))
-          case None => fs.delete(src, true)
+        val base = new Path(f.path)
+        val fs = base.getFileSystem(conf)
+        val baseUri = base.toUri.getPath
+        archivePath.foreach(a => require(fs.mkdirs(new Path(a)),
+          s"FileIncrementalMoveMode: cannot create archive dir $a"))
+        processedFiles.foreach { file =>
+          val src = new Path(file)
+          archivePath match {
+            case Some(a) =>
+              // preserve the path relative to the source base so partitioned
+              // layouts don't collide in the archive; re-archiving an
+              // identically-named file overwrites (idempotent re-run)
+              val rel = src.toUri.getPath.stripPrefix(baseUri).stripPrefix("/")
+              val dest = new Path(a, rel)
+              Option(dest.getParent).foreach(fs.mkdirs)
+              if (fs.exists(dest)) require(fs.delete(dest, false),
+                s"FileIncrementalMoveMode: cannot replace $dest")
+              require(fs.rename(src, dest),
+                s"FileIncrementalMoveMode: rename $src -> $dest failed")
+            case None =>
+              require(fs.delete(src, false),
+                s"FileIncrementalMoveMode: delete $src failed")
+          }
+          // the sibling checksum file is metadata of the moved file only
+          val crc = new Path(src.getParent, s".${src.getName}.crc")
+          if (fs.exists(crc)) fs.delete(crc, false)
+        }
+        processedFiles = Seq.empty
+        // drop writer markers and, if nothing else landed since the
+        // snapshot, the now-empty directory tree (non-recursive deletes:
+        // they succeed only when genuinely empty, so a late-landing file
+        // keeps its directory alive)
+        if (fs.exists(base)) {
+          val success = new Path(base, "_SUCCESS")
+          if (fs.exists(success)) {
+            fs.delete(success, false)
+            val scrc = new Path(base, "._SUCCESS.crc")
+            if (fs.exists(scrc)) fs.delete(scrc, false)
+          }
+          def pruneEmptyDirs(p: Path): Unit = {
+            fs.listStatus(p).filter(_.isDirectory).foreach(d => pruneEmptyDirs(d.getPath))
+            if (fs.listStatus(p).isEmpty) fs.delete(p, false)
+          }
+          pruneEmptyDirs(base)
         }
       case _ => ()
     }

@@ -128,6 +128,17 @@ abstract class SparkFileDataObject extends DataObject
     incrementalState = state
   override def getState: Option[String] = incrementalState
 
+  /** Exclusive mod-time upper bound for reads (`modifiedBefore`), set by
+    * DataObjectStateIncrementalMode for the duration of one exec read so
+    * the persisted watermark and the data actually read agree exactly —
+    * files landing during the read fall outside the bound and are picked
+    * up by the next run instead of being silently skipped. */
+  protected var readUpperBound: Option[String] = None
+  def setReadUpperBound(ts: Option[String]): Unit = readUpperBound = ts
+
+  /** guards against housekeeping re-triggering itself via its own writes */
+  @transient protected var inHousekeeping: Boolean = false
+
   protected def hadoopPath = new Path(path)
   protected def fs(implicit ctx: ActionPipelineContext): FileSystem =
     hadoopPath.getFileSystem(ctx.spark.sparkContext.hadoopConfiguration)
@@ -171,7 +182,8 @@ abstract class SparkFileDataObject extends DataObject
   protected def reader(implicit ctx: ActionPipelineContext) = {
     val r = ctx.spark.read.format(format).options(options)
     // incremental by file modification time (reference SparkFileDataObject.scala:241-254)
-    val r2 = incrementalState.fold(r)(ts => r.option("modifiedAfter", ts))
+    val r1 = incrementalState.fold(r)(ts => r.option("modifiedAfter", ts))
+    val r2 = readUpperBound.fold(r1)(ts => r1.option("modifiedBefore", ts))
     // resolution order mirrors the reference (SparkFileDataObject.scala:125-140):
     // declared schema → persisted schema file → sample-file inference →
     // full inference scan. Parquet/orc ALSO consult the persisted schema:
@@ -198,6 +210,37 @@ abstract class SparkFileDataObject extends DataObject
     // partition pruning: emit a filter; Catalyst turns it into directory pruning
     val pruned = PartitionValues.filterExpr(partitionValues).fold(base)(base.filter _)
     val named = filenameColumn.fold(pruned)(c => pruned.withColumn(c, input_file_name()))
+    validateSchemaMin(named)
+    named
+  }
+
+  /** Recursive listing of the data files under `path` (hidden/_-prefixed
+    * components excluded, same rule as [[exists]]) — the snapshot
+    * FileIncrementalMoveMode reads and later consumes. */
+  def listDataFiles(implicit ctx: ActionPipelineContext): Seq[String] =
+    if (!fs.exists(hadoopPath)) Seq.empty
+    else {
+      val baseUri = hadoopPath.toUri.getPath
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = fs.listFiles(hadoopPath, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = st.getPath.toUri.getPath.stripPrefix(baseUri).stripPrefix("/")
+        if (rel.split('/').forall(c => !c.startsWith("_") && !c.startsWith(".")))
+          out += st.getPath.toString
+      }
+      out.toSeq
+    }
+
+  /** Read EXACTLY the given files (a [[listDataFiles]] snapshot) — the
+    * file-granular read FileIncrementalMoveMode pins its postExec move to,
+    * so files landing after the snapshot are neither read nor consumed. */
+  def getDataFrameForFiles(files: Seq[String])(implicit ctx: ActionPipelineContext): DataFrame = {
+    require(files.nonEmpty, s"DataObject $id: empty file list")
+    val base =
+      if (partitions.nonEmpty) reader.option("basePath", path).load(files: _*)
+      else reader.load(files: _*)
+    val named = filenameColumn.fold(base)(c => base.withColumn(c, input_file_name()))
     validateSchemaMin(named)
     named
   }
@@ -333,7 +376,13 @@ abstract class SparkFileDataObject extends DataObject
             }
             b.result()
           }
-          oldFiles.foreach(p => fs.delete(p, false))
+          // every delete/rename result is CHECKED: the old data is gone by
+          // the time the moves run, so a silently-false rename (racing
+          // writer recreating dest, cross-FS path) would be invisible data
+          // loss — failing loudly here leaves the staging dir intact with
+          // the complete new data for manual recovery
+          oldFiles.foreach(p => require(fs.delete(p, false),
+            s"DataObject $id: OverwritePreserveDirectories could not delete old file $p"))
           // move staged files into their final locations, creating only
           // directories that don't already exist
           val staged = {
@@ -346,7 +395,9 @@ abstract class SparkFileDataObject extends DataObject
             val rel = p.toUri.getPath.stripPrefix(stagingPrefix).stripPrefix("/")
             val dest = new org.apache.hadoop.fs.Path(hadoopPath, rel)
             if (!fs.exists(dest.getParent)) fs.mkdirs(dest.getParent)
-            fs.rename(p, dest)
+            require(fs.rename(p, dest),
+              s"DataObject $id: OverwritePreserveDirectories could not move staged file $p to $dest " +
+                "(new data remains under the staging dir)")
           }
           fs.delete(staging, true)
         case m =>
@@ -358,7 +409,15 @@ abstract class SparkFileDataObject extends DataObject
     // SparkFileDataObject .schema/currentSchema.json); parquet/orc persist
     // it too so reads resolve the UNION schema after append-evolution
     if (!isSelfDescribing || schemaEvolvable) SchemaUtil.persistSchema(path, dfEff.schema)
-    housekeepingMode.foreach(_.exec(this))
+    // reentrancy guard: archive/compaction re-bins partitions through
+    // writeDataFrame on THIS object — without the flag that nested write
+    // would trigger housekeeping again, recursing until the partition list
+    // stabilizes (or doesn't)
+    if (!inHousekeeping) {
+      inHousekeeping = true
+      try housekeepingMode.foreach(_.exec(this))
+      finally inHousekeeping = false
+    }
     val jobMetrics = expObs.map(o =>
       graft.quality.DataQualityValidation.evaluateObserved(o, expectations)).getOrElse(Map.empty)
     val tableMetrics =

@@ -536,4 +536,46 @@ class ConfigSpec extends AnyFunSuite {
     assert(r3("load").head.isSkipped)
     assert(spark.read.parquet(s"$dir/dst").count() == 4)
   }
+
+  test("near-dedup config pipeline runs ZERO Spark jobs during the init phase") {
+    import spark.implicits._
+    val dir = tmpDir()
+    Seq((1L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+        (2L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+        (3L, "an entirely different document about streaming watermarks"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/src")
+    val cfg =
+      s"""dataObjects:
+         |  src: {type: parquet, path: $dir/src, schema: "doc_id BIGINT, text STRING"}
+         |  dst: {type: parquet, path: $dir/dst}
+         |actions:
+         |  dedup:
+         |    type: copy
+         |    inputId: src
+         |    outputId: dst
+         |    transformers:
+         |      - {type: nearDedup, idColumn: doc_id, textColumn: text}
+         |    metadata: {feed: nd}
+         |""".stripMargin
+    val reg = ConfigParser.parse(cfg)
+    implicit val ctx: graft.core.ActionPipelineContext =
+      graft.core.ActionPipelineContext(spark, reg)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // init-only traversal (the simulation path): builds and validates the
+      // whole plan, must not execute the dedup's pair pipeline
+      new graft.core.ActionDAGRun(reg.allActions).simulate(Seq.empty)
+      Thread.sleep(1000) // listener bus is async; nothing should arrive
+      assert(jobs.get() == 0, s"init phase ran ${jobs.get()} Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // and the exec phase still deduplicates for real
+    PipelineRunner.run(cfg, spark, feedSel = Some("nd"))
+    assert(spark.read.parquet(s"$dir/dst").as[(Long, String)].collect()
+      .map(_._1).toSet == Set(1L, 3L))
+  }
 }

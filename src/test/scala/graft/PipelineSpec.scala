@@ -476,4 +476,34 @@ class PipelineSpec extends AnyFunSuite {
     // id=2 deleted (n<0), id=1 updated, id=3 kept, id=4 inserted
     assert(merged == Set((1, "a2", 1), (3, "c", 3), (4, "d", 4)))
   }
+
+  test("DAG schedules on dependency completion, not layer barriers") {
+    // two independent chains: slow a1 -> a2, fast b1 -> b2. Under layer
+    // barriers b2 (layer 2) cannot start before a1 (layer 1) finishes;
+    // under dependency-triggered scheduling it starts as soon as b1 is done.
+    val log = scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+    case class TimedAction(id: String, inputIds: Seq[String], outputIds: Seq[String],
+                           sleepMs: Long) extends Action {
+      override def prepare(implicit ctx: ActionPipelineContext): Unit = ()
+      override def init(sf: Seq[SubFeed])(implicit ctx: ActionPipelineContext): Seq[SubFeed] =
+        outputIds.map(SubFeed(_))
+      override def exec(sf: Seq[SubFeed])(implicit ctx: ActionPipelineContext): Seq[SubFeed] = {
+        val t0 = System.nanoTime()
+        Thread.sleep(sleepMs)
+        log(id) = (t0, System.nanoTime())
+        outputIds.map(SubFeed(_))
+      }
+    }
+    val actions = Seq(
+      TimedAction("a1", Seq.empty, Seq("ao1"), sleepMs = 1500),
+      TimedAction("a2", Seq("ao1"), Seq("ao2"), sleepMs = 0),
+      TimedAction("b1", Seq.empty, Seq("bo1"), sleepMs = 20),
+      TimedAction("b2", Seq("bo1"), Seq("bo2"), sleepMs = 20))
+    implicit val ctx: ActionPipelineContext = newCtx()
+    new ActionDAGRun(actions, parallelism = 4).run()
+    val (b2Start, _) = log("b2")
+    val (_, a1End) = log("a1")
+    assert(b2Start < a1End,
+      "fast chain's second action must start before the slow sibling branch finishes")
+  }
 }

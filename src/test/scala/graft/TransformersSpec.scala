@@ -102,4 +102,78 @@ class TransformersSpec extends AnyFunSuite {
     assert(new java.io.File(archive).exists())
     assert(spark.read.parquet(outDir).count() == 1)
   }
+
+  test("file incremental move is file-granular: late-landing file survives and is ingested next run") {
+    import spark.implicits._
+    import graft.sources._
+    val inDir = java.nio.file.Files.createTempDirectory("fim2_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("fim2_out").toString
+    Seq((1, "gen1")).toDF("id", "v").write.mode("overwrite").parquet(inDir)
+    val reg = new InstanceRegistry
+    reg.register(ParquetFileDataObject("in", inDir))
+    reg.register(ParquetFileDataObject("out", outDir))
+    implicit val c2: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    val mode = graft.operators.modes.FileIncrementalMoveMode()
+    val action = CopyAction("c", "in", "out", saveMode = Some(SdlSaveMode.Append),
+      executionMode = Some(mode))
+    action.exec(Seq.empty)(c2)
+    // a file lands AFTER the read snapshot but BEFORE postExec — the race
+    // the whole-directory move would lose (deleted unprocessed)
+    val late = java.nio.file.Files.createTempDirectory("fim2_late").toString
+    Seq((2, "late")).toDF("id", "v").write.mode("overwrite").parquet(late)
+    val lateFile = new java.io.File(late).listFiles().filter(f =>
+      f.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(lateFile.toPath,
+      java.nio.file.Paths.get(inDir, "late-landing.parquet"))
+    mode.postExec(action)(c2)
+    // snapshot files consumed, late file survives in place
+    assert(new java.io.File(inDir, "late-landing.parquet").exists())
+    assert(spark.read.parquet(outDir).as[(Int, String)].collect().toSet == Set((1, "gen1")))
+    // next run ingests exactly the late file and the landing zone empties
+    action.exec(Seq.empty)(c2)
+    mode.postExec(action)(c2)
+    assert(!new java.io.File(inDir).exists())
+    assert(spark.read.parquet(outDir).as[(Int, String)].collect().toSet ==
+      Set((1, "gen1"), (2, "late")))
+  }
+
+  test("DAG rejects a fileMove input that another action also reads") {
+    import graft.sources._
+    val reg = new InstanceRegistry
+    val a1 = CopyAction("mv", "lz", "o1",
+      executionMode = Some(graft.operators.modes.FileIncrementalMoveMode()))
+    val a2 = CopyAction("sibling", "lz", "o2")
+    val ex = intercept[IllegalArgumentException](new graft.core.ActionDAGRun(Seq(a1, a2)))
+    assert(ex.getMessage.contains("sibling"))
+  }
+
+  test("state incremental mode: watermark snapshots at read time, file landing during exec is picked up next run") {
+    import spark.implicits._
+    import graft.sources._
+    val inDir = java.nio.file.Files.createTempDirectory("sim_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("sim_out").toString
+    Seq((1, "gen1")).toDF("id", "v").write.mode("overwrite").parquet(inDir)
+    Thread.sleep(5) // ensure gen-1 mod time < the read snapshot
+    val reg = new InstanceRegistry
+    val src = ParquetFileDataObject("in", inDir)
+    reg.register(src)
+    reg.register(ParquetFileDataObject("out", outDir))
+    implicit val c2: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    val mode = graft.operators.modes.DataObjectStateIncrementalMode()
+    val action = CopyAction("c", "in", "out", saveMode = Some(SdlSaveMode.Append),
+      executionMode = Some(mode))
+    action.exec(Seq.empty)(c2)
+    // lands between the exec read and postExec: must fall ABOVE the
+    // persisted watermark (read-time snapshot), not below a post-write
+    // re-listing
+    Thread.sleep(5)
+    Seq((2, "during")).toDF("id", "v").write.mode("append").parquet(inDir)
+    mode.postExec(action)(c2)
+    assert(src.getState.isDefined)
+    Thread.sleep(5)
+    action.exec(Seq.empty)(c2)
+    mode.postExec(action)(c2)
+    assert(spark.read.parquet(outDir).as[(Int, String)].collect().toSet ==
+      Set((1, "gen1"), (2, "during")))
+  }
 }
