@@ -1515,6 +1515,182 @@ object SparkEntry {
       runLoad(2)
       s.read.parquet(s"$tmp/dst")
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"), col("load_nr"))
+    }),
+
+    // HiveTableDataObject under the oracle (reference HiveTableDataObject
+    // .scala + HiveUtil.scala:69-138): two config-driven loads into a
+    // PARTITIONED catalog table. Load 2's feed drops c_acctbal and adds
+    // c_nationkey, so the append must evolve the table (ALTER TABLE ADD
+    // COLUMNS) — old rows read the new column as null and the drifted feed
+    // null-fills the dropped one. The load_nr stamp hash-gates exactly-once
+    // processing through the catalog read path.
+    "q84_hive_evolution" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q84").toString
+      // idempotency across Verify runs: the warehouse dir persists on disk
+      // even though the in-memory catalog is fresh per session
+      s.sql("DROP TABLE IF EXISTS q84_cust")
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "q84_cust")
+      val whFs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (whFs.exists(wh)) whFs.delete(wh, true)
+      val customer = t(s, dir, "customer")
+      def cfg(loadNr: Int) =
+        s"""dataObjects:
+           |  src84: {type: parquet, path: $tmp/src}
+           |  tbl84: {type: hive, table: {name: q84_cust}, partitions: [c_mktsegment]}
+           |actions:
+           |  load:
+           |    type: copy
+           |    inputId: src84
+           |    outputId: tbl84
+           |    saveMode: append
+           |    transformers:
+           |      - {type: additionalColumns, additionalColumns: {load_nr: "$loadNr"}}
+           |    metadata: {feed: hv}
+           |""".stripMargin
+      customer.where(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+        .write.parquet(s"$tmp/src")
+      core.PipelineRunner.run(cfg(1), s, feedSel = Some("hv"))
+      customer.where(col("c_custkey") % 2 =!= 0)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"))
+        .write.mode("overwrite").parquet(s"$tmp/src")
+      core.PipelineRunner.run(cfg(2), s, feedSel = Some("hv"))
+      s.table("q84_cust").select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_nationkey"), col("c_mktsegment"), col("load_nr"))
+    }),
+
+    // Tick-tock swap under the oracle (reference TickTockHiveTableDataObject
+    // .scala:94-173): two appends through the alternating tick/tock commit
+    // protocol — load 2 READS the committed side while WRITING the inactive
+    // one, then flips the marker and re-points the catalog (ALTER SET
+    // LOCATION semantics). The final state is read through the CATALOG
+    // table, so the hash gates that the swap re-pointed to exactly the
+    // committed generation; both side directories must exist (alternation
+    // actually happened).
+    "q85_ticktock_swap" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q85").toString
+      s.sql("DROP TABLE IF EXISTS q85_tt")
+      val nation = t(s, dir, "nation")
+      def cfg(loadNr: Int) =
+        s"""dataObjects:
+           |  src85: {type: parquet, path: $tmp/src}
+           |  tt85: {type: tickTock, basePath: $tmp/tt, table: {name: q85_tt}}
+           |actions:
+           |  load:
+           |    type: copy
+           |    inputId: src85
+           |    outputId: tt85
+           |    saveMode: append
+           |    transformers:
+           |      - {type: additionalColumns, additionalColumns: {load_nr: "$loadNr"}}
+           |    metadata: {feed: tt}
+           |""".stripMargin
+      nation.where(col("n_nationkey") < 12).write.parquet(s"$tmp/src")
+      core.PipelineRunner.run(cfg(1), s, feedSel = Some("tt"))
+      nation.where(col("n_nationkey") >= 12).write.mode("overwrite").parquet(s"$tmp/src")
+      core.PipelineRunner.run(cfg(2), s, feedSel = Some("tt"))
+      require(new java.io.File(s"$tmp/tt/tick").exists() &&
+        new java.io.File(s"$tmp/tt/tock").exists(),
+        "tick-tock must have written BOTH alternating sides")
+      s.table("q85_tt")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"), col("load_nr"))
+    }),
+
+    // Housekeeping archive+compaction under the oracle (reference
+    // HousekeepingMode.scala:49-151, CompactionUtil.scala): the write lands
+    // 6 files per partition (numberOfTasksPerPartition), then housekeeping
+    // re-bins priorities 1-2 into an 'X' archive partition and compacts
+    // EVERY partition to one file. The hash gates byte-identical data
+    // through the re-bin; the file-count assertions gate that compaction
+    // actually compacted (1 data file per partition dir) and that the
+    // archived source partitions are gone.
+    "q86_housekeeping_compaction" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q86").toString
+      val orders = t(s, dir, "orders")
+        .withColumn("prio", substring(col("o_orderpriority"), 1, 1))
+      orders.write.partitionBy("prio").parquet(s"$tmp/src")
+      val cfg =
+        s"""dataObjects:
+           |  src86: {type: parquet, path: $tmp/src, partitions: [prio]}
+           |  dst86:
+           |    type: parquet
+           |    path: $tmp/dst
+           |    partitions: [prio]
+           |    numberOfTasksPerPartition: 6
+           |    housekeepingMode:
+           |      type: archiveCompaction
+           |      archiveCondition: "prio <= '2'"
+           |      archiveExpression: "named_struct('prio', 'X')"
+           |      compactCondition: "true"
+           |      compactNumFiles: 1
+           |actions:
+           |  load: {type: copy, inputId: src86, outputId: dst86, metadata: {feed: hk}}
+           |""".stripMargin
+      core.PipelineRunner.run(cfg, s, feedSel = Some("hk"))
+      val partDirs = new java.io.File(s"$tmp/dst").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("prio="))
+      val names = partDirs.map(_.getName).sorted.toSeq
+      require(names == Seq("prio=3", "prio=4", "prio=5", "prio=X"),
+        s"archive must re-bin prio 1-2 into X, got $names")
+      partDirs.foreach { d =>
+        val n = d.listFiles().count(_.getName.endsWith(".parquet"))
+        require(n == 1, s"compaction must leave 1 data file in ${d.getName}, found $n")
+      }
+      s.read.parquet(s"$tmp/dst")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"),
+          col("prio").cast("string").as("prio"))
+    }),
+
+    // Streaming dedup under the oracle: dropDuplicatesWithinWatermark
+    // through a real multi-micro-batch stream (maxFilesPerTrigger=1,
+    // AvailableNow). Batch 2 (a dup of the max-ts event — dropped) exists
+    // to TRIGGER state eviction: Spark evicts expired keys at the END of a
+    // batch, so a replay surfaces only two batches after its original.
+    // Batch 3 replays every event_id % 10 == 0 key shifted +31 days: keys
+    // whose ORIGINAL event time is inside the watermark horizon
+    // (ts >= max(ts) - 2×2h) are still in state and drop as duplicates;
+    // older keys' state was evicted and the replay SURVIVES. The hash
+    // encodes exactly the watermark-bounded state retention that makes
+    // streaming dedup viable on an unbounded stream (state ∝ horizon,
+    // not ∝ keys ever seen).
+    "q87_streaming_dedup" -> ((s, dir) => {
+      implicit val c: ActionPipelineContext = ctx(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q87").toString
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
+      // +31 days clears the 30-day event span, so no replay is filtered as
+      // late data by the batch-3 watermark — survival is decided purely by
+      // state eviction
+      val replays = ev.where(col("event_id") % 10 === 0)
+        .withColumn("ts", col("ts") + expr("INTERVAL 31 DAYS"))
+      // the file source orders batches by modification time — stamp them
+      // explicitly rather than sleeping between writes
+      def addFile(df: DataFrame, stage: String, name: String, mtime: Long): Unit = {
+        df.coalesce(1).write.parquet(s"$tmp/$stage")
+        val part = new java.io.File(s"$tmp/$stage").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(s"$tmp/src/$name"))
+        require(new java.io.File(s"$tmp/src/$name").setLastModified(mtime),
+          s"cannot stamp mtime on $name")
+      }
+      java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$tmp/src"))
+      val t0 = System.currentTimeMillis() - 60000
+      addFile(ev, "b1", "batch1.parquet", t0)
+      addFile(ev.orderBy(desc("ts")).limit(1), "b2", "batch2.parquet", t0 + 2000)
+      addFile(replays, "b3", "batch3.parquet", t0 + 4000)
+      val src = sources.ParquetFileDataObject("q87_src", s"$tmp/src")
+      val dst = sources.ParquetFileDataObject("q87_dst", s"$tmp/out")
+      val sdf = src.getStreamingDataFrame(Map("maxFilesPerTrigger" -> "1"), Some(ev.schema))
+      val deduped = graft.streaming.StreamingDedupTransformer(Seq("event_id"),
+        eventTimeColumn = Some("ts"), withinWatermark = Some("2 hours")).transform(sdf)
+      val q = dst.writeStreamingDataFrame(deduped,
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+        Map.empty, s"$tmp/cp", "q87_stream")
+      q.awaitTermination()
+      dst.getDataFrame()
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
     })
   )
 
@@ -2622,6 +2798,35 @@ object SparkEntry {
     "q83_state_incremental" ->
       """SELECT n_nationkey, n_name, n_regionkey,
         |  CASE WHEN n_nationkey < 12 THEN 1 ELSE 2 END AS load_nr
-        |FROM nation""".stripMargin
+        |FROM nation""".stripMargin,
+
+    "q84_hive_evolution" ->
+      """SELECT c_custkey, c_name, c_acctbal, CAST(NULL AS INTEGER) AS c_nationkey,
+        |  c_mktsegment, 1 AS load_nr
+        |FROM customer WHERE c_custkey % 2 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal, c_nationkey,
+        |  c_mktsegment, 2 AS load_nr
+        |FROM customer WHERE c_custkey % 2 <> 0""".stripMargin,
+
+    "q85_ticktock_swap" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+        |  CASE WHEN n_nationkey < 12 THEN 1 ELSE 2 END AS load_nr
+        |FROM nation""".stripMargin,
+
+    "q86_housekeeping_compaction" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |  o_orderpriority,
+        |  CASE WHEN substring(o_orderpriority, 1, 1) IN ('1', '2') THEN 'X'
+        |       ELSE substring(o_orderpriority, 1, 1) END AS prio
+        |FROM orders""".stripMargin,
+
+    "q87_streaming_dedup" ->
+      """SELECT event_id, user_id, event_type, ts, value FROM events
+        |UNION ALL
+        |SELECT event_id, user_id, event_type, ts + INTERVAL 31 DAY AS ts, value
+        |FROM events
+        |WHERE event_id % 10 = 0
+        |  AND ts + INTERVAL 2 HOUR < (SELECT max(ts) - INTERVAL 2 HOUR FROM events)""".stripMargin
   )
 }
