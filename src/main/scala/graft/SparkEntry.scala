@@ -1691,6 +1691,126 @@ object SparkEntry {
       q.awaitTermination()
       dst.getDataFrame()
         .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
+    }),
+
+    // JSON round-trip + append-evolution under the oracle (the last major
+    // in-env spec-only source): strings full of JSON metacharacters
+    // (quotes, backslash, embedded newline, unicode — the writer must
+    // escape, the reader must unescape), a null-struct-field row, a nested
+    // struct and an array with a null element (JSON's native shapes), and
+    // a second appended generation that drops c_acctbal/tags and adds
+    // c_mktsegment — the persisted union schema serves both generations on
+    // read. Flattened for the gate like q67.
+    "q88_json_roundtrip" -> ((s, dir) => {
+      implicit val c: ActionPipelineContext = ctx(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q88").toString
+      val customer = t(s, dir, "customer")
+      val json = sources.JsonFileDataObject("q88_json", s"$tmp/cust_json")
+      json.writeDataFrame(customer.where(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 50 === 0, lit(null).cast("string"))
+            .otherwise(concat(col("c_name"), lit(" \"quoted\" \\ é✓\nnewline")))
+            .as("c_name"),
+          col("c_acctbal"),
+          struct(col("c_nationkey").as("nation"), col("c_mktsegment").as("segment"))
+            .as("profile"),
+          array(col("c_custkey"), col("c_nationkey").cast("long"),
+            lit(null).cast("long")).as("tags")))
+      json.writeDataFrame(customer.where(col("c_custkey") % 2 === 1)
+        .select(col("c_custkey"), col("c_name"),
+          struct(col("c_nationkey").as("nation"), col("c_mktsegment").as("segment"))
+            .as("profile"),
+          col("c_mktsegment")),
+        Seq.empty, Some(SdlSaveMode.Append))
+      json.getDataFrame()
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("profile.nation").as("p_nation"), col("profile.segment").as("p_segment"),
+          element_at(col("tags"), 1).as("tag1"), element_at(col("tags"), 3).as("tag3"),
+          col("c_mktsegment"))
+    }),
+
+    // CustomDataFrameAction N:M under the oracle: a config pipeline whose
+    // single action reads TWO inputs and produces TWO outputs through the
+    // outputSql surface (SQLDfsTransformer) — the reference's many-to-many
+    // workhorse, previously spec-only. Both written outputs are read back
+    // and union-tagged into one gated frame, so each output's values (and
+    // the N:M wiring between them) are hash-checked.
+    "q89_custom_dfs_action" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q89").toString
+      val cfg =
+        s"""dataObjects:
+           |  src-ord: {type: parquet, path: $dir/orders.parquet}
+           |  src-cust: {type: parquet, path: $dir/customer.parquet}
+           |  out-seg: {type: parquet, path: $tmp/seg}
+           |  out-top: {type: parquet, path: $tmp/top}
+           |actions:
+           |  fanout:
+           |    type: customDataFrame
+           |    inputIds: [src-ord, src-cust]
+           |    outputIds: [out-seg, out-top]
+           |    saveMode: overwrite
+           |    outputSql:
+           |      out-seg: "select c.c_mktsegment, count(*) as n_orders, cast(sum(cast(o.o_totalprice as decimal(18,2))) as double) as total from src_ord o join src_cust c on o.o_custkey = c.c_custkey group by c.c_mktsegment"
+           |      out-top: "select o_custkey, count(*) as n_orders from src_ord group by o_custkey having count(*) >= 15"
+           |    metadata: {feed: q89}
+           |""".stripMargin
+      core.PipelineRunner.run(cfg, s, feedSel = Some("q89"))
+      s.read.parquet(s"$tmp/seg")
+        .select(lit("seg").as("part"), col("c_mktsegment").as("k"),
+          col("n_orders").cast("long").as("n_orders"), col("total"))
+        .unionByName(s.read.parquet(s"$tmp/top")
+          .select(lit("top").as("part"), col("o_custkey").cast("string").as("k"),
+            col("n_orders").cast("long").as("n_orders"),
+            lit(null).cast("double").as("total")))
+    }),
+
+    // File-level actions under the oracle: nation staged as CSV, then a
+    // config-parsed FileTransferAction (raw dir copy), a config-parsed
+    // CustomScriptAction (awk keeps even nationkeys — a real subprocess),
+    // and a programmatic CustomFileAction whose per-file stream transform
+    // rewrites the delimiter comma→pipe; the final read parses with the
+    // new delimiter. Any action corrupting bytes, dropping files, or
+    // breaking the chain's ordering breaks the hash.
+    "q90_file_actions" -> ((s, dir) => {
+      implicit val c: ActionPipelineContext = ctx(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q90").toString
+      val csvOpts = "{header: \"true\"}"
+      sources.CsvFileDataObject("q90_a", s"$tmp/a", csvOptions = Map("header" -> "true"))
+        .writeDataFrame(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey")))
+      val script = s"""mkdir -p $tmp/c && for f in $tmp/b/part-*.csv; do """ +
+        s"""awk -F, 'NR == 1 || $$1 % 2 == 0' "$$f" > $tmp/c/$$(basename "$$f"); done"""
+      val cfg =
+        s"""dataObjects:
+           |  fa: {type: csv, path: $tmp/a, csvOptions: $csvOpts}
+           |  fb: {type: csv, path: $tmp/b, csvOptions: $csvOpts}
+           |  fc: {type: csv, path: $tmp/c, csvOptions: $csvOpts}
+           |actions:
+           |  transfer: {type: fileTransfer, inputId: fa, outputId: fb, metadata: {feed: q90}}
+           |  filter:
+           |    type: script
+           |    cmd:
+           |      - bash
+           |      - -c
+           |      - >-
+           |        $script
+           |    inputIds: [fb]
+           |    outputIds: [fc]
+           |    metadata: {feed: q90}
+           |""".stripMargin
+      core.PipelineRunner.run(cfg, s, feedSel = Some("q90"))
+      graft.operators.CustomFileAction("q90_pipe", "fc_obj", "fd_obj",
+        transformFn = (in, out) => {
+          val bytes = in.readAllBytes()
+          out.write(bytes.map(b => if (b == ','.toByte) '|'.toByte else b))
+        }).exec(Seq(SubFeed("fc_obj")))(ActionPipelineContext(s,
+          new core.InstanceRegistry()
+            .register(sources.CsvFileDataObject("fc_obj", s"$tmp/c"))
+            .register(sources.CsvFileDataObject("fd_obj", s"$tmp/d"))))
+      sources.CsvFileDataObject("q90_d", s"$tmp/d",
+        csvOptions = Map("header" -> "true", "delimiter" -> "|")).getDataFrame()
+        .select(col("n_nationkey").cast("int"), col("n_name"),
+          col("n_regionkey").cast("int"))
     })
   )
 
@@ -2827,6 +2947,34 @@ object SparkEntry {
         |SELECT event_id, user_id, event_type, ts + INTERVAL 31 DAY AS ts, value
         |FROM events
         |WHERE event_id % 10 = 0
-        |  AND ts + INTERVAL 2 HOUR < (SELECT max(ts) - INTERVAL 2 HOUR FROM events)""".stripMargin
+        |  AND ts + INTERVAL 2 HOUR < (SELECT max(ts) - INTERVAL 2 HOUR FROM events)""".stripMargin,
+
+    "q88_json_roundtrip" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 50 = 0 THEN NULL
+        |       ELSE c_name || ' "quoted" \ é✓' || chr(10) || 'newline' END AS c_name,
+        |  c_acctbal, c_nationkey AS p_nation, c_mktsegment AS p_segment,
+        |  c_custkey AS tag1, CAST(NULL AS BIGINT) AS tag3,
+        |  CAST(NULL AS VARCHAR) AS c_mktsegment
+        |FROM customer WHERE c_custkey % 2 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_name, CAST(NULL AS DOUBLE),
+        |  c_nationkey, c_mktsegment, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  c_mktsegment
+        |FROM customer WHERE c_custkey % 2 = 1""".stripMargin,
+
+    "q89_custom_dfs_action" ->
+      """SELECT 'seg' AS part, c_mktsegment AS k, n_orders, total FROM (
+        |  SELECT c.c_mktsegment, count(*) AS n_orders,
+        |    CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY c.c_mktsegment)
+        |UNION ALL
+        |SELECT 'top', CAST(o_custkey AS VARCHAR), count(*), CAST(NULL AS DOUBLE)
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 15""".stripMargin,
+
+    "q90_file_actions" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_nationkey % 2 = 0""".stripMargin
   )
 }
