@@ -1811,6 +1811,234 @@ object SparkEntry {
         csvOptions = Map("header" -> "true", "delimiter" -> "|")).getDataFrame()
         .select(col("n_nationkey").cast("int"), col("n_name"),
           col("n_regionkey").cast("int"))
+    }),
+
+    // Diamond DAG under the oracle: one source fans out to two parallel
+    // branch actions (different filters, each stamping its branch tag),
+    // then an N:1 CustomDataFrameAction unions them — the parallel-branch
+    // result propagation previously covered only by specs. The
+    // dependency-triggered scheduler runs the branches concurrently; the
+    // hash gates that both branches' rows (and only those) reach the sink.
+    "q91_diamond_union" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q91").toString
+      val cfg =
+        s"""dataObjects:
+           |  src91: {type: parquet, path: $dir/lineitem.parquet}
+           |  br-a: {type: parquet, path: $tmp/a}
+           |  br-b: {type: parquet, path: $tmp/b}
+           |  out91: {type: parquet, path: $tmp/out}
+           |actions:
+           |  branch-a:
+           |    type: copy
+           |    inputId: src91
+           |    outputId: br-a
+           |    saveMode: overwrite
+           |    transformers:
+           |      - {type: filter, filterClause: "l_returnflag = 'R' and l_quantity >= 45"}
+           |      - {type: additionalColumns, additionalColumns: {branch: "'A'"}}
+           |    metadata: {feed: q91}
+           |  branch-b:
+           |    type: copy
+           |    inputId: src91
+           |    outputId: br-b
+           |    saveMode: overwrite
+           |    transformers:
+           |      - {type: filter, filterClause: "l_returnflag = 'N' and l_linenumber = 1 and l_discount >= 0.09"}
+           |      - {type: additionalColumns, additionalColumns: {branch: "'B'"}}
+           |    metadata: {feed: q91}
+           |  merge91:
+           |    type: customDataFrame
+           |    inputIds: [br-a, br-b]
+           |    outputIds: [out91]
+           |    saveMode: overwrite
+           |    outputSql:
+           |      out91: "select l_orderkey, l_linenumber, l_quantity, l_returnflag, branch from br_a union all select l_orderkey, l_linenumber, l_quantity, l_returnflag, branch from br_b"
+           |    metadata: {feed: q91}
+           |""".stripMargin
+      core.PipelineRunner.run(cfg, s, feedSel = Some("q91"))
+      s.read.parquet(s"$tmp/out")
+    }),
+
+    // PartitionRetentionMode under the oracle (q86's sibling — the other
+    // housekeeping mode): a partitioned write whose housekeepingMode
+    // deletes expired partitions after the load; the read-back hash proves
+    // retention removed exactly the expired partitions' rows and left the
+    // kept partitions byte-identical.
+    "q92_partition_retention" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q92").toString
+      val cfg =
+        s"""dataObjects:
+           |  src92: {type: parquet, path: $dir/orders.parquet}
+           |  dst92:
+           |    type: parquet
+           |    path: $tmp/dst
+           |    partitions: [prio]
+           |    housekeepingMode: {type: retention, retentionCondition: "prio >= '3'"}
+           |actions:
+           |  load92:
+           |    type: copy
+           |    inputId: src92
+           |    outputId: dst92
+           |    saveMode: overwrite
+           |    transformers:
+           |      - {type: sql, sql: "select *, substring(o_orderpriority, 1, 1) as prio from %{inputViewName}"}
+           |    metadata: {feed: q92}
+           |""".stripMargin
+      core.PipelineRunner.run(cfg, s, feedSel = Some("q92"))
+      val names = new java.io.File(s"$tmp/dst").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("prio="))
+        .map(_.getName).sorted.toSeq
+      require(names == Seq("prio=3", "prio=4", "prio=5"),
+        s"retention must delete prio 1-2, got $names")
+      s.read.parquet(s"$tmp/dst")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("prio").cast("string").as("prio"))
+    }),
+
+    // WebserviceFileDataObject through a REAL loopback HTTP round-trip: a
+    // JDK HttpServer serves the nation table as JSON keyed by a `region`
+    // query parameter; the DataObject issues one basic-auth GET per
+    // partition value through the real JavaHttpTransport (JDK HttpClient)
+    // and unions the parsed pages. The hash gates auth headers, query-param
+    // fanout, JSON decode, and the partition-value result column end-to-end
+    // — upgrading the webservice row from injected-fake specs to the oracle.
+    "q93_webservice_http" -> ((s, dir) => {
+      implicit val c: ActionPipelineContext = ctx(s)
+      def js(v: String): String = "\"" + v.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case ch => ch.toString } + "\""
+      // 25 rows — control-plane volume, same shape as a real REST payload
+      val byRegion = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("int"), col("n_name"),
+          col("n_regionkey").cast("int"))
+        .collect().groupBy(_.getInt(2)).map { case (r, rows) =>
+          r.toString -> rows.sortBy(_.getInt(0)).map(row =>
+            s"""{"n_nationkey":${row.getInt(0)},"n_name":${js(row.getString(1))},"n_regionkey":${row.getInt(2)}}""")
+            .mkString("[", ",", "]")
+        }
+      val expectAuth = "Basic " + java.util.Base64.getEncoder
+        .encodeToString("graft:s3cret".getBytes("UTF-8"))
+      val server = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      server.createContext("/nation", { exchange: com.sun.net.httpserver.HttpExchange =>
+        val authed = Option(exchange.getRequestHeaders.getFirst("Authorization"))
+          .contains(expectAuth)
+        val region = Option(exchange.getRequestURI.getQuery).toSeq
+          .flatMap(_.split("&"))
+          .collectFirst { case kv if kv.startsWith("region=") => kv.drop(7) }
+        if (!authed) exchange.sendResponseHeaders(401, -1)
+        else {
+          val body = region.flatMap(byRegion.get).getOrElse("[]").getBytes("UTF-8")
+          exchange.sendResponseHeaders(200, body.length.toLong)
+          exchange.getResponseBody.write(body)
+        }
+        exchange.close()
+      })
+      server.start()
+      try {
+        val port = server.getAddress.getPort
+        sources.WebserviceFileDataObject("q93_ws", s"http://127.0.0.1:$port/nation",
+          authMode = sources.BasicAuthMode("graft", "s3cret"),
+          queryParameters = Map("region" -> (0 to 4).map(_.toString)),
+          schema = Some(StructType(Seq(
+            StructField("n_nationkey", IntegerType),
+            StructField("n_name", StringType),
+            StructField("n_regionkey", IntegerType)))))
+          .getDataFrame()
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+            col("region"))
+      } finally server.stop(0)
+    }),
+
+    // ODataDataObject against a REAL paginated loopback endpoint: the JDK
+    // HttpServer serves the customer table in 100-row pages chained by
+    // `@odata.nextLink`; the DataObject follows the links until exhausted.
+    // A request counter proves pagination actually engaged (≥2 pages), and
+    // the hash proves every page arrived exactly once.
+    "q94_odata_pagination" -> ((s, dir) => {
+      implicit val c: ActionPipelineContext = ctx(s)
+      def js(v: String): String = "\"" + v.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case ch => ch.toString } + "\""
+      val rows = t(s, dir, "customer")
+        .select(col("c_custkey").cast("long"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment"))
+        .collect().sortBy(_.getLong(0)).map(r =>
+          s"""{"c_custkey":${r.getLong(0)},"c_name":${js(r.getString(1))},"c_acctbal":${r.getDouble(2)},"c_mktsegment":${js(r.getString(3))}}""")
+      val pageSize = 100
+      val requests = new java.util.concurrent.atomic.AtomicInteger(0)
+      val server = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      server.createContext("/odata/Customers", { exchange: com.sun.net.httpserver.HttpExchange =>
+        requests.incrementAndGet()
+        val skip = Option(exchange.getRequestURI.getQuery).toSeq
+          .flatMap(_.split("&"))
+          .collectFirst { case kv if kv.startsWith("skip=") => kv.drop(5).toInt }
+          .getOrElse(0)
+        val page = rows.slice(skip, skip + pageSize)
+        val nextLink =
+          if (skip + pageSize < rows.length)
+            s""","@odata.nextLink":"http://127.0.0.1:${server.getAddress.getPort}/odata/Customers?skip=${skip + pageSize}""""
+          else ""
+        val body = s"""{"value":${page.mkString("[", ",", "]")}$nextLink}""".getBytes("UTF-8")
+        exchange.sendResponseHeaders(200, body.length.toLong)
+        exchange.getResponseBody.write(body)
+        exchange.close()
+      })
+      server.start()
+      try {
+        val port = server.getAddress.getPort
+        val df = sources.ODataDataObject("q94_od", s"http://127.0.0.1:$port/odata",
+          "Customers",
+          schema = Some(StructType(Seq(
+            StructField("c_custkey", LongType),
+            StructField("c_name", StringType),
+            StructField("c_acctbal", DoubleType),
+            StructField("c_mktsegment", StringType)))))
+          .getDataFrame()
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("c_mktsegment"))
+        require(requests.get() >= 2,
+          s"pagination must span multiple pages, served ${requests.get()} request(s)")
+        df
+      } finally server.stop(0)
+    }),
+
+    // AirbyteDataObject through a REAL subprocess speaking the Airbyte
+    // protocol on stdout: RECORD lines for two streams interleaved with
+    // LOG/CATALOG/STATE messages. The DataObject must keep exactly the
+    // configured stream's records, ignore the noise, and capture the STATE
+    // cursor — upgrading the airbyte row from fake-runner specs to the
+    // oracle.
+    "q95_airbyte_subprocess" -> ((s, dir) => {
+      implicit val c: ActionPipelineContext = ctx(s)
+      def js(v: String): String = "\"" + v.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case ch => ch.toString } + "\""
+      val lines = scala.collection.mutable.ArrayBuffer[String](
+        """{"type":"LOG","log":{"level":"INFO","message":"starting sync"}}""",
+        """{"type":"CATALOG","catalog":{"streams":[]}}""")
+      t(s, dir, "supplier")
+        .select(col("s_suppkey").cast("long"), col("s_name"),
+          col("s_nationkey").cast("long"), col("s_acctbal").cast("double"))
+        .collect().sortBy(_.getLong(0)).foreach { r =>
+          lines += s"""{"type":"RECORD","record":{"stream":"suppliers","emitted_at":0,"data":{"s_suppkey":${r.getLong(0)},"s_name":${js(r.getString(1))},"s_nationkey":${r.getLong(2)},"s_acctbal":${r.getDouble(3)}}}}"""
+        }
+      // wrong-stream record + trailing STATE: must be filtered / captured
+      lines += """{"type":"RECORD","record":{"stream":"other","emitted_at":0,"data":{"x":1}}}"""
+      lines += """{"type":"STATE","state":{"cursor":"42"}}"""
+      val f = java.nio.file.Files.createTempFile("graft_q95", ".jsonl")
+      java.nio.file.Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
+      val obj = sources.AirbyteDataObject("q95_ab", Seq("cat", f.toString),
+        streamName = "suppliers",
+        schema = Some(StructType(Seq(
+          StructField("s_suppkey", LongType),
+          StructField("s_name", StringType),
+          StructField("s_nationkey", LongType),
+          StructField("s_acctbal", DoubleType)))))
+      val df = obj.getDataFrame()
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          col("s_acctbal"))
+      require(obj.getState.contains("""{"cursor":"42"}"""),
+        s"STATE cursor must be captured, got ${obj.getState}")
+      df
     })
   )
 
@@ -2975,6 +3203,32 @@ object SparkEntry {
 
     "q90_file_actions" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
-        |WHERE n_nationkey % 2 = 0""".stripMargin
+        |WHERE n_nationkey % 2 = 0""".stripMargin,
+
+    "q91_diamond_union" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, 'A' AS branch
+        |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity >= 45
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, 'B'
+        |FROM lineitem
+        |WHERE l_returnflag = 'N' AND l_linenumber = 1 AND l_discount >= 0.09""".stripMargin,
+
+    "q92_partition_retention" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  substring(o_orderpriority, 1, 1) AS prio
+        |FROM orders WHERE substring(o_orderpriority, 1, 1) >= '3'""".stripMargin,
+
+    "q93_webservice_http" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+        |  CAST(n_regionkey AS VARCHAR) AS region FROM nation""".stripMargin,
+
+    "q94_odata_pagination" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, c_acctbal,
+        |  c_mktsegment FROM customer""".stripMargin,
+
+    "q95_airbyte_subprocess" ->
+      """SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+        |  CAST(s_nationkey AS BIGINT) AS s_nationkey,
+        |  CAST(s_acctbal AS DOUBLE) AS s_acctbal FROM supplier""".stripMargin
   )
 }
