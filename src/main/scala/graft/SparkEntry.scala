@@ -23,12 +23,10 @@ object SparkEntry {
   /** read one of the driver-generated tables (TESTDATA.md) */
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS): with
-    // spark.sql.legacy.parquet.nanosAsLong=true it arrives as long nanos;
-    // values are µs-aligned so the conversion is exact.
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    // events.ts has shipped as TIMESTAMP(NANOS)-read-as-long in one driver
+    // testdata generation and timestamp[us] (→ TIMESTAMP_NTZ) in another;
+    // normalize either to TimestampType (lossless under the UTC session tz)
+    if (name == "events") graft.core.EventTime.normalize(df, "ts") else df
   }
 
   private def ctx(s: SparkSession): ActionPipelineContext =
@@ -1355,10 +1353,7 @@ object SparkEntry {
       val src = sources.ParquetFileDataObject("q79_src", s"$tmp/src")
       val dst = sources.ParquetFileDataObject("q79_dst", s"$tmp/out")
       val sdf0 = src.getStreamingDataFrame(Map.empty, Some(schema))
-      val sdf =
-        if (schema("ts").dataType == LongType)
-          sdf0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        else sdf0
+      val sdf = graft.core.EventTime.normalize(sdf0, "ts")
       val windowed = graft.streaming.EventTimeWindowTransformer(
         eventTimeColumn = "ts", windowDuration = "1 hour",
         watermarkDuration = "0 seconds", groupByColumns = Seq("event_type"),

@@ -87,8 +87,12 @@ object TemporalJoins {
     * session windows (streaming/Streaming.scala). */
   def sessionize(df: DataFrame, keys: Seq[String], tsCol: String,
                  maxGapSeconds: Long): DataFrame = {
-    val order = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
-    val gap = unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1).over(order))
+    // normalize NTZ/long event time like asOfJoin's casts above — plain
+    // parquet µs timestamps arrive as TIMESTAMP_NTZ, which unix_micros
+    // rejects (lossless under the UTC session tz)
+    val ts = graft.core.EventTime.normalizeCol(df.schema(tsCol).dataType, tsCol)
+    val order = Window.partitionBy(keys.map(col): _*).orderBy(ts)
+    val gap = unix_micros(ts) - unix_micros(lag(ts, 1).over(order))
     val isNew = when(gap.isNull || gap > maxGapSeconds * 1000000L, 1L).otherwise(0L)
     // default RANGE frame on purpose: rows tying on ts are peers, so the
     // cumulative sum gives every peer the same session id no matter which

@@ -26,8 +26,10 @@ case class EventTimeWindowTransformer(
     aggExpressions: Map[String, String]) extends DfTransformer {
 
   override def transform(df: DataFrame, dataObjectId: String = "")(implicit ctx: ActionPipelineContext): DataFrame = {
+    // NTZ/long event time → TimestampType (withWatermark rejects NTZ)
+    val normalized = EventTime.normalize(df, eventTimeColumn)
     val withWm =
-      if (df.isStreaming) df.withWatermark(eventTimeColumn, watermarkDuration) else df
+      if (normalized.isStreaming) normalized.withWatermark(eventTimeColumn, watermarkDuration) else normalized
     val windowCol = slideDuration match {
       case Some(slide) => window(col(eventTimeColumn), windowDuration, slide)
       case None => window(col(eventTimeColumn), windowDuration)
@@ -52,8 +54,9 @@ case class SessionWindowTransformer(
     aggExpressions: Map[String, String]) extends DfTransformer {
 
   override def transform(df: DataFrame, dataObjectId: String = "")(implicit ctx: ActionPipelineContext): DataFrame = {
+    val normalized = EventTime.normalize(df, eventTimeColumn)
     val withWm =
-      if (df.isStreaming) df.withWatermark(eventTimeColumn, watermarkDuration) else df
+      if (normalized.isStreaming) normalized.withWatermark(eventTimeColumn, watermarkDuration) else normalized
     val aggs = aggExpressions.toSeq.map { case (name, e) => expr(e).as(name) }
     withWm
       .groupBy((session_window(col(eventTimeColumn), gapDuration).as("window") +: groupByColumns.map(col)): _*)
@@ -82,7 +85,8 @@ case class StreamingDedupTransformer(
   override def transform(df: DataFrame, dataObjectId: String = "")(implicit ctx: ActionPipelineContext): DataFrame =
     (withinWatermark, eventTimeColumn) match {
       case (Some(d), Some(ts)) if df.isStreaming =>
-        df.withWatermark(ts, d).dropDuplicatesWithinWatermark(keyColumns)
+        EventTime.normalize(df, ts).withWatermark(ts, d)
+          .dropDuplicatesWithinWatermark(keyColumns)
       case _ => df.dropDuplicates(keyColumns)
     }
 }
