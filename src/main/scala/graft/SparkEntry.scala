@@ -1958,7 +1958,11 @@ object SparkEntry {
           col("c_mktsegment"))
         .collect().sortBy(_.getLong(0)).map(r =>
           s"""{"c_custkey":${r.getLong(0)},"c_name":${js(r.getString(1))},"c_acctbal":${r.getDouble(2)},"c_mktsegment":${js(r.getString(3))}}""")
-      val pageSize = 100
+      // 1000-row pages: at sf0.01 (15k customers) that's 15 sequential
+      // round-trips — pagination still demonstrably engages (≥2 pages
+      // asserted below) without the 150-request fixture tax the round-9
+      // bench flagged (6.78 s, the suite's most expensive entry).
+      val pageSize = 1000
       val requests = new java.util.concurrent.atomic.AtomicInteger(0)
       val server = com.sun.net.httpserver.HttpServer.create(
         new java.net.InetSocketAddress("127.0.0.1", 0), 0)
@@ -2034,6 +2038,59 @@ object SparkEntry {
       require(obj.getState.contains("""{"cursor":"42"}"""),
         s"STATE cursor must be captured, got ${obj.getState}")
       df
+    }),
+
+    // CustomScriptAction as the MIDDLE of a copy→script→copy chain (q90's
+    // script node only filters rows; this one TRANSFORMS content — awk
+    // appends a derived column — so a script that corrupts, reorders or
+    // drops fields breaks the hash). Chain: supplier parquet → copy #1
+    // (whitelist 3 cols) to CSV → script derives key_mod = s_suppkey % 7 →
+    // copy #2 parses the WIDENED csv back to parquet. The final read is
+    // from copy #2's parquet output only.
+    "q96_script_between_copies" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q96").toString
+      val script = s"""mkdir -p $tmp/b && for f in $tmp/a/part-*.csv; do """ +
+        s"""awk -F, 'NR == 1 {print $$0",key_mod"; next} {print $$0","($$1 % 7)}' "$$f" > $tmp/b/$$(basename "$$f"); done"""
+      val cfg =
+        s"""dataObjects:
+           |  p96: {type: parquet, path: $dir/supplier.parquet}
+           |  a96: {type: csv, path: $tmp/a, csvOptions: {header: "true"}}
+           |  b96:
+           |    type: csv
+           |    path: $tmp/b
+           |    csvOptions: {header: "true"}
+           |    schema: "s_suppkey string, s_name string, s_nationkey string, key_mod string"
+           |  o96: {type: parquet, path: $tmp/out}
+           |actions:
+           |  stage96:
+           |    type: copy
+           |    inputId: p96
+           |    outputId: a96
+           |    saveMode: overwrite
+           |    transformers:
+           |      - {type: whitelist, columnWhitelist: [s_suppkey, s_name, s_nationkey]}
+           |    metadata: {feed: q96}
+           |  derive96:
+           |    type: script
+           |    cmd:
+           |      - bash
+           |      - -c
+           |      - >-
+           |        $script
+           |    inputIds: [a96]
+           |    outputIds: [b96]
+           |    metadata: {feed: q96}
+           |  load96:
+           |    type: copy
+           |    inputId: b96
+           |    outputId: o96
+           |    saveMode: overwrite
+           |    metadata: {feed: q96}
+           |""".stripMargin
+      core.PipelineRunner.run(cfg, s, feedSel = Some("q96"))
+      s.read.parquet(s"$tmp/out")
+        .select(col("s_suppkey").cast("long"), col("s_name"),
+          col("s_nationkey").cast("int"), col("key_mod").cast("int"))
     })
   )
 
@@ -3224,6 +3281,11 @@ object SparkEntry {
     "q95_airbyte_subprocess" ->
       """SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
         |  CAST(s_nationkey AS BIGINT) AS s_nationkey,
-        |  CAST(s_acctbal AS DOUBLE) AS s_acctbal FROM supplier""".stripMargin
+        |  CAST(s_acctbal AS DOUBLE) AS s_acctbal FROM supplier""".stripMargin,
+    // q96: the script node's awk-derived column recomputed relationally
+    "q96_script_between_copies" ->
+      """SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+        |  CAST(s_nationkey AS INT) AS s_nationkey,
+        |  CAST(s_suppkey % 7 AS INT) AS key_mod FROM supplier""".stripMargin
   )
 }

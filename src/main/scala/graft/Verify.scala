@@ -20,13 +20,26 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // optional comma-separated filter for iterating on single queries
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Failures must be LOUD: a query that throws writes a one-row parquet
+    // with an `err` column (guaranteed red rows/schema/hash row in the
+    // driver's compare — never a silently missing row) and is collected
+    // into errors.json. Round-8 postmortem: three broken queries vanished
+    // from CORRECTNESS entirely because this loop only logged to stderr.
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name.parquet")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+        failures(name) = msg
+        System.err.println(s"[verify] $name FAILED: $msg")
+        try {
+          import spark.implicits._
+          Seq(msg).toDF("err").coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name.parquet")
+        } catch { case _: Throwable => () }
       }
       // several operators persist intermediates (LSH/OPH signatures, IVF
       // assignment) — drop them between queries so cached blocks don't
@@ -52,6 +65,20 @@ object Verify {
       .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Machine-readable failure manifest next to the results; empty object
+    // when the round is clean. exit(1) so a failed dump can never be
+    // mistaken for a green one by anything watching the process status.
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    // Parity guard: every query must ship an oracle and vice versa (also
+    // spec-asserted in VerifyParitySpec; duplicated here so a drifted
+    // driver-side run still screams).
+    val qk = SparkEntry.queries.keySet
+    val ok = SparkEntry.oracleSql.keySet
+    if (only.isEmpty && qk != ok) {
+      System.err.println(s"[verify] KEY MISMATCH queries-only=${(qk -- ok).toSeq.sorted.mkString(",")} oracle-only=${(ok -- qk).toSeq.sorted.mkString(",")}")
+    }
     spark.stop()
+    if (failures.nonEmpty || (only.isEmpty && qk != ok)) sys.exit(1)
   }
 }

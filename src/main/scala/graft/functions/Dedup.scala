@@ -90,7 +90,8 @@ object Dedup {
                             shingleSize: Int = 5, numHashes: Int = 32, bands: Int = 8,
                             threshold: Double = 0.7, maxBucketSize: Int = 1000,
                             failOnCappedBuckets: Boolean = false,
-                            cappedBucketExactFallback: Boolean = true): DataFrame = {
+                            cappedBucketExactFallback: Boolean = true,
+                            dedupBeforeVerify: Boolean = false): DataFrame = {
     // Materialize signatures ONCE: without the barrier Catalyst's projection
     // collapse inlines the 32-hash minhash into every band expression and
     // the self-join recomputes the whole scan+signature on both sides —
@@ -100,7 +101,8 @@ object Dedup {
     val sigs = minhashSignatures(df, idCol, textCol, shingleSize, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     minhashPairsFromSigs(sigs, bands, numHashes / bands, threshold,
-      maxBucketSize, failOnCappedBuckets, cappedBucketExactFallback)
+      maxBucketSize, failOnCappedBuckets, cappedBucketExactFallback,
+      dedupBeforeVerify)
   }
 
   /** Banding + verification over a prepared `(id, shingles, sig)` frame
@@ -111,7 +113,8 @@ object Dedup {
   def minhashPairsFromSigs(sigs: DataFrame, bands: Int, rowsPerBand: Int,
                            threshold: Double = 0.7, maxBucketSize: Int = 1000,
                            failOnCappedBuckets: Boolean = false,
-                           cappedBucketExactFallback: Boolean = true): DataFrame = {
+                           cappedBucketExactFallback: Boolean = true,
+                           dedupBeforeVerify: Boolean = false): DataFrame = {
     // band explode carries only (id, band, bucket) — never the shingle
     // arrays — so the candidate-generation shuffle is a few bytes per row.
     // (Measured dead end: an explicit repartition(band, bucket) here to
@@ -125,23 +128,29 @@ object Dedup {
     // single zero-allocation merge pass instead of array_intersect's
     // per-pair hash set — the verification step dominates minhash cost
     // once bands are tuned for high recall, so this is the hot loop.
-    // Pair-dedup runs AFTER verification: a candidate pair repeats once per
-    // shared band (measured multiplicity ≈ 1.15 on the correlated bench
-    // corpus), so deduping the huge raw candidate set first costs a full
-    // extra shuffle of it to save ~15% verification CPU — measured 35%
-    // slower end-to-end. The trade inverts only when most pairs share most
-    // bands (near-identical corpora), and exact copies are siphoned off by
-    // the exact-dup star pass before they can inflate multiplicity.
-    def pairsOf(pruned: DataFrame): DataFrame = pruned.alias("a").join(pruned.alias("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .join(sigs.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
-      .withColumn("jaccard", sortedJaccard(col("sh_a"), col("sh_b")))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-      .dropDuplicates("id_a", "id_b")
+    // Pair-dedup placement is flag-selectable (`dedupBeforeVerify`) and was
+    // settled by measurement — see SCALE.md round-10 2×2 matrix. Default
+    // (AFTER verification): a candidate pair repeats once per shared band
+    // (measured multiplicity ≈ 1.15 on the correlated bench corpus), so
+    // deduping the huge raw candidate set first costs a full extra shuffle
+    // of it to save ~15% verification CPU. The trade inverts only when most
+    // pairs share most bands (near-identical corpora), and exact copies are
+    // siphoned off by the exact-dup star pass before they can inflate
+    // multiplicity.
+    def pairsOf(pruned: DataFrame): DataFrame = {
+      val raw = pruned.alias("a").join(pruned.alias("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      val candidates = if (dedupBeforeVerify) raw.dropDuplicates("id_a", "id_b") else raw
+      val verified = candidates
+        .join(sigs.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+        .join(sigs.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+        .withColumn("jaccard", sortedJaccard(col("sh_a"), col("sh_b")))
+        .where(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+      if (dedupBeforeVerify) verified else verified.dropDuplicates("id_a", "id_b")
+    }
     if (failOnCappedBuckets) {
       assertNoCappedBuckets(banded, Seq("band", "bucket"), maxBucketSize, "minhash LSH")
       pairsOf(banded)
