@@ -1368,6 +1368,64 @@ object SparkEntry {
       dst.getDataFrame()
     }),
 
+    // The SYNCHRONOUS SparkStreamingMode loop (q79's sibling): the same
+    // event-time window aggregation, executed as THREE Trigger.Once DAG
+    // runs through the config-parsed runner over a three-way time-split
+    // source. Append-mode emission lags one data-bearing run (batch N
+    // evicts with the watermark derived from batch N-1's data; a restarted
+    // Trigger.Once query with no new data runs no flush batch), so after
+    // ingesting f1|f2|f3 the sink holds exactly the windows closed by f2's
+    // max event time — the oracle encodes that lag precisely. Exercises
+    // watermark/state persistence across query RESTARTS, which the
+    // single-query q79 never does.
+    "q79c_sync_stream_loop" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q79c").toString
+      java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$tmp/src"))
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      def stage(df: DataFrame, name: String): Unit = {
+        val st = s"$tmp/stage_$name"
+        df.coalesce(1).write.parquet(st)
+        val part = new java.io.File(st).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$tmp/src/$name.parquet"))
+      }
+      val (cut1, cut2) = ("2024-01-11 00:00:00", "2024-01-21 00:00:00")
+      stage(ev.where(col("ts") < lit(cut1)), "f1")
+      val cfg =
+        s"""dataObjects:
+           |  s79c:
+           |    type: parquet
+           |    path: $tmp/src
+           |    schema: "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, value double, props string"
+           |  d79c: {type: parquet, path: $tmp/out}
+           |actions:
+           |  win79c:
+           |    type: copy
+           |    inputId: s79c
+           |    outputId: d79c
+           |    executionMode: {type: streaming, checkpointLocation: $tmp/cp, triggerType: Once}
+           |    transformers:
+           |      - type: eventTimeWindow
+           |        eventTimeColumn: ts
+           |        windowDuration: 1 hour
+           |        watermarkDuration: 0 seconds
+           |        groupByColumns: [event_type]
+           |        aggExpressions:
+           |          n_events: "count(*)"
+           |          sum_value: "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+           |    metadata: {feed: q79c}
+           |""".stripMargin
+      core.PipelineRunner.run(cfg, s, feedSel = Some("q79c"))
+      stage(ev.where(col("ts") >= lit(cut1) && col("ts") < lit(cut2)), "f2")
+      core.PipelineRunner.run(cfg, s, feedSel = Some("q79c"))
+      stage(ev.where(col("ts") >= lit(cut2)), "f3")
+      core.PipelineRunner.run(cfg, s, feedSel = Some("q79c"))
+      s.read.parquet(s"$tmp/out")
+        .select(col("event_type"), col("n_events"), col("sum_value"),
+          col("window_start"), col("window_end"))
+    }),
+
     // Session windows (gap-based) on the same transformer's batch path —
     // identical code to the streaming shape minus the watermark. DuckDB
     // reproduces with islands logic: a session breaks where the gap to the
@@ -3161,6 +3219,22 @@ object SparkEntry {
         |  window_start + INTERVAL 1 HOUR AS window_end
         |FROM b
         |WHERE window_start + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)""".stripMargin,
+
+    // q79c: append-mode emission lag under the Trigger.Once loop — after
+    // runs over f1|f2|f3 the sink holds exactly the windows closed by the
+    // watermark as of f2's max event time (batch N evicts with the
+    // watermark from batch N-1's data; no flush batch without new data)
+    "q79c_sync_stream_loop" ->
+      """WITH b AS (
+        |  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+        |    count(*) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, n_events, sum_value, window_start,
+        |  window_start + INTERVAL 1 HOUR AS window_end
+        |FROM b
+        |WHERE window_start + INTERVAL 1 HOUR <=
+        |  (SELECT max(ts) FROM events WHERE ts < TIMESTAMP '2024-01-21 00:00:00')""".stripMargin,
 
     "q79b_session_windows" ->
       """WITH o AS (
