@@ -2149,6 +2149,56 @@ object SparkEntry {
       s.read.parquet(s"$tmp/out")
         .select(col("s_suppkey").cast("long"), col("s_name"),
           col("s_nationkey").cast("int"), col("key_mod").cast("int"))
+    }),
+
+    // Kafka WIRE-FORMAT decode + offset-range batching, broker-free: the
+    // supplier table is encoded into the exact frame schema the kafka
+    // source emits (key/value binary, topic, partition, offset, timestamp;
+    // value = JSON bytes), archived to parquet, and re-read through
+    // KafkaTopicDataObject's real decode path — from_json value decode,
+    // inclusive/exclusive/-1 offset-range semantics, and maxOffsets-style
+    // batching (wireBatchSpecs splits the range into ≥2 chunks whose
+    // specs feed the same starting/endingOffsets parser; the union of the
+    // chunk reads must equal the single bounded read). The offset filter
+    // is a plain predicate, so each chunk is a pushed-down parquet range
+    // scan — the shape an offset-bounded archive re-process has at scale.
+    "q97_kafka_wire_decode" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q97").toString
+      t(s, dir, "supplier")
+        .select(col("s_suppkey").cast("long").as("k"), col("s_name"),
+          col("s_acctbal").cast("double").as("s_acctbal"))
+        .withColumn("partition", (col("k") % 3).cast("int"))
+        .withColumn("offset",
+          row_number().over(Window.partitionBy(col("partition")).orderBy(col("k")))
+            .cast("long") - 1)
+        .select(
+          col("k").cast("string").cast("binary").as("key"),
+          to_json(struct(col("k").as("s_suppkey"), col("s_name"), col("s_acctbal")))
+            .cast("binary").as("value"),
+          lit("q97").as("topic"), col("partition"), col("offset"),
+          timestamp_seconds(lit(1704067200L) + col("offset")).as("timestamp"))
+        .write.parquet(s"$tmp/wire")
+      val archived = s.read.parquet(s"$tmp/wire")
+      val obj = sources.KafkaTopicDataObject("q97_kafka", "q97", "broker-free:9092",
+        valueType = "json",
+        valueSchema = Some(StructType(Seq(
+          StructField("s_suppkey", LongType), StructField("s_name", StringType),
+          StructField("s_acctbal", DoubleType)))),
+        startingOffsets = """{"q97":{"0":5,"2":3}}""",
+        endingOffsets = """{"q97":{"0":30,"1":-1,"2":20}}""")
+      val specs = obj.wireBatchSpecs(archived, maxOffsets = 10)
+      require(specs.length >= 2, s"offset batching must engage, got ${specs.length} batch(es)")
+      val chunks = specs.map { case (st, en) =>
+        obj.copy(startingOffsets = st, endingOffsets = en).decodeWire(archived) }
+      val whole = obj.decodeWire(archived)
+      val out = chunks.reduce(_.unionByName(_))
+      require(out.count() == whole.count(),
+        "chunked reads must cover exactly the bounded range")
+      out.select(col("key").cast("string").cast("long").as("key_suppkey"),
+        col("value.s_suppkey").as("s_suppkey"), col("value.s_name").as("s_name"),
+        col("value.s_acctbal").as("s_acctbal"),
+        col("partition"), col("offset"))
     })
   )
 
@@ -3360,6 +3410,21 @@ object SparkEntry {
     "q96_script_between_copies" ->
       """SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
         |  CAST(s_nationkey AS INT) AS s_nationkey,
-        |  CAST(s_suppkey % 7 AS INT) AS key_mod FROM supplier""".stripMargin
+        |  CAST(s_suppkey % 7 AS INT) AS key_mod FROM supplier""".stripMargin,
+    // q97: kafka wire decode — DuckDB rebuilds partition/offset assignment
+    // and replays the configured offset ranges (start inclusive, end
+    // exclusive, -1/absent unbounded)
+    "q97_kafka_wire_decode" ->
+      """WITH w AS (
+        |  SELECT CAST(s_suppkey AS BIGINT) AS sk, s_name,
+        |    CAST(s_acctbal AS DOUBLE) AS sb,
+        |    CAST(s_suppkey % 3 AS INT) AS kpart,
+        |    CAST(row_number() OVER (PARTITION BY s_suppkey % 3 ORDER BY s_suppkey) - 1 AS BIGINT) AS koff
+        |  FROM supplier)
+        |SELECT sk AS key_suppkey, sk AS s_suppkey, s_name, sb AS s_acctbal,
+        |  kpart AS partition, koff AS "offset"
+        |FROM w
+        |WHERE (kpart <> 0 OR (koff >= 5 AND koff < 30))
+        |  AND (kpart <> 2 OR (koff >= 3 AND koff < 20))""".stripMargin
   )
 }

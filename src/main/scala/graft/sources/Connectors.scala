@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.core._
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 import java.nio.charset.StandardCharsets.UTF_8
@@ -328,6 +328,64 @@ case class KafkaTopicDataObject(
   override def getDataFrame(partitionValues: Seq[PartitionValues] = Seq.empty)
                            (implicit ctx: ActionPipelineContext): DataFrame =
     decode(ctx.spark.read.format("kafka").options(readOptions).load())
+
+  /** Offset bounds from a `startingOffsets`/`endingOffsets` JSON spec
+    * (`{"topic":{"0":23,"1":-1}}`), restricted to this object's topic.
+    * `earliest`/`latest` → no bounds. Reference
+    * `KafkaTopicDataObject.scala:102-230` does this broker-side; the
+    * engine-side form below makes the same semantics applicable to
+    * wire-format archives (parquet dumps of kafka frames), which is also
+    * how offset-bounded re-processing works without re-reading the broker. */
+  private[graft] def offsetBounds(spec: String): Map[Int, Long] = spec match {
+    case "earliest" | "latest" => Map.empty
+    case js =>
+      import scala.jdk.CollectionConverters._
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(js)
+      Option(root.get(topic)).map { parts =>
+        parts.fields().asScala.map(e => e.getKey.toInt -> e.getValue.asLong).toMap
+      }.getOrElse(Map.empty)
+  }
+
+  /** Kafka range semantics over a wire frame: starting offset inclusive,
+    * ending offset exclusive, -1 = unbounded; partitions absent from the
+    * spec are unbounded. A plain column predicate, so it pushes down to the
+    * parquet scan of an archived wire dump. */
+  private[graft] def offsetRangeFilter: Column = {
+    val startOk = offsetBounds(startingOffsets).filter(_._2 >= 0)
+      .foldLeft(lit(true)) { case (acc, (p, o)) =>
+        acc && (col("partition") =!= p || col("offset") >= o) }
+    val endOk = offsetBounds(endingOffsets).filter(_._2 >= 0)
+      .foldLeft(lit(true)) { case (acc, (p, o)) =>
+        acc && (col("partition") =!= p || col("offset") < o) }
+    startOk && endOk
+  }
+
+  /** Decode a WIRE-shaped frame (the exact schema the kafka source emits:
+    * key/value binary, topic, partition, offset, timestamp) applying the
+    * configured offset ranges — the broker-free half of [[getDataFrame]],
+    * usable on archived wire dumps. */
+  def decodeWire(wire: DataFrame): DataFrame = decode(wire.where(offsetRangeFilter))
+
+  /** Offset-range BATCHING over a wire frame: splits the configured range
+    * into chunks of at most `maxOffsets` per partition (the batch-read
+    * analogue of `maxOffsetsPerTrigger`), returning per-batch
+    * starting/ending specs in the same JSON form the kafka source takes.
+    * One tiny per-partition min/max agg (numPartitions rows) plans the
+    * chunking; each chunk is then a pushed-down range scan. */
+  def wireBatchSpecs(wire: DataFrame, maxOffsets: Long): Seq[(String, String)] = {
+    val bounded = wire.where(offsetRangeFilter)
+    val ranges = bounded.groupBy(col("partition"))
+      .agg(min(col("offset")).as("lo"), max(col("offset")).as("hi"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val nBatches = ranges.map { case (_, lo, hi) =>
+      ((hi - lo) / maxOffsets + 1).toInt }.maxOption.getOrElse(0)
+    (0 until nBatches).map { b =>
+      def spec(f: (Long, Long) => Long): String =
+        ranges.map { case (p, lo, hi) =>
+          s""""$p":${math.min(f(lo, hi), hi + 1)}""" }.mkString(s"""{"$topic":{""", ",", "}}")
+      (spec((lo, _) => lo + b * maxOffsets), spec((lo, _) => lo + (b + 1) * maxOffsets))
+    }
+  }
 
   override def getStreamingDataFrame(extraOptions: Map[String, String], schema: Option[StructType])
                                     (implicit ctx: ActionPipelineContext): DataFrame =

@@ -2,6 +2,7 @@ package graft
 
 import graft.core._
 import graft.sources._
+import org.apache.spark.sql.functions.{concat, lit}
 import org.apache.spark.sql.types.StructType
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -106,6 +107,34 @@ class ConnectorsSpec extends AnyFunSuite {
     val encoded = k.encodeForWrite(Seq((1, "z")).toDF("a", "b"))
     assert(encoded.columns.toSeq == Seq("key", "value"))
     assert(encoded.selectExpr("value").collect().head.getString(0).contains("\"a\":1"))
+  }
+
+  test("kafka offset-range semantics and batching over a wire frame") {
+    import spark.implicits._
+    // 2 partitions × 12 offsets
+    val wire = (0 until 2).flatMap(p => (0L until 12L).map(o => (p, o)))
+      .toDF("partition", "offset")
+      .select(lit("k").cast("binary").as("key"),
+        concat(lit("""{"v":"""), $"offset", lit("}")).cast("binary").as("value"),
+        lit("t").as("topic"), $"partition", $"offset",
+        lit(new java.sql.Timestamp(0)).as("timestamp"))
+    val k = KafkaTopicDataObject("k2", "t", "broker:9092",
+      startingOffsets = """{"t":{"0":3}}""",
+      endingOffsets = """{"t":{"0":10,"1":5}}""")
+    // start inclusive, end exclusive, absent partition unbounded on start
+    assert(k.offsetBounds("""{"t":{"0":3}}""") == Map(0 -> 3L))
+    assert(k.offsetBounds("earliest").isEmpty && k.offsetBounds("latest").isEmpty)
+    assert(k.offsetBounds("""{"other":{"0":9}}""").isEmpty)
+    val bounded = k.decodeWire(wire)
+    assert(bounded.count() == 7 + 5) // p0: [3,10) = 7, p1: [0,5) = 5
+    // batching: chunks must partition the bounded range exactly
+    val specs = k.wireBatchSpecs(wire, maxOffsets = 3)
+    assert(specs.length >= 2)
+    val union = specs.map { case (st, en) =>
+      k.copy(startingOffsets = st, endingOffsets = en).decodeWire(wire) }
+      .reduce(_.unionByName(_))
+    assert(union.count() == bounded.count())
+    assert(union.select($"partition", $"offset").distinct().count() == bounded.count())
   }
 
   test("jms receiver rows parsed as json") {
