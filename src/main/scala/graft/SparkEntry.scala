@@ -2016,11 +2016,11 @@ object SparkEntry {
           col("c_mktsegment"))
         .collect().sortBy(_.getLong(0)).map(r =>
           s"""{"c_custkey":${r.getLong(0)},"c_name":${js(r.getString(1))},"c_acctbal":${r.getDouble(2)},"c_mktsegment":${js(r.getString(3))}}""")
-      // 1000-row pages: at sf0.01 (15k customers) that's 15 sequential
-      // round-trips — pagination still demonstrably engages (≥2 pages
-      // asserted below) without the 150-request fixture tax the round-9
-      // bench flagged (6.78 s, the suite's most expensive entry).
-      val pageSize = 1000
+      // 1000-row pages (capped at half the table so the ≥2-page assert
+      // below holds at every SF): at sf0.1 that's 15 sequential
+      // round-trips instead of the 150 the round-9 bench flagged as the
+      // suite's most expensive fixture (6.78 s).
+      val pageSize = math.max(1, math.min(1000, (rows.length + 1) / 2))
       val requests = new java.util.concurrent.atomic.AtomicInteger(0)
       val server = com.sun.net.httpserver.HttpServer.create(
         new java.net.InetSocketAddress("127.0.0.1", 0), 0)
@@ -2187,7 +2187,9 @@ object SparkEntry {
           StructField("s_acctbal", DoubleType)))),
         startingOffsets = """{"q97":{"0":5,"2":3}}""",
         endingOffsets = """{"q97":{"0":30,"1":-1,"2":20}}""")
-      val specs = obj.wireBatchSpecs(archived, maxOffsets = 10)
+      // chunk size scaled to the table so ≥2 batches engage at every SF
+      val specs = obj.wireBatchSpecs(archived,
+        maxOffsets = math.max(1L, archived.count() / 6))
       require(specs.length >= 2, s"offset batching must engage, got ${specs.length} batch(es)")
       val chunks = specs.map { case (st, en) =>
         obj.copy(startingOffsets = st, endingOffsets = en).decodeWire(archived) }

@@ -373,16 +373,23 @@ case class KafkaTopicDataObject(
     * One tiny per-partition min/max agg (numPartitions rows) plans the
     * chunking; each chunk is then a pushed-down range scan. */
   def wireBatchSpecs(wire: DataFrame, maxOffsets: Long): Seq[(String, String)] = {
-    val bounded = wire.where(offsetRangeFilter)
-    val ranges = bounded.groupBy(col("partition"))
-      .agg(min(col("offset")).as("lo"), max(col("offset")).as("hi"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
-    val nBatches = ranges.map { case (_, lo, hi) =>
+    // one small agg: per-partition bounded lo/hi PLUS which partitions
+    // exist at all — partitions with no rows inside the configured range
+    // must appear in every chunk spec as an EMPTY range (absent would
+    // mean unbounded, silently re-admitting excluded partitions)
+    val ranges = wire.groupBy(col("partition"))
+      .agg(min(when(offsetRangeFilter, col("offset"))).as("lo"),
+           max(when(offsetRangeFilter, col("offset"))).as("hi"))
+      .collect().map(r => (r.getInt(0),
+        if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2))))).sortBy(_._1)
+    val nBatches = ranges.collect { case (_, Some((lo, hi))) =>
       ((hi - lo) / maxOffsets + 1).toInt }.maxOption.getOrElse(0)
     (0 until nBatches).map { b =>
       def spec(f: (Long, Long) => Long): String =
-        ranges.map { case (p, lo, hi) =>
-          s""""$p":${math.min(f(lo, hi), hi + 1)}""" }.mkString(s"""{"$topic":{""", ",", "}}")
+        ranges.map {
+          case (p, Some((lo, hi))) => s""""$p":${math.min(f(lo, hi), hi + 1)}"""
+          case (p, None) => s""""$p":0"""
+        }.mkString(s"""{"$topic":{""", ",", "}}")
       (spec((lo, _) => lo + b * maxOffsets), spec((lo, _) => lo + (b + 1) * maxOffsets))
     }
   }
