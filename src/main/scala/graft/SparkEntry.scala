@@ -2201,6 +2201,33 @@ object SparkEntry {
         col("value.s_suppkey").as("s_suppkey"), col("value.s_name").as("s_name"),
         col("value.s_acctbal").as("s_acctbal"),
         col("partition"), col("offset"))
+    }),
+
+    // Versioned table with a file-level transaction log (the from-scratch
+    // stand-in for Delta/Iceberg time travel, in-env testable): overwrite
+    // → append → MERGE upsert → OPTIMIZE compaction, then TIME-TRAVEL
+    // reads of every version unioned under a version tag. The oracle
+    // recomputes each historical state relationally; compaction must be
+    // data-invariant (v2 and post-optimize latest hash identically).
+    "q98_versioned_time_travel" -> ((s, dir) => {
+      implicit val c: ActionPipelineContext = ctx(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q98").toString
+      val vt = sources.VersionedTableDataObject("q98_vt", s"$tmp/t",
+        primaryKey = Seq("c_custkey"))
+      val cust = t(s, dir, "customer").select(col("c_custkey").cast("long"),
+        col("c_name"), col("c_acctbal").cast("double"))
+      vt.writeDataFrame(cust.where(col("c_custkey") <= 1000))            // v0
+      vt.writeDataFrame(cust.where(col("c_custkey") > 1000 && col("c_custkey") <= 1200),
+        saveMode = Some(SdlSaveMode.Append))                             // v1
+      val feed = cust.where(col("c_custkey") <= 1200 && col("c_custkey") % 10 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+        .unionByName(cust.where(col("c_custkey") > 1200 && col("c_custkey") <= 1300))
+      vt.mergeDataFrame(feed, Seq("c_custkey"))                          // v2
+      vt.optimize(targetFileCount = 2)                                   // v3: same data
+      def tag(v: Option[Int], label: String) =
+        vt.getDataFrameAsOf(v).withColumn("version", lit(label))
+      tag(Some(0), "v0").unionByName(tag(Some(1), "v1"))
+        .unionByName(tag(Some(2), "v2")).unionByName(tag(None, "latest"))
     })
   )
 
@@ -3427,6 +3454,23 @@ object SparkEntry {
         |  kpart AS partition, koff AS "offset"
         |FROM w
         |WHERE (kpart <> 0 OR (koff >= 5 AND koff < 30))
-        |  AND (kpart <> 2 OR (koff >= 3 AND koff < 20))""".stripMargin
+        |  AND (kpart <> 2 OR (koff >= 3 AND koff < 20))""".stripMargin,
+    // q98: every historical snapshot recomputed relationally; the
+    // post-OPTIMIZE latest must equal v2 exactly
+    "q98_versioned_time_travel" ->
+      """WITH cust AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+        |    CAST(c_acctbal AS DOUBLE) AS c_acctbal FROM customer),
+        |v2 AS (
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+        |  FROM cust WHERE c_custkey <= 1200
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal FROM cust
+        |  WHERE c_custkey > 1200 AND c_custkey <= 1300)
+        |SELECT c_custkey, c_name, c_acctbal, 'v0' AS version FROM cust WHERE c_custkey <= 1000
+        |UNION ALL SELECT c_custkey, c_name, c_acctbal, 'v1' FROM cust WHERE c_custkey <= 1200
+        |UNION ALL SELECT c_custkey, c_name, c_acctbal, 'v2' FROM v2
+        |UNION ALL SELECT c_custkey, c_name, c_acctbal, 'latest' FROM v2""".stripMargin
   )
 }

@@ -1,0 +1,184 @@
+package graft.sources
+
+import graft.core._
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
+
+/** Snapshot-versioned parquet table with a file-level transaction log —
+  * the from-scratch stand-in for the lakehouse features of the reference's
+  * `DeltaLakeTableDataObject` (`sdl-deltalake/.../DeltaLakeTableDataObject
+  * .scala:102-450`: time travel, OPTIMIZE, VACUUM) that are untestable
+  * in-env for lack of the delta jars. The MECHANISM is the public Delta
+  * design: an ordered log of commits, each listing files added/removed;
+  * a snapshot at version V is (∪ added) − (∪ removed) over commits ≤ V;
+  * readers never list the data directory, only the log.
+  *
+  * Scale notes:
+  * - Appends and merges commit ONLY the files they touch; a snapshot read
+  *   at 100 TB plans from the log manifest (kilobytes) instead of a
+  *   recursive listing of millions of objects — the same reason Delta
+  *   scales on object stores.
+  * - `optimize()` rewrites data into `targetFileCount` files as a new
+  *   commit (bin-packing compaction); older versions still time-travel to
+  *   the pre-compaction files until `vacuum(retainVersions)` drops
+  *   unreferenced files and truncates the log.
+  * - Log commits are tiny driver-side JSON writes (control plane); data
+  *   always moves through distributed parquet jobs.
+  */
+case class VersionedTableDataObject(id: String, path: String,
+                                    primaryKey: Seq[String] = Seq.empty)
+  extends DataObject with CanCreateDataFrame with CanWriteDataFrame with CanMergeDataFrame {
+
+  private def fs(implicit ctx: ActionPipelineContext) =
+    new Path(path).getFileSystem(ctx.spark.sparkContext.hadoopConfiguration)
+  private def logDir = new Path(path, "_graft_log")
+
+  private case class Commit(version: Int, added: Seq[String], removed: Seq[String])
+
+  private def readLog(implicit ctx: ActionPipelineContext): Seq[Commit] = {
+    if (!fs.exists(logDir)) return Seq.empty
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    fs.listStatus(logDir).map(_.getPath).filter(_.getName.endsWith(".json"))
+      .sortBy(_.getName).map { p =>
+        val n = om.readTree(readFully(p))
+        import scala.jdk.CollectionConverters._
+        Commit(n.get("version").asInt,
+          n.get("added").elements().asScala.map(_.asText).toSeq,
+          n.get("removed").elements().asScala.map(_.asText).toSeq)
+      }.toSeq
+  }
+
+  private def readFully(p: Path)(implicit ctx: ActionPipelineContext): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  private def writeCommit(c: Commit)(implicit ctx: ActionPipelineContext): Unit = {
+    def arr(xs: Seq[String]) = xs.map(x => "\"" + x + "\"").mkString("[", ",", "]")
+    val json = s"""{"version":${c.version},"added":${arr(c.added)},"removed":${arr(c.removed)}}"""
+    // zero-padded name keeps lexicographic == numeric commit order
+    val tmp = new Path(logDir, f"_tmp_${c.version}%08d.json")
+    val dst = new Path(logDir, f"${c.version}%08d.json")
+    fs.mkdirs(logDir)
+    val out = fs.create(tmp, false)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
+    // rename-commit: concurrent writers race on the same version name and
+    // exactly one rename wins (the object-store analogue is put-if-absent)
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(s"DataObject $id: commit ${c.version} conflicts")
+  }
+
+  /** Live file set at `asOfVersion` (latest when None). */
+  private def snapshotFiles(asOfVersion: Option[Int])(implicit ctx: ActionPipelineContext): Seq[String] = {
+    val log = readLog
+    require(log.nonEmpty, s"DataObject $id: no committed versions at $path")
+    val upTo = asOfVersion.map(v => log.filter(_.version <= v)).getOrElse(log)
+    require(upTo.nonEmpty, s"DataObject $id: version ${asOfVersion.get} predates the log")
+    val removed = upTo.flatMap(_.removed).toSet
+    upTo.flatMap(_.added).filterNot(removed)
+  }
+
+  def latestVersion(implicit ctx: ActionPipelineContext): Option[Int] =
+    readLog.lastOption.map(_.version)
+
+  override def getDataFrame(partitionValues: Seq[PartitionValues] = Seq.empty)
+                           (implicit ctx: ActionPipelineContext): DataFrame =
+    getDataFrameAsOf(None)
+
+  /** Time-travel read: the table exactly as of `version`. */
+  def getDataFrameAsOf(version: Option[Int])(implicit ctx: ActionPipelineContext): DataFrame = {
+    val files = snapshotFiles(version)
+    require(files.nonEmpty, s"DataObject $id: empty snapshot")
+    ctx.spark.read.parquet(files.map(f => s"$path/$f"): _*)
+  }
+
+  /** Stage `df` as parquet files under a fresh `vNNN-xxxx/` subdir and
+    * return their table-relative paths. */
+  private def stage(df: DataFrame, version: Int)(implicit ctx: ActionPipelineContext): Seq[String] = {
+    val sub = f"v$version%08d-${java.util.UUID.randomUUID.toString.take(8)}"
+    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/$sub")
+    fs.listStatus(new Path(path, sub)).map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
+      .map(n => s"$sub/$n").toSeq
+  }
+
+  override def writeDataFrame(df: DataFrame, partitionValues: Seq[PartitionValues] = Seq.empty,
+                              saveMode: Option[SdlSaveMode] = None)
+                             (implicit ctx: ActionPipelineContext): ActionMetrics = {
+    val t0 = System.currentTimeMillis()
+    val log = readLog
+    val v = log.lastOption.map(_.version + 1).getOrElse(0)
+    val added = stage(df, v)
+    val removed = saveMode.getOrElse(SdlSaveMode.Overwrite) match {
+      case SdlSaveMode.Append => Seq.empty
+      case _ => snapshotIfAny(log) // Overwrite: supersede every live file
+    }
+    writeCommit(Commit(v, added, removed))
+    ActionMetrics(recordsWritten = -1, durationMillis = System.currentTimeMillis() - t0)
+  }
+
+  /** Copy-on-write gives staged self-overwrite for free: the new version's
+    * files are fully written (reading the CURRENT snapshot) before the
+    * commit supersedes them — no block-manager materialization needed. */
+  override def writeDataFrameStaged(df: DataFrame)(implicit ctx: ActionPipelineContext): ActionMetrics =
+    writeDataFrame(df, saveMode = Some(SdlSaveMode.Overwrite))
+
+  private def snapshotIfAny(log: Seq[Commit]): Seq[String] = {
+    val removed = log.flatMap(_.removed).toSet
+    log.flatMap(_.added).filterNot(removed)
+  }
+
+  /** MERGE as a commit: new table state computed by [[MergeEmulation]]
+    * (same SaveModeMergeOptions semantics as the reference's Delta merge),
+    * committed as supersede-all. A real file-level merge would rewrite
+    * only files containing matched keys; the LOG mechanics are identical. */
+  override def mergeDataFrame(df: DataFrame, joinCols: Seq[String],
+                              options: SaveModeMergeOptions = SaveModeMergeOptions())
+                             (implicit ctx: ActionPipelineContext): ActionMetrics = {
+    val merged = MergeEmulation.computeMergedState(getDataFrame(), df, joinCols, options)
+    writeDataFrame(merged, saveMode = Some(SdlSaveMode.Overwrite))
+  }
+
+  /** Compaction (reference Delta OPTIMIZE): rewrite the live snapshot into
+    * `targetFileCount` files as a new commit. Data identical, file count
+    * drops; prior versions still resolve to the pre-compaction files. */
+  def optimize(targetFileCount: Int)(implicit ctx: ActionPipelineContext): Int = {
+    val log = readLog
+    val live = snapshotIfAny(log)
+    val v = log.last.version + 1
+    val added = stage(getDataFrame().repartition(targetFileCount), v)
+    writeCommit(Commit(v, added, live))
+    added.size
+  }
+
+  /** Retention (reference Delta VACUUM): drop log entries older than the
+    * last `retainVersions` commits and physically delete files no longer
+    * referenced by any retained snapshot. Time travel before the horizon
+    * then fails loudly (as in Delta after VACUUM). */
+  def vacuum(retainVersions: Int)(implicit ctx: ActionPipelineContext): Seq[String] = {
+    val log = readLog
+    val cut = log.map(_.version).sorted.takeRight(retainVersions).headOption.getOrElse(0)
+    val (old, kept) = log.partition(_.version < cut)
+    if (old.isEmpty) return Seq.empty
+    // files referenced by any retained snapshot (= live at some version >= cut):
+    // everything added at >= cut, plus the carried-over base = snapshot(cut-? ) —
+    // compute as snapshot at `cut`'s predecessor state folded into the first
+    // retained commit: simplest correct form is files live at ANY retained version.
+    val retainedLive = kept.map(_.version)
+      .flatMap(v => snapshotFiles(Some(v))).toSet
+    val deletable = (old.flatMap(_.added).toSet -- retainedLive).toSeq.sorted
+    deletable.foreach(f => fs.delete(new Path(path, f), false))
+    // rebase: fold the pre-horizon history into a synthetic base commit at
+    // version `cut` listing exactly snapshot(cut)'s files, then drop old logs
+    val baseFiles = snapshotFiles(Some(cut))
+    old.foreach(c => fs.delete(new Path(logDir, f"${c.version}%08d.json"), false))
+    fs.delete(new Path(logDir, f"$cut%08d.json"), false)
+    writeCommit(Commit(cut, baseFiles, Seq.empty))
+    // later retained commits stay as-is: their removed-lists reference only
+    // files present in the rebased base or in retained adds (removal of an
+    // already-gone name is a no-op in snapshot resolution)
+    deletable
+  }
+}

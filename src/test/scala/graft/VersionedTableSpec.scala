@@ -1,0 +1,61 @@
+package graft
+
+import graft.core._
+import graft.sources._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class VersionedTableSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  implicit lazy val ctx: ActionPipelineContext =
+    ActionPipelineContext(spark, new InstanceRegistry)
+  import spark.implicits._
+
+  test("versioned table: overwrite/append/merge commits, time travel reads") {
+    val dir = Files.createTempDirectory("graft-vt").toString
+    val t = VersionedTableDataObject("vt1", s"$dir/t", primaryKey = Seq("k"))
+    t.writeDataFrame(Seq((1, "a"), (2, "b")).toDF("k", "v"))                     // v0
+    t.writeDataFrame(Seq((3, "c")).toDF("k", "v"), saveMode = Some(SdlSaveMode.Append)) // v1
+    t.mergeDataFrame(Seq((2, "B"), (4, "d")).toDF("k", "v"), Seq("k"))           // v2
+
+    assert(t.latestVersion.contains(2))
+    def state(v: Int) = t.getDataFrameAsOf(Some(v))
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(state(0) == Set((1, "a"), (2, "b")))
+    assert(state(1) == Set((1, "a"), (2, "b"), (3, "c")))
+    assert(state(2) == Set((1, "a"), (2, "B"), (3, "c"), (4, "d")))
+    // latest == asOf(latest)
+    assert(t.getDataFrame().collect().map(r => (r.getInt(0), r.getString(1))).toSet == state(2))
+  }
+
+  test("optimize compacts files; vacuum drops pre-horizon versions and files") {
+    val dir = Files.createTempDirectory("graft-vt").toString
+    val t = VersionedTableDataObject("vt2", s"$dir/t")
+    t.writeDataFrame((1 to 100).toDF("k").repartition(8))                       // v0: 8 files
+    t.writeDataFrame((101 to 110).toDF("k").repartition(4),
+      saveMode = Some(SdlSaveMode.Append))                                      // v1: +4 files
+    val nAfter = t.optimize(targetFileCount = 2)                                // v2
+    assert(nAfter <= 2)
+    // data identical after compaction; pre-compaction version still reads
+    assert(t.getDataFrame().count() == 110)
+    assert(t.getDataFrameAsOf(Some(1)).count() == 110)
+    assert(t.getDataFrameAsOf(Some(0)).count() == 100)
+
+    val deleted = t.vacuum(retainVersions = 1)                                  // keep only v2
+    assert(deleted.nonEmpty)                                                    // 12 stale files go
+    assert(t.getDataFrame().count() == 110)                                     // live unaffected
+    intercept[Exception](t.getDataFrameAsOf(Some(1)).count())                   // horizon enforced... v1 rebased away
+  }
+
+  test("vacuum keeps files still referenced by retained snapshots") {
+    val dir = Files.createTempDirectory("graft-vt").toString
+    val t = VersionedTableDataObject("vt3", s"$dir/t")
+    t.writeDataFrame((1 to 50).toDF("k"))                                       // v0
+    t.writeDataFrame((51 to 60).toDF("k"), saveMode = Some(SdlSaveMode.Append)) // v1 (reuses v0 files)
+    t.writeDataFrame((61 to 70).toDF("k"), saveMode = Some(SdlSaveMode.Append)) // v2
+    t.vacuum(retainVersions = 2)                                                // retain v1, v2
+    // v0's files are still referenced by v1/v2 snapshots — nothing breaks
+    assert(t.getDataFrameAsOf(Some(1)).count() == 60)
+    assert(t.getDataFrame().count() == 70)
+  }
+}
