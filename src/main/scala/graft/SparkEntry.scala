@@ -2228,6 +2228,63 @@ object SparkEntry {
         vt.getDataFrameAsOf(v).withColumn("version", lit(label))
       tag(Some(0), "v0").unionByName(tag(Some(1), "v1"))
         .unionByName(tag(Some(2), "v2")).unionByName(tag(None, "latest"))
+    }),
+
+    // KafkaStateIncrementalMode end-to-end (q97's sibling — the CONSUMER
+    // side): two config-driven stateful runs over a growing wire archive.
+    // Run 1 consumes everything available and commits end offsets to the
+    // RunStateStore; more records land; run 2 (fresh process: fresh
+    // registry, state restored from disk) consumes ONLY [committed, end).
+    // The append sink holds every record exactly once — a re-read of
+    // committed offsets would duplicate rows and break the hash, a gap
+    // would lose rows. Exercises the new `kafka` config type +
+    // `kafkaStateIncremental` mode through the CLI app's state plumbing.
+    "q99_kafka_state_incremental" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q99").toString
+      val wire = t(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("k"), col("c_name"),
+          col("c_acctbal").cast("double").as("c_acctbal"))
+        .withColumn("partition", (col("k") % 4).cast("int"))
+        .withColumn("offset",
+          row_number().over(Window.partitionBy(col("partition")).orderBy(col("k")))
+            .cast("long") - 1)
+        .select(col("k").cast("string").cast("binary").as("key"),
+          to_json(struct(col("k").as("c_custkey"), col("c_name"), col("c_acctbal")))
+            .cast("binary").as("value"),
+          lit("q99").as("topic"), col("partition"), col("offset"),
+          timestamp_seconds(lit(1704067200L) + col("offset")).as("timestamp"))
+      val cfg =
+        s"""dataObjects:
+           |  k99:
+           |    type: kafka
+           |    topic: q99
+           |    valueType: json
+           |    valueSchema: "c_custkey bigint, c_name string, c_acctbal double"
+           |    archivePath: $tmp/arch
+           |  dst99: {type: parquet, path: $tmp/out}
+           |actions:
+           |  consume:
+           |    type: copy
+           |    inputId: k99
+           |    outputId: dst99
+           |    saveMode: append
+           |    executionMode: {type: kafkaStateIncremental}
+           |    metadata: {feed: q99}
+           |""".stripMargin
+      val cfgPath = s"$tmp/pipeline.conf"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(cfgPath), cfg)
+      def consume(): Unit = app.GraftApp.run(app.GraftApp.CliArgs(
+        configPaths = Seq(cfgPath), feedSel = Some("q99"),
+        statePath = Some(s"$tmp/state"), appName = "q99"), s)
+      wire.where(col("offset") < 10).write.parquet(s"$tmp/arch")   // landing 1
+      consume()
+      wire.where(col("offset") >= 10).write.mode("append").parquet(s"$tmp/arch") // landing 2
+      consume()
+      s.read.parquet(s"$tmp/out")
+        .select(col("value.c_custkey").as("c_custkey"),
+          col("value.c_name").as("c_name"), col("value.c_acctbal").as("c_acctbal"),
+          col("partition"), col("offset"))
     })
   )
 
@@ -3471,6 +3528,14 @@ object SparkEntry {
         |SELECT c_custkey, c_name, c_acctbal, 'v0' AS version FROM cust WHERE c_custkey <= 1000
         |UNION ALL SELECT c_custkey, c_name, c_acctbal, 'v1' FROM cust WHERE c_custkey <= 1200
         |UNION ALL SELECT c_custkey, c_name, c_acctbal, 'v2' FROM v2
-        |UNION ALL SELECT c_custkey, c_name, c_acctbal, 'latest' FROM v2""".stripMargin
+        |UNION ALL SELECT c_custkey, c_name, c_acctbal, 'latest' FROM v2""".stripMargin,
+    // q99: exactly-once incremental consumption — the union of both runs
+    // must equal the whole topic, no duplicates, no gaps
+    "q99_kafka_state_incremental" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+        |  CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+        |  CAST(c_custkey % 4 AS INT) AS partition,
+        |  CAST(row_number() OVER (PARTITION BY c_custkey % 4 ORDER BY c_custkey) - 1 AS BIGINT) AS "offset"
+        |FROM customer""".stripMargin
   )
 }

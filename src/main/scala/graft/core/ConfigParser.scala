@@ -216,6 +216,16 @@ object ConfigParser {
           partitions = strSeq(n, "partitions"))
       case "RawFileDataObject" | "raw" =>
         RawFileDataObject(id, require(str(n, "path"), id, "path"), str(n, "pathGlobFilter"))
+      case "KafkaTopicDataObject" | "kafka" =>
+        KafkaTopicDataObject(id, require(str(n, "topic"), id, "topic"),
+          brokers = str(n, "brokers").getOrElse("localhost:9092"),
+          keyType = str(n, "keyType").getOrElse("string"),
+          valueType = str(n, "valueType").getOrElse("string"),
+          valueSchema = ddlSchema(n, "valueSchema"),
+          startingOffsets = str(n, "startingOffsets").getOrElse("earliest"),
+          endingOffsets = str(n, "endingOffsets").getOrElse("latest"),
+          kafkaOptions = strMap(n, "kafkaOptions"),
+          archivePath = str(n, "archivePath"))
       case "ExcelFileDataObject" | "excel" =>
         ExcelFileDataObject(id, require(str(n, "path"), id, "path"),
           sheetName = str(n, "sheetName"),
@@ -371,6 +381,8 @@ object ConfigParser {
         DataObjectStateIncrementalMode()
       case "FileIncrementalMoveMode" | "fileMove" =>
         FileIncrementalMoveMode(str(n, "archivePath"))
+      case "KafkaStateIncrementalMode" | "kafkaStateIncremental" =>
+        KafkaStateIncrementalMode()
       case "ProcessAllMode" | "processAll" => ProcessAllMode()
       case "FailIfNoPartitionValuesMode" | "failIfNoPartitionValues" =>
         FailIfNoPartitionValuesMode()

@@ -247,6 +247,41 @@ case class FileIncrementalMoveMode(archivePath: Option[String] = None) extends E
   }
 }
 
+/** Committed-offset incremental consumption of a Kafka topic. Reference
+  * `sdl-kafka/.../KafkaStateIncrementalMode.scala` (consumer-group commit).
+  * Exec-phase `apply` snapshots the topic's CURRENT end offsets, attaches a
+  * bounded read [committed, end) — so rows landing during the run are
+  * excluded and picked up next run, the same no-gap/no-overlap window
+  * discipline as DataObjectStateIncrementalMode — and `postExec` commits
+  * the end snapshot as the new consumer state. First run starts from the
+  * object's configured `startingOffsets` (default earliest). State rides
+  * the CanCreateIncrementalOutput plumbing, so the RunStateStore persists
+  * it across process restarts like any other incremental source. */
+case class KafkaStateIncrementalMode() extends ExecutionMode {
+  @transient private var pendingState: Option[String] = None
+
+  override def apply(action: Action, in: SubFeed)(implicit ctx: ActionPipelineContext): SubFeed =
+    ctx.registry.dataObject(action.inputIds.head) match {
+      case k: graft.sources.KafkaTopicDataObject =>
+        if (ctx.isExecPhase) {
+          val start = k.getState.getOrElse(k.startingOffsets)
+          val end = k.currentEndOffsets
+          pendingState = Some(end)
+          in.copy(dataFrame = Some(k.getDataFrameBetween(start, end)))
+        } else in
+      case o => throw new IllegalArgumentException(
+        s"${o.id} is not a KafkaTopicDataObject — KafkaStateIncrementalMode needs one")
+    }
+
+  override def postExec(action: Action)(implicit ctx: ActionPipelineContext): Unit =
+    ctx.registry.dataObject(action.inputIds.head) match {
+      case k: graft.sources.KafkaTopicDataObject =>
+        pendingState.foreach(s => k.setState(Some(s)))
+        pendingState = None
+      case _ => ()
+    }
+}
+
 /** Structured Streaming execution. Reference `SparkStreamingMode.scala:40-57`.
   * trigger semantics: None => async ProcessingTime(intervalSec), Once => one
   * synchronous micro-batch per DAG run. */

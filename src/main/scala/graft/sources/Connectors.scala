@@ -300,9 +300,21 @@ case class KafkaTopicDataObject(
     startingOffsets: String = "earliest",
     endingOffsets: String = "latest",
     batchReadMaxOffsetsPerTrigger: Option[Long] = None,
-    kafkaOptions: Map[String, String] = Map.empty)
+    kafkaOptions: Map[String, String] = Map.empty,
+    /** When set, batch reads come from a parquet ARCHIVE of wire frames at
+      * this path instead of the broker (offline re-processing of archived
+      * topics); the offset-range/decode semantics are identical. */
+    archivePath: Option[String] = None)
   extends DataObject with CanCreateDataFrame with CanWriteDataFrame
-  with CanCreateStreamingDataFrame with CanWriteStreamingDataFrame {
+  with CanCreateStreamingDataFrame with CanWriteStreamingDataFrame
+  with CanCreateIncrementalOutput {
+
+  /** committed consumer offsets (KafkaStateIncrementalMode) — an
+    * endingOffsets-shaped JSON spec, exclusive upper bounds */
+  @transient private var committedOffsets: Option[String] = None
+  override def setState(state: Option[String])(implicit ctx: ActionPipelineContext): Unit =
+    committedOffsets = state
+  override def getState: Option[String] = committedOffsets
 
   private[graft] def readOptions: Map[String, String] =
     Map("kafka.bootstrap.servers" -> brokers, "subscribe" -> topic,
@@ -327,7 +339,29 @@ case class KafkaTopicDataObject(
 
   override def getDataFrame(partitionValues: Seq[PartitionValues] = Seq.empty)
                            (implicit ctx: ActionPipelineContext): DataFrame =
-    decode(ctx.spark.read.format("kafka").options(readOptions).load())
+    archivePath match {
+      case Some(p) => decodeWire(ctx.spark.read.parquet(p))
+      case None => decode(ctx.spark.read.format("kafka").options(readOptions).load())
+    }
+
+  /** Current end offsets (exclusive) as an endingOffsets-shaped spec. On
+    * the archive path this is one tiny per-partition max agg; against a
+    * broker it maps to the consumer end-offsets API at runtime. */
+  def currentEndOffsets(implicit ctx: ActionPipelineContext): String = {
+    val p = archivePath.getOrElse(throw new UnsupportedOperationException(
+      s"DataObject $id: end-offset snapshot needs the archive path in-env (broker consumer API at runtime)"))
+    val ends = ctx.spark.read.parquet(p).groupBy(col("partition"))
+      .agg(max(col("offset")).as("hi"))
+      .collect().map(r => (r.getInt(0), r.getLong(1) + 1)).sortBy(_._1)
+    ends.map { case (part, end) => s""""$part":$end""" }
+      .mkString(s"""{"$topic":{""", ",", "}}")
+  }
+
+  /** Bounded batch read [starting, ending) — the consume step of
+    * [[graft.operators.modes.KafkaStateIncrementalMode]]. */
+  def getDataFrameBetween(starting: String, ending: String)
+                         (implicit ctx: ActionPipelineContext): DataFrame =
+    copy(startingOffsets = starting, endingOffsets = ending).getDataFrame()
 
   /** Offset bounds from a `startingOffsets`/`endingOffsets` JSON spec
     * (`{"topic":{"0":23,"1":-1}}`), restricted to this object's topic.
