@@ -137,6 +137,37 @@ class ConnectorsSpec extends AnyFunSuite {
     assert(union.select($"partition", $"offset").distinct().count() == bounded.count())
   }
 
+  test("kafka state-incremental: commits end offsets, second run reads only the delta") {
+    import spark.implicits._
+    import graft.operators.CopyAction
+    import graft.operators.modes.KafkaStateIncrementalMode
+    val dir = java.nio.file.Files.createTempDirectory("graft-kafka-inc").toString
+    def wire(lo: Long, hi: Long) = (lo until hi).map(o => (0, o)).toDF("partition", "offset")
+      .select(lit("k").cast("binary").as("key"),
+        concat(lit("""{"v":"""), $"offset", lit("}")).cast("binary").as("value"),
+        lit("t").as("topic"), $"partition", $"offset",
+        lit(new java.sql.Timestamp(0)).as("timestamp"))
+    wire(0, 5).write.parquet(s"$dir/arch")
+    val reg = new InstanceRegistry()
+    val k = KafkaTopicDataObject("ki", "t", "b:9092", archivePath = Some(s"$dir/arch"))
+    reg.register(k)
+    reg.register(ParquetFileDataObject("ko", s"$dir/out"))
+    val a = CopyAction("inc", "ki", "ko", saveMode = Some(SdlSaveMode.Append),
+      executionMode = Some(KafkaStateIncrementalMode()))
+    val c2: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    def runOnce(): Unit = {
+      a.exec(Seq.empty)(c2); a.executionMode.foreach(_.postExec(a)(c2)) }
+    runOnce()
+    assert(k.getState.contains("""{"t":{"0":5}}"""))
+    assert(spark.read.parquet(s"$dir/out").count() == 5)
+    wire(5, 12).write.mode("append").parquet(s"$dir/arch")
+    runOnce()
+    assert(k.getState.contains("""{"t":{"0":12}}"""))
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() == 12)                                   // exactly once
+    assert(out.select($"offset").distinct().count() == 12)      // no dup offsets
+  }
+
   test("jms receiver rows parsed as json") {
     val jms = JmsDataObject("j1", () => Seq("""{"m":"hello"}""", """{"m":"world"}"""))
     assert(jms.getDataFrame().count() == 2)
