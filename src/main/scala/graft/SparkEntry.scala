@@ -1361,10 +1361,16 @@ object SparkEntry {
           "n_events" -> "count(*)",
           "sum_value" -> "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"))
         .transform(sdf)
-      val q = dst.writeStreamingDataFrame(windowed,
-        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
-        Map.empty, s"$tmp/cp", "q79_stream")
-      q.awaitTermination()
+      // stateful sizing: 8 state-store partitions suffice (same knob as
+      // q79c/q87 — a real stateful deployment sets this deliberately)
+      val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = dst.writeStreamingDataFrame(windowed,
+          org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+          Map.empty, s"$tmp/cp", "q79_stream")
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
       dst.getDataFrame()
     }),
 
@@ -1379,6 +1385,13 @@ object SparkEntry {
     // watermark/state persistence across query RESTARTS, which the
     // single-query q79 never does.
     "q79c_sync_stream_loop" -> ((s, dir) => {
+      // stateful-streaming sizing: the state store instantiates one store
+      // per shuffle partition PER RUN (3 restarts here); 8 partitions hold
+      // this SF's windowed state comfortably and cut the fixed overhead —
+      // the knob a real deployment would set on a stateful job anyway
+      val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
       val tmp = java.nio.file.Files.createTempDirectory("graft_q79c").toString
       java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$tmp/src"))
       val ev = s.read.parquet(s"$dir/events.parquet")
@@ -1424,6 +1437,7 @@ object SparkEntry {
       s.read.parquet(s"$tmp/out")
         .select(col("event_type"), col("n_events"), col("sum_value"),
           col("window_start"), col("window_end"))
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
     }),
 
     // Session windows (gap-based) on the same transformer's batch path —
@@ -1738,10 +1752,17 @@ object SparkEntry {
       val sdf = src.getStreamingDataFrame(Map("maxFilesPerTrigger" -> "1"), Some(ev.schema))
       val deduped = graft.streaming.StreamingDedupTransformer(Seq("event_id"),
         eventTimeColumn = Some("ts"), withinWatermark = Some("2 hours")).transform(sdf)
-      val q = dst.writeStreamingDataFrame(deduped,
-        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
-        Map.empty, s"$tmp/cp", "q87_stream")
-      q.awaitTermination()
+      // stateful sizing: one state store per shuffle partition per micro-
+      // batch (3 batches here) — 8 partitions suffice for this key space
+      // and cut the fixed store-init/commit overhead (same knob as q79c)
+      val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = dst.writeStreamingDataFrame(deduped,
+          org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+          Map.empty, s"$tmp/cp", "q87_stream")
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
       dst.getDataFrame()
         .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
     }),
