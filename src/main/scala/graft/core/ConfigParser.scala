@@ -216,6 +216,9 @@ object ConfigParser {
           partitions = strSeq(n, "partitions"))
       case "RawFileDataObject" | "raw" =>
         RawFileDataObject(id, require(str(n, "path"), id, "path"), str(n, "pathGlobFilter"))
+      case "VersionedTableDataObject" | "versionedTable" =>
+        VersionedTableDataObject(id, require(str(n, "path"), id, "path"),
+          primaryKey = strSeq(n, "primaryKey"))
       case "KafkaTopicDataObject" | "kafka" =>
         KafkaTopicDataObject(id, require(str(n, "topic"), id, "topic"),
           brokers = str(n, "brokers").getOrElse("localhost:9092"),

@@ -47,6 +47,22 @@ class VersionedTableSpec extends AnyFunSuite {
     intercept[Exception](t.getDataFrameAsOf(Some(1)).count())                   // horizon enforced... v1 rebased away
   }
 
+  test("config-parsed versioned table works as a copy sink with merge") {
+    val dir = Files.createTempDirectory("graft-vt").toString
+    Seq((1, "a"), (2, "b")).toDF("k", "v").write.parquet(s"$dir/src")
+    val cfg =
+      s"""dataObjects:
+         |  vsrc: {type: parquet, path: $dir/src}
+         |  vdst: {type: versionedTable, path: $dir/t, primaryKey: [k]}
+         |actions:
+         |  load: {type: copy, inputId: vsrc, outputId: vdst, saveMode: overwrite, metadata: {feed: vt}}
+         |""".stripMargin
+    PipelineRunner.run(cfg, spark, feedSel = Some("vt"))
+    val t = VersionedTableDataObject("vdst2", s"$dir/t")
+    assert(t.getDataFrame().count() == 2)
+    assert(t.latestVersion.contains(0))
+  }
+
   test("vacuum keeps files still referenced by retained snapshots") {
     val dir = Files.createTempDirectory("graft-vt").toString
     val t = VersionedTableDataObject("vt3", s"$dir/t")
