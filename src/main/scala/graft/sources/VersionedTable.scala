@@ -34,7 +34,11 @@ case class VersionedTableDataObject(id: String, path: String,
     new Path(path).getFileSystem(ctx.spark.sparkContext.hadoopConfiguration)
   private def logDir = new Path(path, "_graft_log")
 
-  private case class Commit(version: Int, added: Seq[String], removed: Seq[String])
+  /** `schema` = the table's DDL as of this commit (union-evolved on
+    * append, like the reference's persisted union schema) — snapshot reads
+    * apply it instead of trusting whichever file's footer Spark samples. */
+  private case class Commit(version: Int, added: Seq[String], removed: Seq[String],
+                            schema: Option[String])
 
   private def readLog(implicit ctx: ActionPipelineContext): Seq[Commit] = {
     if (!fs.exists(logDir)) return Seq.empty
@@ -45,7 +49,8 @@ case class VersionedTableDataObject(id: String, path: String,
         import scala.jdk.CollectionConverters._
         Commit(n.get("version").asInt,
           n.get("added").elements().asScala.map(_.asText).toSeq,
-          n.get("removed").elements().asScala.map(_.asText).toSeq)
+          n.get("removed").elements().asScala.map(_.asText).toSeq,
+          Option(n.get("schema")).map(_.asText))
       }.toSeq
   }
 
@@ -56,8 +61,10 @@ case class VersionedTableDataObject(id: String, path: String,
   }
 
   private def writeCommit(c: Commit)(implicit ctx: ActionPipelineContext): Unit = {
-    def arr(xs: Seq[String]) = xs.map(x => "\"" + x + "\"").mkString("[", ",", "]")
-    val json = s"""{"version":${c.version},"added":${arr(c.added)},"removed":${arr(c.removed)}}"""
+    def esc(x: String) = "\"" + x.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def arr(xs: Seq[String]) = xs.map(esc).mkString("[", ",", "]")
+    val schemaField = c.schema.map(s => s""","schema":${esc(s)}""").getOrElse("")
+    val json = s"""{"version":${c.version},"added":${arr(c.added)},"removed":${arr(c.removed)}$schemaField}"""
     // zero-padded name keeps lexicographic == numeric commit order
     val tmp = new Path(logDir, f"_tmp_${c.version}%08d.json")
     val dst = new Path(logDir, f"${c.version}%08d.json")
@@ -87,11 +94,19 @@ case class VersionedTableDataObject(id: String, path: String,
                            (implicit ctx: ActionPipelineContext): DataFrame =
     getDataFrameAsOf(None)
 
-  /** Time-travel read: the table exactly as of `version`. */
+  /** Time-travel read: the table exactly as of `version`, under that
+    * version's committed schema (older files null-fill later columns —
+    * append-evolution semantics without per-file footer sampling). */
   def getDataFrameAsOf(version: Option[Int])(implicit ctx: ActionPipelineContext): DataFrame = {
     val files = snapshotFiles(version)
     require(files.nonEmpty, s"DataObject $id: empty snapshot")
-    ctx.spark.read.parquet(files.map(f => s"$path/$f"): _*)
+    val log = readLog
+    val upTo = version.map(v => log.filter(_.version <= v)).getOrElse(log)
+    val schema = upTo.reverse.collectFirst { case Commit(_, _, _, Some(s)) => s }
+    val reader = ctx.spark.read
+    schema.fold(reader)(s =>
+        reader.schema(org.apache.spark.sql.types.StructType.fromDDL(s)))
+      .parquet(files.map(f => s"$path/$f"): _*)
   }
 
   /** Stage `df` as parquet files under a fresh `vNNN-xxxx/` subdir and
@@ -111,11 +126,19 @@ case class VersionedTableDataObject(id: String, path: String,
     val log = readLog
     val v = log.lastOption.map(_.version + 1).getOrElse(0)
     val added = stage(df, v)
-    val removed = saveMode.getOrElse(SdlSaveMode.Overwrite) match {
-      case SdlSaveMode.Append => Seq.empty
-      case _ => snapshotIfAny(log) // Overwrite: supersede every live file
+    val append = saveMode.contains(SdlSaveMode.Append)
+    val removed = if (append) Seq.empty else snapshotIfAny(log)
+    // schema evolution on append: committed schema = previous ∪ new (the
+    // persisted-union-schema rule file objects use); overwrite resets it
+    val prevSchema = log.reverse.collectFirst { case Commit(_, _, _, Some(s)) => s }
+    val schema = prevSchema match {
+      case Some(p) if append =>
+        val prev = org.apache.spark.sql.types.StructType.fromDDL(p)
+        val extra = df.schema.filterNot(f => prev.exists(_.name.equalsIgnoreCase(f.name)))
+        org.apache.spark.sql.types.StructType(prev.fields ++ extra).toDDL
+      case _ => df.schema.toDDL
     }
-    writeCommit(Commit(v, added, removed))
+    writeCommit(Commit(v, added, removed, Some(schema)))
     ActionMetrics(recordsWritten = -1, durationMillis = System.currentTimeMillis() - t0)
   }
 
@@ -148,8 +171,9 @@ case class VersionedTableDataObject(id: String, path: String,
     val log = readLog
     val live = snapshotIfAny(log)
     val v = log.last.version + 1
-    val added = stage(getDataFrame().repartition(targetFileCount), v)
-    writeCommit(Commit(v, added, live))
+    val current = getDataFrame()
+    val added = stage(current.repartition(targetFileCount), v)
+    writeCommit(Commit(v, added, live, Some(current.schema.toDDL)))
     added.size
   }
 
@@ -173,9 +197,11 @@ case class VersionedTableDataObject(id: String, path: String,
     // rebase: fold the pre-horizon history into a synthetic base commit at
     // version `cut` listing exactly snapshot(cut)'s files, then drop old logs
     val baseFiles = snapshotFiles(Some(cut))
+    val baseSchema = log.filter(_.version <= cut).reverse
+      .collectFirst { case Commit(_, _, _, Some(s)) => s }
     old.foreach(c => fs.delete(new Path(logDir, f"${c.version}%08d.json"), false))
     fs.delete(new Path(logDir, f"$cut%08d.json"), false)
-    writeCommit(Commit(cut, baseFiles, Seq.empty))
+    writeCommit(Commit(cut, baseFiles, Seq.empty, baseSchema))
     // later retained commits stay as-is: their removed-lists reference only
     // files present in the rebased base or in retained adds (removal of an
     // already-gone name is a no-op in snapshot resolution)

@@ -47,6 +47,20 @@ class VersionedTableSpec extends AnyFunSuite {
     intercept[Exception](t.getDataFrameAsOf(Some(1)).count())                   // horizon enforced... v1 rebased away
   }
 
+  test("append-evolution: committed union schema serves every version") {
+    val dir = Files.createTempDirectory("graft-vt").toString
+    val t = VersionedTableDataObject("vt4", s"$dir/t")
+    t.writeDataFrame(Seq((1, "a")).toDF("k", "v"))                              // v0: (k, v)
+    t.writeDataFrame(Seq((2, 9.5)).toDF("k", "w"),
+      saveMode = Some(SdlSaveMode.Append))                                      // v1: +w
+    val latest = t.getDataFrame()
+    assert(latest.columns.toSet == Set("k", "v", "w"))
+    val rows = latest.collect().map(r =>
+      (r.getInt(0), Option(r.getString(1)), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(rows == Set((1, Some("a"), None), (2, None, Some(9.5))))             // null-fill both ways
+    assert(t.getDataFrameAsOf(Some(0)).columns.toSet == Set("k", "v"))          // v0 schema preserved
+  }
+
   test("config-parsed versioned table works as a copy sink with merge") {
     val dir = Files.createTempDirectory("graft-vt").toString
     Seq((1, "a"), (2, "b")).toDF("k", "v").write.parquet(s"$dir/src")
