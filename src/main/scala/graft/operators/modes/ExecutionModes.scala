@@ -313,3 +313,13 @@ case class CustomMode(fn: (Action, SubFeed, ActionPipelineContext) => SubFeed) e
   override def apply(action: Action, in: SubFeed)(implicit ctx: ActionPipelineContext): SubFeed =
     fn(action, in, ctx)
 }
+
+/** User logic selects the PARTITIONS to process. Reference
+  * `CustomPartitionMode.scala:40-85` (user class maps input/output
+  * partition listings to the set to run). The returned values ride the
+  * SubFeed as the read filter, so the input scan prunes to exactly those
+  * partitions — selection is metadata-only, no data pass. */
+case class CustomPartitionMode(fn: (Action, ActionPipelineContext) => Seq[PartitionValues]) extends ExecutionMode {
+  override def apply(action: Action, in: SubFeed)(implicit ctx: ActionPipelineContext): SubFeed =
+    in.copy(partitionValues = fn(action, ctx))
+}

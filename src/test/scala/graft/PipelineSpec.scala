@@ -506,4 +506,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(b2Start < a1End,
       "fast chain's second action must start before the slow sibling branch finishes")
   }
+
+  test("CustomPartitionMode: user logic prunes the read to selected partitions") {
+    val dir = Files.createTempDirectory("graft-cpm").toString
+    Seq((1, "a"), (2, "b"), (3, "a"), (4, "c")).toDF("k", "part")
+      .write.partitionBy("part").parquet(s"$dir/src")
+    val reg = new InstanceRegistry()
+    reg.register(ParquetFileDataObject("cp_src", s"$dir/src", partitions = Seq("part")))
+    reg.register(ParquetFileDataObject("cp_dst", s"$dir/dst"))
+    val mode = graft.operators.modes.CustomPartitionMode((_, _) =>
+      Seq(PartitionValues(Map("part" -> "a"))))
+    val a = CopyAction("cp", "cp_src", "cp_dst",
+      saveMode = Some(SdlSaveMode.Overwrite), executionMode = Some(mode))
+    implicit val c2: ActionPipelineContext =
+      ActionPipelineContext(spark, reg)
+    a.exec(Seq.empty)(c2)
+    val out = spark.read.parquet(s"$dir/dst")
+    assert(out.select("k").as[Int].collect().toSet == Set(1, 3))
+  }
 }
