@@ -165,31 +165,28 @@ object Dedup {
       val pruned = banded.join(broadcast(bigBuckets), Seq("band", "bucket"), "left_anti")
       val lshPairs = pairsOf(pruned)
       if (!cappedBucketExactFallback) lshPairs
-      else {
-        // star pass SCOPED to capped-bucket members (round 10, measured):
-        // exact duplicates share every band bucket, so LSH itself finds
-        // them unless their buckets are capped — restricting the star pass
-        // to ids seen in a capped bucket loses zero recall and collapses
-        // to empty frames (AQE empty-relation propagation) on uncapped
-        // corpora, where the always-on form cost ~25% of q61's runtime
-        // (SCALE.md round-10 matrix).
-        val cappedIds = banded.join(broadcast(bigBuckets), Seq("band", "bucket"), "left_semi")
-          .select(col("id")).distinct()
-        lshPairs.unionByName(exactStarPairs(sigs, threshold, cappedIds))
-          .dropDuplicates("id_a", "id_b")
-      }
+      else lshPairs.unionByName(exactStarPairs(sigs, threshold))
+        .dropDuplicates("id_a", "id_b")
+      // (round-10 experiments, both REVERTED with measurements in
+      // SCALE.md: (a) scoping the star pass to capped-bucket members —
+      // recall-equivalent but the extra banded pass cost q72/q78
+      // +0.5-1.3 s for no gain anywhere; (b) persisting bigBuckets to
+      // share it across consumers — the cached subtree defeats AQE and
+      // blew q27/q61 up ~8×. The whole-corpus star's slim (id, hash)
+      // shuffle is 1/16th of the banding shuffle this query already
+      // performs, so it is not the scale bottleneck either.)
     }
   }
 
   /** Auto-mitigation for capped LSH buckets: an EXACT duplicate star pass
-    * (hash-groupBy of the full shingle set, min-id head → members) over
-    * `scopeIds` — the ids observed in capped buckets — unioned with the
-    * LSH pairs. Exact copies share every band bucket, so LSH finds them
-    * wherever their buckets survive the cap; the ONLY place exact-dup
-    * recall can be lost is inside capped buckets, which is exactly the
-    * scope. Correlated/boilerplate corpora — the documented quadratic
-    * regime — are dominated by exact copies, so this linear pass recovers
-    * the recall the cap would silently cost. Genuine NEAR-dups inside a
+    * (hash-groupBy of the full shingle set, min-id head → members) over the
+    * WHOLE corpus, unioned with the LSH pairs. Correlated/boilerplate
+    * corpora — the documented quadratic regime — are dominated by exact
+    * copies, so this linear pass recovers the recall the cap would
+    * silently cost, wherever the copies land: inside capped buckets (where
+    * banding yields nothing) the star pairs are the recovery; inside
+    * uncapped buckets the LSH output already contains them and the
+    * caller's pair-dedup absorbs the overlap. Genuine NEAR-dups inside a
     * capped bucket stay dropped — that trade-off is the cap's purpose.
     *
     * Plan shape: only (id, content-hash) ever shuffles — two slim
@@ -200,10 +197,8 @@ object Dedup {
     * exchange is submitted. (Earlier capped-rows-only designs recomputed
     * the banded frame or shuffled the signature store just to find the
     * capped ids — measurably slower even with zero capped buckets.) */
-  private def exactStarPairs(sigs: DataFrame, threshold: Double,
-                             scopeIds: DataFrame): DataFrame = {
+  private def exactStarPairs(sigs: DataFrame, threshold: Double): DataFrame = {
     val slim = sigs.select(col("id"), xxhash64(col("shingles")).as("_ck"))
-      .join(scopeIds, Seq("id"), "left_semi")
     val heads = slim.groupBy(col("_ck"))
       .agg(min(col("id")).as("_head"), count(lit(1)).as("_n"))
       .where(col("_n") > 1)
