@@ -28,7 +28,8 @@ import org.apache.hadoop.fs.Path
   */
 case class VersionedTableDataObject(id: String, path: String,
                                     primaryKey: Seq[String] = Seq.empty)
-  extends DataObject with CanCreateDataFrame with CanWriteDataFrame with CanMergeDataFrame {
+  extends DataObject with CanCreateDataFrame with CanWriteDataFrame with CanMergeDataFrame
+  with CanWriteStreamingDataFrame {
 
   private def fs(implicit ctx: ActionPipelineContext) =
     new Path(path).getFileSystem(ctx.spark.sparkContext.hadoopConfiguration)
@@ -162,6 +163,29 @@ case class VersionedTableDataObject(id: String, path: String,
                              (implicit ctx: ActionPipelineContext): ActionMetrics = {
     val merged = MergeEmulation.computeMergedState(getDataFrame(), df, joinCols, options)
     writeDataFrame(merged, saveMode = Some(SdlSaveMode.Overwrite))
+  }
+
+  /** Streaming sink: each micro-batch is one log commit — append by
+    * default, MERGE upsert on the primary key when the action rides
+    * `graft.saveMode=merge` (the lakehouse CDC-sink pattern; Delta's
+    * streaming write is the same per-batch transaction shape). */
+  override def writeStreamingDataFrame(df: DataFrame, trigger: org.apache.spark.sql.streaming.Trigger,
+                                       options: Map[String, String], checkpointLocation: String,
+                                       queryName: String, outputMode: String = "append")
+                                      (implicit ctx: ActionPipelineContext): org.apache.spark.sql.streaming.StreamingQuery = {
+    val merge = options.get("graft.saveMode").exists(_.equalsIgnoreCase("merge"))
+    val writeBatch: (DataFrame, Long) => Unit = (batch, _) =>
+      if (merge) {
+        require(primaryKey.nonEmpty, s"DataObject $id: streaming merge needs primaryKey")
+        if (latestVersion.isEmpty) { writeDataFrame(batch); () }
+        else mergeDataFrame(batch, primaryKey)
+        ()
+      } else { writeDataFrame(batch, saveMode = Some(SdlSaveMode.Append)); () }
+    df.writeStream
+      .foreachBatch(writeBatch)
+      .option("checkpointLocation", checkpointLocation)
+      .outputMode(outputMode).trigger(trigger).queryName(queryName)
+      .start()
   }
 
   /** Compaction (reference Delta OPTIMIZE): rewrite the live snapshot into

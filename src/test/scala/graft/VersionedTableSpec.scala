@@ -61,6 +61,35 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(t.getDataFrameAsOf(Some(0)).columns.toSet == Set("k", "v"))          // v0 schema preserved
   }
 
+  test("streaming merge sink: each micro-batch commits one upsert version") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-vt").toString
+    val schema = StructType(Seq(StructField("k", IntegerType), StructField("v", StringType)))
+    // two files → two micro-batches (maxFilesPerTrigger=1); batch 2 upserts k=2
+    Seq((1, "a"), (2, "b")).toDF("k", "v").coalesce(1).write.json(s"$dir/in1")
+    Seq((2, "B2"), (3, "c")).toDF("k", "v").coalesce(1).write.json(s"$dir/in2")
+    Files.createDirectory(java.nio.file.Paths.get(s"$dir/src"))
+    def link(n: Int): Unit = {
+      val part = new java.io.File(s"$dir/in$n").listFiles()
+        .filter(_.getName.endsWith(".json")).head
+      java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(s"$dir/src/b$n.json"))
+      assert(new java.io.File(s"$dir/src/b$n.json").setLastModified(1700000000000L + n * 10000))
+    }
+    link(1); link(2)
+    val t = VersionedTableDataObject("vt5", s"$dir/t", primaryKey = Seq("k"))
+    val sdf = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(s"$dir/src")
+    val q = t.writeStreamingDataFrame(sdf,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      Map("graft.saveMode" -> "merge"), s"$dir/cp", "vt5_stream")
+    q.awaitTermination()
+    val finalState = t.getDataFrame().collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(finalState == Set((1, "a"), (2, "B2"), (3, "c")))
+    assert(t.latestVersion.contains(1)) // two micro-batches → two commits
+    // time travel to the first micro-batch's state
+    assert(t.getDataFrameAsOf(Some(0)).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet == Set((1, "a"), (2, "b")))
+  }
+
   test("config-parsed versioned table works as a copy sink with merge") {
     val dir = Files.createTempDirectory("graft-vt").toString
     Seq((1, "a"), (2, "b")).toDF("k", "v").write.parquet(s"$dir/src")
