@@ -2306,6 +2306,62 @@ object SparkEntry {
         .select(col("value.c_custkey").as("c_custkey"),
           col("value.c_name").as("c_name"), col("value.c_acctbal").as("c_acctbal"),
           col("partition"), col("offset"))
+    }),
+
+    // The full CDC-sink story through config: a file STREAM of change
+    // batches merged into the VERSIONED table per micro-batch
+    // (SparkStreamingMode AvailableNow + maxFilesPerTrigger=1 + saveMode
+    // merge → one log commit per batch). Batch 1 loads the base; batch 2
+    // upserts (updates every %5 key's balance, inserts +10000 twins).
+    // The final snapshot read is hash-gated — a re-applied batch, a lost
+    // update, or a commit ordering bug all break it.
+    "q100_streaming_cdc_versioned" -> ((s, dir) => {
+      implicit val c: ActionPipelineContext = ctx(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q100").toString
+      val cust = t(s, dir, "customer").select(col("c_custkey").cast("long"),
+        col("c_name"), col("c_acctbal").cast("double"))
+      val updates = cust.where(col("c_custkey") % 5 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 50.0)
+      val batch2 = updates.unionByName(
+        updates.withColumn("c_custkey", col("c_custkey") + 10000L))
+      def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+        val st = s"$tmp/stage_$name"
+        df.coalesce(1).write.parquet(st)
+        val part = new java.io.File(st).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/src"))
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$tmp/src/$name.parquet"))
+        require(new java.io.File(s"$tmp/src/$name.parquet").setLastModified(mtime))
+      }
+      val t0 = 1700000000000L
+      stage(cust, "b1", t0)
+      stage(batch2, "b2", t0 + 60000)
+      val cfg =
+        s"""dataObjects:
+           |  s100:
+           |    type: parquet
+           |    path: $tmp/src
+           |    schema: "c_custkey bigint, c_name string, c_acctbal double"
+           |  v100: {type: versionedTable, path: $tmp/t, primaryKey: [c_custkey]}
+           |actions:
+           |  sink100:
+           |    type: copy
+           |    inputId: s100
+           |    outputId: v100
+           |    saveMode: merge
+           |    executionMode:
+           |      type: streaming
+           |      checkpointLocation: $tmp/cp
+           |      triggerType: AvailableNow
+           |      inputOptions: {maxFilesPerTrigger: "1"}
+           |    metadata: {feed: q100}
+           |""".stripMargin
+      core.PipelineRunner.run(cfg, s, feedSel = Some("q100"))
+      val vt = sources.VersionedTableDataObject("q100_read", s"$tmp/t")
+      require(vt.latestVersion.contains(1),
+        s"expected one commit per micro-batch (2), got version ${vt.latestVersion}")
+      vt.getDataFrame().select(col("c_custkey"), col("c_name"), col("c_acctbal"))
     })
   )
 
@@ -3557,6 +3613,16 @@ object SparkEntry {
         |  CAST(c_acctbal AS DOUBLE) AS c_acctbal,
         |  CAST(c_custkey % 4 AS INT) AS partition,
         |  CAST(row_number() OVER (PARTITION BY c_custkey % 4 ORDER BY c_custkey) - 1 AS BIGINT) AS "offset"
-        |FROM customer""".stripMargin
+        |FROM customer""".stripMargin,
+    // q100: base load + one upsert batch replayed relationally
+    "q100_streaming_cdc_versioned" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+        |  CASE WHEN c_custkey % 5 = 0 THEN CAST(c_acctbal AS DOUBLE) + 50.0
+        |       ELSE CAST(c_acctbal AS DOUBLE) END AS c_acctbal
+        |FROM customer
+        |UNION ALL
+        |SELECT CAST(c_custkey AS BIGINT) + 10000, c_name,
+        |  CAST(c_acctbal AS DOUBLE) + 50.0
+        |FROM customer WHERE c_custkey % 5 = 0""".stripMargin
   )
 }
