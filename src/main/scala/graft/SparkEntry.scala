@@ -2362,6 +2362,108 @@ object SparkEntry {
       require(vt.latestVersion.contains(1),
         s"expected one commit per micro-batch (2), got version ${vt.latestVersion}")
       vt.getDataFrame().select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    }),
+
+    // SplunkDataObject against a LIVE loopback endpoint speaking the real
+    // REST export protocol (`services/search/jobs/export`: form-encoded
+    // search + earliest/latest window + output_mode=json, NDJSON response).
+    // The month of click events splits into 8 four-day windows fetched
+    // EXECUTOR-SIDE across 4 parallel tasks (the reference's
+    // splitQueryTimes/repartition design) — a request counter proves one
+    // export per window actually engaged, and the hash proves the windows
+    // tile the range exactly (an overlap double-fetches a row, a gap drops
+    // one; either breaks the hash).
+    "q101_splunk_windowed_export" -> ((s, dir) => {
+      implicit val c: ActionPipelineContext = ctx(s)
+      def js(v: String): String = "\"" + v.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case ch => ch.toString } + "\""
+      // preload [µs-epoch, ndjson export line] for every click event
+      val clicks = t(s, dir, "events").where(col("event_type") === "click")
+        .select(unix_micros(col("ts")).as("us"),
+          col("event_id").cast("long"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+          col("user_id").cast("long"))
+        .collect().map(r => (r.getLong(0),
+          s"""{"preview":false,"offset":0,"result":{"event_id":"${r.getLong(1)}","ts":${js(r.getString(2))},"user_id":"${r.getLong(3)}"}}"""))
+      val expectAuth = "Basic " + java.util.Base64.getEncoder
+        .encodeToString("graft:s3cret".getBytes("UTF-8"))
+      val winFmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")
+      val requests = new java.util.concurrent.atomic.AtomicInteger(0)
+      val server = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      server.createContext("/services/search/jobs/export", { exchange: com.sun.net.httpserver.HttpExchange =>
+        requests.incrementAndGet()
+        val form = new String(exchange.getRequestBody.readAllBytes(), "UTF-8")
+        val params = form.split("&").map(_.split("=", 2)).collect {
+          case Array(k, v) => k -> java.net.URLDecoder.decode(v, "UTF-8") }.toMap
+        val authed = Option(exchange.getRequestHeaders.getFirst("Authorization"))
+          .contains(expectAuth)
+        if (!authed) exchange.sendResponseHeaders(401, -1)
+        else if (!params.get("search").contains("search index=events event_type=click") ||
+                 !params.get("output_mode").contains("json"))
+          exchange.sendResponseHeaders(400, -1)
+        else {
+          def us(p: String): Long = java.time.LocalDateTime.parse(params(p), winFmt)
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+          val (lo, hi) = (us("earliest_time"), us("latest_time"))
+          // earliest inclusive, latest exclusive — Splunk's window semantics
+          val body = clicks.collect { case (t, line) if t >= lo && t < hi => line }
+            .mkString("\n").getBytes("UTF-8")
+          if (body.isEmpty) exchange.sendResponseHeaders(200, -1)
+          else {
+            exchange.sendResponseHeaders(200, body.length.toLong)
+            exchange.getResponseBody.write(body)
+          }
+        }
+        exchange.close()
+      })
+      // executor tasks fetch concurrently — give the server a small pool
+      // (daemon threads + explicit shutdown: a lingering non-daemon pool
+      // would keep the whole JVM alive after the dump finishes)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4, { r: Runnable =>
+        val t = new Thread(r); t.setDaemon(true); t
+      })
+      server.setExecutor(pool)
+      server.start()
+      try {
+        val port = server.getAddress.getPort
+        val df = sources.SplunkDataObject("q101_sp", "index=events event_type=click",
+          queryFrom = java.time.LocalDateTime.of(2024, 1, 1, 0, 0),
+          queryTo = java.time.LocalDateTime.of(2024, 2, 1, 0, 0),
+          queryTimeInterval = java.time.Duration.ofDays(4),
+          parallelRequests = 4,
+          schema = Some(StructType(Seq(
+            StructField("event_id", StringType),
+            StructField("ts", StringType),
+            StructField("user_id", StringType)))),
+          client = sources.HttpSplunkClient(s"http://127.0.0.1:$port", "graft", "s3cret"))
+          .getDataFrame()
+        val out = df.select(col("event_id"), col("ts"), col("user_id")).cache()
+        out.count() // materialize before stopping the server
+        require(requests.get() == 8,
+          s"expected one export request per 4-day window (8), served ${requests.get()}")
+        out
+      } finally { server.stop(0); pool.shutdownNow() }
+    }),
+
+    // IVF-PQ ANN (the billion-scale layout: coarse cells prune WHICH rows
+    // a probe scans, product-quantized codes shrink WHAT it reads —
+    // m bytes/row instead of 4·d; approx scores come from the codegen'd
+    // decode/ADC expressions and only `refine` survivors touch exact
+    // vectors). Same structural oracle as q34: each query IS a corpus row,
+    // its own cell is its nearest cell and exact-cosine refine restores
+    // the self-match to rank 1 — so the hash proves cell assignment,
+    // encode, approx scoring, and the refine cut end-to-end.
+    "q102_ivfpq_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val index = graft.functions.Quantization.buildIvfPq(
+        emb, "vec_id", "embedding", nlist = 16, m = 8, kpq = 16)
+      val queries = emb.where(col("vec_id") % 40 === 0)
+      val out = graft.functions.Quantization.ivfPqTopKJoin(
+        index, queries, "vec_id", "embedding", k = 1, nprobe = 2, refine = 32)
+      out.cache().count()
+      index.data.unpersist()
+      out
     })
   )
 
@@ -3623,6 +3725,18 @@ object SparkEntry {
         |UNION ALL
         |SELECT CAST(c_custkey AS BIGINT) + 10000, c_name,
         |  CAST(c_acctbal AS DOUBLE) + 50.0
-        |FROM customer WHERE c_custkey % 5 = 0""".stripMargin
+        |FROM customer WHERE c_custkey % 5 = 0""".stripMargin,
+    // q101: the windowed export tiles [2024-01-01, 2024-02-01) exactly, so
+    // the union of windows is simply every click event; string-typed
+    // because Splunk events are field->string maps
+    "q101_splunk_windowed_export" ->
+      """SELECT CAST(event_id AS VARCHAR) AS event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        |  CAST(user_id AS VARCHAR) AS user_id
+        |FROM events WHERE event_type = 'click'""".stripMargin,
+    // q102: structural self-match guarantee (see q34)
+    "q102_ivfpq_ann_topk" ->
+      """SELECT vec_id AS qid, vec_id AS id, 1 AS rank
+        |FROM embeddings WHERE vec_id % 40 = 0""".stripMargin
   )
 }

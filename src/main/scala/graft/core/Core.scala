@@ -176,7 +176,15 @@ case class ActionPipelineContext(
     attemptId: Int = 1,
     runStateDir: Option[String] = None,
     /** arbitrary runtime options usable in transformer expressions */
-    runtimeOptions: Map[String, String] = Map.empty) {
+    runtimeOptions: Map[String, String] = Map.empty,
+    /** dataObjectId -> number of downstream actions consuming it, for the
+      * ids the DAG decided to auto-cache (reference
+      * `dataFrameReuseStatistics` + `Environment.
+      * enableAutomaticDataFrameCaching`): an output whose lineage
+      * DataFrame feeds >=2 consumers recomputes its whole plan per
+      * consumer unless persisted. Populated by [[ActionDAGRun]] for the
+      * exec phase; empty = caching off. */
+    dataFrameReuseCounts: Map[String, Int] = Map.empty) {
   def isExecPhase: Boolean = phase == ExecutionPhase.Exec
 }
 

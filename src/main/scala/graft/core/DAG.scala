@@ -17,11 +17,26 @@ import scala.concurrent.duration.Duration
 class ActionDAGRun(actions: Seq[Action], parallelism: Int = 1,
                    /** exec-phase checkpoint hook (run-state store) — called
                      * after each action completes with its output SubFeeds */
-                   onActionComplete: (String, Seq[SubFeed]) => Unit = (_, _) => ()) {
+                   onActionComplete: (String, Seq[SubFeed]) => Unit = (_, _) => (),
+                   /** persist produced DataFrames consumed by >=2 actions
+                     * for the duration of their consumers (reference
+                     * `Environment.enableAutomaticDataFrameCaching`) */
+                   enableAutomaticDataFrameCaching: Boolean = true) {
 
   // producer map: dataObjectId -> action producing it
   private val producers: Map[String, Action] =
     actions.flatMap(a => a.outputIds.map(_ -> a)).toMap
+
+  // produced dataObjectIds consumed by >=2 actions: without a persist,
+  // every consumer re-executes the producer's whole plan (the SubFeed
+  // carries the lineage DataFrame, not materialized data). writeOutput
+  // persists these before the producer's own write; the consumer counters
+  // below drive the unpersist once the last consumer settles.
+  private val reuseCounts: Map[String, Int] = {
+    val consumed = actions.flatMap(_.inputIds.distinct)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    consumed.filter { case (doId, n) => n >= 2 && producers.contains(doId) }
+  }
 
   // A FileIncrementalMoveMode action consumes (moves/deletes) its input in
   // postExec — another action reading the same DataObject would race the
@@ -100,13 +115,29 @@ class ActionDAGRun(actions: Seq[Action], parallelism: Int = 1,
     * branch's downstream work should overlap the slow branch's tail. */
   private def runPhase(phase: ExecutionPhase, initialSubFeeds: Seq[SubFeed])
                       (ctx0: ActionPipelineContext): Map[String, Seq[SubFeed]] = {
-    implicit val c: ActionPipelineContext = ctx0.copy(phase = phase)
+    val cacheOn = enableAutomaticDataFrameCaching && phase == ExecutionPhase.Exec
+    implicit val c: ActionPipelineContext = ctx0.copy(phase = phase,
+      dataFrameReuseCounts = if (cacheOn) reuseCounts else Map.empty)
     val pool = Executors.newFixedThreadPool(math.max(1, parallelism))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val results = scala.collection.concurrent.TrieMap.empty[String, Seq[SubFeed]]
     val skipped = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+    // countdown per auto-cached dataObjectId; 0 => safe to unpersist
+    val pendingConsumers = new scala.collection.concurrent.TrieMap[String, java.util.concurrent.atomic.AtomicInteger]()
+    if (cacheOn) reuseCounts.foreach { case (doId, n) =>
+      pendingConsumers(doId) = new java.util.concurrent.atomic.AtomicInteger(n) }
+    def releaseConsumed(action: Action): Unit = if (cacheOn) {
+      action.inputIds.distinct.foreach { inId =>
+        pendingConsumers.get(inId).foreach { ctr =>
+          if (ctr.decrementAndGet() == 0)
+            producers.get(inId).flatMap(p => results.get(p.id)).toSeq.flatten
+              .filter(_.dataObjectId == inId).flatMap(_.dataFrame)
+              .foreach(_.unpersist(false))
+        }
+      }
+    }
 
-    def runAction(action: Action): Unit = {
+    def runAction(action: Action): Unit = try {
       val inputs = action.inputIds.flatMap { inId =>
         producers.get(inId) match {
           case Some(p) => results.getOrElse(p.id, Seq.empty).filter(_.dataObjectId == inId)
@@ -160,7 +191,7 @@ class ActionDAGRun(actions: Seq[Action], parallelism: Int = 1,
           results(action.id) = out
           if (phase == ExecutionPhase.Exec) onActionComplete(action.id, out)
       }
-    }
+    } finally releaseConsumed(action) // last consumer done/skipped/failed -> drop the cache
 
     try {
       // Build one future per action chained on its predecessors' futures.
@@ -181,7 +212,17 @@ class ActionDAGRun(actions: Seq[Action], parallelism: Int = 1,
       val outcomes = Await.result(Future.sequence(settled), Duration.Inf)
       outcomes.collectFirst { case scala.util.Failure(e) => throw e }
       results.toMap
-    } finally pool.shutdown()
+    } finally {
+      pool.shutdown()
+      // failed consumers leave their countdown above zero — don't leak
+      // cached blocks into the session beyond the run
+      if (cacheOn) pendingConsumers.collect { case (doId, ctr) if ctr.get() > 0 => doId }
+        .foreach { doId =>
+          producers.get(doId).flatMap(p => results.get(p.id)).toSeq.flatten
+            .filter(_.dataObjectId == doId).flatMap(_.dataFrame)
+            .foreach(_.unpersist(false))
+        }
+    }
   }
 }
 

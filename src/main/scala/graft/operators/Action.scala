@@ -96,7 +96,17 @@ abstract class DataFrameAction extends Action {
     transformers.foldLeft(df)((acc, t) => t.transform(acc, doId))
 
   protected def writeOutput(doId: String, df: DataFrame, pvs: Seq[PartitionValues])
-                           (implicit ctx: ActionPipelineContext): ActionMetrics =
+                           (implicit ctx: ActionPipelineContext): ActionMetrics = {
+    // Auto-cache multi-consumer outputs (reference DataFrameActionImpl.
+    // writeSubFeed:456-462): persist BEFORE the write so the write itself
+    // populates the cache and each downstream consumer reads blocks
+    // instead of recomputing the producer's plan. Skipped when lineage is
+    // broken anyway (consumers re-read from storage) or for streaming
+    // frames. The DAG unpersists once the last consumer completes.
+    if (!breakDataFrameLineage && !df.isStreaming &&
+        ctx.dataFrameReuseCounts.getOrElse(doId, 0) >= 2 &&
+        df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ctx.registry.dataObject(doId) match {
       // merge dispatches here so the action-level clauses reach the sink —
       // writeDataFrame's signature carries only the mode
@@ -107,6 +117,7 @@ abstract class DataFrameAction extends Action {
       case w: CanWriteDataFrame => w.writeDataFrame(df, pvs, saveMode)
       case other => throw new IllegalArgumentException(s"DataObject ${other.id} cannot write DataFrames")
     }
+  }
 
   /** Apply execution mode to compute the partitions/filter to process. */
   protected def applyExecutionMode(in: SubFeed)(implicit ctx: ActionPipelineContext): SubFeed =

@@ -11,13 +11,15 @@ import java.nio.charset.StandardCharsets.UTF_8
   * the Spark-side logic is fully testable offline and endpoints are
   * swappable.
   *
-  * Design rule shared by all of them: the TRANSPORT runs on the driver and
-  * must only move modest control-plane volumes (API pages, search results);
-  * bulk data always lands in a file/table DataObject and flows through
-  * distributed scans. This matches the reference, whose webservice/OData/
-  * Splunk objects also fetch driver-side
+  * Design rule shared by most of them: the TRANSPORT runs on the driver
+  * and must only move modest control-plane volumes (API pages, search
+  * results); bulk data always lands in a file/table DataObject and flows
+  * through distributed scans. This matches the reference, whose
+  * webservice/OData objects also fetch driver-side
   * (`sdl-core/workflow/dataobject/WebserviceFileDataObject.scala:63-108`,
-  * `ODataDataObject.scala`, `sdl-splunk/.../SplunkDataObject.scala`).
+  * `ODataDataObject.scala`). Splunk is the exception on both sides: the
+  * reference distributes time-windowed searches across executors, and so
+  * does [[SplunkDataObject]] here.
   */
 trait HttpTransport {
   def get(url: String, headers: Map[String, String]): Array[Byte]
@@ -152,27 +154,134 @@ case class ODataDataObject(
   }
 }
 
-/** Splunk search reader behind an injectable client. Reference:
-  * `sdl-splunk/.../SplunkDataObject.scala` (227 LoC) runs a search job and
-  * pages results; the client abstracts that protocol. */
-trait SplunkClient {
-  /** run a search, return rows as field->value maps */
+/** Splunk search reader. Reference: `sdl-splunk/.../SplunkDataObject.scala`
+  * (227 LoC) splits `[queryFrom, queryTo)` into `queryTimeInterval`-sized
+  * windows, distributes the windows over `parallelRequests` Spark tasks,
+  * and runs one bounded export search per window EXECUTOR-SIDE (ref :74-80:
+  * `splitQueryTimes(...).repartition(parallelRequests).map(readRows...)`) —
+  * a month-long pull parallelizes across the cluster instead of
+  * serializing through the driver. Window bounds are half-open `[from,
+  * to)`, matching Splunk's inclusive `earliest_time` / exclusive
+  * `latest_time`, so windows never double-fetch a boundary event.
+  *
+  * The client is injectable for offline tests; [[HttpSplunkClient]] is the
+  * live implementation (REST export endpoint). The windowed path needs an
+  * explicit all-string `schema` (ref requires one too — results are
+  * field->string maps, missing fields default to ""); without
+  * from/to/schema it degrades to a single driver-side search with
+  * inferred string columns. */
+trait SplunkClient extends Serializable {
+  /** run a search bounded to [from, to), rows as field->value maps */
   def search(query: String, from: String, to: String): Seq[Map[String, String]]
 }
+
+/** Live Splunk REST client: one POST to `services/search/jobs/export` per
+  * window (form-encoded `search`/`earliest_time`/`latest_time`,
+  * `output_mode=json`), response parsed as NDJSON with one `result` object
+  * per event. Serializable — each Spark task opens its own connection. */
+case class HttpSplunkClient(baseUrl: String, user: String, password: String,
+                            timeoutSec: Long = 60) extends SplunkClient {
+  override def search(query: String, from: String, to: String): Seq[Map[String, String]] = {
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val form = s"search=${enc(query)}&earliest_time=${enc(from)}" +
+      s"&latest_time=${enc(to)}&output_mode=json"
+    val auth = "Basic " + java.util.Base64.getEncoder.encodeToString(
+      s"${SecretsUtil.resolve(user)}:${SecretsUtil.resolve(password)}".getBytes(UTF_8))
+    val req = HttpRequest.newBuilder(java.net.URI.create(
+        s"${baseUrl.stripSuffix("/")}/services/search/jobs/export"))
+      .timeout(java.time.Duration.ofSeconds(timeoutSec))
+      .header("Authorization", auth)
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .POST(HttpRequest.BodyPublishers.ofString(form)).build()
+    val resp = HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(timeoutSec)).build()
+      .send(req, HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() / 100 == 2,
+      s"Splunk export returned HTTP ${resp.statusCode()}")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    resp.body().linesIterator.filter(_.nonEmpty).flatMap { line =>
+      Option(mapper.readTree(line).get("result")).map { r =>
+        val b = Map.newBuilder[String, String]
+        val it = r.fields()
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText }
+        b.result()
+      }
+    }.toSeq
+  }
+}
+
 case class SplunkDataObject(
-    id: String, query: String, from: String = "", to: String = "",
+    id: String, query: String,
+    queryFrom: java.time.LocalDateTime = null,
+    queryTo: java.time.LocalDateTime = null,
+    queryTimeInterval: java.time.Duration = java.time.Duration.ofMinutes(10),
+    parallelRequests: Int = 2,
+    schema: Option[StructType] = None,
     client: SplunkClient)
   extends DataObject with CanCreateDataFrame {
+  import SplunkDataObject._
+
   override def getDataFrame(partitionValues: Seq[PartitionValues] = Seq.empty)
                            (implicit ctx: ActionPipelineContext): DataFrame = {
     val spark = ctx.spark
-    import spark.implicits._
-    val rows = client.search(query, from, to)
-    val cols = rows.flatMap(_.keys).distinct.sorted
-    val data = rows.map(r => cols.map(c => r.getOrElse(c, null)))
-    val rdd = spark.sparkContext.parallelize(data.map(org.apache.spark.sql.Row.fromSeq))
-    spark.createDataFrame(rdd, StructType(cols.map(c =>
-      org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType))))
+    val q = validateQuery(query)
+    (Option(queryFrom), Option(queryTo), schema) match {
+      case (Some(f), Some(t), Some(sc)) =>
+        require(sc.fields.forall(_.dataType == org.apache.spark.sql.types.StringType),
+          s"SplunkDataObject $id: schema fields must all be StringType (Splunk events are field->string maps)")
+        val names = sc.fieldNames.toSeq
+        val windows = splitQueryTimes(f, t, queryTimeInterval)
+          .map { case (a, b) => (fmt(a), fmt(b)) }
+        val cl = client
+        val rdd = spark.sparkContext
+          .parallelize(windows, math.max(1, math.min(parallelRequests, windows.size)))
+          .flatMap { case (a, b) =>
+            cl.search(q, a, b).map(m =>
+              org.apache.spark.sql.Row.fromSeq(names.map(n => m.getOrElse(n, ""))))
+          }
+        spark.createDataFrame(rdd, sc)
+      case _ =>
+        // degraded single-search path (no window bounds): driver-side
+        // fetch, columns inferred from the result keys
+        val rows = client.search(q,
+          Option(queryFrom).map(fmt).getOrElse(""),
+          Option(queryTo).map(fmt).getOrElse(""))
+        val cols = rows.flatMap(_.keys).distinct.sorted
+        val data = rows.map(r => cols.map(c => r.getOrElse(c, null)))
+        val rdd = spark.sparkContext.parallelize(data.map(org.apache.spark.sql.Row.fromSeq))
+        spark.createDataFrame(rdd, StructType(cols.map(c =>
+          org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType))))
+    }
+  }
+}
+
+object SplunkDataObject {
+  private val Fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")
+  def fmt(t: java.time.LocalDateTime): String = Fmt.format(t)
+
+  /** Queries must name an index (ref :127-133) and carry the `search`
+    * command prefix Splunk's parser expects. */
+  def validateQuery(q: String): String = {
+    require(q.contains("index="),
+      "Splunk queries must define the index the search should work on")
+    if (q.startsWith("search")) q else "search " + q
+  }
+
+  /** Tumbling half-open windows covering [from, to): every window but the
+    * last spans exactly `interval`; the last is clipped to `to`. */
+  def splitQueryTimes(from: java.time.LocalDateTime, to: java.time.LocalDateTime,
+                      interval: java.time.Duration): Seq[(java.time.LocalDateTime, java.time.LocalDateTime)] = {
+    require(!interval.isZero && !interval.isNegative, "queryTimeInterval must be positive")
+    require(from.isBefore(to), s"queryFrom $from must precede queryTo $to")
+    val b = Seq.newBuilder[(java.time.LocalDateTime, java.time.LocalDateTime)]
+    var cur = from
+    while (cur.isBefore(to)) {
+      val next = cur.plus(interval)
+      b += ((cur, if (next.isBefore(to)) next else to))
+      cur = next
+    }
+    b.result()
   }
 }
 

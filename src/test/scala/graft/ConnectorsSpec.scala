@@ -54,6 +54,51 @@ class ConnectorsSpec extends AnyFunSuite {
     assert(df.where(df("host") === "h2").collect().head.isNullAt(1))
   }
 
+  test("splunk splitQueryTimes: tumbling half-open windows, last clipped") {
+    import java.time.{Duration, LocalDateTime}
+    val f = LocalDateTime.of(2024, 1, 1, 0, 0)
+    val t = LocalDateTime.of(2024, 1, 1, 0, 25)
+    val w = SplunkDataObject.splitQueryTimes(f, t, Duration.ofMinutes(10))
+    assert(w.size == 3)
+    assert(w.head == (f, f.plusMinutes(10)))
+    assert(w(1) == (f.plusMinutes(10), f.plusMinutes(20)))
+    assert(w(2) == (f.plusMinutes(20), t)) // clipped, not overshooting `to`
+    // windows tile exactly: each `to` is the next `from`
+    assert(w.sliding(2).forall { case Seq(a, b) => a._2 == b._1; case _ => true })
+    // exact fit: no empty trailing window
+    assert(SplunkDataObject.splitQueryTimes(f, f.plusMinutes(20), Duration.ofMinutes(10)).size == 2)
+  }
+
+  test("splunk validateQuery: index required, search prefix added") {
+    assert(SplunkDataObject.validateQuery("index=web error") == "search index=web error")
+    assert(SplunkDataObject.validateQuery("search index=web") == "search index=web")
+    intercept[IllegalArgumentException](SplunkDataObject.validateQuery("error"))
+  }
+
+  test("splunk windowed path: one executor-side search per window, schema-projected") {
+    import java.time.{Duration, LocalDateTime}
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val sp = SplunkDataObject("sp2", "index=web",
+      queryFrom = LocalDateTime.of(2024, 1, 1, 0, 0),
+      queryTo = LocalDateTime.of(2024, 1, 1, 2, 0),
+      queryTimeInterval = Duration.ofMinutes(30),
+      parallelRequests = 4,
+      schema = Some(StructType(Seq(
+        StructField("win", StringType), StructField("host", StringType)))),
+      client = WindowEchoSplunkClient())
+    val df = sp.getDataFrame()
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1))).sorted
+    // 4 windows of 30min over 2h; one row per window, `host` missing -> ""
+    assert(rows.map(_._1).toSeq == Seq(
+      "2024-01-01T00:00:00/2024-01-01T00:30:00",
+      "2024-01-01T00:30:00/2024-01-01T01:00:00",
+      "2024-01-01T01:00:00/2024-01-01T01:30:00",
+      "2024-01-01T01:30:00/2024-01-01T02:00:00"))
+    assert(rows.forall(_._2 == ""))
+    // the `search` prefix must be added before the query reaches the client
+    assert(rows.nonEmpty) // (prefix checked inside the client via require)
+  }
+
   test("airbyte subprocess protocol stream: RECORD kept for stream, STATE captured") {
     val script = java.nio.file.Files.createTempFile("airbyte", ".sh")
     java.nio.file.Files.writeString(script,
@@ -171,5 +216,16 @@ class ConnectorsSpec extends AnyFunSuite {
   test("jms receiver rows parsed as json") {
     val jms = JmsDataObject("j1", () => Seq("""{"m":"hello"}""", """{"m":"world"}"""))
     assert(jms.getDataFrame().count() == 2)
+  }
+}
+
+/** Serializable fake for the distributed Splunk path: echoes its window
+  * back as a row, so the test can assert exactly one search ran per window
+  * (top-level class — an anonymous client would drag the suite into the
+  * task closure). */
+case class WindowEchoSplunkClient() extends SplunkClient {
+  override def search(q: String, from: String, to: String): Seq[Map[String, String]] = {
+    require(q == "search index=web", s"query must arrive validated, got '$q'")
+    Seq(Map("win" -> s"$from/$to"))
   }
 }
