@@ -1,24 +1,37 @@
 package graft.sources
 
 import graft.core._
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.sources.{Filter, EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, In, IsNull, IsNotNull, And, Or, Not}
 import org.apache.hadoop.fs.Path
 
 /** Snapshot-versioned parquet table with a file-level transaction log —
   * the from-scratch stand-in for the lakehouse features of the reference's
   * `DeltaLakeTableDataObject` (`sdl-deltalake/.../DeltaLakeTableDataObject
-  * .scala:102-450`: time travel, OPTIMIZE, VACUUM) that are untestable
-  * in-env for lack of the delta jars. The MECHANISM is the public Delta
-  * design: an ordered log of commits, each listing files added/removed;
-  * a snapshot at version V is (∪ added) − (∪ removed) over commits ≤ V;
-  * readers never list the data directory, only the log.
+  * .scala:102-450`: time travel, MERGE, OPTIMIZE, VACUUM) that are
+  * untestable in-env for lack of the delta jars. The MECHANISM is the
+  * public Delta design: an ordered log of commits, each listing files
+  * added/removed plus PER-FILE STATS (row count, per-column min/max/null
+  * count harvested from the parquet footers); a snapshot at version V is
+  * (∪ added) − (∪ removed) over commits ≤ V; readers never list the data
+  * directory, only the log.
   *
   * Scale notes:
-  * - Appends and merges commit ONLY the files they touch; a snapshot read
-  *   at 100 TB plans from the log manifest (kilobytes) instead of a
-  *   recursive listing of millions of objects — the same reason Delta
-  *   scales on object stores.
+  * - MERGE is file-pruned, not copy-the-table: update-key bounds intersect
+  *   the per-file min/max ranges from the log (driver-side, O(files), zero
+  *   data I/O), then an exact key semi-join over only the candidate files
+  *   finds the files actually containing matched keys. Only those files are
+  *   rewritten; every other file is carried by reference. A streaming CDC
+  *   micro-batch therefore costs O(touched files), not O(table) — the same
+  *   findTouchedFiles design Delta's MERGE uses.
+  * - Reads data-skip: `getDataFrameFiltered` evaluates pushed predicates
+  *   against the same per-file stats and plans only surviving files — the
+  *   read-side half of the stats story (Delta data skipping).
+  * - Stats come from parquet FOOTERS (kilobytes per file, driver-side,
+  *   O(files) — never a second scan of the data), which also yields exact
+  *   `recordsWritten` metrics for free.
   * - `optimize()` rewrites data into `targetFileCount` files as a new
   *   commit (bin-packing compaction); older versions still time-travel to
   *   the pre-compaction files until `vacuum(retainVersions)` drops
@@ -35,23 +48,45 @@ case class VersionedTableDataObject(id: String, path: String,
     new Path(path).getFileSystem(ctx.spark.sparkContext.hadoopConfiguration)
   private def logDir = new Path(path, "_graft_log")
 
+  /** Per-file footer stats: row count + canonical-string min/max and null
+    * count per (supported, ≤64-char) top-level column. Canonical encoding:
+    * integral/date(days)/timestamp(micros)/boolean as decimal longs,
+    * float/double as doubles, strings verbatim — so compares stay exact
+    * and type-directed without re-parsing parquet types at prune time. */
+  private[graft] case class FileStat(rows: Long, min: Map[String, String],
+                                     max: Map[String, String], nulls: Map[String, Long])
+
   /** `schema` = the table's DDL as of this commit (union-evolved on
     * append, like the reference's persisted union schema) — snapshot reads
-    * apply it instead of trusting whichever file's footer Spark samples. */
-  private case class Commit(version: Int, added: Seq[String], removed: Seq[String],
-                            schema: Option[String])
+    * apply it instead of trusting whichever file's footer Spark samples.
+    * `stats` keys are table-relative paths of this commit's added files;
+    * absent stats (older log formats, footerless files) degrade to
+    * "always a candidate" — pruning is strictly an optimization. */
+  private[graft] case class Commit(version: Int, added: Seq[String], removed: Seq[String],
+                                   schema: Option[String], stats: Map[String, FileStat] = Map.empty)
+
+  private def om = new com.fasterxml.jackson.databind.ObjectMapper()
 
   private def readLog(implicit ctx: ActionPipelineContext): Seq[Commit] = {
     if (!fs.exists(logDir)) return Seq.empty
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    import scala.jdk.CollectionConverters._
     fs.listStatus(logDir).map(_.getPath).filter(_.getName.endsWith(".json"))
       .sortBy(_.getName).map { p =>
         val n = om.readTree(readFully(p))
-        import scala.jdk.CollectionConverters._
+        val stats = Option(n.get("stats")).map { s =>
+          s.fields().asScala.map { e =>
+            val v = e.getValue
+            def strMap(f: String) = Option(v.get(f)).map(_.fields().asScala
+              .map(x => x.getKey -> x.getValue.asText).toMap).getOrElse(Map.empty[String, String])
+            def longMap(f: String) = Option(v.get(f)).map(_.fields().asScala
+              .map(x => x.getKey -> x.getValue.asLong).toMap).getOrElse(Map.empty[String, Long])
+            e.getKey -> FileStat(v.get("rows").asLong, strMap("min"), strMap("max"), longMap("nulls"))
+          }.toMap
+        }.getOrElse(Map.empty[String, FileStat])
         Commit(n.get("version").asInt,
           n.get("added").elements().asScala.map(_.asText).toSeq,
           n.get("removed").elements().asScala.map(_.asText).toSeq,
-          Option(n.get("schema")).map(_.asText))
+          Option(n.get("schema")).map(_.asText), stats)
       }.toSeq
   }
 
@@ -62,10 +97,22 @@ case class VersionedTableDataObject(id: String, path: String,
   }
 
   private def writeCommit(c: Commit)(implicit ctx: ActionPipelineContext): Unit = {
-    def esc(x: String) = "\"" + x.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    def arr(xs: Seq[String]) = xs.map(esc).mkString("[", ",", "]")
-    val schemaField = c.schema.map(s => s""","schema":${esc(s)}""").getOrElse("")
-    val json = s"""{"version":${c.version},"added":${arr(c.added)},"removed":${arr(c.removed)}$schemaField}"""
+    val root = om.createObjectNode()
+    root.put("version", c.version)
+    val a = root.putArray("added"); c.added.foreach(a.add)
+    val r = root.putArray("removed"); c.removed.foreach(r.add)
+    c.schema.foreach(root.put("schema", _))
+    if (c.stats.nonEmpty) {
+      val s = root.putObject("stats")
+      c.stats.toSeq.sortBy(_._1).foreach { case (f, st) =>
+        val n = s.putObject(f)
+        n.put("rows", st.rows)
+        val mn = n.putObject("min"); st.min.toSeq.sortBy(_._1).foreach { case (k, v) => mn.put(k, v) }
+        val mx = n.putObject("max"); st.max.toSeq.sortBy(_._1).foreach { case (k, v) => mx.put(k, v) }
+        val nl = n.putObject("nulls"); st.nulls.toSeq.sortBy(_._1).foreach { case (k, v) => nl.put(k, v) }
+      }
+    }
+    val json = om.writeValueAsString(root)
     // zero-padded name keeps lexicographic == numeric commit order
     val tmp = new Path(logDir, f"_tmp_${c.version}%08d.json")
     val dst = new Path(logDir, f"${c.version}%08d.json")
@@ -79,7 +126,7 @@ case class VersionedTableDataObject(id: String, path: String,
   }
 
   /** Live file set at `asOfVersion` (latest when None). */
-  private def snapshotFiles(asOfVersion: Option[Int])(implicit ctx: ActionPipelineContext): Seq[String] = {
+  private[graft] def snapshotFiles(asOfVersion: Option[Int] = None)(implicit ctx: ActionPipelineContext): Seq[String] = {
     val log = readLog
     require(log.nonEmpty, s"DataObject $id: no committed versions at $path")
     val upTo = asOfVersion.map(v => log.filter(_.version <= v)).getOrElse(log)
@@ -101,23 +148,141 @@ case class VersionedTableDataObject(id: String, path: String,
   def getDataFrameAsOf(version: Option[Int])(implicit ctx: ActionPipelineContext): DataFrame = {
     val files = snapshotFiles(version)
     require(files.nonEmpty, s"DataObject $id: empty snapshot")
+    readFiles(files, committedSchema(version))
+  }
+
+  private def committedSchema(version: Option[Int])(implicit ctx: ActionPipelineContext): Option[StructType] = {
     val log = readLog
     val upTo = version.map(v => log.filter(_.version <= v)).getOrElse(log)
-    val schema = upTo.reverse.collectFirst { case Commit(_, _, _, Some(s)) => s }
+    upTo.reverse.collectFirst { case Commit(_, _, _, Some(s), _) => StructType.fromDDL(s) }
+  }
+
+  private def readFiles(files: Seq[String], schema: Option[StructType])
+                       (implicit ctx: ActionPipelineContext): DataFrame = {
     val reader = ctx.spark.read
-    schema.fold(reader)(s =>
-        reader.schema(org.apache.spark.sql.types.StructType.fromDDL(s)))
+    schema.fold(reader)(reader.schema)
       .parquet(files.map(f => s"$path/$f"): _*)
   }
 
+  // ----------------------------------------------------------------------
+  // Per-file statistics (parquet footers — O(files) driver-side, no scan)
+  // ----------------------------------------------------------------------
+
+  /** Columns worth stats: top-level, order-comparable, capped at 32 (the
+    * public Delta default) so wide tables don't bloat the log. */
+  private def statColumns(schema: StructType): Seq[StructField] =
+    schema.fields.toSeq.filter(f => f.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+           BooleanType | StringType | DateType | TimestampType => true
+      case _ => false
+    }).take(32)
+
+  /** Canonical string for a parquet-footer min/max value of `dt`. None =
+    * not representable (e.g. INT96 timestamps, >64-char strings whose
+    * truncation would need prefix-increment semantics) → no pruning. */
+  private def canonStat(dt: DataType, v: Any): Option[String] = (dt, v) match {
+    case (_, null) => None
+    case (StringType, b: org.apache.parquet.io.api.Binary) =>
+      val s = b.toStringUsingUTF8; if (s.length <= 64) Some(s) else None
+    case (FloatType | DoubleType, n: Number) => Some(n.doubleValue.toString)
+    case (BooleanType, b: java.lang.Boolean) => Some(if (b) "1" else "0")
+    case (ByteType | ShortType | IntegerType | LongType | DateType | TimestampType, n: Number) =>
+      Some(n.longValue.toString)
+    case _ => None
+  }
+
+  /** Canonical string for a RUNTIME value (Row cell / Filter literal). */
+  private def canonValue(dt: DataType, v: Any): Option[String] = (dt, v) match {
+    case (_, null) => None
+    case (StringType, s: String) => Some(s)
+    case (DateType, d: java.sql.Date) => Some(d.toLocalDate.toEpochDay.toString)
+    case (DateType, d: java.time.LocalDate) => Some(d.toEpochDay.toString)
+    case (TimestampType, t: java.sql.Timestamp) =>
+      Some((Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L).toString)
+    case (TimestampType, t: java.time.Instant) =>
+      Some((t.getEpochSecond * 1000000L + t.getNano / 1000L).toString)
+    case (BooleanType, b: java.lang.Boolean) => Some(if (b) "1" else "0")
+    case (FloatType | DoubleType, n: Number) => Some(n.doubleValue.toString)
+    case (ByteType | ShortType | IntegerType | LongType, n: Number) => Some(n.longValue.toString)
+    case _ => None
+  }
+
+  private def cmpCanon(dt: DataType, a: String, b: String): Int = dt match {
+    case FloatType | DoubleType => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case StringType => a.compareTo(b)
+    case _ => java.lang.Long.compare(a.toLong, b.toLong)
+  }
+
+  /** Footer stats for one staged file: row count always; min/max/nulls per
+    * supported column when the footer carries usable statistics. */
+  private def footerStat(file: Path, schema: StructType)
+                        (implicit ctx: ActionPipelineContext): FileStat = {
+    val conf = ctx.spark.sparkContext.hadoopConfiguration
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks
+      import scala.jdk.CollectionConverters._
+      val rows = blocks.asScala.map(_.getRowCount).sum
+      val byType = statColumns(schema).map(f => f.name -> f.dataType).toMap
+      var min = Map.empty[String, String]; var max = Map.empty[String, String]
+      var nulls = Map.empty[String, Long]; var broken = Set.empty[String]
+      for (b <- blocks.asScala; c <- b.getColumns.asScala) {
+        val name = c.getPath.toDotString
+        byType.get(name).foreach { dt =>
+          val st = c.getStatistics
+          if (st == null || broken(name)) { broken += name }
+          else {
+            if (st.isNumNullsSet) nulls = nulls.updated(name, nulls.getOrElse(name, 0L) + st.getNumNulls)
+            else broken += name
+            if (st.hasNonNullValue) {
+              (canonStat(dt, st.genericGetMin), canonStat(dt, st.genericGetMax)) match {
+                case (Some(lo), Some(hi)) =>
+                  min = min.updated(name, min.get(name).filter(cmpCanon(dt, _, lo) <= 0).getOrElse(lo))
+                  max = max.updated(name, max.get(name).filter(cmpCanon(dt, _, hi) >= 0).getOrElse(hi))
+                case _ => broken += name
+              }
+            } else if (!st.isNumNullsSet || st.getNumNulls < b.getRowCount) broken += name
+          }
+        }
+      }
+      // a column broken in ANY block has no trustworthy file-level range
+      FileStat(rows, min -- broken, max -- broken, nulls -- broken)
+    } finally reader.close()
+  }
+
+  /** Stats for every LIVE file at `version` (files from pre-stats commits
+    * simply have no entry → never pruned). */
+  private[graft] def liveFileStats(version: Option[Int] = None)
+                                  (implicit ctx: ActionPipelineContext): Map[String, FileStat] = {
+    val log = readLog
+    val upTo = version.map(v => log.filter(_.version <= v)).getOrElse(log)
+    val live = {
+      val removed = upTo.flatMap(_.removed).toSet
+      upTo.flatMap(_.added).filterNot(removed).toSet
+    }
+    upTo.flatMap(_.stats).filter(kv => live(kv._1)).toMap
+  }
+
   /** Stage `df` as parquet files under a fresh `vNNN-xxxx/` subdir and
-    * return their table-relative paths. */
-  private def stage(df: DataFrame, version: Int)(implicit ctx: ActionPipelineContext): Seq[String] = {
+    * return their table-relative paths with footer stats. */
+  private def stage(df: DataFrame, version: Int)
+                   (implicit ctx: ActionPipelineContext): (Seq[String], Map[String, FileStat]) = {
     val sub = f"v$version%08d-${java.util.UUID.randomUUID.toString.take(8)}"
     df.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/$sub")
-    fs.listStatus(new Path(path, sub)).map(_.getPath.getName)
+    val rels = fs.listStatus(new Path(path, sub)).map(_.getPath.getName)
       .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
       .map(n => s"$sub/$n").toSeq
+    val stats = rels.map { rel =>
+      rel -> (try footerStat(new Path(path, rel), df.schema)
+              catch { case _: Exception => FileStat(-1, Map.empty, Map.empty, Map.empty) })
+    }.toMap
+    (rels, stats)
+  }
+
+  private def rowsOf(stats: Map[String, FileStat]): Long = {
+    val rs = stats.values.map(_.rows)
+    if (rs.exists(_ < 0)) -1 else rs.sum
   }
 
   override def writeDataFrame(df: DataFrame, partitionValues: Seq[PartitionValues] = Seq.empty,
@@ -126,21 +291,21 @@ case class VersionedTableDataObject(id: String, path: String,
     val t0 = System.currentTimeMillis()
     val log = readLog
     val v = log.lastOption.map(_.version + 1).getOrElse(0)
-    val added = stage(df, v)
+    val (added, stats) = stage(df, v)
     val append = saveMode.contains(SdlSaveMode.Append)
     val removed = if (append) Seq.empty else snapshotIfAny(log)
     // schema evolution on append: committed schema = previous ∪ new (the
     // persisted-union-schema rule file objects use); overwrite resets it
-    val prevSchema = log.reverse.collectFirst { case Commit(_, _, _, Some(s)) => s }
+    val prevSchema = log.reverse.collectFirst { case Commit(_, _, _, Some(s), _) => s }
     val schema = prevSchema match {
       case Some(p) if append =>
-        val prev = org.apache.spark.sql.types.StructType.fromDDL(p)
+        val prev = StructType.fromDDL(p)
         val extra = df.schema.filterNot(f => prev.exists(_.name.equalsIgnoreCase(f.name)))
-        org.apache.spark.sql.types.StructType(prev.fields ++ extra).toDDL
+        StructType(prev.fields ++ extra).toDDL
       case _ => df.schema.toDDL
     }
-    writeCommit(Commit(v, added, removed, Some(schema)))
-    ActionMetrics(recordsWritten = -1, durationMillis = System.currentTimeMillis() - t0)
+    writeCommit(Commit(v, added, removed, Some(schema), stats))
+    ActionMetrics(recordsWritten = rowsOf(stats), durationMillis = System.currentTimeMillis() - t0)
   }
 
   /** Copy-on-write gives staged self-overwrite for free: the new version's
@@ -154,21 +319,192 @@ case class VersionedTableDataObject(id: String, path: String,
     log.flatMap(_.added).filterNot(removed)
   }
 
-  /** MERGE as a commit: new table state computed by [[MergeEmulation]]
-    * (same SaveModeMergeOptions semantics as the reference's Delta merge),
-    * committed as supersede-all. A real file-level merge would rewrite
-    * only files containing matched keys; the LOG mechanics are identical. */
+  // ----------------------------------------------------------------------
+  // File-pruned MERGE (the Delta findTouchedFiles design)
+  // ----------------------------------------------------------------------
+
+  /** Stats prune for MERGE: live files whose per-column [min,max] ranges
+    * intersect the feed's key bounds on EVERY join column. Driver-side over
+    * the log only — zero data I/O. Conservative: missing stats, untracked
+    * columns, or null feed keys keep the file a candidate. */
+  private[graft] def pruneByKeyBounds(live: Seq[String], stats: Map[String, FileStat],
+                                      schema: StructType, joinCols: Seq[String],
+                                      bounds: Map[String, (String, String)],
+                                      feedHasNullKeys: Boolean): Seq[String] = {
+    if (feedHasNullKeys || bounds.isEmpty) return live
+    live.filter { f =>
+      stats.get(f).forall { st =>
+        joinCols.forall { c =>
+          val dt = schema.find(_.name == c).map(_.dataType)
+          (dt, st.min.get(c), st.max.get(c), bounds.get(c)) match {
+            case (Some(t), Some(lo), Some(hi), Some((fLo, fHi))) =>
+              // intersect unless file entirely above feed max or below feed min;
+              // a file whose column is all-null can still null-match — but merge
+              // null keys were excluded above, so all-null files with no range
+              // (no hasNonNullValue) already fell into the conservative branch
+              cmpCanon(t, lo, fHi) <= 0 && cmpCanon(t, hi, fLo) >= 0
+            case _ => true
+          }
+        }
+      }
+    }
+  }
+
+  /** Exact touched set: among `candidates`, the files actually holding at
+    * least one feed key — one column-pruned scan of candidate files
+    * semi-joined (null-safe) with the distinct feed keys. */
+  private def findTouchedFiles(candidates: Seq[String], schema: Option[StructType],
+                               feedKeys: DataFrame, joinCols: Seq[String])
+                              (implicit ctx: ActionPipelineContext): Seq[String] = {
+    if (candidates.isEmpty) return Seq.empty
+    val withFile = readFiles(candidates, schema)
+      .select(joinCols.map(c => col(s"`$c`")) :+ input_file_name().as("_graft_file"): _*)
+      .alias("t")
+    val cond = joinCols.map(c => col(s"t.`$c`") <=> col(s"s.`$c`")).reduce(_ and _)
+    val touchedUris = withFile.join(feedKeys.alias("s"), cond, "left_semi")
+      .select(col("_graft_file")).distinct().collect().map(_.getString(0))
+    // input_file_name is a qualified URI; resolve back to table-relative
+    // paths by suffix (staged paths are always `vNNN-xxxx/part-*.parquet`)
+    touchedUris.toSeq.flatMap(uri => candidates.find(rel => uri.endsWith("/" + rel)))
+  }
+
+  /** MERGE as a commit: stats-prune → exact findTouchedFiles → rewrite ONLY
+    * the touched files through [[MergeEmulation]] (same SaveModeMergeOptions
+    * semantics as the reference's Delta merge); untouched files are carried
+    * by reference. Matched rows can only live in touched files (the exact
+    * semi-join proves every other live file holds none of the feed's keys),
+    * so per-commit I/O is O(touched + feed), not O(table). */
   override def mergeDataFrame(df: DataFrame, joinCols: Seq[String],
                               options: SaveModeMergeOptions = SaveModeMergeOptions())
                              (implicit ctx: ActionPipelineContext): ActionMetrics = {
-    val merged = MergeEmulation.computeMergedState(getDataFrame(), df, joinCols, options)
-    writeDataFrame(merged, saveMode = Some(SdlSaveMode.Overwrite))
+    val t0 = System.currentTimeMillis()
+    val log = readLog
+    if (log.isEmpty) return writeDataFrame(df, saveMode = Some(SdlSaveMode.Overwrite))
+    val live = snapshotIfAny(log)
+    val schemaOpt = committedSchema(None)
+    val schema = schemaOpt.getOrElse(df.schema)
+    val feed = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // one tiny agg: feed size + per-join-col bounds and null presence
+      val aggs = count(lit(1)).as("_n") +:
+        joinCols.flatMap(c => Seq(min(col(s"`$c`")).as(s"_min_$c"),
+          max(col(s"`$c`")).as(s"_max_$c"), count(col(s"`$c`")).as(s"_cnt_$c")))
+      val b = feed.agg(aggs.head, aggs.tail: _*).head()
+      val n = b.getLong(b.fieldIndex("_n"))
+      if (n == 0) return ActionMetrics(0, System.currentTimeMillis() - t0)
+      val feedHasNullKeys = joinCols.exists(c => b.getLong(b.fieldIndex(s"_cnt_$c")) < n)
+      val bounds = joinCols.flatMap { c =>
+        val dt = schema.find(_.name == c).map(_.dataType)
+        for {
+          t <- dt
+          lo <- canonValue(t, b.get(b.fieldIndex(s"_min_$c")))
+          hi <- canonValue(t, b.get(b.fieldIndex(s"_max_$c")))
+        } yield c -> (lo, hi)
+      }.toMap
+      val candidates = pruneByKeyBounds(live, liveFileStats(None), schema, joinCols, bounds, feedHasNullKeys)
+      val touched = findTouchedFiles(candidates, schemaOpt,
+        feed.select(joinCols.map(c => col(s"`$c`")): _*).distinct(), joinCols)
+      val existingTouched =
+        if (touched.nonEmpty) readFiles(touched, schemaOpt)
+        else ctx.spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+      val merged = MergeEmulation.computeMergedState(existingTouched, feed, joinCols, options)
+      val v = log.last.version + 1
+      val (added, stats) = stage(merged, v)
+      writeCommit(Commit(v, added, touched, Some(schema.toDDL), stats))
+      ActionMetrics(rowsOf(stats), System.currentTimeMillis() - t0)
+    } finally feed.unpersist()
+  }
+
+  // ----------------------------------------------------------------------
+  // Data skipping on reads
+  // ----------------------------------------------------------------------
+
+  /** The live files at `version` that MAY contain rows matching `filters`
+    * per the logged stats — the planning half of data skipping, exposed for
+    * plan assertions. Conservative everywhere stats can't decide. */
+  private[graft] def filesForFilters(filters: Seq[Filter], version: Option[Int] = None)
+                                    (implicit ctx: ActionPipelineContext): Seq[String] = {
+    val files = snapshotFiles(version)
+    val stats = liveFileStats(version)
+    val schema = committedSchema(version).getOrElse(return files)
+    files.filter { f =>
+      stats.get(f).forall(st => filters.forall(mayContain(st, _, schema)))
+    }
+  }
+
+  private def mayContain(st: FileStat, f: Filter, schema: StructType): Boolean = {
+    def dt(a: String) = schema.find(_.name == a).map(_.dataType)
+    def range(a: String) = for { lo <- st.min.get(a); hi <- st.max.get(a) } yield (lo, hi)
+    def lit(a: String, v: Any) = dt(a).flatMap(canonValue(_, v))
+    f match {
+      case EqualTo(a, v) => (dt(a), range(a), lit(a, v)) match {
+        case (Some(t), Some((lo, hi)), Some(c)) => cmpCanon(t, lo, c) <= 0 && cmpCanon(t, hi, c) >= 0
+        case _ => true
+      }
+      case GreaterThan(a, v) => (dt(a), st.max.get(a), lit(a, v)) match {
+        case (Some(t), Some(hi), Some(c)) => cmpCanon(t, hi, c) > 0
+        case _ => true
+      }
+      case GreaterThanOrEqual(a, v) => (dt(a), st.max.get(a), lit(a, v)) match {
+        case (Some(t), Some(hi), Some(c)) => cmpCanon(t, hi, c) >= 0
+        case _ => true
+      }
+      case LessThan(a, v) => (dt(a), st.min.get(a), lit(a, v)) match {
+        case (Some(t), Some(lo), Some(c)) => cmpCanon(t, lo, c) < 0
+        case _ => true
+      }
+      case LessThanOrEqual(a, v) => (dt(a), st.min.get(a), lit(a, v)) match {
+        case (Some(t), Some(lo), Some(c)) => cmpCanon(t, lo, c) <= 0
+        case _ => true
+      }
+      case In(a, vs) => vs.exists(v => mayContain(st, EqualTo(a, v), schema))
+      case IsNull(a) => st.nulls.get(a).forall(_ > 0)
+      case IsNotNull(a) => st.nulls.get(a).forall(n => st.rows < 0 || n < st.rows)
+      case And(l, r) => mayContain(st, l, schema) && mayContain(st, r, schema)
+      case Or(l, r) => mayContain(st, l, schema) || mayContain(st, r, schema)
+      case _ => true // Not / StringStartsWith / … — no pruning, never wrong
+    }
+  }
+
+  private def filterToColumn(f: Filter): Column = f match {
+    case EqualTo(a, v) => col(s"`$a`") === v
+    case GreaterThan(a, v) => col(s"`$a`") > v
+    case GreaterThanOrEqual(a, v) => col(s"`$a`") >= v
+    case LessThan(a, v) => col(s"`$a`") < v
+    case LessThanOrEqual(a, v) => col(s"`$a`") <= v
+    case In(a, vs) => col(s"`$a`").isin(vs.toIndexedSeq: _*)
+    case IsNull(a) => col(s"`$a`").isNull
+    case IsNotNull(a) => col(s"`$a`").isNotNull
+    case And(l, r) => filterToColumn(l) && filterToColumn(r)
+    case Or(l, r) => filterToColumn(l) || filterToColumn(r)
+    case Not(c) => !filterToColumn(c)
+    case other => throw new IllegalArgumentException(
+      s"DataObject $id: unsupported residual filter $other")
+  }
+
+  /** Data-skipping read: plans ONLY the files whose logged min/max stats
+    * can satisfy `filters`, then applies the filters as row predicates on
+    * the pruned scan (skipping selects files, it never relaxes semantics).
+    * At 100 TB a selective key lookup touches a handful of files instead
+    * of the whole snapshot — Delta data skipping, from the same stats that
+    * power the pruned MERGE. */
+  def getDataFrameFiltered(filters: Seq[Filter], version: Option[Int] = None)
+                          (implicit ctx: ActionPipelineContext): DataFrame = {
+    val files = filesForFilters(filters, version)
+    val schema = committedSchema(version)
+    val base =
+      if (files.nonEmpty) readFiles(files, schema)
+      else ctx.spark.createDataFrame(java.util.Collections.emptyList[Row](),
+        schema.getOrElse(StructType(Nil)))
+    filters.foldLeft(base)((df, f) => df.where(filterToColumn(f)))
   }
 
   /** Streaming sink: each micro-batch is one log commit — append by
     * default, MERGE upsert on the primary key when the action rides
     * `graft.saveMode=merge` (the lakehouse CDC-sink pattern; Delta's
-    * streaming write is the same per-batch transaction shape). */
+    * streaming write is the same per-batch transaction shape). With the
+    * file-pruned merge above, a micro-batch costs O(files holding its
+    * keys), not O(table). */
   override def writeStreamingDataFrame(df: DataFrame, trigger: org.apache.spark.sql.streaming.Trigger,
                                        options: Map[String, String], checkpointLocation: String,
                                        queryName: String, outputMode: String = "append")
@@ -196,8 +532,8 @@ case class VersionedTableDataObject(id: String, path: String,
     val live = snapshotIfAny(log)
     val v = log.last.version + 1
     val current = getDataFrame()
-    val added = stage(current.repartition(targetFileCount), v)
-    writeCommit(Commit(v, added, live, Some(current.schema.toDDL)))
+    val (added, stats) = stage(current.repartition(targetFileCount), v)
+    writeCommit(Commit(v, added, live, Some(current.schema.toDDL), stats))
     added.size
   }
 
@@ -219,13 +555,15 @@ case class VersionedTableDataObject(id: String, path: String,
     val deletable = (old.flatMap(_.added).toSet -- retainedLive).toSeq.sorted
     deletable.foreach(f => fs.delete(new Path(path, f), false))
     // rebase: fold the pre-horizon history into a synthetic base commit at
-    // version `cut` listing exactly snapshot(cut)'s files, then drop old logs
+    // version `cut` listing exactly snapshot(cut)'s files — carrying their
+    // stats forward so pruning survives the rebase — then drop old logs
     val baseFiles = snapshotFiles(Some(cut))
     val baseSchema = log.filter(_.version <= cut).reverse
-      .collectFirst { case Commit(_, _, _, Some(s)) => s }
+      .collectFirst { case Commit(_, _, _, Some(s), _) => s }
+    val baseStats = log.flatMap(_.stats).toMap.filter(kv => baseFiles.contains(kv._1))
     old.foreach(c => fs.delete(new Path(logDir, f"${c.version}%08d.json"), false))
     fs.delete(new Path(logDir, f"$cut%08d.json"), false)
-    writeCommit(Commit(cut, baseFiles, Seq.empty, baseSchema))
+    writeCommit(Commit(cut, baseFiles, Seq.empty, baseSchema, baseStats))
     // later retained commits stay as-is: their removed-lists reference only
     // files present in the rebased base or in retained adds (removal of an
     // already-gone name is a no-op in snapshot resolution)

@@ -100,10 +100,91 @@ class VersionedTableSpec extends AnyFunSuite {
          |actions:
          |  load: {type: copy, inputId: vsrc, outputId: vdst, saveMode: overwrite, metadata: {feed: vt}}
          |""".stripMargin
-    PipelineRunner.run(cfg, spark, feedSel = Some("vt"))
+    val results = PipelineRunner.run(cfg, spark, feedSel = Some("vt"))
     val t = VersionedTableDataObject("vdst2", s"$dir/t")
     assert(t.getDataFrame().count() == 2)
     assert(t.latestVersion.contains(0))
+    // metrics contract: the versioned-table sink reports real records_written
+    assert(results("load").head.metrics.exists(_.recordsWritten == 2L))
+  }
+
+  test("merge rewrites only files containing matched keys; the rest are untouched bytes") {
+    val dir = Files.createTempDirectory("graft-vt").toString
+    val t = VersionedTableDataObject("vt6", s"$dir/t", primaryKey = Seq("k"))
+    // 4 files with disjoint key ranges → stats pruning can isolate one
+    t.writeDataFrame((1 to 400).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartitionByRange(4, $"k"))                                             // v0
+    val v0Files = t.snapshotFiles()
+    assert(v0Files.size == 4)
+    def bytes(rel: String) = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/t/$rel")).toSeq
+    val before = v0Files.map(f => f -> bytes(f)).toMap
+
+    // update two keys in ONE file's range (+ one insert beyond all ranges)
+    t.mergeDataFrame(Seq((10, "X"), (20, "Y"), (999, "new")).toDF("k", "v"), Seq("k"))
+
+    val live = t.snapshotFiles()
+    val carried = v0Files.filter(live.contains)
+    assert(carried.size == 3, s"expected 3 of 4 v0 files carried by reference, got $carried")
+    carried.foreach(f => assert(bytes(f) == before(f), s"carried file $f changed bytes"))
+    // final state correct: updates applied, insert present, everything else kept
+    val state = t.getDataFrame().collect().map(r => (r.getInt(0), r.getString(1))).toMap
+    assert(state.size == 401 && state(10) == "X" && state(20) == "Y" &&
+      state(999) == "new" && state(5) == "v5" && state(399) == "v399")
+  }
+
+  test("merge stats pruning: files outside the feed's key bounds are not even scanned candidates") {
+    val dir = Files.createTempDirectory("graft-vt").toString
+    val t = VersionedTableDataObject("vt7", s"$dir/t", primaryKey = Seq("k"))
+    t.writeDataFrame((1 to 300).map(i => (i, i.toString)).toDF("k", "v")
+      .repartitionByRange(3, $"k"))
+    val live = t.snapshotFiles()
+    val stats = t.liveFileStats()
+    assert(stats.size == 3 && stats.values.forall(s => s.rows == 100 && s.min.contains("k")))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("k INT, v STRING")
+    // feed bounds [5, 15] → only the file covering low keys survives
+    val pruned = t.pruneByKeyBounds(live, stats, schema, Seq("k"),
+      Map("k" -> (("5", "15"))), feedHasNullKeys = false)
+    assert(pruned.size == 1, s"expected 1 candidate file, got $pruned")
+    // null keys in the feed disable stats pruning (conservative)
+    assert(t.pruneByKeyBounds(live, stats, schema, Seq("k"),
+      Map("k" -> (("5", "15"))), feedHasNullKeys = true).size == 3)
+  }
+
+  test("data skipping: selective read plans fewer files than the snapshot holds") {
+    import org.apache.spark.sql.sources._
+    val dir = Files.createTempDirectory("graft-vt").toString
+    val t = VersionedTableDataObject("vt8", s"$dir/t")
+    t.writeDataFrame((1 to 400).map(i => (i, s"s$i")).toDF("k", "v")
+      .repartitionByRange(4, $"k"))
+    assert(t.snapshotFiles().size == 4)
+    val planned = t.filesForFilters(Seq(EqualTo("k", 42)))
+    assert(planned.size == 1, s"point lookup should plan 1 file, got $planned")
+    assert(t.filesForFilters(Seq(GreaterThan("k", 350))).size == 1)
+    assert(t.filesForFilters(Seq(LessThanOrEqual("k", 1))).size == 1)
+    assert(t.filesForFilters(Seq(In("k", Array(1, 400)))).size == 2)
+    assert(t.filesForFilters(Seq(IsNotNull("k"))).size == 4)
+    // the read itself is still exactly the filtered table
+    val rows = t.getDataFrameFiltered(Seq(GreaterThan("k", 397))).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(rows == Set((398, "s398"), (399, "s399"), (400, "s400")))
+    // impossible predicate → zero files, empty frame with the table schema
+    val none = t.getDataFrameFiltered(Seq(GreaterThan("k", 10000)))
+    assert(t.filesForFilters(Seq(GreaterThan("k", 10000))).isEmpty)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("k", "v"))
+  }
+
+  test("write and merge report real records_written from parquet footers") {
+    val dir = Files.createTempDirectory("graft-vt").toString
+    val t = VersionedTableDataObject("vt9", s"$dir/t", primaryKey = Seq("k"))
+    val m0 = t.writeDataFrame((1 to 123).map(i => (i, s"v$i")).toDF("k", "v"))
+    assert(m0.recordsWritten == 123)
+    val m1 = t.writeDataFrame(Seq((200, "a")).toDF("k", "v"), saveMode = Some(SdlSaveMode.Append))
+    assert(m1.recordsWritten == 1)
+    // merge metrics count the rewritten rows (touched-file rows + inserts)
+    val m2 = t.mergeDataFrame(Seq((1, "X"), (500, "ins")).toDF("k", "v"), Seq("k"))
+    assert(m2.recordsWritten >= 2)
+    assert(t.getDataFrame().count() == 125)
   }
 
   test("vacuum keeps files still referenced by retained snapshots") {
