@@ -2464,6 +2464,60 @@ object SparkEntry {
       out.cache().count()
       index.data.unpersist()
       out
+    }),
+
+    // Kafka AVRO wire decode with Confluent registry framing + schema
+    // EVOLUTION (q97's Avro sibling — Avro is the dominant production
+    // Kafka serialization): supplier rows land as confluent frames
+    // (magic 0 + 4-byte schema id + avro payload) under TWO writer
+    // schemas — even suppkeys id 1 (s_suppkey, s_name), odd id 2
+    // (+ s_acctbal). `valueType=avro-registry` dispatches per row on the
+    // frame's schema id and aligns both writers to the latest registry
+    // schema (id-1 rows null-fill s_acctbal) — all codegen'd column
+    // expressions (substring/conv/from_avro), no UDFs, so the decode
+    // rides whole-stage codegen over a 100 TB archive scan exactly like
+    // the JSON path. Reference: KafkaColumnType.Avro/AvroSchemaRegistry
+    // (`sdl-kafka/.../KafkaTopicDataObject.scala:129-151`).
+    "q103_kafka_avro_decode" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val schema1 =
+        """{"type":"record","name":"supp","fields":[
+          |{"name":"s_suppkey","type":["null","long"]},
+          |{"name":"s_name","type":["null","string"]}]}""".stripMargin
+      val schema2 =
+        """{"type":"record","name":"supp","fields":[
+          |{"name":"s_suppkey","type":["null","long"]},
+          |{"name":"s_name","type":["null","string"]},
+          |{"name":"s_acctbal","type":["null","double"]}]}""".stripMargin
+      def header(sid: Int) = lit(Array[Byte](0, 0, 0, 0, sid.toByte))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q103").toString
+      val base = t(s, dir, "supplier")
+        .select(col("s_suppkey").cast("long").as("k"), col("s_name"),
+          col("s_acctbal").cast("double").as("s_acctbal"))
+        .withColumn("partition", (col("k") % 3).cast("int"))
+        .withColumn("offset",
+          row_number().over(Window.partitionBy(col("partition")).orderBy(col("k")))
+            .cast("long") - 1)
+      def avro(c: org.apache.spark.sql.Column, sch: String): org.apache.spark.sql.Column =
+        org.apache.spark.sql.avro.GraftAvroFunctions.to_avro(c, sch)
+      base.select(
+          col("k").cast("string").cast("binary").as("key"),
+          when(col("k") % 2 === 0,
+              concat(header(1), avro(struct(col("k").as("s_suppkey"), col("s_name")), schema1)))
+            .otherwise(concat(header(2), avro(struct(col("k").as("s_suppkey"),
+              col("s_name"), col("s_acctbal")), schema2)))
+            .as("value"),
+          lit("q103").as("topic"), col("partition"), col("offset"),
+          timestamp_seconds(lit(1704067200L) + col("offset")).as("timestamp"))
+        .write.parquet(s"$tmp/wire")
+      val obj = sources.KafkaTopicDataObject("q103_kafka", "q103", "broker-free:9092",
+        valueType = "avro-registry",
+        schemaRegistry = Map(1 -> schema1, 2 -> schema2))
+      obj.decodeWire(s.read.parquet(s"$tmp/wire"))
+        .select(col("key").cast("string").cast("long").as("key_suppkey"),
+          col("value.s_suppkey").as("s_suppkey"), col("value.s_name").as("s_name"),
+          col("value.s_acctbal").as("s_acctbal"),
+          col("partition"), col("offset"))
     })
   )
 
@@ -3691,6 +3745,20 @@ object SparkEntry {
         |FROM w
         |WHERE (kpart <> 0 OR (koff >= 5 AND koff < 30))
         |  AND (kpart <> 2 OR (koff >= 3 AND koff < 20))""".stripMargin,
+    // q103: avro registry decode — DuckDB rebuilds partition/offset
+    // assignment; rows written under writer schema id 1 (even suppkeys)
+    // must surface a NULL s_acctbal after alignment to the latest schema
+    "q103_kafka_avro_decode" ->
+      """WITH w AS (
+        |  SELECT CAST(s_suppkey AS BIGINT) AS sk, s_name,
+        |    CAST(s_acctbal AS DOUBLE) AS sb,
+        |    CAST(s_suppkey % 3 AS INT) AS kpart,
+        |    CAST(row_number() OVER (PARTITION BY s_suppkey % 3 ORDER BY s_suppkey) - 1 AS BIGINT) AS koff
+        |  FROM supplier)
+        |SELECT sk AS key_suppkey, sk AS s_suppkey, s_name,
+        |  CASE WHEN sk % 2 = 1 THEN sb ELSE NULL END AS s_acctbal,
+        |  kpart AS partition, koff AS "offset"
+        |FROM w""".stripMargin,
     // q98: every historical snapshot recomputed relationally; the
     // post-OPTIMIZE latest must equal v2 exactly
     "q98_versioned_time_travel" ->

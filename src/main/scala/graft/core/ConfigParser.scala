@@ -225,6 +225,9 @@ object ConfigParser {
           keyType = str(n, "keyType").getOrElse("string"),
           valueType = str(n, "valueType").getOrElse("string"),
           valueSchema = ddlSchema(n, "valueSchema"),
+          valueAvroSchema = str(n, "valueAvroSchema"),
+          keyAvroSchema = str(n, "keyAvroSchema"),
+          schemaRegistry = strMap(n, "schemaRegistry").map { case (k, v) => k.toInt -> v },
           startingOffsets = str(n, "startingOffsets").getOrElse("earliest"),
           endingOffsets = str(n, "endingOffsets").getOrElse("latest"),
           kafkaOptions = strMap(n, "kafkaOptions"),

@@ -165,11 +165,12 @@ case class ODataDataObject(
   * `latest_time`, so windows never double-fetch a boundary event.
   *
   * The client is injectable for offline tests; [[HttpSplunkClient]] is the
-  * live implementation (REST export endpoint). The windowed path needs an
-  * explicit all-string `schema` (ref requires one too — results are
-  * field->string maps, missing fields default to ""); without
-  * from/to/schema it degrades to a single driver-side search with
-  * inferred string columns. */
+  * live implementation (REST export endpoint). The windowed path takes an
+  * all-string `schema` (results are field->string maps, missing fields
+  * default to ""), defaulting to the reference's `(_raw, _time)`
+  * (ref :61) whenever from/to are set — bounds ALWAYS engage windowing.
+  * Only without from/to does it degrade to a single driver-side search
+  * with inferred string columns. */
 trait SplunkClient extends Serializable {
   /** run a search bounded to [from, to), rows as field->value maps */
   def search(query: String, from: String, to: String): Seq[Map[String, String]]
@@ -226,7 +227,16 @@ case class SplunkDataObject(
                            (implicit ctx: ActionPipelineContext): DataFrame = {
     val spark = ctx.spark
     val q = validateQuery(query)
-    (Option(queryFrom), Option(queryTo), schema) match {
+    // schema defaults to (_raw, _time) like the reference
+    // (`SplunkDataObject.scala:61`: `Seq(_raw, _time)`) so setting
+    // from/to ALWAYS engages the windowed executor-side path — a missing
+    // schema must not silently collapse windowing + parallelism into one
+    // driver-side search
+    val effectiveSchema = schema.orElse(Option(queryFrom).flatMap(_ => Option(queryTo)).map(_ =>
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("_raw", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_time", org.apache.spark.sql.types.StringType)))))
+    (Option(queryFrom), Option(queryTo), effectiveSchema) match {
       case (Some(f), Some(t), Some(sc)) =>
         require(sc.fields.forall(_.dataType == org.apache.spark.sql.types.StringType),
           s"SplunkDataObject $id: schema fields must all be StringType (Splunk events are field->string maps)")
@@ -395,24 +405,38 @@ case class FileRefDataObject(
 }
 
 /** Kafka topic as batch + streaming source/sink. Maps 1:1 to Spark's kafka
-  * source options; key/value decoded as string or JSON (Avro/registry needs
-  * the spark-avro jar at runtime). Reference:
-  * `sdl-kafka/.../KafkaTopicDataObject.scala:102-230`. NOTE: requires the
-  * spark-sql-kafka connector jars on the runtime classpath (not present in
-  * the offline test environment, so this surface is compile-checked and
-  * option-mapping-tested only). */
+  * source options; key/value decoded as string, JSON, Avro (`from_avro`
+  * with an explicit writer schema) or Confluent-framed Avro
+  * (`avro-registry`: 1-byte magic + 4-byte big-endian schema id header,
+  * id resolved against `schemaRegistry`, every known schema aligned to the
+  * LATEST one — the engine-side form of the reference's
+  * `KafkaColumnType.Avro` / `AvroSchemaRegistry`,
+  * `sdl-kafka/.../KafkaTopicDataObject.scala:129-151`; the live REST
+  * registry client is out-of-env, so the id→schema map is provided in
+  * config, which is also what an offline archive re-process wants).
+  * Reference: `sdl-kafka/.../KafkaTopicDataObject.scala:102-230`. NOTE:
+  * requires the spark-sql-kafka connector jars on the runtime classpath
+  * (not present in the offline test environment, so the broker surface is
+  * compile-checked and option-mapping-tested only; decode paths are
+  * exercised over wire archives). */
 case class KafkaTopicDataObject(
     id: String, topic: String, brokers: String,
-    keyType: String = "string",   // string | binary
-    valueType: String = "string", // string | binary | json
+    keyType: String = "string",   // string | binary | avro
+    valueType: String = "string", // string | binary | json | avro | avro-registry
     valueSchema: Option[StructType] = None,
+    /** Avro writer schema JSON for `valueType=avro` / `keyType=avro`. */
+    valueAvroSchema: Option[String] = None,
+    keyAvroSchema: Option[String] = None,
+    /** schema-id → Avro schema JSON for `valueType=avro-registry`
+      * (Confluent wire framing); the highest id is the reader schema. */
+    schemaRegistry: Map[Int, String] = Map.empty,
     startingOffsets: String = "earliest",
     endingOffsets: String = "latest",
     batchReadMaxOffsetsPerTrigger: Option[Long] = None,
     kafkaOptions: Map[String, String] = Map.empty,
     /** When set, batch reads come from a parquet ARCHIVE of wire frames at
-      * this path instead of the broker (offline re-processing of archived
-      * topics); the offset-range/decode semantics are identical. */
+      this path instead of the broker (offline re-processing of archived
+      topics); the offset-range/decode semantics are identical. */
     archivePath: Option[String] = None)
   extends DataObject with CanCreateDataFrame with CanWriteDataFrame
   with CanCreateStreamingDataFrame with CanWriteStreamingDataFrame
@@ -430,21 +454,62 @@ case class KafkaTopicDataObject(
       "startingOffsets" -> startingOffsets, "endingOffsets" -> endingOffsets) ++
       batchReadMaxOffsetsPerTrigger.map("maxOffsetsPerTrigger" -> _.toString) ++ kafkaOptions
 
-  private[graft] def decode(df: DataFrame): DataFrame = {
-    val key = keyType match {
-      case "string" => col("key").cast("string").as("key")
-      case _ => col("key")
+  private def sqlTypeOf(avroJson: String): StructType =
+    org.apache.spark.sql.avro.SchemaConverters
+      .toSqlType(new org.apache.avro.Schema.Parser().parse(avroJson))
+      .dataType.asInstanceOf[StructType]
+
+  /** Confluent-framed decode: strip the 5-byte header, dispatch on the
+    * schema id against `schemaRegistry`, align every writer schema's
+    * struct to the LATEST registry schema (added fields null-fill — the
+    * backward-compatible evolution the reference's registry connector
+    * performs). Unknown ids and bad magic bytes fail LOUDLY per row via
+    * raise_error, never silently null. All plain column expressions —
+    * codegen'd, no UDFs. */
+  private def registryDecode(c: String): Column = {
+    require(schemaRegistry.nonEmpty,
+      s"KafkaTopicDataObject $id: valueType=avro-registry requires schemaRegistry")
+    val latestId = schemaRegistry.keys.max
+    val reader = sqlTypeOf(schemaRegistry(latestId))
+    val payload = expr(s"substring($c, 6, 2147483647)")
+    val sid = conv(hex(expr(s"substring($c, 2, 4)")), 16, 10).cast("int")
+    val magicOk = expr(s"substring($c, 1, 1)") === lit(Array[Byte](0))
+    val dispatch = schemaRegistry.toSeq.sortBy(_._1).map { case (wid, schemaJson) =>
+      val d = org.apache.spark.sql.avro.GraftAvroFunctions.from_avro(payload, schemaJson)
+      val writerFields = sqlTypeOf(schemaJson).fieldNames.toSet
+      val aligned = struct(reader.fields.toSeq.map { f =>
+        (if (writerFields.contains(f.name)) d.getField(f.name).cast(f.dataType)
+         else lit(null).cast(f.dataType)).as(f.name)
+      }: _*)
+      (wid, aligned)
+    }.foldRight(raise_error(concat(
+        lit(s"KafkaTopicDataObject $id: schema id "), sid.cast("string"),
+        lit(s" not in registry ${schemaRegistry.keys.toSeq.sorted.mkString("[", ",", "]")}")))
+      .cast(reader): Column) {
+      case ((wid, aligned), acc) => when(sid === wid, aligned).otherwise(acc)
     }
-    val value = valueType match {
-      case "string" => col("value").cast("string").as("value")
-      case "json" =>
-        val s = valueSchema.getOrElse(
-          throw new IllegalArgumentException(s"KafkaTopicDataObject $id: valueType=json requires valueSchema"))
-        from_json(col("value").cast("string"), s).as("value")
-      case _ => col("value")
-    }
-    df.select(key, value, col("topic"), col("partition"), col("offset"), col("timestamp"))
+    when(!magicOk, raise_error(lit(s"KafkaTopicDataObject $id: bad confluent magic byte")).cast(reader))
+      .otherwise(dispatch)
   }
+
+  private def decodeCol(c: String, typ: String, avroSchema: Option[String]): Column = typ match {
+    case "string" => col(c).cast("string").as(c)
+    case "json" =>
+      val s = valueSchema.getOrElse(
+        throw new IllegalArgumentException(s"KafkaTopicDataObject $id: valueType=json requires valueSchema"))
+      from_json(col(c).cast("string"), s).as(c)
+    case "avro" =>
+      val s = avroSchema.getOrElse(throw new IllegalArgumentException(
+        s"KafkaTopicDataObject $id: ${c}Type=avro requires ${c}AvroSchema"))
+      org.apache.spark.sql.avro.GraftAvroFunctions.from_avro(col(c), s).as(c)
+    case "avro-registry" => registryDecode(c).as(c)
+    case _ => col(c)
+  }
+
+  private[graft] def decode(df: DataFrame): DataFrame =
+    df.select(decodeCol("key", keyType, keyAvroSchema),
+      decodeCol("value", valueType, valueAvroSchema),
+      col("topic"), col("partition"), col("offset"), col("timestamp"))
 
   override def getDataFrame(partitionValues: Seq[PartitionValues] = Seq.empty)
                            (implicit ctx: ActionPipelineContext): DataFrame =
@@ -562,13 +627,31 @@ case class KafkaTopicDataObject(
       .options(kafkaOptions ++ options)
       .queryName(queryName).outputMode(outputMode).trigger(trigger).start()
 
+  /** Write-side encode, symmetric with [[decode]]: JSON by default; Avro
+    * (`to_avro` under the configured writer schema) for `valueType=avro`;
+    * Confluent framing (header with the LATEST registry id + avro payload)
+    * for `avro-registry` — so an archive written by this object is
+    * decodable by it. */
   private[graft] def encodeForWrite(df: DataFrame): DataFrame = {
-    val value =
-      if (df.columns.contains("value")) to_json(struct(df.columns.filterNot(_ == "key").map(col): _*))
-      else to_json(struct(df.columns.map(col): _*))
-    val base = df.select((if (df.columns.contains("key")) col("key").cast("string") else lit(null).cast("string")).as("key"),
+    val payloadCols = df.columns.filterNot(_ == "key").map(col)
+    val record = struct((if (payloadCols.nonEmpty) payloadCols else df.columns.map(col)).toIndexedSeq: _*)
+    val value = valueType match {
+      case "avro" =>
+        val s = valueAvroSchema.getOrElse(throw new IllegalArgumentException(
+          s"KafkaTopicDataObject $id: valueType=avro requires valueAvroSchema"))
+        org.apache.spark.sql.avro.GraftAvroFunctions.to_avro(record, s)
+      case "avro-registry" =>
+        require(schemaRegistry.nonEmpty,
+          s"KafkaTopicDataObject $id: valueType=avro-registry requires schemaRegistry")
+        val latestId = schemaRegistry.keys.max
+        val header = Array[Byte](0,
+          (latestId >> 24).toByte, (latestId >> 16).toByte, (latestId >> 8).toByte, latestId.toByte)
+        concat(lit(header),
+          org.apache.spark.sql.avro.GraftAvroFunctions.to_avro(record, schemaRegistry(latestId)))
+      case _ => to_json(record)
+    }
+    df.select((if (df.columns.contains("key")) col("key").cast("string") else lit(null).cast("string")).as("key"),
       value.as("value"))
-    base
   }
 }
 

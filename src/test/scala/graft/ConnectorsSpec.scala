@@ -99,6 +99,19 @@ class ConnectorsSpec extends AnyFunSuite {
     assert(rows.nonEmpty) // (prefix checked inside the client via require)
   }
 
+  test("splunk: from/to WITHOUT schema still runs windowed with the reference default (_raw,_time)") {
+    import java.time.{Duration, LocalDateTime}
+    val sp = SplunkDataObject("sp3", "index=web",
+      queryFrom = LocalDateTime.of(2024, 1, 1, 0, 0),
+      queryTo = LocalDateTime.of(2024, 1, 1, 1, 0),
+      queryTimeInterval = Duration.ofMinutes(30),
+      client = WindowEchoSplunkClient())
+    val df = sp.getDataFrame()
+    // the windowed path engaged (one row per 30-min window, not one search)
+    assert(df.columns.toSeq == Seq("_raw", "_time"))
+    assert(df.count() == 2)
+  }
+
   test("airbyte subprocess protocol stream: RECORD kept for stream, STATE captured") {
     val script = java.nio.file.Files.createTempFile("airbyte", ".sh")
     java.nio.file.Files.writeString(script,
@@ -152,6 +165,68 @@ class ConnectorsSpec extends AnyFunSuite {
     val encoded = k.encodeForWrite(Seq((1, "z")).toDF("a", "b"))
     assert(encoded.columns.toSeq == Seq("key", "value"))
     assert(encoded.selectExpr("value").collect().head.getString(0).contains("\"a\":1"))
+  }
+
+  test("kafka avro decode: plain writer schema, registry framing roundtrip, loud failures") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{struct, monotonically_increasing_id}
+    val schema1 =
+      """{"type":"record","name":"r","fields":[
+        |{"name":"a","type":["null","long"]},{"name":"b","type":["null","string"]}]}""".stripMargin
+    val schema2 =
+      """{"type":"record","name":"r","fields":[
+        |{"name":"a","type":["null","long"]},{"name":"b","type":["null","string"]},
+        |{"name":"c","type":["null","double"]}]}""".stripMargin
+    def wireOf(value: org.apache.spark.sql.Column, df: org.apache.spark.sql.DataFrame) =
+      df.select(lit("k").cast("binary").as("key"), value.as("value"),
+        lit("t").as("topic"), lit(0).as("partition"),
+        monotonically_increasing_id().as("offset"),
+        lit(new java.sql.Timestamp(0)).as("timestamp"))
+
+    // plain avro: to_avro → from_avro under an explicit writer schema
+    val plain = KafkaTopicDataObject("ka", "t", "b:9092",
+      valueType = "avro", valueAvroSchema = Some(schema2))
+    val avroWire = wireOf(org.apache.spark.sql.avro.GraftAvroFunctions.to_avro(
+      struct($"a", $"b", $"c"), schema2), Seq((1L, "x", 2.5)).toDF("a", "b", "c"))
+    val row = plain.decode(avroWire).selectExpr("value.a", "value.b", "value.c").collect().head
+    assert(row.getLong(0) == 1L && row.getString(1) == "x" && row.getDouble(2) == 2.5)
+
+    // registry framing: encodeForWrite stamps the LATEST id; decode dispatches
+    val reg = KafkaTopicDataObject("kr", "t", "b:9092",
+      valueType = "avro-registry", schemaRegistry = Map(1 -> schema1, 2 -> schema2))
+    val encoded = reg.encodeForWrite(Seq((7L, "y", 9.0)).toDF("a", "b", "c"))
+    val header = encoded.select($"value").collect().head.getAs[Array[Byte]](0).take(5)
+    assert(header.toSeq == Seq[Byte](0, 0, 0, 0, 2)) // magic + big-endian id 2
+    val decoded = reg.decode(wireOf($"value",
+        encoded.select($"value"))).selectExpr("value.a", "value.b", "value.c").collect().head
+    assert(decoded.getLong(0) == 7L && decoded.getString(1) == "y" && decoded.getDouble(2) == 9.0)
+    // an OLD writer id aligns to the latest schema with null-fill
+    val oldFrame = wireOf(concat(lit(Array[Byte](0, 0, 0, 0, 1)),
+      org.apache.spark.sql.avro.GraftAvroFunctions.to_avro(struct($"a", $"b"), schema1)),
+      Seq((3L, "z")).toDF("a", "b"))
+    val old = reg.decode(oldFrame).selectExpr("value.a", "value.b", "value.c").collect().head
+    assert(old.getLong(0) == 3L && old.getString(1) == "z" && old.isNullAt(2))
+    // unknown schema id and bad magic byte fail LOUDLY, not silently null
+    val unknownId = wireOf(concat(lit(Array[Byte](0, 0, 0, 0, 9)),
+      org.apache.spark.sql.avro.GraftAvroFunctions.to_avro(struct($"a", $"b"), schema1)),
+      Seq((3L, "z")).toDF("a", "b"))
+    val e1 = intercept[Exception](reg.decode(unknownId).collect())
+    assert(e1.getMessage.contains("not in registry") || e1.getCause != null)
+    val badMagic = wireOf(concat(lit(Array[Byte](1, 0, 0, 0, 2)),
+      org.apache.spark.sql.avro.GraftAvroFunctions.to_avro(struct($"a", $"b"), schema1)),
+      Seq((3L, "z")).toDF("a", "b"))
+    assert(intercept[Exception](reg.decode(badMagic).collect()) != null)
+    // config parsing wires the registry map
+    val cfg = graft.core.ConfigParser.parse(
+      """dataObjects:
+        |  kcfg:
+        |    type: kafka
+        |    topic: t
+        |    valueType: avro-registry
+        |    schemaRegistry:
+        |      "1": '{"type":"record","name":"r","fields":[{"name":"a","type":"long"}]}'
+        |""".stripMargin)
+    assert(cfg.dataObject("kcfg").asInstanceOf[KafkaTopicDataObject].schemaRegistry.contains(1))
   }
 
   test("kafka offset-range semantics and batching over a wire frame") {
