@@ -2451,9 +2451,10 @@ object SparkEntry {
     // m bytes/row instead of 4·d; approx scores come from the codegen'd
     // decode/ADC expressions and only `refine` survivors touch exact
     // vectors). Same structural oracle as q34: each query IS a corpus row,
-    // its own cell is its nearest cell and exact-cosine refine restores
-    // the self-match to rank 1 — so the hash proves cell assignment,
-    // encode, approx scoring, and the refine cut end-to-end.
+    // its own cell is its nearest cell, id==qid rows are EXEMPT from the
+    // approx cut (so PQ quantization error can never evict the self-match
+    // — structural, not statistical), and exact-cosine refine restores it
+    // to rank 1. ANN QUALITY (recall vs brute force) is q104's job.
     "q102_ivfpq_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val index = graft.functions.Quantization.buildIvfPq(
@@ -2518,6 +2519,51 @@ object SparkEntry {
           col("value.s_suppkey").as("s_suppkey"), col("value.s_name").as("s_name"),
           col("value.s_acctbal").as("s_acctbal"),
           col("partition"), col("offset"))
+    }),
+
+    // IVF-PQ PLANTED-NEIGHBOR recall (q102 proves the machinery; THIS
+    // proves ANN quality): queries are 2%-perturbed copies of every 40th
+    // corpus vector, so each query's exact brute-force top-1 is its
+    // source (cosine ≈ 0.9998 ≫ the random-vector background). The query
+    // measures recall@1 of ivfPqTopKJoin against the in-Spark exact
+    // brute-force ground truth at fixed nprobe=2/refine=32 and REQUIRES
+    // 1.0 (deterministic with fixed seeds; a PQ/probe regression fails
+    // loudly, never silently) — the emitted planted mapping is then
+    // DuckDB-expressible exactly. nprobe sweep in QuantizationSpec +
+    // SCALE.md.
+    "q104_ivfpq_planted_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") % 40 === 0)
+        .select((col("vec_id") + 2000000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, (x * lit(1.02)).cast("float")).otherwise(x)).as("embedding"))
+      val index = graft.functions.Quantization.buildIvfPq(
+        emb, "vec_id", "embedding", nlist = 16, m = 8, kpq = 16)
+      val approx = graft.functions.Quantization.ivfPqTopKJoin(
+        index, queries, "vec_id", "embedding", k = 1, nprobe = 2, refine = 32)
+      // exact ground truth WITHOUT a join operator: the (tiny, corpus/40)
+      // query set rides as a literal struct array exploded against one
+      // corpus scan — the multi-query form of q30's literal-vector brute
+      // force; keeps the whole-suite no-nested-loop plan sweep intact
+      val qrows = queries.select(col("vec_id"), col("embedding")).collect()
+      val qlits = array(qrows.map(r => struct(lit(r.getLong(0)).as("qid"),
+        array(r.getSeq[Float](1).map(v => lit(v)).toIndexedSeq: _*).as("qemb"))).toIndexedSeq: _*)
+      val exactW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cosine").desc, col("id").asc)
+      val exact = emb.select(col("vec_id").as("id"), col("embedding"), explode(qlits).as("q"))
+        .select(col("q.qid").as("qid"), col("id"),
+          graft.functions.Similarity.cosineSimilarity(col("embedding"), col("q.qemb")).as("cosine"))
+        .withColumn("r", row_number().over(exactW)).where(col("r") === 1)
+        .select(col("qid"), col("id").as("exact_id"))
+      val matched = approx.join(exact, Seq("qid")).cache()
+      val n = matched.count()
+      val hits = matched.where(col("id") === col("exact_id")).count()
+      index.data.unpersist()
+      require(n > 0 && hits == n,
+        s"IVF-PQ planted recall@1 = $hits/$n, expected 1.0 at nprobe=2 refine=32")
+      require(matched.where(col("exact_id") =!= col("qid") - 2000000L).isEmpty,
+        "exact top-1 of a planted query must be its source vector")
+      matched.select(col("qid"), col("id"), col("rank"))
     })
   )
 
@@ -3759,6 +3805,12 @@ object SparkEntry {
         |  CASE WHEN sk % 2 = 1 THEN sb ELSE NULL END AS s_acctbal,
         |  kpart AS partition, koff AS "offset"
         |FROM w""".stripMargin,
+    // q104: recall verified in-query against brute-force exact top-1
+    // (require recall == 1.0); the surfaced mapping is the planted pairs
+    "q104_ivfpq_planted_recall" ->
+      """SELECT CAST(vec_id + 2000000 AS BIGINT) AS qid,
+        |  CAST(vec_id AS BIGINT) AS id, 1 AS rank
+        |FROM embeddings WHERE vec_id % 40 = 0""".stripMargin,
     // q98: every historical snapshot recomputed relationally; the
     // post-OPTIMIZE latest must equal v2 exactly
     "q98_versioned_time_travel" ->

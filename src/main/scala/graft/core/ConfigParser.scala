@@ -388,7 +388,7 @@ object ConfigParser {
       case "FileIncrementalMoveMode" | "fileMove" =>
         FileIncrementalMoveMode(str(n, "archivePath"))
       case "KafkaStateIncrementalMode" | "kafkaStateIncremental" =>
-        KafkaStateIncrementalMode()
+        KafkaStateIncrementalMode(str(n, "delayedMaxTimestampExpr"))
       case "ProcessAllMode" | "processAll" => ProcessAllMode()
       case "FailIfNoPartitionValuesMode" | "failIfNoPartitionValues" =>
         FailIfNoPartitionValuesMode()

@@ -184,7 +184,15 @@ case class ActionPipelineContext(
       * DataFrame feeds >=2 consumers recomputes its whole plan per
       * consumer unless persisted. Populated by [[ActionDAGRun]] for the
       * exec phase; empty = caching off. */
-    dataFrameReuseCounts: Map[String, Int] = Map.empty) {
+    dataFrameReuseCounts: Map[String, Int] = Map.empty,
+    /** dataObjectId -> the DataFrame writeOutput actually persisted for
+      * multi-consumer reuse, recorded AT PERSIST TIME so [[ActionDAGRun]]
+      * can always unpersist it — even when the producer fails after the
+      * persist (write error / metricsFailCondition / postExec throw) and
+      * never publishes a results entry. Shared mutable map scoped to one
+      * phase run. */
+    persistedFrames: scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.DataFrame] =
+      scala.collection.concurrent.TrieMap.empty) {
   def isExecPhase: Boolean = phase == ExecutionPhase.Exec
 }
 

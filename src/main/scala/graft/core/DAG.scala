@@ -117,7 +117,8 @@ class ActionDAGRun(actions: Seq[Action], parallelism: Int = 1,
                       (ctx0: ActionPipelineContext): Map[String, Seq[SubFeed]] = {
     val cacheOn = enableAutomaticDataFrameCaching && phase == ExecutionPhase.Exec
     implicit val c: ActionPipelineContext = ctx0.copy(phase = phase,
-      dataFrameReuseCounts = if (cacheOn) reuseCounts else Map.empty)
+      dataFrameReuseCounts = if (cacheOn) reuseCounts else Map.empty,
+      persistedFrames = scala.collection.concurrent.TrieMap.empty)
     val pool = Executors.newFixedThreadPool(math.max(1, parallelism))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val results = scala.collection.concurrent.TrieMap.empty[String, Seq[SubFeed]]
@@ -126,13 +127,16 @@ class ActionDAGRun(actions: Seq[Action], parallelism: Int = 1,
     val pendingConsumers = new scala.collection.concurrent.TrieMap[String, java.util.concurrent.atomic.AtomicInteger]()
     if (cacheOn) reuseCounts.foreach { case (doId, n) =>
       pendingConsumers(doId) = new java.util.concurrent.atomic.AtomicInteger(n) }
+    // unpersist via the persist-time record (Action.writeOutput registers
+    // the df in ctx.persistedFrames BEFORE writing) — not via the
+    // producer's results entry, which never exists when the producer
+    // failed after the persist (write error, metricsFailCondition,
+    // postExec throw) and would leak the cached blocks into the session
     def releaseConsumed(action: Action): Unit = if (cacheOn) {
       action.inputIds.distinct.foreach { inId =>
         pendingConsumers.get(inId).foreach { ctr =>
           if (ctr.decrementAndGet() == 0)
-            producers.get(inId).flatMap(p => results.get(p.id)).toSeq.flatten
-              .filter(_.dataObjectId == inId).flatMap(_.dataFrame)
-              .foreach(_.unpersist(false))
+            c.persistedFrames.remove(inId).foreach(_.unpersist(false))
         }
       }
     }
@@ -214,14 +218,11 @@ class ActionDAGRun(actions: Seq[Action], parallelism: Int = 1,
       results.toMap
     } finally {
       pool.shutdown()
-      // failed consumers leave their countdown above zero — don't leak
-      // cached blocks into the session beyond the run
-      if (cacheOn) pendingConsumers.collect { case (doId, ctr) if ctr.get() > 0 => doId }
-        .foreach { doId =>
-          producers.get(doId).flatMap(p => results.get(p.id)).toSeq.flatten
-            .filter(_.dataObjectId == doId).flatMap(_.dataFrame)
-            .foreach(_.unpersist(false))
-        }
+      // every action has settled: ANY frame still registered (failed
+      // consumers left their countdown above zero, or the producer failed
+      // after persisting) is unpersisted — nothing cached outlives the run
+      if (cacheOn) c.persistedFrames.keys.toSeq
+        .foreach(doId => c.persistedFrames.remove(doId).foreach(_.unpersist(false)))
     }
   }
 }

@@ -220,7 +220,11 @@ object Quantization {
         Similarity.dotProduct(col("_qn"),
           index.codebooks.decodeCol(col("_pq_code"))).as("_approx"))
       .withColumn("_arank", row_number().over(approxW))
-      .where(col("_arank") <= math.max(refine * k, k))
+      // id == qid is exempt from the approx cut: a query that IS a corpus
+      // row must never lose its self-match to PQ quantization error (makes
+      // the q102-style self-match guarantee STRUCTURAL, not statistical —
+      // the exact re-rank window already tie-breaks it to rank 1)
+      .where(col("_arank") <= math.max(refine * k, k) || col("id") === col("qid"))
       .select(col("qid"), col("id"),
         Similarity.cosineSimilarity(col("_cemb"), col("qemb")).as("cosine"))
       .withColumn("rank", row_number().over(exactW)).where(col("rank") <= k)

@@ -105,8 +105,12 @@ abstract class DataFrameAction extends Action {
     // frames. The DAG unpersists once the last consumer completes.
     if (!breakDataFrameLineage && !df.isStreaming &&
         ctx.dataFrameReuseCounts.getOrElse(doId, 0) >= 2 &&
-        df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // recorded at persist time so the DAG can unpersist even if this
+      // action fails past this point and never publishes its results
+      ctx.persistedFrames(doId) = df
+    }
     ctx.registry.dataObject(doId) match {
       // merge dispatches here so the action-level clauses reach the sink —
       // writeDataFrame's signature carries only the mode

@@ -256,8 +256,14 @@ case class FileIncrementalMoveMode(archivePath: Option[String] = None) extends E
   * the end snapshot as the new consumer state. First run starts from the
   * object's configured `startingOffsets` (default earliest). State rides
   * the CanCreateIncrementalOutput plumbing, so the RunStateStore persists
-  * it across process restarts like any other incremental source. */
-case class KafkaStateIncrementalMode() extends ExecutionMode {
+  * it across process restarts like any other incremental source.
+  * @param delayedMaxTimestampExpr optional Spark SQL expression returning
+  *        a timestamp (reference `KafkaStateIncrementalMode.scala:39`);
+  *        when set, end offsets are bounded to frames with
+  *        `timestamp <= expr` — e.g. `now() - interval 1 hour` leaves a
+  *        late-arrival safety margin that the NEXT run picks up. */
+case class KafkaStateIncrementalMode(delayedMaxTimestampExpr: Option[String] = None)
+  extends ExecutionMode {
   @transient private var pendingState: Option[String] = None
 
   override def apply(action: Action, in: SubFeed)(implicit ctx: ActionPipelineContext): SubFeed =
@@ -265,7 +271,9 @@ case class KafkaStateIncrementalMode() extends ExecutionMode {
       case k: graft.sources.KafkaTopicDataObject =>
         if (ctx.isExecPhase) {
           val start = k.getState.getOrElse(k.startingOffsets)
-          val end = k.currentEndOffsets
+          val maxTs = delayedMaxTimestampExpr.map(e =>
+            ctx.spark.sql(s"SELECT CAST(($e) AS TIMESTAMP)").head.getTimestamp(0))
+          val end = k.currentEndOffsets(maxTs)
           pendingState = Some(end)
           in.copy(dataFrame = Some(k.getDataFrameBetween(start, end)))
         } else in

@@ -521,12 +521,26 @@ case class KafkaTopicDataObject(
   /** Current end offsets (exclusive) as an endingOffsets-shaped spec. On
     * the archive path this is one tiny per-partition max agg; against a
     * broker it maps to the consumer end-offsets API at runtime. */
-  def currentEndOffsets(implicit ctx: ActionPipelineContext): String = {
+  def currentEndOffsets(implicit ctx: ActionPipelineContext): String =
+    currentEndOffsets(None)
+
+  /** End offsets bounded by a max frame timestamp (the reference's
+    * `delayedMaxTimestampExpr` — `KafkaStateIncrementalMode.scala:39`):
+    * per partition, the highest offset whose `timestamp <= maxTimestamp`
+    * plus one (the broker-side analogue is `offsetsForTimes`). A
+    * partition with no qualifying frames gets end 0 → empty range, never
+    * unbounded. */
+  def currentEndOffsets(maxTimestamp: Option[java.sql.Timestamp])
+                       (implicit ctx: ActionPipelineContext): String = {
     val p = archivePath.getOrElse(throw new UnsupportedOperationException(
       s"DataObject $id: end-offset snapshot needs the archive path in-env (broker consumer API at runtime)"))
+    val hi = maxTimestamp
+      .map(t => max(when(col("timestamp") <= lit(t), col("offset"))))
+      .getOrElse(max(col("offset")))
     val ends = ctx.spark.read.parquet(p).groupBy(col("partition"))
-      .agg(max(col("offset")).as("hi"))
-      .collect().map(r => (r.getInt(0), r.getLong(1) + 1)).sortBy(_._1)
+      .agg(hi.as("hi"))
+      .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) 0L else r.getLong(1) + 1))
+      .sortBy(_._1)
     ends.map { case (part, end) => s""""$part":$end""" }
       .mkString(s"""{"$topic":{""", ",", "}}")
   }

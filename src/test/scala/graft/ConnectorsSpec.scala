@@ -288,6 +288,42 @@ class ConnectorsSpec extends AnyFunSuite {
     assert(out.select($"offset").distinct().count() == 12)      // no dup offsets
   }
 
+  test("kafka state-incremental with delayedMaxTimestampExpr: end offsets bounded by frame time") {
+    import spark.implicits._
+    import graft.operators.CopyAction
+    import graft.operators.modes.KafkaStateIncrementalMode
+    val dir = java.nio.file.Files.createTempDirectory("graft-kafka-delay").toString
+    // partition 0: offsets 0..9, frame timestamps t0 + offset minutes
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    (0L until 10L).map(o => (0, o)).toDF("partition", "offset")
+      .select(lit("k").cast("binary").as("key"),
+        concat(lit("""{"v":"""), $"offset", lit("}")).cast("binary").as("value"),
+        lit("t").as("topic"), $"partition", $"offset",
+        (lit(t0).cast("long") + $"offset" * 60).cast("timestamp").as("timestamp"))
+      .write.parquet(s"$dir/arch")
+    val reg = new InstanceRegistry()
+    val k = KafkaTopicDataObject("kd", "t", "b:9092", archivePath = Some(s"$dir/arch"))
+    reg.register(k)
+    reg.register(ParquetFileDataObject("kdo", s"$dir/out"))
+    // delay bound at t0+4min → only offsets 0..4 qualify this run
+    val a = CopyAction("incd", "kd", "kdo", saveMode = Some(SdlSaveMode.Append),
+      executionMode = Some(KafkaStateIncrementalMode(
+        Some("timestamp '2024-01-01 00:04:00'"))))
+    val c2: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    a.exec(Seq.empty)(c2); a.executionMode.foreach(_.postExec(a)(c2))
+    assert(k.getState.contains("""{"t":{"0":5}}"""))
+    assert(spark.read.parquet(s"$dir/out").count() == 5)
+    // next run without the delay picks up the held-back tail exactly once
+    val a2 = CopyAction("incd2", "kd", "kdo", saveMode = Some(SdlSaveMode.Append),
+      executionMode = Some(KafkaStateIncrementalMode()))
+    a2.exec(Seq.empty)(c2); a2.executionMode.foreach(_.postExec(a2)(c2))
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() == 10 && out.select($"offset").distinct().count() == 10)
+    // a bound before every frame → empty range (end 0), never unbounded
+    assert(k.currentEndOffsets(Some(java.sql.Timestamp.valueOf("2023-01-01 00:00:00")))(c2)
+      == """{"t":{"0":0}}""")
+  }
+
   test("jms receiver rows parsed as json") {
     val jms = JmsDataObject("j1", () => Seq("""{"m":"hello"}""", """{"m":"world"}"""))
     assert(jms.getDataFrame().count() == 2)

@@ -56,6 +56,23 @@ class DagCachingSpec extends AnyFunSuite {
       s"without caching each consumer re-executes the producer plan; saw ${acc2.value} row-evals")
   }
 
+  test("producer failing AFTER the persist (metricsFailCondition) still unpersists its frame") {
+    val dir = tmpDir()
+    val (reg, _) = diamond(dir)
+    // the producer writes (persist happened before the write), then its
+    // metrics gate fails — it never publishes a results entry, yet the
+    // cached blocks must not outlive the run
+    val failing = CopyAction("mk_mid", "cache_src", "cache_mid",
+      metricsFailCondition = Some("key = 'records_written' and value = 100"))
+    reg.register(failing) // replaces the plain producer (same id)
+    val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    intercept[IllegalStateException](new ActionDAGRun(reg.allActions, parallelism = 2).run()(ctx))
+    val cachedAfter = spark.sparkContext.getPersistentRDDs.keySet
+    assert(cachedAfter.subsetOf(cachedBefore),
+      s"cached blocks leaked past the failed run: ${cachedAfter -- cachedBefore}")
+  }
+
   test("single-consumer outputs are not persisted") {
     val dir = tmpDir()
     val reg = new InstanceRegistry()

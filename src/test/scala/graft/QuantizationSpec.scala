@@ -79,4 +79,32 @@ class QuantizationSpec extends AnyFunSuite {
     assert(got.forall { case (qid, id, rank) => qid == id && rank == 1 }, got.toSeq.toString)
     index.data.unpersist()
   }
+
+  test("IVF-PQ planted recall@1 vs brute force: the nprobe trade (sf0.001 embeddings)") {
+    // real data, perturbed planted queries (the q104 fixture at the
+    // smallest SF) — recall measured against exact brute-force top-1 at
+    // nprobe = 1, 2, 4; numbers recorded in SCALE.md
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 2000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, (x * lit(1.02)).cast("float")).otherwise(x)).as("embedding"))
+    val exact = Similarity.topKForQueries(emb, queries, "vec_id", "vec_id", "embedding", k = 1)
+      .select(col("qid"), col("id").as("exact_id"))
+    val index = Quantization.buildIvfPq(emb, "vec_id", "embedding", nlist = 16, m = 8, kpq = 16)
+    val recalls = Seq(1, 2, 4).map { np =>
+      val approx = Quantization.ivfPqTopKJoin(index, queries, "vec_id", "embedding",
+        k = 1, nprobe = np, refine = 32)
+      val joined = approx.join(exact, Seq("qid"))
+      val n = joined.count()
+      val hits = joined.where(col("id") === col("exact_id")).count()
+      np -> hits.toDouble / n
+    }
+    index.data.unpersist()
+    info(s"recall@1 by nprobe: ${recalls.map { case (np, r) => f"nprobe=$np: $r%.3f" }.mkString(", ")}")
+    // recall must not decrease with more probes, and the q104 operating
+    // point (nprobe=2) must be perfect on planted neighbors
+    assert(recalls.sliding(2).forall { case Seq((_, a), (_, b)) => b >= a })
+    assert(recalls.toMap.apply(2) == 1.0, s"recall at nprobe=2 was ${recalls.toMap.apply(2)}")
+  }
 }
