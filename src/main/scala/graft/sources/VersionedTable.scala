@@ -48,13 +48,17 @@ case class VersionedTableDataObject(id: String, path: String,
     new Path(path).getFileSystem(ctx.spark.sparkContext.hadoopConfiguration)
   private def logDir = new Path(path, "_graft_log")
 
-  /** Per-file footer stats: row count + canonical-string min/max and null
-    * count per (supported, ≤64-char) top-level column. Canonical encoding:
-    * integral/date(days)/timestamp(micros)/boolean as decimal longs,
-    * float/double as doubles, strings verbatim — so compares stay exact
-    * and type-directed without re-parsing parquet types at prune time. */
+  /** Per-file footer stats: row count + file size + canonical-string
+    * min/max and null count per (supported, ≤64-char) top-level column.
+    * Canonical encoding: integral/date(days)/timestamp(micros)/boolean as
+    * decimal longs, float/double as doubles, strings verbatim — so
+    * compares stay exact and type-directed without re-parsing parquet
+    * types at prune time. `bytes` lets the read-side FileIndex synthesize
+    * FileStatus entries from the LOG — planning a snapshot performs zero
+    * filesystem RPCs (the Delta property that matters on object stores). */
   private[graft] case class FileStat(rows: Long, min: Map[String, String],
-                                     max: Map[String, String], nulls: Map[String, Long])
+                                     max: Map[String, String], nulls: Map[String, Long],
+                                     bytes: Long = 0L)
 
   /** `schema` = the table's DDL as of this commit (union-evolved on
     * append, like the reference's persisted union schema) — snapshot reads
@@ -80,7 +84,8 @@ case class VersionedTableDataObject(id: String, path: String,
               .map(x => x.getKey -> x.getValue.asText).toMap).getOrElse(Map.empty[String, String])
             def longMap(f: String) = Option(v.get(f)).map(_.fields().asScala
               .map(x => x.getKey -> x.getValue.asLong).toMap).getOrElse(Map.empty[String, Long])
-            e.getKey -> FileStat(v.get("rows").asLong, strMap("min"), strMap("max"), longMap("nulls"))
+            e.getKey -> FileStat(v.get("rows").asLong, strMap("min"), strMap("max"), longMap("nulls"),
+              Option(v.get("bytes")).map(_.asLong).getOrElse(0L))
           }.toMap
         }.getOrElse(Map.empty[String, FileStat])
         Commit(n.get("version").asInt,
@@ -107,6 +112,7 @@ case class VersionedTableDataObject(id: String, path: String,
       c.stats.toSeq.sortBy(_._1).foreach { case (f, st) =>
         val n = s.putObject(f)
         n.put("rows", st.rows)
+        n.put("bytes", st.bytes)
         val mn = n.putObject("min"); st.min.toSeq.sortBy(_._1).foreach { case (k, v) => mn.put(k, v) }
         val mx = n.putObject("max"); st.max.toSeq.sortBy(_._1).foreach { case (k, v) => mx.put(k, v) }
         val nl = n.putObject("nulls"); st.nulls.toSeq.sortBy(_._1).foreach { case (k, v) => nl.put(k, v) }
@@ -148,7 +154,7 @@ case class VersionedTableDataObject(id: String, path: String,
   def getDataFrameAsOf(version: Option[Int])(implicit ctx: ActionPipelineContext): DataFrame = {
     val files = snapshotFiles(version)
     require(files.nonEmpty, s"DataObject $id: empty snapshot")
-    readFiles(files, committedSchema(version))
+    readFiles(files, committedSchema(version), liveFileStats(version))
   }
 
   private def committedSchema(version: Option[Int])(implicit ctx: ActionPipelineContext): Option[StructType] = {
@@ -157,12 +163,34 @@ case class VersionedTableDataObject(id: String, path: String,
     upTo.reverse.collectFirst { case Commit(_, _, _, Some(s), _) => StructType.fromDDL(s) }
   }
 
-  private def readFiles(files: Seq[String], schema: Option[StructType])
-                       (implicit ctx: ActionPipelineContext): DataFrame = {
-    val reader = ctx.spark.read
-    schema.fold(reader)(reader.schema)
-      .parquet(files.map(f => s"$path/$f"): _*)
-  }
+  /** Read a file set through a log-backed [[org.apache.spark.sql.graftshims.GraftPrunedFileIndex]]:
+    * ANY filter the user pushes on the returned DataFrame reaches the
+    * index's `listFiles`, is evaluated against the per-file stats, and
+    * prunes files BEFORE the scan is planned — automatic data skipping
+    * on the ordinary read path (the Delta TahoeFileIndex design). File
+    * sizes come from the log (zero filesystem RPCs when stats are
+    * complete). Falls back to a plain multi-path parquet read when the
+    * log predates the committed-schema format. */
+  private def readFiles(files: Seq[String], schema: Option[StructType],
+                        stats: Map[String, FileStat] = Map.empty)
+                       (implicit ctx: ActionPipelineContext): DataFrame =
+    schema match {
+      case Some(sc) =>
+        val entries = files.map { rel =>
+          val abs = new Path(path, rel)
+          val len = stats.get(rel).map(_.bytes).filter(_ > 0)
+            .getOrElse(fs.getFileStatus(abs).getLen)
+          (rel, abs, len)
+        }
+        val index = new org.apache.spark.sql.graftshims.GraftPrunedFileIndex(
+          new Path(path), entries,
+          filters => files.filter(f =>
+            stats.get(f).forall(st => filters.forall(mayContain(st, _, sc)))).toSet)
+        org.apache.spark.sql.graftshims.GraftFileIndexShims
+          .parquetDataFrame(ctx.spark, index, sc)
+      case None =>
+        ctx.spark.read.parquet(files.map(f => s"$path/$f"): _*)
+    }
 
   // ----------------------------------------------------------------------
   // Per-file statistics (parquet footers — O(files) driver-side, no scan)
@@ -270,12 +298,14 @@ case class VersionedTableDataObject(id: String, path: String,
                    (implicit ctx: ActionPipelineContext): (Seq[String], Map[String, FileStat]) = {
     val sub = f"v$version%08d-${java.util.UUID.randomUUID.toString.take(8)}"
     df.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/$sub")
-    val rels = fs.listStatus(new Path(path, sub)).map(_.getPath.getName)
-      .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
-      .map(n => s"$sub/$n").toSeq
-    val stats = rels.map { rel =>
-      rel -> (try footerStat(new Path(path, rel), df.schema)
-              catch { case _: Exception => FileStat(-1, Map.empty, Map.empty, Map.empty) })
+    val statuses = fs.listStatus(new Path(path, sub))
+      .filter(s => s.getPath.getName.endsWith(".parquet") && !s.getPath.getName.startsWith("_"))
+      .toSeq
+    val rels = statuses.map(s => s"$sub/${s.getPath.getName}")
+    val stats = statuses.zip(rels).map { case (st, rel) =>
+      rel -> (try footerStat(st.getPath, df.schema).copy(bytes = st.getLen)
+              catch { case _: Exception =>
+                FileStat(-1, Map.empty, Map.empty, Map.empty, st.getLen) })
     }.toMap
     (rels, stats)
   }
@@ -354,10 +384,11 @@ case class VersionedTableDataObject(id: String, path: String,
     * least one feed key — one column-pruned scan of candidate files
     * semi-joined (null-safe) with the distinct feed keys. */
   private def findTouchedFiles(candidates: Seq[String], schema: Option[StructType],
-                               feedKeys: DataFrame, joinCols: Seq[String])
+                               feedKeys: DataFrame, joinCols: Seq[String],
+                               stats: Map[String, FileStat])
                               (implicit ctx: ActionPipelineContext): Seq[String] = {
     if (candidates.isEmpty) return Seq.empty
-    val withFile = readFiles(candidates, schema)
+    val withFile = readFiles(candidates, schema, stats)
       .select(joinCols.map(c => col(s"`$c`")) :+ input_file_name().as("_graft_file"): _*)
       .alias("t")
     val cond = joinCols.map(c => col(s"t.`$c`") <=> col(s"s.`$c`")).reduce(_ and _)
@@ -401,11 +432,12 @@ case class VersionedTableDataObject(id: String, path: String,
           hi <- canonValue(t, b.get(b.fieldIndex(s"_max_$c")))
         } yield c -> (lo, hi)
       }.toMap
-      val candidates = pruneByKeyBounds(live, liveFileStats(None), schema, joinCols, bounds, feedHasNullKeys)
+      val liveStats = liveFileStats(None)
+      val candidates = pruneByKeyBounds(live, liveStats, schema, joinCols, bounds, feedHasNullKeys)
       val touched = findTouchedFiles(candidates, schemaOpt,
-        feed.select(joinCols.map(c => col(s"`$c`")): _*).distinct(), joinCols)
+        feed.select(joinCols.map(c => col(s"`$c`")): _*).distinct(), joinCols, liveStats)
       val existingTouched =
-        if (touched.nonEmpty) readFiles(touched, schemaOpt)
+        if (touched.nonEmpty) readFiles(touched, schemaOpt, liveStats)
         else ctx.spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
       val merged = MergeEmulation.computeMergedState(existingTouched, feed, joinCols, options)
       val v = log.last.version + 1
@@ -482,22 +514,18 @@ case class VersionedTableDataObject(id: String, path: String,
       s"DataObject $id: unsupported residual filter $other")
   }
 
-  /** Data-skipping read: plans ONLY the files whose logged min/max stats
-    * can satisfy `filters`, then applies the filters as row predicates on
-    * the pruned scan (skipping selects files, it never relaxes semantics).
+  /** Data-skipping read: applies `filters` as row predicates on the
+    * snapshot — the log-backed FileIndex underneath [[getDataFrameAsOf]]
+    * prunes files whose stats can't satisfy them automatically at plan
+    * time (skipping selects files, it never relaxes semantics). The same
+    * pruning fires for ANY `.where` a caller writes on `getDataFrame()`;
+    * this method just makes the pushdown explicit for engine callers.
     * At 100 TB a selective key lookup touches a handful of files instead
-    * of the whole snapshot — Delta data skipping, from the same stats that
-    * power the pruned MERGE. */
+    * of the whole snapshot — Delta data skipping, from the same stats
+    * that power the pruned MERGE. */
   def getDataFrameFiltered(filters: Seq[Filter], version: Option[Int] = None)
-                          (implicit ctx: ActionPipelineContext): DataFrame = {
-    val files = filesForFilters(filters, version)
-    val schema = committedSchema(version)
-    val base =
-      if (files.nonEmpty) readFiles(files, schema)
-      else ctx.spark.createDataFrame(java.util.Collections.emptyList[Row](),
-        schema.getOrElse(StructType(Nil)))
-    filters.foldLeft(base)((df, f) => df.where(filterToColumn(f)))
-  }
+                          (implicit ctx: ActionPipelineContext): DataFrame =
+    filters.foldLeft(getDataFrameAsOf(version))((df, f) => df.where(filterToColumn(f)))
 
   /** Streaming sink: each micro-batch is one log commit — append by
     * default, MERGE upsert on the primary key when the action rides

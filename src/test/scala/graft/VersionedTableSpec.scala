@@ -172,6 +172,21 @@ class VersionedTableSpec extends AnyFunSuite {
     val none = t.getDataFrameFiltered(Seq(GreaterThan("k", 10000)))
     assert(t.filesForFilters(Seq(GreaterThan("k", 10000))).isEmpty)
     assert(none.count() == 0 && none.columns.toSeq == Seq("k", "v"))
+
+    // the SAME pruning fires automatically for any .where on the plain
+    // read path: the log-backed FileIndex serves listFiles from stats,
+    // so the physical scan plans 1 of 4 files for a point lookup
+    def scanNumFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.getOrElse(fail("no FileSourceScanExec in plan"))
+    }
+    import org.apache.spark.sql.functions.col
+    assert(scanNumFiles(t.getDataFrame().where(col("k") === 42)) == 1)
+    assert(scanNumFiles(t.getDataFrame().where(col("k") > 350)) == 1)
+    assert(scanNumFiles(t.getDataFrame()) == 4)
   }
 
   test("write and merge report real records_written from parquet footers") {
