@@ -1,6 +1,8 @@
 package graft.sources
 
 import graft.core._
+import java.util.concurrent.Executors
+import scala.concurrent.{Await, ExecutionContext, Future}
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -132,14 +134,8 @@ case class VersionedTableDataObject(id: String, path: String,
   }
 
   /** Live file set at `asOfVersion` (latest when None). */
-  private[graft] def snapshotFiles(asOfVersion: Option[Int] = None)(implicit ctx: ActionPipelineContext): Seq[String] = {
-    val log = readLog
-    require(log.nonEmpty, s"DataObject $id: no committed versions at $path")
-    val upTo = asOfVersion.map(v => log.filter(_.version <= v)).getOrElse(log)
-    require(upTo.nonEmpty, s"DataObject $id: version ${asOfVersion.get} predates the log")
-    val removed = upTo.flatMap(_.removed).toSet
-    upTo.flatMap(_.added).filterNot(removed)
-  }
+  private[graft] def snapshotFiles(asOfVersion: Option[Int] = None)(implicit ctx: ActionPipelineContext): Seq[String] =
+    snapshotFilesFrom(readLog, asOfVersion)
 
   def latestVersion(implicit ctx: ActionPipelineContext): Option[Int] =
     readLog.lastOption.map(_.version)
@@ -152,16 +148,36 @@ case class VersionedTableDataObject(id: String, path: String,
     * version's committed schema (older files null-fill later columns —
     * append-evolution semantics without per-file footer sampling). */
   def getDataFrameAsOf(version: Option[Int])(implicit ctx: ActionPipelineContext): DataFrame = {
-    val files = snapshotFiles(version)
+    // ONE log read serves files + schema + stats: the log is re-parsed
+    // per call site otherwise, and a streaming CDC sink pays that on
+    // every micro-batch against an ever-growing log
+    val log = readLog
+    val files = snapshotFilesFrom(log, version)
     require(files.nonEmpty, s"DataObject $id: empty snapshot")
-    readFiles(files, committedSchema(version), liveFileStats(version))
+    readFiles(files, committedSchemaFrom(log, version), liveFileStatsFrom(log, version))
   }
 
-  private def committedSchema(version: Option[Int])(implicit ctx: ActionPipelineContext): Option[StructType] = {
-    val log = readLog
+  private def snapshotFilesFrom(log: Seq[Commit], version: Option[Int]): Seq[String] = {
+    require(log.nonEmpty, s"DataObject $id: no committed versions at $path")
+    val upTo = version.map(v => log.filter(_.version <= v)).getOrElse(log)
+    require(upTo.nonEmpty, s"DataObject $id: version ${version.get} predates the log")
+    val removed = upTo.flatMap(_.removed).toSet
+    upTo.flatMap(_.added).filterNot(removed)
+  }
+
+  private def committedSchemaFrom(log: Seq[Commit], version: Option[Int]): Option[StructType] = {
     val upTo = version.map(v => log.filter(_.version <= v)).getOrElse(log)
     upTo.reverse.collectFirst { case Commit(_, _, _, Some(s), _) => StructType.fromDDL(s) }
   }
+
+  private def liveFileStatsFrom(log: Seq[Commit], version: Option[Int]): Map[String, FileStat] = {
+    val upTo = version.map(v => log.filter(_.version <= v)).getOrElse(log)
+    val live = snapshotFilesFrom(log, version).toSet
+    upTo.flatMap(_.stats).filter(kv => live(kv._1)).toMap
+  }
+
+  private def committedSchema(version: Option[Int])(implicit ctx: ActionPipelineContext): Option[StructType] =
+    committedSchemaFrom(readLog, version)
 
   /** Read a file set through a log-backed [[org.apache.spark.sql.graftshims.GraftPrunedFileIndex]]:
     * ANY filter the user pushes on the returned DataFrame reaches the
@@ -282,15 +298,8 @@ case class VersionedTableDataObject(id: String, path: String,
   /** Stats for every LIVE file at `version` (files from pre-stats commits
     * simply have no entry → never pruned). */
   private[graft] def liveFileStats(version: Option[Int] = None)
-                                  (implicit ctx: ActionPipelineContext): Map[String, FileStat] = {
-    val log = readLog
-    val upTo = version.map(v => log.filter(_.version <= v)).getOrElse(log)
-    val live = {
-      val removed = upTo.flatMap(_.removed).toSet
-      upTo.flatMap(_.added).filterNot(removed).toSet
-    }
-    upTo.flatMap(_.stats).filter(kv => live(kv._1)).toMap
-  }
+                                  (implicit ctx: ActionPipelineContext): Map[String, FileStat] =
+    liveFileStatsFrom(readLog, version)
 
   /** Stage `df` as parquet files under a fresh `vNNN-xxxx/` subdir and
     * return their table-relative paths with footer stats. */
@@ -302,11 +311,19 @@ case class VersionedTableDataObject(id: String, path: String,
       .filter(s => s.getPath.getName.endsWith(".parquet") && !s.getPath.getName.startsWith("_"))
       .toSeq
     val rels = statuses.map(s => s"$sub/${s.getPath.getName}")
-    val stats = statuses.zip(rels).map { case (st, rel) =>
-      rel -> (try footerStat(st.getPath, df.schema).copy(bytes = st.getLen)
-              catch { case _: Exception =>
-                FileStat(-1, Map.empty, Map.empty, Map.empty, st.getLen) })
-    }.toMap
+    // footer reads are independent driver-side I/O (a few ms each, but a
+    // 32-partition write stages 32 files) — overlap them on a small pool
+    // instead of paying the latency serially per commit
+    val pool = Executors.newFixedThreadPool(math.min(8, math.max(1, statuses.size)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val stats = try {
+      val futures = statuses.zip(rels).map { case (st, rel) =>
+        Future(rel -> (try footerStat(st.getPath, df.schema).copy(bytes = st.getLen)
+                       catch { case _: Exception =>
+                         FileStat(-1, Map.empty, Map.empty, Map.empty, st.getLen) }))
+      }
+      Await.result(Future.sequence(futures), scala.concurrent.duration.Duration.Inf).toMap
+    } finally pool.shutdown()
     (rels, stats)
   }
 
@@ -412,7 +429,7 @@ case class VersionedTableDataObject(id: String, path: String,
     val log = readLog
     if (log.isEmpty) return writeDataFrame(df, saveMode = Some(SdlSaveMode.Overwrite))
     val live = snapshotIfAny(log)
-    val schemaOpt = committedSchema(None)
+    val schemaOpt = committedSchemaFrom(log, None)
     val schema = schemaOpt.getOrElse(df.schema)
     val feed = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -432,7 +449,7 @@ case class VersionedTableDataObject(id: String, path: String,
           hi <- canonValue(t, b.get(b.fieldIndex(s"_max_$c")))
         } yield c -> (lo, hi)
       }.toMap
-      val liveStats = liveFileStats(None)
+      val liveStats = liveFileStatsFrom(log, None)
       val candidates = pruneByKeyBounds(live, liveStats, schema, joinCols, bounds, feedHasNullKeys)
       val touched = findTouchedFiles(candidates, schemaOpt,
         feed.select(joinCols.map(c => col(s"`$c`")): _*).distinct(), joinCols, liveStats)
@@ -456,9 +473,10 @@ case class VersionedTableDataObject(id: String, path: String,
     * plan assertions. Conservative everywhere stats can't decide. */
   private[graft] def filesForFilters(filters: Seq[Filter], version: Option[Int] = None)
                                     (implicit ctx: ActionPipelineContext): Seq[String] = {
-    val files = snapshotFiles(version)
-    val stats = liveFileStats(version)
-    val schema = committedSchema(version).getOrElse(return files)
+    val log = readLog
+    val files = snapshotFilesFrom(log, version)
+    val stats = liveFileStatsFrom(log, version)
+    val schema = committedSchemaFrom(log, version).getOrElse(return files)
     files.filter { f =>
       stats.get(f).forall(st => filters.forall(mayContain(st, _, schema)))
     }
@@ -541,8 +559,9 @@ case class VersionedTableDataObject(id: String, path: String,
     val writeBatch: (DataFrame, Long) => Unit = (batch, _) =>
       if (merge) {
         require(primaryKey.nonEmpty, s"DataObject $id: streaming merge needs primaryKey")
-        if (latestVersion.isEmpty) { writeDataFrame(batch); () }
-        else mergeDataFrame(batch, primaryKey)
+        // mergeDataFrame handles the empty-log first batch itself (one
+        // less log read per micro-batch)
+        mergeDataFrame(batch, primaryKey)
         ()
       } else { writeDataFrame(batch, saveMode = Some(SdlSaveMode.Append)); () }
     df.writeStream
