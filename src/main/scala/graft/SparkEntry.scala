@@ -2564,6 +2564,32 @@ object SparkEntry {
       require(matched.where(col("exact_id") =!= col("qid") - 2000000L).isEmpty,
         "exact top-1 of a planted query must be its source vector")
       matched.select(col("qid"), col("id"), col("rank"))
+    }),
+
+    // OPTIMIZE ZORDER end-to-end (the multi-column data-skipping story):
+    // orders lands orderkey-clustered (a custkey filter can prune
+    // NOTHING — every file spans custkey's whole range), then one
+    // z-order rewrite (Morton-interleaved quantile-bucket bits, a single
+    // range shuffle) makes the per-file stats selective on BOTH columns.
+    // The query REQUIRES that a custkey point filter now plans fewer
+    // files than the snapshot holds, then emits the filtered read —
+    // which DuckDB recomputes relationally, proving the clustered
+    // rewrite is data-invariant.
+    "q105_zorder_skipping" -> ((s, dir) => {
+      implicit val c: ActionPipelineContext = ctx(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q105").toString
+      val vt = sources.VersionedTableDataObject("q105_vt", s"$tmp/t")
+      val o = t(s, dir, "orders").select(col("o_orderkey").cast("long"),
+        col("o_custkey").cast("long"), col("o_totalprice").cast("double"))
+      vt.writeDataFrame(o.repartitionByRange(8, col("o_orderkey")))   // v0
+      val probe = org.apache.spark.sql.sources.EqualTo("o_custkey", 7L)
+      val before = vt.filesForFilters(Seq(probe)).size
+      vt.optimize(8, zorderBy = Seq("o_orderkey", "o_custkey"))       // v1
+      val after = vt.filesForFilters(Seq(probe)).size
+      val total = vt.snapshotFiles().size
+      require(after < total && after <= before,
+        s"zorder must make the custkey filter prune: $after of $total files (was $before)")
+      vt.getDataFrame().where(col("o_custkey") === 7L)
     })
   )
 
@@ -3811,6 +3837,14 @@ object SparkEntry {
       """SELECT CAST(vec_id + 2000000 AS BIGINT) AS qid,
         |  CAST(vec_id AS BIGINT) AS id, 1 AS rank
         |FROM embeddings WHERE vec_id % 40 = 0""".stripMargin,
+    // q105: the z-order rewrite must be data-invariant — the filtered
+    // read equals the plain relational filter (file pruning is asserted
+    // in-query via require)
+    "q105_zorder_skipping" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |  CAST(o_custkey AS BIGINT) AS o_custkey,
+        |  CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        |FROM orders WHERE o_custkey = 7""".stripMargin,
     // q98: every historical snapshot recomputed relationally; the
     // post-OPTIMIZE latest must equal v2 exactly
     "q98_versioned_time_travel" ->

@@ -573,13 +573,22 @@ case class VersionedTableDataObject(id: String, path: String,
 
   /** Compaction (reference Delta OPTIMIZE): rewrite the live snapshot into
     * `targetFileCount` files as a new commit. Data identical, file count
-    * drops; prior versions still resolve to the pre-compaction files. */
-  def optimize(targetFileCount: Int)(implicit ctx: ActionPipelineContext): Int = {
+    * drops; prior versions still resolve to the pre-compaction files.
+    * With `zorderBy` (the public OPTIMIZE ZORDER BY design), the rewrite
+    * clusters rows by the interleaved-bit Morton value of those columns
+    * ([[graft.functions.ZOrder]]), so the per-file min/max stats — and
+    * therefore data skipping AND merge pruning — become selective on
+    * every listed column, not just an incidental write order. */
+  def optimize(targetFileCount: Int, zorderBy: Seq[String] = Seq.empty)
+              (implicit ctx: ActionPipelineContext): Int = {
     val log = readLog
     val live = snapshotIfAny(log)
     val v = log.last.version + 1
     val current = getDataFrame()
-    val (added, stats) = stage(current.repartition(targetFileCount), v)
+    val arranged =
+      if (zorderBy.nonEmpty) graft.functions.ZOrder.cluster(current, zorderBy, targetFileCount)
+      else current.repartition(targetFileCount)
+    val (added, stats) = stage(arranged, v)
     writeCommit(Commit(v, added, live, Some(current.schema.toDDL), stats))
     added.size
   }

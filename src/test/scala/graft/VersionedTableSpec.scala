@@ -189,6 +189,34 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(scanNumFiles(t.getDataFrame()) == 4)
   }
 
+  test("OPTIMIZE ZORDER: point filters on EITHER clustered column prune files") {
+    import org.apache.spark.sql.sources.EqualTo
+    val dir = Files.createTempDirectory("graft-vt").toString
+    val t = VersionedTableDataObject("vtz", s"$dir/t")
+    // two decorrelated columns; initial layout ordered by `a` only, so a
+    // `b` filter can never prune (every file spans b's full range)
+    val rows = (0 until 4096).map(i => (i, (i * 2654435761L % 4096).toInt))
+    t.writeDataFrame(rows.toDF("a", "b").repartitionByRange(8, $"a"))
+    assert(t.filesForFilters(Seq(EqualTo("a", 100))).size == 1)   // a-sorted: prunes
+    assert(t.filesForFilters(Seq(EqualTo("b", 100))).size == 8)   // b: no pruning
+    val n = t.optimize(8, zorderBy = Seq("a", "b"))
+    assert(n == 8)
+    // z-clustered: BOTH columns prune (each file covers a compact
+    // hyper-rectangle, so ~half the bits of each column are fixed)
+    val aPruned = t.filesForFilters(Seq(EqualTo("a", 100))).size
+    val bPruned = t.filesForFilters(Seq(EqualTo("b", 100))).size
+    // (range-partition boundaries come from sampling and don't align
+    // exactly to bit boundaries, so the split is uneven — what matters is
+    // that the previously-unprunable column now prunes hard while the
+    // other still does)
+    assert(aPruned < 8 && bPruned < 8, s"a=$aPruned b=$bPruned of 8")
+    assert(bPruned <= 4, s"b=$bPruned — the previously-unprunable column must fix ≥1 bit")
+    // clustering is data-invariant
+    assert(t.getDataFrame().collect().map(r => (r.getInt(0), r.getInt(1))).toSet == rows.toSet)
+    // pre-optimize version still time-travels
+    assert(t.getDataFrameAsOf(Some(0)).count() == 4096)
+  }
+
   test("write and merge report real records_written from parquet footers") {
     val dir = Files.createTempDirectory("graft-vt").toString
     val t = VersionedTableDataObject("vt9", s"$dir/t", primaryKey = Seq("k"))
