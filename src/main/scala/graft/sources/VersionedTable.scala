@@ -76,7 +76,11 @@ case class VersionedTableDataObject(id: String, path: String,
   private def readLog(implicit ctx: ActionPipelineContext): Seq[Commit] = {
     if (!fs.exists(logDir)) return Seq.empty
     import scala.jdk.CollectionConverters._
-    fs.listStatus(logDir).map(_.getPath).filter(_.getName.endsWith(".json"))
+    // ONLY committed names (NNNNNNNN.json): a concurrent writer's
+    // _tmp_* file can vanish between list and read (it renames or
+    // deletes it), and half-written tmp content must never parse as log
+    fs.listStatus(logDir).map(_.getPath)
+      .filter(_.getName.matches("""\d{8}\.json"""))
       .sortBy(_.getName).map { p =>
         val n = om.readTree(readFully(p))
         val stats = Option(n.get("stats")).map { s =>
@@ -103,7 +107,10 @@ case class VersionedTableDataObject(id: String, path: String,
     finally in.close()
   }
 
-  private def writeCommit(c: Commit)(implicit ctx: ActionPipelineContext): Unit = {
+  /** Attempt the rename-commit; false = another writer claimed the
+    * version (optimistic-concurrency loss, caller decides how to retry —
+    * the public Delta commit protocol). */
+  private def tryCommit(c: Commit)(implicit ctx: ActionPipelineContext): Boolean = {
     val root = om.createObjectNode()
     root.put("version", c.version)
     val a = root.putArray("added"); c.added.foreach(a.add)
@@ -121,17 +128,30 @@ case class VersionedTableDataObject(id: String, path: String,
       }
     }
     val json = om.writeValueAsString(root)
-    // zero-padded name keeps lexicographic == numeric commit order
-    val tmp = new Path(logDir, f"_tmp_${c.version}%08d.json")
+    // zero-padded name keeps lexicographic == numeric commit order;
+    // writer-unique tmp so concurrent committers never collide before
+    // the rename race itself
+    val tmp = new Path(logDir,
+      f"_tmp_${c.version}%08d-${java.util.UUID.randomUUID.toString.take(8)}.json")
     val dst = new Path(logDir, f"${c.version}%08d.json")
     fs.mkdirs(logDir)
     val out = fs.create(tmp, false)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
     // rename-commit: concurrent writers race on the same version name and
     // exactly one rename wins (the object-store analogue is put-if-absent)
-    if (!fs.rename(tmp, dst))
-      throw new IllegalStateException(s"DataObject $id: commit ${c.version} conflicts")
+    val won = fs.rename(tmp, dst) && {
+      // paranoia for filesystems whose rename clobbers: the winner is
+      // whoever's content landed — ours must be byte-identical
+      readFully(dst) == json
+    }
+    if (!won) { fs.delete(tmp, false); () }
+    won
   }
+
+  private def writeCommit(c: Commit)(implicit ctx: ActionPipelineContext): Unit =
+    if (!tryCommit(c))
+      throw new java.util.ConcurrentModificationException(
+        s"DataObject $id: commit ${c.version} lost the rename race")
 
   /** Live file set at `asOfVersion` (latest when None). */
   private[graft] def snapshotFiles(asOfVersion: Option[Int] = None)(implicit ctx: ActionPipelineContext): Seq[String] =
@@ -332,26 +352,40 @@ case class VersionedTableDataObject(id: String, path: String,
     if (rs.exists(_ < 0)) -1 else rs.sum
   }
 
+  /** Optimistic-concurrency write (the public Delta commit protocol):
+    * data files stage once; if another writer claims our version, the
+    * transaction is re-validated against the fresh log and re-attempted
+    * at the new head. Appends are ALWAYS safe to retry (disjoint data
+    * files); overwrite recomputes its supersede-set at each attempt
+    * (last-writer-wins, the lakehouse overwrite semantic). */
   override def writeDataFrame(df: DataFrame, partitionValues: Seq[PartitionValues] = Seq.empty,
                               saveMode: Option[SdlSaveMode] = None)
                              (implicit ctx: ActionPipelineContext): ActionMetrics = {
     val t0 = System.currentTimeMillis()
-    val log = readLog
-    val v = log.lastOption.map(_.version + 1).getOrElse(0)
-    val (added, stats) = stage(df, v)
     val append = saveMode.contains(SdlSaveMode.Append)
-    val removed = if (append) Seq.empty else snapshotIfAny(log)
-    // schema evolution on append: committed schema = previous ∪ new (the
-    // persisted-union-schema rule file objects use); overwrite resets it
-    val prevSchema = log.reverse.collectFirst { case Commit(_, _, _, Some(s), _) => s }
-    val schema = prevSchema match {
-      case Some(p) if append =>
-        val prev = StructType.fromDDL(p)
-        val extra = df.schema.filterNot(f => prev.exists(_.name.equalsIgnoreCase(f.name)))
-        StructType(prev.fields ++ extra).toDDL
-      case _ => df.schema.toDDL
+    val v0 = readLog.lastOption.map(_.version + 1).getOrElse(0)
+    val (added, stats) = stage(df, v0)
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val log = readLog
+      val v = log.lastOption.map(_.version + 1).getOrElse(0)
+      val removed = if (append) Seq.empty else snapshotIfAny(log)
+      // schema evolution on append: committed schema = previous ∪ new (the
+      // persisted-union-schema rule file objects use); overwrite resets it
+      val prevSchema = log.reverse.collectFirst { case Commit(_, _, _, Some(s), _) => s }
+      val schema = prevSchema match {
+        case Some(p) if append =>
+          val prev = StructType.fromDDL(p)
+          val extra = df.schema.filterNot(f => prev.exists(_.name.equalsIgnoreCase(f.name)))
+          StructType(prev.fields ++ extra).toDDL
+        case _ => df.schema.toDDL
+      }
+      done = tryCommit(Commit(v, added, removed, Some(schema), stats))
+      attempt += 1
+      if (!done && attempt >= 20) throw new java.util.ConcurrentModificationException(
+        s"DataObject $id: commit contention — $attempt attempts lost the rename race")
     }
-    writeCommit(Commit(v, added, removed, Some(schema), stats))
     ActionMetrics(recordsWritten = rowsOf(stats), durationMillis = System.currentTimeMillis() - t0)
   }
 
@@ -395,6 +429,22 @@ case class VersionedTableDataObject(id: String, path: String,
         }
       }
     }
+  }
+
+  /** Can a lost merge commit be retried as-is? Only if the concurrent
+    * commits (a) removed NONE of the files this merge read-and-rewrote,
+    * and (b) added no file whose key-range stats could hold this merge's
+    * keys (appends of disjoint keys are safe; stats-less files are
+    * conservatively unsafe). The Delta merge conflict rules, stats-based. */
+  private[graft] def mergeConflicts(concurrent: Seq[Commit], touched: Seq[String],
+                                    joinCols: Seq[String], bounds: Map[String, (String, String)],
+                                    schema: StructType, feedHasNullKeys: Boolean): Boolean = {
+    val removedConcurrently = concurrent.flatMap(_.removed).toSet
+    if (touched.exists(removedConcurrently)) return true
+    val newFiles = concurrent.flatMap(_.added)
+    val newStats = concurrent.flatMap(_.stats).toMap
+    if (newFiles.exists(f => !newStats.contains(f))) return true
+    pruneByKeyBounds(newFiles, newStats, schema, joinCols, bounds, feedHasNullKeys).nonEmpty
   }
 
   /** Exact touched set: among `candidates`, the files actually holding at
@@ -459,7 +509,23 @@ case class VersionedTableDataObject(id: String, path: String,
       val merged = MergeEmulation.computeMergedState(existingTouched, feed, joinCols, options)
       val v = log.last.version + 1
       val (added, stats) = stage(merged, v)
-      writeCommit(Commit(v, added, touched, Some(schema.toDDL), stats))
+      // optimistic commit: on losing the rename race, the merge is only
+      // retryable if no concurrent commit invalidated what we read —
+      // otherwise the whole merge must re-run against the new state
+      var commitV = v
+      var attempt = 0
+      var done = tryCommit(Commit(commitV, added, touched, Some(schema.toDDL), stats))
+      while (!done) {
+        attempt += 1
+        val fresh = readLog
+        val concurrent = fresh.filter(_.version >= v)
+        if (attempt >= 20 || mergeConflicts(concurrent, touched, joinCols, bounds, schema, feedHasNullKeys))
+          throw new java.util.ConcurrentModificationException(
+            s"DataObject $id: concurrent commit(s) ${concurrent.map(_.version).mkString(",")} " +
+              "overlap this merge's keys or files — re-run the merge against the new state")
+        commitV = fresh.last.version + 1
+        done = tryCommit(Commit(commitV, added, touched, Some(schema.toDDL), stats))
+      }
       ActionMetrics(rowsOf(stats), System.currentTimeMillis() - t0)
     } finally feed.unpersist()
   }

@@ -230,6 +230,59 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(t.getDataFrame().count() == 125)
   }
 
+  test("optimistic concurrency: parallel appends all land, distinct versions, no lost rows") {
+    val dir = Files.createTempDirectory("graft-vt").toString
+    val t = VersionedTableDataObject("vtc", s"$dir/t")
+    t.writeDataFrame(Seq((0, "base")).toDF("k", "v"))                          // v0
+    // 6 writers race appends; every one must retry past rename losses
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val writes = (1 to 6).map { i =>
+      scala.concurrent.Future {
+        t.writeDataFrame(Seq((i, s"w$i")).toDF("k", "v"), saveMode = Some(SdlSaveMode.Append))
+      }
+    }
+    scala.concurrent.Await.result(scala.concurrent.Future.sequence(writes),
+      scala.concurrent.duration.Duration.Inf)
+    pool.shutdown()
+    assert(t.latestVersion.contains(6))                                        // v1..v6 all claimed
+    val rows = t.getDataFrame().collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(rows == (Set((0, "base")) ++ (1 to 6).map(i => (i, s"w$i"))), rows.toString)
+  }
+
+  test("merge conflict rules: disjoint concurrent appends retry, overlapping keys abort") {
+    val dir = Files.createTempDirectory("graft-vt").toString
+    val t = VersionedTableDataObject("vtm", s"$dir/t", primaryKey = Seq("k"))
+    t.writeDataFrame((1 to 100).map(i => (i, s"v$i")).toDF("k", "v"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("k INT, v STRING")
+    val myTouched = t.snapshotFiles()
+    // a concurrent append of keys 200..300 with logged stats: DISJOINT
+    // from a merge whose feed bounds are [5, 10] → retryable
+    t.writeDataFrame((200 to 300).map(i => (i, s"n$i")).toDF("k", "v"),
+      saveMode = Some(SdlSaveMode.Append))
+    val newFiles = t.snapshotFiles().filterNot(myTouched.contains)
+    val stats = t.liveFileStats()
+    // reconstruct: concurrent commit = the appended files with their stats
+    val cc = Seq((newFiles, stats.filter(kv => newFiles.contains(kv._1))))
+    // disjoint bounds → no conflict
+    assert(!t.mergeConflicts(
+      cc.map { case (f, s) => t.Commit(1, f, Seq.empty, None, s) },
+      myTouched.take(1), Seq("k"), Map("k" -> (("5", "10"))), schema, feedHasNullKeys = false))
+    // overlapping bounds → conflict
+    assert(t.mergeConflicts(
+      cc.map { case (f, s) => t.Commit(1, f, Seq.empty, None, s) },
+      myTouched.take(1), Seq("k"), Map("k" -> (("250", "260"))), schema, feedHasNullKeys = false))
+    // concurrent removal of a file this merge rewrote → conflict
+    assert(t.mergeConflicts(
+      Seq(t.Commit(1, Seq.empty, myTouched.take(1), None, Map.empty)),
+      myTouched.take(1), Seq("k"), Map("k" -> (("5", "10"))), schema, feedHasNullKeys = false))
+    // null feed keys → conservative conflict on any concurrent add
+    assert(t.mergeConflicts(
+      cc.map { case (f, s) => t.Commit(1, f, Seq.empty, None, s) },
+      myTouched.take(1), Seq("k"), Map("k" -> (("5", "10"))), schema, feedHasNullKeys = true))
+  }
+
   test("vacuum keeps files still referenced by retained snapshots") {
     val dir = Files.createTempDirectory("graft-vt").toString
     val t = VersionedTableDataObject("vt3", s"$dir/t")
