@@ -2590,6 +2590,33 @@ object SparkEntry {
       require(after < total && after <= before,
         s"zorder must make the custkey filter prune: $after of $total files (was $before)")
       vt.getDataFrame().where(col("o_custkey") === 7L)
+    }),
+
+    // CHANGE DATA FEED (the Delta CDF read semantics on the versioned
+    // table): one MERGE applies updates + inserts + condition-deletes,
+    // then changesBetween(v0, v1) reconstructs the row-level changes by
+    // diffing ONLY the files that differ between the snapshots — typed
+    // insert / delete / update_preimage / update_postimage rows, with
+    // untouched-but-rewritten rows comparing equal and emitting nothing.
+    // DuckDB recomputes every change class relationally.
+    "q106_change_data_feed" -> ((s, dir) => {
+      implicit val c: ActionPipelineContext = ctx(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q106").toString
+      val vt = sources.VersionedTableDataObject("q106_vt", s"$tmp/t",
+        primaryKey = Seq("c_custkey"))
+      val cust = t(s, dir, "customer").select(col("c_custkey").cast("long"),
+        col("c_name"), col("c_acctbal").cast("double"))
+      vt.writeDataFrame(cust.where(col("c_custkey") <= 1000))              // v0
+      val updates = cust.where(col("c_custkey") <= 1000 &&
+          col("c_custkey") % 10 === 0 && col("c_custkey") % 13 =!= 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+      val inserts = cust.where(col("c_custkey") > 1000 && col("c_custkey") <= 1100)
+      val deletes = cust.where(col("c_custkey") <= 1000 && col("c_custkey") % 13 === 0)
+        .withColumn("c_name", lit("__DELETE__"))
+      vt.mergeDataFrame(updates.unionByName(inserts).unionByName(deletes),
+        Seq("c_custkey"),
+        SaveModeMergeOptions(deleteCondition = Some("new.c_name = '__DELETE__'"))) // v1
+      vt.changesBetween(0, Some(1))
     })
   )
 
@@ -3845,6 +3872,20 @@ object SparkEntry {
         |  CAST(o_custkey AS BIGINT) AS o_custkey,
         |  CAST(o_totalprice AS DOUBLE) AS o_totalprice
         |FROM orders WHERE o_custkey = 7""".stripMargin,
+    // q106: every change class recomputed relationally — deletes carry
+    // the OLD row, updates both images, equal rewrites emit nothing
+    "q106_change_data_feed" ->
+      """WITH cust AS (SELECT CAST(c_custkey AS BIGINT) AS ck, c_name,
+        |  CAST(c_acctbal AS DOUBLE) AS ab FROM customer)
+        |SELECT ck AS c_custkey, c_name, ab AS c_acctbal,
+        |  'update_preimage' AS _change_type
+        |FROM cust WHERE ck <= 1000 AND ck % 10 = 0 AND ck % 13 <> 0
+        |UNION ALL SELECT ck, c_name, ab + 100.0, 'update_postimage'
+        |FROM cust WHERE ck <= 1000 AND ck % 10 = 0 AND ck % 13 <> 0
+        |UNION ALL SELECT ck, c_name, ab, 'delete'
+        |FROM cust WHERE ck <= 1000 AND ck % 13 = 0
+        |UNION ALL SELECT ck, c_name, ab, 'insert'
+        |FROM cust WHERE ck > 1000 AND ck <= 1100""".stripMargin,
     // q98: every historical snapshot recomputed relationally; the
     // post-OPTIMIZE latest must equal v2 exactly
     "q98_versioned_time_travel" ->

@@ -128,24 +128,36 @@ case class VersionedTableDataObject(id: String, path: String,
       }
     }
     val json = om.writeValueAsString(root)
+    val bytes = json.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    fs.mkdirs(logDir)
     // zero-padded name keeps lexicographic == numeric commit order;
     // writer-unique tmp so concurrent committers never collide before
-    // the rename race itself
-    val tmp = new Path(logDir,
-      f"_tmp_${c.version}%08d-${java.util.UUID.randomUUID.toString.take(8)}.json")
-    val dst = new Path(logDir, f"${c.version}%08d.json")
-    fs.mkdirs(logDir)
-    val out = fs.create(tmp, false)
-    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
-    // rename-commit: concurrent writers race on the same version name and
-    // exactly one rename wins (the object-store analogue is put-if-absent)
-    val won = fs.rename(tmp, dst) && {
-      // paranoia for filesystems whose rename clobbers: the winner is
-      // whoever's content landed — ours must be byte-identical
-      readFully(dst) == json
+    // the put-if-absent race itself
+    val tmpName = f"_tmp_${c.version}%08d-${java.util.UUID.randomUUID.toString.take(8)}.json"
+    val dstName = f"${c.version}%08d.json"
+    if ("file".equalsIgnoreCase(fs.getUri.getScheme)) {
+      // POSIX rename() REPLACES an existing destination, so two racing
+      // renames can both "succeed" and silently clobber a commit. Hard
+      // links are the local-FS atomic put-if-absent: link(dst, tmp)
+      // fails with FileAlreadyExists iff someone else committed first.
+      val dir = java.nio.file.Paths.get(logDir.toUri.getPath)
+      val tmp = dir.resolve(tmpName)
+      java.nio.file.Files.write(tmp, bytes)
+      try { java.nio.file.Files.createLink(dir.resolve(dstName), tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      finally java.nio.file.Files.deleteIfExists(tmp)
+    } else {
+      // HDFS rename is atomic and FAILS on an existing destination —
+      // the standard commit protocol there; object stores would use a
+      // conditional put instead
+      val tmp = new Path(logDir, tmpName)
+      val dst = new Path(logDir, dstName)
+      val out = fs.create(tmp, false)
+      try out.write(bytes) finally out.close()
+      val won = fs.rename(tmp, dst)
+      if (!won) { fs.delete(tmp, false); () }
+      won
     }
-    if (!won) { fs.delete(tmp, false); () }
-    won
   }
 
   private def writeCommit(c: Commit)(implicit ctx: ActionPipelineContext): Unit =
@@ -635,6 +647,49 @@ case class VersionedTableDataObject(id: String, path: String,
       .option("checkpointLocation", checkpointLocation)
       .outputMode(outputMode).trigger(trigger).queryName(queryName)
       .start()
+  }
+
+  /** CHANGE DATA FEED (the public Delta CDF read semantics): row-level
+    * net changes between two versions, typed like Delta's
+    * `_change_type` — `insert`, `delete`, `update_preimage` /
+    * `update_postimage`. Computed by diffing ONLY the files that
+    * differ between the two snapshots: a file carried by reference
+    * can't contain a change, so the scan is O(changed files), not
+    * O(table) — at 100 TB a CDC consumer reads the delta, never the
+    * snapshot. Rows rewritten identically (compaction, untouched rows
+    * in a touched file) compare equal on the null-safe struct and emit
+    * nothing. Net-diff semantics over the version RANGE (intermediate
+    * overwritten states collapse); call per adjacent pair for
+    * per-commit granularity. Requires `primaryKey`. */
+  def changesBetween(fromVersion: Int, toVersion: Option[Int] = None)
+                    (implicit ctx: ActionPipelineContext): DataFrame = {
+    require(primaryKey.nonEmpty, s"DataObject $id: change data feed needs primaryKey")
+    val log = readLog
+    val filesFrom = snapshotFilesFrom(log, Some(fromVersion)).toSet
+    val filesTo = snapshotFilesFrom(log, toVersion).toSet
+    val schema = committedSchemaFrom(log, toVersion).getOrElse(
+      throw new IllegalStateException(s"DataObject $id: no committed schema"))
+    val allStats = log.flatMap(_.stats).toMap // includes since-removed files
+    val cols = schema.fieldNames.toSeq
+    def side(files: Seq[String], tag: String) =
+      readFiles(files, Some(schema), allStats)
+        .withColumn(s"_${tag}_present", lit(1)).alias(tag)
+    val o = side((filesFrom -- filesTo).toSeq, "o")
+    val n = side((filesTo -- filesFrom).toSeq, "n")
+    val keyEq = primaryKey.map(k => col(s"o.`$k`") <=> col(s"n.`$k`")).reduce(_ and _)
+    val oRec = struct(cols.map(c => col(s"o.`$c`").as(c)): _*)
+    val nRec = struct(cols.map(c => col(s"n.`$c`").as(c)): _*)
+    val oP = col("_o_present").isNotNull
+    val nP = col("_n_present").isNotNull
+    val changes = when(oP && !nP, array(struct(oRec.as("r"), lit("delete").as("t"))))
+      .when(nP && !oP, array(struct(nRec.as("r"), lit("insert").as("t"))))
+      .when(oP && nP && !(oRec <=> nRec), array(
+        struct(oRec.as("r"), lit("update_preimage").as("t")),
+        struct(nRec.as("r"), lit("update_postimage").as("t"))))
+    // unmatched .otherwise → null → explode emits nothing (equal rows)
+    o.join(n, keyEq, "full")
+      .select(explode(changes).as("c"))
+      .select(col("c.r.*") +: Seq(col("c.t").as("_change_type")): _*)
   }
 
   /** Compaction (reference Delta OPTIMIZE): rewrite the live snapshot into

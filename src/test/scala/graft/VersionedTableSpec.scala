@@ -283,6 +283,26 @@ class VersionedTableSpec extends AnyFunSuite {
       myTouched.take(1), Seq("k"), Map("k" -> (("5", "10"))), schema, feedHasNullKeys = true))
   }
 
+  test("change data feed: typed row changes; compaction rewrites emit nothing") {
+    val dir = Files.createTempDirectory("graft-vt").toString
+    val t = VersionedTableDataObject("vtcdf", s"$dir/t", primaryKey = Seq("k"))
+    t.writeDataFrame((1 to 10).map(i => (i, s"v$i")).toDF("k", "v"))            // v0
+    t.mergeDataFrame(Seq((5, "V5"), (11, "new")).toDF("k", "v"), Seq("k"))     // v1
+    t.optimize(1)                                                              // v2: same data
+    def changes(a: Int, b: Int) = t.changesBetween(a, Some(b)).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(changes(0, 1) == Set(
+      (5, "v5", "update_preimage"), (5, "V5", "update_postimage"), (11, "new", "insert")))
+    // compaction rewrote every row identically → zero change rows
+    assert(changes(1, 2).isEmpty)
+    // net diff across the range collapses the compaction
+    assert(t.changesBetween(0, None).count() == 3)
+    // delete via merge deleteCondition surfaces the OLD row
+    t.mergeDataFrame(Seq((3, "__DEL__")).toDF("k", "v"), Seq("k"),
+      SaveModeMergeOptions(deleteCondition = Some("new.v = '__DEL__'")))       // v3
+    assert(changes(2, 3) == Set((3, "v3", "delete")))
+  }
+
   test("vacuum keeps files still referenced by retained snapshots") {
     val dir = Files.createTempDirectory("graft-vt").toString
     val t = VersionedTableDataObject("vt3", s"$dir/t")
