@@ -2617,6 +2617,56 @@ object SparkEntry {
         Seq("c_custkey"),
         SaveModeMergeOptions(deleteCondition = Some("new.c_name = '__DELETE__'"))) // v1
       vt.changesBetween(0, Some(1))
+    }),
+
+    // CDC-INCREMENTAL CONSUMPTION of the versioned table (q100's
+    // consumer sibling, the Delta streaming-source contract): two
+    // config-driven stateful runs through the CLI state plumbing. Run 1
+    // consumes the initial snapshot as `insert` rows and commits the
+    // version; a MERGE lands (updates + inserts + condition-deletes);
+    // run 2 (fresh registry, state restored from disk) consumes ONLY
+    // the typed change rows of the new commit — computed from the
+    // changed files, never a snapshot re-scan. A re-read duplicates
+    // rows, a gap drops changes; either breaks the hash.
+    "q107_cdc_incremental_consume" -> ((s, dir) => {
+      implicit val c: ActionPipelineContext = ctx(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q107").toString
+      val cust = t(s, dir, "customer").select(col("c_custkey").cast("long"),
+        col("c_name"), col("c_acctbal").cast("double"))
+      val vt = sources.VersionedTableDataObject("q107_seed", s"$tmp/t",
+        primaryKey = Seq("c_custkey"))
+      vt.writeDataFrame(cust.where(col("c_custkey") <= 1000))              // v0
+      val cfg =
+        s"""dataObjects:
+           |  src107: {type: versionedTable, path: $tmp/t, primaryKey: [c_custkey]}
+           |  out107: {type: parquet, path: $tmp/out}
+           |actions:
+           |  consume107:
+           |    type: copy
+           |    inputId: src107
+           |    outputId: out107
+           |    saveMode: append
+           |    executionMode: {type: cdcIncremental}
+           |    metadata: {feed: q107}
+           |""".stripMargin
+      val cfgPath = s"$tmp/pipeline.conf"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(cfgPath), cfg)
+      def consume(): Unit = app.GraftApp.run(app.GraftApp.CliArgs(
+        configPaths = Seq(cfgPath), feedSel = Some("q107"),
+        statePath = Some(s"$tmp/state"), appName = "q107"), s)
+      consume()                                                            // snapshot as inserts
+      val updates = cust.where(col("c_custkey") <= 1000 &&
+          col("c_custkey") % 10 === 0 && col("c_custkey") % 13 =!= 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+      val inserts = cust.where(col("c_custkey") > 1000 && col("c_custkey") <= 1100)
+      val deletes = cust.where(col("c_custkey") <= 1000 && col("c_custkey") % 13 === 0)
+        .withColumn("c_name", lit("__DELETE__"))
+      vt.mergeDataFrame(updates.unionByName(inserts).unionByName(deletes),
+        Seq("c_custkey"),
+        SaveModeMergeOptions(deleteCondition = Some("new.c_name = '__DELETE__'"))) // v1
+      consume()                                                            // delta only
+      consume()  // no new commits → NoDataToProcess skip, sink untouched
+      s.read.parquet(s"$tmp/out")
     })
   )
 
@@ -3879,6 +3929,21 @@ object SparkEntry {
         |  CAST(c_acctbal AS DOUBLE) AS ab FROM customer)
         |SELECT ck AS c_custkey, c_name, ab AS c_acctbal,
         |  'update_preimage' AS _change_type
+        |FROM cust WHERE ck <= 1000 AND ck % 10 = 0 AND ck % 13 <> 0
+        |UNION ALL SELECT ck, c_name, ab + 100.0, 'update_postimage'
+        |FROM cust WHERE ck <= 1000 AND ck % 10 = 0 AND ck % 13 <> 0
+        |UNION ALL SELECT ck, c_name, ab, 'delete'
+        |FROM cust WHERE ck <= 1000 AND ck % 13 = 0
+        |UNION ALL SELECT ck, c_name, ab, 'insert'
+        |FROM cust WHERE ck > 1000 AND ck <= 1100""".stripMargin,
+    // q107: run 1 = initial snapshot as inserts, run 2 = exactly the
+    // q106 change classes — exactly-once across the two stateful runs
+    "q107_cdc_incremental_consume" ->
+      """WITH cust AS (SELECT CAST(c_custkey AS BIGINT) AS ck, c_name,
+        |  CAST(c_acctbal AS DOUBLE) AS ab FROM customer)
+        |SELECT ck AS c_custkey, c_name, ab AS c_acctbal,
+        |  'insert' AS _change_type FROM cust WHERE ck <= 1000
+        |UNION ALL SELECT ck, c_name, ab, 'update_preimage'
         |FROM cust WHERE ck <= 1000 AND ck % 10 = 0 AND ck % 13 <> 0
         |UNION ALL SELECT ck, c_name, ab + 100.0, 'update_postimage'
         |FROM cust WHERE ck <= 1000 AND ck % 10 = 0 AND ck % 13 <> 0

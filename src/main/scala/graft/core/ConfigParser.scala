@@ -389,6 +389,8 @@ object ConfigParser {
         FileIncrementalMoveMode(str(n, "archivePath"))
       case "KafkaStateIncrementalMode" | "kafkaStateIncremental" =>
         KafkaStateIncrementalMode(str(n, "delayedMaxTimestampExpr"))
+      case "CdcIncrementalMode" | "cdcIncremental" =>
+        CdcIncrementalMode()
       case "ProcessAllMode" | "processAll" => ProcessAllMode()
       case "FailIfNoPartitionValuesMode" | "failIfNoPartitionValues" =>
         FailIfNoPartitionValuesMode()

@@ -290,6 +290,52 @@ case class KafkaStateIncrementalMode(delayedMaxTimestampExpr: Option[String] = N
     }
 }
 
+/** Committed-version incremental CDC consumption of a
+  * [[graft.sources.VersionedTableDataObject]] — the lakehouse CHANGE
+  * DATA FEED as a batch-incremental source (the consumer side of the
+  * q100 CDC-sink story; Delta's streaming source / CDF read has the
+  * same contract). Exec-phase `apply` snapshots the table's CURRENT
+  * version and attaches `changesBetween(committed, current)` — typed
+  * insert/update/delete rows computed from ONLY the files that changed,
+  * never a snapshot scan; commits landing during the run surface next
+  * run (no-gap/no-overlap). The FIRST run emits the initial snapshot as
+  * `insert` rows (Delta `startingVersion=0` semantics). `postExec`
+  * commits the consumed version through the RunStateStore. */
+case class CdcIncrementalMode() extends ExecutionMode {
+  @transient private var pendingState: Option[String] = None
+
+  override def apply(action: Action, in: SubFeed)(implicit ctx: ActionPipelineContext): SubFeed =
+    ctx.registry.dataObject(action.inputIds.head) match {
+      case v: graft.sources.VersionedTableDataObject =>
+        val to = v.latestVersion.getOrElse(
+          throw NoDataToProcessWarning(action.id, s"${v.id}: no committed versions yet"))
+        val from = v.getState.map(_.toInt)
+        if (ctx.isExecPhase && from.contains(to))
+          throw NoDataToProcessWarning(action.id, s"${v.id}: no commits since version $to")
+        val df = from match {
+          case Some(f) if f != to => v.changesBetween(f, Some(to))
+          case None => v.getDataFrameAsOf(Some(to))
+            .withColumn("_change_type", org.apache.spark.sql.functions.lit("insert"))
+          case _ => // init phase with no new data: schema-only frame
+            v.getDataFrameAsOf(Some(to))
+              .withColumn("_change_type", org.apache.spark.sql.functions.lit("insert"))
+              .limit(0)
+        }
+        if (ctx.isExecPhase) pendingState = Some(to.toString)
+        in.copy(dataFrame = Some(df))
+      case o => throw new IllegalArgumentException(
+        s"${o.id} is not a VersionedTableDataObject — CdcIncrementalMode needs one")
+    }
+
+  override def postExec(action: Action)(implicit ctx: ActionPipelineContext): Unit =
+    ctx.registry.dataObject(action.inputIds.head) match {
+      case v: graft.sources.VersionedTableDataObject =>
+        pendingState.foreach(s => v.setState(Some(s)))
+        pendingState = None
+      case _ => ()
+    }
+}
+
 /** Structured Streaming execution. Reference `SparkStreamingMode.scala:40-57`.
   * trigger semantics: None => async ProcessingTime(intervalSec), Once => one
   * synchronous micro-batch per DAG run. */

@@ -44,7 +44,14 @@ import org.apache.hadoop.fs.Path
 case class VersionedTableDataObject(id: String, path: String,
                                     primaryKey: Seq[String] = Seq.empty)
   extends DataObject with CanCreateDataFrame with CanWriteDataFrame with CanMergeDataFrame
-  with CanWriteStreamingDataFrame {
+  with CanWriteStreamingDataFrame with CanCreateIncrementalOutput {
+
+  /** last version consumed by [[graft.operators.modes.CdcIncrementalMode]]
+    * — rides the RunStateStore like every other incremental source */
+  @transient private var consumedVersion: Option[String] = None
+  override def setState(state: Option[String])(implicit ctx: ActionPipelineContext): Unit =
+    consumedVersion = state
+  override def getState: Option[String] = consumedVersion
 
   private def fs(implicit ctx: ActionPipelineContext) =
     new Path(path).getFileSystem(ctx.spark.sparkContext.hadoopConfiguration)
