@@ -228,6 +228,9 @@ object ConfigParser {
           valueAvroSchema = str(n, "valueAvroSchema"),
           keyAvroSchema = str(n, "keyAvroSchema"),
           schemaRegistry = strMap(n, "schemaRegistry").map { case (k, v) => k.toInt -> v },
+          selectCols = strSeq(n, "selectCols"),
+          datePartitionCol = str(n, "datePartitionCol"),
+          datePartitionFormat = str(n, "datePartitionFormat").getOrElse("yyyyMMdd"),
           startingOffsets = str(n, "startingOffsets").getOrElse("earliest"),
           endingOffsets = str(n, "endingOffsets").getOrElse("latest"),
           kafkaOptions = strMap(n, "kafkaOptions"),

@@ -430,6 +430,14 @@ case class KafkaTopicDataObject(
     /** schema-id → Avro schema JSON for `valueType=avro-registry`
       * (Confluent wire framing); the highest id is the reader schema. */
     schemaRegistry: Map[Int, String] = Map.empty,
+    /** columns to surface on read (reference `selectCols`, default there
+      * key+value; empty here = all of key/value/topic/partition/offset/
+      * timestamp). `datePartitionCol` is always included when set. */
+    selectCols: Seq[String] = Seq.empty,
+    /** derived date partition column from the frame timestamp (reference
+      * `datePartitionCol` — used to partition topic archives by day). */
+    datePartitionCol: Option[String] = None,
+    datePartitionFormat: String = "yyyyMMdd",
     startingOffsets: String = "earliest",
     endingOffsets: String = "latest",
     batchReadMaxOffsetsPerTrigger: Option[Long] = None,
@@ -506,10 +514,16 @@ case class KafkaTopicDataObject(
     case _ => col(c)
   }
 
-  private[graft] def decode(df: DataFrame): DataFrame =
-    df.select(decodeCol("key", keyType, keyAvroSchema),
+  private[graft] def decode(df: DataFrame): DataFrame = {
+    val base = df.select(decodeCol("key", keyType, keyAvroSchema),
       decodeCol("value", valueType, valueAvroSchema),
       col("topic"), col("partition"), col("offset"), col("timestamp"))
+    val withDate = datePartitionCol.fold(base)(c =>
+      base.withColumn(c, date_format(col("timestamp"), datePartitionFormat)))
+    if (selectCols.isEmpty) withDate
+    else withDate.select((selectCols ++ datePartitionCol.filterNot(selectCols.contains))
+      .map(c => col(s"`$c`")): _*)
+  }
 
   override def getDataFrame(partitionValues: Seq[PartitionValues] = Seq.empty)
                            (implicit ctx: ActionPipelineContext): DataFrame =

@@ -165,6 +165,13 @@ class ConnectorsSpec extends AnyFunSuite {
     val encoded = k.encodeForWrite(Seq((1, "z")).toDF("a", "b"))
     assert(encoded.columns.toSeq == Seq("key", "value"))
     assert(encoded.selectExpr("value").collect().head.getString(0).contains("\"a\":1"))
+    // selectCols restricts the surfaced columns; datePartitionCol derives
+    // a formatted day column from the frame timestamp (reference parity)
+    val k2 = k.copy(selectCols = Seq("key", "value"),
+      datePartitionCol = Some("day"), datePartitionFormat = "yyyyMMdd")
+    val narrowed = k2.decode(wire)
+    assert(narrowed.columns.toSeq == Seq("key", "value", "day"))
+    assert(narrowed.select($"day").collect().head.getString(0) == "19700101")
   }
 
   test("kafka avro decode: plain writer schema, registry framing roundtrip, loud failures") {
