@@ -313,6 +313,7 @@ object ConfigParser {
       deleteCondition = str(o, "deleteCondition"),
       updateCondition = str(o, "updateCondition"),
       updateColumns = strSeq(o, "updateColumns"),
+      updateExistingCondition = str(o, "updateExistingCondition"),
       insertCondition = str(o, "insertCondition"),
       insertColumnsToIgnore = strSeq(o, "insertColumnsToIgnore"),
       insertValuesOverride = strMap(o, "insertValuesOverride"),

@@ -81,6 +81,11 @@ case class SaveModeMergeOptions(
     deleteCondition: Option[String] = None,
     updateCondition: Option[String] = None,
     updateColumns: Seq[String] = Seq.empty,
+    /** condition for a SECOND matched-update clause that updates ALL
+      * columns — fires when the primary update clause didn't (reference
+      * `SDLSaveMode.scala:129`; used by HistorizeAction's CDC merge for
+      * its `updateExisting` operation class). */
+    updateExistingCondition: Option[String] = None,
     insertCondition: Option[String] = None,
     insertColumnsToIgnore: Seq[String] = Seq.empty,
     insertValuesOverride: Map[String, String] = Map.empty,

@@ -71,12 +71,17 @@ object MergeEmulation {
     val nExists = col(s"new.`${joinCols.head}`").isNotNull
     val del = opts.deleteCondition.map(expr).getOrElse(lit(false))
     val upd = opts.updateCondition.map(expr).getOrElse(lit(true))
+    // second matched clause (reference DeltaLakeTableDataObject.scala:433-436):
+    // evaluated in clause order, i.e. only when the primary update clause's
+    // condition was false — pair it with an explicit updateCondition
+    val updExisting = opts.updateExistingCondition.map(expr).getOrElse(lit(false))
     val ins = opts.insertCondition.map(expr).getOrElse(lit(true))
     val updateCols = if (opts.updateColumns.nonEmpty) opts.updateColumns else cols.filterNot(joinCols.contains)
 
     def updatedRec: Column = struct(cols.map { c =>
       (if (updateCols.contains(c)) col(s"new.`$c`") else col(s"existing.`$c`")).as(c)
     }: _*)
+    def updatedAllRec: Column = struct(cols.map(c => col(s"new.`$c`").as(c)): _*)
     def insertedRec: Column = struct(cols.map { c =>
       val v =
         if (opts.insertValuesOverride.contains(c)) expr(opts.insertValuesOverride(c))
@@ -89,6 +94,7 @@ object MergeEmulation {
     val result = when(eExists and nExists,
         when(del, lit(null)) // matched + deleteCondition → drop
           .when(upd, updatedRec) // matched + updateCondition → update
+          .when(updExisting, updatedAllRec) // 2nd matched clause → update ALL columns
           .otherwise(existingRec)) // matched, no condition met → keep
       .when(eExists and !nExists, existingRec) // unmatched existing → keep
       .when(!eExists and nExists, when(ins, insertedRec)) // new → insert if condition

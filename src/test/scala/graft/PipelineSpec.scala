@@ -477,6 +477,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(merged == Set((1, "a2", 1), (3, "c", 3), (4, "d", 4)))
   }
 
+  test("merge emulation: updateExistingCondition is a second update-ALL-columns clause") {
+    // reference SDLSaveMode.scala:129 + DeltaLakeTableDataObject.scala:433-436
+    // (HistorizeAction CDC uses it with per-operation condition columns):
+    // primary clause updates only `v` for op='close'; the SECOND clause
+    // updates every column for op='updateExisting'; other matches keep
+    val existing = Seq((1, "a", 1), (2, "b", 2), (3, "c", 3)).toDF("id", "v", "n")
+    val feed = Seq((1, "A", 10, "close"), (2, "B", 20, "updateExisting"),
+      (3, "C", 30, "nothing"), (4, "D", 40, "ins")).toDF("id", "v", "n", "op")
+    val merged = MergeEmulation.computeMergedState(existing, feed, Seq("id"),
+      SaveModeMergeOptions(
+        updateCondition = Some("new.op = 'close'"), updateColumns = Seq("v"),
+        updateExistingCondition = Some("new.op = 'updateExisting'")))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSet
+    // id=1: primary clause → only v updated; id=2: second clause → all
+    // columns; id=3: matched, no clause fires → kept; id=4: inserted
+    assert(merged == Set((1, "A", 1), (2, "B", 20), (3, "c", 3), (4, "D", 40)))
+  }
+
   test("DAG schedules on dependency completion, not layer barriers") {
     // two independent chains: slow a1 -> a2, fast b1 -> b2. Under layer
     // barriers b2 (layer 2) cannot start before a1 (layer 1) finishes;
