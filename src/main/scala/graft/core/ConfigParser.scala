@@ -384,7 +384,11 @@ object ConfigParser {
       case "PartitionDiffMode" | "partitionDiff" =>
         PartitionDiffMode(partitionColNb = int(n, "partitionColNb"),
           nbOfPartitionValuesPerRun = int(n, "nbOfPartitionValuesPerRun"),
-          failConditionOnMissingInput = bool(n, "failConditionOnMissingInput"))
+          failConditionOnMissingInput = bool(n, "failConditionOnMissingInput"),
+          applyCondition = str(n, "applyCondition"),
+          failCondition = str(n, "failCondition"),
+          selectExpression = str(n, "selectExpression"),
+          alternativeOutputId = str(n, "alternativeOutputId"))
       case "DataFrameIncrementalMode" | "incremental" =>
         DataFrameIncrementalMode(require(str(n, "compareCol"), id, "compareCol"))
       case "DataObjectStateIncrementalMode" | "stateIncremental" =>

@@ -41,24 +41,67 @@ case class FailIfNoPartitionValuesMode() extends ExecutionMode {
   }
 }
 
+/** Expression data for [[PartitionDiffMode]]'s condition/selection
+  * expressions — the reference's `PartitionDiffModeExpressionData`
+  * contract (`PartitionDiffMode.scala:150-170`): plain Spark SQL over
+  * these four fields, evaluated on a one-row Dataset. */
+case class PartitionDiffExpressionData(
+    givenPartitionValues: Seq[Map[String, String]],
+    inputPartitionValues: Seq[Map[String, String]],
+    outputPartitionValues: Seq[Map[String, String]],
+    selectedPartitionValues: Seq[Map[String, String]])
+
 /** Process partitions present in the main input but missing in the main
   * output. Reference `executionMode/PartitionDiffMode.scala:61-170`.
   *
   * @param partitionColNb        only compare the first n partition columns
   * @param nbOfPartitionValuesPerRun batch size per run (oldest first)
-  * @param applyCondition        SQL over struct(givenPartitionValues…) gating the mode
+  * @param applyCondition  SQL over [[PartitionDiffExpressionData]] gating
+  *        the mode; DEFAULT (reference :93-94): apply only when NO
+  *        partition values were given — explicitly requested partitions
+  *        win over the diff
+  * @param failCondition   SQL over [[PartitionDiffExpressionData]]
+  *        (selected populated) — true aborts the run (e.g. guard against
+  *        processing more than N partitions, or an unexpected gap)
+  * @param selectExpression SQL over [[PartitionDiffExpressionData]]
+  *        returning `array<map<string,string>>` — replaces the selected
+  *        set (e.g. `slice(selectedPartitionValues, -1, 1)` = newest only)
+  * @param alternativeOutputId diff against this object's partitions
+  *        instead of the main output's (reference
+  *        `ExecutionModeWithMainInputOutput.alternativeOutputId`)
   */
 case class PartitionDiffMode(
     partitionColNb: Option[Int] = None,
     nbOfPartitionValuesPerRun: Option[Int] = None,
-    failConditionOnMissingInput: Boolean = false) extends ExecutionMode {
+    failConditionOnMissingInput: Boolean = false,
+    applyCondition: Option[String] = None,
+    failCondition: Option[String] = None,
+    selectExpression: Option[String] = None,
+    alternativeOutputId: Option[String] = None) extends ExecutionMode {
+
+  private def eval[T](expression: String, data: PartitionDiffExpressionData,
+                      as: org.apache.spark.sql.Row => T)(implicit ctx: ActionPipelineContext): T = {
+    val spark = ctx.spark
+    import spark.implicits._
+    as(Seq(data).toDS().selectExpr(expression).head())
+  }
+  private def maps(r: org.apache.spark.sql.Row): Seq[Map[String, String]] =
+    r.getSeq[Map[String, String]](0)
 
   override def apply(action: Action, in: SubFeed)(implicit ctx: ActionPipelineContext): SubFeed = {
+    val given = in.partitionValues.map(_.elements)
+    val doApply = applyCondition match {
+      case Some(c) => eval(c, PartitionDiffExpressionData(given, Seq.empty, Seq.empty, Seq.empty),
+        _.getBoolean(0))
+      // reference default: explicitly requested partitions win over the diff
+      case None => in.partitionValues.isEmpty
+    }
+    if (!doApply) return in
     val input = ctx.registry.dataObject(action.inputIds.head) match {
       case p: CanHandlePartitions => p
       case o => throw new IllegalArgumentException(s"PartitionDiffMode needs partitioned input, got ${o.id}")
     }
-    val output = ctx.registry.dataObject(action.outputIds.head) match {
+    val output = ctx.registry.dataObject(alternativeOutputId.getOrElse(action.outputIds.head)) match {
       case p: CanHandlePartitions => p
       case o => throw new IllegalArgumentException(s"PartitionDiffMode needs partitioned output, got ${o.id}")
     }
@@ -67,11 +110,26 @@ case class PartitionDiffMode(
       PartitionValues(pv.elements.view.filterKeys(cols.contains).toMap)
     val inParts = input.listPartitions.map(truncate).distinct
     val outParts = output.listPartitions.map(truncate).toSet
-    val missing0 = inParts.filterNot(outParts.contains)
-    val missing = nbOfPartitionValuesPerRun
-      .map(n => missing0.sortBy(_.asPath(cols)).take(n)).getOrElse(missing0)
-    if (missing.isEmpty) throw NoDataToProcessWarning(action.id, s"no new partitions for ${action.id}")
-    in.copy(partitionValues = missing, dataFrame = None)
+    // deterministic oldest-first ordering (reference PartitionValues
+    // ordering) — listing order is whatever the FS returns
+    val missing0 = inParts.filterNot(outParts.contains).sortBy(_.asPath(cols))
+    val batched = nbOfPartitionValuesPerRun.map(missing0.take).getOrElse(missing0)
+    val selected = selectExpression match {
+      case Some(se) =>
+        eval(se, PartitionDiffExpressionData(given, inParts.map(_.elements),
+          outParts.toSeq.map(_.elements), batched.map(_.elements)), maps)
+          .map(PartitionValues(_))
+      case None => batched
+    }
+    failCondition.foreach { fc =>
+      val failed = eval(fc, PartitionDiffExpressionData(given, inParts.map(_.elements),
+        outParts.toSeq.map(_.elements), selected.map(_.elements)), _.getBoolean(0))
+      if (failed) throw new IllegalStateException(
+        s"Action ${action.id}: PartitionDiffMode failCondition '$fc' matched " +
+          s"(selected=${selected.map(_.asPath(cols)).mkString(",")})")
+    }
+    if (selected.isEmpty) throw NoDataToProcessWarning(action.id, s"no new partitions for ${action.id}")
+    in.copy(partitionValues = selected, dataFrame = None)
   }
 }
 

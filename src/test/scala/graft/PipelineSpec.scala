@@ -89,6 +89,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/out").count() == 3)
   }
 
+  test("PartitionDiffMode condition/selection knobs (reference parity)") {
+    import graft.operators.modes.PartitionDiffMode
+    val dir = tmpDir()
+    val reg = new InstanceRegistry()
+    reg.register(ParquetFileDataObject("pin", s"$dir/in", partitions = Seq("dt")))
+    reg.register(ParquetFileDataObject("pout", s"$dir/out", partitions = Seq("dt")))
+    implicit val ctx: ActionPipelineContext = newCtx(reg)
+    Seq((1, "2024-01-01"), (2, "2024-01-02"), (3, "2024-01-03")).toDF("v", "dt")
+      .write.partitionBy("dt").parquet(s"$dir/in")
+
+    // selectExpression: newest missing partition only
+    val sel = CopyAction("psel", "pin", "pout",
+      executionMode = Some(PartitionDiffMode(
+        selectExpression = Some("slice(selectedPartitionValues, -1, 1)"))),
+      saveMode = Some(SdlSaveMode.OverwriteOptimized))
+    val fed = sel.executionMode.get.apply(sel, SubFeed("pin"))
+    assert(fed.partitionValues.map(_.elements("dt")) == Seq("2024-01-03"))
+
+    // default apply rule: explicitly given partition values WIN over the diff
+    val plain = CopyAction("pgiven", "pin", "pout",
+      executionMode = Some(PartitionDiffMode()))
+    val givenPv = Seq(PartitionValues(Map("dt" -> "2024-01-02")))
+    assert(plain.executionMode.get.apply(plain,
+      SubFeed("pin", partitionValues = givenPv)).partitionValues == givenPv)
+
+    // failCondition: too many missing partitions aborts loudly
+    val guard = CopyAction("pguard", "pin", "pout",
+      executionMode = Some(PartitionDiffMode(
+        failCondition = Some("size(selectedPartitionValues) > 2"))))
+    val e = intercept[IllegalStateException](
+      guard.executionMode.get.apply(guard, SubFeed("pin")))
+    assert(e.getMessage.contains("failCondition"))
+
+    // applyCondition overrides the default rule
+    val always = CopyAction("palways", "pin", "pout",
+      executionMode = Some(PartitionDiffMode(applyCondition = Some("true"))))
+    assert(always.executionMode.get.apply(always,
+      SubFeed("pin", partitionValues = givenPv)).partitionValues.size == 3)
+  }
+
   test("DeduplicateAction across two loads via parquet output") {
     val dir = tmpDir()
     val reg = new InstanceRegistry()
