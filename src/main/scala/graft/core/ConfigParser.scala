@@ -218,7 +218,8 @@ object ConfigParser {
         RawFileDataObject(id, require(str(n, "path"), id, "path"), str(n, "pathGlobFilter"))
       case "VersionedTableDataObject" | "versionedTable" =>
         VersionedTableDataObject(id, require(str(n, "path"), id, "path"),
-          primaryKey = strSeq(n, "primaryKey"))
+          primaryKey = strSeq(n, "primaryKey"),
+          checkpointInterval = int(n, "checkpointInterval").getOrElse(10))
       case "KafkaTopicDataObject" | "kafka" =>
         KafkaTopicDataObject(id, require(str(n, "topic"), id, "topic"),
           brokers = str(n, "brokers").getOrElse("localhost:9092"),

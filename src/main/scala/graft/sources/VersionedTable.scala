@@ -42,7 +42,8 @@ import org.apache.hadoop.fs.Path
   *   always moves through distributed parquet jobs.
   */
 case class VersionedTableDataObject(id: String, path: String,
-                                    primaryKey: Seq[String] = Seq.empty)
+                                    primaryKey: Seq[String] = Seq.empty,
+                                    checkpointInterval: Int = 10)
   extends DataObject with CanCreateDataFrame with CanWriteDataFrame with CanMergeDataFrame
   with CanWriteStreamingDataFrame with CanCreateIncrementalOutput {
 
@@ -80,33 +81,141 @@ case class VersionedTableDataObject(id: String, path: String,
 
   private def om = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  private def readLog(implicit ctx: ActionPipelineContext): Seq[Commit] = {
-    if (!fs.exists(logDir)) return Seq.empty
-    import scala.jdk.CollectionConverters._
-    // ONLY committed names (NNNNNNNN.json): a concurrent writer's
-    // _tmp_* file can vanish between list and read (it renames or
-    // deletes it), and half-written tmp content must never parse as log
-    fs.listStatus(logDir).map(_.getPath)
-      .filter(_.getName.matches("""\d{8}\.json"""))
-      .sortBy(_.getName).map { p =>
-        val n = om.readTree(readFully(p))
-        val stats = Option(n.get("stats")).map { s =>
-          s.fields().asScala.map { e =>
-            val v = e.getValue
-            def strMap(f: String) = Option(v.get(f)).map(_.fields().asScala
-              .map(x => x.getKey -> x.getValue.asText).toMap).getOrElse(Map.empty[String, String])
-            def longMap(f: String) = Option(v.get(f)).map(_.fields().asScala
-              .map(x => x.getKey -> x.getValue.asLong).toMap).getOrElse(Map.empty[String, Long])
-            e.getKey -> FileStat(v.get("rows").asLong, strMap("min"), strMap("max"), longMap("nulls"),
-              Option(v.get("bytes")).map(_.asLong).getOrElse(0L))
-          }.toMap
-        }.getOrElse(Map.empty[String, FileStat])
-        Commit(n.get("version").asInt,
-          n.get("added").elements().asScala.map(_.asText).toSeq,
-          n.get("removed").elements().asScala.map(_.asText).toSeq,
-          Option(n.get("schema")).map(_.asText), stats)
-      }.toSeq
+  /** The materialized table state at one version — what a reader needs
+    * (live files in add order, their stats, the committed schema) without
+    * any per-commit history. Reconstructed from the newest CHECKPOINT at
+    * or below the target version plus the commit tail after it — the
+    * public Delta checkpoint design: without it every operation re-parses
+    * the ENTIRE commit history, O(commits) driver I/O that grows without
+    * bound under a streaming sink committing once per micro-batch. */
+  private[graft] case class TableState(version: Int, files: Seq[String],
+                                       stats: Map[String, FileStat], schemaDdl: Option[String]) {
+    def schema: Option[StructType] = schemaDdl.map(StructType.fromDDL)
   }
+
+  /** Log-file parse counter (commit + checkpoint JSONs actually read) —
+    * instrumentation for the checkpoint-bounded-replay spec. */
+  @transient private[graft] var logFilesParsed: Long = 0L
+
+  /** ONE listing serves commit and checkpoint discovery. Only committed
+    * names (NNNNNNNN.json / NNNNNNNN.checkpoint.json): a concurrent
+    * writer's _tmp_* file can vanish between list and read (it renames or
+    * deletes it), and half-written tmp content must never parse as log. */
+  private def listLog(implicit ctx: ActionPipelineContext): (Seq[Int], Seq[Int]) = {
+    if (!fs.exists(logDir)) return (Seq.empty, Seq.empty)
+    val names = fs.listStatus(logDir).map(_.getPath.getName)
+    (names.filter(_.matches("""\d{8}\.json""")).map(_.take(8).toInt).sorted.toSeq,
+     names.filter(_.matches("""\d{8}\.checkpoint\.json""")).map(_.take(8).toInt).sorted.toSeq)
+  }
+
+  private def parseStats(v: com.fasterxml.jackson.databind.JsonNode): FileStat = {
+    import scala.jdk.CollectionConverters._
+    def strMap(f: String) = Option(v.get(f)).map(_.fields().asScala
+      .map(x => x.getKey -> x.getValue.asText).toMap).getOrElse(Map.empty[String, String])
+    def longMap(f: String) = Option(v.get(f)).map(_.fields().asScala
+      .map(x => x.getKey -> x.getValue.asLong).toMap).getOrElse(Map.empty[String, Long])
+    FileStat(v.get("rows").asLong, strMap("min"), strMap("max"), longMap("nulls"),
+      Option(v.get("bytes")).map(_.asLong).getOrElse(0L))
+  }
+
+  private def parseCommit(version: Int)(implicit ctx: ActionPipelineContext): Commit = {
+    import scala.jdk.CollectionConverters._
+    logFilesParsed += 1
+    val n = om.readTree(readFully(new Path(logDir, f"$version%08d.json")))
+    val stats = Option(n.get("stats")).map(_.fields().asScala
+      .map(e => e.getKey -> parseStats(e.getValue)).toMap)
+      .getOrElse(Map.empty[String, FileStat])
+    Commit(n.get("version").asInt,
+      n.get("added").elements().asScala.map(_.asText).toSeq,
+      n.get("removed").elements().asScala.map(_.asText).toSeq,
+      Option(n.get("schema")).map(_.asText), stats)
+  }
+
+  /** Full per-commit history — needed ONLY where commit granularity is the
+    * point (vacuum's log rebase). Everything else reads [[readState]]. */
+  private def readLog(implicit ctx: ActionPipelineContext): Seq[Commit] =
+    listLog._1.map(parseCommit)
+
+  /** Best-effort checkpoint read; None on absence or damage (a checkpoint
+    * is a pure read optimization — fall back to commit replay). */
+  private def readCheckpoint(version: Int)(implicit ctx: ActionPipelineContext): Option[TableState] =
+    try {
+      import scala.jdk.CollectionConverters._
+      logFilesParsed += 1
+      val n = om.readTree(readFully(new Path(logDir, f"$version%08d.checkpoint.json")))
+      val entries = n.get("files").elements().asScala.toSeq
+      Some(TableState(n.get("version").asInt,
+        entries.map(_.get("path").asText),
+        entries.flatMap(e => Option(e.get("stat")).map(s => e.get("path").asText -> parseStats(s))).toMap,
+        Option(n.get("schema")).map(_.asText)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** State at `version` (latest when None): newest usable checkpoint +
+    * fold of the ≤ checkpointInterval commits after it — O(tail), never
+    * O(history). None = empty log. Throws when `version` predates the
+    * retained log (same contract as before). */
+  private[graft] def readState(version: Option[Int] = None)
+                              (implicit ctx: ActionPipelineContext): Option[TableState] = {
+    val (commits, cps) = listLog
+    if (commits.isEmpty) return None
+    val target = version.getOrElse(commits.max)
+    val usable = commits.filter(_ <= target)
+    val base = cps.filter(_ <= target).sorted.reverse.iterator
+      .map(readCheckpoint).collectFirst { case Some(st) => st }
+    require(usable.nonEmpty || base.nonEmpty,
+      s"DataObject $id: version $target predates the log")
+    val init = base.getOrElse(TableState(-1, Seq.empty, Map.empty, None))
+    Some(usable.filter(_ > init.version).foldLeft(init) { (s, v) =>
+      val c = parseCommit(v)
+      val rm = c.removed.toSet
+      TableState(c.version, s.files.filterNot(rm) ++ c.added,
+        (s.stats -- rm) ++ c.stats, c.schema.orElse(s.schemaDdl))
+    })
+  }
+
+  private def stateOrFail(version: Option[Int])(implicit ctx: ActionPipelineContext): TableState =
+    readState(version).getOrElse(
+      throw new IllegalArgumentException(s"DataObject $id: no committed versions at $path"))
+
+  /** Write the checkpoint for `version` (deterministic content — racing
+    * writers produce identical bytes, so replace is safe). Best effort:
+    * a failed checkpoint costs replay time, never correctness. */
+  private def writeCheckpoint(version: Int)(implicit ctx: ActionPipelineContext): Unit =
+    try {
+      val st = readState(Some(version)).getOrElse(return)
+      val root = om.createObjectNode()
+      root.put("version", st.version)
+      st.schemaDdl.foreach(root.put("schema", _))
+      val fl = root.putArray("files")
+      st.files.foreach { f =>
+        val e = fl.addObject()
+        e.put("path", f)
+        st.stats.get(f).foreach { s =>
+          val n = e.putObject("stat")
+          n.put("rows", s.rows); n.put("bytes", s.bytes)
+          val mn = n.putObject("min"); s.min.toSeq.sortBy(_._1).foreach { case (k, v) => mn.put(k, v) }
+          val mx = n.putObject("max"); s.max.toSeq.sortBy(_._1).foreach { case (k, v) => mx.put(k, v) }
+          val nl = n.putObject("nulls"); s.nulls.toSeq.sortBy(_._1).foreach { case (k, v) => nl.put(k, v) }
+        }
+      }
+      val bytes = om.writeValueAsString(root).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val tmpName = f"_tmp_cp_$version%08d-${java.util.UUID.randomUUID.toString.take(8)}.json"
+      val dstName = f"$version%08d.checkpoint.json"
+      if ("file".equalsIgnoreCase(fs.getUri.getScheme)) {
+        val dir = java.nio.file.Paths.get(logDir.toUri.getPath)
+        val tmp = dir.resolve(tmpName)
+        java.nio.file.Files.write(tmp, bytes)
+        java.nio.file.Files.move(tmp, dir.resolve(dstName),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } else {
+        val tmp = new Path(logDir, tmpName); val dst = new Path(logDir, dstName)
+        val out = fs.create(tmp, false)
+        try out.write(bytes) finally out.close()
+        fs.delete(dst, false) // identical-content race: replace window is benign
+        if (!fs.rename(tmp, dst)) fs.delete(tmp, false)
+      }
+    } catch { case scala.util.control.NonFatal(_) => }
 
   private def readFully(p: Path)(implicit ctx: ActionPipelineContext): String = {
     val in = fs.open(p)
@@ -116,8 +225,18 @@ case class VersionedTableDataObject(id: String, path: String,
 
   /** Attempt the rename-commit; false = another writer claimed the
     * version (optimistic-concurrency loss, caller decides how to retry —
-    * the public Delta commit protocol). */
+    * the public Delta commit protocol). The winner of every
+    * `checkpointInterval`-th version also writes that version's
+    * checkpoint, bounding every later reader's replay to ≤ interval
+    * commits. */
   private def tryCommit(c: Commit)(implicit ctx: ActionPipelineContext): Boolean = {
+    val won = tryCommitRaw(c)
+    if (won && checkpointInterval > 0 && c.version > 0 && c.version % checkpointInterval == 0)
+      writeCheckpoint(c.version)
+    won
+  }
+
+  private def tryCommitRaw(c: Commit)(implicit ctx: ActionPipelineContext): Boolean = {
     val root = om.createObjectNode()
     root.put("version", c.version)
     val a = root.putArray("added"); c.added.foreach(a.add)
@@ -174,10 +293,11 @@ case class VersionedTableDataObject(id: String, path: String,
 
   /** Live file set at `asOfVersion` (latest when None). */
   private[graft] def snapshotFiles(asOfVersion: Option[Int] = None)(implicit ctx: ActionPipelineContext): Seq[String] =
-    snapshotFilesFrom(readLog, asOfVersion)
+    stateOrFail(asOfVersion).files
 
+  /** Head version straight off the directory listing — zero log parses. */
   def latestVersion(implicit ctx: ActionPipelineContext): Option[Int] =
-    readLog.lastOption.map(_.version)
+    listLog._1.maxOption
 
   override def getDataFrame(partitionValues: Seq[PartitionValues] = Seq.empty)
                            (implicit ctx: ActionPipelineContext): DataFrame =
@@ -185,38 +305,15 @@ case class VersionedTableDataObject(id: String, path: String,
 
   /** Time-travel read: the table exactly as of `version`, under that
     * version's committed schema (older files null-fill later columns —
-    * append-evolution semantics without per-file footer sampling). */
+    * append-evolution semantics without per-file footer sampling). ONE
+    * state read (checkpoint + ≤ interval tail commits) serves files +
+    * schema + stats — a streaming CDC sink pays O(interval), not
+    * O(history), per micro-batch. */
   def getDataFrameAsOf(version: Option[Int])(implicit ctx: ActionPipelineContext): DataFrame = {
-    // ONE log read serves files + schema + stats: the log is re-parsed
-    // per call site otherwise, and a streaming CDC sink pays that on
-    // every micro-batch against an ever-growing log
-    val log = readLog
-    val files = snapshotFilesFrom(log, version)
-    require(files.nonEmpty, s"DataObject $id: empty snapshot")
-    readFiles(files, committedSchemaFrom(log, version), liveFileStatsFrom(log, version))
+    val st = stateOrFail(version)
+    require(st.files.nonEmpty, s"DataObject $id: empty snapshot")
+    readFiles(st.files, st.schema, st.stats)
   }
-
-  private def snapshotFilesFrom(log: Seq[Commit], version: Option[Int]): Seq[String] = {
-    require(log.nonEmpty, s"DataObject $id: no committed versions at $path")
-    val upTo = version.map(v => log.filter(_.version <= v)).getOrElse(log)
-    require(upTo.nonEmpty, s"DataObject $id: version ${version.get} predates the log")
-    val removed = upTo.flatMap(_.removed).toSet
-    upTo.flatMap(_.added).filterNot(removed)
-  }
-
-  private def committedSchemaFrom(log: Seq[Commit], version: Option[Int]): Option[StructType] = {
-    val upTo = version.map(v => log.filter(_.version <= v)).getOrElse(log)
-    upTo.reverse.collectFirst { case Commit(_, _, _, Some(s), _) => StructType.fromDDL(s) }
-  }
-
-  private def liveFileStatsFrom(log: Seq[Commit], version: Option[Int]): Map[String, FileStat] = {
-    val upTo = version.map(v => log.filter(_.version <= v)).getOrElse(log)
-    val live = snapshotFilesFrom(log, version).toSet
-    upTo.flatMap(_.stats).filter(kv => live(kv._1)).toMap
-  }
-
-  private def committedSchema(version: Option[Int])(implicit ctx: ActionPipelineContext): Option[StructType] =
-    committedSchemaFrom(readLog, version)
 
   /** Read a file set through a log-backed [[org.apache.spark.sql.graftshims.GraftPrunedFileIndex]]:
     * ANY filter the user pushes on the returned DataFrame reaches the
@@ -338,7 +435,7 @@ case class VersionedTableDataObject(id: String, path: String,
     * simply have no entry → never pruned). */
   private[graft] def liveFileStats(version: Option[Int] = None)
                                   (implicit ctx: ActionPipelineContext): Map[String, FileStat] =
-    liveFileStatsFrom(readLog, version)
+    stateOrFail(version).stats
 
   /** Stage `df` as parquet files under a fresh `vNNN-xxxx/` subdir and
     * return their table-relative paths with footer stats. */
@@ -382,18 +479,17 @@ case class VersionedTableDataObject(id: String, path: String,
                              (implicit ctx: ActionPipelineContext): ActionMetrics = {
     val t0 = System.currentTimeMillis()
     val append = saveMode.contains(SdlSaveMode.Append)
-    val v0 = readLog.lastOption.map(_.version + 1).getOrElse(0)
+    val v0 = latestVersion.map(_ + 1).getOrElse(0)
     val (added, stats) = stage(df, v0)
     var attempt = 0
     var done = false
     while (!done) {
-      val log = readLog
-      val v = log.lastOption.map(_.version + 1).getOrElse(0)
-      val removed = if (append) Seq.empty else snapshotIfAny(log)
+      val st = readState(None)
+      val v = st.map(_.version + 1).getOrElse(0)
+      val removed = if (append) Seq.empty else st.map(_.files).getOrElse(Seq.empty)
       // schema evolution on append: committed schema = previous ∪ new (the
       // persisted-union-schema rule file objects use); overwrite resets it
-      val prevSchema = log.reverse.collectFirst { case Commit(_, _, _, Some(s), _) => s }
-      val schema = prevSchema match {
+      val schema = st.flatMap(_.schemaDdl) match {
         case Some(p) if append =>
           val prev = StructType.fromDDL(p)
           val extra = df.schema.filterNot(f => prev.exists(_.name.equalsIgnoreCase(f.name)))
@@ -413,11 +509,6 @@ case class VersionedTableDataObject(id: String, path: String,
     * commit supersedes them — no block-manager materialization needed. */
   override def writeDataFrameStaged(df: DataFrame)(implicit ctx: ActionPipelineContext): ActionMetrics =
     writeDataFrame(df, saveMode = Some(SdlSaveMode.Overwrite))
-
-  private def snapshotIfAny(log: Seq[Commit]): Seq[String] = {
-    val removed = log.flatMap(_.removed).toSet
-    log.flatMap(_.added).filterNot(removed)
-  }
 
   // ----------------------------------------------------------------------
   // File-pruned MERGE (the Delta findTouchedFiles design)
@@ -495,10 +586,10 @@ case class VersionedTableDataObject(id: String, path: String,
                               options: SaveModeMergeOptions = SaveModeMergeOptions())
                              (implicit ctx: ActionPipelineContext): ActionMetrics = {
     val t0 = System.currentTimeMillis()
-    val log = readLog
-    if (log.isEmpty) return writeDataFrame(df, saveMode = Some(SdlSaveMode.Overwrite))
-    val live = snapshotIfAny(log)
-    val schemaOpt = committedSchemaFrom(log, None)
+    val st0 = readState(None)
+    if (st0.isEmpty) return writeDataFrame(df, saveMode = Some(SdlSaveMode.Overwrite))
+    val live = st0.get.files
+    val schemaOpt = st0.get.schema
     val schema = schemaOpt.getOrElse(df.schema)
     val feed = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -518,7 +609,7 @@ case class VersionedTableDataObject(id: String, path: String,
           hi <- canonValue(t, b.get(b.fieldIndex(s"_max_$c")))
         } yield c -> (lo, hi)
       }.toMap
-      val liveStats = liveFileStatsFrom(log, None)
+      val liveStats = st0.get.stats
       val candidates = pruneByKeyBounds(live, liveStats, schema, joinCols, bounds, feedHasNullKeys)
       val touched = findTouchedFiles(candidates, schemaOpt,
         feed.select(joinCols.map(c => col(s"`$c`")): _*).distinct(), joinCols, liveStats)
@@ -526,23 +617,25 @@ case class VersionedTableDataObject(id: String, path: String,
         if (touched.nonEmpty) readFiles(touched, schemaOpt, liveStats)
         else ctx.spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
       val merged = MergeEmulation.computeMergedState(existingTouched, feed, joinCols, options)
-      val v = log.last.version + 1
+      val v = st0.get.version + 1
       val (added, stats) = stage(merged, v)
       // optimistic commit: on losing the rename race, the merge is only
       // retryable if no concurrent commit invalidated what we read —
-      // otherwise the whole merge must re-run against the new state
+      // otherwise the whole merge must re-run against the new state.
+      // Conflict validation parses ONLY the concurrent commits, not the
+      // whole log.
       var commitV = v
       var attempt = 0
       var done = tryCommit(Commit(commitV, added, touched, Some(schema.toDDL), stats))
       while (!done) {
         attempt += 1
-        val fresh = readLog
-        val concurrent = fresh.filter(_.version >= v)
+        val freshVers = listLog._1
+        val concurrent = freshVers.filter(_ >= v).map(parseCommit)
         if (attempt >= 20 || mergeConflicts(concurrent, touched, joinCols, bounds, schema, feedHasNullKeys))
           throw new java.util.ConcurrentModificationException(
             s"DataObject $id: concurrent commit(s) ${concurrent.map(_.version).mkString(",")} " +
               "overlap this merge's keys or files — re-run the merge against the new state")
-        commitV = fresh.last.version + 1
+        commitV = freshVers.max + 1
         done = tryCommit(Commit(commitV, added, touched, Some(schema.toDDL), stats))
       }
       ActionMetrics(rowsOf(stats), System.currentTimeMillis() - t0)
@@ -558,12 +651,10 @@ case class VersionedTableDataObject(id: String, path: String,
     * plan assertions. Conservative everywhere stats can't decide. */
   private[graft] def filesForFilters(filters: Seq[Filter], version: Option[Int] = None)
                                     (implicit ctx: ActionPipelineContext): Seq[String] = {
-    val log = readLog
-    val files = snapshotFilesFrom(log, version)
-    val stats = liveFileStatsFrom(log, version)
-    val schema = committedSchemaFrom(log, version).getOrElse(return files)
-    files.filter { f =>
-      stats.get(f).forall(st => filters.forall(mayContain(st, _, schema)))
+    val st = stateOrFail(version)
+    val schema = st.schema.getOrElse(return st.files)
+    st.files.filter { f =>
+      st.stats.get(f).forall(s => filters.forall(mayContain(s, _, schema)))
     }
   }
 
@@ -671,12 +762,15 @@ case class VersionedTableDataObject(id: String, path: String,
   def changesBetween(fromVersion: Int, toVersion: Option[Int] = None)
                     (implicit ctx: ActionPipelineContext): DataFrame = {
     require(primaryKey.nonEmpty, s"DataObject $id: change data feed needs primaryKey")
-    val log = readLog
-    val filesFrom = snapshotFilesFrom(log, Some(fromVersion)).toSet
-    val filesTo = snapshotFilesFrom(log, toVersion).toSet
-    val schema = committedSchemaFrom(log, toVersion).getOrElse(
+    // two bounded state reads — every file scanned below is live at one
+    // of the two versions, so their union covers all needed stats
+    val stFrom = stateOrFail(Some(fromVersion))
+    val stTo = stateOrFail(toVersion)
+    val filesFrom = stFrom.files.toSet
+    val filesTo = stTo.files.toSet
+    val schema = stTo.schema.getOrElse(
       throw new IllegalStateException(s"DataObject $id: no committed schema"))
-    val allStats = log.flatMap(_.stats).toMap // includes since-removed files
+    val allStats = stFrom.stats ++ stTo.stats
     val cols = schema.fieldNames.toSeq
     def side(files: Seq[String], tag: String) =
       readFiles(files, Some(schema), allStats)
@@ -709,9 +803,9 @@ case class VersionedTableDataObject(id: String, path: String,
     * every listed column, not just an incidental write order. */
   def optimize(targetFileCount: Int, zorderBy: Seq[String] = Seq.empty)
               (implicit ctx: ActionPipelineContext): Int = {
-    val log = readLog
-    val live = snapshotIfAny(log)
-    val v = log.last.version + 1
+    val st = stateOrFail(None)
+    val live = st.files
+    val v = st.version + 1
     val current = getDataFrame()
     val arranged =
       if (zorderBy.nonEmpty) graft.functions.ZOrder.cluster(current, zorderBy, targetFileCount)
@@ -745,6 +839,11 @@ case class VersionedTableDataObject(id: String, path: String,
     val baseSchema = log.filter(_.version <= cut).reverse
       .collectFirst { case Commit(_, _, _, Some(s), _) => s }
     val baseStats = log.flatMap(_.stats).toMap.filter(kv => baseFiles.contains(kv._1))
+    // checkpoints below the horizon MUST go first: a surviving checkpoint
+    // at w < cut would later replay against commits (w, cut) that no
+    // longer exist and double-add the rebased base's files
+    listLog._2.filter(_ < cut).foreach(v =>
+      fs.delete(new Path(logDir, f"$v%08d.checkpoint.json"), false))
     old.foreach(c => fs.delete(new Path(logDir, f"${c.version}%08d.json"), false))
     fs.delete(new Path(logDir, f"$cut%08d.json"), false)
     writeCommit(Commit(cut, baseFiles, Seq.empty, baseSchema, baseStats))

@@ -303,6 +303,41 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(changes(2, 3) == Set((3, "v3", "delete")))
   }
 
+  test("checkpointed log: reads replay checkpoint + tail, never the full history") {
+    val dir = Files.createTempDirectory("graft-vt").toString
+    val t = VersionedTableDataObject("vtcp", s"$dir/t", primaryKey = Seq("k"),
+      checkpointInterval = 10)
+    (0 until 25).foreach(i =>
+      t.writeDataFrame(Seq((i, s"v$i")).toDF("k", "v"), saveMode = Some(SdlSaveMode.Append)))
+    // winners of versions 10 and 20 wrote checkpoints
+    val logDir = java.nio.file.Paths.get(s"$dir/t/_graft_log")
+    assert(Files.exists(logDir.resolve("00000010.checkpoint.json")))
+    assert(Files.exists(logDir.resolve("00000020.checkpoint.json")))
+    // a head read parses the newest checkpoint + the 4-commit tail (21..24),
+    // NOT the 25-commit history
+    t.logFilesParsed = 0
+    assert(t.getDataFrame().count() == 25)
+    assert(t.logFilesParsed <= 5, s"parsed ${t.logFilesParsed} log files for a head read")
+    // latestVersion is pure listing — zero parses
+    t.logFilesParsed = 0
+    assert(t.latestVersion.contains(24))
+    assert(t.logFilesParsed == 0)
+    // time travel BELOW the newest checkpoint picks the right older base
+    assert(t.getDataFrameAsOf(Some(15)).count() == 16)
+    assert(t.getDataFrameAsOf(Some(3)).count() == 4)   // before any checkpoint: plain replay
+    // checkpoints carry stats: merge pruning and data skipping still engage
+    t.logFilesParsed = 0
+    val skipped = t.filesForFilters(Seq(org.apache.spark.sql.sources.EqualTo("k", 7)))
+    assert(t.logFilesParsed <= 5)
+    assert(skipped.size == 1, s"stats lost through checkpoint: ${skipped.size} candidate files")
+    // vacuum drops pre-horizon checkpoints so rebased replay can't double-add
+    t.vacuum(retainVersions = 3)                       // horizon = v22 > checkpoint 20
+    assert(!Files.exists(logDir.resolve("00000010.checkpoint.json")))
+    assert(!Files.exists(logDir.resolve("00000020.checkpoint.json")))
+    assert(t.getDataFrame().count() == 25)
+    assert(t.getDataFrame().where($"k" === 13).count() == 1)
+  }
+
   test("vacuum keeps files still referenced by retained snapshots") {
     val dir = Files.createTempDirectory("graft-vt").toString
     val t = VersionedTableDataObject("vt3", s"$dir/t")
