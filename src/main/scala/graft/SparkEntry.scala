@@ -2667,6 +2667,33 @@ object SparkEntry {
       consume()                                                            // delta only
       consume()  // no new commits → NoDataToProcess skip, sink untouched
       s.read.parquet(s"$tmp/out")
+    }),
+
+    // SemDeDup (Abbas et al. 2023): semantic dedup via k-means-clustered
+    // embedding space — within-cluster pairs only, keep the row farthest
+    // from the centroid. Planted EXACT copies (vec_id % 7 == 0, id+1000000,
+    // identical vector) land in the same cell as their source with equal
+    // centroid similarity, so the id tie-break drops the copy STRUCTURALLY
+    // — recall is REQUIRED 1.0 in-query; the emitted planted-drop list is
+    // what DuckDB recomputes relationally.
+    "q108_semdedup_planted" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      val copies = emb.where(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val corpus = emb.unionByName(copies)
+      val dropped = graft.functions.SemDeDup.droppedIds(
+        corpus, "vec_id", "embedding", k = 8, threshold = 0.99)
+      val plantedDropped = dropped.where(col("vec_id") >= 1000000L).cache()
+      val nPlanted = copies.count()
+      require(plantedDropped.count() == nPlanted,
+        "SemDeDup must drop every planted exact copy (id tie-break is structural)")
+      // the dedup is consistent: kept + dropped partitions the corpus
+      val kept = graft.functions.SemDeDup.semDeDup(
+        corpus, "vec_id", "embedding", k = 8, threshold = 0.99)
+      require(kept.count() + dropped.count() == corpus.count(),
+        "semDeDup(kept) and droppedIds must partition the corpus")
+      plantedDropped.select(col("vec_id").as("dropped_id"))
     })
   )
 
@@ -3951,6 +3978,13 @@ object SparkEntry {
         |FROM cust WHERE ck <= 1000 AND ck % 13 = 0
         |UNION ALL SELECT ck, c_name, ab, 'insert'
         |FROM cust WHERE ck > 1000 AND ck <= 1100""".stripMargin,
+    // q108: the planted-copy drop is structural (same vector → same
+    // cluster, equal centroid sim, id tie-break) — REQUIREd in-query, so
+    // the emitted drop list equals the planted list, which DuckDB
+    // rebuilds without any clustering
+    "q108_semdedup_planted" ->
+      """SELECT CAST(vec_id + 1000000 AS BIGINT) AS dropped_id
+        |FROM embeddings WHERE vec_id % 7 = 0""".stripMargin,
     // q98: every historical snapshot recomputed relationally; the
     // post-OPTIMIZE latest must equal v2 exactly
     "q98_versioned_time_travel" ->
