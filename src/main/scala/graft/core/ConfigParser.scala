@@ -327,8 +327,11 @@ object ConfigParser {
     typeName(n, id) match {
       case "CopyAction" | "copy" =>
         CopyAction(id, require(str(n, "inputId"), id, "inputId"),
-          require(str(n, "outputId"), id, "outputId"), transformers, saveMode, execMode,
-          execCond, metricsFail, breakDataFrameLineage = bool(n, "breakDataFrameLineage"),
+          require(str(n, "outputId"), id, "outputId"), transformers,
+          deleteDataAfterRead = bool(n, "deleteDataAfterRead"),
+          saveMode = saveMode, executionMode = execMode,
+          executionCondition = execCond, metricsFailCondition = metricsFail,
+          breakDataFrameLineage = bool(n, "breakDataFrameLineage"),
           saveModeOptions = saveModeOptions)
       case "CustomDataFrameAction" | "customDataFrame" =>
         val sqls = strMap(n, "outputSql")
@@ -345,6 +348,8 @@ object ConfigParser {
           primaryKey = strSeq(n, "primaryKey"), transformers = transformers,
           mergeModeEnable = bool(n, "mergeModeEnable"),
           updateCapturedColumnOnlyWhenChanged = bool(n, "updateCapturedColumnOnlyWhenChanged"),
+          ignoreOldDeletedColumns = bool(n, "ignoreOldDeletedColumns"),
+          mergeModeAdditionalJoinPredicate = str(n, "mergeModeAdditionalJoinPredicate"),
           executionMode = execMode,
           executionCondition = execCond, metricsFailCondition = metricsFail)
       case "HistorizeAction" | "historize" =>
@@ -356,6 +361,12 @@ object ConfigParser {
             require(str(c, "timestampColumn"), id, "cdcOptions.timestampColumn"),
             require(str(c, "operationColumn"), id, "cdcOptions.operationColumn"),
             str(c, "deleteValue").getOrElse("d"))),
+          filterClause = str(n, "filterClause"),
+          historizeBlacklist = Some(strSeq(n, "historizeBlacklist")).filter(_.nonEmpty),
+          historizeWhitelist = Some(strSeq(n, "historizeWhitelist")).filter(_.nonEmpty),
+          ignoreOldDeletedColumns = bool(n, "ignoreOldDeletedColumns"),
+          mergeModeEnable = bool(n, "mergeModeEnable"),
+          mergeModeAdditionalJoinPredicate = str(n, "mergeModeAdditionalJoinPredicate"),
           executionMode = execMode,
           executionCondition = execCond, metricsFailCondition = metricsFail)
       case "FileTransferAction" | "fileTransfer" =>

@@ -79,6 +79,7 @@ abstract class DataFrameAction extends Action {
       case f: SparkFileDataObject if f.exists => Some(f.getDataFrame())
       case tt: TickTockHiveTableDataObject if tt.isTableExisting => Some(tt.getDataFrame())
       case t: TableDataObject if t.isTableExisting => Some(t.getDataFrame())
+      case v: VersionedTableDataObject if v.latestVersion.isDefined => Some(v.getDataFrame())
       case _ => None
     }
 
@@ -133,6 +134,10 @@ abstract class DataFrameAction extends Action {
 case class CopyAction(
     id: String, inputId: String, outputId: String,
     transformers: Seq[DfTransformer] = Seq.empty,
+    /** delete the copied input data after a successful write (reference
+      * `CopyAction.deleteDataAfterRead`): read partitions when the run was
+      * partitioned, everything otherwise — the file-handoff pattern */
+    deleteDataAfterRead: Boolean = false,
     override val saveMode: Option[SdlSaveMode] = None,
     override val executionMode: Option[graft.operators.modes.ExecutionMode] = None,
     override val executionCondition: Option[Condition] = None,
@@ -144,17 +149,21 @@ case class CopyAction(
   def inputIds: Seq[String] = Seq(inputId)
   def outputIds: Seq[String] = Seq(outputId)
 
-  private def buildOutput(subFeeds: Seq[SubFeed])(implicit ctx: ActionPipelineContext): SubFeed = {
+  /** returns (output subfeed, INPUT partition values) — deletion after a
+    * partitioned copy must target the input's partitions, not the
+    * transformer-mapped output ones */
+  private def buildOutput(subFeeds: Seq[SubFeed])(implicit ctx: ActionPipelineContext): (SubFeed, Seq[PartitionValues]) = {
     val in0 = subFeeds.find(_.dataObjectId == inputId)
       .getOrElse(SubFeed(inputId))
     val in = applyExecutionMode(in0)
     val df = in.dataFrame.getOrElse(readInput(inputId, in.partitionValues))
     val out = applyTransformers(df, inputId)
-    SubFeed(outputId, Some(out), transformers.foldLeft(in.partitionValues)((pvs, t) => t.transformPartitionValues(pvs)))
+    (SubFeed(outputId, Some(out), transformers.foldLeft(in.partitionValues)((pvs, t) => t.transformPartitionValues(pvs))),
+      in.partitionValues)
   }
 
   override def init(subFeeds: Seq[SubFeed])(implicit ctx: ActionPipelineContext): Seq[SubFeed] = {
-    val out = buildOutput(subFeeds)
+    val (out, _) = buildOutput(subFeeds)
     ctx.registry.dataObject(outputId) match {
       case w: CanWriteDataFrame => w.initWrite(out.dataFrame.get)
       case _ => ()
@@ -166,8 +175,16 @@ case class CopyAction(
     executionMode match {
       case Some(m: graft.operators.modes.SparkStreamingMode) => execStreaming(m)
       case _ =>
-        val out = buildOutput(subFeeds)
+        val (out, inPvs) = buildOutput(subFeeds)
         val metrics = writeOutput(outputId, out.dataFrame.get, out.partitionValues)
+        // only AFTER the write committed (reference postExecSuccess)
+        if (deleteDataAfterRead) ctx.registry.dataObject(inputId) match {
+          case p: graft.sources.SparkFileDataObject if p.partitions.nonEmpty && inPvs.nonEmpty =>
+            p.deletePartitions(inPvs)
+          case f: graft.sources.SparkFileDataObject => f.deleteAll
+          case other => throw new IllegalStateException(
+            s"Action $id: input ${other.id} doesn't support deleting data")
+        }
         Seq(maybeBreakLineage(out.copy(metrics = Some(metrics))))
     }
 

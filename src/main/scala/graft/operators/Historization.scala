@@ -47,10 +47,13 @@ object Historization {
     * @param refTs    capture timestamp of this load (deterministic input →
     *                 deterministic output; callers default it to now())
     */
+  /** @param compareCols columns participating in change detection (the
+    *                     reference's historizeWhitelist/Blacklist resolved
+    *                     by the action); None = all non-pk columns */
   def fullHistorize(existing: DataFrame, newFeed: DataFrame, pk: Seq[String],
-                    refTs: Timestamp): DataFrame = {
+                    refTs: Timestamp, compareCols: Option[Seq[String]] = None): DataFrame = {
     val attrs = newFeed.columns.toSeq
-    val valueAttrs = attrs.filterNot(pk.contains)
+    val valueAttrs = compareCols.getOrElse(attrs.filterNot(pk.contains))
     val history = existing.where(col(delimited) =!= lit(doomsday))
     val current = existing.where(col(delimited) === lit(doomsday))
 
@@ -88,9 +91,9 @@ object Historization {
     * MERGE support can apply [[incrementalHistorizeOps]] instead.
     */
   def incrementalHistorize(existing: DataFrame, newFeed: DataFrame, pk: Seq[String],
-                           refTs: Timestamp): DataFrame = {
+                           refTs: Timestamp, compareCols: Option[Seq[String]] = None): DataFrame = {
     val attrs = newFeed.columns.toSeq
-    val valueAttrs = attrs.filterNot(pk.contains)
+    val valueAttrs = compareCols.getOrElse(attrs.filterNot(pk.contains))
     val history = existing.where(col(delimited) =!= lit(doomsday))
     val current = existing.where(col(delimited) === lit(doomsday))
 
@@ -115,6 +118,38 @@ object Historization {
 
     val updated = joined.select(explode(ops).as("r")).where(col("r").isNotNull).select(col("r.*"))
     history.select(updated.columns.map(c => col(s"`$c`")).toIndexedSeq: _*).unionByName(updated)
+  }
+
+  /** operation-tag column for MERGE-mode historization (reference
+    * `Historization.historizeOperationColName`) */
+  val operationCol = "_historize_op"
+
+  /** Ops-only incremental historization for MERGE sinks (the reference's
+    * `mergeModeEnable` algorithm, `HistorizeAction.scala:140-161`): emits
+    * ONLY the rows a merge must write, tagged in [[operationCol]] —
+    * `updateClose` rows carrying the closed record's original captured ts
+    * plus the new delimited ts, and `insertNew` rows for changed/new
+    * versions. Unchanged and absent keys emit NOTHING, so with a pruned
+    * MERGE sink ([[graft.sources.VersionedTableDataObject]]) a load costs
+    * O(changes), not O(table) — the reason merge mode exists at 100 TB.
+    * `current` must be the OPEN records only (delimited = doomsday). */
+  def incrementalHistorizeOps(current: DataFrame, newFeed: DataFrame, pk: Seq[String],
+                              refTs: Timestamp, compareCols: Option[Seq[String]] = None): DataFrame = {
+    val attrs = newFeed.columns.toSeq
+    val valueAttrs = compareCols.getOrElse(attrs.filterNot(pk.contains))
+    val joined = current.alias("e").join(
+      newFeed.alias("n"),
+      pk.map(k => col(s"e.`$k`") <=> col(s"n.`$k`")).reduce(_ and _),
+      "right")
+    val eExists = col(s"e.`${pk.head}`").isNotNull
+    val unchanged = if (valueAttrs.nonEmpty) nullSafeEq(valueAttrs, "e", "n") else lit(true)
+    def rec(side: String, cap: Column, del: Column, op: String): Column =
+      struct((attrs.map(a => col(s"$side.`$a`").as(a)) :+ cap.as(captured)) :+
+        del.as(delimited) :+ lit(op).as(operationCol): _*)
+    val ops = array(
+      when(eExists and !unchanged, rec("e", col(s"e.`$captured`"), lit(closeTs(refTs)), "updateClose")),
+      when(!eExists or !unchanged, rec("n", lit(refTs), lit(doomsday), "insertNew")))
+    joined.select(explode(ops).as("r")).where(col("r").isNotNull).select(col("r.*"))
   }
 
   /** CDC historization: replay a change stream (insert/update/delete ops

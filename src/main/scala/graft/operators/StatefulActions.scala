@@ -29,6 +29,16 @@ abstract class StatefulAction extends DataFrameAction {
   protected def readExisting(expected: DataFrame)(implicit ctx: ActionPipelineContext): Option[DataFrame] =
     readCurrentStateIfExists(outputId)
 
+  /** the output as a MERGE target, when it already holds committed state —
+    * catalog/JDBC tables and the versioned lakehouse table */
+  protected def mergeTargetIfExisting(output: DataObject)
+                                     (implicit ctx: ActionPipelineContext): Option[CanMergeDataFrame] =
+    output match {
+      case m: CanMergeDataFrame with TableDataObject if m.isTableExisting => Some(m)
+      case v: VersionedTableDataObject if v.latestVersion.isDefined => Some(v)
+      case _ => None
+    }
+
   /** write new full state; ALWAYS staged — the plan reads the same object
     * it overwrites, and a plain Overwrite truncates the source before the
     * plan runs (JDBC drops the table first, Hive refuses outright) */
@@ -47,6 +57,11 @@ abstract class StatefulAction extends DataFrameAction {
 
   protected def computeState(feed: DataFrame, existing: Option[DataFrame])
                             (implicit ctx: ActionPipelineContext): DataFrame
+
+  /** When true, columns present in the stored state but absent from the
+    * feed are DROPPED from the merged schema instead of carried null-filled
+    * (reference `ignoreOldDeletedColumns`). */
+  protected def ignoreDeletedColumns: Boolean = false
 
   /** Feed-side technical columns excluded from the schema-drift compare and
     * re-attached after alignment — the CDC operation column is consumed by
@@ -73,7 +88,7 @@ abstract class StatefulAction extends DataFrameAction {
         val feedBiz = feed.drop(feedTech: _*)
         if (!SchemaEvolution.hasSchemaChanged(eBiz.schema, feedBiz.schema)) (feed, Some(e))
         else {
-          val target = SchemaEvolution.mergedSchema(eBiz.schema, feedBiz.schema)
+          val target = SchemaEvolution.mergedSchema(eBiz.schema, feedBiz.schema, ignoreDeletedColumns)
           val targetFeed = org.apache.spark.sql.types.StructType(
             target.fields ++ feed.schema.fields.filter(f => feedTech.contains(f.name)))
           val targetFull = org.apache.spark.sql.types.StructType(
@@ -114,11 +129,19 @@ case class DeduplicateAction(
     transformers: Seq[DfTransformer] = Seq.empty,
     mergeModeEnable: Boolean = false,
     updateCapturedColumnOnlyWhenChanged: Boolean = false,
+    /** drop stored columns absent from the feed instead of carrying them
+      * null-filled (reference `ignoreOldDeletedColumns`) */
+    ignoreOldDeletedColumns: Boolean = false,
+    /** extra predicate ANDed into the merge join (reference
+      * `mergeModeAdditionalJoinPredicate`) */
+    mergeModeAdditionalJoinPredicate: Option[String] = None,
     override val referenceTimestamp: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
     override val executionMode: Option[graft.operators.modes.ExecutionMode] = None,
     override val executionCondition: Option[Condition] = None,
     override val metricsFailCondition: Option[String] = None)
   extends StatefulAction {
+
+  override protected def ignoreDeletedColumns: Boolean = ignoreOldDeletedColumns
 
   override protected def computeState(feed: DataFrame, existing: Option[DataFrame])
                                      (implicit ctx: ActionPipelineContext): DataFrame = {
@@ -138,8 +161,8 @@ case class DeduplicateAction(
 
   override def exec(subFeeds: Seq[SubFeed])(implicit ctx: ActionPipelineContext): Seq[SubFeed] = {
     val output = ctx.registry.dataObject(outputId)
-    (output, mergeModeEnable) match {
-      case (m: CanMergeDataFrame with TableDataObject, true) if m.isTableExisting =>
+    (if (mergeModeEnable) mergeTargetIfExisting(output) else None) match {
+      case Some(m) =>
         // merge mode: upsert only the feed (reference DeduplicateAction.scala:106-113)
         val pk = effectivePk
         val refTs = referenceTimestamp()
@@ -147,9 +170,10 @@ case class DeduplicateAction(
         val changePredicate = feed.columns.filterNot(c => pk.contains(c) || c == Historization.captured)
           .map(c => s"NOT (existing.`$c` <=> new.`$c`)").mkString(" OR ")
         val opts =
-          if (updateCapturedColumnOnlyWhenChanged && changePredicate.nonEmpty)
+          (if (updateCapturedColumnOnlyWhenChanged && changePredicate.nonEmpty)
             SaveModeMergeOptions(updateCondition = Some(changePredicate))
-          else SaveModeMergeOptions()
+          else SaveModeMergeOptions())
+            .copy(additionalMergePredicate = mergeModeAdditionalJoinPredicate)
         val metrics = m.mergeDataFrame(feed, pk, opts)
         // consistent with the non-merge path: downstream re-reads the full
         // committed table (propagating only the feed would make a
@@ -172,17 +196,52 @@ case class HistorizeAction(
     transformers: Seq[DfTransformer] = Seq.empty,
     incrementalUpdate: Boolean = false,
     cdcOptions: Option[CdcOptions] = None,
+    /** historize only the existing rows matching this SQL expression; the
+      * remainder passes through untouched (reference `filterClause`) —
+      * bounds the compare to the affected subset at scale */
+    filterClause: Option[String] = None,
+    /** columns EXCLUDED from change detection (reference
+      * `historizeBlacklist`) — volatile technical columns don't open new
+      * versions; mutually exclusive with the whitelist */
+    historizeBlacklist: Option[Seq[String]] = None,
+    /** the ONLY columns participating in change detection (reference
+      * `historizeWhitelist`) */
+    historizeWhitelist: Option[Seq[String]] = None,
+    /** drop stored columns absent from the feed instead of carrying them
+      * null-filled (reference `ignoreOldDeletedColumns`) */
+    ignoreOldDeletedColumns: Boolean = false,
+    /** upsert only the changed/new version rows through a MERGE-capable
+      * output instead of rewriting the whole history (reference
+      * `mergeModeEnable`) — with a file-pruned merge sink a load costs
+      * O(changes), not O(table) */
+    mergeModeEnable: Boolean = false,
+    /** extra predicate ANDed into the merge join (reference
+      * `mergeModeAdditionalJoinPredicate`) — lets the sink prune
+      * partitions/files beyond the primary key */
+    mergeModeAdditionalJoinPredicate: Option[String] = None,
     override val referenceTimestamp: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
     override val executionMode: Option[graft.operators.modes.ExecutionMode] = None,
     override val executionCondition: Option[Condition] = None,
     override val metricsFailCondition: Option[String] = None)
   extends StatefulAction {
 
+  require(historizeWhitelist.isEmpty || historizeBlacklist.isEmpty,
+    s"Action $id: historizeWhitelist and historizeBlacklist are mutually exclusive")
+
   // the operation column never reaches the stored history (cdcHistorize drops
   // it); the event-time column DOES persist as a business column, so only the
   // op column must be kept out of the drift compare
   override protected def feedTechColumns: Seq[String] =
     cdcOptions.map(_.operationColumn).toSeq
+
+  override protected def ignoreDeletedColumns: Boolean = ignoreOldDeletedColumns
+
+  /** whitelist → exactly those (minus pk); blacklist → all non-pk feed
+    * columns except those; None → default all-non-pk compare */
+  private def compareColsFor(feed: DataFrame, pk: Seq[String]): Option[Seq[String]] =
+    historizeWhitelist.map(_.filterNot(pk.contains)).orElse(
+      historizeBlacklist.map(b =>
+        feed.columns.toSeq.filterNot(pk.contains).filterNot(b.contains)))
 
   override protected def computeState(feed: DataFrame, existing: Option[DataFrame])
                                      (implicit ctx: ActionPipelineContext): DataFrame = {
@@ -194,13 +253,59 @@ case class HistorizeAction(
         val replayed = Historization.cdcHistorize(feed, pk, cdc.timestampColumn, cdc.operationColumn, cdc.deleteValue)
         existing.fold(replayed)(e => mergeCdc(e, replayed, feed, cdc.timestampColumn, pk))
       case None =>
+        val cmp = compareColsFor(feed, pk)
         existing match {
-          case Some(e) if incrementalUpdate => Historization.incrementalHistorize(e, feed, pk, refTs)
-          case Some(e) => Historization.fullHistorize(e, feed, pk, refTs)
+          case Some(e) if incrementalUpdate => Historization.incrementalHistorize(e, feed, pk, refTs, cmp)
+          case Some(e) =>
+            // filterClause (full mode only, like the reference): historize
+            // the matching slice; the rest of the history passes through
+            filterClause match {
+              case Some(fc) =>
+                Historization.fullHistorize(e.where(expr(fc)), feed, pk, refTs, cmp)
+                  .unionByName(e.where(!expr(fc)))
+              case None => Historization.fullHistorize(e, feed, pk, refTs, cmp)
+            }
           case None =>
             feed.withColumn(Historization.captured, lit(refTs))
               .withColumn(Historization.delimited, lit(Historization.doomsday))
         }
+    }
+  }
+
+  /** MERGE mode (reference `HistorizeAction.scala:140-161`): write ONLY
+    * the `updateClose` + `insertNew` operation rows through the output's
+    * MERGE. The join is on pk with `new.captured = existing.captured`
+    * ANDed in, so a close row updates exactly the open record it read and
+    * an insert row (captured = refTs) matches nothing. */
+  override def exec(subFeeds: Seq[SubFeed])(implicit ctx: ActionPipelineContext): Seq[SubFeed] = {
+    val output = ctx.registry.dataObject(outputId)
+    (if (mergeModeEnable && cdcOptions.isEmpty) mergeTargetIfExisting(output) else None) match {
+      case Some(m) =>
+        val pk = effectivePk
+        require(pk.nonEmpty, s"Action $id: primaryKey required for historization")
+        val refTs = referenceTimestamp()
+        val feed0 = transformedInput(subFeeds)
+        val (feed, existingOpt) = evolveForState(feed0.dropDuplicates(pk), readExisting(feed0))
+        val existing = existingOpt.getOrElse(
+          throw new IllegalStateException(s"Action $id: merge mode needs readable existing state"))
+        val current = existing.where(col(Historization.delimited) === lit(Historization.doomsday))
+        // the reference's checkDataFrameNotNewerThan guard: an existing
+        // capture at/after refTs would make the insert row's captured
+        // collide with the close predicate and double-match
+        val newest = current.agg(max(col(Historization.captured))).head().getTimestamp(0)
+        require(newest == null || newest.before(refTs),
+          s"Action $id: existing state captured at $newest is not older than reference timestamp $refTs")
+        val ops = Historization.incrementalHistorizeOps(current, feed, pk, refTs, compareColsFor(feed, pk))
+        val predicate = (Seq(s"new.`${Historization.captured}` = existing.`${Historization.captured}`") ++
+          mergeModeAdditionalJoinPredicate).mkString(" and ")
+        val opts = SaveModeMergeOptions(
+          updateCondition = Some(s"new.`${Historization.operationCol}` = 'updateClose'"),
+          updateColumns = Seq(Historization.delimited),
+          insertCondition = Some(s"new.`${Historization.operationCol}` = 'insertNew'"),
+          additionalMergePredicate = Some(predicate))
+        val metrics = m.mergeDataFrame(ops, pk, opts)
+        Seq(SubFeed(outputId, None, metrics = Some(metrics)))
+      case _ => super.exec(subFeeds)
     }
   }
 

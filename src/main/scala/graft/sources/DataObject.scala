@@ -484,6 +484,16 @@ abstract class SparkFileDataObject extends DataObject
       if (rel.nonEmpty) fs.delete(new Path(hadoopPath, rel), true)
     }
 
+  /** Delete all data files/partition directories (reference
+    * `FileRefDataObject.deleteAll`, used by `deleteDataAfterRead`);
+    * metadata sidecars (_schema, .sample) survive so the object stays
+    * readable-by-schema after the handoff. */
+  def deleteAll(implicit ctx: ActionPipelineContext): Unit =
+    if (fs.exists(hadoopPath))
+      fs.listStatus(hadoopPath).map(_.getPath)
+        .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+        .foreach(p => fs.delete(p, true))
+
   override def getStreamingDataFrame(extraOptions: Map[String, String], userSchema: Option[StructType])
                                     (implicit ctx: ActionPipelineContext): DataFrame = {
     val s = userSchema.orElse(schema).getOrElse(
