@@ -2694,6 +2694,35 @@ object SparkEntry {
       require(kept.count() + dropped.count() == corpus.count(),
         "semDeDup(kept) and droppedIds must partition the corpus")
       plantedDropped.select(col("vec_id").as("dropped_id"))
+    }),
+
+    // Merge-mode SCD2 historization end-to-end (reference mergeModeEnable):
+    // load 2 writes ONLY the updateClose/insertNew op rows through the
+    // versioned table's file-pruned MERGE — REQUIREd via the commit count
+    // (exactly 2 versions: initial write + one merge commit). Same
+    // incremental semantics as q19, so the oracle recomputes the SCD2
+    // state relationally.
+    "q109_historize_merge_mode" -> ((s, dir) => {
+      implicit val c: ActionPipelineContext = ctx(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q109").toString
+      val customer = t(s, dir, "customer")
+      c.registry.register(sources.ParquetFileDataObject("q109_feed", s"$tmp/feed"))
+      c.registry.register(sources.VersionedTableDataObject("q109_hist", s"$tmp/hist",
+        primaryKey = Seq("c_custkey")))
+      def run(ts: java.sql.Timestamp): Unit =
+        new ActionDAGRun(Seq(operators.HistorizeAction("h109", "q109_feed", "q109_hist",
+          Seq("c_custkey"), mergeModeEnable = true, referenceTimestamp = () => ts))).run()
+      customer.select(col("c_custkey"), col("c_acctbal"))
+        .repartition(4).write.parquet(s"$tmp/feed")
+      run(T1)
+      customer.where(col("c_custkey") % 4 === 0)
+        .select(col("c_custkey"), (col("c_acctbal") + 50.0).as("c_acctbal"))
+        .write.mode("overwrite").parquet(s"$tmp/feed")
+      run(T2)
+      val vt = c.registry.dataObject("q109_hist").asInstanceOf[sources.VersionedTableDataObject]
+      require(vt.latestVersion.contains(1),
+        s"merge mode must commit exactly one merge version, got ${vt.latestVersion}")
+      fmtTs(vt.getDataFrame(), operators.Historization.captured, operators.Historization.delimited)
     })
   )
 
@@ -3978,6 +4007,29 @@ object SparkEntry {
         |FROM cust WHERE ck <= 1000 AND ck % 13 = 0
         |UNION ALL SELECT ck, c_name, ab, 'insert'
         |FROM cust WHERE ck > 1000 AND ck <= 1100""".stripMargin,
+    // q109: merge-mode historize = q19's incremental SCD2 semantics (keys
+    // absent from the feed stay untouched), reached through the action +
+    // versioned-table MERGE instead of a full-state rewrite
+    "q109_historize_merge_mode" ->
+      """SELECT c_custkey, c_acctbal,
+        |  strftime(dl_ts_captured, '%Y-%m-%d %H:%M:%S.%g') AS dl_ts_captured,
+        |  strftime(dl_ts_delimited, '%Y-%m-%d %H:%M:%S.%g') AS dl_ts_delimited
+        |FROM (
+        |WITH cur AS (SELECT c_custkey, c_acctbal FROM customer),
+        |feed AS (SELECT c_custkey, c_acctbal + 50.0 AS c_acctbal FROM customer WHERE c_custkey % 4 = 0)
+        |SELECT e.c_custkey, e.c_acctbal,
+        |  TIMESTAMP '2024-01-01' AS dl_ts_captured, TIMESTAMP '9999-12-31' AS dl_ts_delimited
+        |FROM cur e LEFT JOIN feed n ON e.c_custkey = n.c_custkey
+        |WHERE n.c_custkey IS NULL OR e.c_acctbal = n.c_acctbal
+        |UNION ALL
+        |SELECT e.c_custkey, e.c_acctbal, TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-01 23:59:59.999'
+        |FROM cur e JOIN feed n ON e.c_custkey = n.c_custkey
+        |WHERE e.c_acctbal <> n.c_acctbal
+        |UNION ALL
+        |SELECT n.c_custkey, n.c_acctbal, TIMESTAMP '2024-01-02', TIMESTAMP '9999-12-31'
+        |FROM feed n LEFT JOIN cur e ON n.c_custkey = e.c_custkey
+        |WHERE e.c_custkey IS NULL OR e.c_acctbal <> n.c_acctbal
+        |)""".stripMargin,
     // q108: the planted-copy drop is structural (same vector → same
     // cluster, equal centroid sim, id tie-break) — REQUIREd in-query, so
     // the emitted drop list equals the planted list, which DuckDB
