@@ -2723,6 +2723,36 @@ object SparkEntry {
       require(vt.latestVersion.contains(1),
         s"merge mode must commit exactly one merge version, got ${vt.latestVersion}")
       fmtTs(vt.getDataFrame(), operators.Historization.captured, operators.Historization.delimited)
+    }),
+
+    // Partitioned versioned table (Delta partitionValues design): values
+    // live in the LOG, not the data files. v1 = dynamic partition
+    // overwrite replaces ONLY status F; v2 = deletePartitions('P') is a
+    // pure metadata commit (REQUIREd: every pre-delete file still on
+    // disk, partition filter scans fewer files than the snapshot holds).
+    // DuckDB recomputes the final state relationally.
+    "q110_versioned_partitions" -> ((s, dir) => {
+      implicit val c: ActionPipelineContext = ctx(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q110").toString
+      val orders = t(s, dir, "orders").where(col("o_orderkey") <= 20000)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_totalprice").cast("double").as("o_totalprice"), col("o_orderstatus"))
+      val vt = sources.VersionedTableDataObject("q110_vt", s"$tmp/t",
+        primaryKey = Seq("o_orderkey"), partitions = Seq("o_orderstatus"))
+      vt.writeDataFrame(orders)                                            // v0
+      vt.writeDataFrame(orders.where(col("o_orderstatus") === "F")
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1.0)),
+        saveMode = Some(SdlSaveMode.OverwriteOptimized))                   // v1: F only
+      val preDelete = vt.snapshotFiles().toSet
+      vt.deletePartitions(Seq(PartitionValues("o_orderstatus" -> "P")))    // v2: metadata only
+      require(preDelete.forall(f =>
+        java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tmp/t/$f"))),
+        "deletePartitions must not touch data files")
+      val filtered = vt.filesForFilters(Seq(
+        org.apache.spark.sql.sources.EqualTo("o_orderstatus", "O")))
+      require(filtered.size < vt.snapshotFiles().size,
+        s"partition filter must prune: planned ${filtered.size} of ${vt.snapshotFiles().size}")
+      vt.getDataFrame()
     })
   )
 
@@ -4030,6 +4060,14 @@ object SparkEntry {
         |FROM feed n LEFT JOIN cur e ON n.c_custkey = e.c_custkey
         |WHERE e.c_custkey IS NULL OR e.c_acctbal <> n.c_acctbal
         |)""".stripMargin,
+    // q110: final state = non-P orders, F partition carrying the +1.0
+    // overwrite — the partition ops recompute relationally
+    "q110_versioned_partitions" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |  CAST(o_totalprice AS DOUBLE) +
+        |    CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS o_totalprice,
+        |  o_orderstatus
+        |FROM orders WHERE o_orderkey <= 20000 AND o_orderstatus <> 'P'""".stripMargin,
     // q108: the planted-copy drop is structural (same vector → same
     // cluster, equal centroid sim, id tie-break) — REQUIREd in-query, so
     // the emitted drop list equals the planted list, which DuckDB

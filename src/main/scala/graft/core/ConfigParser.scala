@@ -219,7 +219,8 @@ object ConfigParser {
       case "VersionedTableDataObject" | "versionedTable" =>
         VersionedTableDataObject(id, require(str(n, "path"), id, "path"),
           primaryKey = strSeq(n, "primaryKey"),
-          checkpointInterval = int(n, "checkpointInterval").getOrElse(10))
+          checkpointInterval = int(n, "checkpointInterval").getOrElse(10),
+          partitions = strSeq(n, "partitions"))
       case "KafkaTopicDataObject" | "kafka" =>
         KafkaTopicDataObject(id, require(str(n, "topic"), id, "topic"),
           brokers = str(n, "brokers").getOrElse("localhost:9092"),

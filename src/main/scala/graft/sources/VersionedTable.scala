@@ -43,9 +43,16 @@ import org.apache.hadoop.fs.Path
   */
 case class VersionedTableDataObject(id: String, path: String,
                                     primaryKey: Seq[String] = Seq.empty,
-                                    checkpointInterval: Int = 10)
+                                    checkpointInterval: Int = 10,
+                                    /** partition columns (the Delta `partitionValues` design):
+                                      * values live in the LOG, not the data files — partition
+                                      * deletes are metadata-only commits, dynamic partition
+                                      * overwrite supersedes exactly the written partitions, and
+                                      * partition filters prune at plan time without reading a
+                                      * footer */
+                                    partitions: Seq[String] = Seq.empty)
   extends DataObject with CanCreateDataFrame with CanWriteDataFrame with CanMergeDataFrame
-  with CanWriteStreamingDataFrame with CanCreateIncrementalOutput {
+  with CanWriteStreamingDataFrame with CanCreateIncrementalOutput with CanHandlePartitions {
 
   /** last version consumed by [[graft.operators.modes.CdcIncrementalMode]]
     * — rides the RunStateStore like every other incremental source */
@@ -68,7 +75,10 @@ case class VersionedTableDataObject(id: String, path: String,
     * filesystem RPCs (the Delta property that matters on object stores). */
   private[graft] case class FileStat(rows: Long, min: Map[String, String],
                                      max: Map[String, String], nulls: Map[String, Long],
-                                     bytes: Long = 0L)
+                                     bytes: Long = 0L,
+                                     /** raw partition values of this file (one partition per
+                                       * file — partitionBy staging guarantees it) */
+                                     pv: Map[String, String] = Map.empty)
 
   /** `schema` = the table's DDL as of this commit (union-evolved on
     * append, like the reference's persisted union schema) — snapshot reads
@@ -115,7 +125,7 @@ case class VersionedTableDataObject(id: String, path: String,
     def longMap(f: String) = Option(v.get(f)).map(_.fields().asScala
       .map(x => x.getKey -> x.getValue.asLong).toMap).getOrElse(Map.empty[String, Long])
     FileStat(v.get("rows").asLong, strMap("min"), strMap("max"), longMap("nulls"),
-      Option(v.get("bytes")).map(_.asLong).getOrElse(0L))
+      Option(v.get("bytes")).map(_.asLong).getOrElse(0L), strMap("pv"))
   }
 
   private def parseCommit(version: Int)(implicit ctx: ActionPipelineContext): Commit = {
@@ -196,6 +206,9 @@ case class VersionedTableDataObject(id: String, path: String,
           val mn = n.putObject("min"); s.min.toSeq.sortBy(_._1).foreach { case (k, v) => mn.put(k, v) }
           val mx = n.putObject("max"); s.max.toSeq.sortBy(_._1).foreach { case (k, v) => mx.put(k, v) }
           val nl = n.putObject("nulls"); s.nulls.toSeq.sortBy(_._1).foreach { case (k, v) => nl.put(k, v) }
+          if (s.pv.nonEmpty) {
+            val pv = n.putObject("pv"); s.pv.toSeq.sortBy(_._1).foreach { case (k, v) => pv.put(k, v) }
+          }
         }
       }
       val bytes = om.writeValueAsString(root).getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -251,6 +264,9 @@ case class VersionedTableDataObject(id: String, path: String,
         val mn = n.putObject("min"); st.min.toSeq.sortBy(_._1).foreach { case (k, v) => mn.put(k, v) }
         val mx = n.putObject("max"); st.max.toSeq.sortBy(_._1).foreach { case (k, v) => mx.put(k, v) }
         val nl = n.putObject("nulls"); st.nulls.toSeq.sortBy(_._1).foreach { case (k, v) => nl.put(k, v) }
+        if (st.pv.nonEmpty) {
+          val pv = n.putObject("pv"); st.pv.toSeq.sortBy(_._1).foreach { case (k, v) => pv.put(k, v) }
+        }
       }
     }
     val json = om.writeValueAsString(root)
@@ -300,8 +316,45 @@ case class VersionedTableDataObject(id: String, path: String,
     listLog._1.maxOption
 
   override def getDataFrame(partitionValues: Seq[PartitionValues] = Seq.empty)
-                           (implicit ctx: ActionPipelineContext): DataFrame =
-    getDataFrameAsOf(None)
+                           (implicit ctx: ActionPipelineContext): DataFrame = {
+    val df = getDataFrameAsOf(None)
+    // the predicate reaches the log-backed index → plan-time partition pruning
+    PartitionValues.filterExpr(partitionValues).fold(df)(e => df.where(expr(e)))
+  }
+
+  /** distinct partition values of the LIVE snapshot — straight from the
+    * log, no listing */
+  override def listPartitions(implicit ctx: ActionPipelineContext): Seq[PartitionValues] =
+    if (partitions.isEmpty) Seq.empty
+    else readState(None).toSeq.flatMap(st =>
+      st.files.flatMap(f => st.stats.get(f).map(_.pv).filter(_.nonEmpty))
+        .distinct.map(PartitionValues(_)))
+
+  /** Partition delete = ONE metadata commit removing the partitions'
+    * files by reference — zero data I/O (partitionBy staging guarantees
+    * one partition per file). The files stay on disk for time travel
+    * until VACUUM. */
+  override def deletePartitions(pvs: Seq[PartitionValues])(implicit ctx: ActionPipelineContext): Unit = {
+    require(partitions.nonEmpty, s"DataObject $id: not partitioned")
+    if (pvs.isEmpty) return
+    readState(None).foreach { st =>
+      val doomed = st.files.filter { f =>
+        st.stats.get(f).map(_.pv).exists(pv =>
+          pvs.exists(_.elements.forall { case (k, v) => pv.get(k).contains(v) }))
+      }
+      if (doomed.nonEmpty) {
+        var done = false
+        var attempt = 0
+        while (!done) {
+          val head = readState(None).map(_.version).getOrElse(-1)
+          done = tryCommit(Commit(head + 1, Seq.empty, doomed, st.schemaDdl))
+          attempt += 1
+          if (!done && attempt >= 20) throw new java.util.ConcurrentModificationException(
+            s"DataObject $id: deletePartitions lost the rename race $attempt times")
+        }
+      }
+    }
+  }
 
   /** Time-travel read: the table exactly as of `version`, under that
     * version's committed schema (older files null-fill later columns —
@@ -334,12 +387,27 @@ case class VersionedTableDataObject(id: String, path: String,
             .getOrElse(fs.getFileStatus(abs).getLen)
           (rel, abs, len)
         }
-        val index = new org.apache.spark.sql.graftshims.GraftPrunedFileIndex(
-          new Path(path), entries,
-          filters => files.filter(f =>
-            stats.get(f).forall(st => filters.forall(mayContain(st, _, sc)))).toSet)
-        org.apache.spark.sql.graftshims.GraftFileIndexShims
-          .parquetDataFrame(ctx.spark, index, sc)
+        val pruneFn = (filters: Seq[Filter]) => files.filter(f =>
+          stats.get(f).forall(st => filters.forall(mayContain(st, _, sc)))).toSet
+        if (partitions.isEmpty) {
+          val index = new org.apache.spark.sql.graftshims.GraftPrunedFileIndex(
+            new Path(path), entries, pruneFn)
+          org.apache.spark.sql.graftshims.GraftFileIndexShims
+            .parquetDataFrame(ctx.spark, index, sc)
+        } else {
+          // partition columns come from the LOG, not the files: the index
+          // serves them per PartitionDirectory and evaluates partition
+          // filters itself — plan-time pruning with zero footer reads
+          val partFields = sc.filter(f => partitions.contains(f.name))
+          val dataSchema = StructType(sc.filterNot(f => partitions.contains(f.name)))
+          val pvMap = stats.collect { case (rel, st) if st.pv.nonEmpty =>
+            rel -> partFields.map(f => st.pv.get(f.name).orNull).toSeq }
+          val index = new org.apache.spark.sql.graftshims.GraftPrunedFileIndex(
+            new Path(path), entries, pruneFn, StructType(partFields), pvMap.toMap)
+          org.apache.spark.sql.graftshims.GraftFileIndexShims
+            .parquetDataFrame(ctx.spark, index, dataSchema)
+            .select(sc.fieldNames.map(c => col(s"`$c`")).toIndexedSeq: _*)
+        }
       case None =>
         ctx.spark.read.parquet(files.map(f => s"$path/$f"): _*)
     }
@@ -437,11 +505,77 @@ case class VersionedTableDataObject(id: String, path: String,
                                   (implicit ctx: ActionPipelineContext): Map[String, FileStat] =
     stateOrFail(version).stats
 
+  /** Spark's partition-path escaping (%XX for special chars) undone —
+    * minimal inverse of ExternalCatalogUtils.escapePathName. */
+  private def unescapePathValue(s: String): String = {
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length)
+        try { out.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => out.append(c); i += 1 }
+      else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** canonical-stat string for a RAW partition-path value, when the type
+    * allows exact range compares (keeps pruning working on partition
+    * columns through the ordinary stats machinery) */
+  private def partStatCanon(dt: DataType, raw: String): Option[String] = dt match {
+    case StringType => Some(raw).filter(_.length <= 64)
+    case ByteType | ShortType | IntegerType | LongType =>
+      try Some(raw.toLong.toString) catch { case _: NumberFormatException => None }
+    case BooleanType => raw.toLowerCase match {
+      case "true" => Some("1"); case "false" => Some("0"); case _ => None
+    }
+    case DateType =>
+      try Some(java.time.LocalDate.parse(raw).toEpochDay.toString)
+      catch { case _: Exception => None }
+    case _ => None
+  }
+
   /** Stage `df` as parquet files under a fresh `vNNN-xxxx/` subdir and
-    * return their table-relative paths with footer stats. */
+    * return their table-relative paths with footer stats. Partitioned
+    * tables stage through `partitionBy` (one partition per file, values in
+    * the directory names — the data files do NOT store the columns); each
+    * file's stat carries its raw partition values plus canonical min=max
+    * entries so data skipping and merge pruning see partition columns like
+    * any other. */
   private def stage(df: DataFrame, version: Int)
                    (implicit ctx: ActionPipelineContext): (Seq[String], Map[String, FileStat]) = {
     val sub = f"v$version%08d-${java.util.UUID.randomUUID.toString.take(8)}"
+    if (partitions.nonEmpty) {
+      require(partitions.forall(df.columns.contains),
+        s"DataObject $id: partition columns ${partitions.mkString(",")} missing from ${df.columns.mkString(",")}")
+      df.write.mode(SaveMode.ErrorIfExists).partitionBy(partitions: _*).parquet(s"$path/$sub")
+      val it = fs.listFiles(new Path(path, sub), true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val st = it.next()
+        val n = st.getPath.getName
+        if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")) buf += st
+      }
+      val statuses = buf.toSeq
+      val base = new Path(path).toUri.getPath
+      val rels = statuses.map(s => s.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/"))
+      val dataSchema = StructType(df.schema.filterNot(f => partitions.contains(f.name)))
+      val byType = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      return (rels, statuses.zip(rels).map { case (st, rel) =>
+        val pv = rel.split('/').dropRight(1).flatMap { seg =>
+          val i = seg.indexOf('=')
+          if (i > 0) Some(seg.take(i) -> unescapePathValue(seg.drop(i + 1))) else None
+        }.toMap
+        val stat0 = try footerStat(st.getPath, dataSchema).copy(bytes = st.getLen)
+                    catch { case _: Exception => FileStat(-1, Map.empty, Map.empty, Map.empty, st.getLen) }
+        // partition columns get exact min=max=value stats + zero nulls
+        val canon = pv.flatMap { case (k, v) =>
+          byType.get(k).flatMap(partStatCanon(_, v)).map(k -> _) }
+        rel -> stat0.copy(min = stat0.min ++ canon, max = stat0.max ++ canon,
+          nulls = stat0.nulls ++ canon.keys.map(_ -> 0L), pv = pv)
+      }.toMap)
+    }
     df.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/$sub")
     val statuses = fs.listStatus(new Path(path, sub))
       .filter(s => s.getPath.getName.endsWith(".parquet") && !s.getPath.getName.startsWith("_"))
@@ -479,18 +613,26 @@ case class VersionedTableDataObject(id: String, path: String,
                              (implicit ctx: ActionPipelineContext): ActionMetrics = {
     val t0 = System.currentTimeMillis()
     val append = saveMode.contains(SdlSaveMode.Append)
+    val dynamic = saveMode.contains(SdlSaveMode.OverwriteOptimized) && partitions.nonEmpty
     val v0 = latestVersion.map(_ + 1).getOrElse(0)
     val (added, stats) = stage(df, v0)
+    // dynamic partition overwrite: supersede exactly the partitions the
+    // staged files landed in — known from staging, zero extra jobs
+    val writtenPvs = if (dynamic) stats.values.map(_.pv).filter(_.nonEmpty).toSet else Set.empty[Map[String, String]]
     var attempt = 0
     var done = false
     while (!done) {
       val st = readState(None)
       val v = st.map(_.version + 1).getOrElse(0)
-      val removed = if (append) Seq.empty else st.map(_.files).getOrElse(Seq.empty)
+      val removed =
+        if (append) Seq.empty
+        else if (dynamic) st.map(_.files.filter(f =>
+          st.get.stats.get(f).map(_.pv).exists(writtenPvs.contains))).getOrElse(Seq.empty)
+        else st.map(_.files).getOrElse(Seq.empty)
       // schema evolution on append: committed schema = previous ∪ new (the
       // persisted-union-schema rule file objects use); overwrite resets it
       val schema = st.flatMap(_.schemaDdl) match {
-        case Some(p) if append =>
+        case Some(p) if append || dynamic =>
           val prev = StructType.fromDDL(p)
           val extra = df.schema.filterNot(f => prev.exists(_.name.equalsIgnoreCase(f.name)))
           StructType(prev.fields ++ extra).toDDL
