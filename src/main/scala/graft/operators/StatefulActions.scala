@@ -302,6 +302,9 @@ case class HistorizeAction(
           updateCondition = Some(s"new.`${Historization.operationCol}` = 'updateClose'"),
           updateColumns = Seq(Historization.delimited),
           insertCondition = Some(s"new.`${Historization.operationCol}` = 'insertNew'"),
+          // the op tag is feed-technical: never inserted, never evolves
+          // the target schema (reference insertColsToIgnore)
+          insertColumnsToIgnore = Seq(Historization.operationCol),
           additionalMergePredicate = Some(predicate))
         val metrics = m.mergeDataFrame(ops, pk, opts)
         Seq(SubFeed(outputId, None, metrics = Some(metrics)))

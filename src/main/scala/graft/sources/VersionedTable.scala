@@ -731,8 +731,16 @@ case class VersionedTableDataObject(id: String, path: String,
     val st0 = readState(None)
     if (st0.isEmpty) return writeDataFrame(df, saveMode = Some(SdlSaveMode.Overwrite))
     val live = st0.get.files
-    val schemaOpt = st0.get.schema
-    val schema = schemaOpt.getOrElse(df.schema)
+    // schema auto-merge (the Delta mergeSchema semantics): feed columns
+    // unknown to the table are APPENDED to the committed schema — reading
+    // touched (and carried) files under the evolved schema null-fills
+    // them. Feed-technical columns the merge is told to ignore on insert
+    // (e.g. an operation tag) never evolve the target.
+    val committed = st0.get.schema.getOrElse(df.schema)
+    val schema = StructType(committed.fields ++
+      df.schema.fields.filterNot(f => committed.exists(_.name.equalsIgnoreCase(f.name)) ||
+        options.insertColumnsToIgnore.contains(f.name)))
+    val schemaOpt = Some(schema)
     val feed = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // one tiny agg: feed size + per-join-col bounds and null presence
@@ -943,17 +951,25 @@ case class VersionedTableDataObject(id: String, path: String,
     * ([[graft.functions.ZOrder]]), so the per-file min/max stats — and
     * therefore data skipping AND merge pruning — become selective on
     * every listed column, not just an incidental write order. */
-  def optimize(targetFileCount: Int, zorderBy: Seq[String] = Seq.empty)
+  /** @param partitionValues when non-empty (and the table is partitioned),
+    *        compact ONLY those partitions' files — Delta `OPTIMIZE …
+    *        WHERE`; other partitions are carried by reference, so the
+    *        rewrite is O(selected partitions), not O(table) */
+  def optimize(targetFileCount: Int, zorderBy: Seq[String] = Seq.empty,
+               partitionValues: Seq[PartitionValues] = Seq.empty)
               (implicit ctx: ActionPipelineContext): Int = {
     val st = stateOrFail(None)
-    val live = st.files
     val v = st.version + 1
-    val current = getDataFrame()
+    val scoped =
+      if (partitionValues.isEmpty || partitions.isEmpty) st.files
+      else st.files.filter(f => st.stats.get(f).map(_.pv).exists(pv =>
+        partitionValues.exists(_.elements.forall { case (k, x) => pv.get(k).contains(x) })))
+    val current = readFiles(scoped, st.schema, st.stats)
     val arranged =
       if (zorderBy.nonEmpty) graft.functions.ZOrder.cluster(current, zorderBy, targetFileCount)
       else current.repartition(targetFileCount)
     val (added, stats) = stage(arranged, v)
-    writeCommit(Commit(v, added, live, Some(current.schema.toDDL), stats))
+    writeCommit(Commit(v, added, scoped, st.schemaDdl.orElse(Some(current.schema.toDDL)), stats))
     added.size
   }
 

@@ -78,6 +78,60 @@ class VersionedPartitionSpec extends AnyFunSuite {
     assert(got == Set((1, "a", "d1"), (9, "z", "d2")))          // d1 untouched, d2 replaced
   }
 
+  test("PartitionDiffMode diffs against a versioned-table output's logged partitions") {
+    val dir = Files.createTempDirectory("graft-vp").toString
+    val reg = new InstanceRegistry()
+    implicit val c2: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    reg.register(ParquetFileDataObject("pin", s"$dir/in", partitions = Seq("dt")))
+    reg.register(VersionedTableDataObject("vout", s"$dir/out", partitions = Seq("dt")))
+    def copy() = new ActionDAGRun(Seq(graft.operators.CopyAction(
+      "c", "pin", "vout", saveMode = Some(SdlSaveMode.Append),
+      executionMode = Some(graft.operators.modes.PartitionDiffMode())))).run()(c2)
+
+    Seq((1, "d1"), (2, "d2")).toDF("k", "dt").write.partitionBy("dt").parquet(s"$dir/in")
+    copy()
+    val vt = reg.dataObject("vout").asInstanceOf[VersionedTableDataObject]
+    assert(vt.getDataFrame()(c2).count() == 2)
+    val v1 = vt.latestVersion(c2).get
+    // new input partition d3: the diff selects ONLY it against the LOG
+    Seq((3, "d3")).toDF("k", "dt").write.mode("append").partitionBy("dt").parquet(s"$dir/in")
+    copy()
+    assert(vt.getDataFrame()(c2).count() == 3)
+    // run 3: nothing missing → no new commit
+    copy()
+    assert(vt.getDataFrame()(c2).count() == 3)
+  }
+
+  test("merge schema auto-merge: a new feed column evolves the table, old rows null-fill") {
+    val dir = Files.createTempDirectory("graft-vp").toString
+    val t = VersionedTableDataObject("vse", s"$dir/t", primaryKey = Seq("k"))
+    t.writeDataFrame(Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    t.mergeDataFrame(Seq((2, "B", 9.5), (3, "c", 1.5)).toDF("k", "v", "w"), Seq("k"))
+    val got = t.getDataFrame()
+    assert(got.columns.toSeq == Seq("k", "v", "w"))
+    val rows = got.collect().map(r => (r.getInt(0), r.getString(1),
+      if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(rows == Set((1, "a", None), (2, "B", Some(9.5)), (3, "c", Some(1.5))))
+  }
+
+  test("partition-scoped OPTIMIZE rewrites only the selected partition's files") {
+    val dir = Files.createTempDirectory("graft-vp").toString
+    val t = table(dir)
+    t.writeDataFrame((1 to 40).map(i => (i, s"v$i", s"d${i % 2}")).toDF("k", "v", "dt")
+      .repartition(8))
+    val before = t.snapshotFiles()
+    val d0Before = before.filter(f => t.liveFileStats().get(f).exists(_.pv.get("dt").contains("d0")))
+    val d1Before = before.filter(f => t.liveFileStats().get(f).exists(_.pv.get("dt").contains("d1")))
+    assert(d1Before.size > 1)
+    t.optimize(1, partitionValues = Seq(PartitionValues("dt" -> "d1")))
+    val after = t.snapshotFiles()
+    // d0's files carried BY REFERENCE (same rel paths), d1 compacted
+    assert(d0Before.forall(after.contains))
+    assert(d1Before.forall(f => !after.contains(f)))
+    assert(after.count(f => t.liveFileStats().get(f).exists(_.pv.get("dt").contains("d1"))) == 1)
+    assert(t.getDataFrame().count() == 40)
+  }
+
   test("merge prunes by partition stats; checkpoint round-trips partition values") {
     val dir = Files.createTempDirectory("graft-vp").toString
     val t = VersionedTableDataObject("vpt2", s"$dir/t", primaryKey = Seq("k"),
