@@ -271,8 +271,8 @@ case class HiveTableDataObject(
       val merged = MergeEmulation.computeMergedState(existingTouched, df, joinCols, options)
       // materialize before insertInto: the plan reads the target table
       val cached = merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        cached.count()
+      val mergedRows = try {
+        val n = cached.count()
         // insertInto is position-based: project to the catalog column order;
         // dynamic overwrite with the session conf restored after the write
         val tableCols = ctx.spark.table(table.fullName).columns
@@ -290,12 +290,13 @@ case class HiveTableDataObject(
             ctx.spark.sql(s"ALTER TABLE ${table.fullName} DROP IF EXISTS PARTITION ($spec)")
           }
         }
+        n
       } finally cached.unpersist()
-      ActionMetrics(-1, System.currentTimeMillis() - t0)
+      ActionMetrics(mergedRows, System.currentTimeMillis() - t0)
     } else {
       val merged = MergeEmulation.computeMergedState(getDataFrame(), df, joinCols, options)
-      writeDataFrameStaged(merged)
-      ActionMetrics(-1, System.currentTimeMillis() - t0)
+      val staged = writeDataFrameStaged(merged)
+      ActionMetrics(staged.recordsWritten, System.currentTimeMillis() - t0)
     }
   }
 
@@ -357,11 +358,15 @@ case class JdbcTableDataObject(
         return mergeDataFrame(df, table.primaryKey.getOrElse(
           throw new IllegalArgumentException(s"$id: merge needs primaryKey")))
       case m =>
-        df.write.format("jdbc").options(readerOpts)
+        val obs = org.apache.spark.sql.Observation(s"graft_jdbc_${id}_${System.nanoTime()}")
+        df.observe(obs, count(lit(1)).as("records_written"))
+          .write.format("jdbc").options(readerOpts)
           .option("dbtable", table.fullName).mode(SdlSaveMode.toSpark(m)).save()
+        postWriteSql.foreach(sql => withConnection(_.createStatement().execute(sql)))
+        return ActionMetrics(
+          try obs.get("records_written").asInstanceOf[Long] catch { case _: Throwable => -1L },
+          System.currentTimeMillis() - t0)
     }
-    postWriteSql.foreach(sql => withConnection(_.createStatement().execute(sql)))
-    ActionMetrics(-1, System.currentTimeMillis() - t0)
   }
 
   /** Overwrite with a plan that may read this table itself. Spark's JDBC
@@ -375,15 +380,19 @@ case class JdbcTableDataObject(
   override def writeDataFrameStaged(df: DataFrame)(implicit ctx: ActionPipelineContext): ActionMetrics = {
     val t0 = System.currentTimeMillis()
     val tmpFull = table.db.map(_ + ".").getOrElse("") + table.name + "_graft_staging"
-    df.write.format("jdbc").options(readerOpts)
+    val obs = org.apache.spark.sql.Observation(s"graft_jdbc_stage_${id}_${System.nanoTime()}")
+    df.observe(obs, count(lit(1)).as("records_written"))
+      .write.format("jdbc").options(readerOpts)
       .option("dbtable", tmpFull).mode("overwrite").save()
+    def stagedRows: Long =
+      try obs.get("records_written").asInstanceOf[Long] catch { case _: Throwable => -1L }
     if (!isTableExisting) {
       val staged = ctx.spark.read.format("jdbc").options(readerOpts)
         .option("dbtable", tmpFull).load()
       staged.write.format("jdbc").options(readerOpts)
         .option("dbtable", table.fullName).mode("overwrite").save()
       withConnection(_.createStatement().execute(s"DROP TABLE $tmpFull"))
-      return ActionMetrics(-1, System.currentTimeMillis() - t0)
+      return ActionMetrics(stagedRows, System.currentTimeMillis() - t0)
     }
     withConnection { c =>
       c.setAutoCommit(false)
@@ -401,7 +410,7 @@ case class JdbcTableDataObject(
       finally c.setAutoCommit(true)
     }
     withConnection(_.createStatement().execute(s"DROP TABLE $tmpFull"))
-    ActionMetrics(-1, System.currentTimeMillis() - t0)
+    ActionMetrics(stagedRows, System.currentTimeMillis() - t0)
   }
 
   /** Reference pattern `JdbcTableDataObject.scala:375-400`: write feed to a
@@ -429,11 +438,14 @@ case class JdbcTableDataObject(
          |WHEN MATCHED THEN UPDATE SET $updClause
          |WHEN NOT MATCHED THEN INSERT (${insCols.map(q).mkString(", ")})
          |VALUES (${insCols.map(c => "s." + q(c)).mkString(", ")})""".stripMargin
-    withConnection { c =>
-      c.createStatement().execute(mergeSql)
+    // executeUpdate's affected-row count IS the merge metric (JDBC spec;
+    // Derby counts updated+inserted rows) — no extra query needed
+    val affected = withConnection { c =>
+      val n = c.createStatement().executeUpdate(mergeSql)
       c.createStatement().execute(s"DROP TABLE $tmpFull")
+      n.toLong
     }
-    ActionMetrics(-1, System.currentTimeMillis() - t0)
+    ActionMetrics(affected, System.currentTimeMillis() - t0)
   }
 }
 

@@ -31,11 +31,13 @@ class JdbcSpec extends AnyFunSuite {
   test("jdbc merge: temp table + MERGE INTO updates and inserts") {
     import spark.implicits._
     val obj = JdbcTableDataObject("t2", Table(None, "accounts", Some(Seq("id"))), newDb())
-    obj.writeDataFrame(Seq((1, "ann", 100), (2, "bob", 200)).toDF("id", "name", "bal"),
+    val m0 = obj.writeDataFrame(Seq((1, "ann", 100), (2, "bob", 200)).toDF("id", "name", "bal"),
       Seq.empty, Some(SdlSaveMode.Overwrite))
+    assert(m0.recordsWritten == 2)                               // observed write count
     // merge: update id=2, insert id=3
-    obj.writeDataFrame(Seq((2, "bob", 250), (3, "cee", 50)).toDF("id", "name", "bal"),
+    val m1 = obj.writeDataFrame(Seq((2, "bob", 250), (3, "cee", 50)).toDF("id", "name", "bal"),
       Seq.empty, Some(SdlSaveMode.Merge))
+    assert(m1.recordsWritten == 2)                               // MERGE affected-row count
     val got = obj.getDataFrame().orderBy("id").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
     assert(got == Seq((1, "ann", 100), (2, "bob", 250), (3, "cee", 50)))
