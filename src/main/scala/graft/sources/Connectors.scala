@@ -639,10 +639,14 @@ case class KafkaTopicDataObject(
                               saveMode: Option[SdlSaveMode] = None)
                              (implicit ctx: ActionPipelineContext): ActionMetrics = {
     val t0 = System.currentTimeMillis()
-    encodeForWrite(df).write.format("kafka")
+    val obs = org.apache.spark.sql.Observation(s"graft_kafka_${id}_${System.nanoTime()}")
+    encodeForWrite(df).observe(obs, count(lit(1)).as("records_written"))
+      .write.format("kafka")
       .option("kafka.bootstrap.servers", brokers).option("topic", topic)
       .options(kafkaOptions).save()
-    ActionMetrics(-1, System.currentTimeMillis() - t0)
+    ActionMetrics(
+      try obs.get("records_written").asInstanceOf[Long] catch { case _: Throwable => -1L },
+      System.currentTimeMillis() - t0)
   }
 
   override def writeStreamingDataFrame(df: DataFrame, trigger: org.apache.spark.sql.streaming.Trigger,
