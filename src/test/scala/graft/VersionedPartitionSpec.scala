@@ -114,6 +114,18 @@ class VersionedPartitionSpec extends AnyFunSuite {
     assert(rows == Set((1, "a", None), (2, "B", Some(9.5)), (3, "c", Some(1.5))))
   }
 
+  test("insertColumnsToIgnore columns never evolve the merged schema (historize op tag)") {
+    val dir = Files.createTempDirectory("graft-vp").toString
+    val t = VersionedTableDataObject("vsi", s"$dir/t", primaryKey = Seq("k"))
+    t.writeDataFrame(Seq((1, "a")).toDF("k", "v"))
+    t.mergeDataFrame(Seq((2, "b", "insertNew")).toDF("k", "v", "_op"), Seq("k"),
+      graft.core.SaveModeMergeOptions(insertColumnsToIgnore = Seq("_op")))
+    val got = t.getDataFrame()
+    assert(got.columns.toSeq == Seq("k", "v"))                   // _op stayed feed-technical
+    assert(got.collect().map(r => (r.getInt(0), r.getString(1))).toSet ==
+      Set((1, "a"), (2, "b")))
+  }
+
   test("partition-scoped OPTIMIZE rewrites only the selected partition's files") {
     val dir = Files.createTempDirectory("graft-vp").toString
     val t = table(dir)
