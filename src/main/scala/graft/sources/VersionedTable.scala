@@ -973,6 +973,27 @@ case class VersionedTableDataObject(id: String, path: String,
     added.size
   }
 
+  /** Rollback (the public Delta RESTORE design): make the live snapshot
+    * equal the snapshot at `version` by committing the file-set DIFF as a
+    * NEW version — adds = target files missing from head, removes = head
+    * files absent at target. Metadata-only: zero data files are read,
+    * written, or deleted, so restoring a 100 TB table costs one log write;
+    * history is preserved (the pre-restore head still time-travels), and a
+    * restore past VACUUM's horizon fails loudly in `stateOrFail` before
+    * anything is committed. Returns the new head version. */
+  def restore(version: Int)(implicit ctx: ActionPipelineContext): Int = {
+    val target = stateOrFail(Some(version))
+    val cur = stateOrFail(None)
+    val v = cur.version + 1
+    val curSet = cur.files.toSet
+    val targetSet = target.files.toSet
+    val adds = target.files.filterNot(curSet)
+    val removes = cur.files.filterNot(targetSet)
+    val stats = adds.flatMap(f => target.stats.get(f).map(f -> _)).toMap
+    writeCommit(Commit(v, adds, removes, target.schemaDdl, stats))
+    v
+  }
+
   /** Retention (reference Delta VACUUM): drop log entries older than the
     * last `retainVersions` commits and physically delete files no longer
     * referenced by any retained snapshot. Time travel before the horizon

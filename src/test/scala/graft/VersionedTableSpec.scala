@@ -28,6 +28,27 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(t.getDataFrame().collect().map(r => (r.getInt(0), r.getString(1))).toSet == state(2))
   }
 
+  test("restore rolls back to a prior version metadata-only, preserving history") {
+    val dir = Files.createTempDirectory("graft-vt").toString
+    val t = VersionedTableDataObject("vtr", s"$dir/t", primaryKey = Seq("k"))
+    t.writeDataFrame(Seq((1, "a"), (2, "b")).toDF("k", "v"))                    // v0
+    t.mergeDataFrame(Seq((2, "B"), (3, "c")).toDF("k", "v"), Seq("k"))          // v1
+    val filesV0 = t.snapshotFiles(Some(0))
+    val dataFilesBefore = new java.io.File(s"$dir/t").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    val v = t.restore(0)                                                        // v2 = v0's content
+    assert(v == 2 && t.latestVersion.contains(2))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(rows(t.getDataFrame()) == Set((1, "a"), (2, "b")))                   // head == v0
+    assert(t.snapshotFiles().toSet == filesV0.toSet)                            // same physical files
+    assert(rows(t.getDataFrameAsOf(Some(1))) == Set((1, "a"), (2, "B"), (3, "c"))) // history intact
+    // metadata-only: no data file was created, deleted, or rewritten
+    val dataFilesAfter = new java.io.File(s"$dir/t").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    assert(dataFilesAfter == dataFilesBefore)
+  }
+
   test("optimize compacts files; vacuum drops pre-horizon versions and files") {
     val dir = Files.createTempDirectory("graft-vt").toString
     val t = VersionedTableDataObject("vt2", s"$dir/t")
