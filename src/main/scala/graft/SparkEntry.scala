@@ -2753,6 +2753,29 @@ object SparkEntry {
       require(filtered.size < vt.snapshotFiles().size,
         s"partition filter must prune: planned ${filtered.size} of ${vt.snapshotFiles().size}")
       vt.getDataFrame()
+    }),
+
+    // Metadata-only RESTORE (the public Delta RESTORE design): roll the
+    // table back to v0 as a NEW commit built from the file-set diff —
+    // zero data-file I/O (REQUIREd: the restored snapshot IS v0's exact
+    // file set), and history stays intact (the pre-restore merge still
+    // time-travels). Output = restored head + the surviving v1 snapshot.
+    "q111_versioned_restore" -> ((s, dir) => {
+      implicit val c: ActionPipelineContext = ctx(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q111").toString
+      val vt = sources.VersionedTableDataObject("q111_vt", s"$tmp/t",
+        primaryKey = Seq("c_custkey"))
+      val cust = t(s, dir, "customer").select(col("c_custkey").cast("long"),
+        col("c_name"), col("c_acctbal").cast("double"))
+      vt.writeDataFrame(cust.where(col("c_custkey") <= 800))               // v0
+      vt.mergeDataFrame(cust.where(col("c_custkey") <= 900)
+        .withColumn("c_acctbal", col("c_acctbal") + 50.0), Seq("c_custkey")) // v1
+      val rv = vt.restore(0)                                               // v2 == v0
+      require(rv == 2, s"restore committed v$rv, expected v2")
+      require(vt.snapshotFiles().toSet == vt.snapshotFiles(Some(0)).toSet,
+        "restore must reinstate v0's exact file set, metadata-only")
+      vt.getDataFrame().withColumn("version", lit("restored"))
+        .unionByName(vt.getDataFrameAsOf(Some(1)).withColumn("version", lit("pre")))
     })
   )
 
@@ -4068,6 +4091,17 @@ object SparkEntry {
         |    CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS o_totalprice,
         |  o_orderstatus
         |FROM orders WHERE o_orderkey <= 20000 AND o_orderstatus <> 'P'""".stripMargin,
+    // q111: restored head == v0 exactly; pre-restore v1 (the merge that
+    // bumped every <=900 balance by 50) still time-travels intact
+    "q111_versioned_restore" ->
+      """WITH cust AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+        |    CAST(c_acctbal AS DOUBLE) AS c_acctbal FROM customer)
+        |SELECT c_custkey, c_name, c_acctbal, 'restored' AS version
+        |FROM cust WHERE c_custkey <= 800
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal + 50.0, 'pre'
+        |FROM cust WHERE c_custkey <= 900""".stripMargin,
     // q108: the planted-copy drop is structural (same vector → same
     // cluster, equal centroid sim, id tie-break) — REQUIREd in-query, so
     // the emitted drop list equals the planted list, which DuckDB
