@@ -33,9 +33,12 @@ case class PartitionValues(elements: Map[String, String]) {
   /** Hive-style relative path, e.g. `dt=2024-01-01/region=EU`. */
   def asPath(partitionCols: Seq[String]): String =
     partitionCols.flatMap(c => elements.get(c).map(v => s"$c=$v")).mkString("/")
-  /** SQL predicate selecting this partition, e.g. `dt='2024-01-01' AND region='EU'`. */
+  /** SQL predicate selecting this partition, e.g. `dt='2024-01-01' AND region='EU'`.
+    * A null value selects the null partition (`k IS NULL`). */
   def asFilterExpr: String =
-    elements.map { case (k, v) => s"$k = '${v.replace("'", "''")}'" }.mkString(" AND ")
+    elements.map { case (k, v) =>
+      if (v == null) s"$k IS NULL" else s"$k = '${v.replace("'", "''")}'"
+    }.mkString(" AND ")
 }
 object PartitionValues {
   def apply(elems: (String, String)*): PartitionValues = PartitionValues(elems.toMap)

@@ -65,6 +65,21 @@ case class VersionedTableDataObject(id: String, path: String,
     new Path(path).getFileSystem(ctx.spark.sparkContext.hadoopConfiguration)
   private def logDir = new Path(path, "_graft_log")
 
+  /** Spark's on-disk sentinel for a NULL partition value
+    * (`PartitioningUtils.DEFAULT_PARTITION_NAME`). The LOG stores the
+    * sentinel verbatim (the directory-name truth); every read-side
+    * boundary — the FileIndex partition row, `listPartitions`, stats —
+    * translates it back to null. */
+  private val NullPartitionName = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Does a file's logged partition values match a caller's partition
+    * spec? A null (or sentinel) spec value selects the null partition. */
+  private def pvMatches(filePv: Map[String, String], spec: PartitionValues): Boolean =
+    spec.elements.forall { case (k, v) =>
+      val want = if (v == null) NullPartitionName else v
+      filePv.get(k).contains(want)
+    }
+
   /** Per-file footer stats: row count + file size + canonical-string
     * min/max and null count per (supported, ≤64-char) top-level column.
     * Canonical encoding: integral/date(days)/timestamp(micros)/boolean as
@@ -163,12 +178,16 @@ case class VersionedTableDataObject(id: String, path: String,
   /** State at `version` (latest when None): newest usable checkpoint +
     * fold of the ≤ checkpointInterval commits after it — O(tail), never
     * O(history). None = empty log. Throws when `version` predates the
-    * retained log (same contract as before). */
+    * retained log (same contract as before). A checkpoint ALONE (no
+    * commit at or below it) is a readable state too — that is the
+    * mid-vacuum crash window, where the rebased checkpoint at the
+    * horizon carries the whole base until the synthetic base commit
+    * lands (see [[vacuum]]'s phase ordering). */
   private[graft] def readState(version: Option[Int] = None)
                               (implicit ctx: ActionPipelineContext): Option[TableState] = {
     val (commits, cps) = listLog
-    if (commits.isEmpty) return None
-    val target = version.getOrElse(commits.max)
+    if (commits.isEmpty && cps.isEmpty) return None
+    val target = version.getOrElse((commits ++ cps).max)
     val usable = commits.filter(_ <= target)
     val base = cps.filter(_ <= target).sorted.reverse.iterator
       .map(readCheckpoint).collectFirst { case Some(st) => st }
@@ -191,7 +210,13 @@ case class VersionedTableDataObject(id: String, path: String,
     * writers produce identical bytes, so replace is safe). Best effort:
     * a failed checkpoint costs replay time, never correctness. */
   private def writeCheckpoint(version: Int)(implicit ctx: ActionPipelineContext): Unit =
-    try {
+    try writeCheckpointOrFail(version)
+    catch { case scala.util.control.NonFatal(_) => }
+
+  /** Checkpoint write that THROWS on failure — for callers where the
+    * checkpoint is load-bearing (vacuum's rebase shadows the history it
+    * is about to delete behind this file). */
+  private def writeCheckpointOrFail(version: Int)(implicit ctx: ActionPipelineContext): Unit = {
       val st = readState(Some(version)).getOrElse(return)
       val root = om.createObjectNode()
       root.put("version", st.version)
@@ -226,9 +251,10 @@ case class VersionedTableDataObject(id: String, path: String,
         val out = fs.create(tmp, false)
         try out.write(bytes) finally out.close()
         fs.delete(dst, false) // identical-content race: replace window is benign
-        if (!fs.rename(tmp, dst)) fs.delete(tmp, false)
+        if (!fs.rename(tmp, dst)) { fs.delete(tmp, false)
+          throw new java.io.IOException(s"DataObject $id: checkpoint rename failed for $dstName") }
       }
-    } catch { case scala.util.control.NonFatal(_) => }
+  }
 
   private def readFully(p: Path)(implicit ctx: ActionPipelineContext): String = {
     val in = fs.open(p)
@@ -311,9 +337,14 @@ case class VersionedTableDataObject(id: String, path: String,
   private[graft] def snapshotFiles(asOfVersion: Option[Int] = None)(implicit ctx: ActionPipelineContext): Seq[String] =
     stateOrFail(asOfVersion).files
 
-  /** Head version straight off the directory listing — zero log parses. */
-  def latestVersion(implicit ctx: ActionPipelineContext): Option[Int] =
-    listLog._1.maxOption
+  /** Head version straight off the directory listing — zero log parses.
+    * Checkpoints count: during vacuum's crash window the head state may
+    * live only in the rebased checkpoint (a checkpoint at v implies
+    * commit v was once committed). */
+  def latestVersion(implicit ctx: ActionPipelineContext): Option[Int] = {
+    val (c, cp) = listLog
+    (c ++ cp).maxOption
+  }
 
   override def getDataFrame(partitionValues: Seq[PartitionValues] = Seq.empty)
                            (implicit ctx: ActionPipelineContext): DataFrame = {
@@ -328,7 +359,8 @@ case class VersionedTableDataObject(id: String, path: String,
     if (partitions.isEmpty) Seq.empty
     else readState(None).toSeq.flatMap(st =>
       st.files.flatMap(f => st.stats.get(f).map(_.pv).filter(_.nonEmpty))
-        .distinct.map(PartitionValues(_)))
+        .distinct.map(pv => PartitionValues(pv.map { case (k, v) =>
+          k -> (if (v == NullPartitionName) null else v) })))
 
   /** Partition delete = ONE metadata commit removing the partitions'
     * files by reference — zero data I/O (partitionBy staging guarantees
@@ -337,22 +369,23 @@ case class VersionedTableDataObject(id: String, path: String,
   override def deletePartitions(pvs: Seq[PartitionValues])(implicit ctx: ActionPipelineContext): Unit = {
     require(partitions.nonEmpty, s"DataObject $id: not partitioned")
     if (pvs.isEmpty) return
-    readState(None).foreach { st =>
+    // the doomed set is recomputed from FRESH state on every attempt
+    // (same shape as writeDataFrame's per-attempt supersede set): losing
+    // the rename race means a concurrent commit may have added files to
+    // the doomed partitions — a stale list would silently leave them live
+    var done = false
+    var attempt = 0
+    while (!done) {
+      val st = readState(None).getOrElse(return)
+      deletePartitionsRaceHook() // test seam: lands a concurrent commit here
       val doomed = st.files.filter { f =>
-        st.stats.get(f).map(_.pv).exists(pv =>
-          pvs.exists(_.elements.forall { case (k, v) => pv.get(k).contains(v) }))
+        st.stats.get(f).map(_.pv).exists(pv => pvs.exists(pvMatches(pv, _)))
       }
-      if (doomed.nonEmpty) {
-        var done = false
-        var attempt = 0
-        while (!done) {
-          val head = readState(None).map(_.version).getOrElse(-1)
-          done = tryCommit(Commit(head + 1, Seq.empty, doomed, st.schemaDdl))
-          attempt += 1
-          if (!done && attempt >= 20) throw new java.util.ConcurrentModificationException(
-            s"DataObject $id: deletePartitions lost the rename race $attempt times")
-        }
-      }
+      if (doomed.isEmpty) return
+      done = tryCommit(Commit(st.version + 1, Seq.empty, doomed, st.schemaDdl))
+      attempt += 1
+      if (!done && attempt >= 20) throw new java.util.ConcurrentModificationException(
+        s"DataObject $id: deletePartitions lost the rename race $attempt times")
     }
   }
 
@@ -401,7 +434,10 @@ case class VersionedTableDataObject(id: String, path: String,
           val partFields = sc.filter(f => partitions.contains(f.name))
           val dataSchema = StructType(sc.filterNot(f => partitions.contains(f.name)))
           val pvMap = stats.collect { case (rel, st) if st.pv.nonEmpty =>
-            rel -> partFields.map(f => st.pv.get(f.name).orNull).toSeq }
+            // sentinel → null here, so string-typed partition columns read
+            // back NULL, not the literal directory name
+            rel -> partFields.map(f =>
+              st.pv.get(f.name).filterNot(_ == NullPartitionName).orNull).toSeq }
           val index = new org.apache.spark.sql.graftshims.GraftPrunedFileIndex(
             new Path(path), entries, pruneFn, StructType(partFields), pvMap.toMap)
           org.apache.spark.sql.graftshims.GraftFileIndexShims
@@ -569,11 +605,17 @@ case class VersionedTableDataObject(id: String, path: String,
         }.toMap
         val stat0 = try footerStat(st.getPath, dataSchema).copy(bytes = st.getLen)
                     catch { case _: Exception => FileStat(-1, Map.empty, Map.empty, Map.empty, st.getLen) }
-        // partition columns get exact min=max=value stats + zero nulls
+        // partition columns get exact min=max=value stats + zero nulls;
+        // the null-partition sentinel gets NO range (it is not a value)
+        // and nulls = the file's row count, so IsNull keeps the file and
+        // IsNotNull prunes it — Spark's DEFAULT_PARTITION_NAME semantics
         val canon = pv.flatMap { case (k, v) =>
-          byType.get(k).flatMap(partStatCanon(_, v)).map(k -> _) }
+          if (v == NullPartitionName) None
+          else byType.get(k).flatMap(partStatCanon(_, v)).map(k -> _) }
+        val nullPartNulls = pv.collect {
+          case (k, v) if v == NullPartitionName && stat0.rows >= 0 => k -> stat0.rows }
         rel -> stat0.copy(min = stat0.min ++ canon, max = stat0.max ++ canon,
-          nulls = stat0.nulls ++ canon.keys.map(_ -> 0L), pv = pv)
+          nulls = stat0.nulls ++ canon.keys.map(_ -> 0L) ++ nullPartNulls, pv = pv)
       }.toMap)
     }
     df.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/$sub")
@@ -812,7 +854,16 @@ case class VersionedTableDataObject(id: String, path: String,
     def dt(a: String) = schema.find(_.name == a).map(_.dataType)
     def range(a: String) = for { lo <- st.min.get(a); hi <- st.max.get(a) } yield (lo, hi)
     def lit(a: String, v: Any) = dt(a).flatMap(canonValue(_, v))
+    // a column that is all-null in this file (nulls == rows, e.g. a null
+    // partition) can satisfy no value comparison at all
+    def allNull(a: String) = st.rows >= 0 && st.nulls.get(a).contains(st.rows)
     f match {
+      case EqualTo(a, _) if allNull(a) => false
+      case GreaterThan(a, _) if allNull(a) => false
+      case GreaterThanOrEqual(a, _) if allNull(a) => false
+      case LessThan(a, _) if allNull(a) => false
+      case LessThanOrEqual(a, _) if allNull(a) => false
+      case In(a, _) if allNull(a) => false
       case EqualTo(a, v) => (dt(a), range(a), lit(a, v)) match {
         case (Some(t), Some((lo, hi)), Some(c)) => cmpCanon(t, lo, c) <= 0 && cmpCanon(t, hi, c) >= 0
         case _ => true
@@ -963,7 +1014,7 @@ case class VersionedTableDataObject(id: String, path: String,
     val scoped =
       if (partitionValues.isEmpty || partitions.isEmpty) st.files
       else st.files.filter(f => st.stats.get(f).map(_.pv).exists(pv =>
-        partitionValues.exists(_.elements.forall { case (k, x) => pv.get(k).contains(x) })))
+        partitionValues.exists(pvMatches(pv, _))))
     val current = readFiles(scoped, st.schema, st.stats)
     val arranged =
       if (zorderBy.nonEmpty) graft.functions.ZOrder.cluster(current, zorderBy, targetFileCount)
@@ -994,15 +1045,68 @@ case class VersionedTableDataObject(id: String, path: String,
     v
   }
 
+  /** Test seam: invoked between vacuum's crash-ordered phases with the
+    * phase just COMPLETED — a spec throws here to simulate a crash at
+    * each boundary and proves every intermediate log state still reads
+    * the correct snapshot. Production: no-op. */
+  @transient private[graft] var vacuumPhaseHook: String => Unit = _ => ()
+
+  /** Test seam: fires between [[deletePartitions]]' state read and its
+    * commit attempt, so a spec can land a deterministic concurrent
+    * commit in the race window. Production: no-op. */
+  @transient private[graft] var deletePartitionsRaceHook: () => Unit = () => ()
+
   /** Retention (reference Delta VACUUM): drop log entries older than the
     * last `retainVersions` commits and physically delete files no longer
     * referenced by any retained snapshot. Time travel before the horizon
-    * then fails loudly (as in Delta after VACUUM). */
-  def vacuum(retainVersions: Int)(implicit ctx: ActionPipelineContext): Seq[String] = {
+    * then fails loudly (as in Delta after VACUUM).
+    *
+    * CRASH-ORDERED like Delta's checkpoint-then-clean protocol: nothing
+    * is deleted until the full rebased state is durably shadowed by a
+    * checkpoint at the horizon. The phases, each leaving a readable log:
+    *  1. `checkpointed`   — write the rebased state as a CHECKPOINT at
+    *     `cut` (atomic replace; checkpoints shadow commit replay in
+    *     [[readState]], so from here the pre-horizon commits are
+    *     redundant for every read at or above the horizon);
+    *  2. `old-checkpoints-deleted` — drop checkpoints < cut (they would
+    *     otherwise later replay against commits that no longer exist);
+    *  3. `old-commits-deleted` — drop commits ≤ cut, DESCENDING, so any
+    *     crash leaves the surviving pre-horizon commits a complete
+    *     prefix (reads below the horizon either replay a true
+    *     historical prefix or fail loudly — never a baseless suffix);
+    *  4. `rebased` — write the synthetic base commit at `cut` (until it
+    *     lands, the checkpoint alone serves reads — [[readState]] and
+    *     [[latestVersion]] both accept a checkpoint-only horizon);
+    *  5. data files last: only after the log is fully consistent. The
+    *     log-derived superseded set is deleted age-free (the log proves
+    *     no retained snapshot references it); crash LEFTOVERS — staged
+    *     files whose commits were rebased away before they could be
+    *     deleted, or a crashed writer's never-committed staging dir —
+    *     are swept by a directory listing, guarded by
+    *     `orphanRetentionMillis` (the public Delta vacuum design:
+    *     age-guard so a slow in-flight writer's staged-but-uncommitted
+    *     files survive; default 7 days). The sweep only considers
+    *     staging dirs versioned BELOW the horizon — every in-flight
+    *     writer stages at head+1 > cut, so live staging is never below
+    *     it until its version falls out of retention. A crash anywhere
+    *     leaks at most orphans, never loses data; re-running vacuum
+    *     completes the rebase (recovery preamble) and re-sweeps. */
+  def vacuum(retainVersions: Int,
+             orphanRetentionMillis: Long = 7L * 24 * 3600 * 1000)
+            (implicit ctx: ActionPipelineContext): Seq[String] = {
+    // recovery preamble: a checkpoint with no commit at-or-below its
+    // version is the signature of a crash between phases 3 and 4 —
+    // complete the interrupted rebase before (re)cutting
+    locally {
+      val (commits0, cps0) = listLog
+      cps0.minOption.filter(w => !commits0.exists(_ <= w)).foreach { w =>
+        readCheckpoint(w).foreach(s =>
+          tryCommitRaw(Commit(w, s.files, Seq.empty, s.schemaDdl, s.stats)))
+      }
+    }
     val log = readLog
     val cut = log.map(_.version).sorted.takeRight(retainVersions).headOption.getOrElse(0)
     val (old, kept) = log.partition(_.version < cut)
-    if (old.isEmpty) return Seq.empty
     // files referenced by any retained snapshot (= live at some version >= cut):
     // everything added at >= cut, plus the carried-over base = snapshot(cut-? ) —
     // compute as snapshot at `cut`'s predecessor state folded into the first
@@ -1010,25 +1114,60 @@ case class VersionedTableDataObject(id: String, path: String,
     val retainedLive = kept.map(_.version)
       .flatMap(v => snapshotFiles(Some(v))).toSet
     val deletable = (old.flatMap(_.added).toSet -- retainedLive).toSeq.sorted
-    deletable.foreach(f => fs.delete(new Path(path, f), false))
-    // rebase: fold the pre-horizon history into a synthetic base commit at
-    // version `cut` listing exactly snapshot(cut)'s files — carrying their
-    // stats forward so pruning survives the rebase — then drop old logs
-    val baseFiles = snapshotFiles(Some(cut))
-    val baseSchema = log.filter(_.version <= cut).reverse
-      .collectFirst { case Commit(_, _, _, Some(s), _) => s }
-    val baseStats = log.flatMap(_.stats).toMap.filter(kv => baseFiles.contains(kv._1))
-    // checkpoints below the horizon MUST go first: a surviving checkpoint
-    // at w < cut would later replay against commits (w, cut) that no
-    // longer exist and double-add the rebased base's files
-    listLog._2.filter(_ < cut).foreach(v =>
-      fs.delete(new Path(logDir, f"$v%08d.checkpoint.json"), false))
-    old.foreach(c => fs.delete(new Path(logDir, f"${c.version}%08d.json"), false))
-    fs.delete(new Path(logDir, f"$cut%08d.json"), false)
-    writeCommit(Commit(cut, baseFiles, Seq.empty, baseSchema, baseStats))
-    // later retained commits stay as-is: their removed-lists reference only
-    // files present in the rebased base or in retained adds (removal of an
-    // already-gone name is a no-op in snapshot resolution)
-    deletable
+    if (old.nonEmpty) {
+      // rebase target computed BEFORE anything is deleted
+      val baseFiles = snapshotFiles(Some(cut))
+      val baseSchema = log.filter(_.version <= cut).reverse
+        .collectFirst { case Commit(_, _, _, Some(s), _) => s }
+      val baseStats = log.flatMap(_.stats).toMap.filter(kv => baseFiles.contains(kv._1))
+      // phase 1: shadow the history behind a checkpoint at the horizon —
+      // load-bearing, so a failed write ABORTS with the log untouched
+      writeCheckpointOrFail(cut)
+      vacuumPhaseHook("checkpointed")
+      // phase 2: checkpoints below the horizon
+      listLog._2.filter(_ < cut).foreach(v =>
+        fs.delete(new Path(logDir, f"$v%08d.checkpoint.json"), false))
+      vacuumPhaseHook("old-checkpoints-deleted")
+      // phase 3: commits ≤ cut, highest first (survivors form a prefix)
+      (old.map(_.version) :+ cut).sorted.reverse.foreach(v =>
+        fs.delete(new Path(logDir, f"$v%08d.json"), false))
+      vacuumPhaseHook("old-commits-deleted")
+      // phase 4: the synthetic base commit
+      writeCommit(Commit(cut, baseFiles, Seq.empty, baseSchema, baseStats))
+      vacuumPhaseHook("rebased")
+      // phase 5a: log-derived physical deletes, strictly after the log
+      // is consistent
+      deletable.foreach(f => fs.delete(new Path(path, f), false))
+      // later retained commits stay as-is: their removed-lists reference
+      // only files present in the rebased base or in retained adds
+      // (removal of an already-gone name is a no-op in snapshot
+      // resolution)
+    }
+    // phase 5b: orphan sweep — ALWAYS runs, so a re-run after any crash
+    // (including one between phases 4 and 5a, where the old commits that
+    // named the superseded files are already gone) still reclaims space.
+    // One top-level listing; only staging dirs versioned below the
+    // horizon are descended into.
+    val horizon = System.currentTimeMillis() - math.max(0L, orphanRetentionMillis)
+    val stagedDir = """v(\d{8})-.*""".r
+    val swept = scala.collection.mutable.ArrayBuffer.empty[String]
+    val base = new Path(path).toUri.getPath
+    if (fs.exists(new Path(path))) fs.listStatus(new Path(path)).foreach { d =>
+      d.getPath.getName match {
+        case stagedDir(v) if d.isDirectory && v.toInt < cut =>
+          val it = fs.listFiles(d.getPath, true)
+          var remaining = false
+          while (it.hasNext) {
+            val f = it.next()
+            val rel = f.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
+            if (!retainedLive.contains(rel) && f.getModificationTime < horizon) {
+              fs.delete(f.getPath, false); swept += rel
+            } else remaining = true
+          }
+          if (!remaining) fs.delete(d.getPath, true) // empty staging dir
+        case _ =>
+      }
+    }
+    (deletable ++ (swept.toSet -- deletable)).sorted
   }
 }

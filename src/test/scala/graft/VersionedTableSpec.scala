@@ -359,6 +359,115 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(t.getDataFrame().where($"k" === 13).count() == 1)
   }
 
+  test("vacuum crash ordering: every phase boundary leaves a readable, correct log") {
+    // build: v0 (8 files), v1 append, v2 compaction → vacuum(retain 1)
+    // has real pre-horizon history AND deletable files. Interrupt the
+    // sequence at EACH phase boundary, prove the interrupted state reads
+    // the correct head snapshot with zero data files lost, then re-run
+    // vacuum (crash recovery) and prove it completes.
+    val phases = Seq("checkpointed", "old-checkpoints-deleted", "old-commits-deleted", "rebased")
+    for (stopAt <- phases) {
+      val dir = Files.createTempDirectory("graft-vtcrash").toString
+      val t = VersionedTableDataObject("vtcrash", s"$dir/t")
+      t.writeDataFrame((1 to 100).toDF("k").repartition(8))                     // v0
+      t.writeDataFrame((101 to 110).toDF("k").repartition(2),
+        saveMode = Some(SdlSaveMode.Append))                                    // v1
+      t.optimize(targetFileCount = 2)                                           // v2
+      def allParquet() = {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/t"))
+        try s.iterator().asScala.map(_.toString).filter(_.endsWith(".parquet")).toSet
+        finally s.close()
+      }
+      val filesBefore = allParquet()
+      class Stop extends RuntimeException(stopAt)
+      t.vacuumPhaseHook = p => if (p == stopAt) throw new Stop
+      intercept[Stop](t.vacuum(retainVersions = 1))
+      t.vacuumPhaseHook = _ => ()
+      // crash window invariants: head reads the correct snapshot and NO
+      // data file has been physically deleted (deletes are phase 5, after
+      // every hooked boundary)
+      assert(allParquet() == filesBefore, s"[$stopAt] data files deleted before log consistent")
+      assert(t.getDataFrame().count() == 110, s"[$stopAt] head snapshot wrong after crash")
+      assert(t.latestVersion.contains(2), s"[$stopAt] head version lost")
+      // a NEW writer in the crash window commits at the right version
+      t.writeDataFrame(Seq(999).toDF("k"), saveMode = Some(SdlSaveMode.Append)) // v3
+      assert(t.getDataFrame().count() == 111, s"[$stopAt] append after crash broken")
+      // recovery: re-running vacuum completes the rebase and reclaims the
+      // superseded files (orphanRetention 0 → crash leftovers sweep too)
+      t.vacuum(retainVersions = 1, orphanRetentionMillis = 0L)
+      assert(t.getDataFrame().count() == 111, s"[$stopAt] snapshot wrong after recovery")
+      // all 10 pre-compaction files are gone, the log replays cleanly
+      assert(allParquet().size < filesBefore.size, s"[$stopAt] superseded files not reclaimed")
+      assert(t.getDataFrame().where($"k" === 55).count() == 1)
+    }
+  }
+
+  test("vacuum orphan sweep reclaims a crashed writer's staging leftovers, age-guarded") {
+    val dir = Files.createTempDirectory("graft-vtorph").toString
+    val t = VersionedTableDataObject("vtorph", s"$dir/t")
+    t.writeDataFrame((1 to 20).toDF("k"))                                       // v0
+    (1 to 3).foreach(i => t.writeDataFrame(Seq(100 + i).toDF("k"),
+      saveMode = Some(SdlSaveMode.Append)))                                     // v1..v3
+    // fake a crashed writer: a staged-but-never-committed dir below the horizon
+    val orphan = java.nio.file.Paths.get(s"$dir/t/v00000001-deadbeef")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("part-00000-junk.parquet"), Array[Byte](1, 2, 3))
+    // young orphan + default retention → survives the sweep
+    t.vacuum(retainVersions = 2)
+    assert(Files.exists(orphan.resolve("part-00000-junk.parquet")))
+    // aged out → swept
+    val swept = t.vacuum(retainVersions = 2, orphanRetentionMillis = 0L)
+    assert(swept.exists(_.endsWith("part-00000-junk.parquet")))
+    assert(!Files.exists(orphan))
+    assert(t.getDataFrame().count() == 23)
+  }
+
+  test("deletePartitions recomputes its doomed set when it loses the commit race") {
+    val dir = Files.createTempDirectory("graft-vtdp").toString
+    val t = VersionedTableDataObject("vtdp", s"$dir/t", partitions = Seq("p"))
+    t.writeDataFrame(Seq((1, "a", 10), (1, "b", 11), (2, "c", 20)).toDF("p", "k", "x"))
+    // land a concurrent append INTO the doomed partition inside the race
+    // window (after deletePartitions read state, before its commit)
+    var fired = false
+    t.deletePartitionsRaceHook = () => if (!fired) { fired = true
+      t.writeDataFrame(Seq((1, "z", 12)).toDF("p", "k", "x"), saveMode = Some(SdlSaveMode.Append))
+    }
+    t.deletePartitions(Seq(PartitionValues("p" -> "1")))
+    t.deletePartitionsRaceHook = () => ()
+    // the retry saw the fresh state: the racing file is deleted too
+    val left = t.getDataFrame().select("p", "k").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(left == Set((2, "c")), s"stale doomed set left partition rows: $left")
+  }
+
+  test("null partition values round-trip as NULL, prune correctly, list and delete") {
+    val dir = Files.createTempDirectory("graft-vtnull").toString
+    val t = VersionedTableDataObject("vtnull", s"$dir/t", partitions = Seq("p"))
+    t.writeDataFrame(Seq(("eu", "a", 1), (null, "b", 2), (null, "c", 3), ("us", "d", 4))
+      .toDF("p", "k", "x"))
+    // string partition column reads back NULL, not the sentinel
+    val rows = t.getDataFrame().select("p", "k").collect()
+      .map(r => (Option(r.getString(0)), r.getString(1))).toSet
+    assert(rows == Set((Some("eu"), "a"), (None, "b"), (None, "c"), (Some("us"), "d")))
+    // IsNull keeps ONLY the null-partition file; IsNotNull + EqualTo prune it
+    import org.apache.spark.sql.sources.{EqualTo, IsNull, IsNotNull}
+    val all = t.snapshotFiles()
+    val nullFiles = all.filter(_.contains("__HIVE_DEFAULT_PARTITION__"))
+    assert(nullFiles.nonEmpty)
+    assert(t.filesForFilters(Seq(IsNull("p"))).toSet == nullFiles.toSet)
+    assert(t.filesForFilters(Seq(IsNotNull("p"))).toSet == (all.toSet -- nullFiles))
+    assert(!t.filesForFilters(Seq(EqualTo("p", "eu"))).exists(nullFiles.contains))
+    // predicate results match (filter on the real read path)
+    assert(t.getDataFrame().where($"p".isNull).count() == 2)
+    assert(t.getDataFrame().where($"p" === "eu").count() == 1)
+    // listPartitions surfaces null, and a null spec deletes the null partition
+    val parts = t.listPartitions.map(_.elements("p")).toSet
+    assert(parts == Set("eu", "us", null))
+    t.deletePartitions(Seq(PartitionValues(Map("p" -> null))))
+    assert(t.getDataFrame().where($"p".isNull).count() == 0)
+    assert(t.getDataFrame().count() == 2)
+  }
+
   test("vacuum keeps files still referenced by retained snapshots") {
     val dir = Files.createTempDirectory("graft-vt").toString
     val t = VersionedTableDataObject("vt3", s"$dir/t")
