@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SemDeDup — semantic deduplication over an embedding column (Abbas et
@@ -35,9 +36,28 @@ object SemDeDup {
   /** One row per DROPPED id. Runs the clustering eagerly (k-means
     * training + one materializing pass) like the other index builders;
     * the returned frame is small (dropped ids only) and already
-    * materialized, so callers can reuse it freely. */
+    * materialized, so callers can reuse it freely.
+    *
+    * @param maxClusterSize skew guard (the same design as the LSH
+    *        operators' `maxBucketSize`): the within-cell self-join is
+    *        Σ|cell|², so a hot cell — a skewed embedding space collapsing
+    *        into one k-means cell — degenerates toward all-pairs. Cells
+    *        over the cap are EXCLUDED from the pairwise join (a lazy
+    *        broadcast anti-join that prunes nothing when no cell is
+    *        capped) and handled by an EXACT-COPY pass instead: a linear
+    *        window over identical embeddings, dropping all but the
+    *        smallest id. Exact duplicates therefore keep recall 1.0
+    *        through the cap (the structural guarantee the q108 oracle
+    *        relies on); near-but-not-exact pairs inside a capped cell
+    *        stay undetected — that bounded-work trade is the cap's
+    *        purpose, same as the LSH bucket caps.
+    * @param failOnCappedCells true = eagerly count over-cap cells and
+    *        REQUIRE none (pipelines that need exhaustive within-cell
+    *        recall); default false = lazy guard, no extra job. */
   def droppedIds(df: DataFrame, idCol: String, embCol: String,
-                 k: Int, threshold: Double, seed: Long = 42L): DataFrame = {
+                 k: Int, threshold: Double, seed: Long = 42L,
+                 maxClusterSize: Int = 10000,
+                 failOnCappedCells: Boolean = false): DataFrame = {
     val ivf = Similarity.buildIvfIndex(df, idCol, embCol, k, seed = seed)
     // centroid matrix rides as one literal array-of-arrays (k ≤ a few
     // hundred coarse cells — a few KB of plan, the IVF probe pattern)
@@ -48,17 +68,34 @@ object SemDeDup {
         element_at(centLit, col("_ivf_cell") + 1)))
       .select(col(idCol).as("_sd_id"), col(embCol).as("_sd_emb"),
         col("_ivf_cell").as("_sd_cell"), col("_csim"))
+    val cellSizes = withSim.groupBy("_sd_cell").agg(count(lit(1)).as("_n"))
+    val capped = cellSizes.where(col("_n") > maxClusterSize).select("_sd_cell")
+    if (failOnCappedCells) {
+      val n = capped.count()
+      require(n == 0, s"SemDeDup: $n cell(s) exceeded maxClusterSize=$maxClusterSize — " +
+        "within-cell recall not exhaustive; raise k or maxClusterSize")
+    }
+    val joinable = withSim.join(broadcast(capped), Seq("_sd_cell"), "left_anti")
     // drop a iff ∃ same-cluster b FARTHER from the centroid (tie →
     // smaller id) with cos(a, b) ≥ threshold — the paper's
     // farthest-first triangular rule (keep the outlier, §SemDeDup
     // "lowest cosine similarity to the cluster centroid")
     val fartherB = col("b._csim") < col("a._csim") ||
       (col("b._csim") === col("a._csim") && col("b._sd_id") < col("a._sd_id"))
-    val dropped = withSim.alias("a").join(withSim.alias("b"),
+    val pairDropped = joinable.alias("a").join(joinable.alias("b"),
         col("a._sd_cell") === col("b._sd_cell") && fartherB &&
           Similarity.cosineSimilarity(col("a._sd_emb"), col("b._sd_emb")) >= threshold,
         "left_semi")
       .select(col("_sd_id").as(idCol))
+    // capped cells: linear exact-copy pass — identical embeddings share
+    // _csim, so the paper's tie-break reduces to "smallest id survives"
+    val exactDropped = withSim.join(broadcast(capped), Seq("_sd_cell"), "left_semi")
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col("_sd_cell"), col("_sd_emb")).orderBy(col("_sd_id"))))
+      .where(col("_rk") > 1)
+      .select(col("_sd_id").as(idCol))
+    // disjoint by construction (capped vs non-capped cells)
+    val dropped = pairDropped.union(exactDropped)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     dropped.count() // materialize before releasing the assignment cache
     ivf.assigned.unpersist()
@@ -67,8 +104,9 @@ object SemDeDup {
 
   /** The deduplicated corpus: `df` minus the dropped rows. */
   def semDeDup(df: DataFrame, idCol: String, embCol: String,
-               k: Int, threshold: Double, seed: Long = 42L): DataFrame = {
-    val dropped = droppedIds(df, idCol, embCol, k, threshold, seed)
+               k: Int, threshold: Double, seed: Long = 42L,
+               maxClusterSize: Int = 10000): DataFrame = {
+    val dropped = droppedIds(df, idCol, embCol, k, threshold, seed, maxClusterSize)
       .withColumnRenamed(idCol, "_sd_dropped")
     // no forced broadcast: the dropped set can be a large fraction of the
     // corpus at aggressive thresholds — let AQE pick the join strategy

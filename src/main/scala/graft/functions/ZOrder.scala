@@ -31,8 +31,11 @@ object ZOrder {
     require(cols.size * bits <= 62, s"zorder: ${cols.size} cols × $bits bits exceeds a long")
     val nBoundaries = (1 << bits) - 1
     val probs = (1 to nBoundaries).map(_.toDouble / (nBoundaries + 1)).toArray
-    val buckets = cols.map { c =>
-      val qs = df.stat.approxQuantile(c, probs, 0.001)
+    // ONE table pass sketches ALL clustered columns (the multi-column
+    // approxQuantile overload) — the per-column overload would scan the
+    // table cols.size times just for boundary training
+    val allQs = df.stat.approxQuantile(cols.toArray, probs, 0.001)
+    val buckets = cols.zip(allQs).map { case (c, qs) =>
       // bucket id = number of boundaries strictly below the value (0..2^bits-1);
       // one codegen'd pass over a literal array — no join, no shuffle
       val boundaries = array(qs.toIndexedSeq.map(lit): _*)

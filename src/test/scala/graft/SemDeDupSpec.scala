@@ -39,6 +39,32 @@ class SemDeDupSpec extends AnyFunSuite {
     assert(dropped == Set(1L, 5L))
   }
 
+  test("cluster-size cap: a degenerate hot cell skips the pair join, keeps exact-copy recall") {
+    // degenerate corpus: 60 near-identical embeddings (within 0.5°, all
+    // ≥ 0.99-similar to each other) collapse into one hot k-means cell —
+    // uncapped, the self-join would generate ~60² candidate pairs. With
+    // maxClusterSize = 10 the cell is EXCLUDED from the pair join:
+    //  - exact copies are still dropped (linear exact-copy pass → recall
+    //    1.0 for planted duplicates through the cap),
+    //  - near-but-NOT-exact rows survive (proof the quadratic join never
+    //    ran on the capped cell — the documented recall trade).
+    val nearIdentical = (0 until 60).map(i => (i.toLong, vec(i * 0.008)))   // all distinct, all ≥ τ
+    val exactCopies = Seq(0, 7).map(i => (i + 1000L, vec(i * 0.008)))       // planted exact dups
+    val other = Seq((2000L, vec(120.0)), (2001L, vec(140.0)))               // second cell, small
+    val df = (nearIdentical ++ exactCopies ++ other).toDF("id", "emb")
+    val dropped = SemDeDup.droppedIds(df, "id", "emb", k = 2, threshold = 0.99,
+      maxClusterSize = 10).as[Long].collect().toSet
+    assert(dropped == Set(1000L, 1007L), s"capped cell: expected only exact copies dropped, got $dropped")
+    // failOnCappedCells surfaces the capped cell loudly instead
+    val e = intercept[IllegalArgumentException](SemDeDup.droppedIds(df, "id", "emb",
+      k = 2, threshold = 0.99, maxClusterSize = 10, failOnCappedCells = true))
+    assert(e.getMessage.contains("maxClusterSize"))
+    // small clusters under the cap behave exactly as before
+    val unchanged = SemDeDup.droppedIds(df, "id", "emb", k = 2, threshold = 0.99,
+      maxClusterSize = 100).as[Long].collect().toSet
+    assert(unchanged.contains(1000L) && unchanged.contains(1007L) && unchanged.size > 10)
+  }
+
   test("chain semantics match the paper's triangular rule, not connected components") {
     // a(0°), b(5°), c(11°): sim(a,b) and sim(b,c) ≥ τ, sim(a,c) < τ.
     // Farthest-first order is (c, a, b): c kept, a kept (its only
