@@ -162,7 +162,19 @@ case class CopyAction(
       in.partitionValues)
   }
 
+  /** deleteDataAfterRead needs a file input — checked at INIT and before
+    * any exec side effect (the reference constrains it at config time): an
+    * unsupported input must fail before the output write commits, not
+    * after, or the run dies post-write with the input intact. */
+  private def validateDeleteDataAfterRead(implicit ctx: ActionPipelineContext): Unit =
+    if (deleteDataAfterRead) ctx.registry.dataObject(inputId) match {
+      case _: graft.sources.SparkFileDataObject => ()
+      case other => throw new IllegalArgumentException(
+        s"Action $id: deleteDataAfterRead requires a file input — ${other.id} doesn't support deleting data")
+    }
+
   override def init(subFeeds: Seq[SubFeed])(implicit ctx: ActionPipelineContext): Seq[SubFeed] = {
+    validateDeleteDataAfterRead
     val (out, _) = buildOutput(subFeeds)
     ctx.registry.dataObject(outputId) match {
       case w: CanWriteDataFrame => w.initWrite(out.dataFrame.get)
@@ -175,6 +187,7 @@ case class CopyAction(
     executionMode match {
       case Some(m: graft.operators.modes.SparkStreamingMode) => execStreaming(m)
       case _ =>
+        validateDeleteDataAfterRead
         val (out, inPvs) = buildOutput(subFeeds)
         val metrics = writeOutput(outputId, out.dataFrame.get, out.partitionValues)
         // only AFTER the write committed (reference postExecSuccess)

@@ -141,6 +141,15 @@ case class DeduplicateAction(
     override val metricsFailCondition: Option[String] = None)
   extends StatefulAction {
 
+  // a merge upsert can only ADD or UPDATE target rows — it cannot remove a
+  // column from the target, so "drop deleted columns" is unimplementable on
+  // the merge path; evolveForState would drop the column from the feed and
+  // the sink's merge would then reference a feed column that doesn't exist
+  // (AnalysisException at exec). Reject the combination at CONSTRUCTION.
+  require(!(mergeModeEnable && ignoreOldDeletedColumns),
+    s"Action $id: ignoreOldDeletedColumns is incompatible with mergeModeEnable — " +
+      "a merge cannot drop target columns; use full mode for schema-narrowing loads")
+
   override protected def ignoreDeletedColumns: Boolean = ignoreOldDeletedColumns
 
   override protected def computeState(feed: DataFrame, existing: Option[DataFrame])
@@ -167,8 +176,12 @@ case class DeduplicateAction(
         val pk = effectivePk
         val refTs = referenceTimestamp()
         val feed = transformedInput(subFeeds).withColumn(Historization.captured, lit(refTs))
+        // null-safe "any column differs" in PORTABLE SQL: the condition is
+        // evaluated by the SINK — Spark's expr() on lakehouse sinks, the
+        // database engine on JDBC — and Spark's `<=>` parses nowhere else
         val changePredicate = feed.columns.filterNot(c => pk.contains(c) || c == Historization.captured)
-          .map(c => s"NOT (existing.`$c` <=> new.`$c`)").mkString(" OR ")
+          .map(c => s"(existing.`$c` <> new.`$c` OR (existing.`$c` IS NULL AND new.`$c` IS NOT NULL) " +
+            s"OR (existing.`$c` IS NOT NULL AND new.`$c` IS NULL))").mkString(" OR ")
         val opts =
           (if (updateCapturedColumnOnlyWhenChanged && changePredicate.nonEmpty)
             SaveModeMergeOptions(updateCondition = Some(changePredicate))
@@ -227,6 +240,13 @@ case class HistorizeAction(
 
   require(historizeWhitelist.isEmpty || historizeBlacklist.isEmpty,
     s"Action $id: historizeWhitelist and historizeBlacklist are mutually exclusive")
+
+  // same constraint as DeduplicateAction: a merge upsert cannot drop a
+  // target column, so the combination is rejected at construction instead
+  // of failing with an AnalysisException mid-exec
+  require(!(mergeModeEnable && ignoreOldDeletedColumns),
+    s"Action $id: ignoreOldDeletedColumns is incompatible with mergeModeEnable — " +
+      "a merge cannot drop target columns; use full mode for schema-narrowing loads")
 
   // the operation column never reaches the stored history (cdcHistorize drops
   // it); the event-time column DOES persist as a business column, so only the

@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.core._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Table-like DataObject with db/name/primaryKey identity. Reference
@@ -317,8 +317,24 @@ case class HiveTableDataObject(
 case class JdbcTableDataObject(
     id: String, table: Table, connection: JdbcConnection,
     preReadSql: Option[String] = None, postWriteSql: Option[String] = None,
-    jdbcOptions: Map[String, String] = Map.empty)
+    jdbcOptions: Map[String, String] = Map.empty,
+    /** SQL type for auto-created String columns. Several dialects map
+      * StringType to a LOB type (Derby: CLOB) that the engine then refuses
+      * to COMPARE — which breaks every merge condition over a string
+      * column. Empty string = keep the dialect default. */
+    stringColumnType: String = "VARCHAR(8192)")
   extends TableDataObject with CanMergeDataFrame {
+
+  /** `createTableColumnTypes` mapping String columns to a comparable SQL
+    * type for any table THIS object creates (target and merge temp). */
+  private def stringColTypes(df: DataFrame): Option[String] = {
+    if (stringColumnType.isEmpty) return None
+    val ss = df.schema.fields.filter(_.dataType == org.apache.spark.sql.types.StringType)
+    if (ss.isEmpty) None else Some(ss.map(f => s"${f.name} $stringColumnType").mkString(", "))
+  }
+
+  private def withStringTypes(w: org.apache.spark.sql.DataFrameWriter[Row], df: DataFrame) =
+    stringColTypes(df).fold(w)(t => w.option("createTableColumnTypes", t))
 
   private def withConnection[T](f: java.sql.Connection => T): T = {
     Class.forName(connection.driver)
@@ -359,9 +375,9 @@ case class JdbcTableDataObject(
           throw new IllegalArgumentException(s"$id: merge needs primaryKey")))
       case m =>
         val obs = org.apache.spark.sql.Observation(s"graft_jdbc_${id}_${System.nanoTime()}")
-        df.observe(obs, count(lit(1)).as("records_written"))
+        withStringTypes(df.observe(obs, count(lit(1)).as("records_written"))
           .write.format("jdbc").options(readerOpts)
-          .option("dbtable", table.fullName).mode(SdlSaveMode.toSpark(m)).save()
+          .option("dbtable", table.fullName).mode(SdlSaveMode.toSpark(m)), df).save()
         postWriteSql.foreach(sql => withConnection(_.createStatement().execute(sql)))
         return ActionMetrics(
           try obs.get("records_written").asInstanceOf[Long] catch { case _: Throwable => -1L },
@@ -381,16 +397,16 @@ case class JdbcTableDataObject(
     val t0 = System.currentTimeMillis()
     val tmpFull = table.db.map(_ + ".").getOrElse("") + table.name + "_graft_staging"
     val obs = org.apache.spark.sql.Observation(s"graft_jdbc_stage_${id}_${System.nanoTime()}")
-    df.observe(obs, count(lit(1)).as("records_written"))
+    withStringTypes(df.observe(obs, count(lit(1)).as("records_written"))
       .write.format("jdbc").options(readerOpts)
-      .option("dbtable", tmpFull).mode("overwrite").save()
+      .option("dbtable", tmpFull).mode("overwrite"), df).save()
     def stagedRows: Long =
       try obs.get("records_written").asInstanceOf[Long] catch { case _: Throwable => -1L }
     if (!isTableExisting) {
       val staged = ctx.spark.read.format("jdbc").options(readerOpts)
         .option("dbtable", tmpFull).load()
-      staged.write.format("jdbc").options(readerOpts)
-        .option("dbtable", table.fullName).mode("overwrite").save()
+      withStringTypes(staged.write.format("jdbc").options(readerOpts)
+        .option("dbtable", table.fullName).mode("overwrite"), staged).save()
       withConnection(_.createStatement().execute(s"DROP TABLE $tmpFull"))
       return ActionMetrics(stagedRows, System.currentTimeMillis() - t0)
     }
@@ -413,31 +429,67 @@ case class JdbcTableDataObject(
     ActionMetrics(stagedRows, System.currentTimeMillis() - t0)
   }
 
+  /** Translate a SaveModeMergeOptions condition — SQL over the
+    * `existing.*` / `new.*` aliases — into the generated statement's
+    * `t.*` / `s.*` aliases, quoting the column identifier (Spark's JDBC
+    * writer creates quoted original-case columns, so an unquoted
+    * reference would case-fold and miss on ANSI engines). */
+  private def xlate(cond: String): String =
+    cond.replaceAll("""\bexisting\.`([^`]+)`""", "t.\"$1\"")
+        .replaceAll("""\bnew\.`([^`]+)`""", "s.\"$1\"")
+        .replaceAll("""\bexisting\.([A-Za-z_][A-Za-z0-9_]*)""", "t.\"$1\"")
+        .replaceAll("""\bnew\.([A-Za-z_][A-Za-z0-9_]*)""", "s.\"$1\"")
+
   /** Reference pattern `JdbcTableDataObject.scala:375-400`: write feed to a
-    * temp table, then one `MERGE INTO` statement over the JDBC connection. */
+    * temp table, then one `MERGE INTO` statement over the JDBC connection.
+    * The statement honors the FULL SaveModeMergeOptions contract with the
+    * same clause-order semantics as [[MergeEmulation.computeMergedState]]
+    * (ANSI MERGE evaluates WHEN clauses in order): delete → conditional
+    * update → second all-columns update (updateExistingCondition) →
+    * conditional insert with overrides; additionalMergePredicate joins
+    * the ON clause. This is what lets DeduplicateAction's and
+    * HistorizeAction's merge modes run unchanged against a JDBC sink. */
   override def mergeDataFrame(df: DataFrame, joinCols: Seq[String],
                               options: SaveModeMergeOptions = SaveModeMergeOptions())
                              (implicit ctx: ActionPipelineContext): ActionMetrics = {
     val t0 = System.currentTimeMillis()
     val tmpName = table.name + "_graft_tmp"
     val tmpFull = table.db.map(_ + ".").getOrElse("") + tmpName
-    df.write.format("jdbc").options(readerOpts)
-      .option("dbtable", tmpFull).mode("overwrite").save()
+    withStringTypes(df.write.format("jdbc").options(readerOpts)
+      .option("dbtable", tmpFull).mode("overwrite"), df).save()
     val cols = df.columns.toSeq
     // ANSI double-quoted identifiers: Spark's JDBC writer creates columns
     // quoted in their original (lower) case, so unquoted references would
     // upper-case-fold and miss (Derby/Postgres/HSQLDB semantics)
     def q(c: String) = "\"" + c + "\""
-    val onClause = joinCols.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+    val onClause = (joinCols.map(k => s"t.${q(k)} = s.${q(k)}") ++
+      options.additionalMergePredicate.map(p => s"(${xlate(p)})")).mkString(" AND ")
     val updCols = (if (options.updateColumns.nonEmpty) options.updateColumns
                    else cols.filterNot(joinCols.contains))
     val updClause = updCols.map(c => s"${q(c)} = s.${q(c)}").mkString(", ")
-    val insCols = cols.filterNot(options.insertColumnsToIgnore.contains)
+    // insert honors both the ignore list and value overrides (an override
+    // wins over ignore, matching MergeEmulation.insertedRec)
+    val insCols = cols.filter(c => !options.insertColumnsToIgnore.contains(c) ||
+      options.insertValuesOverride.contains(c))
+    def insValue(c: String) =
+      options.insertValuesOverride.get(c).map(xlate).getOrElse("s." + q(c))
+    val clauses = Seq.newBuilder[String]
+    options.deleteCondition.foreach(d => clauses += s"WHEN MATCHED AND (${xlate(d)}) THEN DELETE")
+    val updGuard = options.updateCondition.map(u => s" AND (${xlate(u)})").getOrElse("")
+    clauses += s"WHEN MATCHED$updGuard THEN UPDATE SET $updClause"
+    // second matched clause: all columns — reachable only when the primary
+    // update clause's condition was false (ANSI clause-order semantics)
+    options.updateExistingCondition.foreach { u =>
+      val allClause = cols.filterNot(joinCols.contains)
+        .map(c => s"${q(c)} = s.${q(c)}").mkString(", ")
+      clauses += s"WHEN MATCHED AND (${xlate(u)}) THEN UPDATE SET $allClause"
+    }
+    val insGuard = options.insertCondition.map(i => s" AND (${xlate(i)})").getOrElse("")
+    clauses += s"WHEN NOT MATCHED$insGuard THEN INSERT (${insCols.map(q).mkString(", ")}) " +
+      s"VALUES (${insCols.map(insValue).mkString(", ")})"
     val mergeSql =
-      s"""MERGE INTO ${table.fullName} t USING $tmpFull s ON ($onClause)
-         |WHEN MATCHED THEN UPDATE SET $updClause
-         |WHEN NOT MATCHED THEN INSERT (${insCols.map(q).mkString(", ")})
-         |VALUES (${insCols.map(c => "s." + q(c)).mkString(", ")})""".stripMargin
+      s"MERGE INTO ${table.fullName} t USING $tmpFull s ON ($onClause)\n" +
+        clauses.result().mkString("\n")
     // executeUpdate's affected-row count IS the merge metric (JDBC spec;
     // Derby counts updated+inserted rows) — no extra query needed
     val affected = withConnection { c =>
