@@ -2776,6 +2776,40 @@ object SparkEntry {
         "restore must reinstate v0's exact file set, metadata-only")
       vt.getDataFrame().withColumn("version", lit("restored"))
         .unionByName(vt.getDataFrameAsOf(Some(1)).withColumn("version", lit("pre")))
+    }),
+
+    // CDF as a STREAMING source (the Delta readChangeFeed streaming shape,
+    // beyond q107's batch-incremental pull): a CDF-enabled versioned table
+    // materializes per-commit change files at write time; a plain file
+    // stream (AvailableNow) drains the full typed change history — no
+    // state plumbing in the consumer, offsets/exactly-once come from the
+    // engine's file-source checkpoint. Three commits: base load (inserts),
+    // merge (update pre/post images + twin inserts), delete-merge
+    // (pre-image delete rows), each stamped with its commit version.
+    "q112_cdf_streaming_source" -> ((s, dir) => {
+      implicit val c: ActionPipelineContext = ctx(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q112").toString
+      val vt = sources.VersionedTableDataObject("q112_vt", s"$tmp/t",
+        primaryKey = Seq("c_custkey"), changeDataFeed = true)
+      val cust = t(s, dir, "customer").select(col("c_custkey").cast("long"),
+        col("c_name"), col("c_acctbal").cast("double"))
+      vt.writeDataFrame(cust)                                              // v0: all inserts
+      val upd = cust.where(col("c_custkey") % 7 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+      val twins = cust.where(col("c_custkey") % 13 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 1000000L)
+      vt.mergeDataFrame(upd.unionByName(twins), Seq("c_custkey"))          // v1: updates + inserts
+      vt.mergeDataFrame(
+        cust.where(col("c_custkey") % 11 === 0 && col("c_custkey") % 7 =!= 0)
+          .withColumn("c_acctbal", lit(-1.0)),
+        Seq("c_custkey"),
+        SaveModeMergeOptions(deleteCondition = Some("true")))              // v2: deletes
+      val dst = sources.ParquetFileDataObject("q112_dst", s"$tmp/out")
+      val q = dst.writeStreamingDataFrame(vt.getStreamingDataFrame(Map.empty, None),
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(), Map.empty,
+        s"$tmp/cp", "q112_stream")
+      q.awaitTermination()
+      dst.getDataFrame()
     })
   )
 
@@ -4102,6 +4136,19 @@ object SparkEntry {
         |UNION ALL
         |SELECT c_custkey, c_name, c_acctbal + 50.0, 'pre'
         |FROM cust WHERE c_custkey <= 900""".stripMargin,
+    // q112: the typed change history replayed relationally — v0 inserts
+    // everything, v1 updates %7 (pre+post images) and inserts %13 twins,
+    // v2 deletes %11 minus %7 with PRE-image values (original balances)
+    "q112_cdf_streaming_source" ->
+      """WITH cust AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k, c_name,
+        |    CAST(c_acctbal AS DOUBLE) AS bal FROM customer)
+        |SELECT k AS c_custkey, c_name, bal AS c_acctbal,
+        |  'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version FROM cust
+        |UNION ALL SELECT k, c_name, bal, 'update_preimage', 1 FROM cust WHERE k % 7 = 0
+        |UNION ALL SELECT k, c_name, bal + 100.0, 'update_postimage', 1 FROM cust WHERE k % 7 = 0
+        |UNION ALL SELECT k + 1000000, c_name, bal, 'insert', 1 FROM cust WHERE k % 13 = 0
+        |UNION ALL SELECT k, c_name, bal, 'delete', 2 FROM cust WHERE k % 11 = 0 AND k % 7 <> 0""".stripMargin,
     // q108: the planted-copy drop is structural (same vector → same
     // cluster, equal centroid sim, id tie-break) — REQUIREd in-query, so
     // the emitted drop list equals the planted list, which DuckDB

@@ -220,7 +220,8 @@ object ConfigParser {
         VersionedTableDataObject(id, require(str(n, "path"), id, "path"),
           primaryKey = strSeq(n, "primaryKey"),
           checkpointInterval = int(n, "checkpointInterval").getOrElse(10),
-          partitions = strSeq(n, "partitions"))
+          partitions = strSeq(n, "partitions"),
+          changeDataFeed = bool(n, "changeDataFeed"))
       case "KafkaTopicDataObject" | "kafka" =>
         KafkaTopicDataObject(id, require(str(n, "topic"), id, "topic"),
           brokers = str(n, "brokers").getOrElse("localhost:9092"),

@@ -50,9 +50,20 @@ case class VersionedTableDataObject(id: String, path: String,
                                       * overwrite supersedes exactly the written partitions, and
                                       * partition filters prune at plan time without reading a
                                       * footer */
-                                    partitions: Seq[String] = Seq.empty)
+                                    partitions: Seq[String] = Seq.empty,
+                                    /** materialize per-commit change rows under `_graft_cdc/`
+                                      * (the public Delta CDF design: DML writes change data files
+                                      * alongside data files), making the table a STREAMING CDC
+                                      * source via [[getStreamingDataFrame]] — Spark's file stream
+                                      * source handles offsets/checkpointing, so a consumer needs
+                                      * no state plumbing. Requires `primaryKey`. */
+                                    changeDataFeed: Boolean = false)
   extends DataObject with CanCreateDataFrame with CanWriteDataFrame with CanMergeDataFrame
-  with CanWriteStreamingDataFrame with CanCreateIncrementalOutput with CanHandlePartitions {
+  with CanWriteStreamingDataFrame with CanCreateStreamingDataFrame
+  with CanCreateIncrementalOutput with CanHandlePartitions {
+
+  require(!changeDataFeed || primaryKey.nonEmpty,
+    s"DataObject $id: changeDataFeed requires primaryKey (the CDF diff joins on it)")
 
   /** last version consumed by [[graft.operators.modes.CdcIncrementalMode]]
     * — rides the RunStateStore like every other incremental source */
@@ -383,6 +394,7 @@ case class VersionedTableDataObject(id: String, path: String,
       }
       if (doomed.isEmpty) return
       done = tryCommit(Commit(st.version + 1, Seq.empty, doomed, st.schemaDdl))
+      if (done) writeCdcCommit(st.version + 1)
       attempt += 1
       if (!done && attempt >= 20) throw new java.util.ConcurrentModificationException(
         s"DataObject $id: deletePartitions lost the rename race $attempt times")
@@ -663,6 +675,7 @@ case class VersionedTableDataObject(id: String, path: String,
     val writtenPvs = if (dynamic) stats.values.map(_.pv).filter(_.nonEmpty).toSet else Set.empty[Map[String, String]]
     var attempt = 0
     var done = false
+    var committedV = -1
     while (!done) {
       val st = readState(None)
       val v = st.map(_.version + 1).getOrElse(0)
@@ -681,10 +694,12 @@ case class VersionedTableDataObject(id: String, path: String,
         case _ => df.schema.toDDL
       }
       done = tryCommit(Commit(v, added, removed, Some(schema), stats))
+      if (done) committedV = v
       attempt += 1
       if (!done && attempt >= 20) throw new java.util.ConcurrentModificationException(
         s"DataObject $id: commit contention — $attempt attempts lost the rename race")
     }
+    writeCdcCommit(committedV)
     ActionMetrics(recordsWritten = rowsOf(stats), durationMillis = System.currentTimeMillis() - t0)
   }
 
@@ -830,6 +845,7 @@ case class VersionedTableDataObject(id: String, path: String,
         commitV = freshVers.max + 1
         done = tryCommit(Commit(commitV, added, touched, Some(schema.toDDL), stats))
       }
+      writeCdcCommit(commitV)
       ActionMetrics(rowsOf(stats), System.currentTimeMillis() - t0)
     } finally feed.unpersist()
   }
@@ -964,8 +980,11 @@ case class VersionedTableDataObject(id: String, path: String,
                     (implicit ctx: ActionPipelineContext): DataFrame = {
     require(primaryKey.nonEmpty, s"DataObject $id: change data feed needs primaryKey")
     // two bounded state reads — every file scanned below is live at one
-    // of the two versions, so their union covers all needed stats
-    val stFrom = stateOrFail(Some(fromVersion))
+    // of the two versions, so their union covers all needed stats.
+    // fromVersion < 0 = empty base: every row at `toVersion` is an insert
+    // (serves the initial snapshot through the same diff)
+    val stFrom = if (fromVersion < 0) TableState(-1, Seq.empty, Map.empty, None)
+                 else stateOrFail(Some(fromVersion))
     val stTo = stateOrFail(toVersion)
     val filesFrom = stFrom.files.toSet
     val filesTo = stTo.files.toSet
@@ -992,6 +1011,49 @@ case class VersionedTableDataObject(id: String, path: String,
     o.join(n, keyEq, "full")
       .select(explode(changes).as("c"))
       .select(col("c.r.*") +: Seq(col("c.t").as("_change_type")): _*)
+  }
+
+  // ----------------------------------------------------------------------
+  // Change data feed as a STREAMING source (materialized CDC files)
+  // ----------------------------------------------------------------------
+
+  private def cdcDir = new Path(path, "_graft_cdc")
+
+  /** Materialize commit `v`'s change rows as parquet under
+    * `_graft_cdc/vNNNNNNNN/` — the public Delta CDF write-side design
+    * (DML writes change data files alongside data files; here computed
+    * post-commit from [[changesBetween]], whose scan is O(files changed
+    * by the commit), and the truth stays the log: a consumer that must
+    * not miss a commit in the crash window between log write and CDC
+    * write uses [[graft.operators.modes.CdcIncrementalMode]], which
+    * diffs the log directly). Called after every data-changing commit;
+    * compaction is skipped by design — its data is identical, the diff
+    * would scan the table to emit zero rows. */
+  private def writeCdcCommit(v: Int)(implicit ctx: ActionPipelineContext): Unit =
+    if (changeDataFeed) {
+      changesBetween(v - 1, Some(v))
+        .withColumn("_commit_version", lit(v.toLong))
+        .write.mode(SaveMode.ErrorIfExists).parquet(new Path(cdcDir, f"v$v%08d").toString)
+    }
+
+  /** The change feed as a STREAMING DataFrame: Spark's file stream source
+    * over the materialized CDC files — offsets, discovery, and exactly-once
+    * checkpointing come from the engine (`maxFilesPerTrigger` etc. pass
+    * through `options`). Schema = committed table schema +
+    * `_change_type` + `_commit_version`. The micro-batch granularity is
+    * one CDC file set per commit — the Delta `readChangeFeed` streaming
+    * shape without custom Source machinery. */
+  override def getStreamingDataFrame(options: Map[String, String],
+                                     schema: Option[StructType])
+                                    (implicit ctx: ActionPipelineContext): DataFrame = {
+    require(changeDataFeed, s"DataObject $id: streaming reads need changeDataFeed=true")
+    fs.mkdirs(cdcDir)
+    val base = schema.orElse(readState(None).flatMap(_.schema)).getOrElse(
+      throw new IllegalStateException(s"DataObject $id: no committed schema for streaming read"))
+    val full = StructType(base.fields ++ Seq(
+      StructField("_change_type", StringType), StructField("_commit_version", LongType)))
+    // one directory per commit → glob one level down for the part files
+    ctx.spark.readStream.schema(full).options(options).parquet(s"${cdcDir.toString}/*")
   }
 
   /** Compaction (reference Delta OPTIMIZE): rewrite the live snapshot into
@@ -1042,6 +1104,7 @@ case class VersionedTableDataObject(id: String, path: String,
     val removes = cur.files.filterNot(targetSet)
     val stats = adds.flatMap(f => target.stats.get(f).map(f -> _)).toMap
     writeCommit(Commit(v, adds, removes, target.schemaDdl, stats))
+    writeCdcCommit(v)
     v
   }
 
@@ -1167,6 +1230,16 @@ case class VersionedTableDataObject(id: String, path: String,
           if (!remaining) fs.delete(d.getPath, true) // empty staging dir
         case _ =>
       }
+    }
+    // CDC files follow the same horizon as the log: a commit no longer
+    // time-travelable has no replayable change feed either (Delta ties
+    // CDF retention to the table's retention the same way)
+    if (changeDataFeed && fs.exists(cdcDir)) {
+      val cdcVer = """v(\d{8})""".r
+      fs.listStatus(cdcDir).foreach(d => d.getPath.getName match {
+        case cdcVer(v) if v.toInt < cut => fs.delete(d.getPath, true)
+        case _ =>
+      })
     }
     (deletable ++ (swept.toSet -- deletable)).sorted
   }

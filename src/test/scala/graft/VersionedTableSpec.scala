@@ -324,6 +324,35 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(changes(2, 3) == Set((3, "v3", "delete")))
   }
 
+  test("change data feed streams: per-commit CDC files consumed by a plain file stream") {
+    val dir = Files.createTempDirectory("graft-vt").toString
+    val t = VersionedTableDataObject("vtcdfs", s"$dir/t", primaryKey = Seq("k"),
+      changeDataFeed = true)
+    t.writeDataFrame(Seq((1, "a"), (2, "b")).toDF("k", "v"))                 // v0: 2 inserts
+    t.mergeDataFrame(Seq((2, "B"), (3, "c")).toDF("k", "v"), Seq("k"))       // v1: update + insert
+    t.mergeDataFrame(Seq((1, "__DEL__")).toDF("k", "v"), Seq("k"),
+      SaveModeMergeOptions(deleteCondition = Some("new.v = '__DEL__'")))     // v2: delete
+    def drain(): Set[(Int, String, String, Long)] = {
+      val q = t.getStreamingDataFrame(Map.empty, None)
+        .writeStream.format("parquet").option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(s"$dir/out").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    }
+    assert(drain() == Set(
+      (1, "a", "insert", 0L), (2, "b", "insert", 0L),
+      (2, "b", "update_preimage", 1L), (2, "B", "update_postimage", 1L), (3, "c", "insert", 1L),
+      (1, "a", "delete", 2L)))
+    // optimize rewrites identical data → NO cdc emitted; a later append is
+    // picked up by a RESTARTED query from the same checkpoint
+    t.optimize(1)                                                            // v3: no changes
+    t.writeDataFrame(Seq((9, "z")).toDF("k", "v"), saveMode = Some(SdlSaveMode.Append)) // v4
+    val got2 = drain()
+    assert(got2.contains((9, "z", "insert", 4L)) && got2.size == 7, s"restart drained: $got2")
+  }
+
   test("checkpointed log: reads replay checkpoint + tail, never the full history") {
     val dir = Files.createTempDirectory("graft-vt").toString
     val t = VersionedTableDataObject("vtcp", s"$dir/t", primaryKey = Seq("k"),
