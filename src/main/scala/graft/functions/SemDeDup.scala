@@ -68,14 +68,19 @@ object SemDeDup {
         element_at(centLit, col("_ivf_cell") + 1)))
       .select(col(idCol).as("_sd_id"), col(embCol).as("_sd_emb"),
         col("_ivf_cell").as("_sd_cell"), col("_csim"))
-    val cellSizes = withSim.groupBy("_sd_cell").agg(count(lit(1)).as("_n"))
-    val capped = cellSizes.where(col("_n") > maxClusterSize).select("_sd_cell")
-    if (failOnCappedCells) {
-      val n = capped.count()
-      require(n == 0, s"SemDeDup: $n cell(s) exceeded maxClusterSize=$maxClusterSize — " +
+    // per-cell counts collected to the DRIVER: cardinality is bounded by
+    // k (a few hundred coarse cells), so this is O(k) rows off the cached
+    // assignment — one tiny job that lets the common no-hot-cell case keep
+    // the EXACT uncapped plan, zero extra stages (unlike the LSH buckets,
+    // whose unbounded id space forces the lazy anti-join pattern there)
+    val cappedCells = withSim.groupBy("_sd_cell").agg(count(lit(1)).as("_n"))
+      .where(col("_n") > maxClusterSize).select("_sd_cell")
+      .collect().map(_.getInt(0)).toSeq
+    require(!failOnCappedCells || cappedCells.isEmpty,
+      s"SemDeDup: ${cappedCells.size} cell(s) exceeded maxClusterSize=$maxClusterSize — " +
         "within-cell recall not exhaustive; raise k or maxClusterSize")
-    }
-    val joinable = withSim.join(broadcast(capped), Seq("_sd_cell"), "left_anti")
+    val joinable = if (cappedCells.isEmpty) withSim
+      else withSim.where(!col("_sd_cell").isin(cappedCells: _*))
     // drop a iff ∃ same-cluster b FARTHER from the centroid (tie →
     // smaller id) with cos(a, b) ≥ threshold — the paper's
     // farthest-first triangular rule (keep the outlier, §SemDeDup
@@ -89,13 +94,16 @@ object SemDeDup {
       .select(col("_sd_id").as(idCol))
     // capped cells: linear exact-copy pass — identical embeddings share
     // _csim, so the paper's tie-break reduces to "smallest id survives"
-    val exactDropped = withSim.join(broadcast(capped), Seq("_sd_cell"), "left_semi")
-      .withColumn("_rk", row_number().over(
-        Window.partitionBy(col("_sd_cell"), col("_sd_emb")).orderBy(col("_sd_id"))))
-      .where(col("_rk") > 1)
-      .select(col("_sd_id").as(idCol))
-    // disjoint by construction (capped vs non-capped cells)
-    val dropped = pairDropped.union(exactDropped)
+    val dropped0 = if (cappedCells.isEmpty) pairDropped else {
+      val exactDropped = withSim.where(col("_sd_cell").isin(cappedCells: _*))
+        .withColumn("_rk", row_number().over(
+          Window.partitionBy(col("_sd_cell"), col("_sd_emb")).orderBy(col("_sd_id"))))
+        .where(col("_rk") > 1)
+        .select(col("_sd_id").as(idCol))
+      // disjoint by construction (capped vs non-capped cells)
+      pairDropped.union(exactDropped)
+    }
+    val dropped = dropped0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     dropped.count() // materialize before releasing the assignment cache
     ivf.assigned.unpersist()
