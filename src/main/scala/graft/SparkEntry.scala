@@ -2810,6 +2810,52 @@ object SparkEntry {
         s"$tmp/cp", "q112_stream")
       q.awaitTermination()
       dst.getDataFrame()
+    }),
+
+    // C4 line-level cleaning (Raffel et al. 2020 §2.2, the public C4
+    // heuristics) over a structured corpus synthesized deterministically
+    // from the documents table (the raw synthetic text has no lines or
+    // punctuation, so the fixture plants every rule's trigger): short and
+    // unterminated lines drop, terminal-punctuation lines survive, and
+    // lorem-ipsum / curly-brace documents are rejected wholesale. The
+    // oracle re-runs the SAME generic rules in DuckDB (list_filter +
+    // regex), not the construction's known outcomes.
+    "q113_c4_line_cleaning" -> ((s, dir) => {
+      import graft.functions.TextAnalysis._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val synth = docs.withColumn("_synth", concat_ws("\n",
+        concat(lit("Document "), col("doc_id"), lit(" begins with a proper sentence.")),
+        lit("too short"),
+        lit("this line has no terminal punctuation"),
+        when(col("doc_id") % 10 === 0, lit("A code block { lurks here.")),
+        when(col("doc_id") % 17 === 0, lit("Lorem ipsum dolor sit amet.")),
+        concat(lit("It ends with "), element_at(split(col("text"), " "), 1), lit("!"))))
+      synth.withColumn("cleaned", c4CleanLines(col("_synth")))
+        .select(col("doc_id"), col("cleaned"),
+          c4DocumentAccept(col("cleaned")).as("accept"))
+    }),
+
+    // Gopher document-quality filter (Rae et al. 2021 §A1.1, the public
+    // rule set) — every signal plus the paper's accept conjunction, over
+    // a corpus where each rule's trigger is planted on a deterministic
+    // slice (hash noise %9, bullets %13, ellipsis endings %7, a
+    // stopword-bearing coda everywhere) so the base corpus' word-count /
+    // mean-length variation decides the rest. The oracle recomputes every
+    // signal generically, bit-for-bit.
+    "q114_gopher_quality_filter" -> ((s, dir) => {
+      import graft.functions.TextAnalysis._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val synth = docs.withColumn("_synth", concat_ws("\n",
+        concat(col("text"), lit(" and that is the point.")),
+        when(col("doc_id") % 9 === 0, lit("# # # # # # # # # # # #")),
+        when(col("doc_id") % 13 === 0, lit("- bullet one")),
+        when(col("doc_id") % 13 === 0, lit("- bullet two")),
+        when(col("doc_id") % 7 === 0, lit("to be continued..."))))
+      withGopherSignals(synth, "_synth")
+        .select(col("doc_id"), col("word_count"), col("mean_word_len"),
+          col("symbol_word_ratio"), col("bullet_line_frac"),
+          col("ellipsis_line_frac"), col("alpha_word_frac"),
+          col("stopword_hits"), col("gopher_accept"))
     })
   )
 
@@ -4149,6 +4195,69 @@ object SparkEntry {
         |UNION ALL SELECT k, c_name, bal + 100.0, 'update_postimage', 1 FROM cust WHERE k % 7 = 0
         |UNION ALL SELECT k + 1000000, c_name, bal, 'insert', 1 FROM cust WHERE k % 13 = 0
         |UNION ALL SELECT k, c_name, bal, 'delete', 2 FROM cust WHERE k % 11 = 0 AND k % 7 <> 0""".stripMargin,
+    // q113: the SAME generic C4 rules re-run in DuckDB over the same
+    // synthesized corpus — line filter (terminal punctuation + >=3 words)
+    // then the document-level lorem-ipsum/brace/empty drops
+    "q113_c4_line_cleaning" ->
+      """WITH synth AS (
+        |  SELECT doc_id, concat_ws(chr(10),
+        |    'Document ' || doc_id || ' begins with a proper sentence.',
+        |    'too short',
+        |    'this line has no terminal punctuation',
+        |    CASE WHEN doc_id % 10 = 0 THEN 'A code block { lurks here.' END,
+        |    CASE WHEN doc_id % 17 = 0 THEN 'Lorem ipsum dolor sit amet.' END,
+        |    'It ends with ' || string_split(text, ' ')[1] || '!') AS s
+        |  FROM documents),
+        |cleaned AS (
+        |  SELECT doc_id, array_to_string(list_filter(string_split(s, chr(10)),
+        |    l -> regexp_matches(l, '[.!?"'']\s*$')
+        |      AND len(list_filter(string_split_regex(l, '\s+'), w -> len(w) > 0)) >= 3),
+        |    chr(10)) AS cleaned
+        |  FROM synth)
+        |SELECT doc_id, cleaned,
+        |  (NOT contains(lower(cleaned), 'lorem ipsum')) AND (NOT contains(cleaned, '{'))
+        |    AND len(cleaned) > 0 AS accept
+        |FROM cleaned""".stripMargin,
+    // q114: every Gopher signal recomputed generically in DuckDB with the
+    // identical arithmetic (same splits, same operand order → same double
+    // bits), then the paper's accept conjunction
+    "q114_gopher_quality_filter" ->
+      """WITH synth AS (
+        |  SELECT doc_id, concat_ws(chr(10),
+        |    text || ' and that is the point.',
+        |    CASE WHEN doc_id % 9 = 0 THEN '# # # # # # # # # # # #' END,
+        |    CASE WHEN doc_id % 13 = 0 THEN '- bullet one' END,
+        |    CASE WHEN doc_id % 13 = 0 THEN '- bullet two' END,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'to be continued...' END) AS s
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id, s,
+        |    list_filter(string_split_regex(s, '\s+'), w -> len(w) > 0) AS words,
+        |    list_filter(string_split(s, chr(10)), l -> len(trim(l)) > 0) AS lines
+        |  FROM synth),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(words) AS INT) AS word_count,
+        |    CAST(list_sum(list_transform(words, w -> len(w))) AS DOUBLE) /
+        |      greatest(CAST(len(words) AS DOUBLE), 1.0) AS mean_word_len,
+        |    CAST(len(regexp_extract_all(s, '#')) + len(regexp_extract_all(s, '\.\.\.')) AS DOUBLE) /
+        |      greatest(CAST(len(words) AS DOUBLE), 1.0) AS symbol_word_ratio,
+        |    CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-•*]'))) AS DOUBLE) /
+        |      greatest(CAST(len(lines) AS DOUBLE), 1.0) AS bullet_line_frac,
+        |    CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS DOUBLE) /
+        |      greatest(CAST(len(lines) AS DOUBLE), 1.0) AS ellipsis_line_frac,
+        |    CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) /
+        |      greatest(CAST(len(words) AS DOUBLE), 1.0) AS alpha_word_frac,
+        |    CAST(len(list_intersect(list_distinct(string_split(lower(s), ' ')),
+        |      ['the','be','to','of','and','that','have','with'])) AS INT) AS stopword_hits
+        |  FROM sig)
+        |SELECT doc_id, word_count, mean_word_len, symbol_word_ratio,
+        |  bullet_line_frac, ellipsis_line_frac, alpha_word_frac, stopword_hits,
+        |  (word_count BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |    AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+        |    AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+        |    AND stopword_hits >= 2 AS gopher_accept
+        |FROM m""".stripMargin,
     // q108: the planted-copy drop is structural (same vector → same
     // cluster, equal centroid sim, id tie-break) — REQUIREd in-query, so
     // the emitted drop list equals the planted list, which DuckDB

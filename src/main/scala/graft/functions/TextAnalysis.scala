@@ -210,6 +210,80 @@ object TextAnalysis {
       .groupBy(col("ngram")).agg(count(lit(1)).as("doc_freq"))
       .orderBy(col("doc_freq").desc, col("ngram").asc).limit(topK)
 
+  /** C4-style LINE-LEVEL cleaning (Raffel et al. 2020, "Exploring the
+    * Limits of Transfer Learning…", §2.2 — the public C4 heuristics):
+    * keep only lines that end in a terminal punctuation mark (.!? or a
+    * closing quote) AND have at least `minWordsPerLine` words; the kept
+    * lines re-join with newlines. Pure codegen'd column expression
+    * (split → filter HOF → array_join), one scan, no UDF — and every
+    * step is portable (regex + word split), so an external engine
+    * replicates the cleaning byte-for-byte. */
+  def c4CleanLines(text: Column, minWordsPerLine: Int = 3): Column = {
+    val kept = filter(split(text, "\n"), l =>
+      l.rlike("[.!?\"']\\s*$") &&
+        size(filter(split(l, "\\s+"), w => length(w) > 0)) >= minWordsPerLine)
+    array_join(kept, "\n")
+  }
+
+  /** The C4 DOCUMENT-level drops that accompany the line cleaning: no
+    * "lorem ipsum", no curly brace (code leakage). Applied to the cleaned
+    * text; a document may also empty out entirely under the line rules. */
+  def c4DocumentAccept(cleanedText: Column): Column =
+    !contains(lower(cleanedText), lit("lorem ipsum")) &&
+      !contains(cleanedText, lit("{")) && length(cleanedText) > 0
+
+  /** the Gopher repetition/naturalness stop-word list (Rae et al. 2021
+    * §A1.1: "the, be, to, of, and, that, have, with") */
+  val gopherStopwords: Seq[String] = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher document-quality signals (Rae et al. 2021, "Scaling Language
+    * Models…", §A1.1 — the public rule set), one codegen'd projection:
+    *  - `word_count`, `mean_word_len` (whitespace words)
+    *  - `symbol_word_ratio`: (# of '#' + # of '...') / words
+    *  - `bullet_line_frac` / `ellipsis_line_frac`: lines starting with a
+    *    bullet / ending with an ellipsis
+    *  - `alpha_word_frac`: words containing ≥1 alphabetic char
+    *  - `stopword_hits`: DISTINCT Gopher stop words present
+    *  - `gopher_accept`: the paper's conjunction — 50 ≤ words ≤ 100000,
+    *    3 ≤ mean len ≤ 10, symbol ratio ≤ 0.1, bullets ≤ 0.9,
+    *    ellipses ≤ 0.3, alpha frac ≥ 0.8, ≥ 2 stop words.
+    * Every signal is int/int or count arithmetic an external engine
+    * reproduces bit-for-bit. */
+  def withGopherSignals(df: org.apache.spark.sql.DataFrame, textCol: String): org.apache.spark.sql.DataFrame = {
+    // stage arrays once: HOFs are interpreted — no CSE across consumers
+    // (same staging lesson as withRepetitionSignals)
+    val staged = df
+      .withColumn("_words", filter(split(col(textCol), "\\s+"), w => length(w) > 0))
+      .withColumn("_lines", filter(split(col(textCol), "\n"), l => length(trim(l)) > 0))
+    val wc = size(col("_words")).cast(DoubleType)
+    val lc = greatest(size(col("_lines")).cast(DoubleType), lit(1.0))
+    staged
+      .withColumn("word_count", size(col("_words")))
+      .withColumn("mean_word_len",
+        aggregate(col("_words"), lit(0L), (acc, w) => acc + length(w)).cast(DoubleType) /
+          greatest(wc, lit(1.0)))
+      .withColumn("symbol_word_ratio",
+        (countPattern(col(textCol), "#") + countPattern(col(textCol), "\\.\\.\\."))
+          .cast(DoubleType) / greatest(wc, lit(1.0)))
+      .withColumn("bullet_line_frac",
+        size(filter(col("_lines"), l => trim(l).rlike("^[-•*]"))).cast(DoubleType) / lc)
+      .withColumn("ellipsis_line_frac",
+        size(filter(col("_lines"), l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast(DoubleType) / lc)
+      .withColumn("alpha_word_frac",
+        size(filter(col("_words"), w => w.rlike("[A-Za-z]"))).cast(DoubleType) /
+          greatest(wc, lit(1.0)))
+      .withColumn("stopword_hits", distinctStopwordHits(col(textCol), gopherStopwords))
+      .withColumn("gopher_accept",
+        col("word_count").between(50, 100000) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_word_ratio") <= 0.1 &&
+          col("bullet_line_frac") <= 0.9 &&
+          col("ellipsis_line_frac") <= 0.3 &&
+          col("alpha_word_frac") >= 0.8 &&
+          col("stopword_hits") >= 2)
+      .drop("_words", "_lines")
+  }
+
   /** Strip HTML to text (the boilerplate-removal head of a web-corpus
     * pipeline): drop tags, unescape the five predefined entities (&amp;
     * LAST, so "&amp;lt;" correctly yields "&lt;" and not a re-parsed tag),

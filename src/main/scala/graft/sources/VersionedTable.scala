@@ -1068,6 +1068,11 @@ case class VersionedTableDataObject(id: String, path: String,
     *        compact ONLY those partitions' files — Delta `OPTIMIZE …
     *        WHERE`; other partitions are carried by reference, so the
     *        rewrite is O(selected partitions), not O(table) */
+  /** Test seam: fires between optimize/restore's state read and their
+    * commit attempt, so specs can land a deterministic concurrent commit
+    * in the race window. Production: no-op. */
+  @transient private[graft] var maintenanceRaceHook: () => Unit = () => ()
+
   def optimize(targetFileCount: Int, zorderBy: Seq[String] = Seq.empty,
                partitionValues: Seq[PartitionValues] = Seq.empty)
               (implicit ctx: ActionPipelineContext): Int = {
@@ -1082,7 +1087,32 @@ case class VersionedTableDataObject(id: String, path: String,
       if (zorderBy.nonEmpty) graft.functions.ZOrder.cluster(current, zorderBy, targetFileCount)
       else current.repartition(targetFileCount)
     val (added, stats) = stage(arranged, v)
-    writeCommit(Commit(v, added, scoped, st.schemaDdl.orElse(Some(current.schema.toDDL)), stats))
+    maintenanceRaceHook()
+    // optimistic commit with the Delta OPTIMIZE conflict rule: a lost
+    // race retries at the new head UNLESS a concurrent commit REMOVED one
+    // of this compaction's input files (committing then would resurrect
+    // its superseded rows). Concurrent appends/disjoint merges are safe —
+    // their files stay live alongside the compacted output. The schema is
+    // re-read per attempt so a concurrent append's union-evolution is
+    // never regressed by a stale DDL.
+    val scopedSet = scoped.toSet
+    var commitV = v
+    var attempt = 0
+    var done = tryCommit(Commit(commitV, added, scoped,
+      st.schemaDdl.orElse(Some(current.schema.toDDL)), stats))
+    while (!done) {
+      attempt += 1
+      val fresh = listLog._1
+      val concurrent = fresh.filter(_ >= v).map(parseCommit)
+      if (attempt >= 20 || concurrent.flatMap(_.removed).exists(scopedSet))
+        throw new java.util.ConcurrentModificationException(
+          s"DataObject $id: concurrent commit(s) ${concurrent.map(_.version).mkString(",")} " +
+            "rewrote files this OPTIMIZE compacted — re-run against the new state")
+      val freshSchema = readState(None).flatMap(_.schemaDdl)
+        .orElse(st.schemaDdl).orElse(Some(current.schema.toDDL))
+      commitV = fresh.max + 1
+      done = tryCommit(Commit(commitV, added, scoped, freshSchema, stats))
+    }
     added.size
   }
 
@@ -1096,16 +1126,28 @@ case class VersionedTableDataObject(id: String, path: String,
     * anything is committed. Returns the new head version. */
   def restore(version: Int)(implicit ctx: ActionPipelineContext): Int = {
     val target = stateOrFail(Some(version))
-    val cur = stateOrFail(None)
-    val v = cur.version + 1
-    val curSet = cur.files.toSet
-    val targetSet = target.files.toSet
-    val adds = target.files.filterNot(curSet)
-    val removes = cur.files.filterNot(targetSet)
-    val stats = adds.flatMap(f => target.stats.get(f).map(f -> _)).toMap
-    writeCommit(Commit(v, adds, removes, target.schemaDdl, stats))
-    writeCdcCommit(v)
-    v
+    var attempt = 0
+    while (attempt < 20) {
+      // the file-set diff is recomputed against the FRESH head per attempt
+      // (metadata-only, so a retry costs one state read) — restore is
+      // last-writer-wins like overwrite, so losing a race to a concurrent
+      // commit just means diffing against what that commit left behind
+      val cur = stateOrFail(None)
+      val v = cur.version + 1
+      val curSet = cur.files.toSet
+      val targetSet = target.files.toSet
+      val adds = target.files.filterNot(curSet)
+      val removes = cur.files.filterNot(targetSet)
+      val stats = adds.flatMap(f => target.stats.get(f).map(f -> _)).toMap
+      maintenanceRaceHook()
+      if (tryCommit(Commit(v, adds, removes, target.schemaDdl, stats))) {
+        writeCdcCommit(v)
+        return v
+      }
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"DataObject $id: restore lost the rename race $attempt times")
   }
 
   /** Test seam: invoked between vacuum's crash-ordered phases with the

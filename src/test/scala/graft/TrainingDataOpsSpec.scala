@@ -454,4 +454,39 @@ class TrainingDataOpsSpec extends AnyFunSuite {
         maxBucketSize = 10, failOnCappedBuckets = true))
     assert(e.getMessage.contains("exceeded maxBucketSize"))
   }
+
+  test("C4 line cleaning: terminal punctuation + min words per line, document drops") {
+    import TextAnalysis._
+    val df = Seq(
+      (1, "Good line stays right here.\nno\nalso no punctuation\nAnother keeper line!"),
+      (2, "lorem ipsum dolor sit amet."),     // kept line, doc dropped (lorem)
+      (3, "short.\nA brace { appears inline."), // 'short.' 1 word dropped; brace rejects doc
+      (4, "nothing survives this one")        // no terminal punctuation at all
+    ).toDF("id", "text")
+    val got = df.select(col("id"), c4CleanLines(col("text")).as("c"))
+      .withColumn("a", c4DocumentAccept(col("c")))
+      .collect().map(r => r.getInt(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(got(1) == ("Good line stays right here.\nAnother keeper line!", true))
+    assert(got(2) == ("lorem ipsum dolor sit amet.", false))
+    assert(got(3) == ("A brace { appears inline.", false))
+    assert(got(4) == ("", false))
+  }
+
+  test("Gopher quality signals fire the paper's reject rules") {
+    import TextAnalysis._
+    val longGood = (("the data be flowing to all of them and that they have fun with it " * 5) + "done.").trim
+    val hashNoise = ("word " * 60).trim + " # # # # # # # # # # # # # # #"
+    val tooShort = "the and that of it."
+    val bullets = "the one and that have to be of with them here now\n- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j"
+    val df = Seq((1, longGood), (2, hashNoise), (3, tooShort), (4, bullets)).toDF("id", "t")
+    val sig = withGopherSignals(df, "t").collect()
+      .map(r => r.getAs[Int]("id") -> r).toMap
+    assert(sig(1).getAs[Boolean]("gopher_accept"))
+    assert(!sig(2).getAs[Boolean]("gopher_accept") &&
+      sig(2).getAs[Double]("symbol_word_ratio") > 0.1)
+    assert(!sig(3).getAs[Boolean]("gopher_accept") && sig(3).getAs[Int]("word_count") < 50)
+    assert(!sig(4).getAs[Boolean]("gopher_accept") &&
+      sig(4).getAs[Double]("bullet_line_frac") > 0.9)
+    assert(sig(1).getAs[Int]("stopword_hits") >= 2)
+  }
 }

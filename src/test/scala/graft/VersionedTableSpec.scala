@@ -497,6 +497,49 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(t.getDataFrame().count() == 2)
   }
 
+  test("optimize retries a lost race with disjoint commits; conflicts when inputs were rewritten") {
+    val dir = Files.createTempDirectory("graft-vtopt").toString
+    val t = VersionedTableDataObject("vtopt", s"$dir/t", primaryKey = Seq("k"))
+    t.writeDataFrame((1 to 100).map(i => (i, s"v$i")).toDF("k", "v").repartition(6)) // v0
+    // disjoint concurrent APPEND lands in optimize's race window → retry wins
+    var fired = false
+    t.maintenanceRaceHook = () => if (!fired) { fired = true
+      t.writeDataFrame(Seq((999, "z")).toDF("k", "v"), saveMode = Some(SdlSaveMode.Append))
+    }
+    t.optimize(targetFileCount = 2)
+    t.maintenanceRaceHook = () => ()
+    assert(t.getDataFrame().count() == 101)                        // append survived compaction
+    assert(t.getDataFrame().where($"k" === 999).count() == 1)
+    assert(t.getDataFrame().where($"k" === 50).count() == 1)
+    // concurrent MERGE that rewrites a compaction input file → loud conflict
+    fired = false
+    t.maintenanceRaceHook = () => if (!fired) { fired = true
+      t.mergeDataFrame(Seq((50, "FIFTY")).toDF("k", "v"), Seq("k"))
+    }
+    intercept[java.util.ConcurrentModificationException](t.optimize(targetFileCount = 1))
+    t.maintenanceRaceHook = () => ()
+    assert(t.getDataFrame().where($"v" === "FIFTY").count() == 1)  // the merge won; no resurrection
+  }
+
+  test("restore recomputes its diff when it loses the commit race (last-writer-wins)") {
+    val dir = Files.createTempDirectory("graft-vtres").toString
+    val t = VersionedTableDataObject("vtres", s"$dir/t", primaryKey = Seq("k"))
+    t.writeDataFrame(Seq((1, "a"), (2, "b")).toDF("k", "v"))                   // v0
+    t.mergeDataFrame(Seq((3, "c")).toDF("k", "v"), Seq("k"))                   // v1
+    var fired = false
+    t.maintenanceRaceHook = () => if (!fired) { fired = true
+      t.writeDataFrame(Seq((4, "d")).toDF("k", "v"), saveMode = Some(SdlSaveMode.Append)) // races in
+    }
+    val v = t.restore(0)
+    t.maintenanceRaceHook = () => ()
+    assert(v == 3)                                                              // retried at new head
+    // restore is last-writer-wins: the head equals v0 EXACTLY — the racing
+    // append was diffed against and removed, not leaked into the snapshot
+    assert(t.getDataFrame().collect().map(r => (r.getInt(0), r.getString(1))).toSet ==
+      Set((1, "a"), (2, "b")))
+    assert(t.getDataFrameAsOf(Some(2)).where($"k" === 4).count() == 1)          // but it time-travels
+  }
+
   test("vacuum keeps files still referenced by retained snapshots") {
     val dir = Files.createTempDirectory("graft-vt").toString
     val t = VersionedTableDataObject("vt3", s"$dir/t")
