@@ -147,4 +147,43 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got == Set((1L, "a"), (2L, "b2"), (3L, "c")))
   }
+
+  test("CDF streaming source drives a config-parsed pipeline: versioned table → stream copy") {
+    // the full "CDC without state plumbing" story END TO END through the
+    // ACTION layer: a CDF-enabled versioned table is the streaming INPUT
+    // of an ordinary config-driven copy — SparkStreamingMode only needs
+    // CanCreateStreamingDataFrame, so the change feed flows like any
+    // other stream, incl. incremental pickup across runs via the
+    // engine's file-source checkpoint.
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val cfg =
+      s"""dataObjects:
+         |  vsrc: {type: versionedTable, path: $dir/t, primaryKey: [k], changeDataFeed: true}
+         |  vdst: {type: parquet, path: $dir/out}
+         |actions:
+         |  cdc:
+         |    type: copy
+         |    inputId: vsrc
+         |    outputId: vdst
+         |    executionMode:
+         |      type: streaming
+         |      checkpointLocation: $dir/cp
+         |      triggerType: AvailableNow
+         |    metadata: {feed: cdf}
+         |""".stripMargin
+    val t = VersionedTableDataObject("seed", s"$dir/t", primaryKey = Seq("k"),
+      changeDataFeed = true)
+    implicit val ctx0: ActionPipelineContext = ActionPipelineContext(spark, new InstanceRegistry)
+    t.writeDataFrame(Seq((1, "a"), (2, "b")).toDF("k", "v"))(ctx0)                // v0
+    t.mergeDataFrame(Seq((2, "B")).toDF("k", "v"), Seq("k"))(ctx0)                // v1
+    core.PipelineRunner.run(cfg, spark, feedSel = Some("cdf"))
+    def out() = spark.read.parquet(s"$dir/out")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(out() == Set((1, "a", "insert", 0L), (2, "b", "insert", 0L),
+      (2, "b", "update_preimage", 1L), (2, "B", "update_postimage", 1L)))
+    // a later commit is picked up INCREMENTALLY by the next run
+    t.mergeDataFrame(Seq((3, "c")).toDF("k", "v"), Seq("k"))(ctx0)                // v2
+    core.PipelineRunner.run(cfg, spark, feedSel = Some("cdf"))
+    assert(out().contains((3, "c", "insert", 2L)) && out().size == 5)
+  }
 }
