@@ -112,8 +112,13 @@ case class VersionedTableDataObject(id: String, path: String,
     * `stats` keys are table-relative paths of this commit's added files;
     * absent stats (older log formats, footerless files) degrade to
     * "always a candidate" — pruning is strictly an optimization. */
+  /** `ts` = commit wall-clock millis (the public Delta in-commit-timestamp
+    * design), written at commit time; −1 on pre-timestamp log formats.
+    * Powers [[versionAsOfTimestamp]]; vacuum's rebase carries the horizon
+    * commit's original ts so timestamp travel stays correct after it. */
   private[graft] case class Commit(version: Int, added: Seq[String], removed: Seq[String],
-                                   schema: Option[String], stats: Map[String, FileStat] = Map.empty)
+                                   schema: Option[String], stats: Map[String, FileStat] = Map.empty,
+                                   ts: Long = -1L)
 
   private def om = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -164,7 +169,8 @@ case class VersionedTableDataObject(id: String, path: String,
     Commit(n.get("version").asInt,
       n.get("added").elements().asScala.map(_.asText).toSeq,
       n.get("removed").elements().asScala.map(_.asText).toSeq,
-      Option(n.get("schema")).map(_.asText), stats)
+      Option(n.get("schema")).map(_.asText), stats,
+      Option(n.get("ts")).map(_.asLong).getOrElse(-1L))
   }
 
   /** Full per-commit history — needed ONLY where commit granularity is the
@@ -286,9 +292,13 @@ case class VersionedTableDataObject(id: String, path: String,
     won
   }
 
+  /** injectable clock for deterministic timestamp-travel specs */
+  @transient private[graft] var clock: () => Long = () => System.currentTimeMillis()
+
   private def tryCommitRaw(c: Commit)(implicit ctx: ActionPipelineContext): Boolean = {
     val root = om.createObjectNode()
     root.put("version", c.version)
+    root.put("ts", if (c.ts >= 0) c.ts else clock())
     val a = root.putArray("added"); c.added.foreach(a.add)
     val r = root.putArray("removed"); c.removed.foreach(r.add)
     c.schema.foreach(root.put("schema", _))
@@ -412,6 +422,26 @@ case class VersionedTableDataObject(id: String, path: String,
     require(st.files.nonEmpty, s"DataObject $id: empty snapshot")
     readFiles(st.files, st.schema, st.stats)
   }
+
+  /** Resolve a TIMESTAMP to the latest version committed at or before it
+    * (the Delta `timestampAsOf` semantics on in-commit timestamps): scan
+    * the commit list newest → oldest, stop at the first commit with
+    * ts ≤ target — O(commits past the target) tiny JSON parses, a read
+    * API not a hot path. Fails loudly when the timestamp predates the
+    * retained log (same contract as version travel past VACUUM). */
+  def versionAsOfTimestamp(tsMillis: Long)(implicit ctx: ActionPipelineContext): Int = {
+    val versions = listLog._1.sorted.reverse
+    versions.iterator.map(parseCommit)
+      .collectFirst { case c if c.ts >= 0 && c.ts <= tsMillis => c.version }
+      .getOrElse(throw new IllegalArgumentException(
+        s"DataObject $id: no commit at or before timestamp $tsMillis (predates the log, " +
+          "or a pre-timestamp log format)"))
+  }
+
+  /** Time travel by timestamp: the snapshot as of the latest commit at or
+    * before `tsMillis`. */
+  def getDataFrameAsOfTimestamp(tsMillis: Long)(implicit ctx: ActionPipelineContext): DataFrame =
+    getDataFrameAsOf(Some(versionAsOfTimestamp(tsMillis)))
 
   /** Read a file set through a log-backed [[org.apache.spark.sql.graftshims.GraftPrunedFileIndex]]:
     * ANY filter the user pushes on the returned DataFrame reaches the
@@ -1116,6 +1146,24 @@ case class VersionedTableDataObject(id: String, path: String,
     added.size
   }
 
+  /** Size-targeted OPTIMIZE (the Delta norm: ~1 GB output files): the
+    * target file COUNT comes from the LOG's per-file byte stats — zero
+    * data I/O to size the compaction. Files from pre-stats log formats
+    * count as 0 bytes (undercount → fewer, larger files; conservative). */
+  def optimizeBySize(targetFileBytes: Long = 1L << 30, zorderBy: Seq[String] = Seq.empty,
+                     partitionValues: Seq[PartitionValues] = Seq.empty)
+                    (implicit ctx: ActionPipelineContext): Int = {
+    require(targetFileBytes > 0, s"DataObject $id: targetFileBytes must be positive")
+    val st = stateOrFail(None)
+    val scoped =
+      if (partitionValues.isEmpty || partitions.isEmpty) st.files
+      else st.files.filter(f => st.stats.get(f).map(_.pv).exists(pv =>
+        partitionValues.exists(pvMatches(pv, _))))
+    val bytes = scoped.flatMap(st.stats.get).map(_.bytes).sum
+    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    optimize(n, zorderBy, partitionValues)
+  }
+
   /** Rollback (the public Delta RESTORE design): make the live snapshot
     * equal the snapshot at `version` by committing the file-set DIFF as a
     * NEW version — adds = target files missing from head, removes = head
@@ -1205,8 +1253,11 @@ case class VersionedTableDataObject(id: String, path: String,
     locally {
       val (commits0, cps0) = listLog
       cps0.minOption.filter(w => !commits0.exists(_ <= w)).foreach { w =>
+        // ts: align with the oldest surviving commit so timestamp travel
+        // stays ordered (the checkpoint carries no commit timestamp)
+        val recoveredTs = commits0.map(parseCommit).map(_.ts).filter(_ >= 0).minOption.getOrElse(-1L)
         readCheckpoint(w).foreach(s =>
-          tryCommitRaw(Commit(w, s.files, Seq.empty, s.schemaDdl, s.stats)))
+          tryCommitRaw(Commit(w, s.files, Seq.empty, s.schemaDdl, s.stats, recoveredTs)))
       }
     }
     val log = readLog
@@ -1223,7 +1274,7 @@ case class VersionedTableDataObject(id: String, path: String,
       // rebase target computed BEFORE anything is deleted
       val baseFiles = snapshotFiles(Some(cut))
       val baseSchema = log.filter(_.version <= cut).reverse
-        .collectFirst { case Commit(_, _, _, Some(s), _) => s }
+        .collectFirst { case Commit(_, _, _, Some(s), _, _) => s }
       val baseStats = log.flatMap(_.stats).toMap.filter(kv => baseFiles.contains(kv._1))
       // phase 1: shadow the history behind a checkpoint at the horizon —
       // load-bearing, so a failed write ABORTS with the log untouched
@@ -1237,8 +1288,10 @@ case class VersionedTableDataObject(id: String, path: String,
       (old.map(_.version) :+ cut).sorted.reverse.foreach(v =>
         fs.delete(new Path(logDir, f"$v%08d.json"), false))
       vacuumPhaseHook("old-commits-deleted")
-      // phase 4: the synthetic base commit
-      writeCommit(Commit(cut, baseFiles, Seq.empty, baseSchema, baseStats))
+      // phase 4: the synthetic base commit — carrying the horizon commit's
+      // ORIGINAL timestamp so timestamp travel survives the rebase
+      val cutTs = log.find(_.version == cut).map(_.ts).getOrElse(-1L)
+      writeCommit(Commit(cut, baseFiles, Seq.empty, baseSchema, baseStats, cutTs))
       vacuumPhaseHook("rebased")
       // phase 5a: log-derived physical deletes, strictly after the log
       // is consistent

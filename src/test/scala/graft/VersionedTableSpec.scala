@@ -540,6 +540,41 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(t.getDataFrameAsOf(Some(2)).where($"k" === 4).count() == 1)          // but it time-travels
   }
 
+  test("timestamp time travel: in-commit timestamps resolve versions; rebase preserves them") {
+    val dir = Files.createTempDirectory("graft-vtts").toString
+    val t = VersionedTableDataObject("vtts", s"$dir/t", primaryKey = Seq("k"))
+    var now = 1000L
+    t.clock = () => now
+    t.writeDataFrame(Seq((1, "a")).toDF("k", "v"))                               // v0 @ 1000
+    now = 2000L
+    t.writeDataFrame(Seq((2, "b")).toDF("k", "v"), saveMode = Some(SdlSaveMode.Append)) // v1 @ 2000
+    now = 3000L
+    t.mergeDataFrame(Seq((1, "A")).toDF("k", "v"), Seq("k"))                     // v2 @ 3000
+    assert(t.versionAsOfTimestamp(1000L) == 0)
+    assert(t.versionAsOfTimestamp(2500L) == 1)                                   // between commits → earlier
+    assert(t.versionAsOfTimestamp(99999L) == 2)                                  // after head → head
+    assert(t.getDataFrameAsOfTimestamp(2500L).count() == 2)
+    assert(t.getDataFrameAsOfTimestamp(2500L).where($"v" === "A").count() == 0)  // pre-merge state
+    intercept[IllegalArgumentException](t.versionAsOfTimestamp(500L))            // predates the log
+    // vacuum's rebase carries the horizon commit's ORIGINAL timestamp
+    now = 4000L
+    t.vacuum(retainVersions = 2)                                                 // horizon = v1
+    assert(t.versionAsOfTimestamp(2500L) == 1)                                   // still resolves @ 2000
+    intercept[IllegalArgumentException](t.versionAsOfTimestamp(1500L))           // v0 rebased away
+  }
+
+  test("optimizeBySize sizes the compaction from logged byte stats") {
+    val dir = Files.createTempDirectory("graft-vtobs").toString
+    val t = VersionedTableDataObject("vtobs", s"$dir/t")
+    t.writeDataFrame((1 to 20000).map(i => (i, s"value_$i" * 8)).toDF("k", "v").repartition(16))
+    val totalBytes = t.liveFileStats().values.map(_.bytes).sum
+    assert(totalBytes > 0)
+    val target = totalBytes / 3                                                  // expect ~3-4 files
+    val n = t.optimizeBySize(targetFileBytes = target)
+    assert(n >= 3 && n <= 4, s"expected ~ceil(bytes/target) files, got $n")
+    assert(t.getDataFrame().count() == 20000)
+  }
+
   test("vacuum keeps files still referenced by retained snapshots") {
     val dir = Files.createTempDirectory("graft-vt").toString
     val t = VersionedTableDataObject("vt3", s"$dir/t")
