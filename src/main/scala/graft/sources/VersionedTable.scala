@@ -621,13 +621,28 @@ case class VersionedTableDataObject(id: String, path: String,
     * file's stat carries its raw partition values plus canonical min=max
     * entries so data skipping and merge pruning see partition columns like
     * any other. */
+  /** Parquet BLOOM FILTERS on the primary-key columns (adaptive sizing):
+    * the second tier of point-lookup skipping — the log's min/max stats
+    * prune FILES; blooms prune ROW GROUPS inside the files that survive,
+    * through Spark's ordinary parquet filter pushdown, with no change to
+    * the read path. Matters for selective key lookups on keys the data
+    * is NOT clustered by (zorder makes min/max selective only for its
+    * listed columns). */
+  private def bloomOpts(df: DataFrame): Map[String, String] = {
+    val cols = primaryKey.filter(df.columns.contains)
+    if (cols.isEmpty) Map.empty
+    else Map("parquet.bloom.filter.adaptive.enabled" -> "true") ++
+      cols.map(c => s"parquet.bloom.filter.enabled#$c" -> "true")
+  }
+
   private def stage(df: DataFrame, version: Int)
                    (implicit ctx: ActionPipelineContext): (Seq[String], Map[String, FileStat]) = {
     val sub = f"v$version%08d-${java.util.UUID.randomUUID.toString.take(8)}"
     if (partitions.nonEmpty) {
       require(partitions.forall(df.columns.contains),
         s"DataObject $id: partition columns ${partitions.mkString(",")} missing from ${df.columns.mkString(",")}")
-      df.write.mode(SaveMode.ErrorIfExists).partitionBy(partitions: _*).parquet(s"$path/$sub")
+      df.write.mode(SaveMode.ErrorIfExists).options(bloomOpts(df))
+        .partitionBy(partitions: _*).parquet(s"$path/$sub")
       val it = fs.listFiles(new Path(path, sub), true)
       val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
       while (it.hasNext) {
@@ -660,7 +675,7 @@ case class VersionedTableDataObject(id: String, path: String,
           nulls = stat0.nulls ++ canon.keys.map(_ -> 0L) ++ nullPartNulls, pv = pv)
       }.toMap)
     }
-    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/$sub")
+    df.write.mode(SaveMode.ErrorIfExists).options(bloomOpts(df)).parquet(s"$path/$sub")
     val statuses = fs.listStatus(new Path(path, sub))
       .filter(s => s.getPath.getName.endsWith(".parquet") && !s.getPath.getName.startsWith("_"))
       .toSeq

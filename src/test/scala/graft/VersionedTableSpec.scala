@@ -563,6 +563,28 @@ class VersionedTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](t.versionAsOfTimestamp(1500L))           // v0 rebased away
   }
 
+  test("primary-key columns carry parquet bloom filters; other columns don't") {
+    val dir = Files.createTempDirectory("graft-vtbloom").toString
+    val t = VersionedTableDataObject("vtbloom", s"$dir/t", primaryKey = Seq("k"))
+    t.writeDataFrame((1 to 5000).map(i => (i.toLong, s"v$i")).toDF("k", "v"))
+    val file = new java.io.File(s"$dir/t").listFiles().filter(_.isDirectory).head
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.getAbsolutePath),
+        spark.sparkContext.hadoopConfiguration))
+    try {
+      import scala.jdk.CollectionConverters._
+      val block = reader.getFooter.getBlocks.get(0)
+      val bfr = reader.getBloomFilterDataReader(block)
+      val byName = block.getColumns.asScala.map(c => c.getPath.toDotString -> c).toMap
+      assert(bfr.readBloomFilter(byName("k")) != null, "pk column missing its bloom filter")
+      assert(bfr.readBloomFilter(byName("v")) == null, "non-key column should carry no bloom")
+    } finally reader.close()
+    // and the skipping path still answers correctly through a point filter
+    assert(t.getDataFrame().where($"k" === 4321L).count() == 1)
+  }
+
   test("optimizeBySize sizes the compaction from logged byte stats") {
     val dir = Files.createTempDirectory("graft-vtobs").toString
     val t = VersionedTableDataObject("vtobs", s"$dir/t")
