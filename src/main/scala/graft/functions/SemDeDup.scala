@@ -113,8 +113,9 @@ object SemDeDup {
   /** The deduplicated corpus: `df` minus the dropped rows. */
   def semDeDup(df: DataFrame, idCol: String, embCol: String,
                k: Int, threshold: Double, seed: Long = 42L,
-               maxClusterSize: Int = 10000): DataFrame = {
-    val dropped = droppedIds(df, idCol, embCol, k, threshold, seed, maxClusterSize)
+               maxClusterSize: Int = 10000,
+               failOnCappedCells: Boolean = false): DataFrame = {
+    val dropped = droppedIds(df, idCol, embCol, k, threshold, seed, maxClusterSize, failOnCappedCells)
       .withColumnRenamed(idCol, "_sd_dropped")
     // no forced broadcast: the dropped set can be a large fraction of the
     // corpus at aggressive thresholds — let AQE pick the join strategy

@@ -321,8 +321,12 @@ case class JdbcTableDataObject(
     /** SQL type for auto-created String columns. Several dialects map
       * StringType to a LOB type (Derby: CLOB) that the engine then refuses
       * to COMPARE — which breaks every merge condition over a string
-      * column. Empty string = keep the dialect default. */
-    stringColumnType: String = "VARCHAR(8192)")
+      * column. Default is the Derby VARCHAR maximum so arbitrary app
+      * strings fit; values beyond it fail the write LOUDLY (truncation
+      * error), at which point set a type fit for the target engine — or
+      * empty string to keep the dialect's (possibly non-comparable) LOB
+      * default for long-text tables that never merge on strings. */
+    stringColumnType: String = "VARCHAR(32672)")
   extends TableDataObject with CanMergeDataFrame {
 
   /** `createTableColumnTypes` mapping String columns to a comparable SQL
@@ -434,11 +438,24 @@ case class JdbcTableDataObject(
     * `t.*` / `s.*` aliases, quoting the column identifier (Spark's JDBC
     * writer creates quoted original-case columns, so an unquoted
     * reference would case-fold and miss on ANSI engines). */
-  private def xlate(cond: String): String =
-    cond.replaceAll("""\bexisting\.`([^`]+)`""", "t.\"$1\"")
-        .replaceAll("""\bnew\.`([^`]+)`""", "s.\"$1\"")
-        .replaceAll("""\bexisting\.([A-Za-z_][A-Za-z0-9_]*)""", "t.\"$1\"")
-        .replaceAll("""\bnew\.([A-Za-z_][A-Za-z0-9_]*)""", "s.\"$1\"")
+  private def xlate(cond: String): String = {
+    def rewrite(seg: String): String =
+      seg.replaceAll("""\bexisting\.`([^`]+)`""", "t.\"$1\"")
+         .replaceAll("""\bnew\.`([^`]+)`""", "s.\"$1\"")
+         .replaceAll("""\bexisting\.([A-Za-z_][A-Za-z0-9_]*)""", "t.\"$1\"")
+         .replaceAll("""\bnew\.([A-Za-z_][A-Za-z0-9_]*)""", "s.\"$1\"")
+    // single-quoted SQL string literals pass through VERBATIM — a literal
+    // like 'new.order' must not be rewritten into an alias reference
+    val literal = "'(?:[^']|'')*'".r
+    val out = new StringBuilder
+    var last = 0
+    for (m <- literal.findAllMatchIn(cond)) {
+      out.append(rewrite(cond.substring(last, m.start))).append(m.matched)
+      last = m.end
+    }
+    out.append(rewrite(cond.substring(last)))
+    out.toString
+  }
 
   /** Reference pattern `JdbcTableDataObject.scala:375-400`: write feed to a
     * temp table, then one `MERGE INTO` statement over the JDBC connection.

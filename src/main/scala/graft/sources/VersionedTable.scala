@@ -130,7 +130,11 @@ case class VersionedTableDataObject(id: String, path: String,
     * the ENTIRE commit history, O(commits) driver I/O that grows without
     * bound under a streaming sink committing once per micro-batch. */
   private[graft] case class TableState(version: Int, files: Seq[String],
-                                       stats: Map[String, FileStat], schemaDdl: Option[String]) {
+                                       stats: Map[String, FileStat], schemaDdl: Option[String],
+                                       /** in-commit timestamp of the newest folded commit (−1 =
+                                         * pre-timestamp log format) — checkpointed, so vacuum
+                                         * recovery restores the horizon's exact ts */
+                                       ts: Long = -1L) {
     def schema: Option[StructType] = schemaDdl.map(StructType.fromDDL)
   }
 
@@ -189,7 +193,8 @@ case class VersionedTableDataObject(id: String, path: String,
       Some(TableState(n.get("version").asInt,
         entries.map(_.get("path").asText),
         entries.flatMap(e => Option(e.get("stat")).map(s => e.get("path").asText -> parseStats(s))).toMap,
-        Option(n.get("schema")).map(_.asText)))
+        Option(n.get("schema")).map(_.asText),
+        Option(n.get("ts")).map(_.asLong).getOrElse(-1L)))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** State at `version` (latest when None): newest usable checkpoint +
@@ -215,7 +220,8 @@ case class VersionedTableDataObject(id: String, path: String,
       val c = parseCommit(v)
       val rm = c.removed.toSet
       TableState(c.version, s.files.filterNot(rm) ++ c.added,
-        (s.stats -- rm) ++ c.stats, c.schema.orElse(s.schemaDdl))
+        (s.stats -- rm) ++ c.stats, c.schema.orElse(s.schemaDdl),
+        if (c.ts >= 0) c.ts else s.ts)
     })
   }
 
@@ -237,6 +243,7 @@ case class VersionedTableDataObject(id: String, path: String,
       val st = readState(Some(version)).getOrElse(return)
       val root = om.createObjectNode()
       root.put("version", st.version)
+      if (st.ts >= 0) root.put("ts", st.ts)
       st.schemaDdl.foreach(root.put("schema", _))
       val fl = root.putArray("files")
       st.files.foreach { f =>
@@ -295,10 +302,23 @@ case class VersionedTableDataObject(id: String, path: String,
   /** injectable clock for deterministic timestamp-travel specs */
   @transient private[graft] var clock: () => Long = () => System.currentTimeMillis()
 
+  /** Monotonic commit timestamp (the Delta in-commit-timestamp clamp:
+    * max(parent + 1, now)) — without it a backward clock step or skewed
+    * second writer makes [[versionAsOfTimestamp]]'s newest-first scan
+    * resolve to a version that includes LATER-committed changes. One
+    * tiny predecessor-commit read; absent/unreadable predecessor (v0,
+    * vacuum windows, pre-ts formats) degrades to the raw clock. */
+  private def monotonicTs(version: Int)(implicit ctx: ActionPipelineContext): Long = {
+    val prevTs =
+      try { if (version > 0) parseCommit(version - 1).ts else -1L }
+      catch { case scala.util.control.NonFatal(_) => -1L }
+    math.max(clock(), prevTs + 1)
+  }
+
   private def tryCommitRaw(c: Commit)(implicit ctx: ActionPipelineContext): Boolean = {
     val root = om.createObjectNode()
     root.put("version", c.version)
-    root.put("ts", if (c.ts >= 0) c.ts else clock())
+    root.put("ts", if (c.ts >= 0) c.ts else monotonicTs(c.version))
     val a = root.putArray("added"); c.added.foreach(a.add)
     val r = root.putArray("removed"); c.removed.foreach(r.add)
     c.schema.foreach(root.put("schema", _))
@@ -1068,17 +1088,63 @@ case class VersionedTableDataObject(id: String, path: String,
     * `_graft_cdc/vNNNNNNNN/` — the public Delta CDF write-side design
     * (DML writes change data files alongside data files; here computed
     * post-commit from [[changesBetween]], whose scan is O(files changed
-    * by the commit), and the truth stays the log: a consumer that must
-    * not miss a commit in the crash window between log write and CDC
-    * write uses [[graft.operators.modes.CdcIncrementalMode]], which
-    * diffs the log directly). Called after every data-changing commit;
-    * compaction is skipped by design — its data is identical, the diff
-    * would scan the table to emit zero rows. */
+    * by the commit)). Called after every data-changing commit;
+    * compaction writes an EMPTY marker dir instead (its data is
+    * identical — the diff would scan the table to emit zero rows).
+    *
+    * SELF-HEALING: every commit type leaves a directory, so a missing
+    * dir between the newest existing one and `v` is precisely the
+    * signature of a crash between log commit and CDC write — the next
+    * writer backfills it from `changesBetween` before writing its own,
+    * closing the gap without consumer involvement. No dirs at all =
+    * fresh CDF enablement: the feed starts at `v` (the Delta
+    * enable-time semantics), not with an O(history) backfill. */
+  /** Overwrite, not ErrorIfExists: CDC content per version is
+    * DETERMINISTIC (a pure function of the log), so re-materializing is
+    * idempotent — which is exactly what repairs a partially-written dir
+    * from a crash mid-write and makes a backfill race benign. */
+  private def cdcMaterialize(w: Int)(implicit ctx: ActionPipelineContext): Unit =
+    changesBetween(w - 1, Some(w))
+      .withColumn("_commit_version", lit(w.toLong))
+      .write.mode(SaveMode.Overwrite).parquet(new Path(cdcDir, f"v$w%08d").toString)
+
+  /** A version's CDC entry counts as present only when its `_SUCCESS`
+    * marker exists — a dir without it is a crashed partial write and
+    * must be re-materialized, not trusted. */
+  private def cdcComplete(implicit ctx: ActionPipelineContext): Set[Int] =
+    if (!fs.exists(cdcDir)) Set.empty
+    else fs.listStatus(cdcDir).map(_.getPath)
+      .collect { case p if p.getName.matches("""v\d{8}""") &&
+        fs.exists(new Path(p, "_SUCCESS")) => p.getName.drop(1).toInt }.toSet
+
+  /** Backfill every incomplete version between the newest COMPLETE CDC
+    * entry and `v − 1` (crash recovery — a missing or partial dir is the
+    * signature of a crash between log commit and CDC write), then write
+    * `v`'s own entry. No complete entries at all = fresh CDF enablement →
+    * the feed starts at `v`, no O(history) backfill (the Delta
+    * enable-time semantics). */
+  private def cdcBackfillThen(v: Int)(writeOwn: Int => Unit)
+                             (implicit ctx: ActionPipelineContext): Unit = {
+    val have = cdcComplete
+    val floor = have.maxOption.getOrElse(v - 1)
+    ((floor + 1) until v).filterNot(have).foreach(cdcMaterialize)
+    if (!have.contains(v)) writeOwn(v)
+  }
+
   private def writeCdcCommit(v: Int)(implicit ctx: ActionPipelineContext): Unit =
-    if (changeDataFeed) {
-      changesBetween(v - 1, Some(v))
-        .withColumn("_commit_version", lit(v.toLong))
-        .write.mode(SaveMode.ErrorIfExists).parquet(new Path(cdcDir, f"v$v%08d").toString)
+    if (changeDataFeed) cdcBackfillThen(v)(cdcMaterialize)
+
+  /** Marker for commits that by construction change no data (compaction):
+    * an EMPTY per-version dir (with `_SUCCESS`) keeps the sequence
+    * gapless so the self-heal can tell "intentionally empty" from
+    * "crashed before writing" — and it backfills any earlier gap first,
+    * so a marker never papers over a crashed predecessor. */
+  private def writeCdcMarker(v: Int)(implicit ctx: ActionPipelineContext): Unit =
+    if (changeDataFeed) cdcBackfillThen(v) { w =>
+      val d = new Path(cdcDir, f"v$w%08d")
+      fs.mkdirs(d)
+      val out = fs.create(new Path(d, "_SUCCESS"), true)
+      out.close()
     }
 
   /** The change feed as a STREAMING DataFrame: Spark's file stream source
@@ -1118,8 +1184,13 @@ case class VersionedTableDataObject(id: String, path: String,
     * in the race window. Production: no-op. */
   @transient private[graft] var maintenanceRaceHook: () => Unit = () => ()
 
+  /** @param targetFileBytes when set, OVERRIDES `targetFileCount` with
+    *        ceil(scoped bytes / target) computed from the log's byte
+    *        stats — same state read as the compaction itself, so the
+    *        sizing and the rewrite see one consistent file set */
   def optimize(targetFileCount: Int, zorderBy: Seq[String] = Seq.empty,
-               partitionValues: Seq[PartitionValues] = Seq.empty)
+               partitionValues: Seq[PartitionValues] = Seq.empty,
+               targetFileBytes: Option[Long] = None)
               (implicit ctx: ActionPipelineContext): Int = {
     val st = stateOrFail(None)
     val v = st.version + 1
@@ -1127,10 +1198,17 @@ case class VersionedTableDataObject(id: String, path: String,
       if (partitionValues.isEmpty || partitions.isEmpty) st.files
       else st.files.filter(f => st.stats.get(f).map(_.pv).exists(pv =>
         partitionValues.exists(pvMatches(pv, _))))
+    val nFiles = targetFileBytes match {
+      case Some(tb) =>
+        require(tb > 0, s"DataObject $id: targetFileBytes must be positive")
+        val bytes = scoped.flatMap(st.stats.get).map(_.bytes).sum
+        math.max(1L, (bytes + tb - 1) / tb).toInt
+      case None => targetFileCount
+    }
     val current = readFiles(scoped, st.schema, st.stats)
     val arranged =
-      if (zorderBy.nonEmpty) graft.functions.ZOrder.cluster(current, zorderBy, targetFileCount)
-      else current.repartition(targetFileCount)
+      if (zorderBy.nonEmpty) graft.functions.ZOrder.cluster(current, zorderBy, nFiles)
+      else current.repartition(nFiles)
     val (added, stats) = stage(arranged, v)
     maintenanceRaceHook()
     // optimistic commit with the Delta OPTIMIZE conflict rule: a lost
@@ -1149,15 +1227,18 @@ case class VersionedTableDataObject(id: String, path: String,
       attempt += 1
       val fresh = listLog._1
       val concurrent = fresh.filter(_ >= v).map(parseCommit)
-      if (attempt >= 20 || concurrent.flatMap(_.removed).exists(scopedSet))
+      if (concurrent.flatMap(_.removed).exists(scopedSet))
         throw new java.util.ConcurrentModificationException(
           s"DataObject $id: concurrent commit(s) ${concurrent.map(_.version).mkString(",")} " +
             "rewrote files this OPTIMIZE compacted — re-run against the new state")
+      if (attempt >= 20) throw new java.util.ConcurrentModificationException(
+        s"DataObject $id: OPTIMIZE commit contention — $attempt attempts lost the rename race")
       val freshSchema = readState(None).flatMap(_.schemaDdl)
         .orElse(st.schemaDdl).orElse(Some(current.schema.toDDL))
       commitV = fresh.max + 1
       done = tryCommit(Commit(commitV, added, scoped, freshSchema, stats))
     }
+    writeCdcMarker(commitV)
     added.size
   }
 
@@ -1167,23 +1248,19 @@ case class VersionedTableDataObject(id: String, path: String,
     * count as 0 bytes (undercount → fewer, larger files; conservative). */
   def optimizeBySize(targetFileBytes: Long = 1L << 30, zorderBy: Seq[String] = Seq.empty,
                      partitionValues: Seq[PartitionValues] = Seq.empty)
-                    (implicit ctx: ActionPipelineContext): Int = {
-    require(targetFileBytes > 0, s"DataObject $id: targetFileBytes must be positive")
-    val st = stateOrFail(None)
-    val scoped =
-      if (partitionValues.isEmpty || partitions.isEmpty) st.files
-      else st.files.filter(f => st.stats.get(f).map(_.pv).exists(pv =>
-        partitionValues.exists(pvMatches(pv, _))))
-    val bytes = scoped.flatMap(st.stats.get).map(_.bytes).sum
-    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    optimize(n, zorderBy, partitionValues)
-  }
+                    (implicit ctx: ActionPipelineContext): Int =
+    optimize(1, zorderBy, partitionValues, Some(targetFileBytes))
 
   /** Rollback (the public Delta RESTORE design): make the live snapshot
     * equal the snapshot at `version` by committing the file-set DIFF as a
     * NEW version — adds = target files missing from head, removes = head
     * files absent at target. Metadata-only: zero data files are read,
-    * written, or deleted, so restoring a 100 TB table costs one log write;
+    * written, or deleted, so restoring a 100 TB table costs one log write
+    * — EXCEPT on a `changeDataFeed` table, where the post-commit CDC
+    * materialization diffs the files whose snapshot membership changed
+    * (after a compaction that can be the whole table, scanned to emit the
+    * net row changes — the price of a complete change feed, paid by the
+    * restore, never by consumers);
     * history is preserved (the pre-restore head still time-travels), and a
     * restore past VACUUM's horizon fails loudly in `stateOrFail` before
     * anything is committed. Returns the new head version. */
@@ -1268,11 +1345,10 @@ case class VersionedTableDataObject(id: String, path: String,
     locally {
       val (commits0, cps0) = listLog
       cps0.minOption.filter(w => !commits0.exists(_ <= w)).foreach { w =>
-        // ts: align with the oldest surviving commit so timestamp travel
-        // stays ordered (the checkpoint carries no commit timestamp)
-        val recoveredTs = commits0.map(parseCommit).map(_.ts).filter(_ >= 0).minOption.getOrElse(-1L)
+        // the checkpoint carries the horizon commit's EXACT in-commit ts,
+        // so timestamp travel to the recovered base stays correct
         readCheckpoint(w).foreach(s =>
-          tryCommitRaw(Commit(w, s.files, Seq.empty, s.schemaDdl, s.stats, recoveredTs)))
+          tryCommitRaw(Commit(w, s.files, Seq.empty, s.schemaDdl, s.stats, s.ts)))
       }
     }
     val log = readLog

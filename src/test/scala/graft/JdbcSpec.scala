@@ -102,6 +102,21 @@ class JdbcSpec extends AnyFunSuite {
       (1, None, 150, "B!")))       // inserted: name ignored, status overridden; id=2 failed insertCondition
   }
 
+  test("jdbc merge conditions: alias rewriting never touches string literals") {
+    import spark.implicits._
+    val obj = JdbcTableDataObject("t7", Table(None, "accts5", Some(Seq("id"))), newDb())
+    obj.writeDataFrame(Seq((1, "new.order", 10), (2, "other", 20)).toDF("id", "tag", "bal"),
+      Seq.empty, Some(SdlSaveMode.Overwrite))
+    // the literal 'new.order' must survive verbatim — a naive alias
+    // rewrite would turn it into s."order" and match the wrong rows
+    obj.mergeDataFrame(Seq((1, "new.order", 11), (2, "other", 21)).toDF("id", "tag", "bal"),
+      Seq("id"),
+      SaveModeMergeOptions(updateCondition = Some("new.tag = 'new.order'")))
+    val got = obj.getDataFrame().orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getInt(2))).toSeq
+    assert(got == Seq((1, 11), (2, 20)))   // only the literal-matching row updated
+  }
+
   test("HistorizeAction merge mode runs unchanged against a JDBC sink (SCD2 parity)") {
     import spark.implicits._
     import graft.operators._

@@ -351,6 +351,37 @@ class VersionedTableSpec extends AnyFunSuite {
     t.writeDataFrame(Seq((9, "z")).toDF("k", "v"), saveMode = Some(SdlSaveMode.Append)) // v4
     val got2 = drain()
     assert(got2.contains((9, "z", "insert", 4L)) && got2.size == 7, s"restart drained: $got2")
+    // optimize left an EMPTY marker dir so the version sequence is gapless
+    assert(Files.exists(java.nio.file.Paths.get(s"$dir/t/_graft_cdc/v00000003/_SUCCESS")))
+  }
+
+  test("CDF self-heals a crash gap: the next commit backfills the missing version") {
+    val dir = Files.createTempDirectory("graft-vt").toString
+    val t = VersionedTableDataObject("vtcdfh", s"$dir/t", primaryKey = Seq("k"),
+      changeDataFeed = true)
+    t.writeDataFrame(Seq((1, "a")).toDF("k", "v"))                           // v0
+    t.mergeDataFrame(Seq((2, "b")).toDF("k", "v"), Seq("k"))                 // v1
+    // simulate a crash between commit v1 and its CDC write: remove the dir
+    def rmr(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (Files.exists(p)) {
+        val s = Files.walk(p)
+        try s.iterator().asScala.toSeq.reverse.foreach(Files.delete) finally s.close()
+      }
+    }
+    rmr(java.nio.file.Paths.get(s"$dir/t/_graft_cdc/v00000001"))
+    // a compaction MARKER must not paper over the gap — it backfills first
+    t.optimize(1)                                                            // v2: marker + backfill of v1
+    t.writeDataFrame(Seq((3, "c")).toDF("k", "v"), saveMode = Some(SdlSaveMode.Append)) // v3
+    val q = t.getStreamingDataFrame(Map.empty, None)
+      .writeStream.format("parquet").option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$dir/out").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(got == Set((1, "a", "insert", 0L), (2, "b", "insert", 1L), (3, "c", "insert", 3L)),
+      s"gap not healed: $got")
   }
 
   test("checkpointed log: reads replay checkpoint + tail, never the full history") {
@@ -563,11 +594,47 @@ class VersionedTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](t.versionAsOfTimestamp(1500L))           // v0 rebased away
   }
 
+  test("commit timestamps are monotonic under a backward clock step") {
+    val dir = Files.createTempDirectory("graft-vtmono").toString
+    val t = VersionedTableDataObject("vtmono", s"$dir/t", primaryKey = Seq("k"))
+    var now = 5000L
+    t.clock = () => now
+    t.writeDataFrame(Seq((1, "a")).toDF("k", "v"))                               // v0 @ 5000
+    now = 2000L                                                                  // clock steps BACK
+    t.writeDataFrame(Seq((2, "b")).toDF("k", "v"), saveMode = Some(SdlSaveMode.Append)) // v1: clamped to 5001
+    // the Delta clamp (max(parent+1, now)): a timestamp between the raw
+    // clocks must NOT resolve to the later version's data
+    assert(t.versionAsOfTimestamp(5000L) == 0)
+    assert(t.versionAsOfTimestamp(5001L) == 1)
+    intercept[IllegalArgumentException](t.versionAsOfTimestamp(2000L))           // predates v0's ts
+  }
+
+  test("vacuum crash recovery preserves the horizon's exact timestamp (checkpoint carries it)") {
+    val dir = Files.createTempDirectory("graft-vtrects").toString
+    val t = VersionedTableDataObject("vtrects", s"$dir/t")
+    var now = 1000L
+    t.clock = () => now
+    t.writeDataFrame(Seq(1).toDF("k"))                                           // v0 @ 1000
+    now = 2000L
+    t.writeDataFrame(Seq(2).toDF("k"), saveMode = Some(SdlSaveMode.Append))      // v1 @ 2000
+    now = 3000L
+    t.writeDataFrame(Seq(3).toDF("k"), saveMode = Some(SdlSaveMode.Append))      // v2 @ 3000
+    class Stop extends RuntimeException
+    t.vacuumPhaseHook = p => if (p == "old-commits-deleted") throw new Stop
+    now = 9000L
+    intercept[Stop](t.vacuum(retainVersions = 2))                                // horizon = v1
+    t.vacuumPhaseHook = _ => ()
+    t.vacuum(retainVersions = 2)                                                 // recovery completes the rebase
+    assert(t.versionAsOfTimestamp(2500L) == 1, "recovered base must keep v1's original ts=2000")
+    assert(t.getDataFrameAsOfTimestamp(2500L).count() == 2)
+  }
+
   test("primary-key columns carry parquet bloom filters; other columns don't") {
     val dir = Files.createTempDirectory("graft-vtbloom").toString
     val t = VersionedTableDataObject("vtbloom", s"$dir/t", primaryKey = Seq("k"))
     t.writeDataFrame((1 to 5000).map(i => (i.toLong, s"v$i")).toDF("k", "v"))
-    val file = new java.io.File(s"$dir/t").listFiles().filter(_.isDirectory).head
+    val file = new java.io.File(s"$dir/t").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v")).head
       .listFiles().filter(_.getName.endsWith(".parquet")).head
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
