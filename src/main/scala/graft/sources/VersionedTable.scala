@@ -1008,13 +1008,32 @@ case class VersionedTableDataObject(id: String, path: String,
     * `graft.saveMode=merge` (the lakehouse CDC-sink pattern; Delta's
     * streaming write is the same per-batch transaction shape). With the
     * file-pruned merge above, a micro-batch costs O(files holding its
-    * keys), not O(table). */
+    * keys), not O(table).
+    *
+    * AUTO-COMPACTION (the public Delta autoCompact design): a per-batch
+    * commit stream accumulates small files without bound — the quiet
+    * scale killer of any streaming sink. With
+    * `graft.autoCompact.minFiles=N`, after a batch whose snapshot holds
+    * ≥ N live files the sink runs a size-targeted OPTIMIZE
+    * (`graft.autoCompact.targetFileBytes`, default 128 MB) inside the
+    * batch turn — older versions still time-travel to the pre-compaction
+    * files until vacuum. The file-count check is one state read (no
+    * listing); a compaction that loses its commit race to a conflicting
+    * writer aborts the compaction only, never the batch's data commit. */
   override def writeStreamingDataFrame(df: DataFrame, trigger: org.apache.spark.sql.streaming.Trigger,
                                        options: Map[String, String], checkpointLocation: String,
                                        queryName: String, outputMode: String = "append")
                                       (implicit ctx: ActionPipelineContext): org.apache.spark.sql.streaming.StreamingQuery = {
     val merge = options.get("graft.saveMode").exists(_.equalsIgnoreCase("merge"))
-    val writeBatch: (DataFrame, Long) => Unit = (batch, _) =>
+    val autoCompactMin = options.get("graft.autoCompact.minFiles").map(_.toInt)
+    val autoCompactBytes = options.get("graft.autoCompact.targetFileBytes")
+      .map(_.toLong).getOrElse(128L * 1024 * 1024)
+    val maybeCompact: () => Unit = () => autoCompactMin.foreach { min =>
+      if (readState(None).exists(_.files.size >= min))
+        try optimize(1, targetFileBytes = Some(autoCompactBytes))
+        catch { case _: java.util.ConcurrentModificationException => () }
+    }
+    val writeBatch: (DataFrame, Long) => Unit = (batch, _) => {
       if (merge) {
         require(primaryKey.nonEmpty, s"DataObject $id: streaming merge needs primaryKey")
         // mergeDataFrame handles the empty-log first batch itself (one
@@ -1022,6 +1041,8 @@ case class VersionedTableDataObject(id: String, path: String,
         mergeDataFrame(batch, primaryKey)
         ()
       } else { writeDataFrame(batch, saveMode = Some(SdlSaveMode.Append)); () }
+      maybeCompact()
+    }
     df.writeStream
       .foreachBatch(writeBatch)
       .option("checkpointLocation", checkpointLocation)

@@ -652,6 +652,27 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(t.getDataFrame().where($"k" === 4321L).count() == 1)
   }
 
+  test("streaming sink auto-compaction bounds the file count across micro-batches") {
+    val dir = Files.createTempDirectory("graft-vtac").toString
+    val t = VersionedTableDataObject("vtac", s"$dir/t", primaryKey = Seq("k"))
+    // 4 single-file batches through the streaming sink with minFiles=3:
+    // without auto-compact the snapshot would hold 4 files
+    (0 until 4).foreach(i => Seq((i, s"v$i")).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(s"$dir/src"))
+    val sdf = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL("k INT, v STRING"))
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/src")
+    val q = t.writeStreamingDataFrame(sdf,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      Map("graft.autoCompact.minFiles" -> "3"), s"$dir/cp", "vtac_stream")
+    q.awaitTermination()
+    assert(t.getDataFrame().count() == 4)                                   // data intact
+    assert(t.snapshotFiles().size < 4,
+      s"auto-compact never fired: ${t.snapshotFiles().size} live files")
+    // compaction commits interleave with the batch commits in the log
+    assert(t.latestVersion.exists(_ >= 4))
+  }
+
   test("optimizeBySize sizes the compaction from logged byte stats") {
     val dir = Files.createTempDirectory("graft-vtobs").toString
     val t = VersionedTableDataObject("vtobs", s"$dir/t")
