@@ -118,7 +118,10 @@ case class VersionedTableDataObject(id: String, path: String,
     * commit's original ts so timestamp travel stays correct after it. */
   private[graft] case class Commit(version: Int, added: Seq[String], removed: Seq[String],
                                    schema: Option[String], stats: Map[String, FileStat] = Map.empty,
-                                   ts: Long = -1L)
+                                   ts: Long = -1L,
+                                   /** operation tag (WRITE/APPEND/MERGE/…) — the Delta
+                                     * commitInfo.operation design, surfaced by [[history]] */
+                                   op: String = "")
 
   private def om = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -174,7 +177,8 @@ case class VersionedTableDataObject(id: String, path: String,
       n.get("added").elements().asScala.map(_.asText).toSeq,
       n.get("removed").elements().asScala.map(_.asText).toSeq,
       Option(n.get("schema")).map(_.asText), stats,
-      Option(n.get("ts")).map(_.asLong).getOrElse(-1L))
+      Option(n.get("ts")).map(_.asLong).getOrElse(-1L),
+      Option(n.get("op")).map(_.asText).getOrElse(""))
   }
 
   /** Full per-commit history — needed ONLY where commit granularity is the
@@ -319,6 +323,7 @@ case class VersionedTableDataObject(id: String, path: String,
     val root = om.createObjectNode()
     root.put("version", c.version)
     root.put("ts", if (c.ts >= 0) c.ts else monotonicTs(c.version))
+    if (c.op.nonEmpty) root.put("op", c.op)
     val a = root.putArray("added"); c.added.foreach(a.add)
     val r = root.putArray("removed"); c.removed.foreach(r.add)
     c.schema.foreach(root.put("schema", _))
@@ -423,7 +428,7 @@ case class VersionedTableDataObject(id: String, path: String,
         st.stats.get(f).map(_.pv).exists(pv => pvs.exists(pvMatches(pv, _)))
       }
       if (doomed.isEmpty) return
-      done = tryCommit(Commit(st.version + 1, Seq.empty, doomed, st.schemaDdl))
+      done = tryCommit(Commit(st.version + 1, Seq.empty, doomed, st.schemaDdl, op = "DELETE_PARTITIONS"))
       if (done) writeCdcCommit(st.version + 1)
       attempt += 1
       if (!done && attempt >= 20) throw new java.util.ConcurrentModificationException(
@@ -462,6 +467,27 @@ case class VersionedTableDataObject(id: String, path: String,
     * before `tsMillis`. */
   def getDataFrameAsOfTimestamp(tsMillis: Long)(implicit ctx: ActionPipelineContext): DataFrame =
     getDataFrameAsOf(Some(versionAsOfTimestamp(tsMillis)))
+
+  /** The table's commit history, newest first (the Delta DESCRIBE
+    * HISTORY surface): one row per retained commit with its version,
+    * commit timestamp, operation tag, and file/row deltas. Driver-side
+    * over the log only — O(min(limit, commits)) tiny JSON parses, zero
+    * data I/O. Rows added is −1 when any added file predates footer
+    * stats. */
+  def history(limit: Int = Int.MaxValue)(implicit ctx: ActionPipelineContext): DataFrame = {
+    val rows = listLog._1.sorted.reverse.take(limit).map(parseCommit).map { c =>
+      val addedRows = {
+        val rs = c.added.map(f => c.stats.get(f).map(_.rows).getOrElse(-1L))
+        if (rs.exists(_ < 0)) -1L else rs.sum
+      }
+      (c.version, if (c.ts >= 0) new java.sql.Timestamp(c.ts) else null,
+        if (c.op.nonEmpty) c.op else null,
+        c.added.size, c.removed.size, addedRows)
+    }
+    import ctx.spark.implicits._
+    rows.toDF("version", "timestamp", "operation",
+      "num_added_files", "num_removed_files", "num_added_rows")
+  }
 
   /** Read a file set through a log-backed [[org.apache.spark.sql.graftshims.GraftPrunedFileIndex]]:
     * ANY filter the user pushes on the returned DataFrame reaches the
@@ -758,7 +784,8 @@ case class VersionedTableDataObject(id: String, path: String,
           StructType(prev.fields ++ extra).toDDL
         case _ => df.schema.toDDL
       }
-      done = tryCommit(Commit(v, added, removed, Some(schema), stats))
+      val opTag = if (append) "APPEND" else if (dynamic) "OVERWRITE_DYNAMIC" else "WRITE"
+      done = tryCommit(Commit(v, added, removed, Some(schema), stats, op = opTag))
       if (done) committedV = v
       attempt += 1
       if (!done && attempt >= 20) throw new java.util.ConcurrentModificationException(
@@ -898,7 +925,7 @@ case class VersionedTableDataObject(id: String, path: String,
       // whole log.
       var commitV = v
       var attempt = 0
-      var done = tryCommit(Commit(commitV, added, touched, Some(schema.toDDL), stats))
+      var done = tryCommit(Commit(commitV, added, touched, Some(schema.toDDL), stats, op = "MERGE"))
       while (!done) {
         attempt += 1
         val freshVers = listLog._1
@@ -908,7 +935,7 @@ case class VersionedTableDataObject(id: String, path: String,
             s"DataObject $id: concurrent commit(s) ${concurrent.map(_.version).mkString(",")} " +
               "overlap this merge's keys or files — re-run the merge against the new state")
         commitV = freshVers.max + 1
-        done = tryCommit(Commit(commitV, added, touched, Some(schema.toDDL), stats))
+        done = tryCommit(Commit(commitV, added, touched, Some(schema.toDDL), stats, op = "MERGE"))
       }
       writeCdcCommit(commitV)
       ActionMetrics(rowsOf(stats), System.currentTimeMillis() - t0)
@@ -1240,10 +1267,11 @@ case class VersionedTableDataObject(id: String, path: String,
     // re-read per attempt so a concurrent append's union-evolution is
     // never regressed by a stale DDL.
     val scopedSet = scoped.toSet
+    val opTag = if (zorderBy.nonEmpty) "OPTIMIZE_ZORDER" else "OPTIMIZE"
     var commitV = v
     var attempt = 0
     var done = tryCommit(Commit(commitV, added, scoped,
-      st.schemaDdl.orElse(Some(current.schema.toDDL)), stats))
+      st.schemaDdl.orElse(Some(current.schema.toDDL)), stats, op = opTag))
     while (!done) {
       attempt += 1
       val fresh = listLog._1
@@ -1257,7 +1285,7 @@ case class VersionedTableDataObject(id: String, path: String,
       val freshSchema = readState(None).flatMap(_.schemaDdl)
         .orElse(st.schemaDdl).orElse(Some(current.schema.toDDL))
       commitV = fresh.max + 1
-      done = tryCommit(Commit(commitV, added, scoped, freshSchema, stats))
+      done = tryCommit(Commit(commitV, added, scoped, freshSchema, stats, op = opTag))
     }
     writeCdcMarker(commitV)
     added.size
@@ -1301,7 +1329,7 @@ case class VersionedTableDataObject(id: String, path: String,
       val removes = cur.files.filterNot(targetSet)
       val stats = adds.flatMap(f => target.stats.get(f).map(f -> _)).toMap
       maintenanceRaceHook()
-      if (tryCommit(Commit(v, adds, removes, target.schemaDdl, stats))) {
+      if (tryCommit(Commit(v, adds, removes, target.schemaDdl, stats, op = s"RESTORE($version)"))) {
         writeCdcCommit(v)
         return v
       }
@@ -1369,7 +1397,7 @@ case class VersionedTableDataObject(id: String, path: String,
         // the checkpoint carries the horizon commit's EXACT in-commit ts,
         // so timestamp travel to the recovered base stays correct
         readCheckpoint(w).foreach(s =>
-          tryCommitRaw(Commit(w, s.files, Seq.empty, s.schemaDdl, s.stats, s.ts)))
+          tryCommitRaw(Commit(w, s.files, Seq.empty, s.schemaDdl, s.stats, s.ts, op = "VACUUM_REBASE")))
       }
     }
     val log = readLog
@@ -1386,7 +1414,7 @@ case class VersionedTableDataObject(id: String, path: String,
       // rebase target computed BEFORE anything is deleted
       val baseFiles = snapshotFiles(Some(cut))
       val baseSchema = log.filter(_.version <= cut).reverse
-        .collectFirst { case Commit(_, _, _, Some(s), _, _) => s }
+        .collectFirst { case c: Commit if c.schema.isDefined => c.schema.get }
       val baseStats = log.flatMap(_.stats).toMap.filter(kv => baseFiles.contains(kv._1))
       // phase 1: shadow the history behind a checkpoint at the horizon —
       // load-bearing, so a failed write ABORTS with the log untouched
@@ -1403,7 +1431,7 @@ case class VersionedTableDataObject(id: String, path: String,
       // phase 4: the synthetic base commit — carrying the horizon commit's
       // ORIGINAL timestamp so timestamp travel survives the rebase
       val cutTs = log.find(_.version == cut).map(_.ts).getOrElse(-1L)
-      writeCommit(Commit(cut, baseFiles, Seq.empty, baseSchema, baseStats, cutTs))
+      writeCommit(Commit(cut, baseFiles, Seq.empty, baseSchema, baseStats, cutTs, op = "VACUUM_REBASE"))
       vacuumPhaseHook("rebased")
       // phase 5a: log-derived physical deletes, strictly after the log
       // is consistent

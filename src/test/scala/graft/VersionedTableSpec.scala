@@ -594,6 +594,34 @@ class VersionedTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](t.versionAsOfTimestamp(1500L))           // v0 rebased away
   }
 
+  test("history(): per-commit version/timestamp/operation/deltas, newest first") {
+    val dir = Files.createTempDirectory("graft-vthist").toString
+    val t = VersionedTableDataObject("vthist", s"$dir/t", primaryKey = Seq("k"),
+      partitions = Seq.empty)
+    var now = 1000L
+    t.clock = () => now
+    t.writeDataFrame(Seq((1, "a"), (2, "b")).toDF("k", "v").coalesce(1))         // v0 WRITE
+    now = 2000L
+    t.writeDataFrame(Seq((3, "c")).toDF("k", "v").coalesce(1),
+      saveMode = Some(SdlSaveMode.Append))                                        // v1 APPEND
+    now = 3000L
+    t.mergeDataFrame(Seq((2, "B")).toDF("k", "v"), Seq("k"))                      // v2 MERGE
+    now = 4000L
+    t.optimize(1)                                                                 // v3 OPTIMIZE
+    now = 5000L
+    t.restore(1)                                                                  // v4 RESTORE(1)
+    val h = t.history().collect()
+      .map(r => (r.getInt(0), r.getTimestamp(1).getTime, r.getString(2),
+        r.getInt(3), r.getInt(4), r.getLong(5)))
+    assert(h.map(_._1).toSeq == Seq(4, 3, 2, 1, 0), "newest first")
+    assert(h.map(_._3).toSeq == Seq("RESTORE(1)", "OPTIMIZE", "MERGE", "APPEND", "WRITE"))
+    assert(h.map(_._2).toSeq == Seq(5000L, 4000L, 3000L, 2000L, 1000L))
+    val byV = h.map(x => x._1 -> x).toMap
+    assert(byV(0)._6 == 2 && byV(1)._6 == 1)            // added-row counts from footer stats
+    assert(byV(2)._4 == 1 && byV(2)._5 == 1)            // merge: 1 file rewritten
+    assert(t.history(limit = 2).count() == 2)
+  }
+
   test("commit timestamps are monotonic under a backward clock step") {
     val dir = Files.createTempDirectory("graft-vtmono").toString
     val t = VersionedTableDataObject("vtmono", s"$dir/t", primaryKey = Seq("k"))
