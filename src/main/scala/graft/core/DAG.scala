@@ -164,7 +164,12 @@ class ActionDAGRun(actions: Seq[Action], parallelism: Int = 1,
       }
       if (shouldSkip) {
         skipped(action.id) = true
-        results(action.id) = action.outputIds.map(SubFeed(_, isSkipped = true))
+        val out = action.outputIds.map(SubFeed(_, isSkipped = true))
+        results(action.id) = out
+        // skipped actions are still RUN-STATE facts: without this, a
+        // downstream skip propagated from a NoData source is missing from
+        // the persisted actionsState and reads as "never attempted"
+        if (phase == ExecutionPhase.Exec) onActionComplete(action.id, out)
       } else try {
         val out = phase match {
           case ExecutionPhase.Init => action.init(inputs)
@@ -190,10 +195,22 @@ class ActionDAGRun(actions: Seq[Action], parallelism: Int = 1,
         if (phase == ExecutionPhase.Exec) onActionComplete(action.id, out)
       } catch {
         case w: NoDataToProcessWarning =>
+          // the mode's apply may already have installed shared read state
+          // (a mod-time upper bound, a file snapshot) before the skip was
+          // decided — release it without advancing any watermark
+          if (phase == ExecutionPhase.Exec) action.executionMode.foreach(_.postExecFailed(action))
           skipped(action.id) = true
           val out = action.outputIds.map(SubFeed(_, isSkipped = true))
           results(action.id) = out
           if (phase == ExecutionPhase.Exec) onActionComplete(action.id, out)
+        case e: Throwable =>
+          // failed exec: same shared-state release, then propagate — a
+          // failed run must neither consume inputs nor leak a bounded
+          // read view into sibling actions sharing the DataObject
+          if (phase == ExecutionPhase.Exec)
+            try action.executionMode.foreach(_.postExecFailed(action))
+            catch { case scala.util.control.NonFatal(_) => }
+          throw e
       }
     } finally releaseConsumed(action) // last consumer done/skipped/failed -> drop the cache
 

@@ -18,6 +18,11 @@ trait ExecutionMode extends Serializable {
     * files. Reference `ExecutionMode.postExec` — without this hook the
     * incremental modes silently reprocess everything every run. */
   def postExec(action: Action)(implicit ctx: ActionPipelineContext): Unit = ()
+  /** Called by the DAG when the action's exec FAILED or was skipped after
+    * `apply` ran: release any shared state `apply` installed (read bounds,
+    * file snapshots) WITHOUT advancing watermarks — otherwise a failed run
+    * leaks a bounded read view into sibling actions that share the input. */
+  def postExecFailed(action: Action)(implicit ctx: ActionPipelineContext): Unit = ()
 }
 
 /** Thrown when a mode determines there is nothing to process; the DAG marks
@@ -60,6 +65,9 @@ case class PartitionDiffExpressionData(
   *        the mode; DEFAULT (reference :93-94): apply only when NO
   *        partition values were given — explicitly requested partitions
   *        win over the diff
+  * @param failConditionOnMissingInput fail the run when the INPUT lists
+  *        no partitions at all (an empty landing zone that should never
+  *        be empty) instead of skipping with NoData
   * @param failCondition   SQL over [[PartitionDiffExpressionData]]
   *        (selected populated) — true aborts the run (e.g. guard against
   *        processing more than N partitions, or an unexpected gap)
@@ -106,13 +114,29 @@ case class PartitionDiffMode(
       case o => throw new IllegalArgumentException(s"PartitionDiffMode needs partitioned output, got ${o.id}")
     }
     val cols = partitionColNb.map(n => input.partitions.take(n)).getOrElse(input.partitions)
-    def truncate(pv: PartitionValues): PartitionValues =
-      PartitionValues(pv.elements.view.filterKeys(cols.contains).toMap)
-    val inParts = input.listPartitions.map(truncate).distinct
-    val outParts = output.listPartitions.map(truncate).toSet
+    // the diff KEY is the intersection of the compared input columns and
+    // the output's partition columns: with disjoint layouts the sets
+    // could never match and every partition would silently reprocess
+    // every run — fail loudly instead; with a coarser output (out=(dt),
+    // in=(dt,hour)) a dt present in the output means that dt was
+    // processed, so the diff compares on dt and selects at `cols`
+    // granularity
+    val keyCols = cols.filter(output.partitions.contains)
+    require(keyCols.nonEmpty,
+      s"PartitionDiffMode: compared input partition columns ${cols.mkString(",")} share no " +
+        s"column with output partitions ${output.partitions.mkString(",")} — the diff could never match")
+    def truncate(pv: PartitionValues, to: Seq[String]): PartitionValues =
+      PartitionValues(pv.elements.view.filterKeys(to.contains).toMap)
+    val inFull = input.listPartitions
+    if (inFull.isEmpty && failConditionOnMissingInput) throw new IllegalStateException(
+      s"Action ${action.id}: PartitionDiffMode found NO partitions at input (failConditionOnMissingInput)")
+    val inParts = inFull.map(truncate(_, cols)).distinct
+    val outKeys = output.listPartitions.map(truncate(_, keyCols)).toSet
+    val outParts = output.listPartitions.map(truncate(_, cols)).toSet
     // deterministic oldest-first ordering (reference PartitionValues
     // ordering) — listing order is whatever the FS returns
-    val missing0 = inParts.filterNot(outParts.contains).sortBy(_.asPath(cols))
+    val missing0 = inParts.filter(pv => !outKeys.contains(truncate(pv, keyCols)))
+      .sortBy(_.asPath(cols))
     val batched = nbOfPartitionValuesPerRun.map(missing0.take).getOrElse(missing0)
     val selected = selectExpression match {
       case Some(se) =>
@@ -145,6 +169,10 @@ case class DataFrameIncrementalMode(compareCol: String) extends ExecutionMode {
       case c: CanCreateDataFrame => c.getDataFrame(Seq.empty)
       case o => throw new IllegalArgumentException(s"${o.id} cannot create DataFrame")
     }
+    // Init phase propagates SCHEMA only — the watermark filter doesn't
+    // change it, so the max-agg scan and the emptiness probe (two real
+    // Spark jobs over a potentially huge output/input) run ONLY in exec
+    if (!ctx.isExecPhase) return in.withDataFrame(inputDf)
     val output = ctx.registry.dataObject(action.outputIds.head)
     val watermark = output match {
       case c: CanCreateDataFrame =>
@@ -154,6 +182,9 @@ case class DataFrameIncrementalMode(compareCol: String) extends ExecutionMode {
           // with getDataFrame would throw TABLE_OR_VIEW_NOT_FOUND on the
           // very first incremental run
           case t: graft.sources.TableDataObject => t.isTableExisting
+          // same contract for the versioned table: an empty log is "no
+          // watermark yet", not an error
+          case v: graft.sources.VersionedTableDataObject => v.latestVersion.isDefined
           case _ => true
         }
         if (existsData)
@@ -224,6 +255,17 @@ case class DataObjectStateIncrementalMode() extends ExecutionMode {
         f.setReadUpperBound(None)
       case _ => ()
     }
+
+  /** Failure/skip: drop the read bound WITHOUT persisting the watermark —
+    * the run consumed nothing, and the shared DataObject must not keep
+    * serving a truncated view to sibling actions. */
+  override def postExecFailed(action: Action)(implicit ctx: ActionPipelineContext): Unit =
+    ctx.registry.dataObject(action.inputIds.head) match {
+      case f: SparkFileDataObject =>
+        pendingState = None
+        f.setReadUpperBound(None)
+      case _ => ()
+    }
 }
 
 /** Process files then delete (or archive) them — the landing-zone pattern.
@@ -257,7 +299,11 @@ case class FileIncrementalMoveMode(archivePath: Option[String] = None) extends E
         val conf = ctx.spark.sparkContext.hadoopConfiguration
         val base = new Path(f.path)
         val fs = base.getFileSystem(conf)
-        val baseUri = base.toUri.getPath
+        // qualify BOTH sides before prefix-stripping: a relative configured
+        // path never prefixes the FS-qualified listing paths, which would
+        // silently archive under the full absolute path instead of the
+        // partition-relative one
+        val baseUri = fs.makeQualified(base).toUri.getPath
         archivePath.foreach(a => require(fs.mkdirs(new Path(a)),
           s"FileIncrementalMoveMode: cannot create archive dir $a"))
         processedFiles.foreach { file =>
@@ -267,7 +313,7 @@ case class FileIncrementalMoveMode(archivePath: Option[String] = None) extends E
               // preserve the path relative to the source base so partitioned
               // layouts don't collide in the archive; re-archiving an
               // identically-named file overwrites (idempotent re-run)
-              val rel = src.toUri.getPath.stripPrefix(baseUri).stripPrefix("/")
+              val rel = fs.makeQualified(src).toUri.getPath.stripPrefix(baseUri).stripPrefix("/")
               val dest = new Path(a, rel)
               Option(dest.getParent).foreach(fs.mkdirs)
               if (fs.exists(dest)) require(fs.delete(dest, false),
@@ -282,7 +328,7 @@ case class FileIncrementalMoveMode(archivePath: Option[String] = None) extends E
           val crc = new Path(src.getParent, s".${src.getName}.crc")
           if (fs.exists(crc)) fs.delete(crc, false)
         }
-        processedFiles = Seq.empty
+        processedFiles = Seq.empty // (failure path clears via postExecFailed)
         // drop writer markers and, if nothing else landed since the
         // snapshot, the now-empty directory tree (non-recursive deletes:
         // they succeed only when genuinely empty, so a late-landing file
@@ -303,6 +349,11 @@ case class FileIncrementalMoveMode(archivePath: Option[String] = None) extends E
       case _ => ()
     }
   }
+
+  /** Failure/skip: forget the snapshot WITHOUT moving anything — the
+    * files were not successfully consumed and must be re-read next run. */
+  override def postExecFailed(action: Action)(implicit ctx: ActionPipelineContext): Unit =
+    processedFiles = Seq.empty
 }
 
 /** Committed-offset incremental consumption of a Kafka topic. Reference

@@ -175,6 +175,12 @@ object DataQualityValidation {
     val partExp = expectations.filter(e => e.scope == ExpectationScope.JobPartition && isAggBased(e))
     val queryExp = expectations.collect { case q: SQLQueryExpectation => q }
     val avgExp = expectations.collect { case a: AvgCountPerPartitionExpectation => a }
+    // a partition-scoped expectation on an unpartitioned evaluation is a
+    // CONFIG error — silently skipping it would let a data-quality gate
+    // "pass" without ever having run (failOnError gives no protection)
+    require(partitionCols.nonEmpty || (partExp.isEmpty && avgExp.isEmpty),
+      s"partition-scoped expectation(s) ${(partExp ++ avgExp).map(_.name).mkString(",")} " +
+        "require partition columns, but none were provided — the gate would never evaluate")
     val queryMetrics: Map[String, Any] = queryExp.map { q =>
       val view = s"graft_exp_${q.name.replaceAll("[^A-Za-z0-9_]", "_")}"
       table.createOrReplaceTempView(view)
@@ -230,12 +236,25 @@ object DataQualityValidation {
       // ("= 0", "> 0.9" — Expectation.scala scaladoc); the long form
       // "value > 0.9" is also accepted
       val cond = if (cond0.trim.matches("^(=|!=|<>|<=|>=|<|>).*")) s"value ${cond0.trim}" else cond0
-      val lit = value match {
-        case null => "NULL"
-        case s: String => s"'${s.replace("'", "''")}'"
-        case other => other.toString
+      // bind the metric as a TYPED one-row column, never as spliced SQL
+      // text: a Timestamp's toString is not a SQL literal, and a bare
+      // NaN/Infinity literal parses as a COLUMN reference — both would
+      // crash evaluation instead of comparing
+      import ctx.spark.implicits._
+      val bound = value match {
+        case null => Seq(Option.empty[String]).toDF("value")
+        case v: java.lang.Integer => Seq(v.intValue).toDF("value")
+        case v: java.lang.Long => Seq(v.longValue).toDF("value")
+        case v: java.lang.Double => Seq(v.doubleValue).toDF("value")
+        case v: java.lang.Float => Seq(v.doubleValue).toDF("value")
+        case v: java.lang.Boolean => Seq(v.booleanValue).toDF("value")
+        case v: java.math.BigDecimal => Seq(BigDecimal(v)).toDF("value")
+        case v: java.sql.Timestamp => Seq(v).toDF("value")
+        case v: java.sql.Date => Seq(v).toDF("value")
+        case v: String => Seq(v).toDF("value")
+        case other => Seq(other.toString).toDF("value")
       }
-      val ok = ctx.spark.sql(s"SELECT ($lit) AS value").where(cond).count() == 1
+      val ok = bound.where(cond).count() == 1
       if (!ok) {
         if (e.failOnError) throw ExpectationViolation(e.name, value, cond)
         else System.err.println(s"[warn] expectation '${e.name}' violated: value=$value, expected $cond")

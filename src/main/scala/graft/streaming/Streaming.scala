@@ -25,6 +25,9 @@ case class EventTimeWindowTransformer(
     /** output column name → SQL aggregate expression */
     aggExpressions: Map[String, String]) extends DfTransformer {
 
+  require(aggExpressions.nonEmpty,
+    "EventTimeWindowTransformer: aggExpressions must not be empty")
+
   override def transform(df: DataFrame, dataObjectId: String = "")(implicit ctx: ActionPipelineContext): DataFrame = {
     // NTZ/long event time → TimestampType (withWatermark rejects NTZ)
     val normalized = EventTime.normalize(df, eventTimeColumn)
@@ -52,6 +55,9 @@ case class SessionWindowTransformer(
     watermarkDuration: String = "0 seconds",
     groupByColumns: Seq[String] = Seq.empty,
     aggExpressions: Map[String, String]) extends DfTransformer {
+
+  require(aggExpressions.nonEmpty,
+    "SessionWindowTransformer: aggExpressions must not be empty")
 
   override def transform(df: DataFrame, dataObjectId: String = "")(implicit ctx: ActionPipelineContext): DataFrame = {
     val normalized = EventTime.normalize(df, eventTimeColumn)

@@ -77,6 +77,44 @@ class DataQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("expectation conditions bind TYPED metrics: timestamps and NaN compare, never splice") {
+    implicit val ctx: ActionPipelineContext = newCtx()
+    val dir = Files.createTempDirectory("graft-dq").toString
+    // Timestamp metric: max(load_ts) compared against a timestamp literal —
+    // a spliced toString would be unparseable SQL
+    val fresh = ParquetFileDataObject("outts", s"$dir/outts",
+      expectations = Seq(SQLExpectation("freshness", "max(ts)",
+        Some("value >= to_timestamp('2024-01-01')"), ExpectationScope.All, failOnError = true)))
+    fresh.writeDataFrame(Seq(("a", java.sql.Timestamp.valueOf("2024-06-01 00:00:00")))
+      .toDF("k", "ts"))
+    intercept[ExpectationViolation] {
+      val stale = ParquetFileDataObject("outts2", s"$dir/outts2",
+        expectations = Seq(SQLExpectation("freshness", "max(ts)",
+          Some("value >= to_timestamp('2024-01-01')"), ExpectationScope.All, failOnError = true)))
+      stale.writeDataFrame(Seq(("a", java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
+        .toDF("k", "ts"))
+    }
+    // NaN metric (stddev of one row): a bare NaN literal would parse as a
+    // column reference — the typed binding makes the comparison just false
+    val nan = ParquetFileDataObject("outnan", s"$dir/outnan",
+      expectations = Seq(SQLExpectation("spread", "stddev_samp(v)",
+        Some("value < 100.0"), ExpectationScope.All, failOnError = true)))
+    intercept[ExpectationViolation] {
+      nan.writeDataFrame(Seq((1, 5.0)).toDF("k", "v"))  // stddev of 1 row = NaN → NOT < 100
+    }
+  }
+
+  test("partition-scoped expectation without partition columns is a loud config error") {
+    implicit val ctx: ActionPipelineContext = newCtx()
+    val dir = Files.createTempDirectory("graft-dq").toString
+    val out = ParquetFileDataObject("outps", s"$dir/outps",  // NOT partitioned
+      expectations = Seq(AvgCountPerPartitionExpectation("avgc", Some("> 1"), failOnError = true)))
+    val e = intercept[IllegalArgumentException] {
+      out.writeDataFrame(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("partition"))
+  }
+
   test("CompletenessExpectation measures non-null cell fraction") {
     implicit val ctx: ActionPipelineContext = newCtx()
     val dir = Files.createTempDirectory("graft-dq").toString

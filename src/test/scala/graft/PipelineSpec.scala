@@ -89,6 +89,85 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/out").count() == 3)
   }
 
+  test("PartitionDiffMode: coarser output partitioning diffs on the common columns; disjoint fails loudly") {
+    import graft.operators.modes.PartitionDiffMode
+    val dir = tmpDir()
+    val reg = new InstanceRegistry()
+    reg.register(ParquetFileDataObject("in2", s"$dir/in", partitions = Seq("dt", "hour")))
+    reg.register(ParquetFileDataObject("out2", s"$dir/out", partitions = Seq("dt")))
+    reg.register(CopyAction("cp2", "in2", "out2",
+      executionMode = Some(PartitionDiffMode()),
+      saveMode = Some(SdlSaveMode.OverwriteOptimized)))
+    implicit val ctx: ActionPipelineContext = newCtx(reg)
+    Seq((1, "d1", "00"), (2, "d1", "01"), (3, "d2", "00")).toDF("v", "dt", "hour")
+      .write.partitionBy("dt", "hour").parquet(s"$dir/in")
+    new ActionDAGRun(Seq(reg.action("cp2"))).run()
+    assert(spark.read.parquet(s"$dir/out").count() == 3)
+    // re-run: every dt exists at the output → nothing to do, NOT an
+    // every-run full reprocess (the diff keys on the common column dt)
+    val res2 = new ActionDAGRun(Seq(reg.action("cp2"))).run()
+    assert(res2("cp2").head.isSkipped, "coarser-output diff must match on common columns")
+    // a new hour under an EXISTING dt is considered processed (dt granularity)
+    Seq((4, "d1", "02")).toDF("v", "dt", "hour")
+      .write.mode("append").partitionBy("dt", "hour").parquet(s"$dir/in")
+    val res3 = new ActionDAGRun(Seq(reg.action("cp2"))).run()
+    assert(res3("cp2").head.isSkipped)
+    // disjoint layouts can never match → loud config error, not silent reprocessing
+    reg.register(ParquetFileDataObject("outx", s"$dir/outx", partitions = Seq("region")))
+    reg.register(CopyAction("cpx", "in2", "outx",
+      executionMode = Some(PartitionDiffMode()), saveMode = Some(SdlSaveMode.OverwriteOptimized)))
+    val e = intercept[Exception](new ActionDAGRun(Seq(reg.action("cpx"))).run())
+    assert(e.getMessage != null && e.getMessage.contains("share no"), s"got: ${e.getMessage}")
+  }
+
+  test("DataFrameIncrementalMode: first run into a FRESH versioned-table output works") {
+    val dir = tmpDir()
+    val reg = new InstanceRegistry()
+    reg.register(ParquetFileDataObject("isrc", s"$dir/in"))
+    reg.register(VersionedTableDataObject("ivt", s"$dir/t", primaryKey = Seq("k")))
+    reg.register(CopyAction("inc", "isrc", "ivt",
+      executionMode = Some(graft.operators.modes.DataFrameIncrementalMode("k")),
+      saveMode = Some(SdlSaveMode.Append)))
+    implicit val ctx: ActionPipelineContext = newCtx(reg)
+    Seq((1, "a"), (2, "b")).toDF("k", "v").write.parquet(s"$dir/in")
+    // empty log must mean "no watermark yet", not a crash
+    new ActionDAGRun(Seq(reg.action("inc"))).run()
+    val vt = reg.dataObject("ivt").asInstanceOf[VersionedTableDataObject]
+    assert(vt.getDataFrame().count() == 2)
+    // second run: watermark from the table filters everything → skip
+    val res = new ActionDAGRun(Seq(reg.action("inc"))).run()
+    assert(res("inc").head.isSkipped)
+    // third: one new row above the watermark
+    Seq((3, "c")).toDF("k", "v").write.mode("append").parquet(s"$dir/in")
+    new ActionDAGRun(Seq(reg.action("inc"))).run()
+    assert(vt.getDataFrame().count() == 3)
+  }
+
+  test("failed exec releases the mod-time read bound on the shared input") {
+    val dir = tmpDir()
+    val reg = new InstanceRegistry()
+    reg.register(ParquetFileDataObject("fsrc", s"$dir/in"))
+    // output whose write always fails AFTER the mode installed its bound
+    case class FailingSink(id: String) extends DataObject with CanWriteDataFrame {
+      override def writeDataFrame(df: org.apache.spark.sql.DataFrame, pvs: Seq[PartitionValues],
+                                  saveMode: Option[SdlSaveMode])
+                                 (implicit ctx: ActionPipelineContext): ActionMetrics =
+        throw new RuntimeException("sink down")
+    }
+    reg.register(FailingSink("fdst"))
+    reg.register(CopyAction("fcp", "fsrc", "fdst",
+      executionMode = Some(graft.operators.modes.DataObjectStateIncrementalMode())))
+    implicit val ctx: ActionPipelineContext = newCtx(reg)
+    Seq((1, "a")).toDF("k", "v").write.parquet(s"$dir/in")
+    intercept[Exception](new ActionDAGRun(Seq(reg.action("fcp"))).run())
+    // the bound must NOT leak: a file landing after the failed run is
+    // visible to the next direct read of the shared DataObject
+    Thread.sleep(5)
+    Seq((2, "b")).toDF("k", "v").write.mode("append").parquet(s"$dir/in")
+    val src = reg.dataObject("fsrc").asInstanceOf[ParquetFileDataObject]
+    assert(src.getDataFrame().count() == 2, "stale readUpperBound leaked from the failed run")
+  }
+
   test("PartitionDiffMode condition/selection knobs (reference parity)") {
     import graft.operators.modes.PartitionDiffMode
     val dir = tmpDir()
