@@ -127,7 +127,11 @@ case class ODataDataObject(
   extends DataObject with CanCreateDataFrame {
 
   private def firstUrl: String = {
-    val params = select.map(s => s"$$select=$s").toSeq ++ filter.map(f => s"$$filter=$f")
+    // URL-encode the parameter VALUES: virtually every real $filter
+    // contains spaces ("Price gt 20"), which URI.create rejects raw
+    def enc(v: String) = java.net.URLEncoder.encode(v, "UTF-8").replace("+", "%20")
+    val params = select.map(s => s"$$select=${enc(s)}").toSeq ++
+      filter.map(f => s"$$filter=${enc(f)}")
     val q = if (params.isEmpty) "" else params.mkString("?", "&", "")
     s"${baseUrl.stripSuffix("/")}/$entity$q"
   }
@@ -146,9 +150,14 @@ case class ODataDataObject(
       val value = root.get("value")
       require(value != null, s"ODataDataObject $id: response has no 'value' array")
       value.elements().forEachRemaining(e => pages += e.toString)
-      next = Option(root.get("@odata.nextLink")).map(_.asText)
+      // a JSON-null nextLink ('"@odata.nextLink": null') terminates paging
+      // like an absent one — asText on a NullNode would yield the string
+      // "null" and the next request would target the URI "null"
+      next = Option(root.get("@odata.nextLink")).filterNot(_.isNull).map(_.asText)
       n += 1
     }
+    if (next.isDefined) System.err.println(
+      s"[warn] ODataDataObject $id: stopped at maxPages=$maxPages with more pages available — result truncated")
     val ds: Dataset[String] = spark.createDataset(pages.toSeq)
     schema.fold(spark.read.json(ds))(s => spark.read.schema(s).json(ds))
   }
@@ -314,7 +323,10 @@ case class AirbyteDataObject(
     val spark = ctx.spark
     import spark.implicits._
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(false).start()
+    // stderr merges into stdout: a connector logging more than the OS
+    // pipe buffer to an undrained stderr would block, deadlocking the
+    // read; non-JSON lines are filtered below anyway
+    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
     val records = scala.collection.mutable.ArrayBuffer.empty[String]
     val reader = new java.io.BufferedReader(
       new java.io.InputStreamReader(proc.getInputStream, UTF_8))
@@ -394,8 +406,16 @@ case class FileRefDataObject(
     val dir = other.targetDir.getOrElse(
       throw new IllegalArgumentException(s"FileRefDataObject ${other.id}: targetDir required as transfer destination"))
     val files = listFiles
-    files.foreach { f =>
-      val name = f.path.substring(f.path.lastIndexOf('/') + 1)
+    // basenames must be unique in the flat target: a glob like
+    // '*/data.csv' matches N same-named files — flattening would keep only
+    // the last AND advance the watermark past the silently-lost ones
+    val names = files.map(f => f.path.substring(f.path.lastIndexOf('/') + 1))
+    val dupes = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    require(dupes.isEmpty,
+      s"FileRefDataObject $id: transfer would flatten ${dupes.size} duplicate filename(s) " +
+        s"(${dupes.take(3).mkString(",")}…) into ${other.id} — files would overwrite each other; " +
+        "narrow the pattern or transfer per subdirectory")
+    files.zip(names).foreach { case (f, name) =>
       val in = transport.open(f.path)
       try other.transport.put(s"${dir.stripSuffix("/")}/$name", in) finally in.close()
     }

@@ -453,8 +453,13 @@ abstract class SparkFileDataObject extends DataObject
     val w0 = observed.write.format(format).options(options)
     val w = if (partitions.nonEmpty) w0.partitionBy(partitions: _*) else w0
     w.mode("overwrite").save(staging.toString)
-    fs.delete(hadoopPath, true)
-    fs.rename(staging, hadoopPath)
+    // Hadoop delete/rename signal failure by RETURNING FALSE — unchecked,
+    // a failed swap would report success while the path sits empty and
+    // the data lives on in the staging dir (silent total loss)
+    require(fs.delete(hadoopPath, true) || !fs.exists(hadoopPath),
+      s"DataObject $id: staged swap could not delete $hadoopPath")
+    require(fs.rename(staging, hadoopPath),
+      s"DataObject $id: staged swap rename $staging -> $hadoopPath failed; data preserved in staging")
     // the swap deleted the previous .schema file — re-persist so the next
     // schema-on-read doesn't fall back to inference and drift types
     if (!isSelfDescribing || schemaEvolvable) SchemaUtil.persistSchema(path, df.schema)

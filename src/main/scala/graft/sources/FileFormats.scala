@@ -75,15 +75,33 @@ case class RelaxedCsvFileDataObject(
   override def getDataFrame(partitionValues: Seq[PartitionValues] = Seq.empty)
                            (implicit ctx: ActionPipelineContext): DataFrame = {
     require(exists, s"DataObject $id: path $path has no data")
+    // honor the incremental mod-time window the parent reader applies via
+    // modifiedAfter/modifiedBefore (DataObjectStateIncrementalMode): this
+    // override bypasses that reader, so without the same filter every
+    // "incremental" run would silently re-ingest ALL historical files
+    // while the advancing watermark makes it look incremental
+    def boundMillis(s: Option[String])(implicit ctx: ActionPipelineContext): Option[Long] = s.map { ts =>
+      val zone = java.time.ZoneId.of(ctx.spark.conf.get(
+        "spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID))
+      java.time.LocalDateTime.parse(ts).atZone(zone).toInstant.toEpochMilli
+    }
+    val after = boundMillis(incrementalState)
+    val before = boundMillis(readUpperBound)
     val files = {
       val it = fs.listFiles(hadoopPath, true)
       val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
       while (it.hasNext) {
-        val f = it.next().getPath
-        if (!f.getName.startsWith("_") && !f.getName.startsWith(".")) buf += f
+        val f = it.next()
+        val n = f.getPath.getName
+        val t = f.getModificationTime
+        if (!n.startsWith("_") && !n.startsWith(".") &&
+            after.forall(t > _) && before.forall(t < _)) buf += f.getPath
       }
       buf.toSeq
     }
+    if (files.isEmpty)
+      return ctx.spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        schema.getOrElse(StructType(Nil)))
     val byHeader: Map[String, Seq[Path]] = groupByHeader(files)
     val parts = byHeader.toSeq.sortBy(_._1).map { case (_, group) =>
       val r0 = ctx.spark.read.options(options)
@@ -171,7 +189,11 @@ case class TickTockHiveTableDataObject(
     val obs = org.apache.spark.sql.Observation(s"graft_tt_${id}_${System.nanoTime()}")
     val feedObserved = df.observe(obs, count(lit(1)).as("records_written"))
     val effective = saveMode.getOrElse(SdlSaveMode.Overwrite) match {
-      case SdlSaveMode.Append if isTableExisting => getDataFrame().unionByName(feedObserved)
+      // allowMissingColumns both directions: the object declares
+      // CanEvolveSchema — an appended feed adding or dropping a column
+      // null-fills instead of failing UNRESOLVED_COLUMN
+      case SdlSaveMode.Append if isTableExisting =>
+        getDataFrame().unionByName(feedObserved, allowMissingColumns = true)
       case SdlSaveMode.Append | SdlSaveMode.Overwrite | SdlSaveMode.OverwriteOptimized |
            SdlSaveMode.OverwritePreserveDirectories => feedObserved
       case m => throw new IllegalArgumentException(
@@ -180,9 +202,16 @@ case class TickTockHiveTableDataObject(
     val w0 = effective.write.format(format)
     val w = if (partitions.nonEmpty) w0.partitionBy(partitions: _*) else w0
     w.mode("overwrite").save(target.toString)
-    // commit: atomically flip the marker to the freshly-written side
-    val out = fs.create(marker, true)
+    // commit: flip the marker via temp-file + RENAME — an in-place
+    // truncating rewrite has a window where a concurrent reader sees an
+    // empty marker (broken table) and a crash there would point the NEXT
+    // write at the side readers are scanning
+    val tmpMarker = new Path(base, s".graft_active_side_tmp_${java.util.UUID.randomUUID.toString.take(8)}")
+    val out = fs.create(tmpMarker, true)
     try out.write(side.getBytes("UTF-8")) finally out.close()
+    fs.delete(marker, false)
+    require(fs.rename(tmpMarker, marker),
+      s"DataObject $id: tick-tock marker commit rename failed")
     if (registerInCatalog) syncCatalog(target)
     val rows = try obs.get("records_written").asInstanceOf[Long] catch { case _: Throwable => -1L }
     ActionMetrics(rows, System.currentTimeMillis() - t0)
@@ -197,9 +226,17 @@ case class TickTockHiveTableDataObject(
     * `ALTER TABLE SET LOCATION`, HiveUtil) */
   private def syncCatalog(location: Path)(implicit ctx: ActionPipelineContext): Unit = {
     val spark = ctx.spark
-    spark.sql(s"DROP TABLE IF EXISTS ${table.fullName}")
+    // database first (a DROP against a missing schema is engine-dependent),
+    // then CREATE OR REPLACE — one statement, no drop-to-create window in
+    // which a concurrent catalog reader sees TABLE_OR_VIEW_NOT_FOUND
     table.db.foreach(db => spark.sql(s"CREATE DATABASE IF NOT EXISTS $db"))
-    spark.sql(s"CREATE TABLE ${table.fullName} USING $format LOCATION '${location.toString}'")
+    try spark.sql(s"CREATE OR REPLACE TABLE ${table.fullName} USING $format LOCATION '${location.toString}'")
+    catch { case scala.util.control.NonFatal(_) =>
+      // catalogs without REPLACE TABLE support (session catalog + some
+      // formats) fall back to the two-step form
+      spark.sql(s"DROP TABLE IF EXISTS ${table.fullName}")
+      spark.sql(s"CREATE TABLE ${table.fullName} USING $format LOCATION '${location.toString}'")
+    }
   }
 
   override def listPartitions(implicit ctx: ActionPipelineContext): Seq[PartitionValues] = {

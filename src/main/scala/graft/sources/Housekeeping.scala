@@ -112,12 +112,21 @@ object Housekeeping {
     val rel = pv.asPath(obj.partitions)
     require(rel.nonEmpty, s"DataObject ${obj.id}: cannot rewrite unpartitioned path this way")
     val partDir = new Path(obj.path, rel)
-    val staging = new Path(obj.path, rel + "_graft_compact")
+    // HIDDEN staging dir (underscore prefix): a sibling named
+    // 'dt=X_graft_compact' would be visible to concurrent reads during
+    // the swap window (rows doubled, phantom partition value) and to
+    // listPartitions forever after a crash — '_' dirs are excluded by
+    // Spark's file listing and this object's own filters
+    val staging = new Path(obj.path, s"_graft_compact_${rel.replace('/', '_')}")
     val fs = partDir.getFileSystem(ctx.spark.sparkContext.hadoopConfiguration)
     // write WITHOUT partition columns (they're encoded in the path)
     df.drop(obj.partitions: _*).write.format(obj.format).options(obj.options)
       .mode("overwrite").save(staging.toString)
-    fs.delete(partDir, true)
-    fs.rename(staging, partDir)
+    // Hadoop delete/rename fail by returning false — unchecked, a failed
+    // swap would silently lose the partition
+    require(fs.delete(partDir, true) || !fs.exists(partDir),
+      s"DataObject ${obj.id}: compaction could not delete $partDir")
+    require(fs.rename(staging, partDir),
+      s"DataObject ${obj.id}: compaction rename $staging -> $partDir failed; data preserved in staging")
   }
 }
