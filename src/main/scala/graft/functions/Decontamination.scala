@@ -62,7 +62,11 @@ object Decontamination {
       .select(col(idCol), explode(wordNgramHashes(col(textCol), n)).as("_ng"))
     val trainNgrams = Dedup.ensureParallelism(train, idCol)
       .select(explode(wordNgramHashes(col(textCol), n)).as("_ng"))
-    val leaks = trainNgrams.join(broadcast(heldNgrams), "_ng")
+    // no forced broadcast: heldNgrams is one hash PER TOKEN POSITION of
+    // the held-out set — at the corpus scales this guard targets that is
+    // far past the broadcast limit; AQE still broadcasts genuinely small
+    // held-out sets, and a shuffle join is the correct scale path
+    val leaks = trainNgrams.join(heldNgrams, "_ng")
       // a gram hit by many train docs counts once per held-out doc
       .select(col(idCol), col("_ng")).distinct()
       .groupBy(col(idCol))

@@ -98,6 +98,12 @@ object Dedup {
     // O(bands × numHashes × shingles) per row instead of O(numHashes ×
     // shingles). At cluster scale this table is the thing you'd write to
     // storage between stages; in-process, MEMORY_AND_DISK persist.
+    // bands must tile the signature exactly: bands > numHashes would make
+    // rowsPerBand 0 (every band slice EMPTY → one global bucket → the skew
+    // cap drops the whole corpus, recall silently ~0), and a non-dividing
+    // count would silently ignore trailing hashes
+    require(bands >= 1 && numHashes % bands == 0,
+      s"minhash: numHashes=$numHashes must be a positive multiple of bands=$bands")
     val sigs = minhashSignatures(df, idCol, textCol, shingleSize, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     minhashPairsFromSigs(sigs, bands, numHashes / bands, threshold,
@@ -208,8 +214,12 @@ object Dedup {
       .select(col("_head").as("id_a"), col("id").as("id_b"))
     val withA = sigs.select(col("id").as("id_a"), col("shingles").as("sh_a"))
       .join(broadcast(star), "id_a")
+    // withA carries a FAT shingle array per duplicate pair — in the
+    // boilerplate-heavy regime this fallback exists for, forcing it
+    // through a broadcast would blow the 8 GB limit; AQE still
+    // broadcasts it when it is actually small (the common case)
     sigs.select(col("id").as("id_b"), col("shingles").as("sh_b"))
-      .join(broadcast(withA), "id_b")
+      .join(withA, "id_b")
       .withColumn("jaccard", sortedJaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -259,6 +269,8 @@ object Dedup {
                               threshold: Double = 0.7, maxBucketSize: Int = 1000,
                               failOnCappedBuckets: Boolean = false,
                               cappedBucketExactFallback: Boolean = true): DataFrame = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"minhash incremental: numHashes=$numHashes must be a positive multiple of bands=$bands")
     val rowsPerBand = numHashes / bands
     val newSigs = minhashSignatures(newDocs, idCol, textCol, shingleSize, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -307,8 +319,9 @@ object Dedup {
           .select(col("id_new"), col("id_corpus"))
         val withA = newSigs.select(col("id").as("id_new"), col("shingles").as("sh_a"))
           .join(broadcast(matches), "id_new")
+        // same fat-side rationale as exactStarPairs: let AQE size it
         val exact = corpusSigs.select(col("id").as("id_corpus"), col("shingles").as("sh_b"))
-          .join(broadcast(withA), "id_corpus")
+          .join(withA, "id_corpus")
           .withColumn("jaccard", sortedJaccard(col("sh_a"), col("sh_b")))
           .where(col("jaccard") >= threshold)
           .select(col("id_new"), col("id_corpus"), col("jaccard"))
@@ -557,8 +570,11 @@ object Dedup {
     // trees instead blows the generated code past JIT-able size (a 91-key
     // plan cost ~10 s of codegen alone).
     val blockVals = array((0 until numBlocks).map(i =>
+      // 64-bit-wide block (numBlocks == 1): 1L<<64 wraps to 1L in Scala,
+      // so the naive mask would be 0 and every signature would key to ONE
+      // bucket — use the full mask explicitly
       shiftrightunsigned(col("simhash"), offsets(i))
-        .bitwiseAND(lit((1L << widths(i)) - 1))): _*)
+        .bitwiseAND(lit(if (widths(i) >= 64) -1L else (1L << widths(i)) - 1))): _*)
     val combosLit = array((0 until numBlocks).combinations(blocksPerKey).toSeq.map(c =>
       array(c.map(lit): _*)): _*)
     val blocked = withSim
@@ -629,11 +645,17 @@ object Dedup {
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
-    // labels only ever decrease, so the label SUM is a convergence
-    // fingerprint — one cheap agg over the checkpointed frame instead of a
-    // change-detection join per round
-    def fingerprint(df: DataFrame): Long =
-      df.agg(sum(col("label"))).collect().head.getLong(0)
+    // convergence fingerprint = sum of the labels' 64-bit HASHES: labels
+    // only change downward, so an unchanged multiset means converged. The
+    // hash makes it TYPE-AGNOSTIC — sum over a raw string/UUID label
+    // column would coerce to double/null and crash getLong (a 2⁻⁶⁴-ish
+    // collision risks one extra round or an early stop; the loud
+    // non-convergence guard below bounds the damage)
+    // decimal(38,0) accumulator: a long sum of 64-bit hashes overflows
+    // under ANSI mode on the second row
+    def fingerprint(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(xxhash64(col("label")).cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .collect().head.getDecimal(0)
     var prevSum = fingerprint(labels)
     var converged = false
     var i = 0
@@ -650,6 +672,11 @@ object Dedup {
       i += 1
     }
     sym.unpersist()
+    // silent partial propagation would report ONE true component as
+    // several clusters and let duplicates survive dedup — fail loudly
+    if (!converged) throw new IllegalStateException(
+      s"duplicateClusters: min-label propagation did not converge in $maxIter rounds " +
+        "(component diameter exceeds maxIter) — raise maxIter")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

@@ -126,7 +126,14 @@ object Quantization {
     *        the O(corpus)-independent part of the build */
   def trainPq(df: DataFrame, embCol: String, m: Int, kpq: Int = 16,
               maxTrainRows: Int = 20000, iters: Int = 10, seed: Long = 42L): PqCodebooks = {
+    // a real SAMPLE, not limit(): limit takes the FIRST rows — on a
+    // corpus written sorted/partitioned by domain that trains every
+    // codebook on one domain's distribution and degrades ADC recall
+    // corpus-wide (same sampling contract as buildIvfIndex above)
+    val n = df.count()
+    val frac = if (n <= maxTrainRows) 1.0 else maxTrainRows.toDouble / n * 1.1
     val sample = df.select(l2Normalize(col(embCol)).as("_e"))
+      .sample(withReplacement = false, math.min(1.0, frac), seed)
       .limit(maxTrainRows)
       .collect()
       .map(_.getSeq[Float](0).toArray)

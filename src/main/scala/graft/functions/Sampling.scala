@@ -67,7 +67,11 @@ object Sampling {
     val rates = totals.select(col("_mix_stratum"),
       least(lit(1.0), budget.cast(DoubleType) / col("_mix_total").cast(DoubleType))
         .as("_mix_rate"))
-    df.join(broadcast(rates), stratum === col("_mix_stratum"))
+    // NULL-SAFE join: unlabeled rows (null stratum) form a real group in
+    // `totals`, but `===` on null matches nothing — an inner join would
+    // silently delete every unlabeled row, contradicting the
+    // defaultBudget = MaxValue "keep everything unconfigured" contract
+    df.join(broadcast(rates), stratum <=> col("_mix_stratum"))
       .where(uniformHash(key) < col("_mix_rate"))
       .drop("_mix_stratum")
   }

@@ -79,11 +79,18 @@ object Similarity {
   /** Top-k neighbors for EVERY query row against a corpus: broadcast the
     * (small) query set, score, window top-k per query. The corpus is
     * scanned once regardless of query count. */
+  /** @param excludeSelfMatches drop the corpus row whose id equals the
+    *        query id — correct when queries ARE corpus rows (the self-recall
+    *        pattern); set false when the two id spaces are unrelated, or an
+    *        accidental collision silently removes a real neighbor */
   def topKForQueries(corpus: DataFrame, queries: DataFrame,
-                     corpusId: String, queryId: String, embCol: String, k: Int): DataFrame = {
+                     corpusId: String, queryId: String, embCol: String, k: Int,
+                     excludeSelfMatches: Boolean = true): DataFrame = {
+    // null-safe: a null corpus id is never a "self match" — plain =!=
+    // evaluates to null and would drop such rows from every query
+    val cond = if (excludeSelfMatches) !(col(s"c.$corpusId") <=> col("qid")) else lit(true)
     val scored = corpus.alias("c").join(
-        broadcast(queries.select(col(queryId).as("qid"), col(embCol).as("qemb"))),
-        col(s"c.$corpusId") =!= col("qid")) // exclude self when ids share a space
+        broadcast(queries.select(col(queryId).as("qid"), col(embCol).as("qemb"))), cond)
       .select(col("qid"), col(s"c.$corpusId").as("id"),
         cosineSimilarity(col(s"c.$embCol"), col("qemb")).as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
