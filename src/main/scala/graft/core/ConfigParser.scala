@@ -65,16 +65,18 @@ object ConfigParser {
     treeCache.computeIfAbsent(configText, { text =>
       val hoconOnly = text.contains("${") || text.linesIterator.exists(_.trim.startsWith("include "))
       def hocon = mapper.readTree(hoconToJson(text))
-      if (hoconOnly) hocon
-      else {
-        val sections = Seq("dataObjects", "actions", "connections", "global")
-        val yamlTry =
-          try {
-            val t = mapper.readTree(text)
-            if (t != null && t.isObject && sections.exists(s => t.has(s))) Some(t) else None
-          } catch { case _: Exception => None }
-        yamlTry.getOrElse(hocon)
-      }
+      val sections = Seq("dataObjects", "actions", "connections", "global")
+      def yamlTry =
+        try {
+          val t = mapper.readTree(text)
+          if (t != null && t.isObject && sections.exists(s => t.has(s))) Some(t) else None
+        } catch { case _: Exception => None }
+      if (hoconOnly)
+        // the sniff is a heuristic: `${` may be literal content inside a
+        // YAML string (a regex or SQL fragment), so a failed HOCON parse
+        // still falls back to YAML instead of rejecting a valid config
+        try hocon catch { case e: Exception => yamlTry.getOrElse(throw e) }
+      else yamlTry.getOrElse(hocon)
     })
   }
 
@@ -533,7 +535,8 @@ object ConfigParser {
           threshold = dbl(n, "threshold").getOrElse(0.7),
           shingleSize = int(n, "shingleSize").getOrElse(5),
           numHashes = int(n, "numHashes").getOrElse(32),
-          bands = int(n, "bands").getOrElse(8))
+          bands = int(n, "bands").getOrElse(8),
+          novelOutput = str(n, "novelOutput"))
       case t => throw new IllegalArgumentException(s"action '$id': unknown dfs transformer type '$t'")
     }
 }

@@ -227,8 +227,16 @@ case class CopyAction(
           metrics = Some(ActionMetrics(recordsWritten =
             Option(query.lastProgress).map(_.sink.numOutputRows).getOrElse(-1L)))))
       case _ =>
-        // async: await first micro-batch so downstream sees data
-        query.processAllAvailable()
+        // async: await the FIRST completed micro-batch so downstream sees
+        // data — NOT processAllAvailable(), which blocks until the source is
+        // drained and so never returns under a continuously-producing
+        // source (Spark's own scaladoc warns it may block forever); poll
+        // recentProgress for the first batch instead, bounded
+        val deadline = System.currentTimeMillis() + m.firstBatchTimeoutSec * 1000L
+        while (!query.recentProgress.exists(_.numInputRows >= 0) && query.isActive &&
+               System.currentTimeMillis() < deadline)
+          Thread.sleep(50)
+        query.exception.foreach(throw _)
         Seq(SubFeed(outputId, isStreaming = true))
     }
   }
@@ -336,7 +344,19 @@ case class FileTransferAction(id: String, inputId: String, outputId: String)
     val conf = ctx.spark.sparkContext.hadoopConfiguration
     val (sp, dp) = (pathOf(src), pathOf(dst))
     val (sfs, dfs) = (sp.getFileSystem(conf), dp.getFileSystem(conf))
-    val n = FileUtil.copy(sfs, sp, dfs, dp, false, true, conf)
+    // idempotent overwrite: when dp already exists as a directory (re-run),
+    // FileUtil.copy's checkDest would NEST the source under dp/<srcName>,
+    // silently duplicating data — copy the source's CHILDREN onto dp
+    // instead, replacing same-named targets
+    val n =
+      if (sfs.getFileStatus(sp).isDirectory && dfs.exists(dp)) {
+        dfs.mkdirs(dp)
+        sfs.listStatus(sp).forall { c =>
+          val target = new Path(dp, c.getPath.getName)
+          if (dfs.exists(target)) dfs.delete(target, true)
+          FileUtil.copy(sfs, c.getPath, dfs, target, false, true, conf)
+        }
+      } else FileUtil.copy(sfs, sp, dfs, dp, false, true, conf)
     Seq(SubFeed(outputId, metrics = Some(ActionMetrics(recordsWritten = if (n) 1 else 0))))
   }
 }

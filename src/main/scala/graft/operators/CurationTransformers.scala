@@ -101,33 +101,42 @@ case class PiiRedactTransformer(textColumn: String) extends DfTransformer {
   * that near-duplicate the EXISTING corpus, by joining the batch against
   * the corpus signature STORE (`Dedup.minhashSignatures` output, persisted
   * between runs) — per-batch cost scales with the delta, never
-  * corpus × corpus. Two named inputs: `batchInput` (raw new docs) and
-  * `storeInput` (signature store); two outputs: `<batchInput>` = surviving
-  * novel docs, `<storeInput>` = the store grown by the survivors'
-  * signatures (write it back with SDLSaveMode.Overwrite/Merge to complete
-  * the ingestion loop). */
+  * corpus × corpus.
+  *
+  * DAG wiring with [[CustomDataFrameAction]]: `inputIds = Seq(batchInput)`,
+  * `outputIds = Seq(novelOutput, storeInput)`,
+  * `recursiveInputIds = Seq(storeInput)` — the store is this action's own
+  * output read back each run (staged write handles the self-overwrite). On
+  * the FIRST run the store doesn't exist yet; the transformer bootstraps
+  * from an empty store, so the whole batch is novel and the store is
+  * created from its signatures. `novelOutput` defaults to `batchInput` for
+  * standalone (non-DAG) use where keying outputs by input name is fine. */
 case class IncrementalDedupTransformer(
     batchInput: String, storeInput: String,
     idColumn: String, textColumn: String,
     threshold: Double = 0.7, shingleSize: Int = 5,
-    numHashes: Int = 32, bands: Int = 8) extends DfsTransformer {
+    numHashes: Int = 32, bands: Int = 8,
+    novelOutput: Option[String] = None) extends DfsTransformer {
+  private def novelKey: String = novelOutput.getOrElse(batchInput)
   override def transform(dfs: Map[String, DataFrame])
                         (implicit ctx: ActionPipelineContext): Map[String, DataFrame] = {
     val batch = dfs.getOrElse(batchInput,
       throw new IllegalArgumentException(s"IncrementalDedupTransformer: missing input '$batchInput'"))
+    // first-run bootstrap: no signature store yet → empty store with the
+    // signature schema (recursive inputs are absent until their object exists)
     val store = dfs.getOrElse(storeInput,
-      throw new IllegalArgumentException(s"IncrementalDedupTransformer: missing input '$storeInput'"))
+      Dedup.minhashSignatures(batch.limit(0), idColumn, textColumn, shingleSize, numHashes))
     // Init: schemas are unchanged (survivors ⊆ batch, grown store has the
     // store's shape) — propagate without running the pair pipeline
     if (ctx.phase == ExecutionPhase.Init)
-      return Map(batchInput -> batch, storeInput -> store)
+      return Map(novelKey -> batch, storeInput -> store)
     val dupIds = Dedup.minhashIncrementalPairs(batch, store, idColumn, textColumn,
       shingleSize, numHashes, bands, threshold)
       .select(col("id_new").as(idColumn)).distinct()
     val novel = batch.join(broadcast(dupIds), Seq(idColumn), "left_anti")
     val grownStore = store.unionByName(
       Dedup.minhashSignatures(novel, idColumn, textColumn, shingleSize, numHashes))
-    Map(batchInput -> novel, storeInput -> grownStore)
+    Map(novelKey -> novel, storeInput -> grownStore)
   }
 }
 

@@ -78,12 +78,20 @@ case class CustomFileAction(
     val (srcPath, dstPath) = (pathOf(ctx.registry.dataObject(inputId)),
       pathOf(ctx.registry.dataObject(outputId)))
     val (sfs, dfs) = (srcPath.getFileSystem(conf), dstPath.getFileSystem(conf))
+    // (relativePath, absolutePath): output mirrors the input's directory
+    // layout — flattening to basenames would let same-named files in
+    // different subdirs (dt=A/data.csv, dt=B/data.csv) overwrite each other
+    val srcUri = srcPath.toUri.getPath.stripSuffix("/")
     val files = {
       val it = sfs.listFiles(srcPath, true)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Path)]
       while (it.hasNext) {
         val f = it.next().getPath
-        if (!f.getName.startsWith("_") && !f.getName.startsWith(".")) buf += f
+        val rel = f.toUri.getPath.stripPrefix(srcUri).stripPrefix("/")
+        // hidden/metadata filter applies to EVERY path component (a file
+        // inside .staging/ or _temporary/ is metadata too)
+        val hidden = rel.split('/').exists(c => c.startsWith("_") || c.startsWith("."))
+        if (!hidden) buf += (rel -> f)
       }
       buf.toSeq
     }
@@ -92,10 +100,10 @@ case class CustomFileAction(
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     try {
-      val futures = files.map { f =>
+      val futures = files.map { case (rel, f) =>
         scala.concurrent.Future {
           val in = sfs.open(f)
-          val out = dfs.create(new Path(dstPath, f.getName), true)
+          val out = dfs.create(new Path(dstPath, rel), true)
           try transformFn(in, out) finally { in.close(); out.close() }
         }
       }

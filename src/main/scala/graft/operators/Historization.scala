@@ -35,6 +35,14 @@ object Historization {
   private def nullSafeEq(attrs: Seq[String], l: String, r: String): Column =
     attrs.map(a => col(s"$l.`$a`") <=> col(s"$r.`$a`")).reduce(_ and _)
 
+  /** Existence marker for outer-join sides: pk columns may legitimately be
+    * NULL (the joins use `<=>`), so `pk.head.isNotNull` would silently drop
+    * NULL-keyed rows — a constant-true column is null only when the side is
+    * absent from the outer join. */
+  private val existsMarker = "_graft_side_exists"
+  private def marked(df: DataFrame): DataFrame = df.withColumn(existsMarker, lit(true))
+  private def sideExists(side: String): Column = col(s"$side.`$existsMarker`").isNotNull
+
   /** Full historization: the complete new snapshot `newFeed` vs the existing
     * history `existing`. Records absent from the snapshot are closed
     * (deleted), changed records are closed + re-inserted, unchanged stay,
@@ -57,12 +65,12 @@ object Historization {
     val history = existing.where(col(delimited) =!= lit(doomsday))
     val current = existing.where(col(delimited) === lit(doomsday))
 
-    val joined = current.alias("e").join(
-      newFeed.alias("n"),
+    val joined = marked(current).alias("e").join(
+      marked(newFeed).alias("n"),
       pk.map(k => col(s"e.`$k`") <=> col(s"n.`$k`")).reduce(_ and _),
       "full")
-    val eExists = col(s"e.`${pk.head}`").isNotNull
-    val nExists = col(s"n.`${pk.head}`").isNotNull
+    val eExists = sideExists("e")
+    val nExists = sideExists("n")
     val unchanged = if (valueAttrs.nonEmpty) nullSafeEq(valueAttrs, "e", "n") else lit(true)
 
     def rec(side: String, cap: Column, del: Column): Column =
@@ -97,12 +105,12 @@ object Historization {
     val history = existing.where(col(delimited) =!= lit(doomsday))
     val current = existing.where(col(delimited) === lit(doomsday))
 
-    val joined = current.alias("e").join(
-      newFeed.alias("n"),
+    val joined = marked(current).alias("e").join(
+      marked(newFeed).alias("n"),
       pk.map(k => col(s"e.`$k`") <=> col(s"n.`$k`")).reduce(_ and _),
       "full")
-    val eExists = col(s"e.`${pk.head}`").isNotNull
-    val nExists = col(s"n.`${pk.head}`").isNotNull
+    val eExists = sideExists("e")
+    val nExists = sideExists("n")
     val unchanged = if (valueAttrs.nonEmpty) nullSafeEq(valueAttrs, "e", "n") else lit(true)
 
     def rec(side: String, cap: Column, del: Column): Column =
@@ -137,11 +145,11 @@ object Historization {
                               refTs: Timestamp, compareCols: Option[Seq[String]] = None): DataFrame = {
     val attrs = newFeed.columns.toSeq
     val valueAttrs = compareCols.getOrElse(attrs.filterNot(pk.contains))
-    val joined = current.alias("e").join(
+    val joined = marked(current).alias("e").join(
       newFeed.alias("n"),
       pk.map(k => col(s"e.`$k`") <=> col(s"n.`$k`")).reduce(_ and _),
       "right")
-    val eExists = col(s"e.`${pk.head}`").isNotNull
+    val eExists = sideExists("e")
     val unchanged = if (valueAttrs.nonEmpty) nullSafeEq(valueAttrs, "e", "n") else lit(true)
     def rec(side: String, cap: Column, del: Column, op: String): Column =
       struct((attrs.map(a => col(s"$side.`$a`").as(a)) :+ cap.as(captured)) :+

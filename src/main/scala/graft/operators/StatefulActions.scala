@@ -175,7 +175,12 @@ case class DeduplicateAction(
         // merge mode: upsert only the feed (reference DeduplicateAction.scala:106-113)
         val pk = effectivePk
         val refTs = referenceTimestamp()
-        val feed = transformedInput(subFeeds).withColumn(Historization.captured, lit(refTs))
+        // one row per key BEFORE the merge: a feed carrying duplicate keys
+        // would double-match the target row (cardinality error on ANSI
+        // engines, duplicate keys in the dedup table otherwise) — the
+        // non-merge path gets this from the window in Historization.deduplicate
+        val feed = transformedInput(subFeeds).dropDuplicates(pk)
+          .withColumn(Historization.captured, lit(refTs))
         // null-safe "any column differs" in PORTABLE SQL: the condition is
         // evaluated by the SINK — Spark's expr() on lakehouse sinks, the
         // database engine on JDBC — and Spark's `<=>` parses nowhere else
@@ -281,8 +286,12 @@ case class HistorizeAction(
             // the matching slice; the rest of the history passes through
             filterClause match {
               case Some(fc) =>
+                // the complement must be null-coalesced: for a row where the
+                // clause evaluates to NULL, both `where(fc)` and `where(!fc)`
+                // are false — without the coalesce the row would vanish from
+                // the rewritten history
                 Historization.fullHistorize(e.where(expr(fc)), feed, pk, refTs, cmp)
-                  .unionByName(e.where(!expr(fc)))
+                  .unionByName(e.where(!coalesce(expr(fc), lit(false))))
               case None => Historization.fullHistorize(e, feed, pk, refTs, cmp)
             }
           case None =>

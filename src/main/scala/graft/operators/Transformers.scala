@@ -44,10 +44,9 @@ case class SQLDfTransformer(sql: String, inputViewName: Option[String] = None)
   extends DfTransformer {
   override def transform(df: DataFrame, dataObjectId: String = "")(implicit ctx: ActionPipelineContext): DataFrame = {
     val view = inputViewName.getOrElse(
-      if (dataObjectId.nonEmpty) dataObjectId.replaceAll("[^A-Za-z0-9_]", "_") else "input")
-    df.createOrReplaceTempView(view)
+      if (dataObjectId.nonEmpty) SqlViews.sanitize(dataObjectId) else "input")
     val resolved = TokenSubstitution(sql, ctx.runtimeOptions + ("inputViewName" -> view))
-    ctx.spark.sql(resolved)
+    SqlViews.withViews(ctx.spark, Seq(view -> df))(ctx.spark.sql(resolved))
   }
 }
 
@@ -55,9 +54,36 @@ case class SQLDfTransformer(sql: String, inputViewName: Option[String] = None)
   * Reference `SQLDfsTransformer.scala`. */
 case class SQLDfsTransformer(outputSql: Map[String, String]) extends DfsTransformer {
   override def transform(dfs: Map[String, DataFrame])(implicit ctx: ActionPipelineContext): Map[String, DataFrame] = {
-    dfs.foreach { case (id, df) => df.createOrReplaceTempView(id.replaceAll("[^A-Za-z0-9_]", "_")) }
-    outputSql.map { case (out, sql) =>
-      out -> ctx.spark.sql(TokenSubstitution(sql, ctx.runtimeOptions))
+    val views = dfs.toSeq.map { case (id, df) => SqlViews.sanitize(id) -> df }
+    SqlViews.withViews(ctx.spark, views) {
+      outputSql.map { case (out, sql) =>
+        out -> ctx.spark.sql(TokenSubstitution(sql, ctx.runtimeOptions))
+      }
+    }
+  }
+}
+
+/** Temp-view registration for the SQL transformers. Temp views live in the
+  * SparkSession-wide catalog, so two actions running concurrently in one
+  * ActionDAGRun pool that both register a view for dataObject `src` race:
+  * action A's `spark.sql` could resolve the name to action B's DataFrame.
+  * `spark.sql` analyzes EAGERLY (the returned DataFrame's plan is bound at
+  * call time), so making register+analyze atomic under one JVM-wide lock is
+  * sufficient — after `withViews` returns, later replacements can't affect
+  * the resolved plan. */
+private[graft] object SqlViews {
+  private val lock = new Object
+  def sanitize(id: String): String = id.replaceAll("[^A-Za-z0-9_]", "_")
+  def withViews[T](spark: org.apache.spark.sql.SparkSession,
+                   views: Seq[(String, DataFrame)])(body: => T): T = {
+    // distinct ids may mangle to one view name ('a-b' and 'a_b' → 'a_b'):
+    // within one transform that is silent mis-wiring — fail loudly
+    val dup = views.groupBy(_._1).collect { case (n, vs) if vs.size > 1 => n }
+    require(dup.isEmpty,
+      s"temp view name collision after sanitizing dataObject ids: ${dup.mkString(", ")}")
+    lock.synchronized {
+      views.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+      body
     }
   }
 }
@@ -105,7 +131,10 @@ case class StandardizeColNamesTransformer(
     if (camelCaseToLower)
       s = s.replaceAll("([a-z0-9])([A-Z])", "$1_$2").toLowerCase
     if (removeNonStandardSQLNameChars)
-      s = s.replaceAll("[^a-z0-9_]", "")
+      // case-aware: with camelCaseToLower=false uppercase letters are
+      // legitimate name chars, not chars to strip ("MyCol" must not
+      // become "yol")
+      s = s.replaceAll(if (camelCaseToLower) "[^a-z0-9_]" else "[^a-zA-Z0-9_]", "")
     s
   }
   override def transform(df: DataFrame, dataObjectId: String = "")(implicit ctx: ActionPipelineContext): DataFrame =

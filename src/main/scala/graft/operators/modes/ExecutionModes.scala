@@ -454,7 +454,11 @@ case class SparkStreamingMode(
     triggerIntervalSec: Option[Long] = None,
     outputMode: String = "append",
     inputOptions: Map[String, String] = Map.empty,
-    outputOptions: Map[String, String] = Map.empty) extends ExecutionMode {
+    outputOptions: Map[String, String] = Map.empty,
+    /** how long a ProcessingTime action waits for the query's FIRST
+      * micro-batch before handing control downstream (the query keeps
+      * running async either way) */
+    firstBatchTimeoutSec: Long = 60L) extends ExecutionMode {
   override def apply(action: Action, in: SubFeed)(implicit ctx: ActionPipelineContext): SubFeed = {
     val input = ctx.registry.dataObject(action.inputIds.head) match {
       case s: CanCreateStreamingDataFrame => s

@@ -62,4 +62,44 @@ class CustomLogicSpec extends AnyFunSuite {
     assert(java.nio.file.Files.readString(dstDir.resolve("one.txt")) == "HELLO")
     assert(java.nio.file.Files.readString(dstDir.resolve("two.txt")) == "WORLD")
   }
+
+  test("custom file action preserves subdirectory layout and skips hidden dirs") {
+    val srcDir = java.nio.file.Files.createTempDirectory("cfa_src2")
+    val dstDir = java.nio.file.Files.createTempDirectory("cfa_dst2")
+    // same basename in two partition dirs — flattening would lose one
+    java.nio.file.Files.createDirectories(srcDir.resolve("dt=a"))
+    java.nio.file.Files.createDirectories(srcDir.resolve("dt=b"))
+    java.nio.file.Files.createDirectories(srcDir.resolve(".staging"))
+    java.nio.file.Files.writeString(srcDir.resolve("dt=a/data.csv"), "aa")
+    java.nio.file.Files.writeString(srcDir.resolve("dt=b/data.csv"), "bb")
+    java.nio.file.Files.writeString(srcDir.resolve(".staging/part-0"), "tmp")
+    val reg = new InstanceRegistry
+    reg.register(RawFileDataObject("src", srcDir.toString))
+    reg.register(RawFileDataObject("dst", dstDir.toString))
+    implicit val c2: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    val action = CustomFileAction("copy", "src", "dst", (in, out) => in.transferTo(out))
+    val feeds = action.exec(Seq.empty)(c2)
+    assert(feeds.head.metrics.exists(_.recordsWritten == 2))   // hidden dir skipped
+    assert(java.nio.file.Files.readString(dstDir.resolve("dt=a/data.csv")) == "aa")
+    assert(java.nio.file.Files.readString(dstDir.resolve("dt=b/data.csv")) == "bb")
+    assert(!java.nio.file.Files.exists(dstDir.resolve(".staging")))
+  }
+
+  test("file transfer action re-run overwrites instead of nesting") {
+    val srcDir = java.nio.file.Files.createTempDirectory("fta_src")
+    val dstDir = java.nio.file.Files.createTempDirectory("fta_dst").resolve("out")
+    java.nio.file.Files.writeString(srcDir.resolve("a.bin"), "v1")
+    val reg = new InstanceRegistry
+    reg.register(RawFileDataObject("src", srcDir.toString))
+    reg.register(RawFileDataObject("dst", dstDir.toString))
+    implicit val c2: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    val action = FileTransferAction("ft", "src", "dst")
+    action.exec(Seq.empty)(c2)
+    java.nio.file.Files.writeString(srcDir.resolve("a.bin"), "v2")
+    action.exec(Seq.empty)(c2)    // second run: dst dir already exists
+    assert(java.nio.file.Files.readString(dstDir.resolve("a.bin")) == "v2")
+    // FileUtil.copy's checkDest would have produced dst/<srcDirName>/a.bin
+    val srcName = srcDir.getFileName.toString
+    assert(!java.nio.file.Files.exists(dstDir.resolve(srcName)))
+  }
 }

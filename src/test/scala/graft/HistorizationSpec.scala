@@ -166,4 +166,32 @@ class HistorizationSpec extends AnyFunSuite {
     val got = result.select("id", "dl_ts_captured").collect().map(r => (r.getInt(0), r.getTimestamp(1))).toSet
     assert(got == Set((1, t1)))
   }
+
+  test("full historize: NULL primary keys join null-safely and survive") {
+    // pk joins use <=>, so a NULL key is a legitimate key value — the
+    // existence test must not misread it as "side absent"
+    val rows = Seq((Some(1), "alice", 30, "good"), (None, "nullkey", 50, "odd"))
+      .toDF("id", "name", "age", "health_state")
+    val h = initialLoad(rows, t1)
+    // unchanged NULL-key row stays open; changed NULL-key row versions
+    val feed = Seq((Some(1), "alice", 30, "good"), (Option.empty[Int], "nullkey", 51, "odd"))
+      .toDF("id", "name", "age", "health_state")
+    val out = Historization.fullHistorize(h, feed, Seq("id"), t2)
+    val got = out.select("id", "age", "dl_ts_captured", "dl_ts_delimited")
+      .collect().map(r => (Option(r.get(0)), r.getInt(1), r.getTimestamp(2), r.getTimestamp(3))).toSet
+    assert(got == Set(
+      (Some(1), 30, t1, dd),          // unchanged
+      (None, 50, t1, tick(t2)),       // NULL key closed
+      (None, 51, t2, dd)))            // NULL key re-inserted
+  }
+
+  test("incremental historize: NULL primary key row not in feed passes through") {
+    val h = initialLoad(
+      Seq((Option.empty[Int], "nullkey", 50, "odd")).toDF("id", "name", "age", "health_state"), t1)
+    val feed = Seq((Some(2), "carol", 20, "good")).toDF("id", "name", "age", "health_state")
+    val out = Historization.incrementalHistorize(h, feed, Seq("id"), t2)
+    val got = out.select("id", "dl_ts_delimited").collect()
+      .map(r => (Option(r.get(0)), r.getTimestamp(1))).toSet
+    assert(got == Set((None, dd), (Some(2), dd)))
+  }
 }

@@ -179,4 +179,54 @@ class HistorizeParitySpec extends AnyFunSuite {
     assert(out.columns.toSet == Set("id", "name", "dl_ts_captured"))
     assert(out.count() == 2)
   }
+
+  test("filterClause: history rows where the clause evaluates to NULL are preserved") {
+    val dir = tmpDir()
+    val reg = new InstanceRegistry()
+    reg.register(ParquetFileDataObject("feed", s"$dir/feed"))
+    reg.register(ParquetFileDataObject("hist", s"$dir/hist"))
+    implicit val ctx: ActionPipelineContext = newCtx(reg)
+
+    // id=3 has region NULL: `region = 'EU'` evaluates to NULL for it —
+    // it must land in the passthrough slice, not silently vanish
+    Seq((1, "a", Some("EU")), (2, "b", Some("US")), (3, "c", Option.empty[String]))
+      .toDF("id", "name", "region").write.parquet(s"$dir/feed")
+    new ActionDAGRun(Seq(HistorizeAction("h", "feed", "hist", Seq("id"),
+      referenceTimestamp = () => t1))).run()
+    Seq((1, "a2", Some("EU"))).toDF("id", "name", "region")
+      .write.mode("overwrite").parquet(s"$dir/feed")
+    new ActionDAGRun(Seq(HistorizeAction("h", "feed", "hist", Seq("id"),
+      filterClause = Some("region = 'EU'"), referenceTimestamp = () => t2))).run()
+
+    val got = spark.read.parquet(s"$dir/hist")
+      .select("id", "name", "dl_ts_captured", "dl_ts_delimited").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getTimestamp(2), r.getTimestamp(3))).toSet
+    assert(got == Set(
+      (1, "a", t1, tick(t2)),
+      (1, "a2", t2, dd),
+      (2, "b", t1, dd),
+      (3, "c", t1, dd)))                      // NULL-clause row: untouched, still present
+  }
+
+  test("DeduplicateAction merge mode: duplicate keys in the feed collapse to one row before the merge") {
+    val dir = tmpDir()
+    val reg = new InstanceRegistry()
+    reg.register(ParquetFileDataObject("feed", s"$dir/feed"))
+    reg.register(VersionedTableDataObject("dedup", s"$dir/dedup", primaryKey = Seq("id")))
+    implicit val ctx: ActionPipelineContext = newCtx(reg)
+    def action(ts: Timestamp) = DeduplicateAction("d", "feed", "dedup", Seq("id"),
+      mergeModeEnable = true, referenceTimestamp = () => ts)
+
+    Seq((1, "a")).toDF("id", "name").write.parquet(s"$dir/feed")
+    new ActionDAGRun(Seq(action(t1))).run()
+    // feed carries id=2 TWICE — without the pk-collapse the merge would
+    // write duplicate keys into the dedup table
+    Seq((2, "b"), (2, "b"), (1, "a")).toDF("id", "name")
+      .write.mode("overwrite").parquet(s"$dir/feed")
+    new ActionDAGRun(Seq(action(t2))).run()
+
+    val vt = reg.dataObject("dedup").asInstanceOf[VersionedTableDataObject]
+    val ids = vt.getDataFrame().select("id").as[Int].collect().toSeq
+    assert(ids.sorted == Seq(1, 2))           // exactly one row per key
+  }
 }

@@ -489,4 +489,40 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       sig(4).getAs[Double]("bullet_line_frac") > 0.9)
     assert(sig(1).getAs[Int]("stopword_hits") >= 2)
   }
+
+  test("IncrementalDedupTransformer wires as a DAG action: bootstrap run, then incremental dedup") {
+    import graft.core._
+    import graft.operators._
+    import graft.sources._
+    val dir = java.nio.file.Files.createTempDirectory("incdedup").toString
+    val reg = new InstanceRegistry
+    reg.register(ParquetFileDataObject("batch", s"$dir/batch"))
+    reg.register(ParquetFileDataObject("novel", s"$dir/novel"))
+    reg.register(ParquetFileDataObject("store", s"$dir/store"))
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    val action = CustomDataFrameAction("inc", Seq("batch"), Seq("novel", "store"),
+      Seq(IncrementalDedupTransformer("batch", "store", "doc_id", "text",
+        threshold = 0.5, bands = 16, novelOutput = Some("novel"))),
+      recursiveInputIds = Seq("store"))
+
+    // run 1: store doesn't exist yet — bootstrap from empty, all docs novel
+    Seq((1L, baseText),
+        (2L, "completely different content about databases and query engines " * 5))
+      .toDF("doc_id", "text").write.parquet(s"$dir/batch")
+    new ActionDAGRun(Seq(action)).run()
+    assert(spark.read.parquet(s"$dir/novel").count() == 2)
+    // store rows are (id, shingles, sig) — minhashSignatures' schema
+    assert(spark.read.parquet(s"$dir/store").select("id").distinct().count() == 2)
+
+    // run 2: one near-dup of corpus doc 1, one novel — only the novel survives
+    Seq((101L, baseText + " second crawl tail"),
+        (102L, "entirely novel text about deep sea exploration and marine biology " * 5))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/batch")
+    new ActionDAGRun(Seq(action)).run()
+    val novel = spark.read.parquet(s"$dir/novel").select("doc_id").as[Long].collect().toSet
+    assert(novel == Set(102L))
+    val storeIds = spark.read.parquet(s"$dir/store").select("id").distinct()
+      .as[Long].collect().toSet
+    assert(storeIds == Set(1L, 2L, 102L))    // grown by the survivor only
+  }
 }

@@ -31,6 +31,23 @@ class TransformersSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("order_id", "prix_unite", "weirdcol"))
   }
 
+  test("standardize column names: camelCaseToLower=false keeps uppercase letters") {
+    import spark.implicits._
+    val df = Seq((1, 2)).toDF("MyCol", "ID x")
+    val out = StandardizeColNamesTransformer(camelCaseToLower = false).transform(df)
+    assert(out.columns.toSeq == Seq("MyCol", "IDx"))   // not "yol" / ""
+  }
+
+  test("SQL transformers reject dataObject ids that collide after sanitizing") {
+    import spark.implicits._
+    implicit val ctx: ActionPipelineContext =
+      ActionPipelineContext(spark, new graft.core.InstanceRegistry())
+    val t = SQLDfsTransformer(Map("out" -> "select * from a_b"))
+    val dfs = Map("a-b" -> Seq(1).toDF("x"), "a_b" -> Seq(2).toDF("x"))
+    val e = intercept[IllegalArgumentException](t.transform(dfs))
+    assert(e.getMessage.contains("collision"))
+  }
+
   test("standardize datatypes downcasts decimals and widens float") {
     import spark.implicits._
     val df = Seq((BigDecimal(5), BigDecimal("1234567890123"), 1.5f))
