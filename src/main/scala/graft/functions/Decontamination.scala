@@ -48,11 +48,13 @@ object Decontamination {
     * purpose of the held-out set).
     *
     * Scale shape is the transpose of [[contaminationReport]]: the held-out
-    * side is the small one (a few % of the corpus), so ITS (id, ngram)
-    * pairs broadcast, and the 100 TB train side streams map-only through
-    * the join; per-(doc, gram) dedup + the final per-doc count shuffle
-    * only overlap hits (output-sized). Returns one row per held-out doc:
-    * (idCol, splitCol, n_leaked_ngrams, leaked).
+    * side is the smaller one (a few % of the corpus), but its exploded
+    * (id, ngram) pairs are one hash PER TOKEN POSITION — far past the
+    * broadcast limit at the corpus scales this guard targets — so the join
+    * is left to AQE: genuinely small held-out sets still broadcast, larger
+    * ones take the correct shuffle join. Per-(doc, gram) dedup + the final
+    * per-doc count shuffle only overlap hits (output-sized). Returns one
+    * row per held-out doc: (idCol, splitCol, n_leaked_ngrams, leaked).
     */
   def splitContamination(df: DataFrame, idCol: String, textCol: String,
                          splitCol: String, n: Int = 8): DataFrame = {

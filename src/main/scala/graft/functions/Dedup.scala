@@ -102,7 +102,7 @@ object Dedup {
     // rowsPerBand 0 (every band slice EMPTY → one global bucket → the skew
     // cap drops the whole corpus, recall silently ~0), and a non-dividing
     // count would silently ignore trailing hashes
-    require(bands >= 1 && numHashes % bands == 0,
+    require(bands >= 1 && numHashes >= bands && numHashes % bands == 0,
       s"minhash: numHashes=$numHashes must be a positive multiple of bands=$bands")
     val sigs = minhashSignatures(df, idCol, textCol, shingleSize, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -121,6 +121,12 @@ object Dedup {
                            failOnCappedBuckets: Boolean = false,
                            cappedBucketExactFallback: Boolean = true,
                            dedupBeforeVerify: Boolean = false): DataFrame = {
+    // the guard lives HERE, not only in the wrappers: this is the public
+    // direct entry for pre-built signature stores, and rowsPerBand=0 would
+    // silently produce empty band slices → one global bucket → the skew
+    // cap drops the corpus with recall ~0
+    require(bands >= 1 && rowsPerBand >= 1,
+      s"minhash banding: bands=$bands and rowsPerBand=$rowsPerBand must both be >= 1")
     // band explode carries only (id, band, bucket) — never the shingle
     // arrays — so the candidate-generation shuffle is a few bytes per row.
     // (Measured dead end: an explicit repartition(band, bucket) here to
@@ -269,7 +275,7 @@ object Dedup {
                               threshold: Double = 0.7, maxBucketSize: Int = 1000,
                               failOnCappedBuckets: Boolean = false,
                               cappedBucketExactFallback: Boolean = true): DataFrame = {
-    require(bands >= 1 && numHashes % bands == 0,
+    require(bands >= 1 && numHashes >= bands && numHashes % bands == 0,
       s"minhash incremental: numHashes=$numHashes must be a positive multiple of bands=$bands")
     val rowsPerBand = numHashes / bands
     val newSigs = minhashSignatures(newDocs, idCol, textCol, shingleSize, numHashes)
@@ -659,7 +665,11 @@ object Dedup {
     var prevSum = fingerprint(labels)
     var converged = false
     var i = 0
-    while (!converged && i < maxIter) {
+    // maxIter bounds CHANGE rounds; convergence is only observable one
+    // round AFTER the last change (equal fingerprints), so allow one extra
+    // verification round — otherwise a component converging in exactly
+    // maxIter rounds would discard its correct labels with the guard below
+    while (!converged && i < maxIter + 1) {
       val neighborMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
       val updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")

@@ -122,21 +122,28 @@ object Quantization {
   }
 
   /** Train PQ codebooks on a driver-side sample of (normalized) vectors.
-    * @param maxTrainRows bound on the sample collected to the driver —
-    *        the O(corpus)-independent part of the build */
+    * @param maxTrainRows approximate bound on the sample collected to the
+    *        driver (the fraction is sized off the corpus row count — the
+    *        optimizer's estimate when available, one count job otherwise;
+    *        buildIvfPq calls this on its already-persisted assignment, so
+    *        the count there reuses the materialized cache) */
   def trainPq(df: DataFrame, embCol: String, m: Int, kpq: Int = 16,
               maxTrainRows: Int = 20000, iters: Int = 10, seed: Long = 42L): PqCodebooks = {
-    // a real SAMPLE, not limit(): limit takes the FIRST rows — on a
-    // corpus written sorted/partitioned by domain that trains every
-    // codebook on one domain's distribution and degrades ADC recall
-    // corpus-wide (same sampling contract as buildIvfIndex above)
-    val n = df.count()
+    // a real SAMPLE, not limit(): limit takes the FIRST rows in partition
+    // order — on a corpus written sorted/partitioned by domain that trains
+    // every codebook on one domain's distribution and degrades ADC recall
+    // corpus-wide. Any over-collection beyond maxTrainRows is trimmed by a
+    // DRIVER-side shuffle (uniform), never a partition-ordered limit.
+    val n = df.queryExecution.optimizedPlan.stats.rowCount
+      .map(_.toLong).getOrElse(df.count())
     val frac = if (n <= maxTrainRows) 1.0 else maxTrainRows.toDouble / n * 1.1
-    val sample = df.select(l2Normalize(col(embCol)).as("_e"))
+    val collected = df.select(l2Normalize(col(embCol)).as("_e"))
       .sample(withReplacement = false, math.min(1.0, frac), seed)
-      .limit(maxTrainRows)
       .collect()
       .map(_.getSeq[Float](0).toArray)
+    val sample =
+      if (collected.length <= maxTrainRows) collected
+      else new scala.util.Random(seed).shuffle(collected.toVector).take(maxTrainRows).toArray
     require(sample.nonEmpty, "trainPq: empty input")
     val dim = sample(0).length
     require(dim % m == 0, s"embedding dim $dim must be divisible by m=$m")

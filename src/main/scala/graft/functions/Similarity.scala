@@ -86,9 +86,12 @@ object Similarity {
   def topKForQueries(corpus: DataFrame, queries: DataFrame,
                      corpusId: String, queryId: String, embCol: String, k: Int,
                      excludeSelfMatches: Boolean = true): DataFrame = {
-    // null-safe: a null corpus id is never a "self match" — plain =!=
-    // evaluates to null and would drop such rows from every query
-    val cond = if (excludeSelfMatches) !(col(s"c.$corpusId") <=> col("qid")) else lit(true)
+    // null-safe: a null id is never a "self match" on EITHER side — plain
+    // =!= evaluates to null and drops null-id corpus rows from every query,
+    // while !(a <=> b) would drop the null-corpus-id × null-query-id pair
+    // (two distinct rows). Exclude only a definite non-null equality.
+    val cond = if (excludeSelfMatches)
+      !coalesce(col(s"c.$corpusId") === col("qid"), lit(false)) else lit(true)
     val scored = corpus.alias("c").join(
         broadcast(queries.select(col(queryId).as("qid"), col(embCol).as("qemb"))), cond)
       .select(col("qid"), col(s"c.$corpusId").as("id"),

@@ -490,6 +490,36 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(sig(1).getAs[Int]("stopword_hits") >= 2)
   }
 
+  test("duplicateClusters converges when propagation needs exactly maxIter change rounds") {
+    // chain 0-1-2-3-4: min label needs 4 change rounds to reach node 4;
+    // the verification round must not count against maxIter
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs, maxIter = 4, localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+  }
+
+  test("minhash banding rejects degenerate parameters loudly") {
+    val docs = Seq((1L, baseText)).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.minhashDuplicatePairs(docs, "doc_id", "text", numHashes = 0, bands = 1)
+    }
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.minhashPairsFromSigs(sigs, bands = 64, rowsPerBand = 0)
+    }
+  }
+
+  test("topKForQueries: null ids are never self-matches, even null against null") {
+    val corpus = Seq((Some(1L), Array(1f, 0f)), (Option.empty[Long], Array(0.9f, 0.1f)))
+      .toDF("id", "emb")
+    val queries = Seq((Option.empty[Long], Array(1f, 0f))).toDF("qid", "emb")
+    val got = Similarity.topKForQueries(corpus, queries, "id", "qid", "emb", k = 5)
+    // the null-id corpus row must appear among the null-id query's
+    // neighbors — it is a distinct row, not a self match
+    assert(got.count() == 2)
+  }
+
   test("IncrementalDedupTransformer wires as a DAG action: bootstrap run, then incremental dedup") {
     import graft.core._
     import graft.operators._
