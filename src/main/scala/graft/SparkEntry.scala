@@ -2856,6 +2856,77 @@ object SparkEntry {
           col("symbol_word_ratio"), col("bullet_line_frac"),
           col("ellipsis_line_frac"), col("alpha_word_frac"),
           col("stopword_hits"), col("gopher_accept"))
+    }),
+
+    // Row-level DELETE (the Delta DELETE command, copy-on-write): the
+    // predicate stats-prunes candidate files at PLAN time, only files
+    // actually holding matching rows are rewritten (minus those rows),
+    // everything else carries by reference — O(touched), not O(table).
+    // The pre-delete snapshot stays time-travelable. DuckDB recomputes
+    // the surviving set relationally (NULL-predicate rows survive, SQL
+    // DELETE semantics).
+    "q115_delete_where" -> ((s, dir) => {
+      implicit val c: ActionPipelineContext = ctx(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q115").toString
+      val vt = sources.VersionedTableDataObject("q115_vt", s"$tmp/t")
+      val p = t(s, dir, "part").select(col("p_partkey").cast("long"),
+        col("p_name"), col("p_brand"), col("p_size").cast("int"),
+        col("p_retailprice").cast("double"))
+      // range-partitioned staging → per-file p_partkey ranges the delete
+      // predicate can prune against
+      vt.writeDataFrame(p.repartitionByRange(6, col("p_partkey")))         // v0
+      val total = vt.snapshotFiles().size
+      val deleted = vt.deleteWhere("p_partkey % 100 < 10 AND p_size > 25") // v1
+      require(deleted > 0, "delete fixture must match rows")
+      val removed = vt.history(1).collect().head.getAs[Int]("num_removed_files")
+      require(removed <= total, s"delete rewrote $removed of $total files")
+      require(vt.getDataFrameAsOf(Some(0)).count() > vt.getDataFrame().count(),
+        "pre-delete snapshot must still read the full table")
+      vt.getDataFrame()
+    }),
+
+    // Row-level UPDATE (the Delta UPDATE command, copy-on-write): only
+    // files holding matching rows are rewritten, with assignment RHS
+    // evaluating against PRE-update values; non-matching rows and files
+    // pass through byte-identical. DuckDB mirrors it with CASE WHEN.
+    "q116_update_where" -> ((s, dir) => {
+      implicit val c: ActionPipelineContext = ctx(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q116").toString
+      val vt = sources.VersionedTableDataObject("q116_vt", s"$tmp/t")
+      val p = t(s, dir, "part").select(col("p_partkey").cast("long"),
+        col("p_brand"), col("p_size").cast("int"),
+        col("p_retailprice").cast("double"))
+      vt.writeDataFrame(p.repartitionByRange(6, col("p_partkey")))         // v0
+      vt.updateWhere(Map(
+        "p_retailprice" -> "p_retailprice * 1.1",
+        "p_size" -> "p_size + 100"), "p_brand = 'Brand#13'")               // v1
+      vt.getDataFrame()
+    }),
+
+    // DELETION VECTORS (the public Delta DV design, from scratch):
+    // merge-on-read DELETE records (file, row_index) tombstones instead
+    // of rewriting files — the commit moves ZERO data bytes (asserted on
+    // the physical file set), every read anti-joins the active DV set,
+    // and the pre-delete snapshot still time-travels. Same relational
+    // oracle as the copy-on-write path: the storage strategy must be
+    // invisible to the query result.
+    "q117_deletion_vectors" -> ((s, dir) => {
+      implicit val c: ActionPipelineContext = ctx(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q117").toString
+      val vt = sources.VersionedTableDataObject("q117_vt", s"$tmp/t",
+        deletionVectors = true)
+      val p = t(s, dir, "part").select(col("p_partkey").cast("long"),
+        col("p_name"), col("p_size").cast("int"))
+      vt.writeDataFrame(p.repartitionByRange(6, col("p_partkey")))         // v0
+      val before = vt.snapshotFiles().toSet
+      val deleted = vt.deleteWhere("p_size BETWEEN 20 AND 30")             // v1 (DV)
+      require(deleted > 0, "dv-delete fixture must match rows")
+      require(vt.snapshotFiles().toSet == before,
+        "deletion-vector delete must not rewrite or remove any data file")
+      require(vt.getDataFrameAsOf(Some(0)).count() ==
+        vt.getDataFrame().count() + deleted,
+        "time travel must still see the tombstoned rows")
+      vt.getDataFrame()
     })
   )
 
@@ -4311,6 +4382,30 @@ object SparkEntry {
     // q102: structural self-match guarantee (see q34)
     "q102_ivfpq_ann_topk" ->
       """SELECT vec_id AS qid, vec_id AS id, 1 AS rank
-        |FROM embeddings WHERE vec_id % 40 = 0""".stripMargin
+        |FROM embeddings WHERE vec_id % 40 = 0""".stripMargin,
+    // q115: surviving set of a SQL DELETE — rows where the predicate is
+    // not TRUE (false or NULL) remain
+    "q115_delete_where" ->
+      """SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_name, p_brand,
+        |  CAST(p_size AS INT) AS p_size, CAST(p_retailprice AS DOUBLE) AS p_retailprice
+        |FROM part
+        |WHERE NOT (p_partkey % 100 < 10 AND p_size > 25)
+        |   OR (p_partkey % 100 < 10 AND p_size > 25) IS NULL""".stripMargin,
+    // q116: SQL UPDATE semantics — CASE WHEN on the pre-image
+    "q116_update_where" ->
+      """SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_brand,
+        |  CASE WHEN p_brand = 'Brand#13' THEN CAST(p_size + 100 AS INT)
+        |       ELSE CAST(p_size AS INT) END AS p_size,
+        |  CASE WHEN p_brand = 'Brand#13' THEN CAST(p_retailprice AS DOUBLE) * 1.1
+        |       ELSE CAST(p_retailprice AS DOUBLE) END AS p_retailprice
+        |FROM part""".stripMargin,
+    // q117: merge-on-read storage must be invisible to the result — the
+    // same relational surviving set as a rewrite-based delete
+    "q117_deletion_vectors" ->
+      """SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_name,
+        |  CAST(p_size AS INT) AS p_size
+        |FROM part
+        |WHERE NOT (p_size BETWEEN 20 AND 30)
+        |   OR (p_size BETWEEN 20 AND 30) IS NULL""".stripMargin
   )
 }

@@ -57,7 +57,15 @@ case class VersionedTableDataObject(id: String, path: String,
                                       * source via [[getStreamingDataFrame]] — Spark's file stream
                                       * source handles offsets/checkpointing, so a consumer needs
                                       * no state plumbing. Requires `primaryKey`. */
-                                    changeDataFeed: Boolean = false)
+                                    changeDataFeed: Boolean = false,
+                                    /** merge-on-read DELETE (the public Delta deletion-vector
+                                      * design): [[deleteWhere]] records matching (file, row_index)
+                                      * positions under `_graft_dv/` instead of rewriting the
+                                      * touched files — a delete costs O(matched rows), not
+                                      * O(touched-file rewrite); every read anti-joins the active
+                                      * DV set. OPTIMIZE rewrites files clean; VACUUM materializes
+                                      * outstanding DVs before truncating history. */
+                                    deletionVectors: Boolean = false)
   extends DataObject with CanCreateDataFrame with CanWriteDataFrame with CanMergeDataFrame
   with CanWriteStreamingDataFrame with CanCreateStreamingDataFrame
   with CanCreateIncrementalOutput with CanHandlePartitions {
@@ -121,7 +129,12 @@ case class VersionedTableDataObject(id: String, path: String,
                                    ts: Long = -1L,
                                    /** operation tag (WRITE/APPEND/MERGE/…) — the Delta
                                      * commitInfo.operation design, surfaced by [[history]] */
-                                   op: String = "")
+                                   op: String = "",
+                                   /** ABSOLUTE replacement for the state's active
+                                     * deletion-vector versions (RESTORE / DV_MATERIALIZE /
+                                     * vacuum rebase); None = inherit (DELETE_DV ops append
+                                     * their own version implicitly in the state fold) */
+                                   dvSet: Option[Seq[Int]] = None)
 
   private def om = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -137,7 +150,11 @@ case class VersionedTableDataObject(id: String, path: String,
                                        /** in-commit timestamp of the newest folded commit (−1 =
                                          * pre-timestamp log format) — checkpointed, so vacuum
                                          * recovery restores the horizon's exact ts */
-                                       ts: Long = -1L) {
+                                       ts: Long = -1L,
+                                       /** active deletion-vector versions at this state (the
+                                         * Delta DV design): every read of this snapshot
+                                         * anti-joins these versions' (file, row_index) sets */
+                                       dv: Seq[Int] = Seq.empty) {
     def schema: Option[StructType] = schemaDdl.map(StructType.fromDDL)
   }
 
@@ -178,7 +195,8 @@ case class VersionedTableDataObject(id: String, path: String,
       n.get("removed").elements().asScala.map(_.asText).toSeq,
       Option(n.get("schema")).map(_.asText), stats,
       Option(n.get("ts")).map(_.asLong).getOrElse(-1L),
-      Option(n.get("op")).map(_.asText).getOrElse(""))
+      Option(n.get("op")).map(_.asText).getOrElse(""),
+      Option(n.get("dv")).map(_.elements().asScala.map(_.asInt).toSeq))
   }
 
   /** Full per-commit history — needed ONLY where commit granularity is the
@@ -198,7 +216,8 @@ case class VersionedTableDataObject(id: String, path: String,
         entries.map(_.get("path").asText),
         entries.flatMap(e => Option(e.get("stat")).map(s => e.get("path").asText -> parseStats(s))).toMap,
         Option(n.get("schema")).map(_.asText),
-        Option(n.get("ts")).map(_.asLong).getOrElse(-1L)))
+        Option(n.get("ts")).map(_.asLong).getOrElse(-1L),
+        Option(n.get("dv")).map(_.elements().asScala.map(_.asInt).toSeq).getOrElse(Seq.empty)))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** State at `version` (latest when None): newest usable checkpoint +
@@ -225,7 +244,8 @@ case class VersionedTableDataObject(id: String, path: String,
       val rm = c.removed.toSet
       TableState(c.version, s.files.filterNot(rm) ++ c.added,
         (s.stats -- rm) ++ c.stats, c.schema.orElse(s.schemaDdl),
-        if (c.ts >= 0) c.ts else s.ts)
+        if (c.ts >= 0) c.ts else s.ts,
+        c.dvSet.getOrElse(if (c.op == "DELETE_DV") s.dv :+ c.version else s.dv))
     })
   }
 
@@ -249,6 +269,7 @@ case class VersionedTableDataObject(id: String, path: String,
       root.put("version", st.version)
       if (st.ts >= 0) root.put("ts", st.ts)
       st.schemaDdl.foreach(root.put("schema", _))
+      if (st.dv.nonEmpty) { val d = root.putArray("dv"); st.dv.foreach(d.add) }
       val fl = root.putArray("files")
       st.files.foreach { f =>
         val e = fl.addObject()
@@ -324,6 +345,7 @@ case class VersionedTableDataObject(id: String, path: String,
     root.put("version", c.version)
     root.put("ts", if (c.ts >= 0) c.ts else monotonicTs(c.version))
     if (c.op.nonEmpty) root.put("op", c.op)
+    c.dvSet.foreach { vs => val d = root.putArray("dv"); vs.foreach(d.add) }
     val a = root.putArray("added"); c.added.foreach(a.add)
     val r = root.putArray("removed"); c.removed.foreach(r.add)
     c.schema.foreach(root.put("schema", _))
@@ -445,7 +467,7 @@ case class VersionedTableDataObject(id: String, path: String,
   def getDataFrameAsOf(version: Option[Int])(implicit ctx: ActionPipelineContext): DataFrame = {
     val st = stateOrFail(version)
     require(st.files.nonEmpty, s"DataObject $id: empty snapshot")
-    readFiles(st.files, st.schema, st.stats)
+    readFiles(st.files, st.schema, st.stats, st.dv)
   }
 
   /** Resolve a TIMESTAMP to the latest version committed at or before it
@@ -498,8 +520,14 @@ case class VersionedTableDataObject(id: String, path: String,
     * complete). Falls back to a plain multi-path parquet read when the
     * log predates the committed-schema format. */
   private def readFiles(files: Seq[String], schema: Option[StructType],
-                        stats: Map[String, FileStat] = Map.empty)
+                        stats: Map[String, FileStat] = Map.empty,
+                        dv: Seq[Int] = Seq.empty)
                        (implicit ctx: ActionPipelineContext): DataFrame =
+    applyDv(readFilesRaw(files, schema, stats), dv)
+
+  private def readFilesRaw(files: Seq[String], schema: Option[StructType],
+                           stats: Map[String, FileStat] = Map.empty)
+                          (implicit ctx: ActionPipelineContext): DataFrame =
     schema match {
       case Some(sc) =>
         val entries = files.map { rel =>
@@ -535,6 +563,61 @@ case class VersionedTableDataObject(id: String, path: String,
       case None =>
         ctx.spark.read.parquet(files.map(f => s"$path/$f"): _*)
     }
+
+  // ----------------------------------------------------------------------
+  // Deletion vectors (the public Delta DV design, from scratch):
+  // merge-on-read row-level deletes as (file, row_index) sets
+  // ----------------------------------------------------------------------
+
+  private def dvDir = new Path(path, "_graft_dv")
+  private def dvPath(version: Int) = new Path(dvDir, f"v$version%08d")
+  private val dvSchema = StructType.fromDDL("file STRING, row_index BIGINT")
+
+  /** staged data files are always `vNNNNNNNN-xxxxxxxx/…` — extract the
+    * table-relative path from the absolute scan URI (scheme-independent) */
+  private def relFileExpr: org.apache.spark.sql.Column =
+    regexp_extract(input_file_name(), "(v[0-9]{8}-[0-9a-f]{8}/.+)$", 1)
+
+  /** the union of (file, row_index) tombstones of the given DV versions */
+  private def readDvVersions(versions: Seq[Int])(implicit ctx: ActionPipelineContext): DataFrame =
+    ctx.spark.read.schema(dvSchema)
+      .parquet(versions.map(v => dvPath(v).toString): _*)
+
+  /** Anti-join the scan against the active deletion vectors. The DV side
+    * is the set of DELETED rows — small next to the table — so AQE
+    * broadcasts it in the common case; the scan side derives its join key
+    * (relative file path + row index) from metadata columns, no data
+    * dependency. Stale tombstones (files since rewritten) match nothing. */
+  private def applyDv(df: DataFrame, dv: Seq[Int])(implicit ctx: ActionPipelineContext): DataFrame =
+    if (dv.isEmpty) df
+    else {
+      val cols = df.columns.toSeq
+      dvFilter(df.withColumn("_graft_dv_rel", relFileExpr)
+        .withColumn("_graft_dv_ri", col("_metadata.row_index")), dv)
+        .select(cols.map(c => col(s"`$c`")): _*)
+    }
+
+  /** anti-join a frame already carrying `_graft_dv_rel`/`_graft_dv_ri`
+    * against the tombstones of `dv` */
+  private def dvFilter(tagged: DataFrame, dv: Seq[Int])
+                      (implicit ctx: ActionPipelineContext): DataFrame =
+    if (dv.isEmpty) tagged
+    else {
+      val d = readDvVersions(dv)
+      tagged.join(d,
+        tagged("_graft_dv_rel") === d("file") && tagged("_graft_dv_ri") === d("row_index"),
+        "left_anti")
+    }
+
+  /** the file set read with its table-relative path attached BELOW any DV
+    * join — `input_file_name()` is single-source-only, so callers that
+    * need file identity on a DV-filtered scan must take it from here */
+  private def readFilesTagged(files: Seq[String], schema: Option[StructType],
+                              stats: Map[String, FileStat], dv: Seq[Int])
+                             (implicit ctx: ActionPipelineContext): DataFrame =
+    dvFilter(readFilesRaw(files, schema, stats)
+      .withColumn("_graft_dv_rel", relFileExpr)
+      .withColumn("_graft_dv_ri", col("_metadata.row_index")), dv)
 
   // ----------------------------------------------------------------------
   // Per-file statistics (parquet footers — O(files) driver-side, no scan)
@@ -853,18 +936,18 @@ case class VersionedTableDataObject(id: String, path: String,
     * semi-joined (null-safe) with the distinct feed keys. */
   private def findTouchedFiles(candidates: Seq[String], schema: Option[StructType],
                                feedKeys: DataFrame, joinCols: Seq[String],
-                               stats: Map[String, FileStat])
+                               stats: Map[String, FileStat], dv: Seq[Int] = Seq.empty)
                               (implicit ctx: ActionPipelineContext): Seq[String] = {
     if (candidates.isEmpty) return Seq.empty
-    val withFile = readFiles(candidates, schema, stats)
-      .select(joinCols.map(c => col(s"`$c`")) :+ input_file_name().as("_graft_file"): _*)
+    // file identity comes from the TAGGED reader (computed below the DV
+    // anti-join — input_file_name is single-source-only above a join)
+    val withFile = readFilesTagged(candidates, schema, stats, dv)
+      .select(joinCols.map(c => col(s"`$c`")) :+ col("_graft_dv_rel").as("_graft_file"): _*)
       .alias("t")
     val cond = joinCols.map(c => col(s"t.`$c`") <=> col(s"s.`$c`")).reduce(_ and _)
-    val touchedUris = withFile.join(feedKeys.alias("s"), cond, "left_semi")
-      .select(col("_graft_file")).distinct().collect().map(_.getString(0))
-    // input_file_name is a qualified URI; resolve back to table-relative
-    // paths by suffix (staged paths are always `vNNN-xxxx/part-*.parquet`)
-    touchedUris.toSeq.flatMap(uri => candidates.find(rel => uri.endsWith("/" + rel)))
+    val rels = withFile.join(feedKeys.alias("s"), cond, "left_semi")
+      .select(col("_graft_file")).distinct().collect().map(_.getString(0)).toSet
+    candidates.filter(rels)
   }
 
   /** MERGE as a commit: stats-prune → exact findTouchedFiles → rewrite ONLY
@@ -911,9 +994,11 @@ case class VersionedTableDataObject(id: String, path: String,
       val liveStats = st0.get.stats
       val candidates = pruneByKeyBounds(live, liveStats, schema, joinCols, bounds, feedHasNullKeys)
       val touched = findTouchedFiles(candidates, schemaOpt,
-        feed.select(joinCols.map(c => col(s"`$c`")): _*).distinct(), joinCols, liveStats)
+        feed.select(joinCols.map(c => col(s"`$c`")): _*).distinct(), joinCols, liveStats, st0.get.dv)
+      // reading touched files THROUGH the active DVs: a rewrite must not
+      // resurrect rows a deletion vector already removed
       val existingTouched =
-        if (touched.nonEmpty) readFiles(touched, schemaOpt, liveStats)
+        if (touched.nonEmpty) readFiles(touched, schemaOpt, liveStats, st0.get.dv)
         else ctx.spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
       val merged = MergeEmulation.computeMergedState(existingTouched, feed, joinCols, options)
       val v = st0.get.version + 1
@@ -940,6 +1025,193 @@ case class VersionedTableDataObject(id: String, path: String,
       writeCdcCommit(commitV)
       ActionMetrics(rowsOf(stats), System.currentTimeMillis() - t0)
     } finally feed.unpersist()
+  }
+
+  // ----------------------------------------------------------------------
+  // Row-level DELETE / UPDATE (the public Delta DML designs)
+  // ----------------------------------------------------------------------
+
+  /** Resolve the exact touched set for a row predicate: one scan of the
+    * snapshot — stats-pruned at PLAN time (the predicate pushes into the
+    * log-backed FileIndex, so files whose min/max disprove it are never
+    * opened) — projecting only `input_file_name`. */
+  private def touchedByPredicate(st: TableState, schema: StructType, pred: Column)
+                                (implicit ctx: ActionPipelineContext): Seq[String] = {
+    val rels = readFilesTagged(st.files, Some(schema), st.stats, st.dv)
+      .where(pred).select(col("_graft_dv_rel")).distinct().collect().map(_.getString(0)).toSet
+    st.files.filter(rels)
+  }
+
+  /** Row-level DELETE (Delta's DELETE command). Copy-on-write by default:
+    * stats-prune → exact touched files → rewrite them WITHOUT the matching
+    * rows (NULL-evaluating rows are kept — SQL DELETE semantics); untouched
+    * files carry by reference, so a selective delete on 100 TB costs
+    * O(touched files), not O(table). With [[deletionVectors]] the touched
+    * files are not rewritten at all: the matching (file, row_index)
+    * positions are recorded under `_graft_dv/` and every subsequent read
+    * anti-joins them — O(matched rows) per delete, the merge-on-read trade.
+    * Returns the number of rows deleted. */
+  def deleteWhere(predicateSql: String)(implicit ctx: ActionPipelineContext): Long = {
+    val st0 = readState(None).getOrElse(return 0L)
+    val schema = st0.schema.getOrElse(
+      throw new IllegalStateException(s"DataObject $id: no committed schema"))
+    val pred = expr(predicateSql)
+    val touched = touchedByPredicate(st0, schema, pred)
+    if (touched.isEmpty) return 0L
+    if (deletionVectors) deleteViaDv(st0, schema, pred, touched)
+    else deleteCopyOnWrite(st0, schema, pred, touched)
+  }
+
+  private def deleteCopyOnWrite(st0: TableState, schema: StructType, pred: Column,
+                                touched: Seq[String])
+                               (implicit ctx: ActionPipelineContext): Long = {
+    val keep = readFiles(touched, Some(schema), st0.stats, st0.dv)
+      .where(!coalesce(pred, lit(false)))
+    val v0 = st0.version + 1
+    val (added, stats) = stage(keep, v0)
+    val commitV = dmlCommitLoop(v0, added, touched, schema, stats, "DELETE")
+    writeCdcCommit(commitV)
+    val before = touched.flatMap(st0.stats.get).map(_.rows)
+    if (before.exists(_ < 0) || rowsOf(stats) < 0) -1L
+    else before.sum - rowsOf(stats)
+  }
+
+  private def deleteViaDv(st0: TableState, schema: StructType, pred: Column,
+                          touched: Seq[String])
+                         (implicit ctx: ActionPipelineContext): Long = {
+    val v = st0.version + 1
+    // positions are computed through the CURRENT DVs, so an already-dead
+    // row is never re-tombstoned (restore branches stay well-defined)
+    val matches = readFilesRaw(touched, Some(schema), st0.stats)
+      .withColumn("_graft_dv_rel", relFileExpr)
+      .withColumn("_graft_dv_ri", col("_metadata.row_index"))
+      .where(pred)
+      .select(col("_graft_dv_rel").as("file"), col("_graft_dv_ri").as("row_index"))
+    val newTombstones = applyDvExclusion(matches, st0.dv)
+    // DV parquet staged BEFORE the commit that references it (same
+    // ordering as data staging); dir is keyed by the version we attempt
+    newTombstones.write.mode(SaveMode.Overwrite).parquet(dvPath(v).toString)
+    val deleted = ctx.spark.read.schema(dvSchema).parquet(dvPath(v).toString).count()
+    if (deleted == 0) { fs.delete(dvPath(v), true); return 0L }
+    if (!tryCommit(Commit(v, Seq.empty, Seq.empty, st0.schemaDdl, Map.empty, op = "DELETE_DV"))) {
+      // the dv dir is version-keyed, so a lost race can't be re-pointed —
+      // clean the stage and surface the conflict (deletes re-run cheaply)
+      fs.delete(dvPath(v), true)
+      throw new java.util.ConcurrentModificationException(
+        s"DataObject $id: concurrent commit won version $v — re-run the delete")
+    }
+    writeCdcCommit(v)
+    deleted
+  }
+
+  /** drop tombstones already present in `dv` (anti-join on both columns) */
+  private def applyDvExclusion(t: DataFrame, dv: Seq[Int])
+                              (implicit ctx: ActionPipelineContext): DataFrame =
+    if (dv.isEmpty) t
+    else {
+      val existing = readDvVersions(dv)
+      t.join(existing,
+        t("file") === existing("file") && t("row_index") === existing("row_index"),
+        "left_anti")
+    }
+
+  /** Row-level UPDATE (Delta's UPDATE command), copy-on-write: touched
+    * files are rewritten with `assignments` applied to matching rows
+    * (right-hand sides see PRE-update values, standard SQL UPDATE
+    * semantics); non-matching rows and untouched files pass through
+    * unchanged. Returns the number of rows scanned into the rewrite (−1
+    * when pre-stats files make it unknowable). */
+  def updateWhere(assignments: Map[String, String], predicateSql: String)
+                 (implicit ctx: ActionPipelineContext): Long = {
+    val st0 = readState(None).getOrElse(return 0L)
+    val schema = st0.schema.getOrElse(
+      throw new IllegalStateException(s"DataObject $id: no committed schema"))
+    val unknown = assignments.keySet.filterNot(c => schema.exists(_.name == c))
+    require(unknown.isEmpty, s"DataObject $id: UPDATE assigns unknown columns ${unknown.mkString(", ")}")
+    val pred = expr(predicateSql)
+    val touched = touchedByPredicate(st0, schema, pred)
+    if (touched.isEmpty) return 0L
+    val hit = coalesce(pred, lit(false))
+    // single select from the pre-image: every RHS evaluates against OLD
+    // values even when its own column is assigned
+    val updated = readFiles(touched, Some(schema), st0.stats, st0.dv)
+      .select(schema.fields.map { f =>
+        assignments.get(f.name) match {
+          case Some(rhs) => when(hit, expr(rhs).cast(f.dataType)).otherwise(col(s"`${f.name}`")).as(f.name)
+          case None => col(s"`${f.name}`")
+        }
+      }.toIndexedSeq: _*)
+    val v0 = st0.version + 1
+    val (added, stats) = stage(updated, v0)
+    val commitV = dmlCommitLoop(v0, added, touched, schema, stats, "UPDATE")
+    writeCdcCommit(commitV)
+    rowsOf(stats)
+  }
+
+  /** Shared optimistic-commit loop for copy-on-write DML: retry at the new
+    * head unless a concurrent commit removed one of the files this DML
+    * read-and-rewrote (committing then would resurrect superseded rows or
+    * double-apply the DML) — the Delta DELETE/UPDATE conflict rule.
+    * Concurrent appends stay live alongside; rows they add matching the
+    * predicate are NOT affected (WriteSerializable semantics). */
+  private def dmlCommitLoop(v0: Int, added: Seq[String], touched: Seq[String],
+                            schema: StructType, stats: Map[String, FileStat], opTag: String)
+                           (implicit ctx: ActionPipelineContext): Int = {
+    val touchedSet = touched.toSet
+    var commitV = v0
+    var attempt = 0
+    var done = tryCommit(Commit(commitV, added, touched, Some(schema.toDDL), stats, op = opTag))
+    while (!done) {
+      attempt += 1
+      val fresh = listLog._1
+      val concurrent = fresh.filter(_ >= v0).map(parseCommit)
+      if (concurrent.flatMap(_.removed).exists(touchedSet) ||
+          concurrent.exists(_.op == "DELETE_DV"))
+        throw new java.util.ConcurrentModificationException(
+          s"DataObject $id: concurrent commit(s) ${concurrent.map(_.version).mkString(",")} " +
+            s"conflict with this $opTag — re-run against the new state")
+      if (attempt >= 20) throw new java.util.ConcurrentModificationException(
+        s"DataObject $id: $opTag commit contention — $attempt attempts lost the rename race")
+      commitV = fresh.max + 1
+      done = tryCommit(Commit(commitV, added, touched, Some(schema.toDDL), stats, op = opTag))
+    }
+    commitV
+  }
+
+  /** Materialize outstanding deletion vectors (Delta's REORG TABLE …
+    * APPLY (PURGE)): rewrite every live file carrying tombstones with its
+    * deleted rows physically removed, and empty the active DV set in the
+    * same commit. No-op without active DVs. Returns the number of files
+    * rewritten. */
+  def materializeDeletionVectors()(implicit ctx: ActionPipelineContext): Int = {
+    val st = readState(None).getOrElse(return 0)
+    if (st.dv.isEmpty) return 0
+    val schema = st.schema.getOrElse(
+      throw new IllegalStateException(s"DataObject $id: no committed schema"))
+    val tombstoned = readDvVersions(st.dv).select("file").distinct()
+      .collect().map(_.getString(0)).toSet
+    val targets = st.files.filter(tombstoned)
+    val v = st.version + 1
+    if (targets.isEmpty) {
+      // every tombstone references a dead file — one metadata commit
+      // clears the set
+      writeCommit(Commit(v, Seq.empty, Seq.empty, st.schemaDdl, Map.empty,
+        op = "DV_MATERIALIZE", dvSet = Some(Seq.empty)))
+      writeCdcMarker(v)
+      return 0
+    }
+    val clean = readFiles(targets, Some(schema), st.stats, st.dv)
+    val (added, stats) = stage(clean, v)
+    // single-attempt commit: materialization runs from maintenance paths
+    // (vacuum) where contention means the caller should re-drive
+    if (!tryCommit(Commit(v, added, targets, Some(schema.toDDL), stats,
+        op = "DV_MATERIALIZE", dvSet = Some(Seq.empty))))
+      throw new java.util.ConcurrentModificationException(
+        s"DataObject $id: DV materialization lost the commit race — re-run")
+    // snapshot content is unchanged by construction (tombstoned rows were
+    // already invisible) — CDC gets a marker, like compaction
+    writeCdcMarker(v)
+    targets.size
   }
 
   // ----------------------------------------------------------------------
@@ -1105,11 +1377,50 @@ case class VersionedTableDataObject(id: String, path: String,
       throw new IllegalStateException(s"DataObject $id: no committed schema"))
     val allStats = stFrom.stats ++ stTo.stats
     val cols = schema.fieldNames.toSeq
-    def side(files: Seq[String], tag: String) =
-      readFiles(files, Some(schema), allStats)
+    // deletion-vector deltas: rows in files COMMON to both versions whose
+    // liveness changed only through DVs — tombstoned between the versions
+    // (net delete) or un-tombstoned by a RESTORE (net insert). They feed
+    // the same full-join classification as file-level diffs, so a
+    // DV-delete + re-insert of one key still coalesces to an update pair.
+    val common = (filesFrom & filesTo).toSeq
+    val dvDeleted = stTo.dv.filterNot(stFrom.dv.contains)
+    val dvRestored = stFrom.dv.filterNot(stTo.dv.contains)
+    def dvDelta(include: Seq[Int], exclude: Seq[Int]): Option[DataFrame] =
+      if (include.isEmpty || common.isEmpty) None
+      else {
+        val base = readFilesRaw(common, Some(schema), allStats)
+          .withColumn("_graft_dv_rel", relFileExpr)
+          .withColumn("_graft_dv_ri", col("_metadata.row_index"))
+        val inc = readDvVersions(include)
+        val hit = base.join(inc,
+          base("_graft_dv_rel") === inc("file") && base("_graft_dv_ri") === inc("row_index"),
+          "left_semi")
+        val survived =
+          if (exclude.isEmpty) hit
+          else {
+            val exc = readDvVersions(exclude)
+            hit.join(exc,
+              hit("_graft_dv_rel") === exc("file") && hit("_graft_dv_ri") === exc("row_index"),
+              "left_anti")
+          }
+        Some(survived.select(cols.map(c => col(s"`$c`")): _*))
+      }
+    def side(files: Seq[String], dv: Seq[Int], extra: Option[DataFrame], tag: String) = {
+      val base = readFiles(files, Some(schema), allStats, dv)
+        .select(cols.map(c => col(s"`$c`")): _*)
+      extra.fold(base)(base.unionByName(_))
         .withColumn(s"_${tag}_present", lit(1)).alias(tag)
-    val o = side((filesFrom -- filesTo).toSeq, "o")
-    val n = side((filesTo -- filesFrom).toSeq, "n")
+    }
+    // o-side: rows live at FROM but gone at TO — removed files (as FROM saw
+    // them, i.e. through FROM's DVs) plus rows newly tombstoned in common
+    // files (excluding rows already dead at FROM)
+    val o = side((filesFrom -- filesTo).toSeq, stFrom.dv,
+      dvDelta(dvDeleted, stFrom.dv), "o")
+    // n-side: rows live at TO but absent at FROM — added files (through
+    // TO's DVs) plus rows a restore un-tombstoned (excluding rows still
+    // dead at TO)
+    val n = side((filesTo -- filesFrom).toSeq, stTo.dv,
+      dvDelta(dvRestored, stTo.dv), "n")
     val keyEq = primaryKey.map(k => col(s"o.`$k`") <=> col(s"n.`$k`")).reduce(_ and _)
     val oRec = struct(cols.map(c => col(s"o.`$c`").as(c)): _*)
     val nRec = struct(cols.map(c => col(s"n.`$c`").as(c)): _*)
@@ -1253,7 +1564,9 @@ case class VersionedTableDataObject(id: String, path: String,
         math.max(1L, (bytes + tb - 1) / tb).toInt
       case None => targetFileCount
     }
-    val current = readFiles(scoped, st.schema, st.stats)
+    // compaction reads THROUGH the active DVs: the rewritten files are
+    // clean, their tombstones go stale harmlessly (dead file names)
+    val current = readFiles(scoped, st.schema, st.stats, st.dv)
     val arranged =
       if (zorderBy.nonEmpty) graft.functions.ZOrder.cluster(current, zorderBy, nFiles)
       else current.repartition(nFiles)
@@ -1329,7 +1642,10 @@ case class VersionedTableDataObject(id: String, path: String,
       val removes = cur.files.filterNot(targetSet)
       val stats = adds.flatMap(f => target.stats.get(f).map(f -> _)).toMap
       maintenanceRaceHook()
-      if (tryCommit(Commit(v, adds, removes, target.schemaDdl, stats, op = s"RESTORE($version)"))) {
+      // dvSet reverts the active deletion vectors to the target's list —
+      // rows tombstoned after `version` come back, exactly like files do
+      if (tryCommit(Commit(v, adds, removes, target.schemaDdl, stats,
+          op = s"RESTORE($version)", dvSet = Some(target.dv)))) {
         writeCdcCommit(v)
         return v
       }
@@ -1397,9 +1713,15 @@ case class VersionedTableDataObject(id: String, path: String,
         // the checkpoint carries the horizon commit's EXACT in-commit ts,
         // so timestamp travel to the recovered base stays correct
         readCheckpoint(w).foreach(s =>
-          tryCommitRaw(Commit(w, s.files, Seq.empty, s.schemaDdl, s.stats, s.ts, op = "VACUUM_REBASE")))
+          tryCommitRaw(Commit(w, s.files, Seq.empty, s.schemaDdl, s.stats, s.ts,
+            op = "VACUUM_REBASE", dvSet = Some(s.dv))))
       }
     }
+    // outstanding deletion vectors are MATERIALIZED (touched files
+    // rewritten clean, DV set emptied — Delta's REORG…APPLY(PURGE)) before
+    // the horizon is cut: the rebased base must not depend on DV files
+    // that retention is about to make unreachable
+    materializeDeletionVectors()
     val log = readLog
     val cut = log.map(_.version).sorted.takeRight(retainVersions).headOption.getOrElse(0)
     val (old, kept) = log.partition(_.version < cut)
@@ -1410,9 +1732,15 @@ case class VersionedTableDataObject(id: String, path: String,
     val retainedLive = kept.map(_.version)
       .flatMap(v => snapshotFiles(Some(v))).toSet
     val deletable = (old.flatMap(_.added).toSet -- retainedLive).toSeq.sorted
+    // DV dirs still referenced by any retained snapshot must survive the
+    // sweep (a retained version's reads apply its dv list); computed from
+    // the intact log, before any deletion
+    val retainedDv = (cut +: kept.map(_.version))
+      .flatMap(v => readState(Some(v)).map(_.dv).getOrElse(Seq.empty)).toSet
     if (old.nonEmpty) {
       // rebase target computed BEFORE anything is deleted
       val baseFiles = snapshotFiles(Some(cut))
+      val baseDv = readState(Some(cut)).map(_.dv).getOrElse(Seq.empty)
       val baseSchema = log.filter(_.version <= cut).reverse
         .collectFirst { case c: Commit if c.schema.isDefined => c.schema.get }
       val baseStats = log.flatMap(_.stats).toMap.filter(kv => baseFiles.contains(kv._1))
@@ -1431,7 +1759,8 @@ case class VersionedTableDataObject(id: String, path: String,
       // phase 4: the synthetic base commit — carrying the horizon commit's
       // ORIGINAL timestamp so timestamp travel survives the rebase
       val cutTs = log.find(_.version == cut).map(_.ts).getOrElse(-1L)
-      writeCommit(Commit(cut, baseFiles, Seq.empty, baseSchema, baseStats, cutTs, op = "VACUUM_REBASE"))
+      writeCommit(Commit(cut, baseFiles, Seq.empty, baseSchema, baseStats, cutTs,
+        op = "VACUUM_REBASE", dvSet = Some(baseDv)))
       vacuumPhaseHook("rebased")
       // phase 5a: log-derived physical deletes, strictly after the log
       // is consistent
@@ -1473,6 +1802,16 @@ case class VersionedTableDataObject(id: String, path: String,
       val cdcVer = """v(\d{8})""".r
       fs.listStatus(cdcDir).foreach(d => d.getPath.getName match {
         case cdcVer(v) if v.toInt < cut => fs.delete(d.getPath, true)
+        case _ =>
+      })
+    }
+    // deletion-vector dirs: drop those no retained snapshot references
+    // (materialization above emptied the head's set; older retained
+    // versions may still time-travel through theirs)
+    if (fs.exists(dvDir)) {
+      val dvVer = """v(\d{8})""".r
+      fs.listStatus(dvDir).foreach(d => d.getPath.getName match {
+        case dvVer(v) if !retainedDv.contains(v.toInt) => fs.delete(d.getPath, true)
         case _ =>
       })
     }

@@ -1,0 +1,189 @@
+package graft
+
+import graft.core._
+import graft.sources._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Row-level DELETE / UPDATE on the versioned table — copy-on-write and
+  * deletion-vector (merge-on-read) modes, including CDC, time travel,
+  * restore, optimize, materialization and vacuum interplay. */
+class DeletionSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  implicit lazy val ctx: ActionPipelineContext =
+    ActionPipelineContext(spark, new InstanceRegistry)
+  import spark.implicits._
+
+  private def dataFileState(dir: String): Map[String, Long] = {
+    val buf = scala.collection.mutable.Map.empty[String, Long]
+    def walk(f: java.io.File): Unit =
+      if (f.isDirectory && !f.getName.startsWith("_")) f.listFiles.foreach(walk)
+      else if (f.getName.endsWith(".parquet")) buf += f.getAbsolutePath -> f.lastModified
+    walk(new java.io.File(dir))
+    buf.toMap
+  }
+
+  private def kv(df: org.apache.spark.sql.DataFrame): Set[(Int, String)] =
+    df.select("k", "v").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+
+  test("copy-on-write DELETE rewrites only touched files; time travel keeps the pre-image") {
+    val dir = Files.createTempDirectory("graft-del").toString
+    val t = VersionedTableDataObject("d1", s"$dir/t", primaryKey = Seq("k"))
+    // two appends → at least two data files with disjoint key ranges
+    t.writeDataFrame(Seq((1, "a"), (2, "b")).toDF("k", "v"))                      // v0
+    t.writeDataFrame(Seq((100, "x"), (101, "y")).toDF("k", "v"),
+      saveMode = Some(SdlSaveMode.Append))                                        // v1
+    val before = dataFileState(s"$dir/t")
+    val deleted = t.deleteWhere("k = 100")                                        // v2
+    assert(deleted == 1L)
+    assert(kv(t.getDataFrame()) == Set((1, "a"), (2, "b"), (101, "y")))
+    // the v0 file was untouched: still on disk, same mtime
+    val after = dataFileState(s"$dir/t")
+    val untouched = before.filter { case (p, m) => after.get(p).contains(m) }
+    assert(untouched.nonEmpty, "at least the non-matching file must be carried by reference")
+    // only ONE file was removed by the commit (stats-pruned + exact touched)
+    assert(t.getDataFrameAsOf(Some(1)).count() == 4)                              // pre-image intact
+    val hist = t.history(1).collect().head
+    assert(hist.getAs[String]("operation") == "DELETE")
+    assert(hist.getAs[Int]("num_removed_files") == 1)
+  }
+
+  test("DELETE keeps rows where the predicate evaluates to NULL") {
+    val dir = Files.createTempDirectory("graft-del").toString
+    val t = VersionedTableDataObject("d2", s"$dir/t")
+    Seq((1, Some("a")), (2, Option.empty[String]), (3, Some("z")))
+      .toDF("k", "v").write.format("noop").mode("overwrite").save() // force schema inference warm-up
+    t.writeDataFrame(Seq((1, Some("a")), (2, Option.empty[String]), (3, Some("z"))).toDF("k", "v"))
+    val n = t.deleteWhere("v = 'z'")
+    assert(n == 1L)
+    // k=2 (v NULL → predicate NULL) survives
+    assert(t.getDataFrame().select("k").as[Int].collect().toSet == Set(1, 2))
+  }
+
+  test("copy-on-write UPDATE: assignments see pre-update values; CDC emits update pairs") {
+    val dir = Files.createTempDirectory("graft-upd").toString
+    val t = VersionedTableDataObject("u1", s"$dir/t", primaryKey = Seq("k"), changeDataFeed = true)
+    t.writeDataFrame(Seq((1, 10, 20), (2, 3, 4)).toDF("k", "a", "b"))             // v0
+    // swap a and b for k=1 — both RHS must read the PRE-image
+    t.updateWhere(Map("a" -> "b", "b" -> "a"), "k = 1")                           // v1
+    val got = t.getDataFrame().select("k", "a", "b").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got == Set((1, 20, 10), (2, 3, 4)))
+    val changes = t.changesBetween(0, Some(1))
+      .select("k", "a", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+    assert(changes == Set((1, 10, "update_preimage"), (1, 20, "update_postimage")))
+  }
+
+  test("UPDATE rejects unknown assignment columns at the API") {
+    val dir = Files.createTempDirectory("graft-upd").toString
+    val t = VersionedTableDataObject("u2", s"$dir/t")
+    t.writeDataFrame(Seq((1, "a")).toDF("k", "v"))
+    val e = intercept[IllegalArgumentException](t.updateWhere(Map("nope" -> "1"), "k = 1"))
+    assert(e.getMessage.contains("unknown columns"))
+  }
+
+  test("deletion-vector DELETE: zero data-file writes, reads exclude, time travel restores") {
+    val dir = Files.createTempDirectory("graft-dv").toString
+    val t = VersionedTableDataObject("dv1", s"$dir/t", primaryKey = Seq("k"),
+      deletionVectors = true)
+    t.writeDataFrame((1 to 10).map(i => (i, s"v$i")).toDF("k", "v"))              // v0
+    val before = dataFileState(s"$dir/t")
+    val deleted = t.deleteWhere("k <= 3")                                         // v1 (DV)
+    assert(deleted == 3L)
+    // NOT A SINGLE data file changed — merge-on-read
+    assert(dataFileState(s"$dir/t") == before)
+    assert(t.latestVersion.contains(1))
+    assert(t.getDataFrame().select("k").as[Int].collect().toSet == (4 to 10).toSet)
+    // pre-delete snapshot still reads the full table
+    assert(t.getDataFrameAsOf(Some(0)).count() == 10)
+    // the state carries the DV version
+    assert(t.readState(None).get.dv == Seq(1))
+  }
+
+  test("second DV delete tombstones only newly-matching rows") {
+    val dir = Files.createTempDirectory("graft-dv").toString
+    val t = VersionedTableDataObject("dv2", s"$dir/t", deletionVectors = true)
+    t.writeDataFrame((1 to 6).map(i => (i, i % 2)).toDF("k", "par"))              // v0
+    assert(t.deleteWhere("par = 0") == 3L)                                        // v1: 2,4,6
+    // overlapping predicate: only k=1 is newly matched (2 is already dead)
+    assert(t.deleteWhere("k <= 2") == 1L)                                         // v2: 1
+    assert(t.getDataFrame().select("k").as[Int].collect().toSet == Set(3, 5))
+    assert(t.readState(None).get.dv == Seq(1, 2))
+  }
+
+  test("DV delete feeds CDC and the change feed; restore reverts tombstones as inserts") {
+    val dir = Files.createTempDirectory("graft-dv").toString
+    val t = VersionedTableDataObject("dv3", s"$dir/t", primaryKey = Seq("k"),
+      changeDataFeed = true, deletionVectors = true)
+    t.writeDataFrame(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"))            // v0
+    t.deleteWhere("k = 2")                                                        // v1 (DV)
+    val del = t.changesBetween(0, Some(1)).select("k", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(del == Set((2, "delete")))
+    val v2 = t.restore(0)                                                         // v2: DV set reverts
+    assert(t.readState(None).get.dv.isEmpty)
+    assert(kv(t.getDataFrame()) == Set((1, "a"), (2, "b"), (3, "c")))
+    val back = t.changesBetween(1, Some(v2)).select("k", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(back == Set((2, "insert")))
+  }
+
+  test("MERGE through a DV'd table does not resurrect tombstoned rows") {
+    val dir = Files.createTempDirectory("graft-dv").toString
+    val t = VersionedTableDataObject("dv4", s"$dir/t", primaryKey = Seq("k"),
+      deletionVectors = true)
+    t.writeDataFrame(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"))            // v0
+    t.deleteWhere("k = 2")                                                        // v1
+    // merge touches the file holding k=1..3; the rewrite must NOT bring
+    // back the tombstoned k=2
+    t.mergeDataFrame(Seq((1, "A"), (4, "d")).toDF("k", "v"), Seq("k"))            // v2
+    assert(kv(t.getDataFrame()) == Set((1, "A"), (3, "c"), (4, "d")))
+  }
+
+  test("OPTIMIZE compacts through DVs; materialization clears the set without changing content") {
+    val dir = Files.createTempDirectory("graft-dv").toString
+    val t = VersionedTableDataObject("dv5", s"$dir/t", deletionVectors = true)
+    t.writeDataFrame((1 to 8).map(i => (i, s"v$i")).toDF("k", "v"))               // v0
+    t.writeDataFrame((9 to 12).map(i => (i, s"v$i")).toDF("k", "v"),
+      saveMode = Some(SdlSaveMode.Append))                                        // v1
+    t.deleteWhere("k % 3 = 0")                                                    // v2: 3,6,9,12
+    val expect = (1 to 12).filter(_ % 3 != 0).toSet
+    assert(t.getDataFrame().select("k").as[Int].collect().toSet == expect)
+    val rewritten = t.materializeDeletionVectors()                                // v3
+    assert(rewritten >= 1)
+    assert(t.readState(None).get.dv.isEmpty)
+    assert(t.getDataFrame().select("k").as[Int].collect().toSet == expect)
+    // a second materialization is a no-op
+    assert(t.materializeDeletionVectors() == 0)
+  }
+
+  test("VACUUM on a DV table materializes first and sweeps unreferenced DV dirs") {
+    val dir = Files.createTempDirectory("graft-dv").toString
+    val t = VersionedTableDataObject("dv6", s"$dir/t", deletionVectors = true)
+    t.writeDataFrame((1 to 6).map(i => (i, s"v$i")).toDF("k", "v"))               // v0
+    t.deleteWhere("k = 1")                                                        // v1 (DV)
+    t.writeDataFrame(Seq((7, "v7")).toDF("k", "v"),
+      saveMode = Some(SdlSaveMode.Append))                                        // v2
+    t.vacuum(retainVersions = 1, orphanRetentionMillis = 0)
+    // post-vacuum head reads correctly with NO active DVs
+    assert(t.readState(None).get.dv.isEmpty)
+    assert(t.getDataFrame().select("k").as[Int].collect().toSet == (2 to 7).toSet)
+    // DV dirs unreferenced by any retained snapshot are swept
+    val dvRoot = new java.io.File(s"$dir/t/_graft_dv")
+    assert(!dvRoot.exists || dvRoot.listFiles.isEmpty)
+  }
+
+  test("DV state survives the checkpoint shadow") {
+    val dir = Files.createTempDirectory("graft-dv").toString
+    val t = VersionedTableDataObject("dv7", s"$dir/t", checkpointInterval = 2,
+      deletionVectors = true)
+    t.writeDataFrame((1 to 5).map(i => (i, s"v$i")).toDF("k", "v"))               // v0
+    t.deleteWhere("k = 5")                                                        // v1 (DV)
+    t.writeDataFrame(Seq((6, "v6")).toDF("k", "v"),
+      saveMode = Some(SdlSaveMode.Append))                                        // v2 → checkpoint
+    // state read through the checkpoint must still carry dv=[1]
+    assert(t.readState(Some(2)).get.dv == Seq(1))
+    assert(t.getDataFrame().select("k").as[Int].collect().toSet == Set(1, 2, 3, 4, 6))
+  }
+}
