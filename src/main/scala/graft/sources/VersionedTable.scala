@@ -132,9 +132,11 @@ case class VersionedTableDataObject(id: String, path: String,
                                    op: String = "",
                                    /** ABSOLUTE replacement for the state's active
                                      * deletion-vector versions (RESTORE / DV_MATERIALIZE /
-                                     * vacuum rebase); None = inherit (DELETE_DV ops append
-                                     * their own version implicitly in the state fold) */
-                                   dvSet: Option[Seq[Int]] = None)
+                                     * vacuum rebase); None = inherit. Entries are DV dir
+                                     * NAMES under `_graft_dv/` (writer-unique `vNNNNNNNN-hex8`,
+                                     * like data staging dirs — two racing deletes can never
+                                     * clobber or cross-reference each other's tombstones) */
+                                   dvSet: Option[Seq[String]] = None)
 
   private def om = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -154,7 +156,7 @@ case class VersionedTableDataObject(id: String, path: String,
                                        /** active deletion-vector versions at this state (the
                                          * Delta DV design): every read of this snapshot
                                          * anti-joins these versions' (file, row_index) sets */
-                                       dv: Seq[Int] = Seq.empty) {
+                                       dv: Seq[String] = Seq.empty) {
     def schema: Option[StructType] = schemaDdl.map(StructType.fromDDL)
   }
 
@@ -196,7 +198,7 @@ case class VersionedTableDataObject(id: String, path: String,
       Option(n.get("schema")).map(_.asText), stats,
       Option(n.get("ts")).map(_.asLong).getOrElse(-1L),
       Option(n.get("op")).map(_.asText).getOrElse(""),
-      Option(n.get("dv")).map(_.elements().asScala.map(_.asInt).toSeq))
+      Option(n.get("dv")).map(_.elements().asScala.map(_.asText).toSeq))
   }
 
   /** Full per-commit history — needed ONLY where commit granularity is the
@@ -217,7 +219,7 @@ case class VersionedTableDataObject(id: String, path: String,
         entries.flatMap(e => Option(e.get("stat")).map(s => e.get("path").asText -> parseStats(s))).toMap,
         Option(n.get("schema")).map(_.asText),
         Option(n.get("ts")).map(_.asLong).getOrElse(-1L),
-        Option(n.get("dv")).map(_.elements().asScala.map(_.asInt).toSeq).getOrElse(Seq.empty)))
+        Option(n.get("dv")).map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Seq.empty)))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** State at `version` (latest when None): newest usable checkpoint +
@@ -245,7 +247,7 @@ case class VersionedTableDataObject(id: String, path: String,
       TableState(c.version, s.files.filterNot(rm) ++ c.added,
         (s.stats -- rm) ++ c.stats, c.schema.orElse(s.schemaDdl),
         if (c.ts >= 0) c.ts else s.ts,
-        c.dvSet.getOrElse(if (c.op == "DELETE_DV") s.dv :+ c.version else s.dv))
+        c.dvSet.getOrElse(s.dv))
     })
   }
 
@@ -521,7 +523,7 @@ case class VersionedTableDataObject(id: String, path: String,
     * log predates the committed-schema format. */
   private def readFiles(files: Seq[String], schema: Option[StructType],
                         stats: Map[String, FileStat] = Map.empty,
-                        dv: Seq[Int] = Seq.empty)
+                        dv: Seq[String] = Seq.empty)
                        (implicit ctx: ActionPipelineContext): DataFrame =
     applyDv(readFilesRaw(files, schema, stats), dv)
 
@@ -570,7 +572,7 @@ case class VersionedTableDataObject(id: String, path: String,
   // ----------------------------------------------------------------------
 
   private def dvDir = new Path(path, "_graft_dv")
-  private def dvPath(version: Int) = new Path(dvDir, f"v$version%08d")
+  private def dvPath(name: String) = new Path(dvDir, name)
   private val dvSchema = StructType.fromDDL("file STRING, row_index BIGINT")
 
   /** staged data files are always `vNNNNNNNN-xxxxxxxx/…` — extract the
@@ -579,16 +581,24 @@ case class VersionedTableDataObject(id: String, path: String,
     regexp_extract(input_file_name(), "(v[0-9]{8}-[0-9a-f]{8}/.+)$", 1)
 
   /** the union of (file, row_index) tombstones of the given DV versions */
-  private def readDvVersions(versions: Seq[Int])(implicit ctx: ActionPipelineContext): DataFrame =
+  private def readDvVersions(names: Seq[String])(implicit ctx: ActionPipelineContext): DataFrame =
     ctx.spark.read.schema(dvSchema)
-      .parquet(versions.map(v => dvPath(v).toString): _*)
+      .parquet(names.map(n => dvPath(n).toString): _*)
+
+  /** input_file_name() yields URI-ENCODED paths (a partition value with a
+    * space scans as `c=a%20b`), while the log stores decoded filesystem
+    * names — every driver-side comparison of a scan-derived rel against
+    * log rels must decode first. '+' is pre-escaped: URI encoding leaves
+    * it literal, but URLDecoder would turn it into a space. */
+  private def decodeRel(s: String): String =
+    java.net.URLDecoder.decode(s.replace("+", "%2B"), java.nio.charset.StandardCharsets.UTF_8)
 
   /** Anti-join the scan against the active deletion vectors. The DV side
     * is the set of DELETED rows — small next to the table — so AQE
     * broadcasts it in the common case; the scan side derives its join key
     * (relative file path + row index) from metadata columns, no data
     * dependency. Stale tombstones (files since rewritten) match nothing. */
-  private def applyDv(df: DataFrame, dv: Seq[Int])(implicit ctx: ActionPipelineContext): DataFrame =
+  private def applyDv(df: DataFrame, dv: Seq[String])(implicit ctx: ActionPipelineContext): DataFrame =
     if (dv.isEmpty) df
     else {
       val cols = df.columns.toSeq
@@ -599,7 +609,7 @@ case class VersionedTableDataObject(id: String, path: String,
 
   /** anti-join a frame already carrying `_graft_dv_rel`/`_graft_dv_ri`
     * against the tombstones of `dv` */
-  private def dvFilter(tagged: DataFrame, dv: Seq[Int])
+  private def dvFilter(tagged: DataFrame, dv: Seq[String])
                       (implicit ctx: ActionPipelineContext): DataFrame =
     if (dv.isEmpty) tagged
     else {
@@ -613,7 +623,7 @@ case class VersionedTableDataObject(id: String, path: String,
     * join — `input_file_name()` is single-source-only, so callers that
     * need file identity on a DV-filtered scan must take it from here */
   private def readFilesTagged(files: Seq[String], schema: Option[StructType],
-                              stats: Map[String, FileStat], dv: Seq[Int])
+                              stats: Map[String, FileStat], dv: Seq[String])
                              (implicit ctx: ActionPipelineContext): DataFrame =
     dvFilter(readFilesRaw(files, schema, stats)
       .withColumn("_graft_dv_rel", relFileExpr)
@@ -925,6 +935,11 @@ case class VersionedTableDataObject(id: String, path: String,
                                     schema: StructType, feedHasNullKeys: Boolean): Boolean = {
     val removedConcurrently = concurrent.flatMap(_.removed).toSet
     if (touched.exists(removedConcurrently)) return true
+    // a dvSet-bearing commit (DELETE_DV/RESTORE/DV_MATERIALIZE) changes
+    // row liveness without touching file sets — this merge's staged
+    // rewrite was computed through the OLD dv view and would silently
+    // drop the concurrent tombstone/revert
+    if (concurrent.exists(_.dvSet.isDefined)) return true
     val newFiles = concurrent.flatMap(_.added)
     val newStats = concurrent.flatMap(_.stats).toMap
     if (newFiles.exists(f => !newStats.contains(f))) return true
@@ -936,7 +951,7 @@ case class VersionedTableDataObject(id: String, path: String,
     * semi-joined (null-safe) with the distinct feed keys. */
   private def findTouchedFiles(candidates: Seq[String], schema: Option[StructType],
                                feedKeys: DataFrame, joinCols: Seq[String],
-                               stats: Map[String, FileStat], dv: Seq[Int] = Seq.empty)
+                               stats: Map[String, FileStat], dv: Seq[String] = Seq.empty)
                               (implicit ctx: ActionPipelineContext): Seq[String] = {
     if (candidates.isEmpty) return Seq.empty
     // file identity comes from the TAGGED reader (computed below the DV
@@ -946,7 +961,8 @@ case class VersionedTableDataObject(id: String, path: String,
       .alias("t")
     val cond = joinCols.map(c => col(s"t.`$c`") <=> col(s"s.`$c`")).reduce(_ and _)
     val rels = withFile.join(feedKeys.alias("s"), cond, "left_semi")
-      .select(col("_graft_file")).distinct().collect().map(_.getString(0)).toSet
+      .select(col("_graft_file")).distinct().collect()
+      .map(r => decodeRel(r.getString(0))).toSet
     candidates.filter(rels)
   }
 
@@ -1038,7 +1054,8 @@ case class VersionedTableDataObject(id: String, path: String,
   private def touchedByPredicate(st: TableState, schema: StructType, pred: Column)
                                 (implicit ctx: ActionPipelineContext): Seq[String] = {
     val rels = readFilesTagged(st.files, Some(schema), st.stats, st.dv)
-      .where(pred).select(col("_graft_dv_rel")).distinct().collect().map(_.getString(0)).toSet
+      .where(pred).select(col("_graft_dv_rel")).distinct().collect()
+      .map(r => decodeRel(r.getString(0))).toSet
     st.files.filter(rels)
   }
 
@@ -1067,13 +1084,19 @@ case class VersionedTableDataObject(id: String, path: String,
                                (implicit ctx: ActionPipelineContext): Long = {
     val keep = readFiles(touched, Some(schema), st0.stats, st0.dv)
       .where(!coalesce(pred, lit(false)))
+    // rows live BEFORE the delete: stats are exact only without active
+    // DVs (physical counts include tombstoned rows) — mixed-mode tables
+    // pay one count job of the touched files instead of over-reporting
+    val statRows = touched.flatMap(st0.stats.get).map(_.rows)
+    val before =
+      if (st0.dv.nonEmpty || statRows.exists(_ < 0))
+        readFiles(touched, Some(schema), st0.stats, st0.dv).count()
+      else statRows.sum
     val v0 = st0.version + 1
     val (added, stats) = stage(keep, v0)
     val commitV = dmlCommitLoop(v0, added, touched, schema, stats, "DELETE")
     writeCdcCommit(commitV)
-    val before = touched.flatMap(st0.stats.get).map(_.rows)
-    if (before.exists(_ < 0) || rowsOf(stats) < 0) -1L
-    else before.sum - rowsOf(stats)
+    if (rowsOf(stats) < 0) -1L else before - rowsOf(stats)
   }
 
   private def deleteViaDv(st0: TableState, schema: StructType, pred: Column,
@@ -1088,15 +1111,19 @@ case class VersionedTableDataObject(id: String, path: String,
       .where(pred)
       .select(col("_graft_dv_rel").as("file"), col("_graft_dv_ri").as("row_index"))
     val newTombstones = applyDvExclusion(matches, st0.dv)
-    // DV parquet staged BEFORE the commit that references it (same
-    // ordering as data staging); dir is keyed by the version we attempt
-    newTombstones.write.mode(SaveMode.Overwrite).parquet(dvPath(v).toString)
-    val deleted = ctx.spark.read.schema(dvSchema).parquet(dvPath(v).toString).count()
-    if (deleted == 0) { fs.delete(dvPath(v), true); return 0L }
-    if (!tryCommit(Commit(v, Seq.empty, Seq.empty, st0.schemaDdl, Map.empty, op = "DELETE_DV"))) {
-      // the dv dir is version-keyed, so a lost race can't be re-pointed —
-      // clean the stage and surface the conflict (deletes re-run cheaply)
-      fs.delete(dvPath(v), true)
+    // WRITER-UNIQUE dir (same scheme as data staging): two racing deletes
+    // can neither clobber each other's tombstones nor have a loser's
+    // cleanup touch a winner's committed files; the commit references the
+    // dir by NAME. Staged before the commit, like data files.
+    val name = f"v$v%08d-${java.util.UUID.randomUUID.toString.take(8)}"
+    newTombstones.write.mode(SaveMode.ErrorIfExists).parquet(dvPath(name).toString)
+    val deleted = ctx.spark.read.schema(dvSchema).parquet(dvPath(name).toString).count()
+    if (deleted == 0) { fs.delete(dvPath(name), true); return 0L }
+    if (!tryCommit(Commit(v, Seq.empty, Seq.empty, st0.schemaDdl, Map.empty,
+        op = "DELETE_DV", dvSet = Some(st0.dv :+ name)))) {
+      // clean OUR stage only and surface the conflict (deletes re-run
+      // cheaply; the winner's dir has a different name)
+      fs.delete(dvPath(name), true)
       throw new java.util.ConcurrentModificationException(
         s"DataObject $id: concurrent commit won version $v — re-run the delete")
     }
@@ -1105,7 +1132,7 @@ case class VersionedTableDataObject(id: String, path: String,
   }
 
   /** drop tombstones already present in `dv` (anti-join on both columns) */
-  private def applyDvExclusion(t: DataFrame, dv: Seq[Int])
+  private def applyDvExclusion(t: DataFrame, dv: Seq[String])
                               (implicit ctx: ActionPipelineContext): DataFrame =
     if (dv.isEmpty) t
     else {
@@ -1165,15 +1192,24 @@ case class VersionedTableDataObject(id: String, path: String,
       attempt += 1
       val fresh = listLog._1
       val concurrent = fresh.filter(_ >= v0).map(parseCommit)
+      // a dvSet-bearing concurrent commit (DELETE_DV / RESTORE /
+      // DV_MATERIALIZE) invalidates what this DML read: its tombstone or
+      // revert would be silently dropped by our rewrite of the touched
+      // files — same rule dmlCommitLoop's siblings need (merge, optimize)
       if (concurrent.flatMap(_.removed).exists(touchedSet) ||
-          concurrent.exists(_.op == "DELETE_DV"))
+          concurrent.exists(_.dvSet.isDefined))
         throw new java.util.ConcurrentModificationException(
           s"DataObject $id: concurrent commit(s) ${concurrent.map(_.version).mkString(",")} " +
             s"conflict with this $opTag — re-run against the new state")
       if (attempt >= 20) throw new java.util.ConcurrentModificationException(
         s"DataObject $id: $opTag commit contention — $attempt attempts lost the rename race")
+      // re-read the committed schema per attempt: a concurrent append's
+      // union evolution must not be regressed by our stale DDL (same rule
+      // as writeDataFrame/optimize); our staged files null-fill any
+      // evolved column under the fresh schema
+      val freshSchema = readState(None).flatMap(_.schemaDdl).getOrElse(schema.toDDL)
       commitV = fresh.max + 1
-      done = tryCommit(Commit(commitV, added, touched, Some(schema.toDDL), stats, op = opTag))
+      done = tryCommit(Commit(commitV, added, touched, Some(freshSchema), stats, op = opTag))
     }
     commitV
   }
@@ -1188,8 +1224,10 @@ case class VersionedTableDataObject(id: String, path: String,
     if (st.dv.isEmpty) return 0
     val schema = st.schema.getOrElse(
       throw new IllegalStateException(s"DataObject $id: no committed schema"))
+    // tombstones store scan-derived (URI-encoded) rels; decode before
+    // matching the log's filesystem names
     val tombstoned = readDvVersions(st.dv).select("file").distinct()
-      .collect().map(_.getString(0)).toSet
+      .collect().map(r => decodeRel(r.getString(0))).toSet
     val targets = st.files.filter(tombstoned)
     val v = st.version + 1
     if (targets.isEmpty) {
@@ -1385,10 +1423,17 @@ case class VersionedTableDataObject(id: String, path: String,
     val common = (filesFrom & filesTo).toSeq
     val dvDeleted = stTo.dv.filterNot(stFrom.dv.contains)
     val dvRestored = stFrom.dv.filterNot(stTo.dv.contains)
-    def dvDelta(include: Seq[Int], exclude: Seq[Int]): Option[DataFrame] =
+    def dvDelta(include: Seq[String], exclude: Seq[String]): Option[DataFrame] =
       if (include.isEmpty || common.isEmpty) None
       else {
-        val base = readFilesRaw(common, Some(schema), allStats)
+        // scan ONLY the files the delta tombstones actually reference
+        // (tiny driver-side collect of the DV file column) — a one-row DV
+        // delete must cost O(its files), never O(table), per CDC commit
+        val touchedByDv = readDvVersions(include).select("file").distinct()
+          .collect().map(r => decodeRel(r.getString(0))).toSet
+        val scanFiles = common.filter(touchedByDv)
+        if (scanFiles.isEmpty) return None
+        val base = readFilesRaw(scanFiles, Some(schema), allStats)
           .withColumn("_graft_dv_rel", relFileExpr)
           .withColumn("_graft_dv_ri", col("_metadata.row_index"))
         val inc = readDvVersions(include)
@@ -1405,7 +1450,7 @@ case class VersionedTableDataObject(id: String, path: String,
           }
         Some(survived.select(cols.map(c => col(s"`$c`")): _*))
       }
-    def side(files: Seq[String], dv: Seq[Int], extra: Option[DataFrame], tag: String) = {
+    def side(files: Seq[String], dv: Seq[String], extra: Option[DataFrame], tag: String) = {
       val base = readFiles(files, Some(schema), allStats, dv)
         .select(cols.map(c => col(s"`$c`")): _*)
       extra.fold(base)(base.unionByName(_))
@@ -1589,7 +1634,12 @@ case class VersionedTableDataObject(id: String, path: String,
       attempt += 1
       val fresh = listLog._1
       val concurrent = fresh.filter(_ >= v).map(parseCommit)
-      if (concurrent.flatMap(_.removed).exists(scopedSet))
+      // dvSet-bearing commits conflict for the same reason removed files
+      // do: the compacted output was read through the OLD dv view, so
+      // committing it would resurrect a concurrently tombstoned row (or
+      // drop a concurrent restore's revert)
+      if (concurrent.flatMap(_.removed).exists(scopedSet) ||
+          concurrent.exists(_.dvSet.isDefined))
         throw new java.util.ConcurrentModificationException(
           s"DataObject $id: concurrent commit(s) ${concurrent.map(_.version).mkString(",")} " +
             "rewrote files this OPTIMIZE compacted — re-run against the new state")
@@ -1717,11 +1767,11 @@ case class VersionedTableDataObject(id: String, path: String,
             op = "VACUUM_REBASE", dvSet = Some(s.dv))))
       }
     }
-    // outstanding deletion vectors are MATERIALIZED (touched files
-    // rewritten clean, DV set emptied — Delta's REORG…APPLY(PURGE)) before
-    // the horizon is cut: the rebased base must not depend on DV files
-    // that retention is about to make unreachable
-    materializeDeletionVectors()
+    // deletion vectors need no materialization here: every DV dir a
+    // retained snapshot references survives the sweep (retainedDv below),
+    // and the rebased base commit carries the horizon state's dv list —
+    // vacuum defers the rewrite exactly like Delta's VACUUM does
+    // (materializeDeletionVectors() is the explicit REORG-style purge)
     val log = readLog
     val cut = log.map(_.version).sorted.takeRight(retainVersions).headOption.getOrElse(0)
     val (old, kept) = log.partition(_.version < cut)
@@ -1805,13 +1855,17 @@ case class VersionedTableDataObject(id: String, path: String,
         case _ =>
       })
     }
-    // deletion-vector dirs: drop those no retained snapshot references
-    // (materialization above emptied the head's set; older retained
-    // versions may still time-travel through theirs)
+    // deletion-vector dirs: drop those no retained snapshot references —
+    // guarded like the data-file orphan sweep: only dirs versioned BELOW
+    // the horizon (an in-flight delete stages at head+1 ≥ cut) and past
+    // the age guard (a slow writer's staged-but-uncommitted tombstones
+    // survive), so a concurrent deleteViaDv can never lose its dir
     if (fs.exists(dvDir)) {
-      val dvVer = """v(\d{8})""".r
+      val dvName = """v(\d{8})-.*""".r
       fs.listStatus(dvDir).foreach(d => d.getPath.getName match {
-        case dvVer(v) if !retainedDv.contains(v.toInt) => fs.delete(d.getPath, true)
+        case dvName(v) if v.toInt < cut && !retainedDv.contains(d.getPath.getName) &&
+            d.getModificationTime < horizon =>
+          fs.delete(d.getPath, true)
         case _ =>
       })
     }

@@ -97,8 +97,9 @@ class DeletionSpec extends AnyFunSuite {
     assert(t.getDataFrame().select("k").as[Int].collect().toSet == (4 to 10).toSet)
     // pre-delete snapshot still reads the full table
     assert(t.getDataFrameAsOf(Some(0)).count() == 10)
-    // the state carries the DV version
-    assert(t.readState(None).get.dv == Seq(1))
+    // the state carries the DV dir (writer-unique, version-prefixed)
+    val dv = t.readState(None).get.dv
+    assert(dv.size == 1 && dv.head.startsWith("v00000001-"))
   }
 
   test("second DV delete tombstones only newly-matching rows") {
@@ -109,7 +110,8 @@ class DeletionSpec extends AnyFunSuite {
     // overlapping predicate: only k=1 is newly matched (2 is already dead)
     assert(t.deleteWhere("k <= 2") == 1L)                                         // v2: 1
     assert(t.getDataFrame().select("k").as[Int].collect().toSet == Set(3, 5))
-    assert(t.readState(None).get.dv == Seq(1, 2))
+    val dv = t.readState(None).get.dv
+    assert(dv.size == 2 && dv(0).startsWith("v00000001-") && dv(1).startsWith("v00000002-"))
   }
 
   test("DV delete feeds CDC and the change feed; restore reverts tombstones as inserts") {
@@ -158,7 +160,7 @@ class DeletionSpec extends AnyFunSuite {
     assert(t.materializeDeletionVectors() == 0)
   }
 
-  test("VACUUM on a DV table materializes first and sweeps unreferenced DV dirs") {
+  test("VACUUM defers DVs (retained refs survive); materialization + re-vacuum sweeps them") {
     val dir = Files.createTempDirectory("graft-dv").toString
     val t = VersionedTableDataObject("dv6", s"$dir/t", deletionVectors = true)
     t.writeDataFrame((1 to 6).map(i => (i, s"v$i")).toDF("k", "v"))               // v0
@@ -166,12 +168,38 @@ class DeletionSpec extends AnyFunSuite {
     t.writeDataFrame(Seq((7, "v7")).toDF("k", "v"),
       saveMode = Some(SdlSaveMode.Append))                                        // v2
     t.vacuum(retainVersions = 1, orphanRetentionMillis = 0)
-    // post-vacuum head reads correctly with NO active DVs
+    // vacuum DEFERS the rewrite (Delta semantics): the head still reads
+    // through its DV, whose dir survives because the retained snapshot
+    // references it
+    assert(t.readState(None).get.dv.size == 1)
+    assert(t.getDataFrame().select("k").as[Int].collect().toSet == (2 to 7).toSet)
+    val dvRoot = new java.io.File(s"$dir/t/_graft_dv")
+    assert(dvRoot.exists && dvRoot.listFiles.nonEmpty)
+    // explicit purge + another vacuum: now nothing references the dir
+    assert(t.materializeDeletionVectors() == 1)
+    t.vacuum(retainVersions = 1, orphanRetentionMillis = 0)
     assert(t.readState(None).get.dv.isEmpty)
     assert(t.getDataFrame().select("k").as[Int].collect().toSet == (2 to 7).toSet)
-    // DV dirs unreferenced by any retained snapshot are swept
-    val dvRoot = new java.io.File(s"$dir/t/_graft_dv")
     assert(!dvRoot.exists || dvRoot.listFiles.isEmpty)
+  }
+
+  test("DELETE and DV delete handle partition values that URL-encode in scan URIs") {
+    // partition value 'a b' scans as 'p=a%20b' via input_file_name(), but
+    // the log stores the decoded name — the touched-set match must decode
+    val dir = Files.createTempDirectory("graft-enc").toString
+    val t = VersionedTableDataObject("enc1", s"$dir/t", partitions = Seq("p"))
+    t.writeDataFrame(Seq((1, "a b"), (2, "a b"), (3, "plain")).toDF("k", "p"))
+    assert(t.deleteWhere("k = 1") == 1L)                            // CoW in encoded partition
+    assert(t.getDataFrame().select("k").as[Int].collect().toSet == Set(2, 3))
+
+    val t2 = VersionedTableDataObject("enc2", s"$dir/t2", partitions = Seq("p"),
+      deletionVectors = true)
+    t2.writeDataFrame(Seq((1, "a b"), (2, "a b"), (3, "plain")).toDF("k", "p"))
+    assert(t2.deleteWhere("k = 2") == 1L)                           // DV in encoded partition
+    assert(t2.getDataFrame().select("k").as[Int].collect().toSet == Set(1, 3))
+    // materialization must find the encoded-partition file as a target
+    assert(t2.materializeDeletionVectors() == 1)
+    assert(t2.getDataFrame().select("k").as[Int].collect().toSet == Set(1, 3))
   }
 
   test("DV state survives the checkpoint shadow") {
@@ -182,8 +210,9 @@ class DeletionSpec extends AnyFunSuite {
     t.deleteWhere("k = 5")                                                        // v1 (DV)
     t.writeDataFrame(Seq((6, "v6")).toDF("k", "v"),
       saveMode = Some(SdlSaveMode.Append))                                        // v2 → checkpoint
-    // state read through the checkpoint must still carry dv=[1]
-    assert(t.readState(Some(2)).get.dv == Seq(1))
+    // state read through the checkpoint must still carry the DV dir
+    val cpDv = t.readState(Some(2)).get.dv
+    assert(cpDv.size == 1 && cpDv.head.startsWith("v00000001-"))
     assert(t.getDataFrame().select("k").as[Int].collect().toSet == Set(1, 2, 3, 4, 6))
   }
 }
