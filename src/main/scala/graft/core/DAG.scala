@@ -107,6 +107,18 @@ class ActionDAGRun(actions: Seq[Action], parallelism: Int = 1,
               (implicit ctx: ActionPipelineContext): Map[String, Seq[SubFeed]] =
     runPhase(ExecutionPhase.Init, initialSubFeeds)(ctx)
 
+  /** Is [[graft.plans.PlanHasNoDataException]] anywhere in the cause
+    * chain? Executor-side throws arrive wrapped in SparkException. */
+  private def planHasNoData(e: Throwable): Boolean = {
+    var c: Throwable = e
+    var depth = 0
+    while (c != null && depth < 10) {
+      if (c.isInstanceOf[graft.plans.PlanHasNoDataException]) return true
+      c = c.getCause; depth += 1
+    }
+    false
+  }
+
   /** Dependency-triggered scheduling: an action starts the moment ITS
     * predecessors complete, not when a whole topological layer drains
     * (reference `util/dag/DAG.scala:106-141` schedules per-task the same
@@ -194,7 +206,13 @@ class ActionDAGRun(actions: Seq[Action], parallelism: Int = 1,
         results(action.id) = out
         if (phase == ExecutionPhase.Exec) onActionComplete(action.id, out)
       } catch {
-        case w: NoDataToProcessWarning =>
+        // PlanHasNoDataException is AssertNotEmpty's executor-side signal
+        // (documented contract: the DAG marks the action SKIPPED, like the
+        // reference's SparkPlanNoDataWarning → NoDataToProcessWarning
+        // mapping); it surfaces wrapped in a SparkException, so the cause
+        // chain is walked
+        case e: Throwable if e.isInstanceOf[NoDataToProcessWarning] ||
+            planHasNoData(e) =>
           // the mode's apply may already have installed shared read state
           // (a mod-time upper bound, a file snapshot) before the skip was
           // decided — release it without advancing any watermark

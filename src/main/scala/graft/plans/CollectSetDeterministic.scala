@@ -27,6 +27,22 @@ case class CollectSetDeterministic(
 
   override lazy val deterministic: Boolean = true
 
+  // same guard as Spark's CollectSet: MapData has identity equality, so a
+  // map child would never deduplicate (unbounded buffer + duplicate-laden
+  // "set") — reject at analysis
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    if (!hasMap(child.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "collect_set_deterministic() cannot have map type data")
+  }
+
   override def createAggregationBuffer(): mutable.HashSet[Any] = mutable.HashSet.empty
 
   override protected def convertToBufferElement(value: Any): Any = InternalRow.copyValue(value)

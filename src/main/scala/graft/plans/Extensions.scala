@@ -28,6 +28,12 @@ case class AssertNotEmptyExec(child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override protected def doExecute(): RDD[InternalRow] = {
     val rdd = child.execute()
+    // accepted trade: isEmpty() probes partitions incrementally (first
+    // non-empty wins), so a non-empty child recomputes only its first
+    // partition; the full double-scan happens only on an EMPTY child,
+    // where the job is about to fail/skip anyway — caching the probe
+    // would pin the child in memory on every healthy run to save work
+    // on the failure path
     if (rdd.isEmpty()) throw new PlanHasNoDataException(
       "AssertNotEmpty: child plan produced no rows")
     rdd

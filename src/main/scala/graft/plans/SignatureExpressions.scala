@@ -231,7 +231,9 @@ object PortableSimhashKernel {
     val s = text.toString
     val len = s.codePointCount(0, s.length)
     val count = math.max(len - n + 1, 1)
-    val seen = new java.util.HashSet[String](math.min(count * 2, 1 << 20))
+    // clamp BEFORE doubling: count*2 wraps negative for >= 2^30-codepoint
+    // documents, and HashSet(negative) throws
+    val seen = new java.util.HashSet[String](math.min(count, 1 << 19) * 2)
     val md = java.security.MessageDigest.getInstance("MD5")
     val counts = new Array[Int](bits)
     var charIdx = 0

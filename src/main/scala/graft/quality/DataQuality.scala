@@ -62,6 +62,19 @@ case class UniqueKeyExpectation(name: String = "uniqueKey", keyCols: Seq[String]
     approximate: Boolean = false, approximateRsd: Double = 0.05,
     override val scope: ExpectationScope = ExpectationScope.All,
     override val failOnError: Boolean = false) extends Expectation {
+  // an HLL estimate is almost never EXACTLY 1.0 — the exact-equality
+  // default would fail perfectly-unique data (and pass mildly-duplicated
+  // data that estimates low). Force an explicit tolerance.
+  require(!approximate || !expectation.contains("value = 1"),
+    s"Expectation '$name': approximate=true needs a tolerance condition " +
+      s"""(e.g. expectation = Some("value >= ${1.0 - 3 * approximateRsd}")) — """ +
+      "the exact-equality default 'value = 1' cannot hold for an HLL estimate")
+  // Job scope evaluates inside Dataset.observe, and Catalyst rejects
+  // exact distinct aggregates in observed metrics — fail at construction,
+  // not with an AnalysisException mid-write
+  require(scope != ExpectationScope.Job || approximate,
+    s"Expectation '$name': Job scope computes inside Dataset.observe, which " +
+      "disallows exact count_distinct — use approximate=true or scope All")
   def aggExpr: Column = {
     val distinctCnt =
       if (approximate) approx_count_distinct(struct(keyCols.map(col): _*), approximateRsd)
@@ -146,6 +159,15 @@ object DataQualityValidation {
          _: TransferRateExpectation => false
     case _ => true
   }
+
+  /** Does ANY expectation need the post-write table pass? Not just
+    * `scope != Job`: a Job-scoped SQLQueryExpectation is excluded from
+    * observe() (it runs its own query) and is ONLY evaluated by
+    * [[evaluateAgainstTable]] — keying the table pass off scope alone
+    * silently skips that gate. */
+  def needsTableEvaluation(expectations: Seq[Expectation]): Boolean =
+    expectations.exists(e => e.scope != ExpectationScope.Job ||
+      e.isInstanceOf[SQLQueryExpectation])
 
   def observeExpectations(df: DataFrame, expectations: Seq[Expectation])
       : (DataFrame, Option[org.apache.spark.sql.Observation]) = {

@@ -421,7 +421,7 @@ abstract class SparkFileDataObject extends DataObject
     val jobMetrics = expObs.map(o =>
       graft.quality.DataQualityValidation.evaluateObserved(o, expectations)).getOrElse(Map.empty)
     val tableMetrics =
-      if (expectations.exists(_.scope != graft.quality.ExpectationScope.Job))
+      if (graft.quality.DataQualityValidation.needsTableEvaluation(expectations))
         graft.quality.DataQualityValidation.evaluateAgainstTable(getDataFrame(), expectations, partitions)
       else Map.empty[String, Any]
     val duration = System.currentTimeMillis() - t0

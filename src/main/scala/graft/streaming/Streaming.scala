@@ -88,6 +88,11 @@ case class StreamingDedupTransformer(
     withinWatermark: Option[String] = None) extends DfTransformer {
   require(withinWatermark.isEmpty || eventTimeColumn.nonEmpty,
     "withinWatermark needs eventTimeColumn for the watermark")
+  // dropDuplicates(Seq.empty) is a GLOBAL dedup — Catalyst collapses the
+  // whole dataset to one arbitrary row; a config that omits keyColumns
+  // must fail at construction, not silently destroy the stream
+  require(keyColumns.nonEmpty,
+    "StreamingDedupTransformer: keyColumns must be non-empty")
   override def transform(df: DataFrame, dataObjectId: String = "")(implicit ctx: ActionPipelineContext): DataFrame =
     (withinWatermark, eventTimeColumn) match {
       case (Some(d), Some(ts)) if df.isStreaming =>

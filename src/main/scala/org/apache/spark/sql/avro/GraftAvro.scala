@@ -48,13 +48,30 @@ case class GraftAvroDecode(child: Expression, jsonFormatSchema: String)
     val binary = input.asInstanceOf[Array[Byte]]
     decoder = DecoderFactory.get().binaryDecoder(binary, 0, binary.length, decoder)
     result = reader.read(result, decoder)
-    deserializer.deserialize(result).getOrElse(null)
+    // a writer union ["null", T] encoding null decodes to a null datum —
+    // short-circuit BEFORE the deserializer, whose primitive row updater
+    // would coerce it to the type's zero value (0 for long) instead of
+    // SQL NULL
+    if (result == null) null
+    else deserializer.deserialize(result).getOrElse(null)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val expr = ctx.addReferenceObj("this", this)
-    nullSafeCodeGen(ctx, ev, eval =>
-      s"${ev.value} = (${CodeGenerator.boxedType(dataType)}) $expr.nullSafeEval($eval);")
+    // nullSafeEval can RETURN null (writer union ["null", T] encoding a
+    // null value): the generated code must set isNull like Spark's own
+    // AvroDataToCatalyst does — assigning null into a primitive slot
+    // auto-unboxes to an NPE, and a null struct with isNull=false NPEs
+    // the downstream UnsafeProjection
+    nullSafeCodeGen(ctx, ev, eval => {
+      val tmp = ctx.freshName("avroResult")
+      s"""Object $tmp = $expr.nullSafeEval($eval);
+         |if ($tmp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = (${CodeGenerator.boxedType(dataType)}) $tmp;
+         |}""".stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): GraftAvroDecode =

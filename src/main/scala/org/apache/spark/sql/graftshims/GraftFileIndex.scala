@@ -51,12 +51,17 @@ class GraftPrunedFileIndex(
   override def rootPaths: Seq[Path] = Seq(root)
   override def partitionSchema: StructType = partSchema
 
-  /** raw path string → typed partition value (standard string-cast rules) */
+  /** raw path string → typed partition value (standard string-cast rules).
+    * The cast zone must be the SESSION timezone: partitionBy formats
+    * timestamp partition values in the write session's zone, so casting
+    * back under a hardcoded UTC would shift the materialized column and
+    * mis-prune session-zone filters. */
   private def partValue(raw: String, i: Int): Any =
     if (raw == null) null
     else if (partSchema(i).dataType == StringType) UTF8String.fromString(raw)
     else Cast(Literal(UTF8String.fromString(raw), StringType),
-      partSchema(i).dataType, Some("UTC")).eval(null)
+      partSchema(i).dataType,
+      Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)).eval(null)
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {

@@ -190,6 +190,17 @@ class ConnectorsSpec extends AnyFunSuite {
         monotonically_increasing_id().as("offset"),
         lit(new java.sql.Timestamp(0)).as("timestamp"))
 
+    // union-null wire value: avro binary 0x00 = union branch 0 (null) —
+    // the decode must SET isNull, not unbox null into a primitive slot
+    locally {
+      val unionSchema = """["null","long"]"""
+      val bytes = Seq(Array[Byte](0), Array[Byte](2, 10)).toDF("b") // null; long 5
+      val got = bytes.select(org.apache.spark.sql.avro.GraftAvroFunctions
+        .from_avro($"b", unionSchema).as("v")).collect()
+      assert(got(0).isNullAt(0))
+      assert(got(1).getLong(0) == 5L)
+    }
+
     // plain avro: to_avro → from_avro under an explicit writer schema
     val plain = KafkaTopicDataObject("ka", "t", "b:9092",
       valueType = "avro", valueAvroSchema = Some(schema2))

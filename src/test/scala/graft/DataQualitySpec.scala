@@ -77,6 +77,38 @@ class DataQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("Job-scoped SQLQueryExpectation is evaluated, not silently skipped") {
+    implicit val ctx: ActionPipelineContext = newCtx()
+    val dir = Files.createTempDirectory("graft-dq").toString
+    // the ONLY expectation is Job-scoped + query-based: it is excluded
+    // from observe() and must still trigger the table pass
+    val out = ParquetFileDataObject("out", s"$dir/out",
+      expectations = Seq(SQLQueryExpectation("gate",
+        "SELECT count(*) FROM %{inputViewName} WHERE v < 0",
+        Some("value = 0"), scope = ExpectationScope.Job, failOnError = true)))
+    val m = out.writeDataFrame(Seq((1, 10)).toDF("id", "v"))
+    assert(m.observedMetrics("gate") == 0L)
+    intercept[ExpectationViolation] {
+      out.writeDataFrame(Seq((2, -5)).toDF("id", "v"), saveMode = Some(SdlSaveMode.Append))
+    }
+  }
+
+  test("UniqueKeyExpectation rejects unusable configs at construction") {
+    // approximate + exact-equality default: an HLL estimate is never
+    // exactly 1.0 — require an explicit tolerance
+    intercept[IllegalArgumentException] {
+      UniqueKeyExpectation("uk", Seq("id"), approximate = true)
+    }
+    // Job scope + exact distinct: observe() rejects count_distinct
+    intercept[IllegalArgumentException] {
+      UniqueKeyExpectation("uk", Seq("id"), scope = ExpectationScope.Job)
+    }
+    // valid forms construct
+    UniqueKeyExpectation("uk", Seq("id"), Some("value >= 0.95"), approximate = true)
+    UniqueKeyExpectation("uk", Seq("id"), Some("value >= 0.95"), approximate = true,
+      scope = ExpectationScope.Job)
+  }
+
   test("expectation conditions bind TYPED metrics: timestamps and NaN compare, never splice") {
     implicit val ctx: ActionPipelineContext = newCtx()
     val dir = Files.createTempDirectory("graft-dq").toString

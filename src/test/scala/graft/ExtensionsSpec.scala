@@ -69,4 +69,28 @@ class ExtensionsSpec extends AnyFunSuite {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftSparkExtension()(ext)
   }
+
+  test("the DAG maps PlanHasNoDataException to a SKIP, even wrapped executor-side") {
+    import graft.core._
+    val reg = new InstanceRegistry
+    val dir = java.nio.file.Files.createTempDirectory("graft-nodata").toString
+    reg.register(graft.sources.ParquetFileDataObject("out", s"$dir/out"))
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    // an action whose plan hits AssertNotEmpty on empty input: the DAG
+    // must mark it skipped (the documented NoDataToProcessWarning
+    // mapping), not fail the run
+    val throwing = new graft.operators.Action {
+      def id = "noData"
+      def inputIds = Seq.empty
+      def outputIds = Seq("out")
+      override def init(subFeeds: Seq[SubFeed])(implicit ctx: ActionPipelineContext) =
+        Seq(SubFeed("out"))
+      override def exec(subFeeds: Seq[SubFeed])(implicit ctx: ActionPipelineContext) =
+        // executor-side throws arrive wrapped (SparkException-like)
+        throw new RuntimeException("Job aborted",
+          new PlanHasNoDataException("AssertNotEmpty: child plan produced no rows"))
+    }
+    val results = new ActionDAGRun(Seq(throwing)).run()
+    assert(results("noData").forall(_.isSkipped))
+  }
 }
