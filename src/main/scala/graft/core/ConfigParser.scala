@@ -223,7 +223,9 @@ object ConfigParser {
           primaryKey = strSeq(n, "primaryKey"),
           checkpointInterval = int(n, "checkpointInterval").getOrElse(10),
           partitions = strSeq(n, "partitions"),
-          changeDataFeed = bool(n, "changeDataFeed"))
+          changeDataFeed = bool(n, "changeDataFeed"),
+          deletionVectors = bool(n, "deletionVectors"),
+          constraints = constraints, expectations = expectations)
       case "KafkaTopicDataObject" | "kafka" =>
         KafkaTopicDataObject(id, require(str(n, "topic"), id, "topic"),
           brokers = str(n, "brokers").getOrElse("localhost:9092"),

@@ -63,9 +63,18 @@ case class VersionedTableDataObject(id: String, path: String,
                                       * positions under `_graft_dv/` instead of rewriting the
                                       * touched files — a delete costs O(matched rows), not
                                       * O(touched-file rewrite); every read anti-joins the active
-                                      * DV set. OPTIMIZE rewrites files clean; VACUUM materializes
-                                      * outstanding DVs before truncating history. */
-                                    deletionVectors: Boolean = false)
+                                      * DV set. OPTIMIZE rewrites files clean; VACUUM sweeps only
+                                      * unreferenced tombstone dirs. */
+                                    deletionVectors: Boolean = false,
+                                    /** row-level CHECK constraints enforced during every write,
+                                      * merge and update (the Delta CHECK-constraint/invariant
+                                      * design: raise_error rides the write plan, zero extra
+                                      * scans) */
+                                    constraints: Seq[graft.quality.Constraint] = Seq.empty,
+                                    /** dataset-level expectations validated around writes, same
+                                      * machinery as the file/table objects (reference attaches
+                                      * them to DeltaLakeTableDataObject the same way) */
+                                    expectations: Seq[graft.quality.Expectation] = Seq.empty)
   extends DataObject with CanCreateDataFrame with CanWriteDataFrame with CanMergeDataFrame
   with CanWriteStreamingDataFrame with CanCreateStreamingDataFrame
   with CanCreateIncrementalOutput with CanHandlePartitions {
@@ -853,7 +862,12 @@ case class VersionedTableDataObject(id: String, path: String,
     val append = saveMode.contains(SdlSaveMode.Append)
     val dynamic = saveMode.contains(SdlSaveMode.OverwriteOptimized) && partitions.nonEmpty
     val v0 = latestVersion.map(_ + 1).getOrElse(0)
-    val (added, stats) = stage(df, v0)
+    // data quality rides the staging write: constraints raise_error per
+    // row, Job-scope expectations observe — zero extra scans
+    val constrained = graft.quality.DataQualityValidation.applyConstraints(df, constraints)
+    val (instrumented, expObs) =
+      graft.quality.DataQualityValidation.observeExpectations(constrained, expectations)
+    val (added, stats) = stage(instrumented, v0)
     // dynamic partition overwrite: supersede exactly the partitions the
     // staged files landed in — known from staging, zero extra jobs
     val writtenPvs = if (dynamic) stats.values.map(_.pv).filter(_.nonEmpty).toSet else Set.empty[Map[String, String]]
@@ -885,7 +899,16 @@ case class VersionedTableDataObject(id: String, path: String,
         s"DataObject $id: commit contention — $attempt attempts lost the rename race")
     }
     writeCdcCommit(committedV)
-    ActionMetrics(recordsWritten = rowsOf(stats), durationMillis = System.currentTimeMillis() - t0)
+    // expectations evaluate AFTER the commit: Job metrics off the staged
+    // write's observation, table-scope (All/query) off the fresh snapshot
+    val jobMetrics = expObs.map(o =>
+      graft.quality.DataQualityValidation.evaluateObserved(o, expectations)).getOrElse(Map.empty)
+    val tableMetrics =
+      if (graft.quality.DataQualityValidation.needsTableEvaluation(expectations))
+        graft.quality.DataQualityValidation.evaluateAgainstTable(getDataFrame(), expectations, partitions)
+      else Map.empty[String, Any]
+    ActionMetrics(recordsWritten = rowsOf(stats), durationMillis = System.currentTimeMillis() - t0,
+      observedMetrics = jobMetrics ++ tableMetrics)
   }
 
   /** Copy-on-write gives staged self-overwrite for free: the new version's
@@ -989,7 +1012,10 @@ case class VersionedTableDataObject(id: String, path: String,
       df.schema.fields.filterNot(f => committed.exists(_.name.equalsIgnoreCase(f.name)) ||
         options.insertColumnsToIgnore.contains(f.name)))
     val schemaOpt = Some(schema)
-    val feed = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // CHECK constraints gate merge feeds too (Delta invariant semantics):
+    // the raise_error wrapper fires during the feed's first materialization
+    val feed = graft.quality.DataQualityValidation.applyConstraints(df, constraints)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // one tiny agg: feed size + per-join-col bounds and null presence
       val aggs = count(lit(1)).as("_n") +:
@@ -1161,13 +1187,16 @@ case class VersionedTableDataObject(id: String, path: String,
     val hit = coalesce(pred, lit(false))
     // single select from the pre-image: every RHS evaluates against OLD
     // values even when its own column is assigned
-    val updated = readFiles(touched, Some(schema), st0.stats, st0.dv)
+    val updated0 = readFiles(touched, Some(schema), st0.stats, st0.dv)
       .select(schema.fields.map { f =>
         assignments.get(f.name) match {
           case Some(rhs) => when(hit, expr(rhs).cast(f.dataType)).otherwise(col(s"`${f.name}`")).as(f.name)
           case None => col(s"`${f.name}`")
         }
       }.toIndexedSeq: _*)
+    // an UPDATE can move rows OUT of a CHECK constraint — enforce on the
+    // rewrite like Delta does
+    val updated = graft.quality.DataQualityValidation.applyConstraints(updated0, constraints)
     val v0 = st0.version + 1
     val (added, stats) = stage(updated, v0)
     val commitV = dmlCommitLoop(v0, added, touched, schema, stats, "UPDATE")

@@ -202,6 +202,32 @@ class DeletionSpec extends AnyFunSuite {
     assert(t2.getDataFrame().select("k").as[Int].collect().toSet == Set(1, 3))
   }
 
+  test("CHECK constraints + expectations gate versioned-table writes, merges and updates") {
+    import graft.quality._
+    val dir = Files.createTempDirectory("graft-cc").toString
+    val t = VersionedTableDataObject("cc1", s"$dir/t", primaryKey = Seq("k"),
+      constraints = Seq(Constraint("positive", "v > 0", Seq("k"))),
+      expectations = Seq(SQLExpectation("row_cnt", "count(*)", Some("value >= 1"),
+        failOnError = true)))
+    val m = t.writeDataFrame(Seq((1, 10), (2, 20)).toDF("k", "v"))
+    assert(m.observedMetrics("row_cnt") == 2L)
+    // write violating the constraint aborts before any commit
+    val headBefore = t.latestVersion
+    intercept[Exception](t.writeDataFrame(Seq((3, -1)).toDF("k", "v"),
+      saveMode = Some(SdlSaveMode.Append)))
+    assert(t.latestVersion == headBefore)
+    // merge feed violating the constraint aborts too
+    intercept[Exception](t.mergeDataFrame(Seq((1, -9)).toDF("k", "v"), Seq("k")))
+    assert(kv2(t.getDataFrame()) == Set((1, 10), (2, 20)))
+    // update moving a row out of the constraint aborts; a legal one lands
+    intercept[Exception](t.updateWhere(Map("v" -> "-v"), "k = 1"))
+    t.updateWhere(Map("v" -> "v + 1"), "k = 1")
+    assert(kv2(t.getDataFrame()) == Set((1, 11), (2, 20)))
+  }
+
+  private def kv2(df: org.apache.spark.sql.DataFrame): Set[(Int, Int)] =
+    df.select("k", "v").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+
   test("DV state survives the checkpoint shadow") {
     val dir = Files.createTempDirectory("graft-dv").toString
     val t = VersionedTableDataObject("dv7", s"$dir/t", checkpointInterval = 2,
