@@ -343,7 +343,14 @@ abstract class SparkFileDataObject extends DataObject
       else observed.repartition(n)
     }
     val writer0 = repartitioned.write.format(format).options(options)
-    val writer = if (partitions.nonEmpty) writer0.partitionBy(partitions: _*) else writer0
+    // pin the overwrite mode PER WRITE: the writer option overrides the
+    // session conf, so a concurrent JDBC/Hive dynamic overwrite (which
+    // must set the SESSION conf for its analysis-time check) can never
+    // leak dynamic semantics into this static overwrite — partitions
+    // absent from the feed are meant to be dropped here
+    val writer = if (partitions.nonEmpty)
+      writer0.partitionBy(partitions: _*).option("partitionOverwriteMode", "static")
+    else writer0
     // stage metrics per write (reference SparkStageMetricsListener)
     val (_, stageMetrics) = StageMetrics.collect(ctx.spark.sparkContext, id) {
       mode match {

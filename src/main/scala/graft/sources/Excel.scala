@@ -99,11 +99,13 @@ object XlsxCodec {
         .getOrElse(throw new IllegalArgumentException(s"xlsx sheet '$n' not found (has ${all.map(_._1).mkString(",")})"))
       case None => all.head._2
     }
-    // rels: rid → target (e.g. worksheets/sheet1.xml)
+    // rels: rid → target (e.g. worksheets/sheet1.xml). A MISSING rels part
+    // must hit the sheet1.xml fallback below — an XML reader over empty
+    // bytes throws "premature end of file" before the fallback is reached
     val rels = parts.getOrElse("xl/_rels/workbook.xml.rels", Array.emptyByteArray)
-    val rr = xmlReader(rels)
     var target: String = null
-    while (rr.hasNext && target == null) {
+    val rr = if (rels.isEmpty) null else xmlReader(rels)
+    while (rr != null && rr.hasNext && target == null) {
       if (rr.next() == javax.xml.stream.XMLStreamConstants.START_ELEMENT && rr.getLocalName == "Relationship") {
         var id = ""; var t = ""
         for (i <- 0 until rr.getAttributeCount) {
@@ -330,7 +332,10 @@ case class ExcelFileDataObject(
                               saveMode: Option[SdlSaveMode] = None)
                              (implicit ctx: ActionPipelineContext): ActionMetrics = {
     val t0 = System.currentTimeMillis()
-    val rows = df.collect() // bounded: xlsx caps at 1,048,576 rows by format
+    // take(cap+1), NOT collect(): the cap check must fire BEFORE an
+    // oversized frame is pulled to the driver — take streams only the
+    // needed rows, so a 100M-row mistake fails loudly instead of OOMing
+    val rows = df.take(1048576)
     require(rows.length <= 1048575, s"DataObject $id: xlsx format caps at 1,048,575 data rows")
     val bytes = XlsxCodec.write(
       if (useHeader) df.columns.toSeq else Seq.empty,
@@ -347,7 +352,12 @@ case class ExcelFileDataObject(
         parts().foreach(fs.delete(_, false))
         new org.apache.hadoop.fs.Path(hadoopPath, "part-0000.xlsx")
       case SdlSaveMode.Append => // a NEW part file per append, like any file sink
-        new org.apache.hadoop.fs.Path(hadoopPath, f"part-${parts().size}%04d.xlsx")
+        // max existing index + 1, not count(): gapped numbering (a deleted
+        // part) would make count collide with a live part and overwrite it
+        val next = parts().flatMap(p =>
+          "part-(\\d+)\\.xlsx".r.findFirstMatchIn(p.getName).map(_.group(1).toInt))
+          .maxOption.map(_ + 1).getOrElse(0)
+        new org.apache.hadoop.fs.Path(hadoopPath, f"part-$next%04d.xlsx")
       case SdlSaveMode.ErrorIfExists =>
         require(parts().isEmpty, s"DataObject $id: $path already holds workbooks")
         new org.apache.hadoop.fs.Path(hadoopPath, "part-0000.xlsx")

@@ -3,7 +3,7 @@ package graft.sources
 import graft.core._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.hadoop.fs.Path
 
 /** XML files via Spark 4's built-in XML source (`rowTag`). Reference:
@@ -90,12 +90,16 @@ case class RelaxedCsvFileDataObject(
     val files = {
       val it = fs.listFiles(hadoopPath, true)
       val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
+      val baseUri = hadoopPath.toUri.getPath.stripSuffix("/")
       while (it.hasNext) {
         val f = it.next()
-        val n = f.getPath.getName
+        // hidden/metadata filter on EVERY path component: .schema/ and
+        // .sample/ metadata written by the base class live under the data
+        // path — a leaf-name-only check would ingest them as CSV
+        val rel = f.getPath.toUri.getPath.stripPrefix(baseUri).stripPrefix("/")
+        val hidden = rel.split('/').exists(c => c.startsWith("_") || c.startsWith("."))
         val t = f.getModificationTime
-        if (!n.startsWith("_") && !n.startsWith(".") &&
-            after.forall(t > _) && before.forall(t < _)) buf += f.getPath
+        if (!hidden && after.forall(t > _) && before.forall(t < _)) buf += f.getPath
       }
       buf.toSeq
     }
@@ -105,10 +109,21 @@ case class RelaxedCsvFileDataObject(
     val byHeader: Map[String, Seq[Path]] = groupByHeader(files)
     val parts = byHeader.toSeq.sortBy(_._1).map { case (_, group) =>
       val r0 = ctx.spark.read.options(options)
-      val r1 = corruptRecordColumn.fold(r0)(c =>
-        r0.option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", c))
-      // each header group parses with its OWN columns; aligned below
-      val df = r1.option("inferSchema", "true").csv(group.map(_.toString): _*)
+      // each header group parses with its OWN columns; aligned below.
+      // Spark only materializes columnNameOfCorruptRecord when it appears
+      // in an EXPLICIT schema — with pure inference the option is a no-op
+      // and malformed rows silently null-fill; so with a corrupt column
+      // configured, infer first, then re-read under inferred+corrupt.
+      val df = corruptRecordColumn match {
+        case Some(c) =>
+          val inferred = r0.option("inferSchema", "true").csv(group.map(_.toString): _*).schema
+          val withCorrupt = StructType(
+            inferred.fields.filterNot(_.name == c) :+ StructField(c, StringType, nullable = true))
+          r0.option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", c)
+            .schema(withCorrupt).csv(group.map(_.toString): _*)
+        case None =>
+          r0.option("inferSchema", "true").csv(group.map(_.toString): _*)
+      }
       filenameColumn.fold(df)(c => df.withColumn(c, input_file_name()))
     }
     val aligned = schema match {
@@ -194,6 +209,17 @@ case class TickTockHiveTableDataObject(
       // null-fills instead of failing UNRESOLVED_COLUMN
       case SdlSaveMode.Append if isTableExisting =>
         getDataFrame().unionByName(feedObserved, allowMissingColumns = true)
+      // dynamic partition overwrite: the fresh side = active data MINUS
+      // the feed's partitions PLUS the feed — lumping it with a full
+      // overwrite would silently drop every partition absent from the
+      // feed (the semantics every other sink gives OverwriteOptimized)
+      case SdlSaveMode.OverwriteOptimized if isTableExisting && partitions.nonEmpty =>
+        val feedPvs = df.select(partitions.map(col): _*).distinct().collect()
+          .map(r => partitions.zipWithIndex.map { case (p, i) => p -> r.get(i) }.toMap)
+        val keepCond = !feedPvs.map(pv =>
+            pv.map { case (k, v) => col(s"`$k`") <=> lit(v) }.reduce(_ and _))
+          .reduceOption(_ or _).getOrElse(lit(false))
+        getDataFrame().where(keepCond).unionByName(feedObserved, allowMissingColumns = true)
       case SdlSaveMode.Append | SdlSaveMode.Overwrite | SdlSaveMode.OverwriteOptimized |
            SdlSaveMode.OverwritePreserveDirectories => feedObserved
       case m => throw new IllegalArgumentException(

@@ -62,13 +62,19 @@ object MergeEmulation {
   def computeMergedState(existing: DataFrame, feed: DataFrame, joinCols: Seq[String],
                          opts: SaveModeMergeOptions = SaveModeMergeOptions()): DataFrame = {
     val cols = existing.columns.toSeq
-    val joined = existing.alias("existing").join(
-      feed.alias("new"),
+    // presence markers, NOT key-column nullability: the join matches keys
+    // null-safely (<=>), so a legitimate NULL first key column would read
+    // as "side absent" and the merge would silently DROP the existing row
+    // (and never insert the feed row)
+    val eMark = "_graft_e_present"
+    val nMark = "_graft_n_present"
+    val joined = existing.withColumn(eMark, lit(true)).alias("existing").join(
+      feed.withColumn(nMark, lit(true)).alias("new"),
       joinCols.map(k => col(s"existing.`$k`") <=> col(s"new.`$k`")).reduce(_ and _) &&
         opts.additionalMergePredicate.map(expr).getOrElse(lit(true)),
       "full")
-    val eExists = col(s"existing.`${joinCols.head}`").isNotNull
-    val nExists = col(s"new.`${joinCols.head}`").isNotNull
+    val eExists = col(s"existing.`$eMark`").isNotNull
+    val nExists = col(s"new.`$nMark`").isNotNull
     val del = opts.deleteCondition.map(expr).getOrElse(lit(false))
     val upd = opts.updateCondition.map(expr).getOrElse(lit(true))
     // second matched clause (reference DeltaLakeTableDataObject.scala:433-436):
@@ -375,8 +381,11 @@ case class JdbcTableDataObject(
     val mode = saveMode.getOrElse(SdlSaveMode.Append)
     mode match {
       case SdlSaveMode.Merge =>
-        return mergeDataFrame(df, table.primaryKey.getOrElse(
+        val m = mergeDataFrame(df, table.primaryKey.getOrElse(
           throw new IllegalArgumentException(s"$id: merge needs primaryKey")))
+        // postWriteSql runs after EVERY write mode, merge included
+        postWriteSql.foreach(sql => withConnection(_.createStatement().execute(sql)))
+        return m
       case m =>
         val obs = org.apache.spark.sql.Observation(s"graft_jdbc_${id}_${System.nanoTime()}")
         withStringTypes(df.observe(obs, count(lit(1)).as("records_written"))

@@ -43,7 +43,14 @@ object GraftZipCodec {
   }
 
   private class FirstEntryInputStream(zin: ZipInputStream) extends CompressionInputStream(zin) {
-    require(zin.getNextEntry != null, "empty zip archive")
+    // skip DIRECTORY entries: `zip -r` stores the root dir first, and a
+    // directory entry has no data — stopping there would read the whole
+    // archive as zero bytes (silent empty table)
+    locally {
+      var e = zin.getNextEntry
+      while (e != null && e.isDirectory) e = zin.getNextEntry
+      require(e != null, "zip archive contains no file entries")
+    }
     override def read(): Int = {
       val one = new Array[Byte](1)
       if (read(one, 0, 1) == -1) -1 else one(0) & 0xff

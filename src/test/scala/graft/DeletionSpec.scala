@@ -228,6 +228,27 @@ class DeletionSpec extends AnyFunSuite {
   private def kv2(df: org.apache.spark.sql.DataFrame): Set[(Int, Int)] =
     df.select("k", "v").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
 
+  test("concurrent dvSet-bearing commits are MERGE conflicts (stale DV view must not commit)") {
+    val dir = Files.createTempDirectory("graft-dvc").toString
+    val t = VersionedTableDataObject("dvc", s"$dir/t", primaryKey = Seq("k"))
+    t.writeDataFrame(Seq((1, "a")).toDF("k", "v"))
+    val schema = t.readState(None).get.schema.get
+    // a DELETE_DV that landed concurrently: no files touched, but row
+    // liveness changed — a merge retry from the old view must conflict
+    val dvCommit = t.Commit(1, Seq.empty, Seq.empty, None,
+      op = "DELETE_DV", dvSet = Some(Seq("v00000001-deadbeef")))
+    assert(t.mergeConflicts(Seq(dvCommit), touched = Seq.empty,
+      joinCols = Seq("k"), bounds = Map.empty, schema = schema, feedHasNullKeys = false))
+    // a plain disjoint append is NOT a conflict
+    val appendCommit = t.Commit(1, Seq("v00000001-aa/f.parquet"), Seq.empty, None,
+      stats = Map("v00000001-aa/f.parquet" ->
+        t.FileStat(1, Map("k" -> "999"), Map("k" -> "999"), Map("k" -> 0L))),
+      op = "APPEND")
+    assert(!t.mergeConflicts(Seq(appendCommit), touched = Seq.empty,
+      joinCols = Seq("k"), bounds = Map("k" -> ("1", "5")), schema = schema,
+      feedHasNullKeys = false))
+  }
+
   test("DV state survives the checkpoint shadow") {
     val dir = Files.createTempDirectory("graft-dv").toString
     val t = VersionedTableDataObject("dv7", s"$dir/t", checkpointInterval = 2,

@@ -272,4 +272,60 @@ class FileFormatsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("drifted schema"))
   }
+
+  test("tick-tock OverwriteOptimized rewrites only the feed's partitions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tt-dyn").toString
+    val t = TickTockHiveTableDataObject("ttd", Table(Some("db"), "ttd"), dir,
+      partitions = Seq("dt"), registerInCatalog = false)
+    t.writeDataFrame(Seq((1, "d1"), (2, "d2")).toDF("v", "dt"))
+    // dynamic overwrite carrying ONLY dt=d2: dt=d1 must survive
+    t.writeDataFrame(Seq((20, "d2")).toDF("v", "dt"),
+      saveMode = Some(graft.core.SdlSaveMode.OverwriteOptimized))
+    val got = t.getDataFrame().select("v", "dt").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(got == Set((1, "d1"), (20, "d2")))
+  }
+
+  test("relaxed csv: corrupt record column materializes for malformed rows") {
+    val dir = java.nio.file.Files.createTempDirectory("rc-corrupt").toString
+    // row 2 carries an EXTRA token — malformed under the 2-column header
+    java.nio.file.Files.writeString(java.nio.file.Path.of(dir, "a.csv"),
+      "id,n\n1,10\n2,20,stray\n")
+    val o = RelaxedCsvFileDataObject("rcc", dir, corruptRecordColumn = Some("_corrupt"))
+    val rows = o.getDataFrame().collect()
+    assert(rows.length == 2)
+    val bad = rows.filter(!_.isNullAt(rows.head.fieldIndex("_corrupt")))
+    assert(bad.length == 1 && bad.head.getAs[String]("_corrupt").contains("stray"))
+  }
+
+  test("zip codec skips leading directory entries") {
+    graft.sources.GraftZipCodec.register(ctx)
+    val dir = java.nio.file.Files.createTempDirectory("zipdir").toString
+    // `zip -r`-style archive: the ROOT DIRECTORY is the first entry —
+    // stopping there would read the archive as zero bytes
+    val zout = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(s"$dir/drop.zip"))
+    zout.putNextEntry(new java.util.zip.ZipEntry("exports/"))
+    zout.closeEntry()
+    zout.putNextEntry(new java.util.zip.ZipEntry("exports/data.csv"))
+    zout.write("x,y\n1,2\n".getBytes("UTF-8"))
+    zout.closeEntry(); zout.close()
+    val df = CsvFileDataObject("zdir", dir).getDataFrame()
+    assert(df.count() == 1 && df.columns.toSeq == Seq("x", "y"))
+  }
+
+  test("excel append numbering survives gaps without overwriting live parts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("xlsx-gap").toString
+    val o = ExcelFileDataObject("xg", dir)
+    o.writeDataFrame(Seq((1, "a")).toDF("k", "v"))                               // part-0000
+    o.writeDataFrame(Seq((2, "b")).toDF("k", "v"), saveMode = Some(graft.core.SdlSaveMode.Append)) // part-0001
+    o.writeDataFrame(Seq((3, "c")).toDF("k", "v"), saveMode = Some(graft.core.SdlSaveMode.Append)) // part-0002
+    // delete the middle part → count() would target part-0002 and clobber
+    java.nio.file.Files.delete(java.nio.file.Path.of(dir, "part-0001.xlsx"))
+    o.writeDataFrame(Seq((4, "d")).toDF("k", "v"), saveMode = Some(graft.core.SdlSaveMode.Append)) // part-0003
+    val ks = o.getDataFrame().select("k").collect().map(_.getDouble(0).toInt).toSet
+    assert(ks == Set(1, 3, 4))
+  }
 }

@@ -724,4 +724,22 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(t.getDataFrameAsOf(Some(1)).count() == 60)
     assert(t.getDataFrame().count() == 70)
   }
+
+  test("merge emulation preserves NULL-keyed rows (null-safe join, marker-based presence)") {
+    // the join matches keys with <=>, so NULL keys are legitimate values:
+    // a NULL-keyed existing row must not vanish, and a NULL-keyed feed row
+    // must match it (update), not be dropped
+    val existing = Seq((Some(1), "a"), (Option.empty[Int], "oldnull"))
+      .toDF("k", "v")
+    val feed = Seq((Some(1), "A"), (Option.empty[Int], "newnull"), (Some(2), "b"))
+      .toDF("k", "v")
+    val merged = MergeEmulation.computeMergedState(existing, feed, Seq("k"))
+      .collect().map(r => (Option(r.get(0)).map(_.asInstanceOf[Int]), r.getString(1))).toSet
+    assert(merged == Set((Some(1), "A"), (None, "newnull"), (Some(2), "b")))
+    // and an existing NULL-keyed row untouched by the feed stays
+    val merged2 = MergeEmulation.computeMergedState(existing,
+        Seq((Some(1), "A2")).toDF("k", "v"), Seq("k"))
+      .collect().map(r => (Option(r.get(0)).map(_.asInstanceOf[Int]), r.getString(1))).toSet
+    assert(merged2 == Set((Some(1), "A2"), (None, "oldnull")))
+  }
 }
