@@ -602,11 +602,18 @@ case class VersionedTableDataObject(id: String, path: String,
   private def decodeRel(s: String): String =
     java.net.URLDecoder.decode(s.replace("+", "%2B"), java.nio.charset.StandardCharsets.UTF_8)
 
-  /** Anti-join the scan against the active deletion vectors. The DV side
-    * is the set of DELETED rows — small next to the table — so AQE
-    * broadcasts it in the common case; the scan side derives its join key
-    * (relative file path + row index) from metadata columns, no data
-    * dependency. Stale tombstones (files since rewritten) match nothing. */
+  /** Exclude the active deletion vectors from a scan. Two physical
+    * strategies, chosen by tombstone VOLUME (parquet bytes off one driver
+    * listing — no data job):
+    *  - small (≤ [[dvBroadcastMaxBytes]], the overwhelmingly common case
+    *    under periodic OPTIMIZE/materialization): tombstones collect once
+    *    into per-file sorted arrays, broadcast, and the exclusion is a
+    *    codegen'd SCAN-SIDE predicate ([[graft.plans.DvTombstoned]]) —
+    *    the Delta per-file-bitmap read shape; the scan never leaves
+    *    whole-stage codegen and no exchange is added;
+    *  - large: shuffle anti-join on (file, row_index) — correct at any
+    *    volume, the signal that materialization is overdue.
+    * Stale tombstones (files since rewritten) match nothing either way. */
   private def applyDv(df: DataFrame, dv: Seq[String])(implicit ctx: ActionPipelineContext): DataFrame =
     if (dv.isEmpty) df
     else {
@@ -616,12 +623,40 @@ case class VersionedTableDataObject(id: String, path: String,
         .select(cols.map(c => col(s"`$c`")): _*)
     }
 
-  /** anti-join a frame already carrying `_graft_dv_rel`/`_graft_dv_ri`
-    * against the tombstones of `dv` */
+  /** broadcast-path size cap; above it reads take the anti-join */
+  private val dvBroadcastMaxBytes: Long =
+    sys.props.get("graft.dv.broadcastMaxBytes").map(_.toLong).getOrElse(64L << 20)
+
+  /** per-dv-set broadcast cache: the set named by `dv` is IMMUTABLE (dirs
+    * are writer-unique and never rewritten), so one collect per distinct
+    * active set per table instance */
+  @transient private lazy val dvBroadcastCache =
+    new java.util.concurrent.ConcurrentHashMap[Seq[String],
+      org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]]]()
+
+  private def dvBytes(dv: Seq[String])(implicit ctx: ActionPipelineContext): Long =
+    dv.map { n =>
+      try fs.listStatus(dvPath(n)).filter(_.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum
+      catch { case _: Exception => Long.MaxValue / 1024 } // unknown → anti-join
+    }.sum
+
   private def dvFilter(tagged: DataFrame, dv: Seq[String])
                       (implicit ctx: ActionPipelineContext): DataFrame =
     if (dv.isEmpty) tagged
-    else {
+    else if (dvBytes(dv) <= dvBroadcastMaxBytes) {
+      val bc = dvBroadcastCache.computeIfAbsent(dv, { _ =>
+        val rows = readDvVersions(dv).collect()
+        val byFile = rows.groupBy(_.getString(0))
+          .map { case (f, rs) => f -> rs.map(_.getLong(1)).sorted.toArray }
+        ctx.spark.sparkContext.broadcast(byFile)
+      })
+      tagged.where(!org.apache.spark.sql.graftshims.GraftSqlShims.column(
+        graft.plans.DvTombstoned(
+          org.apache.spark.sql.graftshims.GraftSqlShims.expression(tagged("_graft_dv_rel")),
+          org.apache.spark.sql.graftshims.GraftSqlShims.expression(tagged("_graft_dv_ri")),
+          bc)))
+    } else {
       val d = readDvVersions(dv)
       tagged.join(d,
         tagged("_graft_dv_rel") === d("file") && tagged("_graft_dv_ri") === d("row_index"),

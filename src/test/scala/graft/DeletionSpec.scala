@@ -249,6 +249,28 @@ class DeletionSpec extends AnyFunSuite {
       feedHasNullKeys = false))
   }
 
+  test("DV read paths agree: broadcast scan-predicate vs shuffle anti-join") {
+    val dir = Files.createTempDirectory("graft-dvp").toString
+    val t = VersionedTableDataObject("dvp", s"$dir/t", deletionVectors = true)
+    t.writeDataFrame((1 to 50).map(i => (i, s"v$i")).toDF("k", "v"))
+    t.deleteWhere("k % 5 = 0")
+    val expect = (1 to 50).filterNot(_ % 5 == 0).toSet
+    // default threshold: tiny tombstone set → broadcast predicate path —
+    // the exclusion is a scan-side FILTER, no join operator in the plan
+    val df = t.getDataFrame()
+    assert(df.select("k").as[Int].collect().toSet == expect)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"broadcast DV path must not add a join:\n$plan")
+    assert(plan.contains("dv_tombstoned") || plan.contains("DvTombstoned"))
+    // force the anti-join path on a FRESH instance (threshold is read at
+    // construction) — same result
+    System.setProperty("graft.dv.broadcastMaxBytes", "0")
+    try {
+      val t2 = VersionedTableDataObject("dvp2", s"$dir/t", deletionVectors = true)
+      assert(t2.getDataFrame().select("k").as[Int].collect().toSet == expect)
+    } finally System.clearProperty("graft.dv.broadcastMaxBytes")
+  }
+
   test("DV state survives the checkpoint shadow") {
     val dir = Files.createTempDirectory("graft-dv").toString
     val t = VersionedTableDataObject("dv7", s"$dir/t", checkpointInterval = 2,
