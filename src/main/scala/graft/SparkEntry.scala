@@ -2903,6 +2903,32 @@ object SparkEntry {
       vt.getDataFrame()
     }),
 
+    // Merge-on-read UPDATE through deletion vectors (the Delta DV-update
+    // design): matched rows are tombstoned in place and their rewritten
+    // versions APPENDED — the commit removes zero files (asserted), so an
+    // update costs O(matched rows), not O(touched-file rewrite). Same
+    // relational oracle as the copy-on-write q116: storage strategy must
+    // be invisible to the result.
+    "q118_update_dv" -> ((s, dir) => {
+      implicit val c: ActionPipelineContext = ctx(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q118").toString
+      val vt = sources.VersionedTableDataObject("q118_vt", s"$tmp/t",
+        deletionVectors = true)
+      val p = t(s, dir, "part").select(col("p_partkey").cast("long"),
+        col("p_brand"), col("p_size").cast("int"),
+        col("p_retailprice").cast("double"))
+      vt.writeDataFrame(p.repartitionByRange(6, col("p_partkey")))         // v0
+      val files0 = vt.snapshotFiles().toSet
+      vt.updateWhere(Map(
+        "p_retailprice" -> "p_retailprice * 1.1",
+        "p_size" -> "p_size + 100"), "p_brand = 'Brand#13'")               // v1 (DV)
+      require(vt.history(1).collect().head.getAs[Int]("num_removed_files") == 0,
+        "DV update must remove zero files")
+      require(files0.subsetOf(vt.snapshotFiles().toSet),
+        "DV update must carry every original file")
+      vt.getDataFrame()
+    }),
+
     // DELETION VECTORS (the public Delta DV design, from scratch):
     // merge-on-read DELETE records (file, row_index) tombstones instead
     // of rewriting files — the commit moves ZERO data bytes (asserted on
@@ -3350,7 +3376,7 @@ object SparkEntry {
         |  0 AS width, 0 AS height,
         |  CASE WHEN strlen(text) = 0 THEN 'empty' ELSE 'stub' END AS format,
         |  8 AS n_features,
-        |  greatest(CAST(floor(strlen(text) / 64.0) AS INT) - 1, 0) + 1 AS n_frames
+        |  CAST(floor(strlen(text) / 64.0) AS INT) AS n_frames
         |FROM documents""".stripMargin,
 
     // q37: the planted pairs' exact char-5-gram jaccard IS computable in SQL
@@ -4393,6 +4419,15 @@ object SparkEntry {
         |   OR (p_partkey % 100 < 10 AND p_size > 25) IS NULL""".stripMargin,
     // q116: SQL UPDATE semantics — CASE WHEN on the pre-image
     "q116_update_where" ->
+      """SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_brand,
+        |  CASE WHEN p_brand = 'Brand#13' THEN CAST(p_size + 100 AS INT)
+        |       ELSE CAST(p_size AS INT) END AS p_size,
+        |  CASE WHEN p_brand = 'Brand#13' THEN CAST(p_retailprice AS DOUBLE) * 1.1
+        |       ELSE CAST(p_retailprice AS DOUBLE) END AS p_retailprice
+        |FROM part""".stripMargin,
+    // q118: same UPDATE oracle as q116 — merge-on-read storage must be
+    // invisible to the result
+    "q118_update_dv" ->
       """SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_brand,
         |  CASE WHEN p_brand = 'Brand#13' THEN CAST(p_size + 100 AS INT)
         |       ELSE CAST(p_size AS INT) END AS p_size,

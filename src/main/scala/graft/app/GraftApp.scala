@@ -129,8 +129,15 @@ object GraftApp {
       dag.prepare
       dag.simulate(initialSubFeeds)
     } else if (args.streaming) {
+      // combining --streaming with --state-path is not implemented: fail
+      // loudly instead of silently running stateless (a user relying on
+      // checkpointed offsets would double-process on restart)
+      require(args.statePath.isEmpty,
+        "--streaming with --state-path is not supported: streaming actions checkpoint " +
+          "through their own execution modes (checkpointLocation / incremental state)")
       val n = SyncStreamingRunner.runLoop(actions, args.triggerIntervalSec,
-        maxIterations = args.maxIterations, parallelism = args.parallelism)
+        maxIterations = args.maxIterations, parallelism = args.parallelism,
+        initialSubFeeds = initialSubFeeds)
       System.err.println(s"[graft] streaming loop finished after $n iterations")
       Map.empty
     } else args.statePath match {

@@ -18,7 +18,15 @@ case class RunState(
     appName: String, runId: Int, attemptId: Int,
     actionsState: Map[String, ActionState] = Map.empty,
     dataObjectStates: Map[String, String] = Map.empty,
-    finished: Boolean = false)
+    finished: Boolean = false,
+    /** the run's partition scope (the CLI's --partition-values),
+      * checkpointed so RECOVERY re-runs the crashed run's exact selection
+      * — without it, an action downstream of an already-succeeded (and so
+      * recovery-filtered) producer would fall back to reading ALL
+      * partitions and e.g. re-append every historical partition (the
+      * reference checkpoints partitionValues in ActionDAGRunState for the
+      * same reason). Run-global, like the CLI flag. */
+    initialPartitionValues: Seq[Map[String, String]] = Seq.empty)
 
 /** JSON state files on any Hadoop FS:
   * `<statePath>/current/<app>.<runId>.<attemptId>.json` while running,
@@ -42,11 +50,24 @@ class RunStateStore(statePath: String, appName: String,
     }
     val ds = root.putObject("dataObjectStates")
     rs.dataObjectStates.foreach { case (id, st) => ds.put(id, st) }
+    if (rs.initialPartitionValues.nonEmpty) {
+      val arr = root.putArray("initialPartitionValues")
+      rs.initialPartitionValues.foreach { m =>
+        val o = arr.addObject(); m.foreach { case (k, v) => o.put(k, v) } }
+    }
     val target = fileFor(if (rs.finished) succeededDir else currentDir, rs.runId, rs.attemptId)
     fs.mkdirs(target.getParent)
-    val out = fs.create(target, true)
+    // ATOMIC: temp-file + rename. save() runs on every action completion —
+    // a crash mid-write must not leave a truncated JSON that poisons every
+    // later recovery of this app (the state store's whole reason to exist)
+    val tmp = new Path(target.getParent,
+      s"_tmp_${target.getName}.${java.util.UUID.randomUUID.toString.take(8)}")
+    val out = fs.create(tmp, true)
     try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
     finally out.close()
+    fs.delete(target, false)
+    if (!fs.rename(tmp, target)) { fs.delete(tmp, false)
+      throw new java.io.IOException(s"run-state rename failed for $target") }
     // a finished run clears ALL its attempts from current/ (earlier failed
     // attempts' files would otherwise read as unfinished forever)
     if (rs.finished && fs.exists(currentDir))
@@ -65,13 +86,22 @@ class RunStateStore(statePath: String, appName: String,
       }.toMap).getOrElse(Map.empty),
       Option(root.get("dataObjectStates")).map(_.properties().asScala.map(e =>
         e.getKey -> e.getValue.asText).toMap).getOrElse(Map.empty),
-      root.get("finished").asBoolean)
+      root.get("finished").asBoolean,
+      Option(root.get("initialPartitionValues")).map(_.elements().asScala.map(o =>
+        o.properties().asScala.map(kv => kv.getKey -> kv.getValue.asText).toMap).toSeq)
+        .getOrElse(Seq.empty))
   }
 
-  private def listStates(dir: Path): Seq[RunState] =
+  private def listStates(dir: Path): Seq[RunState] = {
+    // EXACT app-name match with a numeric runId.attemptId tail: a prefix
+    // check would let app 'etl' pick up 'etl.daily's state files and
+    // resume the wrong app's run
+    val pat = (java.util.regex.Pattern.quote(appName) + """\.(\d+)\.(\d+)\.json""").r
     if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq.filter(_.getPath.getName.startsWith(appName + "."))
+    else fs.listStatus(dir).toSeq
+      .filter(s => pat.matches(s.getPath.getName))
       .map(s => read(s.getPath))
+  }
 
   /** unfinished run to recover, if any (highest runId/attemptId in current/) */
   def unfinishedRun: Option[RunState] =
@@ -99,14 +129,18 @@ object SyncStreamingRunner {
   def runLoop(actions: Seq[Action], triggerIntervalSec: Long,
               maxIterations: Int = Int.MaxValue,
               stopSignal: () => Boolean = () => false,
-              parallelism: Int = 1)
+              parallelism: Int = 1,
+              /** partition scope applied to EVERY iteration (the CLI's
+                * --partition-values must not be silently dropped in
+                * streaming mode) */
+              initialSubFeeds: Seq[SubFeed] = Seq.empty)
              (implicit ctx: ActionPipelineContext): Int = {
     var iteration = 0
     while (iteration < maxIterations && !stopSignal()) {
       val iterCtx = ctx.copy(runId = ctx.runId + iteration)
       val dag = new ActionDAGRun(actions, parallelism)
       val t0 = System.currentTimeMillis()
-      dag.run()(iterCtx)
+      dag.run(initialSubFeeds)(iterCtx)
       ctx.spark.sqlContext.clearCache() // reference clears cache between runs
       iteration += 1
       if (iteration < maxIterations && !stopSignal()) {
@@ -128,7 +162,28 @@ object StatefulRun {
   def run(actions: Seq[Action], store: RunStateStore, parallelism: Int = 1,
           initialSubFeeds: Seq[SubFeed] = Seq.empty)
          (implicit ctx: ActionPipelineContext): Map[String, Seq[SubFeed]] = {
-    val rs0 = store.nextRun()
+    val rs1 = store.nextRun()
+    // partition scope: a FRESH run checkpoints the caller's selection
+    // (run-global, CLI semantics); a RECOVERY with no caller selection
+    // restores the crashed run's scope — otherwise an already-succeeded
+    // upstream is filtered from the DAG and its downstream falls back to
+    // reading ALL partitions (re-appending every historical partition)
+    val callerPvs = initialSubFeeds.flatMap(_.partitionValues.map(_.elements)).distinct
+    val effectivePvs =
+      if (callerPvs.nonEmpty || rs1.attemptId == 1) callerPvs
+      else rs1.initialPartitionValues
+    val rs0 = rs1.copy(initialPartitionValues = effectivePvs)
+    // restored scope applies to every DAG-start input of the REMAINING
+    // actions (after the succeeded ones are filtered out, their outputs
+    // become start inputs of the recovery DAG)
+    def scopedSubFeeds(remaining: Seq[Action]): Seq[SubFeed] =
+      if (initialSubFeeds.nonEmpty) initialSubFeeds
+      else if (effectivePvs.isEmpty) Seq.empty
+      else {
+        val produced = remaining.flatMap(_.outputIds).toSet
+        remaining.flatMap(_.inputIds).distinct.filterNot(produced)
+          .map(in => SubFeed(in, partitionValues = effectivePvs.map(PartitionValues(_))))
+      }
     // restore incremental DataObject states (offsets/watermarks) from the
     // last state (recovered attempt or latest succeeded run)
     val baseState = if (rs0.attemptId > 1) Some(rs0) else store.latestSucceeded
@@ -154,7 +209,10 @@ object StatefulRun {
           inc.asInstanceOf[graft.sources.DataObject].id -> inc.getState.get
       }.toMap
     val dag = new ActionDAGRun(remaining, parallelism, onActionComplete = (id, feeds) => {
-      val written = feeds.flatMap(_.metrics.map(_.recordsWritten)).headOption.getOrElse(-1L)
+      // SUM across outputs (a multi-output action's checkpoint must agree
+      // with the live console total); unknown (-1) metrics excluded
+      val counts = feeds.flatMap(_.metrics.map(_.recordsWritten)).filter(_ >= 0)
+      val written = if (counts.isEmpty) -1L else counts.sum
       val st = if (feeds.exists(_.isSkipped)) "SKIPPED" else "SUCCEEDED"
       rsLock.synchronized {
         rs = rs.copy(actionsState = rs.actionsState + (id -> ActionState(st, written)),
@@ -163,7 +221,7 @@ object StatefulRun {
       }
     })
     val result =
-      try dag.run(initialSubFeeds)(runCtx)
+      try dag.run(scopedSubFeeds(remaining))(runCtx)
       catch {
         case e: Throwable =>
           store.save(rs) // leave the partial state in current/ for recovery

@@ -29,7 +29,12 @@ object Packing {
   def packSequences(df: DataFrame, id: Column, shard: Column,
                     tokenCount: Column, seqLen: Int): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
-    val w = Window.partitionBy(shard).orderBy(id)
+    // tokenCount tie-break: duplicate ids within a shard would otherwise
+    // get partition-arrival-order offsets — nondeterministic across runs,
+    // breaking the frozen-corpus contract. With (id, tokenCount) equal,
+    // remaining order is interchangeable: the cumulative sums (and so the
+    // emitted offset SET) are identical either way.
+    val w = Window.partitionBy(shard).orderBy(id, tokenCount)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val start = (sum(tokenCount.cast(LongType)).over(w) - tokenCount.cast(LongType))
     df.withColumn("start_offset", start)

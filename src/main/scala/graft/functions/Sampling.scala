@@ -18,8 +18,16 @@ object Sampling {
 
   /** uniform double in [0,1) derived from the md5 of the key's string form */
   def uniformHash(key: Column): Column =
-    conv(substring(md5(key.cast(StringType)), 1, 8), 16, 10)
-      .cast(LongType).cast(DoubleType) / lit(4294967296.0)
+    // null keys hash to 0.0 — deterministically INCLUDED at any positive
+    // rate. Leaving the hash null made the policy operator-dependent:
+    // where-based samplers dropped null-key rows even at rate 1.0 while
+    // orderBy-based capping prioritized them; one explicit value unifies
+    // every consumer (all null-key rows share one fate per stratum, the
+    // same all-or-nothing any single key gets)
+    coalesce(
+      conv(substring(md5(key.cast(StringType)), 1, 8), 16, 10)
+        .cast(LongType).cast(DoubleType) / lit(4294967296.0),
+      lit(0.0))
 
   /** keep a deterministic `rate` fraction of rows, keyed by `key` */
   def sampleByKey(df: DataFrame, key: Column, rate: Double): DataFrame =

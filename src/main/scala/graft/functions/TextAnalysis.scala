@@ -97,17 +97,38 @@ object TextAnalysis {
 
   /** Language identification by stopword-profile scoring + CJK ratio.
     * Returns the language code with the highest score, 'und' if no signal.
-    * Deterministic tie-break: profile order en,de,es,fr (strict >). */
+    * Deterministic tie-break: profile order en,de,es,fr (strict >).
+    *
+    * CSE-staged: HOFs are interpreted with no common-subexpression
+    * elimination (see the repetition-signal notes below), and the naive
+    * fold duplicated each profile's tokenize+filter ~5× across the
+    * when/greatest chains. Tokenization happens ONCE (a lambda-bound
+    * array), each profile scores once into a staged score array, and the
+    * argmax reads staged elements. */
   def langId(text: Column): Column = {
     val ordered = Seq("en", "de", "es", "fr")
-    val scores = ordered.map(l => stopwordRatio(text, stopwordProfiles(l)))
-    val bestLatin = ordered.zip(scores).foldLeft((lit("und"), lit(0.0))) {
-      case ((bestL, bestS), (l, s)) =>
-        (when(s > bestS, lit(l)).otherwise(bestL), greatest(s, bestS))
-    }
-    when(cjkRatio(text) > 0.25, "zh")
-      .when(bestLatin._2 > 0.05, bestLatin._1)
-      .otherwise("und")
+    // bind the token array once; emit the four scores as one array
+    val scoresArr = org.apache.spark.sql.functions.transform(
+      array(tokens(lower(text))),
+      toks => array(ordered.map { l =>
+        size(filter(toks, t => t.isin(stopwordProfiles(l).map(lit): _*))).cast(DoubleType) /
+          greatest(size(toks).cast(DoubleType), lit(1.0))
+      }: _*))
+    // stage the score array under a lambda too, so the argmax below reads
+    // each score from the bound variable instead of re-evaluating it
+    val result = org.apache.spark.sql.functions.transform(
+      scoresArr,
+      s => {
+        val scores = ordered.indices.map(i => element_at(s, i + 1))
+        val bestLatin = ordered.zip(scores).foldLeft((lit("und"), lit(0.0))) {
+          case ((bestL, bestS), (l, sc)) =>
+            (when(sc > bestS, lit(l)).otherwise(bestL), greatest(sc, bestS))
+        }
+        when(cjkRatio(text) > 0.25, "zh")
+          .when(bestLatin._2 > 0.05, bestLatin._1)
+          .otherwise("und")
+      })
+    element_at(result, 1)
   }
 
   /** 64-bit document fingerprint of normalized text (rolling-hash family:

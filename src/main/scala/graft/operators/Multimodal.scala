@@ -293,15 +293,25 @@ object Multimodal {
     * `frameSize` bytes, as an array of binary frames — pure builtin
     * expressions (no decode needed for containerless formats). */
   def sampleFrames(df: DataFrame, contentCol: String, frameSize: Int, stride: Int,
-                   framesCol: String = "frames"): DataFrame =
+                   framesCol: String = "frames"): DataFrame = {
+    // FULL frames only, consistently: content shorter than one stride
+    // yields an EMPTY array (no phantom undersized frame), and the
+    // partial tail of longer content is dropped the same way
+    val nFrames = (length(col(contentCol)) / (frameSize * stride)).cast(IntegerType)
     df.withColumn(framesCol,
-      transform(
-        sequence(lit(0),
-          greatest((length(col(contentCol)) / (frameSize * stride)).cast(IntegerType) - 1, lit(0))),
-        i => substring(col(contentCol), (i * frameSize * stride + 1).cast(IntegerType), lit(frameSize))))
+      when(nFrames >= 1,
+        transform(
+          sequence(lit(0), nFrames - 1),
+          i => substring(col(contentCol), (i * frameSize * stride + 1).cast(IntegerType), lit(frameSize))))
+        .otherwise(array().cast("array<binary>")))
+  }
 
-  /** Size-bucketed repartition: bounds task memory when payload sizes are
-    * heavily skewed (mix of thumbnails and 4K frames). */
+  /** Size-aware repartition: bounds task memory when payload sizes are
+    * heavily skewed (mix of thumbnails and 4K frames). Round-robin, NOT
+    * repartitionByRange(length): range partitioning balances ROW counts,
+    * which concentrates all the largest payloads into the top partition —
+    * the exact OOM it exists to prevent. Round-robin gives every task the
+    * same EXPECTED byte volume regardless of the size distribution. */
   def repartitionBySize(df: DataFrame, contentCol: String, numPartitions: Int): DataFrame =
-    df.repartitionByRange(numPartitions, length(col(contentCol)))
+    df.repartition(numPartitions)
 }

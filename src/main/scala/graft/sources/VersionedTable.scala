@@ -1219,6 +1219,13 @@ case class VersionedTableDataObject(id: String, path: String,
     val pred = expr(predicateSql)
     val touched = touchedByPredicate(st0, schema, pred)
     if (touched.isEmpty) return 0L
+    if (deletionVectors) updateViaDv(st0, schema, pred, assignments, touched)
+    else updateCopyOnWrite(st0, schema, pred, assignments, touched)
+  }
+
+  private def updateCopyOnWrite(st0: TableState, schema: StructType, pred: Column,
+                                assignments: Map[String, String], touched: Seq[String])
+                               (implicit ctx: ActionPipelineContext): Long = {
     val hit = coalesce(pred, lit(false))
     // single select from the pre-image: every RHS evaluates against OLD
     // values even when its own column is assigned
@@ -1237,6 +1244,48 @@ case class VersionedTableDataObject(id: String, path: String,
     val commitV = dmlCommitLoop(v0, added, touched, schema, stats, "UPDATE")
     writeCdcCommit(commitV)
     rowsOf(stats)
+  }
+
+  /** Merge-on-read UPDATE (the Delta DV-update design): tombstone the
+    * MATCHED rows' positions and APPEND their rewritten versions as new
+    * files, in one commit — O(matched rows) I/O instead of rewriting every
+    * touched file (the copy-on-write failure mode where updating 1 row in
+    * a 1 GB file rewrites 1 GB). CDC falls out of the existing diff: the
+    * appended files classify as the n-side, the tombstoned positions as
+    * the o-side, and the pk full-join pairs them into
+    * update_preimage/update_postimage. */
+  private def updateViaDv(st0: TableState, schema: StructType, pred: Column,
+                          assignments: Map[String, String], touched: Seq[String])
+                         (implicit ctx: ActionPipelineContext): Long = {
+    val v = st0.version + 1
+    // matched rows THROUGH current DVs, with their positions
+    val matched = readFilesTagged(touched, Some(schema), st0.stats, st0.dv)
+      .where(pred)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val tombstones = matched
+        .select(col("_graft_dv_rel").as("file"), col("_graft_dv_ri").as("row_index"))
+      val rewritten0 = matched.select(schema.fields.map { f =>
+        assignments.get(f.name) match {
+          case Some(rhs) => expr(rhs).cast(f.dataType).as(f.name)
+          case None => col(s"`${f.name}`")
+        }
+      }.toIndexedSeq: _*)
+      val rewritten = graft.quality.DataQualityValidation.applyConstraints(rewritten0, constraints)
+      val name = f"v$v%08d-${java.util.UUID.randomUUID.toString.take(8)}"
+      tombstones.write.mode(SaveMode.ErrorIfExists).parquet(dvPath(name).toString)
+      val nMatched = ctx.spark.read.schema(dvSchema).parquet(dvPath(name).toString).count()
+      if (nMatched == 0) { fs.delete(dvPath(name), true); return 0L }
+      val (added, stats) = stage(rewritten, v)
+      if (!tryCommit(Commit(v, added, Seq.empty, Some(schema.toDDL), stats,
+          op = "UPDATE_DV", dvSet = Some(st0.dv :+ name)))) {
+        fs.delete(dvPath(name), true)
+        throw new java.util.ConcurrentModificationException(
+          s"DataObject $id: concurrent commit won version $v — re-run the update")
+      }
+      writeCdcCommit(v)
+      nMatched
+    } finally matched.unpersist()
   }
 
   /** Shared optimistic-commit loop for copy-on-write DML: retry at the new

@@ -249,6 +249,31 @@ class DeletionSpec extends AnyFunSuite {
       feedHasNullKeys = false))
   }
 
+  test("merge-on-read UPDATE: tombstone + append, zero rewrites, CDC update pairs") {
+    val dir = Files.createTempDirectory("graft-dvu").toString
+    val t = VersionedTableDataObject("dvu", s"$dir/t", primaryKey = Seq("k"),
+      changeDataFeed = true, deletionVectors = true)
+    t.writeDataFrame(Seq((1, 10), (2, 20), (3, 30)).toDF("k", "v"))               // v0
+    val before = dataFileState(s"$dir/t")
+    val n = t.updateWhere(Map("v" -> "v + 1"), "k <= 2")                          // v1 (DV)
+    assert(n == 2L)
+    // original data files untouched; the commit only ADDED the rewrite
+    assert(before.forall { case (p, m) => dataFileState(s"$dir/t").get(p).contains(m) })
+    val c = t.history(1).collect().head
+    assert(c.getAs[String]("operation") == "UPDATE_DV")
+    assert(c.getAs[Int]("num_removed_files") == 0)
+    val got = t.getDataFrame().select("k", "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(got == Set((1, 11), (2, 21), (3, 30)))
+    // pre-update snapshot intact
+    assert(t.getDataFrameAsOf(Some(0)).select("v").as[Int].collect().toSet == Set(10, 20, 30))
+    // CDC classifies the DV update as pre/post image pairs
+    val ch = t.changesBetween(0, Some(1)).select("k", "v", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+    assert(ch == Set((1, 10, "update_preimage"), (1, 11, "update_postimage"),
+      (2, 20, "update_preimage"), (2, 21, "update_postimage")))
+  }
+
   test("DV read paths agree: broadcast scan-predicate vs shuffle anti-join") {
     val dir = Files.createTempDirectory("graft-dvp").toString
     val t = VersionedTableDataObject("dvp", s"$dir/t", deletionVectors = true)

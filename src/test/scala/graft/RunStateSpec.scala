@@ -102,4 +102,43 @@ class RunStateSpec extends AnyFunSuite {
     StatefulRun.run(Seq(CopyAction("c", "in", "out", saveMode = Some(SdlSaveMode.Overwrite))), store)(ctx2)
     assert(src2.getState.contains("2000-01-01T00:00:00"))
   }
+
+  test("recovery restores the crashed run's partition scope for downstream actions") {
+    import spark.implicits._
+    val stateDir = tmpDir(); val inDir = tmpDir(); val midDir = tmpDir(); val outDir = tmpDir()
+    Seq((1, "v1", "d1"), (2, "v2", "d2")).toDF("id", "v", "dt")
+      .write.mode("overwrite").partitionBy("dt").parquet(inDir)
+    def mkCtx() = {
+      val reg = new InstanceRegistry
+      reg.register(ParquetFileDataObject("in", inDir, partitions = Seq("dt")))
+      reg.register(ParquetFileDataObject("mid", midDir, partitions = Seq("dt")))
+      reg.register(ParquetFileDataObject("out", outDir, partitions = Seq("dt")))
+      ActionPipelineContext(spark, reg)
+    }
+    val store = new RunStateStore(stateDir, "app_pv", spark.sparkContext.hadoopConfiguration)
+    val mode = Some(graft.operators.modes.FailIfNoPartitionValuesMode())
+    val execBoom = new DfTransformer {
+      override def transform(df: org.apache.spark.sql.DataFrame, dataObjectId: String)
+                            (implicit c: ActionPipelineContext): org.apache.spark.sql.DataFrame =
+        if (c.isExecPhase) throw new RuntimeException("boom") else df
+    }
+    // run 1 scoped to dt=d1: stage succeeds, publish crashes
+    intercept[RuntimeException] {
+      StatefulRun.run(Seq(
+        CopyAction("stage", "in", "mid", executionMode = mode),
+        CopyAction("publish", "mid", "out", executionMode = mode,
+          transformers = Seq(execBoom))), store,
+        initialSubFeeds = Seq(SubFeed("in",
+          partitionValues = Seq(PartitionValues(Map("dt" -> "d1"))))))(mkCtx())
+    }
+    // recovery WITHOUT caller partition values: the stored scope must
+    // reach 'publish' (whose producer is now filtered out) — with
+    // FailIfNoPartitionValuesMode an empty restored scope throws, and an
+    // unscoped read would copy dt=d2 too
+    StatefulRun.run(Seq(
+      CopyAction("stage", "in", "mid", executionMode = mode),
+      CopyAction("publish", "mid", "out", executionMode = mode)), store)(mkCtx())
+    val dts = spark.read.parquet(outDir).select("dt").as[String].collect().toSet
+    assert(dts == Set("d1"))
+  }
 }
