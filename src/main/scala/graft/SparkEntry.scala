@@ -2929,6 +2929,63 @@ object SparkEntry {
       vt.getDataFrame()
     }),
 
+    // Streaming CDC merge into a DELETION-VECTOR table: each micro-batch
+    // commits as MERGE_DV — matched rows tombstoned, updated versions +
+    // inserts appended, ZERO data files rewritten or removed (asserted
+    // across both batch commits). The lakehouse streaming-sink pattern at
+    // its O(batch) cost floor; same oracle as the copy-on-write q100.
+    "q119_streaming_merge_dv" -> ((s, dir) => {
+      implicit val c: ActionPipelineContext = ctx(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q119").toString
+      val cust = t(s, dir, "customer").select(col("c_custkey").cast("long"),
+        col("c_name"), col("c_acctbal").cast("double"))
+      val updates = cust.where(col("c_custkey") % 5 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 50.0)
+      val batch2 = updates.unionByName(
+        updates.withColumn("c_custkey", col("c_custkey") + 10000L))
+      def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+        val st = s"$tmp/stage_$name"
+        df.coalesce(1).write.parquet(st)
+        val part = new java.io.File(st).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/src"))
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$tmp/src/$name.parquet"))
+        require(new java.io.File(s"$tmp/src/$name.parquet").setLastModified(mtime))
+      }
+      val t0 = 1700000000000L
+      stage(cust, "b1", t0)
+      stage(batch2, "b2", t0 + 60000)
+      val cfg =
+        s"""dataObjects:
+           |  s119:
+           |    type: parquet
+           |    path: $tmp/src
+           |    schema: "c_custkey bigint, c_name string, c_acctbal double"
+           |  v119: {type: versionedTable, path: $tmp/t, primaryKey: [c_custkey],
+           |         deletionVectors: true}
+           |actions:
+           |  sink119:
+           |    type: copy
+           |    inputId: s119
+           |    outputId: v119
+           |    saveMode: merge
+           |    executionMode:
+           |      type: streaming
+           |      checkpointLocation: $tmp/cp
+           |      triggerType: AvailableNow
+           |      inputOptions: {maxFilesPerTrigger: "1"}
+           |    metadata: {feed: q119}
+           |""".stripMargin
+      core.PipelineRunner.run(cfg, s, feedSel = Some("q119"))
+      val vt = sources.VersionedTableDataObject("q119_read", s"$tmp/t")
+      require(vt.latestVersion.contains(1),
+        s"expected one commit per micro-batch (2), got version ${vt.latestVersion}")
+      require(vt.history().collect().forall(_.getAs[Int]("num_removed_files") == 0),
+        "DV streaming merge must never remove a data file")
+      vt.getDataFrame().select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    }),
+
     // DELETION VECTORS (the public Delta DV design, from scratch):
     // merge-on-read DELETE records (file, row_index) tombstones instead
     // of rewriting files — the commit moves ZERO data bytes (asserted on
@@ -4425,6 +4482,17 @@ object SparkEntry {
         |  CASE WHEN p_brand = 'Brand#13' THEN CAST(p_retailprice AS DOUBLE) * 1.1
         |       ELSE CAST(p_retailprice AS DOUBLE) END AS p_retailprice
         |FROM part""".stripMargin,
+    // q119: same streaming-merge oracle as q100 — MERGE_DV storage must be
+    // invisible to the result
+    "q119_streaming_merge_dv" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+        |  CASE WHEN c_custkey % 5 = 0 THEN CAST(c_acctbal AS DOUBLE) + 50.0
+        |       ELSE CAST(c_acctbal AS DOUBLE) END AS c_acctbal
+        |FROM customer
+        |UNION ALL
+        |SELECT CAST(c_custkey AS BIGINT) + 10000, c_name,
+        |  CAST(c_acctbal AS DOUBLE) + 50.0
+        |FROM customer WHERE c_custkey % 5 = 0""".stripMargin,
     // q118: same UPDATE oracle as q116 — merge-on-read storage must be
     // invisible to the result
     "q118_update_dv" ->

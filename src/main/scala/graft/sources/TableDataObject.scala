@@ -106,6 +106,61 @@ object MergeEmulation {
       .when(!eExists and nExists, when(ins, insertedRec)) // new → insert if condition
     joined.select(result.as("r")).where(col("r").isNotNull).select(col("r.*"))
   }
+
+  /** Merge-on-read decomposition of the SAME merge semantics: instead of
+    * the full rewritten state, return (tombstone positions, appended
+    * records) — the existing side must carry its scan position in
+    * `_graft_dv_rel`/`_graft_dv_ri`. A matched row whose delete/update
+    * clause fires is TOMBSTONED (and its updated version appended); a
+    * matched row with no firing clause stays live IN PLACE (no tombstone,
+    * no output — the copy-on-write path re-emits it, same final state);
+    * unmatched existing rows are untouched. Work is O(matched + feed),
+    * never O(touched files). */
+  def computeMergeOps(existingTagged: DataFrame, feed: DataFrame, joinCols: Seq[String],
+                      opts: SaveModeMergeOptions = SaveModeMergeOptions())
+      : (DataFrame, DataFrame) = {
+    val posCols = Seq("_graft_dv_rel", "_graft_dv_ri")
+    val cols = existingTagged.columns.toSeq.filterNot(posCols.contains)
+    val eMark = "_graft_e_present"
+    val nMark = "_graft_n_present"
+    val joined = existingTagged.withColumn(eMark, lit(true)).alias("existing").join(
+      feed.withColumn(nMark, lit(true)).alias("new"),
+      joinCols.map(k => col(s"existing.`$k`") <=> col(s"new.`$k`")).reduce(_ and _) &&
+        opts.additionalMergePredicate.map(expr).getOrElse(lit(true)),
+      "full")
+    val eExists = col(s"existing.`$eMark`").isNotNull
+    val nExists = col(s"new.`$nMark`").isNotNull
+    val del = opts.deleteCondition.map(expr).getOrElse(lit(false))
+    val upd = opts.updateCondition.map(expr).getOrElse(lit(true))
+    val updExisting = opts.updateExistingCondition.map(expr).getOrElse(lit(false))
+    val ins = opts.insertCondition.map(expr).getOrElse(lit(true))
+    val updateCols = if (opts.updateColumns.nonEmpty) opts.updateColumns else cols.filterNot(joinCols.contains)
+    def updatedRec: Column = struct(cols.map { c =>
+      (if (updateCols.contains(c)) col(s"new.`$c`") else col(s"existing.`$c`")).as(c)
+    }: _*)
+    def updatedAllRec: Column = struct(cols.map(c => col(s"new.`$c`").as(c)): _*)
+    def insertedRec: Column = struct(cols.map { c =>
+      val v =
+        if (opts.insertValuesOverride.contains(c)) expr(opts.insertValuesOverride(c))
+        else if (opts.insertColumnsToIgnore.contains(c)) lit(null)
+        else col(s"new.`$c`")
+      v.as(c)
+    }: _*)
+    // the two consumers re-evaluate the join independently (the caller
+    // persists the feed; the existing side is a pruned touched-file scan)
+    // — two bounded scans still beat one full rewrite of the touched files
+    val clauseFires = del or upd or updExisting
+    val tombstones = joined
+      .where(eExists and nExists and clauseFires)
+      .select(col(s"existing.`_graft_dv_rel`").as("file"),
+        col(s"existing.`_graft_dv_ri`").as("row_index"))
+    val additions = joined
+      .select(when(eExists and nExists and !del,
+          when(upd, updatedRec).when(updExisting, updatedAllRec))
+        .when(!eExists and nExists, when(ins, insertedRec)).as("r"))
+      .where(col("r").isNotNull).select(col("r.*"))
+    (tombstones, additions)
+  }
 }
 
 /** Scope `partitionOverwriteMode=dynamic` to one write: the analysis-time

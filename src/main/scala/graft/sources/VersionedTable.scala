@@ -1072,6 +1072,12 @@ case class VersionedTableDataObject(id: String, path: String,
       val candidates = pruneByKeyBounds(live, liveStats, schema, joinCols, bounds, feedHasNullKeys)
       val touched = findTouchedFiles(candidates, schemaOpt,
         feed.select(joinCols.map(c => col(s"`$c`")): _*).distinct(), joinCols, liveStats, st0.get.dv)
+      // merge-on-read MERGE (deletionVectors=true, the Delta DV-DML
+      // shape): tombstone the matched rows whose clause fires and APPEND
+      // the updated versions + inserts — O(matched + feed), no touched-
+      // file rewrite. Unmatched rows of touched files stay live in place.
+      if (deletionVectors)
+        return mergeViaDv(st0.get, schema, feed, joinCols, options, touched, t0)
       // reading touched files THROUGH the active DVs: a rewrite must not
       // resurrect rows a deletion vector already removed
       val existingTouched =
@@ -1363,6 +1369,43 @@ case class VersionedTableDataObject(id: String, path: String,
     // already invisible) — CDC gets a marker, like compaction
     writeCdcMarker(v)
     targets.size
+  }
+
+  /** MERGE as tombstones + appends (see [[mergeDataFrame]]): one commit
+    * carrying the staged additions and the new DV dir, removing nothing.
+    * Falls back to a plain append-only commit when no file is touched. */
+  private def mergeViaDv(st0: TableState, schema: StructType, feed: DataFrame,
+                         joinCols: Seq[String], options: SaveModeMergeOptions,
+                         touched: Seq[String], t0: Long)
+                        (implicit ctx: ActionPipelineContext): ActionMetrics = {
+    val v = st0.version + 1
+    val existingTagged =
+      if (touched.nonEmpty) readFilesTagged(touched, Some(schema), st0.stats, st0.dv)
+      else {
+        val empty = ctx.spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+        empty.withColumn("_graft_dv_rel", lit(null).cast("string"))
+          .withColumn("_graft_dv_ri", lit(null).cast("bigint"))
+      }
+    val (tombstones, additions0) = MergeEmulation.computeMergeOps(
+      existingTagged, feed, joinCols, options)
+    val additions = graft.quality.DataQualityValidation.applyConstraints(
+      additions0.select(schema.fieldNames.map(c => col(s"`$c`")).toIndexedSeq: _*), constraints)
+    val name = f"v$v%08d-${java.util.UUID.randomUUID.toString.take(8)}"
+    tombstones.write.mode(SaveMode.ErrorIfExists).parquet(dvPath(name).toString)
+    val nTombstoned = ctx.spark.read.schema(dvSchema).parquet(dvPath(name).toString).count()
+    val (added, stats) = stage(additions, v)
+    if (nTombstoned == 0 && added.isEmpty) { fs.delete(dvPath(name), true)
+      return ActionMetrics(0, System.currentTimeMillis() - t0) }
+    val dvSet = if (nTombstoned == 0) { fs.delete(dvPath(name), true); st0.dv }
+                else st0.dv :+ name
+    if (!tryCommit(Commit(v, added, Seq.empty, Some(schema.toDDL), stats,
+        op = "MERGE_DV", dvSet = Some(dvSet)))) {
+      if (nTombstoned > 0) fs.delete(dvPath(name), true)
+      throw new java.util.ConcurrentModificationException(
+        s"DataObject $id: concurrent commit won version $v — re-run the merge")
+    }
+    writeCdcCommit(v)
+    ActionMetrics(rowsOf(stats), System.currentTimeMillis() - t0)
   }
 
   // ----------------------------------------------------------------------

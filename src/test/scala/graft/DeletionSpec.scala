@@ -249,6 +249,30 @@ class DeletionSpec extends AnyFunSuite {
       feedHasNullKeys = false))
   }
 
+  test("merge-on-read MERGE: tombstone + append, zero rewrites, full clause semantics + CDC") {
+    val dir = Files.createTempDirectory("graft-dvm").toString
+    val t = VersionedTableDataObject("dvm", s"$dir/t", primaryKey = Seq("k"),
+      changeDataFeed = true, deletionVectors = true)
+    t.writeDataFrame(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"))            // v0
+    val before = dataFileState(s"$dir/t")
+    // update k=1, delete k=2 (condition clause), insert k=4; k=3 untouched
+    t.mergeDataFrame(
+      Seq((1, "A"), (2, "__DEL__"), (4, "d")).toDF("k", "v"), Seq("k"),
+      SaveModeMergeOptions(deleteCondition = Some("new.v = '__DEL__'")))          // v1 (DV)
+    // no data file was rewritten or removed — tombstones + appends only
+    assert(before.forall { case (p, m) => dataFileState(s"$dir/t").get(p).contains(m) })
+    val c = t.history(1).collect().head
+    assert(c.getAs[String]("operation") == "MERGE_DV")
+    assert(c.getAs[Int]("num_removed_files") == 0)
+    assert(kv(t.getDataFrame()) == Set((1, "A"), (3, "c"), (4, "d")))
+    assert(kv(t.getDataFrameAsOf(Some(0))) == Set((1, "a"), (2, "b"), (3, "c")))
+    val ch = t.changesBetween(0, Some(1)).select("k", "v", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(ch == Set(
+      (1, "a", "update_preimage"), (1, "A", "update_postimage"),
+      (2, "b", "delete"), (4, "d", "insert")))
+  }
+
   test("merge-on-read UPDATE: tombstone + append, zero rewrites, CDC update pairs") {
     val dir = Files.createTempDirectory("graft-dvu").toString
     val t = VersionedTableDataObject("dvu", s"$dir/t", primaryKey = Seq("k"),
