@@ -3433,7 +3433,9 @@ object SparkEntry {
         |  0 AS width, 0 AS height,
         |  CASE WHEN strlen(text) = 0 THEN 'empty' ELSE 'stub' END AS format,
         |  8 AS n_features,
-        |  CAST(floor(strlen(text) / 64.0) AS INT) AS n_frames
+        |  CASE WHEN strlen(text) >= 16
+        |    THEN CAST(floor((strlen(text) - 16) / 64.0) AS INT) + 1
+        |    ELSE 0 END AS n_frames
         |FROM documents""".stripMargin,
 
     // q37: the planted pairs' exact char-5-gram jaccard IS computable in SQL

@@ -57,22 +57,42 @@ class RunStateStore(statePath: String, appName: String,
     }
     val target = fileFor(if (rs.finished) succeededDir else currentDir, rs.runId, rs.attemptId)
     fs.mkdirs(target.getParent)
-    // ATOMIC: temp-file + rename. save() runs on every action completion —
-    // a crash mid-write must not leave a truncated JSON that poisons every
-    // later recovery of this app (the state store's whole reason to exist)
+    // ATOMIC REPLACE: temp-file + atomic rename-over. save() runs on every
+    // action completion — a crash mid-write must not leave a truncated
+    // JSON, and a crash mid-REPLACE must not leave NO state file at all
+    // (delete-then-rename has exactly that window: recovery would then
+    // allocate a fresh runId and re-execute every action, duplicating
+    // appends — the failure the store exists to prevent). Local FS gets
+    // NIO ATOMIC_MOVE; HDFS gets FileContext's atomic Rename.OVERWRITE.
     val tmp = new Path(target.getParent,
       s"_tmp_${target.getName}.${java.util.UUID.randomUUID.toString.take(8)}")
-    val out = fs.create(tmp, true)
-    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
-    finally out.close()
-    fs.delete(target, false)
-    if (!fs.rename(tmp, target)) { fs.delete(tmp, false)
-      throw new java.io.IOException(s"run-state rename failed for $target") }
+    try {
+      val out = fs.create(tmp, true)
+      try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+      finally out.close()
+      if ("file".equalsIgnoreCase(fs.getUri.getScheme)) {
+        val dir = java.nio.file.Paths.get(target.getParent.toUri.getPath)
+        java.nio.file.Files.move(dir.resolve(tmp.getName), dir.resolve(target.getName),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } else {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, hadoopConf)
+        fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      }
+    } catch { case e: Throwable => fs.delete(tmp, false); throw e }
     // a finished run clears ALL its attempts from current/ (earlier failed
-    // attempts' files would otherwise read as unfinished forever)
-    if (rs.finished && fs.exists(currentDir))
-      fs.listStatus(currentDir).filter(_.getPath.getName.startsWith(s"$appName.${rs.runId}."))
+    // attempts' files would otherwise read as unfinished forever) — EXACT
+    // app+runId match, not a prefix (startsWith("etl.1.") would delete
+    // sibling app "etl.1"'s live recovery state); plus this app's leftover
+    // _tmp_ files from crashed writes (same-app runs are serialized, so
+    // any tmp here is dead)
+    if (rs.finished && fs.exists(currentDir)) {
+      val own = (java.util.regex.Pattern.quote(appName) + s"\\.${rs.runId}\\.\\d+\\.json").r
+      val stale = ("_tmp_" + java.util.regex.Pattern.quote(appName) + """\.\d+\.\d+\.json\..*""").r
+      fs.listStatus(currentDir)
+        .filter(s => own.matches(s.getPath.getName) || stale.matches(s.getPath.getName))
         .foreach(s => fs.delete(s.getPath, false))
+    }
   }
 
   private def read(p: Path): RunState = {
@@ -174,16 +194,32 @@ object StatefulRun {
       else rs1.initialPartitionValues
     val rs0 = rs1.copy(initialPartitionValues = effectivePvs)
     // restored scope applies to every DAG-start input of the REMAINING
-    // actions (after the succeeded ones are filtered out, their outputs
-    // become start inputs of the recovery DAG)
-    def scopedSubFeeds(remaining: Seq[Action]): Seq[SubFeed] =
-      if (initialSubFeeds.nonEmpty) initialSubFeeds
-      else if (effectivePvs.isEmpty) Seq.empty
-      else {
-        val produced = remaining.flatMap(_.outputIds).toSet
-        remaining.flatMap(_.inputIds).distinct.filterNot(produced)
-          .map(in => SubFeed(in, partitionValues = effectivePvs.map(PartitionValues(_))))
+    // actions: after the succeeded ones are filtered out, their OUTPUTS
+    // become start inputs of the recovery DAG — inputs the caller's
+    // initialSubFeeds (built for the full DAG's start inputs, and always
+    // non-empty from the CLI) never cover. Caller subfeeds are matched by
+    // dataObjectId where they apply; every other start input gets the
+    // run's partition scope synthesized, so a recovery keeps the crashed
+    // run's exact selection instead of falling back to ALL partitions.
+    def scopedSubFeeds(remaining: Seq[Action]): Seq[SubFeed] = {
+      val produced = remaining.flatMap(_.outputIds).toSet
+      val starts = remaining.flatMap(_.inputIds).distinct.filterNot(produced)
+      val byId = initialSubFeeds.groupBy(_.dataObjectId)
+      starts.flatMap { in =>
+        byId.get(in) match {
+          // a recovery re-run invoked WITHOUT --partition-values still has
+          // caller subfeeds (empty-pv, one per original start input) — the
+          // restored scope fills them, it never overrides an explicit one
+          case Some(sfs) if effectivePvs.nonEmpty =>
+            sfs.map(sf => if (sf.partitionValues.nonEmpty) sf
+              else sf.copy(partitionValues = effectivePvs.map(PartitionValues(_))))
+          case Some(sfs) => sfs
+          case None if effectivePvs.nonEmpty =>
+            Seq(SubFeed(in, partitionValues = effectivePvs.map(PartitionValues(_))))
+          case None => Seq.empty
+        }
       }
+    }
     // restore incremental DataObject states (offsets/watermarks) from the
     // last state (recovered attempt or latest succeeded run)
     val baseState = if (rs0.attemptId > 1) Some(rs0) else store.latestSucceeded

@@ -29,12 +29,16 @@ object Packing {
   def packSequences(df: DataFrame, id: Column, shard: Column,
                     tokenCount: Column, seqLen: Int): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
-    // tokenCount tie-break: duplicate ids within a shard would otherwise
-    // get partition-arrival-order offsets — nondeterministic across runs,
-    // breaking the frozen-corpus contract. With (id, tokenCount) equal,
-    // remaining order is interchangeable: the cumulative sums (and so the
-    // emitted offset SET) are identical either way.
-    val w = Window.partitionBy(shard).orderBy(id, tokenCount)
+    // full tie-break: duplicate ids within a shard would otherwise get
+    // partition-arrival-order offsets — nondeterministic across runs,
+    // breaking the frozen-corpus contract. tokenCount alone isn't enough:
+    // two rows with equal (id, tokenCount) but different payloads would
+    // still swap offsets between runs (the offset SET is stable, the
+    // row→offset ASSIGNMENT isn't — the packed bytes differ). The
+    // whole-row hash pins the assignment to content; true full duplicates
+    // are then genuinely interchangeable.
+    val rowHash = xxhash64(struct(df.columns.map(c => col(s"`$c`")).toIndexedSeq: _*))
+    val w = Window.partitionBy(shard).orderBy(id, tokenCount, rowHash)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val start = (sum(tokenCount.cast(LongType)).over(w) - tokenCount.cast(LongType))
     df.withColumn("start_offset", start)

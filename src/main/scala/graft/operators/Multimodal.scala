@@ -294,10 +294,16 @@ object Multimodal {
     * expressions (no decode needed for containerless formats). */
   def sampleFrames(df: DataFrame, contentCol: String, frameSize: Int, stride: Int,
                    framesCol: String = "frames"): DataFrame = {
-    // FULL frames only, consistently: content shorter than one stride
-    // yields an EMPTY array (no phantom undersized frame), and the
-    // partial tail of longer content is dropped the same way
-    val nFrames = (length(col(contentCol)) / (frameSize * stride)).cast(IntegerType)
+    // FULL frames only: frame i reads [i*frameSize*stride, +frameSize) and
+    // is emitted iff it fits entirely — so nFrames counts offsets whose
+    // FRAME fits, not whole stride blocks (len/(frameSize*stride) would
+    // drop a genuinely full frame whose trailing stride gap is cut short:
+    // 16-byte content with frameSize=16, stride=4 has exactly one full
+    // frame). Content shorter than one frame yields an EMPTY array.
+    val len = length(col(contentCol))
+    val nFrames = when(len >= frameSize,
+      ((len - frameSize) / (frameSize * stride)).cast(IntegerType) + 1)
+      .otherwise(lit(0))
     df.withColumn(framesCol,
       when(nFrames >= 1,
         transform(

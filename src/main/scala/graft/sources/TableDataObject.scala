@@ -130,10 +130,16 @@ object MergeEmulation {
       "full")
     val eExists = col(s"existing.`$eMark`").isNotNull
     val nExists = col(s"new.`$nMark`").isNotNull
-    val del = opts.deleteCondition.map(expr).getOrElse(lit(false))
-    val upd = opts.updateCondition.map(expr).getOrElse(lit(true))
-    val updExisting = opts.updateExistingCondition.map(expr).getOrElse(lit(false))
-    val ins = opts.insertCondition.map(expr).getOrElse(lit(true))
+    // clause conditions coalesce NULL → false: the copy-on-write when-chain
+    // treats a NULL condition as not-fired, but here `del` also appears
+    // NEGATED (`!del`) and in the tombstone disjunction, where SQL
+    // three-valued logic would otherwise tombstone a row (NULL or true =
+    // true) while suppressing its updated append (NULL and ... = NULL) —
+    // silently losing the row where copy-on-write updates it
+    val del = coalesce(opts.deleteCondition.map(expr).getOrElse(lit(false)), lit(false))
+    val upd = coalesce(opts.updateCondition.map(expr).getOrElse(lit(true)), lit(false))
+    val updExisting = coalesce(opts.updateExistingCondition.map(expr).getOrElse(lit(false)), lit(false))
+    val ins = coalesce(opts.insertCondition.map(expr).getOrElse(lit(true)), lit(false))
     val updateCols = if (opts.updateColumns.nonEmpty) opts.updateColumns else cols.filterNot(joinCols.contains)
     def updatedRec: Column = struct(cols.map { c =>
       (if (updateCols.contains(c)) col(s"new.`$c`") else col(s"existing.`$c`")).as(c)

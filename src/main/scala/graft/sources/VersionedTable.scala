@@ -1077,7 +1077,8 @@ case class VersionedTableDataObject(id: String, path: String,
       // the updated versions + inserts — O(matched + feed), no touched-
       // file rewrite. Unmatched rows of touched files stay live in place.
       if (deletionVectors)
-        return mergeViaDv(st0.get, schema, feed, joinCols, options, touched, t0)
+        return mergeViaDv(st0.get, schema, feed, joinCols, options, touched,
+          bounds, feedHasNullKeys, t0)
       // reading touched files THROUGH the active DVs: a rewrite must not
       // resurrect rows a deletion vector already removed
       val existingTouched =
@@ -1093,6 +1094,7 @@ case class VersionedTableDataObject(id: String, path: String,
       // whole log.
       var commitV = v
       var attempt = 0
+      dmlRaceHook()
       var done = tryCommit(Commit(commitV, added, touched, Some(schema.toDDL), stats, op = "MERGE"))
       while (!done) {
         attempt += 1
@@ -1103,7 +1105,12 @@ case class VersionedTableDataObject(id: String, path: String,
             s"DataObject $id: concurrent commit(s) ${concurrent.map(_.version).mkString(",")} " +
               "overlap this merge's keys or files — re-run the merge against the new state")
         commitV = freshVers.max + 1
-        done = tryCommit(Commit(commitV, added, touched, Some(schema.toDDL), stats, op = "MERGE"))
+        // fresh-schema union per attempt (same rule as dmlCommitLoop /
+        // optimize): a non-conflicting concurrent append may have evolved
+        // the committed schema — committing our pre-race DDL would regress
+        // its new columns out of every later snapshot read
+        done = tryCommit(Commit(commitV, added, touched,
+          Some(unionWithFresh(schema)), stats, op = "MERGE"))
       }
       writeCdcCommit(commitV)
       ActionMetrics(rowsOf(stats), System.currentTimeMillis() - t0)
@@ -1186,15 +1193,13 @@ case class VersionedTableDataObject(id: String, path: String,
     newTombstones.write.mode(SaveMode.ErrorIfExists).parquet(dvPath(name).toString)
     val deleted = ctx.spark.read.schema(dvSchema).parquet(dvPath(name).toString).count()
     if (deleted == 0) { fs.delete(dvPath(name), true); return 0L }
-    if (!tryCommit(Commit(v, Seq.empty, Seq.empty, st0.schemaDdl, Map.empty,
-        op = "DELETE_DV", dvSet = Some(st0.dv :+ name)))) {
-      // clean OUR stage only and surface the conflict (deletes re-run
-      // cheaply; the winner's dir has a different name)
-      fs.delete(dvPath(name), true)
-      throw new java.util.ConcurrentModificationException(
-        s"DataObject $id: concurrent commit won version $v — re-run the delete")
-    }
-    writeCdcCommit(v)
+    // retry-at-new-head loop: concurrent appends (WriteSerializable — rows
+    // they add matching the predicate are NOT affected) and disjoint
+    // commits are safe alongside; rewrites of a touched file or other
+    // dvSet-bearing commits conflict and surface
+    val commitV = dvCommitLoop(v, Seq.empty, Map.empty, st0.dv, Some(name),
+      schema, "DELETE_DV", touched)
+    writeCdcCommit(commitV)
     deleted
   }
 
@@ -1283,15 +1288,69 @@ case class VersionedTableDataObject(id: String, path: String,
       val nMatched = ctx.spark.read.schema(dvSchema).parquet(dvPath(name).toString).count()
       if (nMatched == 0) { fs.delete(dvPath(name), true); return 0L }
       val (added, stats) = stage(rewritten, v)
-      if (!tryCommit(Commit(v, added, Seq.empty, Some(schema.toDDL), stats,
-          op = "UPDATE_DV", dvSet = Some(st0.dv :+ name)))) {
-        fs.delete(dvPath(name), true)
-        throw new java.util.ConcurrentModificationException(
-          s"DataObject $id: concurrent commit won version $v — re-run the update")
-      }
-      writeCdcCommit(v)
+      val commitV = dvCommitLoop(v, added, stats, st0.dv, Some(name),
+        schema, "UPDATE_DV", touched)
+      writeCdcCommit(commitV)
       nMatched
     } finally matched.unpersist()
+  }
+
+  /** The CURRENT committed schema unioned with `ours` (fresh fields first,
+    * our unmatched fields appended) — re-evaluated per commit attempt so a
+    * retry after a lost race never regresses a concurrent append's
+    * union-evolution with a stale DDL. */
+  private def unionWithFresh(ours: StructType)(implicit ctx: ActionPipelineContext): String =
+    readState(None).flatMap(_.schemaDdl).map { d =>
+      val f = StructType.fromDDL(d)
+      StructType(f.fields ++ ours.fields.filterNot(x =>
+        f.exists(_.name.equalsIgnoreCase(x.name)))).toDDL
+    }.getOrElse(ours.toDDL)
+
+  /** Optimistic-commit loop for merge-on-read DML (DELETE_DV / UPDATE_DV /
+    * MERGE_DV): the commit appends `dvName`'s tombstone dir to the active
+    * set (and possibly adds files), removing nothing. A lost race retries
+    * at the new head UNLESS a concurrent commit invalidates what this DML
+    * read: it removed one of the `touched` files (their rows live on in a
+    * rewrite, so our tombstones would silently miss them), it bears its
+    * own dvSet (our absolute dv list would drop its tombstones/revert), or
+    * `extraConflict` holds (MERGE_DV: concurrent adds whose stats overlap
+    * the feed's key bounds could hold rows this merge should have
+    * matched). Because dvSet-bearing concurrent commits always conflict,
+    * a retried commit's `baseDv :+ dvName` is still the fresh head's dv
+    * list. Fresh-schema union per attempt. On conflict or exhaustion the
+    * staged dv dir is deleted (cheap to recompute) and the conflict
+    * surfaced; staged data files are left for vacuum's orphan sweep, like
+    * the copy-on-write paths. */
+  private def dvCommitLoop(v0: Int, added: Seq[String], stats: Map[String, FileStat],
+                           baseDv: Seq[String], dvName: Option[String], schema: StructType,
+                           opTag: String, touched: Seq[String],
+                           extraConflict: Seq[Commit] => Boolean = _ => false)
+                          (implicit ctx: ActionPipelineContext): Int = {
+    val touchedSet = touched.toSet
+    val dvSet = dvName.fold(baseDv)(baseDv :+ _)
+    def fail(msg: String): Nothing = {
+      dvName.foreach(n => fs.delete(dvPath(n), true))
+      throw new java.util.ConcurrentModificationException(s"DataObject $id: $msg")
+    }
+    var commitV = v0
+    var attempt = 0
+    dmlRaceHook()
+    var done = tryCommit(Commit(commitV, added, Seq.empty, Some(schema.toDDL), stats,
+      op = opTag, dvSet = Some(dvSet)))
+    while (!done) {
+      attempt += 1
+      val fresh = listLog._1
+      val concurrent = fresh.filter(_ >= v0).map(parseCommit)
+      if (concurrent.flatMap(_.removed).exists(touchedSet) ||
+          concurrent.exists(_.dvSet.isDefined) || extraConflict(concurrent))
+        fail(s"concurrent commit(s) ${concurrent.map(_.version).mkString(",")} " +
+          s"conflict with this $opTag — re-run against the new state")
+      if (attempt >= 20) fail(s"$opTag commit contention — $attempt attempts lost the rename race")
+      commitV = fresh.max + 1
+      done = tryCommit(Commit(commitV, added, Seq.empty, Some(unionWithFresh(schema)), stats,
+        op = opTag, dvSet = Some(dvSet)))
+    }
+    commitV
   }
 
   /** Shared optimistic-commit loop for copy-on-write DML: retry at the new
@@ -1376,7 +1435,8 @@ case class VersionedTableDataObject(id: String, path: String,
     * Falls back to a plain append-only commit when no file is touched. */
   private def mergeViaDv(st0: TableState, schema: StructType, feed: DataFrame,
                          joinCols: Seq[String], options: SaveModeMergeOptions,
-                         touched: Seq[String], t0: Long)
+                         touched: Seq[String], bounds: Map[String, (String, String)],
+                         feedHasNullKeys: Boolean, t0: Long)
                         (implicit ctx: ActionPipelineContext): ActionMetrics = {
     val v = st0.version + 1
     val existingTagged =
@@ -1396,15 +1456,22 @@ case class VersionedTableDataObject(id: String, path: String,
     val (added, stats) = stage(additions, v)
     if (nTombstoned == 0 && added.isEmpty) { fs.delete(dvPath(name), true)
       return ActionMetrics(0, System.currentTimeMillis() - t0) }
-    val dvSet = if (nTombstoned == 0) { fs.delete(dvPath(name), true); st0.dv }
-                else st0.dv :+ name
-    if (!tryCommit(Commit(v, added, Seq.empty, Some(schema.toDDL), stats,
-        op = "MERGE_DV", dvSet = Some(dvSet)))) {
-      if (nTombstoned > 0) fs.delete(dvPath(name), true)
-      throw new java.util.ConcurrentModificationException(
-        s"DataObject $id: concurrent commit won version $v — re-run the merge")
-    }
-    writeCdcCommit(v)
+    val dvName = if (nTombstoned == 0) { fs.delete(dvPath(name), true); None }
+                 else Some(name)
+    // same retry semantics as the copy-on-write merge loop (a streaming
+    // merge sink must survive a non-conflicting concurrent append or
+    // maintenance commit): lost races retry at the new head unless the
+    // concurrent commits overlap this merge's keys/files — the stats-based
+    // adds-overlap check is the MERGE half of mergeConflicts; the
+    // removed-touched and dvSet halves live in dvCommitLoop itself
+    val commitV = dvCommitLoop(v, added, stats, st0.dv, dvName, schema, "MERGE_DV", touched,
+      extraConflict = concurrent => {
+        val newFiles = concurrent.flatMap(_.added)
+        val newStats = concurrent.flatMap(_.stats).toMap
+        newFiles.exists(f => !newStats.contains(f)) ||
+          pruneByKeyBounds(newFiles, newStats, schema, joinCols, bounds, feedHasNullKeys).nonEmpty
+      })
+    writeCdcCommit(commitV)
     ActionMetrics(rowsOf(stats), System.currentTimeMillis() - t0)
   }
 
@@ -1871,6 +1938,12 @@ case class VersionedTableDataObject(id: String, path: String,
     * commit attempt, so a spec can land a deterministic concurrent
     * commit in the race window. Production: no-op. */
   @transient private[graft] var deletePartitionsRaceHook: () => Unit = () => ()
+
+  /** Test seam: fires between a DML's staging and its FIRST commit attempt
+    * ([[mergeDataFrame]]'s copy-on-write loop and every merge-on-read path
+    * via `dvCommitLoop`), so specs can land a deterministic concurrent
+    * commit in the race window. Production: no-op. */
+  @transient private[graft] var dmlRaceHook: () => Unit = () => ()
 
   /** Retention (reference Delta VACUUM): drop log entries older than the
     * last `retainVersions` commits and physically delete files no longer

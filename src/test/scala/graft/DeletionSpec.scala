@@ -298,6 +298,91 @@ class DeletionSpec extends AnyFunSuite {
       (2, 20, "update_preimage"), (2, 21, "update_postimage")))
   }
 
+  test("NULL-evaluating merge clause conditions: DV merge matches copy-on-write (row updated, not lost)") {
+    // deleteCondition "new.v = '__DEL__'" evaluates NULL for a feed row
+    // with v = NULL: the when-chain treats that as not-fired, so the row
+    // must be UPDATED (to NULL) by the default update clause — on BOTH
+    // merge paths. Pre-fix the MoR path tombstoned it (NULL or true) while
+    // suppressing the append (NULL and …) — silent row loss.
+    val dir = Files.createTempDirectory("graft-dvnull").toString
+    def run(dv: Boolean, sub: String): Set[(Int, String)] = {
+      val t = VersionedTableDataObject(s"nul$sub", s"$dir/$sub", primaryKey = Seq("k"),
+        deletionVectors = dv)
+      t.writeDataFrame(Seq((1, "a"), (2, "b")).toDF("k", "v"))
+      t.mergeDataFrame(
+        Seq((1, null.asInstanceOf[String]), (2, "__DEL__")).toDF("k", "v"), Seq("k"),
+        SaveModeMergeOptions(deleteCondition = Some("new.v = '__DEL__'")))
+      kv(t.getDataFrame())
+    }
+    val cow = run(dv = false, "cow")
+    val mor = run(dv = true, "mor")
+    assert(cow == Set((1, null)), s"copy-on-write: $cow")
+    assert(mor == cow, s"DV merge diverged from copy-on-write: $mor vs $cow")
+  }
+
+  test("merge-on-read DML retries through a non-conflicting concurrent append") {
+    val dir = Files.createTempDirectory("graft-dvrace").toString
+    val t = VersionedTableDataObject("dvr", s"$dir/t", primaryKey = Seq("k"),
+      deletionVectors = true)
+    val other = VersionedTableDataObject("dvr2", s"$dir/t", primaryKey = Seq("k"))
+    t.writeDataFrame(Seq((1, "a"), (2, "b")).toDF("k", "v"))                      // v0
+    // a disjoint-key append lands in the race window → the delete loses
+    // its first commit, validates (APPEND with stats, keys disjoint from
+    // the touched file's rows), and retries at the new head
+    t.dmlRaceHook = () => {
+      t.dmlRaceHook = () => ()
+      other.writeDataFrame(Seq((100, "x")).toDF("k", "v"),
+        saveMode = Some(SdlSaveMode.Append))
+    }
+    val n = t.deleteWhere("k = 2")
+    assert(n == 1L)
+    assert(kv(t.getDataFrame()) == Set((1, "a"), (100, "x")))
+    val ops = t.history().collect().map(_.getAs[String]("operation")).toSeq
+    assert(ops.contains("DELETE_DV") && ops.contains("APPEND"))
+  }
+
+  test("merge-on-read MERGE conflicts loudly when a concurrent append overlaps its keys") {
+    val dir = Files.createTempDirectory("graft-dvconf").toString
+    val t = VersionedTableDataObject("dvc2", s"$dir/t", primaryKey = Seq("k"),
+      deletionVectors = true)
+    val other = VersionedTableDataObject("dvc2b", s"$dir/t", primaryKey = Seq("k"))
+    t.writeDataFrame(Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    // the concurrent append's key range CONTAINS the merge feed's key →
+    // the merge could have missed a row it should have matched: conflict,
+    // and the staged dv dir is cleaned up
+    t.dmlRaceHook = () => {
+      t.dmlRaceHook = () => ()
+      other.writeDataFrame(Seq((1, "raced")).toDF("k", "v"),
+        saveMode = Some(SdlSaveMode.Append))
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      t.mergeDataFrame(Seq((1, "A")).toDF("k", "v"), Seq("k"))
+    }
+    val dvDir = new java.io.File(s"$dir/t/_graft_dv")
+    assert(!dvDir.exists || dvDir.listFiles.isEmpty, "lost merge must clean its staged dv dir")
+  }
+
+  test("copy-on-write MERGE retry never regresses a concurrent append's schema evolution") {
+    val dir = Files.createTempDirectory("graft-mschema").toString
+    val t = VersionedTableDataObject("ms", s"$dir/t", primaryKey = Seq("k"))
+    val other = VersionedTableDataObject("ms2", s"$dir/t", primaryKey = Seq("k"))
+    t.writeDataFrame(Seq((1, "a"), (2, "b")).toDF("k", "v"))                      // v0
+    // concurrent append with DISJOINT keys and a NEW column `extra` lands
+    // in the race window: the merge retry must commit the UNION schema,
+    // not its pre-race DDL (which would drop `extra` from every later read)
+    t.dmlRaceHook = () => {
+      t.dmlRaceHook = () => ()
+      other.writeDataFrame(Seq((100, "x", "e1")).toDF("k", "v", "extra"),
+        saveMode = Some(SdlSaveMode.Append))
+    }
+    t.mergeDataFrame(Seq((1, "A")).toDF("k", "v"), Seq("k"))
+    val cols = t.getDataFrame().columns.toSet
+    assert(cols == Set("k", "v", "extra"), s"evolved column lost: $cols")
+    val got = t.getDataFrame().select("k", "v", "extra").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((1, "A", null), (2, "b", null), (100, "x", "e1")))
+  }
+
   test("DV read paths agree: broadcast scan-predicate vs shuffle anti-join") {
     val dir = Files.createTempDirectory("graft-dvp").toString
     val t = VersionedTableDataObject("dvp", s"$dir/t", deletionVectors = true)

@@ -131,14 +131,39 @@ class RunStateSpec extends AnyFunSuite {
         initialSubFeeds = Seq(SubFeed("in",
           partitionValues = Seq(PartitionValues(Map("dt" -> "d1"))))))(mkCtx())
     }
-    // recovery WITHOUT caller partition values: the stored scope must
-    // reach 'publish' (whose producer is now filtered out) — with
-    // FailIfNoPartitionValuesMode an empty restored scope throws, and an
-    // unscoped read would copy dt=d2 too
+    // recovery WITHOUT caller partition values, through the CLI shape:
+    // GraftApp always passes one SubFeed per FULL-DAG start input (here
+    // "in", empty pvs) — but the recovery DAG's start input is "mid"
+    // (stage succeeded and is filtered out), so the restored scope must be
+    // synthesized for it, not the caller list passed through verbatim.
+    // With FailIfNoPartitionValuesMode an empty restored scope throws, and
+    // an unscoped read would copy dt=d2 too.
     StatefulRun.run(Seq(
       CopyAction("stage", "in", "mid", executionMode = mode),
-      CopyAction("publish", "mid", "out", executionMode = mode)), store)(mkCtx())
+      CopyAction("publish", "mid", "out", executionMode = mode)), store,
+      initialSubFeeds = Seq(SubFeed("in")))(mkCtx())
     val dts = spark.read.parquet(outDir).select("dt").as[String].collect().toSet
     assert(dts == Set("d1"))
+  }
+
+  test("finished-run cleanup is exact-match: sibling app state and own runId only") {
+    val stateDir = tmpDir()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val etl = new RunStateStore(stateDir, "etl", conf)
+    val sibling = new RunStateStore(stateDir, "etl.1", conf)
+    // sibling app "etl.1" has a live unfinished recovery state
+    sibling.save(RunState("etl.1", 7, 2, Map("a" -> ActionState("SUCCEEDED"))))
+    // a crashed write's leftover tmp file for app "etl"
+    val cur = new java.io.File(s"$stateDir/current"); cur.mkdirs()
+    val stale = new java.io.File(cur, "_tmp_etl.1.1.json.deadbeef")
+    java.nio.file.Files.writeString(stale.toPath, "{trunc")
+    // app "etl" finishes runId 1: must clear its own attempts + stale tmps,
+    // NEVER sibling "etl.1"'s file (the old prefix check matched "etl.1.")
+    etl.save(RunState("etl", 1, 1))
+    etl.save(RunState("etl", 1, 2, finished = true))
+    assert(!stale.exists, "finished run must sweep its own stale _tmp_ files")
+    assert(sibling.unfinishedRun.exists(r => r.runId == 7 && r.attemptId == 2),
+      "sibling app 'etl.1' lost its recovery state to app 'etl's cleanup")
+    assert(etl.unfinishedRun.isEmpty)
   }
 }

@@ -129,6 +129,23 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(again == got.map { case (k, (s, _, _)) => k -> s })
   }
 
+  test("packSequences: row→offset ASSIGNMENT is content-stable for duplicate (id, tokenCount)") {
+    // two rows share (id, n) but differ in payload: the whole-row hash
+    // tie-break must pin WHICH content lands at WHICH offset across
+    // partitionings — the offset SET alone isn't the frozen-corpus
+    // contract, the bytes at each offset are
+    val df = Seq((1L, 0L, 100L, "payload-A"), (1L, 0L, 100L, "payload-B"), (2L, 0L, 50L, "c"))
+      .toDF("id", "shard", "n", "text")
+    def assign(d: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      Packing.packSequences(d, col("id"), col("shard"), col("n"), seqLen = 512)
+        .select("text", "start_offset").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a = assign(df)
+    assert(a.values.toSet == Set(0L, 100L, 200L))
+    (1 to 3).foreach(i => assert(assign(df.repartition(i * 3 + 2)) == a,
+      s"row→offset assignment drifted under repartition($i)"))
+  }
+
   test("repetition fractions: exact on crafted strings, 0 on short text") {
     val df = Seq(
       (1L, "a a a b"),        // words: 4 total, 2 distinct → 0.5; bigrams: "a a","a a","a b" → 1/3 dup

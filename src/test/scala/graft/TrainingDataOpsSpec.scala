@@ -341,6 +341,25 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(f1 == f2)
   }
 
+  test("sampleFrames counts every FULL frame, not full stride blocks") {
+    implicit val ctx = graft.core.ActionPipelineContext(spark, new graft.core.InstanceRegistry())
+    // frameSize=16, stride=4: frame i reads [i*64, i*64+16) — emitted iff
+    // it fits. len 16 → 1 frame (the old len/64 formula said 0); len 63 →
+    // still 1; len 80 → 2 (offsets 0 and 64); len 15 → 0.
+    val media = Seq(
+      (16L, Array.fill[Byte](16)(1)), (63L, Array.fill[Byte](63)(2)),
+      (80L, Array.fill[Byte](80)(3)), (15L, Array.fill[Byte](15)(4)),
+      (0L, Array.empty[Byte])).toDF("id", "content")
+    val got = graft.operators.Multimodal.sampleFrames(media, "content", frameSize = 16, stride = 4)
+      .select(col("id"), size(col("frames"))).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(16L -> 1, 63L -> 1, 80L -> 2, 15L -> 0, 0L -> 0))
+    // every emitted frame is exactly frameSize bytes
+    val lens = graft.operators.Multimodal.sampleFrames(media, "content", 16, 4)
+      .select(explode(col("frames")).as("f")).select(length(col("f"))).collect().map(_.getInt(0))
+    assert(lens.nonEmpty && lens.forall(_ == 16))
+  }
+
   test("multimodal decode is REAL for JDK-supported formats: PNG metadata equals encoded dimensions") {
     // author an actual 20x10 PNG in-memory (javax.imageio, JDK built-in)
     def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
