@@ -3010,6 +3010,22 @@ object SparkEntry {
         vt.getDataFrame().count() + deleted,
         "time travel must still see the tombstoned rows")
       vt.getDataFrame()
+    }),
+
+    // DSIR importance resampling (Xie et al. 2023): rank the raw corpus by
+    // hashed-n-gram importance vs a target slice, keep the top 50. The
+    // scoring pass is shuffle-free (bucket→ratio rides as a broadcast map
+    // literal; the per-doc fold sums in ASCENDING order so the double
+    // addition sequence — and therefore the score bits — is a pure
+    // function of the document, replayed exactly by the oracle's
+    // list(ORDER BY)+list_reduce).
+    "q120_dsir_importance_resampling" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val target = docs.where(col("doc_id") % 10 === 0)
+      val corpus = docs.where(col("doc_id") % 10 =!= 0)
+      graft.functions.ImportanceResampling.resampleTopK(
+        corpus, target, col("doc_id"), col("text"), numBuckets = 256, k = 50)
+        .select(col("doc_id"), col("rank"), col("n_grams"), col("score"))
     })
   )
 
@@ -4511,6 +4527,51 @@ object SparkEntry {
         |  CAST(p_size AS INT) AS p_size
         |FROM part
         |WHERE NOT (p_size BETWEEN 20 AND 30)
-        |   OR (p_size BETWEEN 20 AND 30) IS NULL""".stripMargin
+        |   OR (p_size BETWEEN 20 AND 30) IS NULL""".stripMargin,
+    // q120: DSIR replayed exactly — same md5 bucket hash, same
+    // (ct+1)*(Nr+m)/((cr+1)*(Nt+m)) ratio operation order, same
+    // ascending-sorted left-fold summation → bit-identical double scores
+    "q120_dsir_importance_resampling" ->
+      """WITH tokd AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    t || list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS g
+        |  FROM tokd),
+        |bucketed AS (
+        |  SELECT doc_id, CAST(len(g) AS INT) AS n_grams,
+        |    list_transform(g, x -> CAST(('0x' || substring(md5(x), 1, 8)) AS BIGINT) % 256) AS b
+        |  FROM grams),
+        |tcnt AS (
+        |  SELECT bucket, count(*) AS c FROM (
+        |    SELECT unnest(b) AS bucket FROM bucketed WHERE doc_id % 10 = 0) GROUP BY 1),
+        |rcnt AS (
+        |  SELECT bucket, count(*) AS c FROM (
+        |    SELECT unnest(b) AS bucket FROM bucketed WHERE doc_id % 10 <> 0) GROUP BY 1),
+        |tot AS (SELECT
+        |  (SELECT COALESCE(sum(c), 0) FROM tcnt) + 256 AS ntm,
+        |  (SELECT COALESCE(sum(c), 0) FROM rcnt) + 256 AS nrm),
+        |ratios AS (
+        |  SELECT r.range AS bucket,
+        |    (CAST(COALESCE(t.c, 0) + 1 AS DOUBLE) * CAST(tot.nrm AS DOUBLE)) /
+        |    (CAST(COALESCE(rc.c, 0) + 1 AS DOUBLE) * CAST(tot.ntm AS DOUBLE)) AS ratio
+        |  FROM range(0, 256) r
+        |  LEFT JOIN tcnt t ON t.bucket = r.range
+        |  LEFT JOIN rcnt rc ON rc.bucket = r.range, tot),
+        |terms AS (
+        |  SELECT doc_id, list(ratio ORDER BY ratio) AS l
+        |  FROM (SELECT doc_id, unnest(b) AS bucket FROM bucketed WHERE doc_id % 10 <> 0) x
+        |  JOIN ratios USING (bucket) GROUP BY doc_id),
+        |scoredocs AS (
+        |  SELECT bk.doc_id, bk.n_grams,
+        |    COALESCE(list_reduce(list_prepend(CAST(0 AS DOUBLE), tm.l), (a, x) -> a + x), 0.0) AS score
+        |  FROM bucketed bk LEFT JOIN terms tm ON bk.doc_id = tm.doc_id
+        |  WHERE bk.doc_id % 10 <> 0)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+        |  n_grams, score
+        |FROM scoredocs ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
   )
 }

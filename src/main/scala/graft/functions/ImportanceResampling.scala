@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+  * arXiv:2302.03169): rank a raw corpus by how much each document looks
+  * like a small TARGET corpus under hashed-n-gram bag-of-words models.
+  * The published recipe: featurize documents into `m` hash buckets over
+  * unigrams+bigrams, fit smoothed bucket distributions p (target) and q
+  * (raw), and weight each document by its importance under p vs q; the
+  * top-weighted documents form the selected training subset.
+  *
+  * Scale shape (the reason this fits 100 TB):
+  *  - the two bucket-count tables are ONE map-side-combined groupBy each,
+  *    and are at most `m` rows (bounded ≤ 2^20) — they collect to the
+  *    driver like codebook/centroid training does, never a row-scaled
+  *    collect;
+  *  - the scoring pass is a single narrow projection over the corpus: the
+  *    bucket→ratio table rides along as a broadcast map literal and the
+  *    per-document score folds over the document's own gram array — ZERO
+  *    shuffles, no join, stays in whole-stage codegen;
+  *  - top-k goes through orderBy+limit (TakeOrdered: per-partition heaps,
+  *    k rows to the driver — never a global sort).
+  *
+  * Determinism: per-document terms are summed in ASCENDING sorted order,
+  * so the floating-point addition sequence is a pure function of the
+  * document — bit-identical across runs, partitionings, and engines
+  * (the oracle replays the same fold). Ratios use the md5-derived bucket
+  * hash every sampler here uses (portable to any engine).
+  *
+  * DSIR proper samples WITH Gumbel noise proportional to the weights;
+  * the deterministic top-k here is the reproducible-pipeline variant
+  * (equivalent to temperature→0), which is also what makes the selection
+  * a frozen, auditable artifact.
+  */
+object ImportanceResampling {
+
+  /** lowercased whitespace tokens */
+  private def toks(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  /** unigram+bigram hash buckets (with multiplicity) for one document —
+    * the DSIR hashed-n-gram featurization, md5-derived for portability */
+  def ngramBuckets(text: Column, numBuckets: Int): Column = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    val t = toks(text)
+    val bigrams = when(size(t) >= 2,
+      transform(sequence(lit(0), size(t) - 2),
+        i => concat(element_at(t, i + 1), lit(" "), element_at(t, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    transform(concat(t, bigrams),
+      g => pmod(conv(substring(md5(g), 1, 8), 16, 10).cast(LongType), lit(numBuckets.toLong)))
+  }
+
+  /** bucket → occurrence count over a corpus: one map-side-combined
+    * groupBy, result bounded at `numBuckets` rows */
+  def bucketCounts(df: DataFrame, text: Column, numBuckets: Int): DataFrame =
+    df.select(explode(ngramBuckets(text, numBuckets)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Per-document importance score: Σ over the document's gram buckets of
+    * the add-1-smoothed probability ratio p_target(b)/p_raw(b), summed in
+    * ascending order. Appends `score` (double) and `n_grams` (int).
+    *
+    * This is a LINEARIZED variant of DSIR's log-likelihood-ratio weight
+    * (Σ ratio instead of Σ log ratio): monotone in each gram's evidence,
+    * but replayable BIT-EXACTLY by any engine — log's last-ulp rounding is
+    * libm-dependent, so a log-based score could never survive an exact
+    * cross-engine compare. Rankings agree on the planted-fixture spec;
+    * callers wanting the paper's exact estimator can log-transform the
+    * per-bucket ratio map themselves at the cost of exact replayability. */
+  def scored(corpus: DataFrame, target: DataFrame, text: Column,
+             numBuckets: Int): DataFrame = {
+    require(numBuckets <= (1 << 20),
+      s"numBuckets=$numBuckets: the bucket table is driver-collected, bounded at 2^20")
+    def counts(df: DataFrame): (Map[Long, Long], Long) = {
+      val m = bucketCounts(df, text, numBuckets).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (m, m.values.sum)
+    }
+    val (tCnt, nT) = counts(target)
+    val (rCnt, nR) = counts(corpus)
+    // ratio(b) = ((c_t(b)+1)/(N_t+m)) / ((c_r(b)+1)/(N_r+m)), computed in
+    // the fixed order (ct1*nrm)/(cr1*ntm) so the oracle's SQL reproduces
+    // the exact double bits
+    val nTm = (nT + numBuckets).toDouble
+    val nRm = (nR + numBuckets).toDouble
+    def ratio(b: Long): Double =
+      ((tCnt.getOrElse(b, 0L) + 1).toDouble * nRm) / ((rCnt.getOrElse(b, 0L) + 1).toDouble * nTm)
+    val present = (tCnt.keySet ++ rCnt.keySet).toSeq.sorted
+    val ratioMap = typedLit(present.map(b => b -> ratio(b)).toMap)
+    val defaultRatio = lit(nRm / nTm) // bucket unseen in both corpora
+    val buckets = ngramBuckets(text, numBuckets)
+    val terms = array_sort(transform(buckets,
+      b => coalesce(element_at(ratioMap, b), defaultRatio)))
+    corpus
+      .withColumn("n_grams", size(buckets))
+      .withColumn("score", aggregate(terms, lit(0.0), (a, x) => a + x))
+  }
+
+  /** The DSIR selection: top `k` corpus rows by importance score (ties by
+    * ascending `id`), with a 1-based `rank`. TakeOrdered top-k; the rank
+    * window runs over the k-row result only. */
+  def resampleTopK(corpus: DataFrame, target: DataFrame, id: Column, text: Column,
+                   numBuckets: Int, k: Int): DataFrame = {
+    val s = scored(corpus, target, text, numBuckets)
+      .withColumn("_graft_dsir_id", id)
+    val top = s.orderBy(col("score").desc, col("_graft_dsir_id")).limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("_graft_dsir_id"))))
+      .drop("_graft_dsir_id")
+  }
+}

@@ -341,6 +341,30 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(f1 == f2)
   }
 
+  test("DSIR importance resampling: planted target-like docs rank exactly on top; scores bit-stable") {
+    import graft.functions.ImportanceResampling
+    // target distribution: ML-ish vocabulary; corpus: 5 planted ML docs
+    // among 50 cooking docs (same length, so the TF-weighted score can't
+    // win on length alone) → the planted 5 must be exactly the top 5
+    val target = (1 to 20).map(i => (1000L + i, s"neural network training loss gradient step $i"))
+      .toDF("doc_id", "text")
+    val planted = (1 to 5).map(i => (i.toLong, s"gradient descent neural network loss curve $i"))
+    val noise = (6 to 55).map(i => (i.toLong, s"chop the onions and simmer the broth gently $i"))
+    val corpus = scala.util.Random.shuffle(planted ++ noise).toDF("doc_id", "text")
+    val top = ImportanceResampling.resampleTopK(corpus, target, col("doc_id"), col("text"),
+      numBuckets = 512, k = 5)
+    assert(top.select("doc_id").as[Long].collect().toSet == (1L to 5L).toSet)
+    assert(top.select("rank").as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4, 5))
+    // determinism: identical score BITS across partitionings (the
+    // ascending-sorted fold makes the double addition order a pure
+    // function of the document)
+    def scores(d: org.apache.spark.sql.DataFrame) =
+      ImportanceResampling.scored(d, target, col("text"), 512)
+        .select("doc_id", "score").collect()
+        .map(r => r.getLong(0) -> java.lang.Double.doubleToLongBits(r.getDouble(1))).toMap
+    assert(scores(corpus) == scores(corpus.repartition(13)))
+  }
+
   test("sampleFrames counts every FULL frame, not full stride blocks") {
     implicit val ctx = graft.core.ActionPipelineContext(spark, new graft.core.InstanceRegistry())
     // frameSize=16, stride=4: frame i reads [i*64, i*64+16) — emitted iff
