@@ -3012,6 +3012,30 @@ object SparkEntry {
       vt.getDataFrame()
     }),
 
+    // COLUMN MAPPING (the public Delta column-mapping design, from
+    // scratch): immutable uuid'd physical column names + a logical→
+    // physical map in the log make RENAME/DROP COLUMN metadata-only — on
+    // a 100 TB table each costs ONE log write (asserted: zero snapshot
+    // file changes). Reads keep pruning through the map; time travel
+    // still sees the pre-rename schema.
+    "q121_column_mapping_rename" -> ((s, dir) => {
+      implicit val c: ActionPipelineContext = ctx(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q121").toString
+      val vt = sources.VersionedTableDataObject("q121_vt", s"$tmp/t",
+        columnMapping = true)
+      val p = t(s, dir, "part").select(col("p_partkey").cast("long"),
+        col("p_name"), col("p_retailprice").cast("double"), col("p_type"))
+      vt.writeDataFrame(p.repartitionByRange(4, col("p_partkey")))          // v0
+      val before = vt.snapshotFiles().toSet
+      vt.renameColumn("p_name", "part_name")                                // v1
+      vt.dropColumn("p_type")                                                 // v2
+      require(vt.snapshotFiles().toSet == before,
+        "rename/drop must be metadata-only (no snapshot file changes)")
+      require(vt.getDataFrameAsOf(Some(0)).columns.contains("p_name"),
+        "time travel must still see the pre-rename schema")
+      vt.getDataFrame()
+    }),
+
     // DSIR importance resampling (Xie et al. 2023): rank the raw corpus by
     // hashed-n-gram importance vs a target slice, keep the top 50. The
     // scoring pass is shuffle-free (bucket→ratio rides as a broadcast map
@@ -4528,6 +4552,13 @@ object SparkEntry {
         |FROM part
         |WHERE NOT (p_size BETWEEN 20 AND 30)
         |   OR (p_size BETWEEN 20 AND 30) IS NULL""".stripMargin,
+    // q121: the storage indirection (physical names, the map) must be
+    // invisible to the relational result — rename is a projection alias,
+    // drop is a projection
+    "q121_column_mapping_rename" ->
+      """SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_name AS part_name,
+        |  CAST(p_retailprice AS DOUBLE) AS p_retailprice
+        |FROM part""".stripMargin,
     // q120: DSIR replayed exactly — same md5 bucket hash, same
     // (ct+1)*(Nr+m)/((cr+1)*(Nt+m)) ratio operation order, same
     // ascending-sorted left-fold summation → bit-identical double scores

@@ -225,6 +225,7 @@ object ConfigParser {
           partitions = strSeq(n, "partitions"),
           changeDataFeed = bool(n, "changeDataFeed"),
           deletionVectors = bool(n, "deletionVectors"),
+          columnMapping = bool(n, "columnMapping"),
           constraints = constraints, expectations = expectations)
       case "KafkaTopicDataObject" | "kafka" =>
         KafkaTopicDataObject(id, require(str(n, "topic"), id, "topic"),

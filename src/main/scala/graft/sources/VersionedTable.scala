@@ -66,6 +66,17 @@ case class VersionedTableDataObject(id: String, path: String,
                                       * DV set. OPTIMIZE rewrites files clean; VACUUM sweeps only
                                       * unreferenced tombstone dirs. */
                                     deletionVectors: Boolean = false,
+                                    /** name-mapped physical columns (the public Delta column-
+                                      * mapping design): every column gets an immutable
+                                      * writer-unique PHYSICAL name at creation; the log carries
+                                      * the logical→physical map. [[renameColumn]] and
+                                      * [[dropColumn]] are then METADATA-ONLY commits — renaming
+                                      * or dropping a column on a 100 TB table moves zero data
+                                      * bytes, and a column re-added after a drop gets a fresh
+                                      * physical name so the dropped data can never resurrect.
+                                      * Must be chosen at table creation (existing physical names
+                                      * are immutable). */
+                                    columnMapping: Boolean = false,
                                     /** row-level CHECK constraints enforced during every write,
                                       * merge and update (the Delta CHECK-constraint/invariant
                                       * design: raise_error rides the write plan, zero extra
@@ -101,11 +112,13 @@ case class VersionedTableDataObject(id: String, path: String,
   private val NullPartitionName = "__HIVE_DEFAULT_PARTITION__"
 
   /** Does a file's logged partition values match a caller's partition
-    * spec? A null (or sentinel) spec value selects the null partition. */
-  private def pvMatches(filePv: Map[String, String], spec: PartitionValues): Boolean =
+    * spec? A null (or sentinel) spec value selects the null partition.
+    * Spec keys are LOGICAL; the logged pv keys are physical. */
+  private def pvMatches(filePv: Map[String, String], spec: PartitionValues,
+                        colMap: Map[String, String] = Map.empty): Boolean =
     spec.elements.forall { case (k, v) =>
       val want = if (v == null) NullPartitionName else v
-      filePv.get(k).contains(want)
+      filePv.get(colMap.getOrElse(k, k)).contains(want)
     }
 
   /** Per-file footer stats: row count + file size + canonical-string
@@ -145,7 +158,12 @@ case class VersionedTableDataObject(id: String, path: String,
                                      * NAMES under `_graft_dv/` (writer-unique `vNNNNNNNN-hex8`,
                                      * like data staging dirs — two racing deletes can never
                                      * clobber or cross-reference each other's tombstones) */
-                                   dvSet: Option[Seq[String]] = None)
+                                   dvSet: Option[Seq[String]] = None,
+                                   /** ABSOLUTE replacement for the logical→physical column
+                                     * map (column-mapping tables: creation, schema-evolving
+                                     * commits, RENAME/DROP COLUMN, RESTORE, vacuum rebase);
+                                     * None = inherit */
+                                   colMapSet: Option[Map[String, String]] = None)
 
   private def om = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -165,9 +183,34 @@ case class VersionedTableDataObject(id: String, path: String,
                                        /** active deletion-vector versions at this state (the
                                          * Delta DV design): every read of this snapshot
                                          * anti-joins these versions' (file, row_index) sets */
-                                       dv: Seq[String] = Seq.empty) {
+                                       dv: Seq[String] = Seq.empty,
+                                       /** logical→physical column names (column-mapping
+                                         * tables; empty = identity). Stats keys, file footers
+                                         * and partition dir names are PHYSICAL; the committed
+                                         * schema is LOGICAL. */
+                                       colMap: Map[String, String] = Map.empty) {
     def schema: Option[StructType] = schemaDdl.map(StructType.fromDDL)
   }
+
+  /** physical name of a logical column under `colMap` (identity when unmapped) */
+  private def phys(colMap: Map[String, String], c: String): String = colMap.getOrElse(c, c)
+
+  private def physSchema(sc: StructType, colMap: Map[String, String]): StructType =
+    if (colMap.isEmpty) sc
+    else StructType(sc.map(f => f.copy(name = phys(colMap, f.name))))
+
+  /** fresh writer-unique physical name for a newly created logical column
+    * (column-mapping tables) — a re-added column can never collide with a
+    * dropped predecessor's physical data */
+  private def freshPhys(logical: String): String =
+    s"$logical-x${java.util.UUID.randomUUID.toString.take(8)}"
+
+  /** colMap for a commit introducing `fields` as the full (overwrite) or
+    * added (evolution) logical columns: existing mappings carry, new
+    * logical names get fresh physical names. Identity tables return empty. */
+  private def assignPhys(base: Map[String, String], fields: Seq[StructField]): Map[String, String] =
+    if (!columnMapping) Map.empty
+    else base ++ fields.filterNot(f => base.contains(f.name)).map(f => f.name -> freshPhys(f.name))
 
   /** Log-file parse counter (commit + checkpoint JSONs actually read) —
     * instrumentation for the checkpoint-bounded-replay spec. */
@@ -207,7 +250,9 @@ case class VersionedTableDataObject(id: String, path: String,
       Option(n.get("schema")).map(_.asText), stats,
       Option(n.get("ts")).map(_.asLong).getOrElse(-1L),
       Option(n.get("op")).map(_.asText).getOrElse(""),
-      Option(n.get("dv")).map(_.elements().asScala.map(_.asText).toSeq))
+      Option(n.get("dv")).map(_.elements().asScala.map(_.asText).toSeq),
+      Option(n.get("colmap")).map(_.fields().asScala
+        .map(e => e.getKey -> e.getValue.asText).toMap))
   }
 
   /** Full per-commit history — needed ONLY where commit granularity is the
@@ -228,7 +273,9 @@ case class VersionedTableDataObject(id: String, path: String,
         entries.flatMap(e => Option(e.get("stat")).map(s => e.get("path").asText -> parseStats(s))).toMap,
         Option(n.get("schema")).map(_.asText),
         Option(n.get("ts")).map(_.asLong).getOrElse(-1L),
-        Option(n.get("dv")).map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Seq.empty)))
+        Option(n.get("dv")).map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Seq.empty),
+        Option(n.get("colmap")).map(_.fields().asScala
+          .map(e => e.getKey -> e.getValue.asText).toMap).getOrElse(Map.empty)))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** State at `version` (latest when None): newest usable checkpoint +
@@ -256,7 +303,8 @@ case class VersionedTableDataObject(id: String, path: String,
       TableState(c.version, s.files.filterNot(rm) ++ c.added,
         (s.stats -- rm) ++ c.stats, c.schema.orElse(s.schemaDdl),
         if (c.ts >= 0) c.ts else s.ts,
-        c.dvSet.getOrElse(s.dv))
+        c.dvSet.getOrElse(s.dv),
+        c.colMapSet.getOrElse(s.colMap))
     })
   }
 
@@ -281,6 +329,10 @@ case class VersionedTableDataObject(id: String, path: String,
       if (st.ts >= 0) root.put("ts", st.ts)
       st.schemaDdl.foreach(root.put("schema", _))
       if (st.dv.nonEmpty) { val d = root.putArray("dv"); st.dv.foreach(d.add) }
+      if (st.colMap.nonEmpty) {
+        val cm = root.putObject("colmap")
+        st.colMap.toSeq.sortBy(_._1).foreach { case (k, v) => cm.put(k, v) }
+      }
       val fl = root.putArray("files")
       st.files.foreach { f =>
         val e = fl.addObject()
@@ -357,6 +409,10 @@ case class VersionedTableDataObject(id: String, path: String,
     root.put("ts", if (c.ts >= 0) c.ts else monotonicTs(c.version))
     if (c.op.nonEmpty) root.put("op", c.op)
     c.dvSet.foreach { vs => val d = root.putArray("dv"); vs.foreach(d.add) }
+    c.colMapSet.foreach { m =>
+      val cm = root.putObject("colmap")
+      m.toSeq.sortBy(_._1).foreach { case (k, v) => cm.put(k, v) }
+    }
     val a = root.putArray("added"); c.added.foreach(a.add)
     val r = root.putArray("removed"); c.removed.foreach(r.add)
     c.schema.foreach(root.put("schema", _))
@@ -436,10 +492,12 @@ case class VersionedTableDataObject(id: String, path: String,
     * log, no listing */
   override def listPartitions(implicit ctx: ActionPipelineContext): Seq[PartitionValues] =
     if (partitions.isEmpty) Seq.empty
-    else readState(None).toSeq.flatMap(st =>
+    else readState(None).toSeq.flatMap { st =>
+      val inv = partitions.map(p => phys(st.colMap, p) -> p).toMap
       st.files.flatMap(f => st.stats.get(f).map(_.pv).filter(_.nonEmpty))
         .distinct.map(pv => PartitionValues(pv.map { case (k, v) =>
-          k -> (if (v == NullPartitionName) null else v) })))
+          inv.getOrElse(k, k) -> (if (v == NullPartitionName) null else v) }))
+    }
 
   /** Partition delete = ONE metadata commit removing the partitions'
     * files by reference — zero data I/O (partitionBy staging guarantees
@@ -458,7 +516,7 @@ case class VersionedTableDataObject(id: String, path: String,
       val st = readState(None).getOrElse(return)
       deletePartitionsRaceHook() // test seam: lands a concurrent commit here
       val doomed = st.files.filter { f =>
-        st.stats.get(f).map(_.pv).exists(pv => pvs.exists(pvMatches(pv, _)))
+        st.stats.get(f).map(_.pv).exists(pv => pvs.exists(pvMatches(pv, _, st.colMap)))
       }
       if (doomed.isEmpty) return
       done = tryCommit(Commit(st.version + 1, Seq.empty, doomed, st.schemaDdl, op = "DELETE_PARTITIONS"))
@@ -478,7 +536,7 @@ case class VersionedTableDataObject(id: String, path: String,
   def getDataFrameAsOf(version: Option[Int])(implicit ctx: ActionPipelineContext): DataFrame = {
     val st = stateOrFail(version)
     require(st.files.nonEmpty, s"DataObject $id: empty snapshot")
-    readFiles(st.files, st.schema, st.stats, st.dv)
+    readFiles(st.files, st.schema, st.stats, st.dv, st.colMap)
   }
 
   /** Resolve a TIMESTAMP to the latest version committed at or before it
@@ -532,15 +590,25 @@ case class VersionedTableDataObject(id: String, path: String,
     * log predates the committed-schema format. */
   private def readFiles(files: Seq[String], schema: Option[StructType],
                         stats: Map[String, FileStat] = Map.empty,
-                        dv: Seq[String] = Seq.empty)
+                        dv: Seq[String] = Seq.empty,
+                        colMap: Map[String, String] = Map.empty)
                        (implicit ctx: ActionPipelineContext): DataFrame =
-    applyDv(readFilesRaw(files, schema, stats), dv)
+    applyDv(readFilesRaw(files, schema, stats, colMap), dv)
 
+  /** Reads under the PHYSICAL schema (footer truth on column-mapping
+    * tables) and aliases back to LOGICAL names in one projection.
+    * Predicates a caller pushes on the logical output are rewritten
+    * through the alias by Catalyst, so the filters reaching the index's
+    * `pruneFn` — and the stats they're checked against — are both
+    * physical-named: data skipping keeps working across renames with no
+    * translation layer in the hot path. */
   private def readFilesRaw(files: Seq[String], schema: Option[StructType],
-                           stats: Map[String, FileStat] = Map.empty)
+                           stats: Map[String, FileStat] = Map.empty,
+                           colMap: Map[String, String] = Map.empty)
                           (implicit ctx: ActionPipelineContext): DataFrame =
     schema match {
       case Some(sc) =>
+        val pSc = physSchema(sc, colMap)
         val entries = files.map { rel =>
           val abs = new Path(path, rel)
           val len = stats.get(rel).map(_.bytes).filter(_ > 0)
@@ -548,18 +616,23 @@ case class VersionedTableDataObject(id: String, path: String,
           (rel, abs, len)
         }
         val pruneFn = (filters: Seq[Filter]) => files.filter(f =>
-          stats.get(f).forall(st => filters.forall(mayContain(st, _, sc)))).toSet
+          stats.get(f).forall(st => filters.forall(mayContain(st, _, pSc)))).toSet
+        def toLogical(df: DataFrame): DataFrame =
+          if (colMap.isEmpty) df
+          else df.select(sc.map(f => col(s"`${phys(colMap, f.name)}`").as(f.name)).toIndexedSeq: _*)
         if (partitions.isEmpty) {
           val index = new org.apache.spark.sql.graftshims.GraftPrunedFileIndex(
             new Path(path), entries, pruneFn)
-          org.apache.spark.sql.graftshims.GraftFileIndexShims
-            .parquetDataFrame(ctx.spark, index, sc)
+          toLogical(org.apache.spark.sql.graftshims.GraftFileIndexShims
+            .parquetDataFrame(ctx.spark, index, pSc))
         } else {
           // partition columns come from the LOG, not the files: the index
           // serves them per PartitionDirectory and evaluates partition
-          // filters itself — plan-time pruning with zero footer reads
-          val partFields = sc.filter(f => partitions.contains(f.name))
-          val dataSchema = StructType(sc.filterNot(f => partitions.contains(f.name)))
+          // filters itself — plan-time pruning with zero footer reads.
+          // Names here are PHYSICAL (staging dirs + logged pv keys).
+          val physParts = partitions.map(phys(colMap, _)).toSet
+          val partFields = pSc.filter(f => physParts.contains(f.name))
+          val dataSchema = StructType(pSc.filterNot(f => physParts.contains(f.name)))
           val pvMap = stats.collect { case (rel, st) if st.pv.nonEmpty =>
             // sentinel → null here, so string-typed partition columns read
             // back NULL, not the literal directory name
@@ -569,7 +642,7 @@ case class VersionedTableDataObject(id: String, path: String,
             new Path(path), entries, pruneFn, StructType(partFields), pvMap.toMap)
           org.apache.spark.sql.graftshims.GraftFileIndexShims
             .parquetDataFrame(ctx.spark, index, dataSchema)
-            .select(sc.fieldNames.map(c => col(s"`$c`")).toIndexedSeq: _*)
+            .select(sc.map(f => col(s"`${phys(colMap, f.name)}`").as(f.name)).toIndexedSeq: _*)
         }
       case None =>
         ctx.spark.read.parquet(files.map(f => s"$path/$f"): _*)
@@ -667,9 +740,10 @@ case class VersionedTableDataObject(id: String, path: String,
     * join — `input_file_name()` is single-source-only, so callers that
     * need file identity on a DV-filtered scan must take it from here */
   private def readFilesTagged(files: Seq[String], schema: Option[StructType],
-                              stats: Map[String, FileStat], dv: Seq[String])
+                              stats: Map[String, FileStat], dv: Seq[String],
+                              colMap: Map[String, String] = Map.empty)
                              (implicit ctx: ActionPipelineContext): DataFrame =
-    dvFilter(readFilesRaw(files, schema, stats)
+    dvFilter(readFilesRaw(files, schema, stats, colMap)
       .withColumn("_graft_dv_rel", relFileExpr)
       .withColumn("_graft_dv_ri", col("_metadata.row_index")), dv)
 
@@ -811,21 +885,29 @@ case class VersionedTableDataObject(id: String, path: String,
     * the read path. Matters for selective key lookups on keys the data
     * is NOT clustered by (zorder makes min/max selective only for its
     * listed columns). */
-  private def bloomOpts(df: DataFrame): Map[String, String] = {
-    val cols = primaryKey.filter(df.columns.contains)
+  private def bloomOpts(df: DataFrame, colMap: Map[String, String]): Map[String, String] = {
+    // option keys name the columns as WRITTEN — physical on mapped tables
+    val cols = primaryKey.map(phys(colMap, _)).filter(df.columns.contains)
     if (cols.isEmpty) Map.empty
     else Map("parquet.bloom.filter.adaptive.enabled" -> "true") ++
       cols.map(c => s"parquet.bloom.filter.enabled#$c" -> "true")
   }
 
-  private def stage(df: DataFrame, version: Int)
+  /** Stages under PHYSICAL column names (`colMap` applied up front): the
+    * data files, partition dir names, footer stats and logged pv keys are
+    * all physical — immutable under later renames. */
+  private def stage(df0: DataFrame, version: Int,
+                    colMap: Map[String, String] = Map.empty)
                    (implicit ctx: ActionPipelineContext): (Seq[String], Map[String, FileStat]) = {
     val sub = f"v$version%08d-${java.util.UUID.randomUUID.toString.take(8)}"
+    val df =
+      if (colMap.isEmpty) df0
+      else df0.select(df0.columns.map(c => col(s"`$c`").as(phys(colMap, c))).toIndexedSeq: _*)
     if (partitions.nonEmpty) {
-      require(partitions.forall(df.columns.contains),
-        s"DataObject $id: partition columns ${partitions.mkString(",")} missing from ${df.columns.mkString(",")}")
-      df.write.mode(SaveMode.ErrorIfExists).options(bloomOpts(df))
-        .partitionBy(partitions: _*).parquet(s"$path/$sub")
+      require(partitions.forall(df0.columns.contains),
+        s"DataObject $id: partition columns ${partitions.mkString(",")} missing from ${df0.columns.mkString(",")}")
+      df.write.mode(SaveMode.ErrorIfExists).options(bloomOpts(df, colMap))
+        .partitionBy(partitions.map(phys(colMap, _)): _*).parquet(s"$path/$sub")
       val it = fs.listFiles(new Path(path, sub), true)
       val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
       while (it.hasNext) {
@@ -836,7 +918,8 @@ case class VersionedTableDataObject(id: String, path: String,
       val statuses = buf.toSeq
       val base = new Path(path).toUri.getPath
       val rels = statuses.map(s => s.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/"))
-      val dataSchema = StructType(df.schema.filterNot(f => partitions.contains(f.name)))
+      val physParts = partitions.map(phys(colMap, _)).toSet
+      val dataSchema = StructType(df.schema.filterNot(f => physParts.contains(f.name)))
       val byType = df.schema.fields.map(f => f.name -> f.dataType).toMap
       return (rels, statuses.zip(rels).map { case (st, rel) =>
         val pv = rel.split('/').dropRight(1).flatMap { seg =>
@@ -858,7 +941,7 @@ case class VersionedTableDataObject(id: String, path: String,
           nulls = stat0.nulls ++ canon.keys.map(_ -> 0L) ++ nullPartNulls, pv = pv)
       }.toMap)
     }
-    df.write.mode(SaveMode.ErrorIfExists).options(bloomOpts(df)).parquet(s"$path/$sub")
+    df.write.mode(SaveMode.ErrorIfExists).options(bloomOpts(df, colMap)).parquet(s"$path/$sub")
     val statuses = fs.listStatus(new Path(path, sub))
       .filter(s => s.getPath.getName.endsWith(".parquet") && !s.getPath.getName.startsWith("_"))
       .toSeq
@@ -896,13 +979,21 @@ case class VersionedTableDataObject(id: String, path: String,
     val t0 = System.currentTimeMillis()
     val append = saveMode.contains(SdlSaveMode.Append)
     val dynamic = saveMode.contains(SdlSaveMode.OverwriteOptimized) && partitions.nonEmpty
-    val v0 = latestVersion.map(_ + 1).getOrElse(0)
+    val preState = readState(None)
+    val v0 = preState.map(_.version + 1).getOrElse(0)
+    // column mapping: existing logical columns keep their immutable
+    // physical names; brand-new logical columns get fresh ones. A
+    // concurrent RENAME during the commit race changes only the map,
+    // never a physical name, so the staged files stay valid on retry.
+    val preColMap = preState.map(_.colMap).getOrElse(Map.empty)
+    val colMapWrite = assignPhys(preColMap, df.schema.fields.toSeq)
+    val newAssigned = colMapWrite -- preColMap.keySet
     // data quality rides the staging write: constraints raise_error per
     // row, Job-scope expectations observe — zero extra scans
     val constrained = graft.quality.DataQualityValidation.applyConstraints(df, constraints)
     val (instrumented, expObs) =
       graft.quality.DataQualityValidation.observeExpectations(constrained, expectations)
-    val (added, stats) = stage(instrumented, v0)
+    val (added, stats) = stage(instrumented, v0, colMapWrite)
     // dynamic partition overwrite: supersede exactly the partitions the
     // staged files landed in — known from staging, zero extra jobs
     val writtenPvs = if (dynamic) stats.values.map(_.pv).filter(_.nonEmpty).toSet else Set.empty[Map[String, String]]
@@ -927,7 +1018,13 @@ case class VersionedTableDataObject(id: String, path: String,
         case _ => df.schema.toDDL
       }
       val opTag = if (append) "APPEND" else if (dynamic) "OVERWRITE_DYNAMIC" else "WRITE"
-      done = tryCommit(Commit(v, added, removed, Some(schema), stats, op = opTag))
+      // absolute map per attempt: the fresh head's map (carrying any
+      // concurrent rename) plus this write's newly assigned columns
+      val commitColMap =
+        if (columnMapping) Some(st.map(_.colMap).getOrElse(Map.empty) ++ newAssigned)
+        else None
+      done = tryCommit(Commit(v, added, removed, Some(schema), stats, op = opTag,
+        colMapSet = commitColMap))
       if (done) committedV = v
       attempt += 1
       if (!done && attempt >= 20) throw new java.util.ConcurrentModificationException(
@@ -963,13 +1060,16 @@ case class VersionedTableDataObject(id: String, path: String,
   private[graft] def pruneByKeyBounds(live: Seq[String], stats: Map[String, FileStat],
                                       schema: StructType, joinCols: Seq[String],
                                       bounds: Map[String, (String, String)],
-                                      feedHasNullKeys: Boolean): Seq[String] = {
+                                      feedHasNullKeys: Boolean,
+                                      colMap: Map[String, String] = Map.empty): Seq[String] = {
     if (feedHasNullKeys || bounds.isEmpty) return live
     live.filter { f =>
       stats.get(f).forall { st =>
         joinCols.forall { c =>
+          // stats keys are PHYSICAL; joinCols/bounds are logical
+          val p = phys(colMap, c)
           val dt = schema.find(_.name == c).map(_.dataType)
-          (dt, st.min.get(c), st.max.get(c), bounds.get(c)) match {
+          (dt, st.min.get(p), st.max.get(p), bounds.get(c)) match {
             case (Some(t), Some(lo), Some(hi), Some((fLo, fHi))) =>
               // intersect unless file entirely above feed max or below feed min;
               // a file whose column is all-null can still null-match — but merge
@@ -990,7 +1090,8 @@ case class VersionedTableDataObject(id: String, path: String,
     * conservatively unsafe). The Delta merge conflict rules, stats-based. */
   private[graft] def mergeConflicts(concurrent: Seq[Commit], touched: Seq[String],
                                     joinCols: Seq[String], bounds: Map[String, (String, String)],
-                                    schema: StructType, feedHasNullKeys: Boolean): Boolean = {
+                                    schema: StructType, feedHasNullKeys: Boolean,
+                                    colMap: Map[String, String] = Map.empty): Boolean = {
     val removedConcurrently = concurrent.flatMap(_.removed).toSet
     if (touched.exists(removedConcurrently)) return true
     // a dvSet-bearing commit (DELETE_DV/RESTORE/DV_MATERIALIZE) changes
@@ -1001,7 +1102,7 @@ case class VersionedTableDataObject(id: String, path: String,
     val newFiles = concurrent.flatMap(_.added)
     val newStats = concurrent.flatMap(_.stats).toMap
     if (newFiles.exists(f => !newStats.contains(f))) return true
-    pruneByKeyBounds(newFiles, newStats, schema, joinCols, bounds, feedHasNullKeys).nonEmpty
+    pruneByKeyBounds(newFiles, newStats, schema, joinCols, bounds, feedHasNullKeys, colMap).nonEmpty
   }
 
   /** Exact touched set: among `candidates`, the files actually holding at
@@ -1009,12 +1110,13 @@ case class VersionedTableDataObject(id: String, path: String,
     * semi-joined (null-safe) with the distinct feed keys. */
   private def findTouchedFiles(candidates: Seq[String], schema: Option[StructType],
                                feedKeys: DataFrame, joinCols: Seq[String],
-                               stats: Map[String, FileStat], dv: Seq[String] = Seq.empty)
+                               stats: Map[String, FileStat], dv: Seq[String] = Seq.empty,
+                               colMap: Map[String, String] = Map.empty)
                               (implicit ctx: ActionPipelineContext): Seq[String] = {
     if (candidates.isEmpty) return Seq.empty
     // file identity comes from the TAGGED reader (computed below the DV
     // anti-join — input_file_name is single-source-only above a join)
-    val withFile = readFilesTagged(candidates, schema, stats, dv)
+    val withFile = readFilesTagged(candidates, schema, stats, dv, colMap)
       .select(joinCols.map(c => col(s"`$c`")) :+ col("_graft_dv_rel").as("_graft_file"): _*)
       .alias("t")
     val cond = joinCols.map(c => col(s"t.`$c`") <=> col(s"s.`$c`")).reduce(_ and _)
@@ -1047,6 +1149,9 @@ case class VersionedTableDataObject(id: String, path: String,
       df.schema.fields.filterNot(f => committed.exists(_.name.equalsIgnoreCase(f.name)) ||
         options.insertColumnsToIgnore.contains(f.name)))
     val schemaOpt = Some(schema)
+    // column mapping: evolved feed columns get fresh physical names
+    val mergeColMap = assignPhys(st0.get.colMap, schema.fields.toSeq)
+    val newAssigned = mergeColMap -- st0.get.colMap.keySet
     // CHECK constraints gate merge feeds too (Delta invariant semantics):
     // the raise_error wrapper fires during the feed's first materialization
     val feed = graft.quality.DataQualityValidation.applyConstraints(df, constraints)
@@ -1069,24 +1174,26 @@ case class VersionedTableDataObject(id: String, path: String,
         } yield c -> (lo, hi)
       }.toMap
       val liveStats = st0.get.stats
-      val candidates = pruneByKeyBounds(live, liveStats, schema, joinCols, bounds, feedHasNullKeys)
+      val candidates = pruneByKeyBounds(live, liveStats, schema, joinCols, bounds,
+        feedHasNullKeys, mergeColMap)
       val touched = findTouchedFiles(candidates, schemaOpt,
-        feed.select(joinCols.map(c => col(s"`$c`")): _*).distinct(), joinCols, liveStats, st0.get.dv)
+        feed.select(joinCols.map(c => col(s"`$c`")): _*).distinct(), joinCols, liveStats,
+        st0.get.dv, mergeColMap)
       // merge-on-read MERGE (deletionVectors=true, the Delta DV-DML
       // shape): tombstone the matched rows whose clause fires and APPEND
       // the updated versions + inserts — O(matched + feed), no touched-
       // file rewrite. Unmatched rows of touched files stay live in place.
       if (deletionVectors)
         return mergeViaDv(st0.get, schema, feed, joinCols, options, touched,
-          bounds, feedHasNullKeys, t0)
+          bounds, feedHasNullKeys, mergeColMap, newAssigned, t0)
       // reading touched files THROUGH the active DVs: a rewrite must not
       // resurrect rows a deletion vector already removed
       val existingTouched =
-        if (touched.nonEmpty) readFiles(touched, schemaOpt, liveStats, st0.get.dv)
+        if (touched.nonEmpty) readFiles(touched, schemaOpt, liveStats, st0.get.dv, mergeColMap)
         else ctx.spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
       val merged = MergeEmulation.computeMergedState(existingTouched, feed, joinCols, options)
       val v = st0.get.version + 1
-      val (added, stats) = stage(merged, v)
+      val (added, stats) = stage(merged, v, mergeColMap)
       // optimistic commit: on losing the rename race, the merge is only
       // retryable if no concurrent commit invalidated what we read —
       // otherwise the whole merge must re-run against the new state.
@@ -1095,12 +1202,14 @@ case class VersionedTableDataObject(id: String, path: String,
       var commitV = v
       var attempt = 0
       dmlRaceHook()
-      var done = tryCommit(Commit(commitV, added, touched, Some(schema.toDDL), stats, op = "MERGE"))
+      var done = tryCommit(Commit(commitV, added, touched, Some(schema.toDDL), stats,
+        op = "MERGE", colMapSet = colMapFor(mergeColMap)))
       while (!done) {
         attempt += 1
         val freshVers = listLog._1
         val concurrent = freshVers.filter(_ >= v).map(parseCommit)
-        if (attempt >= 20 || mergeConflicts(concurrent, touched, joinCols, bounds, schema, feedHasNullKeys))
+        if (attempt >= 20 || mergeConflicts(concurrent, touched, joinCols, bounds, schema,
+            feedHasNullKeys, mergeColMap))
           throw new java.util.ConcurrentModificationException(
             s"DataObject $id: concurrent commit(s) ${concurrent.map(_.version).mkString(",")} " +
               "overlap this merge's keys or files — re-run the merge against the new state")
@@ -1108,9 +1217,12 @@ case class VersionedTableDataObject(id: String, path: String,
         // fresh-schema union per attempt (same rule as dmlCommitLoop /
         // optimize): a non-conflicting concurrent append may have evolved
         // the committed schema — committing our pre-race DDL would regress
-        // its new columns out of every later snapshot read
+        // its new columns out of every later snapshot read. The colMap is
+        // likewise rebased on the fresh head's map (a concurrent rename
+        // changes the map, never a physical name).
         done = tryCommit(Commit(commitV, added, touched,
-          Some(unionWithFresh(schema)), stats, op = "MERGE"))
+          Some(unionWithFresh(schema)), stats, op = "MERGE",
+          colMapSet = colMapFor(freshColMap() ++ newAssigned)))
       }
       writeCdcCommit(commitV)
       ActionMetrics(rowsOf(stats), System.currentTimeMillis() - t0)
@@ -1127,7 +1239,7 @@ case class VersionedTableDataObject(id: String, path: String,
     * opened) — projecting only `input_file_name`. */
   private def touchedByPredicate(st: TableState, schema: StructType, pred: Column)
                                 (implicit ctx: ActionPipelineContext): Seq[String] = {
-    val rels = readFilesTagged(st.files, Some(schema), st.stats, st.dv)
+    val rels = readFilesTagged(st.files, Some(schema), st.stats, st.dv, st.colMap)
       .where(pred).select(col("_graft_dv_rel")).distinct().collect()
       .map(r => decodeRel(r.getString(0))).toSet
     st.files.filter(rels)
@@ -1156,7 +1268,7 @@ case class VersionedTableDataObject(id: String, path: String,
   private def deleteCopyOnWrite(st0: TableState, schema: StructType, pred: Column,
                                 touched: Seq[String])
                                (implicit ctx: ActionPipelineContext): Long = {
-    val keep = readFiles(touched, Some(schema), st0.stats, st0.dv)
+    val keep = readFiles(touched, Some(schema), st0.stats, st0.dv, st0.colMap)
       .where(!coalesce(pred, lit(false)))
     // rows live BEFORE the delete: stats are exact only without active
     // DVs (physical counts include tombstoned rows) — mixed-mode tables
@@ -1164,10 +1276,10 @@ case class VersionedTableDataObject(id: String, path: String,
     val statRows = touched.flatMap(st0.stats.get).map(_.rows)
     val before =
       if (st0.dv.nonEmpty || statRows.exists(_ < 0))
-        readFiles(touched, Some(schema), st0.stats, st0.dv).count()
+        readFiles(touched, Some(schema), st0.stats, st0.dv, st0.colMap).count()
       else statRows.sum
     val v0 = st0.version + 1
-    val (added, stats) = stage(keep, v0)
+    val (added, stats) = stage(keep, v0, st0.colMap)
     val commitV = dmlCommitLoop(v0, added, touched, schema, stats, "DELETE")
     writeCdcCommit(commitV)
     if (rowsOf(stats) < 0) -1L else before - rowsOf(stats)
@@ -1179,7 +1291,7 @@ case class VersionedTableDataObject(id: String, path: String,
     val v = st0.version + 1
     // positions are computed through the CURRENT DVs, so an already-dead
     // row is never re-tombstoned (restore branches stay well-defined)
-    val matches = readFilesRaw(touched, Some(schema), st0.stats)
+    val matches = readFilesRaw(touched, Some(schema), st0.stats, st0.colMap)
       .withColumn("_graft_dv_rel", relFileExpr)
       .withColumn("_graft_dv_ri", col("_metadata.row_index"))
       .where(pred)
@@ -1240,7 +1352,7 @@ case class VersionedTableDataObject(id: String, path: String,
     val hit = coalesce(pred, lit(false))
     // single select from the pre-image: every RHS evaluates against OLD
     // values even when its own column is assigned
-    val updated0 = readFiles(touched, Some(schema), st0.stats, st0.dv)
+    val updated0 = readFiles(touched, Some(schema), st0.stats, st0.dv, st0.colMap)
       .select(schema.fields.map { f =>
         assignments.get(f.name) match {
           case Some(rhs) => when(hit, expr(rhs).cast(f.dataType)).otherwise(col(s"`${f.name}`")).as(f.name)
@@ -1251,7 +1363,7 @@ case class VersionedTableDataObject(id: String, path: String,
     // rewrite like Delta does
     val updated = graft.quality.DataQualityValidation.applyConstraints(updated0, constraints)
     val v0 = st0.version + 1
-    val (added, stats) = stage(updated, v0)
+    val (added, stats) = stage(updated, v0, st0.colMap)
     val commitV = dmlCommitLoop(v0, added, touched, schema, stats, "UPDATE")
     writeCdcCommit(commitV)
     rowsOf(stats)
@@ -1270,7 +1382,7 @@ case class VersionedTableDataObject(id: String, path: String,
                          (implicit ctx: ActionPipelineContext): Long = {
     val v = st0.version + 1
     // matched rows THROUGH current DVs, with their positions
-    val matched = readFilesTagged(touched, Some(schema), st0.stats, st0.dv)
+    val matched = readFilesTagged(touched, Some(schema), st0.stats, st0.dv, st0.colMap)
       .where(pred)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -1287,7 +1399,7 @@ case class VersionedTableDataObject(id: String, path: String,
       tombstones.write.mode(SaveMode.ErrorIfExists).parquet(dvPath(name).toString)
       val nMatched = ctx.spark.read.schema(dvSchema).parquet(dvPath(name).toString).count()
       if (nMatched == 0) { fs.delete(dvPath(name), true); return 0L }
-      val (added, stats) = stage(rewritten, v)
+      val (added, stats) = stage(rewritten, v, st0.colMap)
       val commitV = dvCommitLoop(v, added, stats, st0.dv, Some(name),
         schema, "UPDATE_DV", touched)
       writeCdcCommit(commitV)
@@ -1305,6 +1417,15 @@ case class VersionedTableDataObject(id: String, path: String,
       StructType(f.fields ++ ours.fields.filterNot(x =>
         f.exists(_.name.equalsIgnoreCase(x.name)))).toDDL
     }.getOrElse(ours.toDDL)
+
+  /** colMapSet for a data commit: absolute on column-mapping tables,
+    * inherit (None) otherwise */
+  private def colMapFor(m: Map[String, String]): Option[Map[String, String]] =
+    if (columnMapping) Some(m) else None
+
+  /** the fresh head's colMap (commit-retry rebase) */
+  private def freshColMap()(implicit ctx: ActionPipelineContext): Map[String, String] =
+    readState(None).map(_.colMap).getOrElse(Map.empty)
 
   /** Optimistic-commit loop for merge-on-read DML (DELETE_DV / UPDATE_DV /
     * MERGE_DV): the commit appends `dvName`'s tombstone dir to the active
@@ -1324,10 +1445,16 @@ case class VersionedTableDataObject(id: String, path: String,
   private def dvCommitLoop(v0: Int, added: Seq[String], stats: Map[String, FileStat],
                            baseDv: Seq[String], dvName: Option[String], schema: StructType,
                            opTag: String, touched: Seq[String],
-                           extraConflict: Seq[Commit] => Boolean = _ => false)
+                           extraConflict: Seq[Commit] => Boolean = _ => false,
+                           baseColMap: Map[String, String] = Map.empty,
+                           newAssigned: Map[String, String] = Map.empty)
                           (implicit ctx: ActionPipelineContext): Int = {
     val touchedSet = touched.toSet
     val dvSet = dvName.fold(baseDv)(baseDv :+ _)
+    // colMapSet only when this DML introduced columns — otherwise INHERIT,
+    // so a concurrent rename's map is never clobbered by an absolute set
+    def cmFor(base: Map[String, String]): Option[Map[String, String]] =
+      if (newAssigned.isEmpty) None else colMapFor(base ++ newAssigned)
     def fail(msg: String): Nothing = {
       dvName.foreach(n => fs.delete(dvPath(n), true))
       throw new java.util.ConcurrentModificationException(s"DataObject $id: $msg")
@@ -1336,7 +1463,7 @@ case class VersionedTableDataObject(id: String, path: String,
     var attempt = 0
     dmlRaceHook()
     var done = tryCommit(Commit(commitV, added, Seq.empty, Some(schema.toDDL), stats,
-      op = opTag, dvSet = Some(dvSet)))
+      op = opTag, dvSet = Some(dvSet), colMapSet = cmFor(baseColMap)))
     while (!done) {
       attempt += 1
       val fresh = listLog._1
@@ -1348,7 +1475,7 @@ case class VersionedTableDataObject(id: String, path: String,
       if (attempt >= 20) fail(s"$opTag commit contention — $attempt attempts lost the rename race")
       commitV = fresh.max + 1
       done = tryCommit(Commit(commitV, added, Seq.empty, Some(unionWithFresh(schema)), stats,
-        op = opTag, dvSet = Some(dvSet)))
+        op = opTag, dvSet = Some(dvSet), colMapSet = cmFor(freshColMap())))
     }
     commitV
   }
@@ -1416,8 +1543,8 @@ case class VersionedTableDataObject(id: String, path: String,
       writeCdcMarker(v)
       return 0
     }
-    val clean = readFiles(targets, Some(schema), st.stats, st.dv)
-    val (added, stats) = stage(clean, v)
+    val clean = readFiles(targets, Some(schema), st.stats, st.dv, st.colMap)
+    val (added, stats) = stage(clean, v, st.colMap)
     // single-attempt commit: materialization runs from maintenance paths
     // (vacuum) where contention means the caller should re-drive
     if (!tryCommit(Commit(v, added, targets, Some(schema.toDDL), stats,
@@ -1436,11 +1563,12 @@ case class VersionedTableDataObject(id: String, path: String,
   private def mergeViaDv(st0: TableState, schema: StructType, feed: DataFrame,
                          joinCols: Seq[String], options: SaveModeMergeOptions,
                          touched: Seq[String], bounds: Map[String, (String, String)],
-                         feedHasNullKeys: Boolean, t0: Long)
+                         feedHasNullKeys: Boolean, colMap: Map[String, String],
+                         newAssigned: Map[String, String], t0: Long)
                         (implicit ctx: ActionPipelineContext): ActionMetrics = {
     val v = st0.version + 1
     val existingTagged =
-      if (touched.nonEmpty) readFilesTagged(touched, Some(schema), st0.stats, st0.dv)
+      if (touched.nonEmpty) readFilesTagged(touched, Some(schema), st0.stats, st0.dv, colMap)
       else {
         val empty = ctx.spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
         empty.withColumn("_graft_dv_rel", lit(null).cast("string"))
@@ -1453,7 +1581,7 @@ case class VersionedTableDataObject(id: String, path: String,
     val name = f"v$v%08d-${java.util.UUID.randomUUID.toString.take(8)}"
     tombstones.write.mode(SaveMode.ErrorIfExists).parquet(dvPath(name).toString)
     val nTombstoned = ctx.spark.read.schema(dvSchema).parquet(dvPath(name).toString).count()
-    val (added, stats) = stage(additions, v)
+    val (added, stats) = stage(additions, v, colMap)
     if (nTombstoned == 0 && added.isEmpty) { fs.delete(dvPath(name), true)
       return ActionMetrics(0, System.currentTimeMillis() - t0) }
     val dvName = if (nTombstoned == 0) { fs.delete(dvPath(name), true); None }
@@ -1469,8 +1597,10 @@ case class VersionedTableDataObject(id: String, path: String,
         val newFiles = concurrent.flatMap(_.added)
         val newStats = concurrent.flatMap(_.stats).toMap
         newFiles.exists(f => !newStats.contains(f)) ||
-          pruneByKeyBounds(newFiles, newStats, schema, joinCols, bounds, feedHasNullKeys).nonEmpty
-      })
+          pruneByKeyBounds(newFiles, newStats, schema, joinCols, bounds,
+            feedHasNullKeys, colMap).nonEmpty
+      },
+      baseColMap = st0.colMap, newAssigned = newAssigned)
     writeCdcCommit(commitV)
     ActionMetrics(rowsOf(stats), System.currentTimeMillis() - t0)
   }
@@ -1486,10 +1616,31 @@ case class VersionedTableDataObject(id: String, path: String,
                                     (implicit ctx: ActionPipelineContext): Seq[String] = {
     val st = stateOrFail(version)
     val schema = st.schema.getOrElse(return st.files)
+    val pSc = physSchema(schema, st.colMap)
+    val pFilters = filters.map(translateFilter(_, st.colMap))
     st.files.filter { f =>
-      st.stats.get(f).forall(s => filters.forall(mayContain(s, _, schema)))
+      st.stats.get(f).forall(s => pFilters.forall(mayContain(s, _, pSc)))
     }
   }
+
+  /** rewrite a LOGICAL-named filter to physical attribute names (identity
+    * when unmapped; unsupported shapes pass through — they never prune) */
+  private def translateFilter(f: Filter, colMap: Map[String, String]): Filter =
+    if (colMap.isEmpty) f
+    else f match {
+      case EqualTo(a, v) => EqualTo(phys(colMap, a), v)
+      case GreaterThan(a, v) => GreaterThan(phys(colMap, a), v)
+      case GreaterThanOrEqual(a, v) => GreaterThanOrEqual(phys(colMap, a), v)
+      case LessThan(a, v) => LessThan(phys(colMap, a), v)
+      case LessThanOrEqual(a, v) => LessThanOrEqual(phys(colMap, a), v)
+      case In(a, vs) => In(phys(colMap, a), vs)
+      case IsNull(a) => IsNull(phys(colMap, a))
+      case IsNotNull(a) => IsNotNull(phys(colMap, a))
+      case And(l, r) => And(translateFilter(l, colMap), translateFilter(r, colMap))
+      case Or(l, r) => Or(translateFilter(l, colMap), translateFilter(r, colMap))
+      case Not(c) => Not(translateFilter(c, colMap))
+      case other => other
+    }
 
   private def mayContain(st: FileStat, f: Filter, schema: StructType): Boolean = {
     def dt(a: String) = schema.find(_.name == a).map(_.dataType)
@@ -1656,7 +1807,9 @@ case class VersionedTableDataObject(id: String, path: String,
           .collect().map(r => decodeRel(r.getString(0))).toSet
         val scanFiles = common.filter(touchedByDv)
         if (scanFiles.isEmpty) return None
-        val base = readFilesRaw(scanFiles, Some(schema), allStats)
+        // physical names never change, so TO's colMap reads FROM-side
+        // files correctly even across a rename between the two versions
+        val base = readFilesRaw(scanFiles, Some(schema), allStats, stTo.colMap)
           .withColumn("_graft_dv_rel", relFileExpr)
           .withColumn("_graft_dv_ri", col("_metadata.row_index"))
         val inc = readDvVersions(include)
@@ -1674,7 +1827,7 @@ case class VersionedTableDataObject(id: String, path: String,
         Some(survived.select(cols.map(c => col(s"`$c`")): _*))
       }
     def side(files: Seq[String], dv: Seq[String], extra: Option[DataFrame], tag: String) = {
-      val base = readFiles(files, Some(schema), allStats, dv)
+      val base = readFiles(files, Some(schema), allStats, dv, stTo.colMap)
         .select(cols.map(c => col(s"`$c`")): _*)
       extra.fold(base)(base.unionByName(_))
         .withColumn(s"_${tag}_present", lit(1)).alias(tag)
@@ -1824,7 +1977,7 @@ case class VersionedTableDataObject(id: String, path: String,
     val scoped =
       if (partitionValues.isEmpty || partitions.isEmpty) st.files
       else st.files.filter(f => st.stats.get(f).map(_.pv).exists(pv =>
-        partitionValues.exists(pvMatches(pv, _))))
+        partitionValues.exists(pvMatches(pv, _, st.colMap))))
     val nFiles = targetFileBytes match {
       case Some(tb) =>
         require(tb > 0, s"DataObject $id: targetFileBytes must be positive")
@@ -1834,11 +1987,11 @@ case class VersionedTableDataObject(id: String, path: String,
     }
     // compaction reads THROUGH the active DVs: the rewritten files are
     // clean, their tombstones go stale harmlessly (dead file names)
-    val current = readFiles(scoped, st.schema, st.stats, st.dv)
+    val current = readFiles(scoped, st.schema, st.stats, st.dv, st.colMap)
     val arranged =
       if (zorderBy.nonEmpty) graft.functions.ZOrder.cluster(current, zorderBy, nFiles)
       else current.repartition(nFiles)
-    val (added, stats) = stage(arranged, v)
+    val (added, stats) = stage(arranged, v, st.colMap)
     maintenanceRaceHook()
     // optimistic commit with the Delta OPTIMIZE conflict rule: a lost
     // race retries at the new head UNLESS a concurrent commit REMOVED one
@@ -1916,9 +2069,11 @@ case class VersionedTableDataObject(id: String, path: String,
       val stats = adds.flatMap(f => target.stats.get(f).map(f -> _)).toMap
       maintenanceRaceHook()
       // dvSet reverts the active deletion vectors to the target's list —
-      // rows tombstoned after `version` come back, exactly like files do
+      // rows tombstoned after `version` come back, exactly like files do;
+      // colMapSet likewise reverts renames/drops committed after it
       if (tryCommit(Commit(v, adds, removes, target.schemaDdl, stats,
-          op = s"RESTORE($version)", dvSet = Some(target.dv)))) {
+          op = s"RESTORE($version)", dvSet = Some(target.dv),
+          colMapSet = colMapFor(target.colMap)))) {
         writeCdcCommit(v)
         return v
       }
@@ -1926,6 +2081,77 @@ case class VersionedTableDataObject(id: String, path: String,
     }
     throw new java.util.ConcurrentModificationException(
       s"DataObject $id: restore lost the rename race $attempt times")
+  }
+
+  /** METADATA-ONLY column rename (the public Delta column-mapping RENAME
+    * COLUMN): one log commit updating the committed (logical) schema and
+    * the logical→physical map — the physical name, and therefore every
+    * data file, footer stat, bloom filter and partition directory, is
+    * untouched. Renaming a column on a 100 TB table costs one JSON write.
+    * Requires `columnMapping` (without it physical names ARE logical
+    * names, and a later add of the old name would resurrect old data).
+    * Partition and primary-key columns are structural (constructor
+    * identity) and refuse to rename. Returns the new head version. */
+  def renameColumn(oldName: String, newName: String)
+                  (implicit ctx: ActionPipelineContext): Int = {
+    require(columnMapping,
+      s"DataObject $id: renameColumn needs columnMapping=true (chosen at table creation)")
+    require(!partitions.contains(oldName) && !primaryKey.contains(oldName),
+      s"DataObject $id: cannot rename structural column $oldName (partition/primaryKey identity)")
+    metadataColumnCommit(s"RENAME_COLUMN($oldName->$newName)") { st =>
+      val schema = st.schema.getOrElse(
+        throw new IllegalStateException(s"DataObject $id: no committed schema"))
+      require(schema.exists(_.name == oldName), s"DataObject $id: no column $oldName")
+      require(!schema.exists(_.name.equalsIgnoreCase(newName)),
+        s"DataObject $id: column $newName already exists")
+      val newSchema = StructType(schema.map(f =>
+        if (f.name == oldName) f.copy(name = newName) else f))
+      (newSchema, (st.colMap - oldName) + (newName -> phys(st.colMap, oldName)))
+    }
+  }
+
+  /** METADATA-ONLY column drop (Delta column-mapping DROP COLUMN): the
+    * column leaves the committed schema and the map in one log commit;
+    * its physical data stays in the files (invisible to every read) until
+    * those files are naturally rewritten. A column later re-added under
+    * the same logical name gets a FRESH physical name, so the dropped
+    * data can never resurrect. Time travel before the drop still sees the
+    * column. Returns the new head version. */
+  def dropColumn(name: String)(implicit ctx: ActionPipelineContext): Int = {
+    require(columnMapping,
+      s"DataObject $id: dropColumn needs columnMapping=true (chosen at table creation)")
+    require(!partitions.contains(name) && !primaryKey.contains(name),
+      s"DataObject $id: cannot drop structural column $name (partition/primaryKey identity)")
+    metadataColumnCommit(s"DROP_COLUMN($name)") { st =>
+      val schema = st.schema.getOrElse(
+        throw new IllegalStateException(s"DataObject $id: no committed schema"))
+      require(schema.exists(_.name == name), s"DataObject $id: no column $name")
+      require(schema.size > 1, s"DataObject $id: cannot drop the last column")
+      (StructType(schema.filterNot(_.name == name)), st.colMap - name)
+    }
+  }
+
+  /** retrying metadata-only commit for column DDL: recomputes schema+map
+    * against the fresh head per attempt (rename/drop are last-writer-wins
+    * metadata edits, like restore) */
+  private def metadataColumnCommit(opTag: String)
+                                  (f: TableState => (StructType, Map[String, String]))
+                                  (implicit ctx: ActionPipelineContext): Int = {
+    var attempt = 0
+    while (attempt < 20) {
+      val st = stateOrFail(None)
+      val (newSchema, newMap) = f(st)
+      val v = st.version + 1
+      maintenanceRaceHook()
+      if (tryCommit(Commit(v, Seq.empty, Seq.empty, Some(newSchema.toDDL), Map.empty,
+          op = opTag, colMapSet = Some(newMap)))) {
+        writeCdcMarker(v) // no row changes — marker keeps the CDC sequence gapless
+        return v
+      }
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"DataObject $id: $opTag lost the rename race $attempt times")
   }
 
   /** Test seam: invoked between vacuum's crash-ordered phases with the
@@ -1993,7 +2219,7 @@ case class VersionedTableDataObject(id: String, path: String,
         // so timestamp travel to the recovered base stays correct
         readCheckpoint(w).foreach(s =>
           tryCommitRaw(Commit(w, s.files, Seq.empty, s.schemaDdl, s.stats, s.ts,
-            op = "VACUUM_REBASE", dvSet = Some(s.dv))))
+            op = "VACUUM_REBASE", dvSet = Some(s.dv), colMapSet = colMapFor(s.colMap))))
       }
     }
     // deletion vectors need no materialization here: every DV dir a
@@ -2020,6 +2246,7 @@ case class VersionedTableDataObject(id: String, path: String,
       // rebase target computed BEFORE anything is deleted
       val baseFiles = snapshotFiles(Some(cut))
       val baseDv = readState(Some(cut)).map(_.dv).getOrElse(Seq.empty)
+      val baseColMap = readState(Some(cut)).map(_.colMap).getOrElse(Map.empty)
       val baseSchema = log.filter(_.version <= cut).reverse
         .collectFirst { case c: Commit if c.schema.isDefined => c.schema.get }
       val baseStats = log.flatMap(_.stats).toMap.filter(kv => baseFiles.contains(kv._1))
@@ -2039,7 +2266,7 @@ case class VersionedTableDataObject(id: String, path: String,
       // ORIGINAL timestamp so timestamp travel survives the rebase
       val cutTs = log.find(_.version == cut).map(_.ts).getOrElse(-1L)
       writeCommit(Commit(cut, baseFiles, Seq.empty, baseSchema, baseStats, cutTs,
-        op = "VACUUM_REBASE", dvSet = Some(baseDv)))
+        op = "VACUUM_REBASE", dvSet = Some(baseDv), colMapSet = colMapFor(baseColMap)))
       vacuumPhaseHook("rebased")
       // phase 5a: log-derived physical deletes, strictly after the log
       // is consistent
