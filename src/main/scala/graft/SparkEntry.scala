@@ -3012,6 +3012,37 @@ object SparkEntry {
       vt.getDataFrame()
     }),
 
+    // SHALLOW CLONE (the public Delta design): a zero-copy table clone —
+    // the clone's v0 commit references the source's live files by
+    // absolute path (asserted: NO parquet under the clone root), carries
+    // their stats, then evolves independently: a copy-on-write DELETE on
+    // the clone rewrites into the clone's own dir, and a post-clone
+    // append to the SOURCE never leaks into the pinned clone.
+    "q122_shallow_clone" -> ((s, dir) => {
+      implicit val c: ActionPipelineContext = ctx(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q122").toString
+      val src = sources.VersionedTableDataObject("q122_src", s"$tmp/src",
+        primaryKey = Seq("c_custkey"))
+      val cust = t(s, dir, "customer").select(col("c_custkey").cast("long"),
+        col("c_name"), col("c_acctbal").cast("double"))
+      src.writeDataFrame(cust.repartitionByRange(4, col("c_custkey")))      // src v0
+      val clone = src.shallowCloneTo("q122_clone", s"$tmp/clone")           // clone v0
+      def parquetUnder(d: String): Boolean = {
+        def walk(f: java.io.File): Boolean =
+          if (f.isDirectory) f.listFiles.exists(walk)
+          else f.getName.endsWith(".parquet")
+        walk(new java.io.File(d))
+      }
+      require(!parquetUnder(s"$tmp/clone"), "shallow clone must stage zero data files")
+      clone.deleteWhere("c_acctbal < 0")                                    // clone v1
+      import s.implicits._
+      src.writeDataFrame(Seq((-1L, "post-clone", 0.0)).toDF("c_custkey", "c_name", "c_acctbal"),
+        saveMode = Some(SdlSaveMode.Append))                                // src v1
+      require(clone.getDataFrame().where(col("c_custkey") === -1L).isEmpty,
+        "post-clone source append must not leak into the pinned clone")
+      clone.getDataFrame()
+    }),
+
     // COLUMN MAPPING (the public Delta column-mapping design, from
     // scratch): immutable uuid'd physical column names + a logical→
     // physical map in the log make RENAME/DROP COLUMN metadata-only — on
@@ -4552,6 +4583,13 @@ object SparkEntry {
         |FROM part
         |WHERE NOT (p_size BETWEEN 20 AND 30)
         |   OR (p_size BETWEEN 20 AND 30) IS NULL""".stripMargin,
+    // q122: the clone's divergent history must read as source-v0 minus
+    // the clone's own delete — never the source's later appends
+    "q122_shallow_clone" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+        |  CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        |FROM customer
+        |WHERE NOT (c_acctbal < 0) OR (c_acctbal < 0) IS NULL""".stripMargin,
     // q121: the storage indirection (physical names, the map) must be
     // invisible to the relational result — rename is a projection alias,
     // drop is a projection

@@ -43,16 +43,25 @@ object ImportanceResampling {
     filter(split(lower(text), "\\s+"), t => t =!= "")
 
   /** unigram+bigram hash buckets (with multiplicity) for one document —
-    * the DSIR hashed-n-gram featurization, md5-derived for portability */
+    * the DSIR hashed-n-gram featurization, md5-derived for portability.
+    *
+    * CSE-staged like [[TextAnalysis.langId]]: HOFs are interpreted with
+    * no common-subexpression elimination, so the token array MUST be
+    * lambda-bound — referencing the tokenize expression from inside the
+    * bigram lambda re-runs the full split+filter once PER BIGRAM INDEX
+    * (O(tokens²) per document; measured 10+ s on a corpus the staged
+    * form does in under a second). */
   def ngramBuckets(text: Column, numBuckets: Int): Column = {
     require(numBuckets > 0, "numBuckets must be positive")
-    val t = toks(text)
-    val bigrams = when(size(t) >= 2,
-      transform(sequence(lit(0), size(t) - 2),
-        i => concat(element_at(t, i + 1), lit(" "), element_at(t, i + 2))))
-      .otherwise(array().cast("array<string>"))
-    transform(concat(t, bigrams),
-      g => pmod(conv(substring(md5(g), 1, 8), 16, 10).cast(LongType), lit(numBuckets.toLong)))
+    val staged = transform(array(toks(text)), t => {
+      val bigrams = when(size(t) >= 2,
+        transform(sequence(lit(0), size(t) - 2),
+          i => concat(element_at(t, i + 1), lit(" "), element_at(t, i + 2))))
+        .otherwise(array().cast("array<string>"))
+      transform(concat(t, bigrams),
+        g => pmod(conv(substring(md5(g), 1, 8), 16, 10).cast(LongType), lit(numBuckets.toLong)))
+    })
+    element_at(staged, 1)
   }
 
   /** bucket → occurrence count over a corpus: one map-side-combined
@@ -90,15 +99,25 @@ object ImportanceResampling {
     val nRm = (nR + numBuckets).toDouble
     def ratio(b: Long): Double =
       ((tCnt.getOrElse(b, 0L) + 1).toDouble * nRm) / ((rCnt.getOrElse(b, 0L) + 1).toDouble * nTm)
-    val present = (tCnt.keySet ++ rCnt.keySet).toSeq.sorted
-    val ratioMap = typedLit(present.map(b => b -> ratio(b)).toMap)
-    val defaultRatio = lit(nRm / nTm) // bucket unseen in both corpora
-    val buckets = ngramBuckets(text, numBuckets)
-    val terms = array_sort(transform(buckets,
-      b => coalesce(element_at(ratioMap, b), defaultRatio)))
+    // DENSE ratio table as an array literal: bucket ids are 0..m-1, so the
+    // per-gram lookup is an O(1) array index — a map literal's element_at
+    // is a LINEAR scan of the map per gram (O(m·grams·rows) in the hot
+    // loop, measured ~2× at m=256 before the staging fix below)
+    val ratioArr = typedLit((0L until numBuckets.toLong).map(ratio))
+    // the bucket array is lambda-bound so (n_grams, score) both read the
+    // ONE evaluation (same interpreted-HOF CSE rule as ngramBuckets); the
+    // struct lands in its own projection and the field extracts reference
+    // its alias twice, which CollapseProject refuses to inline
+    val res = transform(array(ngramBuckets(text, numBuckets)), b =>
+      struct(size(b).as("n"),
+        aggregate(
+          array_sort(transform(b, x => element_at(ratioArr, (x + 1).cast(IntegerType)))),
+          lit(0.0), (a, x) => a + x).as("s")))
     corpus
-      .withColumn("n_grams", size(buckets))
-      .withColumn("score", aggregate(terms, lit(0.0), (a, x) => a + x))
+      .withColumn("_graft_dsir", element_at(res, 1))
+      .withColumn("n_grams", col("_graft_dsir.n"))
+      .withColumn("score", col("_graft_dsir.s"))
+      .drop("_graft_dsir")
   }
 
   /** The DSIR selection: top `k` corpus rows by importance score (ties by

@@ -675,6 +675,16 @@ case class VersionedTableDataObject(id: String, path: String,
   private def decodeRel(s: String): String =
     java.net.URLDecoder.decode(s.replace("+", "%2B"), java.nio.charset.StandardCharsets.UTF_8)
 
+  private val StagingSuffix = """(v[0-9]{8}-[0-9a-f]{8}/.+)$""".r
+
+  /** The staging-relative suffix of a log file entry — the identity a
+    * SCAN reports via [[relFileExpr]]. Identity for ordinary (relative)
+    * entries; for a shallow CLONE's absolute source references it strips
+    * the source root, so scan-derived rels keep matching log entries.
+    * Writer-unique staging dir names make the suffix collision-free. */
+  private def stagingKey(entry: String): String =
+    StagingSuffix.findFirstIn(entry).getOrElse(entry)
+
   /** Exclude the active deletion vectors from a scan. Two physical
     * strategies, chosen by tombstone VOLUME (parquet bytes off one driver
     * listing — no data job):
@@ -1123,7 +1133,7 @@ case class VersionedTableDataObject(id: String, path: String,
     val rels = withFile.join(feedKeys.alias("s"), cond, "left_semi")
       .select(col("_graft_file")).distinct().collect()
       .map(r => decodeRel(r.getString(0))).toSet
-    candidates.filter(rels)
+    candidates.filter(f => rels.contains(stagingKey(f)))
   }
 
   /** MERGE as a commit: stats-prune → exact findTouchedFiles → rewrite ONLY
@@ -1242,7 +1252,7 @@ case class VersionedTableDataObject(id: String, path: String,
     val rels = readFilesTagged(st.files, Some(schema), st.stats, st.dv, st.colMap)
       .where(pred).select(col("_graft_dv_rel")).distinct().collect()
       .map(r => decodeRel(r.getString(0))).toSet
-    st.files.filter(rels)
+    st.files.filter(f => rels.contains(stagingKey(f)))
   }
 
   /** Row-level DELETE (Delta's DELETE command). Copy-on-write by default:
@@ -1533,7 +1543,7 @@ case class VersionedTableDataObject(id: String, path: String,
     // matching the log's filesystem names
     val tombstoned = readDvVersions(st.dv).select("file").distinct()
       .collect().map(r => decodeRel(r.getString(0))).toSet
-    val targets = st.files.filter(tombstoned)
+    val targets = st.files.filter(f => tombstoned.contains(stagingKey(f)))
     val v = st.version + 1
     if (targets.isEmpty) {
       // every tombstone references a dead file — one metadata commit
@@ -1805,7 +1815,7 @@ case class VersionedTableDataObject(id: String, path: String,
         // delete must cost O(its files), never O(table), per CDC commit
         val touchedByDv = readDvVersions(include).select("file").distinct()
           .collect().map(r => decodeRel(r.getString(0))).toSet
-        val scanFiles = common.filter(touchedByDv)
+        val scanFiles = common.filter(f => touchedByDv.contains(stagingKey(f)))
         if (scanFiles.isEmpty) return None
         // physical names never change, so TO's colMap reads FROM-side
         // files correctly even across a rename between the two versions
@@ -2083,6 +2093,39 @@ case class VersionedTableDataObject(id: String, path: String,
       s"DataObject $id: restore lost the rename race $attempt times")
   }
 
+  /** SHALLOW CLONE (the public Delta shallow-clone design): create a new
+    * versioned table at `targetPath` whose v0 commit references THIS
+    * table's live files at `version` (latest when None) by ABSOLUTE path
+    * — cloning a 100 TB table costs one log write and zero data I/O.
+    * Schema, per-file stats, and the column map carry over, so data
+    * skipping and file-pruned MERGE work on the clone immediately. The
+    * clone evolves independently: its own commits/DML/OPTIMIZE land in
+    * its own directory, gradually detaching it from the source; its
+    * VACUUM never deletes outside its own root (see the out-of-root
+    * guard). Like Delta, the SOURCE's vacuum can reclaim files a clone
+    * still references — pin the source's retention to cover live clones.
+    * Active deletion vectors must be materialized first (the clone's v0
+    * carries no DV state). Returns the clone's DataObject. */
+  def shallowCloneTo(targetId: String, targetPath: String, version: Option[Int] = None)
+                    (implicit ctx: ActionPipelineContext): VersionedTableDataObject = {
+    val st = stateOrFail(version)
+    require(st.dv.isEmpty,
+      s"DataObject $id: materializeDeletionVectors() before cloning — the clone cannot " +
+        "reference the source's tombstone dirs")
+    val srcRoot = fs.makeQualified(new Path(path)).toUri.getPath
+    val absolute = st.files.map(f => s"$srcRoot/$f")
+    val absStats = st.files.flatMap(f => st.stats.get(f).map(s"$srcRoot/$f" -> _)).toMap
+    val clone = this.copy(id = targetId, path = targetPath)
+    require(clone.latestVersion.isEmpty,
+      s"DataObject $targetId: clone target $targetPath already holds a table")
+    clone.writeCommit(clone.Commit(0, absolute, Seq.empty, st.schemaDdl,
+      absStats.map { case (k, v) =>
+        k -> clone.FileStat(v.rows, v.min, v.max, v.nulls, v.bytes, v.pv) },
+      op = s"CLONE($id@${st.version})",
+      dvSet = Some(Seq.empty), colMapSet = if (st.colMap.nonEmpty) Some(st.colMap) else None))
+    clone
+  }
+
   /** METADATA-ONLY column rename (the public Delta column-mapping RENAME
     * COLUMN): one log commit updating the committed (logical) schema and
     * the logical→physical map — the physical name, and therefore every
@@ -2269,8 +2312,13 @@ case class VersionedTableDataObject(id: String, path: String,
         op = "VACUUM_REBASE", dvSet = Some(baseDv), colMapSet = colMapFor(baseColMap)))
       vacuumPhaseHook("rebased")
       // phase 5a: log-derived physical deletes, strictly after the log
-      // is consistent
-      deletable.foreach(f => fs.delete(new Path(path, f), false))
+      // is consistent. OUT-OF-ROOT GUARD: a shallow clone's log references
+      // its source's files by absolute path — vacuum drops them from the
+      // clone's LOG but must never physically delete outside its own
+      // table root (the Delta shallow-clone vacuum contract: source files
+      // are reclaimed only by the source's own vacuum).
+      deletable.filterNot(f => f.startsWith("/") || f.contains("://"))
+        .foreach(f => fs.delete(new Path(path, f), false))
       // later retained commits stay as-is: their removed-lists reference
       // only files present in the rebased base or in retained adds
       // (removal of an already-gone name is a no-op in snapshot
