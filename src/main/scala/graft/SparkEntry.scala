@@ -3081,6 +3081,32 @@ object SparkEntry {
       graft.functions.ImportanceResampling.resampleTopK(
         corpus, target, col("doc_id"), col("text"), numBuckets = 256, k = 50)
         .select(col("doc_id"), col("rank"), col("n_grams"), col("score"))
+    }),
+
+    "q123_repeated_span_removal" -> ((s, dir) => {
+      // plant a 12-token passage into every 10th doc (both sides of the
+      // oracle replay the same planting), then remove every cross-corpus
+      // duplicated run of ≥ 8 tokens — planted spans vanish, organic text
+      // survives; the hash compare verifies both at once
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" the quick brown fox jumps over the lazy dog again and again")))
+          .otherwise(col("text")).as("text"))
+      graft.functions.Dedup.removeRepeatedSpans(planted, "doc_id", "text", l = 8)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_dup_windows"),
+          col("n_removed_tokens"), col("cleaned_text"))
+    }),
+
+    "q124_bm25_retrieval" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val queries = Seq((1, "table merge batch"), (2, "fast hash value"),
+        (3, "slow scan row key")).toDF("query_id", "query_text")
+      graft.functions.Retrieval.bm25TopK(docs, "doc_id", "text",
+        queries, "query_id", "query_text", k = 10)
+        // score_e6, not the raw double: JVM log vs C log differ by 1 ulp
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("n_terms_hit"), col("score_e6"))
     })
   )
 
@@ -4641,6 +4667,73 @@ object SparkEntry {
         |SELECT doc_id,
         |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
         |  n_grams, score
-        |FROM scoredocs ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
+        |FROM scoredocs ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+
+    "q123_repeated_span_removal" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0
+        |      THEN text || ' the quick brown fox jumps over the lazy dog again and again'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |tokd AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+        |  FROM planted),
+        |wins AS (
+        |  SELECT doc_id, CAST(pos AS INT) AS pos,
+        |    CAST(('0x' || substring(md5(array_to_string(t[pos+1:pos+8], ' ')), 1, 15)) AS BIGINT) AS h
+        |  FROM tokd, LATERAL unnest(range(0, greatest(len(t) - 7, 0))) AS u(pos)),
+        |dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
+        |starts AS (
+        |  SELECT doc_id, list(pos ORDER BY pos) AS s
+        |  FROM wins JOIN dup USING (h) GROUP BY doc_id)
+        |SELECT tokd.doc_id,
+        |  CAST(len(t) AS INT) AS n_tokens,
+        |  CAST(COALESCE(len(s), 0) AS INT) AS n_dup_windows,
+        |  CAST(len(t) - len(kept) AS INT) AS n_removed_tokens,
+        |  COALESCE(array_to_string(list_transform(kept, j -> t[j+1]), ' '), '') AS cleaned_text
+        |FROM (
+        |  SELECT tokd.doc_id, t,
+        |    list_filter(range(0, len(t)), j ->
+        |      len(list_filter(COALESCE(s, []), x -> x <= j AND j < x + 8)) = 0) AS kept, s
+        |  FROM tokd LEFT JOIN starts ON tokd.doc_id = starts.doc_id) tokd""".stripMargin,
+
+    "q124_bm25_retrieval" ->
+      """WITH q(query_id, query_text) AS (VALUES
+        |    (1, 'table merge batch'), (2, 'fast hash value'), (3, 'slow scan row key')),
+        |tokd AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(len(t)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+        |  FROM tokd),
+        |qterms AS (
+        |  SELECT query_id, unnest(list_distinct(
+        |    list_filter(regexp_split_to_array(lower(query_text), '\s+'), x -> x <> ''))) AS term
+        |  FROM q),
+        |termset AS (SELECT DISTINCT term FROM qterms),
+        |expl AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tokd),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf, first(dl) AS dl
+        |  FROM expl JOIN termset USING (term) GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |ts AS (
+        |  SELECT query_id, doc_id, term,
+        |    ln(1.0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+        |      / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS s
+        |  FROM tf JOIN dfreq USING (term) JOIN qterms USING (term), stats)
+        |SELECT query_id, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank,
+        |  doc_id, n_terms_hit,
+        |  CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS score_e6
+        |FROM (
+        |  SELECT query_id, doc_id, count(*) AS n_terms_hit,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(s ORDER BY term)), (a, x) -> a + x) AS score
+        |  FROM ts GROUP BY query_id, doc_id)
+        |QUALIFY rank <= 10""".stripMargin
   )
 }

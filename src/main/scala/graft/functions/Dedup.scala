@@ -772,6 +772,80 @@ object Dedup {
           .as("dup_passage_frac"))
   }
 
+  /** Cross-document repeated-substring REMOVAL — the ExactSubstr design of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499), re-shaped for a shared-nothing engine.
+    * The paper builds one global suffix array (shared-memory, O(corpus)
+    * RAM); here every length-`l` token window is fingerprinted instead,
+    * and a window whose fingerprint occurs more than once ANYWHERE in the
+    * corpus marks its token span for removal. Any duplicated run of
+    * ≥ `l` tokens contains a duplicated `l`-window, so recall over
+    * ≥ l-token duplicates is exact — the suffix-array guarantee — while
+    * runs shorter than `l` are ignored by construction (also the paper's
+    * cut-off; they use l=50 BPE tokens).
+    *
+    * Scale shape: one map-side-combined groupBy on the 60-bit window
+    * fingerprint (the only corpus-sized shuffle), one join back to window
+    * positions, one per-doc aggregation whose state is bounded by the
+    * doc's own window count, and a final map-only span-merge + rebuild
+    * inside the row. Nothing is ever quadratic in corpus size; the
+    * fingerprint table shuffles ~|tokens| longs, the same order as
+    * reading the corpus. Window strings are built per-position (O(T·l)
+    * chars/doc) so the 60-bit md5-prefix fingerprint replays in any
+    * engine; a single-pass rolling-hash kernel (SignatureExpressions)
+    * would drop that to O(T) at the cost of oracle portability.
+    *
+    * Removal semantics: token j of a doc survives iff NO duplicated
+    * window [s, s+l) covers it; overlapping duplicated spans therefore
+    * merge naturally. Output keeps every doc (docs with no duplicated
+    * window pass through verbatim) with audit columns.
+    *
+    * @param l window length in whitespace tokens (duplicates shorter than
+    *          this are kept)
+    * @return (id, n_tokens, n_dup_windows, n_removed_tokens, cleaned_text) */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                          l: Int = 8, persist: Boolean = true): DataFrame = {
+    require(l >= 2, "window length l must be ≥ 2")
+    val toksCol = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    val base = df.select(col(idCol).as("id"), toksCol.as("toks"))
+    // one fingerprint per window position; 60-bit md5 prefix (portable:
+    // replayable as CAST('0x'||substr(md5(w),1,15) AS BIGINT) anywhere)
+    val fp = (w: Column) =>
+      conv(substring(md5(w), 1, 15), 16, 10).cast(LongType)
+    val exploded = base
+      .where(size(col("toks")) >= l)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(1), size(col("toks")) - (l - 1)),
+        i => fp(concat_ws(" ", slice(col("toks"), i, lit(l)))))).as(Seq("pos", "h")))
+    val windows =
+      if (persist) exploded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else exploded
+    // corpus-wide occurrence count per fingerprint (within-doc repeats
+    // count too — ExactSubstr removes those as well)
+    val counts = windows.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    val dupStarts = windows
+      .join(counts.where(col("c") > 1).select(col("h")), Seq("h"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    base.join(dupStarts, Seq("id"), "left")
+      .select(col("id"), col("toks"),
+        coalesce(col("starts"), array().cast(ArrayType(IntegerType))).as("starts"))
+      .select(
+        col("id"),
+        size(col("toks")).as("n_tokens"),
+        size(col("starts")).as("n_dup_windows"),
+        // sequence(0, n-1) would DESCEND for n=0 — guard the empty doc
+        when(size(col("toks")) === 0, array().cast(ArrayType(IntegerType)))
+          .otherwise(filter(sequence(lit(0), size(col("toks")) - 1),
+            j => !exists(col("starts"), s => s <= j && j < s + lit(l)))).as("kept"),
+        col("toks"))
+      .select(
+        col("id"), col("n_tokens"), col("n_dup_windows"),
+        (col("n_tokens") - size(col("kept"))).as("n_removed_tokens"),
+        concat_ws(" ", transform(col("kept"),
+          j => element_at(col("toks"), j + 1))).as("cleaned_text"))
+  }
+
   /** Embedding near-duplicates: random-hyperplane LSH buckets → exact cosine
     * verification on candidates. Hyperplanes are deterministic (fixed seed).
     */

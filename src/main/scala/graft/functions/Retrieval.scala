@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse (keyword) ranked retrieval over a document corpus — the lexical
+  * complement to the dense-vector ANN stack in [[Similarity]] /
+  * [[Quantization]]. Implements BM25 (Robertson & Zaragoza 2009, "The
+  * Probabilistic Relevance Framework: BM25 and Beyond"; idf in the
+  * non-negative Lucene form `ln(1 + (N - df + 0.5)/(df + 0.5))`).
+  *
+  * Scale shape (100 TB corpus, small query set):
+  *  - the query-term table is tiny and BROADCAST — the exploded corpus
+  *    token stream is pruned against it BEFORE the term-frequency
+  *    aggregation, so the only corpus-sized shuffle carries just the
+  *    tokens that match some query term (for a handful of queries that
+  *    is a ~99% reduction ahead of the shuffle);
+  *  - document frequency over the pruned term set is a second tiny
+  *    aggregate, broadcast back;
+  *  - corpus stats (N, avgdl) are one narrow scalar aggregation,
+  *    collected to the driver like every codebook/centroid pass;
+  *  - the final top-k per query is a row_number window partitioned by
+  *    query — each query's candidate set is already bounded by the
+  *    docs containing its terms.
+  *
+  * Determinism: the per-(query, doc) score sums its per-term
+  * contributions in ASCENDING term order via an explicit fold, so the
+  * double is bit-identical across runs, partitionings, and engines —
+  * the same discipline as [[ImportanceResampling]].
+  */
+object Retrieval {
+
+  /** BM25 top-`k` docs per query.
+    *
+    * @param queries (query_id, query_text) — expected small (broadcast)
+    * @return (query_id, rank, doc_id, n_terms_hit, score) */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, qidCol: String, qtextCol: String,
+               k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    def toks(c: org.apache.spark.sql.Column) =
+      filter(split(lower(c), "\\s+"), t => t =!= "")
+    val base = docs.select(col(idCol).as("doc_id"),
+      size(toks(col(textCol))).as("dl"),
+      toks(col(textCol)).as("toks"))
+    // corpus stats: one narrow agg, two scalars to the driver
+    val statsRow = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")).head()
+    val nDocs = statsRow.getLong(0)
+    val avgdl = statsRow.getLong(1).toDouble / nDocs.toDouble
+    // distinct query terms — tiny, broadcast for the pre-shuffle prune
+    val qterms = queries.select(col(qidCol).as("query_id"),
+        explode(array_distinct(toks(col(qtextCol)))).as("term"))
+    val termSet = qterms.select(col("term")).distinct()
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(termSet), Seq("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    // document frequency per surviving term: one row per query term
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val termScore = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .select(col("query_id"), col("doc_id"),
+        col("term"),
+        (idf * (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(avgdl))))
+          .as("s"))
+    // deterministic double: fold per-term scores in ascending term order
+    val summed = termScore
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        aggregate(sort_array(collect_list(struct(col("term"), col("s")))),
+          lit(0.0), (acc, x) => acc + x.getField("s")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    summed
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("n_terms_hit"), col("score"),
+        // cross-engine-stable rendering of the score: JVM Math.log and C
+        // std::log are each ≤1 ulp off the true ln but not identically
+        // rounded, so the raw double is NOT oracle-portable; floor(x*1e6
+        // + 0.5) uses only exactly-rounded IEEE ops, collapsing the ulp
+        floor(col("score") * lit(1000000.0) + lit(0.5)).cast("long").as("score_e6"))
+  }
+}

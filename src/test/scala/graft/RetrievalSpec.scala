@@ -1,0 +1,74 @@
+package graft
+
+import graft.functions.{Dedup, Retrieval}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Repeated-span removal (ExactSubstr shape) + BM25 ranked retrieval. */
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def spans(docs: Seq[(Long, String)], l: Int) =
+    Dedup.removeRepeatedSpans(docs.toDF("id", "text"), "id", "text", l = l)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+
+  test("cross-doc duplicated run ≥ l is removed from every occurrence; unique text survives") {
+    val shared = "one two three four five six seven eight nine ten" // 10 tokens
+    val out = spans(Seq(
+      1L -> s"alpha beta $shared gamma delta",
+      2L -> s"epsilon $shared zeta",
+      3L -> "totally unrelated words with no duplication at all here"), l = 8)
+    assert(out(1L)._4 == "alpha beta gamma delta")
+    assert(out(2L)._4 == "epsilon zeta")
+    assert(out(1L)._3 == 10 && out(2L)._3 == 10)
+    assert(out(3L)._3 == 0 && out(3L)._4.startsWith("totally unrelated"))
+  }
+
+  test("duplicated runs shorter than l are kept (the cut-off contract)") {
+    val short = "one two three four five" // 5 tokens < l=8
+    val out = spans(Seq(
+      1L -> s"alpha $short beta gamma delta epsilon zeta eta",
+      2L -> s"theta $short iota kappa lambda mu nu xi"), l = 8)
+    assert(out.values.forall(_._3 == 0))
+  }
+
+  test("within-doc repetition is removed too, overlapping spans merge") {
+    val run = "a b c d e f g h" // 8 tokens, repeated twice inside one doc
+    val out = spans(Seq(1L -> s"start $run middle $run finish"), l = 8)
+    assert(out(1L)._4 == "start middle finish")
+    assert(out(1L)._3 == 16)
+  }
+
+  test("docs shorter than l, and empty docs, pass through") {
+    val out = spans(Seq(1L -> "tiny doc", 2L -> "", 3L -> "   "), l = 8)
+    assert(out(1L) == ((2, 0, 0, "tiny doc")))
+    assert(out(2L) == ((0, 0, 0, "")))
+    assert(out(3L) == ((0, 0, 0, "")))
+  }
+
+  test("bm25: more distinct query-term hits outrank fewer; scores deterministic") {
+    val docs = Seq(
+      (1L, "spark shuffle join merge spark"),
+      (2L, "spark only here with filler words padding length out"),
+      (3L, "merge join shuffle spark all four terms present"),
+      (4L, "nothing relevant whatsoever in this document")).toDF("doc_id", "text")
+    val q = Seq((7, "spark shuffle join merge")).toDF("qid", "qtext")
+    def run() = Retrieval.bm25TopK(docs, "doc_id", "text", q, "qid", "qtext", k = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val a = run()
+    assert(a.map(_._2).take(2).toSet == Set(1L, 3L)) // 4-term docs first
+    assert(a.head._3 >= a.last._3)                   // hits non-increasing down the ranking
+    assert(!a.map(_._2).contains(4L))                // no-hit doc absent
+    assert(a.toSeq == run().toSeq)                   // bit-identical rerun
+  }
+
+  test("bm25: query terms absent from the corpus contribute nothing") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha delta")).toDF("doc_id", "text")
+    val q = Seq((1, "alpha zzz_unseen")).toDF("qid", "qtext")
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text", q, "qid", "qtext", k = 5).collect()
+    assert(out.length == 2 && out.forall(_.getLong(3) == 1L))
+  }
+}
