@@ -3107,6 +3107,31 @@ object SparkEntry {
         // score_e6, not the raw double: JVM log vs C log differ by 1 ulp
         .select(col("query_id"), col("rank"), col("doc_id"),
           col("n_terms_hit"), col("score_e6"))
+    }),
+
+    // Generated columns (the public Delta GENERATED ALWAYS AS design):
+    // the feed OMITS o_month — the write plan populates it, the partition
+    // layout uses it, and the read filters on it; REQUIREd: the month
+    // filter prunes files at plan time off the logged partition values
+    "q125_generated_columns" -> ((s, dir) => {
+      implicit val c: ActionPipelineContext = ctx(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q125").toString
+      val orders = t(s, dir, "orders").where(col("o_orderkey") <= 30000)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_totalprice").cast("double").as("o_totalprice"),
+          col("o_orderdate"))
+      val vt = sources.VersionedTableDataObject("q125_vt", s"$tmp/t",
+        primaryKey = Seq("o_orderkey"), partitions = Seq("o_month"),
+        generatedColumns = Seq("o_month" -> "date_format(o_orderdate, 'yyyy-MM')"))
+      vt.writeDataFrame(orders)
+      val pruned = vt.filesForFilters(Seq(
+        org.apache.spark.sql.sources.EqualTo("o_month", "1995-06")))
+      require(pruned.size < vt.snapshotFiles().size,
+        s"generated partition column must prune: ${pruned.size} of ${vt.snapshotFiles().size}")
+      vt.getDataFrame().where(col("o_month").between("1995-01", "1995-12"))
+        .groupBy(col("o_month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
     })
   )
 
@@ -4734,6 +4759,15 @@ object SparkEntry {
         |  SELECT query_id, doc_id, count(*) AS n_terms_hit,
         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(s ORDER BY term)), (a, x) -> a + x) AS score
         |  FROM ts GROUP BY query_id, doc_id)
-        |QUALIFY rank <= 10""".stripMargin
+        |QUALIFY rank <= 10""".stripMargin,
+
+    "q125_generated_columns" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE o_orderkey <= 30000
+        |  AND strftime(o_orderdate, '%Y-%m') BETWEEN '1995-01' AND '1995-12'
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -806,7 +806,7 @@ object Dedup {
   def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
                           l: Int = 8, persist: Boolean = true): DataFrame = {
     require(l >= 2, "window length l must be ≥ 2")
-    val toksCol = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    val toksCol = TextAnalysis.wsTokens(col(textCol))
     val base = df.select(col(idCol).as("id"), toksCol.as("toks"))
     // one fingerprint per window position; 60-bit md5 prefix (portable:
     // replayable as CAST('0x'||substr(md5(w),1,15) AS BIGINT) anywhere)
@@ -834,10 +834,16 @@ object Dedup {
         col("id"),
         size(col("toks")).as("n_tokens"),
         size(col("starts")).as("n_dup_windows"),
+        // kept = token indices minus covered indices. array_except is
+        // hash-based: O(T + W·l) per row, where a per-token exists() over
+        // the starts would be O(T·W) — quadratic exactly on the heavily
+        // duplicated docs this function targets.
         // sequence(0, n-1) would DESCEND for n=0 — guard the empty doc
         when(size(col("toks")) === 0, array().cast(ArrayType(IntegerType)))
-          .otherwise(filter(sequence(lit(0), size(col("toks")) - 1),
-            j => !exists(col("starts"), s => s <= j && j < s + lit(l)))).as("kept"),
+          .otherwise(array_except(
+            sequence(lit(0), size(col("toks")) - 1),
+            flatten(transform(col("starts"),
+              s => sequence(s, s + lit(l - 1)))))).as("kept"),
         col("toks"))
       .select(
         col("id"), col("n_tokens"), col("n_dup_windows"),

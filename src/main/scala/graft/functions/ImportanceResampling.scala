@@ -38,9 +38,8 @@ import org.apache.spark.sql.types._
   */
 object ImportanceResampling {
 
-  /** lowercased whitespace tokens */
-  private def toks(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => t =!= "")
+  /** lowercased whitespace tokens (shared oracle-parity tokenizer) */
+  private def toks(text: Column): Column = TextAnalysis.wsTokens(text, lowercase = true)
 
   /** unigram+bigram hash buckets (with multiplicity) for one document —
     * the DSIR hashed-n-gram featurization, md5-derived for portability.

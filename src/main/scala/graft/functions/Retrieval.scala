@@ -38,15 +38,17 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queries: DataFrame, qidCol: String, qtextCol: String,
                k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    def toks(c: org.apache.spark.sql.Column) =
-      filter(split(lower(c), "\\s+"), t => t =!= "")
+    def toks(c: org.apache.spark.sql.Column) = TextAnalysis.wsTokens(c, lowercase = true)
     val base = docs.select(col(idCol).as("doc_id"),
       size(toks(col(textCol))).as("dl"),
       toks(col(textCol)).as("toks"))
-    // corpus stats: one narrow agg, two scalars to the driver
+    // corpus stats: one narrow agg, two scalars to the driver. Empty
+    // corpus: sum() is NULL and 0/0 is NaN — neutral values keep the
+    // (naturally empty) plan valid instead of NPE-ing on getLong
     val statsRow = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")).head()
     val nDocs = statsRow.getLong(0)
-    val avgdl = statsRow.getLong(1).toDouble / nDocs.toDouble
+    val avgdl = if (nDocs == 0 || statsRow.isNullAt(1)) 1.0
+                else statsRow.getLong(1).toDouble / nDocs.toDouble
     // distinct query terms — tiny, broadcast for the pre-shuffle prune
     val qterms = queries.select(col(qidCol).as("query_id"),
         explode(array_distinct(toks(col(qtextCol)))).as("term"))

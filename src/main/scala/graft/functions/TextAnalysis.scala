@@ -17,6 +17,16 @@ object TextAnalysis {
   /** whitespace tokens (single-space split, matches simple oracles) */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** whitespace-run tokens with empties dropped — THE shared tokenizer for
+    * the oracle-replayed corpus ops (DSIR, BM25, repeated-span removal):
+    * one definition so the Spark side and every DuckDB oracle's
+    * `list_filter(regexp_split_to_array(...), x -> x <> '')` can never
+    * drift apart per-operator */
+  def wsTokens(text: Column, lowercase: Boolean = false): Column = {
+    val t = if (lowercase) lower(text) else text
+    filter(split(t, "\\s+"), x => x =!= "")
+  }
+
   /** word tokens: letters/digits runs — BPE-ish pre-tokenization regex */
   def wordTokens(text: Column): Column =
     split(text, "[^\\p{L}\\p{N}]+")

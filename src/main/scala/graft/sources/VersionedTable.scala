@@ -77,6 +77,19 @@ case class VersionedTableDataObject(id: String, path: String,
                                       * Must be chosen at table creation (existing physical names
                                       * are immutable). */
                                     columnMapping: Boolean = false,
+                                    /** generated columns (the public Delta GENERATED ALWAYS AS
+                                      * design): logical column → SQL generation expression over
+                                      * the feed's other columns. A write that OMITS the column
+                                      * gets it populated inside the write plan (no extra scan);
+                                      * a write that PROVIDES it is validated row-by-row against
+                                      * the expression (raise_error, like a CHECK constraint).
+                                      * The headline use is a generated PARTITION column
+                                      * (`day -> "CAST(ts AS DATE)"`): writers never supply it,
+                                      * and source-column filters still skip files because this
+                                      * table logs per-file min/max for the SOURCE column too —
+                                      * the log-backed stats give what Delta needs expression
+                                      * inference for. */
+                                    generatedColumns: Seq[(String, String)] = Seq.empty,
                                     /** row-level CHECK constraints enforced during every write,
                                       * merge and update (the Delta CHECK-constraint/invariant
                                       * design: raise_error rides the write plan, zero extra
@@ -211,6 +224,57 @@ case class VersionedTableDataObject(id: String, path: String,
   private def assignPhys(base: Map[String, String], fields: Seq[StructField]): Map[String, String] =
     if (!columnMapping) Map.empty
     else base ++ fields.filterNot(f => base.contains(f.name)).map(f => f.name -> freshPhys(f.name))
+
+  /** Populate ABSENT generated columns inside the write plan (projection
+    * only — no extra scan); PRESENT ones are validated by
+    * [[generatedConstraints]] instead (Delta refuses a provided value
+    * that contradicts the generation expression). */
+  private def applyGeneratedColumns(df: DataFrame): DataFrame =
+    generatedColumns.foldLeft(df) { case (d, (c, g)) =>
+      if (d.columns.exists(_.equalsIgnoreCase(c))) d
+      else d.withColumn(c, expr(g))
+    }
+
+  /** row-level validation for generated columns the feed PROVIDED — rides
+    * the same raise_error wrapper as CHECK constraints */
+  private def generatedConstraints(df: DataFrame): Seq[graft.quality.Constraint] =
+    generatedColumns.collect { case (c, g) if df.columns.exists(_.equalsIgnoreCase(c)) =>
+      graft.quality.Constraint(s"generated:$c", s"`$c` <=> ($g)", errorMsgCols = Seq(c))
+    }
+
+  /** The columnMapping flag is a CREATION-TIME property: flipping it on an
+    * existing table makes every pre-flip file read all-NULL (the map and
+    * the files' physical names no longer agree), silently. Refuse loudly
+    * on the first write instead. */
+  private def guardColumnMappingFlag(st: Option[TableState]): Unit =
+    st.filter(_.files.nonEmpty).foreach { s =>
+      s.schema.foreach { sc =>
+        if (columnMapping)
+          require(sc.forall(f => s.colMap.contains(f.name)),
+            s"DataObject $id: columnMapping=true but the existing table was written without " +
+              "a column map — pre-flip files would read as NULL; the flag is fixed at table creation")
+        else
+          require(s.colMap.isEmpty,
+            s"DataObject $id: columnMapping=false but the existing table carries a column map — " +
+              "mapped files would read as NULL; the flag is fixed at table creation")
+      }
+    }
+
+  /** Concurrent column-mapping DDL detection for the optimistic-commit
+    * retry loops: this transaction's files are staged under `stagedMap`'s
+    * physical names; committing is only safe if the fresh head still binds
+    * every staged logical column to that same physical name. A concurrent
+    * RENAME/DROP of a staged column (or a same-name concurrent add, which
+    * assigns a DIFFERENT fresh physical name) would publish a column that
+    * reads all-NULL — the Delta analogue raises MetadataChangedException. */
+  private[graft] def colMapConflicts(headMap: Map[String, String], stagedMap: Map[String, String],
+                              preMap: Map[String, String], stagedCols: Seq[String]): Boolean =
+    columnMapping && stagedCols.exists { c =>
+      headMap.get(c) match {
+        case Some(p) => p != stagedMap.getOrElse(c, c)
+        case None => preMap.contains(c) // renamed or dropped concurrently
+      }
+    }
 
   /** Log-file parse counter (commit + checkpoint JSONs actually read) —
     * instrumentation for the checkpoint-bounded-replay spec. */
@@ -983,24 +1047,30 @@ case class VersionedTableDataObject(id: String, path: String,
     * at the new head. Appends are ALWAYS safe to retry (disjoint data
     * files); overwrite recomputes its supersede-set at each attempt
     * (last-writer-wins, the lakehouse overwrite semantic). */
-  override def writeDataFrame(df: DataFrame, partitionValues: Seq[PartitionValues] = Seq.empty,
+  override def writeDataFrame(df0: DataFrame, partitionValues: Seq[PartitionValues] = Seq.empty,
                               saveMode: Option[SdlSaveMode] = None)
                              (implicit ctx: ActionPipelineContext): ActionMetrics = {
     val t0 = System.currentTimeMillis()
+    val df = applyGeneratedColumns(df0)
     val append = saveMode.contains(SdlSaveMode.Append)
     val dynamic = saveMode.contains(SdlSaveMode.OverwriteOptimized) && partitions.nonEmpty
     val preState = readState(None)
+    guardColumnMappingFlag(preState)
     val v0 = preState.map(_.version + 1).getOrElse(0)
     // column mapping: existing logical columns keep their immutable
     // physical names; brand-new logical columns get fresh ones. A
-    // concurrent RENAME during the commit race changes only the map,
-    // never a physical name, so the staged files stay valid on retry.
+    // concurrent RENAME of an UNRELATED column during the commit race
+    // changes only the map, never a physical name, so the staged files
+    // stay valid on retry; DDL touching a STAGED column is a conflict
+    // (colMapConflicts below).
     val preColMap = preState.map(_.colMap).getOrElse(Map.empty)
     val colMapWrite = assignPhys(preColMap, df.schema.fields.toSeq)
     val newAssigned = colMapWrite -- preColMap.keySet
     // data quality rides the staging write: constraints raise_error per
-    // row, Job-scope expectations observe — zero extra scans
-    val constrained = graft.quality.DataQualityValidation.applyConstraints(df, constraints)
+    // row, Job-scope expectations observe — zero extra scans. Feed-provided
+    // generated columns validate the same way.
+    val constrained = graft.quality.DataQualityValidation.applyConstraints(df,
+      constraints ++ generatedConstraints(df0))
     val (instrumented, expObs) =
       graft.quality.DataQualityValidation.observeExpectations(constrained, expectations)
     val (added, stats) = stage(instrumented, v0, colMapWrite)
@@ -1012,6 +1082,11 @@ case class VersionedTableDataObject(id: String, path: String,
     var committedV = -1
     while (!done) {
       val st = readState(None)
+      if (colMapConflicts(st.map(_.colMap).getOrElse(Map.empty), colMapWrite,
+          preColMap, df.schema.fieldNames.toSeq))
+        throw new java.util.ConcurrentModificationException(
+          s"DataObject $id: concurrent column-mapping DDL touched a column this write " +
+            "staged — re-run the write against the new schema")
       val v = st.map(_.version + 1).getOrElse(0)
       val removed =
         if (append) Seq.empty
@@ -1101,7 +1176,9 @@ case class VersionedTableDataObject(id: String, path: String,
   private[graft] def mergeConflicts(concurrent: Seq[Commit], touched: Seq[String],
                                     joinCols: Seq[String], bounds: Map[String, (String, String)],
                                     schema: StructType, feedHasNullKeys: Boolean,
-                                    colMap: Map[String, String] = Map.empty): Boolean = {
+                                    colMap: Map[String, String] = Map.empty,
+                                    preMap: Map[String, String] = Map.empty,
+                                    stagedCols: Seq[String] = Seq.empty): Boolean = {
     val removedConcurrently = concurrent.flatMap(_.removed).toSet
     if (touched.exists(removedConcurrently)) return true
     // a dvSet-bearing commit (DELETE_DV/RESTORE/DV_MATERIALIZE) changes
@@ -1109,6 +1186,14 @@ case class VersionedTableDataObject(id: String, path: String,
     // rewrite was computed through the OLD dv view and would silently
     // drop the concurrent tombstone/revert
     if (concurrent.exists(_.dvSet.isDefined)) return true
+    // concurrent column-mapping DDL touching a STAGED column: committing
+    // would publish columns whose physical binding no longer matches the
+    // staged files (all-NULL reads) — the head map is the latest absolute
+    // colMapSet among the concurrent commits
+    concurrent.filter(_.colMapSet.isDefined).sortBy(_.version).lastOption
+      .flatMap(_.colMapSet).foreach { headMap =>
+        if (colMapConflicts(headMap, colMap, preMap, stagedCols)) return true
+      }
     val newFiles = concurrent.flatMap(_.added)
     val newStats = concurrent.flatMap(_.stats).toMap
     if (newFiles.exists(f => !newStats.contains(f))) return true
@@ -1142,12 +1227,14 @@ case class VersionedTableDataObject(id: String, path: String,
     * by reference. Matched rows can only live in touched files (the exact
     * semi-join proves every other live file holds none of the feed's keys),
     * so per-commit I/O is O(touched + feed), not O(table). */
-  override def mergeDataFrame(df: DataFrame, joinCols: Seq[String],
+  override def mergeDataFrame(df0: DataFrame, joinCols: Seq[String],
                               options: SaveModeMergeOptions = SaveModeMergeOptions())
                              (implicit ctx: ActionPipelineContext): ActionMetrics = {
     val t0 = System.currentTimeMillis()
+    val df = applyGeneratedColumns(df0)
     val st0 = readState(None)
-    if (st0.isEmpty) return writeDataFrame(df, saveMode = Some(SdlSaveMode.Overwrite))
+    if (st0.isEmpty) return writeDataFrame(df0, saveMode = Some(SdlSaveMode.Overwrite))
+    guardColumnMappingFlag(st0)
     val live = st0.get.files
     // schema auto-merge (the Delta mergeSchema semantics): feed columns
     // unknown to the table are APPENDED to the committed schema — reading
@@ -1163,8 +1250,10 @@ case class VersionedTableDataObject(id: String, path: String,
     val mergeColMap = assignPhys(st0.get.colMap, schema.fields.toSeq)
     val newAssigned = mergeColMap -- st0.get.colMap.keySet
     // CHECK constraints gate merge feeds too (Delta invariant semantics):
-    // the raise_error wrapper fires during the feed's first materialization
-    val feed = graft.quality.DataQualityValidation.applyConstraints(df, constraints)
+    // the raise_error wrapper fires during the feed's first materialization;
+    // feed-provided generated columns validate alongside
+    val feed = graft.quality.DataQualityValidation.applyConstraints(df,
+        constraints ++ generatedConstraints(df0))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // one tiny agg: feed size + per-join-col bounds and null presence
@@ -1219,7 +1308,7 @@ case class VersionedTableDataObject(id: String, path: String,
         val freshVers = listLog._1
         val concurrent = freshVers.filter(_ >= v).map(parseCommit)
         if (attempt >= 20 || mergeConflicts(concurrent, touched, joinCols, bounds, schema,
-            feedHasNullKeys, mergeColMap))
+            feedHasNullKeys, mergeColMap, st0.get.colMap, schema.fieldNames.toSeq))
           throw new java.util.ConcurrentModificationException(
             s"DataObject $id: concurrent commit(s) ${concurrent.map(_.version).mkString(",")} " +
               "overlap this merge's keys or files — re-run the merge against the new state")
@@ -1349,6 +1438,12 @@ case class VersionedTableDataObject(id: String, path: String,
       throw new IllegalStateException(s"DataObject $id: no committed schema"))
     val unknown = assignments.keySet.filterNot(c => schema.exists(_.name == c))
     require(unknown.isEmpty, s"DataObject $id: UPDATE assigns unknown columns ${unknown.mkString(", ")}")
+    // generated columns are derived, never assigned — they RE-GENERATE from
+    // the post-image when a source column is updated (Delta semantics)
+    val genAssigned = generatedColumns.map(_._1)
+      .filter(c => assignments.keySet.exists(_.equalsIgnoreCase(c)))
+    require(genAssigned.isEmpty,
+      s"DataObject $id: cannot UPDATE generated column(s) ${genAssigned.mkString(", ")} directly")
     val pred = expr(predicateSql)
     val touched = touchedByPredicate(st0, schema, pred)
     if (touched.isEmpty) return 0L
@@ -1369,9 +1464,13 @@ case class VersionedTableDataObject(id: String, path: String,
           case None => col(s"`${f.name}`")
         }
       }.toIndexedSeq: _*)
+    // generated columns RE-GENERATE from the post-image (an updated source
+    // column must flow through; idempotent for unhit rows)
+    val updatedG = generatedColumns.foldLeft(updated0) { case (d, (c, g)) =>
+      if (d.columns.exists(_.equalsIgnoreCase(c))) d.withColumn(c, expr(g)) else d }
     // an UPDATE can move rows OUT of a CHECK constraint — enforce on the
     // rewrite like Delta does
-    val updated = graft.quality.DataQualityValidation.applyConstraints(updated0, constraints)
+    val updated = graft.quality.DataQualityValidation.applyConstraints(updatedG, constraints)
     val v0 = st0.version + 1
     val (added, stats) = stage(updated, v0, st0.colMap)
     val commitV = dmlCommitLoop(v0, added, touched, schema, stats, "UPDATE")
@@ -1404,7 +1503,9 @@ case class VersionedTableDataObject(id: String, path: String,
           case None => col(s"`${f.name}`")
         }
       }.toIndexedSeq: _*)
-      val rewritten = graft.quality.DataQualityValidation.applyConstraints(rewritten0, constraints)
+      val rewrittenG = generatedColumns.foldLeft(rewritten0) { case (d, (c, g)) =>
+        if (d.columns.exists(_.equalsIgnoreCase(c))) d.withColumn(c, expr(g)) else d }
+      val rewritten = graft.quality.DataQualityValidation.applyConstraints(rewrittenG, constraints)
       val name = f"v$v%08d-${java.util.UUID.randomUUID.toString.take(8)}"
       tombstones.write.mode(SaveMode.ErrorIfExists).parquet(dvPath(name).toString)
       val nMatched = ctx.spark.read.schema(dvSchema).parquet(dvPath(name).toString).count()
@@ -1478,8 +1579,14 @@ case class VersionedTableDataObject(id: String, path: String,
       attempt += 1
       val fresh = listLog._1
       val concurrent = fresh.filter(_ >= v0).map(parseCommit)
+      // staged files bind schema columns to (baseColMap ++ newAssigned)'s
+      // physical names; concurrent column DDL touching one of them would
+      // publish an all-NULL column (same rule as mergeConflicts)
+      val ddlConflict = concurrent.filter(_.colMapSet.isDefined).sortBy(_.version)
+        .lastOption.flatMap(_.colMapSet).exists(hm =>
+          colMapConflicts(hm, baseColMap ++ newAssigned, baseColMap, schema.fieldNames.toSeq))
       if (concurrent.flatMap(_.removed).exists(touchedSet) ||
-          concurrent.exists(_.dvSet.isDefined) || extraConflict(concurrent))
+          concurrent.exists(_.dvSet.isDefined) || ddlConflict || extraConflict(concurrent))
         fail(s"concurrent commit(s) ${concurrent.map(_.version).mkString(",")} " +
           s"conflict with this $opTag — re-run against the new state")
       if (attempt >= 20) fail(s"$opTag commit contention — $attempt attempts lost the rename race")
@@ -2112,9 +2219,20 @@ case class VersionedTableDataObject(id: String, path: String,
     require(st.dv.isEmpty,
       s"DataObject $id: materializeDeletionVectors() before cloning — the clone cannot " +
         "reference the source's tombstone dirs")
-    val srcRoot = fs.makeQualified(new Path(path)).toUri.getPath
-    val absolute = st.files.map(f => s"$srcRoot/$f")
-    val absStats = st.files.flatMap(f => st.stats.get(f).map(s"$srcRoot/$f" -> _)).toMap
+    val srcUri = fs.makeQualified(new Path(path)).toUri
+    val tgtUri = fs.makeQualified(new Path(targetPath)).toUri
+    // absolute entries resolve against the CLONE's filesystem at read time;
+    // a cross-filesystem clone would silently point at the wrong store
+    require(Option(srcUri.getScheme) == Option(tgtUri.getScheme) &&
+        Option(srcUri.getAuthority) == Option(tgtUri.getAuthority),
+      s"DataObject $id: shallow clone requires source and target on the same filesystem " +
+        s"($srcUri vs $tgtUri) — the clone's log stores path-only references")
+    val srcRoot = srcUri.getPath
+    // entries already absolute (this table is itself a shallow clone) pass
+    // through untouched — prefixing them would corrupt the clone-of-clone
+    def abs(f: String): String = if (f.startsWith("/")) f else s"$srcRoot/$f"
+    val absolute = st.files.map(abs)
+    val absStats = st.files.flatMap(f => st.stats.get(f).map(abs(f) -> _)).toMap
     val clone = this.copy(id = targetId, path = targetPath)
     require(clone.latestVersion.isEmpty,
       s"DataObject $targetId: clone target $targetPath already holds a table")
@@ -2139,17 +2257,21 @@ case class VersionedTableDataObject(id: String, path: String,
                   (implicit ctx: ActionPipelineContext): Int = {
     require(columnMapping,
       s"DataObject $id: renameColumn needs columnMapping=true (chosen at table creation)")
-    require(!partitions.contains(oldName) && !primaryKey.contains(oldName),
+    require(!(partitions ++ primaryKey).exists(_.equalsIgnoreCase(oldName)),
       s"DataObject $id: cannot rename structural column $oldName (partition/primaryKey identity)")
     metadataColumnCommit(s"RENAME_COLUMN($oldName->$newName)") { st =>
       val schema = st.schema.getOrElse(
         throw new IllegalStateException(s"DataObject $id: no committed schema"))
-      require(schema.exists(_.name == oldName), s"DataObject $id: no column $oldName")
-      require(!schema.exists(_.name.equalsIgnoreCase(newName)),
+      // resolution is case-insensitive like append evolution; a case-only
+      // rename (Value -> value) is legal — only a DIFFERENT column may
+      // not already hold the new name
+      val field = schema.find(_.name.equalsIgnoreCase(oldName)).getOrElse(
+        throw new IllegalArgumentException(s"DataObject $id: no column $oldName"))
+      require(!schema.exists(f => f.name != field.name && f.name.equalsIgnoreCase(newName)),
         s"DataObject $id: column $newName already exists")
       val newSchema = StructType(schema.map(f =>
-        if (f.name == oldName) f.copy(name = newName) else f))
-      (newSchema, (st.colMap - oldName) + (newName -> phys(st.colMap, oldName)))
+        if (f.name == field.name) f.copy(name = newName) else f))
+      (newSchema, (st.colMap - field.name) + (newName -> phys(st.colMap, field.name)))
     }
   }
 
@@ -2163,14 +2285,15 @@ case class VersionedTableDataObject(id: String, path: String,
   def dropColumn(name: String)(implicit ctx: ActionPipelineContext): Int = {
     require(columnMapping,
       s"DataObject $id: dropColumn needs columnMapping=true (chosen at table creation)")
-    require(!partitions.contains(name) && !primaryKey.contains(name),
+    require(!(partitions ++ primaryKey).exists(_.equalsIgnoreCase(name)),
       s"DataObject $id: cannot drop structural column $name (partition/primaryKey identity)")
     metadataColumnCommit(s"DROP_COLUMN($name)") { st =>
       val schema = st.schema.getOrElse(
         throw new IllegalStateException(s"DataObject $id: no committed schema"))
-      require(schema.exists(_.name == name), s"DataObject $id: no column $name")
+      val field = schema.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(s"DataObject $id: no column $name"))
       require(schema.size > 1, s"DataObject $id: cannot drop the last column")
-      (StructType(schema.filterNot(_.name == name)), st.colMap - name)
+      (StructType(schema.filterNot(_.name == field.name)), st.colMap - field.name)
     }
   }
 
@@ -2286,10 +2409,12 @@ case class VersionedTableDataObject(id: String, path: String,
     val retainedDv = (cut +: kept.map(_.version))
       .flatMap(v => readState(Some(v)).map(_.dv).getOrElse(Seq.empty)).toSet
     if (old.nonEmpty) {
-      // rebase target computed BEFORE anything is deleted
-      val baseFiles = snapshotFiles(Some(cut))
-      val baseDv = readState(Some(cut)).map(_.dv).getOrElse(Seq.empty)
-      val baseColMap = readState(Some(cut)).map(_.colMap).getOrElse(Map.empty)
+      // rebase target computed BEFORE anything is deleted — ONE log replay
+      // at the horizon serves files/dv/colMap (was three)
+      val baseState = readState(Some(cut))
+      val baseFiles = baseState.map(_.files).getOrElse(Seq.empty)
+      val baseDv = baseState.map(_.dv).getOrElse(Seq.empty)
+      val baseColMap = baseState.map(_.colMap).getOrElse(Map.empty)
       val baseSchema = log.filter(_.version <= cut).reverse
         .collectFirst { case c: Commit if c.schema.isDefined => c.schema.get }
       val baseStats = log.flatMap(_.stats).toMap.filter(kv => baseFiles.contains(kv._1))

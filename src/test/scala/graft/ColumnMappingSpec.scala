@@ -163,4 +163,75 @@ class ColumnMappingSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
     assert(ch == Set((2, "b", "delete")))
   }
+
+  test("columnMapping flag is fixed at creation: flipping it on an existing table is refused") {
+    val dir = Files.createTempDirectory("graft-cmflag").toString
+    // created WITHOUT mapping, flag flipped on → write refused (pre-flip
+    // files would read all-NULL under freshly assigned physical names)
+    VersionedTableDataObject("cmf1", s"$dir/t").writeDataFrame(Seq((1, "a")).toDF("k", "v"))
+    val flippedOn = VersionedTableDataObject("cmf1b", s"$dir/t", columnMapping = true)
+    val e1 = intercept[IllegalArgumentException] {
+      flippedOn.writeDataFrame(Seq((2, "b")).toDF("k", "v"), saveMode = Some(SdlSaveMode.Append)) }
+    assert(e1.getMessage.contains("fixed at table creation"))
+    // created WITH mapping, flag flipped off → write refused (mapped files
+    // would read all-NULL under logical names)
+    VersionedTableDataObject("cmf2", s"$dir/t2", columnMapping = true)
+      .writeDataFrame(Seq((1, "a")).toDF("k", "v"))
+    val flippedOff = VersionedTableDataObject("cmf2b", s"$dir/t2")
+    val e2 = intercept[IllegalArgumentException] {
+      flippedOff.writeDataFrame(Seq((2, "b")).toDF("k", "v"), saveMode = Some(SdlSaveMode.Append)) }
+    assert(e2.getMessage.contains("fixed at table creation"))
+    // merge path guards too
+    val e3 = intercept[IllegalArgumentException] {
+      flippedOn.mergeDataFrame(Seq((1, "z")).toDF("k", "v"), Seq("k")) }
+    assert(e3.getMessage.contains("fixed at table creation"))
+  }
+
+  test("rename/drop resolve case-insensitively; case-only rename is legal") {
+    val dir = Files.createTempDirectory("graft-cmcase").toString
+    val t = VersionedTableDataObject("cmc1", s"$dir/t", columnMapping = true)
+    t.writeDataFrame(Seq((1, "a")).toDF("k", "Value"))
+    t.renameColumn("value", "V2")          // case-insensitive old-name lookup
+    assert(t.getDataFrame().columns.toSeq == Seq("k", "V2"))
+    t.renameColumn("V2", "v2")             // case-ONLY rename (Delta permits)
+    assert(t.getDataFrame().columns.toSeq == Seq("k", "v2"))
+    assert(t.getDataFrame().select("v2").as[String].collect().toSeq == Seq("a"))
+    // a DIFFERENT column holding the name (any case) still refuses
+    intercept[IllegalArgumentException] { t.renameColumn("v2", "K") }
+    // drop resolves case-insensitively
+    t.dropColumn("V2")
+    assert(t.getDataFrame().columns.toSeq == Seq("k"))
+  }
+
+  test("concurrent column DDL on a staged column is a commit conflict, unrelated DDL is not") {
+    val dir = Files.createTempDirectory("graft-cmrace").toString
+    val t = VersionedTableDataObject("cmr1", s"$dir/t", columnMapping = true)
+    t.writeDataFrame(Seq((1, "a", "x")).toDF("k", "v", "w"))
+    val pre = t.readState(None).get.colMap
+    val stagedCols = Seq("k", "v", "w")
+    // concurrent RENAME v->value: head map lost "v" that our staged files bind
+    assert(t.colMapConflicts((pre - "v") + ("value" -> pre("v")), pre, pre, stagedCols))
+    // concurrent DROP w: same
+    assert(t.colMapConflicts(pre - "w", pre, pre, stagedCols))
+    // same-name concurrent add race: head assigned a DIFFERENT phys for a
+    // column we also staged fresh
+    val stagedNew = pre + ("n" -> "n-xaaaa")
+    assert(t.colMapConflicts(pre + ("n" -> "n-xbbbb"), stagedNew, pre, stagedCols :+ "n"))
+    // our brand-new column, absent from head: no conflict
+    assert(!t.colMapConflicts(pre, stagedNew, pre, stagedCols :+ "n"))
+    // unrelated rename (column we did not stage): no conflict
+    assert(!t.colMapConflicts((pre - "w") + ("w2" -> pre("w")), pre, pre, Seq("k", "v")))
+    // identical head: no conflict
+    assert(!t.colMapConflicts(pre, pre, pre, stagedCols))
+    // mergeConflicts surfaces the same rule off a colMapSet-bearing commit
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    val renameCommit = t.Commit(5, Seq.empty, Seq.empty, None, Map.empty,
+      op = "RENAME_COLUMN(v->value)", colMapSet = Some((pre - "v") + ("value" -> pre("v"))))
+    assert(t.mergeConflicts(Seq(renameCommit), Seq.empty, Seq("k"), Map.empty, schema,
+      feedHasNullKeys = false, pre, pre, stagedCols))
+    assert(!t.mergeConflicts(Seq(renameCommit), Seq.empty, Seq("k"), Map.empty, schema,
+      feedHasNullKeys = false, pre, pre, Seq("k")))
+  }
 }

@@ -65,6 +65,12 @@ class RetrievalSpec extends AnyFunSuite {
     assert(a.toSeq == run().toSeq)                   // bit-identical rerun
   }
 
+  test("bm25: empty corpus returns empty, no NPE on the null stats row") {
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val q = Seq((1, "anything")).toDF("qid", "qtext")
+    assert(Retrieval.bm25TopK(docs, "doc_id", "text", q, "qid", "qtext").count() == 0)
+  }
+
   test("bm25: query terms absent from the corpus contribute nothing") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha delta")).toDF("doc_id", "text")
     val q = Seq((1, "alpha zzz_unseen")).toDF("qid", "qtext")

@@ -97,4 +97,20 @@ class ShallowCloneSpec extends AnyFunSuite {
     val c2 = src.shallowCloneTo("clc4c", s"$dir/clone2")
     assert(c2.getDataFrame().select("k").as[Int].collect().toSet == Set(2, 100))
   }
+
+  test("clone of a clone: inherited absolute references pass through unprefixed") {
+    val dir = Files.createTempDirectory("graft-clcc").toString
+    val src = VersionedTableDataObject("cls5", s"$dir/src", primaryKey = Seq("k"))
+    src.writeDataFrame(Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    val cloneA = src.shallowCloneTo("clca", s"$dir/cloneA")
+    // cloneA gains a file of its own, so cloneB's v0 mixes an inherited
+    // ABSOLUTE source reference with cloneA's own relative file
+    cloneA.writeDataFrame(Seq((3, "c")).toDF("k", "v"), saveMode = Some(SdlSaveMode.Append))
+    val cloneB = cloneA.shallowCloneTo("clcb", s"$dir/cloneB")
+    assert(parquetFilesUnder(s"$dir/cloneB").isEmpty)
+    assert(cloneB.getDataFrame().select("k", "v").collect().map(r =>
+      (r.getInt(0), r.getString(1))).toSet == Set((1, "a"), (2, "b"), (3, "c")))
+    // and cloneB's stats still prune (keys carried for both reference kinds)
+    assert(cloneB.filesForFilters(Seq(org.apache.spark.sql.sources.EqualTo("k", 3))).nonEmpty)
+  }
 }
