@@ -90,6 +90,19 @@ case class VersionedTableDataObject(id: String, path: String,
                                       * the log-backed stats give what Delta needs expression
                                       * inference for. */
                                     generatedColumns: Seq[(String, String)] = Seq.empty,
+                                    /** identity columns (the public Delta GENERATED ALWAYS AS
+                                      * IDENTITY design): LongType columns the WRITE PLAN
+                                      * populates with unique, strictly-increasing values —
+                                      * never dense (gaps are the contract; uniqueness comes
+                                      * from base + monotonically_increasing_id, coordination-
+                                      * free across a cluster). The log carries a per-column
+                                      * high-water mark ("idhw"); the next write starts above
+                                      * it, derived from the staged files' OWN footer stats
+                                      * (no extra scan). GENERATED ALWAYS: feeds may not
+                                      * provide the column; MERGE is refused on identity
+                                      * tables (the Delta contract); RESTORE never lowers the
+                                      * mark, so reused versions cannot collide. */
+                                    identityColumns: Seq[String] = Seq.empty,
                                     /** row-level CHECK constraints enforced during every write,
                                       * merge and update (the Delta CHECK-constraint/invariant
                                       * design: raise_error rides the write plan, zero extra
@@ -176,7 +189,12 @@ case class VersionedTableDataObject(id: String, path: String,
                                      * map (column-mapping tables: creation, schema-evolving
                                      * commits, RENAME/DROP COLUMN, RESTORE, vacuum rebase);
                                      * None = inherit */
-                                   colMapSet: Option[Map[String, String]] = None)
+                                   colMapSet: Option[Map[String, String]] = None,
+                                   /** per-column identity high-water marks AFTER this commit
+                                     * (the Delta IDENTITY highWaterMark design); None =
+                                     * inherit. Monotonic: RESTORE inherits rather than
+                                     * reverting, so reused versions can never collide. */
+                                   idSet: Option[Map[String, Long]] = None)
 
   private def om = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -201,7 +219,9 @@ case class VersionedTableDataObject(id: String, path: String,
                                          * tables; empty = identity). Stats keys, file footers
                                          * and partition dir names are PHYSICAL; the committed
                                          * schema is LOGICAL. */
-                                       colMap: Map[String, String] = Map.empty) {
+                                       colMap: Map[String, String] = Map.empty,
+                                       /** identity-column high-water marks at this state */
+                                       idHw: Map[String, Long] = Map.empty) {
     def schema: Option[StructType] = schemaDdl.map(StructType.fromDDL)
   }
 
@@ -316,7 +336,9 @@ case class VersionedTableDataObject(id: String, path: String,
       Option(n.get("op")).map(_.asText).getOrElse(""),
       Option(n.get("dv")).map(_.elements().asScala.map(_.asText).toSeq),
       Option(n.get("colmap")).map(_.fields().asScala
-        .map(e => e.getKey -> e.getValue.asText).toMap))
+        .map(e => e.getKey -> e.getValue.asText).toMap),
+      Option(n.get("idhw")).map(_.fields().asScala
+        .map(e => e.getKey -> e.getValue.asLong).toMap))
   }
 
   /** Full per-commit history — needed ONLY where commit granularity is the
@@ -339,7 +361,9 @@ case class VersionedTableDataObject(id: String, path: String,
         Option(n.get("ts")).map(_.asLong).getOrElse(-1L),
         Option(n.get("dv")).map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Seq.empty),
         Option(n.get("colmap")).map(_.fields().asScala
-          .map(e => e.getKey -> e.getValue.asText).toMap).getOrElse(Map.empty)))
+          .map(e => e.getKey -> e.getValue.asText).toMap).getOrElse(Map.empty),
+        Option(n.get("idhw")).map(_.fields().asScala
+          .map(e => e.getKey -> e.getValue.asLong).toMap).getOrElse(Map.empty)))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** State at `version` (latest when None): newest usable checkpoint +
@@ -368,7 +392,8 @@ case class VersionedTableDataObject(id: String, path: String,
         (s.stats -- rm) ++ c.stats, c.schema.orElse(s.schemaDdl),
         if (c.ts >= 0) c.ts else s.ts,
         c.dvSet.getOrElse(s.dv),
-        c.colMapSet.getOrElse(s.colMap))
+        c.colMapSet.getOrElse(s.colMap),
+        s.idHw ++ c.idSet.getOrElse(Map.empty))
     })
   }
 
@@ -396,6 +421,10 @@ case class VersionedTableDataObject(id: String, path: String,
       if (st.colMap.nonEmpty) {
         val cm = root.putObject("colmap")
         st.colMap.toSeq.sortBy(_._1).foreach { case (k, v) => cm.put(k, v) }
+      }
+      if (st.idHw.nonEmpty) {
+        val ih = root.putObject("idhw")
+        st.idHw.toSeq.sortBy(_._1).foreach { case (k, v) => ih.put(k, v) }
       }
       val fl = root.putArray("files")
       st.files.foreach { f =>
@@ -476,6 +505,10 @@ case class VersionedTableDataObject(id: String, path: String,
     c.colMapSet.foreach { m =>
       val cm = root.putObject("colmap")
       m.toSeq.sortBy(_._1).foreach { case (k, v) => cm.put(k, v) }
+    }
+    c.idSet.foreach { m =>
+      val ih = root.putObject("idhw")
+      m.toSeq.sortBy(_._1).foreach { case (k, v) => ih.put(k, v) }
     }
     val a = root.putArray("added"); c.added.foreach(a.add)
     val r = root.putArray("removed"); c.removed.foreach(r.add)
@@ -1051,11 +1084,22 @@ case class VersionedTableDataObject(id: String, path: String,
                               saveMode: Option[SdlSaveMode] = None)
                              (implicit ctx: ActionPipelineContext): ActionMetrics = {
     val t0 = System.currentTimeMillis()
-    val df = applyGeneratedColumns(df0)
     val append = saveMode.contains(SdlSaveMode.Append)
     val dynamic = saveMode.contains(SdlSaveMode.OverwriteOptimized) && partitions.nonEmpty
     val preState = readState(None)
     guardColumnMappingFlag(preState)
+    // identity columns: GENERATED ALWAYS — refuse provided values, then
+    // populate above the logged high-water mark. monotonically_increasing_id
+    // is unique per (partition, row) with gaps — exactly the identity
+    // contract — so assignment is coordination-free across executors.
+    val idBase: Map[String, Long] = preState.map(_.idHw).getOrElse(Map.empty)
+    identityColumns.foreach { c =>
+      require(!df0.columns.exists(_.equalsIgnoreCase(c)),
+        s"DataObject $id: identity column $c is GENERATED ALWAYS — it cannot be provided")
+    }
+    val df = identityColumns.foldLeft(applyGeneratedColumns(df0)) { (d, c) =>
+      d.withColumn(c, lit(idBase.getOrElse(c, 0L)) + lit(1L) + monotonically_increasing_id())
+    }
     val v0 = preState.map(_.version + 1).getOrElse(0)
     // column mapping: existing logical columns keep their immutable
     // physical names; brand-new logical columns get fresh ones. A
@@ -1074,6 +1118,24 @@ case class VersionedTableDataObject(id: String, path: String,
     val (instrumented, expObs) =
       graft.quality.DataQualityValidation.observeExpectations(constrained, expectations)
     val (added, stats) = stage(instrumented, v0, colMapWrite)
+    // identity high-water AFTER this write: the max assigned value comes
+    // from the staged files' own footer stats (already read) — no extra
+    // job; the rare footer-stat failure falls back to one column-pruned
+    // max over just the staged files
+    val newIdHw: Map[String, Long] = identityColumns.map { c =>
+      val p = phys(colMapWrite, c)
+      val vals = stats.values.flatMap(_.max.get(p))
+        .flatMap(v => scala.util.Try(v.toLong).toOption)
+      val hw =
+        if (vals.nonEmpty) vals.max
+        else if (added.isEmpty) idBase.getOrElse(c, 0L)
+        else ctx.spark.read.parquet(added.map(f => s"$path/$f"): _*)
+          .agg(max(col(s"`$p`"))).head() match {
+            case r if r.isNullAt(0) => idBase.getOrElse(c, 0L)
+            case r => r.getLong(0)
+          }
+      c -> math.max(hw, idBase.getOrElse(c, 0L))
+    }.toMap
     // dynamic partition overwrite: supersede exactly the partitions the
     // staged files landed in — known from staging, zero extra jobs
     val writtenPvs = if (dynamic) stats.values.map(_.pv).filter(_.nonEmpty).toSet else Set.empty[Map[String, String]]
@@ -1087,6 +1149,14 @@ case class VersionedTableDataObject(id: String, path: String,
         throw new java.util.ConcurrentModificationException(
           s"DataObject $id: concurrent column-mapping DDL touched a column this write " +
             "staged — re-run the write against the new schema")
+      // a concurrent write that advanced an identity high-water started
+      // from the same base as ours — the staged value ranges can collide;
+      // committing would silently break identity uniqueness
+      if (identityColumns.exists(c =>
+          st.map(_.idHw).getOrElse(Map.empty).getOrElse(c, 0L) != idBase.getOrElse(c, 0L)))
+        throw new java.util.ConcurrentModificationException(
+          s"DataObject $id: concurrent write advanced an identity high-water mark — " +
+            "re-run the write against the new state")
       val v = st.map(_.version + 1).getOrElse(0)
       val removed =
         if (append) Seq.empty
@@ -1109,7 +1179,8 @@ case class VersionedTableDataObject(id: String, path: String,
         if (columnMapping) Some(st.map(_.colMap).getOrElse(Map.empty) ++ newAssigned)
         else None
       done = tryCommit(Commit(v, added, removed, Some(schema), stats, op = opTag,
-        colMapSet = commitColMap))
+        colMapSet = commitColMap,
+        idSet = if (identityColumns.nonEmpty) Some(idBase ++ newIdHw) else None))
       if (done) committedV = v
       attempt += 1
       if (!done && attempt >= 20) throw new java.util.ConcurrentModificationException(
@@ -1231,6 +1302,9 @@ case class VersionedTableDataObject(id: String, path: String,
                               options: SaveModeMergeOptions = SaveModeMergeOptions())
                              (implicit ctx: ActionPipelineContext): ActionMetrics = {
     val t0 = System.currentTimeMillis()
+    require(identityColumns.isEmpty,
+      s"DataObject $id: MERGE is not supported on tables with identity columns " +
+        "(the Delta GENERATED ALWAYS AS IDENTITY contract)")
     val df = applyGeneratedColumns(df0)
     val st0 = readState(None)
     if (st0.isEmpty) return writeDataFrame(df0, saveMode = Some(SdlSaveMode.Overwrite))
@@ -1439,11 +1513,12 @@ case class VersionedTableDataObject(id: String, path: String,
     val unknown = assignments.keySet.filterNot(c => schema.exists(_.name == c))
     require(unknown.isEmpty, s"DataObject $id: UPDATE assigns unknown columns ${unknown.mkString(", ")}")
     // generated columns are derived, never assigned — they RE-GENERATE from
-    // the post-image when a source column is updated (Delta semantics)
-    val genAssigned = generatedColumns.map(_._1)
+    // the post-image when a source column is updated (Delta semantics);
+    // identity columns are likewise immutable once assigned
+    val genAssigned = (generatedColumns.map(_._1) ++ identityColumns)
       .filter(c => assignments.keySet.exists(_.equalsIgnoreCase(c)))
     require(genAssigned.isEmpty,
-      s"DataObject $id: cannot UPDATE generated column(s) ${genAssigned.mkString(", ")} directly")
+      s"DataObject $id: cannot UPDATE generated/identity column(s) ${genAssigned.mkString(", ")} directly")
     val pred = expr(predicateSql)
     val touched = touchedByPredicate(st0, schema, pred)
     if (touched.isEmpty) return 0L
@@ -2385,7 +2460,8 @@ case class VersionedTableDataObject(id: String, path: String,
         // so timestamp travel to the recovered base stays correct
         readCheckpoint(w).foreach(s =>
           tryCommitRaw(Commit(w, s.files, Seq.empty, s.schemaDdl, s.stats, s.ts,
-            op = "VACUUM_REBASE", dvSet = Some(s.dv), colMapSet = colMapFor(s.colMap))))
+            op = "VACUUM_REBASE", dvSet = Some(s.dv), colMapSet = colMapFor(s.colMap),
+            idSet = if (s.idHw.nonEmpty) Some(s.idHw) else None)))
       }
     }
     // deletion vectors need no materialization here: every DV dir a
@@ -2415,6 +2491,7 @@ case class VersionedTableDataObject(id: String, path: String,
       val baseFiles = baseState.map(_.files).getOrElse(Seq.empty)
       val baseDv = baseState.map(_.dv).getOrElse(Seq.empty)
       val baseColMap = baseState.map(_.colMap).getOrElse(Map.empty)
+      val baseIdHw = baseState.map(_.idHw).getOrElse(Map.empty)
       val baseSchema = log.filter(_.version <= cut).reverse
         .collectFirst { case c: Commit if c.schema.isDefined => c.schema.get }
       val baseStats = log.flatMap(_.stats).toMap.filter(kv => baseFiles.contains(kv._1))
@@ -2434,7 +2511,8 @@ case class VersionedTableDataObject(id: String, path: String,
       // ORIGINAL timestamp so timestamp travel survives the rebase
       val cutTs = log.find(_.version == cut).map(_.ts).getOrElse(-1L)
       writeCommit(Commit(cut, baseFiles, Seq.empty, baseSchema, baseStats, cutTs,
-        op = "VACUUM_REBASE", dvSet = Some(baseDv), colMapSet = colMapFor(baseColMap)))
+        op = "VACUUM_REBASE", dvSet = Some(baseDv), colMapSet = colMapFor(baseColMap),
+        idSet = if (baseIdHw.nonEmpty) Some(baseIdHw) else None))
       vacuumPhaseHook("rebased")
       // phase 5a: log-derived physical deletes, strictly after the log
       // is consistent. OUT-OF-ROOT GUARD: a shallow clone's log references
