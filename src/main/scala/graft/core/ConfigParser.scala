@@ -226,6 +226,11 @@ object ConfigParser {
           changeDataFeed = bool(n, "changeDataFeed"),
           deletionVectors = bool(n, "deletionVectors"),
           columnMapping = bool(n, "columnMapping"),
+          // name-sorted for deterministic population order (JSON objects
+          // are unordered); generation expressions reference FEED columns,
+          // not other generated columns
+          generatedColumns = strMap(n, "generatedColumns").toSeq.sortBy(_._1),
+          identityColumns = strSeq(n, "identityColumns"),
           constraints = constraints, expectations = expectations)
       case "KafkaTopicDataObject" | "kafka" =>
         KafkaTopicDataObject(id, require(str(n, "topic"), id, "topic"),

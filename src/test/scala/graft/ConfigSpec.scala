@@ -222,6 +222,31 @@ class ConfigSpec extends AnyFunSuite {
       s"constraint name not in failure: ${msgs(e).mkString(" | ")}")
   }
 
+  test("versionedTable config: generated + identity columns parse and populate on write") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cfgvt").toString
+    val cfg =
+      s"""dataObjects:
+        |  vt:
+        |    type: versionedTable
+        |    path: $dir/t
+        |    primaryKey: [rid]
+        |    identityColumns: [rid]
+        |    generatedColumns: {upper_v: "upper(v)"}
+        |""".stripMargin
+    val reg = ConfigParser.parse(cfg)
+    val vt = reg.dataObject("vt").asInstanceOf[graft.sources.VersionedTableDataObject]
+    assert(vt.identityColumns == Seq("rid"))
+    assert(vt.generatedColumns == Seq("upper_v" -> "upper(v)"))
+    implicit val c: graft.core.ActionPipelineContext =
+      graft.core.ActionPipelineContext(spark, reg)
+    vt.writeDataFrame(Seq("a", "b").toDF("v"))
+    val rows = vt.getDataFrame().select("rid", "v", "upper_v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(rows.map(_._1).distinct.size == 2)
+    assert(rows.map(r => r._2 -> r._3).toSet == Set("a" -> "A", "b" -> "B"))
+  }
+
   test("feedSel selects no actions -> error; unknown type -> clear error") {
     val cfg =
       """dataObjects:
