@@ -3122,7 +3122,8 @@ object SparkEntry {
           col("o_orderdate"))
       val vt = sources.VersionedTableDataObject("q125_vt", s"$tmp/t",
         primaryKey = Seq("o_orderkey"), partitions = Seq("o_month"),
-        generatedColumns = Seq("o_month" -> "date_format(o_orderdate, 'yyyy-MM')"))
+        generatedColumns = Seq("o_month" -> "date_format(o_orderdate, 'yyyy-MM')"),
+        optimizedWrite = false) // toy-scale trade, see SCALE.md: without it, tasks×months small files
       vt.writeDataFrame(orders)
       val pruned = vt.filesForFilters(Seq(
         org.apache.spark.sql.sources.EqualTo("o_month", "1995-06")))

@@ -231,6 +231,7 @@ object ConfigParser {
           // not other generated columns
           generatedColumns = strMap(n, "generatedColumns").toSeq.sortBy(_._1),
           identityColumns = strSeq(n, "identityColumns"),
+          optimizedWrite = bool(n, "optimizedWrite"),
           constraints = constraints, expectations = expectations)
       case "KafkaTopicDataObject" | "kafka" =>
         KafkaTopicDataObject(id, require(str(n, "topic"), id, "topic"),

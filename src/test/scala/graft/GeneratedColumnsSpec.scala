@@ -60,6 +60,25 @@ class GeneratedColumnsSpec extends AnyFunSuite {
     }
   }
 
+  test("optimizedWrite: one file per partition value instead of tasks x values") {
+    val dir = Files.createTempDirectory("graft-genow").toString
+    def files(p: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles.map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(p))
+    }
+    val rows = (1 to 400).map(i => (i, i % 8)).toDF("k", "b").repartition(8)
+    val plain = VersionedTableDataObject("ow1", s"$dir/p", partitions = Seq("b"))
+    plain.writeDataFrame(rows)
+    val opt = VersionedTableDataObject("ow2", s"$dir/o", partitions = Seq("b"),
+      optimizedWrite = true)
+    opt.writeDataFrame(rows)
+    assert(files(s"$dir/o") == 8, s"optimized: 1 file per value, got ${files(s"$dir/o")}")
+    assert(files(s"$dir/p") > 8, "plain write sprays tasks x values files")
+    assert(opt.getDataFrame().count() == 400)
+  }
+
   test("merge feed without the generated column populates it for inserts and updates") {
     val dir = Files.createTempDirectory("graft-gen4").toString
     val t = table(dir)
