@@ -3133,6 +3133,31 @@ object SparkEntry {
         .groupBy(col("o_month"))
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+    }),
+
+    // CCNet-style NB quality classifier: a planted 3-token quality marker
+    // on every 4th doc gives the corpus a REAL learnable signal (the
+    // synthetic langs share one vocabulary, so lang itself is unlearnable);
+    // train on the 1/3 seed, score the other 2/3, REQUIRE accuracy — and
+    // the integer micro-nat evidence replays bit-exactly in DuckDB
+    "q126_nb_quality_classifier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit(" premium curated editorial"))).otherwise(col("text")).as("text"),
+        (col("doc_id") % 4 === 0).as("hi"))
+      val seed = docs.where(col("doc_id") % 3 === 0)
+      val rest = docs.where(col("doc_id") % 3 =!= 0)
+      val res = graft.functions.QualityClassifier.scoreNB(rest, col("text"),
+        seed.where(col("hi")), col("text"),
+        seed.where(!col("hi")), col("text"), numBuckets = 256)
+        .select(col("doc_id"), col("n_grams"), col("score_micro"),
+          col("predicted"), col("hi").as("actual_hi"))
+        .persist()
+      val n = res.count()
+      val ok = res.where(col("predicted") === col("actual_hi")).count()
+      require(ok.toDouble / n >= 0.9,
+        s"planted-marker classification accuracy $ok/$n below 0.9")
+      res
     })
   )
 
@@ -4769,6 +4794,54 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderkey <= 30000
         |  AND strftime(o_orderdate, '%Y-%m') BETWEEN '1995-01' AND '1995-12'
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    "q126_nb_quality_classifier" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN text || ' premium curated editorial' ELSE text END AS text,
+        |    doc_id % 4 = 0 AS hi
+        |  FROM documents),
+        |tokd AS (
+        |  SELECT doc_id, hi,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM planted),
+        |grams AS (
+        |  SELECT doc_id, hi,
+        |    t || list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS g
+        |  FROM tokd),
+        |bucketed AS (
+        |  SELECT doc_id, hi, CAST(len(g) AS INT) AS n_grams,
+        |    list_transform(g, x -> CAST(('0x' || substring(md5(x), 1, 8)) AS BIGINT) % 256) AS b
+        |  FROM grams),
+        |tcnt AS (
+        |  SELECT bucket, count(*) AS c FROM (
+        |    SELECT unnest(b) AS bucket FROM bucketed WHERE doc_id % 3 = 0 AND hi) GROUP BY 1),
+        |bcnt AS (
+        |  SELECT bucket, count(*) AS c FROM (
+        |    SELECT unnest(b) AS bucket FROM bucketed WHERE doc_id % 3 = 0 AND NOT hi) GROUP BY 1),
+        |tot AS (SELECT
+        |  (SELECT COALESCE(sum(c), 0) FROM tcnt) + 256 AS ntm,
+        |  (SELECT COALESCE(sum(c), 0) FROM bcnt) + 256 AS nbm,
+        |  (SELECT count(*) FROM planted WHERE doc_id % 3 = 0 AND hi) AS dt,
+        |  (SELECT count(*) FROM planted WHERE doc_id % 3 = 0 AND NOT hi) AS db),
+        |lr AS (
+        |  SELECT r.range AS bucket,
+        |    CAST(floor(ln((CAST(COALESCE(t.c, 0) + 1 AS DOUBLE) * CAST(tot.nbm AS DOUBLE)) /
+        |      (CAST(COALESCE(bc.c, 0) + 1 AS DOUBLE) * CAST(tot.ntm AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) AS m
+        |  FROM range(0, 256) r
+        |  LEFT JOIN tcnt t ON t.bucket = r.range
+        |  LEFT JOIN bcnt bc ON bc.bucket = r.range, tot),
+        |pri AS (SELECT CAST(floor(ln(CAST(dt + 1 AS DOUBLE) / CAST(db + 1 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS p FROM tot),
+        |evid AS (
+        |  SELECT doc_id, sum(m) AS s
+        |  FROM (SELECT doc_id, unnest(b) AS bucket FROM bucketed WHERE doc_id % 3 <> 0) x
+        |  JOIN lr USING (bucket) GROUP BY doc_id)
+        |SELECT bk.doc_id, bk.n_grams,
+        |  CAST(COALESCE(e.s, 0) + pri.p AS BIGINT) AS score_micro,
+        |  (COALESCE(e.s, 0) + pri.p) > 0 AS predicted,
+        |  bk.hi AS actual_hi
+        |FROM bucketed bk LEFT JOIN evid e ON bk.doc_id = e.doc_id, pri
+        |WHERE bk.doc_id % 3 <> 0""".stripMargin
   )
 }

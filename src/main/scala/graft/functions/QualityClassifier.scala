@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Binary Naive Bayes quality classifier over hashed n-gram buckets — the
+  * CCNet "wiki-vs-crawl" quality-filter design (Wenzek et al. 2020,
+  * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+  * Data"; LLaMA's fastText quality gate is the same shape), reduced to
+  * its multinomial-NB core: no gradient loop, no model artifact — train
+  * IS two aggregations, the model IS a broadcast literal.
+  *
+  * Scale + determinism design:
+  *  - TRAIN: one map-side-combined bucket-count per class seed (bounded
+  *    at `numBuckets` rows, driver-collected — the codebook/DSIR norm)
+  *    plus two scalar doc counts for the prior;
+  *  - the per-bucket log-likelihood-ratio table is computed ON THE
+  *    DRIVER and quantized to integer MICRO-NATS, so per-document
+  *    evidence is a SUM OF LONGS — exact, order-free and
+  *    partitioning-free. Raw-double log scores can never survive an
+  *    exact cross-engine compare (libm last-ulp variance); integer
+  *    micro-nats dodge the entire problem, with the quantization
+  *    boundary confined to the `numBuckets`-entry table;
+  *  - SCORE: one narrow projection — dense array-literal lookup + long
+  *    fold inside the row, zero shuffles and zero joins (the DSIR
+  *    scoring shape).
+  *
+  * Score: Σ_grams micro_ln[p(b|target)/p(b|background)] + micro-prior;
+  * predicted target-class iff score > 0.
+  */
+object QualityClassifier {
+
+  /** Score `docs` against target/background seed corpora.
+    * Appends (n_grams int, score_micro long, predicted boolean). */
+  def scoreNB(docs: DataFrame, text: Column,
+              targetSeed: DataFrame, targetText: Column,
+              backgroundSeed: DataFrame, backgroundText: Column,
+              numBuckets: Int = 256): DataFrame = {
+    require(numBuckets > 0 && numBuckets <= (1 << 20),
+      s"numBuckets=$numBuckets: the bucket table is driver-collected, bounded at 2^20")
+    def counts(df: DataFrame, t: Column): (Map[Long, Long], Long, Long) = {
+      val m = ImportanceResampling.bucketCounts(df, t, numBuckets).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (m, m.values.sum, df.count())
+    }
+    val (tCnt, nT, dT) = counts(targetSeed, targetText)
+    val (bCnt, nB, dB) = counts(backgroundSeed, backgroundText)
+    val nTm = (nT + numBuckets).toDouble
+    val nBm = (nB + numBuckets).toDouble
+    // micro-nat log ratio per bucket, fixed operation order for replay:
+    // ln( ((ct+1)*nBm) / ((cb+1)*nTm) ) — the add-1-smoothed class-
+    // conditional ratio, quantized floor(x*1e6 + 0.5)
+    def microLn(x: Double): Long = math.floor(math.log(x) * 1e6 + 0.5).toLong
+    val lrArr = typedLit((0L until numBuckets.toLong).map(b =>
+      microLn(((tCnt.getOrElse(b, 0L) + 1).toDouble * nBm) /
+        ((bCnt.getOrElse(b, 0L) + 1).toDouble * nTm))))
+    val priorMicro = microLn((dT + 1).toDouble / (dB + 1).toDouble)
+    // bucket array lambda-bound so n_grams and the fold share ONE
+    // evaluation (the interpreted-HOF CSE rule); long sum needs no sort —
+    // integer addition is order-free, unlike the double folds elsewhere
+    val res = transform(array(ImportanceResampling.ngramBuckets(text, numBuckets)), b =>
+      struct(size(b).as("n"),
+        aggregate(transform(b, x => element_at(lrArr, (x + 1).cast(IntegerType))),
+          lit(priorMicro), (a, x) => a + x).as("s")))
+    docs
+      .withColumn("_graft_nb", element_at(res, 1))
+      .withColumn("n_grams", col("_graft_nb.n"))
+      .withColumn("score_micro", col("_graft_nb.s"))
+      .withColumn("predicted", col("score_micro") > 0L)
+      .drop("_graft_nb")
+  }
+}

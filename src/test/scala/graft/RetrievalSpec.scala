@@ -71,6 +71,23 @@ class RetrievalSpec extends AnyFunSuite {
     assert(Retrieval.bm25TopK(docs, "doc_id", "text", q, "qid", "qtext").count() == 0)
   }
 
+  test("nb classifier: disjoint vocabularies separate; empty doc falls back to the prior") {
+    import graft.functions.QualityClassifier
+    val target = Seq((1L, "aa bb cc aa bb"), (2L, "bb cc aa")).toDF("id", "text")
+    val bg = Seq((3L, "xx yy zz xx"), (4L, "yy zz")).toDF("id", "text")
+    val docs = Seq((10L, "aa bb cc"), (11L, "xx yy zz"), (12L, "")).toDF("id", "text")
+    def run() = QualityClassifier.scoreNB(docs, col("text"),
+        target, col("text"), bg, col("text"), numBuckets = 64)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Int]("n_grams"), r.getAs[Long]("score_micro"), r.getAs[Boolean]("predicted"))).toMap
+    val out = run()
+    assert(out(10L)._3, s"target-vocab doc must classify target: ${out(10L)}")
+    assert(!out(11L)._3, s"background-vocab doc must classify background: ${out(11L)}")
+    // balanced seeds: prior = ln(3/3) = 0; empty doc scores exactly the prior
+    assert(out(12L) == ((0, 0L, false)))
+    assert(run() == out) // bit-identical rerun (integer evidence)
+  }
+
   test("bm25: query terms absent from the corpus contribute nothing") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha delta")).toDF("doc_id", "text")
     val q = Seq((1, "alpha zzz_unseen")).toDF("qid", "qtext")
