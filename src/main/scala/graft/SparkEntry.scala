@@ -3158,6 +3158,11 @@ object SparkEntry {
       require(ok.toDouble / n >= 0.9,
         s"planted-marker classification accuracy $ok/$n below 0.9")
       res
+    }),
+
+    "q127_tfidf_keywords" -> ((s, dir) => {
+      graft.functions.Retrieval.tfidfKeywords(
+        t(s, dir, "documents"), "doc_id", "text", k = 5)
     })
   )
 
@@ -4842,6 +4847,27 @@ object SparkEntry {
         |  (COALESCE(e.s, 0) + pri.p) > 0 AS predicted,
         |  bk.hi AS actual_hi
         |FROM bucketed bk LEFT JOIN evid e ON bk.doc_id = e.doc_id, pri
-        |WHERE bk.doc_id % 3 <> 0""".stripMargin
+        |WHERE bk.doc_id % 3 <> 0""".stripMargin,
+
+    "q127_tfidf_keywords" ->
+      """WITH tokd AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |n AS (SELECT count(*) AS nd FROM tokd),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS term FROM tokd) GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT doc_id, term, tf,
+        |    CAST(tf AS DOUBLE) * (ln((CAST(nd AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) + 1.0) AS s
+        |  FROM tf JOIN dfreq USING (term), n)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term) AS INT) AS rank,
+        |  term, tf,
+        |  CAST(floor(s * 1000000.0 + 0.5) AS BIGINT) AS score_e6
+        |FROM scored
+        |QUALIFY rank <= 5""".stripMargin
   )
 }

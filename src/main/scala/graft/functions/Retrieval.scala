@@ -91,4 +91,40 @@ object Retrieval {
         // + 0.5) uses only exactly-rounded IEEE ops, collapsing the ulp
         floor(col("score") * lit(1000000.0) + lit(0.5)).cast("long").as("score_e6"))
   }
+
+  /** Top-`k` tf-idf keywords per document — the classic per-document
+    * keyword extractor every corpus pipeline wants for tagging/routing.
+    * idf in the smoothed sklearn form `ln((N+1)/(df+1)) + 1` (never
+    * negative, never divides by zero).
+    *
+    * Scale shape: tf is ONE map-side-combined groupBy over the exploded
+    * token stream; df is a second aggregate over tf's (already distinct)
+    * (doc, term) pairs — vocabulary-sized, broadcast back; the per-doc
+    * top-k window partitions by doc_id, whose group size is bounded by
+    * the doc's own vocabulary (no skew hazard). Corpus count N is one
+    * scalar to the driver. Ties rank by term ascending; the REPORTED
+    * score is micro-quantized (see bm25TopK on libm ulp variance).
+    *
+    * @return (doc_id, rank, term, tf, score_e6) */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5): DataFrame = {
+    def toks(c: org.apache.spark.sql.Column) = TextAnalysis.wsTokens(c, lowercase = true)
+    val base = docs.select(col(idCol).as("doc_id"), toks(col(textCol)).as("toks"))
+    val nDocs = base.count()
+    val tf = base.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log((lit(nDocs.toDouble) + lit(1.0)) /
+      (col("df").cast("double") + lit(1.0))) + lit(1.0)
+    val scored = tf.join(broadcast(dfreq), Seq("term"))
+      .select(col("doc_id"), col("term"), col("tf"),
+        (col("tf").cast("double") * idf).as("s"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("s").desc, col("term").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+        floor(col("s") * lit(1000000.0) + lit(0.5)).cast("long").as("score_e6"))
+  }
 }

@@ -186,4 +186,25 @@ class StreamingSpec extends AnyFunSuite {
     core.PipelineRunner.run(cfg, spark, feedSel = Some("cdf"))
     assert(out().contains((3, "c", "insert", 2L)) && out().size == 5)
   }
+
+  test("CDF streaming source honors maxFilesPerTrigger rate limiting (Delta parity)") {
+    val dir = Files.createTempDirectory("graft-cdfrate").toString
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, new InstanceRegistry())
+    val t = VersionedTableDataObject("cdfr", s"$dir/t", primaryKey = Seq("k"),
+      changeDataFeed = true)
+    import spark.implicits._
+    t.writeDataFrame(Seq((1, "a")).toDF("k", "v"))                                // v0
+    t.writeDataFrame(Seq((2, "b")).toDF("k", "v"), saveMode = Some(SdlSaveMode.Append)) // v1
+    t.writeDataFrame(Seq((3, "c")).toDF("k", "v"), saveMode = Some(SdlSaveMode.Append)) // v2
+    // options pass through to Spark's file stream source — one change file
+    // per trigger bounds micro-batch size like Delta's readChangeFeed
+    val stream = t.getStreamingDataFrame(Map("maxFilesPerTrigger" -> "1"), None)
+    val q = stream.writeStream.format("memory").queryName("cdf_rate")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches >= 3, s"3 commits at 1 file/trigger need >= 3 micro-batches, saw $batches")
+    assert(spark.table("cdf_rate").count() == 3)
+  }
 }
