@@ -3152,9 +3152,11 @@ object SparkEntry {
         seed.where(!col("hi")), col("text"), numBuckets = 256)
         .select(col("doc_id"), col("n_grams"), col("score_micro"),
           col("predicted"), col("hi").as("actual_hi"))
-        .persist()
-      val n = res.count()
-      val ok = res.where(col("predicted") === col("actual_hi")).count()
+      // one aggregate action for the gate (no persist: a cached result here
+      // would outlive the query and skew every later bench number)
+      val gate = res.agg(count(lit(1)).as("n"),
+        count(when(col("predicted") === col("actual_hi"), 1)).as("ok")).head()
+      val (n, ok) = (gate.getLong(0), gate.getLong(1))
       require(ok.toDouble / n >= 0.9,
         s"planted-marker classification accuracy $ok/$n below 0.9")
       res

@@ -69,6 +69,33 @@ object ImportanceResampling {
     df.select(explode(ngramBuckets(text, numBuckets)).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
 
+  /** Driver-collected bucket-count table plus total gram count — bounded at
+    * `numBuckets` rows (the codebook/DSIR collect norm). Shared by DSIR
+    * scoring and the NB quality classifier so the bound check and the
+    * collect shape live in exactly one place. */
+  private[functions] def collectedCounts(df: DataFrame, text: Column,
+                                         numBuckets: Int): (Map[Long, Long], Long) = {
+    require(numBuckets > 0 && numBuckets <= (1 << 20),
+      s"numBuckets=$numBuckets: the bucket table is driver-collected, bounded at 2^20")
+    val m = bucketCounts(df, text, numBuckets).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (m, m.values.sum)
+  }
+
+  /** struct(n, s) per document: gram count and a fold of the per-gram table
+    * lookups. The bucket array is lambda-bound so both fields share ONE
+    * evaluation (interpreted HOFs have no CSE — see [[ngramBuckets]]); the
+    * dense array-literal lookup is O(1) per gram. `sortTerms` pins the
+    * addition order for order-dependent (floating-point) sums; integer
+    * folds skip the sort. Shared by DSIR scoring and the NB classifier. */
+  private[functions] def foldOverBuckets(text: Column, numBuckets: Int, table: Column,
+                                         zero: Column, sortTerms: Boolean): Column =
+    element_at(transform(array(ngramBuckets(text, numBuckets)), b => {
+      val terms = transform(b, x => element_at(table, (x + 1).cast(IntegerType)))
+      struct(size(b).as("n"),
+        aggregate(if (sortTerms) array_sort(terms) else terms, zero, (a, x) => a + x).as("s"))
+    }), 1)
+
   /** Per-document importance score: Σ over the document's gram buckets of
     * the add-1-smoothed probability ratio p_target(b)/p_raw(b), summed in
     * ascending order. Appends `score` (double) and `n_grams` (int).
@@ -82,15 +109,8 @@ object ImportanceResampling {
     * per-bucket ratio map themselves at the cost of exact replayability. */
   def scored(corpus: DataFrame, target: DataFrame, text: Column,
              numBuckets: Int): DataFrame = {
-    require(numBuckets <= (1 << 20),
-      s"numBuckets=$numBuckets: the bucket table is driver-collected, bounded at 2^20")
-    def counts(df: DataFrame): (Map[Long, Long], Long) = {
-      val m = bucketCounts(df, text, numBuckets).collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      (m, m.values.sum)
-    }
-    val (tCnt, nT) = counts(target)
-    val (rCnt, nR) = counts(corpus)
+    val (tCnt, nT) = collectedCounts(target, text, numBuckets)
+    val (rCnt, nR) = collectedCounts(corpus, text, numBuckets)
     // ratio(b) = ((c_t(b)+1)/(N_t+m)) / ((c_r(b)+1)/(N_r+m)), computed in
     // the fixed order (ct1*nrm)/(cr1*ntm) so the oracle's SQL reproduces
     // the exact double bits
@@ -103,17 +123,12 @@ object ImportanceResampling {
     // is a LINEAR scan of the map per gram (O(m·grams·rows) in the hot
     // loop, measured ~2× at m=256 before the staging fix below)
     val ratioArr = typedLit((0L until numBuckets.toLong).map(ratio))
-    // the bucket array is lambda-bound so (n_grams, score) both read the
-    // ONE evaluation (same interpreted-HOF CSE rule as ngramBuckets); the
+    // double terms sum in ascending sorted order (bit-exact replay); the
     // struct lands in its own projection and the field extracts reference
     // its alias twice, which CollapseProject refuses to inline
-    val res = transform(array(ngramBuckets(text, numBuckets)), b =>
-      struct(size(b).as("n"),
-        aggregate(
-          array_sort(transform(b, x => element_at(ratioArr, (x + 1).cast(IntegerType)))),
-          lit(0.0), (a, x) => a + x).as("s")))
+    val res = foldOverBuckets(text, numBuckets, ratioArr, lit(0.0), sortTerms = true)
     corpus
-      .withColumn("_graft_dsir", element_at(res, 1))
+      .withColumn("_graft_dsir", res)
       .withColumn("n_grams", col("_graft_dsir.n"))
       .withColumn("score", col("_graft_dsir.s"))
       .drop("_graft_dsir")

@@ -37,15 +37,9 @@ object QualityClassifier {
               targetSeed: DataFrame, targetText: Column,
               backgroundSeed: DataFrame, backgroundText: Column,
               numBuckets: Int = 256): DataFrame = {
-    require(numBuckets > 0 && numBuckets <= (1 << 20),
-      s"numBuckets=$numBuckets: the bucket table is driver-collected, bounded at 2^20")
-    def counts(df: DataFrame, t: Column): (Map[Long, Long], Long, Long) = {
-      val m = ImportanceResampling.bucketCounts(df, t, numBuckets).collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      (m, m.values.sum, df.count())
-    }
-    val (tCnt, nT, dT) = counts(targetSeed, targetText)
-    val (bCnt, nB, dB) = counts(backgroundSeed, backgroundText)
+    val (tCnt, nT) = ImportanceResampling.collectedCounts(targetSeed, targetText, numBuckets)
+    val (bCnt, nB) = ImportanceResampling.collectedCounts(backgroundSeed, backgroundText, numBuckets)
+    val (dT, dB) = (targetSeed.count(), backgroundSeed.count())
     val nTm = (nT + numBuckets).toDouble
     val nBm = (nB + numBuckets).toDouble
     // micro-nat log ratio per bucket, fixed operation order for replay:
@@ -56,15 +50,12 @@ object QualityClassifier {
       microLn(((tCnt.getOrElse(b, 0L) + 1).toDouble * nBm) /
         ((bCnt.getOrElse(b, 0L) + 1).toDouble * nTm))))
     val priorMicro = microLn((dT + 1).toDouble / (dB + 1).toDouble)
-    // bucket array lambda-bound so n_grams and the fold share ONE
-    // evaluation (the interpreted-HOF CSE rule); long sum needs no sort —
-    // integer addition is order-free, unlike the double folds elsewhere
-    val res = transform(array(ImportanceResampling.ngramBuckets(text, numBuckets)), b =>
-      struct(size(b).as("n"),
-        aggregate(transform(b, x => element_at(lrArr, (x + 1).cast(IntegerType))),
-          lit(priorMicro), (a, x) => a + x).as("s")))
+    // long sum needs no sort — integer addition is order-free, unlike the
+    // double folds in DSIR scoring
+    val res = ImportanceResampling.foldOverBuckets(text, numBuckets, lrArr,
+      lit(priorMicro), sortTerms = false)
     docs
-      .withColumn("_graft_nb", element_at(res, 1))
+      .withColumn("_graft_nb", res)
       .withColumn("n_grams", col("_graft_nb.n"))
       .withColumn("score_micro", col("_graft_nb.s"))
       .withColumn("predicted", col("score_micro") > 0L)

@@ -1114,6 +1114,15 @@ case class VersionedTableDataObject(id: String, path: String,
       require(!df0.columns.exists(_.equalsIgnoreCase(c)),
         s"DataObject $id: identity column $c is GENERATED ALWAYS — it cannot be provided")
     }
+    identityColumns.foreach { c =>
+      // headroom guard: monotonically_increasing_id contributes up to
+      // partitionId<<33, so each commit can burn ~numPartitions*2^33 of the
+      // id space; refuse loudly once half the Long range is spent rather
+      // than wrapping negative (the wrap is also detected post-write below)
+      require(idBase.getOrElse(c, 0L) < Long.MaxValue / 2,
+        s"DataObject $id: identity column $c high-water ${idBase(c)} has exhausted its " +
+          "headroom — re-key the table before further appends")
+    }
     val df = identityColumns.foldLeft(applyGeneratedColumns(df0)) { (d, c) =>
       d.withColumn(c, lit(idBase.getOrElse(c, 0L)) + lit(1L) + monotonically_increasing_id())
     }
@@ -1141,17 +1150,30 @@ case class VersionedTableDataObject(id: String, path: String,
     // max over just the staged files
     val newIdHw: Map[String, Long] = identityColumns.map { c =>
       val p = phys(colMapWrite, c)
+      val base = idBase.getOrElse(c, 0L)
       val vals = stats.values.flatMap(_.max.get(p))
         .flatMap(v => scala.util.Try(v.toLong).toOption)
+      // the footer maxima are trustworthy only if EVERY staged file
+      // contributed one — a partial footer-read failure on the file holding
+      // the true max would silently undercount the mark and let the next
+      // append reissue committed ids; any shortfall takes the exact scan
       val hw =
-        if (vals.nonEmpty) vals.max
-        else if (added.isEmpty) idBase.getOrElse(c, 0L)
+        if (added.isEmpty) base
+        else if (vals.size == added.size) vals.max
         else ctx.spark.read.parquet(added.map(f => s"$path/$f"): _*)
           .agg(max(col(s"`$p`"))).head() match {
-            case r if r.isNullAt(0) => idBase.getOrElse(c, 0L)
+            case r if r.isNullAt(0) => base
             case r => r.getLong(0)
           }
-      c -> math.max(hw, idBase.getOrElse(c, 0L))
+      // assigned values are base+1+mid >= base+1, so a max at-or-below the
+      // base means the arithmetic wrapped Long.MaxValue — fail loudly
+      // instead of clamping (a clamp would freeze the mark and every later
+      // write would reissue the same wrapped range)
+      if (added.nonEmpty && stats.values.exists(_.rows > 0) && hw <= base)
+        throw new IllegalStateException(
+          s"DataObject $id: identity column $c assignment overflowed Long " +
+            s"(staged max $hw <= high-water $base) — re-key the table")
+      c -> math.max(hw, base)
     }.toMap
     // dynamic partition overwrite: supersede exactly the partitions the
     // staged files landed in — known from staging, zero extra jobs
@@ -2332,7 +2354,8 @@ case class VersionedTableDataObject(id: String, path: String,
       absStats.map { case (k, v) =>
         k -> clone.FileStat(v.rows, v.min, v.max, v.nulls, v.bytes, v.pv) },
       op = s"CLONE($id@${st.version})",
-      dvSet = Some(Seq.empty), colMapSet = if (st.colMap.nonEmpty) Some(st.colMap) else None))
+      dvSet = Some(Seq.empty), colMapSet = if (st.colMap.nonEmpty) Some(st.colMap) else None,
+      idSet = if (st.idHw.nonEmpty) Some(st.idHw) else None))
     clone
   }
 

@@ -98,6 +98,21 @@ class ShallowCloneSpec extends AnyFunSuite {
     assert(c2.getDataFrame().select("k").as[Int].collect().toSet == Set(2, 100))
   }
 
+  test("clone carries the identity high-water: clone appends stay above source ids") {
+    val dir = Files.createTempDirectory("graft-clid").toString
+    val src = VersionedTableDataObject("clid", s"$dir/src", primaryKey = Seq("rid"),
+      identityColumns = Seq("rid"))
+    src.writeDataFrame(Seq("a", "b", "c").toDF("v"))
+    val hw = src.readState(None).get.idHw("rid")
+    val clone = src.shallowCloneTo("clidc", s"$dir/clone")
+    assert(clone.readState(None).get.idHw("rid") == hw,
+      "the clone's v0 must inherit the source's identity high-water")
+    clone.writeDataFrame(Seq("d", "e").toDF("v"), saveMode = Some(SdlSaveMode.Append))
+    val all = clone.getDataFrame().select("rid").as[Long].collect().toSeq
+    assert(all.distinct.size == 5, s"clone append must not reuse source ids: $all")
+    assert(all.count(_ > hw) == 2, "new clone ids start above the inherited mark")
+  }
+
   test("clone of a clone: inherited absolute references pass through unprefixed") {
     val dir = Files.createTempDirectory("graft-clcc").toString
     val src = VersionedTableDataObject("cls5", s"$dir/src", primaryKey = Seq("k"))
