@@ -3165,6 +3165,19 @@ object SparkEntry {
     "q127_tfidf_keywords" -> ((s, dir) => {
       graft.functions.Retrieval.tfidfKeywords(
         t(s, dir, "documents"), "doc_id", "text", k = 5)
+    }),
+
+    // CCNet's head filter (Wenzek et al. 2020): score the corpus by the
+    // perplexity of a bigram LM trained on a seed slice — hashed-bucket
+    // conditionals, integer micro-nat evidence (sum of longs: exact,
+    // order-free, replayed bit-for-bit by the oracle)
+    "q128_lm_perplexity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val seed = docs.where(col("doc_id") % 3 === 0)
+      graft.functions.NgramLM.perplexity(
+        docs.where(col("doc_id") % 3 =!= 0), col("text"),
+        seed, col("text"), numBuckets = 4096)
+        .select(col("doc_id"), col("n_bigrams"), col("nll_micro"), col("ppl_micro"))
     })
   )
 
@@ -4870,6 +4883,52 @@ object SparkEntry {
         |  term, tf,
         |  CAST(floor(s * 1000000.0 + 0.5) AS BIGINT) AS score_e6
         |FROM scored
-        |QUALIFY rank <= 5""".stripMargin
+        |QUALIFY rank <= 5""".stripMargin,
+
+    // q128: the hashed bigram LM replayed exactly — same md5 bucket hash,
+    // same micro-nat quantization of both ln tables, integer-only
+    // per-document sums and truncating integer division (DuckDB // and
+    // Spark div agree on positive operands)
+    "q128_lm_perplexity" ->
+      """WITH tokd AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |c1 AS (
+        |  SELECT bucket, count(*) AS c FROM (
+        |    SELECT unnest(list_transform(t,
+        |      x -> CAST(('0x' || substring(md5(x),1,8)) AS BIGINT) % 4096)) AS bucket
+        |    FROM tokd WHERE doc_id % 3 = 0) GROUP BY 1),
+        |c2 AS (
+        |  SELECT bucket, count(*) AS c FROM (
+        |    SELECT unnest(list_transform(range(1, len(t)),
+        |      i -> CAST(('0x' || substring(md5(t[i] || ' ' || t[i+1]),1,8)) AS BIGINT) % 4096)) AS bucket
+        |    FROM tokd WHERE doc_id % 3 = 0) GROUP BY 1),
+        |lnprev AS (
+        |  SELECT r.range AS bucket,
+        |    CAST(floor(ln(CAST(COALESCE(c1.c,0) + 4096 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS m
+        |  FROM range(0, 4096) r LEFT JOIN c1 ON c1.bucket = r.range),
+        |lnpair AS (
+        |  SELECT r.range AS bucket,
+        |    CAST(floor(ln(CAST(COALESCE(c2.c,0) + 1 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS m
+        |  FROM range(0, 4096) r LEFT JOIN c2 ON c2.bucket = r.range),
+        |posl AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> {
+        |      'b1': CAST(('0x' || substring(md5(t[i]),1,8)) AS BIGINT) % 4096,
+        |      'b2': CAST(('0x' || substring(md5(t[i] || ' ' || t[i+1]),1,8)) AS BIGINT) % 4096 })) AS p
+        |  FROM tokd WHERE doc_id % 3 <> 0),
+        |evid AS (
+        |  SELECT doc_id, sum(lp.m - lq.m) AS s
+        |  FROM posl JOIN lnprev lp ON lp.bucket = posl.p.b1
+        |            JOIN lnpair lq ON lq.bucket = posl.p.b2
+        |  GROUP BY doc_id),
+        |base AS (
+        |  SELECT doc_id, CAST(GREATEST(len(t) - 1, 0) AS INT) AS n_bigrams
+        |  FROM tokd WHERE doc_id % 3 <> 0)
+        |SELECT base.doc_id, base.n_bigrams,
+        |  CAST(COALESCE(e.s, 0) AS BIGINT) AS nll_micro,
+        |  CAST(CASE WHEN base.n_bigrams > 0 THEN COALESCE(e.s, 0) // base.n_bigrams
+        |       ELSE 0 END AS BIGINT) AS ppl_micro
+        |FROM base LEFT JOIN evid e USING (doc_id)""".stripMargin
   )
 }

@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Hashed bigram language-model perplexity scoring — the CCNet quality
+  * head (Wenzek et al. 2020 filter web crawl by the perplexity of a
+  * KenLM model trained on a clean seed corpus; low perplexity = looks
+  * like the seed). Reduced to its distributable core: an add-1-smoothed
+  * bigram model over HASHED token buckets (the hash-kernel trick bounds
+  * the vocabulary at `numBuckets` regardless of corpus size), so
+  * training is two map-side-combined aggregations and the model is a
+  * pair of broadcast array literals.
+  *
+  * Per-document negative log-likelihood over bigram positions i:
+  *   nll = Σ_i ln(C1(h(w_i)) + m) − ln(C2(h(w_i w_{i+1})) + 1)
+  * i.e. −ln of the smoothed conditional (C2+1)/(C1+m). Both tables are
+  * quantized to integer MICRO-NATS on the driver, so the document score
+  * is a sum of longs — exact, order-free, partitioning-free, replayable
+  * bit-for-bit by any engine (the same design as the NB classifier;
+  * raw-double log-prob sums can never survive an exact cross-engine
+  * compare). `ppl_micro` is the integer mean nll per bigram.
+  *
+  * Scale shape: train = two bounded groupBys (≤ numBuckets rows each,
+  * driver-collected — the codebook/DSIR norm); score = one narrow
+  * projection, two O(1) dense-array lookups per bigram, zero shuffles,
+  * zero joins.
+  */
+object NgramLM {
+
+  private def toks(text: Column): Column = TextAnalysis.wsTokens(text, lowercase = true)
+
+  /** md5-derived token bucket (the portable hash every sampler here uses) */
+  private def bucket(w: Column, m: Int): Column =
+    pmod(conv(substring(md5(w), 1, 8), 16, 10).cast(LongType), lit(m.toLong))
+
+  /** unigram buckets (every token) for one document */
+  private def uniBuckets(text: Column, m: Int): Column =
+    element_at(transform(array(toks(text)), t => transform(t, w => bucket(w, m))), 1)
+
+  /** bigram-pair buckets (token_i ++ " " ++ token_{i+1}) for one document */
+  private def pairBuckets(text: Column, m: Int): Column =
+    element_at(transform(array(toks(text)), t =>
+      when(size(t) >= 2,
+        transform(sequence(lit(0), size(t) - 2),
+          i => bucket(concat(element_at(t, i + 1), lit(" "), element_at(t, i + 2)), m)))
+        .otherwise(array().cast("array<long>"))), 1)
+
+  /** bucket → count over a corpus: one map-side-combined groupBy, ≤ m rows */
+  private def countsOf(df: DataFrame, grams: Column): (Map[Long, Long]) =
+    df.select(explode(grams).as("bucket")).groupBy("bucket")
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Score `docs` against a model trained on `seed`. Appends
+    * (n_bigrams int, nll_micro long, ppl_micro long): total negative
+    * log-likelihood in micro-nats and its integer per-bigram mean.
+    * Lower ppl_micro = more seed-like (the CCNet keep signal). */
+  def perplexity(docs: DataFrame, text: Column,
+                 seed: DataFrame, seedText: Column,
+                 numBuckets: Int = 4096): DataFrame = {
+    require(numBuckets > 0 && numBuckets <= (1 << 20),
+      s"numBuckets=$numBuckets: the model tables are driver-collected, bounded at 2^20")
+    val c1 = countsOf(seed, uniBuckets(seedText, numBuckets))
+    val c2 = countsOf(seed, pairBuckets(seedText, numBuckets))
+    def microLn(x: Double): Long = math.floor(math.log(x) * 1e6 + 0.5).toLong
+    // two dense micro-nat tables: per bigram position the contribution is
+    // lnPrev[h(w_i)] − lnPair[h(w_i w_{i+1})] — pure long arithmetic
+    val lnPrev = typedLit((0L until numBuckets.toLong).map(b =>
+      microLn((c1.getOrElse(b, 0L) + numBuckets).toDouble)))
+    val lnPair = typedLit((0L until numBuckets.toLong).map(b =>
+      microLn((c2.getOrElse(b, 0L) + 1).toDouble)))
+    // token array lambda-bound once; each position does two md5s and two
+    // O(1) array lookups — O(tokens) per document, no re-tokenization
+    val res = element_at(transform(array(toks(text)), t => {
+      val terms = when(size(t) >= 2,
+        transform(sequence(lit(0), size(t) - 2), i =>
+          element_at(lnPrev, (bucket(element_at(t, i + 1), numBuckets) + 1).cast(IntegerType)) -
+            element_at(lnPair, (bucket(concat(element_at(t, i + 1), lit(" "),
+              element_at(t, i + 2)), numBuckets) + 1).cast(IntegerType))))
+        .otherwise(array().cast("array<long>"))
+      struct(greatest(size(t) - 1, lit(0)).as("n"),
+        aggregate(terms, lit(0L), (a, x) => a + x).as("s"))
+    }), 1)
+    docs
+      .withColumn("_graft_lm", res)
+      .withColumn("n_bigrams", col("_graft_lm.n"))
+      .withColumn("nll_micro", col("_graft_lm.s"))
+      .withColumn("ppl_micro",
+        when(col("n_bigrams") > 0, expr("nll_micro div n_bigrams"))
+          .otherwise(lit(0L)).cast(LongType))
+      .drop("_graft_lm")
+  }
+}

@@ -88,6 +88,27 @@ class RetrievalSpec extends AnyFunSuite {
     assert(run() == out) // bit-identical rerun (integer evidence)
   }
 
+  test("lm perplexity: seed-like text scores below unseen text; short docs are safe") {
+    import graft.functions.NgramLM
+    val seed = Seq((1L, "the cat sat on the mat"), (2L, "the dog sat on the rug"),
+      (3L, "a cat and a dog sat")).toDF("id", "text")
+    val docs = Seq(
+      (10L, "the cat sat on the rug"),   // seed-like bigrams
+      (11L, "zz qq ww ee rr tt"),        // unseen vocabulary
+      (12L, "word"),                     // one token: zero bigrams
+      (13L, "")).toDF("id", "text")      // empty
+    def run() = NgramLM.perplexity(docs, col("text"), seed, col("text"), numBuckets = 512)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Int]("n_bigrams"), r.getAs[Long]("nll_micro"), r.getAs[Long]("ppl_micro"))).toMap
+    val out = run()
+    assert(out(10L)._3 < out(11L)._3,
+      s"seed-like doc must have lower perplexity than unseen-vocab doc: $out")
+    assert(out(12L) == ((0, 0L, 0L)) && out(13L) == ((0, 0L, 0L)),
+      s"sub-bigram docs carry zero evidence: $out")
+    assert(out(10L)._1 == 5 && out(11L)._1 == 5)
+    assert(run() == out) // bit-identical rerun (integer evidence)
+  }
+
   test("bm25: query terms absent from the corpus contribute nothing") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha delta")).toDF("doc_id", "text")
     val q = Seq((1, "alpha zzz_unseen")).toDF("qid", "qtext")
