@@ -206,7 +206,13 @@ case class VersionedTableDataObject(id: String, path: String,
                                      * (the Delta IDENTITY highWaterMark design); None =
                                      * inherit. Monotonic: RESTORE inherits rather than
                                      * reverting, so reused versions can never collide. */
-                                   idSet: Option[Map[String, Long]] = None)
+                                   idSet: Option[Map[String, Long]] = None,
+                                   /** application transaction marks recorded by this commit
+                                     * (the public Delta SetTransaction action: appId →
+                                     * txnVersion). Merged into the state's txnHw — a retried
+                                     * idempotent write sees its own mark and skips. Like
+                                     * idHw, marks only advance (RESTORE inherits). */
+                                   txnSet: Option[Map[String, Long]] = None)
 
   private def om = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -233,7 +239,10 @@ case class VersionedTableDataObject(id: String, path: String,
                                          * schema is LOGICAL. */
                                        colMap: Map[String, String] = Map.empty,
                                        /** identity-column high-water marks at this state */
-                                       idHw: Map[String, Long] = Map.empty) {
+                                       idHw: Map[String, Long] = Map.empty,
+                                       /** application transaction marks (appId → newest
+                                         * txnVersion) — the idempotent-write ledger */
+                                       txnHw: Map[String, Long] = Map.empty) {
     def schema: Option[StructType] = schemaDdl.map(StructType.fromDDL)
   }
 
@@ -350,6 +359,8 @@ case class VersionedTableDataObject(id: String, path: String,
       Option(n.get("colmap")).map(_.fields().asScala
         .map(e => e.getKey -> e.getValue.asText).toMap),
       Option(n.get("idhw")).map(_.fields().asScala
+        .map(e => e.getKey -> e.getValue.asLong).toMap),
+      Option(n.get("txn")).map(_.fields().asScala
         .map(e => e.getKey -> e.getValue.asLong).toMap))
   }
 
@@ -375,6 +386,8 @@ case class VersionedTableDataObject(id: String, path: String,
         Option(n.get("colmap")).map(_.fields().asScala
           .map(e => e.getKey -> e.getValue.asText).toMap).getOrElse(Map.empty),
         Option(n.get("idhw")).map(_.fields().asScala
+          .map(e => e.getKey -> e.getValue.asLong).toMap).getOrElse(Map.empty),
+        Option(n.get("txnhw")).map(_.fields().asScala
           .map(e => e.getKey -> e.getValue.asLong).toMap).getOrElse(Map.empty)))
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -405,7 +418,8 @@ case class VersionedTableDataObject(id: String, path: String,
         if (c.ts >= 0) c.ts else s.ts,
         c.dvSet.getOrElse(s.dv),
         c.colMapSet.getOrElse(s.colMap),
-        s.idHw ++ c.idSet.getOrElse(Map.empty))
+        s.idHw ++ c.idSet.getOrElse(Map.empty),
+        s.txnHw ++ c.txnSet.getOrElse(Map.empty))
     })
   }
 
@@ -437,6 +451,10 @@ case class VersionedTableDataObject(id: String, path: String,
       if (st.idHw.nonEmpty) {
         val ih = root.putObject("idhw")
         st.idHw.toSeq.sortBy(_._1).foreach { case (k, v) => ih.put(k, v) }
+      }
+      if (st.txnHw.nonEmpty) {
+        val th = root.putObject("txnhw")
+        st.txnHw.toSeq.sortBy(_._1).foreach { case (k, v) => th.put(k, v) }
       }
       val fl = root.putArray("files")
       st.files.foreach { f =>
@@ -521,6 +539,10 @@ case class VersionedTableDataObject(id: String, path: String,
     c.idSet.foreach { m =>
       val ih = root.putObject("idhw")
       m.toSeq.sortBy(_._1).foreach { case (k, v) => ih.put(k, v) }
+    }
+    c.txnSet.foreach { m =>
+      val th = root.putObject("txn")
+      m.toSeq.sortBy(_._1).foreach { case (k, v) => th.put(k, v) }
     }
     val a = root.putArray("added"); c.added.foreach(a.add)
     val r = root.putArray("removed"); c.removed.foreach(r.add)
@@ -1099,7 +1121,34 @@ case class VersionedTableDataObject(id: String, path: String,
     * (last-writer-wins, the lakehouse overwrite semantic). */
   override def writeDataFrame(df0: DataFrame, partitionValues: Seq[PartitionValues] = Seq.empty,
                               saveMode: Option[SdlSaveMode] = None)
-                             (implicit ctx: ActionPipelineContext): ActionMetrics = {
+                             (implicit ctx: ActionPipelineContext): ActionMetrics =
+    writeDataFrameTxn(df0, partitionValues, saveMode, None)
+
+  /** IDEMPOTENT write (the public Delta txnAppId/txnVersion option pair):
+    * the commit records (appId → txnVersion) in the log; a write whose
+    * txnVersion is at or below the table's recorded mark for that appId is
+    * a NO-OP returning zero records — so a retried micro-batch, a replayed
+    * foreachBatch after checkpoint recovery, or a re-run job commits its
+    * data EXACTLY ONCE. The skip check re-runs inside the commit retry
+    * loop against the fresh head, so two racing retries of the same
+    * transaction can never both land. */
+  def writeDataFrameIdempotent(df0: DataFrame, txnAppId: String, txnVersion: Long,
+                               partitionValues: Seq[PartitionValues] = Seq.empty,
+                               saveMode: Option[SdlSaveMode] = None)
+                              (implicit ctx: ActionPipelineContext): ActionMetrics = {
+    require(txnAppId.nonEmpty, s"DataObject $id: txnAppId must be non-empty")
+    if (lastTxnVersion(txnAppId).exists(_ >= txnVersion)) ActionMetrics(0, 0)
+    else writeDataFrameTxn(df0, partitionValues, saveMode, Some(txnAppId -> txnVersion))
+  }
+
+  /** newest recorded transaction version for `appId` (Delta's
+    * `txnVersion(appId)`); None = never written by this application */
+  def lastTxnVersion(appId: String)(implicit ctx: ActionPipelineContext): Option[Long] =
+    readState(None).flatMap(_.txnHw.get(appId))
+
+  private def writeDataFrameTxn(df0: DataFrame, partitionValues: Seq[PartitionValues],
+                                saveMode: Option[SdlSaveMode], txn: Option[(String, Long)])
+                               (implicit ctx: ActionPipelineContext): ActionMetrics = {
     val t0 = System.currentTimeMillis()
     val append = saveMode.contains(SdlSaveMode.Append)
     val dynamic = saveMode.contains(SdlSaveMode.OverwriteOptimized) && partitions.nonEmpty
@@ -1183,6 +1232,13 @@ case class VersionedTableDataObject(id: String, path: String,
     var committedV = -1
     while (!done) {
       val st = readState(None)
+      // idempotency: a concurrent retry of the SAME transaction already
+      // landed its commit — this attempt's staged files become orphans
+      // (vacuum sweeps them), the data is exactly-once
+      txn.foreach { case (app, v) =>
+        if (st.exists(_.txnHw.get(app).exists(_ >= v)))
+          return ActionMetrics(0, System.currentTimeMillis() - t0)
+      }
       if (colMapConflicts(st.map(_.colMap).getOrElse(Map.empty), colMapWrite,
           preColMap, df.schema.fieldNames.toSeq))
         throw new java.util.ConcurrentModificationException(
@@ -1219,7 +1275,8 @@ case class VersionedTableDataObject(id: String, path: String,
         else None
       done = tryCommit(Commit(v, added, removed, Some(schema), stats, op = opTag,
         colMapSet = commitColMap,
-        idSet = if (identityColumns.nonEmpty) Some(idBase ++ newIdHw) else None))
+        idSet = if (identityColumns.nonEmpty) Some(idBase ++ newIdHw) else None,
+        txnSet = txn.map { case (app, tv) => Map(app -> tv) }))
       if (done) committedV = v
       attempt += 1
       if (!done && attempt >= 20) throw new java.util.ConcurrentModificationException(
@@ -1339,14 +1396,31 @@ case class VersionedTableDataObject(id: String, path: String,
     * so per-commit I/O is O(touched + feed), not O(table). */
   override def mergeDataFrame(df0: DataFrame, joinCols: Seq[String],
                               options: SaveModeMergeOptions = SaveModeMergeOptions())
-                             (implicit ctx: ActionPipelineContext): ActionMetrics = {
+                             (implicit ctx: ActionPipelineContext): ActionMetrics =
+    mergeDataFrameTxn(df0, joinCols, options, None)
+
+  /** Idempotent MERGE — same (appId, txnVersion) contract as
+    * [[writeDataFrameIdempotent]]: the streaming-merge-sink path under
+    * foreachBatch replay. */
+  def mergeDataFrameIdempotent(df0: DataFrame, joinCols: Seq[String],
+                               txnAppId: String, txnVersion: Long,
+                               options: SaveModeMergeOptions = SaveModeMergeOptions())
+                              (implicit ctx: ActionPipelineContext): ActionMetrics = {
+    require(txnAppId.nonEmpty, s"DataObject $id: txnAppId must be non-empty")
+    if (lastTxnVersion(txnAppId).exists(_ >= txnVersion)) ActionMetrics(0, 0)
+    else mergeDataFrameTxn(df0, joinCols, options, Some(txnAppId -> txnVersion))
+  }
+
+  private def mergeDataFrameTxn(df0: DataFrame, joinCols: Seq[String],
+                                options: SaveModeMergeOptions, txn: Option[(String, Long)])
+                               (implicit ctx: ActionPipelineContext): ActionMetrics = {
     val t0 = System.currentTimeMillis()
     require(identityColumns.isEmpty,
       s"DataObject $id: MERGE is not supported on tables with identity columns " +
         "(the Delta GENERATED ALWAYS AS IDENTITY contract)")
     val df = applyGeneratedColumns(df0)
     val st0 = readState(None)
-    if (st0.isEmpty) return writeDataFrame(df0, saveMode = Some(SdlSaveMode.Overwrite))
+    if (st0.isEmpty) return writeDataFrameTxn(df0, Seq.empty, Some(SdlSaveMode.Overwrite), txn)
     guardColumnMappingFlag(st0)
     val live = st0.get.files
     // schema auto-merge (the Delta mergeSchema semantics): feed columns
@@ -1414,12 +1488,20 @@ case class VersionedTableDataObject(id: String, path: String,
       var commitV = v
       var attempt = 0
       dmlRaceHook()
+      val txnCommit = txn.map { case (app, tv) => Map(app -> tv) }
       var done = tryCommit(Commit(commitV, added, touched, Some(schema.toDDL), stats,
-        op = "MERGE", colMapSet = colMapFor(mergeColMap)))
+        op = "MERGE", colMapSet = colMapFor(mergeColMap), txnSet = txnCommit))
       while (!done) {
         attempt += 1
         val freshVers = listLog._1
         val concurrent = freshVers.filter(_ >= v).map(parseCommit)
+        // idempotency: a racing retry of the SAME transaction landed —
+        // this merge's staged rewrite must NOT also commit (it would
+        // double-apply); data is exactly-once, staged files orphan
+        txn.foreach { case (app, tv) =>
+          if (concurrent.exists(_.txnSet.exists(_.get(app).exists(_ >= tv))))
+            return ActionMetrics(0, System.currentTimeMillis() - t0)
+        }
         if (attempt >= 20 || mergeConflicts(concurrent, touched, joinCols, bounds, schema,
             feedHasNullKeys, mergeColMap, st0.get.colMap, schema.fieldNames.toSeq))
           throw new java.util.ConcurrentModificationException(
@@ -1434,7 +1516,7 @@ case class VersionedTableDataObject(id: String, path: String,
         // changes the map, never a physical name).
         done = tryCommit(Commit(commitV, added, touched,
           Some(unionWithFresh(schema)), stats, op = "MERGE",
-          colMapSet = colMapFor(freshColMap() ++ newAssigned)))
+          colMapSet = colMapFor(freshColMap() ++ newAssigned), txnSet = txnCommit))
       }
       writeCdcCommit(commitV)
       ActionMetrics(rowsOf(stats), System.currentTimeMillis() - t0)
@@ -1975,14 +2057,31 @@ case class VersionedTableDataObject(id: String, path: String,
         try optimize(1, targetFileBytes = Some(autoCompactBytes))
         catch { case _: java.util.ConcurrentModificationException => () }
     }
-    val writeBatch: (DataFrame, Long) => Unit = (batch, _) => {
+    // EXACTLY-ONCE under foreachBatch replay (the public Delta
+    // txnAppId/txnVersion design): with `graft.txnAppId` set, each batch
+    // commits with (appId, batchId) as its transaction mark — a batch
+    // Spark replays after checkpoint recovery (sink committed, stream
+    // checkpoint didn't) finds its own mark in the log and skips, instead
+    // of appending duplicates / re-applying the merge
+    val txnApp = options.get("graft.txnAppId")
+    val writeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
       if (merge) {
         require(primaryKey.nonEmpty, s"DataObject $id: streaming merge needs primaryKey")
         // mergeDataFrame handles the empty-log first batch itself (one
         // less log read per micro-batch)
-        mergeDataFrame(batch, primaryKey)
+        txnApp match {
+          case Some(app) => mergeDataFrameIdempotent(batch, primaryKey, app, batchId)
+          case None      => mergeDataFrame(batch, primaryKey)
+        }
         ()
-      } else { writeDataFrame(batch, saveMode = Some(SdlSaveMode.Append)); () }
+      } else {
+        txnApp match {
+          case Some(app) =>
+            writeDataFrameIdempotent(batch, app, batchId, saveMode = Some(SdlSaveMode.Append))
+          case None => writeDataFrame(batch, saveMode = Some(SdlSaveMode.Append))
+        }
+        ()
+      }
       maybeCompact()
     }
     df.writeStream
@@ -2326,7 +2425,11 @@ case class VersionedTableDataObject(id: String, path: String,
     * guard). Like Delta, the SOURCE's vacuum can reclaim files a clone
     * still references — pin the source's retention to cover live clones.
     * Active deletion vectors must be materialized first (the clone's v0
-    * carries no DV state). Returns the clone's DataObject. */
+    * carries no DV state). Application transaction marks (txnHw) are
+    * deliberately NOT cloned — Delta's clone drops SetTransaction state
+    * too, because a streaming app pointed at the clone must not silently
+    * skip batches the SOURCE already consumed. Returns the clone's
+    * DataObject. */
   def shallowCloneTo(targetId: String, targetPath: String, version: Option[Int] = None)
                     (implicit ctx: ActionPipelineContext): VersionedTableDataObject = {
     val st = stateOrFail(version)
@@ -2501,7 +2604,8 @@ case class VersionedTableDataObject(id: String, path: String,
         readCheckpoint(w).foreach(s =>
           tryCommitRaw(Commit(w, s.files, Seq.empty, s.schemaDdl, s.stats, s.ts,
             op = "VACUUM_REBASE", dvSet = Some(s.dv), colMapSet = colMapFor(s.colMap),
-            idSet = if (s.idHw.nonEmpty) Some(s.idHw) else None)))
+            idSet = if (s.idHw.nonEmpty) Some(s.idHw) else None,
+            txnSet = if (s.txnHw.nonEmpty) Some(s.txnHw) else None)))
       }
     }
     // deletion vectors need no materialization here: every DV dir a
@@ -2532,6 +2636,7 @@ case class VersionedTableDataObject(id: String, path: String,
       val baseDv = baseState.map(_.dv).getOrElse(Seq.empty)
       val baseColMap = baseState.map(_.colMap).getOrElse(Map.empty)
       val baseIdHw = baseState.map(_.idHw).getOrElse(Map.empty)
+      val baseTxnHw = baseState.map(_.txnHw).getOrElse(Map.empty)
       val baseSchema = log.filter(_.version <= cut).reverse
         .collectFirst { case c: Commit if c.schema.isDefined => c.schema.get }
       val baseStats = log.flatMap(_.stats).toMap.filter(kv => baseFiles.contains(kv._1))
@@ -2552,7 +2657,8 @@ case class VersionedTableDataObject(id: String, path: String,
       val cutTs = log.find(_.version == cut).map(_.ts).getOrElse(-1L)
       writeCommit(Commit(cut, baseFiles, Seq.empty, baseSchema, baseStats, cutTs,
         op = "VACUUM_REBASE", dvSet = Some(baseDv), colMapSet = colMapFor(baseColMap),
-        idSet = if (baseIdHw.nonEmpty) Some(baseIdHw) else None))
+        idSet = if (baseIdHw.nonEmpty) Some(baseIdHw) else None,
+        txnSet = if (baseTxnHw.nonEmpty) Some(baseTxnHw) else None))
       vacuumPhaseHook("rebased")
       // phase 5a: log-derived physical deletes, strictly after the log
       // is consistent. OUT-OF-ROOT GUARD: a shallow clone's log references
