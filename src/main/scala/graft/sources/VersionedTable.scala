@@ -711,6 +711,31 @@ case class VersionedTableDataObject(id: String, path: String,
       "num_added_files", "num_removed_files", "num_added_rows")
   }
 
+  /** One-row table summary (the Delta DESCRIBE DETAIL surface): id,
+    * location, current version + its commit timestamp, partition
+    * columns, live file count / total bytes / total rows off the logged
+    * footer stats, and the table's feature flags. Driver-side over ONE
+    * state read — zero data I/O, zero filesystem listing beyond the log
+    * dir, any table size. Bytes/rows are −1 when any live file predates
+    * footer stats (pre-stats log format), never a silent partial sum. */
+  def detail()(implicit ctx: ActionPipelineContext): DataFrame = {
+    import ctx.spark.implicits._
+    val st = stateOrFail(None)
+    def total(get: FileStat => Long): Long = {
+      val vs = st.files.map(f => st.stats.get(f).map(get).getOrElse(-1L))
+      if (vs.exists(_ < 0)) -1L else vs.sum
+    }
+    Seq((id, path, st.version,
+      if (st.ts >= 0) new java.sql.Timestamp(st.ts) else null,
+      partitions, st.files.size.toLong, total(_.bytes), total(_.rows),
+      deletionVectors, columnMapping,
+      generatedColumns.map(_._1), identityColumns))
+      .toDF("id", "location", "version", "last_modified",
+        "partition_columns", "num_files", "size_in_bytes", "num_rows",
+        "deletion_vectors", "column_mapping",
+        "generated_columns", "identity_columns")
+  }
+
   /** Read a file set through a log-backed [[org.apache.spark.sql.graftshims.GraftPrunedFileIndex]]:
     * ANY filter the user pushes on the returned DataFrame reaches the
     * index's `listFiles`, is evaluated against the per-file stats, and

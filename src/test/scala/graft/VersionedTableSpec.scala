@@ -742,4 +742,29 @@ class VersionedTableSpec extends AnyFunSuite {
       .collect().map(r => (Option(r.get(0)).map(_.asInstanceOf[Int]), r.getString(1))).toSet
     assert(merged2 == Set((Some(1), "A2"), (None, "oldnull")))
   }
+
+  test("detail(): one-row summary off the log — files/bytes/rows/flags, zero data I/O") {
+    val dir = Files.createTempDirectory("graft-vt-detail").toString
+    val t = VersionedTableDataObject("vtd", s"$dir/t", primaryKey = Seq("k"),
+      partitions = Seq("p"))
+    t.writeDataFrame(Seq((1, "a", "x"), (2, "b", "y")).toDF("k", "v", "p"))
+    t.writeDataFrame(Seq((3, "c", "x")).toDF("k", "v", "p"),
+      saveMode = Some(SdlSaveMode.Append))
+    val d = t.detail().collect()
+    assert(d.length == 1)
+    val r = d.head
+    assert(r.getAs[String]("id") == "vtd")
+    assert(r.getAs[Int]("version") == t.latestVersion.get)
+    assert(r.getSeq[String](r.fieldIndex("partition_columns")) == Seq("p"))
+    assert(r.getAs[Long]("num_rows") == 3L)
+    val nf = r.getAs[Long]("num_files")
+    assert(nf >= 2L) // one file per touched partition dir, at least
+    // size matches the actual bytes on disk of the LIVE files (stats truth)
+    val live = t.snapshotFiles().map(f =>
+      java.nio.file.Paths.get(s"$dir/t", f.split("/"): _*).toFile.length).sum
+    assert(r.getAs[Long]("size_in_bytes") == live && live > 0)
+    assert(!r.getAs[Boolean]("deletion_vectors") && !r.getAs[Boolean]("column_mapping"))
+    // detail is a metadata read: version/timestamp track the head commit
+    assert(Option(r.getAs[java.sql.Timestamp]("last_modified")).nonEmpty)
+  }
 }
