@@ -4757,12 +4757,13 @@ object SparkEntry {
         |  FROM planted),
         |wins AS (
         |  SELECT doc_id, CAST(pos AS INT) AS pos,
-        |    CAST(('0x' || substring(md5(array_to_string(t[pos+1:pos+8], ' ')), 1, 15)) AS BIGINT) AS h
+        |    CAST(('0x' || substring(md5(array_to_string(t[pos+1:pos+8], ' ')), 1, 15)) AS BIGINT) AS h,
+        |    CAST(('0x' || substring(md5(array_to_string(t[pos+1:pos+8], ' ')), 16, 15)) AS BIGINT) AS h2
         |  FROM tokd, LATERAL unnest(range(0, greatest(len(t) - 7, 0))) AS u(pos)),
-        |dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
+        |dup AS (SELECT h, h2 FROM wins GROUP BY h, h2 HAVING count(*) > 1),
         |starts AS (
         |  SELECT doc_id, list(pos ORDER BY pos) AS s
-        |  FROM wins JOIN dup USING (h) GROUP BY doc_id)
+        |  FROM wins JOIN dup USING (h, h2) GROUP BY doc_id)
         |SELECT tokd.doc_id,
         |  CAST(len(t) AS INT) AS n_tokens,
         |  CAST(COALESCE(len(s), 0) AS INT) AS n_dup_windows,
@@ -4891,8 +4892,10 @@ object SparkEntry {
 
     // q128: the hashed bigram LM replayed exactly — same md5 bucket hash,
     // same micro-nat quantization of both ln tables, integer-only
-    // per-document sums and truncating integer division (DuckDB // and
-    // Spark div agree on positive operands)
+    // per-document sums. nll is clamped at 0 on BOTH engines (collision
+    // artifacts below the smoothing floor carry no signal), which also
+    // keeps the integer division on non-negative operands where DuckDB //
+    // (floor) and Spark div (truncate) agree
     "q128_lm_perplexity" ->
       """WITH tokd AS (
         |  SELECT doc_id,
@@ -4930,8 +4933,9 @@ object SparkEntry {
         |  SELECT doc_id, CAST(GREATEST(len(t) - 1, 0) AS INT) AS n_bigrams
         |  FROM tokd WHERE doc_id % 3 <> 0)
         |SELECT base.doc_id, base.n_bigrams,
-        |  CAST(COALESCE(e.s, 0) AS BIGINT) AS nll_micro,
-        |  CAST(CASE WHEN base.n_bigrams > 0 THEN COALESCE(e.s, 0) // base.n_bigrams
+        |  CAST(GREATEST(COALESCE(e.s, 0), 0) AS BIGINT) AS nll_micro,
+        |  CAST(CASE WHEN base.n_bigrams > 0
+        |       THEN GREATEST(COALESCE(e.s, 0), 0) // base.n_bigrams
         |       ELSE 0 END AS BIGINT) AS ppl_micro
         |FROM base LEFT JOIN evid e USING (doc_id)""".stripMargin
   )

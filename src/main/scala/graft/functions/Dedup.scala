@@ -784,16 +784,30 @@ object Dedup {
     * runs shorter than `l` are ignored by construction (also the paper's
     * cut-off; they use l=50 BPE tokens).
     *
-    * Scale shape: one map-side-combined groupBy on the 60-bit window
-    * fingerprint (the only corpus-sized shuffle), one join back to window
-    * positions, one per-doc aggregation whose state is bounded by the
-    * doc's own window count, and a final map-only span-merge + rebuild
-    * inside the row. Nothing is ever quadratic in corpus size; the
-    * fingerprint table shuffles ~|tokens| longs, the same order as
-    * reading the corpus. Window strings are built per-position (O(T·l)
-    * chars/doc) so the 60-bit md5-prefix fingerprint replays in any
-    * engine; a single-pass rolling-hash kernel (SignatureExpressions)
-    * would drop that to O(T) at the cost of oracle portability.
+    * Scale shape: one map-side-combined groupBy on the window fingerprint
+    * (the only corpus-sized shuffle), one join back to window positions,
+    * one per-doc aggregation whose state is bounded by the doc's own
+    * window count, and a final map-only span-merge + rebuild inside the
+    * row. Nothing is ever quadratic in corpus size; the fingerprint table
+    * shuffles ~|tokens| fingerprints, the same order as reading the
+    * corpus.
+    *
+    * Fingerprints are 120+ bits in BOTH modes — duplicate detection on a
+    * short hash alone silently deletes legitimate text on birthday
+    * collisions (at 2^30 corpus windows a 60-bit fingerprint expects
+    * ~40% odds of a colliding pair; 120 bits pushes that to ~4e-19 —
+    * the r12 ADVICE precision fix):
+    *  - `portableFingerprints = true` (ORACLE mode, the q123 default):
+    *    two independent 60-bit md5 halves per window string, replayable
+    *    as `CAST('0x'||substr(md5(w),i,15) AS BIGINT)` in any engine.
+    *    Builds each l-token window STRING — O(T·l) chars per doc, an l×
+    *    write-amplification of the token stream.
+    *  - `portableFingerprints = false` (PRODUCTION mode, the 100 TB
+    *    path): the [[graft.plans.WindowFingerprintKernel]] codegen'd
+    *    rolling-hash kernel — each token xxhash64'd once per seed, two
+    *    independent 64-bit polynomial hashes rolled across the doc in
+    *    O(T) total, zero window-string allocation. Same downstream plan;
+    *    a property spec pins identical span sets between the modes.
     *
     * Removal semantics: token j of a doc survives iff NO duplicated
     * window [s, s+l) covers it; overlapping duplicated spans therefore
@@ -804,27 +818,38 @@ object Dedup {
     *          this are kept)
     * @return (id, n_tokens, n_dup_windows, n_removed_tokens, cleaned_text) */
   def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
-                          l: Int = 8, persist: Boolean = true): DataFrame = {
+                          l: Int = 8, persist: Boolean = true,
+                          portableFingerprints: Boolean = true): DataFrame = {
     require(l >= 2, "window length l must be ≥ 2")
     val toksCol = TextAnalysis.wsTokens(col(textCol))
     val base = df.select(col(idCol).as("id"), toksCol.as("toks"))
-    // one fingerprint per window position; 60-bit md5 prefix (portable:
-    // replayable as CAST('0x'||substr(md5(w),1,15) AS BIGINT) anywhere)
-    val fp = (w: Column) =>
-      conv(substring(md5(w), 1, 15), 16, 10).cast(LongType)
-    val exploded = base
-      .where(size(col("toks")) >= l)
-      .select(col("id"), posexplode(transform(
-        sequence(lit(1), size(col("toks")) - (l - 1)),
-        i => fp(concat_ws(" ", slice(col("toks"), i, lit(l)))))).as(Seq("pos", "h")))
+    val eligible = base.where(size(col("toks")) >= l)
+    // (id, pos, h, h2): 0-based window start + the two fingerprint halves.
+    // Both halves project BEFORE the groupBy shuffle — only 16 bytes of
+    // fingerprint per window ever cross the wire.
+    val exploded =
+      if (portableFingerprints)
+        eligible
+          .select(col("id"), posexplode(transform(
+            sequence(lit(1), size(col("toks")) - (l - 1)),
+            i => md5(concat_ws(" ", slice(col("toks"), i, lit(l)))))).as(Seq("pos", "m")))
+          .select(col("id"), col("pos"),
+            conv(substring(col("m"), 1, 15), 16, 10).cast(LongType).as("h"),
+            conv(substring(col("m"), 16, 15), 16, 10).cast(LongType).as("h2"))
+      else
+        eligible
+          .select(col("id"), posexplode(graft.plans.SignatureExpressions
+            .windowFingerprints(col("toks"), l)).as(Seq("pos", "f")))
+          .select(col("id"), col("pos"),
+            col("f.h1").as("h"), col("f.h2").as("h2"))
     val windows =
       if (persist) exploded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else exploded
     // corpus-wide occurrence count per fingerprint (within-doc repeats
     // count too — ExactSubstr removes those as well)
-    val counts = windows.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    val counts = windows.groupBy(col("h"), col("h2")).agg(count(lit(1)).as("c"))
     val dupStarts = windows
-      .join(counts.where(col("c") > 1).select(col("h")), Seq("h"))
+      .join(counts.where(col("c") > 1).select(col("h"), col("h2")), Seq("h", "h2"))
       .groupBy(col("id"))
       .agg(sort_array(collect_list(col("pos"))).as("starts"))
     base.join(dupStarts, Seq("id"), "left")
@@ -854,19 +879,80 @@ object Dedup {
 
   /** Embedding near-duplicates: random-hyperplane LSH buckets → exact cosine
     * verification on candidates. Hyperplanes are deterministic (fixed seed).
-    */
+    *
+    * Skew guard (same discipline as every other LSH path here): the bucket
+    * self-join is Σ|bucket|², and the degenerate corpus — many
+    * near-identical embeddings, exactly what a dedup pass encounters —
+    * collapses into ONE bucket and goes quadratic. Buckets larger than
+    * `maxBucketSize` are dropped from the join, and the EXACT-COPY star
+    * pass ([[embeddingExactStarPairs]]) recovers the recall the cap would
+    * silently cost: identical embeddings share a bucket, so the dominant
+    * content of a hot bucket is exact copies, which the linear star pass
+    * finds wherever they land. Genuine NEAR-dups inside a capped bucket
+    * stay dropped — the cap's documented trade;
+    * `failOnCappedBuckets = true` turns that into a loud error for
+    * exhaustive pipelines. When no bucket is hot the anti-join prunes
+    * nothing and the star's broadcast side is empty — AQE's
+    * empty-relation propagation collapses those stages, so the common-case
+    * plan is the r11 plan. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, embCol: String,
                             dim: Int, numPlanes: Int = 16,
-                            threshold: Double = 0.95): DataFrame = {
+                            threshold: Double = 0.95,
+                            maxBucketSize: Int = 1000,
+                            failOnCappedBuckets: Boolean = false,
+                            cappedBucketExactFallback: Boolean = true): DataFrame = {
     val sigCol = Similarity.hyperplaneSignature(col(embCol), dim, numPlanes)
     // persist: the numPlanes × dim dot products are computed once, not once
     // per self-join side
     val withSig = df.select(col(idCol).as("id"), col(embCol).as("emb"), sigCol.as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    withSig.alias("a").join(withSig.alias("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        Similarity.cosineSimilarity(col("a.emb"), col("b.emb")).as("cosine"))
+    def pairsOf(pruned: DataFrame): DataFrame =
+      pruned.alias("a").join(pruned.alias("b"),
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          Similarity.cosineSimilarity(col("a.emb"), col("b.emb")).as("cosine"))
+        .where(col("cosine") >= threshold)
+    if (failOnCappedBuckets) {
+      assertNoCappedBuckets(withSig.select(col("id"), col("bucket")), Seq("bucket"),
+        maxBucketSize, "embedding LSH")
+      pairsOf(withSig)
+    } else {
+      // lazy guard, as in minhashPairsFromSigs: the over-cap list is a
+      // broadcast anti-join build side INSIDE the plan — no job at
+      // construction, and only (id, bucket) ever feeds the aggregation
+      val bigBuckets = withSig.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("_n")).where(col("_n") > maxBucketSize)
+        .select(col("bucket"))
+      val pruned = withSig.join(broadcast(bigBuckets), Seq("bucket"), "left_anti")
+      val lshPairs = pairsOf(pruned)
+      if (!cappedBucketExactFallback) lshPairs
+      else lshPairs.unionByName(embeddingExactStarPairs(withSig, threshold))
+        .dropDuplicates("id_a", "id_b")
+    }
+  }
+
+  /** Exact-copy star pass for embedding LSH (the [[exactStarPairs]] shape
+    * on vectors): hash-groupBy of the full embedding array, min-id head →
+    * members — only (id, hash) shuffles, linear in corpus size. Pairs are
+    * cosine-verified like the LSH candidates, so a 64-bit hash collision
+    * between genuinely different vectors cannot emit a false pair. */
+  private def embeddingExactStarPairs(withSig: DataFrame, threshold: Double): DataFrame = {
+    val slim = withSig.select(col("id"), xxhash64(col("emb")).as("_ck"))
+    val heads = slim.groupBy(col("_ck"))
+      .agg(min(col("id")).as("_head"), count(lit(1)).as("_n"))
+      .where(col("_n") > 1)
+      .select(col("_ck"), col("_head"))
+    val star = slim.join(heads, "_ck")
+      .where(col("id") > col("_head"))
+      .select(col("_head").as("id_a"), col("id").as("id_b"))
+    // the fat embedding column joins the slim star side per duplicate —
+    // star is broadcast (empty/tiny in real corpora), the vectors stream
+    val withA = withSig.select(col("id").as("id_a"), col("emb").as("emb_a"))
+      .join(broadcast(star), "id_a")
+    withSig.select(col("id").as("id_b"), col("emb").as("emb_b"))
+      .join(withA, "id_b")
+      .withColumn("cosine", Similarity.cosineSimilarity(col("emb_a"), col("emb_b")))
       .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 }

@@ -86,7 +86,14 @@ object NgramLM {
     docs
       .withColumn("_graft_lm", res)
       .withColumn("n_bigrams", col("_graft_lm.n"))
-      .withColumn("nll_micro", col("_graft_lm.s"))
+      // clamped at 0: pair-bucket hash collisions can push C2(pair)+1 above
+      // C1(unigram)+m, making a position's (and rarely a doc's) nll
+      // negative — a smoothing-floor artifact carrying no signal. The clamp
+      // also keeps the integer division below on NON-NEGATIVE operands,
+      // where Spark's `div` (truncate toward zero) and floor division
+      // agree — an unclamped negative sum would differ by 1 between
+      // engines (r12 ADVICE).
+      .withColumn("nll_micro", greatest(col("_graft_lm.s"), lit(0L)))
       .withColumn("ppl_micro",
         when(col("n_bigrams") > 0, expr("nll_micro div n_bigrams"))
           .otherwise(lit(0L)).cast(LongType))

@@ -37,9 +37,13 @@ object QualityClassifier {
               targetSeed: DataFrame, targetText: Column,
               backgroundSeed: DataFrame, backgroundText: Column,
               numBuckets: Int = 256): DataFrame = {
-    val (tCnt, nT) = ImportanceResampling.collectedCounts(targetSeed, targetText, numBuckets)
-    val (bCnt, nB) = ImportanceResampling.collectedCounts(backgroundSeed, backgroundText, numBuckets)
-    val (dT, dB) = (targetSeed.count(), backgroundSeed.count())
+    // doc counts ride the SAME aggregation as the bucket counts (sentinel
+    // bucket): ONE pass per seed — a separate count() would re-evaluate
+    // each seed's filter+scan, 2× the training I/O at real seed scale
+    val (tCnt, nT, dT) =
+      ImportanceResampling.collectedCountsWithDocs(targetSeed, targetText, numBuckets)
+    val (bCnt, nB, dB) =
+      ImportanceResampling.collectedCountsWithDocs(backgroundSeed, backgroundText, numBuckets)
     val nTm = (nT + numBuckets).toDouble
     val nBm = (nB + numBuckets).toDouble
     // micro-nat log ratio per bucket, fixed operation order for replay:

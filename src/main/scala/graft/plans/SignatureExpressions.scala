@@ -387,6 +387,78 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
   override def prettyName: String = "sorted_intersect_count"
 }
 
+/** POSITIONAL rolling window fingerprints over a token array — the O(T)
+  * production kernel behind `Dedup.removeRepeatedSpans` (the portable md5
+  * path materializes every l-token window STRING, an l× write-amplification
+  * of the token stream that matters at 100 TB).
+  *
+  * Element i = 128-bit fingerprint (two independent 64-bit polynomial
+  * rolling hashes, struct(h1, h2)) of the window of `l` tokens starting at
+  * 0-based token i. Each token is xxhash64'd ONCE per seed over its raw
+  * bytes, then the window hash rolls: fp(w+1) = (fp(w) − h(w)·B^{l−1})·B +
+  * h(w+l) in wrap-around 2^64 arithmetic — O(tokens) per document total,
+  * zero window-string allocation. Two independent (seed, base) pairs make
+  * the effective fingerprint 128 bits: at 2^30 corpus windows the expected
+  * number of colliding pairs is ~2^59/2^128 ≈ 2e-21, so no legitimate text
+  * is ever deleted on a hash accident (the r12 ADVICE precision concern;
+  * a single 64-bit hash would already expect ~3% colliding pairs there).
+  */
+object WindowFingerprintKernel {
+  private val B1 = 0x9E3779B97F4A7C15L // golden-ratio odd multiplier
+  private val B2 = 0xC2B2AE3D27D4EB4FL // xxhash prime_2, independent base
+
+  def fingerprints(toks: ArrayData, l: Int): ArrayData = {
+    val n = toks.numElements()
+    val count = n - l + 1
+    if (count <= 0) return new GenericArrayData(Array.empty[Any])
+    // per-token hashes, one pass over the bytes per seed
+    val h1 = new Array[Long](n)
+    val h2 = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      h1(i) = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
+      h2(i) = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 0x5DEECE66DL)
+      i += 1
+    }
+    // B^(l-1) for the roll-out term
+    var p1 = 1L; var p2 = 1L
+    i = 1
+    while (i < l) { p1 *= B1; p2 *= B2; i += 1 }
+    val out = new Array[Any](count)
+    var f1 = 0L; var f2 = 0L
+    i = 0
+    while (i < l) { f1 = f1 * B1 + h1(i); f2 = f2 * B2 + h2(i); i += 1 }
+    out(0) = org.apache.spark.sql.catalyst.InternalRow(f1, f2)
+    var w = 1
+    while (w < count) {
+      f1 = (f1 - h1(w - 1) * p1) * B1 + h1(w + l - 1)
+      f2 = (f2 - h2(w - 1) * p2) * B2 + h2(w + l - 1)
+      out(w) = org.apache.spark.sql.catalyst.InternalRow(f1, f2)
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** positional 128-bit window fingerprints of a token array, codegen'd */
+case class WindowFingerprintsExpr(child: Expression, l: Int)
+  extends UnaryExpression {
+  require(l >= 2, "window length l must be >= 2")
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("h1", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("h2", LongType, nullable = false))),
+    containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    WindowFingerprintKernel.fingerprints(input.asInstanceOf[ArrayData], l)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.WindowFingerprintKernel.fingerprints($c, $l)")
+  override protected def withNewChildInternal(newChild: Expression): WindowFingerprintsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "window_fingerprints"
+}
+
 object SignatureExpressions {
   def simhash64(hashes: Column): Column =
     GraftSqlShims.column(SimHash64Expr(GraftSqlShims.expression(hashes)))
@@ -403,4 +475,6 @@ object SignatureExpressions {
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftSqlShims.column(SortedIntersectCountExpr(
       GraftSqlShims.expression(a), GraftSqlShims.expression(b)))
+  def windowFingerprints(toks: Column, l: Int): Column =
+    GraftSqlShims.column(WindowFingerprintsExpr(GraftSqlShims.expression(toks), l))
 }

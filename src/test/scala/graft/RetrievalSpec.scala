@@ -48,6 +48,41 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out(3L) == ((0, 0, 0, "")))
   }
 
+  test("portable (md5) and production (rolling-hash kernel) fingerprints yield identical span sets") {
+    // planted cross-doc + within-doc duplication, overlap merges, short
+    // docs, empty docs — the full branch surface of the span remover. The
+    // two modes hash differently but must agree on WHICH windows are
+    // duplicated, hence on every output column.
+    val shared = "one two three four five six seven eight nine ten"
+    val run = "a b c d e f g h"
+    val docs = Seq(
+      1L -> s"alpha beta $shared gamma delta",
+      2L -> s"epsilon $shared zeta",
+      3L -> "totally unrelated words with no duplication at all here",
+      4L -> s"start $run middle $run finish",
+      5L -> "tiny doc",
+      6L -> "",
+      7L -> s"$shared",
+      8L -> s"prefix $shared $shared suffix").toDF("id", "text")
+    def runMode(portable: Boolean) =
+      Dedup.removeRepeatedSpans(docs, "id", "text", l = 8, portableFingerprints = portable)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+        .toSet
+    assert(runMode(portable = true) == runMode(portable = false))
+  }
+
+  test("lm perplexity nll is clamped at zero (collision artifacts carry no signal)") {
+    import graft.functions.NgramLM
+    // tiny bucket table forces pair-bucket collisions: C2(pair)+1 can
+    // exceed C1(unigram)+m, which unclamped would go negative (and split
+    // Spark `div` from DuckDB `//` on the integer mean)
+    val seed = Seq((1L, "x y x y x y x y x y x y x y x y")).toDF("id", "text")
+    val docs = Seq((10L, "x y"), (11L, "x y x y x y")).toDF("id", "text")
+    val out = NgramLM.perplexity(docs, col("text"), seed, col("text"), numBuckets = 2)
+      .collect().map(r => (r.getAs[Long]("nll_micro"), r.getAs[Long]("ppl_micro")))
+    assert(out.forall { case (nll, ppl) => nll >= 0L && ppl >= 0L && ppl <= nll })
+  }
+
   test("bm25: more distinct query-term hits outrank fewer; scores deterministic") {
     val docs = Seq(
       (1L, "spark shuffle join merge spark"),

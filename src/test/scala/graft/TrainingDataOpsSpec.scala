@@ -160,6 +160,37 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("embedding LSH: hot bucket is capped, exact-copy star recovers recall 1.0") {
+    // degenerate corpus: 60 IDENTICAL embeddings (one exact-duplicate
+    // cluster — the dedup target) collapse into one hyperplane bucket.
+    // Uncapped, the self-join is 60²; with maxBucketSize=10 the bucket is
+    // dropped from the join and the linear exact-copy star pass recovers
+    // every (head → member) pair.
+    val hot = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
+    val other1 = Array.tabulate(16)(i => math.cos(5 * i + 2).toFloat)
+    val other2 = Array.tabulate(16)(i => math.sin(9 * i + 4).toFloat * (if (i % 2 == 0) 1 else -1))
+    val df = ((1L to 60L).map(i => (i, hot.toSeq)) ++
+      Seq((100L, other1.toSeq), (101L, other2.toSeq))).toDF("id", "emb")
+    val pairs = Dedup.embeddingNearDupPairs(df, "id", "emb", dim = 16, numPlanes = 8,
+        threshold = 0.95, maxBucketSize = 10)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (2L to 60L).map(j => (1L, j)).toSet
+    assert(pairs == expected, s"star must recover exactly the exact-copy pairs, got ${pairs.size}")
+    // exhaustive pipelines can demand a loud failure instead of the cap
+    val e = intercept[IllegalStateException] {
+      Dedup.embeddingNearDupPairs(df, "id", "emb", dim = 16, numPlanes = 8,
+        threshold = 0.95, maxBucketSize = 10, failOnCappedBuckets = true).collect()
+    }
+    assert(e.getMessage.contains("maxBucketSize"))
+    // no hot bucket → the cap changes nothing vs the uncapped r11 output
+    val small = Seq((1L, hot.toSeq), (2L, hot.map(v => v * 1.001f).toSeq),
+      (3L, other1.toSeq)).toDF("id", "emb")
+    val capped = Dedup.embeddingNearDupPairs(small, "id", "emb", dim = 16, numPlanes = 8,
+        threshold = 0.99, maxBucketSize = 10)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)))
+  }
+
   test("lsh top-k recall vs brute force on identical-direction vectors") {
     val rnd = new scala.util.Random(7)
     val corpus = (1L to 200L).map(i => (i, Array.fill(32)(rnd.nextGaussian().toFloat).toSeq))
