@@ -276,6 +276,16 @@ case class VersionedTableDataObject(id: String, path: String,
       else d.withColumn(c, expr(g))
     }
 
+  /** Drop-and-regenerate every generated column PRESENT in `df` from its
+    * expression — the post-image rule shared by UPDATE, UPDATE_DV and (since
+    * r13) both MERGE paths: a clause that changes a generated column's
+    * source column must flow through to the generated value, or the row
+    * commits contradicting its expression (and lands in the wrong
+    * partition). Idempotent for rows whose value already satisfies it. */
+  private def regenerate(df: DataFrame): DataFrame =
+    generatedColumns.foldLeft(df) { case (d, (c, g)) =>
+      if (d.columns.exists(_.equalsIgnoreCase(c))) d.withColumn(c, expr(g)) else d }
+
   /** row-level validation for generated columns the feed PROVIDED — rides
     * the same raise_error wrapper as CHECK constraints */
   private def generatedConstraints(df: DataFrame): Seq[graft.quality.Constraint] =
@@ -1445,6 +1455,13 @@ case class VersionedTableDataObject(id: String, path: String,
         "(the Delta GENERATED ALWAYS AS IDENTITY contract)")
     val df = applyGeneratedColumns(df0)
     val st0 = readState(None)
+    // a racing commit of the SAME (appId, txnVersion) can land between the
+    // entry check in mergeDataFrameIdempotent and this read: it is in st0's
+    // txnHw but INVISIBLE to the retry loop below (which only scans commits
+    // >= v). writeDataFrameTxn re-checks st.txnHw each attempt; merge must
+    // check the fresh head too or both merges land (r12 ADVICE).
+    if (txn.exists { case (app, tv) => st0.exists(_.txnHw.get(app).exists(_ >= tv)) })
+      return ActionMetrics(0, System.currentTimeMillis() - t0)
     if (st0.isEmpty) return writeDataFrameTxn(df0, Seq.empty, Some(SdlSaveMode.Overwrite), txn)
     guardColumnMappingFlag(st0)
     val live = st0.get.files
@@ -1496,13 +1513,19 @@ case class VersionedTableDataObject(id: String, path: String,
       // file rewrite. Unmatched rows of touched files stay live in place.
       if (deletionVectors)
         return mergeViaDv(st0.get, schema, feed, joinCols, options, touched,
-          bounds, feedHasNullKeys, mergeColMap, newAssigned, t0)
+          bounds, feedHasNullKeys, mergeColMap, newAssigned, txn, t0)
       // reading touched files THROUGH the active DVs: a rewrite must not
       // resurrect rows a deletion vector already removed
       val existingTouched =
         if (touched.nonEmpty) readFiles(touched, schemaOpt, liveStats, st0.get.dv, mergeColMap)
         else ctx.spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
-      val merged = MergeEmulation.computeMergedState(existingTouched, feed, joinCols, options)
+      // re-generate generated columns on the merged output + re-enforce
+      // CHECK constraints: update clauses can change a generated column's
+      // source or move rows out of a constraint (r12 ADVICE; the UPDATE
+      // path has always done both)
+      val merged = graft.quality.DataQualityValidation.applyConstraints(
+        regenerate(MergeEmulation.computeMergedState(existingTouched, feed, joinCols, options)),
+        constraints)
       val v = st0.get.version + 1
       val (added, stats) = stage(merged, v, mergeColMap)
       // optimistic commit: on losing the rename race, the merge is only
@@ -1687,8 +1710,7 @@ case class VersionedTableDataObject(id: String, path: String,
       }.toIndexedSeq: _*)
     // generated columns RE-GENERATE from the post-image (an updated source
     // column must flow through; idempotent for unhit rows)
-    val updatedG = generatedColumns.foldLeft(updated0) { case (d, (c, g)) =>
-      if (d.columns.exists(_.equalsIgnoreCase(c))) d.withColumn(c, expr(g)) else d }
+    val updatedG = regenerate(updated0)
     // an UPDATE can move rows OUT of a CHECK constraint — enforce on the
     // rewrite like Delta does
     val updated = graft.quality.DataQualityValidation.applyConstraints(updatedG, constraints)
@@ -1724,9 +1746,8 @@ case class VersionedTableDataObject(id: String, path: String,
           case None => col(s"`${f.name}`")
         }
       }.toIndexedSeq: _*)
-      val rewrittenG = generatedColumns.foldLeft(rewritten0) { case (d, (c, g)) =>
-        if (d.columns.exists(_.equalsIgnoreCase(c))) d.withColumn(c, expr(g)) else d }
-      val rewritten = graft.quality.DataQualityValidation.applyConstraints(rewrittenG, constraints)
+      val rewritten = graft.quality.DataQualityValidation.applyConstraints(
+        regenerate(rewritten0), constraints)
       val name = f"v$v%08d-${java.util.UUID.randomUUID.toString.take(8)}"
       tombstones.write.mode(SaveMode.ErrorIfExists).parquet(dvPath(name).toString)
       val nMatched = ctx.spark.read.schema(dvSchema).parquet(dvPath(name).toString).count()
@@ -1773,16 +1794,26 @@ case class VersionedTableDataObject(id: String, path: String,
     * list. Fresh-schema union per attempt. On conflict or exhaustion the
     * staged dv dir is deleted (cheap to recompute) and the conflict
     * surfaced; staged data files are left for vacuum's orphan sweep, like
-    * the copy-on-write paths. */
+    * the copy-on-write paths.
+    *
+    * `txn` (MERGE_DV under mergeDataFrameIdempotent): the commit records
+    * the (appId, txnVersion) mark so lastTxnVersion advances — without it
+    * every foreachBatch replay re-applies the merge (the r12 high ADVICE).
+    * A racing retry of the SAME transaction seen in the retry loop means
+    * this commit must NOT also land: the staged dv dir is deleted and −1
+    * returned (the idempotent-skip sentinel; data files orphan to vacuum,
+    * same as the copy-on-write merge loop). */
   private def dvCommitLoop(v0: Int, added: Seq[String], stats: Map[String, FileStat],
                            baseDv: Seq[String], dvName: Option[String], schema: StructType,
                            opTag: String, touched: Seq[String],
                            extraConflict: Seq[Commit] => Boolean = _ => false,
                            baseColMap: Map[String, String] = Map.empty,
-                           newAssigned: Map[String, String] = Map.empty)
+                           newAssigned: Map[String, String] = Map.empty,
+                           txn: Option[(String, Long)] = None)
                           (implicit ctx: ActionPipelineContext): Int = {
     val touchedSet = touched.toSet
     val dvSet = dvName.fold(baseDv)(baseDv :+ _)
+    val txnCommit = txn.map { case (app, tv) => Map(app -> tv) }
     // colMapSet only when this DML introduced columns — otherwise INHERIT,
     // so a concurrent rename's map is never clobbered by an absolute set
     def cmFor(base: Map[String, String]): Option[Map[String, String]] =
@@ -1795,11 +1826,22 @@ case class VersionedTableDataObject(id: String, path: String,
     var attempt = 0
     dmlRaceHook()
     var done = tryCommit(Commit(commitV, added, Seq.empty, Some(schema.toDDL), stats,
-      op = opTag, dvSet = Some(dvSet), colMapSet = cmFor(baseColMap)))
+      op = opTag, dvSet = Some(dvSet), colMapSet = cmFor(baseColMap), txnSet = txnCommit))
     while (!done) {
       attempt += 1
       val fresh = listLog._1
       val concurrent = fresh.filter(_ >= v0).map(parseCommit)
+      // idempotency FIRST (before any conflict fail — the racing commit of
+      // the same transaction typically carries its own dvSet, which would
+      // otherwise surface as a conflict error instead of a clean skip): a
+      // retry of the SAME (appId, txnVersion) landed, so this commit must
+      // not double-apply
+      txn.foreach { case (app, tv) =>
+        if (concurrent.exists(_.txnSet.exists(_.get(app).exists(_ >= tv)))) {
+          dvName.foreach(n => fs.delete(dvPath(n), true))
+          return -1
+        }
+      }
       // staged files bind schema columns to (baseColMap ++ newAssigned)'s
       // physical names; concurrent column DDL touching one of them would
       // publish an all-NULL column (same rule as mergeConflicts)
@@ -1813,7 +1855,7 @@ case class VersionedTableDataObject(id: String, path: String,
       if (attempt >= 20) fail(s"$opTag commit contention — $attempt attempts lost the rename race")
       commitV = fresh.max + 1
       done = tryCommit(Commit(commitV, added, Seq.empty, Some(unionWithFresh(schema)), stats,
-        op = opTag, dvSet = Some(dvSet), colMapSet = cmFor(freshColMap())))
+        op = opTag, dvSet = Some(dvSet), colMapSet = cmFor(freshColMap()), txnSet = txnCommit))
     }
     commitV
   }
@@ -1902,7 +1944,8 @@ case class VersionedTableDataObject(id: String, path: String,
                          joinCols: Seq[String], options: SaveModeMergeOptions,
                          touched: Seq[String], bounds: Map[String, (String, String)],
                          feedHasNullKeys: Boolean, colMap: Map[String, String],
-                         newAssigned: Map[String, String], t0: Long)
+                         newAssigned: Map[String, String], txn: Option[(String, Long)],
+                         t0: Long)
                         (implicit ctx: ActionPipelineContext): ActionMetrics = {
     val v = st0.version + 1
     val existingTagged =
@@ -1914,8 +1957,13 @@ case class VersionedTableDataObject(id: String, path: String,
       }
     val (tombstones, additions0) = MergeEmulation.computeMergeOps(
       existingTagged, feed, joinCols, options)
+    // update clauses can change a generated column's SOURCE column —
+    // re-generate on the merge output (the UPDATE-path rule; Delta
+    // recomputes on MERGE too), then re-enforce CHECK constraints, which an
+    // update clause can likewise move rows out of (r12 ADVICE)
     val additions = graft.quality.DataQualityValidation.applyConstraints(
-      additions0.select(schema.fieldNames.map(c => col(s"`$c`")).toIndexedSeq: _*), constraints)
+      regenerate(additions0.select(schema.fieldNames.map(c => col(s"`$c`")).toIndexedSeq: _*)),
+      constraints)
     val name = f"v$v%08d-${java.util.UUID.randomUUID.toString.take(8)}"
     tombstones.write.mode(SaveMode.ErrorIfExists).parquet(dvPath(name).toString)
     val nTombstoned = ctx.spark.read.schema(dvSchema).parquet(dvPath(name).toString).count()
@@ -1938,7 +1986,10 @@ case class VersionedTableDataObject(id: String, path: String,
           pruneByKeyBounds(newFiles, newStats, schema, joinCols, bounds,
             feedHasNullKeys, colMap).nonEmpty
       },
-      baseColMap = st0.colMap, newAssigned = newAssigned)
+      baseColMap = st0.colMap, newAssigned = newAssigned, txn = txn)
+    // −1 = a racing retry of the same transaction already landed: data is
+    // exactly-once, nothing to CDC-materialize here
+    if (commitV < 0) return ActionMetrics(0, System.currentTimeMillis() - t0)
     writeCdcCommit(commitV)
     ActionMetrics(rowsOf(stats), System.currentTimeMillis() - t0)
   }

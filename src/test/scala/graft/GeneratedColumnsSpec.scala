@@ -88,4 +88,22 @@ class GeneratedColumnsSpec extends AnyFunSuite {
       (r.getInt(0), r.getString(1))).toSet ==
       Set((1, "big"), (2, "big"), (3, "small")))
   }
+
+  test("merge update clause limited to the source column still regenerates (CoW and DV)") {
+    // the r12 ADVICE defect: updateColumns = Seq("n") changes the
+    // generated column's SOURCE but not the generated value — without
+    // post-merge regeneration the row commits bucket='small' with n=900
+    // (contradicting its expression, in the wrong partition)
+    for (dv <- Seq(false, true)) {
+      val dir = Files.createTempDirectory(s"graft-gen5-$dv").toString
+      val t = table(dir, dv)
+      t.writeDataFrame(Seq((1, 10L), (2, 500L)).toDF("k", "n"))
+      t.mergeDataFrame(Seq((1, 900L), (2, 5L)).toDF("k", "n"), Seq("k"),
+        SaveModeMergeOptions(updateColumns = Seq("n")))
+      assert(t.getDataFrame().select("k", "n", "bucket").collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getString(2))).toSet ==
+        Set((1, 900L, "big"), (2, 5L, "small")),
+        s"deletionVectors=$dv: generated column must follow the updated source")
+    }
+  }
 }

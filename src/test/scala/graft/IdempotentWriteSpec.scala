@@ -52,6 +52,52 @@ class IdempotentWriteSpec extends AnyFunSuite {
       == Set((1, 10), (2, 21), (3, 30)))
   }
 
+  test("idempotent merge on a deletionVectors table: replay skipped, txn mark advances") {
+    // r12 high ADVICE: mergeViaDv/dvCommitLoop never recorded txnSet, so
+    // lastTxnVersion never advanced and every foreachBatch replay
+    // re-applied the merge (duplicate CDC rows, re-applied clauses)
+    val dir = Files.createTempDirectory("graft-txn-dv").toString
+    val t = VersionedTableDataObject("txndv", s"$dir/t", primaryKey = Seq("k"),
+      deletionVectors = true, changeDataFeed = true)
+    t.mergeDataFrameIdempotent(Seq((1, 10), (2, 20)).toDF("k", "n"), Seq("k"), "st", 0L)
+    assert(t.lastTxnVersion("st").contains(0L),
+      "the DV-merge commit must record the transaction mark")
+    t.mergeDataFrameIdempotent(Seq((2, 21), (3, 30)).toDF("k", "n"), Seq("k"), "st", 1L)
+    assert(t.lastTxnVersion("st").contains(1L))
+    val v = t.latestVersion.get
+    // replay of batch 1: skipped entirely — no commit, no new CDC rows
+    val m = t.mergeDataFrameIdempotent(Seq((2, 99), (3, 99)).toDF("k", "n"), Seq("k"), "st", 1L)
+    assert(m.recordsWritten == 0 && t.latestVersion.get == v)
+    assert(t.getDataFrame().select("k", "n").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      == Set((1, 10), (2, 21), (3, 30)))
+    // CDC carries each change exactly once (no replay duplicates)
+    val cdc = t.changesBetween(0, Some(v))
+    assert(cdc.where(col("k") === 2 && col("_change_type") === "update_postimage").count() == 1,
+      "a replayed DV merge must not re-emit CDC rows")
+  }
+
+  test("racing retry of the same DV-merge transaction applies exactly once") {
+    val dir = Files.createTempDirectory("graft-txn-dv2").toString
+    val t = VersionedTableDataObject("txndv2", s"$dir/t", primaryKey = Seq("k"),
+      deletionVectors = true)
+    t.writeDataFrame(Seq((1, 0), (2, 0)).toDF("k", "n"))
+    val seedV = t.latestVersion.get
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = (1 to 4).map(_ => Future {
+      t.mergeDataFrameIdempotent(Seq((1, 7)).toDF("k", "n"), Seq("k"), "race", 3L)
+        .recordsWritten
+    })
+    val written = Await.result(Future.sequence(fs), 120.seconds)
+    assert(written.count(_ > 0) <= 1, s"at most one racer may land: $written")
+    assert(t.latestVersion.get == seedV + 1,
+      "exactly ONE merge commit may land — losers must skip, not re-commit")
+    assert(t.lastTxnVersion("race").contains(3L))
+    assert(t.getDataFrame().select("k", "n").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      == Set((1, 7), (2, 0)))
+  }
+
   test("txn marks survive checkpoint replay and the vacuum rebase") {
     val dir = Files.createTempDirectory("graft-txn3").toString
     val t = VersionedTableDataObject("txn3", s"$dir/t", primaryKey = Seq("k"),
