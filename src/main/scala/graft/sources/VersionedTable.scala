@@ -851,18 +851,10 @@ case class VersionedTableDataObject(id: String, path: String,
   private def stagingKey(entry: String): String =
     StagingSuffix.findFirstIn(entry).getOrElse(entry)
 
-  /** Exclude the active deletion vectors from a scan. Two physical
-    * strategies, chosen by tombstone VOLUME (parquet bytes off one driver
-    * listing — no data job):
-    *  - small (≤ [[dvBroadcastMaxBytes]], the overwhelmingly common case
-    *    under periodic OPTIMIZE/materialization): tombstones collect once
-    *    into per-file sorted arrays, broadcast, and the exclusion is a
-    *    codegen'd SCAN-SIDE predicate ([[graft.plans.DvTombstoned]]) —
-    *    the Delta per-file-bitmap read shape; the scan never leaves
-    *    whole-stage codegen and no exchange is added;
-    *  - large: shuffle anti-join on (file, row_index) — correct at any
-    *    volume, the signal that materialization is overdue.
-    * Stale tombstones (files since rewritten) match nothing either way. */
+  /** Exclude the active deletion vectors from a scan — strategy selection
+    * in [[dvFilter]] (broadcast predicate / per-file sidecar scan /
+    * anti-join fallback). Stale tombstones (files since rewritten) match
+    * nothing under any strategy. */
   private def applyDv(df: DataFrame, dv: Seq[String])(implicit ctx: ActionPipelineContext): DataFrame =
     if (dv.isEmpty) df
     else {
@@ -872,9 +864,66 @@ case class VersionedTableDataObject(id: String, path: String,
         .select(cols.map(c => col(s"`$c`")): _*)
     }
 
-  /** broadcast-path size cap; above it reads take the anti-join */
+  /** broadcast-path size cap; above it reads take the per-file sidecar
+    * scan path (anti-join only when sidecars are missing) */
   private val dvBroadcastMaxBytes: Long =
     sys.props.get("graft.dv.broadcastMaxBytes").map(_.toLong).getOrElse(64L << 20)
+
+  /** Stage a tombstone SET under `_graft_dv/<name>`: the parquet dir
+    * (source of truth — exclusion dedup, CDC classification, REORG,
+    * anti-join fallback all read it) PLUS one `f-<md5(file)>.bin` sidecar
+    * of sorted positions PER SCANNED FILE — the public Delta per-file-DV
+    * layout (Delta writes one deletion-vector file per touched data file)
+    * that lets the above-threshold read path load only the bitmaps of the
+    * files a task actually scans. The sidecar pass is one extra job over
+    * the just-written tombstones, grouped by file (state bounded by the
+    * file's own row count — the same unit Delta's bitmaps are sized by).
+    * Returns the tombstone count; a zero-count dir is deleted. */
+  private def stageDvSet(name: String, tombstones: DataFrame)
+                        (implicit ctx: ActionPipelineContext): Long = {
+    tombstones.write.mode(SaveMode.ErrorIfExists).parquet(dvPath(name).toString)
+    val back = ctx.spark.read.schema(dvSchema).parquet(dvPath(name).toString)
+    val n = back.count()
+    if (n == 0) { fs.delete(dvPath(name), true); return 0L }
+    // underscore-prefixed subdir: invisible to Spark/parquet file listing,
+    // so the tombstone-parquet readers never trip over the sidecars
+    val dir = new Path(dvPath(name), "_sidecar").toString
+    val conf = new graft.plans.SerializableHadoopConf(ctx.spark.sparkContext.hadoopConfiguration)
+    back.groupBy("file").agg(sort_array(collect_list(col("row_index"))).as("ris"))
+      .foreachPartition { (it: Iterator[Row]) =>
+        it.foreach { r =>
+          val p = new Path(dir, graft.plans.DvSidecarCache.sidecarName(r.getString(0)))
+          val dos = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+            p.getFileSystem(conf.value).create(p, true), 1 << 16))
+          try r.getSeq[Long](1).foreach(dos.writeLong) finally dos.close()
+        }
+      }
+    n
+  }
+
+  /** One listStatus per active dv dir: (total parquet bytes, existing
+    * sidecar paths, whether EVERY dir is sidecar-covered). O(dirs) driver
+    * RPCs, no data job — the same cost class the threshold decision always
+    * paid. */
+  private def dvListing(dv: Seq[String])(implicit ctx: ActionPipelineContext)
+      : (Long, Set[String], Boolean) = {
+    var bytes = 0L
+    var covered = true
+    val sidecars = Set.newBuilder[String]
+    dv.foreach { n =>
+      try {
+        val st = fs.listStatus(dvPath(n))
+        bytes += st.filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+        val bin =
+          try fs.listStatus(new Path(dvPath(n), "_sidecar"))
+            .filter(_.getPath.getName.endsWith(".bin"))
+          catch { case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.FileStatus] }
+        if (bin.isEmpty) covered = false
+        sidecars ++= bin.map(_.getPath.toString)
+      } catch { case _: Exception => bytes = Long.MaxValue / 1024; covered = false }
+    }
+    (bytes, sidecars.result(), covered)
+  }
 
   /** per-dv-set broadcast cache: the set named by `dv` is IMMUTABLE (dirs
     * are writer-unique and never rewritten), so one collect per distinct
@@ -883,34 +932,49 @@ case class VersionedTableDataObject(id: String, path: String,
     new java.util.concurrent.ConcurrentHashMap[Seq[String],
       org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]]]()
 
-  private def dvBytes(dv: Seq[String])(implicit ctx: ActionPipelineContext): Long =
-    dv.map { n =>
-      try fs.listStatus(dvPath(n)).filter(_.getPath.getName.endsWith(".parquet"))
-        .map(_.getLen).sum
-      catch { case _: Exception => Long.MaxValue / 1024 } // unknown → anti-join
-    }.sum
-
+  /** Three physical strategies, chosen by tombstone VOLUME (one driver
+    * listing — no data job):
+    *  1. ≤ [[dvBroadcastMaxBytes]]: tombstones collect once into per-file
+    *     sorted arrays, broadcast, codegen'd scan-side predicate
+    *     ([[graft.plans.DvTombstoned]]) — cheapest, the common case under
+    *     periodic OPTIMIZE/materialization;
+    *  2. above it, sidecars present (every dir staged by [[stageDvSet]]):
+    *     the PER-FILE sidecar scan path ([[graft.plans.DvTombstonedScan]])
+    *     — each task lazily loads only its own file's tombstones, so the
+    *     predicate shape survives ANY tombstone volume (the Delta
+    *     scan-task bitmap application; closes the r12 64 MB cliff);
+    *  3. sidecars missing (foreign/legacy dv dirs only): shuffle
+    *     anti-join on (file, row_index) — correct at any volume. */
   private def dvFilter(tagged: DataFrame, dv: Seq[String])
-                      (implicit ctx: ActionPipelineContext): DataFrame =
-    if (dv.isEmpty) tagged
-    else if (dvBytes(dv) <= dvBroadcastMaxBytes) {
+                      (implicit ctx: ActionPipelineContext): DataFrame = {
+    if (dv.isEmpty) return tagged
+    def predicate(e: org.apache.spark.sql.catalyst.expressions.Expression): DataFrame =
+      tagged.where(!org.apache.spark.sql.graftshims.GraftSqlShims.column(e))
+    def relE = org.apache.spark.sql.graftshims.GraftSqlShims.expression(tagged("_graft_dv_rel"))
+    def riE = org.apache.spark.sql.graftshims.GraftSqlShims.expression(tagged("_graft_dv_ri"))
+    val (bytes, sidecars, covered) = dvListing(dv)
+    if (bytes <= dvBroadcastMaxBytes) {
       val bc = dvBroadcastCache.computeIfAbsent(dv, { _ =>
         val rows = readDvVersions(dv).collect()
         val byFile = rows.groupBy(_.getString(0))
           .map { case (f, rs) => f -> rs.map(_.getLong(1)).sorted.toArray }
         ctx.spark.sparkContext.broadcast(byFile)
       })
-      tagged.where(!org.apache.spark.sql.graftshims.GraftSqlShims.column(
-        graft.plans.DvTombstoned(
-          org.apache.spark.sql.graftshims.GraftSqlShims.expression(tagged("_graft_dv_rel")),
-          org.apache.spark.sql.graftshims.GraftSqlShims.expression(tagged("_graft_dv_ri")),
-          bc)))
+      predicate(graft.plans.DvTombstoned(relE, riE, bc))
+    } else if (covered) {
+      val present = ctx.spark.sparkContext.broadcast(sidecars)
+      // fs-qualified dirs: the presence set came from listStatus (qualified
+      // paths), so the per-row path construction must match scheme-for-scheme
+      predicate(graft.plans.DvTombstonedScan(relE, riE,
+        dv.map(n => fs.makeQualified(dvPath(n)).toString), present,
+        new graft.plans.SerializableHadoopConf(ctx.spark.sparkContext.hadoopConfiguration)))
     } else {
       val d = readDvVersions(dv)
       tagged.join(d,
         tagged("_graft_dv_rel") === d("file") && tagged("_graft_dv_ri") === d("row_index"),
         "left_anti")
     }
+  }
 
   /** the file set read with its table-relative path attached BELOW any DV
     * join — `input_file_name()` is single-source-only, so callers that
@@ -1644,9 +1708,8 @@ case class VersionedTableDataObject(id: String, path: String,
     // cleanup touch a winner's committed files; the commit references the
     // dir by NAME. Staged before the commit, like data files.
     val name = f"v$v%08d-${java.util.UUID.randomUUID.toString.take(8)}"
-    newTombstones.write.mode(SaveMode.ErrorIfExists).parquet(dvPath(name).toString)
-    val deleted = ctx.spark.read.schema(dvSchema).parquet(dvPath(name).toString).count()
-    if (deleted == 0) { fs.delete(dvPath(name), true); return 0L }
+    val deleted = stageDvSet(name, newTombstones)
+    if (deleted == 0) return 0L
     // retry-at-new-head loop: concurrent appends (WriteSerializable — rows
     // they add matching the predicate are NOT affected) and disjoint
     // commits are safe alongside; rewrites of a touched file or other
@@ -1749,9 +1812,8 @@ case class VersionedTableDataObject(id: String, path: String,
       val rewritten = graft.quality.DataQualityValidation.applyConstraints(
         regenerate(rewritten0), constraints)
       val name = f"v$v%08d-${java.util.UUID.randomUUID.toString.take(8)}"
-      tombstones.write.mode(SaveMode.ErrorIfExists).parquet(dvPath(name).toString)
-      val nMatched = ctx.spark.read.schema(dvSchema).parquet(dvPath(name).toString).count()
-      if (nMatched == 0) { fs.delete(dvPath(name), true); return 0L }
+      val nMatched = stageDvSet(name, tombstones)
+      if (nMatched == 0) return 0L
       val (added, stats) = stage(rewritten, v, st0.colMap)
       val commitV = dvCommitLoop(v, added, stats, st0.dv, Some(name),
         schema, "UPDATE_DV", touched)
@@ -1965,13 +2027,11 @@ case class VersionedTableDataObject(id: String, path: String,
       regenerate(additions0.select(schema.fieldNames.map(c => col(s"`$c`")).toIndexedSeq: _*)),
       constraints)
     val name = f"v$v%08d-${java.util.UUID.randomUUID.toString.take(8)}"
-    tombstones.write.mode(SaveMode.ErrorIfExists).parquet(dvPath(name).toString)
-    val nTombstoned = ctx.spark.read.schema(dvSchema).parquet(dvPath(name).toString).count()
+    val nTombstoned = stageDvSet(name, tombstones)
     val (added, stats) = stage(additions, v, colMap)
-    if (nTombstoned == 0 && added.isEmpty) { fs.delete(dvPath(name), true)
-      return ActionMetrics(0, System.currentTimeMillis() - t0) }
-    val dvName = if (nTombstoned == 0) { fs.delete(dvPath(name), true); None }
-                 else Some(name)
+    if (nTombstoned == 0 && added.isEmpty)
+      return ActionMetrics(0, System.currentTimeMillis() - t0)
+    val dvName = if (nTombstoned == 0) None else Some(name)
     // same retry semantics as the copy-on-write merge loop (a streaming
     // merge sink must survive a non-conflicting concurrent append or
     // maintenance commit): lost races retry at the new head unless the

@@ -396,12 +396,37 @@ class DeletionSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"broadcast DV path must not add a join:\n$plan")
     assert(plan.contains("dv_tombstoned") || plan.contains("DvTombstoned"))
-    // force the anti-join path on a FRESH instance (threshold is read at
-    // construction) — same result
+    // force the ABOVE-THRESHOLD path on a FRESH instance (threshold is
+    // read at construction): with sidecars staged (every dv write stages
+    // them) the read takes the per-file sidecar SCAN predicate — still no
+    // join at any tombstone volume (the r12 cliff fix)
     System.setProperty("graft.dv.broadcastMaxBytes", "0")
     try {
       val t2 = VersionedTableDataObject("dvp2", s"$dir/t", deletionVectors = true)
-      assert(t2.getDataFrame().select("k").as[Int].collect().toSet == expect)
+      val df2 = t2.getDataFrame()
+      assert(df2.select("k").as[Int].collect().toSet == expect)
+      val plan2 = df2.queryExecution.executedPlan.toString
+      assert(!plan2.contains("Join"),
+        s"sidecar DV path must not add a join:\n$plan2")
+      assert(plan2.contains("dv_tombstoned_scan"), s"expected sidecar predicate:\n$plan2")
+      // a SECOND delete layers a second dv version over the same file —
+      // the sidecar path must merge positions across versions
+      t2.deleteWhere("k % 7 = 0")
+      val expect2 = (1 to 50).filterNot(k => k % 5 == 0 || k % 7 == 0).toSet
+      assert(t2.getDataFrame().select("k").as[Int].collect().toSet == expect2)
+      // sidecars removed (legacy/foreign dv dirs) → anti-join fallback,
+      // same result
+      val fs = new org.apache.hadoop.fs.Path(s"$dir/t").getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val dvRoot = new org.apache.hadoop.fs.Path(s"$dir/t/_graft_dv")
+      fs.listStatus(dvRoot).foreach { d =>
+        fs.delete(new org.apache.hadoop.fs.Path(d.getPath, "_sidecar"), true)
+      }
+      val t3 = VersionedTableDataObject("dvp3", s"$dir/t", deletionVectors = true)
+      val df3 = t3.getDataFrame()
+      assert(df3.select("k").as[Int].collect().toSet == expect2)
+      assert(df3.queryExecution.executedPlan.toString.contains("Join"),
+        "without sidecars the above-threshold read must fall back to the anti-join")
     } finally System.clearProperty("graft.dv.broadcastMaxBytes")
   }
 
