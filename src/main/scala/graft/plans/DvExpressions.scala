@@ -148,8 +148,24 @@ case class DvTombstonedScan(file: Expression, rowIndex: Expression,
   override def nullable: Boolean = false
   override def prettyName: String = "dv_tombstoned_scan"
 
-  def contains(f: UTF8String, ri: Long): Boolean =
-    DvSidecarCache.tombstoned(dvDirs, present.value, f.toString, ri, conf.value)
+  // single-entry memo: a task reads ONE file split, so the rel repeats for
+  // millions of consecutive rows — resolve (md5 name + LRU lookup + load)
+  // only at file transitions and pay one byte-compare per row. Written as
+  // one immutable pair so a racing task sharing this deserialized instance
+  // can at worst overwrite it with another VALID entry (benign; the arrays
+  // are immutable). Measured: without the memo the per-row
+  // MessageDigest.getInstance + synchronized cache made this path slower
+  // than the anti-join it replaces (4.6 s vs 2.1 s on 2.7M rows).
+  @transient private var memo: (UTF8String, Array[Long]) = _
+
+  def contains(f: UTF8String, ri: Long): Boolean = {
+    var m = memo
+    if (m == null || !m._1.equals(f)) {
+      m = (f.clone(), DvSidecarCache.positions(dvDirs, present.value, f.toString, conf.value))
+      memo = m
+    }
+    m._2.length > 0 && java.util.Arrays.binarySearch(m._2, ri) >= 0
+  }
 
   override def nullSafeEval(f: Any, ri: Any): Any =
     contains(f.asInstanceOf[UTF8String], ri.asInstanceOf[Long])
