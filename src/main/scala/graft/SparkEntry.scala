@@ -3182,6 +3182,29 @@ object SparkEntry {
         docs.where(col("doc_id") % 3 =!= 0), col("text"),
         seed, col("text"), numBuckets = 4096)
         .select(col("doc_id"), col("n_bigrams"), col("nll_micro"), col("ppl_micro"))
+    }),
+
+    // CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): per
+    // language, tercile the corpus by LM perplexity — pure integer rank
+    // arithmetic over (ppl_micro, doc_id), replayed exactly by the oracle
+    "q129_ccnet_ppl_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val seed = docs.where(col("doc_id") % 3 === 0)
+      graft.functions.NgramLM.pplBuckets(
+        docs.where(col("doc_id") % 3 =!= 0), "doc_id", col("text"), "lang",
+        seed, col("text"), numBuckets = 4096)
+        .select(col("doc_id"), col("lang"), col("ppl_micro"), col("bucket"))
+    }),
+
+    // Soft dedup (SoftDeDup, He et al. 2024): inverse-multiplicity
+    // sampling weights instead of hard drops — same planted exact-copy
+    // corpus as q24, integer micro-weights
+    "q130_soft_dedup_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dups = docs.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      graft.functions.Dedup.duplicationWeights(docs.unionByName(dups), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_copies"), col("weight_e6"))
     })
   )
 
@@ -4937,6 +4960,76 @@ object SparkEntry {
         |  CAST(CASE WHEN base.n_bigrams > 0
         |       THEN GREATEST(COALESCE(e.s, 0), 0) // base.n_bigrams
         |       ELSE 0 END AS BIGINT) AS ppl_micro
-        |FROM base LEFT JOIN evid e USING (doc_id)""".stripMargin
+        |FROM base LEFT JOIN evid e USING (doc_id)""".stripMargin,
+
+    // q129: q128's perplexity replay + the CCNet tercile window — integer
+    // rank arithmetic (rn*3 <= n), ties broken by doc_id on both engines
+    "q129_ccnet_ppl_buckets" ->
+      """WITH tokd AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |c1 AS (
+        |  SELECT bucket, count(*) AS c FROM (
+        |    SELECT unnest(list_transform(t,
+        |      x -> CAST(('0x' || substring(md5(x),1,8)) AS BIGINT) % 4096)) AS bucket
+        |    FROM tokd WHERE doc_id % 3 = 0) GROUP BY 1),
+        |c2 AS (
+        |  SELECT bucket, count(*) AS c FROM (
+        |    SELECT unnest(list_transform(range(1, len(t)),
+        |      i -> CAST(('0x' || substring(md5(t[i] || ' ' || t[i+1]),1,8)) AS BIGINT) % 4096)) AS bucket
+        |    FROM tokd WHERE doc_id % 3 = 0) GROUP BY 1),
+        |lnprev AS (
+        |  SELECT r.range AS bucket,
+        |    CAST(floor(ln(CAST(COALESCE(c1.c,0) + 4096 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS m
+        |  FROM range(0, 4096) r LEFT JOIN c1 ON c1.bucket = r.range),
+        |lnpair AS (
+        |  SELECT r.range AS bucket,
+        |    CAST(floor(ln(CAST(COALESCE(c2.c,0) + 1 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS m
+        |  FROM range(0, 4096) r LEFT JOIN c2 ON c2.bucket = r.range),
+        |posl AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> {
+        |      'b1': CAST(('0x' || substring(md5(t[i]),1,8)) AS BIGINT) % 4096,
+        |      'b2': CAST(('0x' || substring(md5(t[i] || ' ' || t[i+1]),1,8)) AS BIGINT) % 4096 })) AS p
+        |  FROM tokd WHERE doc_id % 3 <> 0),
+        |evid AS (
+        |  SELECT doc_id, sum(lp.m - lq.m) AS s
+        |  FROM posl JOIN lnprev lp ON lp.bucket = posl.p.b1
+        |            JOIN lnpair lq ON lq.bucket = posl.p.b2
+        |  GROUP BY doc_id),
+        |scored AS (
+        |  SELECT tokd.doc_id, tokd.lang,
+        |    CAST(CASE WHEN len(t) - 1 > 0
+        |         THEN GREATEST(COALESCE(e.s, 0), 0) // (len(t) - 1)
+        |         ELSE 0 END AS BIGINT) AS ppl_micro
+        |  FROM tokd LEFT JOIN evid e USING (doc_id)
+        |  WHERE tokd.doc_id % 3 <> 0),
+        |ranked AS (
+        |  SELECT doc_id, lang, ppl_micro,
+        |    row_number() OVER (PARTITION BY lang ORDER BY ppl_micro, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM scored)
+        |SELECT doc_id, lang, ppl_micro,
+        |  CASE WHEN rn * 3 <= n THEN 'head'
+        |       WHEN rn * 3 <= n * 2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM ranked""".stripMargin,
+
+    // q130: q24's normalization + hash, joined back for per-row weights;
+    // floordiv on both engines (positive operands)
+    "q130_soft_dedup_weights" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0),
+        |normed AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'),
+        |      '\s+', ' ', 'g'))) AS ck
+        |  FROM corpus),
+        |counts AS (SELECT ck, count(*) AS n_copies FROM normed GROUP BY ck)
+        |SELECT doc_id, n_copies,
+        |  CAST(1000000 // n_copies AS BIGINT) AS weight_e6
+        |FROM normed JOIN counts USING (ck)""".stripMargin
   )
 }

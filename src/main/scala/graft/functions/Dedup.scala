@@ -33,6 +33,29 @@ object Dedup {
     df.groupBy(contentHash(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
+  /** SOFT dedup — weight instead of drop (SoftDeDup, He et al. 2024,
+    * arXiv:2407.06654: hard-dropping duplicates discards signal; a
+    * sampling weight of 1/multiplicity gives each unique CONTENT equal
+    * total mass while keeping every row available to the sampler). Each
+    * document gets its exact-duplicate group size and the integer
+    * micro-weight floor(1e6 / n_copies) — integer so any engine replays
+    * the value bit-for-bit.
+    *
+    * Scale shape: the text column never shuffles — only (id, 128-bit
+    * content hash) does, through one map-side-combined groupBy and one
+    * join back on the hash. The count side is content-cardinality sized
+    * (unbounded at web scale), so the join carries NO broadcast hint: AQE
+    * broadcasts when it fits, sort-merge otherwise.
+    *
+    * @return (id, n_copies, weight_e6) */
+  def duplicationWeights(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = df.select(col(idCol).as("id"), contentHash(col(textCol)).as("_ck"))
+    val counts = hashed.groupBy(col("_ck")).agg(count(lit(1)).as("n_copies"))
+    hashed.join(counts, "_ck")
+      .select(col("id"), col("n_copies"),
+        expr("1000000 div n_copies").cast(LongType).as("weight_e6"))
+  }
+
   /** distinct hashes of character `n`-gram shingles — per-row, no shuffle;
     * native one-pass expression (sorted-distinct; all downstream consumers
     * are order-invariant) */

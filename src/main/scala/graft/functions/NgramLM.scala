@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -98,5 +99,48 @@ object NgramLM {
         when(col("n_bigrams") > 0, expr("nll_micro div n_bigrams"))
           .otherwise(lit(0L)).cast(LongType))
       .drop("_graft_lm")
+  }
+
+  /** CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3: rank each
+    * language's documents by LM perplexity, keep the lowest-perplexity
+    * "head" tercile as the high-quality slice). Appends `bucket`
+    * ('head'|'middle'|'tail') to [[perplexity]]'s output. The cut is pure
+    * integer arithmetic over (ppl_micro, id) ranks — a deterministic
+    * function of the corpus, replayed exactly by any engine.
+    *
+    * Scale shape: ONE shuffle — the per-language window (hash partition
+    * by lang + in-partition spill-backed sort). Fine while each language
+    * fits a sort budget; for a web-scale single language use the CCNet
+    * production recipe instead: compute the two cutoff VALUES on a sample
+    * of [[perplexity]] output, then assign with the zero-shuffle
+    * [[assignByPplCutoffs]]. */
+  def pplBuckets(docs: DataFrame, idCol: String, text: Column, langCol: String,
+                 seed: DataFrame, seedText: Column,
+                 numBuckets: Int = 4096): DataFrame = {
+    val scored = perplexity(docs, text, seed, seedText, numBuckets)
+    val byLang = Window.partitionBy(col(langCol))
+    val rn = row_number().over(byLang.orderBy(col("ppl_micro"), col(idCol)))
+    val n = count(lit(1)).over(byLang)
+    scored.withColumn("bucket",
+      when(rn * 3 <= n, lit("head"))
+        .when(rn * 3 <= n * 2, lit("middle"))
+        .otherwise(lit("tail")))
+  }
+
+  /** The zero-shuffle CCNet assignment: given per-language cutoffs
+    * (headMax, middleMax) — typically trained once on a sample — bucket
+    * every scored document with a broadcast lookup. Unknown languages
+    * fall to 'tail' (the conservative CCNet default: unscorable = drop). */
+  def assignByPplCutoffs(scored: DataFrame, langCol: String,
+                         cutoffs: Map[String, (Long, Long)]): DataFrame = {
+    val rows = cutoffs.toSeq.map { case (l, (h, m)) => (l, h, m) }
+    val cutDf = broadcast(scored.sparkSession.createDataFrame(rows)
+      .toDF(langCol, "_head_max", "_mid_max"))
+    scored.join(cutDf, Seq(langCol), "left")
+      .withColumn("bucket",
+        when(col("ppl_micro") <= col("_head_max"), lit("head"))
+          .when(col("ppl_micro") <= col("_mid_max"), lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("_head_max", "_mid_max")
   }
 }

@@ -144,6 +144,56 @@ class RetrievalSpec extends AnyFunSuite {
     assert(run() == out) // bit-identical rerun (integer evidence)
   }
 
+  test("ccnet ppl buckets: per-language terciles; cutoff assignment matches the exact split") {
+    import graft.functions.NgramLM
+    val seed = Seq((1L, "the cat sat on the mat"), (2L, "the dog sat on the rug")).toDF("id", "text")
+    // 6 docs per language with distinct perplexities → clean 2/2/2 terciles
+    val docs = (10L to 15L).map(i =>
+        (i, "en", "the cat sat " + ("zz qq " * (i - 9).toInt).trim)) ++
+      (20L to 25L).map(i =>
+        (i, "de", "the dog sat " + ("ww ee " * (i - 19).toInt).trim))
+    val df = docs.toDF("id", "lang", "text")
+    val out = NgramLM.pplBuckets(df, "id", col("text"), "lang", seed, col("text"), numBuckets = 512)
+    val got = out.collect().map(r => r.getAs[Long]("id") ->
+      (r.getAs[String]("lang"), r.getAs[Long]("ppl_micro"), r.getAs[String]("bucket"))).toMap
+    Seq("en", "de").foreach { l =>
+      val inLang = got.values.filter(_._1 == l).toSeq
+      assert(inLang.count(_._3 == "head") == 2 && inLang.count(_._3 == "middle") == 2 &&
+        inLang.count(_._3 == "tail") == 2, s"$l terciles: $inLang")
+      // head holds the LOWEST perplexities (most seed-like)
+      assert(inLang.filter(_._3 == "head").map(_._2).max <=
+        inLang.filter(_._3 == "tail").map(_._2).min)
+    }
+    // zero-shuffle cutoff assignment reproduces the exact split when the
+    // cutoffs are the exact tercile boundaries
+    val cutoffs = Seq("en", "de").map { l =>
+      val sorted = got.values.filter(_._1 == l).map(_._2).toSeq.sorted
+      l -> (sorted(1), sorted(3))
+    }.toMap
+    val scored = NgramLM.perplexity(df, col("text"), seed, col("text"), numBuckets = 512)
+    val byCut = NgramLM.assignByPplCutoffs(scored, "lang", cutoffs)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("bucket")).toMap
+    got.foreach { case (id, (_, _, b)) => assert(byCut(id) == b, s"doc $id: $b vs ${byCut(id)}") }
+    // unknown language falls to tail (the conservative CCNet default)
+    val stranger = NgramLM.assignByPplCutoffs(
+      NgramLM.perplexity(Seq((9L, "fr", "le chat")).toDF("id", "lang", "text"),
+        col("text"), seed, col("text"), numBuckets = 512), "lang", cutoffs)
+    assert(stranger.collect().head.getAs[String]("bucket") == "tail")
+  }
+
+  test("soft dedup weights: inverse multiplicity over normalized content") {
+    val docs = Seq(
+      (1L, "Hello, World!"), (2L, "hello   world"), (3L, "hello world"),
+      (4L, "unique text here")).toDF("id", "text")
+    val got = Dedup.duplicationWeights(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == ((3L, 333333L)) && got(2L) == ((3L, 333333L)) && got(3L) == ((3L, 333333L)))
+    assert(got(4L) == ((1L, 1000000L)))
+    // weights of a duplicate group sum to ~1e6 (each unique content gets
+    // equal total mass — the SoftDeDup contract, up to floor loss)
+    assert(got.values.filter(_._1 == 3L).map(_._2).sum == 999999L)
+  }
+
   test("bm25: query terms absent from the corpus contribute nothing") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha delta")).toDF("doc_id", "text")
     val q = Seq((1, "alpha zzz_unseen")).toDF("qid", "qtext")
