@@ -3205,6 +3205,36 @@ object SparkEntry {
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
       graft.functions.Dedup.duplicationWeights(docs.unionByName(dups), "doc_id", "text")
         .select(col("id").as("doc_id"), col("n_copies"), col("weight_e6"))
+    }),
+
+    // Span-level decontamination: benchmark strings leaked verbatim into
+    // training docs are STRIPPED (not whole-doc-dropped); organic text
+    // survives. Both engines replay the same planting + window machinery.
+    "q131_decontaminate_spans" -> ((s, dir) => {
+      import s.implicits._
+      val bench = Seq(
+        (1, "what is the capital of france paris is the capital of france"),
+        (2, "the mitochondria is the powerhouse of the cell as everyone knows"))
+        .toDF("bid", "btext")
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" what is the capital of france paris is the capital of france")))
+          .when(col("doc_id") % 10 === 5,
+            concat(lit("the mitochondria is the powerhouse of the cell as everyone knows "), col("text")))
+          .otherwise(col("text")).as("text"))
+      graft.functions.Dedup.removeContaminatedSpans(
+        planted, "doc_id", "text", bench, "btext", l = 8)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_dup_windows"),
+          col("n_removed_tokens"), col("cleaned_text"))
+    }),
+
+    // Temperature-scaled domain mixing (mT5/XLM-R): p_d ∝ tokens_d^0.5,
+    // integer micro-rate keep decision — the frozen mix replays exactly
+    "q132_temperature_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.functions.Sampling.temperatureMix(docs, col("doc_id"), col("source"),
+        col("n_chars"), budgetTokens = 100000L, alpha = 0.5)
+        .select(col("doc_id"), col("source"), col("_mix_rate_e6"))
     })
   )
 
@@ -5030,6 +5060,72 @@ object SparkEntry {
         |counts AS (SELECT ck, count(*) AS n_copies FROM normed GROUP BY ck)
         |SELECT doc_id, n_copies,
         |  CAST(1000000 // n_copies AS BIGINT) AS weight_e6
-        |FROM normed JOIN counts USING (ck)""".stripMargin
+        |FROM normed JOIN counts USING (ck)""".stripMargin,
+
+    // q131: q123's window machinery, dup set = the BENCHMARK's windows
+    "q131_decontaminate_spans" ->
+      """WITH bench(btext) AS (VALUES
+        |    ('what is the capital of france paris is the capital of france'),
+        |    ('the mitochondria is the powerhouse of the cell as everyone knows')),
+        |planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0
+        |      THEN text || ' what is the capital of france paris is the capital of france'
+        |      WHEN doc_id % 10 = 5
+        |      THEN 'the mitochondria is the powerhouse of the cell as everyone knows ' || text
+        |      ELSE text END AS text
+        |  FROM documents),
+        |tokd AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+        |  FROM planted),
+        |btokd AS (
+        |  SELECT list_filter(regexp_split_to_array(btext, '\s+'), x -> x <> '') AS t
+        |  FROM bench),
+        |bwins AS (
+        |  SELECT DISTINCT
+        |    CAST(('0x' || substring(md5(array_to_string(t[pos+1:pos+8], ' ')), 1, 15)) AS BIGINT) AS h,
+        |    CAST(('0x' || substring(md5(array_to_string(t[pos+1:pos+8], ' ')), 16, 15)) AS BIGINT) AS h2
+        |  FROM btokd, LATERAL unnest(range(0, greatest(len(t) - 7, 0))) AS u(pos)),
+        |wins AS (
+        |  SELECT doc_id, CAST(pos AS INT) AS pos,
+        |    CAST(('0x' || substring(md5(array_to_string(t[pos+1:pos+8], ' ')), 1, 15)) AS BIGINT) AS h,
+        |    CAST(('0x' || substring(md5(array_to_string(t[pos+1:pos+8], ' ')), 16, 15)) AS BIGINT) AS h2
+        |  FROM tokd, LATERAL unnest(range(0, greatest(len(t) - 7, 0))) AS u(pos)),
+        |starts AS (
+        |  SELECT doc_id, list(pos ORDER BY pos) AS s
+        |  FROM wins JOIN bwins USING (h, h2) GROUP BY doc_id)
+        |SELECT tokd.doc_id,
+        |  CAST(len(t) AS INT) AS n_tokens,
+        |  CAST(COALESCE(len(s), 0) AS INT) AS n_dup_windows,
+        |  CAST(len(t) - len(kept) AS INT) AS n_removed_tokens,
+        |  COALESCE(array_to_string(list_transform(kept, j -> t[j+1]), ' '), '') AS cleaned_text
+        |FROM (
+        |  SELECT tokd.doc_id, t,
+        |    list_filter(range(0, len(t)), j ->
+        |      len(list_filter(COALESCE(s, []), x -> x <= j AND j < x + 8)) = 0) AS kept, s
+        |  FROM tokd LEFT JOIN starts ON tokd.doc_id = starts.doc_id) tokd""".stripMargin,
+
+    // q132: integer micro-unit weights/normalizer (order-free long sum; the
+    // libm pow is confined to per-domain quantization), exactly-rounded
+    // double ops downstream, integer keep compare
+    "q132_temperature_mix" ->
+      """WITH totals AS (
+        |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS t
+        |  FROM documents GROUP BY source),
+        |pw AS (
+        |  SELECT source, t,
+        |    CAST(floor(pow(CAST(t AS DOUBLE), 0.5) * 1000000.0 + 0.5) AS BIGINT) AS pw
+        |  FROM totals),
+        |rates AS (
+        |  SELECT source,
+        |    LEAST(1000000, CAST(floor(
+        |      floor(100000.0 * CAST(pw AS DOUBLE) / CAST(z AS DOUBLE))
+        |        * 1000000.0 / CAST(t AS DOUBLE)) AS BIGINT)) AS rate_e6
+        |  FROM (SELECT source, t, pw, sum(pw) OVER () AS z FROM pw))
+        |SELECT d.doc_id, d.source, r.rate_e6 AS _mix_rate_e6
+        |FROM documents d JOIN rates r USING (source)
+        |WHERE CAST(floor((CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |        / 4294967296.0) * 1000000.0) AS BIGINT) < r.rate_e6""".stripMargin
   )
 }

@@ -844,27 +844,9 @@ object Dedup {
                           l: Int = 8, persist: Boolean = true,
                           portableFingerprints: Boolean = true): DataFrame = {
     require(l >= 2, "window length l must be ≥ 2")
-    val toksCol = TextAnalysis.wsTokens(col(textCol))
-    val base = df.select(col(idCol).as("id"), toksCol.as("toks"))
-    val eligible = base.where(size(col("toks")) >= l)
-    // (id, pos, h, h2): 0-based window start + the two fingerprint halves.
-    // Both halves project BEFORE the groupBy shuffle — only 16 bytes of
-    // fingerprint per window ever cross the wire.
-    val exploded =
-      if (portableFingerprints)
-        eligible
-          .select(col("id"), posexplode(transform(
-            sequence(lit(1), size(col("toks")) - (l - 1)),
-            i => md5(concat_ws(" ", slice(col("toks"), i, lit(l)))))).as(Seq("pos", "m")))
-          .select(col("id"), col("pos"),
-            conv(substring(col("m"), 1, 15), 16, 10).cast(LongType).as("h"),
-            conv(substring(col("m"), 16, 15), 16, 10).cast(LongType).as("h2"))
-      else
-        eligible
-          .select(col("id"), posexplode(graft.plans.SignatureExpressions
-            .windowFingerprints(col("toks"), l)).as(Seq("pos", "f")))
-          .select(col("id"), col("pos"),
-            col("f.h1").as("h"), col("f.h2").as("h2"))
+    val base = df.select(col(idCol).as("id"),
+      TextAnalysis.wsTokens(col(textCol)).as("toks"))
+    val exploded = windowFps(base, l, portableFingerprints)
     val windows =
       if (persist) exploded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else exploded
@@ -875,7 +857,74 @@ object Dedup {
       .join(counts.where(col("c") > 1).select(col("h"), col("h2")), Seq("h", "h2"))
       .groupBy(col("id"))
       .agg(sort_array(collect_list(col("pos"))).as("starts"))
-    base.join(dupStarts, Seq("id"), "left")
+    rebuildWithoutSpans(base, dupStarts, l)
+  }
+
+  /** Span-level DECONTAMINATION — the ExactSubstr machinery pointed at an
+    * EVAL SET: every `l`-token corpus window that appears ANYWHERE in the
+    * benchmark marks its span for removal, so eval strings are stripped
+    * from the training text instead of dropping whole documents (the
+    * surgical alternative to [[Decontamination]]'s doc-level flagging —
+    * what PaLM/GPT-3 style dedup-against-eval does for verbatim leaks).
+    *
+    * Scale shape: corpus windows are the same one map-only explode as
+    * [[removeRepeatedSpans]]; the BENCHMARK side reduces to its distinct
+    * window fingerprints — bounded by the eval set's size by
+    * construction, hence a legal forced broadcast (the same bound
+    * argument as Decontamination) — so the mark step is a broadcast
+    * semi-join, no corpus shuffle at all; the only corpus-keyed shuffle
+    * is the per-doc starts aggregation. Same 120-bit fingerprints and
+    * portable/kernel modes as [[removeRepeatedSpans]].
+    *
+    * @return (id, n_tokens, n_dup_windows, n_removed_tokens, cleaned_text)
+    *         — n_dup_windows counts the CONTAMINATED windows */
+  def removeContaminatedSpans(df: DataFrame, idCol: String, textCol: String,
+                              benchmark: DataFrame, benchTextCol: String,
+                              l: Int = 8,
+                              portableFingerprints: Boolean = true): DataFrame = {
+    require(l >= 2, "window length l must be ≥ 2")
+    val base = df.select(col(idCol).as("id"),
+      TextAnalysis.wsTokens(col(textCol)).as("toks"))
+    val benchBase = benchmark.select(lit(0L).as("id"),
+      TextAnalysis.wsTokens(col(benchTextCol)).as("toks"))
+    val benchFps = windowFps(benchBase, l, portableFingerprints)
+      .select(col("h"), col("h2")).distinct()
+    val hitStarts = windowFps(base, l, portableFingerprints)
+      .join(broadcast(benchFps), Seq("h", "h2"), "left_semi")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    rebuildWithoutSpans(base, hitStarts, l)
+  }
+
+  /** (id, pos, h, h2) for every `l`-token window position of `base`
+    * (id, toks): 0-based start + the two 120-bit fingerprint halves. Both
+    * halves project BEFORE any shuffle — only 16 bytes of fingerprint per
+    * window ever cross the wire. Portable mode = two md5 halves of the
+    * window string (engine-replayable); kernel mode = the O(T)
+    * rolling-hash expression. */
+  private def windowFps(base: DataFrame, l: Int, portable: Boolean): DataFrame = {
+    val eligible = base.where(size(col("toks")) >= l)
+    if (portable)
+      eligible
+        .select(col("id"), posexplode(transform(
+          sequence(lit(1), size(col("toks")) - (l - 1)),
+          i => md5(concat_ws(" ", slice(col("toks"), i, lit(l)))))).as(Seq("pos", "m")))
+        .select(col("id"), col("pos"),
+          conv(substring(col("m"), 1, 15), 16, 10).cast(LongType).as("h"),
+          conv(substring(col("m"), 16, 15), 16, 10).cast(LongType).as("h2"))
+    else
+      eligible
+        .select(col("id"), posexplode(graft.plans.SignatureExpressions
+          .windowFingerprints(col("toks"), l)).as(Seq("pos", "f")))
+        .select(col("id"), col("pos"),
+          col("f.h1").as("h"), col("f.h2").as("h2"))
+  }
+
+  /** Rebuild each doc of `base` (id, toks) without the tokens covered by
+    * any [s, s+l) span of `starts` (per-doc sorted array; docs absent from
+    * `starts` pass through verbatim). */
+  private def rebuildWithoutSpans(base: DataFrame, starts: DataFrame, l: Int): DataFrame =
+    base.join(starts, Seq("id"), "left")
       .select(col("id"), col("toks"),
         coalesce(col("starts"), array().cast(ArrayType(IntegerType))).as("starts"))
       .select(
@@ -898,7 +947,6 @@ object Dedup {
         (col("n_tokens") - size(col("kept"))).as("n_removed_tokens"),
         concat_ws(" ", transform(col("kept"),
           j => element_at(col("toks"), j + 1))).as("cleaned_text"))
-  }
 
   /** Embedding near-duplicates: random-hyperplane LSH buckets → exact cosine
     * verification on candidates. Hyperplanes are deterministic (fixed seed).

@@ -84,6 +84,51 @@ object Sampling {
       .drop("_mix_stratum")
   }
 
+  /** Temperature-scaled domain mixing — the multilingual-pretraining
+    * recipe (mT5, Xue et al. 2021; XLM-R, Conneau et al. 2020): sample
+    * domain d with probability ∝ total_d^alpha, so low-resource domains
+    * are up-weighted relative to their raw share (alpha=1 → proportional,
+    * alpha→0 → uniform). Per-domain keep rate =
+    * min(1, floor(budget·p_d) / total_d), micro-quantized so the keep
+    * decision is an INTEGER compare — floor(u·1e6) < rate_e6 — and the
+    * frozen mix replays identically on any engine/partitioning (the pow()
+    * is confined to the #domains-row rate table, where a last-ulp libm
+    * difference can only move a rate by one micro-unit).
+    *
+    * Scale shape: one tiny (domain, Σtokens) aggregation; the rate table
+    * is #domains rows (an all-rows window over it costs nothing);
+    * broadcast join back; per-row integer compare. The corpus never
+    * shuffles. Returns survivors with `_mix_rate_e6` attached for audit. */
+  def temperatureMix(df: DataFrame, key: Column, stratum: Column,
+                     tokenCount: Column, budgetTokens: Long,
+                     alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1.0, s"alpha=$alpha must be in (0, 1]")
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val totals = df.groupBy(stratum.as("_mix_stratum"))
+      .agg(sum(tokenCount.cast(LongType)).as("_t"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val rates = totals
+      // pow() is libm (not exactly rounded) — quantize each domain's weight
+      // to integer micro-units BEFORE the normalizer sum, so _z is an
+      // order-free LONG sum (a windowed double sum's addition order is
+      // engine/implementation-defined and would break exact replay; the
+      // residual pow risk is confined to per-domain quantization boundaries)
+      .withColumn("_pw", floor(pow(col("_t").cast(DoubleType), lit(alpha))
+        * lit(1000000.0) + lit(0.5)).cast(LongType))
+      .withColumn("_z", sum(col("_pw")).over(all))
+      .withColumn("_target", floor(lit(budgetTokens.toDouble)
+        * col("_pw").cast(DoubleType) / col("_z").cast(DoubleType)))
+      .select(col("_mix_stratum"),
+        least(lit(1000000L), floor(col("_target") * lit(1000000.0)
+          / col("_t").cast(DoubleType)).cast(LongType)).as("_mix_rate_e6"))
+    // null-safe join, same contract as tokenBudgetMix
+    df.join(broadcast(rates), stratum <=> col("_mix_stratum"))
+      .where(floor(uniformHash(key) * lit(1000000.0)).cast(LongType) < col("_mix_rate_e6"))
+      .drop("_mix_stratum")
+  }
+
   /** Deterministic train/validation/test split label, derived from the key
     * hash: cumulative fraction thresholds over [[uniformHash]]. A pure
     * per-row expression (no shuffle, no state): the split is frozen by the

@@ -194,6 +194,52 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.values.filter(_._1 == 3L).map(_._2).sum == 999999L)
   }
 
+  test("span decontamination strips benchmark leaks; organic duplication is untouched") {
+    val leak = "question one two three four five six seven answer"
+    val organic = "repeat me repeat me repeat me repeat me please thanks"
+    val bench = Seq((1L, leak)).toDF("bid", "btext")
+    val docs = Seq(
+      1L -> s"intro $leak outro",       // leaked verbatim → stripped
+      2L -> s"alpha $organic beta",     // duplicated ACROSS docs but not in bench
+      3L -> s"gamma $organic delta",    //   → must survive (not dedup's job here)
+      4L -> "short doc").toDF("id", "text")
+    for (portable <- Seq(true, false)) {
+      val out = Dedup.removeContaminatedSpans(docs, "id", "text", bench, "btext",
+          l = 8, portableFingerprints = portable)
+        .collect().map(r => r.getLong(0) -> (r.getInt(3), r.getString(4))).toMap
+      assert(out(1L) == ((9, "intro outro")), s"portable=$portable: ${out(1L)}")
+      assert(out(2L)._1 == 0 && out(2L)._2.contains(organic))
+      assert(out(3L)._1 == 0)
+      assert(out(4L) == ((0, "short doc")))
+    }
+  }
+
+  test("temperature mix: integer rates, partitioning-invariant, alpha lifts low-resource domains") {
+    import graft.functions.Sampling
+    val docs = (1L to 900L).map(i => (i, "big", 100L)) ++
+      (1001L to 1100L).map(i => (i, "small", 100L))
+    val df = docs.toDF("id", "domain", "toks")
+    def ratesOf(d: org.apache.spark.sql.DataFrame, alpha: Double) =
+      Sampling.temperatureMix(d, col("id"), col("domain"), col("toks"),
+          budgetTokens = 50000L, alpha = alpha)
+        .select("domain", "_mix_rate_e6").distinct()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val r1 = ratesOf(df, 1.0)
+    val r5 = ratesOf(df, 0.5)
+    // alpha=1: proportional — both domains get the same keep rate
+    assert(r1("big") == r1("small"))
+    // alpha=0.5: the small domain's share rises, the big one's falls
+    assert(r5("small") > r1("small") && r5("big") < r1("big"))
+    // the survivor SET is a pure function of the data — identical under
+    // any partitioning (the frozen-mix contract)
+    val a = Sampling.temperatureMix(df, col("id"), col("domain"), col("toks"), 50000L, 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureMix(df.repartition(7, col("toks")), col("id"), col("domain"),
+        col("toks"), 50000L, 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("bm25: query terms absent from the corpus contribute nothing") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha delta")).toDF("doc_id", "text")
     val q = Seq((1, "alpha zzz_unseen")).toDF("qid", "qtext")
