@@ -3235,6 +3235,38 @@ object SparkEntry {
       graft.functions.Sampling.temperatureMix(docs, col("doc_id"), col("source"),
         col("n_chars"), budgetTokens = 100000L, alpha = 0.5)
         .select(col("doc_id"), col("source"), col("_mix_rate_e6"))
+    }),
+
+    // FLAGSHIP COMPOSITION — the four-stage curation pipeline every
+    // training-data team runs, each stage a library operator, the WHOLE
+    // chain replayed in DuckDB: exact dedup (drop non-canonical copies) →
+    // token-bound quality gate → benchmark decontamination (doc-level
+    // drop) → DSIR top-k selection against a target slice. Composition is
+    // the point: results only hash-match if every stage's output feeds the
+    // next identically on both engines.
+    "q133_curation_pipeline" -> ((s, dir) => {
+      val docs0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs0.unionByName(docs0.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      // 1. exact dedup: canonical (min-id) survivor per normalized content
+      val canon = graft.functions.Dedup.exactDedup(corpus, "doc_id", "text")
+        .select(col("canonical_id").as("doc_id"))
+      val deduped = corpus.join(canon, Seq("doc_id"), "left_semi")
+      // 2. quality gate: whitespace-token bounds
+      val quality = deduped.where(
+        size(graft.functions.TextAnalysis.wsTokens(col("text"))).between(5, 10000))
+      // 3. decontaminate vs the benchmark slice (doc-level drop)
+      val bench = docs0.where(col("doc_id") % 13 === 1).select(col("text"))
+      val flagged = graft.functions.Decontamination.contaminationReport(
+        quality, "doc_id", "text", bench, "text", n = 5, minOverlap = 1)
+        .select(col("doc_id"))
+      val clean = quality.join(flagged, Seq("doc_id"), "left_anti")
+        .where(col("doc_id") % 10 =!= 0) // target slice is not selectable
+      // 4. DSIR: top-100 most target-like survivors
+      val target = docs0.where(col("doc_id") % 10 === 0)
+      graft.functions.ImportanceResampling.resampleTopK(
+        clean, target, col("doc_id"), col("text"), numBuckets = 256, k = 100)
+        .select(col("doc_id"), col("rank"), col("n_grams"), col("score"))
     })
   )
 
@@ -5126,6 +5158,95 @@ object SparkEntry {
         |SELECT d.doc_id, d.source, r.rate_e6 AS _mix_rate_e6
         |FROM documents d JOIN rates r USING (source)
         |WHERE CAST(floor((CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-        |        / 4294967296.0) * 1000000.0) AS BIGINT) < r.rate_e6""".stripMargin
+        |        / 4294967296.0) * 1000000.0) AS BIGINT) < r.rate_e6""".stripMargin,
+
+    // q133: the full four-stage curation chain replayed — q24's dedup,
+    // a token-bound gate, q38's decontamination, q120's DSIR — each CTE
+    // feeding the next exactly as the Spark stages do
+    "q133_curation_pipeline" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0),
+        |normed AS (
+        |  SELECT doc_id, text,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'),
+        |      '\s+', ' ', 'g'))) AS ck
+        |  FROM corpus),
+        |canon AS (SELECT min(doc_id) AS doc_id FROM normed GROUP BY ck),
+        |deduped AS (SELECT n.doc_id, n.text FROM normed n JOIN canon USING (doc_id)),
+        |quality AS (
+        |  SELECT doc_id, text FROM deduped
+        |  WHERE len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+        |    BETWEEN 5 AND 10000),
+        |normq AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'),
+        |      '\s+', ' ', 'g')) AS n
+        |  FROM quality),
+        |benchn AS (
+        |  SELECT trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'),
+        |      '\s+', ' ', 'g')) AS n
+        |  FROM documents WHERE doc_id % 13 = 1),
+        |qgrams AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(n, ' ')) - 4, 1) + 1),
+        |    i -> array_to_string(list_slice(string_split(n, ' '), i, i + 4), ' '))) AS ngs
+        |  FROM normq),
+        |bgrams AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(n, ' ')) - 4, 1) + 1),
+        |    i -> array_to_string(list_slice(string_split(n, ' '), i, i + 4), ' ')))) AS ng
+        |  FROM benchn),
+        |flagged AS (
+        |  SELECT DISTINCT doc_id
+        |  FROM (SELECT doc_id, unnest(ngs) AS ng FROM qgrams) x JOIN bgrams USING (ng)),
+        |clean AS (
+        |  SELECT doc_id, text FROM quality
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM flagged) AND doc_id % 10 <> 0),
+        |tokd AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM clean),
+        |ttokd AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |bucketed AS (
+        |  SELECT doc_id,
+        |    CAST(len(t || list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS INT) AS n_grams,
+        |    list_transform(t || list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]),
+        |      x -> CAST(('0x' || substring(md5(x), 1, 8)) AS BIGINT) % 256) AS b
+        |  FROM tokd),
+        |tbucketed AS (
+        |  SELECT list_transform(t || list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]),
+        |      x -> CAST(('0x' || substring(md5(x), 1, 8)) AS BIGINT) % 256) AS b
+        |  FROM ttokd),
+        |tcnt AS (
+        |  SELECT bucket, count(*) AS c FROM (SELECT unnest(b) AS bucket FROM tbucketed) GROUP BY 1),
+        |rcnt AS (
+        |  SELECT bucket, count(*) AS c FROM (SELECT unnest(b) AS bucket FROM bucketed) GROUP BY 1),
+        |tot AS (SELECT
+        |  (SELECT COALESCE(sum(c), 0) FROM tcnt) + 256 AS ntm,
+        |  (SELECT COALESCE(sum(c), 0) FROM rcnt) + 256 AS nrm),
+        |ratios AS (
+        |  SELECT r.range AS bucket,
+        |    (CAST(COALESCE(t.c, 0) + 1 AS DOUBLE) * CAST(tot.nrm AS DOUBLE)) /
+        |    (CAST(COALESCE(rc.c, 0) + 1 AS DOUBLE) * CAST(tot.ntm AS DOUBLE)) AS ratio
+        |  FROM range(0, 256) r
+        |  LEFT JOIN tcnt t ON t.bucket = r.range
+        |  LEFT JOIN rcnt rc ON rc.bucket = r.range, tot),
+        |terms AS (
+        |  SELECT doc_id, list(ratio ORDER BY ratio) AS l
+        |  FROM (SELECT doc_id, unnest(b) AS bucket FROM bucketed) x
+        |  JOIN ratios USING (bucket) GROUP BY doc_id),
+        |scoredocs AS (
+        |  SELECT bk.doc_id, bk.n_grams,
+        |    COALESCE(list_reduce(list_prepend(CAST(0 AS DOUBLE), tm.l), (a, x) -> a + x), 0.0) AS score
+        |  FROM bucketed bk LEFT JOIN terms tm ON bk.doc_id = tm.doc_id)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+        |  n_grams, score
+        |FROM scoredocs ORDER BY score DESC, doc_id LIMIT 100""".stripMargin
   )
 }
