@@ -430,6 +430,29 @@ class DeletionSpec extends AnyFunSuite {
     } finally System.clearProperty("graft.dv.broadcastMaxBytes")
   }
 
+  test("DV sidecar cache: reads stay correct under a tiny eviction budget") {
+    // byte-budgeted LRU: with a budget smaller than any loaded array the
+    // cache evicts constantly — every lookup re-reads its sidecar, results
+    // must be unchanged (eviction is a perf trade, never a correctness one)
+    val dir = Files.createTempDirectory("graft-dvc").toString
+    val t = VersionedTableDataObject("dvc", s"$dir/t", deletionVectors = true)
+    t.writeDataFrame((1 to 200).map(i => (i, s"v$i")).toDF("k", "v").repartition(8))
+    t.deleteWhere("k % 3 = 0")
+    t.deleteWhere("k % 7 = 1")
+    val expect = (1 to 200).filterNot(k => k % 3 == 0 || k % 7 == 1).toSet
+    System.setProperty("graft.dv.broadcastMaxBytes", "0")
+    System.setProperty("graft.dv.sidecarCacheBytes", "1")
+    try {
+      val t2 = VersionedTableDataObject("dvc2", s"$dir/t", deletionVectors = true)
+      val df = t2.getDataFrame()
+      assert(df.queryExecution.executedPlan.toString.contains("dv_tombstoned_scan"))
+      assert(df.select("k").as[Int].collect().toSet == expect)
+    } finally {
+      System.clearProperty("graft.dv.broadcastMaxBytes")
+      System.clearProperty("graft.dv.sidecarCacheBytes")
+    }
+  }
+
   test("DV state survives the checkpoint shadow") {
     val dir = Files.createTempDirectory("graft-dv").toString
     val t = VersionedTableDataObject("dv7", s"$dir/t", checkpointInterval = 2,
