@@ -3267,6 +3267,35 @@ object SparkEntry {
       graft.functions.ImportanceResampling.resampleTopK(
         clean, target, col("doc_id"), col("text"), numBuckets = 256, k = 100)
         .select(col("doc_id"), col("rank"), col("n_grams"), col("score"))
+    }),
+
+    // Fixed-length token chunking with overlap (the BERT/long-doc stride
+    // recipe): per-row explode, no shuffle; the last window is the first
+    // to reach the doc's end
+    "q134_token_chunking" -> ((s, dir) => {
+      graft.functions.Packing.chunkTokens(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        col("doc_id"), col("text"), maxLen = 32, overlap = 8)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens"), col("chunk_text"))
+    }),
+
+    // Incremental ExactSubstr: a DELTA batch cleaned against the corpus
+    // HISTORY's window-fingerprint store + itself — the corpus text is
+    // never re-read (the q51 signature-store design applied to span
+    // removal). A passage present in history is stripped from the delta.
+    "q135_incremental_span_removal" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val passage = " pack my box with five dozen liquor jugs tonight"
+      val hist = docs.where(col("doc_id") % 3 =!= 1).select(col("doc_id"),
+        when(col("doc_id") % 10 === 0, concat(col("text"), lit(passage)))
+          .otherwise(col("text")).as("text"))
+      val store = graft.functions.Dedup.spanFingerprintStore(hist, "doc_id", "text", l = 8)
+      val delta = docs.where(col("doc_id") % 3 === 1).select(col("doc_id"),
+        when(col("doc_id") % 9 === 1, concat(col("text"), lit(passage)))
+          .otherwise(col("text")).as("text"))
+      graft.functions.Dedup.removeRepeatedSpansIncremental(delta, "doc_id", "text", store, l = 8)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_dup_windows"),
+          col("n_removed_tokens"), col("cleaned_text"))
     })
   )
 
@@ -5247,6 +5276,74 @@ object SparkEntry {
         |SELECT doc_id,
         |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
         |  n_grams, score
-        |FROM scoredocs ORDER BY score DESC, doc_id LIMIT 100""".stripMargin
+        |FROM scoredocs ORDER BY score DESC, doc_id LIMIT 100""".stripMargin,
+
+    // q134: chunk count = max(1, ceil((n − maxLen)/stride) + 1) with
+    // maxLen=32, stride=24; inclusive-index slices on the DuckDB side
+    "q134_token_chunking" ->
+      """WITH tokd AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(0,
+        |      greatest(CAST(ceil(CAST(len(t) - 32 AS DOUBLE) / 24.0) AS BIGINT), 0) + 1)) AS i
+        |  FROM tokd WHERE len(t) > 0)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |  CAST(len(t[i*24 + 1 : i*24 + 32]) AS INT) AS chunk_tokens,
+        |  array_to_string(t[i*24 + 1 : i*24 + 32], ' ') AS chunk_text
+        |FROM idx""".stripMargin,
+
+    // q135: the q123 machinery with the dup set = delta counts + stored
+    // history counts (> 1), history never re-tokenized beyond its store CTE
+    "q135_incremental_span_removal" ->
+      """WITH hist AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0
+        |      THEN text || ' pack my box with five dozen liquor jugs tonight'
+        |      ELSE text END AS text
+        |  FROM documents WHERE doc_id % 3 <> 1),
+        |delta AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 9 = 1
+        |      THEN text || ' pack my box with five dozen liquor jugs tonight'
+        |      ELSE text END AS text
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |htok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+        |  FROM hist),
+        |store AS (
+        |  SELECT h, h2, count(*) AS c FROM (
+        |    SELECT
+        |      CAST(('0x' || substring(md5(array_to_string(t[pos+1:pos+8], ' ')), 1, 15)) AS BIGINT) AS h,
+        |      CAST(('0x' || substring(md5(array_to_string(t[pos+1:pos+8], ' ')), 16, 15)) AS BIGINT) AS h2
+        |    FROM htok, LATERAL unnest(range(0, greatest(len(t) - 7, 0))) AS u(pos))
+        |  GROUP BY h, h2),
+        |tokd AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+        |  FROM delta),
+        |wins AS (
+        |  SELECT doc_id, CAST(pos AS INT) AS pos,
+        |    CAST(('0x' || substring(md5(array_to_string(t[pos+1:pos+8], ' ')), 1, 15)) AS BIGINT) AS h,
+        |    CAST(('0x' || substring(md5(array_to_string(t[pos+1:pos+8], ' ')), 16, 15)) AS BIGINT) AS h2
+        |  FROM tokd, LATERAL unnest(range(0, greatest(len(t) - 7, 0))) AS u(pos)),
+        |dcnt AS (SELECT h, h2, count(*) AS dc FROM wins GROUP BY h, h2),
+        |dup AS (
+        |  SELECT d.h, d.h2 FROM dcnt d LEFT JOIN store s ON d.h = s.h AND d.h2 = s.h2
+        |  WHERE d.dc + COALESCE(s.c, 0) > 1),
+        |starts AS (
+        |  SELECT doc_id, list(pos ORDER BY pos) AS s
+        |  FROM wins JOIN dup USING (h, h2) GROUP BY doc_id)
+        |SELECT tokd.doc_id,
+        |  CAST(len(t) AS INT) AS n_tokens,
+        |  CAST(COALESCE(len(s), 0) AS INT) AS n_dup_windows,
+        |  CAST(len(t) - len(kept) AS INT) AS n_removed_tokens,
+        |  COALESCE(array_to_string(list_transform(kept, j -> t[j+1]), ' '), '') AS cleaned_text
+        |FROM (
+        |  SELECT tokd.doc_id, t,
+        |    list_filter(range(0, len(t)), j ->
+        |      len(list_filter(COALESCE(s, []), x -> x <= j AND j < x + 8)) = 0) AS kept, s
+        |  FROM tokd LEFT JOIN starts ON tokd.doc_id = starts.doc_id) tokd""".stripMargin
   )
 }

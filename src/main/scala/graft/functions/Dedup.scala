@@ -860,6 +860,55 @@ object Dedup {
     rebuildWithoutSpans(base, dupStarts, l)
   }
 
+  /** Window-fingerprint STORE for incremental ExactSubstr: one row per
+    * distinct 120-bit window fingerprint of the corpus processed so far,
+    * with its occurrence count — the cross-batch state
+    * [[removeRepeatedSpansIncremental]] joins new batches against (the
+    * [[minhashSignatures]]-store design applied to span removal: persist
+    * this frame — parquet, bucketed by (h, h2) — and the corpus text is
+    * never re-read). Size is O(distinct corpus windows), the same order as
+    * the corpus token stream. */
+  def spanFingerprintStore(df: DataFrame, idCol: String, textCol: String,
+                           l: Int = 8, portableFingerprints: Boolean = true): DataFrame = {
+    require(l >= 2, "window length l must be ≥ 2")
+    val base = df.select(col(idCol).as("id"),
+      TextAnalysis.wsTokens(col(textCol)).as("toks"))
+    windowFps(base, l, portableFingerprints)
+      .groupBy(col("h"), col("h2")).agg(count(lit(1)).as("c"))
+  }
+
+  /** Incremental repeated-span removal: clean a DELTA batch against the
+    * corpus HISTORY (a [[spanFingerprintStore]]) plus the delta itself — a
+    * window is duplicated iff its delta count + its stored count exceeds 1.
+    * The corpus is never re-read: the only history access is one join of
+    * the store against the delta's distinct fingerprints (AQE broadcasts
+    * the delta side when it fits; a bucketed store makes it a co-located
+    * join — never store×store, the q51 incremental-dedup discipline).
+    * Union [[spanFingerprintStore]] of the delta into the store afterwards
+    * (groupBy-sum on (h, h2)) for the next batch. Same output shape as
+    * [[removeRepeatedSpans]]. */
+  def removeRepeatedSpansIncremental(delta: DataFrame, idCol: String, textCol: String,
+                                     store: DataFrame, l: Int = 8,
+                                     persist: Boolean = true,
+                                     portableFingerprints: Boolean = true): DataFrame = {
+    require(l >= 2, "window length l must be ≥ 2")
+    val base = delta.select(col(idCol).as("id"),
+      TextAnalysis.wsTokens(col(textCol)).as("toks"))
+    val exploded = windowFps(base, l, portableFingerprints)
+    val windows =
+      if (persist) exploded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else exploded
+    val deltaCounts = windows.groupBy(col("h"), col("h2")).agg(count(lit(1)).as("_dc"))
+    val dup = deltaCounts
+      .join(store.select(col("h"), col("h2"), col("c").as("_sc")), Seq("h", "h2"), "left")
+      .where(col("_dc") + coalesce(col("_sc"), lit(0L)) > 1)
+      .select(col("h"), col("h2"))
+    val starts = windows.join(dup, Seq("h", "h2"), "left_semi")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    rebuildWithoutSpans(base, starts, l)
+  }
+
   /** Span-level DECONTAMINATION — the ExactSubstr machinery pointed at an
     * EVAL SET: every `l`-token corpus window that appears ANYWHERE in the
     * benchmark marks its span for removal, so eval strings are stripped

@@ -46,4 +46,37 @@ object Packing {
         floor(col("start_offset").cast(DoubleType) / lit(seqLen.toDouble)).cast(LongType))
       .withColumn("pack_offset", pmod(col("start_offset"), lit(seqLen.toLong)))
   }
+
+  /** Fixed-length token CHUNKING with overlap — the per-document half of
+    * pretraining data prep (split long documents into `maxLen`-token
+    * windows, consecutive windows sharing `overlap` tokens so no span of
+    * context is lost at a boundary; BERT/long-doc fine-tuning's standard
+    * stride recipe). One row per chunk: (…, chunk_idx, chunk_tokens,
+    * chunk_text). A pure per-row explode — no shuffle, no state; docs
+    * shorter than `maxLen` yield exactly one chunk, empty docs yield none.
+    * Chunk starts step by `maxLen − overlap`; a final short window is kept
+    * (its tail tokens appear nowhere else). */
+  def chunkTokens(df: DataFrame, id: Column, text: Column,
+                  maxLen: Int, overlap: Int = 0): DataFrame = {
+    require(maxLen > 0, "maxLen must be positive")
+    require(overlap >= 0 && overlap < maxLen, s"overlap=$overlap must be in [0, maxLen)")
+    val stride = maxLen - overlap
+    val toks = graft.functions.TextAnalysis.wsTokens(text)
+    // lambda-bind the token array (HOFs have no CSE — the ngramBuckets
+    // lesson). Chunk count = max(1, ceil((n − maxLen)/stride) + 1): the
+    // last window is the first one whose end reaches the document's end —
+    // no fully-redundant trailing window is emitted.
+    val chunks = element_at(transform(array(toks), t =>
+      when(size(t) > 0,
+        transform(sequence(lit(0), greatest(ceil((size(t) - lit(maxLen)).cast(DoubleType)
+            / lit(stride.toDouble)).cast(IntegerType), lit(0))),
+          i => struct((i * stride).as("start"),
+            slice(t, i * stride + 1, lit(maxLen)).as("toks"))))
+        .otherwise(array().cast(s"array<struct<start:int,toks:array<string>>>"))), 1)
+    df.withColumn("_graft_chunk", explode(chunks))
+      .withColumn("chunk_idx", (col("_graft_chunk.start") / stride).cast(IntegerType))
+      .withColumn("chunk_tokens", size(col("_graft_chunk.toks")))
+      .withColumn("chunk_text", concat_ws(" ", col("_graft_chunk.toks")))
+      .drop("_graft_chunk")
+  }
 }

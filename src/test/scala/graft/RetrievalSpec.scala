@@ -240,6 +240,48 @@ class RetrievalSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("token chunking: stride windows cover the doc, last window reaches the end") {
+    import graft.functions.Packing
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks
+      (2L, "a b c"),                                   // shorter than maxLen
+      (3L, "")).toDF("id", "text")                     // empty → no chunks
+    val out = Packing.chunkTokens(docs, col("id"), col("text"), maxLen = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("chunk_idx"),
+        r.getAs[Int]("chunk_tokens"), r.getAs[String]("chunk_text")))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._4).toSeq == Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(d1.forall(_._3 == 4))
+    // consecutive chunks share exactly `overlap` tokens
+    assert(d1(0)._4.split(" ").last == d1(1)._4.split(" ").head)
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, 3, "a b c")))
+    assert(!out.exists(_._1 == 3L))
+  }
+
+  test("incremental span removal: delta cleaned against the history store, corpus never re-read") {
+    val passage = "pack my box with five dozen liquor jugs" // 8 tokens
+    val hist = Seq((1L, s"history doc with $passage inside"),
+      (2L, "other history content entirely unrelated")).toDF("id", "text")
+    val store = Dedup.spanFingerprintStore(hist, "id", "text", l = 8)
+    val delta = Seq(
+      (10L, s"alpha $passage omega"),        // history dup → stripped
+      (11L, "fresh delta words never seen anywhere before today"),
+      (12L, "c d e f g h i j repeated"),     // within-delta dup (with 13)
+      (13L, "x c d e f g h i j")).toDF("id", "text")
+    val out = Dedup.removeRepeatedSpansIncremental(delta, "id", "text", store, l = 8)
+      .collect().map(r => r.getLong(0) -> (r.getInt(3), r.getString(4))).toMap
+    assert(out(10L) == ((8, "alpha omega")))
+    assert(out(11L)._1 == 0)
+    assert(out(12L)._1 == 8 && out(12L)._2 == "repeated")
+    assert(out(13L)._1 == 8 && out(13L)._2 == "x")
+    // store update for the next batch = groupBy-sum union, no text re-read
+    val updated = store.unionByName(Dedup.spanFingerprintStore(delta, "id", "text", l = 8))
+      .groupBy("h", "h2").agg(sum("c").as("c"))
+    assert(updated.agg(sum("c")).head.getLong(0) ==
+      store.agg(sum("c")).head.getLong(0) +
+        Dedup.spanFingerprintStore(delta, "id", "text", l = 8).agg(sum("c")).head.getLong(0))
+  }
+
   test("bm25: query terms absent from the corpus contribute nothing") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha delta")).toDF("doc_id", "text")
     val q = Seq((1, "alpha zzz_unseen")).toDF("qid", "qtext")
