@@ -3296,6 +3296,21 @@ object SparkEntry {
       graft.functions.Dedup.removeRepeatedSpansIncremental(delta, "doc_id", "text", store, l = 8)
         .select(col("id").as("doc_id"), col("n_tokens"), col("n_dup_windows"),
           col("n_removed_tokens"), col("cleaned_text"))
+    }),
+
+    // CCNet line-level dedup (Wenzek et al. 2020 §4.1): lines whose
+    // normalized hash repeats corpus-wide are boilerplate — dropped from
+    // every document; unique lines survive in place
+    "q136_line_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val synth = docs.select(col("doc_id"), concat_ws("\n",
+        lit("Cookie Policy: this site uses cookies."),
+        col("text"),
+        when(col("doc_id") % 4 === 0, lit("Subscribe to our newsletter!")),
+        concat(lit("unique footer "), col("doc_id"))).as("text"))
+      graft.functions.Dedup.removeDuplicatedLines(synth, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_lines"), col("n_removed_lines"),
+          col("cleaned_text"))
     })
   )
 
@@ -5344,6 +5359,32 @@ object SparkEntry {
         |  SELECT tokd.doc_id, t,
         |    list_filter(range(0, len(t)), j ->
         |      len(list_filter(COALESCE(s, []), x -> x <= j AND j < x + 8)) = 0) AS kept, s
-        |  FROM tokd LEFT JOIN starts ON tokd.doc_id = starts.doc_id) tokd""".stripMargin
+        |  FROM tokd LEFT JOIN starts ON tokd.doc_id = starts.doc_id) tokd""".stripMargin,
+
+    // q136: normalized line hashes counted corpus-wide; >1 = boilerplate
+    "q136_line_dedup" ->
+      """WITH synth AS (
+        |  SELECT doc_id, concat_ws(chr(10),
+        |    'Cookie Policy: this site uses cookies.',
+        |    text,
+        |    CASE WHEN doc_id % 4 = 0 THEN 'Subscribe to our newsletter!' END,
+        |    'unique footer ' || doc_id) AS s
+        |  FROM documents),
+        |ld AS (SELECT doc_id, string_split(s, chr(10)) AS l FROM synth),
+        |content AS (
+        |  SELECT doc_id, CAST(pos AS INT) AS pos, md5(lower(trim(l[pos+1]))) AS lh
+        |  FROM ld, LATERAL unnest(range(0, len(l))) AS u(pos)
+        |  WHERE trim(l[pos+1]) <> ''),
+        |hot AS (SELECT lh FROM content GROUP BY lh HAVING count(*) > 1),
+        |agg AS (
+        |  SELECT doc_id, list(pos ORDER BY pos) AS d
+        |  FROM content JOIN hot USING (lh) GROUP BY doc_id)
+        |SELECT ld.doc_id,
+        |  CAST(len(l) AS INT) AS n_lines,
+        |  CAST(COALESCE(len(d), 0) AS INT) AS n_removed_lines,
+        |  array_to_string(list_transform(
+        |    list_filter(range(0, len(l)), j -> NOT list_contains(COALESCE(d, []), j)),
+        |    j -> l[j+1]), chr(10)) AS cleaned_text
+        |FROM ld LEFT JOIN agg ON ld.doc_id = agg.doc_id""".stripMargin
   )
 }

@@ -860,6 +860,50 @@ object Dedup {
     rebuildWithoutSpans(base, dupStarts, l)
   }
 
+  /** Corpus-level LINE deduplication — CCNet's first cleaning stage
+    * (Wenzek et al. 2020 §4.1: hash every line, drop lines whose hash
+    * repeats across the corpus — kills boilerplate headers/nav/cookie
+    * banners before any model sees them). A line survives iff its
+    * normalized 128-bit hash occurs ≤ `maxOccurrences` times corpus-wide;
+    * empty/whitespace lines pass through untouched (they carry structure,
+    * not content).
+    *
+    * Scale shape: lines shuffle once as md5 hashes for the count (map-side
+    * combined), join back on the hash (AQE broadcasts the over-threshold
+    * hash list when small — the usual case: boilerplate is few DISTINCT
+    * lines), rebuild is per-row. Like the span remover, the only
+    * corpus-sized exchange is order |lines|.
+    *
+    * @return (id, n_lines, n_removed_lines, cleaned_text) */
+  def removeDuplicatedLines(df: DataFrame, idCol: String, textCol: String,
+                            maxOccurrences: Int = 1): DataFrame = {
+    require(maxOccurrences >= 1, "maxOccurrences must be ≥ 1")
+    val base = df.select(col(idCol).as("id"), split(col(textCol), "\n").as("lines"))
+    // (id, pos, hash) for CONTENT lines only; normalization = trim+lower
+    // (CCNet hashes normalized lines so trivial variants collapse)
+    val lineHash = (l: Column) => md5(lower(trim(l)))
+    val exploded = base
+      .select(col("id"), posexplode(col("lines")).as(Seq("pos", "line")))
+      .where(trim(col("line")) =!= "")
+      .select(col("id"), col("pos"), lineHash(col("line")).as("lh"))
+    val hot = exploded.groupBy(col("lh")).agg(count(lit(1)).as("c"))
+      .where(col("c") > maxOccurrences).select(col("lh"))
+    val dropPos = exploded.join(hot, Seq("lh"), "left_semi")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("pos"))).as("drops"))
+    base.join(dropPos, Seq("id"), "left")
+      .select(col("id"), col("lines"),
+        coalesce(col("drops"), array().cast(ArrayType(IntegerType))).as("drops"))
+      .select(
+        col("id"),
+        size(col("lines")).as("n_lines"),
+        size(col("drops")).as("n_removed_lines"),
+        concat_ws("\n",
+          filter(transform(col("lines"), (l, i) =>
+              when(array_contains(col("drops"), i), lit(null: String)).otherwise(l)),
+            l => l.isNotNull)).as("cleaned_text"))
+  }
+
   /** Window-fingerprint STORE for incremental ExactSubstr: one row per
     * distinct 120-bit window fingerprint of the corpus processed so far,
     * with its occurrence count — the cross-batch state

@@ -282,6 +282,25 @@ class RetrievalSpec extends AnyFunSuite {
         Dedup.spanFingerprintStore(delta, "id", "text", l = 8).agg(sum("c")).head.getLong(0))
   }
 
+  test("line dedup: corpus-wide boilerplate dropped, unique lines and blanks survive in place") {
+    val docs = Seq(
+      (1L, "Cookie banner here.\nreal content one\n\nCookie banner here."),
+      (2L, "cookie banner here.\nreal content two"),  // normalized match (case)
+      (3L, "totally unique document text")).toDF("id", "text")
+    val out = Dedup.removeDuplicatedLines(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    // the banner appears 3× corpus-wide (twice in doc 1, once in doc 2 —
+    // case-insensitively) → every occurrence dropped; the EMPTY line in
+    // doc 1 is structure, not content — kept
+    assert(out(1L) == ((4, 2, "real content one\n")))
+    assert(out(2L) == ((2, 1, "real content two")))
+    assert(out(3L) == ((1, 0, "totally unique document text")))
+    // maxOccurrences=3 tolerates the banner
+    val lax = Dedup.removeDuplicatedLines(docs, "id", "text", maxOccurrences = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(lax.values.forall(_ == 0))
+  }
+
   test("bm25: query terms absent from the corpus contribute nothing") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha delta")).toDF("doc_id", "text")
     val q = Seq((1, "alpha zzz_unseen")).toDF("qid", "qtext")
