@@ -3311,6 +3311,21 @@ object SparkEntry {
       graft.functions.Dedup.removeDuplicatedLines(synth, "doc_id", "text")
         .select(col("id").as("doc_id"), col("n_lines"), col("n_removed_lines"),
           col("cleaned_text"))
+    }),
+
+    // Perceptual image dedup over REAL decoded pixels: 20 distinct
+    // deterministic PNGs repeated across the corpus, dHash64'd, paired by
+    // the SimHash blocking machinery at hamming 0 — recovered pairs are
+    // exactly the same-seed pairs (structural oracle, like q39: image
+    // bytes aren't SQL-expressible, the planted group structure is)
+    "q137_image_perceptual_dedup" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings").select(col("vec_id"))
+        .where(col("vec_id") % 7 === 0)
+        .withColumn("seed", col("vec_id") % 20)
+      val imgs = graft.operators.Multimodal.withSynthImage(vecs, "seed", 16, 16)
+      graft.operators.Multimodal.imageNearDupPairs(imgs, "vec_id", "content",
+        maxHamming = 0)
+        .select(col("id_a"), col("id_b"))
     })
   )
 
@@ -5385,6 +5400,17 @@ object SparkEntry {
         |  array_to_string(list_transform(
         |    list_filter(range(0, len(l)), j -> NOT list_contains(COALESCE(d, []), j)),
         |    j -> l[j+1]), chr(10)) AS cleaned_text
-        |FROM ld LEFT JOIN agg ON ld.doc_id = agg.doc_id""".stripMargin
+        |FROM ld LEFT JOIN agg ON ld.doc_id = agg.doc_id""".stripMargin,
+
+    // q137: structural oracle — identical seeds produce byte-identical
+    // PNGs, identical pixels produce identical dHash, so the pair set IS
+    // the same-seed pair set (distinct 16×16 noise images colliding to the
+    // same 64-bit dHash is ~2^-64-improbable, and hamming 0 admits nothing
+    // else)
+    "q137_image_perceptual_dedup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.vec_id % 20 = b.vec_id % 20 AND a.vec_id < b.vec_id
+        |WHERE a.vec_id % 7 = 0 AND b.vec_id % 7 = 0""".stripMargin
   )
 }

@@ -191,6 +191,65 @@ object Multimodal {
       } catch { case _: Exception => StubCodecs.audioFeatures(content, dim) }
     }
 
+    /** 64-bit perceptual DIFFERENCE hash (dHash, the standard pHash-family
+      * image fingerprint): decode → smooth-scale to a 9×8 grayscale grid →
+      * bit j set iff gray(x, y) > gray(x+1, y). Robust to re-encoding,
+      * scaling and uniform brightness shifts (only gradient SIGNS are
+      * kept), which is exactly what corpus-level image dedup needs; null
+      * for non-decodable payloads so mixed-media frames filter cleanly. */
+    def dHash64(content: Array[Byte]): java.lang.Long = {
+      if (content == null || content.isEmpty || !looksLikeImage(content)) return null
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+        catch { case _: Exception => null }
+      if (img == null) return null
+      val scaled = new java.awt.image.BufferedImage(9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = scaled.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, 9, 8, null)
+      } finally g.dispose()
+      var bits = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          def gray(px: Int): Int = {
+            val rgb = scaled.getRGB(px, y)
+            (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+          }
+          if (gray(x) > gray(x + 1)) bits |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      java.lang.Long.valueOf(bits)
+    }
+
+    /** Deterministic synthetic PNG (w×h, pixels from an LCG of `seed`) —
+      * fixture/demo image source for pipelines exercised without a real
+      * image corpus; the bytes are a REAL decodable PNG, so the decode /
+      * dHash / resize paths run for real against it. */
+    def synthImage(seed: Long, width: Int, height: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var s = seed * 6364136223846793005L + 1442695040888963407L
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          s = s * 6364136223846793005L + 1442695040888963407L
+          img.setRGB(x, y, ((s >>> 24) & 0xffffff).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
     /** decode → scale (smooth) → PNG bytes; null when not a decodable image */
     def resizeImage(content: Array[Byte], width: Int, height: Int): Array[Byte] = {
       if (content == null || content.isEmpty || !looksLikeImage(content)) return null
@@ -288,6 +347,46 @@ object Multimodal {
                        outCol: String = "content_resized"): DataFrame =
     withDerivedField(df, contentCol, StructField(outCol, BinaryType))(
       bytes => Codecs.resizeImage(bytes, width, height))
+
+  /** Attach a deterministic REAL PNG per row ([[Codecs.synthImage]] of a
+    * long seed column) — fixture/demo image source so image pipelines can
+    * be exercised (and oracled structurally) without an image corpus. */
+  def withSynthImage(df: DataFrame, seedCol: String, width: Int, height: Int,
+                     outCol: String = "content"): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(outCol, BinaryType))
+    val idx = df.schema.fieldIndex(seedCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map(r => Row.fromSeq(r.toSeq :+ Codecs.synthImage(r.getLong(idx), width, height)))
+    }(enc)
+  }
+
+  /** 64-bit perceptual dHash per image payload (null when undecodable) —
+    * the fingerprint column image dedup groups/blocks on. */
+  def withImageDHash(df: DataFrame, contentCol: String = "content",
+                     outCol: String = "dhash64"): DataFrame =
+    withDerivedField(df, contentCol, StructField(outCol, LongType, nullable = true))(
+      bytes => Codecs.dHash64(bytes))
+
+  /** Perceptual IMAGE near-duplicate pairs: dHash64 each payload, then the
+    * text-dedup SimHash machinery finds pairs within `maxHamming` bits —
+    * Manku blocking with the bucket cap, exactly the discipline every
+    * other near-dup path here follows; a 64-bit fingerprint shuffles, the
+    * image bytes never do. dHash is invariant to re-encode / rescale /
+    * uniform brightness (gradient signs only), so maxHamming=0 already
+    * catches re-encoded copies; a small budget (≤4) catches minor crops
+    * and filters. Undecodable payloads are excluded (they can't be image
+    * duplicates). @return (id_a, id_b, hamming) */
+  def imageNearDupPairs(df: DataFrame, idCol: String, contentCol: String,
+                        maxHamming: Int = 2, maxBucketSize: Int = 1000,
+                        failOnCappedBuckets: Boolean = false): DataFrame = {
+    val sigs = withImageDHash(df.select(col(idCol).as("id"), col(contentCol)), contentCol)
+      .where(col("dhash64").isNotNull)
+      .select(col("id"), col("dhash64").as("simhash"))
+    graft.functions.Dedup.simhashNearDupPairsFromSigs(sigs,
+      maxHamming = maxHamming, maxBucketSize = maxBucketSize,
+      failOnCappedBuckets = failOnCappedBuckets)
+  }
 
   /** Frame sampling for video-like payloads: every `stride`-th chunk of
     * `frameSize` bytes, as an array of binary frames — pure builtin

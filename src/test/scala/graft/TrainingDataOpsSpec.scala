@@ -191,6 +191,43 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(capped == Set((1L, 2L)))
   }
 
+  test("image dHash: invariant to resize/re-encode and brightness shift; distinct images differ") {
+    import graft.operators.Multimodal
+    val base = Multimodal.Codecs.synthImage(7L, 32, 32)
+    val h0 = Multimodal.Codecs.dHash64(base)
+    assert(h0 != null)
+    // resize + re-encode: same gradients → identical (or near) hash
+    val resized = Multimodal.Codecs.resizeImage(base, 64, 64)
+    val hr = Multimodal.Codecs.dHash64(resized)
+    assert(java.lang.Long.bitCount(h0 ^ hr) <= 6, s"resize moved ${java.lang.Long.bitCount(h0 ^ hr)} bits")
+    // uniform brightness shift preserves every gradient SIGN → hash-equal
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+    val bright = new java.awt.image.BufferedImage(img.getWidth, img.getHeight,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      val rgb = img.getRGB(x, y)
+      def lift(c: Int) = math.min(255, c + 20)
+      bright.setRGB(x, y, (lift((rgb >> 16) & 0xff) << 16) |
+        (lift((rgb >> 8) & 0xff) << 8) | lift(rgb & 0xff))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bright, "png", bos)
+    val hb = Multimodal.Codecs.dHash64(bos.toByteArray)
+    assert(java.lang.Long.bitCount(h0 ^ hb) <= 6,
+      s"brightness shift moved ${java.lang.Long.bitCount(h0 ^ hb)} bits")
+    // a different image is far away; non-image bytes are null
+    val other = Multimodal.Codecs.dHash64(Multimodal.Codecs.synthImage(8L, 32, 32))
+    assert(java.lang.Long.bitCount(h0 ^ other) > 10)
+    assert(Multimodal.Codecs.dHash64("not an image".getBytes) == null)
+    // end-to-end pairing: copies + a brightness variant group together
+    val rows = Seq((1L, base), (2L, base), (3L, bos.toByteArray),
+      (4L, Multimodal.Codecs.synthImage(9L, 32, 32)),
+      (5L, "junk bytes".getBytes)).toDF("id", "content")
+    val pairs = Multimodal.imageNearDupPairs(rows, "id", "content", maxHamming = 6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got $pairs")
+  }
+
   test("lsh top-k recall vs brute force on identical-direction vectors") {
     val rnd = new scala.util.Random(7)
     val corpus = (1L to 200L).map(i => (i, Array.fill(32)(rnd.nextGaussian().toFloat).toSeq))
