@@ -3326,6 +3326,20 @@ object SparkEntry {
       graft.operators.Multimodal.imageNearDupPairs(imgs, "vec_id", "content",
         maxHamming = 0)
         .select(col("id_a"), col("id_b"))
+    }),
+
+    // Audio twin of q137: 15 distinct deterministic WAV clips repeated
+    // across the corpus, energy-contour fingerprints paired at hamming 0 —
+    // structural oracle (gain-variant robustness is spec-gated; the oracle
+    // pins exact-copy recall)
+    "q138_audio_perceptual_dedup" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings").select(col("vec_id"))
+        .where(col("vec_id") % 11 === 0)
+        .withColumn("seed", col("vec_id") % 15)
+      val clips = graft.operators.Multimodal.withSynthAudio(vecs, "seed", nSamples = 2000)
+      graft.operators.Multimodal.audioNearDupPairs(clips, "vec_id", "content",
+        maxHamming = 0)
+        .select(col("id_a"), col("id_b"))
     })
   )
 
@@ -5411,6 +5425,15 @@ object SparkEntry {
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM embeddings a JOIN embeddings b
         |  ON a.vec_id % 20 = b.vec_id % 20 AND a.vec_id < b.vec_id
-        |WHERE a.vec_id % 7 = 0 AND b.vec_id % 7 = 0""".stripMargin
+        |WHERE a.vec_id % 7 = 0 AND b.vec_id % 7 = 0""".stripMargin,
+
+    // q138: same structural argument — identical seeds → byte-identical
+    // WAVs → identical fingerprints; distinct random contours never land
+    // at hamming 0
+    "q138_audio_perceptual_dedup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.vec_id % 15 = b.vec_id % 15 AND a.vec_id < b.vec_id
+        |WHERE a.vec_id % 11 = 0 AND b.vec_id % 11 = 0""".stripMargin
   )
 }

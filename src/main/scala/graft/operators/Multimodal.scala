@@ -250,6 +250,56 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** 64-bit perceptual AUDIO fingerprint — the dHash idea on the energy
+      * envelope (the core of chromaprint-family fingerprints, reduced to
+      * one band): decode PCM → 65 RMS-energy windows spanning the clip →
+      * bit i set iff energy(i+1) > energy(i). Invariant to uniform gain
+      * (positive scaling preserves every energy-delta sign) and to
+      * container re-encoding; null for non-decodable payloads. */
+    def audioFingerprint64(content: Array[Byte]): java.lang.Long = {
+      val e = audioFeatures(content, 65)
+      if (content == null || content.isEmpty || !looksLikeAudio(content)) return null
+      var bits = 0L
+      var i = 0
+      while (i < 64) { if (e(i + 1) > e(i)) bits |= 1L << i; i += 1 }
+      java.lang.Long.valueOf(bits)
+    }
+
+    /** Deterministic synthetic 16-bit mono WAV (seed-derived mix of sine
+      * tones with a varying envelope) — fixture/demo audio source; a REAL
+      * RIFF/WAVE payload, so decode/fingerprint paths run for real. */
+    def synthWav(seed: Long, nSamples: Int, sampleRate: Int = 8000,
+                 gain: Double = 0.8): Array[Byte] = {
+      val pcm = new Array[Byte](nSamples * 2)
+      var s = seed * 6364136223846793005L + 1442695040888963407L
+      val f1 = 200 + ((s >>> 33) % 1800).toInt
+      // seed-random amplitude LEVEL per ~31-sample block: the energy
+      // CONTOUR (what the fingerprint hashes) is then near-uniform 64-bit
+      // random per seed — a smooth analytic envelope gave two different
+      // seeds near-identical contours (measured: spurious hamming-0
+      // collisions in q138's first cut)
+      var env = 0.6
+      var i = 0
+      while (i < nSamples) {
+        if (i % 31 == 0) {
+          s = s * 6364136223846793005L + 1442695040888963407L
+          env = 0.2 + 0.8 * ((s >>> 11) & 0xffff).toDouble / 65536.0
+        }
+        val v = env * math.sin(2 * math.Pi * f1 * i / sampleRate)
+        val sv = (v * gain * 30000).toShort
+        pcm(2 * i) = (sv & 0xff).toByte
+        pcm(2 * i + 1) = ((sv >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
     /** decode → scale (smooth) → PNG bytes; null when not a decodable image */
     def resizeImage(content: Array[Byte], width: Int, height: Int): Array[Byte] = {
       if (content == null || content.isEmpty || !looksLikeImage(content)) return null
@@ -383,6 +433,43 @@ object Multimodal {
     val sigs = withImageDHash(df.select(col(idCol).as("id"), col(contentCol)), contentCol)
       .where(col("dhash64").isNotNull)
       .select(col("id"), col("dhash64").as("simhash"))
+    graft.functions.Dedup.simhashNearDupPairsFromSigs(sigs,
+      maxHamming = maxHamming, maxBucketSize = maxBucketSize,
+      failOnCappedBuckets = failOnCappedBuckets)
+  }
+
+  /** Deterministic REAL WAV per row ([[Codecs.synthWav]]) — the audio twin
+    * of [[withSynthImage]]. `gainCol` (double) scales amplitude so gain
+    * variants of the same seed can be planted. */
+  def withSynthAudio(df: DataFrame, seedCol: String, nSamples: Int,
+                     gainCol: Option[String] = None,
+                     outCol: String = "content"): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(outCol, BinaryType))
+    val sIdx = df.schema.fieldIndex(seedCol)
+    val gIdx = gainCol.map(df.schema.fieldIndex)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map(r => Row.fromSeq(r.toSeq :+ Codecs.synthWav(r.getLong(sIdx), nSamples,
+        gain = gIdx.map(r.getDouble).getOrElse(0.8))))
+    }(enc)
+  }
+
+  /** 64-bit audio fingerprint per payload (null when undecodable). */
+  def withAudioFingerprint(df: DataFrame, contentCol: String = "content",
+                           outCol: String = "afp64"): DataFrame =
+    withDerivedField(df, contentCol, StructField(outCol, LongType, nullable = true))(
+      bytes => Codecs.audioFingerprint64(bytes))
+
+  /** Perceptual AUDIO near-duplicate pairs — [[imageNearDupPairs]]' audio
+    * twin: energy-contour fingerprints paired through the SimHash blocking
+    * machinery. Gain-scaled / re-encoded copies land at hamming 0; a small
+    * budget tolerates light noise. @return (id_a, id_b, hamming) */
+  def audioNearDupPairs(df: DataFrame, idCol: String, contentCol: String,
+                        maxHamming: Int = 2, maxBucketSize: Int = 1000,
+                        failOnCappedBuckets: Boolean = false): DataFrame = {
+    val sigs = withAudioFingerprint(df.select(col(idCol).as("id"), col(contentCol)), contentCol)
+      .where(col("afp64").isNotNull)
+      .select(col("id"), col("afp64").as("simhash"))
     graft.functions.Dedup.simhashNearDupPairsFromSigs(sigs,
       maxHamming = maxHamming, maxBucketSize = maxBucketSize,
       failOnCappedBuckets = failOnCappedBuckets)

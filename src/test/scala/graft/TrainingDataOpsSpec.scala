@@ -228,6 +228,27 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got $pairs")
   }
 
+  test("audio fingerprint: gain-invariant energy contour; distinct clips differ; non-audio null") {
+    import graft.operators.Multimodal
+    val a = Multimodal.Codecs.synthWav(3L, 4000, gain = 0.8)
+    val aQuiet = Multimodal.Codecs.synthWav(3L, 4000, gain = 0.3)
+    val b = Multimodal.Codecs.synthWav(4L, 4000, gain = 0.8)
+    val ha = Multimodal.Codecs.audioFingerprint64(a)
+    val hq = Multimodal.Codecs.audioFingerprint64(aQuiet)
+    val hb = Multimodal.Codecs.audioFingerprint64(b)
+    assert(ha != null && hq != null && hb != null)
+    val gainBits = java.lang.Long.bitCount(ha ^ hq)
+    assert(gainBits <= 4, s"gain scaling moved $gainBits bits (must be near-invariant)")
+    assert(java.lang.Long.bitCount(ha ^ hb) > 10, "different clips must be far apart")
+    assert(Multimodal.Codecs.audioFingerprint64("not audio".getBytes) == null)
+    // end-to-end: exact copy + gain variant group; the distinct clip doesn't
+    val rows = Seq((1L, a), (2L, a), (3L, aQuiet), (4L, b),
+      (5L, "junk".getBytes)).toDF("id", "content")
+    val pairs = Multimodal.audioNearDupPairs(rows, "id", "content", maxHamming = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got $pairs")
+  }
+
   test("lsh top-k recall vs brute force on identical-direction vectors") {
     val rnd = new scala.util.Random(7)
     val corpus = (1L to 200L).map(i => (i, Array.fill(32)(rnd.nextGaussian().toFloat).toSeq))
