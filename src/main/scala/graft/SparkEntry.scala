@@ -3340,6 +3340,21 @@ object SparkEntry {
       graft.operators.Multimodal.audioNearDupPairs(clips, "vec_id", "content",
         maxHamming = 0)
         .select(col("id_a"), col("id_b"))
+    }),
+
+    // Video leg of the multimodal dedup trio: 6-frame synthetic videos in
+    // 12 groups sharing all frames; near-dups = videos sharing ≥2
+    // perceptual frame hashes. Structural oracle: same-group pairs with
+    // the full shared-frame count (6)
+    "q139_video_frame_dedup" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings").select(col("vec_id"))
+        .where(col("vec_id") % 13 === 0)
+        .withColumn("seed", col("vec_id") % 12)
+      val vids = graft.operators.Multimodal.withSynthVideo(vecs, "seed",
+        nFrames = 6, frameSize = 2048)
+      graft.operators.Multimodal.videoNearDupPairs(vids, "vec_id", "content",
+        frameSize = 2048, minSharedFrames = 2)
+        .select(col("id_a"), col("id_b"), col("n_shared_frames"))
     })
   )
 
@@ -5434,6 +5449,14 @@ object SparkEntry {
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM embeddings a JOIN embeddings b
         |  ON a.vec_id % 15 = b.vec_id % 15 AND a.vec_id < b.vec_id
-        |WHERE a.vec_id % 11 = 0 AND b.vec_id % 11 = 0""".stripMargin
+        |WHERE a.vec_id % 11 = 0 AND b.vec_id % 11 = 0""".stripMargin,
+
+    // q139: same-seed videos share all 6 distinct frames (distinct random
+    // frames colliding in dHash across groups is ~2^-64-improbable)
+    "q139_video_frame_dedup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(6 AS BIGINT) AS n_shared_frames
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.vec_id % 12 = b.vec_id % 12 AND a.vec_id < b.vec_id
+        |WHERE a.vec_id % 13 = 0 AND b.vec_id % 13 = 0""".stripMargin
   )
 }

@@ -300,6 +300,44 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** Per-frame perceptual hashes of a video-like payload: fixed-size
+      * frame slices (the [[Multimodal.sampleFrames]] layout) → [[dHash64]]
+      * of each DECODABLE frame; undecodable frames are skipped. Returns
+      * the distinct sorted hash set — the video's frame signature. */
+    def frameDHashes(content: Array[Byte], frameSize: Int, stride: Int): Array[Long] = {
+      if (content == null || content.length < frameSize) return Array.empty
+      val step = frameSize * stride
+      val out = scala.collection.mutable.ArrayBuffer[Long]()
+      var off = 0
+      while (off + frameSize <= content.length) {
+        val h = dHash64(java.util.Arrays.copyOfRange(content, off, off + frameSize))
+        if (h != null) out += h.longValue()
+        off += step
+      }
+      val arr = out.distinct.toArray
+      java.util.Arrays.sort(arr)
+      arr
+    }
+
+    /** Deterministic synthetic "video": `nFrames` [[synthImage]] PNGs, each
+      * zero-padded to `frameSize` bytes and concatenated — the fixed-size
+      * frame layout [[Multimodal.sampleFrames]] slices (PNG decoding stops
+      * at IEND, so the padding is invisible to the decoder). Frame f's
+      * pixels derive from seed·100+f. */
+    def synthVideo(seed: Long, nFrames: Int, frameSize: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      var f = 0
+      while (f < nFrames) {
+        val png = synthImage(seed * 100 + f, 16, 16)
+        require(png.length <= frameSize,
+          s"frameSize=$frameSize too small for a ${png.length}-byte frame")
+        bos.write(png)
+        bos.write(new Array[Byte](frameSize - png.length))
+        f += 1
+      }
+      bos.toByteArray
+    }
+
     /** decode → scale (smooth) → PNG bytes; null when not a decodable image */
     def resizeImage(content: Array[Byte], width: Int, height: Int): Array[Byte] = {
       if (content == null || content.isEmpty || !looksLikeImage(content)) return null
@@ -454,6 +492,18 @@ object Multimodal {
     }(enc)
   }
 
+  /** Deterministic REAL "video" per row ([[Codecs.synthVideo]]) — padded
+    * fixed-size PNG frames, the [[sampleFrames]] layout. */
+  def withSynthVideo(df: DataFrame, seedCol: String, nFrames: Int, frameSize: Int,
+                     outCol: String = "content"): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(outCol, BinaryType))
+    val idx = df.schema.fieldIndex(seedCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map(r => Row.fromSeq(r.toSeq :+ Codecs.synthVideo(r.getLong(idx), nFrames, frameSize)))
+    }(enc)
+  }
+
   /** 64-bit audio fingerprint per payload (null when undecodable). */
   def withAudioFingerprint(df: DataFrame, contentCol: String = "content",
                            outCol: String = "afp64"): DataFrame =
@@ -473,6 +523,45 @@ object Multimodal {
     graft.functions.Dedup.simhashNearDupPairsFromSigs(sigs,
       maxHamming = maxHamming, maxBucketSize = maxBucketSize,
       failOnCappedBuckets = failOnCappedBuckets)
+  }
+
+  /** Per-video frame-hash signature column (sorted distinct dHashes of the
+    * decodable fixed-size frames). */
+  def withFrameDHashes(df: DataFrame, contentCol: String, frameSize: Int, stride: Int = 1,
+                       outCol: String = "frame_hashes"): DataFrame =
+    withDerivedField(df, contentCol,
+      StructField(outCol, ArrayType(LongType, containsNull = false)))(
+      bytes => Codecs.frameDHashes(bytes, frameSize, stride).toSeq)
+
+  /** VIDEO near-duplicate pairs by shared perceptual frame hashes — the
+    * frame-sample → feature-extract pipeline made an end-to-end dedup:
+    * each video reduces to its distinct frame-dHash set (64-bit hashes
+    * shuffle, frame bytes never do), candidate pairs share at least
+    * `minSharedFrames` hashes, verified by the exact overlap count.
+    *
+    * Skew guard (the LSH-family discipline): a boilerplate frame shared
+    * corpus-wide (intro card, black frame) makes the per-hash self-join
+    * quadratic — hashes occurring in more than `maxFrameOccurrences`
+    * videos are excluded from candidate generation (they carry no
+    * dedup signal, exactly like capped LSH buckets).
+    *
+    * @return (id_a, id_b, n_shared_frames) */
+  def videoNearDupPairs(df: DataFrame, idCol: String, contentCol: String,
+                        frameSize: Int, stride: Int = 1,
+                        minSharedFrames: Int = 2,
+                        maxFrameOccurrences: Int = 1000): DataFrame = {
+    val sigs = withFrameDHashes(df.select(col(idCol).as("id"), col(contentCol)),
+        contentCol, frameSize, stride)
+      .select(col("id"), explode(col("frame_hashes")).as("fh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = sigs.groupBy(col("fh")).agg(count(lit(1)).as("_n"))
+      .where(col("_n") > maxFrameOccurrences).select(col("fh"))
+    val pruned = sigs.join(broadcast(hot), Seq("fh"), "left_anti")
+    pruned.alias("a").join(pruned.alias("b"),
+        col("a.fh") === col("b.fh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared_frames"))
+      .where(col("n_shared_frames") >= minSharedFrames)
   }
 
   /** Frame sampling for video-like payloads: every `stride`-th chunk of

@@ -249,6 +249,38 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got $pairs")
   }
 
+  test("video frame dedup: shared decodable frames pair videos; hot frames are capped out") {
+    import graft.operators.Multimodal
+    val fs = 2048
+    val v1 = Multimodal.Codecs.synthVideo(1L, 5, fs)
+    val v1copy = Multimodal.Codecs.synthVideo(1L, 5, fs)
+    // partial overlap: frames of seed 1 for f=0..4 vs seed... build a
+    // hybrid by concatenation: 3 frames of video 1 + 2 of video 2
+    val v2 = Multimodal.Codecs.synthVideo(2L, 5, fs)
+    val hybrid = v1.take(3 * fs) ++ v2.take(2 * fs)
+    val rows = Seq((1L, v1), (2L, v1copy), (3L, hybrid), (4L, v2),
+      (5L, "not video bytes at all".getBytes)).toDF("id", "content")
+    val pairs = Multimodal.videoNearDupPairs(rows, "id", "content", frameSize = fs,
+        minSharedFrames = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 2L)) == 5L)   // full copy: all 5 frames shared
+    assert(pairs((1L, 3L)) == 3L && pairs((2L, 3L)) == 3L) // hybrid shares 3 with v1
+    assert(pairs((3L, 4L)) == 2L)   // and 2 with v2
+    assert(!pairs.contains((1L, 4L)), "disjoint videos must not pair")
+    assert(pairs.keySet.forall(p => p._1 != 5L && p._2 != 5L))
+    // a frame present in EVERY video (boilerplate) is capped out of
+    // candidate generation: with maxFrameOccurrences=2 the shared-by-3
+    // frames stop generating pairs
+    val intro = Multimodal.Codecs.synthImage(99L, 16, 16)
+    val padded = intro ++ new Array[Byte](fs - intro.length)
+    val withIntro = Seq((1L, padded ++ v1), (2L, padded ++ v2),
+      (3L, padded ++ Multimodal.Codecs.synthVideo(3L, 5, fs))).toDF("id", "content")
+    val capped = Multimodal.videoNearDupPairs(withIntro, "id", "content", frameSize = fs,
+        minSharedFrames = 1, maxFrameOccurrences = 2)
+      .collect()
+    assert(capped.isEmpty, s"the corpus-wide intro frame must not pair everything: ${capped.toSeq}")
+  }
+
   test("lsh top-k recall vs brute force on identical-direction vectors") {
     val rnd = new scala.util.Random(7)
     val corpus = (1L to 200L).map(i => (i, Array.fill(32)(rnd.nextGaussian().toFloat).toSeq))
