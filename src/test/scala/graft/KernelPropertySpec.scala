@@ -120,4 +120,45 @@ class KernelPropertySpec extends AnyFunSuite {
     sigRows.foreach(r =>
       assert(r.getLong(0) == r.getLong(1), "hyperplane signature differs"))
   }
+
+  test("rolling window fingerprints: the O(T) roll equals direct per-window evaluation") {
+    // the kernel's roll-out step fp(w+1) = (fp(w) − h(w)·B^{l−1})·B +
+    // h(w+l) must agree with evaluating each window's polynomial from
+    // scratch — catches roll-out arithmetic bugs (mask/overflow/power
+    // off-by-one) on arbitrary token content and window lengths
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val B1 = 0x9E3779B97F4A7C15L
+    val B2 = 0xC2B2AE3D27D4EB4FL
+    def direct(toks: Array[String], l: Int): Seq[(Long, Long)] = {
+      def tok(t: String, seed: Long): Long = {
+        val b = UTF8String.fromString(t)
+        org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(b.getBaseObject, b.getBaseOffset, b.numBytes, seed)
+      }
+      (0 to toks.length - l).map { w =>
+        var f1 = 0L; var f2 = 0L
+        for (j <- 0 until l) {
+          f1 = f1 * B1 + tok(toks(w + j), 42L)
+          f2 = f2 * B2 + tok(toks(w + j), 0x5DEECE66DL)
+        }
+        (f1, f2)
+      }
+    }
+    val tokGen = Gen.listOfN(30, Gen.oneOf(
+      Gen.alphaNumStr.map(s => if (s.isEmpty) "x" else s.take(6)),
+      Gen.oneOf("é", "漢字", "😀", "ß", "a", "bb"))).map(_.toArray)
+    for (seed <- 0 until 40; l <- Seq(2, 3, 8, 13)) {
+      val toks = tokGen.apply(Gen.Parameters.default, Seed(seed.toLong)).get
+      val kernel = graft.plans.WindowFingerprintKernel.fingerprints(
+        new GenericArrayData(toks.map(t => UTF8String.fromString(t)).asInstanceOf[Array[Any]]), l)
+      val expect = direct(toks, l)
+      assert(kernel.numElements() == expect.length, s"count mismatch at seed=$seed l=$l")
+      for (i <- expect.indices) {
+        val row = kernel.getStruct(i, 2)
+        assert((row.getLong(0), row.getLong(1)) == expect(i),
+          s"fingerprint $i differs at seed=$seed l=$l")
+      }
+    }
+  }
 }
