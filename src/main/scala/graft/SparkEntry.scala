@@ -5232,7 +5232,7 @@ object SparkEntry {
     "q132_temperature_mix" ->
       """WITH totals AS (
         |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS t
-        |  FROM documents GROUP BY source),
+        |  FROM documents GROUP BY source HAVING sum(n_chars) > 0),
         |pw AS (
         |  SELECT source, t,
         |    CAST(floor(pow(CAST(t AS DOUBLE), 0.5) * 1000000.0 + 0.5) AS BIGINT) AS pw

@@ -104,8 +104,13 @@ object Sampling {
                      alpha: Double): DataFrame = {
     require(alpha > 0 && alpha <= 1.0, s"alpha=$alpha must be in (0, 1]")
     require(budgetTokens > 0, "budgetTokens must be positive")
+    // zero-token strata are dropped EXPLICITLY (their rate would be a NaN
+    // whose least()/cast treatment differs between engines): a stratum
+    // contributing no tokens cannot consume budget, and its rows carry no
+    // trainable mass — the deterministic policy is drop-all
     val totals = df.groupBy(stratum.as("_mix_stratum"))
       .agg(sum(tokenCount.cast(LongType)).as("_t"))
+      .where(col("_t") > 0)
     val all = org.apache.spark.sql.expressions.Window.partitionBy()
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
