@@ -257,8 +257,8 @@ object Multimodal {
       * (positive scaling preserves every energy-delta sign) and to
       * container re-encoding; null for non-decodable payloads. */
     def audioFingerprint64(content: Array[Byte]): java.lang.Long = {
-      val e = audioFeatures(content, 65)
       if (content == null || content.isEmpty || !looksLikeAudio(content)) return null
+      val e = audioFeatures(content, 65)
       var bits = 0L
       var i = 0
       while (i < 64) { if (e(i + 1) > e(i)) bits |= 1L << i; i += 1 }

@@ -932,6 +932,12 @@ case class VersionedTableDataObject(id: String, path: String,
     new java.util.concurrent.ConcurrentHashMap[Seq[String],
       org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]]]()
 
+  /** sidecar-presence broadcast cache — same immutability argument
+    * (sidecars are staged BEFORE the commit that names the dir) */
+  @transient private lazy val dvSidecarBcCache =
+    new java.util.concurrent.ConcurrentHashMap[Seq[String],
+      org.apache.spark.broadcast.Broadcast[Set[String]]]()
+
   /** Three physical strategies, chosen by tombstone VOLUME (one driver
     * listing — no data job):
     *  1. ≤ [[dvBroadcastMaxBytes]]: tombstones collect once into per-file
@@ -962,7 +968,8 @@ case class VersionedTableDataObject(id: String, path: String,
       })
       predicate(graft.plans.DvTombstoned(relE, riE, bc))
     } else if (covered) {
-      val present = ctx.spark.sparkContext.broadcast(sidecars)
+      val present = dvSidecarBcCache.computeIfAbsent(dv,
+        _ => ctx.spark.sparkContext.broadcast(sidecars))
       // fs-qualified dirs: the presence set came from listStatus (qualified
       // paths), so the per-row path construction must match scheme-for-scheme
       predicate(graft.plans.DvTombstonedScan(relE, riE,
