@@ -509,6 +509,32 @@ object ConfigParser {
             s"config '$id': missing required field 'numShards'")))
       case "NfcNormalizeTransformer" | "nfcNormalize" =>
         NfcNormalizeTransformer(require(str(n, "textColumn"), id, "textColumn"))
+      case "SpanRemovalTransformer" | "spanRemoval" =>
+        SpanRemovalTransformer(
+          require(str(n, "idColumn"), id, "idColumn"),
+          require(str(n, "textColumn"), id, "textColumn"),
+          windowTokens = int(n, "windowTokens").getOrElse(8),
+          portableFingerprints = bool(n, "portableFingerprints", dflt = true))
+      case "LineDedupTransformer" | "lineDedup" =>
+        LineDedupTransformer(
+          require(str(n, "idColumn"), id, "idColumn"),
+          require(str(n, "textColumn"), id, "textColumn"),
+          maxOccurrences = int(n, "maxOccurrences").getOrElse(1))
+      case "TokenChunkTransformer" | "tokenChunk" =>
+        TokenChunkTransformer(
+          require(str(n, "idColumn"), id, "idColumn"),
+          require(str(n, "textColumn"), id, "textColumn"),
+          maxLen = int(n, "maxLen").getOrElse(throw new IllegalArgumentException(
+            s"config '$id': missing required field 'maxLen'")),
+          overlap = int(n, "overlap").getOrElse(0))
+      case "TemperatureMixTransformer" | "temperatureMix" =>
+        TemperatureMixTransformer(
+          require(str(n, "keyColumn"), id, "keyColumn"),
+          require(str(n, "stratumColumn"), id, "stratumColumn"),
+          require(str(n, "tokenCountColumn"), id, "tokenCountColumn"),
+          budgetTokens = get(n, "budgetTokens").map(_.asLong).getOrElse(
+            throw new IllegalArgumentException(s"config '$id': missing required field 'budgetTokens'")),
+          alpha = dbl(n, "alpha").getOrElse(0.5))
       case "EventTimeWindowTransformer" | "eventTimeWindow" =>
         graft.streaming.EventTimeWindowTransformer(
           require(str(n, "eventTimeColumn"), id, "eventTimeColumn"),
@@ -546,6 +572,15 @@ object ConfigParser {
           numHashes = int(n, "numHashes").getOrElse(32),
           bands = int(n, "bands").getOrElse(8),
           novelOutput = str(n, "novelOutput"))
+      case "DecontaminateSpansTransformer" | "decontaminateSpans" =>
+        DecontaminateSpansTransformer(
+          require(str(n, "corpusInput"), id, "corpusInput"),
+          require(str(n, "benchmarkInput"), id, "benchmarkInput"),
+          require(str(n, "idColumn"), id, "idColumn"),
+          require(str(n, "textColumn"), id, "textColumn"),
+          require(str(n, "benchTextColumn"), id, "benchTextColumn"),
+          windowTokens = int(n, "windowTokens").getOrElse(8),
+          cleanOutput = str(n, "cleanOutput"))
       case t => throw new IllegalArgumentException(s"action '$id': unknown dfs transformer type '$t'")
     }
 }

@@ -140,6 +140,33 @@ case class IncrementalDedupTransformer(
   }
 }
 
+/** N:1 span-level decontamination: the corpus input's text is stripped of
+  * every window that appears in the benchmark input (see
+  * `Dedup.removeContaminatedSpans`) — the config surface for eval-leak
+  * scrubbing inside a declarative pipeline. */
+case class DecontaminateSpansTransformer(
+    corpusInput: String, benchmarkInput: String,
+    idColumn: String, textColumn: String, benchTextColumn: String,
+    windowTokens: Int = 8,
+    cleanOutput: Option[String] = None) extends DfsTransformer {
+  private def outKey: String = cleanOutput.getOrElse(corpusInput)
+  override def transform(dfs: Map[String, DataFrame])
+                        (implicit ctx: ActionPipelineContext): Map[String, DataFrame] = {
+    val corpus = dfs.getOrElse(corpusInput,
+      throw new IllegalArgumentException(s"DecontaminateSpansTransformer: missing input '$corpusInput'"))
+    val bench = dfs.getOrElse(benchmarkInput,
+      throw new IllegalArgumentException(s"DecontaminateSpansTransformer: missing input '$benchmarkInput'"))
+    if (ctx.phase == ExecutionPhase.Init)
+      return Map(outKey -> corpus.withColumn(textColumn, col(textColumn))
+        .withColumn("n_removed_tokens", lit(0)))
+    val cleaned = Dedup.removeContaminatedSpans(corpus, idColumn, textColumn,
+        bench, benchTextColumn, l = windowTokens)
+      .select(col("id").as(idColumn), col("cleaned_text"), col("n_removed_tokens"))
+    Map(outKey -> corpus.drop("n_removed_tokens").join(cleaned, Seq(idColumn))
+      .withColumn(textColumn, col("cleaned_text")).drop("cleaned_text"))
+  }
+}
+
 /** Append a deterministic train/val/test split label (md5-thresholded —
   * partitioning/seed/engine-independent; see `Sampling.splitLabel`). */
 case class TrainSplitTransformer(
@@ -158,6 +185,70 @@ case class ShardAssignmentTransformer(
   override def transform(df: DataFrame, dataObjectId: String = "")
                         (implicit ctx: ActionPipelineContext): DataFrame =
     Sampling.shardAssignment(df, col(keyColumn), numShards)
+}
+
+/** Cross-document repeated-span removal (ExactSubstr) as a 1:1 config
+  * transformer: `textColumn` is REPLACED by the cleaned text; audit counts
+  * ride along. Schema-only in Init (adds the audit columns). */
+case class SpanRemovalTransformer(
+    idColumn: String, textColumn: String,
+    windowTokens: Int = 8, portableFingerprints: Boolean = true) extends DfTransformer {
+  override def transform(df: DataFrame, dataObjectId: String = "")
+                        (implicit ctx: ActionPipelineContext): DataFrame = {
+    if (ctx.phase == ExecutionPhase.Init)
+      return df.withColumn(textColumn, col(textColumn))
+        .withColumn("n_dup_windows", lit(0))
+        .withColumn("n_removed_tokens", lit(0))
+    val cleaned = Dedup.removeRepeatedSpans(df, idColumn, textColumn,
+        l = windowTokens, portableFingerprints = portableFingerprints)
+      .select(col("id").as(idColumn), col("cleaned_text"),
+        col("n_dup_windows"), col("n_removed_tokens"))
+    df.drop("n_dup_windows", "n_removed_tokens")
+      .join(cleaned, Seq(idColumn))
+      .withColumn(textColumn, col("cleaned_text")).drop("cleaned_text")
+  }
+}
+
+/** CCNet line-level dedup as a 1:1 config transformer (corpus-wide
+  * boilerplate lines stripped in place). */
+case class LineDedupTransformer(
+    idColumn: String, textColumn: String,
+    maxOccurrences: Int = 1) extends DfTransformer {
+  override def transform(df: DataFrame, dataObjectId: String = "")
+                        (implicit ctx: ActionPipelineContext): DataFrame = {
+    if (ctx.phase == ExecutionPhase.Init)
+      return df.withColumn(textColumn, col(textColumn))
+        .withColumn("n_removed_lines", lit(0))
+    val cleaned = Dedup.removeDuplicatedLines(df, idColumn, textColumn, maxOccurrences)
+      .select(col("id").as(idColumn), col("cleaned_text"), col("n_removed_lines"))
+    df.drop("n_removed_lines").join(cleaned, Seq(idColumn))
+      .withColumn(textColumn, col("cleaned_text")).drop("cleaned_text")
+  }
+}
+
+/** Fixed-length token chunking (one row per chunk) as a config
+  * transformer — the explode changes row count, never the Init contract
+  * (schema gains the chunk columns). */
+case class TokenChunkTransformer(
+    idColumn: String, textColumn: String,
+    maxLen: Int, overlap: Int = 0) extends DfTransformer {
+  override def transform(df: DataFrame, dataObjectId: String = "")
+                        (implicit ctx: ActionPipelineContext): DataFrame =
+    graft.functions.Packing.chunkTokens(df, col(idColumn), col(textColumn), maxLen, overlap)
+}
+
+/** Temperature-scaled domain mixing as a config transformer (survivors
+  * only, `_mix_rate_e6` attached). Init returns the schema untouched plus
+  * the rate column — the rate table would otherwise run jobs in Init. */
+case class TemperatureMixTransformer(
+    keyColumn: String, stratumColumn: String, tokenCountColumn: String,
+    budgetTokens: Long, alpha: Double = 0.5) extends DfTransformer {
+  override def transform(df: DataFrame, dataObjectId: String = "")
+                        (implicit ctx: ActionPipelineContext): DataFrame = {
+    if (ctx.phase == ExecutionPhase.Init) return df.withColumn("_mix_rate_e6", lit(0L))
+    Sampling.temperatureMix(df, col(keyColumn), col(stratumColumn),
+      col(tokenCountColumn), budgetTokens, alpha)
+  }
 }
 
 /** Unicode NFC normalization of a text column in place (codegen'd kernel,

@@ -719,4 +719,49 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       .as[Long].collect().toSet
     assert(storeIds == Set(1L, 2L, 102L))    // grown by the survivor only
   }
+
+  test("round-13 curation transformers wire through HOCON config into a DAG run") {
+    import graft.core._
+    val dir = java.nio.file.Files.createTempDirectory("r13cfg").toString
+    val shared = "one two three four five six seven eight nine ten"
+    Seq(
+      (1L, s"Cookie banner line.\nalpha $shared omega"),
+      (2L, s"Cookie banner line.\nbeta $shared zeta"),
+      (3L, "Cookie banner line.\nunrelated unique content here"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/in")
+    Seq((1L, "benchmark only words nobody leaked anywhere at all"))
+      .toDF("bid", "btext").write.parquet(s"$dir/bench")
+    val conf = s"""
+      |dataObjects {
+      |  in   { type = ParquetFileDataObject, path = "$dir/in" }
+      |  bench{ type = ParquetFileDataObject, path = "$dir/bench" }
+      |  out  { type = ParquetFileDataObject, path = "$dir/out" }
+      |  out2 { type = ParquetFileDataObject, path = "$dir/out2" }
+      |}
+      |actions {
+      |  clean {
+      |    type = CopyAction, inputId = in, outputId = out
+      |    transformers = [
+      |      { type = lineDedup,   idColumn = doc_id, textColumn = text },
+      |      { type = spanRemoval, idColumn = doc_id, textColumn = text, windowTokens = 8 }
+      |    ]
+      |  }
+      |  decon {
+      |    type = CustomDataFrameAction, inputIds = [out, bench], outputIds = [out2]
+      |    dfsTransformers = [{ type = decontaminateSpans, corpusInput = out,
+      |      benchmarkInput = bench, idColumn = doc_id, textColumn = text,
+      |      benchTextColumn = btext, cleanOutput = out2 }]
+      |  }
+      |}""".stripMargin
+    val reg = ConfigParser.parse(conf)
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    new ActionDAGRun(reg.allActions).run()
+    val out = spark.read.parquet(s"$dir/out2")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // line dedup stripped the corpus-wide banner; span removal stripped the
+    // cross-doc 10-token passage; the clean benchmark stripped nothing more
+    assert(out(1L) == "alpha omega", s"got ${out(1L)}")
+    assert(out(2L) == "beta zeta")
+    assert(out(3L) == "unrelated unique content here")
+  }
 }
