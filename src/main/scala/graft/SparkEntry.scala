@@ -875,7 +875,8 @@ object SparkEntry {
       val drop = Dedup.duplicateClusters(pairs)
         .where(col("id") =!= col("cluster_id"))
         .select(col("id").as("doc_id"))
-      corpus.join(broadcast(drop), Seq("doc_id"), "left_anti")
+      // drop set is duplicate-volume-scaled → no broadcast hint (r13 #1)
+      corpus.join(drop, Seq("doc_id"), "left_anti")
         .select(col("doc_id"))
     }),
 

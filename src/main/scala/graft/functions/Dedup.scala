@@ -241,12 +241,16 @@ object Dedup {
     val star = slim.join(heads, "_ck")
       .where(col("id") > col("_head"))
       .select(col("_head").as("id_a"), col("id").as("id_b"))
+    // The star side is PAIR-COUNT-sized: in the boilerplate-heavy regime
+    // this fallback exists for, duplicates are a large fraction of the
+    // corpus, so star is corpus-scaled and a forced broadcast would hit
+    // Spark's 8 GB hard cap exactly when the operator is most needed.
+    // NO hint: AQE broadcasts star when it actually fits (the common
+    // case — empty/tiny), sort-merge otherwise (r13 VERDICT #1).
     val withA = sigs.select(col("id").as("id_a"), col("shingles").as("sh_a"))
-      .join(broadcast(star), "id_a")
-    // withA carries a FAT shingle array per duplicate pair — in the
-    // boilerplate-heavy regime this fallback exists for, forcing it
-    // through a broadcast would blow the 8 GB limit; AQE still
-    // broadcasts it when it is actually small (the common case)
+      .join(star, "id_a")
+    // withA carries a FAT shingle array per duplicate pair — same
+    // rationale, the fat side must never be forced either
     sigs.select(col("id").as("id_b"), col("shingles").as("sh_b"))
       .join(withA, "id_b")
       .withColumn("jaccard", sortedJaccard(col("sh_a"), col("sh_b")))
@@ -346,8 +350,12 @@ object Dedup {
           .select(col("id").as("id_corpus"), xxhash64(col("shingles")).as("_ck"))
           .join(broadcast(deltaSlim), "_ck")
           .select(col("id_new"), col("id_corpus"))
+        // matches = delta × per-hash multiplicity: in the exact regime the
+        // fallback targets (boilerplate copied corpus-wide) the multiplicity
+        // is corpus-scaled, so matches must NOT be forced through a
+        // broadcast — AQE sizes it at runtime (r13 VERDICT #1)
         val withA = newSigs.select(col("id").as("id_new"), col("shingles").as("sh_a"))
-          .join(broadcast(matches), "id_new")
+          .join(matches, "id_new")
         // same fat-side rationale as exactStarPairs: let AQE size it
         val exact = corpusSigs.select(col("id").as("id_corpus"), col("shingles").as("sh_b"))
           .join(withA, "id_corpus")
@@ -943,8 +951,19 @@ object Dedup {
       if (persist) exploded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else exploded
     val deltaCounts = windows.groupBy(col("h"), col("h2")).agg(count(lit(1)).as("_dc"))
+    // History access in two steps so the corpus-sized store can STREAM:
+    // a left-outer `deltaCounts ⟕ store` would pin the store to the
+    // non-preserved side of a join whose PRESERVED side is the delta —
+    // Spark cannot build/broadcast a left-outer's left side, so the store
+    // would always shuffle (r13 ADVICE #3). Instead (1) INNER-join the
+    // store against the delta's distinct fingerprints — AQE broadcasts the
+    // delta side when it fits, the store streams; a (h,h2)-bucketed store
+    // makes it co-located — yielding a delta-bounded `_sc` table, then
+    // (2) left-join that small result back onto deltaCounts.
+    val storedForDelta = store.select(col("h"), col("h2"), col("c").as("_sc"))
+      .join(deltaCounts.select(col("h"), col("h2")), Seq("h", "h2"))
     val dup = deltaCounts
-      .join(store.select(col("h"), col("h2"), col("c").as("_sc")), Seq("h", "h2"), "left")
+      .join(storedForDelta, Seq("h", "h2"), "left")
       .where(col("_dc") + coalesce(col("_sc"), lit(0L)) > 1)
       .select(col("h"), col("h2"))
     val starts = windows.join(dup, Seq("h", "h2"), "left_semi")
@@ -1110,9 +1129,11 @@ object Dedup {
       .where(col("id") > col("_head"))
       .select(col("_head").as("id_a"), col("id").as("id_b"))
     // the fat embedding column joins the slim star side per duplicate —
-    // star is broadcast (empty/tiny in real corpora), the vectors stream
+    // star is empty/tiny in real corpora, but PAIR-COUNT-sized in the
+    // duplicate-heavy regime this pass exists for, so it carries NO
+    // broadcast hint: AQE broadcasts when it fits (r13 VERDICT #1)
     val withA = withSig.select(col("id").as("id_a"), col("emb").as("emb_a"))
-      .join(broadcast(star), "id_a")
+      .join(star, "id_a")
     withSig.select(col("id").as("id_b"), col("emb").as("emb_b"))
       .join(withA, "id_b")
       .withColumn("cosine", Similarity.cosineSimilarity(col("emb_a"), col("emb_b")))

@@ -91,8 +91,12 @@ object ImportanceResampling {
                                                  numBuckets: Int): (Map[Long, Long], Long, Long) = {
     require(numBuckets > 0 && numBuckets <= (1 << 20),
       s"numBuckets=$numBuckets: the bucket table is driver-collected, bounded at 2^20")
+    // coalesce: a null text column makes ngramBuckets null, and
+    // concat(array(-1), null) is null → explode would DROP the row and
+    // the doc vanish from the sentinel count — a semantics change vs the
+    // old seed.count() (shifts scoreNB's class prior on null-text corpora)
     val m = df.select(explode(concat(array(lit(-1L)),
-        ngramBuckets(text, numBuckets))).as("bucket"))
+        coalesce(ngramBuckets(text, numBuckets), array().cast("array<bigint>")))).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val counts = m - (-1L)

@@ -119,7 +119,11 @@ object NgramLM {
                  numBuckets: Int = 4096): DataFrame = {
     val scored = perplexity(docs, text, seed, seedText, numBuckets)
     val byLang = Window.partitionBy(col(langCol))
+    // row_number() is IntegerType — cast to long BEFORE the ×3 so a
+    // language with >715M documents can't silently overflow the int
+    // multiply into wrong buckets (count() is already LongType)
     val rn = row_number().over(byLang.orderBy(col("ppl_micro"), col(idCol)))
+      .cast(LongType)
     val n = count(lit(1)).over(byLang)
     scored.withColumn("bucket",
       when(rn * 3 <= n, lit("head"))

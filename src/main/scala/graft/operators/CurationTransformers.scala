@@ -14,8 +14,12 @@ import org.apache.spark.sql.functions._
 
 /** Remove near-duplicate documents, keeping the smallest id per duplicate
   * cluster. `method`: exact | minhash | simhash. The corpus loses only
-  * non-canonical cluster members (left_anti on the drop set, which is tiny
-  * next to the corpus and broadcasts). */
+  * non-canonical cluster members (left_anti on the drop set). The drop set
+  * is DUPLICATE-VOLUME-sized — tiny on clean corpora, but a large fraction
+  * of a boilerplate-heavy web corpus — so the anti-join carries NO
+  * broadcast hint: AQE broadcasts it when it fits under the threshold and
+  * falls back to shuffle when it doesn't (r13 VERDICT #1; forcing it would
+  * hit the 8 GB broadcast cap precisely when dedup matters most). */
 case class NearDedupTransformer(
     idColumn: String, textColumn: String,
     method: String = "minhash", threshold: Double = 0.7,
@@ -29,24 +33,31 @@ case class NearDedupTransformer(
     // the whole pair pipeline once in init and again at exec: at 100 TB
     // that doubles the most expensive stage of the run).
     if (ctx.phase == ExecutionPhase.Init) return df
-    val pairs = method match {
-      case "minhash" => Dedup.minhashDuplicatePairs(df, idColumn, textColumn,
-        shingleSize, numHashes, bands, threshold).select("id_a", "id_b")
-      case "simhash" => Dedup.simhashNearDupPairs(df, idColumn, textColumn,
-        shingleSize, maxHamming).select("id_a", "id_b")
+    val drop = method match {
       case "exact" =>
-        // exact dupes pair every id with its canonical id
+        // exact dupes are already canonical stars (every member points at
+        // the min-id head), so their "clustering" is the identity — the
+        // drop set is simply every id that isn't its group's canonical id.
+        // No union-find needed (r13 VERDICT #2: feeding stars through
+        // duplicateClusters paid the symmetrize-persist-probe machinery
+        // for a no-op — one whole job per run at corpus scale).
         val canon = Dedup.exactDedup(df, idColumn, textColumn)
-        df.select(Dedup.contentHash(col(textColumn)).as("text_hash"), col(idColumn).as("id_b"))
+        df.select(Dedup.contentHash(col(textColumn)).as("text_hash"), col(idColumn).as(idColumn))
           .join(canon.where(col("n_copies") > 1), Seq("text_hash"))
-          .where(col("id_b") =!= col("canonical_id"))
-          .select(col("canonical_id").as("id_a"), col("id_b"))
+          .where(col(idColumn) =!= col("canonical_id"))
+          .select(col(idColumn))
+      case "minhash" | "simhash" =>
+        val pairs =
+          if (method == "minhash") Dedup.minhashDuplicatePairs(df, idColumn, textColumn,
+            shingleSize, numHashes, bands, threshold).select("id_a", "id_b")
+          else Dedup.simhashNearDupPairs(df, idColumn, textColumn,
+            shingleSize, maxHamming).select("id_a", "id_b")
+        Dedup.duplicateClusters(pairs)
+          .where(col("id") =!= col("cluster_id"))
+          .select(col("id").as(idColumn))
       case m => throw new IllegalArgumentException(s"NearDedupTransformer: unknown method '$m'")
     }
-    val drop = Dedup.duplicateClusters(pairs)
-      .where(col("id") =!= col("cluster_id"))
-      .select(col("id").as(idColumn))
-    df.join(broadcast(drop), Seq(idColumn), "left_anti")
+    df.join(drop, Seq(idColumn), "left_anti")
   }
 }
 

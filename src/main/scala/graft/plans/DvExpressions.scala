@@ -75,8 +75,17 @@ class SerializableHadoopConf(@transient var value: org.apache.hadoop.conf.Config
   * (`graft.dv.sidecarCacheBytes`, default 512 MB) bounds executor memory;
   * eviction only re-pays a sidecar read. */
 object DvSidecarCache {
-  private def maxBytes: Long =
-    sys.props.get("graft.dv.sidecarCacheBytes").map(_.toLong).getOrElse(512L << 20)
+  /** Cache budget resolution order: the Hadoop Configuration that ships
+    * with the expression (set cluster-wide via
+    * `--conf spark.hadoop.graft.dv.sidecarCacheBytes=N` — session Hadoop
+    * confs propagate to every executor), then a JVM system property
+    * (local mode / tests ONLY: a driver-side System.setProperty does NOT
+    * reach executor JVMs in cluster mode — r13 ADVICE #4), then 512 MB. */
+  private def maxBytes(conf: org.apache.hadoop.conf.Configuration): Long = {
+    val fromConf = conf.get("graft.dv.sidecarCacheBytes")
+    if (fromConf != null) fromConf.toLong
+    else sys.props.get("graft.dv.sidecarCacheBytes").map(_.toLong).getOrElse(512L << 20)
+  }
   // access-order LRU; guarded by its own monitor
   private val lru = new java.util.LinkedHashMap[String, Array[Long]](128, 0.75f, true)
   private var used = 0L
@@ -109,12 +118,13 @@ object DvSidecarCache {
       if (hits.isEmpty) Array.empty[Long]
       else if (hits.size == 1) load(hits.head, conf)
       else { val a = hits.toArray.flatMap(load(_, conf)); java.util.Arrays.sort(a); a }
+    val budget = maxBytes(conf)
     lru.synchronized {
       if (!lru.containsKey(key)) {
         used += 8L * arr.length + 64
         lru.put(key, arr)
         val it = lru.entrySet().iterator()
-        while (used > maxBytes && it.hasNext) {
+        while (used > budget && it.hasNext) {
           val e = it.next()
           if (e.getKey != key) { used -= 8L * e.getValue.length + 64; it.remove() }
         }
