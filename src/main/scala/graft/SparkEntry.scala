@@ -3356,6 +3356,59 @@ object SparkEntry {
       graft.operators.Multimodal.videoNearDupPairs(vids, "vec_id", "content",
         frameSize = 2048, minSharedFrames = 2)
         .select(col("id_a"), col("id_b"), col("n_shared_frames"))
+    }),
+
+    // Incremental image dedup against a fingerprint STORE: the corpus is
+    // decoded once into (id, dhash64); the delta batch decodes only itself
+    // and block-joins its hashes against the store (the minhash-store
+    // discipline for media — corpus bytes are not an input to the
+    // incremental call at all). Planted: delta seeds 0..19 collide with
+    // corpus seeds, 20..39 are novel. Structural oracle like q137.
+    "q140_image_incremental_dedup" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val corpus = t(s, dir, "embeddings").select(col("vec_id"))
+        .where(col("vec_id") % 5 === 0).withColumn("seed", col("vec_id") % 20)
+      val store = Multimodal.imageFingerprintStore(
+        Multimodal.withSynthImage(corpus, "seed", 16, 16), "vec_id")
+      val delta = t(s, dir, "embeddings").select(col("vec_id"))
+        .where(col("vec_id") % 5 === 1).withColumn("seed", col("vec_id") % 40)
+      Multimodal.imageIncrementalPairs(
+        Multimodal.withSynthImage(delta, "seed", 16, 16), store,
+        "vec_id", maxHamming = 0)
+        .select(col("id_new"), col("id_corpus"))
+    }),
+
+    // Audio twin of q140: energy-contour fingerprint store, delta batch
+    // paired at hamming 0 against it. Delta seeds 0..14 collide.
+    "q141_audio_incremental_dedup" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val corpus = t(s, dir, "embeddings").select(col("vec_id"))
+        .where(col("vec_id") % 7 === 0).withColumn("seed", col("vec_id") % 15)
+      val store = Multimodal.audioFingerprintStore(
+        Multimodal.withSynthAudio(corpus, "seed", nSamples = 2000), "vec_id")
+      val delta = t(s, dir, "embeddings").select(col("vec_id"))
+        .where(col("vec_id") % 7 === 1).withColumn("seed", col("vec_id") % 30)
+      Multimodal.audioIncrementalPairs(
+        Multimodal.withSynthAudio(delta, "seed", nSamples = 2000), store,
+        "vec_id", maxHamming = 0)
+        .select(col("id_new"), col("id_corpus"))
+    }),
+
+    // Video leg: frame-hash store (exploded (id, fh)), delta frame hashes
+    // joined against it — same-seed videos share all 6 distinct frames.
+    "q142_video_incremental_dedup" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val corpus = t(s, dir, "embeddings").select(col("vec_id"))
+        .where(col("vec_id") % 11 === 0).withColumn("seed", col("vec_id") % 10)
+      val store = Multimodal.videoFrameHashStore(
+        Multimodal.withSynthVideo(corpus, "seed", nFrames = 6, frameSize = 2048),
+        "vec_id", "content", frameSize = 2048)
+      val delta = t(s, dir, "embeddings").select(col("vec_id"))
+        .where(col("vec_id") % 11 === 1).withColumn("seed", col("vec_id") % 20)
+      Multimodal.videoIncrementalPairs(
+        Multimodal.withSynthVideo(delta, "seed", nFrames = 6, frameSize = 2048),
+        store, "vec_id", "content", frameSize = 2048, minSharedFrames = 2)
+        .select(col("id_new"), col("id_corpus"), col("n_shared_frames"))
     })
   )
 
@@ -5458,6 +5511,31 @@ object SparkEntry {
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(6 AS BIGINT) AS n_shared_frames
         |FROM embeddings a JOIN embeddings b
         |  ON a.vec_id % 12 = b.vec_id % 12 AND a.vec_id < b.vec_id
-        |WHERE a.vec_id % 13 = 0 AND b.vec_id % 13 = 0""".stripMargin
+        |WHERE a.vec_id % 13 = 0 AND b.vec_id % 13 = 0""".stripMargin,
+
+    // q140: structural oracle (the q137 argument, incrementally) — a delta
+    // doc pairs with a corpus doc iff their seeds coincide: delta seed =
+    // vec_id % 40, corpus seed = vec_id % 20, so the join predicate is the
+    // seed equality itself (delta seeds ≥ 20 match nothing)
+    "q140_image_incremental_dedup" ->
+      """SELECT d.vec_id AS id_new, c.vec_id AS id_corpus
+        |FROM embeddings d JOIN embeddings c
+        |  ON d.vec_id % 40 = c.vec_id % 20
+        |WHERE d.vec_id % 5 = 1 AND c.vec_id % 5 = 0""".stripMargin,
+
+    // q141: same argument on audio fingerprints
+    "q141_audio_incremental_dedup" ->
+      """SELECT d.vec_id AS id_new, c.vec_id AS id_corpus
+        |FROM embeddings d JOIN embeddings c
+        |  ON d.vec_id % 30 = c.vec_id % 15
+        |WHERE d.vec_id % 7 = 1 AND c.vec_id % 7 = 0""".stripMargin,
+
+    // q142: same-seed delta/corpus videos share all 6 distinct frames
+    "q142_video_incremental_dedup" ->
+      """SELECT d.vec_id AS id_new, c.vec_id AS id_corpus,
+        |  CAST(6 AS BIGINT) AS n_shared_frames
+        |FROM embeddings d JOIN embeddings c
+        |  ON d.vec_id % 20 = c.vec_id % 10
+        |WHERE d.vec_id % 11 = 1 AND c.vec_id % 11 = 0""".stripMargin
   )
 }

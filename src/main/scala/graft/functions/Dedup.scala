@@ -573,11 +573,15 @@ object Dedup {
       bits = bits, maxHamming = maxHamming, maxBucketSize = maxBucketSize,
       blocksPerKey = blocksPerKey, failOnCappedBuckets = failOnCappedBuckets)
 
-  /** Manku blocking + hamming verification over a prepared (id, simhash)
-    * frame; `bits` = signature width (64 for the native kernel). */
-  private def simhashBlockedPairs(sigs: DataFrame, bits: Int, maxHamming: Int,
-                                  maxBucketSize: Int, blocksPerKey: Int,
-                                  failOnCappedBuckets: Boolean): DataFrame = {
+  /** Manku block-key explode over a prepared (id, simhash) frame →
+    * (id, simhash, block, bkey) — shared by the batch self-join
+    * ([[simhashBlockedPairs]]) and the delta-vs-store incremental path
+    * ([[simhashIncrementalPairsFromSigs]]). `persistInput` computes the
+    * signature frame once instead of once per block expression/join side
+    * (the batch path joins the blocked frame to itself; the incremental
+    * path persists only the delta side). */
+  private def mankuBlocked(sigs: DataFrame, bits: Int, maxHamming: Int,
+                           blocksPerKey: Int, persistInput: Boolean): DataFrame = {
     require(blocksPerKey >= 1 && blocksPerKey <= 3, "blocksPerKey in [1,3]")
     val numBlocks = math.min(maxHamming + blocksPerKey, bits)
     // Density check: candidate pairs grow as n²·C(B,s)/2^(keyBits) where
@@ -595,10 +599,9 @@ object Dedup {
     // (bits % numBlocks) blocks get an extra bit
     val widths = Array.tabulate(numBlocks)(i => bits / numBlocks + (if (i < bits % numBlocks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
-    // persist: the simhash aggregate is O(bits × shingles) per row — compute
-    // it once, not once per block expression / join side
-    val withSim = sigs
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withSim =
+      if (persistInput) sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sigs
     // one key per combination of blocksPerKey blocks; the key value hashes
     // the participating blocks' values (hash collisions only add
     // candidates — verified away — never lose recall). The combinations
@@ -614,12 +617,20 @@ object Dedup {
         .bitwiseAND(lit(if (widths(i) >= 64) -1L else (1L << widths(i)) - 1))): _*)
     val combosLit = array((0 until numBlocks).combinations(blocksPerKey).toSeq.map(c =>
       array(c.map(lit): _*)): _*)
-    val blocked = withSim
+    withSim
       .withColumn("_blocks", blockVals)
       .select(col("id"), col("simhash"),
         posexplode(transform(combosLit,
           c => xxhash64(transform(c, p => element_at(col("_blocks"), p + 1)))))
           .as(Seq("block", "bkey")))
+  }
+
+  /** Manku blocking + hamming verification over a prepared (id, simhash)
+    * frame; `bits` = signature width (64 for the native kernel). */
+  private def simhashBlockedPairs(sigs: DataFrame, bits: Int, maxHamming: Int,
+                                  maxBucketSize: Int, blocksPerKey: Int,
+                                  failOnCappedBuckets: Boolean): DataFrame = {
+    val blocked = mankuBlocked(sigs, bits, maxHamming, blocksPerKey, persistInput = true)
     val guarded =
       if (failOnCappedBuckets) {
         assertNoCappedBuckets(blocked, Seq("block", "bkey"), maxBucketSize, "simhash blocking")
@@ -639,6 +650,48 @@ object Dedup {
         hammingDistance(col("a.simhash"), col("b.simhash")).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** INCREMENTAL simhash-family near-dup detection: pairs between a NEW
+    * batch's signatures and an EXISTING signature STORE — the
+    * [[minhashIncrementalPairs]] discipline for 64-bit fingerprints
+    * (text simhash, image dHash, audio energy fingerprints). Both sides
+    * are already-signed `(id, simhash)` frames, so the store's raw
+    * payloads are NEVER touched: candidates come from a Manku block-key
+    * equi-join of delta blocks against store blocks (never store × store),
+    * per-batch cost scales with |delta| + matched buckets.
+    *
+    * The skew guard caps STORE-side buckets ([[bucketSized]] window —
+    * a corpus-wide boilerplate fingerprint would fan every matching delta
+    * row out bucket-fold); `failOnCappedBuckets` turns the silent prune
+    * into a loud error for exhaustive pipelines.
+    *
+    * @param deltaSigs (id, simhash) of the new batch
+    * @param storeSigs (id, simhash) store persisted across batches —
+    *        union the delta's signatures in after each run
+    * @return (id_new, id_corpus, hamming) with hamming <= maxHamming */
+  def simhashIncrementalPairsFromSigs(deltaSigs: DataFrame, storeSigs: DataFrame,
+                                      bits: Int = 64, maxHamming: Int = 3,
+                                      maxBucketSize: Int = 1000, blocksPerKey: Int = 1,
+                                      failOnCappedBuckets: Boolean = false): DataFrame = {
+    val deltaBlocked = mankuBlocked(deltaSigs.select(col("id"), col("simhash")),
+      bits, maxHamming, blocksPerKey, persistInput = true)
+    val storeBlocked = mankuBlocked(storeSigs.select(col("id"), col("simhash")),
+      bits, maxHamming, blocksPerKey, persistInput = false)
+    val guarded =
+      if (failOnCappedBuckets) {
+        assertNoCappedBuckets(storeBlocked, Seq("block", "bkey"), maxBucketSize,
+          "incremental simhash blocking")
+        storeBlocked
+      } else
+        bucketSized(storeBlocked, Seq("block", "bkey")).where(col("_n") <= maxBucketSize)
+          .select(col("id"), col("simhash"), col("block"), col("bkey"))
+    deltaBlocked.alias("a").join(guarded.alias("b"),
+        col("a.block") === col("b.block") && col("a.bkey") === col("b.bkey"))
+      .select(col("a.id").as("id_new"), col("b.id").as("id_corpus"),
+        hammingDistance(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .dropDuplicates("id_new", "id_corpus")
   }
 
   /** Connected components over duplicate PAIRS → cluster id per document

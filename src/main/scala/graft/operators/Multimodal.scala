@@ -533,6 +533,22 @@ object Multimodal {
       StructField(outCol, ArrayType(LongType, containsNull = false)))(
       bytes => Codecs.frameDHashes(bytes, frameSize, stride).toSeq)
 
+  /** Shared video-pair machinery over an exploded `(id, fh)` frame-hash
+    * frame: prune hot frames, self-join per hash, count shared hashes.
+    * The hot-frame list is bounded by the over-cap count (the cap's own
+    * definition) → legal broadcast. */
+  private def framePairsFromHashes(sigs: DataFrame, minSharedFrames: Int,
+                                   maxFrameOccurrences: Int): DataFrame = {
+    val hot = sigs.groupBy(col("fh")).agg(count(lit(1)).as("_n"))
+      .where(col("_n") > maxFrameOccurrences).select(col("fh"))
+    val pruned = sigs.join(broadcast(hot), Seq("fh"), "left_anti")
+    pruned.alias("a").join(pruned.alias("b"),
+        col("a.fh") === col("b.fh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared_frames"))
+      .where(col("n_shared_frames") >= minSharedFrames)
+  }
+
   /** VIDEO near-duplicate pairs by shared perceptual frame hashes — the
     * frame-sample → feature-extract pipeline made an end-to-end dedup:
     * each video reduces to its distinct frame-dHash set (64-bit hashes
@@ -545,6 +561,11 @@ object Multimodal {
     * videos are excluded from candidate generation (they carry no
     * dedup signal, exactly like capped LSH buckets).
     *
+    * This overload slices the RAW-STREAM fixed-size frame layout; real
+    * containers (mp4/mkv — no JDK codec) go through
+    * [[videoNearDupPairsFromFrames]] with an externally decoded frame
+    * table instead.
+    *
     * @return (id_a, id_b, n_shared_frames) */
   def videoNearDupPairs(df: DataFrame, idCol: String, contentCol: String,
                         frameSize: Int, stride: Int = 1,
@@ -554,12 +575,111 @@ object Multimodal {
         contentCol, frameSize, stride)
       .select(col("id"), explode(col("frame_hashes")).as("fh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hot = sigs.groupBy(col("fh")).agg(count(lit(1)).as("_n"))
+    framePairsFromHashes(sigs, minSharedFrames, maxFrameOccurrences)
+  }
+
+  /** [[videoNearDupPairs]] over a USER-SUPPLIED frame table
+    * `(id, frame_idx, content)` — the plug-in point for real container
+    * decoders (ffmpeg-style extraction runs OUTSIDE this library; mp4/mkv
+    * are honestly undecodable with JDK-only codecs). Each frame image is
+    * dHash64'd executor-side, a video reduces to its DISTINCT frame-hash
+    * set (repeated frames within one video count once, matching the raw
+    * layout path), and the same hot-frame-capped pair machinery runs.
+    * Undecodable frames are skipped, not failed — mixed corpora flow.
+    *
+    * @return (id_a, id_b, n_shared_frames) */
+  def videoNearDupPairsFromFrames(frames: DataFrame, idCol: String, contentCol: String,
+                                  minSharedFrames: Int = 2,
+                                  maxFrameOccurrences: Int = 1000): DataFrame = {
+    val sigs = withImageDHash(frames.select(col(idCol).as("id"), col(contentCol)),
+        contentCol, outCol = "fh")
+      .where(col("fh").isNotNull)
+      .select(col("id"), col("fh")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    framePairsFromHashes(sigs, minSharedFrames, maxFrameOccurrences)
+  }
+
+  // ---- Incremental (store-backed) media dedup ------------------------
+  //
+  // The text-dedup store discipline (minhashSignatures store + delta-join,
+  // spanFingerprintStore) applied to media: a corpus's payloads are decoded
+  // ONCE into a persisted fingerprint store; every later ingestion batch
+  // decodes only ITSELF and joins its fingerprints against the store —
+  // the corpus bytes (the expensive column, at media scale by far) are
+  // never re-read, never re-decoded, never shuffled.
+
+  /** Image fingerprint STORE: `(id, dhash64)` for every decodable payload —
+    * persist (parquet) and union each batch's store frame in after its run.
+    * 8 bytes/image of state vs re-decoding terabytes per batch. */
+  def imageFingerprintStore(df: DataFrame, idCol: String,
+                            contentCol: String = "content"): DataFrame =
+    withImageDHash(df.select(col(idCol).as("id"), col(contentCol)), contentCol)
+      .where(col("dhash64").isNotNull)
+      .select(col("id"), col("dhash64"))
+
+  /** Incremental image near-dup detection: dHash the DELTA batch only, pair
+    * against an [[imageFingerprintStore]] through the blocked incremental
+    * simhash join (delta-vs-store, never store×store; store payloads are
+    * not an input at all, so re-decoding the corpus is impossible by
+    * construction). @return (id_new, id_corpus, hamming) */
+  def imageIncrementalPairs(delta: DataFrame, store: DataFrame,
+                            idCol: String, contentCol: String = "content",
+                            maxHamming: Int = 2, maxBucketSize: Int = 1000,
+                            failOnCappedBuckets: Boolean = false): DataFrame =
+    graft.functions.Dedup.simhashIncrementalPairsFromSigs(
+      imageFingerprintStore(delta, idCol, contentCol)
+        .select(col("id"), col("dhash64").as("simhash")),
+      store.select(col("id"), col("dhash64").as("simhash")),
+      maxHamming = maxHamming, maxBucketSize = maxBucketSize,
+      failOnCappedBuckets = failOnCappedBuckets)
+
+  /** Audio fingerprint STORE: `(id, afp64)` energy-contour fingerprints —
+    * [[imageFingerprintStore]]'s audio twin. */
+  def audioFingerprintStore(df: DataFrame, idCol: String,
+                            contentCol: String = "content"): DataFrame =
+    withAudioFingerprint(df.select(col(idCol).as("id"), col(contentCol)), contentCol)
+      .where(col("afp64").isNotNull)
+      .select(col("id"), col("afp64"))
+
+  /** Incremental audio near-dup detection against an
+    * [[audioFingerprintStore]]. @return (id_new, id_corpus, hamming) */
+  def audioIncrementalPairs(delta: DataFrame, store: DataFrame,
+                            idCol: String, contentCol: String = "content",
+                            maxHamming: Int = 2, maxBucketSize: Int = 1000,
+                            failOnCappedBuckets: Boolean = false): DataFrame =
+    graft.functions.Dedup.simhashIncrementalPairsFromSigs(
+      audioFingerprintStore(delta, idCol, contentCol)
+        .select(col("id"), col("afp64").as("simhash")),
+      store.select(col("id"), col("afp64").as("simhash")),
+      maxHamming = maxHamming, maxBucketSize = maxBucketSize,
+      failOnCappedBuckets = failOnCappedBuckets)
+
+  /** Video frame-hash STORE: exploded `(id, fh)` distinct frame dHashes —
+    * one 8-byte row per distinct frame per video. */
+  def videoFrameHashStore(df: DataFrame, idCol: String, contentCol: String,
+                          frameSize: Int, stride: Int = 1): DataFrame =
+    withFrameDHashes(df.select(col(idCol).as("id"), col(contentCol)),
+        contentCol, frameSize, stride)
+      .select(col("id"), explode(col("frame_hashes")).as("fh"))
+
+  /** Incremental video near-dup detection: decode the DELTA's frames only,
+    * join its frame hashes against a [[videoFrameHashStore]] on fh. The
+    * hot-frame cap applies to the STORE side (a corpus-wide intro card
+    * would fan every matching delta frame out store-wide — same rationale
+    * as the batch path's cap, and the list is over-cap-bounded → legal
+    * broadcast). @return (id_new, id_corpus, n_shared_frames) */
+  def videoIncrementalPairs(delta: DataFrame, frameStore: DataFrame,
+                            idCol: String, contentCol: String,
+                            frameSize: Int, stride: Int = 1,
+                            minSharedFrames: Int = 2,
+                            maxFrameOccurrences: Int = 1000): DataFrame = {
+    val deltaSigs = videoFrameHashStore(delta, idCol, contentCol, frameSize, stride)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = frameStore.groupBy(col("fh")).agg(count(lit(1)).as("_n"))
       .where(col("_n") > maxFrameOccurrences).select(col("fh"))
-    val pruned = sigs.join(broadcast(hot), Seq("fh"), "left_anti")
-    pruned.alias("a").join(pruned.alias("b"),
-        col("a.fh") === col("b.fh") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val prunedStore = frameStore.join(broadcast(hot), Seq("fh"), "left_anti")
+    deltaSigs.alias("a").join(prunedStore.alias("b"), col("a.fh") === col("b.fh"))
+      .groupBy(col("a.id").as("id_new"), col("b.id").as("id_corpus"))
       .agg(count(lit(1)).as("n_shared_frames"))
       .where(col("n_shared_frames") >= minSharedFrames)
   }

@@ -281,6 +281,145 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(capped.isEmpty, s"the corpus-wide intro frame must not pair everything: ${capped.toSeq}")
   }
 
+  test("incremental image dedup: store-backed pairs; corpus content is NEVER re-materialized") {
+    import graft.operators.Multimodal
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val binSchema = StructType(Seq(StructField("id", LongType), StructField("content", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(binSchema)
+    // content generation is instrumented: any plan that touches the
+    // corpus's content column must re-run this mapPartitions and bump the
+    // accumulator — so accumulator==0 after the incremental call PROVES
+    // the corpus was not re-decoded (stronger than the by-construction
+    // argument: it would catch a regression that sneaks content back in)
+    val corpusReads = spark.sparkContext.longAccumulator("corpusContentReads")
+    val corpus = Seq((1L, 10L), (2L, 11L), (3L, 12L)).toDF("id", "seed")
+      .mapPartitions { rows => rows.map { r =>
+        corpusReads.add(1)
+        Row(r.getLong(0), Multimodal.Codecs.synthImage(r.getLong(1), 16, 16))
+      } }(enc)
+    val dir = java.nio.file.Files.createTempDirectory("imgstore").toString
+    Multimodal.imageFingerprintStore(corpus, "id")
+      .write.mode("overwrite").parquet(dir)
+    Thread.sleep(300)
+    val decodesDuringStoreBuild = corpusReads.value.longValue
+    assert(decodesDuringStoreBuild >= 3, "store build decodes the corpus once")
+    corpusReads.reset()
+    val store = spark.read.parquet(dir)
+    // delta: id 4 duplicates corpus seed 10, id 5 is novel
+    val delta = Seq((4L, 10L), (5L, 99L)).toDF("id", "seed")
+      .mapPartitions { rows => rows.map(r =>
+        Row(r.getLong(0), Multimodal.Codecs.synthImage(r.getLong(1), 16, 16))) }(enc)
+    val pairs = Multimodal.imageIncrementalPairs(delta, store, "id", maxHamming = 0)
+      .select("id_new", "id_corpus").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((4L, 1L)), s"got $pairs")
+    Thread.sleep(300) // listener/accumulator updates are async
+    assert(corpusReads.value.longValue == 0,
+      s"incremental dedup re-materialized the corpus content ${corpusReads.value} time(s)")
+  }
+
+  test("incremental audio and video dedup against fingerprint stores") {
+    import graft.operators.Multimodal
+    // audio: delta clip 4 duplicates stored clip 1 (gain variant — the
+    // energy contour is gain-invariant); clip 5 is novel
+    val a1 = Multimodal.Codecs.synthWav(3L, 4000, gain = 0.8)
+    val store = Multimodal.audioFingerprintStore(
+      Seq((1L, a1), (2L, Multimodal.Codecs.synthWav(4L, 4000))).toDF("id", "content"), "id")
+    val delta = Seq(
+      (4L, Multimodal.Codecs.synthWav(3L, 4000, gain = 0.3)),
+      (5L, Multimodal.Codecs.synthWav(9L, 4000))).toDF("id", "content")
+    val aPairs = Multimodal.audioIncrementalPairs(delta, store, "id", maxHamming = 4)
+      .select("id_new", "id_corpus").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(aPairs == Set((4L, 1L)), s"got $aPairs")
+
+    // video: delta video shares 3 frames with stored video 1; the
+    // store-side hot-frame cap still applies (intro frame in every video)
+    val fs = 2048
+    val v1 = Multimodal.Codecs.synthVideo(1L, 5, fs)
+    val v2 = Multimodal.Codecs.synthVideo(2L, 5, fs)
+    val vStore = Multimodal.videoFrameHashStore(
+      Seq((1L, v1), (2L, v2)).toDF("id", "content"), "id", "content", frameSize = fs)
+    val hybrid = v1.take(3 * fs) ++ Multimodal.Codecs.synthVideo(7L, 2, fs)
+    val vPairs = Multimodal.videoIncrementalPairs(
+      Seq((10L, hybrid)).toDF("id", "content"), vStore, "id", "content",
+      frameSize = fs, minSharedFrames = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(vPairs == Map((10L, 1L) -> 3L), s"got $vPairs")
+
+    // hot-frame cap on the STORE side: a frame in every stored video
+    // (cap 1) generates no candidates
+    val intro = Multimodal.Codecs.synthImage(99L, 16, 16)
+    val padded = intro ++ new Array[Byte](fs - intro.length)
+    val hotStore = Multimodal.videoFrameHashStore(
+      Seq((1L, padded ++ v1), (2L, padded ++ v2)).toDF("id", "content"),
+      "id", "content", frameSize = fs)
+    val capped = Multimodal.videoIncrementalPairs(
+      Seq((10L, padded)).toDF("id", "content"), hotStore, "id", "content",
+      frameSize = fs, minSharedFrames = 1, maxFrameOccurrences = 1).collect()
+    assert(capped.isEmpty, s"hot intro frame must be capped out: ${capped.toSeq}")
+  }
+
+  test("video near-dup pairs from a user-supplied frame table (external decoder plug-in)") {
+    import graft.operators.Multimodal
+    // frames as an external decoder would deliver them: (id, frame_idx,
+    // content) — video 1 and 2 share two frame images, video 3 is
+    // disjoint; video 1 repeats a frame (counts ONCE: distinct
+    // semantics match the raw-layout path); one frame is undecodable
+    val fA = Multimodal.Codecs.synthImage(1L, 16, 16)
+    val fB = Multimodal.Codecs.synthImage(2L, 16, 16)
+    val fC = Multimodal.Codecs.synthImage(3L, 16, 16)
+    val fD = Multimodal.Codecs.synthImage(4L, 16, 16)
+    val frames = Seq(
+      (1L, 0, fA), (1L, 1, fB), (1L, 2, fA), (1L, 3, "junk".getBytes),
+      (2L, 0, fA), (2L, 1, fB), (2L, 2, fC),
+      (3L, 0, fD), (3L, 1, Multimodal.Codecs.synthImage(5L, 16, 16)))
+      .toDF("id", "frame_idx", "content")
+    val pairs = Multimodal.videoNearDupPairsFromFrames(frames, "id", "content",
+        minSharedFrames = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs == Map((1L, 2L) -> 2L), s"got $pairs")
+    // equivalence with the raw fixed-size layout on the same frame content
+    val fs = 2048
+    def pad(b: Array[Byte]) = b ++ new Array[Byte](fs - b.length)
+    val raw = Seq(
+      (1L, pad(fA) ++ pad(fB) ++ pad(fA)),
+      (2L, pad(fA) ++ pad(fB) ++ pad(fC)),
+      (3L, pad(fD) ++ pad(Multimodal.Codecs.synthImage(5L, 16, 16))))
+      .toDF("id", "content")
+    val rawPairs = Multimodal.videoNearDupPairs(raw, "id", "content", frameSize = fs,
+        minSharedFrames = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rawPairs == pairs, s"frame-table and raw-layout paths disagree: $rawPairs vs $pairs")
+  }
+
+  test("NearDedupTransformer exact method: drop set without clustering, zero jobs at plan time") {
+    import graft.core._
+    import graft.operators.NearDedupTransformer
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, new InstanceRegistry)
+    val docs = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "ccc"), (5L, "bbb"), (6L, "aaa"))
+      .toDF("doc_id", "text")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val plan =
+      try {
+        // exact pairs are already canonical stars — deriving the drop set
+        // must NOT run duplicateClusters' probe/union-find jobs: the whole
+        // transform is plan construction, zero Spark jobs
+        val p = NearDedupTransformer("doc_id", "text", method = "exact").transform(docs)
+        Thread.sleep(1000) // async listener bus: nothing should arrive
+        assert(jobs.get() == 0, s"exact drop-set derivation ran ${jobs.get()} job(s) at plan time")
+        p
+      } finally spark.sparkContext.removeSparkListener(listener)
+    // and the result keeps exactly the min-id member of each text group
+    assert(plan.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
+  }
+
   test("lsh top-k recall vs brute force on identical-direction vectors") {
     val rnd = new scala.util.Random(7)
     val corpus = (1L to 200L).map(i => (i, Array.fill(32)(rnd.nextGaussian().toFloat).toSeq))
