@@ -3409,6 +3409,30 @@ object SparkEntry {
         Multimodal.withSynthVideo(delta, "seed", nFrames = 6, frameSize = 2048),
         store, "vec_id", "content", frameSize = 2048, minSharedFrames = 2)
         .select(col("id_new"), col("id_corpus"), col("n_shared_frames"))
+    }),
+
+    // EXTENDED COMPOSITION — the q133 chain carried through to training
+    // inputs: exact dedup → token-bound quality gate → temperature-scaled
+    // domain mixing (α=0.5 over `source`, token-weighted) → fixed-length
+    // token chunking. The end-to-end "curate → mix → pack" cost model the
+    // brief ultimately wants, each stage the audited operator, the whole
+    // chain replayed in DuckDB.
+    "q143_curation_mix_pack" -> ((s, dir) => {
+      import graft.functions.{Dedup, Packing, Sampling, TextAnalysis}
+      val docs0 = t(s, dir, "documents").select(col("doc_id"), col("text"), col("source"))
+      val corpus = docs0.unionByName(docs0.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("source")))
+      val canon = Dedup.exactDedup(corpus, "doc_id", "text")
+        .select(col("canonical_id").as("doc_id"))
+      val deduped = corpus.join(canon, Seq("doc_id"), "left_semi")
+      val quality = deduped
+        .withColumn("n_tokens", size(TextAnalysis.wsTokens(col("text"))).cast("long"))
+        .where(col("n_tokens").between(5, 10000))
+      val mixed = Sampling.temperatureMix(quality, col("doc_id"), col("source"),
+        col("n_tokens"), budgetTokens = 200000L, alpha = 0.5)
+      Packing.chunkTokens(mixed, col("doc_id"), col("text"), maxLen = 32, overlap = 8)
+        .select(col("doc_id"), col("source"), col("_mix_rate_e6"),
+          col("chunk_idx"), col("chunk_tokens"), col("chunk_text"))
     })
   )
 
@@ -5536,6 +5560,58 @@ object SparkEntry {
         |  CAST(6 AS BIGINT) AS n_shared_frames
         |FROM embeddings d JOIN embeddings c
         |  ON d.vec_id % 20 = c.vec_id % 10
-        |WHERE d.vec_id % 11 = 1 AND c.vec_id % 11 = 0""".stripMargin
+        |WHERE d.vec_id % 11 = 1 AND c.vec_id % 11 = 0""".stripMargin,
+
+    // q143: the q133 dedup/gate CTEs + the q132 mixing CTEs (budget
+    // 200000, weight = token count) + the q134 chunking CTEs, composed
+    "q143_curation_mix_pack" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, source FROM documents WHERE doc_id % 5 = 0),
+        |normed AS (
+        |  SELECT doc_id, text, source,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'),
+        |      '\s+', ' ', 'g'))) AS ck
+        |  FROM corpus),
+        |canon AS (SELECT min(doc_id) AS doc_id FROM normed GROUP BY ck),
+        |deduped AS (SELECT n.doc_id, n.text, n.source FROM normed n JOIN canon USING (doc_id)),
+        |quality AS (
+        |  SELECT doc_id, text, source,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM deduped
+        |  WHERE len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+        |    BETWEEN 5 AND 10000),
+        |totals AS (
+        |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t
+        |  FROM quality GROUP BY source HAVING sum(n_tokens) > 0),
+        |pw AS (
+        |  SELECT source, t,
+        |    CAST(floor(pow(CAST(t AS DOUBLE), 0.5) * 1000000.0 + 0.5) AS BIGINT) AS pw
+        |  FROM totals),
+        |rates AS (
+        |  SELECT source,
+        |    LEAST(1000000, CAST(floor(
+        |      floor(200000.0 * CAST(pw AS DOUBLE) / CAST(z AS DOUBLE))
+        |        * 1000000.0 / CAST(t AS DOUBLE)) AS BIGINT)) AS rate_e6
+        |  FROM (SELECT source, t, pw, sum(pw) OVER () AS z FROM pw)),
+        |mixed AS (
+        |  SELECT q.doc_id, q.text, q.source, r.rate_e6 AS _mix_rate_e6
+        |  FROM quality q JOIN rates r USING (source)
+        |  WHERE CAST(floor((CAST(('0x' || substring(md5(CAST(q.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |          / 4294967296.0) * 1000000.0) AS BIGINT) < r.rate_e6),
+        |tokd AS (
+        |  SELECT doc_id, source, _mix_rate_e6,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+        |  FROM mixed),
+        |idx AS (
+        |  SELECT doc_id, source, _mix_rate_e6, t,
+        |    unnest(range(0,
+        |      greatest(CAST(ceil(CAST(len(t) - 32 AS DOUBLE) / 24.0) AS BIGINT), 0) + 1)) AS i
+        |  FROM tokd WHERE len(t) > 0)
+        |SELECT doc_id, source, _mix_rate_e6, CAST(i AS INT) AS chunk_idx,
+        |  CAST(len(t[i*24 + 1 : i*24 + 32]) AS INT) AS chunk_tokens,
+        |  array_to_string(t[i*24 + 1 : i*24 + 32], ' ') AS chunk_text
+        |FROM idx""".stripMargin
   )
 }

@@ -554,6 +554,13 @@ object ConfigParser {
         graft.streaming.StreamingDedupTransformer(strSeq(n, "keyColumns"),
           eventTimeColumn = str(n, "eventTimeColumn"),
           withinWatermark = str(n, "withinWatermark"))
+      case "PplCutoffAssignTransformer" | "pplCutoffAssign" =>
+        PplCutoffAssignTransformer(
+          require(str(n, "langColumn"), id, "langColumn"),
+          cutoffs = get(n, "cutoffs").map(_.properties().asScala.map(e =>
+            e.getKey -> e.getValue.elements().asScala.map(_.asLong).toSeq).toMap)
+            .getOrElse(throw new IllegalArgumentException(
+              s"config '$id': missing required field 'cutoffs'")))
       case t => throw new IllegalArgumentException(s"action '$id': unknown transformer type '$t'")
     }
 
@@ -581,6 +588,38 @@ object ConfigParser {
           require(str(n, "benchTextColumn"), id, "benchTextColumn"),
           windowTokens = int(n, "windowTokens").getOrElse(8),
           cleanOutput = str(n, "cleanOutput"))
+      case "NbQualityTransformer" | "nbQuality" =>
+        NbQualityTransformer(
+          require(str(n, "corpusInput"), id, "corpusInput"),
+          require(str(n, "targetSeedInput"), id, "targetSeedInput"),
+          require(str(n, "backgroundSeedInput"), id, "backgroundSeedInput"),
+          require(str(n, "textColumn"), id, "textColumn"),
+          targetTextColumn = str(n, "targetTextColumn"),
+          backgroundTextColumn = str(n, "backgroundTextColumn"),
+          numBuckets = int(n, "numBuckets").getOrElse(256),
+          keepOnlyPredicted = bool(n, "keepOnlyPredicted"),
+          scoredOutput = str(n, "scoredOutput"))
+      case "PerplexityBucketsTransformer" | "perplexityBuckets" =>
+        PerplexityBucketsTransformer(
+          require(str(n, "corpusInput"), id, "corpusInput"),
+          require(str(n, "seedInput"), id, "seedInput"),
+          require(str(n, "idColumn"), id, "idColumn"),
+          require(str(n, "textColumn"), id, "textColumn"),
+          require(str(n, "langColumn"), id, "langColumn"),
+          seedTextColumn = str(n, "seedTextColumn"),
+          numBuckets = int(n, "numBuckets").getOrElse(4096),
+          scoredOutput = str(n, "scoredOutput"))
+      case "DsirResampleTransformer" | "dsirResample" =>
+        DsirResampleTransformer(
+          require(str(n, "corpusInput"), id, "corpusInput"),
+          require(str(n, "targetSeedInput"), id, "targetSeedInput"),
+          require(str(n, "idColumn"), id, "idColumn"),
+          require(str(n, "textColumn"), id, "textColumn"),
+          k = int(n, "k").getOrElse(throw new IllegalArgumentException(
+            s"config '$id': missing required field 'k'")),
+          targetTextColumn = str(n, "targetTextColumn"),
+          numBuckets = int(n, "numBuckets").getOrElse(256),
+          selectedOutput = str(n, "selectedOutput"))
       case t => throw new IllegalArgumentException(s"action '$id': unknown dfs transformer type '$t'")
     }
 }

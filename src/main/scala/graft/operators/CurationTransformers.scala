@@ -269,3 +269,112 @@ case class NfcNormalizeTransformer(textColumn: String) extends DfTransformer {
                         (implicit ctx: ActionPipelineContext): DataFrame =
     df.withColumn(textColumn, TextAnalysis.nfcNormalize(col(textColumn)))
 }
+
+// ---- Scoring-family transformers -------------------------------------
+//
+// The declarative surface for the corpus SCORERS (NB quality gate, CCNet
+// perplexity buckets, DSIR importance resampling) — the r13 curation
+// family's pattern applied to `graft.functions.{QualityClassifier,
+// NgramLM, ImportanceResampling}`. All three TRAIN by driver-collecting a
+// bounded bucket table (the functions' documented ≤2^20 contract), so
+// their Init paths MUST return schema stubs: calling the scorer in Init
+// would run the training aggregations once per DAG traversal.
+
+/** Naive-Bayes quality gate (CCNet wiki-vs-crawl shape) as an N:1 config
+  * transformer: score the corpus input against target/background seed
+  * inputs, appending (n_grams, score_micro, predicted);
+  * `keepOnlyPredicted` turns the scorer into a filter gate. */
+case class NbQualityTransformer(
+    corpusInput: String, targetSeedInput: String, backgroundSeedInput: String,
+    textColumn: String,
+    targetTextColumn: Option[String] = None,
+    backgroundTextColumn: Option[String] = None,
+    numBuckets: Int = 256, keepOnlyPredicted: Boolean = false,
+    scoredOutput: Option[String] = None) extends DfsTransformer {
+  private def outKey: String = scoredOutput.getOrElse(corpusInput)
+  override def transform(dfs: Map[String, DataFrame])
+                        (implicit ctx: ActionPipelineContext): Map[String, DataFrame] = {
+    val corpus = dfs.getOrElse(corpusInput,
+      throw new IllegalArgumentException(s"NbQualityTransformer: missing input '$corpusInput'"))
+    if (ctx.phase == ExecutionPhase.Init)
+      return Map(outKey -> corpus.withColumn("n_grams", lit(0))
+        .withColumn("score_micro", lit(0L)).withColumn("predicted", lit(true)))
+    val target = dfs.getOrElse(targetSeedInput,
+      throw new IllegalArgumentException(s"NbQualityTransformer: missing input '$targetSeedInput'"))
+    val background = dfs.getOrElse(backgroundSeedInput,
+      throw new IllegalArgumentException(s"NbQualityTransformer: missing input '$backgroundSeedInput'"))
+    val scored = graft.functions.QualityClassifier.scoreNB(corpus, col(textColumn),
+      target, col(targetTextColumn.getOrElse(textColumn)),
+      background, col(backgroundTextColumn.getOrElse(textColumn)), numBuckets)
+    Map(outKey -> (if (keepOnlyPredicted) scored.where(col("predicted")) else scored))
+  }
+}
+
+/** CCNet head/middle/tail perplexity bucketing as an N:1 config
+  * transformer: bigram-LM-score the corpus against a seed input, appending
+  * (n_bigrams, nll_micro, ppl_micro, bucket). The exact per-language
+  * tercile needs one window sort — for web-scale single languages use
+  * [[PplCutoffAssignTransformer]] (the zero-shuffle production path). */
+case class PerplexityBucketsTransformer(
+    corpusInput: String, seedInput: String,
+    idColumn: String, textColumn: String, langColumn: String,
+    seedTextColumn: Option[String] = None,
+    numBuckets: Int = 4096,
+    scoredOutput: Option[String] = None) extends DfsTransformer {
+  private def outKey: String = scoredOutput.getOrElse(corpusInput)
+  override def transform(dfs: Map[String, DataFrame])
+                        (implicit ctx: ActionPipelineContext): Map[String, DataFrame] = {
+    val corpus = dfs.getOrElse(corpusInput,
+      throw new IllegalArgumentException(s"PerplexityBucketsTransformer: missing input '$corpusInput'"))
+    if (ctx.phase == ExecutionPhase.Init)
+      return Map(outKey -> corpus.withColumn("n_bigrams", lit(0))
+        .withColumn("nll_micro", lit(0L)).withColumn("ppl_micro", lit(0L))
+        .withColumn("bucket", lit("head")))
+    val seed = dfs.getOrElse(seedInput,
+      throw new IllegalArgumentException(s"PerplexityBucketsTransformer: missing input '$seedInput'"))
+    Map(outKey -> graft.functions.NgramLM.pplBuckets(corpus, idColumn, col(textColumn),
+      langColumn, seed, col(seedTextColumn.getOrElse(textColumn)), numBuckets))
+  }
+}
+
+/** Zero-shuffle CCNet bucket assignment from PRE-TRAINED per-language
+  * cutoffs (`lang -> [headMax, middleMax]` in ppl micro-nats) — the
+  * production path when the cutoffs were computed once on a sample. Pure
+  * broadcast lookup, safe in Init (no jobs, schema gains `bucket`). */
+case class PplCutoffAssignTransformer(
+    langColumn: String, cutoffs: Map[String, Seq[Long]]) extends DfTransformer {
+  require(cutoffs.nonEmpty && cutoffs.values.forall(_.length == 2),
+    "PplCutoffAssignTransformer: cutoffs must map each language to [headMax, middleMax]")
+  override def transform(df: DataFrame, dataObjectId: String = "")
+                        (implicit ctx: ActionPipelineContext): DataFrame =
+    graft.functions.NgramLM.assignByPplCutoffs(df, langColumn,
+      cutoffs.map { case (l, s) => l -> (s.head, s(1)) })
+}
+
+/** DSIR importance resampling (top-k corpus rows by hashed-n-gram
+  * importance against a target seed) as an N:1 config transformer —
+  * appends (n_grams, score, rank) and KEEPS only the k selected rows. */
+case class DsirResampleTransformer(
+    corpusInput: String, targetSeedInput: String,
+    idColumn: String, textColumn: String, k: Int,
+    targetTextColumn: Option[String] = None,
+    numBuckets: Int = 256,
+    selectedOutput: Option[String] = None) extends DfsTransformer {
+  private def outKey: String = selectedOutput.getOrElse(corpusInput)
+  override def transform(dfs: Map[String, DataFrame])
+                        (implicit ctx: ActionPipelineContext): Map[String, DataFrame] = {
+    val corpus = dfs.getOrElse(corpusInput,
+      throw new IllegalArgumentException(s"DsirResampleTransformer: missing input '$corpusInput'"))
+    if (ctx.phase == ExecutionPhase.Init)
+      return Map(outKey -> corpus.withColumn("n_grams", lit(0))
+        .withColumn("score", lit(0.0)).withColumn("rank", lit(0)))
+    val target = dfs.getOrElse(targetSeedInput,
+      throw new IllegalArgumentException(s"DsirResampleTransformer: missing input '$targetSeedInput'"))
+    // resampleTopK evaluates ONE text expression against both frames —
+    // align the seed's text column name when it differs
+    val targetNorm = targetTextColumn.filter(_ != textColumn)
+      .map(tc => target.withColumn(textColumn, col(tc))).getOrElse(target)
+    Map(outKey -> graft.functions.ImportanceResampling.resampleTopK(corpus, targetNorm,
+      col(idColumn), col(textColumn), numBuckets, k))
+  }
+}

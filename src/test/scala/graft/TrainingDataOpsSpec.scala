@@ -903,4 +903,77 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(out(2L) == "beta zeta")
     assert(out(3L) == "unrelated unique content here")
   }
+
+  test("scoring-family transformers wire through HOCON config into a DAG run") {
+    import graft.core._
+    val dir = java.nio.file.Files.createTempDirectory("r14cfg").toString
+    val good = "encyclopedia science history knowledge research method evidence theory " * 4
+    val junk = "win casino lottery click here free prize money jackpot bonus spins " * 4
+    Seq((1L, good + "alpha", "en"), (2L, good + "beta", "en"),
+        (3L, junk + "gamma", "en"), (4L, junk + "delta", "xx"))
+      .toDF("doc_id", "text", "lang").write.parquet(s"$dir/corpus")
+    Seq((100L, good), (101L, good + " archive journal")).toDF("sid", "stext")
+      .write.parquet(s"$dir/tseed")
+    Seq((200L, junk), (201L, junk + " unsubscribe now")).toDF("sid", "stext")
+      .write.parquet(s"$dir/bseed")
+    val conf = s"""
+      |dataObjects {
+      |  corpus { type = ParquetFileDataObject, path = "$dir/corpus" }
+      |  tseed  { type = ParquetFileDataObject, path = "$dir/tseed" }
+      |  bseed  { type = ParquetFileDataObject, path = "$dir/bseed" }
+      |  nbout  { type = ParquetFileDataObject, path = "$dir/nbout" }
+      |  pplout { type = ParquetFileDataObject, path = "$dir/pplout" }
+      |  cutout { type = ParquetFileDataObject, path = "$dir/cutout" }
+      |  dsirout{ type = ParquetFileDataObject, path = "$dir/dsirout" }
+      |}
+      |actions {
+      |  nb {
+      |    type = CustomDataFrameAction, inputIds = [corpus, tseed, bseed], outputIds = [nbout]
+      |    dfsTransformers = [{ type = nbQuality, corpusInput = corpus,
+      |      targetSeedInput = tseed, backgroundSeedInput = bseed,
+      |      textColumn = text, targetTextColumn = stext, backgroundTextColumn = stext,
+      |      keepOnlyPredicted = true, scoredOutput = nbout }]
+      |  }
+      |  ppl {
+      |    type = CustomDataFrameAction, inputIds = [corpus, tseed], outputIds = [pplout]
+      |    dfsTransformers = [{ type = perplexityBuckets, corpusInput = corpus,
+      |      seedInput = tseed, idColumn = doc_id, textColumn = text,
+      |      langColumn = lang, seedTextColumn = stext, scoredOutput = pplout }]
+      |  }
+      |  cut {
+      |    type = CopyAction, inputId = pplout, outputId = cutout
+      |    transformers = [{ type = pplCutoffAssign, langColumn = lang,
+      |      cutoffs = { en = [1, 100000000000] } }]
+      |  }
+      |  dsir {
+      |    type = CustomDataFrameAction, inputIds = [corpus, tseed], outputIds = [dsirout]
+      |    dfsTransformers = [{ type = dsirResample, corpusInput = corpus,
+      |      targetSeedInput = tseed, idColumn = doc_id, textColumn = text,
+      |      targetTextColumn = stext, k = 2, selectedOutput = dsirout }]
+      |  }
+      |}""".stripMargin
+    val reg = ConfigParser.parse(conf)
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    new ActionDAGRun(reg.allActions).run()
+    // NB gate keeps exactly the seed-like docs
+    val kept = spark.read.parquet(s"$dir/nbout").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L), s"NB gate kept $kept")
+    // perplexity buckets: within 'en', the junk doc ranks strictly worse
+    // (tail) than at least one good doc (head tercile of 3 en docs = 1 doc)
+    val buckets = spark.read.parquet(s"$dir/pplout")
+      .select("doc_id", "bucket").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(buckets(3L) == "tail", s"junk doc bucketed ${buckets(3L)}")
+    assert(Set(buckets(1L), buckets(2L)).contains("head"))
+    // cutoff assignment: en docs fall under middleMax -> middle; unknown
+    // language 'xx' falls to tail (the conservative CCNet default)
+    val cut = spark.read.parquet(s"$dir/cutout")
+      .select("doc_id", "bucket").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cut(1L) == "middle" && cut(2L) == "middle" && cut(3L) == "middle", s"got $cut")
+    assert(cut(4L) == "tail", s"unknown lang must fall to tail, got ${cut(4L)}")
+    // DSIR top-2 selects the two target-like docs, ranked
+    val dsir = spark.read.parquet(s"$dir/dsirout")
+      .select("doc_id", "rank").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(dsir.keySet == Set(1L, 2L), s"DSIR selected ${dsir.keySet}")
+    assert(dsir.values.toSet == Set(1, 2))
+  }
 }
