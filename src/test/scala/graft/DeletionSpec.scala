@@ -466,4 +466,85 @@ class DeletionSpec extends AnyFunSuite {
     assert(cpDv.size == 1 && cpDv.head.startsWith("v00000001-"))
     assert(t.getDataFrame().select("k").as[Int].collect().toSet == Set(1, 2, 3, 4, 6))
   }
+
+  // ---- sidecar lifecycle -------------------------------------------
+  // Per-file sidecars are staged INSIDE their dv-set dir (_sidecar/), so
+  // every lifecycle edge that keeps or reclaims a dv dir keeps or
+  // reclaims its sidecars with it — these specs pin that containment
+  // through optimize, REORG-style materialization, restore and vacuum.
+
+  private def dvDirNames(dir: String): Seq[String] = {
+    val root = new java.io.File(s"$dir/t/_graft_dv")
+    if (!root.exists) Seq.empty
+    else root.listFiles.filter(_.isDirectory).map(_.getName).toSeq.sorted
+  }
+  private def sidecarBins(dir: String, dvName: String): Seq[String] = {
+    val sc = new java.io.File(s"$dir/t/_graft_dv/$dvName/_sidecar")
+    if (!sc.exists) Seq.empty
+    else sc.listFiles.filter(_.getName.endsWith(".bin")).map(_.getName).toSeq.sorted
+  }
+
+  test("DV sidecar lifecycle: staged per dv-set; optimize + materialize + vacuum reclaims them together") {
+    val dir = Files.createTempDirectory("graft-dvlc").toString
+    val t = VersionedTableDataObject("dvlc", s"$dir/t", deletionVectors = true)
+    t.writeDataFrame((1 to 100).map(i => (i, s"v$i")).toDF("k", "v").repartition(4)) // v0
+    t.deleteWhere("k % 3 = 0")                                                       // v1: dv A
+    t.deleteWhere("k % 7 = 1")                                                       // v2: dv B
+    val expect = (1 to 100).filterNot(k => k % 3 == 0 || k % 7 == 1).toSet
+    // 1. staging: each dv dir carries its own _sidecar/ with ≥1 .bin
+    val dirs0 = dvDirNames(dir)
+    assert(dirs0.size == 2, s"got $dirs0")
+    dirs0.foreach(d => assert(sidecarBins(dir, d).nonEmpty, s"dv dir $d staged no sidecars"))
+    // 2. OPTIMIZE compacts THROUGH the DVs; the dv dirs (and sidecars)
+    // survive for older versions' time travel
+    t.optimize(1)                                                                    // v3
+    assert(t.getDataFrame().select("k").as[Int].collect().toSet == expect)
+    assert(dvDirNames(dir) == dirs0, "optimize must not touch dv dirs")
+    // 3. REORG purge: after compaction every tombstone references a dead
+    // file name — materialization clears the set in one metadata commit
+    t.materializeDeletionVectors()                                                   // v4
+    assert(t.readState(None).get.dv.isEmpty)
+    assert(dvDirNames(dir) == dirs0, "materialize clears the SET, vacuum reclaims the dirs")
+    // 4. VACUUM horizon past both dv versions: dirs swept WITH their
+    // _sidecar subdirs (recursive delete — no orphaned sidecar dirs)
+    t.vacuum(1, orphanRetentionMillis = 0L)
+    assert(dvDirNames(dir).isEmpty,
+      s"unreferenced dv dirs must be reclaimed, still present: ${dvDirNames(dir)}")
+    assert(!new java.io.File(s"$dir/t/_graft_dv").exists ||
+      new java.io.File(s"$dir/t/_graft_dv").listFiles.forall(f => !f.getName.contains("_sidecar")))
+    assert(t.getDataFrame().select("k").as[Int].collect().toSet == expect)
+  }
+
+  test("DV sidecar lifecycle: restore keeps exactly the restored version's dv dirs through vacuum") {
+    val dir = Files.createTempDirectory("graft-dvlr").toString
+    val t = VersionedTableDataObject("dvlr", s"$dir/t", deletionVectors = true)
+    t.writeDataFrame((1 to 60).map(i => (i, s"v$i")).toDF("k", "v").repartition(3))  // v0
+    t.deleteWhere("k % 4 = 0")                                                       // v1: dv A
+    t.deleteWhere("k % 9 = 2")                                                       // v2: dv B
+    val dirs0 = dvDirNames(dir)
+    assert(dirs0.size == 2)
+    val dvA = dirs0.find(_.startsWith("v00000001-")).get
+    val dvB = dirs0.find(_.startsWith("v00000002-")).get
+    // restore to v1: head's dv list reverts to [A] — rows tombstoned by
+    // v2 come back
+    t.restore(1)                                                                     // v3
+    val afterRestore = (1 to 60).filterNot(_ % 4 == 0).toSet
+    assert(t.getDataFrame().select("k").as[Int].collect().toSet == afterRestore)
+    assert(t.readState(None).get.dv == Seq(dvA))
+    // vacuum to the restore head only: dv A is retained (head references
+    // it) and keeps its sidecars; dv B is unreferenced → swept entirely
+    t.vacuum(1, orphanRetentionMillis = 0L)
+    assert(dvDirNames(dir) == Seq(dvA), s"got ${dvDirNames(dir)}")
+    assert(sidecarBins(dir, dvA).nonEmpty, "retained dv dir must keep its sidecars")
+    assert(!new java.io.File(s"$dir/t/_graft_dv/$dvB").exists)
+    assert(t.getDataFrame().select("k").as[Int].collect().toSet == afterRestore)
+    // and the retained sidecars still drive the above-threshold scan path
+    System.setProperty("graft.dv.broadcastMaxBytes", "0")
+    try {
+      val t2 = VersionedTableDataObject("dvlr2", s"$dir/t", deletionVectors = true)
+      val df = t2.getDataFrame()
+      assert(df.queryExecution.executedPlan.toString.contains("dv_tombstoned_scan"))
+      assert(df.select("k").as[Int].collect().toSet == afterRestore)
+    } finally System.clearProperty("graft.dv.broadcastMaxBytes")
+  }
 }
