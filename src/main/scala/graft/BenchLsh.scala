@@ -39,7 +39,8 @@ object BenchLsh {
       val drop = Dedup.duplicateClusters(pairs)
         .where(col("id") =!= col("cluster_id"))
         .select(col("id").as("doc_id"))
-      corpus.join(broadcast(drop), Seq("doc_id"), "left_anti")
+      // hint-free like q61 itself (drop set is duplicate-volume-scaled)
+      corpus.join(drop, Seq("doc_id"), "left_anti")
         .select(col("doc_id"))
     }
 

@@ -3253,9 +3253,18 @@ object SparkEntry {
       val canon = graft.functions.Dedup.exactDedup(corpus, "doc_id", "text")
         .select(col("canonical_id").as("doc_id"))
       val deduped = corpus.join(canon, Seq("doc_id"), "left_semi")
-      // 2. quality gate: whitespace-token bounds
+      // 2. quality gate: whitespace-token bounds. PERSISTED: quality is
+      // consumed twice (the contamination flag subtree AND the anti-join's
+      // left side) — on a multi-source union corpus, Catalyst's
+      // semi/anti-join-through-Union pushdown otherwise replicates the
+      // join + build side into EVERY branch, squaring the plan (measured:
+      // a 10-branch corpus planned 25k nodes, 16.6 s of a 21 s stage —
+      // SCALE.md round-14). Persisting the multi-consumer stage is what
+      // the DAG engine does automatically (dataFrameReuseCounts); a
+      // standalone composition must do it by hand.
       val quality = deduped.where(
         size(graft.functions.TextAnalysis.wsTokens(col("text"))).between(5, 10000))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // 3. decontaminate vs the benchmark slice (doc-level drop)
       val bench = docs0.where(col("doc_id") % 13 === 1).select(col("text"))
       val flagged = graft.functions.Decontamination.contaminationReport(
@@ -3425,9 +3434,12 @@ object SparkEntry {
       val canon = Dedup.exactDedup(corpus, "doc_id", "text")
         .select(col("canonical_id").as("doc_id"))
       val deduped = corpus.join(canon, Seq("doc_id"), "left_semi")
+      // persisted for the same multi-consumer reason as q133: temperatureMix
+      // reads its input twice (rate table + survivor filter)
       val quality = deduped
         .withColumn("n_tokens", size(TextAnalysis.wsTokens(col("text"))).cast("long"))
         .where(col("n_tokens").between(5, 10000))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val mixed = Sampling.temperatureMix(quality, col("doc_id"), col("source"),
         col("n_tokens"), budgetTokens = 200000L, alpha = 0.5)
       Packing.chunkTokens(mixed, col("doc_id"), col("text"), maxLen = 32, overlap = 8)

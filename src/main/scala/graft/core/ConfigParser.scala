@@ -588,6 +588,16 @@ object ConfigParser {
           require(str(n, "benchTextColumn"), id, "benchTextColumn"),
           windowTokens = int(n, "windowTokens").getOrElse(8),
           cleanOutput = str(n, "cleanOutput"))
+      case "IncrementalMediaDedupTransformer" | "incrementalMediaDedup" =>
+        IncrementalMediaDedupTransformer(
+          require(str(n, "batchInput"), id, "batchInput"),
+          require(str(n, "storeInput"), id, "storeInput"),
+          require(str(n, "idColumn"), id, "idColumn"),
+          contentColumn = str(n, "contentColumn").getOrElse("content"),
+          modality = str(n, "modality").getOrElse("image"),
+          maxHamming = int(n, "maxHamming").getOrElse(2),
+          maxBucketSize = int(n, "maxBucketSize").getOrElse(1000),
+          novelOutput = str(n, "novelOutput"))
       case "NbQualityTransformer" | "nbQuality" =>
         NbQualityTransformer(
           require(str(n, "corpusInput"), id, "corpusInput"),

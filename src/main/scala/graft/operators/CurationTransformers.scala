@@ -151,6 +151,49 @@ case class IncrementalDedupTransformer(
   }
 }
 
+/** Incremental MEDIA dedup for continuous ingestion —
+  * [[IncrementalDedupTransformer]]'s multimodal twin: drop new-batch
+  * images/audio clips whose perceptual fingerprint near-duplicates the
+  * EXISTING corpus, by joining the batch's fingerprints against the
+  * persisted fingerprint STORE (`Multimodal.imageFingerprintStore` /
+  * `audioFingerprintStore` output: (id, dhash64 | afp64)). Only the batch
+  * is ever decoded — corpus BYTES are not an input at all, so per-batch
+  * cost scales with the delta and 8 bytes/item of store state. Same DAG
+  * wiring (store as recursive input, bootstrap from empty on first run). */
+case class IncrementalMediaDedupTransformer(
+    batchInput: String, storeInput: String,
+    idColumn: String, contentColumn: String = "content",
+    modality: String = "image", maxHamming: Int = 2,
+    maxBucketSize: Int = 1000,
+    novelOutput: Option[String] = None) extends DfsTransformer {
+  require(modality == "image" || modality == "audio",
+    s"IncrementalMediaDedupTransformer: modality '$modality' (image|audio; video needs " +
+      "the frame-hash store — wire Multimodal.videoIncrementalPairs directly)")
+  private def fingerprints(df: DataFrame): DataFrame =
+    if (modality == "image") Multimodal.imageFingerprintStore(df, idColumn, contentColumn)
+    else Multimodal.audioFingerprintStore(df, idColumn, contentColumn)
+  private def novelKey: String = novelOutput.getOrElse(batchInput)
+  override def transform(dfs: Map[String, DataFrame])
+                        (implicit ctx: ActionPipelineContext): Map[String, DataFrame] = {
+    val batch = dfs.getOrElse(batchInput,
+      throw new IllegalArgumentException(s"IncrementalMediaDedupTransformer: missing input '$batchInput'"))
+    val store = dfs.getOrElse(storeInput, fingerprints(batch.limit(0)))
+    if (ctx.phase == ExecutionPhase.Init)
+      return Map(novelKey -> batch, storeInput -> store)
+    val pairs =
+      if (modality == "image")
+        Multimodal.imageIncrementalPairs(batch, store, idColumn, contentColumn,
+          maxHamming = maxHamming, maxBucketSize = maxBucketSize)
+      else
+        Multimodal.audioIncrementalPairs(batch, store, idColumn, contentColumn,
+          maxHamming = maxHamming, maxBucketSize = maxBucketSize)
+    val dupIds = pairs.select(col("id_new").as(idColumn)).distinct()
+    // delta-bounded (⊆ batch ids) → legal broadcast
+    val novel = batch.join(broadcast(dupIds), Seq(idColumn), "left_anti")
+    Map(novelKey -> novel, storeInput -> store.unionByName(fingerprints(novel)))
+  }
+}
+
 /** N:1 span-level decontamination: the corpus input's text is stripped of
   * every window that appears in the benchmark input (see
   * `Dedup.removeContaminatedSpans`) — the config surface for eval-leak

@@ -859,6 +859,43 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(storeIds == Set(1L, 2L, 102L))    // grown by the survivor only
   }
 
+  test("IncrementalMediaDedupTransformer wires as a DAG action: bootstrap, then delta dedup, corpus never re-decoded") {
+    import graft.core._
+    import graft.operators._
+    import graft.sources._
+    val dir = java.nio.file.Files.createTempDirectory("incmedia").toString
+    val reg = new InstanceRegistry
+    reg.register(ParquetFileDataObject("mbatch", s"$dir/batch"))
+    reg.register(ParquetFileDataObject("mnovel", s"$dir/novel"))
+    reg.register(ParquetFileDataObject("mstore", s"$dir/store"))
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    val action = CustomDataFrameAction("incm", Seq("mbatch"), Seq("mnovel", "mstore"),
+      dfsTransformers = Seq(IncrementalMediaDedupTransformer("mbatch", "mstore", "media_id",
+        modality = "image", maxHamming = 0, novelOutput = Some("mnovel"))),
+      recursiveInputIds = Seq("mstore"))
+
+    def batchOf(rows: Seq[(Long, Long)]): Unit =
+      Multimodal.withSynthImage(rows.toDF("media_id", "seed"), "seed", 16, 16)
+        .write.mode("overwrite").parquet(s"$dir/batch")
+
+    // run 1: bootstrap — all novel, store created with (id, dhash64)
+    batchOf(Seq((1L, 10L), (2L, 11L)))
+    new ActionDAGRun(Seq(action)).run()
+    assert(spark.read.parquet(s"$dir/novel").count() == 2)
+    assert(spark.read.parquet(s"$dir/store").columns.toSet == Set("id", "dhash64"))
+    assert(spark.read.parquet(s"$dir/store").count() == 2)
+
+    // run 2: one perceptual dup of stored image (seed 10), one novel —
+    // only the novel survives and grows the store (8 bytes/item of
+    // state; run 2 never touches run 1's image bytes)
+    batchOf(Seq((3L, 10L), (4L, 99L)))
+    new ActionDAGRun(Seq(action)).run()
+    val novel = spark.read.parquet(s"$dir/novel").select("media_id").as[Long].collect().toSet
+    assert(novel == Set(4L), s"got $novel")
+    assert(spark.read.parquet(s"$dir/store").select("id").as[Long].collect().toSet ==
+      Set(1L, 2L, 4L))
+  }
+
   test("round-13 curation transformers wire through HOCON config into a DAG run") {
     import graft.core._
     val dir = java.nio.file.Files.createTempDirectory("r13cfg").toString
