@@ -937,16 +937,25 @@ object Dedup {
     *
     * @return (id, n_lines, n_removed_lines, cleaned_text) */
   def removeDuplicatedLines(df: DataFrame, idCol: String, textCol: String,
-                            maxOccurrences: Int = 1): DataFrame = {
+                            maxOccurrences: Int = 1,
+                            persist: Boolean = true): DataFrame = {
     require(maxOccurrences >= 1, "maxOccurrences must be ≥ 1")
     val base = df.select(col(idCol).as("id"), split(col(textCol), "\n").as("lines"))
     // (id, pos, hash) for CONTENT lines only; normalization = trim+lower
     // (CCNet hashes normalized lines so trivial variants collapse)
     val lineHash = (l: Column) => md5(lower(trim(l)))
-    val exploded = base
+    val exploded0 = base
       .select(col("id"), posexplode(col("lines")).as(Seq("pos", "line")))
       .where(trim(col("line")) =!= "")
       .select(col("id"), col("pos"), lineHash(col("line")).as("lh"))
+    // persisted (the removeRepeatedSpans `windows` discipline): both the
+    // hot-hash aggregate and the semi-join's left derive from this frame —
+    // on a multi-source union input, an unpersisted double consumption
+    // invites the semi-join-through-Union plan replication (SCALE.md
+    // round-14), and the persist also saves one line explode + md5 pass
+    val exploded =
+      if (persist) exploded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else exploded0
     val hot = exploded.groupBy(col("lh")).agg(count(lit(1)).as("c"))
       .where(col("c") > maxOccurrences).select(col("lh"))
     val dropPos = exploded.join(hot, Seq("lh"), "left_semi")

@@ -42,10 +42,17 @@ case class NearDedupTransformer(
         // duplicateClusters paid the symmetrize-persist-probe machinery
         // for a no-op — one whole job per run at corpus scale).
         val canon = Dedup.exactDedup(df, idColumn, textColumn)
+        // persisted: the drop set's lineage contains df, and df is also
+        // the anti-join's left side below — on a multi-source UNION input
+        // Catalyst's anti-join-through-Union pushdown would otherwise
+        // replicate this whole subtree into every branch (the q133
+        // plan-explosion mechanism, SCALE.md round-14). Slim id-only
+        // rows, disk-spillable — scale-legal at any duplicate volume.
         df.select(Dedup.contentHash(col(textColumn)).as("text_hash"), col(idColumn).as(idColumn))
           .join(canon.where(col("n_copies") > 1), Seq("text_hash"))
           .where(col(idColumn) =!= col("canonical_id"))
           .select(col(idColumn))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       case "minhash" | "simhash" =>
         val pairs =
           if (method == "minhash") Dedup.minhashDuplicatePairs(df, idColumn, textColumn,

@@ -420,6 +420,39 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(plan.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
   }
 
+  test("incremental simhash blocking parity: delta-vs-store pairs == batch pairs restricted to delta×corpus") {
+    // randomized (fixed seed): plant near-dup signatures across the
+    // delta/corpus boundary, then require the incremental path to find
+    // EXACTLY the cross-boundary subset the batch self-join finds —
+    // blocking recall must not depend on which side of the store a
+    // signature lives on
+    val rnd = new scala.util.Random(20260815L)
+    val corpusSigs = (1L to 200L).map(i => (i, rnd.nextLong()))
+    // delta: 30 fresh randoms + 20 near-copies of corpus sigs (≤3 bits flipped)
+    val deltaFresh = (1001L to 1030L).map(i => (i, rnd.nextLong()))
+    val deltaNear = (1L to 20L).map { j =>
+      val (src, sig) = corpusSigs((j * 7 % 200).toInt)
+      var s = sig
+      (0 until (j % 4).toInt).foreach(b => s ^= 1L << ((j * 13 + b * 17) % 64))
+      (2000L + src, s)
+    }
+    val delta = (deltaFresh ++ deltaNear).toDF("id", "simhash")
+    val corpus = corpusSigs.toDF("id", "simhash")
+    val inc = Dedup.simhashIncrementalPairsFromSigs(delta, corpus, maxHamming = 3)
+      .select("id_new", "id_corpus").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Dedup.simhashNearDupPairsFromSigs(
+        corpus.unionByName(delta), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // batch emits id_a < id_b over the union; keep only cross-boundary
+      // pairs, oriented (delta, corpus)
+      .collect { case (a, b) if a <= 200 && b >= 1000 => (b, a) }
+      .toSet
+    assert(inc == batch, s"incremental ${inc.size} vs batch-restricted ${batch.size}: " +
+      s"missing=${(batch -- inc).take(5)} extra=${(inc -- batch).take(5)}")
+    assert(inc.nonEmpty, "planted near-dups must produce pairs")
+  }
+
   test("lsh top-k recall vs brute force on identical-direction vectors") {
     val rnd = new scala.util.Random(7)
     val corpus = (1L to 200L).map(i => (i, Array.fill(32)(rnd.nextGaussian().toFloat).toSeq))
