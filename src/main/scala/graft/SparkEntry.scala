@@ -3445,6 +3445,74 @@ object SparkEntry {
       Packing.chunkTokens(mixed, col("doc_id"), col("text"), maxLen = 32, overlap = 8)
         .select(col("doc_id"), col("source"), col("_mix_rate_e6"),
           col("chunk_idx"), col("chunk_tokens"), col("chunk_text"))
+    }),
+
+    // CONTINUOUS media ingestion dedup: a real readStream file source
+    // feeds three image batches through foreachBatch; each micro-batch
+    // decodes ONLY ITSELF, joins its dHashes against the persisted
+    // fingerprint store (grown per batch — 8 B/image of state), and only
+    // store-novel images survive. Cross-batch dups (batch 2/3 re-post
+    // earlier seeds) are dropped; the corpus bytes are never re-read.
+    // Structural oracle: survivors are exactly the first poster of each
+    // seed (the q137 identical-seed → identical-dHash argument).
+    "q144_streaming_media_dedup" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q144").toString
+      java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$tmp/src"))
+      def mediaBatch(ids: Seq[(Long, Long)], batchNo: Int): DataFrame =
+        Multimodal.withSynthImage(
+          s.createDataFrame(ids).toDF("media_id", "seed"), "seed", 16, 16)
+          .withColumn("batch", lit(batchNo))
+      // batch 1: seeds 0..49 (all novel); batch 2: 25 dups of batch 1 +
+      // seeds 125..149 novel; batch 3: 20 dups of batch 1 + 15 dups of
+      // batch 2's novels + seeds 235..249 novel
+      val b1 = (0L until 50L).map(i => (i, i))
+      val b2 = (100L until 150L).map(i => (i, if (i < 125) i - 100 else i))
+      val b3 = (200L until 250L).map(i =>
+        (i, if (i < 220) i - 200 else if (i < 235) i - 95 else i))
+      // file source orders batches by modification time (the q87 pattern)
+      def addFile(df: DataFrame, stage: String, name: String, mtime: Long): Unit = {
+        df.coalesce(1).write.parquet(s"$tmp/$stage")
+        val part = new java.io.File(s"$tmp/$stage").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(s"$tmp/src/$name"))
+        require(new java.io.File(s"$tmp/src/$name").setLastModified(mtime),
+          s"cannot stamp mtime on $name")
+      }
+      val t0 = System.currentTimeMillis() - 60000
+      addFile(mediaBatch(b1, 1), "s1", "batch1.parquet", t0)
+      addFile(mediaBatch(b2, 2), "s2", "batch2.parquet", t0 + 2000)
+      addFile(mediaBatch(b3, 3), "s3", "batch3.parquet", t0 + 4000)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("seed", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.types.StructField("batch", org.apache.spark.sql.types.IntegerType)))
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src")
+      val q = stream.writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$tmp/cp")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // latest store version (foreachBatch runs micro-batches
+          // sequentially; store-v<k> dirs are the cross-batch state)
+          val storeRoot = new java.io.File(s"$tmp/store")
+          val latest = Option(storeRoot.listFiles()).map(_.map(_.getName).sorted)
+            .flatMap(_.lastOption)
+          val store = latest.map(v => s.read.parquet(s"$tmp/store/$v"))
+            .getOrElse(Multimodal.imageFingerprintStore(batch.limit(0), "media_id"))
+          val dups = Multimodal.imageIncrementalPairs(batch, store, "media_id",
+            maxHamming = 0).select(col("id_new").as("media_id")).distinct()
+          val novel = batch.join(broadcast(dups), Seq("media_id"), "left_anti")
+          novel.select(col("media_id"), col("batch"))
+            .write.mode("append").parquet(s"$tmp/out")
+          store.unionByName(Multimodal.imageFingerprintStore(novel, "media_id"))
+            .write.mode("overwrite").parquet(f"$tmp/store/v$batchId%05d")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out").select(col("media_id"), col("batch"))
     })
   )
 
@@ -5624,6 +5692,17 @@ object SparkEntry {
         |SELECT doc_id, source, _mix_rate_e6, CAST(i AS INT) AS chunk_idx,
         |  CAST(len(t[i*24 + 1 : i*24 + 32]) AS INT) AS chunk_tokens,
         |  array_to_string(t[i*24 + 1 : i*24 + 32], ' ') AS chunk_text
-        |FROM idx""".stripMargin
+        |FROM idx""".stripMargin,
+
+    // q144: structural oracle — survivors are the first poster of each
+    // seed: all of batch 1 (ids 0..49), batch 2's novel tail (125..149),
+    // batch 3's novel tail (235..249); every other row re-posts an
+    // already-stored seed and is dropped by the store join
+    "q144_streaming_media_dedup" ->
+      """SELECT CAST(id AS BIGINT) AS media_id, CAST(1 AS INT) AS batch FROM range(0, 50) t(id)
+        |UNION ALL
+        |SELECT CAST(id AS BIGINT), CAST(2 AS INT) FROM range(125, 150) t(id)
+        |UNION ALL
+        |SELECT CAST(id AS BIGINT), CAST(3 AS INT) FROM range(235, 250) t(id)""".stripMargin
   )
 }
