@@ -683,9 +683,18 @@ object Dedup {
         assertNoCappedBuckets(storeBlocked, Seq("block", "bkey"), maxBucketSize,
           "incremental simhash blocking")
         storeBlocked
-      } else
-        bucketSized(storeBlocked, Seq("block", "bkey")).where(col("_n") <= maxBucketSize)
-          .select(col("id"), col("simhash"), col("block"), col("bkey"))
+      } else {
+        // lazy over-cap guard, the minhashIncrementalPairs shape: a
+        // map-side-combined aggregate to the slim over-cap key list,
+        // applied as a broadcast anti-join. NOT bucketSized's window —
+        // that would force a full shuffle of the store's blocked rows
+        // every batch, when the pair join itself needs none (AQE
+        // broadcasts the delta side and the store streams).
+        val bigBuckets = storeBlocked.groupBy(col("block"), col("bkey"))
+          .agg(count(lit(1)).as("_n")).where(col("_n") > maxBucketSize)
+          .select(col("block"), col("bkey"))
+        storeBlocked.join(broadcast(bigBuckets), Seq("block", "bkey"), "left_anti")
+      }
     deltaBlocked.alias("a").join(guarded.alias("b"),
         col("a.block") === col("b.block") && col("a.bkey") === col("b.bkey"))
       .select(col("a.id").as("id_new"), col("b.id").as("id_corpus"),
