@@ -453,6 +453,33 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(inc.nonEmpty, "planted near-dups must produce pairs")
   }
 
+  test("incremental image dedup plan shape: store rows never shuffle, delta broadcasts") {
+    import graft.operators.Multimodal
+    val dir = java.nio.file.Files.createTempDirectory("incplan").toString
+    val corpus = Multimodal.withSynthImage(
+      (0L until 300L).map(i => (i, i)).toDF("media_id", "seed"), "seed", 16, 16)
+    Multimodal.imageFingerprintStore(corpus, "media_id")
+      .write.mode("overwrite").parquet(s"$dir/store")
+    val delta = Multimodal.withSynthImage(
+      (1000L until 1020L).map(i => (i, i % 10)).toDF("media_id", "seed"), "seed", 16, 16)
+    val pairs = Multimodal.imageIncrementalPairs(delta, spark.read.parquet(s"$dir/store"),
+      "media_id", maxHamming = 2)
+    // collect() finalizes THIS frame's adaptive plan (a count() would
+    // execute a different QueryExecution and leave this one pre-AQE)
+    assert(pairs.collect().length == 20) // each delta image dups exactly one stored seed
+    val plan = pairs.queryExecution.executedPlan.toString
+    // the store's blocked rows must reach both the over-cap anti-join and
+    // the pair join WITHOUT a shuffle: the only hash exchanges allowed are
+    // the slim over-cap key aggregate and the output-sized pair dedup
+    // toString prints Final Plan THEN Initial Plan — audit the final only
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(finalPlan).length
+    assert(shuffles <= 2,
+      s"store rows shuffled: $shuffles hash exchanges in\n${finalPlan.take(3000)}")
+    assert(!finalPlan.contains("SortMergeJoin"),
+      "delta-vs-store pair join must broadcast the delta side at this scale")
+  }
+
   test("lsh top-k recall vs brute force on identical-direction vectors") {
     val rnd = new scala.util.Random(7)
     val corpus = (1L to 200L).map(i => (i, Array.fill(32)(rnd.nextGaussian().toFloat).toSeq))
