@@ -954,6 +954,29 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(novel == Set(4L), s"got $novel")
     assert(spark.read.parquet(s"$dir/store").select("id").as[Long].collect().toSet ==
       Set(1L, 2L, 4L))
+
+    // audio modality: gain-variant of a stored clip drops (the energy
+    // contour is gain-invariant), novel clip survives with afp64 state
+    val aDir = java.nio.file.Files.createTempDirectory("incaudio").toString
+    val aReg = new InstanceRegistry
+    aReg.register(ParquetFileDataObject("abatch", s"$aDir/batch"))
+    aReg.register(ParquetFileDataObject("anovel", s"$aDir/novel"))
+    aReg.register(ParquetFileDataObject("astore", s"$aDir/store"))
+    val aCtx = ActionPipelineContext(spark, aReg)
+    val aAction = CustomDataFrameAction("inca", Seq("abatch"), Seq("anovel", "astore"),
+      dfsTransformers = Seq(IncrementalMediaDedupTransformer("abatch", "astore", "media_id",
+        modality = "audio", maxHamming = 4, novelOutput = Some("anovel"))),
+      recursiveInputIds = Seq("astore"))
+    Seq((1L, Multimodal.Codecs.synthWav(3L, 4000, gain = 0.8)))
+      .toDF("media_id", "content").write.mode("overwrite").parquet(s"$aDir/batch")
+    new ActionDAGRun(Seq(aAction)).run()(aCtx)
+    Seq((2L, Multimodal.Codecs.synthWav(3L, 4000, gain = 0.3)),
+        (3L, Multimodal.Codecs.synthWav(9L, 4000)))
+      .toDF("media_id", "content").write.mode("overwrite").parquet(s"$aDir/batch")
+    new ActionDAGRun(Seq(aAction)).run()(aCtx)
+    assert(spark.read.parquet(s"$aDir/novel").select("media_id").as[Long].collect().toSet ==
+      Set(3L))
+    assert(spark.read.parquet(s"$aDir/store").columns.toSet == Set("id", "afp64"))
   }
 
   test("round-13 curation transformers wire through HOCON config into a DAG run") {
