@@ -101,7 +101,7 @@ class GraftAppSpec extends AnyFunSuite {
     Files.writeString(java.nio.file.Paths.get(confPath), conf)
     val res = GraftApp.run(GraftApp.CliArgs(configPaths = Seq(confPath),
       feedSel = Some("curation"), parallelism = 2), spark)
-    assert(res.keySet == Set("clean", "score", "dedup", "freeze"))
+    assert(res.keySet == Set("clean", "score", "dedup", "freeze", "mix", "pack"))
     val frozen = spark.read.parquet(s"$dir/out/frozen")
     assert(frozen.count() > 0)
     assert(frozen.columns.toSet.contains("shard") && frozen.columns.toSet.contains("pos"))
@@ -110,6 +110,14 @@ class GraftAppSpec extends AnyFunSuite {
     assert(splits.subsetOf(Set("train", "val", "test")) && splits.contains("train"))
     // PII pass really ran: no raw emails survive in the frozen corpus
     assert(frozen.where(col("text").rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+")).isEmpty)
+    // mixing attached the rate and stayed within the token budget's order
+    val mixed = spark.read.parquet(s"$dir/out/mixed")
+    assert(mixed.count() > 0 && mixed.columns.contains("_mix_rate_e6"))
+    // packing: one row per chunk, chunk sizes bounded by maxLen
+    val packed = spark.read.parquet(s"$dir/out/packed")
+    assert(packed.count() >= mixed.count())
+    assert(packed.agg(org.apache.spark.sql.functions.max(col("chunk_tokens")))
+      .head.getInt(0) <= 64)
   }
 
   test("examples/warehouse_pipeline.conf: incremental stage + config merge + historize") {
