@@ -123,7 +123,10 @@ object BenchMedia10x {
       spark.catalog.clearCache()
       dt
     }
+    // optional comma-separated shape filter for re-measuring single rows
+    val only = sys.env.get("SPARK_GRAFT_SHAPES").map(_.split(",").toSet)
     def report(scale: String, name: String, fn: => DataFrame): Unit = {
+      if (!only.forall(_.contains(name))) return
       time(fn) // warmup (untimed)
       val runs = (1 to 2).map(_ => time(fn))
       println(f"""{"scale":"$scale","query":"$name","sec":${runs.min}%.3f}""")

@@ -3490,6 +3490,11 @@ object SparkEntry {
         org.apache.spark.sql.types.StructField("batch", org.apache.spark.sql.types.IntegerType)))
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src")
+      // fixed 50-image micro-batches: 8 shuffle partitions cut the
+      // per-batch fixed task overhead (the q87/q79c knob)
+      val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
       val q = stream.writeStream
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", s"$tmp/cp")
@@ -3512,6 +3517,7 @@ object SparkEntry {
         }
         .start()
       q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
       s.read.parquet(s"$tmp/out").select(col("media_id"), col("batch"))
     })
   )
