@@ -41,8 +41,12 @@ object BenchComposition10x {
     def stages(docs0: DataFrame): Seq[(String, DataFrame)] = {
       val corpus = docs0.unionByName(docs0.where(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      // canon persisted: the semi-join pushes into every corpus union
+      // branch; an unpersisted canon replicates the whole dedup aggregate
+      // (itself union-rooted) per branch — slim id-only rows, spillable
       val canon = graft.functions.Dedup.exactDedup(corpus, "doc_id", "text")
         .select(col("canonical_id").as("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val deduped = corpus.join(canon, Seq("doc_id"), "left_semi")
       // persisted multi-consumer stage (the round-14 fix; unpersisted,
       // semi/anti-through-Union pushdown squared the plan — 25k nodes)

@@ -82,6 +82,7 @@ object BenchMedia10x {
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       val canon = graft.functions.Dedup.exactDedup(corpus, "doc_id", "text")
         .select(col("canonical_id").as("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val deduped = corpus.join(canon, Seq("doc_id"), "left_semi")
       // persisted multi-consumer stage — see q133's comment in SparkEntry
       // (unpersisted, semi/anti-through-Union pushdown squares the plan
@@ -104,6 +105,7 @@ object BenchMedia10x {
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("source")))
       val canon = graft.functions.Dedup.exactDedup(corpus, "doc_id", "text")
         .select(col("canonical_id").as("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val deduped = corpus.join(canon, Seq("doc_id"), "left_semi")
       val quality = deduped
         .withColumn("n_tokens",

@@ -3249,9 +3249,14 @@ object SparkEntry {
       val docs0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val corpus = docs0.unionByName(docs0.where(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      // 1. exact dedup: canonical (min-id) survivor per normalized content
+      // 1. exact dedup: canonical (min-id) survivor per normalized content.
+      // canon persisted: the semi-join pushes into every corpus union
+      // branch, and an unpersisted canon replicates the whole dedup
+      // aggregate per branch (measured 2.2x on the 10x harness) — slim
+      // id-only rows, spillable
       val canon = graft.functions.Dedup.exactDedup(corpus, "doc_id", "text")
         .select(col("canonical_id").as("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val deduped = corpus.join(canon, Seq("doc_id"), "left_semi")
       // 2. quality gate: whitespace-token bounds. PERSISTED: quality is
       // consumed twice (the contamination flag subtree AND the anti-join's
@@ -3431,8 +3436,10 @@ object SparkEntry {
       val docs0 = t(s, dir, "documents").select(col("doc_id"), col("text"), col("source"))
       val corpus = docs0.unionByName(docs0.where(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("source")))
+      // canon persisted — same union-pushdown rationale as q133
       val canon = Dedup.exactDedup(corpus, "doc_id", "text")
         .select(col("canonical_id").as("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val deduped = corpus.join(canon, Seq("doc_id"), "left_semi")
       // persisted for the same multi-consumer reason as q133: temperatureMix
       // reads its input twice (rate table + survivor filter)
