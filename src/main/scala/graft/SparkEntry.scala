@@ -3454,14 +3454,20 @@ object SparkEntry {
           col("chunk_idx"), col("chunk_tokens"), col("chunk_text"))
     }),
 
-    // CONTINUOUS media ingestion dedup: a real readStream file source
-    // feeds three image batches through foreachBatch; each micro-batch
-    // decodes ONLY ITSELF, joins its dHashes against the persisted
-    // fingerprint store (grown per batch — 8 B/image of state), and only
-    // store-novel images survive. Cross-batch dups (batch 2/3 re-post
-    // earlier seeds) are dropped; the corpus bytes are never re-read.
-    // Structural oracle: survivors are exactly the first poster of each
-    // seed (the q137 identical-seed → identical-dHash argument).
+    // CONTINUOUS media ingestion dedup, DECLARATIVE: a real readStream
+    // file source feeds three image batches through the productized
+    // StreamingIncrementalDedupAction; each micro-batch decodes ONLY
+    // ITSELF (once — the fingerprint frame is persisted and reused for
+    // the store delta), joins its dHashes against the persisted
+    // fingerprint store, and only store-novel images survive. The store
+    // GROWS by the batch's novel fingerprints only (one batch-keyed
+    // partition per micro-batch — per-batch store I/O is O(novel), never
+    // O(store)), and BOTH sinks are batchId-keyed dynamic partition
+    // overwrites, so a replayed micro-batch is idempotent. Cross-batch
+    // dups (batch 2/3 re-post earlier seeds) are dropped; the corpus
+    // bytes are never re-read. Structural oracle: survivors are exactly
+    // the first poster of each seed (the q137 identical-seed →
+    // identical-dHash argument).
     "q144_streaming_media_dedup" -> ((s, dir) => {
       import graft.operators.Multimodal
       val tmp = java.nio.file.Files.createTempDirectory("graft_q144").toString
@@ -3495,36 +3501,28 @@ object SparkEntry {
         org.apache.spark.sql.types.StructField("seed", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType),
         org.apache.spark.sql.types.StructField("batch", org.apache.spark.sql.types.IntegerType)))
-      val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src")
+      val reg = new graft.core.InstanceRegistry
+      reg.register(graft.sources.ParquetFileDataObject("media_stream", s"$tmp/src",
+        schema = Some(schema)))
+      reg.register(graft.sources.ParquetFileDataObject("media_novel", s"$tmp/out",
+        partitions = Seq("ingest_batch")))
+      reg.register(graft.sources.ParquetFileDataObject("media_store", s"$tmp/store",
+        partitions = Seq("ingest_batch")))
+      implicit val ctx: graft.core.ActionPipelineContext =
+        graft.core.ActionPipelineContext(s, reg)
+      val action = graft.operators.StreamingIncrementalDedupAction("media_ingest",
+        graft.operators.IncrementalMediaDedupTransformer("media_stream", "media_store",
+          "media_id", modality = "image", maxHamming = 0,
+          novelOutput = Some("media_novel")),
+        graft.operators.modes.SparkStreamingMode(
+          checkpointLocation = s"$tmp/cp", triggerType = "AvailableNow",
+          inputOptions = Map("maxFilesPerTrigger" -> "1")))
       // fixed 50-image micro-batches: 8 shuffle partitions cut the
       // per-batch fixed task overhead (the q87/q79c knob)
       val prevSp = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-      val q = stream.writeStream
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", s"$tmp/cp")
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          // latest store version (foreachBatch runs micro-batches
-          // sequentially; store-v<k> dirs are the cross-batch state)
-          val storeRoot = new java.io.File(s"$tmp/store")
-          val latest = Option(storeRoot.listFiles()).map(_.map(_.getName).sorted)
-            .flatMap(_.lastOption)
-          val store = latest.map(v => s.read.parquet(s"$tmp/store/$v"))
-            .getOrElse(Multimodal.imageFingerprintStore(batch.limit(0), "media_id"))
-          val dups = Multimodal.imageIncrementalPairs(batch, store, "media_id",
-            maxHamming = 0).select(col("id_new").as("media_id")).distinct()
-          val novel = batch.join(broadcast(dups), Seq("media_id"), "left_anti")
-          novel.select(col("media_id"), col("batch"))
-            .write.mode("append").parquet(s"$tmp/out")
-          store.unionByName(Multimodal.imageFingerprintStore(novel, "media_id"))
-            .write.mode("overwrite").parquet(f"$tmp/store/v$batchId%05d")
-          ()
-        }
-        .start()
-      q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
+      try new graft.core.ActionDAGRun(Seq(action)).run()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
       s.read.parquet(s"$tmp/out").select(col("media_id"), col("batch"))
     })
   )

@@ -385,6 +385,24 @@ object ConfigParser {
       case "FileTransferAction" | "fileTransfer" =>
         FileTransferAction(id, require(str(n, "inputId"), id, "inputId"),
           require(str(n, "outputId"), id, "outputId"))
+      case "StreamingIncrementalDedupAction" | "streamingIncrementalDedup" =>
+        val t = parseDfsTransformer(id,
+          get(n, "transformer").getOrElse(throw new IllegalArgumentException(
+            s"action '$id': missing required field 'transformer'")))
+        val inc = t match {
+          case i: IncrementalStoreDfsTransformer => i
+          case other => throw new IllegalArgumentException(s"action '$id': transformer " +
+            s"${other.getClass.getSimpleName} is not a store-backed incremental dedup transformer")
+        }
+        val m = get(n, "mode").map(parseExecutionMode(id, _)).getOrElse(
+          throw new IllegalArgumentException(s"action '$id': missing required field 'mode'")) match {
+          case s: SparkStreamingMode => s
+          case other => throw new IllegalArgumentException(
+            s"action '$id': mode must be a SparkStreamingMode, got ${other.getClass.getSimpleName}")
+        }
+        StreamingIncrementalDedupAction(id, inc, m,
+          batchIdColumn = str(n, "batchIdColumn").getOrElse("ingest_batch"),
+          executionCondition = execCond, metricsFailCondition = metricsFail)
       case "CustomScriptAction" | "script" =>
         CustomScriptAction(id, strSeq(n, "cmd"),
           inputIds = strSeq(n, "inputIds"), outputIds = strSeq(n, "outputIds"))
@@ -597,7 +615,11 @@ object ConfigParser {
           modality = str(n, "modality").getOrElse("image"),
           maxHamming = int(n, "maxHamming").getOrElse(2),
           maxBucketSize = int(n, "maxBucketSize").getOrElse(1000),
-          novelOutput = str(n, "novelOutput"))
+          novelOutput = str(n, "novelOutput"),
+          frameSize = int(n, "frameSize").getOrElse(0),
+          stride = int(n, "stride").getOrElse(1),
+          minSharedFrames = int(n, "minSharedFrames").getOrElse(2),
+          maxFrameOccurrences = int(n, "maxFrameOccurrences").getOrElse(1000))
       case "NbQualityTransformer" | "nbQuality" =>
         NbQualityTransformer(
           require(str(n, "corpusInput"), id, "corpusInput"),

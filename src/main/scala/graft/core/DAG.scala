@@ -254,9 +254,13 @@ class ActionDAGRun(actions: Seq[Action], parallelism: Int = 1,
     } finally {
       pool.shutdown()
       // every action has settled: ANY frame still registered (failed
-      // consumers left their countdown above zero, or the producer failed
-      // after persisting) is unpersisted — nothing cached outlives the run
-      if (cacheOn) c.persistedFrames.keys.toSeq
+      // consumers left their countdown above zero, the producer failed
+      // after persisting, or a transformer handed an expensive per-batch
+      // intermediate to the run — IncrementalStoreDfsTransformer's
+      // persistForRun) is unpersisted — nothing cached outlives the run.
+      // Unconditional: transformer registrations happen with caching off
+      // too, and sweeping an empty map is free.
+      c.persistedFrames.keys.toSeq
         .foreach(doId => c.persistedFrames.remove(doId).foreach(_.unpersist(false)))
     }
   }

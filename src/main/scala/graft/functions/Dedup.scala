@@ -302,11 +302,34 @@ object Dedup {
                               threshold: Double = 0.7, maxBucketSize: Int = 1000,
                               failOnCappedBuckets: Boolean = false,
                               cappedBucketExactFallback: Boolean = true): DataFrame = {
+    // the signature frame is MULTI-consumer inside the pair pipeline
+    // (banding, the sh_a verification join, the exact-fallback checksum) —
+    // persist so the shingling runs once. Standalone calls can't unpersist
+    // a frame their result's lineage still references; callers that own
+    // the batch lifecycle (IncrementalDedupTransformer) sign + persist
+    // themselves and use [[minhashIncrementalPairsFromSigs]] directly.
+    val newSigs = minhashSignatures(newDocs, idCol, textCol, shingleSize, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    minhashIncrementalPairsFromSigs(newSigs, corpusSigs, numHashes, bands, threshold,
+      maxBucketSize, failOnCappedBuckets, cappedBucketExactFallback)
+  }
+
+  /** [[minhashIncrementalPairs]] over an ALREADY-SIGNED delta — the
+    * decode-once entry point: a caller that also needs the delta's
+    * signatures for store growth signs the batch once, persists the
+    * `(id, shingles, sig)` frame, feeds it here AND semi-joins it against
+    * the novel ids for the store delta — the batch text is shingled
+    * exactly once per micro-batch. `newSigs` is consumed several times
+    * (banding, verification, exact fallback): persist it, and unpersist
+    * after the store-growth frame materializes. */
+  def minhashIncrementalPairsFromSigs(newSigs: DataFrame, corpusSigs: DataFrame,
+                                      numHashes: Int = 32, bands: Int = 8,
+                                      threshold: Double = 0.7, maxBucketSize: Int = 1000,
+                                      failOnCappedBuckets: Boolean = false,
+                                      cappedBucketExactFallback: Boolean = true): DataFrame = {
     require(bands >= 1 && numHashes >= bands && numHashes % bands == 0,
       s"minhash incremental: numHashes=$numHashes must be a positive multiple of bands=$bands")
     val rowsPerBand = numHashes / bands
-    val newSigs = minhashSignatures(newDocs, idCol, textCol, shingleSize, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def banded(sigs: DataFrame) = sigs.select(col("id"),
       posexplode(lshBandHashes(col("sig"), bands, rowsPerBand)).as(Seq("band", "bucket")))
     val corpusBanded = banded(corpusSigs)
@@ -661,21 +684,32 @@ object Dedup {
     * equi-join of delta blocks against store blocks (never store × store),
     * per-batch cost scales with |delta| + matched buckets.
     *
-    * The skew guard caps STORE-side buckets ([[bucketSized]] window —
-    * a corpus-wide boilerplate fingerprint would fan every matching delta
-    * row out bucket-fold); `failOnCappedBuckets` turns the silent prune
+    * The skew guard is a LAZY over-cap-key broadcast anti-join on the
+    * STORE side (a map-side-combined aggregate finds block keys whose
+    * bucket exceeds `maxBucketSize`; those rows are pruned before the pair
+    * join — a corpus-wide boilerplate fingerprint would otherwise fan
+    * every matching delta row out bucket-fold). NOTE: the ENTIRE over-cap
+    * bucket is dropped SILENTLY — exact copies hiding in a capped bucket
+    * are not paired; set `failOnCappedBuckets` to turn the silent prune
     * into a loud error for exhaustive pipelines.
+    *
+    * Neither side is persisted here: the blocked delta has exactly one
+    * consumer (the pair join), so a persist would buy no recompute savings
+    * while registering one cached frame per micro-batch in continuous
+    * ingestion. A caller whose delta lineage is expensive (media decode)
+    * should persist the `(id, simhash)` frame ITSELF and unpersist after
+    * its last consumer (the store-growth semi-join) materializes.
     *
     * @param deltaSigs (id, simhash) of the new batch
     * @param storeSigs (id, simhash) store persisted across batches —
-    *        union the delta's signatures in after each run
+    *        append the batch's NOVEL signatures after each run
     * @return (id_new, id_corpus, hamming) with hamming <= maxHamming */
   def simhashIncrementalPairsFromSigs(deltaSigs: DataFrame, storeSigs: DataFrame,
                                       bits: Int = 64, maxHamming: Int = 3,
                                       maxBucketSize: Int = 1000, blocksPerKey: Int = 1,
                                       failOnCappedBuckets: Boolean = false): DataFrame = {
     val deltaBlocked = mankuBlocked(deltaSigs.select(col("id"), col("simhash")),
-      bits, maxHamming, blocksPerKey, persistInput = true)
+      bits, maxHamming, blocksPerKey, persistInput = false)
     val storeBlocked = mankuBlocked(storeSigs.select(col("id"), col("simhash")),
       bits, maxHamming, blocksPerKey, persistInput = false)
     val guarded =

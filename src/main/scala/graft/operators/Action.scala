@@ -262,6 +262,18 @@ case class CustomDataFrameAction(
   def transformers: Seq[DfTransformer] = Seq.empty
   require(recursiveInputIds.forall(outputIds.contains),
     s"Action $id: recursiveInputIds must be outputs of this action")
+  // the incremental dedup transformers emit a store DELTA under their
+  // store key — wired with the default overwrite the store would be
+  // silently TRUNCATED to the last batch's novelties (dedup quietly stops
+  // deduplicating). Fail at construction, the only place both the
+  // transformer and the action's save mode are visible.
+  require(!dfsTransformers.exists {
+      case t: IncrementalStoreDfsTransformer => recursiveInputIds.contains(t.storeInput)
+      case _ => false
+    } || saveMode.contains(SdlSaveMode.Append),
+    s"Action $id: an incremental dedup transformer emits a store DELTA for its recursive " +
+      "store output — wire the action with saveMode = Append (a plain overwrite would " +
+      "truncate the store to the last batch's novel rows)")
 
   private def buildOutputs(subFeeds: Seq[SubFeed])(implicit ctx: ActionPipelineContext): Map[String, DataFrame] = {
     val byId = subFeeds.map(sf => sf.dataObjectId -> sf).toMap
@@ -304,8 +316,12 @@ case class CustomDataFrameAction(
       val df = outs(outId)
       val metrics =
         if (recursive)
-          // plan reads this very object → staged overwrite
+          // plan reads this very object → staged write; with Append the
+          // increment is MOVED in (O(increment) I/O — the store-growth
+          // discipline), otherwise staged overwrite of the full state
           ctx.registry.dataObject(outId) match {
+            case w: CanWriteDataFrame if saveMode.contains(SdlSaveMode.Append) =>
+              w.writeDataFrameStagedAppend(df)
             case w: CanWriteDataFrame => w.writeDataFrameStaged(df)
             case other => throw new IllegalArgumentException(s"${other.id} cannot write DataFrames")
           }

@@ -48,11 +48,17 @@ case class NearDedupTransformer(
         // replicate this whole subtree into every branch (the q133
         // plan-explosion mechanism, SCALE.md round-14). Slim id-only
         // rows, disk-spillable — scale-legal at any duplicate volume.
-        df.select(Dedup.contentHash(col(textColumn)).as("text_hash"), col(idColumn).as(idColumn))
+        val dropSet = df
+          .select(Dedup.contentHash(col(textColumn)).as("text_hash"), col(idColumn).as(idColumn))
           .join(canon.where(col("n_copies") > 1), Seq("text_hash"))
           .where(col(idColumn) =!= col("canonical_id"))
           .select(col(idColumn))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // lifecycle handed to the DAG (run-end sweep of persistedFrames):
+        // without it a long-lived session running many pipeline executions
+        // grows the cache registry monotonically (slow spillable leak)
+        ctx.persistedFrames(s"__graft_neardedup_drop_${System.identityHashCode(dropSet)}") = dropSet
+        dropSet
       case "minhash" | "simhash" =>
         val pairs =
           if (method == "minhash") Dedup.minhashDuplicatePairs(df, idColumn, textColumn,
@@ -115,6 +121,34 @@ case class PiiRedactTransformer(textColumn: String) extends DfTransformer {
     df.withColumn(textColumn, TextAnalysis.redactPII(col(textColumn)))
 }
 
+/** Shared contract of the store-backed incremental dedup transformers:
+  * per run they consume `batchInput` (+ the store's current state under
+  * `storeInput` as a recursive input), emit the batch's store-novel rows
+  * under [[novelKey]] and ONLY the novel rows' signatures under
+  * `storeInput` — a store DELTA, not the grown store. Wire the enclosing
+  * action with `saveMode = Append` (enforced by [[CustomDataFrameAction]])
+  * so the store GROWS by appending the delta: per-run store I/O is
+  * O(increment); the old `unionByName` full-rewrite shape was O(store) per
+  * batch — quadratic cumulative I/O under continuous ingestion. */
+trait IncrementalStoreDfsTransformer extends DfsTransformer {
+  def batchInput: String
+  def storeInput: String
+  def novelOutput: Option[String]
+  final def novelKey: String = novelOutput.getOrElse(batchInput)
+  /** persist an expensive per-batch intermediate and hand its lifecycle to
+    * the DAG: [[graft.core.ActionDAGRun]] sweeps `ctx.persistedFrames` when
+    * the run's last action settles, so the cache registry cannot grow
+    * monotonically across runs/micro-batches (each batch's frame is
+    * released at run end). The key is identity-unique — two incremental
+    * actions in one DAG never evict each other's entry. */
+  protected final def persistForRun(df: DataFrame, tag: String)
+                                   (implicit ctx: ActionPipelineContext): DataFrame = {
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ctx.persistedFrames(s"__graft_inc_${tag}_${System.identityHashCode(cached)}") = cached
+    cached
+  }
+}
+
 /** Incremental near-dedup for continuous ingestion: drop new-batch docs
   * that near-duplicate the EXISTING corpus, by joining the batch against
   * the corpus signature STORE (`Dedup.minhashSignatures` output, persisted
@@ -123,19 +157,26 @@ case class PiiRedactTransformer(textColumn: String) extends DfTransformer {
   *
   * DAG wiring with [[CustomDataFrameAction]]: `inputIds = Seq(batchInput)`,
   * `outputIds = Seq(novelOutput, storeInput)`,
-  * `recursiveInputIds = Seq(storeInput)` — the store is this action's own
-  * output read back each run (staged write handles the self-overwrite). On
-  * the FIRST run the store doesn't exist yet; the transformer bootstraps
-  * from an empty store, so the whole batch is novel and the store is
-  * created from its signatures. `novelOutput` defaults to `batchInput` for
-  * standalone (non-DAG) use where keying outputs by input name is fine. */
+  * `recursiveInputIds = Seq(storeInput)`, `saveMode = Some(Append)` — the
+  * store is this action's own output read back each run, grown by a staged
+  * APPEND of the delta this transformer emits (work scales with the
+  * increment, the reference's merge-mode principle). On the FIRST run the
+  * store doesn't exist yet; the transformer bootstraps from an empty
+  * store, so the whole batch is novel and the store is created from its
+  * signatures. `novelOutput` defaults to `batchInput` for standalone
+  * (non-DAG) use where keying outputs by input name is fine.
+  *
+  * Decode-once: the batch is SIGNED exactly once per run — the signature
+  * frame is persisted, feeds the pair join
+  * ([[Dedup.minhashIncrementalPairsFromSigs]]) AND the store delta (a
+  * semi-join against the novel ids), and is released by the DAG at run
+  * end. */
 case class IncrementalDedupTransformer(
     batchInput: String, storeInput: String,
     idColumn: String, textColumn: String,
     threshold: Double = 0.7, shingleSize: Int = 5,
     numHashes: Int = 32, bands: Int = 8,
-    novelOutput: Option[String] = None) extends DfsTransformer {
-  private def novelKey: String = novelOutput.getOrElse(batchInput)
+    novelOutput: Option[String] = None) extends IncrementalStoreDfsTransformer {
   override def transform(dfs: Map[String, DataFrame])
                         (implicit ctx: ActionPipelineContext): Map[String, DataFrame] = {
     val batch = dfs.getOrElse(batchInput,
@@ -144,60 +185,101 @@ case class IncrementalDedupTransformer(
     // signature schema (recursive inputs are absent until their object exists)
     val store = dfs.getOrElse(storeInput,
       Dedup.minhashSignatures(batch.limit(0), idColumn, textColumn, shingleSize, numHashes))
-    // Init: schemas are unchanged (survivors ⊆ batch, grown store has the
-    // store's shape) — propagate without running the pair pipeline
+    // Init: schemas are unchanged (survivors ⊆ batch, the store delta has
+    // the store's shape) — propagate without running the pair pipeline
     if (ctx.phase == ExecutionPhase.Init)
-      return Map(novelKey -> batch, storeInput -> store)
-    val dupIds = Dedup.minhashIncrementalPairs(batch, store, idColumn, textColumn,
-      shingleSize, numHashes, bands, threshold)
+      return Map(novelKey -> batch, storeInput -> store.limit(0))
+    // sign ONCE; multi-consumer (pair pipeline + store delta) → persisted,
+    // swept by the DAG at run end
+    val sigs = persistForRun(
+      Dedup.minhashSignatures(batch, idColumn, textColumn, shingleSize, numHashes),
+      s"$batchInput.sigs")
+    val dupIds = Dedup.minhashIncrementalPairsFromSigs(sigs, store,
+      numHashes, bands, threshold)
       .select(col("id_new").as(idColumn)).distinct()
     val novel = batch.join(broadcast(dupIds), Seq(idColumn), "left_anti")
-    val grownStore = store.unionByName(
-      Dedup.minhashSignatures(novel, idColumn, textColumn, shingleSize, numHashes))
-    Map(novelKey -> novel, storeInput -> grownStore)
+    // store DELTA: the novel docs' already-computed signatures — appended
+    // by the action, never unioned onto the store frame
+    val storeDelta = sigs.join(
+      novel.select(col(idColumn).as("id")), Seq("id"), "left_semi")
+    Map(novelKey -> novel, storeInput -> storeDelta)
   }
 }
 
 /** Incremental MEDIA dedup for continuous ingestion —
   * [[IncrementalDedupTransformer]]'s multimodal twin: drop new-batch
-  * images/audio clips whose perceptual fingerprint near-duplicates the
-  * EXISTING corpus, by joining the batch's fingerprints against the
-  * persisted fingerprint STORE (`Multimodal.imageFingerprintStore` /
-  * `audioFingerprintStore` output: (id, dhash64 | afp64)). Only the batch
-  * is ever decoded — corpus BYTES are not an input at all, so per-batch
-  * cost scales with the delta and 8 bytes/item of store state. Same DAG
-  * wiring (store as recursive input, bootstrap from empty on first run). */
+  * images / audio clips / videos whose perceptual fingerprint
+  * near-duplicates the EXISTING corpus, by joining the batch's
+  * fingerprints against the persisted fingerprint STORE
+  * (`Multimodal.imageFingerprintStore` (id, dhash64) /
+  * `audioFingerprintStore` (id, afp64) / `videoFrameHashStore` (id, fh)).
+  * Only the batch is ever decoded — corpus BYTES are not an input at all,
+  * so per-batch cost scales with the delta and 8 bytes/fingerprint of
+  * store state. Same DAG wiring (store as recursive input, bootstrap from
+  * empty on first run, action saveMode = Append for O(increment) store
+  * growth).
+  *
+  * Decode-once: the batch is DECODED exactly once per run — the
+  * fingerprint frame is persisted, feeds the pair join AND the store
+  * delta, and is released by the DAG at run end. Decode is the measured
+  * dominant cost of this family (SCALE.md round-14), so a second decode
+  * for store growth would double precisely the term that matters.
+  *
+  * Video (`modality = "video"`): `frameSize` is REQUIRED (the synthetic
+  * fixed-size-frame layout of [[Multimodal.sampleFrames]]); pairs need
+  * `minSharedFrames` shared frame hashes, and frames occurring more than
+  * `maxFrameOccurrences` times store-wide are pruned (intro-card guard). */
 case class IncrementalMediaDedupTransformer(
     batchInput: String, storeInput: String,
     idColumn: String, contentColumn: String = "content",
     modality: String = "image", maxHamming: Int = 2,
     maxBucketSize: Int = 1000,
-    novelOutput: Option[String] = None) extends DfsTransformer {
-  require(modality == "image" || modality == "audio",
-    s"IncrementalMediaDedupTransformer: modality '$modality' (image|audio; video needs " +
-      "the frame-hash store — wire Multimodal.videoIncrementalPairs directly)")
-  private def fingerprints(df: DataFrame): DataFrame =
-    if (modality == "image") Multimodal.imageFingerprintStore(df, idColumn, contentColumn)
-    else Multimodal.audioFingerprintStore(df, idColumn, contentColumn)
-  private def novelKey: String = novelOutput.getOrElse(batchInput)
+    novelOutput: Option[String] = None,
+    frameSize: Int = 0, stride: Int = 1,
+    minSharedFrames: Int = 2, maxFrameOccurrences: Int = 1000)
+  extends IncrementalStoreDfsTransformer {
+  require(modality == "image" || modality == "audio" || modality == "video",
+    s"IncrementalMediaDedupTransformer: unknown modality '$modality' (image|audio|video)")
+  require(modality != "video" || frameSize > 0,
+    "IncrementalMediaDedupTransformer: modality 'video' requires frameSize > 0")
+  private def fingerprints(df: DataFrame): DataFrame = modality match {
+    case "image" => Multimodal.imageFingerprintStore(df, idColumn, contentColumn)
+    case "audio" => Multimodal.audioFingerprintStore(df, idColumn, contentColumn)
+    case "video" => Multimodal.videoFrameHashStore(df, idColumn, contentColumn, frameSize, stride)
+  }
+  private def hashCol: String = modality match {
+    case "image" => "dhash64"
+    case "audio" => "afp64"
+    case "video" => "fh"
+  }
   override def transform(dfs: Map[String, DataFrame])
                         (implicit ctx: ActionPipelineContext): Map[String, DataFrame] = {
     val batch = dfs.getOrElse(batchInput,
       throw new IllegalArgumentException(s"IncrementalMediaDedupTransformer: missing input '$batchInput'"))
     val store = dfs.getOrElse(storeInput, fingerprints(batch.limit(0)))
     if (ctx.phase == ExecutionPhase.Init)
-      return Map(novelKey -> batch, storeInput -> store)
-    val pairs =
-      if (modality == "image")
-        Multimodal.imageIncrementalPairs(batch, store, idColumn, contentColumn,
+      return Map(novelKey -> batch, storeInput -> store.limit(0))
+    // decode ONCE; multi-consumer (pair join + store delta) → persisted,
+    // swept by the DAG at run end
+    val deltaFps = persistForRun(fingerprints(batch), s"$batchInput.fps")
+    val pairs = modality match {
+      case "video" =>
+        Multimodal.videoIncrementalPairsFromSigs(deltaFps, store,
+          minSharedFrames = minSharedFrames, maxFrameOccurrences = maxFrameOccurrences)
+      case _ =>
+        graft.functions.Dedup.simhashIncrementalPairsFromSigs(
+          deltaFps.select(col("id"), col(hashCol).as("simhash")),
+          store.select(col("id"), col(hashCol).as("simhash")),
           maxHamming = maxHamming, maxBucketSize = maxBucketSize)
-      else
-        Multimodal.audioIncrementalPairs(batch, store, idColumn, contentColumn,
-          maxHamming = maxHamming, maxBucketSize = maxBucketSize)
+    }
     val dupIds = pairs.select(col("id_new").as(idColumn)).distinct()
     // delta-bounded (⊆ batch ids) → legal broadcast
     val novel = batch.join(broadcast(dupIds), Seq(idColumn), "left_anti")
-    Map(novelKey -> novel, storeInput -> store.unionByName(fingerprints(novel)))
+    // store DELTA: the novel items' already-computed fingerprints — zero
+    // extra decodes, appended by the action
+    val storeDelta = deltaFps.join(
+      novel.select(col(idColumn).as("id")), Seq("id"), "left_semi")
+    Map(novelKey -> novel, storeInput -> storeDelta)
   }
 }
 

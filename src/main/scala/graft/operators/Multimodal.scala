@@ -197,7 +197,15 @@ object Multimodal {
       * scaling and uniform brightness shifts (only gradient SIGNS are
       * kept), which is exactly what corpus-level image dedup needs; null
       * for non-decodable payloads so mixed-media frames filter cleanly. */
+    /** Fingerprint-decode invocation counter — a JVM-local diagnostic for
+      * specs pinning the decode-once discipline (in `local[*]` every task
+      * shares this JVM, so the spec reads exact per-batch decode counts;
+      * on a real cluster each executor counts only its own share). One
+      * LongAdder.increment per payload — noise next to an image decode. */
+    val fingerprintDecodes = new java.util.concurrent.atomic.LongAdder
+
     def dHash64(content: Array[Byte]): java.lang.Long = {
+      fingerprintDecodes.increment()
       if (content == null || content.isEmpty || !looksLikeImage(content)) return null
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
@@ -257,6 +265,7 @@ object Multimodal {
       * (positive scaling preserves every energy-delta sign) and to
       * container re-encoding; null for non-decodable payloads. */
     def audioFingerprint64(content: Array[Byte]): java.lang.Long = {
+      fingerprintDecodes.increment()
       if (content == null || content.isEmpty || !looksLikeAudio(content)) return null
       val e = audioFeatures(content, 65)
       var bits = 0L
@@ -672,13 +681,25 @@ object Multimodal {
                             idCol: String, contentCol: String,
                             frameSize: Int, stride: Int = 1,
                             minSharedFrames: Int = 2,
-                            maxFrameOccurrences: Int = 1000): DataFrame = {
-    val deltaSigs = videoFrameHashStore(delta, idCol, contentCol, frameSize, stride)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                            maxFrameOccurrences: Int = 1000): DataFrame =
+    videoIncrementalPairsFromSigs(
+      videoFrameHashStore(delta, idCol, contentCol, frameSize, stride),
+      frameStore, minSharedFrames, maxFrameOccurrences)
+
+  /** [[videoIncrementalPairs]] over ALREADY-DECODED delta frame hashes —
+    * the decode-once entry point: a caller that also grows the frame-hash
+    * store decodes the delta once into a persisted `(id, fh)` frame, feeds
+    * it here AND semi-joins it against the novel ids for the store delta.
+    * The delta side is a single consumer here (the fh equi-join), so
+    * nothing is persisted internally — callers with expensive delta
+    * lineage own the persist/unpersist lifecycle. */
+  def videoIncrementalPairsFromSigs(deltaFrameHashes: DataFrame, frameStore: DataFrame,
+                                    minSharedFrames: Int = 2,
+                                    maxFrameOccurrences: Int = 1000): DataFrame = {
     val hot = frameStore.groupBy(col("fh")).agg(count(lit(1)).as("_n"))
       .where(col("_n") > maxFrameOccurrences).select(col("fh"))
     val prunedStore = frameStore.join(broadcast(hot), Seq("fh"), "left_anti")
-    deltaSigs.alias("a").join(prunedStore.alias("b"), col("a.fh") === col("b.fh"))
+    deltaFrameHashes.alias("a").join(prunedStore.alias("b"), col("a.fh") === col("b.fh"))
       .groupBy(col("a.id").as("id_new"), col("b.id").as("id_corpus"))
       .agg(count(lit(1)).as("n_shared_frames"))
       .where(col("n_shared_frames") >= minSharedFrames)

@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.core._
+import graft.sources._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Declarative continuous-ingestion dedup: a Structured Streaming query
+  * reads the input DataObject, and every micro-batch runs a store-backed
+  * incremental dedup transformer ([[IncrementalDedupTransformer]] /
+  * [[IncrementalMediaDedupTransformer]]) against the fingerprint STORE
+  * DataObject — only store-novel rows reach the output, and the store
+  * grows by exactly the batch's novel signatures (per-batch work scales
+  * with the increment: the batch is decoded once, the corpus' payloads are
+  * never an input, and per-batch store I/O is O(novel), never O(store)).
+  *
+  * The reference ships the batch-incremental half of this contract
+  * (DeduplicateAction merge mode, `sdl-core/.../DeduplicateAction.scala:50`
+  * "work scales with the increment") and a streaming harness
+  * (`SparkStreamingMode.scala:40-57`); this action is their composition —
+  * a surface the reference leaves to hand-wiring.
+  *
+  * EXACTLY-ONCE on top of the checkpoint's at-least-once: foreachBatch can
+  * re-run a micro-batch whose writes completed but whose checkpoint commit
+  * didn't. Both sinks are therefore keyed by `batchIdColumn` and written
+  * with DYNAMIC PARTITION OVERWRITE — a replayed batch overwrites its own
+  * partition instead of duplicating rows. Output and store DataObjects
+  * MUST be partitioned by `batchIdColumn` (validated in prepare/init).
+  * This is the same defect class the VersionedTable MERGE path guards with
+  * txn markers; partition-overwrite is the Hadoop-FS-native equivalent.
+  *
+  * Wiring: the transformer's `batchInput` names the streaming INPUT
+  * DataObject, `storeInput` the store DataObject, `novelOutput` the output
+  * DataObject. `mode` supplies checkpoint/trigger/input options (same
+  * HOCON surface as [[graft.operators.modes.SparkStreamingMode]] wiring).
+  *
+  * Cache discipline: the transformer persists its per-batch signature
+  * frame into `ctx.persistedFrames`; [[processBatch]] sweeps those entries
+  * after the batch's writes land, so a long-running stream holds at most
+  * one batch's cache registrations at a time. */
+case class StreamingIncrementalDedupAction(
+    id: String,
+    transformer: IncrementalStoreDfsTransformer,
+    mode: graft.operators.modes.SparkStreamingMode,
+    batchIdColumn: String = "ingest_batch",
+    override val executionCondition: Option[Condition] = None,
+    override val metricsFailCondition: Option[String] = None) extends Action {
+
+  private def inputId: String = transformer.batchInput
+  private def storeId: String = transformer.storeInput
+  private def outputId: String = transformer.novelKey
+  require(outputId != inputId,
+    s"Action $id: the transformer needs novelOutput set to the output DataObject id " +
+      "(distinct from the streaming input)")
+  def inputIds: Seq[String] = Seq(inputId)
+  def outputIds: Seq[String] = Seq(outputId, storeId)
+
+  private def sinkObject(doId: String)(implicit ctx: ActionPipelineContext): SparkFileDataObject =
+    ctx.registry.dataObject(doId) match {
+      case f: SparkFileDataObject =>
+        require(f.partitions == Seq(batchIdColumn),
+          s"Action $id: sink ${f.id} must be partitioned by '$batchIdColumn' (got " +
+            s"${f.partitions.mkString("[", ",", "]")}) — the batchId-keyed dynamic partition " +
+            "overwrite is what makes a replayed micro-batch idempotent")
+        f
+      case other => throw new IllegalArgumentException(
+        s"Action $id: sink ${other.id} must be a file DataObject (partitioned by '$batchIdColumn')")
+    }
+
+  override def init(subFeeds: Seq[SubFeed])(implicit ctx: ActionPipelineContext): Seq[SubFeed] = {
+    ctx.registry.dataObject(inputId) match {
+      case _: CanCreateStreamingDataFrame => ()
+      case other => throw new IllegalArgumentException(
+        s"Action $id: input ${other.id} cannot create a streaming DataFrame")
+    }
+    sinkObject(outputId); sinkObject(storeId)
+    Seq(SubFeed(outputId, isStreaming = true), SubFeed(storeId, isStreaming = true))
+  }
+
+  /** One micro-batch: dedup `batch` against the store's current state,
+    * write novel rows + the store delta, both batchId-keyed. Public so a
+    * replay spec can run the same (batch, batchId) twice and assert the
+    * second pass changes nothing. */
+  def processBatch(batch: DataFrame, batchId: Long)(implicit ctx: ActionPipelineContext): Unit = {
+    // the store's current state = every batch partition appended so far;
+    // the partition key is transport, not signature — drop it
+    val store = ctx.registry.dataObject(storeId) match {
+      case f: SparkFileDataObject if f.exists => Some(f.getDataFrame().drop(batchIdColumn))
+      case _ => None
+    }
+    val outs = transformer.transform(Map(inputId -> batch) ++ store.map(storeId -> _))
+    try {
+      def writeKeyed(doId: String, df: DataFrame): Unit =
+        sinkObject(doId).writeDataFrame(df.withColumn(batchIdColumn, lit(batchId)),
+          Seq.empty, Some(SdlSaveMode.OverwriteOptimized))
+      writeKeyed(outputId, outs(transformer.novelKey))
+      // the store delta's lineage READS the store object it is appended to
+      // (the pair join) — an eager localCheckpoint materializes the
+      // delta-sized frame against the PRE-write store state and cuts the
+      // plan, so the partition overwrite never sees its own path as input
+      writeKeyed(storeId, outs(storeId).localCheckpoint(true))
+    } finally {
+      // unpersist-per-batch: release the transformer's per-batch cache
+      // registrations now that both writes landed (a long-lived stream
+      // must not accumulate one cached frame per micro-batch)
+      ctx.persistedFrames.keys.filter(_.startsWith("__graft_inc_")).toSeq
+        .foreach(k => ctx.persistedFrames.remove(k).foreach(_.unpersist(false)))
+    }
+  }
+
+  override def exec(subFeeds: Seq[SubFeed])(implicit ctx: ActionPipelineContext): Seq[SubFeed] = {
+    val input = ctx.registry.dataObject(inputId) match {
+      case s: CanCreateStreamingDataFrame => s
+      case other => throw new IllegalArgumentException(
+        s"Action $id: input ${other.id} cannot create a streaming DataFrame")
+    }
+    sinkObject(outputId); sinkObject(storeId)
+    val stream = input.getStreamingDataFrame(mode.inputOptions, None)
+    val query = stream.writeStream
+      .trigger(mode.trigger)
+      .option("checkpointLocation", mode.checkpointLocation)
+      .queryName(id)
+      .foreachBatch { (batch: DataFrame, batchId: Long) => processBatch(batch, batchId) }
+      .start()
+    mode.triggerType match {
+      case "Once" | "AvailableNow" =>
+        query.awaitTermination()
+        Seq(SubFeed(outputId, isStreaming = true,
+          metrics = Some(ActionMetrics(recordsWritten =
+            Option(query.lastProgress).map(_.sink.numOutputRows).getOrElse(-1L)))),
+          SubFeed(storeId, isStreaming = true))
+      case _ =>
+        // async: same first-batch wait discipline as CopyAction.execStreaming
+        val deadline = System.currentTimeMillis() + mode.firstBatchTimeoutSec * 1000L
+        while (!query.recentProgress.exists(_.numInputRows >= 0) && query.isActive &&
+               System.currentTimeMillis() < deadline)
+          Thread.sleep(50)
+        query.exception.foreach(throw _)
+        Seq(SubFeed(outputId, isStreaming = true), SubFeed(storeId, isStreaming = true))
+    }
+  }
+}

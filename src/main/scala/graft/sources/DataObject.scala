@@ -42,6 +42,21 @@ trait CanWriteDataFrame { this: DataObject =>
     try writeDataFrame(cached, Seq.empty, Some(SdlSaveMode.Overwrite))
     finally cached.unpersist()
   }
+  /** APPEND an increment computed from a plan that may READ THIS OBJECT's
+    * current data — the store-growth shape of incremental dedup: the delta
+    * is derived from a join against the store being grown. Per-call write
+    * volume is O(increment), never O(current state) — the staged-overwrite
+    * alternative rewrites the full store every batch, which under
+    * continuous ingestion is quadratic cumulative I/O. Sinks with a real
+    * staging path override this; the fallback materializes the increment
+    * into the block manager before appending. */
+  def writeDataFrameStagedAppend(df: DataFrame)(implicit ctx: ActionPipelineContext): ActionMetrics = {
+    import org.apache.spark.storage.StorageLevel
+    val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    cached.count() // force materialization — the append must not re-read this object mid-write
+    try writeDataFrame(cached, Seq.empty, Some(SdlSaveMode.Append))
+    finally cached.unpersist()
+  }
 }
 
 /** Reference `CanCreateStreamingDataFrame.scala`. */
@@ -470,6 +485,68 @@ abstract class SparkFileDataObject extends DataObject
     // the swap deleted the previous .schema file — re-persist so the next
     // schema-on-read doesn't fall back to inference and drift types
     if (!isSelfDescribing || schemaEvolvable) SchemaUtil.persistSchema(path, df.schema)
+    val jobMetrics = expObs.map(o =>
+      graft.quality.DataQualityValidation.evaluateObserved(o, expectations)).getOrElse(Map.empty)
+    val rows = try obs.get("records_written").asInstanceOf[Long] catch { case _: Throwable => -1L }
+    ActionMetrics(rows, System.currentTimeMillis() - t0, observedMetrics = jobMetrics)
+  }
+
+  /** Append an increment whose plan READS this object (store-growth): the
+    * increment is written to a sibling staging dir while the current files
+    * stay untouched, then the staged DATA files are MOVED in (rename =
+    * metadata op; Spark part-file names carry a per-job UUID, so moved
+    * files never collide with existing ones). Per-call write volume is
+    * O(increment) — the whole point of the append-shaped store discipline;
+    * partition subdirectories are preserved relative to the staging root.
+    * Schema drift is NOT evolved here (a fingerprint/signature store's
+    * schema is fixed by construction); appends with a changed schema fail
+    * the next read rather than silently mixing — keep store schemas
+    * stable. */
+  override def writeDataFrameStagedAppend(df: DataFrame)(implicit ctx: ActionPipelineContext): ActionMetrics = {
+    val t0 = System.currentTimeMillis()
+    validateSchemaMin(df)
+    val constrained = graft.quality.DataQualityValidation.applyConstraints(df, constraints)
+    val (instrumented, expObs) =
+      graft.quality.DataQualityValidation.observeExpectations(constrained, expectations)
+    val staging = new Path(path + "_graft_staging_append")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    val obs = org.apache.spark.sql.Observation(s"graft_stage_append_${id}_${System.nanoTime()}")
+    val observed = instrumented.observe(obs, count(lit(1)).as("records_written"))
+    val w0 = observed.write.format(format).options(options)
+    val w = if (partitions.nonEmpty) w0.partitionBy(partitions: _*) else w0
+    w.mode("overwrite").save(staging.toString)
+    // move staged DATA files in (skip _SUCCESS / hidden committer files),
+    // preserving partition-relative paths; every rename result is CHECKED —
+    // a silently-false rename would lose part of the increment
+    if (!fs.exists(hadoopPath)) fs.mkdirs(hadoopPath)
+    val stagingPrefix = staging.toUri.getPath
+    val staged = {
+      val b = Seq.newBuilder[Path]
+      val it = fs.listFiles(staging, true)
+      while (it.hasNext) {
+        val p = it.next().getPath
+        if (!p.getName.startsWith("_") && !p.getName.startsWith(".")) b += p
+      }
+      b.result()
+    }
+    staged.foreach { p =>
+      val rel = p.toUri.getPath.stripPrefix(stagingPrefix).stripPrefix("/")
+      val dest = new Path(hadoopPath, rel)
+      if (!fs.exists(dest.getParent)) fs.mkdirs(dest.getParent)
+      require(fs.rename(p, dest),
+        s"DataObject $id: staged append could not move $p to $dest " +
+          "(increment preserved under the staging dir)")
+    }
+    fs.delete(staging, true)
+    if (!isSelfDescribing || schemaEvolvable) SchemaUtil.persistSchema(path, df.schema)
+    // an append-only store accumulates one file set per batch — let the
+    // object's housekeeping (e.g. FileCompactionMode) re-bin when due,
+    // with the same reentrancy guard as the plain write path
+    if (!inHousekeeping) {
+      inHousekeeping = true
+      try housekeepingMode.foreach(_.exec(this))
+      finally inHousekeeping = false
+    }
     val jobMetrics = expObs.map(o =>
       graft.quality.DataQualityValidation.evaluateObserved(o, expectations)).getOrElse(Map.empty)
     val rows = try obs.get("records_written").asInstanceOf[Long] catch { case _: Throwable => -1L }

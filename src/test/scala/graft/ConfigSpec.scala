@@ -523,7 +523,11 @@ class ConfigSpec extends AnyFunSuite {
     outs("store").write.mode("overwrite").parquet(storeOut)
     val novel = spark.read.parquet(novelOut).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(novel == Set(102L), s"dup 101 should drop, got $novel")
-    val grown = spark.read.parquet(storeOut).select("id").collect().map(_.getLong(0)).toSet
+    // the store output is the DELTA (novel docs' signatures) — append-shaped
+    // growth: the grown store is old ∪ delta, and only the delta was written
+    val delta = spark.read.parquet(storeOut).select("id").collect().map(_.getLong(0)).toSet
+    assert(delta == Set(102L), s"store delta should hold exactly the survivor, got $delta")
+    val grown = spark.read.parquet(storeIn, storeOut).select("id").collect().map(_.getLong(0)).toSet
     assert(grown == Set(1L, 2L, 102L), s"store should grow by the survivor, got $grown")
   }
 

@@ -893,9 +893,13 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     reg.register(ParquetFileDataObject("novel", s"$dir/novel"))
     reg.register(ParquetFileDataObject("store", s"$dir/store"))
     implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    // saveMode Append: the transformer emits the store DELTA (novel docs'
+    // signatures) and the action APPENDS it — per-run store I/O is
+    // O(increment), and the novel sink accumulates survivors across runs
     val action = CustomDataFrameAction("inc", Seq("batch"), Seq("novel", "store"),
       Seq(IncrementalDedupTransformer("batch", "store", "doc_id", "text",
         threshold = 0.5, bands = 16, novelOutput = Some("novel"))),
+      saveMode = Some(SdlSaveMode.Append),
       recursiveInputIds = Seq("store"))
 
     // run 1: store doesn't exist yet — bootstrap from empty, all docs novel
@@ -913,10 +917,19 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/batch")
     new ActionDAGRun(Seq(action)).run()
     val novel = spark.read.parquet(s"$dir/novel").select("doc_id").as[Long].collect().toSet
-    assert(novel == Set(102L))
+    assert(novel == Set(1L, 2L, 102L))       // accumulated survivors (append sink)
     val storeIds = spark.read.parquet(s"$dir/store").select("id").distinct()
       .as[Long].collect().toSet
     assert(storeIds == Set(1L, 2L, 102L))    // grown by the survivor only
+
+    // wiring guard: the delta-emitting transformer with a non-append save
+    // mode would silently truncate the store — rejected at construction
+    intercept[IllegalArgumentException] {
+      CustomDataFrameAction("bad", Seq("batch"), Seq("novel", "store"),
+        Seq(IncrementalDedupTransformer("batch", "store", "doc_id", "text",
+          novelOutput = Some("novel"))),
+        recursiveInputIds = Seq("store"))
+    }
   }
 
   test("IncrementalMediaDedupTransformer wires as a DAG action: bootstrap, then delta dedup, corpus never re-decoded") {
@@ -932,11 +945,17 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     val action = CustomDataFrameAction("incm", Seq("mbatch"), Seq("mnovel", "mstore"),
       dfsTransformers = Seq(IncrementalMediaDedupTransformer("mbatch", "mstore", "media_id",
         modality = "image", maxHamming = 0, novelOutput = Some("mnovel"))),
+      saveMode = Some(SdlSaveMode.Append),
       recursiveInputIds = Seq("mstore"))
 
     def batchOf(rows: Seq[(Long, Long)]): Unit =
       Multimodal.withSynthImage(rows.toDF("media_id", "seed"), "seed", 16, 16)
         .write.mode("overwrite").parquet(s"$dir/batch")
+    def storeFiles(): Set[String] = {
+      val d = new java.io.File(s"$dir/store")
+      if (!d.exists()) Set.empty
+      else d.listFiles().map(_.getName).filter(n => n.endsWith(".parquet")).toSet
+    }
 
     // run 1: bootstrap — all novel, store created with (id, dhash64)
     batchOf(Seq((1L, 10L), (2L, 11L)))
@@ -944,16 +963,31 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/novel").count() == 2)
     assert(spark.read.parquet(s"$dir/store").columns.toSet == Set("id", "dhash64"))
     assert(spark.read.parquet(s"$dir/store").count() == 2)
+    val filesAfterRun1 = storeFiles()
 
     // run 2: one perceptual dup of stored image (seed 10), one novel —
     // only the novel survives and grows the store (8 bytes/item of
-    // state; run 2 never touches run 1's image bytes)
+    // state; run 2 never touches run 1's image bytes). Decode-once is
+    // pinned by the JVM-local decode counter: run 2's batch of 2 images
+    // is fingerprinted exactly ONCE each (not once for the pair join and
+    // again for store growth).
     batchOf(Seq((3L, 10L), (4L, 99L)))
+    Multimodal.Codecs.fingerprintDecodes.reset()
     new ActionDAGRun(Seq(action)).run()
+    assert(Multimodal.Codecs.fingerprintDecodes.sum() == 2L,
+      s"decodes-per-batch must equal batch size, got ${Multimodal.Codecs.fingerprintDecodes.sum()}")
     val novel = spark.read.parquet(s"$dir/novel").select("media_id").as[Long].collect().toSet
-    assert(novel == Set(4L), s"got $novel")
+    assert(novel == Set(1L, 2L, 4L), s"got $novel")  // accumulated survivors (append sink)
     assert(spark.read.parquet(s"$dir/store").select("id").as[Long].collect().toSet ==
       Set(1L, 2L, 4L))
+    // append-shaped store growth: run 2 ADDED files (run 1's untouched),
+    // and the added files hold exactly the novel fingerprints — per-batch
+    // store write volume is O(novel), never O(store)
+    val added = (storeFiles() -- filesAfterRun1).toSeq.map(n => s"$dir/store/$n")
+    assert(filesAfterRun1.subsetOf(storeFiles()), "append must not rewrite run 1's files")
+    assert(added.nonEmpty)
+    assert(spark.read.parquet(added: _*).select("id").as[Long].collect().toSet == Set(4L),
+      "run 2's store write must contain exactly the novel fingerprints")
 
     // audio modality: gain-variant of a stored clip drops (the energy
     // contour is gain-invariant), novel clip survives with afp64 state
@@ -966,6 +1000,7 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     val aAction = CustomDataFrameAction("inca", Seq("abatch"), Seq("anovel", "astore"),
       dfsTransformers = Seq(IncrementalMediaDedupTransformer("abatch", "astore", "media_id",
         modality = "audio", maxHamming = 4, novelOutput = Some("anovel"))),
+      saveMode = Some(SdlSaveMode.Append),
       recursiveInputIds = Seq("astore"))
     Seq((1L, Multimodal.Codecs.synthWav(3L, 4000, gain = 0.8)))
       .toDF("media_id", "content").write.mode("overwrite").parquet(s"$aDir/batch")
@@ -975,7 +1010,7 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       .toDF("media_id", "content").write.mode("overwrite").parquet(s"$aDir/batch")
     new ActionDAGRun(Seq(aAction)).run()(aCtx)
     assert(spark.read.parquet(s"$aDir/novel").select("media_id").as[Long].collect().toSet ==
-      Set(3L))
+      Set(1L, 3L))                           // accumulated survivors (append sink)
     assert(spark.read.parquet(s"$aDir/store").columns.toSet == Set("id", "afp64"))
   }
 
