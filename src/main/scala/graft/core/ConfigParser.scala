@@ -296,6 +296,10 @@ object ConfigParser {
           archiveExpression = str(n, "archiveExpression"),
           compactCondition = str(n, "compactCondition"),
           compactNumFiles = int(n, "compactNumFiles").getOrElse(1))
+      case "FileCompactionMode" | "fileCompaction" =>
+        FileCompactionMode(
+          minFiles = int(n, "minFiles").getOrElse(16),
+          targetNumFiles = int(n, "targetNumFiles").getOrElse(1))
       case t => throw new IllegalArgumentException(s"dataObject '$id': unknown housekeeping type '$t'")
     }
 

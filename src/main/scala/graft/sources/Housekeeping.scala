@@ -78,6 +78,34 @@ case class PartitionArchiveCompactionMode(
   }
 }
 
+/** Compact an UNPARTITIONED DataObject's directory once it has accumulated
+  * at least `minFiles` data files — the append-only fingerprint/signature
+  * STORE shape: every ingestion batch moves one file set in
+  * ([[SparkFileDataObject.writeDataFrameStagedAppend]]), so after N batches
+  * the store is N file sets of mostly-tiny files. Triggered from the write
+  * path's housekeeping hook; rewrites the whole directory into
+  * `targetNumFiles` via the staged swap (read committed state → staging →
+  * atomic-ish swap), so a crash mid-compaction leaves the old store intact.
+  *
+  * Cost note: a triggered compaction reads+writes the FULL store (that is
+  * what compaction is); with the `minFiles` threshold the amortized cost
+  * per appended batch is O(store / minFiles). Size `minFiles` so that
+  * rewrites stay rare relative to batches (e.g. 64 for per-minute batches),
+  * or partition the store by an ingest-batch bucket and use
+  * [[PartitionArchiveCompactionMode]] to re-bin old partitions instead —
+  * that keeps every rewrite bounded by a bucket, not the store. */
+case class FileCompactionMode(minFiles: Int = 16, targetNumFiles: Int = 1)
+  extends HousekeepingMode {
+  require(minFiles >= 2 && targetNumFiles >= 1, "FileCompactionMode: minFiles >= 2, targetNumFiles >= 1")
+  override def exec(obj: SparkFileDataObject)(implicit ctx: ActionPipelineContext): Unit = {
+    require(obj.partitions.isEmpty,
+      s"FileCompactionMode on ${obj.id}: directory compaction is for unpartitioned stores — " +
+        "partitioned objects should re-bin via PartitionArchiveCompactionMode")
+    if (obj.exists && obj.listDataFiles.size >= minFiles)
+      obj.writeDataFrameStaged(obj.getDataFrame().repartition(targetNumFiles))
+  }
+}
+
 object Housekeeping {
   /** evaluate a SQL boolean over the partition columns, returning matching
     * partition values (driver-side list, Spark-evaluated expression) */

@@ -547,4 +547,50 @@ class DeletionSpec extends AnyFunSuite {
       assert(df.select("k").as[Int].collect().toSet == afterRestore)
     } finally System.clearProperty("graft.dv.broadcastMaxBytes")
   }
+
+  test("DV sidecar race: vacuum never sweeps a concurrent writer's in-flight dv staging") {
+    val dir = Files.createTempDirectory("graft-dvrace").toString
+    val t = VersionedTableDataObject("dvrace", s"$dir/t", deletionVectors = true)
+    t.writeDataFrame((1 to 60).map(i => (i, s"v$i")).toDF("k", "v").repartition(3)) // v0
+    t.deleteWhere("k % 4 = 0")                                                      // v1: dv A
+    t.deleteWhere("k % 9 = 2")                                                      // v2: dv B
+    val expect = (1 to 60).filterNot(k => k % 4 == 0 || k % 9 == 2).toSet
+    // a concurrent DV merge stages its tombstone sidecars at head+1 INSIDE
+    // vacuum's race window (after the log rebase, before the dv-dir
+    // sweep) — the worst-case interleaving: the sweep runs with the
+    // in-flight dir already on disk but no commit referencing it yet
+    val inflight = f"v${3}%08d-inflight"
+    t.vacuumPhaseHook = p => if (p == "rebased") {
+      val d = new java.io.File(s"$dir/t/_graft_dv/$inflight/_sidecar")
+      assert(d.mkdirs())
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/t/_graft_dv/$inflight/_sidecar/0.bin"),
+        Array[Byte](1, 2, 3))
+    }
+    try t.vacuum(1, orphanRetentionMillis = 0L)
+    finally t.vacuumPhaseHook = _ => ()
+    // the version guard (staged at head+1 >= cut) protects the in-flight
+    // dir even with a ZERO age guard — a concurrent merge can never lose
+    // its sidecars to a racing vacuum
+    assert(new java.io.File(s"$dir/t/_graft_dv/$inflight/_sidecar/0.bin").exists,
+      "in-flight dv staging at head+1 must survive the sweep")
+    // referenced dv dirs survived, reads unchanged
+    assert(t.getDataFrame().select("k").as[Int].collect().toSet == expect)
+
+    // the complementary guard: an ABANDONED staging BELOW the horizon is
+    // age-guarded — young dirs survive a default-retention vacuum (a slow
+    // writer), only an explicit zero-retention vacuum reclaims them
+    val abandoned = f"v${0}%08d-crashed"
+    val ad = new java.io.File(s"$dir/t/_graft_dv/$abandoned/_sidecar")
+    assert(ad.mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/t/_graft_dv/$abandoned/_sidecar/0.bin"), Array[Byte](7))
+    t.vacuum(1)                                    // default 7-day age guard
+    assert(new java.io.File(s"$dir/t/_graft_dv/$abandoned").exists,
+      "young abandoned staging must survive the age guard")
+    t.vacuum(1, orphanRetentionMillis = 0L)
+    assert(!new java.io.File(s"$dir/t/_graft_dv/$abandoned").exists,
+      "zero-retention vacuum reclaims the crashed writer's staging")
+    assert(t.getDataFrame().select("k").as[Int].collect().toSet == expect)
+  }
 }

@@ -1,0 +1,155 @@
+package graft
+
+import graft.core._
+import graft.operators._
+import graft.sources._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-15 store-discipline surface: video modality through HOCON config,
+  * append-store compaction, and the declarative streaming action from
+  * config — all on the append-only fingerprint-store contract. */
+class IncrementalStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private val fs = 2048
+
+  test("video modality wires through HOCON: frame-hash store, delta dedup, append growth") {
+    val dir = java.nio.file.Files.createTempDirectory("incvideo").toString
+    val cfg =
+      s"""dataObjects {
+         |  vbatch { type = parquet, path = "$dir/batch" }
+         |  vnovel { type = parquet, path = "$dir/novel" }
+         |  vstore { type = parquet, path = "$dir/store" }
+         |}
+         |actions {
+         |  ingest {
+         |    type = customDataFrame
+         |    inputIds = [vbatch]
+         |    outputIds = [vnovel, vstore]
+         |    recursiveInputIds = [vstore]
+         |    saveMode = append
+         |    dfsTransformers = [
+         |      { type = incrementalMediaDedup, batchInput = vbatch, storeInput = vstore,
+         |        idColumn = media_id, modality = video, frameSize = $fs,
+         |        minSharedFrames = 2, novelOutput = vnovel }
+         |    ]
+         |  }
+         |}
+         |""".stripMargin
+    val reg = ConfigParser.parse(cfg)
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    val action = reg.action("ingest")
+
+    def write(rows: Seq[(Long, Array[Byte])]): Unit =
+      rows.toDF("media_id", "content").write.mode("overwrite").parquet(s"$dir/batch")
+
+    // run 1: two distinct videos — bootstrap, both novel
+    write(Seq((1L, Multimodal.Codecs.synthVideo(1L, 5, fs)),
+              (2L, Multimodal.Codecs.synthVideo(2L, 5, fs))))
+    new ActionDAGRun(Seq(action)).run()
+    assert(spark.read.parquet(s"$dir/novel").count() == 2)
+    assert(spark.read.parquet(s"$dir/store").columns.toSet == Set("id", "fh"))
+
+    // run 2: id 3 re-posts video 1's frames (5 shared >= 2), id 4 novel
+    write(Seq((3L, Multimodal.Codecs.synthVideo(1L, 5, fs)),
+              (4L, Multimodal.Codecs.synthVideo(9L, 5, fs))))
+    new ActionDAGRun(Seq(action)).run()
+    assert(spark.read.parquet(s"$dir/novel").select("media_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 4L))
+    // store grew by the novel video's frame hashes only
+    assert(spark.read.parquet(s"$dir/store").select("id").distinct().as[Long].collect().toSet ==
+      Set(1L, 2L, 4L))
+  }
+
+  test("FileCompactionMode: append-store compaction preserves dedup results exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("inccompact").toString
+    def registryWith(compaction: Boolean, sub: String): InstanceRegistry = {
+      val reg = new InstanceRegistry
+      reg.register(ParquetFileDataObject("batch", s"$dir/batch"))
+      reg.register(ParquetFileDataObject("novel", s"$dir/$sub/novel"))
+      reg.register(ParquetFileDataObject("store", s"$dir/$sub/store",
+        housekeepingMode = if (compaction) Some(FileCompactionMode(minFiles = 2, targetNumFiles = 1))
+                           else None))
+      reg
+    }
+    def actionFor(reg: InstanceRegistry): Action = CustomDataFrameAction(
+      "inc", Seq("batch"), Seq("novel", "store"),
+      dfsTransformers = Seq(IncrementalMediaDedupTransformer("batch", "store", "media_id",
+        modality = "image", maxHamming = 0, novelOutput = Some("novel"))),
+      saveMode = Some(SdlSaveMode.Append), recursiveInputIds = Seq("store"))
+    val regC = registryWith(compaction = true, "c")
+    val regU = registryWith(compaction = false, "u")
+
+    // three ingestion runs with cross-batch dups (seeds 10/11 re-posted)
+    val batches = Seq(
+      Seq((1L, 10L), (2L, 11L)),
+      Seq((3L, 10L), (4L, 99L)),
+      Seq((5L, 11L), (6L, 99L), (7L, 77L)))   // 6 dups 99 (batch-2 novel), 7 novel
+    batches.foreach { rows =>
+      Multimodal.withSynthImage(rows.toDF("media_id", "seed"), "seed", 16, 16)
+        .write.mode("overwrite").parquet(s"$dir/batch")
+      new ActionDAGRun(Seq(actionFor(regC))).run()(ActionPipelineContext(spark, regC))
+      new ActionDAGRun(Seq(actionFor(regU))).run()(ActionPipelineContext(spark, regU))
+    }
+
+    def novels(sub: String) = spark.read.parquet(s"$dir/$sub/novel")
+      .select("media_id").as[Long].collect().toSet
+    def store(sub: String) = spark.read.parquet(s"$dir/$sub/store")
+      .select("id", "dhash64").as[(Long, Long)].collect().toSet
+    // compaction must not change a single dedup decision or store row
+    assert(novels("c") == Set(1L, 2L, 4L, 7L), s"got ${novels("c")}")
+    assert(novels("c") == novels("u"))
+    assert(store("c") == store("u"))
+    // and it actually compacted: the uncompacted store holds one file set
+    // per batch, the compacted one collapsed below that
+    def dataFiles(sub: String) = new java.io.File(s"$dir/$sub/store").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(dataFiles("u") >= 3, s"uncompacted store should accumulate files, got ${dataFiles("u")}")
+    assert(dataFiles("c") < dataFiles("u"),
+      s"compaction should shrink the file count: c=${dataFiles("c")} u=${dataFiles("u")}")
+  }
+
+  test("StreamingIncrementalDedupAction wires from HOCON and runs micro-batches") {
+    val tmp = java.nio.file.Files.createTempDirectory("sidhocon").toString
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$tmp/src"))
+    def addFile(rows: Seq[(Long, Long)], name: String, mtime: Long): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("sidhstage").toString
+      Multimodal.withSynthImage(rows.toDF("media_id", "seed"), "seed", 16, 16)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(s"$tmp/src/$name"))
+      assert(new java.io.File(s"$tmp/src/$name").setLastModified(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    addFile(Seq((1L, 10L), (2L, 11L)), "b1.parquet", t0)
+    addFile(Seq((3L, 10L), (4L, 99L)), "b2.parquet", t0 + 2000)
+    val cfg =
+      s"""dataObjects {
+         |  media_in    { type = parquet, path = "$tmp/src",
+         |                schema = "media_id long, seed long, content binary" }
+         |  media_novel { type = parquet, path = "$tmp/out",   partitions = [ingest_batch] }
+         |  media_store { type = parquet, path = "$tmp/store", partitions = [ingest_batch] }
+         |}
+         |actions {
+         |  ingest {
+         |    type = streamingIncrementalDedup
+         |    transformer = { type = incrementalMediaDedup, batchInput = media_in,
+         |                    storeInput = media_store, idColumn = media_id,
+         |                    modality = image, maxHamming = 0, novelOutput = media_novel }
+         |    mode = { type = streaming, checkpointLocation = "$tmp/cp",
+         |             triggerType = AvailableNow,
+         |             inputOptions = { maxFilesPerTrigger = "1" } }
+         |  }
+         |}
+         |""".stripMargin
+    val reg = ConfigParser.parse(cfg)
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    new ActionDAGRun(Seq(reg.action("ingest"))).run()
+    assert(spark.read.parquet(s"$tmp/out").select("media_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 4L))
+    // two micro-batches, each its own store partition of novel fingerprints
+    assert(spark.read.parquet(s"$tmp/store").select("id", "ingest_batch")
+      .as[(Long, Long)].collect().toSet == Set((1L, 0L), (2L, 0L), (4L, 1L)))
+  }
+}
