@@ -3524,6 +3524,68 @@ object SparkEntry {
       try new graft.core.ActionDAGRun(Seq(action)).run()
       finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
       s.read.parquet(s"$tmp/out").select(col("media_id"), col("batch"))
+    }),
+
+    // CONTINUOUS text ingestion dedup through the same declarative
+    // StreamingIncrementalDedupAction — the TEXT twin of q144: per
+    // micro-batch the docs are shingled/minhash-signed ONCE, joined
+    // against the growing signature store (batch-keyed append partitions,
+    // idempotent under replay), and only store-novel docs survive. Docs
+    // are deterministic 40-token sequences of their seed (same seed →
+    // identical text → jaccard 1; distinct seeds share ~no 5-gram
+    // shingles at a 50k vocab), so the structural oracle is q144's:
+    // survivors = the first poster of each seed.
+    "q145_streaming_text_dedup" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q145").toString
+      java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$tmp/src"))
+      def docBatch(ids: Seq[(Long, Long)], batchNo: Int): DataFrame =
+        s.createDataFrame(ids).toDF("doc_id", "seed")
+          .withColumn("text", concat_ws(" ",
+            transform(sequence(lit(0), lit(39)),
+              i => concat(lit("w"),
+                pmod(xxhash64(col("seed") * 1000 + i), lit(50000L))))))
+          .withColumn("batch", lit(batchNo))
+      val b1 = (0L until 50L).map(i => (i, i))
+      val b2 = (100L until 150L).map(i => (i, if (i < 125) i - 100 else i))
+      val b3 = (200L until 250L).map(i =>
+        (i, if (i < 220) i - 200 else if (i < 235) i - 95 else i))
+      def addFile(df: DataFrame, stage: String, name: String, mtime: Long): Unit = {
+        df.coalesce(1).write.parquet(s"$tmp/$stage")
+        val part = new java.io.File(s"$tmp/$stage").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(s"$tmp/src/$name"))
+        require(new java.io.File(s"$tmp/src/$name").setLastModified(mtime),
+          s"cannot stamp mtime on $name")
+      }
+      val t0 = System.currentTimeMillis() - 60000
+      addFile(docBatch(b1, 1), "s1", "batch1.parquet", t0)
+      addFile(docBatch(b2, 2), "s2", "batch2.parquet", t0 + 2000)
+      addFile(docBatch(b3, 3), "s3", "batch3.parquet", t0 + 4000)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("seed", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("batch", org.apache.spark.sql.types.IntegerType)))
+      val reg = new graft.core.InstanceRegistry
+      reg.register(graft.sources.ParquetFileDataObject("doc_stream", s"$tmp/src",
+        schema = Some(schema)))
+      reg.register(graft.sources.ParquetFileDataObject("doc_novel", s"$tmp/out",
+        partitions = Seq("ingest_batch")))
+      reg.register(graft.sources.ParquetFileDataObject("doc_store", s"$tmp/store",
+        partitions = Seq("ingest_batch")))
+      implicit val ctx: graft.core.ActionPipelineContext =
+        graft.core.ActionPipelineContext(s, reg)
+      val action = graft.operators.StreamingIncrementalDedupAction("doc_ingest",
+        graft.operators.IncrementalDedupTransformer("doc_stream", "doc_store",
+          "doc_id", "text", threshold = 0.8, novelOutput = Some("doc_novel")),
+        graft.operators.modes.SparkStreamingMode(
+          checkpointLocation = s"$tmp/cp", triggerType = "AvailableNow",
+          inputOptions = Map("maxFilesPerTrigger" -> "1")))
+      val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try new graft.core.ActionDAGRun(Seq(action)).run()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
+      s.read.parquet(s"$tmp/out").select(col("doc_id"), col("batch"))
     })
   )
 
@@ -5711,6 +5773,15 @@ object SparkEntry {
     // already-stored seed and is dropped by the store join
     "q144_streaming_media_dedup" ->
       """SELECT CAST(id AS BIGINT) AS media_id, CAST(1 AS INT) AS batch FROM range(0, 50) t(id)
+        |UNION ALL
+        |SELECT CAST(id AS BIGINT), CAST(2 AS INT) FROM range(125, 150) t(id)
+        |UNION ALL
+        |SELECT CAST(id AS BIGINT), CAST(3 AS INT) FROM range(235, 250) t(id)""".stripMargin,
+
+    // q145: same structural oracle as q144 (first poster of each seed),
+    // text modality — the seed → batch layout is identical by construction
+    "q145_streaming_text_dedup" ->
+      """SELECT CAST(id AS BIGINT) AS doc_id, CAST(1 AS INT) AS batch FROM range(0, 50) t(id)
         |UNION ALL
         |SELECT CAST(id AS BIGINT), CAST(2 AS INT) FROM range(125, 150) t(id)
         |UNION ALL

@@ -194,9 +194,12 @@ case class IncrementalDedupTransformer(
     val sigs = persistForRun(
       Dedup.minhashSignatures(batch, idColumn, textColumn, shingleSize, numHashes),
       s"$batchInput.sigs")
-    val dupIds = Dedup.minhashIncrementalPairsFromSigs(sigs, store,
+    // dup-id set persisted too: novel feeds BOTH outputs (survivor rows +
+    // store delta), and without the persist each sink's write re-executes
+    // the whole pair join — the ids are delta-bounded (≤ batch), tiny
+    val dupIds = persistForRun(Dedup.minhashIncrementalPairsFromSigs(sigs, store,
       numHashes, bands, threshold)
-      .select(col("id_new").as(idColumn)).distinct()
+      .select(col("id_new").as(idColumn)).distinct(), s"$batchInput.dups")
     val novel = batch.join(broadcast(dupIds), Seq(idColumn), "left_anti")
     // store DELTA: the novel docs' already-computed signatures — appended
     // by the action, never unioned onto the store frame
@@ -272,7 +275,10 @@ case class IncrementalMediaDedupTransformer(
           store.select(col("id"), col(hashCol).as("simhash")),
           maxHamming = maxHamming, maxBucketSize = maxBucketSize)
     }
-    val dupIds = pairs.select(col("id_new").as(idColumn)).distinct()
+    // persisted like the fingerprint frame: novel feeds BOTH outputs, and
+    // without it each sink's write re-executes the pair join
+    val dupIds = persistForRun(
+      pairs.select(col("id_new").as(idColumn)).distinct(), s"$batchInput.dups")
     // delta-bounded (⊆ batch ids) → legal broadcast
     val novel = batch.join(broadcast(dupIds), Seq(idColumn), "left_anti")
     // store DELTA: the novel items' already-computed fingerprints — zero

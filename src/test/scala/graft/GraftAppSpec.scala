@@ -120,6 +120,31 @@ class GraftAppSpec extends AnyFunSuite {
       .head.getInt(0) <= 64)
   }
 
+  test("examples/training_pipeline.conf: ingest feed dedups batches against the append-only store") {
+    val dir = tmpDir()
+    val conf = new String(Files.readAllBytes(
+      java.nio.file.Paths.get("examples/training_pipeline.conf")))
+      .replace("/tmp/graft-example-out", s"$dir/out")
+    val confPath = s"$dir/pipeline.conf"
+    Files.writeString(java.nio.file.Paths.get(confPath), conf)
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " * 5
+    // batch 1: two distinct docs
+    Seq((1L, base), (2L, "entirely different content about query engines " * 5))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/out/incoming")
+    GraftApp.run(GraftApp.CliArgs(configPaths = Seq(confPath), feedSel = Some("ingest")), spark)
+    // batch 2: one near-dup of stored doc 1, one novel
+    Seq((3L, base + " tail"), (4L, "novel text about deep sea exploration " * 5))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/out/incoming")
+    GraftApp.run(GraftApp.CliArgs(configPaths = Seq(confPath), feedSel = Some("ingest")), spark)
+    // novel sink accumulated exactly the store-novel survivors
+    assert(spark.read.parquet(s"$dir/out/novel").select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 2L, 4L))
+    // signature store grew append-only by the survivors
+    assert(spark.read.parquet(s"$dir/out/doc_sigs").select("id")
+      .as[Long].collect().toSet == Set(1L, 2L, 4L))
+  }
+
   test("examples/warehouse_pipeline.conf: incremental stage + config merge + historize") {
     val dir = tmpDir()
     val conf = new String(Files.readAllBytes(
