@@ -31,7 +31,7 @@ object BenchStoreGrowth {
     import graft.operators._
     import graft.sources._
 
-    val storeItems = 200000
+    val storeItems = sys.env.getOrElse("SPARK_GRAFT_STORE_ITEMS", "200000").toInt
     val batchSize = 5000
     val nBatches = 5
 
@@ -67,7 +67,7 @@ object BenchStoreGrowth {
     var rewriteBytes = 0L
     var rewriteSecs = 0.0
     (0 until nBatches).foreach { b =>
-      val delta = fps(1000000L + b * batchSize, batchSize, 0.2)
+      val delta = fps(10000000L + b * batchSize, batchSize, 0.2)
       val t0 = System.nanoTime()
       val store = spark.read.parquet(s"$tmp/rewrite")
       val dup = graft.functions.Dedup.simhashIncrementalPairsFromSigs(
@@ -99,7 +99,7 @@ object BenchStoreGrowth {
     var appendBytes = 0L
     var appendSecs = 0.0
     (0 until nBatches).foreach { b =>
-      val delta = fps(2000000L + b * batchSize, batchSize, 0.2)
+      val delta = fps(20000000L + b * batchSize, batchSize, 0.2)
       val t0 = System.nanoTime()
       val store = storeObj.getDataFrame()
       val dup = graft.functions.Dedup.simhashIncrementalPairsFromSigs(

@@ -3586,6 +3586,31 @@ object SparkEntry {
       try new graft.core.ActionDAGRun(Seq(action)).run()
       finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
       s.read.parquet(s"$tmp/out").select(col("doc_id"), col("batch"))
+    }),
+
+    // Incremental EMBEDDING dedup against a vector store — the semantic
+    // leg of the incremental family (q51 text / q140 image / q141 audio /
+    // q142 video): corpus vectors are hyperplane-LSH-signed ONCE into a
+    // (id, emb, bucket) store; the delta signs only itself and
+    // bucket-joins against the store, exact-cosine verified. Planted:
+    // exact copies of every 10th-stored vector (identical vector →
+    // identical bucket → structural recall, cosine 1) + genuinely novel
+    // vectors. Output post-filtered to the planted pairs (the q39
+    // argument: organic table near-dups exist, only the planted structure
+    // is SQL-expressible).
+    "q146_embedding_incremental_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val store = graft.functions.Dedup.embeddingStore(
+        emb.where(col("vec_id") % 5 === 0), "vec_id", "embedding", dim = 64)
+      val copies = emb.where(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+      val novel = emb.where(col("vec_id") % 5 === 1)
+      graft.functions.Dedup.embeddingIncrementalPairs(
+        copies.unionByName(novel), store, "vec_id", "embedding",
+        dim = 64, threshold = 0.95)
+        .where(col("id_new") === col("id_corpus") + 2000000L &&
+          col("id_corpus") % 10 === 0)
+        .select(col("id_new"), col("id_corpus"))
     })
   )
 
@@ -5785,6 +5810,13 @@ object SparkEntry {
         |UNION ALL
         |SELECT CAST(id AS BIGINT), CAST(2 AS INT) FROM range(125, 150) t(id)
         |UNION ALL
-        |SELECT CAST(id AS BIGINT), CAST(3 AS INT) FROM range(235, 250) t(id)""".stripMargin
+        |SELECT CAST(id AS BIGINT), CAST(3 AS INT) FROM range(235, 250) t(id)""".stripMargin,
+
+    // q146: the planted copies (every 10th-stored vector, relabeled
+    // +2000000) must each pair with exactly their source — identical
+    // vectors share a hyperplane bucket structurally, cosine 1 ≥ 0.95
+    "q146_embedding_incremental_dedup" ->
+      """SELECT vec_id + 2000000 AS id_new, vec_id AS id_corpus
+        |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin
   )
 }

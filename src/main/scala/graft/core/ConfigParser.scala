@@ -624,6 +624,18 @@ object ConfigParser {
           stride = int(n, "stride").getOrElse(1),
           minSharedFrames = int(n, "minSharedFrames").getOrElse(2),
           maxFrameOccurrences = int(n, "maxFrameOccurrences").getOrElse(1000))
+      case "IncrementalEmbeddingDedupTransformer" | "incrementalEmbeddingDedup" =>
+        IncrementalEmbeddingDedupTransformer(
+          require(str(n, "batchInput"), id, "batchInput"),
+          require(str(n, "storeInput"), id, "storeInput"),
+          require(str(n, "idColumn"), id, "idColumn"),
+          require(str(n, "embColumn"), id, "embColumn"),
+          dim = int(n, "dim").getOrElse(throw new IllegalArgumentException(
+            s"config '$id': missing required field 'dim'")),
+          numPlanes = int(n, "numPlanes").getOrElse(16),
+          threshold = dbl(n, "threshold").getOrElse(0.95),
+          maxBucketSize = int(n, "maxBucketSize").getOrElse(1000),
+          novelOutput = str(n, "novelOutput"))
       case "NbQualityTransformer" | "nbQuality" =>
         NbQualityTransformer(
           require(str(n, "corpusInput"), id, "corpusInput"),

@@ -1219,6 +1219,92 @@ object Dedup {
     }
   }
 
+  /** Embedding STORE frame: `(id, emb, bucket)` — the hyperplane-LSH
+    * signature alongside the vector, persisted (parquet) across ingestion
+    * batches so corpus vectors are signed ONCE. The bucket drives
+    * candidate generation in [[embeddingIncrementalPairsFromSigs]]; the
+    * vector rides along because near-dup verification is exact cosine
+    * (unlike the 64-bit media fingerprints, an embedding signature alone
+    * cannot verify). Grow the store by appending the batch's NOVEL rows —
+    * the same append-only discipline as every other store here. */
+  def embeddingStore(df: DataFrame, idCol: String, embCol: String,
+                     dim: Int, numPlanes: Int = 16): DataFrame =
+    df.select(col(idCol).as("id"), col(embCol).as("emb"),
+      Similarity.hyperplaneSignature(col(embCol), dim, numPlanes).as("bucket"))
+
+  /** INCREMENTAL embedding (semantic) near-dup detection: a NEW batch of
+    * vectors against a persisted [[embeddingStore]] — the store-backed
+    * incremental discipline on the embedding modality, completing the
+    * family (text minhash, image dHash, audio energy contour, video frame
+    * hashes). Candidates come from a bucket equi-join of delta signatures
+    * against store signatures (never store × store), verified by exact
+    * cosine; per-batch cost scales with |delta| + matched buckets.
+    *
+    * Store-side skew guard: the lazy over-cap anti-join (a hot bucket —
+    * boilerplate embeddings — would fan every matching delta row out
+    * bucket-fold). The exact-copy fallback recovers copies the cap
+    * prunes: only the delta's (id, hash) pairs broadcast (16 B/item,
+    * delta-bounded → legal) and the store is STREAMED once; matches are
+    * duplicate-volume-scaled, so the verification joins carry no hint. */
+  def embeddingIncrementalPairs(delta: DataFrame, store: DataFrame,
+                                idCol: String, embCol: String,
+                                dim: Int, numPlanes: Int = 16,
+                                threshold: Double = 0.95,
+                                maxBucketSize: Int = 1000,
+                                failOnCappedBuckets: Boolean = false,
+                                cappedBucketExactFallback: Boolean = true): DataFrame =
+    embeddingIncrementalPairsFromSigs(
+      embeddingStore(delta, idCol, embCol, dim, numPlanes), store,
+      threshold, maxBucketSize, failOnCappedBuckets, cappedBucketExactFallback)
+
+  /** [[embeddingIncrementalPairs]] over an ALREADY-SIGNED delta (the
+    * decode-once entry point: a caller that also grows the store signs
+    * the batch once, persists the `(id, emb, bucket)` frame, feeds it
+    * here AND semi-joins it against the novel ids for the store delta).
+    * `deltaSigs` is consumed more than once (bucket join + exact
+    * fallback): persist it, unpersist after the store delta materializes.
+    * @return (id_new, id_corpus, cosine) with cosine >= threshold */
+  def embeddingIncrementalPairsFromSigs(deltaSigs: DataFrame, storeSigs: DataFrame,
+                                        threshold: Double = 0.95,
+                                        maxBucketSize: Int = 1000,
+                                        failOnCappedBuckets: Boolean = false,
+                                        cappedBucketExactFallback: Boolean = true): DataFrame = {
+    def pairsOf(prunedStore: DataFrame): DataFrame =
+      deltaSigs.alias("a").join(prunedStore.alias("b"), col("a.bucket") === col("b.bucket"))
+        .select(col("a.id").as("id_new"), col("b.id").as("id_corpus"),
+          Similarity.cosineSimilarity(col("a.emb"), col("b.emb")).as("cosine"))
+        .where(col("cosine") >= threshold)
+    if (failOnCappedBuckets) {
+      assertNoCappedBuckets(storeSigs.select(col("id"), col("bucket")), Seq("bucket"),
+        maxBucketSize, "incremental embedding LSH")
+      pairsOf(storeSigs)
+    } else {
+      val bigBuckets = storeSigs.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("_n")).where(col("_n") > maxBucketSize)
+        .select(col("bucket"))
+      val prunedStore = storeSigs.join(broadcast(bigBuckets), Seq("bucket"), "left_anti")
+      val lshPairs = pairsOf(prunedStore)
+      if (!cappedBucketExactFallback) lshPairs.dropDuplicates("id_new", "id_corpus")
+      else {
+        // exact-copy recovery, delta-shaped (the minhashIncrementalPairs
+        // fallback on vectors): delta (id, hash) broadcasts, store streams
+        val deltaSlim = deltaSigs.select(col("id").as("id_new"), xxhash64(col("emb")).as("_ck"))
+        val matches = storeSigs.select(col("id").as("id_corpus"), xxhash64(col("emb")).as("_ck"))
+          .join(broadcast(deltaSlim), "_ck")
+          .select(col("id_new"), col("id_corpus"))
+        // matches are duplicate-volume-scaled → hint-free, AQE sizes them
+        val withA = deltaSigs.select(col("id").as("id_new"), col("emb").as("emb_a"))
+          .join(matches, "id_new")
+        val exact = storeSigs.select(col("id").as("id_corpus"), col("emb").as("emb_b"))
+          .join(withA, "id_corpus")
+          .withColumn("cosine", Similarity.cosineSimilarity(col("emb_a"), col("emb_b")))
+          .where(col("cosine") >= threshold)
+          .select(col("id_new"), col("id_corpus"), col("cosine"))
+        lshPairs.unionByName(exact).dropDuplicates("id_new", "id_corpus")
+      }
+    }
+  }
+
   /** Exact-copy star pass for embedding LSH (the [[exactStarPairs]] shape
     * on vectors): hash-groupBy of the full embedding array, min-id head →
     * members — only (id, hash) shuffles, linear in corpus size. Pairs are

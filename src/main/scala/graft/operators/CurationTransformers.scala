@@ -289,6 +289,41 @@ case class IncrementalMediaDedupTransformer(
   }
 }
 
+/** Incremental EMBEDDING (semantic) dedup for continuous ingestion — the
+  * store-backed discipline on the embedding modality, completing the
+  * family (text / image / audio / video / embeddings): drop new-batch
+  * items whose vector near-duplicates the EXISTING corpus by joining the
+  * batch's hyperplane-LSH signatures against the persisted
+  * [[graft.functions.Dedup.embeddingStore]] (id, emb, bucket), exact
+  * cosine verified. Same DAG wiring as its siblings (store as recursive
+  * input, bootstrap from empty, action saveMode = Append for
+  * O(increment) store growth); the batch is signed ONCE per run. */
+case class IncrementalEmbeddingDedupTransformer(
+    batchInput: String, storeInput: String,
+    idColumn: String, embColumn: String, dim: Int,
+    numPlanes: Int = 16, threshold: Double = 0.95,
+    maxBucketSize: Int = 1000,
+    novelOutput: Option[String] = None) extends IncrementalStoreDfsTransformer {
+  override def transform(dfs: Map[String, DataFrame])
+                        (implicit ctx: ActionPipelineContext): Map[String, DataFrame] = {
+    val batch = dfs.getOrElse(batchInput,
+      throw new IllegalArgumentException(s"IncrementalEmbeddingDedupTransformer: missing input '$batchInput'"))
+    val store = dfs.getOrElse(storeInput,
+      Dedup.embeddingStore(batch.limit(0), idColumn, embColumn, dim, numPlanes))
+    if (ctx.phase == ExecutionPhase.Init)
+      return Map(novelKey -> batch, storeInput -> store.limit(0))
+    val sigs = persistForRun(
+      Dedup.embeddingStore(batch, idColumn, embColumn, dim, numPlanes), s"$batchInput.esigs")
+    val dupIds = persistForRun(
+      Dedup.embeddingIncrementalPairsFromSigs(sigs, store, threshold, maxBucketSize)
+        .select(col("id_new").as(idColumn)).distinct(), s"$batchInput.dups")
+    val novel = batch.join(broadcast(dupIds), Seq(idColumn), "left_anti")
+    val storeDelta = sigs.join(
+      novel.select(col(idColumn).as("id")), Seq("id"), "left_semi")
+    Map(novelKey -> novel, storeInput -> storeDelta)
+  }
+}
+
 /** N:1 span-level decontamination: the corpus input's text is stripped of
   * every window that appears in the benchmark input (see
   * `Dedup.removeContaminatedSpans`) — the config surface for eval-leak

@@ -110,6 +110,57 @@ class IncrementalStoreSpec extends AnyFunSuite {
       s"compaction should shrink the file count: c=${dataFiles("c")} u=${dataFiles("u")}")
   }
 
+  test("embedding modality wires through HOCON: vector store, cosine-verified delta dedup") {
+    val dir = java.nio.file.Files.createTempDirectory("incemb").toString
+    val cfg =
+      s"""dataObjects {
+         |  ebatch { type = parquet, path = "$dir/batch" }
+         |  enovel { type = parquet, path = "$dir/novel" }
+         |  estore { type = parquet, path = "$dir/store" }
+         |}
+         |actions {
+         |  ingest {
+         |    type = customDataFrame
+         |    inputIds = [ebatch]
+         |    outputIds = [enovel, estore]
+         |    recursiveInputIds = [estore]
+         |    saveMode = append
+         |    dfsTransformers = [
+         |      { type = incrementalEmbeddingDedup, batchInput = ebatch, storeInput = estore,
+         |        idColumn = vec_id, embColumn = emb, dim = 4, threshold = 0.95,
+         |        novelOutput = enovel }
+         |    ]
+         |  }
+         |}
+         |""".stripMargin
+    val reg = ConfigParser.parse(cfg)
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    val action = reg.action("ingest")
+    def write(rows: Seq[(Long, Array[Float])]): Unit =
+      rows.toDF("vec_id", "emb").write.mode("overwrite").parquet(s"$dir/batch")
+
+    // run 1: two orthogonal vectors — bootstrap, both novel
+    write(Seq((1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 1f, 0f, 0f))))
+    new ActionDAGRun(Seq(action)).run()
+    assert(spark.read.parquet(s"$dir/novel").count() == 2)
+    assert(spark.read.parquet(s"$dir/store").columns.toSet == Set("id", "emb", "bucket"))
+
+    // run 2: ids 3/4 = exact copies of stored vectors 1/2 (identical
+    // vector → identical bucket → structural recall, cosine 1 → dropped;
+    // a NEAR-copy would make recall depend on whether one of the 16 fixed
+    // hyperplanes happens to split the pair — not a deterministic spec),
+    // id 5 orthogonal to everything (novel)
+    write(Seq(
+      (3L, Array(1f, 0f, 0f, 0f)),
+      (4L, Array(0f, 1f, 0f, 0f)),
+      (5L, Array(0f, 0f, 1f, 0f))))
+    new ActionDAGRun(Seq(action)).run()
+    assert(spark.read.parquet(s"$dir/novel").select("vec_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 5L))
+    assert(spark.read.parquet(s"$dir/store").select("id").as[Long].collect().toSet ==
+      Set(1L, 2L, 5L))
+  }
+
   test("StreamingIncrementalDedupAction wires from HOCON and runs micro-batches") {
     val tmp = java.nio.file.Files.createTempDirectory("sidhocon").toString
     java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$tmp/src"))
