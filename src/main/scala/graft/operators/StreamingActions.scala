@@ -100,10 +100,12 @@ case class StreamingIncrementalDedupAction(
       // plan, so the partition overwrite never sees its own path as input
       writeKeyed(storeId, outs(storeId).localCheckpoint(true))
     } finally {
-      // unpersist-per-batch: release the transformer's per-batch cache
+      // unpersist-per-batch: release THIS transformer's per-batch cache
       // registrations now that both writes landed (a long-lived stream
-      // must not accumulate one cached frame per micro-batch)
-      ctx.persistedFrames.keys.filter(_.startsWith("__graft_inc_")).toSeq
+      // must not accumulate one cached frame per micro-batch). Scoped to
+      // this action's batch-input prefix — a sibling streaming action in
+      // the same DAG run must not lose its in-flight frames to our sweep.
+      ctx.persistedFrames.keys.filter(_.startsWith(s"__graft_inc_${inputId}.")).toSeq
         .foreach(k => ctx.persistedFrames.remove(k).foreach(_.unpersist(false)))
     }
   }
