@@ -600,9 +600,10 @@ object Dedup {
     * (id, simhash, block, bkey) — shared by the batch self-join
     * ([[simhashBlockedPairs]]) and the delta-vs-store incremental path
     * ([[simhashIncrementalPairsFromSigs]]). `persistInput` computes the
-    * signature frame once instead of once per block expression/join side
-    * (the batch path joins the blocked frame to itself; the incremental
-    * path persists only the delta side). */
+    * signature frame once instead of once per self-join side (the batch
+    * path joins the blocked frame to itself; the incremental path passes
+    * false on BOTH sides — each is consumed once, and callers with an
+    * expensive delta lineage persist the signature frame themselves). */
   private def mankuBlocked(sigs: DataFrame, bits: Int, maxHamming: Int,
                            blocksPerKey: Int, persistInput: Boolean): DataFrame = {
     require(blocksPerKey >= 1 && blocksPerKey <= 3, "blocksPerKey in [1,3]")

@@ -52,6 +52,9 @@ case class StreamingIncrementalDedupAction(
   require(outputId != inputId,
     s"Action $id: the transformer needs novelOutput set to the output DataObject id " +
       "(distinct from the streaming input)")
+  require(!batchIdColumn.startsWith("_") && !batchIdColumn.startsWith("."),
+    s"Action $id: batchIdColumn '$batchIdColumn' would create hidden partition " +
+      "directories that Spark's file listing silently skips")
   def inputIds: Seq[String] = Seq(inputId)
   def outputIds: Seq[String] = Seq(outputId, storeId)
 

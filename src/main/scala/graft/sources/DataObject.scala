@@ -143,6 +143,18 @@ abstract class SparkFileDataObject extends DataObject
     incrementalState = state
   override def getState: Option[String] = incrementalState
 
+  /** '_'/'.'-prefixed names are HIDDEN to Spark's file listing (and to
+    * [[exists]]): a partition column named `_x` writes `_x=...`
+    * directories that every subsequent read silently skips — the data
+    * looks lost with no error anywhere. Fail loudly at first read/write
+    * instead (lazy, not constructor-time: subclass vals aren't
+    * initialized during the superclass constructor). */
+  private lazy val partitionNamesValidated: Unit =
+    partitions.foreach(p => require(!p.startsWith("_") && !p.startsWith("."),
+      s"DataObject $id: partition column '$p' would create '_'/'.'-prefixed directories, " +
+        "which Spark's file listing treats as hidden — every read would silently skip " +
+        "the written data; use a name without a leading underscore/dot"))
+
   /** Exclusive mod-time upper bound for reads (`modifiedBefore`), set by
     * DataObjectStateIncrementalMode for the duration of one exec read so
     * the persisted watermark and the data actually read agree exactly —
@@ -213,6 +225,7 @@ abstract class SparkFileDataObject extends DataObject
 
   override def getDataFrame(partitionValues: Seq[PartitionValues] = Seq.empty)
                            (implicit ctx: ActionPipelineContext): DataFrame = {
+    partitionNamesValidated
     if (!exists) {
       // empty frame with declared schema, mirrors reference handling of missing data
       val s = schema.orElse(schemaMin).getOrElse(
@@ -289,6 +302,7 @@ abstract class SparkFileDataObject extends DataObject
   override def writeDataFrame(df: DataFrame, partitionValues: Seq[PartitionValues] = Seq.empty,
                               saveMode: Option[SdlSaveMode] = None)
                              (implicit ctx: ActionPipelineContext): ActionMetrics = {
+    partitionNamesValidated
     validateSchemaMin(df)
     val mode = saveMode.getOrElse(SdlSaveMode.Overwrite)
     val t0 = System.currentTimeMillis()

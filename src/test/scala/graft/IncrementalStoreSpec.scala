@@ -161,6 +161,86 @@ class IncrementalStoreSpec extends AnyFunSuite {
       Set(1L, 2L, 5L))
   }
 
+  test("hidden partition-name guard: '_'-prefixed partition columns fail loudly, not silently") {
+    // '_'/'.'-prefixed dirs are invisible to Spark's file listing — a
+    // partition column named '_x' would write data every read silently
+    // skips (the exact trap the streaming action's first cut hit)
+    val dir = java.nio.file.Files.createTempDirectory("hiddenpart").toString
+    val reg = new InstanceRegistry
+    reg.register(ParquetFileDataObject("bad", s"$dir/bad", partitions = Seq("_x")))
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    val obj = reg.dataObject("bad").asInstanceOf[ParquetFileDataObject]
+    val e = intercept[IllegalArgumentException] {
+      obj.writeDataFrame(Seq((1L, "a")).toDF("id", "_x"))
+    }
+    assert(e.getMessage.contains("hidden"))
+    intercept[IllegalArgumentException] { obj.getDataFrame() }
+    // the streaming action rejects a hidden batchIdColumn at construction
+    intercept[IllegalArgumentException] {
+      StreamingIncrementalDedupAction("s",
+        IncrementalMediaDedupTransformer("a", "b", "id", novelOutput = Some("c")),
+        graft.operators.modes.SparkStreamingMode(checkpointLocation = s"$dir/cp"),
+        batchIdColumn = "_b")
+    }
+  }
+
+  test("partitioned staged append: increment's partition dirs merge in, existing files untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("partappend").toString
+    val reg = new InstanceRegistry
+    reg.register(ParquetFileDataObject("t", s"$dir/t", partitions = Seq("part")))
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    val obj = reg.dataObject("t").asInstanceOf[ParquetFileDataObject]
+    obj.writeDataFrame(Seq((1L, "p1"), (2L, "p2")).toDF("id", "part"))
+    def files(): Set[String] = {
+      def walk(f: java.io.File): Seq[String] =
+        if (f.isDirectory) Option(f.listFiles()).map(_.toSeq.flatMap(walk)).getOrElse(Seq.empty)
+        else if (f.getName.endsWith(".parquet")) Seq(f.getPath) else Seq.empty
+      walk(new java.io.File(s"$dir/t")).toSet
+    }
+    val before = files()
+    // increment touches an existing partition AND a new one
+    obj.writeDataFrameStagedAppend(Seq((3L, "p2"), (4L, "p3")).toDF("id", "part"))
+    assert(before.subsetOf(files()), "staged append must not rewrite existing files")
+    assert(spark.read.parquet(s"$dir/t").select("id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 4L))
+    assert(new java.io.File(s"$dir/t/part=p3").isDirectory)
+  }
+
+  test("streaming action is transformer-agnostic: embedding modality through micro-batches") {
+    val tmp = java.nio.file.Files.createTempDirectory("sidemb").toString
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$tmp/src"))
+    def addFile(rows: Seq[(Long, Array[Float])], name: String, mtime: Long): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("sidembstage").toString
+      rows.toDF("vec_id", "emb").coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(s"$tmp/src/$name"))
+      assert(new java.io.File(s"$tmp/src/$name").setLastModified(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    addFile(Seq((1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 1f, 0f, 0f))), "b1.parquet", t0)
+    // batch 2: id 3 re-posts vector 1 exactly (store dup), id 4 novel
+    addFile(Seq((3L, Array(1f, 0f, 0f, 0f)), (4L, Array(0f, 0f, 1f, 0f))), "b2.parquet", t0 + 2000)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("emb", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, containsNull = false))))
+    val reg = new InstanceRegistry
+    reg.register(ParquetFileDataObject("vin", s"$tmp/src", schema = Some(schema)))
+    reg.register(ParquetFileDataObject("vnovel2", s"$tmp/out", partitions = Seq("ingest_batch")))
+    reg.register(ParquetFileDataObject("vstore2", s"$tmp/store", partitions = Seq("ingest_batch")))
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    val action = StreamingIncrementalDedupAction("vingest",
+      IncrementalEmbeddingDedupTransformer("vin", "vstore2", "vec_id", "emb",
+        dim = 4, novelOutput = Some("vnovel2")),
+      graft.operators.modes.SparkStreamingMode(checkpointLocation = s"$tmp/cp",
+        triggerType = "AvailableNow", inputOptions = Map("maxFilesPerTrigger" -> "1")))
+    new ActionDAGRun(Seq(action)).run()
+    assert(spark.read.parquet(s"$tmp/out").select("vec_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 4L))
+    assert(spark.read.parquet(s"$tmp/store").select("id").as[Long].collect().toSet ==
+      Set(1L, 2L, 4L))
+  }
+
   test("StreamingIncrementalDedupAction wires from HOCON and runs micro-batches") {
     val tmp = java.nio.file.Files.createTempDirectory("sidhocon").toString
     java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$tmp/src"))
