@@ -63,6 +63,41 @@ class StreamingIncrementalDedupSpec extends AnyFunSuite {
     assert(!ctx.persistedFrames.keys.exists(_.startsWith("__graft_inc_")))
   }
 
+  test("ProcessingTime trigger: the long-lived stream keeps deduping after exec returns") {
+    val tmp = java.nio.file.Files.createTempDirectory("sidasync").toString
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$tmp/src"))
+    val t0 = System.currentTimeMillis() - 60000
+    writeBatchFile(Seq((1L, 10L), (2L, 11L)), tmp, "b1.parquet", t0)
+    val reg = new InstanceRegistry
+    reg.register(ParquetFileDataObject("in", s"$tmp/src", schema = Some(mediaSchema)))
+    reg.register(ParquetFileDataObject("novel", s"$tmp/out", partitions = Seq("ingest_batch")))
+    reg.register(ParquetFileDataObject("store", s"$tmp/store", partitions = Seq("ingest_batch")))
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    val action = StreamingIncrementalDedupAction("async_ingest",
+      IncrementalMediaDedupTransformer("in", "store", "media_id",
+        modality = "image", maxHamming = 0, novelOutput = Some("novel")),
+      SparkStreamingMode(checkpointLocation = s"$tmp/cp",
+        triggerType = "ProcessingTime", triggerIntervalSec = Some(1L)))
+    try {
+      action.exec(Seq.empty)   // returns after the FIRST micro-batch
+      def outIds(): Set[Long] =
+        if (!new java.io.File(s"$tmp/out").exists) Set.empty
+        else spark.read.parquet(s"$tmp/out").select("media_id").as[Long].collect().toSet
+      assert(outIds() == Set(1L, 2L), s"first batch must be committed, got ${outIds()}")
+      // the stream is still live: a later file (one store dup, one novel)
+      // is picked up by a subsequent trigger and deduped against the
+      // store state the first batch appended
+      writeBatchFile(Seq((3L, 10L), (4L, 99L)), tmp, "b2.parquet", t0 + 2000)
+      val deadline = System.currentTimeMillis() + 60000
+      while (!outIds().contains(4L) && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(outIds() == Set(1L, 2L, 4L), s"got ${outIds()}")
+      assert(spark.read.parquet(s"$tmp/store").select("id").as[Long].collect().toSet ==
+        Set(1L, 2L, 4L))
+    } finally
+      spark.streams.active.filter(_.name == "async_ingest").foreach(_.stop())
+  }
+
   test("micro-batch REPLAY is idempotent: re-running a committed batchId changes nothing") {
     val tmp = java.nio.file.Files.createTempDirectory("sidreplay").toString
     java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$tmp/src"))
