@@ -600,7 +600,8 @@ object ConfigParser {
           shingleSize = int(n, "shingleSize").getOrElse(5),
           numHashes = int(n, "numHashes").getOrElse(32),
           bands = int(n, "bands").getOrElse(8),
-          novelOutput = str(n, "novelOutput"))
+          novelOutput = str(n, "novelOutput"),
+          signatureScheme = str(n, "signatureScheme").getOrElse("minhash"))
       case "DecontaminateSpansTransformer" | "decontaminateSpans" =>
         DecontaminateSpansTransformer(
           require(str(n, "corpusInput"), id, "corpusInput"),

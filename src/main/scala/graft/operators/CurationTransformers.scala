@@ -176,24 +176,44 @@ case class IncrementalDedupTransformer(
     idColumn: String, textColumn: String,
     threshold: Double = 0.7, shingleSize: Int = 5,
     numHashes: Int = 32, bands: Int = 8,
-    novelOutput: Option[String] = None) extends IncrementalStoreDfsTransformer {
+    novelOutput: Option[String] = None,
+    /** "minhash" (classic) | "oph" (one-permutation hashing, O(shingles+k)
+      * per row — prefer at corpus scale). Signature VALUES differ between
+      * schemes, so a store written with one NEVER matches deltas signed
+      * with the other — pick once per store (the numHashes probe below
+      * catches a width mismatch loudly; a scheme swap at the same width is
+      * undetectable from data, hence the config-level discipline). */
+    signatureScheme: String = "minhash") extends IncrementalStoreDfsTransformer {
+  require(signatureScheme == "minhash" || signatureScheme == "oph",
+    s"IncrementalDedupTransformer: unknown signatureScheme '$signatureScheme' (minhash|oph)")
+  private def sign(df: DataFrame): DataFrame =
+    if (signatureScheme == "oph")
+      Dedup.minhashSignaturesOph(df, idColumn, textColumn, shingleSize, numHashes)
+    else Dedup.minhashSignatures(df, idColumn, textColumn, shingleSize, numHashes)
   override def transform(dfs: Map[String, DataFrame])
                         (implicit ctx: ActionPipelineContext): Map[String, DataFrame] = {
     val batch = dfs.getOrElse(batchInput,
       throw new IllegalArgumentException(s"IncrementalDedupTransformer: missing input '$batchInput'"))
     // first-run bootstrap: no signature store yet → empty store with the
     // signature schema (recursive inputs are absent until their object exists)
-    val store = dfs.getOrElse(storeInput,
-      Dedup.minhashSignatures(batch.limit(0), idColumn, textColumn, shingleSize, numHashes))
+    val store = dfs.getOrElse(storeInput, sign(batch.limit(0)))
     // Init: schemas are unchanged (survivors ⊆ batch, the store delta has
     // the store's shape) — propagate without running the pair pipeline
     if (ctx.phase == ExecutionPhase.Init)
       return Map(novelKey -> batch, storeInput -> store.limit(0))
+    // store-param guard: appending deltas signed at a different width to
+    // an existing store would SILENTLY never match (dedup quietly stops
+    // deduplicating — the worst failure mode). One limit(1) probe per run,
+    // ms-scale next to the batch signing job.
+    if (dfs.contains(storeInput))
+      store.select(size(col("sig")).as("w")).limit(1).collect().headOption.foreach(r =>
+        require(r.getInt(0) == numHashes,
+          s"IncrementalDedupTransformer: store '$storeInput' holds ${r.getInt(0)}-hash " +
+            s"signatures but this transformer signs at numHashes=$numHashes — deltas would " +
+            "never match the store; align numHashes (and the signature scheme) with the store"))
     // sign ONCE; multi-consumer (pair pipeline + store delta) → persisted,
     // swept by the DAG at run end
-    val sigs = persistForRun(
-      Dedup.minhashSignatures(batch, idColumn, textColumn, shingleSize, numHashes),
-      s"$batchInput.sigs")
+    val sigs = persistForRun(sign(batch), s"$batchInput.sigs")
     // dup-id set persisted too: novel feeds BOTH outputs (survivor rows +
     // store delta), and without the persist each sink's write re-executes
     // the whole pair join — the ids are delta-bounded (≤ batch), tiny

@@ -161,6 +161,46 @@ class IncrementalStoreSpec extends AnyFunSuite {
       Set(1L, 2L, 5L))
   }
 
+  test("OPH signature scheme: incremental text dedup end-to-end; width-mismatched store fails loudly") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("incoph").toString
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " * 5
+    val reg = new InstanceRegistry
+    reg.register(ParquetFileDataObject("batch", s"$dir/batch"))
+    reg.register(ParquetFileDataObject("novel", s"$dir/novel"))
+    reg.register(ParquetFileDataObject("store", s"$dir/store"))
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    val action = CustomDataFrameAction("inc", Seq("batch"), Seq("novel", "store"),
+      Seq(IncrementalDedupTransformer("batch", "store", "doc_id", "text",
+        threshold = 0.5, bands = 16, novelOutput = Some("novel"),
+        signatureScheme = "oph")),
+      saveMode = Some(SdlSaveMode.Append), recursiveInputIds = Seq("store"))
+    Seq((1L, base), (2L, "different content about engines and queries " * 5))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/batch")
+    new ActionDAGRun(Seq(action)).run()
+    Seq((3L, base + " second crawl tail"),
+        (4L, "novel text about deep sea exploration and marine biology " * 5))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/batch")
+    new ActionDAGRun(Seq(action)).run()
+    assert(spark.read.parquet(s"$dir/novel").select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 4L))
+    assert(spark.read.parquet(s"$dir/store").select("id").as[Long].collect().toSet ==
+      Set(1L, 2L, 4L))
+
+    // width guard: a transformer signing at a different numHashes against
+    // this store must fail LOUDLY (silently-never-matching deltas are the
+    // worst dedup failure mode)
+    val wrong = CustomDataFrameAction("inc2", Seq("batch"), Seq("novel", "store"),
+      Seq(IncrementalDedupTransformer("batch", "store", "doc_id", "text",
+        numHashes = 64, bands = 16, novelOutput = Some("novel"))),
+      saveMode = Some(SdlSaveMode.Append), recursiveInputIds = Seq("store"))
+    val e = intercept[IllegalArgumentException] {
+      wrong.exec(Seq(SubFeed("batch",
+        Some(spark.read.parquet(s"$dir/batch")))))
+    }
+    assert(e.getMessage.contains("never match"))
+  }
+
   test("hidden partition-name guard: '_'-prefixed partition columns fail loudly, not silently") {
     // '_'/'.'-prefixed dirs are invisible to Spark's file listing — a
     // partition column named '_x' would write data every read silently
