@@ -145,6 +145,39 @@ class GraftAppSpec extends AnyFunSuite {
       .as[Long].collect().toSet == Set(1L, 2L, 4L))
   }
 
+  test("examples/training_pipeline.conf: stream_ingest feed runs micro-batch dedup from config") {
+    val dir = tmpDir()
+    val conf = new String(Files.readAllBytes(
+      java.nio.file.Paths.get("examples/training_pipeline.conf")))
+      .replace("/tmp/graft-example-out", s"$dir/out")
+    val confPath = s"$dir/pipeline.conf"
+    Files.writeString(java.nio.file.Paths.get(confPath), conf)
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " * 5
+    // two source files → two micro-batches (maxFilesPerTrigger = 1)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/out/stream_in"))
+    def addFile(rows: Seq[(Long, String)], name: String, mtime: Long): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("gasstage").toString
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$dir/out/stream_in/$name"))
+      assert(new java.io.File(s"$dir/out/stream_in/$name").setLastModified(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    addFile(Seq((1L, base),
+      (2L, "different content about engines and query planners " * 5)), "b1.parquet", t0)
+    addFile(Seq((3L, base + " second crawl tail"),
+      (4L, "novel text about deep sea exploration and marine life " * 5)), "b2.parquet", t0 + 2000)
+    GraftApp.run(GraftApp.CliArgs(configPaths = Seq(confPath),
+      feedSel = Some("stream_ingest")), spark)
+    assert(spark.read.parquet(s"$dir/out/stream_novel").select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 2L, 4L))
+    // one batch-keyed store partition of novel signatures per micro-batch
+    assert(spark.read.parquet(s"$dir/out/stream_sigs").select("id", "ingest_batch")
+      .as[(Long, Long)].collect().toSet == Set((1L, 0L), (2L, 0L), (4L, 1L)))
+  }
+
   test("examples/warehouse_pipeline.conf: incremental stage + config merge + historize") {
     val dir = tmpDir()
     val conf = new String(Files.readAllBytes(
