@@ -305,9 +305,14 @@ object Dedup {
     // the signature frame is MULTI-consumer inside the pair pipeline
     // (banding, the sh_a verification join, the exact-fallback checksum) —
     // persist so the shingling runs once. Standalone calls can't unpersist
-    // a frame their result's lineage still references; callers that own
-    // the batch lifecycle (IncrementalDedupTransformer) sign + persist
-    // themselves and use [[minhashIncrementalPairsFromSigs]] directly.
+    // a frame their result's lineage still references, so THIS WRAPPER
+    // LEAKS one MEMORY_AND_DISK cached frame per call for the session
+    // lifetime (delta-sized, disk-spillable — fine for scripts/short
+    // sessions). LONG-LIVED SESSIONS must not call this in a loop: own
+    // the lifecycle instead — `minhashSignatures(...).persist()`, feed
+    // [[minhashIncrementalPairsFromSigs]], and unpersist after the
+    // downstream frames materialize (exactly what
+    // IncrementalDedupTransformer does via its run-scoped cache registry).
     val newSigs = minhashSignatures(newDocs, idCol, textCol, shingleSize, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     minhashIncrementalPairsFromSigs(newSigs, corpusSigs, numHashes, bands, threshold,

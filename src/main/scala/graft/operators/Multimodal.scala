@@ -191,22 +191,24 @@ object Multimodal {
       } catch { case _: Exception => StubCodecs.audioFeatures(content, dim) }
     }
 
+    /** Fingerprint-DECODE counter — a JVM-local diagnostic for specs
+      * pinning the decode-once discipline (in `local[*]` every task shares
+      * this JVM, so the spec reads exact per-batch decode counts; on a
+      * real cluster each executor counts only its own share). Incremented
+      * only when a kernel actually ATTEMPTS a decode (after the payload
+      * validity check), so the count means decodes, not calls. One
+      * LongAdder.increment per decode — noise next to the decode itself. */
+    val fingerprintDecodes = new java.util.concurrent.atomic.LongAdder
+
     /** 64-bit perceptual DIFFERENCE hash (dHash, the standard pHash-family
       * image fingerprint): decode → smooth-scale to a 9×8 grayscale grid →
       * bit j set iff gray(x, y) > gray(x+1, y). Robust to re-encoding,
       * scaling and uniform brightness shifts (only gradient SIGNS are
       * kept), which is exactly what corpus-level image dedup needs; null
       * for non-decodable payloads so mixed-media frames filter cleanly. */
-    /** Fingerprint-decode invocation counter — a JVM-local diagnostic for
-      * specs pinning the decode-once discipline (in `local[*]` every task
-      * shares this JVM, so the spec reads exact per-batch decode counts;
-      * on a real cluster each executor counts only its own share). One
-      * LongAdder.increment per payload — noise next to an image decode. */
-    val fingerprintDecodes = new java.util.concurrent.atomic.LongAdder
-
     def dHash64(content: Array[Byte]): java.lang.Long = {
-      fingerprintDecodes.increment()
       if (content == null || content.isEmpty || !looksLikeImage(content)) return null
+      fingerprintDecodes.increment()
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
         catch { case _: Exception => null }
@@ -265,8 +267,8 @@ object Multimodal {
       * (positive scaling preserves every energy-delta sign) and to
       * container re-encoding; null for non-decodable payloads. */
     def audioFingerprint64(content: Array[Byte]): java.lang.Long = {
-      fingerprintDecodes.increment()
       if (content == null || content.isEmpty || !looksLikeAudio(content)) return null
+      fingerprintDecodes.increment()
       val e = audioFeatures(content, 65)
       var bits = 0L
       var i = 0

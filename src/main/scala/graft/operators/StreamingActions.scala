@@ -85,10 +85,18 @@ case class StreamingIncrementalDedupAction(
     * replay spec can run the same (batch, batchId) twice and assert the
     * second pass changes nothing. */
   def processBatch(batch: DataFrame, batchId: Long)(implicit ctx: ActionPipelineContext): Unit = {
-    // the store's current state = every batch partition appended so far;
-    // the partition key is transport, not signature — drop it
+    // the store's current state = every batch partition appended so far,
+    // EXCLUDING this batch's own partition: foreachBatch replays after a
+    // crash mid-store-commit, and a partially-committed partition for THIS
+    // batchId would classify its own first-poster rows as duplicates — the
+    // dynamic overwrite would then rewrite the output partition WITHOUT
+    // them (silent loss). Filtering the replayed id out makes the replay
+    // recompute the identical novel set and deterministically overwrite
+    // both partitions regardless of partial prior commits. The partition
+    // key is transport, not signature — drop it after the filter.
     val store = ctx.registry.dataObject(storeId) match {
-      case f: SparkFileDataObject if f.exists => Some(f.getDataFrame().drop(batchIdColumn))
+      case f: SparkFileDataObject if f.exists =>
+        Some(f.getDataFrame().where(col(batchIdColumn) =!= lit(batchId)).drop(batchIdColumn))
       case _ => None
     }
     val outs = transformer.transform(Map(inputId -> batch) ++ store.map(storeId -> _))

@@ -128,4 +128,49 @@ class StreamingIncrementalDedupSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$tmp/out").select("media_id")
       .as[Long].collect().toSet == Set(1L, 2L, 4L))
   }
+
+  test("replay after a PARTIAL store commit does not lose first-poster rows") {
+    // the at-least-once window foreachBatch replay exists to handle: the
+    // store write for a batchId landed (fully or partially) but the
+    // checkpoint commit didn't, and the OUTPUT partition may be missing.
+    // The replayed batch must NOT see its own partially-committed store
+    // partition as "the corpus" — that would classify its first-poster
+    // rows as duplicates and dynamic-overwrite the output WITHOUT them.
+    val tmp = java.nio.file.Files.createTempDirectory("sidpartial").toString
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$tmp/src"))
+    val reg = new InstanceRegistry
+    reg.register(ParquetFileDataObject("in", s"$tmp/src", schema = Some(mediaSchema)))
+    reg.register(ParquetFileDataObject("novel", s"$tmp/out", partitions = Seq("ingest_batch")))
+    reg.register(ParquetFileDataObject("store", s"$tmp/store", partitions = Seq("ingest_batch")))
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    val action = StreamingIncrementalDedupAction("ingest",
+      IncrementalMediaDedupTransformer("in", "store", "media_id",
+        modality = "image", maxHamming = 0, novelOutput = Some("novel")),
+      SparkStreamingMode(checkpointLocation = s"$tmp/cp", triggerType = "AvailableNow"))
+
+    val b0 = operators.Multimodal.withSynthImage(
+      Seq((1L, 10L), (2L, 11L)).toDF("media_id", "seed"), "seed", 16, 16)
+    action.processBatch(b0, 0L)
+
+    // simulate the crash: batch 1's STORE partition was (partially)
+    // committed — id 4's fingerprint is already in ingest_batch=1 — but
+    // the output partition never landed and the checkpoint didn't commit
+    val b1 = operators.Multimodal.withSynthImage(
+      Seq((3L, 10L), (4L, 99L)).toDF("media_id", "seed"), "seed", 16, 16)
+    operators.Multimodal.imageFingerprintStore(b1.where($"media_id" === 4L), "media_id", "content")
+      .write.mode("overwrite").parquet(s"$tmp/store/ingest_batch=1")
+    assert(!new java.io.File(s"$tmp/out/ingest_batch=1").exists)
+
+    // the engine re-delivers batch 1 — id 4 is a FIRST POSTER (novel vs
+    // batches 0..0), id 3 duplicates the seed-10 image from batch 0
+    action.processBatch(b1, 1L)
+    val out = spark.read.parquet(s"$tmp/out")
+      .select("media_id", "ingest_batch").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 0L), (2L, 0L), (4L, 1L)),
+      s"replay must re-emit the first-poster row 4, got $out")
+    // and the store partition was deterministically overwritten, not doubled
+    val store = spark.read.parquet(s"$tmp/store")
+      .select("id", "ingest_batch").as[(Long, Long)].collect().toSet
+    assert(store == Set((1L, 0L), (2L, 0L), (4L, 1L)), s"got $store")
+  }
 }
