@@ -3611,6 +3611,47 @@ object SparkEntry {
         .where(col("id_new") === col("id_corpus") + 2000000L &&
           col("id_corpus") % 10 === 0)
         .select(col("id_new"), col("id_corpus"))
+    }),
+
+    // WITHIN-batch dedup in the incremental family: a real ingestion feed
+    // bursts duplicates inside one micro-batch, and without intra-batch
+    // dedup BOTH copies pass the store join (neither is stored yet) —
+    // both reach the output and both signatures enter the store. The
+    // transformer self-joins the batch on its already-persisted signature
+    // frame (zero extra signings) and keeps the min-id head — the
+    // reference contract is DeduplicateAction's within-load dedup.
+    // Texts are q145's deterministic 40-token seed sequences (same seed →
+    // jaccard 1; distinct seeds share ~no shingles), so the oracle is
+    // structural: survivors = the min-id poster of each seed, across AND
+    // within batches. Two transform runs: run 1 bootstraps the store from
+    // an intra-dup-laden batch; run 2 dedups against store + itself.
+    "q147_intra_batch_dedup" -> ((s, dir) => {
+      def docs(ids: Seq[(Long, Long, Int)]): DataFrame =
+        s.createDataFrame(ids).toDF("doc_id", "seed", "batch")
+          .withColumn("text", concat_ws(" ",
+            transform(sequence(lit(0), lit(39)),
+              i => concat(lit("w"),
+                pmod(xxhash64(col("seed") * 1000 + i), lit(50000L))))))
+      // batch 1: ids 0..39 seed novelties; ids 40..49 re-post seeds 0..9
+      // WITHIN the batch (intra dups — the min-id head survives)
+      val b1 = docs((0L until 40L).map(i => (i, i, 1)) ++
+        (40L until 50L).map(i => (i, i - 40, 1)))
+      // batch 2: 100..119 novel, 120..129 intra dups of 100..109,
+      // 130..144 store dups (seeds 0..14 — 0..9 stored via batch 1's
+      // HEADS, so the store must hold head signatures), 145..149 novel
+      val b2 = docs((100L until 120L).map(i => (i, i, 2)) ++
+        (120L until 130L).map(i => (i, i - 20, 2)) ++
+        (130L until 145L).map(i => (i, i - 130, 2)) ++
+        (145L until 150L).map(i => (i, i, 2)))
+      val tr = graft.operators.IncrementalDedupTransformer(
+        "b", "store", "doc_id", "text", threshold = 0.8)
+      implicit val ctx: graft.core.ActionPipelineContext =
+        graft.core.ActionPipelineContext(s, new graft.core.InstanceRegistry)
+      val run1 = tr.transform(Map("b" -> b1))
+      // the store after run 1 = the bootstrap delta (store was empty)
+      val run2 = tr.transform(Map("b" -> b2, "store" -> run1("store")))
+      run1("b").select(col("doc_id"), col("batch"))
+        .unionByName(run2("b").select(col("doc_id"), col("batch")))
     })
   )
 
@@ -5817,6 +5858,18 @@ object SparkEntry {
     // vectors share a hyperplane bucket structurally, cosine 1 ≥ 0.95
     "q146_embedding_incremental_dedup" ->
       """SELECT vec_id + 2000000 AS id_new, vec_id AS id_corpus
-        |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin
+        |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin,
+
+    // q147: structural oracle — survivors are the min-id poster of each
+    // seed, across AND within batches: batch 1's ids 0..39 (40..49 are
+    // within-batch re-posts of seeds 0..9), batch 2's 100..119 and
+    // 145..149 (120..129 are within-batch re-posts, 130..144 re-post
+    // stored seeds 0..14)
+    "q147_intra_batch_dedup" ->
+      """SELECT CAST(id AS BIGINT) AS doc_id, CAST(1 AS INT) AS batch FROM range(0, 40) t(id)
+        |UNION ALL
+        |SELECT CAST(id AS BIGINT), CAST(2 AS INT) FROM range(100, 120) t(id)
+        |UNION ALL
+        |SELECT CAST(id AS BIGINT), CAST(2 AS INT) FROM range(145, 150) t(id)""".stripMargin
   )
 }

@@ -601,7 +601,8 @@ object ConfigParser {
           numHashes = int(n, "numHashes").getOrElse(32),
           bands = int(n, "bands").getOrElse(8),
           novelOutput = str(n, "novelOutput"),
-          signatureScheme = str(n, "signatureScheme").getOrElse("minhash"))
+          signatureScheme = str(n, "signatureScheme").getOrElse("minhash"),
+          intraBatch = bool(n, "intraBatch", dflt = true))
       case "DecontaminateSpansTransformer" | "decontaminateSpans" =>
         DecontaminateSpansTransformer(
           require(str(n, "corpusInput"), id, "corpusInput"),
@@ -624,7 +625,8 @@ object ConfigParser {
           frameSize = int(n, "frameSize").getOrElse(0),
           stride = int(n, "stride").getOrElse(1),
           minSharedFrames = int(n, "minSharedFrames").getOrElse(2),
-          maxFrameOccurrences = int(n, "maxFrameOccurrences").getOrElse(1000))
+          maxFrameOccurrences = int(n, "maxFrameOccurrences").getOrElse(1000),
+          intraBatch = bool(n, "intraBatch", dflt = true))
       case "IncrementalEmbeddingDedupTransformer" | "incrementalEmbeddingDedup" =>
         IncrementalEmbeddingDedupTransformer(
           require(str(n, "batchInput"), id, "batchInput"),
@@ -636,7 +638,8 @@ object ConfigParser {
           numPlanes = int(n, "numPlanes").getOrElse(16),
           threshold = dbl(n, "threshold").getOrElse(0.95),
           maxBucketSize = int(n, "maxBucketSize").getOrElse(1000),
-          novelOutput = str(n, "novelOutput"))
+          novelOutput = str(n, "novelOutput"),
+          intraBatch = bool(n, "intraBatch", dflt = true))
       case "NbQualityTransformer" | "nbQuality" =>
         NbQualityTransformer(
           require(str(n, "corpusInput"), id, "corpusInput"),

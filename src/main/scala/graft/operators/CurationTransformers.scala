@@ -135,6 +135,23 @@ trait IncrementalStoreDfsTransformer extends DfsTransformer {
   def storeInput: String
   def novelOutput: Option[String]
   final def novelKey: String = novelOutput.getOrElse(batchInput)
+  /** Within-batch dedup (the reference contract: DeduplicateAction dedups
+    * WITHIN the load before merging against existing state,
+    * `sdl-core/.../DeduplicateAction.scala:214-219`): a real ingestion
+    * feed bursts duplicates inside one micro-batch, and without this BOTH
+    * copies pass the store join (neither is stored yet) — both reach the
+    * output and both signatures enter the store. Implementation: the same
+    * pair machinery SELF-joined on the batch's already-persisted
+    * signature frame (zero extra decodes/signings), keeping the head =
+    * the duplicate pair's smaller id under the id column's natural
+    * ordering — only the head's signature is appended to the store. */
+  def intraBatch: Boolean
+  /** drop-ids from a self-pair frame: every id that duplicates a
+    * SMALLER-id batch sibling (the head survives; in a duplicate chain
+    * the minimum id is always kept) */
+  protected final def intraDropIds(selfPairs: DataFrame, idColumn: String): DataFrame =
+    selfPairs.where(col("id_new") > col("id_corpus"))
+      .select(col("id_new").as(idColumn))
   /** persist an expensive per-batch intermediate and hand its lifecycle to
     * the DAG: [[graft.core.ActionDAGRun]] sweeps `ctx.persistedFrames` when
     * the run's last action settles, so the cache registry cannot grow
@@ -183,7 +200,10 @@ case class IncrementalDedupTransformer(
       * with the other — pick once per store (the numHashes probe below
       * catches a width mismatch loudly; a scheme swap at the same width is
       * undetectable from data, hence the config-level discipline). */
-    signatureScheme: String = "minhash") extends IncrementalStoreDfsTransformer {
+    signatureScheme: String = "minhash",
+    /** dedup WITHIN the batch too (keep the min-id head per duplicate
+      * pair) — see [[IncrementalStoreDfsTransformer.intraBatch]] */
+    intraBatch: Boolean = true) extends IncrementalStoreDfsTransformer {
   require(signatureScheme == "minhash" || signatureScheme == "oph",
     s"IncrementalDedupTransformer: unknown signatureScheme '$signatureScheme' (minhash|oph)")
   private def sign(df: DataFrame): DataFrame =
@@ -214,12 +234,21 @@ case class IncrementalDedupTransformer(
     // sign ONCE; multi-consumer (pair pipeline + store delta) → persisted,
     // swept by the DAG at run end
     val sigs = persistForRun(sign(batch), s"$batchInput.sigs")
+    val storeDups = Dedup.minhashIncrementalPairsFromSigs(sigs, store,
+      numHashes, bands, threshold)
+      .select(col("id_new").as(idColumn))
+    // within-batch dups: the SAME pair machinery self-joined on the
+    // already-persisted signature frame (zero extra signings; the
+    // self-join is batch × batch banded — delta-bounded both sides)
+    val allDups =
+      if (!intraBatch) storeDups
+      else storeDups.unionByName(intraDropIds(
+        Dedup.minhashIncrementalPairsFromSigs(sigs, sigs, numHashes, bands, threshold),
+        idColumn))
     // dup-id set persisted too: novel feeds BOTH outputs (survivor rows +
     // store delta), and without the persist each sink's write re-executes
     // the whole pair join — the ids are delta-bounded (≤ batch), tiny
-    val dupIds = persistForRun(Dedup.minhashIncrementalPairsFromSigs(sigs, store,
-      numHashes, bands, threshold)
-      .select(col("id_new").as(idColumn)).distinct(), s"$batchInput.dups")
+    val dupIds = persistForRun(allDups.distinct(), s"$batchInput.dups")
     val novel = batch.join(broadcast(dupIds), Seq(idColumn), "left_anti")
     // store DELTA: the novel docs' already-computed signatures — appended
     // by the action, never unioned onto the store frame
@@ -259,7 +288,10 @@ case class IncrementalMediaDedupTransformer(
     maxBucketSize: Int = 1000,
     novelOutput: Option[String] = None,
     frameSize: Int = 0, stride: Int = 1,
-    minSharedFrames: Int = 2, maxFrameOccurrences: Int = 1000)
+    minSharedFrames: Int = 2, maxFrameOccurrences: Int = 1000,
+    /** dedup WITHIN the batch too (keep the min-id head per duplicate
+      * pair) — see [[IncrementalStoreDfsTransformer.intraBatch]] */
+    intraBatch: Boolean = true)
   extends IncrementalStoreDfsTransformer {
   require(modality == "image" || modality == "audio" || modality == "video",
     s"IncrementalMediaDedupTransformer: unknown modality '$modality' (image|audio|video)")
@@ -285,20 +317,25 @@ case class IncrementalMediaDedupTransformer(
     // decode ONCE; multi-consumer (pair join + store delta) → persisted,
     // swept by the DAG at run end
     val deltaFps = persistForRun(fingerprints(batch), s"$batchInput.fps")
-    val pairs = modality match {
+    def pairsAgainst(corpus: DataFrame): DataFrame = modality match {
       case "video" =>
-        Multimodal.videoIncrementalPairsFromSigs(deltaFps, store,
+        Multimodal.videoIncrementalPairsFromSigs(deltaFps, corpus,
           minSharedFrames = minSharedFrames, maxFrameOccurrences = maxFrameOccurrences)
       case _ =>
         graft.functions.Dedup.simhashIncrementalPairsFromSigs(
           deltaFps.select(col("id"), col(hashCol).as("simhash")),
-          store.select(col("id"), col(hashCol).as("simhash")),
+          corpus.select(col("id"), col(hashCol).as("simhash")),
           maxHamming = maxHamming, maxBucketSize = maxBucketSize)
     }
+    val storeDups = pairsAgainst(store).select(col("id_new").as(idColumn))
+    // within-batch dups: the same pair machinery self-joined on the
+    // already-persisted fingerprint frame — zero extra decodes
+    val allDups =
+      if (!intraBatch) storeDups
+      else storeDups.unionByName(intraDropIds(pairsAgainst(deltaFps), idColumn))
     // persisted like the fingerprint frame: novel feeds BOTH outputs, and
     // without it each sink's write re-executes the pair join
-    val dupIds = persistForRun(
-      pairs.select(col("id_new").as(idColumn)).distinct(), s"$batchInput.dups")
+    val dupIds = persistForRun(allDups.distinct(), s"$batchInput.dups")
     // delta-bounded (⊆ batch ids) → legal broadcast
     val novel = batch.join(broadcast(dupIds), Seq(idColumn), "left_anti")
     // store DELTA: the novel items' already-computed fingerprints — zero
@@ -323,7 +360,10 @@ case class IncrementalEmbeddingDedupTransformer(
     idColumn: String, embColumn: String, dim: Int,
     numPlanes: Int = 16, threshold: Double = 0.95,
     maxBucketSize: Int = 1000,
-    novelOutput: Option[String] = None) extends IncrementalStoreDfsTransformer {
+    novelOutput: Option[String] = None,
+    /** dedup WITHIN the batch too (keep the min-id head per duplicate
+      * pair) — see [[IncrementalStoreDfsTransformer.intraBatch]] */
+    intraBatch: Boolean = true) extends IncrementalStoreDfsTransformer {
   override def transform(dfs: Map[String, DataFrame])
                         (implicit ctx: ActionPipelineContext): Map[String, DataFrame] = {
     val batch = dfs.getOrElse(batchInput,
@@ -334,9 +374,15 @@ case class IncrementalEmbeddingDedupTransformer(
       return Map(novelKey -> batch, storeInput -> store.limit(0))
     val sigs = persistForRun(
       Dedup.embeddingStore(batch, idColumn, embColumn, dim, numPlanes), s"$batchInput.esigs")
-    val dupIds = persistForRun(
-      Dedup.embeddingIncrementalPairsFromSigs(sigs, store, threshold, maxBucketSize)
-        .select(col("id_new").as(idColumn)).distinct(), s"$batchInput.dups")
+    val storeDups = Dedup.embeddingIncrementalPairsFromSigs(sigs, store, threshold, maxBucketSize)
+      .select(col("id_new").as(idColumn))
+    // within-batch dups: the same bucket-join machinery self-joined on
+    // the already-persisted signature frame — zero extra signings
+    val allDups =
+      if (!intraBatch) storeDups
+      else storeDups.unionByName(intraDropIds(
+        Dedup.embeddingIncrementalPairsFromSigs(sigs, sigs, threshold, maxBucketSize), idColumn))
+    val dupIds = persistForRun(allDups.distinct(), s"$batchInput.dups")
     val novel = batch.join(broadcast(dupIds), Seq(idColumn), "left_anti")
     val storeDelta = sigs.join(
       novel.select(col(idColumn).as("id")), Seq("id"), "left_semi")

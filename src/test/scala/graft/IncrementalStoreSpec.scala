@@ -161,6 +161,50 @@ class IncrementalStoreSpec extends AnyFunSuite {
       Set(1L, 2L, 5L))
   }
 
+  test("intra-batch dedup: within-batch duplicates keep the min-id head; only the head's signature is appended") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("incintra").toString
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " * 5
+    val other = "different content about engines and queries and joins " * 5
+    val reg = new InstanceRegistry
+    reg.register(ParquetFileDataObject("batch", s"$dir/batch"))
+    reg.register(ParquetFileDataObject("novel", s"$dir/novel"))
+    reg.register(ParquetFileDataObject("store", s"$dir/store"))
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    val action = CustomDataFrameAction("inc", Seq("batch"), Seq("novel", "store"),
+      Seq(IncrementalDedupTransformer("batch", "store", "doc_id", "text",
+        threshold = 0.5, bands = 16, novelOutput = Some("novel"))),
+      saveMode = Some(SdlSaveMode.Append), recursiveInputIds = Seq("store"))
+    // run 1 (bootstrap) bursts a duplicate INSIDE the batch: ids 1 and 7
+    // carry the same text — only the head (1) may survive or be stored
+    Seq((7L, base), (1L, base), (2L, other))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/batch")
+    new ActionDAGRun(Seq(action)).run()
+    assert(spark.read.parquet(s"$dir/novel").select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L))
+    assert(spark.read.parquet(s"$dir/store").select("id").as[Long].collect().toSet ==
+      Set(1L, 2L), "only the min-id head's signature may enter the store")
+    // run 2: an intra-dup pair of a NOVEL text (ids 10/11 — head 10) plus
+    // a store dup (id 12 re-posts run 1's base via the HEAD's store row)
+    Seq((11L, "novel deep sea exploration and marine biology notes " * 5),
+        (10L, "novel deep sea exploration and marine biology notes " * 5),
+        (12L, base))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/batch")
+    new ActionDAGRun(Seq(action)).run()
+    assert(spark.read.parquet(s"$dir/novel").select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 10L))
+    assert(spark.read.parquet(s"$dir/store").select("id").as[Long].collect().toSet ==
+      Set(1L, 2L, 10L), "store grows by the head signature only")
+
+    // intraBatch = false restores the store-only contract: both copies of
+    // a within-batch pair pass (neither is stored yet)
+    val off = IncrementalDedupTransformer("b", "s", "doc_id", "text",
+      threshold = 0.5, bands = 16, intraBatch = false)
+    val out = off.transform(Map("b" ->
+      Seq((20L, base + " offmode"), (21L, base + " offmode")).toDF("doc_id", "text")))
+    assert(out("b").select("doc_id").as[Long].collect().toSet == Set(20L, 21L))
+  }
+
   test("OPH signature scheme: incremental text dedup end-to-end; width-mismatched store fails loudly") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("incoph").toString
