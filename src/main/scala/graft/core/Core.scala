@@ -235,6 +235,7 @@ class InstanceRegistry {
   def register(c: Connection): this.type = { connections(c.id) = c; this }
   def dataObject(id: String): DataObject =
     dataObjects.getOrElse(id, throw new NoSuchElementException(s"DataObject '$id' not registered"))
+  def dataObjectOption(id: String): Option[DataObject] = dataObjects.get(id)
   def action(id: String): Action =
     actions.getOrElse(id, throw new NoSuchElementException(s"Action '$id' not registered"))
   def connection(id: String): Connection =

@@ -152,6 +152,44 @@ trait IncrementalStoreDfsTransformer extends DfsTransformer {
   protected final def intraDropIds(selfPairs: DataFrame, idColumn: String): DataFrame =
     selfPairs.where(col("id_new") > col("id_corpus"))
       .select(col("id_new").as(idColumn))
+
+  /** The signing parameters that determine signature VALUES — persisted
+    * to the store's `.schema/storeMeta.json` sidecar at bootstrap and
+    * validated against it on every later run ([[graft.sources.StoreMeta]]):
+    * appending deltas signed with drifted parameters would SILENTLY never
+    * match the store (dedup quietly stops deduplicating). */
+  protected def storeMetaParams: Map[String, String]
+  /** store paths whose sidecar this INSTANCE already validated — a
+    * long-running stream validates on its first micro-batch only (one
+    * sidecar read per stream, not one data probe per batch; the sidecar
+    * cannot drift under us — this transformer is the store's only
+    * writer). JVM-local like the rest of the per-instance state. */
+  @transient private var metaValidatedFor: String = null
+  /** Validate (or bootstrap) the store sidecar when the store DataObject
+    * is resolvable through the registry. Returns true when sidecar-based
+    * validation applies; false for standalone use (store frame passed
+    * directly, no registered DataObject) — the caller then falls back to
+    * its data-level probe. `legacyProbe` runs ONCE when a pre-sidecar
+    * store (data, no meta) is first seen: a data-level check guards the
+    * upgrade before the sidecar is written from the current config. */
+  protected final def validateStoreMeta(legacyProbe: () => Unit)
+                                       (implicit ctx: ActionPipelineContext): Boolean =
+    ctx.registry.dataObjectOption(storeInput) match {
+      case Some(f: graft.sources.SparkFileDataObject) =>
+        if (ctx.phase == ExecutionPhase.Exec && metaValidatedFor != f.path) {
+          graft.sources.StoreMeta.read(f.path) match {
+            case Some(stored) =>
+              graft.sources.StoreMeta.validateParams(stored, storeMetaParams,
+                getClass.getSimpleName, f.path)
+            case None =>
+              if (f.exists) legacyProbe()
+              graft.sources.StoreMeta.write(f.path, storeMetaParams)
+          }
+          metaValidatedFor = f.path
+        }
+        true
+      case _ => false
+    }
   /** persist an expensive per-batch intermediate and hand its lifecycle to
     * the DAG: [[graft.core.ActionDAGRun]] sweeps `ctx.persistedFrames` when
     * the run's last action settles, so the cache registry cannot grow
@@ -210,6 +248,10 @@ case class IncrementalDedupTransformer(
     if (signatureScheme == "oph")
       Dedup.minhashSignaturesOph(df, idColumn, textColumn, shingleSize, numHashes)
     else Dedup.minhashSignatures(df, idColumn, textColumn, shingleSize, numHashes)
+  override protected def storeMetaParams: Map[String, String] = Map(
+    "scheme" -> signatureScheme,
+    "numHashes" -> numHashes.toString,
+    "shingleSize" -> shingleSize.toString)
   override def transform(dfs: Map[String, DataFrame])
                         (implicit ctx: ActionPipelineContext): Map[String, DataFrame] = {
     val batch = dfs.getOrElse(batchInput,
@@ -221,16 +263,23 @@ case class IncrementalDedupTransformer(
     // the store's shape) — propagate without running the pair pipeline
     if (ctx.phase == ExecutionPhase.Init)
       return Map(novelKey -> batch, storeInput -> store.limit(0))
-    // store-param guard: appending deltas signed at a different width to
-    // an existing store would SILENTLY never match (dedup quietly stops
-    // deduplicating — the worst failure mode). One limit(1) probe per run,
-    // ms-scale next to the batch signing job.
-    if (dfs.contains(storeInput))
+    // store-param guard: appending deltas signed at a different width or
+    // scheme to an existing store would SILENTLY never match (dedup
+    // quietly stops deduplicating — the worst failure mode). Primary
+    // check: the store's `.schema/storeMeta.json` sidecar, validated once
+    // per instance (a stream reads it on its first micro-batch only) —
+    // it also catches a minhash↔oph scheme swap at the SAME width, which
+    // no data probe can see. The limit(1) width probe remains for
+    // standalone use (store frame passed without a registered DataObject)
+    // and as the one-time legacy check when a pre-sidecar store is first
+    // seen.
+    def widthProbe(): Unit = if (dfs.contains(storeInput))
       store.select(size(col("sig")).as("w")).limit(1).collect().headOption.foreach(r =>
         require(r.getInt(0) == numHashes,
           s"IncrementalDedupTransformer: store '$storeInput' holds ${r.getInt(0)}-hash " +
             s"signatures but this transformer signs at numHashes=$numHashes — deltas would " +
             "never match the store; align numHashes (and the signature scheme) with the store"))
+    if (!validateStoreMeta(() => widthProbe())) widthProbe()
     // sign ONCE; multi-consumer (pair pipeline + store delta) → persisted,
     // swept by the DAG at run end
     val sigs = persistForRun(sign(batch), s"$batchInput.sigs")
@@ -307,6 +356,11 @@ case class IncrementalMediaDedupTransformer(
     case "audio" => "afp64"
     case "video" => "fh"
   }
+  override protected def storeMetaParams: Map[String, String] =
+    Map("modality" -> modality) ++
+      (if (modality == "video")
+        Map("frameSize" -> frameSize.toString, "stride" -> stride.toString)
+      else Map.empty)
   override def transform(dfs: Map[String, DataFrame])
                         (implicit ctx: ActionPipelineContext): Map[String, DataFrame] = {
     val batch = dfs.getOrElse(batchInput,
@@ -314,6 +368,10 @@ case class IncrementalMediaDedupTransformer(
     val store = dfs.getOrElse(storeInput, fingerprints(batch.limit(0)))
     if (ctx.phase == ExecutionPhase.Init)
       return Map(novelKey -> batch, storeInput -> store.limit(0))
+    // fingerprint kernels are parameterless for image/audio; for video the
+    // frame layout (frameSize/stride) determines frame-hash values — the
+    // sidecar catches a layout drift that would silently never match
+    validateStoreMeta(() => ())
     // decode ONCE; multi-consumer (pair join + store delta) → persisted,
     // swept by the DAG at run end
     val deltaFps = persistForRun(fingerprints(batch), s"$batchInput.fps")
@@ -364,6 +422,8 @@ case class IncrementalEmbeddingDedupTransformer(
     /** dedup WITHIN the batch too (keep the min-id head per duplicate
       * pair) — see [[IncrementalStoreDfsTransformer.intraBatch]] */
     intraBatch: Boolean = true) extends IncrementalStoreDfsTransformer {
+  override protected def storeMetaParams: Map[String, String] = Map(
+    "dim" -> dim.toString, "numPlanes" -> numPlanes.toString)
   override def transform(dfs: Map[String, DataFrame])
                         (implicit ctx: ActionPipelineContext): Map[String, DataFrame] = {
     val batch = dfs.getOrElse(batchInput,
@@ -372,6 +432,9 @@ case class IncrementalEmbeddingDedupTransformer(
       Dedup.embeddingStore(batch.limit(0), idColumn, embColumn, dim, numPlanes))
     if (ctx.phase == ExecutionPhase.Init)
       return Map(novelKey -> batch, storeInput -> store.limit(0))
+    // dim/numPlanes determine bucket values — the sidecar catches a
+    // drift that would silently never (or wrongly) bucket-match
+    validateStoreMeta(() => ())
     val sigs = persistForRun(
       Dedup.embeddingStore(batch, idColumn, embColumn, dim, numPlanes), s"$batchInput.esigs")
     val storeDups = Dedup.embeddingIncrementalPairsFromSigs(sigs, store, threshold, maxBucketSize)

@@ -245,6 +245,55 @@ class IncrementalStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("never match"))
   }
 
+  test("store meta sidecar: a SAME-WIDTH scheme swap fails loudly (undetectable from data)") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("incmeta").toString
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " * 5
+    val reg = new InstanceRegistry
+    reg.register(ParquetFileDataObject("batch", s"$dir/batch"))
+    reg.register(ParquetFileDataObject("novel", s"$dir/novel"))
+    reg.register(ParquetFileDataObject("store", s"$dir/store"))
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    val action = CustomDataFrameAction("inc", Seq("batch"), Seq("novel", "store"),
+      Seq(IncrementalDedupTransformer("batch", "store", "doc_id", "text",
+        threshold = 0.5, bands = 16, novelOutput = Some("novel"),
+        signatureScheme = "minhash")),
+      saveMode = Some(SdlSaveMode.Append), recursiveInputIds = Seq("store"))
+    Seq((1L, base)).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/batch")
+    new ActionDAGRun(Seq(action)).run()
+    // bootstrap persisted the signing parameters next to the store data
+    assert(new java.io.File(s"$dir/store/.schema/storeMeta.json").exists,
+      "bootstrap must write the store meta sidecar")
+    assert(graft.sources.StoreMeta.read(s"$dir/store").get ==
+      Map("scheme" -> "minhash", "numHashes" -> "32", "shingleSize" -> "5"))
+
+    // minhash → oph at the SAME numHashes: signature VALUES are
+    // indistinguishable from data (the old limit(1) width probe passes),
+    // but deltas would silently never match — the sidecar catches it
+    val swapped = CustomDataFrameAction("inc2", Seq("batch"), Seq("novel", "store"),
+      Seq(IncrementalDedupTransformer("batch", "store", "doc_id", "text",
+        threshold = 0.5, bands = 16, novelOutput = Some("novel"),
+        signatureScheme = "oph")),
+      saveMode = Some(SdlSaveMode.Append), recursiveInputIds = Seq("store"))
+    val e = intercept[IllegalArgumentException] {
+      swapped.exec(Seq(SubFeed("batch", Some(spark.read.parquet(s"$dir/batch")))))
+    }
+    assert(e.getMessage.contains("scheme=minhash") && e.getMessage.contains("never match"),
+      s"got: ${e.getMessage}")
+
+    // a pre-sidecar (legacy) store still gets the data-level width probe
+    // once, then upgrades to a sidecar
+    assert(new java.io.File(s"$dir/store/.schema/storeMeta.json").delete())
+    val wrongWidth = CustomDataFrameAction("inc3", Seq("batch"), Seq("novel", "store"),
+      Seq(IncrementalDedupTransformer("batch", "store", "doc_id", "text",
+        numHashes = 64, bands = 16, novelOutput = Some("novel"))),
+      saveMode = Some(SdlSaveMode.Append), recursiveInputIds = Seq("store"))
+    val e2 = intercept[IllegalArgumentException] {
+      wrongWidth.exec(Seq(SubFeed("batch", Some(spark.read.parquet(s"$dir/batch")))))
+    }
+    assert(e2.getMessage.contains("32-hash"))
+  }
+
   test("hidden partition-name guard: '_'-prefixed partition columns fail loudly, not silently") {
     // '_'/'.'-prefixed dirs are invisible to Spark's file listing — a
     // partition column named '_x' would write data every read silently

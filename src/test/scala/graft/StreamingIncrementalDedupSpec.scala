@@ -129,6 +129,42 @@ class StreamingIncrementalDedupSpec extends AnyFunSuite {
       .as[Long].collect().toSet == Set(1L, 2L, 4L))
   }
 
+  test("store sidecar is validated ONCE per stream, not once per micro-batch") {
+    val tmp = java.nio.file.Files.createTempDirectory("sidmeta").toString
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$tmp/src"))
+    val t0 = System.currentTimeMillis() - 60000
+    writeBatchFile(Seq((1L, 10L)), tmp, "b1.parquet", t0)
+    val reg = new InstanceRegistry
+    reg.register(ParquetFileDataObject("in", s"$tmp/src", schema = Some(mediaSchema)))
+    reg.register(ParquetFileDataObject("novel", s"$tmp/out", partitions = Seq("ingest_batch")))
+    reg.register(ParquetFileDataObject("store", s"$tmp/store", partitions = Seq("ingest_batch")))
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    def mkAction() = StreamingIncrementalDedupAction("ingest",
+      IncrementalMediaDedupTransformer("in", "store", "media_id",
+        modality = "image", maxHamming = 0, novelOutput = Some("novel")),
+      SparkStreamingMode(checkpointLocation = s"$tmp/cp", triggerType = "AvailableNow",
+        inputOptions = Map("maxFilesPerTrigger" -> "1")))
+
+    // bootstrap stream: no sidecar yet — zero reads, one write
+    graft.sources.StoreMeta.metaReads.reset()
+    new ActionDAGRun(Seq(mkAction())).run()
+    assert(graft.sources.StoreMeta.metaReads.sum() == 0L)
+    assert(new java.io.File(s"$tmp/store/.schema/storeMeta.json").exists)
+
+    // a fresh stream over THREE new micro-batches (fresh transformer
+    // instance, same checkpoint): the sidecar is read exactly once — the
+    // r15 shape ran a limit(1) store probe on EVERY micro-batch
+    writeBatchFile(Seq((2L, 20L)), tmp, "b2.parquet", t0 + 2000)
+    writeBatchFile(Seq((3L, 30L)), tmp, "b3.parquet", t0 + 4000)
+    writeBatchFile(Seq((4L, 40L)), tmp, "b4.parquet", t0 + 6000)
+    graft.sources.StoreMeta.metaReads.reset()
+    new ActionDAGRun(Seq(mkAction())).run()
+    assert(spark.read.parquet(s"$tmp/out").count() == 4)
+    assert(graft.sources.StoreMeta.metaReads.sum() == 1L,
+      s"3-micro-batch stream must read the sidecar exactly once, " +
+        s"got ${graft.sources.StoreMeta.metaReads.sum()}")
+  }
+
   test("replay after a PARTIAL store commit does not lose first-poster rows") {
     // the at-least-once window foreachBatch replay exists to handle: the
     // store write for a batchId landed (fully or partially) but the
