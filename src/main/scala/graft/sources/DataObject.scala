@@ -515,23 +515,67 @@ abstract class SparkFileDataObject extends DataObject
     * Schema drift is NOT evolved here (a fingerprint/signature store's
     * schema is fixed by construction); appends with a changed schema fail
     * the next read rather than silently mixing — keep store schemas
-    * stable. */
+    * stable.
+    *
+    * Crash/concurrency protocol (the VACUUM-style reclaim pattern; renames
+    * are per-file, so a crash mid-move leaves a PARTIAL increment applied
+    * — recovery must complete it, never discard the evidence):
+    *  - every call stages under a UNIQUE sibling dir; a
+    *    `_graft_commit_ready` marker is created only after the staged
+    *    write fully succeeded, so marker-less leftovers are uncommitted
+    *    garbage and marked leftovers are committed increments whose moves
+    *    may be incomplete;
+    *  - on entry, leftover staging dirs YOUNGER than
+    *    [[SparkFileDataObject.stagingReclaimAgeMs]] fail LOUDLY (a
+    *    concurrent appender is likely mid-flight — deleting its staging
+    *    would corrupt its append; stores are single-writer by contract and
+    *    the loser must not proceed);
+    *  - leftovers OLDER than the age guard are reclaimed: marked ones get
+    *    their remaining moves COMPLETED (the increment was committed —
+    *    finishing is the only lossless resolution; in the dedup flow a
+    *    rerun would otherwise classify the partially-appended ids as
+    *    already-stored and drop their rows from the novel output), then
+    *    unmarked ones are deleted (nothing was moved yet — the marker is
+    *    strictly ordered after the staged write). */
   override def writeDataFrameStagedAppend(df: DataFrame)(implicit ctx: ActionPipelineContext): ActionMetrics = {
     val t0 = System.currentTimeMillis()
     validateSchemaMin(df)
     val constrained = graft.quality.DataQualityValidation.applyConstraints(df, constraints)
     val (instrumented, expObs) =
       graft.quality.DataQualityValidation.observeExpectations(constrained, expectations)
-    val staging = new Path(path + "_graft_staging_append")
-    if (fs.exists(staging)) fs.delete(staging, true)
+    reclaimOrFailLeftoverStaging()
+    val staging = new Path(path + "_graft_staging_append_" +
+      java.util.UUID.randomUUID().toString.take(8))
     val obs = org.apache.spark.sql.Observation(s"graft_stage_append_${id}_${System.nanoTime()}")
     val observed = instrumented.observe(obs, count(lit(1)).as("records_written"))
     val w0 = observed.write.format(format).options(options)
     val w = if (partitions.nonEmpty) w0.partitionBy(partitions: _*) else w0
     w.mode("overwrite").save(staging.toString)
-    // move staged DATA files in (skip _SUCCESS / hidden committer files),
-    // preserving partition-relative paths; every rename result is CHECKED —
-    // a silently-false rename would lose part of the increment
+    // COMMIT POINT: the staged increment is complete — from here recovery
+    // completes the moves instead of discarding the staging dir
+    fs.create(new Path(staging, SparkFileDataObject.commitMarker), true).close()
+    moveStagedAppendFiles(staging)
+    fs.delete(staging, true)
+    if (!isSelfDescribing || schemaEvolvable) SchemaUtil.persistSchema(path, df.schema)
+    // an append-only store accumulates one file set per batch — let the
+    // object's housekeeping (e.g. FileCompactionMode) re-bin when due,
+    // with the same reentrancy guard as the plain write path
+    if (!inHousekeeping) {
+      inHousekeeping = true
+      try housekeepingMode.foreach(_.exec(this))
+      finally inHousekeeping = false
+    }
+    val jobMetrics = expObs.map(o =>
+      graft.quality.DataQualityValidation.evaluateObserved(o, expectations)).getOrElse(Map.empty)
+    val rows = try obs.get("records_written").asInstanceOf[Long] catch { case _: Throwable => -1L }
+    ActionMetrics(rows, System.currentTimeMillis() - t0, observedMetrics = jobMetrics)
+  }
+
+  /** move staged DATA files into the object's path (skip _SUCCESS /
+    * hidden committer files / the commit marker), preserving
+    * partition-relative paths; every rename result is CHECKED — a
+    * silently-false rename would lose part of the increment */
+  private def moveStagedAppendFiles(staging: Path)(implicit ctx: ActionPipelineContext): Unit = {
     if (!fs.exists(hadoopPath)) fs.mkdirs(hadoopPath)
     val stagingPrefix = staging.toUri.getPath
     val staged = {
@@ -551,20 +595,36 @@ abstract class SparkFileDataObject extends DataObject
         s"DataObject $id: staged append could not move $p to $dest " +
           "(increment preserved under the staging dir)")
     }
-    fs.delete(staging, true)
-    if (!isSelfDescribing || schemaEvolvable) SchemaUtil.persistSchema(path, df.schema)
-    // an append-only store accumulates one file set per batch — let the
-    // object's housekeeping (e.g. FileCompactionMode) re-bin when due,
-    // with the same reentrancy guard as the plain write path
-    if (!inHousekeeping) {
-      inHousekeeping = true
-      try housekeepingMode.foreach(_.exec(this))
-      finally inHousekeeping = false
-    }
-    val jobMetrics = expObs.map(o =>
-      graft.quality.DataQualityValidation.evaluateObserved(o, expectations)).getOrElse(Map.empty)
-    val rows = try obs.get("records_written").asInstanceOf[Long] catch { case _: Throwable => -1L }
-    ActionMetrics(rows, System.currentTimeMillis() - t0, observedMetrics = jobMetrics)
+  }
+
+  /** the recovery half of the staged-append protocol — see
+    * [[writeDataFrameStagedAppend]] */
+  private def reclaimOrFailLeftoverStaging()(implicit ctx: ActionPipelineContext): Unit = {
+    val parent = hadoopPath.getParent
+    if (parent == null || !fs.exists(parent)) return
+    val prefix = hadoopPath.getName + "_graft_staging_append"
+    val now = System.currentTimeMillis()
+    fs.listStatus(parent).filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .foreach { st =>
+        val age = now - st.getModificationTime
+        if (age < SparkFileDataObject.stagingReclaimAgeMs)
+          throw new IllegalStateException(
+            s"DataObject $id: found in-flight staging dir ${st.getPath} " +
+              s"(age ${age / 1000}s < reclaim guard " +
+              s"${SparkFileDataObject.stagingReclaimAgeMs / 1000}s) — a concurrent appender " +
+              "is likely mid-flight; stores are single-writer. Retry after it finishes, or " +
+              "reclaim manually if it crashed: complete the moves if " +
+              s"${SparkFileDataObject.commitMarker} exists in the dir, else delete it")
+        else if (fs.exists(new Path(st.getPath, SparkFileDataObject.commitMarker))) {
+          // committed increment, crashed mid-move: complete it (renames
+          // already applied are gone from staging — only the remainder moves)
+          moveStagedAppendFiles(st.getPath)
+          fs.delete(st.getPath, true)
+        } else
+          // uncommitted: the staged WRITE crashed; nothing was moved (the
+          // marker is strictly ordered after the write) — discard safely
+          fs.delete(st.getPath, true)
+      }
   }
 
   override def listPartitions(implicit ctx: ActionPipelineContext): Seq[PartitionValues] = {
@@ -614,6 +674,21 @@ abstract class SparkFileDataObject extends DataObject
     val w = if (partitions.nonEmpty) w0.partitionBy(partitions: _*) else w0
     w.start(path)
   }
+}
+
+object SparkFileDataObject {
+  /** marker created in a staged-append dir AFTER its staged write fully
+    * succeeded — its presence means "committed, complete the moves", its
+    * absence "uncommitted garbage, safe to discard" (see
+    * [[SparkFileDataObject.writeDataFrameStagedAppend]]) */
+  val commitMarker = "_graft_commit_ready"
+  /** leftover staging dirs younger than this are treated as a CONCURRENT
+    * appender (fail loudly) rather than a crash (reclaim) — the vacuum
+    * pattern's age guard. Overridable for tests via the system property;
+    * production appends finish in well under an hour or have bigger
+    * problems. */
+  def stagingReclaimAgeMs: Long =
+    sys.props.get("graft.staging.reclaimAgeMs").map(_.toLong).getOrElse(3600000L)
 }
 
 /** Parquet files. Reference `ParquetFileDataObject.scala` (79 LoC). */

@@ -317,6 +317,58 @@ class IncrementalStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("staged-append protocol: interleaved appender fails loudly; crash reclaim completes committed moves, discards uncommitted") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("stageproto").toString
+    val reg = new InstanceRegistry
+    reg.register(ParquetFileDataObject("t", s"$dir/t"))
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    val obj = reg.dataObject("t").asInstanceOf[ParquetFileDataObject]
+    def ids(): Set[Long] =
+      spark.read.parquet(s"$dir/t").select("id").as[Long].collect().toSet
+
+    obj.writeDataFrameStagedAppend(Seq(1L).toDF("id"))
+    assert(ids() == Set(1L))
+
+    // INTERLEAVED APPENDERS: a fresh staging dir (appender A mid-flight)
+    // makes appender B fail loudly — B must not delete A's staging (that
+    // silently commits a partial delta) and must not proceed
+    val inflight = new java.io.File(s"$dir/t_graft_staging_append_inflt")
+    assert(inflight.mkdirs())
+    val e = intercept[IllegalStateException] {
+      obj.writeDataFrameStagedAppend(Seq(2L).toDF("id"))
+    }
+    assert(e.getMessage.contains("concurrent appender"), s"got: ${e.getMessage}")
+    assert(ids() == Set(1L), "the losing appender must not modify the store")
+    assert(inflight.exists, "the winner's staging dir must be left untouched")
+
+    // CRASHED UNCOMMITTED append (no commit marker), aged past the
+    // guard: nothing was moved (the marker is ordered after the staged
+    // write) — reclaimed by deletion, then the new append proceeds
+    assert(inflight.setLastModified(System.currentTimeMillis() - 2 * 3600 * 1000L))
+    obj.writeDataFrameStagedAppend(Seq(2L).toDF("id"))
+    assert(ids() == Set(1L, 2L))
+    assert(!inflight.exists, "aged uncommitted staging must be reclaimed")
+
+    // CRASHED COMMITTED append (marker present, moves incomplete), aged:
+    // recovery COMPLETES the moves — the increment's rows reach the store
+    // instead of being destroyed with the staging dir (the r15 shape
+    // deleted leftover staging, permanently committing partial deltas)
+    val crashed = new java.io.File(s"$dir/t_graft_staging_append_crash")
+    assert(crashed.mkdirs())
+    Seq(3L).toDF("id").coalesce(1).write.parquet(s"$dir/stage3")
+    val part = new java.io.File(s"$dir/stage3").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(crashed.getPath, part.getName))
+    assert(new java.io.File(crashed, "_graft_commit_ready").createNewFile())
+    assert(crashed.setLastModified(System.currentTimeMillis() - 2 * 3600 * 1000L))
+    obj.writeDataFrameStagedAppend(Seq(4L).toDF("id"))
+    assert(ids() == Set(1L, 2L, 3L, 4L),
+      "recovery must complete the committed increment's moves (row 3) and append row 4")
+    assert(!crashed.exists)
+  }
+
   test("partitioned staged append: increment's partition dirs merge in, existing files untouched") {
     val dir = java.nio.file.Files.createTempDirectory("partappend").toString
     val reg = new InstanceRegistry
