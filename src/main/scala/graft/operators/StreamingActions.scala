@@ -58,6 +58,24 @@ case class StreamingIncrementalDedupAction(
   def inputIds: Seq[String] = Seq(inputId)
   def outputIds: Seq[String] = Seq(outputId, storeId)
 
+  /** Per-micro-batch observability (the reference records streaming
+    * progress per batch through SparkStreamingQueryListener into run
+    * state, `sdl-core/.../metrics/SparkStreamingQueryListener.scala`,
+    * `DataFrameActionImpl.scala:427-433`): recorded AFTER the batch's
+    * writes land, KEYED BY batchId — a replayed micro-batch overwrites
+    * its own entry, so the metrics are idempotent exactly like the
+    * sinks. Counts come from the writes' own Observation instrumentation
+    * (novel/store-delta rows are free) plus one delta-bounded
+    * `batch.count()`; dupRows = input − novel (intra-batch + store dups
+    * combined — every dropped row is a duplicate by construction). */
+  case class MicroBatchMetrics(inputRows: Long, dupRows: Long, novelRows: Long,
+                               storeDeltaRows: Long, durationMillis: Long)
+  /** batchId → metrics of its LAST (re-)execution; thread-safe because
+    * foreachBatch runs on the streaming thread while callers read from
+    * the exec thread. */
+  @transient lazy val streamMetrics =
+    new scala.collection.concurrent.TrieMap[Long, MicroBatchMetrics]
+
   private def sinkObject(doId: String)(implicit ctx: ActionPipelineContext): SparkFileDataObject =
     ctx.registry.dataObject(doId) match {
       case f: SparkFileDataObject =>
@@ -99,17 +117,26 @@ case class StreamingIncrementalDedupAction(
         Some(f.getDataFrame().where(col(batchIdColumn) =!= lit(batchId)).drop(batchIdColumn))
       case _ => None
     }
+    val t0 = System.currentTimeMillis()
     val outs = transformer.transform(Map(inputId -> batch) ++ store.map(storeId -> _))
     try {
-      def writeKeyed(doId: String, df: DataFrame): Unit =
+      def writeKeyed(doId: String, df: DataFrame): ActionMetrics =
         sinkObject(doId).writeDataFrame(df.withColumn(batchIdColumn, lit(batchId)),
           Seq.empty, Some(SdlSaveMode.OverwriteOptimized))
-      writeKeyed(outputId, outs(transformer.novelKey))
+      val novelWrite = writeKeyed(outputId, outs(transformer.novelKey))
       // the store delta's lineage READS the store object it is appended to
       // (the pair join) — an eager localCheckpoint materializes the
       // delta-sized frame against the PRE-write store state and cuts the
       // plan, so the partition overwrite never sees its own path as input
-      writeKeyed(storeId, outs(storeId).localCheckpoint(true))
+      val storeWrite = writeKeyed(storeId, outs(storeId).localCheckpoint(true))
+      // one delta-bounded count; novel/store rows ride the writes for free
+      val inputRows = batch.count()
+      streamMetrics(batchId) = MicroBatchMetrics(
+        inputRows = inputRows,
+        dupRows = inputRows - novelWrite.recordsWritten,
+        novelRows = novelWrite.recordsWritten,
+        storeDeltaRows = storeWrite.recordsWritten,
+        durationMillis = System.currentTimeMillis() - t0)
     } finally {
       // unpersist-per-batch: release THIS transformer's per-batch cache
       // registrations now that both writes landed (a long-lived stream
@@ -138,9 +165,19 @@ case class StreamingIncrementalDedupAction(
     mode.triggerType match {
       case "Once" | "AvailableNow" =>
         query.awaitTermination()
+        // aggregate the per-batch records into the run's action metrics
+        // (the detailed per-batch map stays readable on [[streamMetrics]])
+        val batches = streamMetrics.toSeq.sortBy(_._1)
+        val observed: Map[String, Any] = Map(
+          "microBatches" -> batches.size.toLong,
+          "inputRows" -> batches.map(_._2.inputRows).sum,
+          "dupRows" -> batches.map(_._2.dupRows).sum,
+          "novelRows" -> batches.map(_._2.novelRows).sum,
+          "storeDeltaRows" -> batches.map(_._2.storeDeltaRows).sum)
         Seq(SubFeed(outputId, isStreaming = true,
-          metrics = Some(ActionMetrics(recordsWritten =
-            Option(query.lastProgress).map(_.sink.numOutputRows).getOrElse(-1L)))),
+          metrics = Some(ActionMetrics(
+            recordsWritten = batches.map(_._2.novelRows).sum,
+            observedMetrics = observed))),
           SubFeed(storeId, isStreaming = true))
       case _ =>
         // async: same first-batch wait discipline as CopyAction.execStreaming

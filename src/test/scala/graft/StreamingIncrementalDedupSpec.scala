@@ -165,6 +165,43 @@ class StreamingIncrementalDedupSpec extends AnyFunSuite {
         s"got ${graft.sources.StoreMeta.metaReads.sum()}")
   }
 
+  test("per-micro-batch metrics are recorded and replay-idempotent") {
+    val tmp = java.nio.file.Files.createTempDirectory("sidmetrics").toString
+    val reg = new InstanceRegistry
+    reg.register(ParquetFileDataObject("in", s"$tmp/src", schema = Some(mediaSchema)))
+    reg.register(ParquetFileDataObject("novel", s"$tmp/out", partitions = Seq("ingest_batch")))
+    reg.register(ParquetFileDataObject("store", s"$tmp/store", partitions = Seq("ingest_batch")))
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    val action = StreamingIncrementalDedupAction("ingest",
+      IncrementalMediaDedupTransformer("in", "store", "media_id",
+        modality = "image", maxHamming = 0, novelOutput = Some("novel")),
+      SparkStreamingMode(checkpointLocation = s"$tmp/cp", triggerType = "AvailableNow"))
+
+    // batch 0: 3 inputs, one WITHIN-batch dup (id 3 re-posts seed 10)
+    val b0 = operators.Multimodal.withSynthImage(
+      Seq((1L, 10L), (2L, 11L), (3L, 10L)).toDF("media_id", "seed"), "seed", 16, 16)
+    action.processBatch(b0, 0L)
+    val m0 = action.streamMetrics(0L)
+    assert((m0.inputRows, m0.dupRows, m0.novelRows, m0.storeDeltaRows) == ((3L, 1L, 2L, 2L)),
+      s"got $m0")
+
+    // batch 1: one store dup (seed 10), one novel
+    val b1 = operators.Multimodal.withSynthImage(
+      Seq((4L, 10L), (5L, 99L)).toDF("media_id", "seed"), "seed", 16, 16)
+    action.processBatch(b1, 1L)
+    val m1 = action.streamMetrics(1L)
+    assert((m1.inputRows, m1.dupRows, m1.novelRows, m1.storeDeltaRows) == ((2L, 1L, 1L, 1L)),
+      s"got $m1")
+
+    // REPLAY batch 1: the entry is overwritten with identical numbers —
+    // metrics are keyed by batchId like the sinks, never accumulated
+    action.processBatch(b1, 1L)
+    assert(action.streamMetrics.size == 2)
+    val m1r = action.streamMetrics(1L)
+    assert((m1r.inputRows, m1r.dupRows, m1r.novelRows, m1r.storeDeltaRows) == ((2L, 1L, 1L, 1L)),
+      s"replayed batch must re-record identical metrics, got $m1r")
+  }
+
   test("replay after a PARTIAL store commit does not lose first-poster rows") {
     // the at-least-once window foreachBatch replay exists to handle: the
     // store write for a batchId landed (fully or partially) but the
