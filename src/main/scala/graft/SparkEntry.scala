@@ -3652,6 +3652,104 @@ object SparkEntry {
       val run2 = tr.transform(Map("b" -> b2, "store" -> run1("store")))
       run1("b").select(col("doc_id"), col("batch"))
         .unionByName(run2("b").select(col("doc_id"), col("batch")))
+    }),
+
+    // ONE-PERMUTATION HASHING through the incremental store family: the
+    // corpus-scale signing default (O(shingles + k) per row instead of
+    // classic minhash's O(shingles × k)) oracled end-to-end — same
+    // store-backed discipline as q147, signatures produced by the OPH
+    // kernel. Signature VALUES differ from classic minhash (the sidecar
+    // pins the scheme per store), but the dedup CONTRACT is identical:
+    // exact copies sign identically and verify at shingle-jaccard 1, so
+    // survivors = the min-id poster of each seed, across and within
+    // batches — a structural oracle.
+    "q148_oph_incremental_dedup" -> ((s, dir) => {
+      def docs(ids: Seq[(Long, Long, Int)]): DataFrame =
+        s.createDataFrame(ids).toDF("doc_id", "seed", "batch")
+          .withColumn("text", concat_ws(" ",
+            transform(sequence(lit(0), lit(39)),
+              i => concat(lit("w"),
+                pmod(xxhash64(col("seed") * 1000 + i), lit(50000L))))))
+      // batch 1: seeds 0..29 novel; 30..34 re-post seeds 0..4 within-batch
+      val b1 = docs((0L until 30L).map(i => (i, i, 1)) ++
+        (30L until 35L).map(i => (i, i - 30, 1)))
+      // batch 2: 100..114 novel, 115..124 re-post stored seeds 0..9,
+      // 125..129 re-post 100..104 within-batch
+      val b2 = docs((100L until 115L).map(i => (i, i, 2)) ++
+        (115L until 125L).map(i => (i, i - 115, 2)) ++
+        (125L until 130L).map(i => (i, i - 25, 2)))
+      val tr = graft.operators.IncrementalDedupTransformer(
+        "b", "store", "doc_id", "text", threshold = 0.8, signatureScheme = "oph")
+      implicit val ctx: graft.core.ActionPipelineContext =
+        graft.core.ActionPipelineContext(s, new graft.core.InstanceRegistry)
+      val run1 = tr.transform(Map("b" -> b1))
+      val run2 = tr.transform(Map("b" -> b2, "store" -> run1("store")))
+      run1("b").select(col("doc_id"), col("batch"))
+        .unionByName(run2("b").select(col("doc_id"), col("batch")))
+    }),
+
+    // BLOCKING-KEY-PRUNED signature store, end to end through the DAG:
+    // the banded store layout (one row per band bucket, signature carried
+    // for estimator verification) written PARTITIONED by
+    // store_pfx = pmod(xxhash64(band, bucket), 64) — every batch's pair
+    // join filters the store read to the delta's own bucket prefixes, so
+    // parquet partition pruning skips the rest of the store's files: the
+    // last per-batch O(store) READ term in the incremental family gone
+    // (writes were already O(increment) via staged append). Three
+    // ingestion runs with planted cross-batch and within-batch dups;
+    // exact copies estimate signature agreement 1.0, distinct seeds share
+    // ~no shingle hashes, so survivors = the min-id poster of each seed —
+    // a structural oracle.
+    "q149_pruned_store_dedup" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q149").toString
+      def docs(ids: Seq[(Long, Long, Int)]): DataFrame =
+        s.createDataFrame(ids).toDF("doc_id", "seed", "batch")
+          .withColumn("text", concat_ws(" ",
+            transform(sequence(lit(0), lit(39)),
+              i => concat(lit("w"),
+                pmod(xxhash64(col("seed") * 1000 + i), lit(50000L))))))
+      // two ingestion runs (the three-batch growth ladder is spec'd in
+      // PrunedStoreSpec; a bench query pays per-run DAG+write overhead,
+      // so it plants every decision class in two): batch 1 seeds 0..39
+      // novel + 40..44 within-batch re-posts; batch 2 100..119 novel,
+      // 120..127 re-post STORED seeds, 128..129 within-batch re-posts
+      val b1 = docs((0L until 40L).map(i => (i, i, 1)) ++
+        (40L until 45L).map(i => (i, i - 40, 1)))
+      val b2 = docs((100L until 120L).map(i => (i, i, 2)) ++
+        (120L until 128L).map(i => (i, i - 120, 2)) ++
+        (128L until 130L).map(i => (i, i - 28, 2)))
+      val reg = new graft.core.InstanceRegistry
+      reg.register(graft.sources.ParquetFileDataObject("docs_batch", s"$tmp/batch"))
+      reg.register(graft.sources.ParquetFileDataObject("docs_novel", s"$tmp/novel"))
+      // numberOfTasksPerPartition = 1: a delta append writes ONE file per
+      // touched prefix instead of (tasks × prefixes) tiny files — the
+      // file-count hygiene knob every prefix-partitioned store should set
+      // numberOfTasksPerPartition = 8: prefixes hash across 8 writer
+      // tasks (each prefix still lands in exactly one task → one file per
+      // touched prefix per batch), so a delta append writes its ~40
+      // prefix files in parallel instead of one task writing them
+      // serially (measured 2.5s/run → 0.3s/run at this shape)
+      reg.register(graft.sources.ParquetFileDataObject("docs_store", s"$tmp/store",
+        partitions = Seq("store_pfx"), numberOfTasksPerPartition = Some(8)))
+      implicit val ctx: graft.core.ActionPipelineContext =
+        graft.core.ActionPipelineContext(s, reg)
+      val action = graft.operators.CustomDataFrameAction(
+        "inc", Seq("docs_batch"), Seq("docs_novel", "docs_store"),
+        dfsTransformers = Seq(graft.operators.IncrementalDedupTransformer(
+          "docs_batch", "docs_store", "doc_id", "text", threshold = 0.8,
+          novelOutput = Some("docs_novel"),
+          storeLayout = "banded", storePartitions = 16)),
+        saveMode = Some(graft.core.SdlSaveMode.Append),
+        recursiveInputIds = Seq("docs_store"))
+      // small fixed batches: 8 shuffle partitions cut per-run task
+      // overhead (the q87/q145 knob)
+      val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try Seq(b1, b2).foreach { b =>
+        b.write.mode("overwrite").parquet(s"$tmp/batch")
+        new graft.core.ActionDAGRun(Seq(action)).run()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
+      s.read.parquet(s"$tmp/novel").select(col("doc_id"), col("batch"))
     })
   )
 
@@ -5870,6 +5968,23 @@ object SparkEntry {
         |UNION ALL
         |SELECT CAST(id AS BIGINT), CAST(2 AS INT) FROM range(100, 120) t(id)
         |UNION ALL
-        |SELECT CAST(id AS BIGINT), CAST(2 AS INT) FROM range(145, 150) t(id)""".stripMargin
+        |SELECT CAST(id AS BIGINT), CAST(2 AS INT) FROM range(145, 150) t(id)""".stripMargin,
+
+    // q148: structural oracle (q147's argument through OPH signing) —
+    // survivors are the min-id poster of each seed: batch 1's 0..29
+    // (30..34 re-post within-batch), batch 2's 100..114 (115..124
+    // re-post stored seeds, 125..129 re-post within-batch)
+    "q148_oph_incremental_dedup" ->
+      """SELECT CAST(id AS BIGINT) AS doc_id, CAST(1 AS INT) AS batch FROM range(0, 30) t(id)
+        |UNION ALL
+        |SELECT CAST(id AS BIGINT), CAST(2 AS INT) FROM range(100, 115) t(id)""".stripMargin,
+
+    // q149: structural oracle — survivors per batch through the banded
+    // prefix-partitioned store: batch 1's 0..39 (40..44 intra dups),
+    // batch 2's 100..119 (120..127 store dups, 128..129 intra)
+    "q149_pruned_store_dedup" ->
+      """SELECT CAST(id AS BIGINT) AS doc_id, CAST(1 AS INT) AS batch FROM range(0, 40) t(id)
+        |UNION ALL
+        |SELECT CAST(id AS BIGINT), CAST(2 AS INT) FROM range(100, 120) t(id)""".stripMargin
   )
 }

@@ -602,7 +602,9 @@ object ConfigParser {
           bands = int(n, "bands").getOrElse(8),
           novelOutput = str(n, "novelOutput"),
           signatureScheme = str(n, "signatureScheme").getOrElse("minhash"),
-          intraBatch = bool(n, "intraBatch", dflt = true))
+          intraBatch = bool(n, "intraBatch", dflt = true),
+          storeLayout = str(n, "storeLayout").getOrElse("compact"),
+          storePartitions = int(n, "storePartitions").getOrElse(0))
       case "DecontaminateSpansTransformer" | "decontaminateSpans" =>
         DecontaminateSpansTransformer(
           require(str(n, "corpusInput"), id, "corpusInput"),
@@ -626,7 +628,8 @@ object ConfigParser {
           stride = int(n, "stride").getOrElse(1),
           minSharedFrames = int(n, "minSharedFrames").getOrElse(2),
           maxFrameOccurrences = int(n, "maxFrameOccurrences").getOrElse(1000),
-          intraBatch = bool(n, "intraBatch", dflt = true))
+          intraBatch = bool(n, "intraBatch", dflt = true),
+          storePartitions = int(n, "storePartitions").getOrElse(0))
       case "IncrementalEmbeddingDedupTransformer" | "incrementalEmbeddingDedup" =>
         IncrementalEmbeddingDedupTransformer(
           require(str(n, "batchInput"), id, "batchInput"),
@@ -639,7 +642,8 @@ object ConfigParser {
           threshold = dbl(n, "threshold").getOrElse(0.95),
           maxBucketSize = int(n, "maxBucketSize").getOrElse(1000),
           novelOutput = str(n, "novelOutput"),
-          intraBatch = bool(n, "intraBatch", dflt = true))
+          intraBatch = bool(n, "intraBatch", dflt = true),
+          storePartitions = int(n, "storePartitions").getOrElse(0))
       case "NbQualityTransformer" | "nbQuality" =>
         NbQualityTransformer(
           require(str(n, "corpusInput"), id, "corpusInput"),

@@ -395,6 +395,129 @@ object Dedup {
     }
   }
 
+  // ---- Blocking-key-partitionable ("banded") store layout --------------
+  //
+  // The compact signature store (id, shingles, sig) CANNOT be file-pruned
+  // by the delta's blocking keys: each row participates in `bands` band
+  // buckets, so no single partition key covers every bucket a row may
+  // match under. The BANDED layout explodes the store to one row PER BAND
+  // BUCKET — (id, band, bucket, sig) — giving every row exactly one
+  // blocking key. Partitioned by pmod(xxhash64(band, bucket), N) the pair
+  // join reads only the store FILES whose prefix appears in the delta's
+  // own bucket set, so the per-batch store read drops from O(store) to
+  // O(store × |delta prefixes| / N) — the last linear-in-store per-batch
+  // term in the incremental family (the writes are already O(increment)
+  // via staged append).
+  //
+  // Trade: verification switches from exact shingle-set Jaccard (shingle
+  // arrays are deliberately NOT replicated into the banded rows) to the
+  // standard MinHash ESTIMATE — the fraction of agreeing signature
+  // components, unbiased with std ≈ sqrt(j(1-j)/k) (k=32 → ±0.09 at
+  // j=0.5); exact copies estimate 1.0 exactly. Storage per doc:
+  // bands × (8·numHashes + 24) B of replicated signature vs the compact
+  // layout's shingle array (8 B per DISTINCT SHINGLE — for real documents
+  // usually the larger of the two).
+
+  /** Partition prefix for blocking-key-pruned store layouts: a stable
+    * hash of the row's blocking key(s) folded into [0, n). The delta's
+    * prefix set has at most n values (a config constant, never
+    * data-scaled), so collecting it to drive an `isin` partition filter
+    * is a bounded driver job — ordinary parquet partition pruning then
+    * skips every store file outside the delta's buckets. */
+  def storePrefix(n: Int, keys: Column*): Column =
+    pmod(xxhash64(keys: _*), lit(n.toLong))
+
+  /** Banded signature-store frame from a [[minhashSignatures]] /
+    * [[minhashSignaturesOph]] frame: one row per (id, band) carrying the
+    * band's bucket key and the full signature (estimator verification
+    * needs it; shingles are dropped). With `storePartitions > 0` a
+    * `store_pfx` column is appended — declare it as the store
+    * DataObject's partition column so appends lay files out by blocking
+    * key and reads prune by it. */
+  def minhashBandedStore(sigs: DataFrame, numHashes: Int, bands: Int,
+                         storePartitions: Int = 0): DataFrame = {
+    require(bands >= 1 && numHashes >= bands && numHashes % bands == 0,
+      s"minhash banded store: numHashes=$numHashes must be a positive multiple of bands=$bands")
+    val banded = sigs.select(col("id"), col("sig"),
+        posexplode(lshBandHashes(col("sig"), bands, numHashes / bands)).as(Seq("band", "bucket")))
+      .select(col("id"), col("band"), col("bucket"), col("sig"))
+    if (storePartitions > 0)
+      banded.withColumn("store_pfx", storePrefix(storePartitions, col("band"), col("bucket")))
+    else banded
+  }
+
+  /** MinHash Jaccard ESTIMATE: fraction of agreeing signature components
+    * (the classic estimator — Broder 1997). Unbiased; exact copies
+    * estimate exactly 1.0. */
+  def sigAgreement(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast(DoubleType) / size(a).cast(DoubleType)
+
+  /** [[minhashIncrementalPairsFromSigs]] against a BANDED store
+    * ([[minhashBandedStore]] layout): candidates come from a direct
+    * (band, bucket) equi-join — no store-side explode, so a store view
+    * pre-pruned to the delta's `store_pfx` set reads only the matching
+    * files — verified by the signature-agreement estimate. The caller
+    * owns `newSigs`' persist lifecycle (consumed by banding and the
+    * exact-copy fallback) and any prefix pruning of `bandedStore`
+    * (pass the pruned view; pruning is semantics-preserving — every
+    * candidate SHARES a bucket with the delta by construction, and exact
+    * copies share ALL band buckets, so the fallback's matches survive
+    * pruning too).
+    *
+    * @return (id_new, id_corpus, jaccard) — jaccard is the ESTIMATE
+    */
+  def minhashIncrementalPairsBandedStore(newSigs: DataFrame, bandedStore: DataFrame,
+                                         numHashes: Int, bands: Int,
+                                         threshold: Double = 0.7,
+                                         maxBucketSize: Int = 1000,
+                                         failOnCappedBuckets: Boolean = false,
+                                         cappedBucketExactFallback: Boolean = true): DataFrame = {
+    require(bands >= 1 && numHashes >= bands && numHashes % bands == 0,
+      s"minhash banded incremental: numHashes=$numHashes must be a positive multiple of bands=$bands")
+    val deltaBanded = newSigs.select(col("id"), col("sig"),
+      posexplode(lshBandHashes(col("sig"), bands, numHashes / bands)).as(Seq("band", "bucket")))
+    def pairsOf(prunedStore: DataFrame): DataFrame =
+      deltaBanded.alias("a").join(prunedStore.alias("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+        .select(col("a.id").as("id_new"), col("b.id").as("id_corpus"),
+          sigAgreement(col("a.sig"), col("b.sig")).as("jaccard"))
+        .where(col("jaccard") >= threshold)
+        .dropDuplicates("id_new", "id_corpus")
+    if (failOnCappedBuckets) {
+      assertNoCappedBuckets(bandedStore.select(col("id"), col("band"), col("bucket")),
+        Seq("band", "bucket"), maxBucketSize, "incremental banded minhash LSH")
+      pairsOf(bandedStore)
+    } else {
+      // lazy over-cap guard, the minhashIncrementalPairsFromSigs shape —
+      // bucket counts are complete on a prefix-pruned view because a
+      // (band, bucket) group lives entirely inside its own prefix
+      val bigBuckets = bandedStore.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("_n")).where(col("_n") > maxBucketSize)
+        .select(col("band"), col("bucket"))
+      val prunedStore = bandedStore.join(broadcast(bigBuckets), Seq("band", "bucket"), "left_anti")
+      val lshPairs = pairsOf(prunedStore)
+      if (!cappedBucketExactFallback) lshPairs
+      else {
+        // capped-bucket mitigation, delta-shaped: full-signature checksum
+        // join. The broadcast carries (id, checksum, sig) — ≈ 8·numHashes
+        // B per DELTA doc, delta-bounded → legal — and the store view is
+        // STREAMED once; matches repeat once per band row, deduped below.
+        // Collision guard: the agreement re-check makes an xxhash64
+        // collision between genuinely different signatures harmless.
+        val deltaSlim = newSigs.select(col("id").as("id_new"),
+          xxhash64(col("sig")).as("_ck"), col("sig").as("sig_a"))
+        val exact = bandedStore
+          .select(col("id").as("id_corpus"), xxhash64(col("sig")).as("_ck"), col("sig").as("sig_b"))
+          .join(broadcast(deltaSlim), "_ck")
+          .withColumn("jaccard", sigAgreement(col("sig_a"), col("sig_b")))
+          .where(col("jaccard") >= threshold)
+          .select(col("id_new"), col("id_corpus"), col("jaccard"))
+        lshPairs.unionByName(exact).dropDuplicates("id_new", "id_corpus")
+      }
+    }
+  }
+
   /** Skew guard used ONLY for `failOnCappedBuckets = true`: aggregate the
     * banded set once and fail at CONSTRUCTION with the over-cap count —
     * previously a lazy raise_error rode a one-row broadcast carrier that

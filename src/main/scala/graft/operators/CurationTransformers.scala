@@ -190,6 +190,24 @@ trait IncrementalStoreDfsTransformer extends DfsTransformer {
         true
       case _ => false
     }
+  /** Prefix-prune a store view for the pair join (the blocking-key-pruned
+    * store layout, [[graft.functions.Dedup.storePrefix]]): keep only the
+    * store rows whose `store_pfx` appears in the delta's own prefix set,
+    * then drop the transport column. `deltaPrefixes` is evaluated ONLY
+    * when pruning applies — it runs one bounded driver job (≤
+    * `storePartitions` values, a config constant, never data-scaled) over
+    * the already-persisted delta signatures; parquet partition pruning
+    * then skips every store file outside the delta's buckets, making the
+    * per-batch store READ O(store × |delta prefixes| / N) instead of
+    * O(store). Tolerates a store frame WITHOUT the column (standalone use
+    * with an unpartitioned frame, or the first-run bootstrap): pruning is
+    * an I/O optimization, never a correctness requirement. */
+  protected final def pruneStoreByPrefix(store: DataFrame, storePartitions: Int,
+                                         deltaPrefixes: => Seq[Long]): DataFrame =
+    if (storePartitions > 0 && store.columns.contains("store_pfx"))
+      store.where(col("store_pfx").isin(deltaPrefixes: _*)).drop("store_pfx")
+    else store.drop("store_pfx")
+
   /** persist an expensive per-batch intermediate and hand its lifecycle to
     * the DAG: [[graft.core.ActionDAGRun]] sweeps `ctx.persistedFrames` when
     * the run's last action settles, so the cache registry cannot grow
@@ -241,24 +259,52 @@ case class IncrementalDedupTransformer(
     signatureScheme: String = "minhash",
     /** dedup WITHIN the batch too (keep the min-id head per duplicate
       * pair) — see [[IncrementalStoreDfsTransformer.intraBatch]] */
-    intraBatch: Boolean = true) extends IncrementalStoreDfsTransformer {
+    intraBatch: Boolean = true,
+    /** "compact" ((id, shingles, sig) rows, exact shingle-Jaccard
+      * verification) | "banded" (one row per band bucket carrying the
+      * signature, [[graft.functions.Dedup.minhashBandedStore]] —
+      * verification by the signature-agreement ESTIMATE, and the only
+      * layout `storePartitions` can prune). Pick once per store
+      * (sidecar-enforced). */
+    storeLayout: String = "compact",
+    /** > 0 (banded layout only): the store delta carries a `store_pfx`
+      * partition column = pmod(xxhash64(band, bucket), storePartitions);
+      * declare it on the store DataObject (`partitions = ["store_pfx"]`)
+      * and the pair join reads only the store files in the delta's own
+      * bucket set — the per-batch store READ stops scaling with the
+      * store. */
+    storePartitions: Int = 0) extends IncrementalStoreDfsTransformer {
   require(signatureScheme == "minhash" || signatureScheme == "oph",
     s"IncrementalDedupTransformer: unknown signatureScheme '$signatureScheme' (minhash|oph)")
+  require(storeLayout == "compact" || storeLayout == "banded",
+    s"IncrementalDedupTransformer: unknown storeLayout '$storeLayout' (compact|banded)")
+  require(storePartitions == 0 || storeLayout == "banded",
+    "IncrementalDedupTransformer: storePartitions requires storeLayout='banded' — compact " +
+      "store rows participate in every band bucket, so no single partition key can prune them")
   private def sign(df: DataFrame): DataFrame =
     if (signatureScheme == "oph")
       Dedup.minhashSignaturesOph(df, idColumn, textColumn, shingleSize, numHashes)
     else Dedup.minhashSignatures(df, idColumn, textColumn, shingleSize, numHashes)
+  /** a signature frame in the configured STORE layout (the store delta's
+    * shape; for "banded" the `store_pfx` column rides along when
+    * `storePartitions > 0`) */
+  private def toStoreLayout(sigs: DataFrame): DataFrame =
+    if (storeLayout == "banded")
+      Dedup.minhashBandedStore(sigs, numHashes, bands, storePartitions)
+    else sigs
   override protected def storeMetaParams: Map[String, String] = Map(
     "scheme" -> signatureScheme,
     "numHashes" -> numHashes.toString,
-    "shingleSize" -> shingleSize.toString)
+    "shingleSize" -> shingleSize.toString,
+    "storeLayout" -> storeLayout,
+    "storePartitions" -> storePartitions.toString)
   override def transform(dfs: Map[String, DataFrame])
                         (implicit ctx: ActionPipelineContext): Map[String, DataFrame] = {
     val batch = dfs.getOrElse(batchInput,
       throw new IllegalArgumentException(s"IncrementalDedupTransformer: missing input '$batchInput'"))
     // first-run bootstrap: no signature store yet → empty store with the
     // signature schema (recursive inputs are absent until their object exists)
-    val store = dfs.getOrElse(storeInput, sign(batch.limit(0)))
+    val store = dfs.getOrElse(storeInput, toStoreLayout(sign(batch.limit(0))))
     // Init: schemas are unchanged (survivors ⊆ batch, the store delta has
     // the store's shape) — propagate without running the pair pipeline
     if (ctx.phase == ExecutionPhase.Init)
@@ -283,9 +329,17 @@ case class IncrementalDedupTransformer(
     // sign ONCE; multi-consumer (pair pipeline + store delta) → persisted,
     // swept by the DAG at run end
     val sigs = persistForRun(sign(batch), s"$batchInput.sigs")
-    val storeDups = Dedup.minhashIncrementalPairsFromSigs(sigs, store,
-      numHashes, bands, threshold)
-      .select(col("id_new").as(idColumn))
+    // prefix-pruned store view (banded layout): only the store files in
+    // the delta's own (band, bucket) prefix set feed the pair join
+    val storeView = pruneStoreByPrefix(store, storePartitions,
+      toStoreLayout(sigs).select(col("store_pfx")).distinct()
+        .collect().map(_.getLong(0)).toSeq)
+    val storeDups = (storeLayout match {
+      case "banded" => Dedup.minhashIncrementalPairsBandedStore(sigs, storeView,
+        numHashes, bands, threshold)
+      case _ => Dedup.minhashIncrementalPairsFromSigs(sigs, storeView,
+        numHashes, bands, threshold)
+    }).select(col("id_new").as(idColumn))
     // within-batch dups: the SAME pair machinery self-joined on the
     // already-persisted signature frame (zero extra signings; the
     // self-join is batch × batch banded — delta-bounded both sides)
@@ -299,10 +353,11 @@ case class IncrementalDedupTransformer(
     // the whole pair join — the ids are delta-bounded (≤ batch), tiny
     val dupIds = persistForRun(allDups.distinct(), s"$batchInput.dups")
     val novel = batch.join(broadcast(dupIds), Seq(idColumn), "left_anti")
-    // store DELTA: the novel docs' already-computed signatures — appended
-    // by the action, never unioned onto the store frame
-    val storeDelta = sigs.join(
-      novel.select(col(idColumn).as("id")), Seq("id"), "left_semi")
+    // store DELTA: the novel docs' already-computed signatures (re-shaped
+    // to the store layout) — appended by the action, never unioned onto
+    // the store frame
+    val storeDelta = toStoreLayout(sigs.join(
+      novel.select(col(idColumn).as("id")), Seq("id"), "left_semi"))
     Map(novelKey -> novel, storeInput -> storeDelta)
   }
 }
@@ -340,12 +395,26 @@ case class IncrementalMediaDedupTransformer(
     minSharedFrames: Int = 2, maxFrameOccurrences: Int = 1000,
     /** dedup WITHIN the batch too (keep the min-id head per duplicate
       * pair) — see [[IncrementalStoreDfsTransformer.intraBatch]] */
-    intraBatch: Boolean = true)
+    intraBatch: Boolean = true,
+    /** > 0 (video only): the store delta carries a `store_pfx` partition
+      * column = pmod(xxhash64(fh), storePartitions); declare it on the
+      * store DataObject and the frame-hash join reads only the store
+      * files in the delta's own frame-hash set. Video's store rows have
+      * exactly ONE blocking key (the frame hash) so pruning is
+      * semantics-preserving — shared frames are on both sides by
+      * definition, and the hot-frame counts are complete per prefix.
+      * Image/audio fingerprints match through Manku BLOCK ROTATIONS
+      * (several keys per row), so no single partition key can prune
+      * them — rejected at construction. */
+    storePartitions: Int = 0)
   extends IncrementalStoreDfsTransformer {
   require(modality == "image" || modality == "audio" || modality == "video",
     s"IncrementalMediaDedupTransformer: unknown modality '$modality' (image|audio|video)")
   require(modality != "video" || frameSize > 0,
     "IncrementalMediaDedupTransformer: modality 'video' requires frameSize > 0")
+  require(storePartitions == 0 || modality == "video",
+    "IncrementalMediaDedupTransformer: storePartitions requires modality 'video' — " +
+      "image/audio match through multi-key block rotations that no single partition key covers")
   private def fingerprints(df: DataFrame): DataFrame = modality match {
     case "image" => Multimodal.imageFingerprintStore(df, idColumn, contentColumn)
     case "audio" => Multimodal.audioFingerprintStore(df, idColumn, contentColumn)
@@ -356,8 +425,15 @@ case class IncrementalMediaDedupTransformer(
     case "audio" => "afp64"
     case "video" => "fh"
   }
+  /** a fingerprint frame in the configured store layout (video with
+    * `storePartitions > 0` carries the `store_pfx` partition column) */
+  private def toStoreLayout(fps: DataFrame): DataFrame =
+    if (storePartitions > 0)
+      fps.withColumn("store_pfx", Dedup.storePrefix(storePartitions, col(hashCol)))
+    else fps
   override protected def storeMetaParams: Map[String, String] =
-    Map("modality" -> modality) ++
+    Map("modality" -> modality,
+      "storePartitions" -> storePartitions.toString) ++
       (if (modality == "video")
         Map("frameSize" -> frameSize.toString, "stride" -> stride.toString)
       else Map.empty)
@@ -365,7 +441,7 @@ case class IncrementalMediaDedupTransformer(
                         (implicit ctx: ActionPipelineContext): Map[String, DataFrame] = {
     val batch = dfs.getOrElse(batchInput,
       throw new IllegalArgumentException(s"IncrementalMediaDedupTransformer: missing input '$batchInput'"))
-    val store = dfs.getOrElse(storeInput, fingerprints(batch.limit(0)))
+    val store = dfs.getOrElse(storeInput, toStoreLayout(fingerprints(batch.limit(0))))
     if (ctx.phase == ExecutionPhase.Init)
       return Map(novelKey -> batch, storeInput -> store.limit(0))
     // fingerprint kernels are parameterless for image/audio; for video the
@@ -375,6 +451,11 @@ case class IncrementalMediaDedupTransformer(
     // decode ONCE; multi-consumer (pair join + store delta) → persisted,
     // swept by the DAG at run end
     val deltaFps = persistForRun(fingerprints(batch), s"$batchInput.fps")
+    // prefix-pruned store view (video): only the store files in the
+    // delta's own frame-hash prefix set feed the fh join
+    val storeView = pruneStoreByPrefix(store, storePartitions,
+      deltaFps.select(Dedup.storePrefix(storePartitions, col(hashCol)).as("p"))
+        .distinct().collect().map(_.getLong(0)).toSeq)
     def pairsAgainst(corpus: DataFrame): DataFrame = modality match {
       case "video" =>
         Multimodal.videoIncrementalPairsFromSigs(deltaFps, corpus,
@@ -385,7 +466,7 @@ case class IncrementalMediaDedupTransformer(
           corpus.select(col("id"), col(hashCol).as("simhash")),
           maxHamming = maxHamming, maxBucketSize = maxBucketSize)
     }
-    val storeDups = pairsAgainst(store).select(col("id_new").as(idColumn))
+    val storeDups = pairsAgainst(storeView).select(col("id_new").as(idColumn))
     // within-batch dups: the same pair machinery self-joined on the
     // already-persisted fingerprint frame — zero extra decodes
     val allDups =
@@ -396,10 +477,10 @@ case class IncrementalMediaDedupTransformer(
     val dupIds = persistForRun(allDups.distinct(), s"$batchInput.dups")
     // delta-bounded (⊆ batch ids) → legal broadcast
     val novel = batch.join(broadcast(dupIds), Seq(idColumn), "left_anti")
-    // store DELTA: the novel items' already-computed fingerprints — zero
-    // extra decodes, appended by the action
-    val storeDelta = deltaFps.join(
-      novel.select(col(idColumn).as("id")), Seq("id"), "left_semi")
+    // store DELTA: the novel items' already-computed fingerprints (in the
+    // store layout) — zero extra decodes, appended by the action
+    val storeDelta = toStoreLayout(deltaFps.join(
+      novel.select(col(idColumn).as("id")), Seq("id"), "left_semi"))
     Map(novelKey -> novel, storeInput -> storeDelta)
   }
 }
@@ -421,15 +502,31 @@ case class IncrementalEmbeddingDedupTransformer(
     novelOutput: Option[String] = None,
     /** dedup WITHIN the batch too (keep the min-id head per duplicate
       * pair) — see [[IncrementalStoreDfsTransformer.intraBatch]] */
-    intraBatch: Boolean = true) extends IncrementalStoreDfsTransformer {
+    intraBatch: Boolean = true,
+    /** > 0: the store delta carries a `store_pfx` partition column =
+      * pmod(xxhash64(bucket), storePartitions); declare it on the store
+      * DataObject and the bucket join reads only the store files in the
+      * delta's own bucket set. Semantics-preserving on every path: the
+      * LSH join matches within a bucket, exact copies share their bucket,
+      * and over-cap counts are complete per prefix (bucket → prefix is a
+      * function). */
+    storePartitions: Int = 0) extends IncrementalStoreDfsTransformer {
+  /** the store layout: embedding store rows have exactly one blocking key
+    * (the hyperplane bucket), so partitioning needs no layout change —
+    * just the transport column */
+  private def toStoreLayout(sigs: DataFrame): DataFrame =
+    if (storePartitions > 0)
+      sigs.withColumn("store_pfx", Dedup.storePrefix(storePartitions, col("bucket")))
+    else sigs
   override protected def storeMetaParams: Map[String, String] = Map(
-    "dim" -> dim.toString, "numPlanes" -> numPlanes.toString)
+    "dim" -> dim.toString, "numPlanes" -> numPlanes.toString,
+    "storePartitions" -> storePartitions.toString)
   override def transform(dfs: Map[String, DataFrame])
                         (implicit ctx: ActionPipelineContext): Map[String, DataFrame] = {
     val batch = dfs.getOrElse(batchInput,
       throw new IllegalArgumentException(s"IncrementalEmbeddingDedupTransformer: missing input '$batchInput'"))
     val store = dfs.getOrElse(storeInput,
-      Dedup.embeddingStore(batch.limit(0), idColumn, embColumn, dim, numPlanes))
+      toStoreLayout(Dedup.embeddingStore(batch.limit(0), idColumn, embColumn, dim, numPlanes)))
     if (ctx.phase == ExecutionPhase.Init)
       return Map(novelKey -> batch, storeInput -> store.limit(0))
     // dim/numPlanes determine bucket values — the sidecar catches a
@@ -437,7 +534,12 @@ case class IncrementalEmbeddingDedupTransformer(
     validateStoreMeta(() => ())
     val sigs = persistForRun(
       Dedup.embeddingStore(batch, idColumn, embColumn, dim, numPlanes), s"$batchInput.esigs")
-    val storeDups = Dedup.embeddingIncrementalPairsFromSigs(sigs, store, threshold, maxBucketSize)
+    // prefix-pruned store view: only the store files in the delta's own
+    // bucket-prefix set feed the bucket join
+    val storeView = pruneStoreByPrefix(store, storePartitions,
+      sigs.select(Dedup.storePrefix(storePartitions, col("bucket")).as("p"))
+        .distinct().collect().map(_.getLong(0)).toSeq)
+    val storeDups = Dedup.embeddingIncrementalPairsFromSigs(sigs, storeView, threshold, maxBucketSize)
       .select(col("id_new").as(idColumn))
     // within-batch dups: the same bucket-join machinery self-joined on
     // the already-persisted signature frame — zero extra signings
@@ -447,8 +549,8 @@ case class IncrementalEmbeddingDedupTransformer(
         Dedup.embeddingIncrementalPairsFromSigs(sigs, sigs, threshold, maxBucketSize), idColumn))
     val dupIds = persistForRun(allDups.distinct(), s"$batchInput.dups")
     val novel = batch.join(broadcast(dupIds), Seq(idColumn), "left_anti")
-    val storeDelta = sigs.join(
-      novel.select(col(idColumn).as("id")), Seq("id"), "left_semi")
+    val storeDelta = toStoreLayout(sigs.join(
+      novel.select(col(idColumn).as("id")), Seq("id"), "left_semi"))
     Map(novelKey -> novel, storeInput -> storeDelta)
   }
 }

@@ -79,10 +79,20 @@ case class StreamingIncrementalDedupAction(
   private def sinkObject(doId: String)(implicit ctx: ActionPipelineContext): SparkFileDataObject =
     ctx.registry.dataObject(doId) match {
       case f: SparkFileDataObject =>
-        require(f.partitions == Seq(batchIdColumn),
+        // the STORE sink may nest the blocking-key prefix UNDER the batch
+        // key (transformer storePartitions > 0): replay idempotence only
+        // needs batchId as the LEADING partition — dynamic overwrite
+        // still rewrites exactly the batch's own (batchId, pfx) leaves,
+        // and the prefix level is what lets the pair join prune store
+        // files by the delta's bucket set
+        val allowed =
+          if (doId == storeId) Seq(Seq(batchIdColumn), Seq(batchIdColumn, "store_pfx"))
+          else Seq(Seq(batchIdColumn))
+        require(allowed.contains(f.partitions),
           s"Action $id: sink ${f.id} must be partitioned by '$batchIdColumn' (got " +
             s"${f.partitions.mkString("[", ",", "]")}) — the batchId-keyed dynamic partition " +
-            "overwrite is what makes a replayed micro-batch idempotent")
+            "overwrite is what makes a replayed micro-batch idempotent" +
+            (if (doId == storeId) s"; the store may add 'store_pfx' as a second level" else ""))
         f
       case other => throw new IllegalArgumentException(
         s"Action $id: sink ${other.id} must be a file DataObject (partitioned by '$batchIdColumn')")

@@ -486,7 +486,12 @@ abstract class SparkFileDataObject extends DataObject
     val staging = new Path(path + "_graft_staging")
     val obs = org.apache.spark.sql.Observation(s"graft_stage_${id}_${System.nanoTime()}")
     val observed = instrumented.observe(obs, count(lit(1)).as("records_written"))
-    val w0 = observed.write.format(format).options(options)
+    // same opt-in task/file-count control as the plain write path
+    val repartitioned = numberOfTasksPerPartition.fold(observed) { n =>
+      if (partitions.nonEmpty) observed.repartition(n, partitions.map(col): _*)
+      else observed.repartition(n)
+    }
+    val w0 = repartitioned.write.format(format).options(options)
     val w = if (partitions.nonEmpty) w0.partitionBy(partitions: _*) else w0
     w.mode("overwrite").save(staging.toString)
     // Hadoop delete/rename signal failure by RETURNING FALSE — unchecked,
@@ -548,7 +553,15 @@ abstract class SparkFileDataObject extends DataObject
       java.util.UUID.randomUUID().toString.take(8))
     val obs = org.apache.spark.sql.Observation(s"graft_stage_append_${id}_${System.nanoTime()}")
     val observed = instrumented.observe(obs, count(lit(1)).as("records_written"))
-    val w0 = observed.write.format(format).options(options)
+    // opt-in file-count hygiene, crucial for prefix-partitioned stores: a
+    // delta append without it writes (tasks × touched prefixes) tiny
+    // files; with numberOfTasksPerPartition = 1 it writes one file per
+    // touched prefix per batch
+    val repartitioned = numberOfTasksPerPartition.fold(observed) { n =>
+      if (partitions.nonEmpty) observed.repartition(n, partitions.map(col): _*)
+      else observed.repartition(n)
+    }
+    val w0 = repartitioned.write.format(format).options(options)
     val w = if (partitions.nonEmpty) w0.partitionBy(partitions: _*) else w0
     w.mode("overwrite").save(staging.toString)
     // COMMIT POINT: the staged increment is complete — from here recovery

@@ -173,9 +173,13 @@ class GraftAppSpec extends AnyFunSuite {
       feedSel = Some("stream_ingest")), spark)
     assert(spark.read.parquet(s"$dir/out/stream_novel").select("doc_id")
       .as[Long].collect().toSet == Set(1L, 2L, 4L))
-    // one batch-keyed store partition of novel signatures per micro-batch
+    // one batch-keyed store partition of novel signatures per micro-batch;
+    // the banded layout holds one row per band, laid out by blocking-key
+    // prefix under the batch partition
     assert(spark.read.parquet(s"$dir/out/stream_sigs").select("id", "ingest_batch")
-      .as[(Long, Long)].collect().toSet == Set((1L, 0L), (2L, 0L), (4L, 1L)))
+      .distinct().as[(Long, Long)].collect().toSet == Set((1L, 0L), (2L, 0L), (4L, 1L)))
+    assert(new java.io.File(s"$dir/out/stream_sigs/ingest_batch=0").listFiles()
+      .exists(_.getName.startsWith("store_pfx=")))
   }
 
   test("examples/warehouse_pipeline.conf: incremental stage + config merge + historize") {

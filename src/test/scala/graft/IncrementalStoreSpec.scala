@@ -265,7 +265,8 @@ class IncrementalStoreSpec extends AnyFunSuite {
     assert(new java.io.File(s"$dir/store/.schema/storeMeta.json").exists,
       "bootstrap must write the store meta sidecar")
     assert(graft.sources.StoreMeta.read(s"$dir/store").get ==
-      Map("scheme" -> "minhash", "numHashes" -> "32", "shingleSize" -> "5"))
+      Map("scheme" -> "minhash", "numHashes" -> "32", "shingleSize" -> "5",
+        "storeLayout" -> "compact", "storePartitions" -> "0"))
 
     // minhash → oph at the SAME numHashes: signature VALUES are
     // indistinguishable from data (the old limit(1) width probe passes),

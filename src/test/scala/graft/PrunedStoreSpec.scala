@@ -1,0 +1,242 @@
+package graft
+
+import graft.core._
+import graft.functions.Dedup
+import graft.operators._
+import graft.sources._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-16 blocking-key-pruned store layouts: the banded text signature
+  * store, embedding bucket partitioning, and video frame-hash
+  * partitioning — per-batch store READS bounded by the delta's own
+  * blocking keys instead of the whole store (the writes were already
+  * O(increment) via staged append). */
+class PrunedStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  /** deterministic 40-token doc per seed — exact copies share a seed */
+  private def docs(rows: Seq[(Long, Long)]): DataFrame =
+    rows.toDF("doc_id", "seed")
+      .withColumn("text", concat_ws(" ",
+        transform(sequence(lit(0), lit(39)),
+          i => concat(lit("w"), pmod(xxhash64(col("seed") * 1000 + i), lit(50000L))))))
+      .drop("seed")
+
+  /** files the scan would actually read AFTER partition pruning — the
+    * measurement the pruned layout exists for */
+  private def scannedFiles(df: DataFrame): Long =
+    df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.totalNumberOfFiles
+    }.sum
+
+  private def registryFor(dir: String, storePartitions: Boolean): InstanceRegistry = {
+    val reg = new InstanceRegistry
+    reg.register(ParquetFileDataObject("batch", s"$dir/batch"))
+    reg.register(ParquetFileDataObject("novel", s"$dir/novel"))
+    reg.register(ParquetFileDataObject("store", s"$dir/store",
+      partitions = if (storePartitions) Seq("store_pfx") else Seq.empty))
+    reg
+  }
+
+  private def bandedAction(n: Int): Action = CustomDataFrameAction(
+    "inc", Seq("batch"), Seq("novel", "store"),
+    dfsTransformers = Seq(IncrementalDedupTransformer("batch", "store", "doc_id", "text",
+      threshold = 0.8, novelOutput = Some("novel"),
+      storeLayout = "banded", storePartitions = n)),
+    saveMode = Some(SdlSaveMode.Append), recursiveInputIds = Seq("store"))
+
+  test("banded+partitioned text store through the DAG: decisions, layout, sidecar") {
+    val dir = java.nio.file.Files.createTempDirectory("banded").toString
+    val reg = registryFor(dir, storePartitions = true)
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    val action = bandedAction(64)
+
+    // run 1: seeds 1..6 novel; id 7 re-posts seed 1 WITHIN the batch
+    docs((1L to 6L).map(i => (i, i)) :+ (7L, 1L))
+      .write.mode("overwrite").parquet(s"$dir/batch")
+    new ActionDAGRun(Seq(action)).run()
+    assert(spark.read.parquet(s"$dir/novel").select("doc_id").as[Long].collect().toSet ==
+      (1L to 6L).toSet)
+
+    // run 2: id 10 re-posts stored seed 2; 11 novel; 12 re-posts 11 intra
+    docs(Seq((10L, 2L), (11L, 99L), (12L, 99L)))
+      .write.mode("overwrite").parquet(s"$dir/batch")
+    new ActionDAGRun(Seq(action)).run()
+    assert(spark.read.parquet(s"$dir/novel").select("doc_id").as[Long].collect().toSet ==
+      (1L to 6L).toSet + 11L)
+
+    // on-disk layout: the store is laid out by blocking-key prefix, and
+    // the banded schema (no shingle arrays) is what's stored
+    val dirs = new java.io.File(s"$dir/store").listFiles().map(_.getName)
+      .filter(_.startsWith("store_pfx=")).toSeq
+    assert(dirs.nonEmpty, "store must be partitioned by store_pfx on disk")
+    val storeDf = reg.dataObject("store").asInstanceOf[ParquetFileDataObject].getDataFrame()
+    assert(storeDf.columns.toSet == Set("id", "band", "bucket", "sig", "store_pfx"))
+    // store holds only the HEADS (novel ids), one row per band
+    assert(storeDf.select("id").distinct().as[Long].collect().toSet == (1L to 6L).toSet + 11L)
+    // sidecar records the layout — a compact-config rerun must fail loudly
+    val meta = StoreMeta.read(s"$dir/store").get
+    assert(meta("storeLayout") == "banded" && meta("storePartitions") == "64")
+  }
+
+  test("layout drift fails loudly from the sidecar (banded store, compact config)") {
+    val dir = java.nio.file.Files.createTempDirectory("bandeddrift").toString
+    val reg = registryFor(dir, storePartitions = true)
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    docs(Seq((1L, 1L))).write.mode("overwrite").parquet(s"$dir/batch")
+    new ActionDAGRun(Seq(bandedAction(64))).run()
+    val compact = CustomDataFrameAction(
+      "inc", Seq("batch"), Seq("novel", "store"),
+      dfsTransformers = Seq(IncrementalDedupTransformer("batch", "store", "doc_id", "text",
+        threshold = 0.8, novelOutput = Some("novel"))),
+      saveMode = Some(SdlSaveMode.Append), recursiveInputIds = Seq("store"))
+    val e = intercept[Exception] { new ActionDAGRun(Seq(compact)).run() }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(e).exists(t => Option(t.getMessage).exists(_.contains("storeLayout"))),
+      s"expected a storeLayout drift failure, got: $e")
+  }
+
+  test("prefix pruning: the pair join's store scan reads only the delta's bucket files") {
+    val dir = java.nio.file.Files.createTempDirectory("bandedprune").toString
+    val reg = registryFor(dir, storePartitions = true)
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    val action = bandedAction(64)
+    // two corpus batches → a store spread over many prefixes
+    docs((1L to 12L).map(i => (i, i))).write.mode("overwrite").parquet(s"$dir/batch")
+    new ActionDAGRun(Seq(action)).run()
+    docs((20L to 31L).map(i => (i, i))).write.mode("overwrite").parquet(s"$dir/batch")
+    new ActionDAGRun(Seq(action)).run()
+
+    val store = reg.dataObject("store").asInstanceOf[ParquetFileDataObject].getDataFrame()
+    val all = scannedFiles(store)
+    // a single-doc delta touches at most `bands` of the 64 prefixes
+    val sigs = Dedup.minhashSignatures(docs(Seq((100L, 2L))), "doc_id", "text", 5, 32)
+    val pfxs = Dedup.minhashBandedStore(sigs, 32, 8, 64)
+      .select("store_pfx").distinct().as[Long].collect().toSeq
+    assert(pfxs.size <= 8)
+    val pruned = store.where(col("store_pfx").isin(pfxs: _*))
+    assert(scannedFiles(pruned) < all,
+      s"pruned scan must read fewer files: ${scannedFiles(pruned)} vs $all")
+    // and the pruned view still finds the planted duplicate
+    val pairs = Dedup.minhashIncrementalPairsBandedStore(
+      sigs, pruned.drop("store_pfx"), 32, 8, threshold = 0.8)
+    assert(pairs.select("id_corpus").as[Long].collect().toSet == Set(2L))
+  }
+
+  test("banded estimate agrees with the compact layout on planted batches") {
+    // same two batches through both layouts, standalone (frames passed
+    // directly) — identical novel decisions
+    implicit val ctx: ActionPipelineContext =
+      ActionPipelineContext(spark, new InstanceRegistry)
+    val b1 = docs((1L to 6L).map(i => (i, i)) :+ (7L, 1L))
+    val b2 = docs(Seq((10L, 2L), (11L, 99L), (12L, 99L)))
+    def novels(tr: IncrementalDedupTransformer): Set[Long] = {
+      val r1 = tr.transform(Map("b" -> b1))
+      val r2 = tr.transform(Map("b" -> b2, "store" -> r1("store")))
+      (r1("b").select("doc_id").as[Long].collect() ++
+        r2("b").select("doc_id").as[Long].collect()).toSet
+    }
+    val banded = novels(IncrementalDedupTransformer("b", "store", "doc_id", "text",
+      threshold = 0.8, storeLayout = "banded"))
+    val compact = novels(IncrementalDedupTransformer("b", "store", "doc_id", "text",
+      threshold = 0.8))
+    assert(banded == compact && banded == (1L to 6L).toSet + 11L)
+  }
+
+  test("embedding store partitioning: same decisions, pruned bucket scan") {
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(16)(i => (((seed * 31 + i * 17) % 97).toFloat - 48f) / 48f)
+    def batchOf(rows: Seq[(Long, Long)]): DataFrame =
+      rows.map { case (id, s) => (id, vec(s)) }.toDF("vec_id", "emb")
+    def run(dir: String, n: Int): Set[Long] = {
+      val reg = new InstanceRegistry
+      reg.register(ParquetFileDataObject("batch", s"$dir/batch"))
+      reg.register(ParquetFileDataObject("novel", s"$dir/novel"))
+      reg.register(ParquetFileDataObject("store", s"$dir/store",
+        partitions = if (n > 0) Seq("store_pfx") else Seq.empty))
+      implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+      val action = CustomDataFrameAction(
+        "inc", Seq("batch"), Seq("novel", "store"),
+        dfsTransformers = Seq(IncrementalEmbeddingDedupTransformer("batch", "store",
+          "vec_id", "emb", dim = 16, novelOutput = Some("novel"), storePartitions = n)),
+        saveMode = Some(SdlSaveMode.Append), recursiveInputIds = Seq("store"))
+      batchOf((1L to 8L).map(i => (i, i))).write.mode("overwrite").parquet(s"$dir/batch")
+      new ActionDAGRun(Seq(action)).run()
+      // 10 re-posts vector 3; 11 novel; 12 re-posts 11 intra-batch
+      batchOf(Seq((10L, 3L), (11L, 42L), (12L, 42L)))
+        .write.mode("overwrite").parquet(s"$dir/batch")
+      new ActionDAGRun(Seq(action)).run()
+      spark.read.parquet(s"$dir/novel").select("vec_id").as[Long].collect().toSet
+    }
+    val base = java.nio.file.Files.createTempDirectory("embprune").toString
+    val pruned = run(s"$base/p", 32)
+    val plain = run(s"$base/u", 0)
+    assert(pruned == plain && pruned == (1L to 8L).toSet + 11L)
+    assert(new java.io.File(s"$base/p/store").listFiles()
+      .exists(_.getName.startsWith("store_pfx=")))
+  }
+
+  test("video store partitioning wires through HOCON and preserves decisions") {
+    val fs = 2048
+    def run(dir: String, n: Int): (Set[Long], Set[Long]) = {
+      val partLine = if (n > 0) """, partitions = ["store_pfx"]""" else ""
+      val cfg =
+        s"""dataObjects {
+           |  vbatch { type = parquet, path = "$dir/batch" }
+           |  vnovel { type = parquet, path = "$dir/novel" }
+           |  vstore { type = parquet, path = "$dir/store"$partLine }
+           |}
+           |actions {
+           |  ingest {
+           |    type = customDataFrame
+           |    inputIds = [vbatch]
+           |    outputIds = [vnovel, vstore]
+           |    recursiveInputIds = [vstore]
+           |    saveMode = append
+           |    dfsTransformers = [
+           |      { type = incrementalMediaDedup, batchInput = vbatch, storeInput = vstore,
+           |        idColumn = media_id, modality = video, frameSize = $fs,
+           |        minSharedFrames = 2, novelOutput = vnovel, storePartitions = $n }
+           |    ]
+           |  }
+           |}
+           |""".stripMargin
+      val reg = ConfigParser.parse(cfg)
+      implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+      val action = reg.action("ingest")
+      def write(rows: Seq[(Long, Array[Byte])]): Unit =
+        rows.toDF("media_id", "content").write.mode("overwrite").parquet(s"$dir/batch")
+      write(Seq((1L, Multimodal.Codecs.synthVideo(1L, 5, fs)),
+                (2L, Multimodal.Codecs.synthVideo(2L, 5, fs))))
+      new ActionDAGRun(Seq(action)).run()
+      write(Seq((3L, Multimodal.Codecs.synthVideo(1L, 5, fs)),
+                (4L, Multimodal.Codecs.synthVideo(9L, 5, fs))))
+      new ActionDAGRun(Seq(action)).run()
+      (spark.read.parquet(s"$dir/novel").select("media_id").as[Long].collect().toSet,
+        spark.read.parquet(s"$dir/store").select("id").distinct().as[Long].collect().toSet)
+    }
+    val base = java.nio.file.Files.createTempDirectory("vidprune").toString
+    val (novelP, storeP) = run(s"$base/p", 16)
+    val (novelU, storeU) = run(s"$base/u", 0)
+    assert(novelP == novelU && novelP == Set(1L, 2L, 4L))
+    assert(storeP == storeU && storeP == Set(1L, 2L, 4L))
+    assert(new java.io.File(s"$base/p/store").listFiles()
+      .exists(_.getName.startsWith("store_pfx=")))
+  }
+
+  test("construction guards: partitioning needs a single-blocking-key layout") {
+    intercept[IllegalArgumentException] {
+      IncrementalDedupTransformer("b", "s", "id", "text", storePartitions = 8)
+    }
+    intercept[IllegalArgumentException] {
+      IncrementalMediaDedupTransformer("b", "s", "id", modality = "image", storePartitions = 8)
+    }
+    // banded without partitioning is legal (slimmer store, estimator verify)
+    IncrementalDedupTransformer("b", "s", "id", "text", storeLayout = "banded")
+  }
+}
