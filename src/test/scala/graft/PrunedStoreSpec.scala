@@ -229,6 +229,35 @@ class PrunedStoreSpec extends AnyFunSuite {
       .exists(_.getName.startsWith("store_pfx=")))
   }
 
+  test("streaming replay stays idempotent on the nested (batchId, store_pfx) store") {
+    val dir = java.nio.file.Files.createTempDirectory("bandedreplay").toString
+    val reg = new InstanceRegistry
+    reg.register(ParquetFileDataObject("in", s"$dir/src"))
+    reg.register(ParquetFileDataObject("novel", s"$dir/out", partitions = Seq("ingest_batch")))
+    reg.register(ParquetFileDataObject("store", s"$dir/store",
+      partitions = Seq("ingest_batch", "store_pfx")))
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    val action = StreamingIncrementalDedupAction("ingest",
+      IncrementalDedupTransformer("in", "store", "doc_id", "text", threshold = 0.8,
+        novelOutput = Some("novel"), storeLayout = "banded", storePartitions = 16),
+      graft.operators.modes.SparkStreamingMode(
+        checkpointLocation = s"$dir/cp", triggerType = "AvailableNow"))
+    action.processBatch(docs((1L to 4L).map(i => (i, i))), 0L)
+    // batch 1: id 10 re-posts stored seed 2, id 11 novel — delivered TWICE
+    // (the at-least-once window: writes landed, checkpoint commit didn't)
+    val b1 = docs(Seq((10L, 2L), (11L, 99L)))
+    action.processBatch(b1, 1L)
+    action.processBatch(b1, 1L)
+    assert(spark.read.parquet(s"$dir/out").select("doc_id").as[Long].collect().toSet ==
+      (1L to 4L).toSet + 11L)
+    // the store holds each head's banded rows exactly once — a replayed
+    // batch overwrites its own (batchId, prefix) leaves, no duplicates
+    val store = spark.read.parquet(s"$dir/store")
+    assert(store.groupBy("id", "band").count().where(col("count") > 1).count() == 0,
+      "replay must not duplicate banded store rows")
+    assert(store.select("id").distinct().as[Long].collect().toSet == (1L to 4L).toSet + 11L)
+  }
+
   test("construction guards: partitioning needs a single-blocking-key layout") {
     intercept[IllegalArgumentException] {
       IncrementalDedupTransformer("b", "s", "id", "text", storePartitions = 8)
