@@ -3376,8 +3376,11 @@ object SparkEntry {
     // decoded once into (id, dhash64); the delta batch decodes only itself
     // and block-joins its hashes against the store (the minhash-store
     // discipline for media — corpus bytes are not an input to the
-    // incremental call at all). Planted: delta seeds 0..19 collide with
-    // corpus seeds, 20..39 are novel. Structural oracle like q137.
+    // incremental call at all). Planted: corpus seeds are {0,5,10,15}
+    // (vec_id%20 over multiples of 5); the delta's (vec_id-1)%40 seeds are
+    // the multiples of 5 in 0..35, so seeds 0/5/10/15 COLLIDE (positive
+    // rows — the oracle must catch a missed duplicate, not just a false
+    // one) and 20/25/30/35 are novel. Structural oracle like q137.
     "q140_image_incremental_dedup" -> ((s, dir) => {
       import graft.operators.Multimodal
       val corpus = t(s, dir, "embeddings").select(col("vec_id"))
@@ -3385,7 +3388,7 @@ object SparkEntry {
       val store = Multimodal.imageFingerprintStore(
         Multimodal.withSynthImage(corpus, "seed", 16, 16), "vec_id")
       val delta = t(s, dir, "embeddings").select(col("vec_id"))
-        .where(col("vec_id") % 5 === 1).withColumn("seed", col("vec_id") % 40)
+        .where(col("vec_id") % 5 === 1).withColumn("seed", (col("vec_id") - 1) % 40)
       Multimodal.imageIncrementalPairs(
         Multimodal.withSynthImage(delta, "seed", 16, 16), store,
         "vec_id", maxHamming = 0)
@@ -5856,12 +5859,13 @@ object SparkEntry {
 
     // q140: structural oracle (the q137 argument, incrementally) — a delta
     // doc pairs with a corpus doc iff their seeds coincide: delta seed =
-    // vec_id % 40, corpus seed = vec_id % 20, so the join predicate is the
-    // seed equality itself (delta seeds ≥ 20 match nothing)
+    // (vec_id-1) % 40, corpus seed = vec_id % 20, so the join predicate is
+    // the seed equality itself (delta seeds 0/5/10/15 MATCH — positive
+    // rows — and 20/25/30/35 match nothing)
     "q140_image_incremental_dedup" ->
       """SELECT d.vec_id AS id_new, c.vec_id AS id_corpus
         |FROM embeddings d JOIN embeddings c
-        |  ON d.vec_id % 40 = c.vec_id % 20
+        |  ON (d.vec_id - 1) % 40 = c.vec_id % 20
         |WHERE d.vec_id % 5 = 1 AND c.vec_id % 5 = 0""".stripMargin,
 
     // q141: same argument on audio fingerprints
