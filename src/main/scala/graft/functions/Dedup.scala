@@ -833,6 +833,61 @@ object Dedup {
     * @param storeSigs (id, simhash) store persisted across batches —
     *        append the batch's NOVEL signatures after each run
     * @return (id_new, id_corpus, hamming) with hamming <= maxHamming */
+  /** BLOCKED simhash store layout — the banded-text idea on 64-bit
+    * fingerprints: one row per Manku block key, (id, block, bkey,
+    * simhash) [+ `store_pfx` when `storePartitions > 0`], so the store
+    * can be laid out by blocking-key prefix and the incremental pair
+    * join ([[simhashIncrementalPairsFromBlockedStore]]) prunes its store
+    * read to the delta's own block keys. Unlike the text layout this
+    * changes NO verification semantics — hamming needs only the two
+    * fingerprints, both carried. The block decomposition BAKES IN
+    * (bits, maxHamming, blocksPerKey): pin them per store (sidecar) —
+    * a delta blocked with a different hamming budget would silently
+    * never (or wrongly) key-match. Storage: (maxHamming + blocksPerKey)
+    * rows × ~28 B per item vs the flat store's 16 B. */
+  def simhashBlockedStore(sigs: DataFrame, bits: Int = 64, maxHamming: Int = 3,
+                          blocksPerKey: Int = 1, storePartitions: Int = 0): DataFrame = {
+    val blocked = mankuBlocked(sigs.select(col("id"), col("simhash")), bits, maxHamming,
+        blocksPerKey, persistInput = false)
+      .select(col("id"), col("block"), col("bkey"), col("simhash"))
+    if (storePartitions > 0)
+      blocked.withColumn("store_pfx", storePrefix(storePartitions, col("block"), col("bkey")))
+    else blocked
+  }
+
+  /** [[simhashIncrementalPairsFromSigs]] against an ALREADY-BLOCKED store
+    * ([[simhashBlockedStore]] layout): the store-side explode is gone
+    * (pre-materialized at append time) and a prefix-pruned store view
+    * reads only the delta's block-key files. The caller passes the
+    * (possibly pruned) blocked view; pruning is semantics-preserving —
+    * a pair within `maxHamming` shares at least one exact block
+    * (pigeonhole), so every contributing store row carries a key the
+    * delta also has, and over-cap counts are complete per prefix. */
+  def simhashIncrementalPairsFromBlockedStore(deltaSigs: DataFrame, blockedStore: DataFrame,
+                                              bits: Int = 64, maxHamming: Int = 3,
+                                              maxBucketSize: Int = 1000, blocksPerKey: Int = 1,
+                                              failOnCappedBuckets: Boolean = false): DataFrame = {
+    val deltaBlocked = mankuBlocked(deltaSigs.select(col("id"), col("simhash")),
+      bits, maxHamming, blocksPerKey, persistInput = false)
+    val guarded =
+      if (failOnCappedBuckets) {
+        assertNoCappedBuckets(blockedStore.select(col("id"), col("block"), col("bkey")),
+          Seq("block", "bkey"), maxBucketSize, "incremental blocked-simhash store")
+        blockedStore
+      } else {
+        val bigBuckets = blockedStore.groupBy(col("block"), col("bkey"))
+          .agg(count(lit(1)).as("_n")).where(col("_n") > maxBucketSize)
+          .select(col("block"), col("bkey"))
+        blockedStore.join(broadcast(bigBuckets), Seq("block", "bkey"), "left_anti")
+      }
+    deltaBlocked.alias("a").join(guarded.alias("b"),
+        col("a.block") === col("b.block") && col("a.bkey") === col("b.bkey"))
+      .select(col("a.id").as("id_new"), col("b.id").as("id_corpus"),
+        hammingDistance(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .dropDuplicates("id_new", "id_corpus")
+  }
+
   def simhashIncrementalPairsFromSigs(deltaSigs: DataFrame, storeSigs: DataFrame,
                                       bits: Int = 64, maxHamming: Int = 3,
                                       maxBucketSize: Int = 1000, blocksPerKey: Int = 1,

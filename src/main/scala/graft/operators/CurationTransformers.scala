@@ -396,25 +396,24 @@ case class IncrementalMediaDedupTransformer(
     /** dedup WITHIN the batch too (keep the min-id head per duplicate
       * pair) — see [[IncrementalStoreDfsTransformer.intraBatch]] */
     intraBatch: Boolean = true,
-    /** > 0 (video only): the store delta carries a `store_pfx` partition
-      * column = pmod(xxhash64(fh), storePartitions); declare it on the
-      * store DataObject and the frame-hash join reads only the store
-      * files in the delta's own frame-hash set. Video's store rows have
-      * exactly ONE blocking key (the frame hash) so pruning is
-      * semantics-preserving — shared frames are on both sides by
-      * definition, and the hot-frame counts are complete per prefix.
-      * Image/audio fingerprints match through Manku BLOCK ROTATIONS
-      * (several keys per row), so no single partition key can prune
-      * them — rejected at construction. */
+    /** > 0: the store delta carries a `store_pfx` partition column =
+      * pmod(xxhash64(blocking key), storePartitions); declare it on the
+      * store DataObject and the pair join reads only the store files in
+      * the delta's own blocking-key set. Video: the frame hash is the
+      * natural single blocking key (layout unchanged). Image/audio:
+      * switches the store to the BLOCKED layout
+      * ([[graft.functions.Dedup.simhashBlockedStore]] — one row per
+      * Manku block key, fingerprint carried; identical verification
+      * semantics, the block decomposition bakes `maxHamming` into the
+      * store, sidecar-pinned). Pruning is semantics-preserving on all
+      * three: candidates share a key with the delta by construction and
+      * over-cap counts are complete per prefix. */
     storePartitions: Int = 0)
   extends IncrementalStoreDfsTransformer {
   require(modality == "image" || modality == "audio" || modality == "video",
     s"IncrementalMediaDedupTransformer: unknown modality '$modality' (image|audio|video)")
   require(modality != "video" || frameSize > 0,
     "IncrementalMediaDedupTransformer: modality 'video' requires frameSize > 0")
-  require(storePartitions == 0 || modality == "video",
-    "IncrementalMediaDedupTransformer: storePartitions requires modality 'video' — " +
-      "image/audio match through multi-key block rotations that no single partition key covers")
   private def fingerprints(df: DataFrame): DataFrame = modality match {
     case "image" => Multimodal.imageFingerprintStore(df, idColumn, contentColumn)
     case "audio" => Multimodal.audioFingerprintStore(df, idColumn, contentColumn)
@@ -425,17 +424,27 @@ case class IncrementalMediaDedupTransformer(
     case "audio" => "afp64"
     case "video" => "fh"
   }
-  /** a fingerprint frame in the configured store layout (video with
-    * `storePartitions > 0` carries the `store_pfx` partition column) */
-  private def toStoreLayout(fps: DataFrame): DataFrame =
-    if (storePartitions > 0)
+  /** a fingerprint frame in the configured store layout: video carries
+    * `store_pfx` on its natural frame-hash key; image/audio switch to the
+    * blocked layout (one row per Manku block key, fingerprint carried) */
+  private def toStoreLayout(fps: DataFrame): DataFrame = modality match {
+    case "video" if storePartitions > 0 =>
       fps.withColumn("store_pfx", Dedup.storePrefix(storePartitions, col(hashCol)))
-    else fps
+    case "image" | "audio" if storePartitions > 0 =>
+      Dedup.simhashBlockedStore(fps.select(col("id"), col(hashCol).as("simhash")),
+          maxHamming = maxHamming, storePartitions = storePartitions)
+        .withColumnRenamed("simhash", hashCol)
+    case _ => fps
+  }
   override protected def storeMetaParams: Map[String, String] =
     Map("modality" -> modality,
       "storePartitions" -> storePartitions.toString) ++
       (if (modality == "video")
         Map("frameSize" -> frameSize.toString, "stride" -> stride.toString)
+      else Map.empty) ++
+      // the blocked layout bakes the hamming budget into the block keys
+      (if (modality != "video" && storePartitions > 0)
+        Map("storeBlockedMaxHamming" -> maxHamming.toString)
       else Map.empty)
   override def transform(dfs: Map[String, DataFrame])
                         (implicit ctx: ActionPipelineContext): Map[String, DataFrame] = {
@@ -451,10 +460,11 @@ case class IncrementalMediaDedupTransformer(
     // decode ONCE; multi-consumer (pair join + store delta) → persisted,
     // swept by the DAG at run end
     val deltaFps = persistForRun(fingerprints(batch), s"$batchInput.fps")
-    // prefix-pruned store view (video): only the store files in the
-    // delta's own frame-hash prefix set feed the fh join
+    // prefix-pruned store view: only the store files in the delta's own
+    // blocking-key prefix set (frame hashes / Manku block keys) feed the
+    // pair join
     val storeView = pruneStoreByPrefix(store, storePartitions,
-      deltaFps.select(Dedup.storePrefix(storePartitions, col(hashCol)).as("p"))
+      toStoreLayout(deltaFps).select(col("store_pfx"))
         .distinct().collect().map(_.getLong(0)).toSeq)
     def pairsAgainst(corpus: DataFrame): DataFrame = modality match {
       case "video" =>
@@ -466,7 +476,14 @@ case class IncrementalMediaDedupTransformer(
           corpus.select(col("id"), col(hashCol).as("simhash")),
           maxHamming = maxHamming, maxBucketSize = maxBucketSize)
     }
-    val storeDups = pairsAgainst(storeView).select(col("id_new").as(idColumn))
+    // the store side: image/audio with partitioning read the PRE-BLOCKED
+    // layout (no per-batch store explode — it was materialized at append)
+    val storeDups = (if (modality != "video" && storePartitions > 0)
+      Dedup.simhashIncrementalPairsFromBlockedStore(
+        deltaFps.select(col("id"), col(hashCol).as("simhash")),
+        storeView.select(col("id"), col("block"), col("bkey"), col(hashCol).as("simhash")),
+        maxHamming = maxHamming, maxBucketSize = maxBucketSize)
+    else pairsAgainst(storeView)).select(col("id_new").as(idColumn))
     // within-batch dups: the same pair machinery self-joined on the
     // already-persisted fingerprint frame — zero extra decodes
     val allDups =

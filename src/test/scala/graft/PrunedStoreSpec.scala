@@ -258,12 +258,63 @@ class PrunedStoreSpec extends AnyFunSuite {
     assert(store.select("id").distinct().as[Long].collect().toSet == (1L to 4L).toSet + 11L)
   }
 
+  test("image blocked store partitioning: same decisions, blocked layout on disk") {
+    def run(dir: String, n: Int): (Set[Long], Set[Long]) = {
+      val reg = new InstanceRegistry
+      reg.register(ParquetFileDataObject("batch", s"$dir/batch"))
+      reg.register(ParquetFileDataObject("novel", s"$dir/novel"))
+      reg.register(ParquetFileDataObject("store", s"$dir/store",
+        partitions = if (n > 0) Seq("store_pfx") else Seq.empty))
+      implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+      val action = CustomDataFrameAction(
+        "inc", Seq("batch"), Seq("novel", "store"),
+        dfsTransformers = Seq(IncrementalMediaDedupTransformer("batch", "store",
+          "media_id", modality = "image", maxHamming = 2,
+          novelOutput = Some("novel"), storePartitions = n)),
+        saveMode = Some(SdlSaveMode.Append), recursiveInputIds = Seq("store"))
+      def write(rows: Seq[(Long, Long)]): Unit =
+        operators.Multimodal.withSynthImage(rows.toDF("media_id", "seed"), "seed", 16, 16)
+          .write.mode("overwrite").parquet(s"$dir/batch")
+      write((1L to 6L).map(i => (i, i)) :+ (7L, 1L))   // 7 intra-dups seed 1
+      new ActionDAGRun(Seq(action)).run()
+      write(Seq((10L, 2L), (11L, 99L), (12L, 99L)))    // 10 store dup, 12 intra
+      new ActionDAGRun(Seq(action)).run()
+      (spark.read.parquet(s"$dir/novel").select("media_id").as[Long].collect().toSet,
+        spark.read.parquet(s"$dir/store").select("id").distinct().as[Long].collect().toSet)
+    }
+    val base = java.nio.file.Files.createTempDirectory("imgblocked").toString
+    val (novelP, storeP) = run(s"$base/p", 32)
+    val (novelU, storeU) = run(s"$base/u", 0)
+    assert(novelP == novelU && novelP == (1L to 6L).toSet + 11L)
+    assert(storeP == storeU && storeP == (1L to 6L).toSet + 11L)
+    // blocked layout on disk: one row per Manku block key, prefix dirs
+    val storeDf = spark.read.parquet(s"$base/p/store")
+    assert(storeDf.columns.toSet == Set("id", "block", "bkey", "dhash64", "store_pfx"))
+    assert(storeDf.groupBy("id").count().select(max(col("count"))).as[Long].head() == 3L,
+      "maxHamming=2 → 3 block rows per fingerprint")
+    assert(new java.io.File(s"$base/p/store").listFiles()
+      .exists(_.getName.startsWith("store_pfx=")))
+    // a hamming-budget drift against the blocked store fails loudly
+    val reg = new InstanceRegistry
+    reg.register(ParquetFileDataObject("batch", s"$base/p/batch"))
+    reg.register(ParquetFileDataObject("novel", s"$base/p/novel"))
+    reg.register(ParquetFileDataObject("store", s"$base/p/store", partitions = Seq("store_pfx")))
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    val drifted = CustomDataFrameAction("inc", Seq("batch"), Seq("novel", "store"),
+      dfsTransformers = Seq(IncrementalMediaDedupTransformer("batch", "store",
+        "media_id", modality = "image", maxHamming = 3,
+        novelOutput = Some("novel"), storePartitions = 32)),
+      saveMode = Some(SdlSaveMode.Append), recursiveInputIds = Seq("store"))
+    val e = intercept[Exception] { new ActionDAGRun(Seq(drifted)).run() }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(e).exists(t => Option(t.getMessage).exists(_.contains("storeBlockedMaxHamming"))),
+      s"expected a blocked-hamming drift failure, got: $e")
+  }
+
   test("construction guards: partitioning needs a single-blocking-key layout") {
     intercept[IllegalArgumentException] {
       IncrementalDedupTransformer("b", "s", "id", "text", storePartitions = 8)
-    }
-    intercept[IllegalArgumentException] {
-      IncrementalMediaDedupTransformer("b", "s", "id", modality = "image", storePartitions = 8)
     }
     // banded without partitioning is legal (slimmer store, estimator verify)
     IncrementalDedupTransformer("b", "s", "id", "text", storeLayout = "banded")
