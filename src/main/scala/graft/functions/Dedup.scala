@@ -1210,12 +1210,20 @@ object Dedup {
     * never re-read). Size is O(distinct corpus windows), the same order as
     * the corpus token stream. */
   def spanFingerprintStore(df: DataFrame, idCol: String, textCol: String,
-                           l: Int = 8, portableFingerprints: Boolean = true): DataFrame = {
+                           l: Int = 8, portableFingerprints: Boolean = true,
+                           storePartitions: Int = 0): DataFrame = {
     require(l >= 2, "window length l must be ≥ 2")
     val base = df.select(col(idCol).as("id"),
       TextAnalysis.wsTokens(col(textCol)).as("toks"))
-    windowFps(base, l, portableFingerprints)
+    val counts = windowFps(base, l, portableFingerprints)
       .groupBy(col("h"), col("h2")).agg(count(lit(1)).as("c"))
+    // (h, h2) is the row's single blocking key, so the store joins the
+    // pruned-layout family directly: with storePartitions > 0 persist it
+    // partitioned by store_pfx and removeRepeatedSpansIncremental prunes
+    // its read to the delta's own window prefixes
+    if (storePartitions > 0)
+      counts.withColumn("store_pfx", storePrefix(storePartitions, col("h"), col("h2")))
+    else counts
   }
 
   /** Incremental repeated-span removal: clean a DELTA batch against the
@@ -1231,7 +1239,8 @@ object Dedup {
   def removeRepeatedSpansIncremental(delta: DataFrame, idCol: String, textCol: String,
                                      store: DataFrame, l: Int = 8,
                                      persist: Boolean = true,
-                                     portableFingerprints: Boolean = true): DataFrame = {
+                                     portableFingerprints: Boolean = true,
+                                     storePartitions: Int = 0): DataFrame = {
     require(l >= 2, "window length l must be ≥ 2")
     val base = delta.select(col(idCol).as("id"),
       TextAnalysis.wsTokens(col(textCol)).as("toks"))
@@ -1240,6 +1249,21 @@ object Dedup {
       if (persist) exploded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else exploded
     val deltaCounts = windows.groupBy(col("h"), col("h2")).agg(count(lit(1)).as("_dc"))
+    // prefix-pruned store view (store written by spanFingerprintStore with
+    // storePartitions > 0 and persisted partitioned by store_pfx): the
+    // delta's prefix set is ≤ storePartitions values — a config constant,
+    // never data-scaled — and parquet partition pruning then skips every
+    // store file outside the delta's own windows. Tolerates a store frame
+    // without the column; pruning is an I/O optimization, never a
+    // correctness requirement (the inner join below already drops
+    // non-matching rows).
+    val storeView =
+      if (storePartitions > 0 && store.columns.contains("store_pfx")) {
+        val pfxs = deltaCounts
+          .select(storePrefix(storePartitions, col("h"), col("h2")).as("p"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        store.where(col("store_pfx").isin(pfxs: _*)).drop("store_pfx")
+      } else store.drop("store_pfx")
     // History access in two steps so the corpus-sized store can STREAM:
     // a left-outer `deltaCounts ⟕ store` would pin the store to the
     // non-preserved side of a join whose PRESERVED side is the delta —
@@ -1249,7 +1273,7 @@ object Dedup {
     // delta side when it fits, the store streams; a (h,h2)-bucketed store
     // makes it co-located — yielding a delta-bounded `_sc` table, then
     // (2) left-join that small result back onto deltaCounts.
-    val storedForDelta = store.select(col("h"), col("h2"), col("c").as("_sc"))
+    val storedForDelta = storeView.select(col("h"), col("h2"), col("c").as("_sc"))
       .join(deltaCounts.select(col("h"), col("h2")), Seq("h", "h2"))
     val dup = deltaCounts
       .join(storedForDelta, Seq("h", "h2"), "left")

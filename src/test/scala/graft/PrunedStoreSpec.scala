@@ -312,6 +312,39 @@ class PrunedStoreSpec extends AnyFunSuite {
       s"expected a blocked-hamming drift failure, got: $e")
   }
 
+  test("span fingerprint store pruning: same cleaned text, pruned window scan") {
+    // corpus history: docs sharing the boilerplate span; delta: one doc
+    // re-posting it (span removed) + one clean doc (untouched)
+    val boiler = "all rights reserved contact us for licensing terms today"
+    def doc(id: Long, body: String) = (id, s"$body $boiler")
+    val corpus = Seq(doc(1, "alpha beta gamma delta epsilon zeta eta theta"),
+      doc(2, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val delta = Seq(doc(10, "fresh unique words appear nowhere else in corpus"),
+      (11L, "completely novel text with no shared windows at all whatsoever"))
+      .toDF("doc_id", "text")
+    def cleaned(store: org.apache.spark.sql.DataFrame, n: Int): Map[Long, String] =
+      Dedup.removeRepeatedSpansIncremental(delta, "doc_id", "text", store,
+          l = 8, storePartitions = n)
+        .select(col("id"), col("cleaned_text")).as[(Long, String)].collect().toMap
+    val plain = cleaned(
+      Dedup.spanFingerprintStore(corpus, "doc_id", "text", l = 8), 0)
+    // partitioned store persisted to parquet, read back with partition dirs
+    val dir = java.nio.file.Files.createTempDirectory("spanprune").toString
+    Dedup.spanFingerprintStore(corpus, "doc_id", "text", l = 8, storePartitions = 16)
+      .write.partitionBy("store_pfx").parquet(s"$dir/store")
+    val partStore = spark.read.option("basePath", s"$dir/store").parquet(s"$dir/store")
+    val pruned = cleaned(partStore, 16)
+    assert(pruned == plain, "pruning must not change a single cleaned byte")
+    assert(pruned(10L).endsWith("in corpus") && !pruned(10L).contains("licensing"),
+      s"the boilerplate span must be removed: ${pruned(10L)}")
+    assert(pruned(11L).contains("whatsoever"), "clean doc untouched")
+    // and the store scan was actually pruned to the delta's prefixes
+    val total = scannedFiles(partStore)
+    val deltaPfx = Dedup.spanFingerprintStore(delta, "doc_id", "text", l = 8,
+      storePartitions = 16).select("store_pfx").distinct().as[Long].collect().toSeq
+    assert(scannedFiles(partStore.where(col("store_pfx").isin(deltaPfx: _*))) < total)
+  }
+
   test("construction guards: partitioning needs a single-blocking-key layout") {
     intercept[IllegalArgumentException] {
       IncrementalDedupTransformer("b", "s", "id", "text", storePartitions = 8)
