@@ -345,6 +345,40 @@ class PrunedStoreSpec extends AnyFunSuite {
     assert(scannedFiles(partStore.where(col("store_pfx").isin(deltaPfx: _*))) < total)
   }
 
+  test("per-prefix compaction: re-binning prefix files preserves dedup decisions") {
+    // a prefix-partitioned store accumulates one file set per batch per
+    // touched prefix; PartitionArchiveCompactionMode's compactCondition
+    // rewrites each prefix dir in place (staged swap) — every rewrite is
+    // bounded by ONE prefix, never the store
+    val dir = java.nio.file.Files.createTempDirectory("pfxcompact").toString
+    val reg = registryFor(dir, storePartitions = true)
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    val action = bandedAction(16)
+    docs((1L to 8L).map(i => (i, i))).write.mode("overwrite").parquet(s"$dir/batch")
+    new ActionDAGRun(Seq(action)).run()
+    docs((20L to 27L).map(i => (i, i))).write.mode("overwrite").parquet(s"$dir/batch")
+    new ActionDAGRun(Seq(action)).run()
+    val storeObj = reg.dataObject("store").asInstanceOf[ParquetFileDataObject]
+    def storeRows: Set[(Long, Int, Long)] = storeObj.getDataFrame()
+      .select("id", "band", "bucket").as[(Long, Int, Long)].collect().toSet
+    def dataFiles: Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(s"$dir/store"))
+    }
+    val (rowsBefore, filesBefore) = (storeRows, dataFiles)
+    PartitionArchiveCompactionMode(compactCondition = Some("true"), compactNumFiles = 1)
+      .exec(storeObj)
+    assert(storeRows == rowsBefore, "compaction must not change a single store row")
+    assert(dataFiles < filesBefore, s"got $dataFiles vs $filesBefore")
+    // and the compacted store still dedups: re-post of stored seed 3
+    docs(Seq((50L, 3L), (51L, 777L))).write.mode("overwrite").parquet(s"$dir/batch")
+    new ActionDAGRun(Seq(action)).run()
+    assert(spark.read.parquet(s"$dir/novel").select("doc_id").as[Long].collect().toSet ==
+      ((1L to 8L) ++ (20L to 27L)).toSet + 51L)
+  }
+
   test("construction guards: partitioning needs a single-blocking-key layout") {
     intercept[IllegalArgumentException] {
       IncrementalDedupTransformer("b", "s", "id", "text", storePartitions = 8)
