@@ -3753,6 +3753,57 @@ object SparkEntry {
         new graft.core.ActionDAGRun(Seq(action)).run()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
       s.read.parquet(s"$tmp/novel").select(col("doc_id"), col("batch"))
+    }),
+
+    // CONTINUOUS span scrubbing (ExactSubstr, store-backed): every batch
+    // is cleaned against the corpus history's window-fingerprint store
+    // plus itself, the batch is tokenized/fingerprinted ONCE, and the
+    // store grows by appending the batch's window counts as PARTIAL rows
+    // (summed per key after the delta semi-join — no read-merge-rewrite).
+    // Plants cover every decision class: full history copy (all windows
+    // dup → whole doc scrubbed), within-batch pair (both copies scrubbed
+    // — window count 2), a PARTIAL span (8 fresh tokens + one stored
+    // 8-token window → exactly that window's tokens removed), and a clean
+    // doc. Audit counts are exact window arithmetic → structural oracle.
+    "q150_incremental_span_store" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q150").toString
+      def w(seed: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+        concat(lit("w"), pmod(xxhash64(seed * 1000 + i), lit(50000L)))
+      def docs(ids: Seq[(Long, Long, Int)]): DataFrame =
+        s.createDataFrame(ids).toDF("doc_id", "seed", "batch")
+          .withColumn("text", concat_ws(" ",
+            transform(sequence(lit(0), lit(39)), i => w(col("seed"), i))))
+          .drop("seed")
+      val b1 = docs((1L to 5L).map(i => (i, i, 1)))
+      // 10 = full copy of seed 1; 11 novel; 12/13 an intra-batch pair;
+      // 14 = 8 fresh tokens + seed 1's first 8 tokens (ONE stored window)
+      val b2 = docs(Seq((10L, 1L, 2), (11L, 201L, 2), (12L, 202L, 2), (13L, 202L, 2)))
+        .unionByName(s.createDataFrame(Seq((14L, 2))).toDF("doc_id", "batch")
+          .withColumn("text", concat_ws(" ",
+            concat_ws(" ", transform(sequence(lit(0), lit(7)), i => w(lit(777L), i))),
+            concat_ws(" ", transform(sequence(lit(0), lit(7)), i => w(lit(1L), i))))))
+      val reg = new graft.core.InstanceRegistry
+      reg.register(graft.sources.ParquetFileDataObject("span_batch", s"$tmp/batch"))
+      reg.register(graft.sources.ParquetFileDataObject("span_clean", s"$tmp/clean"))
+      reg.register(graft.sources.ParquetFileDataObject("span_store", s"$tmp/store",
+        partitions = Seq("store_pfx"), numberOfTasksPerPartition = Some(8)))
+      implicit val ctx: graft.core.ActionPipelineContext =
+        graft.core.ActionPipelineContext(s, reg)
+      val action = graft.operators.CustomDataFrameAction(
+        "scrub", Seq("span_batch"), Seq("span_clean", "span_store"),
+        dfsTransformers = Seq(graft.operators.IncrementalSpanRemovalTransformer(
+          "span_batch", "span_store", "doc_id", "text",
+          windowTokens = 8, cleanOutput = Some("span_clean"), storePartitions = 16)),
+        saveMode = Some(graft.core.SdlSaveMode.Append),
+        recursiveInputIds = Seq("span_store"))
+      val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try Seq(b1, b2).foreach { b =>
+        b.write.mode("overwrite").parquet(s"$tmp/batch")
+        new graft.core.ActionDAGRun(Seq(action)).run()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
+      s.read.parquet(s"$tmp/clean").select(col("doc_id"), col("batch"),
+        col("n_tokens"), col("n_dup_windows"), col("n_removed_tokens"))
     })
   )
 
@@ -5989,6 +6040,25 @@ object SparkEntry {
     "q149_pruned_store_dedup" ->
       """SELECT CAST(id AS BIGINT) AS doc_id, CAST(1 AS INT) AS batch FROM range(0, 40) t(id)
         |UNION ALL
-        |SELECT CAST(id AS BIGINT), CAST(2 AS INT) FROM range(100, 120) t(id)""".stripMargin
+        |SELECT CAST(id AS BIGINT), CAST(2 AS INT) FROM range(100, 120) t(id)""".stripMargin,
+
+    // q150: exact window arithmetic — batch 1 (ids 1..5) is clean
+    // history (40 tokens, 0 dup windows); batch 2: id 10 full copy of
+    // stored seed 1 (all 33 windows dup → 40 tokens removed), 11 novel,
+    // 12/13 an intra-batch pair (window counts 2 → both fully scrubbed),
+    // 14 = 8 fresh + 8 stored tokens (exactly ONE dup window → 8 removed)
+    "q150_incremental_span_store" ->
+      """SELECT CAST(id AS BIGINT) AS doc_id, CAST(1 AS INT) AS batch,
+        |  CAST(40 AS INT) AS n_tokens, CAST(0 AS INT) AS n_dup_windows,
+        |  CAST(0 AS INT) AS n_removed_tokens
+        |FROM range(1, 6) t(id)
+        |UNION ALL
+        |SELECT * FROM (VALUES
+        |  (CAST(10 AS BIGINT), CAST(2 AS INT), CAST(40 AS INT), CAST(33 AS INT), CAST(40 AS INT)),
+        |  (CAST(11 AS BIGINT), CAST(2 AS INT), CAST(40 AS INT), CAST(0 AS INT), CAST(0 AS INT)),
+        |  (CAST(12 AS BIGINT), CAST(2 AS INT), CAST(40 AS INT), CAST(33 AS INT), CAST(40 AS INT)),
+        |  (CAST(13 AS BIGINT), CAST(2 AS INT), CAST(40 AS INT), CAST(33 AS INT), CAST(40 AS INT)),
+        |  (CAST(14 AS BIGINT), CAST(2 AS INT), CAST(16 AS INT), CAST(1 AS INT), CAST(8 AS INT))
+        |) v(doc_id, batch, n_tokens, n_dup_windows, n_removed_tokens)""".stripMargin
   )
 }

@@ -605,6 +605,16 @@ object ConfigParser {
           intraBatch = bool(n, "intraBatch", dflt = true),
           storeLayout = str(n, "storeLayout").getOrElse("compact"),
           storePartitions = int(n, "storePartitions").getOrElse(0))
+      case "IncrementalSpanRemovalTransformer" | "incrementalSpanRemoval" =>
+        IncrementalSpanRemovalTransformer(
+          require(str(n, "batchInput"), id, "batchInput"),
+          require(str(n, "storeInput"), id, "storeInput"),
+          require(str(n, "idColumn"), id, "idColumn"),
+          require(str(n, "textColumn"), id, "textColumn"),
+          windowTokens = int(n, "windowTokens").getOrElse(8),
+          portableFingerprints = bool(n, "portableFingerprints", dflt = true),
+          cleanOutput = str(n, "cleanOutput"),
+          storePartitions = int(n, "storePartitions").getOrElse(0))
       case "DecontaminateSpansTransformer" | "decontaminateSpans" =>
         DecontaminateSpansTransformer(
           require(str(n, "corpusInput"), id, "corpusInput"),

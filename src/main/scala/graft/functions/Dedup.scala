@@ -1248,6 +1248,34 @@ object Dedup {
     val windows =
       if (persist) exploded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else exploded
+    removeRepeatedSpansIncrementalFromWindows(base, windows, store, l, storePartitions)
+  }
+
+  /** delta base (id, toks) for the span machinery — compute once, persist,
+    * feed [[removeRepeatedSpansIncrementalFromWindows]] */
+  private[graft] def spanBase(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), TextAnalysis.wsTokens(col(textCol)).as("toks"))
+
+  /** exploded window fingerprints of a [[spanBase]] frame — the tokenize-
+    * once entry: a caller that also grows the window store computes this
+    * ONCE (persisted), feeds the incremental clean AND derives the store
+    * delta (`groupBy(h, h2).count`) from the same frame */
+  private[graft] def spanWindows(base: DataFrame, l: Int,
+                                 portableFingerprints: Boolean = true): DataFrame =
+    windowFps(base, l, portableFingerprints)
+
+  /** [[removeRepeatedSpansIncremental]] over ALREADY-EXPLODED delta
+    * windows (the tokenize-once entry point; the caller owns the persist
+    * lifecycle of `base` and `windows` — both are consumed more than
+    * once). Accepts APPEND-ONLY stores holding PARTIAL counts per
+    * fingerprint (one row per batch that saw the window): the history
+    * counts are SUMMED after the delta semi-join — a delta-bounded
+    * aggregation — so the store can grow by staged append like every
+    * other store in the family, no read-merge-rewrite cycle. */
+  def removeRepeatedSpansIncrementalFromWindows(base: DataFrame, windows: DataFrame,
+                                                store: DataFrame, l: Int = 8,
+                                                storePartitions: Int = 0): DataFrame = {
+    require(l >= 2, "window length l must be ≥ 2")
     val deltaCounts = windows.groupBy(col("h"), col("h2")).agg(count(lit(1)).as("_dc"))
     // prefix-pruned store view (store written by spanFingerprintStore with
     // storePartitions > 0 and persisted partitioned by store_pfx): the
@@ -1273,8 +1301,13 @@ object Dedup {
     // delta side when it fits, the store streams; a (h,h2)-bucketed store
     // makes it co-located — yielding a delta-bounded `_sc` table, then
     // (2) left-join that small result back onto deltaCounts.
-    val storedForDelta = storeView.select(col("h"), col("h2"), col("c").as("_sc"))
+    // inner-join first (store streams, delta side broadcasts), THEN sum:
+    // an append-only store holds one partial count row per batch that saw
+    // the window, and the aggregation over the delta-matched subset is
+    // delta-bounded
+    val storedForDelta = storeView.select(col("h"), col("h2"), col("c"))
       .join(deltaCounts.select(col("h"), col("h2")), Seq("h", "h2"))
+      .groupBy(col("h"), col("h2")).agg(sum(col("c")).as("_sc"))
     val dup = deltaCounts
       .join(storedForDelta, Seq("h", "h2"), "left")
       .where(col("_dc") + coalesce(col("_sc"), lit(0L)) > 1)

@@ -572,6 +572,77 @@ case class IncrementalEmbeddingDedupTransformer(
   }
 }
 
+/** Incremental SPAN removal (ExactSubstr) for continuous ingestion — the
+  * store-backed discipline applied to passage scrubbing: every batch is
+  * cleaned against the corpus HISTORY's window-fingerprint store PLUS
+  * itself (a window is duplicated iff its delta count + stored count
+  * exceeds 1 — within-batch repeats are inherent to the counting, no
+  * separate intra pass), and the store grows by APPENDING the batch's
+  * window counts as PARTIAL rows (summed per key after the delta
+  * semi-join at read time — no read-merge-rewrite cycle, per-run store
+  * I/O stays O(increment)). The batch is tokenized and fingerprinted
+  * exactly ONCE per run: the window frame feeds the clean AND the store
+  * delta. Same DAG wiring as its dedup siblings (store as recursive
+  * input, bootstrap from empty, saveMode = Append); `storePartitions`
+  * prunes the history read to the delta's own window prefixes
+  * ((h, h2) is the store row's single blocking key).
+  *
+  * Output: the batch with `textColumn` REPLACED by the cleaned text
+  * (whitespace-normalized), plus `n_tokens` / `n_dup_windows` /
+  * `n_removed_tokens` audit columns — [[SpanRemovalTransformer]]'s
+  * contract, incrementally. */
+case class IncrementalSpanRemovalTransformer(
+    batchInput: String, storeInput: String,
+    idColumn: String, textColumn: String,
+    windowTokens: Int = 8, portableFingerprints: Boolean = true,
+    cleanOutput: Option[String] = None,
+    storePartitions: Int = 0) extends IncrementalStoreDfsTransformer {
+  override def novelOutput: Option[String] = cleanOutput
+  /** within-batch repeats are counted by construction (delta window
+    * counts), not via a separate self-join */
+  override def intraBatch: Boolean = true
+  override protected def storeMetaParams: Map[String, String] = Map(
+    "windowTokens" -> windowTokens.toString,
+    "portableFingerprints" -> portableFingerprints.toString,
+    "storePartitions" -> storePartitions.toString)
+  private def toStoreLayout(counts: DataFrame): DataFrame =
+    if (storePartitions > 0)
+      counts.withColumn("store_pfx",
+        Dedup.storePrefix(storePartitions, col("h"), col("h2")))
+    else counts
+  override def transform(dfs: Map[String, DataFrame])
+                        (implicit ctx: ActionPipelineContext): Map[String, DataFrame] = {
+    val batch = dfs.getOrElse(batchInput,
+      throw new IllegalArgumentException(s"IncrementalSpanRemovalTransformer: missing input '$batchInput'"))
+    val store = dfs.getOrElse(storeInput, toStoreLayout(
+      Dedup.spanFingerprintStore(batch.limit(0), idColumn, textColumn, windowTokens,
+        portableFingerprints)))
+    if (ctx.phase == ExecutionPhase.Init)
+      return Map(novelKey -> batch.withColumn(textColumn, col(textColumn))
+        .withColumn("n_tokens", lit(0)).withColumn("n_dup_windows", lit(0))
+        .withColumn("n_removed_tokens", lit(0)),
+        storeInput -> store.limit(0))
+    validateStoreMeta(() => ())
+    // tokenize + fingerprint ONCE: base and windows feed the clean AND
+    // the store delta, swept by the DAG at run end
+    val base = persistForRun(Dedup.spanBase(batch, idColumn, textColumn), s"$batchInput.sbase")
+    val windows = persistForRun(
+      Dedup.spanWindows(base, windowTokens, portableFingerprints), s"$batchInput.swin")
+    val cleaned = Dedup.removeRepeatedSpansIncrementalFromWindows(
+        base, windows, store, windowTokens, storePartitions)
+      .select(col("id").as(idColumn), col("cleaned_text"),
+        col("n_tokens"), col("n_dup_windows"), col("n_removed_tokens"))
+    val out = batch.drop("n_tokens", "n_dup_windows", "n_removed_tokens")
+      .join(cleaned, Seq(idColumn))
+      .withColumn(textColumn, col("cleaned_text")).drop("cleaned_text")
+    // store DELTA: the RAW batch's window counts (history = all text ever
+    // seen, including spans this run scrubbed) — partial rows, appended
+    val storeDelta = toStoreLayout(
+      windows.groupBy(col("h"), col("h2")).agg(count(lit(1)).as("c")))
+    Map(novelKey -> out, storeInput -> storeDelta)
+  }
+}
+
 /** N:1 span-level decontamination: the corpus input's text is stripped of
   * every window that appears in the benchmark input (see
   * `Dedup.removeContaminatedSpans`) — the config surface for eval-leak

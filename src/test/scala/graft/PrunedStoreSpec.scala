@@ -379,6 +379,60 @@ class PrunedStoreSpec extends AnyFunSuite {
       ((1L to 8L) ++ (20L to 27L)).toSet + 51L)
   }
 
+  test("incremental span removal wires through HOCON: history scrub, append-only counts") {
+    val dir = java.nio.file.Files.createTempDirectory("spanhocon").toString
+    val cfg =
+      s"""dataObjects {
+         |  sbatch { type = parquet, path = "$dir/batch" }
+         |  sclean { type = parquet, path = "$dir/clean" }
+         |  sstore { type = parquet, path = "$dir/store", partitions = ["store_pfx"] }
+         |}
+         |actions {
+         |  scrub {
+         |    type = customDataFrame
+         |    inputIds = [sbatch]
+         |    outputIds = [sclean, sstore]
+         |    recursiveInputIds = [sstore]
+         |    saveMode = append
+         |    dfsTransformers = [
+         |      { type = incrementalSpanRemoval, batchInput = sbatch, storeInput = sstore,
+         |        idColumn = doc_id, textColumn = text, windowTokens = 8,
+         |        cleanOutput = sclean, storePartitions = 16 }
+         |    ]
+         |  }
+         |}
+         |""".stripMargin
+    val reg = ConfigParser.parse(cfg)
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    val action = reg.action("scrub")
+    docs(Seq((1L, 1L), (2L, 2L))).write.mode("overwrite").parquet(s"$dir/batch")
+    new ActionDAGRun(Seq(action)).run()
+    // batch 2: id 10 re-posts seed 1's text — fully scrubbed against history
+    docs(Seq((10L, 1L), (11L, 99L))).write.mode("overwrite").parquet(s"$dir/batch")
+    new ActionDAGRun(Seq(action)).run()
+    val out = spark.read.parquet(s"$dir/clean")
+      .select("doc_id", "n_removed_tokens").as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 0, 2L -> 0, 10L -> 40, 11L -> 0), s"got $out")
+    // append-only partial counts: batch 2 appended its own window rows —
+    // the shared windows (seed 1) now have one partial row per batch
+    val store = spark.read.parquet(s"$dir/store")
+    assert(store.groupBy("h", "h2").count().where(col("count") > 1).count() == 33,
+      "seed 1's 33 windows must hold one partial count row per batch")
+    assert(new java.io.File(s"$dir/store").listFiles()
+      .exists(_.getName.startsWith("store_pfx=")))
+    // sidecar pins the window length — a drifted windowTokens fails loudly
+    val drifted = CustomDataFrameAction("scrub2", Seq("sbatch"), Seq("sclean", "sstore"),
+      dfsTransformers = Seq(IncrementalSpanRemovalTransformer("sbatch", "sstore",
+        "doc_id", "text", windowTokens = 6, cleanOutput = Some("sclean"),
+        storePartitions = 16)),
+      saveMode = Some(SdlSaveMode.Append), recursiveInputIds = Seq("sstore"))
+    val e = intercept[Exception] { new ActionDAGRun(Seq(drifted)).run() }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(e).exists(t => Option(t.getMessage).exists(_.contains("windowTokens"))),
+      s"expected a windowTokens drift failure, got: $e")
+  }
+
   test("construction guards: partitioning needs a single-blocking-key layout") {
     intercept[IllegalArgumentException] {
       IncrementalDedupTransformer("b", "s", "id", "text", storePartitions = 8)
