@@ -3804,6 +3804,53 @@ object SparkEntry {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
       s.read.parquet(s"$tmp/clean").select(col("doc_id"), col("batch"),
         col("n_tokens"), col("n_dup_windows"), col("n_removed_tokens"))
+    }),
+
+    // CONTINUOUS CCNet line dedup (store-backed): every batch's lines
+    // counted against the history's line-count store plus the batch
+    // itself — boilerplate (total count > maxOccurrences) dropped from
+    // every occurrence, the store grown by appending partial count rows.
+    // Plants: a line repeated WITHIN batch 1 (dropped from both docs at
+    // run 1 — and its two partial... one count row enters the store), a
+    // batch-2 line matching a SINGLY-stored batch-1 line (history makes
+    // it boilerplate), a within-batch-2 pair, and clean docs. Line
+    // arithmetic is exact → structural oracle.
+    "q151_incremental_line_dedup" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q151").toString
+      import s.implicits._
+      val b1 = Seq(
+        (1L, 1, "alpha one\nalpha two\ncookie banner accept all"),
+        (2L, 1, "beta one\ncookie banner accept all\nbeta two"),
+        (3L, 1, "gamma one\ngamma two\ngamma three"))
+        .toDF("doc_id", "batch", "text")
+      val b2 = Seq(
+        (10L, 2, "alpha one\nfresh ten a\nfresh ten b"),
+        (11L, 2, "delta one\ndelta two\ndelta three"),
+        (12L, 2, "epsilon shared\ntwelve a\ntwelve b"),
+        (13L, 2, "epsilon shared\nthirteen a\nthirteen b"))
+        .toDF("doc_id", "batch", "text")
+      val reg = new graft.core.InstanceRegistry
+      reg.register(graft.sources.ParquetFileDataObject("line_batch", s"$tmp/batch"))
+      reg.register(graft.sources.ParquetFileDataObject("line_clean", s"$tmp/clean"))
+      reg.register(graft.sources.ParquetFileDataObject("line_store", s"$tmp/store",
+        partitions = Seq("store_pfx"), numberOfTasksPerPartition = Some(8)))
+      implicit val ctx: graft.core.ActionPipelineContext =
+        graft.core.ActionPipelineContext(s, reg)
+      val action = graft.operators.CustomDataFrameAction(
+        "linescrub", Seq("line_batch"), Seq("line_clean", "line_store"),
+        dfsTransformers = Seq(graft.operators.IncrementalLineDedupTransformer(
+          "line_batch", "line_store", "doc_id", "text",
+          cleanOutput = Some("line_clean"), storePartitions = 16)),
+        saveMode = Some(graft.core.SdlSaveMode.Append),
+        recursiveInputIds = Seq("line_store"))
+      val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try Seq(b1, b2).foreach { b =>
+        b.write.mode("overwrite").parquet(s"$tmp/batch")
+        new graft.core.ActionDAGRun(Seq(action)).run()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
+      s.read.parquet(s"$tmp/clean").select(col("doc_id"), col("batch"),
+        col("n_lines"), col("n_removed_lines"), col("text"))
     })
   )
 
@@ -6059,6 +6106,27 @@ object SparkEntry {
         |  (CAST(12 AS BIGINT), CAST(2 AS INT), CAST(40 AS INT), CAST(33 AS INT), CAST(40 AS INT)),
         |  (CAST(13 AS BIGINT), CAST(2 AS INT), CAST(40 AS INT), CAST(33 AS INT), CAST(40 AS INT)),
         |  (CAST(14 AS BIGINT), CAST(2 AS INT), CAST(16 AS INT), CAST(1 AS INT), CAST(8 AS INT))
-        |) v(doc_id, batch, n_tokens, n_dup_windows, n_removed_tokens)""".stripMargin
+        |) v(doc_id, batch, n_tokens, n_dup_windows, n_removed_tokens)""".stripMargin,
+
+    // q151: exact line arithmetic — the shared batch-1 line is dropped
+    // from docs 1/2 at run 1; 'alpha one' (stored once) makes doc 10's
+    // copy boilerplate at run 2; docs 12/13 share a within-batch line
+    "q151_incremental_line_dedup" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(1 AS INT), CAST(3 AS INT), CAST(1 AS INT),
+        |   'alpha one' || chr(10) || 'alpha two'),
+        |  (CAST(2 AS BIGINT), CAST(1 AS INT), CAST(3 AS INT), CAST(1 AS INT),
+        |   'beta one' || chr(10) || 'beta two'),
+        |  (CAST(3 AS BIGINT), CAST(1 AS INT), CAST(3 AS INT), CAST(0 AS INT),
+        |   'gamma one' || chr(10) || 'gamma two' || chr(10) || 'gamma three'),
+        |  (CAST(10 AS BIGINT), CAST(2 AS INT), CAST(3 AS INT), CAST(1 AS INT),
+        |   'fresh ten a' || chr(10) || 'fresh ten b'),
+        |  (CAST(11 AS BIGINT), CAST(2 AS INT), CAST(3 AS INT), CAST(0 AS INT),
+        |   'delta one' || chr(10) || 'delta two' || chr(10) || 'delta three'),
+        |  (CAST(12 AS BIGINT), CAST(2 AS INT), CAST(3 AS INT), CAST(1 AS INT),
+        |   'twelve a' || chr(10) || 'twelve b'),
+        |  (CAST(13 AS BIGINT), CAST(2 AS INT), CAST(3 AS INT), CAST(1 AS INT),
+        |   'thirteen a' || chr(10) || 'thirteen b')
+        |) v(doc_id, batch, n_lines, n_removed_lines, text)""".stripMargin
   )
 }

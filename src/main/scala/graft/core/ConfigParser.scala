@@ -615,6 +615,15 @@ object ConfigParser {
           portableFingerprints = bool(n, "portableFingerprints", dflt = true),
           cleanOutput = str(n, "cleanOutput"),
           storePartitions = int(n, "storePartitions").getOrElse(0))
+      case "IncrementalLineDedupTransformer" | "incrementalLineDedup" =>
+        IncrementalLineDedupTransformer(
+          require(str(n, "batchInput"), id, "batchInput"),
+          require(str(n, "storeInput"), id, "storeInput"),
+          require(str(n, "idColumn"), id, "idColumn"),
+          require(str(n, "textColumn"), id, "textColumn"),
+          maxOccurrences = int(n, "maxOccurrences").getOrElse(1),
+          cleanOutput = str(n, "cleanOutput"),
+          storePartitions = int(n, "storePartitions").getOrElse(0))
       case "DecontaminateSpansTransformer" | "decontaminateSpans" =>
         DecontaminateSpansTransformer(
           require(str(n, "corpusInput"), id, "corpusInput"),

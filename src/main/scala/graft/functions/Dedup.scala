@@ -1167,14 +1167,11 @@ object Dedup {
                             maxOccurrences: Int = 1,
                             persist: Boolean = true): DataFrame = {
     require(maxOccurrences >= 1, "maxOccurrences must be ≥ 1")
-    val base = df.select(col(idCol).as("id"), split(col(textCol), "\n").as("lines"))
+    val base = lineBase(df, idCol, textCol)
     // (id, pos, hash) for CONTENT lines only; normalization = trim+lower
-    // (CCNet hashes normalized lines so trivial variants collapse)
-    val lineHash = (l: Column) => md5(lower(trim(l)))
-    val exploded0 = base
-      .select(col("id"), posexplode(col("lines")).as(Seq("pos", "line")))
-      .where(trim(col("line")) =!= "")
-      .select(col("id"), col("pos"), lineHash(col("line")).as("lh"))
+    // (CCNet hashes normalized lines so trivial variants collapse) —
+    // shared with the incremental path via [[lineHashes]]
+    val exploded0 = lineHashes(base)
     // persisted (the removeRepeatedSpans `windows` discipline): both the
     // hot-hash aggregate and the semi-join's left derive from this frame —
     // on a multi-source union input, an unpersisted double consumption
@@ -1185,6 +1182,14 @@ object Dedup {
       else exploded0
     val hot = exploded.groupBy(col("lh")).agg(count(lit(1)).as("c"))
       .where(col("c") > maxOccurrences).select(col("lh"))
+    rebuildWithoutLines(base, exploded, hot)
+  }
+
+  /** rebuild each doc of `base` (id, lines) without the positions whose
+    * line hash is in `hot` — the shared tail of batch and incremental
+    * line dedup */
+  private def rebuildWithoutLines(base: DataFrame, exploded: DataFrame,
+                                  hot: DataFrame): DataFrame = {
     val dropPos = exploded.join(hot, Seq("lh"), "left_semi")
       .groupBy(col("id"))
       .agg(sort_array(collect_list(col("pos"))).as("drops"))
@@ -1199,6 +1204,76 @@ object Dedup {
           filter(transform(col("lines"), (l, i) =>
               when(array_contains(col("drops"), i), lit(null: String)).otherwise(l)),
             l => l.isNotNull)).as("cleaned_text"))
+  }
+
+  /** line base (id, lines) + exploded normalized line hashes (id, pos, lh)
+    * — the explode-once entries for [[removeDuplicatedLinesIncrementalFromLines]] */
+  private[graft] def lineBase(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), split(col(textCol), "\n").as("lines"))
+  private[graft] def lineHashes(base: DataFrame): DataFrame =
+    base.select(col("id"), posexplode(col("lines")).as(Seq("pos", "line")))
+      .where(trim(col("line")) =!= "")
+      .select(col("id"), col("pos"), md5(lower(trim(col("line")))).as("lh"))
+
+  /** Line-count STORE for incremental CCNet line dedup: one row per
+    * distinct normalized line hash with its occurrence count — the
+    * cross-batch state [[removeDuplicatedLinesIncremental]] joins new
+    * batches against. Under append-only growth the store holds PARTIAL
+    * rows (one per batch that saw the line), summed per key at read time
+    * after the delta semi-join. With `storePartitions > 0` a `store_pfx`
+    * partition column rides along (lh is the row's single blocking key)
+    * so the history read prunes to the delta's own line prefixes. */
+  def lineCountStore(df: DataFrame, idCol: String, textCol: String,
+                     storePartitions: Int = 0): DataFrame = {
+    val counts = lineHashes(lineBase(df, idCol, textCol))
+      .groupBy(col("lh")).agg(count(lit(1)).as("c"))
+    if (storePartitions > 0)
+      counts.withColumn("store_pfx", storePrefix(storePartitions, col("lh")))
+    else counts
+  }
+
+  /** Incremental CCNet line dedup: clean a DELTA batch against the corpus
+    * history's [[lineCountStore]] plus the delta itself — a line is
+    * boilerplate iff its delta count + stored count exceeds
+    * `maxOccurrences` (dropped from EVERY occurrence, the batch
+    * function's semantics). Same shape as
+    * [[removeRepeatedSpansIncrementalFromWindows]]: store streams through
+    * one inner join against the delta's distinct hashes, partial counts
+    * summed delta-bounded, optional prefix pruning. */
+  def removeDuplicatedLinesIncremental(delta: DataFrame, idCol: String, textCol: String,
+                                       store: DataFrame, maxOccurrences: Int = 1,
+                                       persist: Boolean = true,
+                                       storePartitions: Int = 0): DataFrame = {
+    val base = lineBase(delta, idCol, textCol)
+    val exploded0 = lineHashes(base)
+    val exploded =
+      if (persist) exploded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else exploded0
+    removeDuplicatedLinesIncrementalFromLines(base, exploded, store,
+      maxOccurrences, storePartitions)
+  }
+
+  /** [[removeDuplicatedLinesIncremental]] over an ALREADY-EXPLODED line
+    * frame (the explode-once entry; the caller owns the persist lifecycle
+    * of `base` and `exploded` — both are consumed more than once). */
+  def removeDuplicatedLinesIncrementalFromLines(base: DataFrame, exploded: DataFrame,
+                                                store: DataFrame, maxOccurrences: Int = 1,
+                                                storePartitions: Int = 0): DataFrame = {
+    require(maxOccurrences >= 1, "maxOccurrences must be ≥ 1")
+    val deltaCounts = exploded.groupBy(col("lh")).agg(count(lit(1)).as("_dc"))
+    val storeView =
+      if (storePartitions > 0 && store.columns.contains("store_pfx")) {
+        val pfxs = deltaCounts.select(storePrefix(storePartitions, col("lh")).as("p"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        store.where(col("store_pfx").isin(pfxs: _*)).drop("store_pfx")
+      } else store.drop("store_pfx")
+    val storedForDelta = storeView.select(col("lh"), col("c"))
+      .join(deltaCounts.select(col("lh")), Seq("lh"))
+      .groupBy(col("lh")).agg(sum(col("c")).as("_sc"))
+    val hot = deltaCounts.join(storedForDelta, Seq("lh"), "left")
+      .where(col("_dc") + coalesce(col("_sc"), lit(0L)) > maxOccurrences)
+      .select(col("lh"))
+    rebuildWithoutLines(base, exploded, hot)
   }
 
   /** Window-fingerprint STORE for incremental ExactSubstr: one row per

@@ -643,6 +643,61 @@ case class IncrementalSpanRemovalTransformer(
   }
 }
 
+/** Incremental CCNet LINE dedup for continuous ingestion —
+  * [[IncrementalSpanRemovalTransformer]]'s line-level twin: every batch's
+  * lines are counted against the corpus history's [[graft.functions
+  * .Dedup.lineCountStore]] plus the batch itself; lines whose total
+  * count exceeds `maxOccurrences` are boilerplate and dropped from every
+  * occurrence. The batch is exploded/hashed ONCE per run (the frame
+  * feeds the clean AND the store delta), the store grows by appending
+  * PARTIAL count rows (summed per key after the delta semi-join), and
+  * `storePartitions` prunes the history read by line-hash prefix.
+  * `maxOccurrences` is a POLICY knob, not a store parameter — counts are
+  * raw, so it may change between runs without invalidating the store. */
+case class IncrementalLineDedupTransformer(
+    batchInput: String, storeInput: String,
+    idColumn: String, textColumn: String,
+    maxOccurrences: Int = 1,
+    cleanOutput: Option[String] = None,
+    storePartitions: Int = 0) extends IncrementalStoreDfsTransformer {
+  override def novelOutput: Option[String] = cleanOutput
+  /** within-batch repeats are counted by construction */
+  override def intraBatch: Boolean = true
+  override protected def storeMetaParams: Map[String, String] =
+    Map("storePartitions" -> storePartitions.toString)
+  private def toStoreLayout(counts: DataFrame): DataFrame =
+    if (storePartitions > 0)
+      counts.withColumn("store_pfx", Dedup.storePrefix(storePartitions, col("lh")))
+    else counts
+  override def transform(dfs: Map[String, DataFrame])
+                        (implicit ctx: ActionPipelineContext): Map[String, DataFrame] = {
+    val batch = dfs.getOrElse(batchInput,
+      throw new IllegalArgumentException(s"IncrementalLineDedupTransformer: missing input '$batchInput'"))
+    val store = dfs.getOrElse(storeInput, toStoreLayout(
+      Dedup.lineCountStore(batch.limit(0), idColumn, textColumn)))
+    if (ctx.phase == ExecutionPhase.Init)
+      return Map(novelKey -> batch.withColumn(textColumn, col(textColumn))
+        .withColumn("n_lines", lit(0)).withColumn("n_removed_lines", lit(0)),
+        storeInput -> store.limit(0))
+    validateStoreMeta(() => ())
+    // explode + hash ONCE: base and hashes feed the clean AND the store
+    // delta, swept by the DAG at run end
+    val base = persistForRun(Dedup.lineBase(batch, idColumn, textColumn), s"$batchInput.lbase")
+    val hashes = persistForRun(Dedup.lineHashes(base), s"$batchInput.lh")
+    val cleaned = Dedup.removeDuplicatedLinesIncrementalFromLines(
+        base, hashes, store, maxOccurrences, storePartitions)
+      .select(col("id").as(idColumn), col("cleaned_text"),
+        col("n_lines"), col("n_removed_lines"))
+    val out = batch.drop("n_lines", "n_removed_lines")
+      .join(cleaned, Seq(idColumn))
+      .withColumn(textColumn, col("cleaned_text")).drop("cleaned_text")
+    // store DELTA: the RAW batch's line counts — partial rows, appended
+    val storeDelta = toStoreLayout(
+      hashes.groupBy(col("lh")).agg(count(lit(1)).as("c")))
+    Map(novelKey -> out, storeInput -> storeDelta)
+  }
+}
+
 /** N:1 span-level decontamination: the corpus input's text is stripped of
   * every window that appears in the benchmark input (see
   * `Dedup.removeContaminatedSpans`) — the config surface for eval-leak

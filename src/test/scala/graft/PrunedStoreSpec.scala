@@ -433,6 +433,32 @@ class PrunedStoreSpec extends AnyFunSuite {
       s"expected a windowTokens drift failure, got: $e")
   }
 
+  test("incrementalLineDedup parses from HOCON with its full option surface") {
+    val reg = ConfigParser.parse(
+      """dataObjects {
+        |  lb { type = parquet, path = "/tmp/x/lb" }
+        |  lc { type = parquet, path = "/tmp/x/lc" }
+        |  ls { type = parquet, path = "/tmp/x/ls", partitions = ["store_pfx"] }
+        |}
+        |actions {
+        |  scrub {
+        |    type = customDataFrame
+        |    inputIds = [lb], outputIds = [lc, ls], recursiveInputIds = [ls]
+        |    saveMode = append
+        |    dfsTransformers = [
+        |      { type = incrementalLineDedup, batchInput = lb, storeInput = ls,
+        |        idColumn = doc_id, textColumn = text, maxOccurrences = 2,
+        |        cleanOutput = lc, storePartitions = 32 }
+        |    ]
+        |  }
+        |}
+        |""".stripMargin)
+    val tr = reg.action("scrub").asInstanceOf[CustomDataFrameAction]
+      .dfsTransformers.head.asInstanceOf[IncrementalLineDedupTransformer]
+    assert(tr == IncrementalLineDedupTransformer("lb", "ls", "doc_id", "text",
+      maxOccurrences = 2, cleanOutput = Some("lc"), storePartitions = 32))
+  }
+
   test("construction guards: partitioning needs a single-blocking-key layout") {
     intercept[IllegalArgumentException] {
       IncrementalDedupTransformer("b", "s", "id", "text", storePartitions = 8)
