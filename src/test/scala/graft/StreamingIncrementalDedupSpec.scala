@@ -246,4 +246,40 @@ class StreamingIncrementalDedupSpec extends AnyFunSuite {
       .select("id", "ingest_batch").as[(Long, Long)].collect().toSet
     assert(store == Set((1L, 0L), (2L, 0L), (4L, 1L)), s"got $store")
   }
+
+  test("the action is transformer-agnostic: streaming SPAN scrubbing with replay") {
+    // the same declarative streaming surface drives the scrubbing
+    // transformers: cleaned rows land under the clean output, the window
+    // store grows by batch-keyed partial counts, and a replayed batch is
+    // idempotent (recomputes the identical clean against the store view
+    // that EXCLUDES its own partition)
+    val tmp = java.nio.file.Files.createTempDirectory("sidspan").toString
+    val reg = new InstanceRegistry
+    reg.register(ParquetFileDataObject("in", s"$tmp/src"))
+    reg.register(ParquetFileDataObject("clean", s"$tmp/out", partitions = Seq("ingest_batch")))
+    reg.register(ParquetFileDataObject("wstore", s"$tmp/store",
+      partitions = Seq("ingest_batch", "store_pfx")))
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    val action = StreamingIncrementalDedupAction("scrub",
+      IncrementalSpanRemovalTransformer("in", "wstore", "doc_id", "text",
+        windowTokens = 8, cleanOutput = Some("clean"), storePartitions = 16),
+      SparkStreamingMode(checkpointLocation = s"$tmp/cp", triggerType = "AvailableNow"))
+    def doc(id: Long, seed: Long) = (id, (0 until 40).map(i => s"w${seed}_$i").mkString(" "))
+    action.processBatch(Seq(doc(1, 1), doc(2, 2)).toDF("doc_id", "text"), 0L)
+    // batch 1: id 10 re-posts seed 1's text (fully scrubbed against
+    // history), 11 novel — delivered TWICE (at-least-once replay window)
+    val b1 = Seq(doc(10, 1), doc(11, 99)).toDF("doc_id", "text")
+    action.processBatch(b1, 1L)
+    action.processBatch(b1, 1L)
+    val out = spark.read.parquet(s"$tmp/out")
+      .select("doc_id", "n_removed_tokens").as[(Long, Int)].collect()
+    assert(out.length == 4, s"replay must not duplicate rows: ${out.toSeq}")
+    assert(out.toMap == Map(1L -> 0, 2L -> 0, 10L -> 40, 11L -> 0), s"got ${out.toSeq}")
+    // store: one batch-keyed partial-count partition per micro-batch, no
+    // duplicated window rows after the replay
+    val store = spark.read.parquet(s"$tmp/store")
+    assert(store.groupBy("h", "h2", "ingest_batch").count()
+      .where(col("count") > 1).count() == 0, "replay must not duplicate store rows")
+    assert(store.select("ingest_batch").distinct().as[Long].collect().toSet == Set(0L, 1L))
+  }
 }
