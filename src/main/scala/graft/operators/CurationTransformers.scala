@@ -121,11 +121,14 @@ case class PiiRedactTransformer(textColumn: String) extends DfTransformer {
     df.withColumn(textColumn, TextAnalysis.redactPII(col(textColumn)))
 }
 
-/** Shared contract of the store-backed incremental dedup transformers:
-  * per run they consume `batchInput` (+ the store's current state under
-  * `storeInput` as a recursive input), emit the batch's store-novel rows
-  * under [[novelKey]] and ONLY the novel rows' signatures under
-  * `storeInput` — a store DELTA, not the grown store. Wire the enclosing
+/** Shared contract of the store-backed incremental transformers: per run
+  * they consume `batchInput` (+ the store's current state under
+  * `storeInput` as a recursive input), emit the batch's SURVIVING rows
+  * under [[novelKey]] (dedup family: the store-novel rows; scrubbing
+  * family — span/line removal: every row, text cleaned in place) and a
+  * store DELTA under `storeInput` — never the grown store (dedup: the
+  * novel rows' signatures; scrubbing: the batch's partial
+  * window/line counts, summed per key at read time). Wire the enclosing
   * action with `saveMode = Append` (enforced by [[CustomDataFrameAction]])
   * so the store GROWS by appending the delta: per-run store I/O is
   * O(increment); the old `unionByName` full-rewrite shape was O(store) per
