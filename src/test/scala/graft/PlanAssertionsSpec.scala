@@ -172,4 +172,26 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate"), s"HLL agg fell back to sort-based:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("banded/blocked incremental store joins: equi-joins only, no nested-loop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.Dedup
+    val docs = spark.range(0, 50).select(col("id").as("doc_id"))
+      .withColumn("text", concat_ws(" ",
+        transform(sequence(lit(0), lit(39)),
+          i => concat(lit("w"), pmod(xxhash64(col("doc_id") * 1000 + i), lit(50000L))))))
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 5, 32)
+    val banded = Dedup.minhashIncrementalPairsBandedStore(
+      sigs, Dedup.minhashBandedStore(sigs, 32, 8), 32, 8)
+      .queryExecution.executedPlan.toString
+    assert(!banded.contains("BroadcastNestedLoopJoin") && !banded.contains("CartesianProduct"),
+      s"banded pair join degraded to a nested loop:\n$banded")
+    val fps = spark.range(0, 50).select(col("id"), xxhash64(col("id")).as("simhash"))
+    val blocked = Dedup.simhashIncrementalPairsFromBlockedStore(
+      fps, Dedup.simhashBlockedStore(fps, maxHamming = 2), maxHamming = 2)
+      .queryExecution.executedPlan.toString
+    assert(!blocked.contains("BroadcastNestedLoopJoin") && !blocked.contains("CartesianProduct"),
+      s"blocked pair join degraded to a nested loop:\n$blocked")
+  }
 }
