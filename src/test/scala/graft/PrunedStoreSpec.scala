@@ -459,6 +459,29 @@ class PrunedStoreSpec extends AnyFunSuite {
       maxOccurrences = 2, cleanOutput = Some("lc"), storePartitions = 32))
   }
 
+  test("OPH signing composes with the banded layout (parity with oph+compact)") {
+    // the corpus-scale default candidate (oph) through the prunable
+    // layout: signature VALUES differ from classic minhash but the
+    // agreement estimator and band keys work identically (rotation
+    // densification keeps bins filled) — decisions must match the
+    // oph+compact path on planted batches
+    implicit val ctx: ActionPipelineContext =
+      ActionPipelineContext(spark, new InstanceRegistry)
+    val b1 = docs((1L to 6L).map(i => (i, i)) :+ (7L, 1L))
+    val b2 = docs(Seq((10L, 2L), (11L, 99L), (12L, 99L)))
+    def novels(tr: IncrementalDedupTransformer): Set[Long] = {
+      val r1 = tr.transform(Map("b" -> b1))
+      val r2 = tr.transform(Map("b" -> b2, "store" -> r1("store")))
+      (r1("b").select("doc_id").as[Long].collect() ++
+        r2("b").select("doc_id").as[Long].collect()).toSet
+    }
+    val ophBanded = novels(IncrementalDedupTransformer("b", "store", "doc_id", "text",
+      threshold = 0.8, signatureScheme = "oph", storeLayout = "banded"))
+    val ophCompact = novels(IncrementalDedupTransformer("b", "store", "doc_id", "text",
+      threshold = 0.8, signatureScheme = "oph"))
+    assert(ophBanded == ophCompact && ophBanded == (1L to 6L).toSet + 11L)
+  }
+
   test("construction guards: partitioning needs a single-blocking-key layout") {
     intercept[IllegalArgumentException] {
       IncrementalDedupTransformer("b", "s", "id", "text", storePartitions = 8)
