@@ -3724,13 +3724,11 @@ object SparkEntry {
       val reg = new graft.core.InstanceRegistry
       reg.register(graft.sources.ParquetFileDataObject("docs_batch", s"$tmp/batch"))
       reg.register(graft.sources.ParquetFileDataObject("docs_novel", s"$tmp/novel"))
-      // numberOfTasksPerPartition = 1: a delta append writes ONE file per
-      // touched prefix instead of (tasks × prefixes) tiny files — the
-      // file-count hygiene knob every prefix-partitioned store should set
       // numberOfTasksPerPartition = 8: prefixes hash across 8 writer
       // tasks (each prefix still lands in exactly one task → one file per
-      // touched prefix per batch), so a delta append writes its ~40
-      // prefix files in parallel instead of one task writing them
+      // touched prefix per batch — the file-count hygiene every
+      // prefix-partitioned store should set), so a delta append writes
+      // its prefix files in parallel instead of one task writing them
       // serially (measured 2.5s/run → 0.3s/run at this shape)
       reg.register(graft.sources.ParquetFileDataObject("docs_store", s"$tmp/store",
         partitions = Seq("store_pfx"), numberOfTasksPerPartition = Some(8)))

@@ -472,13 +472,20 @@ object Dedup {
                                          threshold: Double = 0.7,
                                          maxBucketSize: Int = 1000,
                                          failOnCappedBuckets: Boolean = false,
-                                         cappedBucketExactFallback: Boolean = true): DataFrame = {
+                                         cappedBucketExactFallback: Boolean = true,
+                                         /** pass the delta's ALREADY-BANDED
+                                           * frame ([[minhashBandedStore]]
+                                           * shape, no `store_pfx`) when the
+                                           * caller computed it anyway (for
+                                           * the prefix set / store delta) —
+                                           * avoids re-exploding the delta */
+                                         deltaBanded: Option[DataFrame] = None): DataFrame = {
     require(bands >= 1 && numHashes >= bands && numHashes % bands == 0,
       s"minhash banded incremental: numHashes=$numHashes must be a positive multiple of bands=$bands")
-    val deltaBanded = newSigs.select(col("id"), col("sig"),
-      posexplode(lshBandHashes(col("sig"), bands, numHashes / bands)).as(Seq("band", "bucket")))
+    val deltaB = deltaBanded.getOrElse(newSigs.select(col("id"), col("sig"),
+      posexplode(lshBandHashes(col("sig"), bands, numHashes / bands)).as(Seq("band", "bucket"))))
     def pairsOf(prunedStore: DataFrame): DataFrame =
-      deltaBanded.alias("a").join(prunedStore.alias("b"),
+      deltaB.alias("a").join(prunedStore.alias("b"),
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
         .select(col("a.id").as("id_new"), col("b.id").as("id_corpus"),
           sigAgreement(col("a.sig"), col("b.sig")).as("jaccard"))

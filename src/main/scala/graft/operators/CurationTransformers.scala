@@ -132,7 +132,18 @@ case class PiiRedactTransformer(textColumn: String) extends DfTransformer {
   * action with `saveMode = Append` (enforced by [[CustomDataFrameAction]])
   * so the store GROWS by appending the delta: per-run store I/O is
   * O(increment); the old `unionByName` full-rewrite shape was O(store) per
-  * batch — quadratic cumulative I/O under continuous ingestion. */
+  * batch — quadratic cumulative I/O under continuous ingestion.
+  *
+  * RERUN CONTRACT (batch path): a run whose store append COMMITTED (the
+  * staged-append marker exists; crash-mid-move recovery completes the
+  * moves) must NOT be re-executed with the same batch — the batch's state
+  * is already in the store, so a dedup rerun classifies the whole batch
+  * as duplicate and overwrites the novel output empty, and a count-store
+  * rerun (span/line scrubbing) APPENDS the batch's counts a second time,
+  * over-scrubbing later batches. At-least-once sources belong on
+  * [[StreamingIncrementalDedupAction]]: its batchId-keyed dynamic
+  * partition overwrite makes re-delivery of the same batchId idempotent
+  * for both output and store (replay-spec'd). */
 trait IncrementalStoreDfsTransformer extends DfsTransformer {
   def batchInput: String
   def storeInput: String
@@ -300,7 +311,11 @@ case class IncrementalDedupTransformer(
     "numHashes" -> numHashes.toString,
     "shingleSize" -> shingleSize.toString,
     "storeLayout" -> storeLayout,
-    "storePartitions" -> storePartitions.toString)
+    "storePartitions" -> storePartitions.toString) ++
+    // banded rows BAKE the band decomposition into the stored (band,
+    // bucket) values — a bands drift would silently never key-match. The
+    // compact layout bands per batch, so bands stays a free knob there.
+    (if (storeLayout == "banded") Map("bands" -> bands.toString) else Map.empty)
   override def transform(dfs: Map[String, DataFrame])
                         (implicit ctx: ActionPipelineContext): Map[String, DataFrame] = {
     val batch = dfs.getOrElse(batchInput,
@@ -332,14 +347,20 @@ case class IncrementalDedupTransformer(
     // sign ONCE; multi-consumer (pair pipeline + store delta) → persisted,
     // swept by the DAG at run end
     val sigs = persistForRun(sign(batch), s"$batchInput.sigs")
+    // banded layout: the delta's banded frame is ALSO computed once per
+    // batch and persisted — the prefix set, the pair join's delta side,
+    // and the store delta all read it
+    val banded = if (storeLayout == "banded")
+      Some(persistForRun(toStoreLayout(sigs), s"$batchInput.banded")) else None
     // prefix-pruned store view (banded layout): only the store files in
     // the delta's own (band, bucket) prefix set feed the pair join
     val storeView = pruneStoreByPrefix(store, storePartitions,
-      toStoreLayout(sigs).select(col("store_pfx")).distinct()
+      banded.get.select(col("store_pfx")).distinct()
         .collect().map(_.getLong(0)).toSeq)
     val storeDups = (storeLayout match {
       case "banded" => Dedup.minhashIncrementalPairsBandedStore(sigs, storeView,
-        numHashes, bands, threshold)
+        numHashes, bands, threshold,
+        deltaBanded = banded.map(_.drop("store_pfx")))
       case _ => Dedup.minhashIncrementalPairsFromSigs(sigs, storeView,
         numHashes, bands, threshold)
     }).select(col("id_new").as(idColumn))
@@ -356,11 +377,15 @@ case class IncrementalDedupTransformer(
     // the whole pair join — the ids are delta-bounded (≤ batch), tiny
     val dupIds = persistForRun(allDups.distinct(), s"$batchInput.dups")
     val novel = batch.join(broadcast(dupIds), Seq(idColumn), "left_anti")
-    // store DELTA: the novel docs' already-computed signatures (re-shaped
-    // to the store layout) — appended by the action, never unioned onto
+    // store DELTA: the novel docs' already-computed signatures in the
+    // store layout (banded: the persisted banded frame filtered by novel
+    // ids — no re-explode) — appended by the action, never unioned onto
     // the store frame
-    val storeDelta = toStoreLayout(sigs.join(
-      novel.select(col(idColumn).as("id")), Seq("id"), "left_semi"))
+    val novelIds = novel.select(col(idColumn).as("id"))
+    val storeDelta = banded match {
+      case Some(b) => b.join(novelIds, Seq("id"), "left_semi")
+      case None => sigs.join(novelIds, Seq("id"), "left_semi")
+    }
     Map(novelKey -> novel, storeInput -> storeDelta)
   }
 }

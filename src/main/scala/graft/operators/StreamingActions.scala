@@ -72,9 +72,14 @@ case class StreamingIncrementalDedupAction(
                                storeDeltaRows: Long, durationMillis: Long)
   /** batchId → metrics of its LAST (re-)execution; thread-safe because
     * foreachBatch runs on the streaming thread while callers read from
-    * the exec thread. */
+    * the exec thread. BOUNDED: only the most recent
+    * [[metricsRetention]] batches are kept — a continuous
+    * (ProcessingTime) stream would otherwise grow one entry per
+    * micro-batch for the process lifetime. */
   @transient lazy val streamMetrics =
     new scala.collection.concurrent.TrieMap[Long, MicroBatchMetrics]
+  /** per-batch metric entries retained (oldest evicted past this) */
+  def metricsRetention: Int = 1024
 
   private def sinkObject(doId: String)(implicit ctx: ActionPipelineContext): SparkFileDataObject =
     ctx.registry.dataObject(doId) match {
@@ -139,14 +144,21 @@ case class StreamingIncrementalDedupAction(
       // delta-sized frame against the PRE-write store state and cuts the
       // plan, so the partition overwrite never sees its own path as input
       val storeWrite = writeKeyed(storeId, outs(storeId).localCheckpoint(true))
-      // one delta-bounded count; novel/store rows ride the writes for free
+      // one delta-bounded count; novel/store rows ride the writes for free.
+      // recordsWritten = -1 is the Observation-unavailable sentinel —
+      // propagate -1 for the derived dupRows too instead of computing
+      // inputRows - (-1) nonsense that would corrupt the run-level sums
       val inputRows = batch.count()
       streamMetrics(batchId) = MicroBatchMetrics(
         inputRows = inputRows,
-        dupRows = inputRows - novelWrite.recordsWritten,
+        dupRows = if (novelWrite.recordsWritten >= 0) inputRows - novelWrite.recordsWritten
+                  else -1L,
         novelRows = novelWrite.recordsWritten,
         storeDeltaRows = storeWrite.recordsWritten,
         durationMillis = System.currentTimeMillis() - t0)
+      if (streamMetrics.size > metricsRetention)
+        streamMetrics.keys.toSeq.sorted.dropRight(metricsRetention)
+          .foreach(streamMetrics.remove)
     } finally {
       // unpersist-per-batch: release THIS transformer's per-batch cache
       // registrations now that both writes landed (a long-lived stream
@@ -178,15 +190,19 @@ case class StreamingIncrementalDedupAction(
         // aggregate the per-batch records into the run's action metrics
         // (the detailed per-batch map stays readable on [[streamMetrics]])
         val batches = streamMetrics.toSeq.sortBy(_._1)
+        // -1 sentinel entries (observation unavailable) are excluded from
+        // the sums rather than silently subtracted into them
+        def sumOk(f: MicroBatchMetrics => Long): Long =
+          batches.map(b => f(b._2)).filter(_ >= 0).sum
         val observed: Map[String, Any] = Map(
           "microBatches" -> batches.size.toLong,
-          "inputRows" -> batches.map(_._2.inputRows).sum,
-          "dupRows" -> batches.map(_._2.dupRows).sum,
-          "novelRows" -> batches.map(_._2.novelRows).sum,
-          "storeDeltaRows" -> batches.map(_._2.storeDeltaRows).sum)
+          "inputRows" -> sumOk(_.inputRows),
+          "dupRows" -> sumOk(_.dupRows),
+          "novelRows" -> sumOk(_.novelRows),
+          "storeDeltaRows" -> sumOk(_.storeDeltaRows))
         Seq(SubFeed(outputId, isStreaming = true,
           metrics = Some(ActionMetrics(
-            recordsWritten = batches.map(_._2.novelRows).sum,
+            recordsWritten = sumOk(_.novelRows),
             observedMetrics = observed))),
           SubFeed(storeId, isStreaming = true))
       case _ =>

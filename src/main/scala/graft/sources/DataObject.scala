@@ -568,7 +568,14 @@ abstract class SparkFileDataObject extends DataObject
     // completes the moves instead of discarding the staging dir
     fs.create(new Path(staging, SparkFileDataObject.commitMarker), true).close()
     moveStagedAppendFiles(staging)
-    fs.delete(staging, true)
+    // cleanup delete CHECKED but non-fatal: the increment is fully moved,
+    // so a false return (transient FS) only leaves marker-bearing residue
+    // — reclaimOrFailLeftoverStaging deletes data-less marked dirs
+    // regardless of age, so the next append is never wedged behind the
+    // age guard by our own leftovers
+    if (!fs.delete(staging, true) && fs.exists(staging))
+      System.err.println(s"[graft] DataObject $id: staged-append cleanup of $staging " +
+        "returned false; residue will be reclaimed on the next append")
     if (!isSelfDescribing || schemaEvolvable) SchemaUtil.persistSchema(path, df.schema)
     // an append-only store accumulates one file set per batch — let the
     // object's housekeeping (e.g. FileCompactionMode) re-bin when due,
@@ -620,7 +627,26 @@ abstract class SparkFileDataObject extends DataObject
     fs.listStatus(parent).filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
       .foreach { st =>
         val age = now - st.getModificationTime
-        if (age < SparkFileDataObject.stagingReclaimAgeMs)
+        // a marker-bearing dir with NO data files left is fully-moved
+        // residue (the post-move cleanup delete returned false — Hadoop
+        // signals failure by return value): it cannot be a mid-flight
+        // appender (the marker is ordered after the staged write and
+        // every data file was already renamed in), so reclaim it
+        // regardless of age instead of wedging the single-writer
+        // pipeline behind the age guard
+        val marked = fs.exists(new Path(st.getPath, SparkFileDataObject.commitMarker))
+        def hasDataFiles: Boolean = {
+          val it = fs.listFiles(st.getPath, true)
+          var found = false
+          while (!found && it.hasNext) {
+            val name = it.next().getPath.getName
+            if (!name.startsWith("_") && !name.startsWith(".")) found = true
+          }
+          found
+        }
+        if (marked && !hasDataFiles)
+          fs.delete(st.getPath, true)
+        else if (age < SparkFileDataObject.stagingReclaimAgeMs)
           throw new IllegalStateException(
             s"DataObject $id: found in-flight staging dir ${st.getPath} " +
               s"(age ${age / 1000}s < reclaim guard " +
@@ -628,7 +654,7 @@ abstract class SparkFileDataObject extends DataObject
               "is likely mid-flight; stores are single-writer. Retry after it finishes, or " +
               "reclaim manually if it crashed: complete the moves if " +
               s"${SparkFileDataObject.commitMarker} exists in the dir, else delete it")
-        else if (fs.exists(new Path(st.getPath, SparkFileDataObject.commitMarker))) {
+        else if (marked) {
           // committed increment, crashed mid-move: complete it (renames
           // already applied are gone from staging — only the remainder moves)
           moveStagedAppendFiles(st.getPath)

@@ -46,8 +46,15 @@ object StoreMeta {
     val fs = f.getFileSystem(ctx.spark.sparkContext.hadoopConfiguration)
     val node = mapper.createObjectNode()
     params.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
-    val out = fs.create(f, true)
+    // write-temp-then-rename: an in-place overwrite crashed between create
+    // and close leaves a 0-byte sidecar that wedges every later run with
+    // an opaque JSON parse error instead of a clean validation message
+    val tmp = new Path(f.getParent, s".${f.getName}.tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
     try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+    if (fs.exists(f)) fs.delete(f, false)
+    require(fs.rename(tmp, f),
+      s"StoreMeta: could not move $tmp to $f — sidecar left unwritten, retry the run")
   }
 
   def read(basePath: String)(implicit ctx: ActionPipelineContext): Option[Map[String, String]] = {

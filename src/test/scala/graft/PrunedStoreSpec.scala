@@ -482,6 +482,29 @@ class PrunedStoreSpec extends AnyFunSuite {
     assert(ophBanded == ophCompact && ophBanded == (1L to 6L).toSet + 11L)
   }
 
+  test("banded store pins bands: a bands drift fails loudly from the sidecar") {
+    // banded rows bake the band decomposition into the stored (band,
+    // bucket) values — a drifted bands (valid divisor, same numHashes)
+    // would silently never key-match; the compact layout bands per batch,
+    // so bands stays a free knob there
+    val dir = java.nio.file.Files.createTempDirectory("bandsdrift").toString
+    val reg = registryFor(dir, storePartitions = true)
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    docs(Seq((1L, 1L))).write.mode("overwrite").parquet(s"$dir/batch")
+    new ActionDAGRun(Seq(bandedAction(16))).run()
+    val drifted = CustomDataFrameAction("inc", Seq("batch"), Seq("novel", "store"),
+      dfsTransformers = Seq(IncrementalDedupTransformer("batch", "store", "doc_id", "text",
+        threshold = 0.8, bands = 16, novelOutput = Some("novel"),
+        storeLayout = "banded", storePartitions = 16)),
+      saveMode = Some(SdlSaveMode.Append), recursiveInputIds = Seq("store"))
+    val e = intercept[Exception] { new ActionDAGRun(Seq(drifted)).run() }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(e).exists(t => Option(t.getMessage).exists(m =>
+      m.contains("bands=8") && m.contains("bands=16"))),
+      s"expected a bands drift failure, got: $e")
+  }
+
   test("construction guards: partitioning needs a single-blocking-key layout") {
     intercept[IllegalArgumentException] {
       IncrementalDedupTransformer("b", "s", "id", "text", storePartitions = 8)
