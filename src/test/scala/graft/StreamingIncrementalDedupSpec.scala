@@ -88,7 +88,9 @@ class StreamingIncrementalDedupSpec extends AnyFunSuite {
       // is picked up by a subsequent trigger and deduped against the
       // store state the first batch appended
       writeBatchFile(Seq((3L, 10L), (4L, 99L)), tmp, "b2.parquet", t0 + 2000)
-      val deadline = System.currentTimeMillis() + 60000
+      // generous: under a full-suite run on a loaded host the 1s trigger's
+      // second batch occasionally took >60s end-to-end (observed flake)
+      val deadline = System.currentTimeMillis() + 180000
       while (!outIds().contains(4L) && System.currentTimeMillis() < deadline)
         Thread.sleep(200)
       assert(outIds() == Set(1L, 2L, 4L), s"got ${outIds()}")
