@@ -604,7 +604,8 @@ object ConfigParser {
           signatureScheme = str(n, "signatureScheme").getOrElse("minhash"),
           intraBatch = bool(n, "intraBatch", dflt = true),
           storeLayout = str(n, "storeLayout").getOrElse("compact"),
-          storePartitions = int(n, "storePartitions").getOrElse(0))
+          storePartitions = int(n, "storePartitions").getOrElse(0),
+          allowRerun = bool(n, "allowRerun"))
       case "IncrementalSpanRemovalTransformer" | "incrementalSpanRemoval" =>
         IncrementalSpanRemovalTransformer(
           require(str(n, "batchInput"), id, "batchInput"),
@@ -614,7 +615,8 @@ object ConfigParser {
           windowTokens = int(n, "windowTokens").getOrElse(8),
           portableFingerprints = bool(n, "portableFingerprints", dflt = true),
           cleanOutput = str(n, "cleanOutput"),
-          storePartitions = int(n, "storePartitions").getOrElse(0))
+          storePartitions = int(n, "storePartitions").getOrElse(0),
+          allowRerun = bool(n, "allowRerun"))
       case "IncrementalLineDedupTransformer" | "incrementalLineDedup" =>
         IncrementalLineDedupTransformer(
           require(str(n, "batchInput"), id, "batchInput"),
@@ -623,7 +625,8 @@ object ConfigParser {
           require(str(n, "textColumn"), id, "textColumn"),
           maxOccurrences = int(n, "maxOccurrences").getOrElse(1),
           cleanOutput = str(n, "cleanOutput"),
-          storePartitions = int(n, "storePartitions").getOrElse(0))
+          storePartitions = int(n, "storePartitions").getOrElse(0),
+          allowRerun = bool(n, "allowRerun"))
       case "DecontaminateSpansTransformer" | "decontaminateSpans" =>
         DecontaminateSpansTransformer(
           require(str(n, "corpusInput"), id, "corpusInput"),
@@ -648,7 +651,8 @@ object ConfigParser {
           minSharedFrames = int(n, "minSharedFrames").getOrElse(2),
           maxFrameOccurrences = int(n, "maxFrameOccurrences").getOrElse(1000),
           intraBatch = bool(n, "intraBatch", dflt = true),
-          storePartitions = int(n, "storePartitions").getOrElse(0))
+          storePartitions = int(n, "storePartitions").getOrElse(0),
+          allowRerun = bool(n, "allowRerun"))
       case "IncrementalEmbeddingDedupTransformer" | "incrementalEmbeddingDedup" =>
         IncrementalEmbeddingDedupTransformer(
           require(str(n, "batchInput"), id, "batchInput"),
@@ -662,7 +666,8 @@ object ConfigParser {
           maxBucketSize = int(n, "maxBucketSize").getOrElse(1000),
           novelOutput = str(n, "novelOutput"),
           intraBatch = bool(n, "intraBatch", dflt = true),
-          storePartitions = int(n, "storePartitions").getOrElse(0))
+          storePartitions = int(n, "storePartitions").getOrElse(0),
+          allowRerun = bool(n, "allowRerun"))
       case "NbQualityTransformer" | "nbQuality" =>
         NbQualityTransformer(
           require(str(n, "corpusInput"), id, "corpusInput"),

@@ -200,6 +200,17 @@ case class ActionPipelineContext(
       * never publishes a results entry. Shared mutable map scoped to one
       * phase run. */
     persistedFrames: scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.DataFrame] =
+      scala.collection.concurrent.TrieMap.empty,
+    /** dataObjectId -> store-meta sidecar keys to merge in when that
+      * object's staged APPEND commits (registered by the incremental
+      * store transformers' rerun guard, applied by
+      * [[graft.sources.SparkFileDataObject.writeDataFrameStagedAppend]]
+      * at its commit point): the last-applied batch fingerprint must
+      * become durable WITH the append, not before the write (a failed
+      * write must stay rerunnable) and not after the moves (a crash
+      * between them would leave a committed batch unguarded). Shared
+      * mutable map scoped to one phase run, like [[persistedFrames]]. */
+    pendingStoreMetaUpdates: scala.collection.concurrent.TrieMap[String, Map[String, String]] =
       scala.collection.concurrent.TrieMap.empty) {
   def isExecPhase: Boolean = phase == ExecutionPhase.Exec
 }

@@ -1272,7 +1272,11 @@ object Dedup {
       if (storePartitions > 0 && store.columns.contains("store_pfx")) {
         val pfxs = deltaCounts.select(storePrefix(storePartitions, col("lh")).as("p"))
           .distinct().collect().map(_.getLong(0)).toSeq
-        store.where(col("store_pfx").isin(pfxs: _*)).drop("store_pfx")
+        // NULL-prefix rows kept: legacy rows appended before the column
+        // existed read back NULL under schema merge — pruning them away
+        // would silently forget their counts
+        store.where(col("store_pfx").isNull || col("store_pfx").isin(pfxs: _*))
+          .drop("store_pfx")
       } else store.drop("store_pfx")
     val storedForDelta = storeView.select(col("lh"), col("c"))
       .join(deltaCounts.select(col("lh")), Seq("lh"))
@@ -1372,7 +1376,10 @@ object Dedup {
         val pfxs = deltaCounts
           .select(storePrefix(storePartitions, col("h"), col("h2")).as("p"))
           .distinct().collect().map(_.getLong(0)).toSeq
-        store.where(col("store_pfx").isin(pfxs: _*)).drop("store_pfx")
+        // NULL-prefix rows kept — same legacy-row rationale as the
+        // line-store prune above
+        store.where(col("store_pfx").isNull || col("store_pfx").isin(pfxs: _*))
+          .drop("store_pfx")
       } else store.drop("store_pfx")
     // History access in two steps so the corpus-sized store can STREAM:
     // a left-outer `deltaCounts ⟕ store` would pin the store to the

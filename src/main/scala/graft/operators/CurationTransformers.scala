@@ -173,6 +173,69 @@ trait IncrementalStoreDfsTransformer extends DfsTransformer {
     * appending deltas signed with drifted parameters would SILENTLY never
     * match the store (dedup quietly stops deduplicating). */
   protected def storeMetaParams: Map[String, String]
+  /** the DEFAULT value of each [[storeMetaParams]] key — what a store
+    * written BEFORE a parameter existed was necessarily created with, so
+    * a sidecar missing the key validates against it: without this,
+    * flipping a later-added layout knob (e.g. `storePartitions`) over a
+    * legacy store passes validation, schema-evolves a NULL `store_pfx`
+    * column into the store, and prefix pruning silently drops every
+    * legacy row from the history join */
+  protected def storeMetaDefaults: Map[String, String]
+  /** Permit re-running a batch whose store append already COMMITTED —
+    * intentional re-ingestion only: the rerun classifies the whole batch
+    * as already-stored (dedup family: novel output comes out EMPTY) or
+    * double-counts it (span/line count stores: later batches
+    * over-scrubbed). Default false = [[guardBatchRerun]] fails loudly. */
+  def allowRerun: Boolean = false
+  /** set by [[StreamingIncrementalDedupAction]]: its sinks are batchId-
+    * keyed dynamic partition OVERWRITES, so a replayed micro-batch is
+    * idempotent by construction and the batch-path rerun guard (plus its
+    * per-batch fingerprint job) must not run there */
+  @transient private[operators] var skipRerunGuard: Boolean = false
+  /** Machine-checked rerun-after-commit contract (the RERUN CONTRACT
+    * above, enforced instead of documented): fingerprint the incoming
+    * batch (row count + an order-independent xxhash64 checksum over the
+    * id column — one column-pruned, delta-bounded job) and fail loudly
+    * when it matches the store sidecar's last-APPLIED batch, because that
+    * batch's state is already in the store. The fingerprint becomes
+    * durable WITH the store append (registered as a pending sidecar
+    * update that [[graft.sources.SparkFileDataObject
+    * .writeDataFrameStagedAppend]] merges at its commit point), so a run
+    * that fails BEFORE the append stays freely rerunnable — the reference
+    * makes recovery-reruns a first-class mechanic
+    * (`sdl-core/.../app/SmartDataLakeBuilder.scala:377-396` skips
+    * completed actions by state); this guard is the equivalent for the
+    * store append's effects, which live outside the run-state file. */
+  protected final def guardBatchRerun(batch: DataFrame, idColumn: String)
+                                     (implicit ctx: ActionPipelineContext): Unit = {
+    if (ctx.phase != ExecutionPhase.Exec || skipRerunGuard) return
+    ctx.registry.dataObjectOption(storeInput) match {
+      case Some(f: graft.sources.SparkFileDataObject) =>
+        // decimal(38,0) sum: order-independent, duplicate-sensitive, and
+        // cannot overflow under ANSI mode (sum of 19-digit hashes needs
+        // ~10^19 rows to reach 38 digits)
+        val r = batch.agg(count(lit(1)).as("_n"),
+          coalesce(sum(xxhash64(col(idColumn))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+            lit(java.math.BigDecimal.ZERO)).as("_ck")).collect()(0)
+        val fp = Map(
+          "lastBatchCount" -> r.getLong(0).toString,
+          "lastBatchChecksum" -> r.getDecimal(1).toBigInteger.toString)
+        val stored = graft.sources.StoreMeta.read(f.path).getOrElse(Map.empty)
+        val same = stored.get("lastBatchCount").contains(fp("lastBatchCount")) &&
+          stored.get("lastBatchChecksum").contains(fp("lastBatchChecksum"))
+        if (same && !allowRerun) throw new IllegalStateException(
+          s"${getClass.getSimpleName}: batch '$batchInput' (${fp("lastBatchCount")} rows) is " +
+            s"the LAST batch already applied to store '$storeInput' — its state is in the " +
+            "store, so re-running it would empty the novel output (dedup stores) or " +
+            "double-count it (span/line count stores). A recovery rerun should resume from " +
+            "the NEXT batch; for intentional re-ingestion set allowRerun = true. " +
+            "At-least-once sources belong on StreamingIncrementalDedupAction, whose " +
+            "batchId-keyed partition overwrite makes replays idempotent")
+        ctx.pendingStoreMetaUpdates(storeInput) = fp
+      case _ => ()
+    }
+  }
   /** store paths whose sidecar this INSTANCE already validated — a
     * long-running stream validates on its first micro-batch only (one
     * sidecar read per stream, not one data probe per batch; the sidecar
@@ -194,7 +257,14 @@ trait IncrementalStoreDfsTransformer extends DfsTransformer {
           graft.sources.StoreMeta.read(f.path) match {
             case Some(stored) =>
               graft.sources.StoreMeta.validateParams(stored, storeMetaParams,
-                getClass.getSimpleName, f.path)
+                getClass.getSimpleName, f.path, storeMetaDefaults)
+              // upgrade an older sidecar in place: validation just proved
+              // the missing keys sit at their defaults, so record them —
+              // a later flip is then ordinary both-present drift instead
+              // of a defaults-table lookup
+              val missing = storeMetaParams -- stored.keySet
+              if (missing.nonEmpty)
+                graft.sources.StoreMeta.write(f.path, stored ++ missing)
             case None =>
               if (f.exists) legacyProbe()
               graft.sources.StoreMeta.write(f.path, storeMetaParams)
@@ -215,11 +285,18 @@ trait IncrementalStoreDfsTransformer extends DfsTransformer {
     * per-batch store READ O(store × |delta prefixes| / N) instead of
     * O(store). Tolerates a store frame WITHOUT the column (standalone use
     * with an unpartitioned frame, or the first-run bootstrap): pruning is
-    * an I/O optimization, never a correctness requirement. */
+    * an I/O optimization, never a correctness requirement. NULL-prefix
+    * rows are KEPT: a store that ever mixed layouts (legacy rows appended
+    * before `store_pfx` existed read back NULL under schema merge) must
+    * still join its whole history — dropping NULLs would silently forget
+    * every pre-upgrade signature. The sidecar default-drift check makes
+    * that mixture unreachable through this transformer; the null guard
+    * covers standalone frames and hand-migrated stores. */
   protected final def pruneStoreByPrefix(store: DataFrame, storePartitions: Int,
                                          deltaPrefixes: => Seq[Long]): DataFrame =
     if (storePartitions > 0 && store.columns.contains("store_pfx"))
-      store.where(col("store_pfx").isin(deltaPrefixes: _*)).drop("store_pfx")
+      store.where(col("store_pfx").isNull || col("store_pfx").isin(deltaPrefixes: _*))
+        .drop("store_pfx")
     else store.drop("store_pfx")
 
   /** persist an expensive per-batch intermediate and hand its lifecycle to
@@ -287,7 +364,10 @@ case class IncrementalDedupTransformer(
       * and the pair join reads only the store files in the delta's own
       * bucket set — the per-batch store READ stops scaling with the
       * store. */
-    storePartitions: Int = 0) extends IncrementalStoreDfsTransformer {
+    storePartitions: Int = 0,
+    /** permit re-running a batch whose store append already committed —
+      * see [[IncrementalStoreDfsTransformer.allowRerun]] */
+    override val allowRerun: Boolean = false) extends IncrementalStoreDfsTransformer {
   require(signatureScheme == "minhash" || signatureScheme == "oph",
     s"IncrementalDedupTransformer: unknown signatureScheme '$signatureScheme' (minhash|oph)")
   require(storeLayout == "compact" || storeLayout == "banded",
@@ -316,6 +396,9 @@ case class IncrementalDedupTransformer(
     // bucket) values — a bands drift would silently never key-match. The
     // compact layout bands per batch, so bands stays a free knob there.
     (if (storeLayout == "banded") Map("bands" -> bands.toString) else Map.empty)
+  override protected def storeMetaDefaults: Map[String, String] = Map(
+    "scheme" -> "minhash", "numHashes" -> "32", "shingleSize" -> "5",
+    "storeLayout" -> "compact", "storePartitions" -> "0", "bands" -> "8")
   override def transform(dfs: Map[String, DataFrame])
                         (implicit ctx: ActionPipelineContext): Map[String, DataFrame] = {
     val batch = dfs.getOrElse(batchInput,
@@ -344,6 +427,7 @@ case class IncrementalDedupTransformer(
             s"signatures but this transformer signs at numHashes=$numHashes — deltas would " +
             "never match the store; align numHashes (and the signature scheme) with the store"))
     if (!validateStoreMeta(() => widthProbe())) widthProbe()
+    guardBatchRerun(batch, idColumn)
     // sign ONCE; multi-consumer (pair pipeline + store delta) → persisted,
     // swept by the DAG at run end
     val sigs = persistForRun(sign(batch), s"$batchInput.sigs")
@@ -436,7 +520,10 @@ case class IncrementalMediaDedupTransformer(
       * store, sidecar-pinned). Pruning is semantics-preserving on all
       * three: candidates share a key with the delta by construction and
       * over-cap counts are complete per prefix. */
-    storePartitions: Int = 0)
+    storePartitions: Int = 0,
+    /** permit re-running a batch whose store append already committed —
+      * see [[IncrementalStoreDfsTransformer.allowRerun]] */
+    override val allowRerun: Boolean = false)
   extends IncrementalStoreDfsTransformer {
   require(modality == "image" || modality == "audio" || modality == "video",
     s"IncrementalMediaDedupTransformer: unknown modality '$modality' (image|audio|video)")
@@ -474,6 +561,8 @@ case class IncrementalMediaDedupTransformer(
       (if (modality != "video" && storePartitions > 0)
         Map("storeBlockedMaxHamming" -> maxHamming.toString)
       else Map.empty)
+  override protected def storeMetaDefaults: Map[String, String] = Map(
+    "storePartitions" -> "0", "stride" -> "1", "storeBlockedMaxHamming" -> "2")
   override def transform(dfs: Map[String, DataFrame])
                         (implicit ctx: ActionPipelineContext): Map[String, DataFrame] = {
     val batch = dfs.getOrElse(batchInput,
@@ -485,6 +574,7 @@ case class IncrementalMediaDedupTransformer(
     // frame layout (frameSize/stride) determines frame-hash values — the
     // sidecar catches a layout drift that would silently never match
     validateStoreMeta(() => ())
+    guardBatchRerun(batch, idColumn)
     // decode ONCE; multi-consumer (pair join + store delta) → persisted,
     // swept by the DAG at run end
     val deltaFps = persistForRun(fingerprints(batch), s"$batchInput.fps")
@@ -555,7 +645,10 @@ case class IncrementalEmbeddingDedupTransformer(
       * LSH join matches within a bucket, exact copies share their bucket,
       * and over-cap counts are complete per prefix (bucket → prefix is a
       * function). */
-    storePartitions: Int = 0) extends IncrementalStoreDfsTransformer {
+    storePartitions: Int = 0,
+    /** permit re-running a batch whose store append already committed —
+      * see [[IncrementalStoreDfsTransformer.allowRerun]] */
+    override val allowRerun: Boolean = false) extends IncrementalStoreDfsTransformer {
   /** the store layout: embedding store rows have exactly one blocking key
     * (the hyperplane bucket), so partitioning needs no layout change —
     * just the transport column */
@@ -566,6 +659,8 @@ case class IncrementalEmbeddingDedupTransformer(
   override protected def storeMetaParams: Map[String, String] = Map(
     "dim" -> dim.toString, "numPlanes" -> numPlanes.toString,
     "storePartitions" -> storePartitions.toString)
+  override protected def storeMetaDefaults: Map[String, String] = Map(
+    "numPlanes" -> "16", "storePartitions" -> "0")
   override def transform(dfs: Map[String, DataFrame])
                         (implicit ctx: ActionPipelineContext): Map[String, DataFrame] = {
     val batch = dfs.getOrElse(batchInput,
@@ -577,6 +672,7 @@ case class IncrementalEmbeddingDedupTransformer(
     // dim/numPlanes determine bucket values — the sidecar catches a
     // drift that would silently never (or wrongly) bucket-match
     validateStoreMeta(() => ())
+    guardBatchRerun(batch, idColumn)
     val sigs = persistForRun(
       Dedup.embeddingStore(batch, idColumn, embColumn, dim, numPlanes), s"$batchInput.esigs")
     // prefix-pruned store view: only the store files in the delta's own
@@ -624,7 +720,10 @@ case class IncrementalSpanRemovalTransformer(
     idColumn: String, textColumn: String,
     windowTokens: Int = 8, portableFingerprints: Boolean = true,
     cleanOutput: Option[String] = None,
-    storePartitions: Int = 0) extends IncrementalStoreDfsTransformer {
+    storePartitions: Int = 0,
+    /** permit re-running a batch whose store append already committed —
+      * see [[IncrementalStoreDfsTransformer.allowRerun]] */
+    override val allowRerun: Boolean = false) extends IncrementalStoreDfsTransformer {
   override def novelOutput: Option[String] = cleanOutput
   /** within-batch repeats are counted by construction (delta window
     * counts), not via a separate self-join */
@@ -633,6 +732,8 @@ case class IncrementalSpanRemovalTransformer(
     "windowTokens" -> windowTokens.toString,
     "portableFingerprints" -> portableFingerprints.toString,
     "storePartitions" -> storePartitions.toString)
+  override protected def storeMetaDefaults: Map[String, String] = Map(
+    "windowTokens" -> "8", "portableFingerprints" -> "true", "storePartitions" -> "0")
   private def toStoreLayout(counts: DataFrame): DataFrame =
     if (storePartitions > 0)
       counts.withColumn("store_pfx",
@@ -651,6 +752,7 @@ case class IncrementalSpanRemovalTransformer(
         .withColumn("n_removed_tokens", lit(0)),
         storeInput -> store.limit(0))
     validateStoreMeta(() => ())
+    guardBatchRerun(batch, idColumn)
     // tokenize + fingerprint ONCE: base and windows feed the clean AND
     // the store delta, swept by the DAG at run end
     val base = persistForRun(Dedup.spanBase(batch, idColumn, textColumn), s"$batchInput.sbase")
@@ -687,12 +789,17 @@ case class IncrementalLineDedupTransformer(
     idColumn: String, textColumn: String,
     maxOccurrences: Int = 1,
     cleanOutput: Option[String] = None,
-    storePartitions: Int = 0) extends IncrementalStoreDfsTransformer {
+    storePartitions: Int = 0,
+    /** permit re-running a batch whose store append already committed —
+      * see [[IncrementalStoreDfsTransformer.allowRerun]] */
+    override val allowRerun: Boolean = false) extends IncrementalStoreDfsTransformer {
   override def novelOutput: Option[String] = cleanOutput
   /** within-batch repeats are counted by construction */
   override def intraBatch: Boolean = true
   override protected def storeMetaParams: Map[String, String] =
     Map("storePartitions" -> storePartitions.toString)
+  override protected def storeMetaDefaults: Map[String, String] =
+    Map("storePartitions" -> "0")
   private def toStoreLayout(counts: DataFrame): DataFrame =
     if (storePartitions > 0)
       counts.withColumn("store_pfx", Dedup.storePrefix(storePartitions, col("lh")))
@@ -708,6 +815,7 @@ case class IncrementalLineDedupTransformer(
         .withColumn("n_lines", lit(0)).withColumn("n_removed_lines", lit(0)),
         storeInput -> store.limit(0))
     validateStoreMeta(() => ())
+    guardBatchRerun(batch, idColumn)
     // explode + hash ONCE: base and hashes feed the clean AND the store
     // delta, swept by the DAG at run end
     val base = persistForRun(Dedup.lineBase(batch, idColumn, textColumn), s"$batchInput.lbase")

@@ -118,6 +118,11 @@ case class StreamingIncrementalDedupAction(
     * replay spec can run the same (batch, batchId) twice and assert the
     * second pass changes nothing. */
   def processBatch(batch: DataFrame, batchId: Long)(implicit ctx: ActionPipelineContext): Unit = {
+    // the batch-path rerun-after-commit guard does not apply here: BOTH
+    // sinks are batchId-keyed dynamic partition overwrites, so a replayed
+    // micro-batch is idempotent by construction (and the guard's per-batch
+    // fingerprint job would be pure overhead on every trigger)
+    transformer.skipRerunGuard = true
     // the store's current state = every batch partition appended so far,
     // EXCLUDING this batch's own partition: foreachBatch replays after a
     // crash mid-store-commit, and a partially-committed partition for THIS

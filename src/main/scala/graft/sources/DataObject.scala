@@ -494,6 +494,12 @@ abstract class SparkFileDataObject extends DataObject
     val w0 = repartitioned.write.format(format).options(options)
     val w = if (partitions.nonEmpty) w0.partitionBy(partitions: _*) else w0
     w.mode("overwrite").save(staging.toString)
+    // the swap below deletes .schema/ wholesale — carry the store-meta
+    // sidecar across it (a FileCompactionMode rewrite of a signature
+    // store would otherwise destroy the signing-parameter/rerun-guard
+    // record, and the next run would silently re-bootstrap it from the
+    // CURRENT config — the exact drift the sidecar exists to catch)
+    val storeMeta = StoreMeta.read(path)
     // Hadoop delete/rename signal failure by RETURNING FALSE — unchecked,
     // a failed swap would report success while the path sits empty and
     // the data lives on in the staging dir (silent total loss)
@@ -504,6 +510,7 @@ abstract class SparkFileDataObject extends DataObject
     // the swap deleted the previous .schema file — re-persist so the next
     // schema-on-read doesn't fall back to inference and drift types
     if (!isSelfDescribing || schemaEvolvable) SchemaUtil.persistSchema(path, df.schema)
+    storeMeta.foreach(StoreMeta.write(path, _))
     val jobMetrics = expObs.map(o =>
       graft.quality.DataQualityValidation.evaluateObserved(o, expectations)).getOrElse(Map.empty)
     val rows = try obs.get("records_written").asInstanceOf[Long] catch { case _: Throwable => -1L }
@@ -564,6 +571,16 @@ abstract class SparkFileDataObject extends DataObject
     val w0 = repartitioned.write.format(format).options(options)
     val w = if (partitions.nonEmpty) w0.partitionBy(partitions: _*) else w0
     w.mode("overwrite").save(staging.toString)
+    // rerun-guard state rides the commit: the transformer registered the
+    // batch's fingerprint as a pending sidecar update — make it durable
+    // AFTER the staged write succeeded (a failed write must stay
+    // rerunnable) and BEFORE the commit marker (once the marker exists the
+    // increment WILL reach the store — recovery completes the moves — so
+    // from that point a rerun of the same batch must fail loudly; the only
+    // residual window is a crash between this merge and the marker, which
+    // reclaims the unmarked staging and fails the rerun loudly too — a
+    // recoverable false positive, never silent loss)
+    ctx.pendingStoreMetaUpdates.remove(id).foreach(upd => StoreMeta.merge(path, upd))
     // COMMIT POINT: the staged increment is complete — from here recovery
     // completes the moves instead of discarding the staging dir
     fs.create(new Path(staging, SparkFileDataObject.commitMarker), true).close()

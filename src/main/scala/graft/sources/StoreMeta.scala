@@ -25,9 +25,21 @@ import org.apache.hadoop.fs.Path
   * Format: one flat JSON object of string key/values, e.g.
   * `{"scheme":"minhash","numHashes":"32","shingleSize":"5"}`. Writers put
   * every parameter that changes signature VALUES; readers fail on any
-  * key whose stored value differs from the current config (missing keys
-  * in an older sidecar are tolerated — parameters added later validate
-  * from the next bootstrap on).
+  * key whose stored value differs from the current config. A key MISSING
+  * from an older sidecar is tolerated only while the current value equals
+  * the parameter's DEFAULT — a pre-upgrade store was necessarily written
+  * at the default, so a non-default current value IS drift (flipping
+  * `storePartitions` on a legacy store would otherwise schema-evolve a
+  * NULL `store_pfx` column into it and silently break prefix pruning);
+  * after validation the sidecar is rewritten with the merged keys so
+  * later flips are caught as ordinary both-present drift.
+  *
+  * The sidecar also carries the LAST-APPLIED BATCH fingerprint
+  * (`lastBatchCount` / `lastBatchChecksum`, written by the staged-append
+  * commit path via [[ActionPipelineContext.pendingStoreMetaUpdates]]) —
+  * the rerun-after-commit guard's state. These keys are store STATE, not
+  * signing parameters; [[validateParams]] ignores them (they appear only
+  * on the stored side).
   */
 object StoreMeta {
 
@@ -46,16 +58,40 @@ object StoreMeta {
     val fs = f.getFileSystem(ctx.spark.sparkContext.hadoopConfiguration)
     val node = mapper.createObjectNode()
     params.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
-    // write-temp-then-rename: an in-place overwrite crashed between create
-    // and close leaves a 0-byte sidecar that wedges every later run with
-    // an opaque JSON parse error instead of a clean validation message
+    // write-temp-then-RENAME-OVER: an in-place overwrite crashed between
+    // create and close leaves a 0-byte sidecar that wedges every later run
+    // with an opaque JSON parse error, and a delete-then-rename crashed
+    // between the two leaves NO sidecar at all — the next run would then
+    // silently re-bootstrap from the CURRENT (possibly drifted) config,
+    // the exact failure the sidecar guards. FileContext's Rename.OVERWRITE
+    // replaces the destination atomically where the FS supports it; only
+    // when FileContext is unavailable for the scheme do we fall back to
+    // the delete+rename window.
+    if (fs.exists(f.getParent)) // reclaim tmp residue of crashed writers
+      fs.listStatus(f.getParent).map(_.getPath)
+        .filter(_.getName.startsWith(s".${f.getName}.tmp_"))
+        .foreach(p => fs.delete(p, false))
     val tmp = new Path(f.getParent, s".${f.getName}.tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
     try out.write(mapper.writeValueAsBytes(node)) finally out.close()
-    if (fs.exists(f)) fs.delete(f, false)
-    require(fs.rename(tmp, f),
-      s"StoreMeta: could not move $tmp to $f — sidecar left unwritten, retry the run")
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(f.toUri,
+        ctx.spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, f, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        if (fs.exists(f)) fs.delete(f, false)
+        require(fs.rename(tmp, f),
+          s"StoreMeta: could not move $tmp to $f — sidecar left unwritten, retry the run")
+    }
   }
+
+  /** merge `updates` into an existing (or absent) sidecar — the
+    * staged-append commit path records the applied batch fingerprint this
+    * way without clobbering the signing parameters written at bootstrap */
+  def merge(basePath: String, updates: Map[String, String])
+           (implicit ctx: ActionPipelineContext): Unit =
+    write(basePath, read(basePath).getOrElse(Map.empty) ++ updates)
 
   def read(basePath: String)(implicit ctx: ActionPipelineContext): Option[Map[String, String]] = {
     val f = metaFile(basePath)
@@ -75,12 +111,19 @@ object StoreMeta {
 
   /** Fail loudly on ANY persisted key whose value differs from the
     * current configuration — a delta signed with the current parameters
-    * would never (or wrongly) match the store's signatures. Keys present
-    * only on one side are tolerated (older sidecars validate the
-    * parameters they know). `owner` names the transformer for the
+    * would never (or wrongly) match the store's signatures. A current key
+    * MISSING from the sidecar is drift too when its value differs from
+    * the parameter's registered default (`defaults`): a pre-upgrade store
+    * was written at the default, so a non-default current value means the
+    * delta layout no longer matches the store's (the silent failure:
+    * flipping `storePartitions` on a legacy store NULL-schema-evolves
+    * `store_pfx` and pruning would drop every legacy row). Keys present
+    * only in `stored` are ignored (older parameters, plus the
+    * lastBatch* state keys). `owner` names the transformer for the
     * message. */
   def validateParams(stored: Map[String, String], current: Map[String, String],
-                     owner: String, basePath: String): Unit = {
+                     owner: String, basePath: String,
+                     defaults: Map[String, String] = Map.empty): Unit = {
     val drift = stored.toSeq.sorted.collect {
       case (k, v) if current.contains(k) && current(k) != v => (k, v, current(k))
     }
@@ -89,5 +132,15 @@ object StoreMeta {
         drift.map { case (k, v, c) => s"$k=$v (this run: $k=$c)" }.mkString(", ") +
         " — deltas signed with the current parameters would silently never match " +
         "the store; align the configuration with the store (or rebuild the store)")
+    val upgraded = current.toSeq.sorted.collect {
+      case (k, c) if !stored.contains(k) && defaults.get(k).exists(_ != c) => (k, defaults(k), c)
+    }
+    require(upgraded.isEmpty,
+      s"$owner: store at '$basePath' predates parameter" +
+        s"${if (upgraded.size > 1) "s" else ""} " +
+        upgraded.map { case (k, d, c) => s"$k (store: default $d, this run: $c)" }.mkString(", ") +
+        " — the store was written at the default, so deltas produced with the current " +
+        "value would silently never match it; keep the default for this store (or " +
+        "rebuild the store with the new layout)")
   }
 }

@@ -1,0 +1,208 @@
+package graft
+
+import graft.core._
+import graft.operators._
+import graft.sources._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Machine-checked rerun-after-commit contract
+  * ([[IncrementalStoreDfsTransformer.guardBatchRerun]]): a batch whose
+  * store append COMMITTED must not be silently re-executed — a dedup rerun
+  * classifies the whole batch as already-stored (novel output empties) and
+  * a count-store rerun double-counts (later batches over-scrubbed). The
+  * guard fingerprints the batch (count + id-column checksum), persists it
+  * in the store sidecar AT the staged append's commit point, and fails
+  * loudly on re-application — while a FRESH batch after recovery, a run
+  * that failed BEFORE its append, and the replay-idempotent streaming path
+  * all keep working. The reference makes recovery-reruns first-class
+  * (state-file skip-completed, `sdl-core/.../app/SmartDataLakeBuilder
+  * .scala:377-396`); this is the equivalent for store-append effects that
+  * live outside the run-state file. */
+class RerunGuardSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+
+  private val textA = "the quick brown fox jumps over the lazy dog and runs far away " * 5
+  private val textB = "completely different content about databases and query engines " * 5
+  private val textC = "novel text about deep sea exploration and marine biology notes " * 5
+
+  private def setup(dir: String, transformer: IncrementalStoreDfsTransformer,
+                    batchId: String = "batch"): (Action, InstanceRegistry) = {
+    val reg = new InstanceRegistry
+    reg.register(ParquetFileDataObject(batchId, s"$dir/batch"))
+    reg.register(ParquetFileDataObject(transformer.novelKey, s"$dir/novel"))
+    reg.register(ParquetFileDataObject(transformer.storeInput, s"$dir/store"))
+    val action = CustomDataFrameAction("inc", Seq(batchId),
+      Seq(transformer.novelKey, transformer.storeInput),
+      dfsTransformers = Seq(transformer),
+      saveMode = Some(SdlSaveMode.Append),
+      recursiveInputIds = Seq(transformer.storeInput))
+    (action, reg)
+  }
+
+  /** run batch 1 (commits), re-run it (must fail loudly), run batch 2
+    * (fresh — must succeed), on whichever family `transformer` is */
+  private def exerciseFamily(name: String, transformer: IncrementalStoreDfsTransformer,
+                             b1: org.apache.spark.sql.DataFrame,
+                             b2: org.apache.spark.sql.DataFrame): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory(s"rerun_$name").toString
+    val (action, reg) = setup(dir, transformer)
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    b1.write.mode("overwrite").parquet(s"$dir/batch")
+    new ActionDAGRun(Seq(action)).run()
+    val novelAfter1 = spark.read.parquet(s"$dir/novel").count()
+    val storeAfter1 = spark.read.parquet(s"$dir/store").count()
+    // the committed append recorded the batch fingerprint in the sidecar
+    val meta = StoreMeta.read(s"$dir/store").get
+    assert(meta.contains("lastBatchCount") && meta.contains("lastBatchChecksum"),
+      s"$name: commit must record the applied batch's fingerprint, got $meta")
+    // rerun of the SAME batch: fails loudly, store and output untouched
+    val e = intercept[IllegalStateException] { new ActionDAGRun(Seq(action)).run() }
+    assert(e.getMessage.contains("already applied") && e.getMessage.contains("allowRerun"),
+      s"$name: got '${e.getMessage}'")
+    assert(spark.read.parquet(s"$dir/novel").count() == novelAfter1,
+      s"$name: the refused rerun must not touch the novel output")
+    assert(spark.read.parquet(s"$dir/store").count() == storeAfter1,
+      s"$name: the refused rerun must not touch the store")
+    // a FRESH batch (the recovery case: resume from the next batch) runs
+    b2.write.mode("overwrite").parquet(s"$dir/batch")
+    new ActionDAGRun(Seq(action)).run()
+    assert(spark.read.parquet(s"$dir/store").count() > storeAfter1,
+      s"$name: a fresh batch after the refused rerun must append")
+  }
+
+  test("rerun of a committed batch fails loudly on all five store families; a fresh batch succeeds") {
+    exerciseFamily("text",
+      IncrementalDedupTransformer("batch", "store", "doc_id", "text",
+        threshold = 0.5, bands = 16, novelOutput = Some("novel")),
+      Seq((1L, textA), (2L, textB)).toDF("doc_id", "text"),
+      Seq((3L, textC)).toDF("doc_id", "text"))
+    exerciseFamily("media",
+      IncrementalMediaDedupTransformer("batch", "store", "media_id",
+        modality = "image", maxHamming = 0, novelOutput = Some("novel")),
+      Multimodal.withSynthImage(Seq((1L, 10L), (2L, 11L)).toDF("media_id", "seed"),
+        "seed", 16, 16),
+      Multimodal.withSynthImage(Seq((3L, 12L)).toDF("media_id", "seed"), "seed", 16, 16))
+    exerciseFamily("embedding",
+      IncrementalEmbeddingDedupTransformer("batch", "store", "vec_id", "emb",
+        dim = 4, novelOutput = Some("novel")),
+      Seq((1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 1f, 0f, 0f))).toDF("vec_id", "emb"),
+      Seq((3L, Array(0f, 0f, 1f, 0f))).toDF("vec_id", "emb"))
+    exerciseFamily("span",
+      IncrementalSpanRemovalTransformer("batch", "store", "doc_id", "text",
+        windowTokens = 8, cleanOutput = Some("novel")),
+      Seq((1L, textA), (2L, textB)).toDF("doc_id", "text"),
+      Seq((3L, textC)).toDF("doc_id", "text"))
+    exerciseFamily("line",
+      IncrementalLineDedupTransformer("batch", "store", "doc_id", "text",
+        cleanOutput = Some("novel")),
+      Seq((1L, "alpha one\nalpha two"), (2L, "beta one\nbeta two")).toDF("doc_id", "text"),
+      Seq((3L, "gamma one\ngamma two")).toDF("doc_id", "text"))
+  }
+
+  test("allowRerun overrides the guard for intentional re-ingestion") {
+    val dir = java.nio.file.Files.createTempDirectory("rerun_allow").toString
+    val (action, reg) = setup(dir,
+      IncrementalDedupTransformer("batch", "store", "doc_id", "text",
+        threshold = 0.5, bands = 16, novelOutput = Some("novel"), allowRerun = true))
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    Seq((1L, textA)).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/batch")
+    new ActionDAGRun(Seq(action)).run()
+    // permitted — and the rerun exhibits exactly the documented semantics:
+    // the batch is already stored, so nothing in it is novel this time
+    new ActionDAGRun(Seq(action)).run()
+    assert(spark.read.parquet(s"$dir/novel").select("doc_id").as[Long].collect().toSet ==
+      Set(1L))
+  }
+
+  test("a run that fails BEFORE its store append stays freely rerunnable") {
+    val dir = java.nio.file.Files.createTempDirectory("rerun_preappend").toString
+    val reg = new InstanceRegistry
+    reg.register(ParquetFileDataObject("batch", s"$dir/batch"))
+    reg.register(ParquetFileDataObject("novel", s"$dir/novel",
+      // constraint violation on the NOVEL sink: it writes BEFORE the store
+      // append, so the run dies with the append never reached
+      constraints = Seq(graft.quality.Constraint("no_small_ids", "doc_id > 100"))))
+    reg.register(ParquetFileDataObject("store", s"$dir/store"))
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    val t = IncrementalDedupTransformer("batch", "store", "doc_id", "text",
+      threshold = 0.5, bands = 16, novelOutput = Some("novel"))
+    val action = CustomDataFrameAction("inc", Seq("batch"), Seq("novel", "store"),
+      dfsTransformers = Seq(t), saveMode = Some(SdlSaveMode.Append),
+      recursiveInputIds = Seq("store"))
+    Seq((1L, textA)).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/batch")
+    intercept[Exception] { new ActionDAGRun(Seq(action)).run() }
+    assert(!new java.io.File(s"$dir/store").exists() ||
+      StoreMeta.read(s"$dir/store").forall(!_.contains("lastBatchCount")),
+      "a failed run must not record the batch as applied")
+    // the SAME batch reruns cleanly once the constraint is fixed
+    val reg2 = new InstanceRegistry
+    reg2.register(ParquetFileDataObject("batch", s"$dir/batch"))
+    reg2.register(ParquetFileDataObject("novel", s"$dir/novel"))
+    reg2.register(ParquetFileDataObject("store", s"$dir/store"))
+    val ctx2 = ActionPipelineContext(spark, reg2)
+    new ActionDAGRun(Seq(CustomDataFrameAction("inc", Seq("batch"), Seq("novel", "store"),
+      dfsTransformers = Seq(IncrementalDedupTransformer("batch", "store", "doc_id", "text",
+        threshold = 0.5, bands = 16, novelOutput = Some("novel"))),
+      saveMode = Some(SdlSaveMode.Append), recursiveInputIds = Seq("store")))).run()(ctx2)
+    assert(spark.read.parquet(s"$dir/novel").select("doc_id").as[Long].collect().toSet ==
+      Set(1L))
+  }
+
+  test("legacy-sidecar upgrade: flipping a later-added layout knob over a pre-upgrade store fails loudly") {
+    // the ADVICE scenario: a store bootstrapped WITHOUT storePartitions in
+    // its sidecar (simulated by stripping the keys) must reject a run that
+    // flips storePartitions>0 — the store rows have no store_pfx, so the
+    // flip would NULL-schema-evolve the column and break pruning silently
+    val dir = java.nio.file.Files.createTempDirectory("rerun_legacy").toString
+    val (action, reg) = setup(dir,
+      IncrementalEmbeddingDedupTransformer("batch", "store", "vec_id", "emb",
+        dim = 4, novelOutput = Some("novel")))
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    Seq((1L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "emb")
+      .write.mode("overwrite").parquet(s"$dir/batch")
+    new ActionDAGRun(Seq(action)).run()
+    // strip the later-added key: the pre-upgrade sidecar shape
+    val stripped = StoreMeta.read(s"$dir/store").get - "storePartitions"
+    StoreMeta.write(s"$dir/store", stripped)
+    val flipped = IncrementalEmbeddingDedupTransformer("batch", "store", "vec_id", "emb",
+      dim = 4, novelOutput = Some("novel"), storePartitions = 16)
+    val e = intercept[IllegalArgumentException] {
+      flipped.transform(Map("batch" ->
+        Seq((2L, Array(0f, 1f, 0f, 0f))).toDF("vec_id", "emb"),
+        "store" -> spark.read.parquet(s"$dir/store")))
+    }
+    assert(e.getMessage.contains("storePartitions") && e.getMessage.contains("default"),
+      s"got '${e.getMessage}'")
+    // while a run at the DEFAULT value upgrades the sidecar in place
+    val same = IncrementalEmbeddingDedupTransformer("batch", "store", "vec_id", "emb",
+      dim = 4, novelOutput = Some("novel"))
+    same.transform(Map("batch" -> Seq((2L, Array(0f, 1f, 0f, 0f))).toDF("vec_id", "emb"),
+      "store" -> spark.read.parquet(s"$dir/store")))
+    assert(StoreMeta.read(s"$dir/store").get.get("storePartitions").contains("0"),
+      "validation at the default must record the key for future drift checks")
+  }
+
+  test("null-prefix store rows survive pruning (hand-migrated / mixed stores)") {
+    // pruneStoreByPrefix keeps rows whose store_pfx is NULL: a store that
+    // mixed layouts (legacy rows schema-evolved to NULL) must still join
+    // its whole history — dropping NULLs would silently forget signatures
+    implicit val ctx: ActionPipelineContext =
+      ActionPipelineContext(spark, new InstanceRegistry)
+    val t = IncrementalEmbeddingDedupTransformer("b", "s", "vec_id", "emb",
+      dim = 4, storePartitions = 16)
+    val legacyStore = graft.functions.Dedup.embeddingStore(
+      Seq((1L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "emb"), "vec_id", "emb", 4, 16)
+      .withColumn("store_pfx", org.apache.spark.sql.functions.lit(null)
+        .cast(org.apache.spark.sql.types.LongType))
+    // id 2 re-posts the legacy vector: it MUST be recognized as a dup even
+    // though its store row carries a NULL prefix
+    val out = t.transform(Map(
+      "b" -> Seq((2L, Array(1f, 0f, 0f, 0f)), (3L, Array(0f, 1f, 0f, 0f)))
+        .toDF("vec_id", "emb"),
+      "s" -> legacyStore))
+    assert(out("b").select("vec_id").as[Long].collect().toSet == Set(3L),
+      "a NULL-prefix legacy store row must still dedup against the delta")
+  }
+}
