@@ -289,13 +289,17 @@ object ConfigParser {
   private def parseHousekeeping(id: String, n: JsonNode): HousekeepingMode =
     typeName(n, id) match {
       case "PartitionRetentionMode" | "retention" =>
-        PartitionRetentionMode(require(str(n, "retentionCondition"), id, "retentionCondition"))
+        PartitionRetentionMode(require(str(n, "retentionCondition"), id, "retentionCondition"),
+          streamingCheckpoint = str(n, "streamingCheckpoint"),
+          batchIdColumn = str(n, "batchIdColumn").getOrElse("ingest_batch"))
       case "PartitionArchiveCompactionMode" | "archiveCompaction" =>
         PartitionArchiveCompactionMode(
           archiveCondition = str(n, "archiveCondition"),
           archiveExpression = str(n, "archiveExpression"),
           compactCondition = str(n, "compactCondition"),
-          compactNumFiles = int(n, "compactNumFiles").getOrElse(1))
+          compactNumFiles = int(n, "compactNumFiles").getOrElse(1),
+          streamingCheckpoint = str(n, "streamingCheckpoint"),
+          batchIdColumn = str(n, "batchIdColumn").getOrElse("ingest_batch"))
       case "FileCompactionMode" | "fileCompaction" =>
         FileCompactionMode(
           minFiles = int(n, "minFiles").getOrElse(16),

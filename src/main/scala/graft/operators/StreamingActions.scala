@@ -80,6 +80,82 @@ case class StreamingIncrementalDedupAction(
     new scala.collection.concurrent.TrieMap[Long, MicroBatchMetrics]
   /** per-batch metric entries retained (oldest evicted past this) */
   def metricsRetention: Int = 1024
+  /** Run-level totals across EVERY batch — complete where the bounded
+    * detail map is not: past `metricsRetention` batches only the DETAIL
+    * entries are evicted, the totals keep counting (a >1024-batch
+    * AvailableNow run previously undercounted its final SubFeed metrics
+    * with no indication). Replay-idempotent while the replayed batch's
+    * entry is retained: the replaced entry's contribution is subtracted
+    * before the new one is added (replays only ever target batches at the
+    * checkpoint frontier — an EVICTED batchId is ≥ metricsRetention
+    * commits behind it and cannot be re-delivered). -1 sentinel fields
+    * (Observation unavailable) never enter a sum. */
+  case class RunTotals(batches: Long = 0L, inputRows: Long = 0L, dupRows: Long = 0L,
+                       novelRows: Long = 0L, storeDeltaRows: Long = 0L)
+  @transient private var totals = RunTotals()
+  @transient private lazy val totalsLock = new Object
+  def runTotals: RunTotals = totalsLock.synchronized(totals)
+  /** record one (re-)executed batch: detail entry keyed by batchId
+    * (bounded), totals adjusted for replacement, oldest detail evicted */
+  private def record(batchId: Long, m: MicroBatchMetrics): Unit = totalsLock.synchronized {
+    val prev = streamMetrics.put(batchId, m)
+    def pos(v: Long): Long = if (v >= 0) v else 0L
+    val p = prev.getOrElse(MicroBatchMetrics(-1, -1, -1, -1, 0))
+    totals = RunTotals(
+      batches = totals.batches + (if (prev.isEmpty) 1 else 0),
+      inputRows = totals.inputRows - pos(p.inputRows) + pos(m.inputRows),
+      dupRows = totals.dupRows - pos(p.dupRows) + pos(m.dupRows),
+      novelRows = totals.novelRows - pos(p.novelRows) + pos(m.novelRows),
+      storeDeltaRows = totals.storeDeltaRows - pos(p.storeDeltaRows) + pos(m.storeDeltaRows))
+    if (streamMetrics.size > metricsRetention)
+      streamMetrics.keys.toSeq.sorted.dropRight(metricsRetention)
+        .foreach(streamMetrics.remove)
+  }
+
+  /** Persist the per-batch metrics + run totals to
+    * `<runStateDir>/streaming/<actionId>.json` — the async-path analog of
+    * the sync path's SubFeed metrics checkpoint: a ProcessingTime run has
+    * no run-end to aggregate at, so the state file is refreshed after
+    * every query progress event (the reference feeds run state
+    * continuously through a StreamingQueryListener,
+    * `sdl-core/.../metrics/SparkStreamingQueryListener.scala`). Atomic
+    * temp-then-rename like [[graft.core.RunStateStore.save]]; no-op
+    * without a configured runStateDir. */
+  def persistStreamMetrics()(implicit ctx: ActionPipelineContext): Unit =
+    ctx.runStateDir.foreach { d =>
+      import org.apache.hadoop.fs.Path
+      val target = new Path(d, s"streaming/$id.json")
+      val fs = target.getFileSystem(ctx.spark.sparkContext.hadoopConfiguration)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.createObjectNode()
+      root.put("action", id)
+      val t = runTotals
+      val tn = root.putObject("totals")
+      tn.put("microBatches", t.batches); tn.put("inputRows", t.inputRows)
+      tn.put("dupRows", t.dupRows); tn.put("novelRows", t.novelRows)
+      tn.put("storeDeltaRows", t.storeDeltaRows)
+      val bn = root.putObject("batches")
+      streamMetrics.toSeq.sortBy(_._1).foreach { case (b, m) =>
+        val n = bn.putObject(b.toString)
+        n.put("inputRows", m.inputRows); n.put("dupRows", m.dupRows)
+        n.put("novelRows", m.novelRows); n.put("storeDeltaRows", m.storeDeltaRows)
+        n.put("durationMillis", m.durationMillis)
+      }
+      fs.mkdirs(target.getParent)
+      val tmp = new Path(target.getParent, s"._${id}.tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, true)
+      try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+      finally out.close()
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(target.toUri,
+          ctx.spark.sparkContext.hadoopConfiguration)
+        fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          if (fs.exists(target)) fs.delete(target, false)
+          fs.rename(tmp, target); ()
+      }
+    }
 
   private def sinkObject(doId: String)(implicit ctx: ActionPipelineContext): SparkFileDataObject =
     ctx.registry.dataObject(doId) match {
@@ -134,7 +210,14 @@ case class StreamingIncrementalDedupAction(
     // key is transport, not signature — drop it after the filter.
     val store = ctx.registry.dataObject(storeId) match {
       case f: SparkFileDataObject if f.exists =>
-        Some(f.getDataFrame().where(col(batchIdColumn) =!= lit(batchId)).drop(batchIdColumn))
+        // STRING comparison on the partition key: once housekeeping
+        // re-bins old batches under a coarse value (e.g. 'old'/'2024-01')
+        // the inferred partition type is string, and an ANSI bigint cast
+        // of those values would fail the whole read — the batch's own
+        // partition name is exactly batchId.toString on disk either way
+        Some(f.getDataFrame()
+          .where(col(batchIdColumn).cast("string") =!= lit(batchId.toString))
+          .drop(batchIdColumn))
       case _ => None
     }
     val t0 = System.currentTimeMillis()
@@ -154,16 +237,13 @@ case class StreamingIncrementalDedupAction(
       // propagate -1 for the derived dupRows too instead of computing
       // inputRows - (-1) nonsense that would corrupt the run-level sums
       val inputRows = batch.count()
-      streamMetrics(batchId) = MicroBatchMetrics(
+      record(batchId, MicroBatchMetrics(
         inputRows = inputRows,
         dupRows = if (novelWrite.recordsWritten >= 0) inputRows - novelWrite.recordsWritten
                   else -1L,
         novelRows = novelWrite.recordsWritten,
         storeDeltaRows = storeWrite.recordsWritten,
-        durationMillis = System.currentTimeMillis() - t0)
-      if (streamMetrics.size > metricsRetention)
-        streamMetrics.keys.toSeq.sorted.dropRight(metricsRetention)
-          .foreach(streamMetrics.remove)
+        durationMillis = System.currentTimeMillis() - t0))
     } finally {
       // unpersist-per-batch: release THIS transformer's per-batch cache
       // registrations now that both writes landed (a long-lived stream
@@ -192,31 +272,47 @@ case class StreamingIncrementalDedupAction(
     mode.triggerType match {
       case "Once" | "AvailableNow" =>
         query.awaitTermination()
-        // aggregate the per-batch records into the run's action metrics
-        // (the detailed per-batch map stays readable on [[streamMetrics]])
-        val batches = streamMetrics.toSeq.sortBy(_._1)
-        // -1 sentinel entries (observation unavailable) are excluded from
-        // the sums rather than silently subtracted into them
-        def sumOk(f: MicroBatchMetrics => Long): Long =
-          batches.map(b => f(b._2)).filter(_ >= 0).sum
-        val observed: Map[String, Any] = Map(
-          "microBatches" -> batches.size.toLong,
-          "inputRows" -> sumOk(_.inputRows),
-          "dupRows" -> sumOk(_.dupRows),
-          "novelRows" -> sumOk(_.novelRows),
-          "storeDeltaRows" -> sumOk(_.storeDeltaRows))
+        // the RUN TOTALS feed the action metrics — complete across any
+        // detail-map eviction (the per-batch map stays readable on
+        // [[streamMetrics]] for the retained tail)
+        val t = runTotals
+        persistStreamMetrics()
         Seq(SubFeed(outputId, isStreaming = true,
           metrics = Some(ActionMetrics(
-            recordsWritten = sumOk(_.novelRows),
-            observedMetrics = observed))),
+            recordsWritten = t.novelRows,
+            observedMetrics = Map(
+              "microBatches" -> t.batches, "inputRows" -> t.inputRows,
+              "dupRows" -> t.dupRows, "novelRows" -> t.novelRows,
+              "storeDeltaRows" -> t.storeDeltaRows)))),
           SubFeed(storeId, isStreaming = true))
       case _ =>
-        // async: same first-batch wait discipline as CopyAction.execStreaming
+        // async (ProcessingTime): exec returns after the first batch, so
+        // the run-state file is the only place later batches' metrics can
+        // land — refresh it on every progress event for THIS query (the
+        // reference's SparkStreamingQueryListener contract); the listener
+        // unregisters itself when the query dies
+        if (ctx.runStateDir.isDefined) {
+          val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+            override def onQueryStarted(
+                e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+            override def onQueryProgress(
+                e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+              if (e.progress.id == query.id) persistStreamMetrics()
+            override def onQueryTerminated(
+                e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+              if (e.id == query.id) ctx.spark.streams.removeListener(this)
+          }
+          ctx.spark.streams.addListener(listener)
+        }
+        // same first-batch wait discipline as CopyAction.execStreaming
         val deadline = System.currentTimeMillis() + mode.firstBatchTimeoutSec * 1000L
         while (!query.recentProgress.exists(_.numInputRows >= 0) && query.isActive &&
                System.currentTimeMillis() < deadline)
           Thread.sleep(50)
         query.exception.foreach(throw _)
+        // first snapshot immediately (the listener may have missed the
+        // first batch's progress event — registration raced the trigger)
+        persistStreamMetrics()
         Seq(SubFeed(outputId, isStreaming = true), SubFeed(storeId, isStreaming = true))
     }
   }

