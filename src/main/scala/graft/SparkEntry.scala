@@ -3849,6 +3849,53 @@ object SparkEntry {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
       s.read.parquet(s"$tmp/clean").select(col("doc_id"), col("batch"),
         col("n_lines"), col("n_removed_lines"), col("text"))
+    }),
+
+    // CONTINUOUS media ingestion through the BLOCKED prefix-partitioned
+    // image store (q149's discipline on the perceptual-fingerprint
+    // modality): the store holds one row per Manku block key with the
+    // dHash carried, laid out by store_pfx = pmod(xxhash64(block, bkey),
+    // 16) — each batch's pair join reads only the store FILES in the
+    // delta's own block-key set, with NO estimator trade (hamming on the
+    // carried fingerprints; pigeonhole makes the pruning loss-free). Two
+    // ingestion DAG runs planting every decision class incl. POSITIVE
+    // store collisions (identical seed → identical dHash, the q137/q140
+    // argument; distinct synth seeds sit far beyond hamming 2): batch 1
+    // seeds 1..8 novel + id 9 re-posting seed 1 within the batch; batch 2
+    // seeds 20..23 novel, id 24 re-posting STORED seed 2, id 25
+    // re-posting seed 20 within the batch. Survivors = first poster of
+    // each seed — a structural oracle.
+    "q152_blocked_media_store_dedup" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q152").toString
+      def imgs(rows: Seq[(Long, Long, Int)]): DataFrame =
+        graft.operators.Multimodal.withSynthImage(
+          s.createDataFrame(rows).toDF("media_id", "seed", "batch"), "seed", 16, 16)
+          .drop("seed")
+      val b1 = imgs((1L to 8L).map(i => (i, i, 1)) :+ (9L, 1L, 1))
+      val b2 = imgs((20L to 23L).map(i => (i, i, 2)) ++ Seq((24L, 2L, 2), (25L, 20L, 2)))
+      val reg = new graft.core.InstanceRegistry
+      reg.register(graft.sources.ParquetFileDataObject("media_batch", s"$tmp/batch"))
+      reg.register(graft.sources.ParquetFileDataObject("media_novel", s"$tmp/novel"))
+      // the q149 cost-ladder knobs: 16 prefixes stay under the parallel-
+      // listing threshold; 8 writer tasks give one file per touched prefix
+      reg.register(graft.sources.ParquetFileDataObject("media_store", s"$tmp/store",
+        partitions = Seq("store_pfx"), numberOfTasksPerPartition = Some(8)))
+      implicit val ctx: graft.core.ActionPipelineContext =
+        graft.core.ActionPipelineContext(s, reg)
+      val action = graft.operators.CustomDataFrameAction(
+        "incmedia", Seq("media_batch"), Seq("media_novel", "media_store"),
+        dfsTransformers = Seq(graft.operators.IncrementalMediaDedupTransformer(
+          "media_batch", "media_store", "media_id", modality = "image",
+          maxHamming = 2, novelOutput = Some("media_novel"), storePartitions = 16)),
+        saveMode = Some(graft.core.SdlSaveMode.Append),
+        recursiveInputIds = Seq("media_store"))
+      val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try Seq(b1, b2).foreach { b =>
+        b.write.mode("overwrite").parquet(s"$tmp/batch")
+        new graft.core.ActionDAGRun(Seq(action)).run()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
+      s.read.parquet(s"$tmp/novel").select(col("media_id"), col("batch"))
     })
   )
 
@@ -6125,6 +6172,15 @@ object SparkEntry {
         |   'twelve a' || chr(10) || 'twelve b'),
         |  (CAST(13 AS BIGINT), CAST(2 AS INT), CAST(3 AS INT), CAST(1 AS INT),
         |   'thirteen a' || chr(10) || 'thirteen b')
-        |) v(doc_id, batch, n_lines, n_removed_lines, text)""".stripMargin
+        |) v(doc_id, batch, n_lines, n_removed_lines, text)""".stripMargin,
+
+    // q152: structural oracle — survivors through the blocked prefix-
+    // partitioned image store are the first poster of each seed: batch
+    // 1's 1..8 (9 an intra dup of seed 1), batch 2's 20..23 (24 a store
+    // dup of seed 2, 25 an intra dup of seed 20)
+    "q152_blocked_media_store_dedup" ->
+      """SELECT CAST(id AS BIGINT) AS media_id, CAST(1 AS INT) AS batch FROM range(1, 9) t(id)
+        |UNION ALL
+        |SELECT CAST(id AS BIGINT), CAST(2 AS INT) FROM range(20, 24) t(id)""".stripMargin
   )
 }
