@@ -120,6 +120,68 @@ object BenchStoreGrowth {
       f""""bytes_ratio":${rewriteBytes.toDouble / appendBytes}%.1f,""" +
       f""""rewrite_secs":$rewriteSecs%.2f,"append_secs":$appendSecs%.2f,""" +
       f""""final_rewrite_rows":$finalRewrite,"final_append_rows":$finalAppend}""")
+
+    // ---- shape C: TEXT store layouts — compact vs banded storage trade --
+    //
+    // The banded layout buys a prefix-prunable per-batch READ (measured
+    // flat in BenchStorePrune) by replicating the signature into every
+    // band row and dropping the shingle array; the compact layout stores
+    // shingles once per doc. This section puts the WRITE/STORAGE side of
+    // that trade on record: bootstrap bytes, append bytes per batch (at
+    // S and 10S — append volume must stay flat in store size for both),
+    // and the store footprint after compaction (FileCompactionMode for
+    // the unpartitioned compact store; per-prefix re-bin for the
+    // store_pfx-partitioned banded store).
+    import graft.functions.Dedup
+    val textItems = sys.env.getOrElse("SPARK_GRAFT_TEXT_ITEMS", "50000").toInt
+    val bands = 8; val numHashes = 32; val pfx = 64
+    def textSigs(from: Long, n: Int): DataFrame =
+      Dedup.minhashSignatures(
+        spark.range(from, from + n).select(col("id").as("doc_id"))
+          .withColumn("text", concat_ws(" ",
+            transform(sequence(lit(0), lit(39)),
+              i => concat(lit("w"), pmod(xxhash64(col("doc_id") * 1000 + i), lit(50000L)))))),
+        "doc_id", "text", 5, numHashes)
+    def bandedOf(sigs: DataFrame): DataFrame =
+      Dedup.minhashBandedStore(sigs, numHashes, bands, pfx)
+    Seq(1, 10).foreach { mult =>
+      val s0 = textItems * mult
+      Seq("compact", "banded").foreach { layout =>
+        val dir = s"$tmp/text_${layout}_$mult"
+        val reg2 = new InstanceRegistry
+        reg2.register(ParquetFileDataObject(s"ts_${layout}_$mult", dir,
+          partitions = if (layout == "banded") Seq("store_pfx") else Seq.empty,
+          numberOfTasksPerPartition = if (layout == "banded") Some(8) else None))
+        val obj = reg2.dataObject(s"ts_${layout}_$mult").asInstanceOf[ParquetFileDataObject]
+        val ctx2 = ActionPipelineContext(spark, reg2)
+        def shaped(df: DataFrame) = if (layout == "banded") bandedOf(df) else df
+        shaped(textSigs(0, s0)).write
+          .partitionBy((if (layout == "banded") Seq("store_pfx") else Seq.empty): _*)
+          .mode("overwrite").parquet(dir)
+        val bootBytes = dataBytes(dir)
+        var appBytes = 0L; var appSecs = 0.0
+        (0 until nBatches).foreach { b =>
+          val delta = shaped(textSigs(30000000L + b * 2000L, 2000))
+          val t0 = System.nanoTime()
+          val before = dataBytes(dir)
+          obj.writeDataFrameStagedAppend(delta)(ctx2)
+          appBytes += dataBytes(dir) - before
+          appSecs += (System.nanoTime() - t0) / 1e9
+        }
+        // compaction: whole-directory rewrite for the unpartitioned
+        // compact store; per-prefix re-bin for the partitioned banded one
+        if (layout == "banded")
+          PartitionArchiveCompactionMode(compactCondition = Some("true"),
+            compactNumFiles = 1).exec(obj)(ctx2)
+        else
+          FileCompactionMode(minFiles = 2, targetNumFiles = 4).exec(obj)(ctx2)
+        val compactedBytes = dataBytes(dir)
+        println(f"""{"bench":"store_layout","layout":"$layout","store_items":$s0,""" +
+          f""""boot_bytes":$bootBytes,"append_bytes_per_batch":${appBytes / nBatches},""" +
+          f""""append_secs":$appSecs%.2f,"compacted_bytes":$compactedBytes,""" +
+          f""""bytes_per_doc":${compactedBytes / (s0 + nBatches * 2000)}}""")
+      }
+    }
     spark.stop()
   }
 }
