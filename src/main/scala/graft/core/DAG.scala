@@ -130,7 +130,12 @@ class ActionDAGRun(actions: Seq[Action], parallelism: Int = 1,
     val cacheOn = enableAutomaticDataFrameCaching && phase == ExecutionPhase.Exec
     implicit val c: ActionPipelineContext = ctx0.copy(phase = phase,
       dataFrameReuseCounts = if (cacheOn) reuseCounts else Map.empty,
-      persistedFrames = scala.collection.concurrent.TrieMap.empty)
+      persistedFrames = scala.collection.concurrent.TrieMap.empty,
+      // fresh per phase like persistedFrames: a FAILED run's un-applied
+      // batch-fingerprint registration must not leak into a later run's
+      // staged append (it would record a batch that never landed and
+      // falsely refuse its legitimate rerun — loud, but avoidable)
+      pendingStoreMetaUpdates = scala.collection.concurrent.TrieMap.empty)
     val pool = Executors.newFixedThreadPool(math.max(1, parallelism))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val results = scala.collection.concurrent.TrieMap.empty[String, Seq[SubFeed]]

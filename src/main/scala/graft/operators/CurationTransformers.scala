@@ -205,7 +205,14 @@ trait IncrementalStoreDfsTransformer extends DfsTransformer {
     * makes recovery-reruns a first-class mechanic
     * (`sdl-core/.../app/SmartDataLakeBuilder.scala:377-396` skips
     * completed actions by state); this guard is the equivalent for the
-    * store append's effects, which live outside the run-state file. */
+    * store append's effects, which live outside the run-state file.
+    *
+    * SCOPE: the guard protects the STORE (the state that silently
+    * corrupts). The NOVEL sink is a plain Append that writes BEFORE the
+    * store append — a run that fails between the two re-appends the same
+    * novel rows on its (guard-permitted) rerun. Exactly-once novel
+    * output needs an idempotent sink: key it by an ingestion-batch
+    * partition (the streaming action's layout) or dedupe downstream. */
   protected final def guardBatchRerun(batch: DataFrame, idColumn: String)
                                      (implicit ctx: ActionPipelineContext): Unit = {
     if (ctx.phase != ExecutionPhase.Exec || skipRerunGuard) return
@@ -380,8 +387,10 @@ case class IncrementalDedupTransformer(
     /** "compact" ((id, shingles, sig) rows, exact shingle-Jaccard
       * verification) | "banded" (one row per band bucket carrying the
       * signature, [[graft.functions.Dedup.minhashBandedStore]] —
-      * verification by the signature-agreement ESTIMATE, and the only
-      * layout `storePartitions` can prune). Pick once per store
+      * verification by the signature-agreement ESTIMATE for BOTH store
+      * and within-batch pairs (the fused pass uses the layout's one
+      * verifier uniformly; exact copies estimate exactly 1.0), and the
+      * only layout `storePartitions` can prune). Pick once per store
       * (sidecar-enforced). */
     storeLayout: String = "compact",
     /** > 0 (banded layout only): the store delta carries a `store_pfx`
