@@ -364,6 +364,13 @@ object Dedup {
       assertNoCappedBuckets(corpusBanded, Seq("band", "bucket"), maxBucketSize,
         "incremental minhash LSH")
       pairsOf(corpusBanded)
+    } else if (!anyCappedBuckets(corpusBanded, Seq("band", "bucket"), maxBucketSize)) {
+      // no capped buckets (the common case): nothing to prune, and the
+      // exact-copy fallback — which exists ONLY to recover pairs the cap
+      // pruned — would contribute nothing; skipping both saves a full
+      // corpus-view traversal + checksum join EVERY batch (the lazy
+      // shape built the fallback unconditionally)
+      pairsOf(corpusBanded)
     } else {
       val bigBuckets = corpusBanded.groupBy(col("band"), col("bucket"))
         .agg(count(lit(1)).as("_n")).where(col("_n") > maxBucketSize)
@@ -502,8 +509,13 @@ object Dedup {
       assertNoCappedBuckets(bandedStore.select(col("id"), col("band"), col("bucket")),
         Seq("band", "bucket"), maxBucketSize, "incremental banded minhash LSH")
       pairsOf(bandedStore)
+    } else if (!anyCappedBuckets(bandedStore, Seq("band", "bucket"), maxBucketSize)) {
+      // no capped buckets: no prune, no fallback — one probe job instead
+      // of a per-batch store-view traversal for a fallback that would
+      // recover nothing (see minhashIncrementalPairsFromSigs)
+      pairsOf(bandedStore)
     } else {
-      // lazy over-cap guard, the minhashIncrementalPairsFromSigs shape —
+      // over-cap guard, the minhashIncrementalPairsFromSigs shape —
       // bucket counts are complete on a prefix-pruned view because a
       // (band, bucket) group lives entirely inside its own prefix
       val bigBuckets = bandedStore.groupBy(col("band"), col("bucket"))
@@ -531,6 +543,18 @@ object Dedup {
       }
     }
   }
+
+  /** EAGER over-cap probe: does ANY blocking-key bucket exceed the cap?
+    * One map-side-combined aggregate job at plan-construction time. The
+    * lazy alternative builds the prune anti-join AND the exact-copy
+    * fallback into every batch's plan unconditionally — and the fallback
+    * traverses the whole corpus view (scan + checksum join) even when
+    * NOTHING is capped, which is the common case. With the probe, both
+    * exist only when a capped bucket actually does; when caps appear the
+    * batch pays one extra small aggregate. */
+  private def anyCappedBuckets(df: DataFrame, keyCols: Seq[String], maxBucketSize: Int): Boolean =
+    !df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_n"))
+      .where(col("_n") > maxBucketSize).isEmpty
 
   /** Skew guard used ONLY for `failOnCappedBuckets = true`: aggregate the
     * banded set once and fail at CONSTRUCTION with the over-cap count —
@@ -1632,6 +1656,10 @@ object Dedup {
       assertNoCappedBuckets(storeSigs.select(col("id"), col("bucket")), Seq("bucket"),
         maxBucketSize, "incremental embedding LSH")
       pairsOf(storeSigs)
+    } else if (!anyCappedBuckets(storeSigs, Seq("bucket"), maxBucketSize)) {
+      // no capped buckets: no prune, no fallback — the fallback's
+      // per-batch store-view scan + checksum join would recover nothing
+      pairsOf(storeSigs).dropDuplicates("id_new", "id_corpus")
     } else {
       val bigBuckets = storeSigs.groupBy(col("bucket"))
         .agg(count(lit(1)).as("_n")).where(col("_n") > maxBucketSize)
