@@ -104,7 +104,12 @@ object GraftApp {
   def run(args: CliArgs, spark: SparkSession): Map[String, Seq[SubFeed]] = {
     val configText = loadConfigText(args.configPaths)
     val registry = ConfigParser.parse(configText)
-    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, registry)
+    // --state-path doubles as the run-state dir for continuously-updated
+    // streaming metrics (StreamingIncrementalDedupAction persists
+    // per-batch rows to <statePath>/streaming/<actionId>.json on every
+    // progress event — without this wiring an async run records nothing)
+    implicit val ctx: ActionPipelineContext =
+      ActionPipelineContext(spark, registry, runStateDir = args.statePath)
     graft.sources.GraftZipCodec.register(ctx)
     ConfigParser.parseGlobalSparkOptions(configText).foreach { case (k, v) =>
       try spark.conf.set(k, v)

@@ -459,6 +459,43 @@ class PrunedStoreSpec extends AnyFunSuite {
       maxOccurrences = 2, cleanOutput = Some("lc"), storePartitions = 32))
   }
 
+  test("round-17 knobs parse from HOCON: allowRerun, checkpoint-clamped housekeeping") {
+    val reg = ConfigParser.parse(
+      """dataObjects {
+        |  b { type = parquet, path = "/tmp/x/b" }
+        |  n { type = parquet, path = "/tmp/x/n",
+        |      housekeepingMode = { type = retention,
+        |        retentionCondition = "ingest_batch >= 5",
+        |        streamingCheckpoint = "/tmp/x/cp", batchIdColumn = mb } }
+        |  s { type = parquet, path = "/tmp/x/s",
+        |      housekeepingMode = { type = archiveCompaction,
+        |        archiveCondition = "ingest_batch < 2",
+        |        archiveExpression = "named_struct('ingest_batch', 'old')",
+        |        streamingCheckpoint = "/tmp/x/cp" } }
+        |}
+        |actions {
+        |  ing {
+        |    type = customDataFrame
+        |    inputIds = [b], outputIds = [n, s], recursiveInputIds = [s]
+        |    saveMode = append
+        |    dfsTransformers = [
+        |      { type = incrementalDedup, batchInput = b, storeInput = s,
+        |        idColumn = id, textColumn = t, allowRerun = true }
+        |    ]
+        |  }
+        |}
+        |""".stripMargin)
+    val tr = reg.action("ing").asInstanceOf[CustomDataFrameAction]
+      .dfsTransformers.head.asInstanceOf[IncrementalDedupTransformer]
+    assert(tr.allowRerun, "allowRerun must parse")
+    val ret = reg.dataObject("n").asInstanceOf[ParquetFileDataObject]
+      .housekeepingMode.get.asInstanceOf[PartitionRetentionMode]
+    assert(ret.streamingCheckpoint.contains("/tmp/x/cp") && ret.batchIdColumn == "mb")
+    val arc = reg.dataObject("s").asInstanceOf[ParquetFileDataObject]
+      .housekeepingMode.get.asInstanceOf[PartitionArchiveCompactionMode]
+    assert(arc.streamingCheckpoint.contains("/tmp/x/cp") && arc.batchIdColumn == "ingest_batch")
+  }
+
   test("OPH signing composes with the banded layout (parity with oph+compact)") {
     // the corpus-scale default candidate (oph) through the prunable
     // layout: signature VALUES differ from classic minhash but the
