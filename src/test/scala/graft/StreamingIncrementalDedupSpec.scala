@@ -79,10 +79,16 @@ class StreamingIncrementalDedupSpec extends AnyFunSuite {
       SparkStreamingMode(checkpointLocation = s"$tmp/cp",
         triggerType = "ProcessingTime", triggerIntervalSec = Some(1L)))
     try {
-      action.exec(Seq.empty)   // returns after the FIRST micro-batch
+      action.exec(Seq.empty)   // returns after the FIRST micro-batch...
       def outIds(): Set[Long] =
         if (!new java.io.File(s"$tmp/out").exists) Set.empty
         else spark.read.parquet(s"$tmp/out").select("media_id").as[Long].collect().toSet
+      // ...OR after firstBatchTimeoutSec (60 s) — under full-suite load the
+      // first batch can outlive that window, so POLL for it instead of
+      // asserting the exec-return snapshot (observed flake)
+      val firstDeadline = System.currentTimeMillis() + 180000
+      while (outIds() != Set(1L, 2L) && System.currentTimeMillis() < firstDeadline)
+        Thread.sleep(200)
       assert(outIds() == Set(1L, 2L), s"first batch must be committed, got ${outIds()}")
       // the stream is still live: a later file (one store dup, one novel)
       // is picked up by a subsequent trigger and deduped against the
