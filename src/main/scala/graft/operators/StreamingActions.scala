@@ -120,8 +120,20 @@ case class StreamingIncrementalDedupAction(
     * continuously through a StreamingQueryListener,
     * `sdl-core/.../metrics/SparkStreamingQueryListener.scala`). Atomic
     * temp-then-rename like [[graft.core.RunStateStore.save]]; no-op
-    * without a configured runStateDir. */
-  def persistStreamMetrics()(implicit ctx: ActionPipelineContext): Unit =
+    * without a configured runStateDir.
+    *
+    * SERIALIZED on [[totalsLock]]: the listener thread (every progress
+    * event), the exec thread (first-batch snapshot + run-end), and the
+    * sync path all call this concurrently, and two interleaved
+    * temp-then-rename writes to one snapshot file lose the race on
+    * local ChecksumFs (Rename.OVERWRITE there is exists-check/delete/
+    * rename, NOT atomic — the loser threw FileAlreadyExistsException and
+    * could fail the ACTION on a healthy stream). The snapshot is
+    * monotonic, so on a residual destination race (another process, or
+    * an FS whose OVERWRITE still throws) last-writer-wins is correct:
+    * retry once after clearing the destination, then drop the snapshot
+    * rather than the stream. */
+  def persistStreamMetrics()(implicit ctx: ActionPipelineContext): Unit = totalsLock.synchronized {
     ctx.runStateDir.foreach { d =>
       import org.apache.hadoop.fs.Path
       val target = new Path(d, s"streaming/$id.json")
@@ -146,16 +158,25 @@ case class StreamingIncrementalDedupAction(
       val out = fs.create(tmp, true)
       try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
       finally out.close()
-      try {
-        val fc = org.apache.hadoop.fs.FileContext.getFileContext(target.toUri,
-          ctx.spark.sparkContext.hadoopConfiguration)
-        fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-      } catch {
-        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-          if (fs.exists(target)) fs.delete(target, false)
-          fs.rename(tmp, target); ()
+      def renameOver(): Unit =
+        try {
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(target.toUri,
+            ctx.spark.sparkContext.hadoopConfiguration)
+          fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        } catch {
+          case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+            if (fs.exists(target)) fs.delete(target, false)
+            fs.rename(tmp, target); ()
+        }
+      try renameOver()
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.nio.file.FileAlreadyExistsException =>
+          try { if (fs.exists(target)) fs.delete(target, false); renameOver() }
+          catch { case scala.util.control.NonFatal(_) => fs.delete(tmp, false); () }
       }
     }
+  }
 
   private def sinkObject(doId: String)(implicit ctx: ActionPipelineContext): SparkFileDataObject =
     ctx.registry.dataObject(doId) match {
@@ -214,9 +235,13 @@ case class StreamingIncrementalDedupAction(
         // re-bins old batches under a coarse value (e.g. 'old'/'2024-01')
         // the inferred partition type is string, and an ANSI bigint cast
         // of those values would fail the whole read — the batch's own
-        // partition name is exactly batchId.toString on disk either way
+        // partition name is exactly batchId.toString on disk either way.
+        // NULL-SAFE (<=>): a hand-migrated or schema-merged store row with
+        // a NULL batch key must stay IN the dedup corpus — plain =!=
+        // evaluates to NULL there and silently drops the row (the
+        // NULL-prefix-kept discipline of pruneStoreByPrefix)
         Some(f.getDataFrame()
-          .where(col(batchIdColumn).cast("string") =!= lit(batchId.toString))
+          .where(!(col(batchIdColumn).cast("string") <=> lit(batchId.toString)))
           .drop(batchIdColumn))
       case _ => None
     }

