@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.core._
 import graft.functions.{Dedup, Sampling, TemporalJoins, TextAnalysis}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Config-surface transformers for the training-data curation operators, so
@@ -192,54 +192,97 @@ trait IncrementalStoreDfsTransformer extends DfsTransformer {
     * idempotent by construction and the batch-path rerun guard (plus its
     * per-batch fingerprint job) must not run there */
   @transient private[operators] var skipRerunGuard: Boolean = false
+  /** The CONTENT column folded into the batch fingerprint's checksum, so
+    * a legitimately new batch that reuses a previous batch's id set (a
+    * re-keyed feed, content updates under stable keys) is distinguishable
+    * from a rerun — an id-only checksum would refuse it, and the only
+    * escape (allowRerun) permanently disables the guard. Each transformer
+    * names its payload column (text / media bytes / embedding). */
+  protected def fingerprintContentColumn: Option[String] = None
+  /** fingerprints the guard remembers — a re-submitted batch N−K..N−1
+    * after batch N committed must fail as loudly as N itself (the
+    * reference's skip-completed protects ALL completed actions,
+    * `sdl-core/.../app/SmartDataLakeBuilder.scala:377-396`); 16 covers
+    * any sane retry horizon while keeping the sidecar bounded */
+  protected def rerunGuardRingSize: Int = 16
   /** Machine-checked rerun-after-commit contract (the RERUN CONTRACT
     * above, enforced instead of documented): fingerprint the incoming
     * batch (row count + an order-independent xxhash64 checksum over the
-    * id column — one column-pruned, delta-bounded job) and fail loudly
-    * when it matches the store sidecar's last-APPLIED batch, because that
-    * batch's state is already in the store. The fingerprint becomes
-    * durable WITH the store append (registered as a pending sidecar
-    * update that [[graft.sources.SparkFileDataObject
-    * .writeDataFrameStagedAppend]] merges at its commit point), so a run
-    * that fails BEFORE the append stays freely rerunnable — the reference
-    * makes recovery-reruns a first-class mechanic
-    * (`sdl-core/.../app/SmartDataLakeBuilder.scala:377-396` skips
-    * completed actions by state); this guard is the equivalent for the
-    * store append's effects, which live outside the run-state file.
+    * id and content columns — one column-pruned, delta-bounded job) and
+    * fail loudly when it matches ANY of the store sidecar's last
+    * [[rerunGuardRingSize]] applied batches, because that batch's state
+    * is already in the store. The fingerprint becomes durable WITH the
+    * store append (registered as a pending sidecar update that
+    * [[graft.sources.SparkFileDataObject.writeDataFrameStagedAppend]]
+    * merges at its commit point), so a run that fails BEFORE the append
+    * stays freely rerunnable — the reference makes recovery-reruns a
+    * first-class mechanic (`sdl-core/.../app/SmartDataLakeBuilder
+    * .scala:377-396` skips completed actions by state); this guard is the
+    * equivalent for the store append's effects, which live outside the
+    * run-state file.
+    *
+    * Sidecar keys: `recentBatchFingerprints` = newest-last
+    * `count:checksum` entries, '|'-separated, bounded at the ring size;
+    * `lastBatchCount`/`lastBatchChecksum` mirror the newest entry
+    * (pre-ring sidecars carry ONLY those — they join the match set, and
+    * their id-only checksum era is covered by matching the incoming
+    * batch's id-only checksum too).
     *
     * SCOPE: the guard protects the STORE (the state that silently
-    * corrupts). The NOVEL sink is a plain Append that writes BEFORE the
-    * store append — a run that fails between the two re-appends the same
-    * novel rows on its (guard-permitted) rerun. Exactly-once novel
-    * output needs an idempotent sink: key it by an ingestion-batch
-    * partition (the streaming action's layout) or dedupe downstream. */
+    * corrupts). The NOVEL sink defaults to a plain Append that writes
+    * BEFORE the store append — a run that fails between the two
+    * re-appends the same novel rows on its (guard-permitted) rerun.
+    * Exactly-once novel output needs an idempotent sink: key it by an
+    * ingestion-batch partition (the streaming action's layout) or dedupe
+    * downstream. */
   protected final def guardBatchRerun(batch: DataFrame, idColumn: String)
                                      (implicit ctx: ActionPipelineContext): Unit = {
     if (ctx.phase != ExecutionPhase.Exec || skipRerunGuard) return
     ctx.registry.dataObjectOption(storeInput) match {
       case Some(f: graft.sources.SparkFileDataObject) =>
-        // decimal(38,0) sum: order-independent, duplicate-sensitive, and
+        // decimal(38,0) sums: order-independent, duplicate-sensitive, and
         // cannot overflow under ANSI mode (sum of 19-digit hashes needs
-        // ~10^19 rows to reach 38 digits)
+        // ~10^19 rows to reach 38 digits). BOTH checksums ride one
+        // aggregate: the id+content one is the fingerprint going forward;
+        // the id-only one matches entries a pre-content-era sidecar
+        // recorded (which scheme a stored value used is not recorded, so
+        // match either — a 64-bit-sum collision across schemes is noise)
+        def ckSum(c: Column) = coalesce(sum(c
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+          lit(java.math.BigDecimal.ZERO))
+        val fullHash = fingerprintContentColumn match {
+          case Some(cc) => xxhash64(col(idColumn), col(cc))
+          case None => xxhash64(col(idColumn))
+        }
         val r = batch.agg(count(lit(1)).as("_n"),
-          coalesce(sum(xxhash64(col(idColumn))
-            .cast(org.apache.spark.sql.types.DecimalType(38, 0))),
-            lit(java.math.BigDecimal.ZERO)).as("_ck")).collect()(0)
-        val fp = Map(
-          "lastBatchCount" -> r.getLong(0).toString,
-          "lastBatchChecksum" -> r.getDecimal(1).toBigInteger.toString)
+          ckSum(fullHash).as("_ck"),
+          ckSum(xxhash64(col(idColumn))).as("_ckId")).collect()(0)
+        val n = r.getLong(0).toString
+        val ck = r.getDecimal(1).toBigInteger.toString
+        val ckId = r.getDecimal(2).toBigInteger.toString
         val stored = graft.sources.StoreMeta.read(f.path).getOrElse(Map.empty)
-        val same = stored.get("lastBatchCount").contains(fp("lastBatchCount")) &&
-          stored.get("lastBatchChecksum").contains(fp("lastBatchChecksum"))
-        if (same && !allowRerun) throw new IllegalStateException(
-          s"${getClass.getSimpleName}: batch '$batchInput' (${fp("lastBatchCount")} rows) is " +
-            s"the LAST batch already applied to store '$storeInput' — its state is in the " +
-            "store, so re-running it would empty the novel output (dedup stores) or " +
-            "double-count it (span/line count stores). A recovery rerun should resume from " +
-            "the NEXT batch; for intentional re-ingestion set allowRerun = true. " +
-            "At-least-once sources belong on StreamingIncrementalDedupAction, whose " +
-            "batchId-keyed partition overwrite makes replays idempotent")
-        ctx.pendingStoreMetaUpdates(storeInput) = fp
+        val ring = stored.get("recentBatchFingerprints").toSeq
+          .flatMap(_.split('|')).filter(_.contains(':'))
+          .map { e => val i = e.indexOf(':'); (e.take(i), e.drop(i + 1)) }
+        val legacy = for { c <- stored.get("lastBatchCount")
+                           k <- stored.get("lastBatchChecksum") } yield (c, k)
+        val applied = (ring ++ legacy).distinct
+        val hit = applied.exists { case (c, k) => c == n && (k == ck || k == ckId) }
+        if (hit && !allowRerun) throw new IllegalStateException(
+          s"${getClass.getSimpleName}: batch '$batchInput' ($n rows) matches a batch " +
+            s"already applied to store '$storeInput' (last ${applied.size} remembered) — " +
+            "its state is in the store, so re-running it would empty the novel output " +
+            "(dedup stores) or double-count it (span/line count stores). A recovery rerun " +
+            "should resume from the NEXT batch; for intentional re-ingestion set " +
+            "allowRerun = true. At-least-once sources belong on " +
+            "StreamingIncrementalDedupAction, whose batchId-keyed partition overwrite " +
+            "makes replays idempotent")
+        val entry = s"$n:$ck"
+        val newRing = (ring.filterNot(_ == (n, ck)).map { case (c, k) => s"$c:$k" } :+ entry)
+          .takeRight(rerunGuardRingSize)
+        ctx.pendingStoreMetaUpdates(storeInput) = Map(
+          "lastBatchCount" -> n, "lastBatchChecksum" -> ck,
+          "recentBatchFingerprints" -> newRing.mkString("|"))
       case _ => ()
     }
   }
@@ -403,6 +446,7 @@ case class IncrementalDedupTransformer(
     /** permit re-running a batch whose store append already committed —
       * see [[IncrementalStoreDfsTransformer.allowRerun]] */
     override val allowRerun: Boolean = false) extends IncrementalStoreDfsTransformer {
+  override protected def fingerprintContentColumn: Option[String] = Some(textColumn)
   require(signatureScheme == "minhash" || signatureScheme == "oph",
     s"IncrementalDedupTransformer: unknown signatureScheme '$signatureScheme' (minhash|oph)")
   require(storeLayout == "compact" || storeLayout == "banded",
@@ -570,6 +614,7 @@ case class IncrementalMediaDedupTransformer(
       * see [[IncrementalStoreDfsTransformer.allowRerun]] */
     override val allowRerun: Boolean = false)
   extends IncrementalStoreDfsTransformer {
+  override protected def fingerprintContentColumn: Option[String] = Some(contentColumn)
   require(modality == "image" || modality == "audio" || modality == "video",
     s"IncrementalMediaDedupTransformer: unknown modality '$modality' (image|audio|video)")
   require(modality != "video" || frameSize > 0,
@@ -725,6 +770,7 @@ case class IncrementalEmbeddingDedupTransformer(
     /** permit re-running a batch whose store append already committed —
       * see [[IncrementalStoreDfsTransformer.allowRerun]] */
     override val allowRerun: Boolean = false) extends IncrementalStoreDfsTransformer {
+  override protected def fingerprintContentColumn: Option[String] = Some(embColumn)
   /** the store layout: embedding store rows have exactly one blocking key
     * (the hyperplane bucket), so partitioning needs no layout change —
     * just the transport column */
@@ -801,6 +847,7 @@ case class IncrementalSpanRemovalTransformer(
     /** permit re-running a batch whose store append already committed —
       * see [[IncrementalStoreDfsTransformer.allowRerun]] */
     override val allowRerun: Boolean = false) extends IncrementalStoreDfsTransformer {
+  override protected def fingerprintContentColumn: Option[String] = Some(textColumn)
   override def novelOutput: Option[String] = cleanOutput
   /** within-batch repeats are counted by construction (delta window
     * counts), not via a separate self-join */
@@ -870,6 +917,7 @@ case class IncrementalLineDedupTransformer(
     /** permit re-running a batch whose store append already committed —
       * see [[IncrementalStoreDfsTransformer.allowRerun]] */
     override val allowRerun: Boolean = false) extends IncrementalStoreDfsTransformer {
+  override protected def fingerprintContentColumn: Option[String] = Some(textColumn)
   override def novelOutput: Option[String] = cleanOutput
   /** within-batch repeats are counted by construction */
   override def intraBatch: Boolean = true

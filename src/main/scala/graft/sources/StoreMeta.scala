@@ -34,12 +34,21 @@ import org.apache.hadoop.fs.Path
   * after validation the sidecar is rewritten with the merged keys so
   * later flips are caught as ordinary both-present drift.
   *
-  * The sidecar also carries the LAST-APPLIED BATCH fingerprint
-  * (`lastBatchCount` / `lastBatchChecksum`, written by the staged-append
+  * The sidecar also carries the APPLIED-BATCH fingerprints
+  * (`lastBatchCount` / `lastBatchChecksum` for the newest batch plus the
+  * bounded `recentBatchFingerprints` ring, written by the staged-append
   * commit path via [[ActionPipelineContext.pendingStoreMetaUpdates]]) —
   * the rerun-after-commit guard's state. These keys are store STATE, not
   * signing parameters; [[validateParams]] ignores them (they appear only
   * on the stored side).
+  *
+  * WRITER CONTRACT: one writer per store at a time. Within the JVM that
+  * is enforced — [[merge]]'s read-modify-write serializes on a per-path
+  * lock, so two actions committing against one store both apply their
+  * updates instead of silently losing one. ACROSS processes the contract
+  * is by design (the DAG gives each store one committing action); the
+  * tmp-reclaim below is age-gated so a concurrent process's in-flight
+  * tmp file is not deleted mid-write by our housekeeping.
   */
 object StoreMeta {
 
@@ -51,6 +60,13 @@ object StoreMeta {
   private def metaFile(basePath: String) = new Path(basePath, ".schema/storeMeta.json")
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** tmp files younger than this are presumed in-flight and never reclaimed */
+  private val tmpReclaimAgeMs = 10 * 60 * 1000L
+
+  /** per-store-path merge locks (JVM-local, interned so every caller of
+    * one path synchronizes on the same object) */
+  private val mergeLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   def write(basePath: String, params: Map[String, String])
            (implicit ctx: ActionPipelineContext): Unit = {
@@ -67,10 +83,16 @@ object StoreMeta {
     // replaces the destination atomically where the FS supports it; only
     // when FileContext is unavailable for the scheme do we fall back to
     // the delete+rename window.
-    if (fs.exists(f.getParent)) // reclaim tmp residue of crashed writers
-      fs.listStatus(f.getParent).map(_.getPath)
-        .filter(_.getName.startsWith(s".${f.getName}.tmp_"))
-        .foreach(p => fs.delete(p, false))
+    // reclaim tmp residue of CRASHED writers only: age-gated (the
+    // staged-append reclaim discipline) so a concurrent writer's
+    // in-flight tmp — a violation of the single-writer contract, but one
+    // that must degrade to a lost race, not a corrupted write — is never
+    // deleted mid-write
+    if (fs.exists(f.getParent))
+      fs.listStatus(f.getParent)
+        .filter(_.getPath.getName.startsWith(s".${f.getName}.tmp_"))
+        .filter(_.getModificationTime < System.currentTimeMillis() - tmpReclaimAgeMs)
+        .foreach(s => fs.delete(s.getPath, false))
     val tmp = new Path(f.getParent, s".${f.getName}.tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
     try out.write(mapper.writeValueAsBytes(node)) finally out.close()
@@ -88,10 +110,16 @@ object StoreMeta {
 
   /** merge `updates` into an existing (or absent) sidecar — the
     * staged-append commit path records the applied batch fingerprint this
-    * way without clobbering the signing parameters written at bootstrap */
+    * way without clobbering the signing parameters written at bootstrap.
+    * The read-modify-write is SERIALIZED per store path (JVM-local lock):
+    * today the DAG gives each store a single commit point, but a future
+    * second in-process writer must not silently lose the race — with the
+    * lock, concurrent merges both apply. */
   def merge(basePath: String, updates: Map[String, String])
            (implicit ctx: ActionPipelineContext): Unit =
-    write(basePath, read(basePath).getOrElse(Map.empty) ++ updates)
+    mergeLocks.computeIfAbsent(basePath, _ => new Object).synchronized {
+      write(basePath, read(basePath).getOrElse(Map.empty) ++ updates)
+    }
 
   def read(basePath: String)(implicit ctx: ActionPipelineContext): Option[Map[String, String]] = {
     val f = metaFile(basePath)

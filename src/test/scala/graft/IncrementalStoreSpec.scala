@@ -264,11 +264,12 @@ class IncrementalStoreSpec extends AnyFunSuite {
     // bootstrap persisted the signing parameters next to the store data
     assert(new java.io.File(s"$dir/store/.schema/storeMeta.json").exists,
       "bootstrap must write the store meta sidecar")
-    // signing parameters pinned exactly; the lastBatch* keys are the rerun
-    // guard's state (written at the staged append's commit point), not
-    // signing parameters
+    // signing parameters pinned exactly; the lastBatch*/recentBatch* keys
+    // are the rerun guard's state (written at the staged append's commit
+    // point), not signing parameters
     assert(graft.sources.StoreMeta.read(s"$dir/store").get
-      .filterNot(_._1.startsWith("lastBatch")) ==
+      .filterNot(_._1.startsWith("lastBatch"))
+      .filterNot(_._1 == "recentBatchFingerprints") ==
       Map("scheme" -> "minhash", "numHashes" -> "32", "shingleSize" -> "5",
         "storeLayout" -> "compact", "storePartitions" -> "0"))
     assert(graft.sources.StoreMeta.read(s"$dir/store").get.contains("lastBatchChecksum"),
