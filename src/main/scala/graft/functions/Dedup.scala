@@ -920,60 +920,101 @@ object Dedup {
                                                 * it anyway — avoids re-blocking the
                                                 * delta (the text path's `deltaBanded`
                                                 * discipline) */
-                                              deltaBlocked: Option[DataFrame] = None): DataFrame = {
+                                              deltaBlocked: Option[DataFrame] = None,
+                                              cappedBucketExactFallback: Boolean = true): DataFrame = {
     val dBlocked = deltaBlocked.getOrElse(
       mankuBlocked(deltaSigs.select(col("id"), col("simhash")),
         bits, maxHamming, blocksPerKey, persistInput = false))
-    val guarded =
-      if (failOnCappedBuckets) {
-        assertNoCappedBuckets(blockedStore.select(col("id"), col("block"), col("bkey")),
-          Seq("block", "bkey"), maxBucketSize, "incremental blocked-simhash store")
-        blockedStore
-      } else {
-        val bigBuckets = blockedStore.groupBy(col("block"), col("bkey"))
-          .agg(count(lit(1)).as("_n")).where(col("_n") > maxBucketSize)
-          .select(col("block"), col("bkey"))
-        blockedStore.join(broadcast(bigBuckets), Seq("block", "bkey"), "left_anti")
-      }
-    dBlocked.alias("a").join(guarded.alias("b"),
-        col("a.block") === col("b.block") && col("a.bkey") === col("b.bkey"))
-      .select(col("a.id").as("id_new"), col("b.id").as("id_corpus"),
-        hammingDistance(col("a.simhash"), col("b.simhash")).as("hamming"))
-      .where(col("hamming") <= maxHamming)
-      .dropDuplicates("id_new", "id_corpus")
+    def pairsOf(guarded: DataFrame): DataFrame =
+      dBlocked.alias("a").join(guarded.alias("b"),
+          col("a.block") === col("b.block") && col("a.bkey") === col("b.bkey"))
+        .select(col("a.id").as("id_new"), col("b.id").as("id_corpus"),
+          hammingDistance(col("a.simhash"), col("b.simhash")).as("hamming"))
+        .where(col("hamming") <= maxHamming)
+        .dropDuplicates("id_new", "id_corpus")
+    val slimStore = blockedStore.select(col("id"), col("block"), col("bkey"))
+    if (failOnCappedBuckets) {
+      assertNoCappedBuckets(slimStore,
+        Seq("block", "bkey"), maxBucketSize, "incremental blocked-simhash store")
+      pairsOf(blockedStore)
+    } else if (!anyCappedBuckets(slimStore, Seq("block", "bkey"), maxBucketSize)) {
+      // no capped buckets (the common case): nothing to prune, the
+      // fallback would contribute nothing — the minhash eager-probe shape
+      pairsOf(blockedStore)
+    } else {
+      val bigBuckets = blockedStore.groupBy(col("block"), col("bkey"))
+        .agg(count(lit(1)).as("_n")).where(col("_n") > maxBucketSize)
+        .select(col("block"), col("bkey"))
+      val lshPairs = pairsOf(
+        blockedStore.join(broadcast(bigBuckets), Seq("block", "bkey"), "left_anti"))
+      if (!cappedBucketExactFallback) lshPairs
+      else lshPairs
+        .unionByName(simhashExactFallbackPairs(deltaSigs, blockedStore))
+        .dropDuplicates("id_new", "id_corpus")
+    }
   }
+
+  /** Capped-bucket mitigation for the simhash family, delta-shaped (the
+    * minhash incremental fallback's discipline on 64-bit fingerprints): a
+    * broadcast join of the delta's `(id, simhash)` against the corpus on
+    * EXACT fingerprint equality. A dropped over-cap bucket previously lost
+    * its EXACT copies silently — and the fused store+intra pass (which
+    * counts store and delta rows together for the cap) could tip a bucket
+    * over with delta rows alone, dropping store duplicates the split shape
+    * caught (ADVICE r18). Exact fingerprint equality is hamming 0 ⊆ any
+    * maxHamming budget, so the union is semantics-preserving; only the
+    * delta's 16-byte rows broadcast, the corpus is STREAMED once and never
+    * shuffled; the corpus side may carry one row per block key — the
+    * caller's pair-dedup absorbs the multiplicity. Genuine NEAR-dups
+    * inside a capped bucket stay dropped (the cap's purpose). */
+  private def simhashExactFallbackPairs(deltaSigs: DataFrame, corpus: DataFrame): DataFrame =
+    corpus.select(col("id").as("id_corpus"), col("simhash"))
+      .join(broadcast(deltaSigs.select(col("id").as("id_new"), col("simhash"))), "simhash")
+      .select(col("id_new"), col("id_corpus"), lit(0).as("hamming"))
 
   def simhashIncrementalPairsFromSigs(deltaSigs: DataFrame, storeSigs: DataFrame,
                                       bits: Int = 64, maxHamming: Int = 3,
                                       maxBucketSize: Int = 1000, blocksPerKey: Int = 1,
-                                      failOnCappedBuckets: Boolean = false): DataFrame = {
+                                      failOnCappedBuckets: Boolean = false,
+                                      cappedBucketExactFallback: Boolean = true): DataFrame = {
     val deltaBlocked = mankuBlocked(deltaSigs.select(col("id"), col("simhash")),
       bits, maxHamming, blocksPerKey, persistInput = false)
     val storeBlocked = mankuBlocked(storeSigs.select(col("id"), col("simhash")),
       bits, maxHamming, blocksPerKey, persistInput = false)
-    val guarded =
-      if (failOnCappedBuckets) {
-        assertNoCappedBuckets(storeBlocked, Seq("block", "bkey"), maxBucketSize,
-          "incremental simhash blocking")
-        storeBlocked
-      } else {
-        // lazy over-cap guard, the minhashIncrementalPairs shape: a
-        // map-side-combined aggregate to the slim over-cap key list,
-        // applied as a broadcast anti-join. NOT bucketSized's window —
-        // that would force a full shuffle of the store's blocked rows
-        // every batch, when the pair join itself needs none (AQE
-        // broadcasts the delta side and the store streams).
-        val bigBuckets = storeBlocked.groupBy(col("block"), col("bkey"))
-          .agg(count(lit(1)).as("_n")).where(col("_n") > maxBucketSize)
-          .select(col("block"), col("bkey"))
-        storeBlocked.join(broadcast(bigBuckets), Seq("block", "bkey"), "left_anti")
-      }
-    deltaBlocked.alias("a").join(guarded.alias("b"),
-        col("a.block") === col("b.block") && col("a.bkey") === col("b.bkey"))
-      .select(col("a.id").as("id_new"), col("b.id").as("id_corpus"),
-        hammingDistance(col("a.simhash"), col("b.simhash")).as("hamming"))
-      .where(col("hamming") <= maxHamming)
-      .dropDuplicates("id_new", "id_corpus")
+    def pairsOf(guarded: DataFrame): DataFrame =
+      deltaBlocked.alias("a").join(guarded.alias("b"),
+          col("a.block") === col("b.block") && col("a.bkey") === col("b.bkey"))
+        .select(col("a.id").as("id_new"), col("b.id").as("id_corpus"),
+          hammingDistance(col("a.simhash"), col("b.simhash")).as("hamming"))
+        .where(col("hamming") <= maxHamming)
+        .dropDuplicates("id_new", "id_corpus")
+    if (failOnCappedBuckets) {
+      assertNoCappedBuckets(storeBlocked, Seq("block", "bkey"), maxBucketSize,
+        "incremental simhash blocking")
+      pairsOf(storeBlocked)
+    } else if (!anyCappedBuckets(storeBlocked, Seq("block", "bkey"), maxBucketSize)) {
+      // no capped buckets (the common case): nothing to prune, the
+      // fallback would contribute nothing — the eager probe replaces the
+      // old ALWAYS-ON in-plan anti-join aggregate (one corpus-blocked
+      // traversal per batch retired when nothing is capped)
+      pairsOf(storeBlocked)
+    } else {
+      // over-cap guard, the minhashIncrementalPairs shape: a
+      // map-side-combined aggregate to the slim over-cap key list,
+      // applied as a broadcast anti-join. NOT bucketSized's window —
+      // that would force a full shuffle of the store's blocked rows
+      // every batch, when the pair join itself needs none (AQE
+      // broadcasts the delta side and the store streams).
+      val bigBuckets = storeBlocked.groupBy(col("block"), col("bkey"))
+        .agg(count(lit(1)).as("_n")).where(col("_n") > maxBucketSize)
+        .select(col("block"), col("bkey"))
+      val lshPairs = pairsOf(
+        storeBlocked.join(broadcast(bigBuckets), Seq("block", "bkey"), "left_anti"))
+      if (!cappedBucketExactFallback) lshPairs
+      else lshPairs
+        .unionByName(simhashExactFallbackPairs(deltaSigs, storeSigs))
+        .dropDuplicates("id_new", "id_corpus")
+    }
   }
 
   /** Connected components over duplicate PAIRS → cluster id per document

@@ -806,6 +806,53 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(inc == (1L to 40L).map(j => (100L, j)).toSet)
   }
 
+  test("simhash capped bucket: exact-fingerprint fallback recovers exact copies") {
+    // ADVICE r18: the simhash pair paths dropped over-cap buckets with NO
+    // exact-copy fallback — exact duplicates of corpus-wide boilerplate
+    // re-entered the store as 'novel'. The delta-broadcast exact join (the
+    // minhash fallback's shape) now recovers them.
+    val store = (1L to 40L).map(i => (i, 0x1234567890abcdefL)).toDF("id", "simhash")
+    val delta = Seq((100L, 0x1234567890abcdefL), (101L, 0x0f0f0f0f0f0f0f0fL))
+      .toDF("id", "simhash")
+    val pairs = Dedup.simhashIncrementalPairsFromSigs(delta, store,
+        maxHamming = 3, maxBucketSize = 10)
+      .select("id_new", "id_corpus").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (1L to 40L).map(j => (100L, j)).toSet,
+      s"exact copies in a capped bucket must be recovered, got ${pairs.size} pairs")
+    // opting out restores the silent-prune shape
+    assert(Dedup.simhashIncrementalPairsFromSigs(delta, store,
+      maxHamming = 3, maxBucketSize = 10, cappedBucketExactFallback = false).isEmpty)
+    // and the BLOCKED-store layout path recovers them too
+    val blockedStore = Dedup.simhashBlockedStore(store, maxHamming = 3)
+    val blockedPairs = Dedup.simhashIncrementalPairsFromBlockedStore(delta, blockedStore,
+        maxHamming = 3, maxBucketSize = 10)
+      .select("id_new", "id_corpus").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blockedPairs == (1L to 40L).map(j => (100L, j)).toSet)
+  }
+
+  test("fused media pass: a bucket tipped over the cap by DELTA rows still catches store duplicates") {
+    // the ADVICE failure class: the fused store+intra corpus counts store
+    // and delta rows TOGETHER for the cap, so a store bucket under the cap
+    // alone could be anti-joined away once the delta's own copies pushed it
+    // over — delta re-posts of stored content re-entered as 'novel'
+    import graft.operators.{IncrementalMediaDedupTransformer, Multimodal}
+    implicit val ctx: core.ActionPipelineContext =
+      core.ActionPipelineContext(spark, new core.InstanceRegistry)
+    val t = IncrementalMediaDedupTransformer("b", "s", "media_id",
+      modality = "image", maxHamming = 0, maxBucketSize = 10)
+    // store: 8 fingerprints of the seed-10 image (under the cap alone)
+    val store = Multimodal.imageFingerprintStore(
+      Multimodal.withSynthImage((1L to 8L).map(i => (i, 10L)).toDF("media_id", "seed"),
+        "seed", 16, 16), "media_id", "content")
+    // batch: 5 re-posts of seed 10 (8 + 5 = 13 > cap) + one novel
+    val batch = Multimodal.withSynthImage(
+      ((100L to 104L).map(i => (i, 10L)) :+ (200L, 99L)).toDF("media_id", "seed"),
+      "seed", 16, 16)
+    val out = t.transform(Map("b" -> batch, "s" -> store))
+    assert(out("b").select("media_id").as[Long].collect().toSet == Set(200L),
+      "store duplicates in a combined-count over-cap bucket must still drop")
+  }
+
   test("failOnCappedBuckets fails at construction with the capped-bucket count") {
     // the eager probe replaces the old lazy raise_error carrier: a corpus
     // whose every bucket is capped must throw when the pair frame is BUILT
