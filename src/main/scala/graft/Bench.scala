@@ -16,12 +16,18 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // a query that throws must be VISIBLE in the artifact, not read as a
+    // fast time (VERDICT r17 #2: runOnce swallowed ALL Throwables — the
+    // q85 fallback trace in the r17 tail proved real exceptions do fire
+    // during bench); record the failure per query, keep the run going
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // noop sink materializes EVERY column (count() would let Catalyst
       // prune the projections being measured)
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case t: Throwable =>
+        failed(name) = s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(120)}" }
       val dt = (System.nanoTime() - t0) / 1e9
       // cache hygiene BETWEEN queries (outside the timer): several
       // operators persist intermediates (LSH signatures, IVF assignment);
@@ -37,6 +43,7 @@ object Bench {
     // numbers are the comparable quantity across rounds.
     val warmups = sys.env.get("SPARK_GRAFT_WARMUP_PASSES").map(_.toInt).getOrElse(1)
     for (_ <- 1 to warmups) selected.foreach { case (n, f) => runOnce(n, f) }
+    failed.clear() // timed passes re-detect; warmup failures are rehearsal
     // min over timed passes: the benchmark host is shared, and a co-tenant
     // burst during a single pass showed up as a phantom 5× "regression" on
     // trivial queries (q1 1.7s→9.5s round 4). The minimum is the standard
@@ -48,24 +55,36 @@ object Bench {
     val results = selected.map { case (name, _) =>
       name -> passes.map(_(name)).min }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // Full-precision, full-name record → bench.json (the archival channel).
+    // Full-precision, full-name record → bench.json (the archival channel),
+    // plus the failed-query names and messages so a swallowed exception is
+    // diagnosable from the artifact alone
     val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir"}"""
+    val errsFull = failed.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
+      .mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,""" +
+      s""""errors":${failed.size},"failedQueries":$errsFull,"sf":"$sfDir"}"""
     // Printed line must fit the driver's 2000-char tail-capture window
     // (round 5's 2310-char line was head-truncated → parse failed, no bench
-    // registered). Compact form: short keys ("q61" not
-    // "q61_near_dedup_survivors") and 2-decimal values, budget ≤1850 chars
-    // to share the window with sbt's trailing "[success] Total time…" line.
+    // registered). Compact form: short keys ("61" — the "q" prefix and the
+    // long suffix both dropped) and 1-decimal values, budget ≤1850 chars to
+    // share the window with sbt's trailing "[success] Total time…" line.
+    // 156 queries at r17 overflowed the 2-decimal "q61" form and the guard
+    // dropped the whole map from the driver artifact (VERDICT r17 #2); this
+    // encoding measures ~1280 chars at 156 queries — headroom to ~230.
+    def r1(v: Double): String = BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
     def r2(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val qsShort = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + r2(v) }
+      "\"" + k.stripPrefix("q").takeWhile(_ != '_') + "\":" + r1(v) }
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qsShort,"sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
+      s""""queries":$qsShort,"errors":${failed.size},"sf":"$sfDir"}"""
     // Hard guard: should a future query count push past the budget, drop the
     // per-query map rather than print an unparseable line.
     val line = if (compact.length <= 1850) compact
-      else s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":{},"sf":"$sfDir"}"""
+      else s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":{},""" +
+        s""""errors":${failed.size},"sf":"$sfDir"}"""
     // sbt prefixes stdout with "[info] ", which broke the driver's JSON-line
     // parse in round 1. Persist the JSON to a file as the robust channel
     // (cwd bench.json + optional env override) AND print the bare line last.

@@ -252,16 +252,30 @@ case class TickTockHiveTableDataObject(
     * `ALTER TABLE SET LOCATION`, HiveUtil) */
   private def syncCatalog(location: Path)(implicit ctx: ActionPipelineContext): Unit = {
     val spark = ctx.spark
-    // database first (a DROP against a missing schema is engine-dependent),
-    // then CREATE OR REPLACE — one statement, no drop-to-create window in
-    // which a concurrent catalog reader sees TABLE_OR_VIEW_NOT_FOUND
+    // database first (a DROP against a missing schema is engine-dependent)
     table.db.foreach(db => spark.sql(s"CREATE DATABASE IF NOT EXISTS $db"))
-    try spark.sql(s"CREATE OR REPLACE TABLE ${table.fullName} USING $format LOCATION '${location.toString}'")
-    catch { case scala.util.control.NonFatal(_) =>
-      // catalogs without REPLACE TABLE support (session catalog + some
-      // formats) fall back to the two-step form
+    // Pick the statement by CATALOG CAPABILITY instead of try-and-fallback:
+    // the SESSION catalog (spark_catalog) does not support REPLACE TABLE
+    // for file formats, and attempting it logged a full analysis stack
+    // trace on EVERY swap — expected-path noise that polluted the driver's
+    // bench tail window (VERDICT r17 #3). REPLACE-capable catalogs still
+    // get the one-statement form (no drop-to-create window in which a
+    // concurrent catalog reader sees TABLE_OR_VIEW_NOT_FOUND), with the
+    // two-step form kept as the fallback for format-specific refusals.
+    val catalogName = {
+      val parts = table.fullName.split('.')
+      if (parts.length >= 3) parts(0)
+      else spark.sessionState.catalogManager.currentCatalog.name()
+    }
+    if (catalogName == "spark_catalog") {
       spark.sql(s"DROP TABLE IF EXISTS ${table.fullName}")
       spark.sql(s"CREATE TABLE ${table.fullName} USING $format LOCATION '${location.toString}'")
+    } else {
+      try spark.sql(s"CREATE OR REPLACE TABLE ${table.fullName} USING $format LOCATION '${location.toString}'")
+      catch { case scala.util.control.NonFatal(_) =>
+        spark.sql(s"DROP TABLE IF EXISTS ${table.fullName}")
+        spark.sql(s"CREATE TABLE ${table.fullName} USING $format LOCATION '${location.toString}'")
+      }
     }
   }
 
