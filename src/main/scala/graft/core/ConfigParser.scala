@@ -609,6 +609,8 @@ object ConfigParser {
           intraBatch = bool(n, "intraBatch", dflt = true),
           storeLayout = str(n, "storeLayout").getOrElse("compact"),
           storePartitions = int(n, "storePartitions").getOrElse(0),
+          novelBatchKeyColumn = str(n, "novelBatchKeyColumn"),
+          novelBatchKeyValue = str(n, "novelBatchKeyValue"),
           allowRerun = bool(n, "allowRerun"))
       case "IncrementalSpanRemovalTransformer" | "incrementalSpanRemoval" =>
         IncrementalSpanRemovalTransformer(
@@ -620,6 +622,8 @@ object ConfigParser {
           portableFingerprints = bool(n, "portableFingerprints", dflt = true),
           cleanOutput = str(n, "cleanOutput"),
           storePartitions = int(n, "storePartitions").getOrElse(0),
+          novelBatchKeyColumn = str(n, "novelBatchKeyColumn"),
+          novelBatchKeyValue = str(n, "novelBatchKeyValue"),
           allowRerun = bool(n, "allowRerun"))
       case "IncrementalLineDedupTransformer" | "incrementalLineDedup" =>
         IncrementalLineDedupTransformer(
@@ -630,6 +634,8 @@ object ConfigParser {
           maxOccurrences = int(n, "maxOccurrences").getOrElse(1),
           cleanOutput = str(n, "cleanOutput"),
           storePartitions = int(n, "storePartitions").getOrElse(0),
+          novelBatchKeyColumn = str(n, "novelBatchKeyColumn"),
+          novelBatchKeyValue = str(n, "novelBatchKeyValue"),
           allowRerun = bool(n, "allowRerun"))
       case "DecontaminateSpansTransformer" | "decontaminateSpans" =>
         DecontaminateSpansTransformer(
@@ -656,6 +662,8 @@ object ConfigParser {
           maxFrameOccurrences = int(n, "maxFrameOccurrences").getOrElse(1000),
           intraBatch = bool(n, "intraBatch", dflt = true),
           storePartitions = int(n, "storePartitions").getOrElse(0),
+          novelBatchKeyColumn = str(n, "novelBatchKeyColumn"),
+          novelBatchKeyValue = str(n, "novelBatchKeyValue"),
           allowRerun = bool(n, "allowRerun"))
       case "IncrementalEmbeddingDedupTransformer" | "incrementalEmbeddingDedup" =>
         IncrementalEmbeddingDedupTransformer(
@@ -671,6 +679,8 @@ object ConfigParser {
           novelOutput = str(n, "novelOutput"),
           intraBatch = bool(n, "intraBatch", dflt = true),
           storePartitions = int(n, "storePartitions").getOrElse(0),
+          novelBatchKeyColumn = str(n, "novelBatchKeyColumn"),
+          novelBatchKeyValue = str(n, "novelBatchKeyValue"),
           allowRerun = bool(n, "allowRerun"))
       case "NbQualityTransformer" | "nbQuality" =>
         NbQualityTransformer(

@@ -288,6 +288,33 @@ case class CustomDataFrameAction(
     dfsTransformers.foldLeft(regular ++ recursive)((acc, t) => acc ++ t.transform(acc))
   }
 
+  /** novel outputs an incremental transformer keyed by a batch column
+    * (novelKey → key column): written with DYNAMIC PARTITION OVERWRITE so
+    * a guard-permitted rerun (a run that failed between the novel write
+    * and the store append) overwrites its own partition instead of
+    * re-appending the same rows — the streaming action's idempotent-sink
+    * layout on the batch path */
+  private val batchKeyedNovel: Map[String, String] = dfsTransformers.collect {
+    case t: IncrementalStoreDfsTransformer
+      if t.novelBatchKeyColumn.isDefined && t.novelBatchKeyValue.isDefined =>
+      t.novelKey -> t.novelBatchKeyColumn.get
+  }.toMap
+
+  private def writeBatchKeyedNovel(outId: String, keyCol: String, df: DataFrame)
+                                  (implicit ctx: ActionPipelineContext): ActionMetrics =
+    ctx.registry.dataObject(outId) match {
+      case f: SparkFileDataObject =>
+        require(f.partitions.headOption.contains(keyCol),
+          s"Action $id: novel sink ${f.id} must be partitioned by '$keyCol' (got " +
+            s"${f.partitions.mkString("[", ",", "]")}) — the batch-keyed dynamic partition " +
+            "overwrite is what makes the guard-permitted rerun idempotent; without the " +
+            "partition the overwrite would truncate the sink to the current batch")
+        f.writeDataFrame(df, Seq.empty, Some(SdlSaveMode.OverwriteOptimized))
+      case other => throw new IllegalArgumentException(
+        s"Action $id: batch-keyed novel sink ${other.id} must be a file DataObject " +
+          s"partitioned by '$keyCol'")
+    }
+
   override def init(subFeeds: Seq[SubFeed])(implicit ctx: ActionPipelineContext): Seq[SubFeed] = {
     val outs = buildOutputs(subFeeds)
     outputIds.map { outId =>
@@ -325,7 +352,10 @@ case class CustomDataFrameAction(
             case w: CanWriteDataFrame => w.writeDataFrameStaged(df)
             case other => throw new IllegalArgumentException(s"${other.id} cannot write DataFrames")
           }
-        else writeOutput(outId, df, Seq.empty)
+        else batchKeyedNovel.get(outId) match {
+          case Some(keyCol) => writeBatchKeyedNovel(outId, keyCol, df)
+          case None => writeOutput(outId, df, Seq.empty)
+        }
       // a recursive output's plan reads files the staged swap just REPLACED
       // — downstream must re-read the committed state, so its lineage is
       // always cut (same mechanism as breakDataFrameLineage)

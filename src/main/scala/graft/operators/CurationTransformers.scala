@@ -192,6 +192,25 @@ trait IncrementalStoreDfsTransformer extends DfsTransformer {
     * idempotent by construction and the batch-path rerun guard (plus its
     * per-batch fingerprint job) must not run there */
   @transient private[operators] var skipRerunGuard: Boolean = false
+  /** OPTIONAL batch-keyed novel sink — closes the documented novel-rows
+    * re-append window (a run failing between the novel write and the
+    * store append re-appends the same novel rows on its guard-permitted
+    * rerun): when BOTH are set, the novel/clean output carries
+    * `novelBatchKeyColumn = novelBatchKeyValue` as a literal column and
+    * the enclosing [[CustomDataFrameAction]] writes that output with
+    * DYNAMIC PARTITION OVERWRITE — the streaming action's layout
+    * ([[StreamingIncrementalDedupAction]]), so the rerun overwrites its
+    * own partition instead of duplicating it. Declare the column as the
+    * novel DataObject's (leading) partition; validated at write. */
+  def novelBatchKeyColumn: Option[String] = None
+  /** the current batch's key value — caller-supplied and STABLE across a
+    * rerun of the same batch (an ingestion date / feed batch id) */
+  def novelBatchKeyValue: Option[String] = None
+  /** stamp the configured batch key onto a novel/clean output frame */
+  protected final def keyNovel(df: DataFrame): DataFrame =
+    (for { c <- novelBatchKeyColumn; v <- novelBatchKeyValue }
+      yield df.withColumn(c, lit(v))).getOrElse(df)
+
   /** The CONTENT column folded into the batch fingerprint's checksum, so
     * a legitimately new batch that reuses a previous batch's id set (a
     * re-keyed feed, content updates under stable keys) is distinguishable
@@ -445,6 +464,11 @@ case class IncrementalDedupTransformer(
     storePartitions: Int = 0,
     /** permit re-running a batch whose store append already committed —
       * see [[IncrementalStoreDfsTransformer.allowRerun]] */
+    /** batch-keyed novel sink: column stamped onto the novel/clean
+      * output, written with dynamic partition overwrite — see
+      * [[IncrementalStoreDfsTransformer.novelBatchKeyColumn]] */
+    override val novelBatchKeyColumn: Option[String] = None,
+    override val novelBatchKeyValue: Option[String] = None,
     override val allowRerun: Boolean = false) extends IncrementalStoreDfsTransformer {
   override protected def fingerprintContentColumn: Option[String] = Some(textColumn)
   require(signatureScheme == "minhash" || signatureScheme == "oph",
@@ -488,7 +512,7 @@ case class IncrementalDedupTransformer(
     // Init: schemas are unchanged (survivors ⊆ batch, the store delta has
     // the store's shape) — propagate without running the pair pipeline
     if (ctx.phase == ExecutionPhase.Init)
-      return Map(novelKey -> batch, storeInput -> store.limit(0))
+      return Map(novelKey -> keyNovel(batch), storeInput -> store.limit(0))
     // store-param guard: appending deltas signed at a different width or
     // scheme to an existing store would SILENTLY never match (dedup
     // quietly stops deduplicating — the worst failure mode). Primary
@@ -559,7 +583,7 @@ case class IncrementalDedupTransformer(
       case Some(b) => b.join(novelIds, Seq("id"), "left_semi")
       case None => sigs.join(novelIds, Seq("id"), "left_semi")
     }
-    Map(novelKey -> novel, storeInput -> storeDelta)
+    Map(novelKey -> keyNovel(novel), storeInput -> storeDelta)
   }
 }
 
@@ -612,6 +636,11 @@ case class IncrementalMediaDedupTransformer(
     storePartitions: Int = 0,
     /** permit re-running a batch whose store append already committed —
       * see [[IncrementalStoreDfsTransformer.allowRerun]] */
+    /** batch-keyed novel sink: column stamped onto the novel/clean
+      * output, written with dynamic partition overwrite — see
+      * [[IncrementalStoreDfsTransformer.novelBatchKeyColumn]] */
+    override val novelBatchKeyColumn: Option[String] = None,
+    override val novelBatchKeyValue: Option[String] = None,
     override val allowRerun: Boolean = false)
   extends IncrementalStoreDfsTransformer {
   override protected def fingerprintContentColumn: Option[String] = Some(contentColumn)
@@ -659,7 +688,7 @@ case class IncrementalMediaDedupTransformer(
       throw new IllegalArgumentException(s"IncrementalMediaDedupTransformer: missing input '$batchInput'"))
     val store = dfs.getOrElse(storeInput, toStoreLayout(fingerprints(batch.limit(0))))
     if (ctx.phase == ExecutionPhase.Init)
-      return Map(novelKey -> batch, storeInput -> store.limit(0))
+      return Map(novelKey -> keyNovel(batch), storeInput -> store.limit(0))
     // fingerprint kernels are parameterless for image/audio; for video the
     // frame layout (frameSize/stride) determines frame-hash values — the
     // sidecar catches a layout drift that would silently never match
@@ -737,7 +766,7 @@ case class IncrementalMediaDedupTransformer(
       case Some(b) => b.join(novelIds, Seq("id"), "left_semi")
       case None => toStoreLayout(deltaFps.join(novelIds, Seq("id"), "left_semi"))
     }
-    Map(novelKey -> novel, storeInput -> storeDelta)
+    Map(novelKey -> keyNovel(novel), storeInput -> storeDelta)
   }
 }
 
@@ -769,6 +798,11 @@ case class IncrementalEmbeddingDedupTransformer(
     storePartitions: Int = 0,
     /** permit re-running a batch whose store append already committed —
       * see [[IncrementalStoreDfsTransformer.allowRerun]] */
+    /** batch-keyed novel sink: column stamped onto the novel/clean
+      * output, written with dynamic partition overwrite — see
+      * [[IncrementalStoreDfsTransformer.novelBatchKeyColumn]] */
+    override val novelBatchKeyColumn: Option[String] = None,
+    override val novelBatchKeyValue: Option[String] = None,
     override val allowRerun: Boolean = false) extends IncrementalStoreDfsTransformer {
   override protected def fingerprintContentColumn: Option[String] = Some(embColumn)
   /** the store layout: embedding store rows have exactly one blocking key
@@ -790,7 +824,7 @@ case class IncrementalEmbeddingDedupTransformer(
     val store = dfs.getOrElse(storeInput,
       toStoreLayout(Dedup.embeddingStore(batch.limit(0), idColumn, embColumn, dim, numPlanes)))
     if (ctx.phase == ExecutionPhase.Init)
-      return Map(novelKey -> batch, storeInput -> store.limit(0))
+      return Map(novelKey -> keyNovel(batch), storeInput -> store.limit(0))
     // dim/numPlanes determine bucket values — the sidecar catches a
     // drift that would silently never (or wrongly) bucket-match
     validateStoreMeta(() => ())
@@ -815,7 +849,7 @@ case class IncrementalEmbeddingDedupTransformer(
     val novel = batch.join(broadcast(dupIds), Seq(idColumn), "left_anti")
     val storeDelta = toStoreLayout(sigs.join(
       novel.select(col(idColumn).as("id")), Seq("id"), "left_semi"))
-    Map(novelKey -> novel, storeInput -> storeDelta)
+    Map(novelKey -> keyNovel(novel), storeInput -> storeDelta)
   }
 }
 
@@ -846,6 +880,11 @@ case class IncrementalSpanRemovalTransformer(
     storePartitions: Int = 0,
     /** permit re-running a batch whose store append already committed —
       * see [[IncrementalStoreDfsTransformer.allowRerun]] */
+    /** batch-keyed novel sink: column stamped onto the novel/clean
+      * output, written with dynamic partition overwrite — see
+      * [[IncrementalStoreDfsTransformer.novelBatchKeyColumn]] */
+    override val novelBatchKeyColumn: Option[String] = None,
+    override val novelBatchKeyValue: Option[String] = None,
     override val allowRerun: Boolean = false) extends IncrementalStoreDfsTransformer {
   override protected def fingerprintContentColumn: Option[String] = Some(textColumn)
   override def novelOutput: Option[String] = cleanOutput
@@ -871,9 +910,9 @@ case class IncrementalSpanRemovalTransformer(
       Dedup.spanFingerprintStore(batch.limit(0), idColumn, textColumn, windowTokens,
         portableFingerprints)))
     if (ctx.phase == ExecutionPhase.Init)
-      return Map(novelKey -> batch.withColumn(textColumn, col(textColumn))
+      return Map(novelKey -> keyNovel(batch.withColumn(textColumn, col(textColumn))
         .withColumn("n_tokens", lit(0)).withColumn("n_dup_windows", lit(0))
-        .withColumn("n_removed_tokens", lit(0)),
+        .withColumn("n_removed_tokens", lit(0))),
         storeInput -> store.limit(0))
     validateStoreMeta(() => ())
     guardBatchRerun(batch, idColumn)
@@ -893,7 +932,7 @@ case class IncrementalSpanRemovalTransformer(
     // seen, including spans this run scrubbed) — partial rows, appended
     val storeDelta = toStoreLayout(
       windows.groupBy(col("h"), col("h2")).agg(count(lit(1)).as("c")))
-    Map(novelKey -> out, storeInput -> storeDelta)
+    Map(novelKey -> keyNovel(out), storeInput -> storeDelta)
   }
 }
 
@@ -916,6 +955,11 @@ case class IncrementalLineDedupTransformer(
     storePartitions: Int = 0,
     /** permit re-running a batch whose store append already committed —
       * see [[IncrementalStoreDfsTransformer.allowRerun]] */
+    /** batch-keyed novel sink: column stamped onto the novel/clean
+      * output, written with dynamic partition overwrite — see
+      * [[IncrementalStoreDfsTransformer.novelBatchKeyColumn]] */
+    override val novelBatchKeyColumn: Option[String] = None,
+    override val novelBatchKeyValue: Option[String] = None,
     override val allowRerun: Boolean = false) extends IncrementalStoreDfsTransformer {
   override protected def fingerprintContentColumn: Option[String] = Some(textColumn)
   override def novelOutput: Option[String] = cleanOutput
@@ -936,8 +980,8 @@ case class IncrementalLineDedupTransformer(
     val store = dfs.getOrElse(storeInput, toStoreLayout(
       Dedup.lineCountStore(batch.limit(0), idColumn, textColumn)))
     if (ctx.phase == ExecutionPhase.Init)
-      return Map(novelKey -> batch.withColumn(textColumn, col(textColumn))
-        .withColumn("n_lines", lit(0)).withColumn("n_removed_lines", lit(0)),
+      return Map(novelKey -> keyNovel(batch.withColumn(textColumn, col(textColumn))
+        .withColumn("n_lines", lit(0)).withColumn("n_removed_lines", lit(0))),
         storeInput -> store.limit(0))
     validateStoreMeta(() => ())
     guardBatchRerun(batch, idColumn)
@@ -955,7 +999,7 @@ case class IncrementalLineDedupTransformer(
     // store DELTA: the RAW batch's line counts — partial rows, appended
     val storeDelta = toStoreLayout(
       hashes.groupBy(col("lh")).agg(count(lit(1)).as("c")))
-    Map(novelKey -> out, storeInput -> storeDelta)
+    Map(novelKey -> keyNovel(out), storeInput -> storeDelta)
   }
 }
 
