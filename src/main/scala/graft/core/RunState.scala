@@ -13,7 +13,14 @@ import scala.jdk.CollectionConverters._
   * `ActionDAGRun.scala:237-246`) and recovery `recoverRun`
   * (`app/SmartDataLakeBuilder.scala:377-396`).
   */
-case class ActionState(state: String, recordsWritten: Long = -1)
+case class ActionState(state: String, recordsWritten: Long = -1,
+                       /** streaming run totals absorbed from the action's
+                         * continuously-written metrics snapshot — one
+                         * artifact carries the whole run (reference folds
+                         * streaming metrics into the same state,
+                         * `sdl-core/.../metrics/SparkStreamingQueryListener
+                         * .scala`) */
+                       observedMetrics: Map[String, Long] = Map.empty)
 case class RunState(
     appName: String, runId: Int, attemptId: Int,
     actionsState: Map[String, ActionState] = Map.empty,
@@ -40,13 +47,18 @@ class RunStateStore(statePath: String, appName: String,
   private def fileFor(dir: Path, runId: Int, attemptId: Int) =
     new Path(dir, s"$appName.$runId.$attemptId.json")
 
-  def save(rs: RunState): Unit = {
+  def save(rs0: RunState): Unit = {
+    val rs = absorbStreamingMetrics(rs0)
     val root = mapper.createObjectNode()
     root.put("appName", rs.appName); root.put("runId", rs.runId)
     root.put("attemptId", rs.attemptId); root.put("finished", rs.finished)
     val as = root.putObject("actionsState")
     rs.actionsState.foreach { case (id, st) =>
       val n = as.putObject(id); n.put("state", st.state); n.put("recordsWritten", st.recordsWritten)
+      if (st.observedMetrics.nonEmpty) {
+        val om = n.putObject("observedMetrics")
+        st.observedMetrics.toSeq.sortBy(_._1).foreach { case (k, v) => om.put(k, v) }
+      }
     }
     val ds = root.putObject("dataObjectStates")
     rs.dataObjectStates.foreach { case (id, st) => ds.put(id, st) }
@@ -95,6 +107,34 @@ class RunStateStore(statePath: String, appName: String,
     }
   }
 
+  /** Fold each action's continuously-written streaming metrics snapshot
+    * (`<statePath>/streaming/<actionId>.json`, refreshed by
+    * [[graft.operators.StreamingIncrementalDedupAction
+    * .persistStreamMetrics]] on every progress event) into its
+    * ActionState, so the run-state artifact the CLI reports carries the
+    * stream's run totals — previously the snapshot lived ONLY in the
+    * sidecar and the main state file never referenced it. Runs on every
+    * save: the final (finished) state absorbs the totals as of run end; a
+    * torn or unparseable snapshot is skipped, never fails a checkpoint. */
+  private def absorbStreamingMetrics(rs: RunState): RunState = {
+    val dir = new Path(statePath, "streaming")
+    if (rs.actionsState.isEmpty || !fs.exists(dir)) rs
+    else rs.copy(actionsState = rs.actionsState.map { case (id, st) =>
+      val f = new Path(dir, s"$id.json")
+      if (!fs.exists(f)) id -> st
+      else try {
+        val in = fs.open(f)
+        val root = try mapper.readTree(in) finally in.close()
+        val t = root.get("totals")
+        val m = Seq("microBatches", "inputRows", "dupRows", "novelRows", "storeDeltaRows")
+          .flatMap(k => Option(t.get(k)).map(k -> _.asLong())).toMap
+        id -> st.copy(
+          recordsWritten = m.getOrElse("novelRows", st.recordsWritten),
+          observedMetrics = st.observedMetrics ++ m)
+      } catch { case scala.util.control.NonFatal(_) => id -> st }
+    })
+  }
+
   private def read(p: Path): RunState = {
     val in = fs.open(p)
     val root = try mapper.readTree(in) finally in.close()
@@ -102,7 +142,9 @@ class RunStateStore(statePath: String, appName: String,
       root.get("appName").asText, root.get("runId").asInt, root.get("attemptId").asInt,
       Option(root.get("actionsState")).map(_.properties().asScala.map { e =>
         e.getKey -> ActionState(e.getValue.get("state").asText,
-          e.getValue.get("recordsWritten").asLong)
+          e.getValue.get("recordsWritten").asLong,
+          Option(e.getValue.get("observedMetrics")).map(_.properties().asScala.map(kv =>
+            kv.getKey -> kv.getValue.asLong()).toMap).getOrElse(Map.empty))
       }.toMap).getOrElse(Map.empty),
       Option(root.get("dataObjectStates")).map(_.properties().asScala.map(e =>
         e.getKey -> e.getValue.asText).toMap).getOrElse(Map.empty),
