@@ -3896,6 +3896,103 @@ object SparkEntry {
         new graft.core.ActionDAGRun(Seq(action)).run()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
       s.read.parquet(s"$tmp/novel").select(col("media_id"), col("batch"))
+    }),
+
+    // HOUSEKEEPING CHECKPOINT CLAMP end-to-end (the q144 streaming layout
+    // + an aggressive retention + a genuine crash-replay): three committed
+    // micro-batches, the LAST commit file removed (writes landed, commit
+    // didn't — the at-least-once window), then a delete-EVERYTHING
+    // retention sweep over the batchId-keyed store runs with the
+    // streamingCheckpoint clamp. The clamp reads the commit log (last
+    // committed = 1 after the removal) and lets retention delete ONLY
+    // partition 0 — partitions 1 and 2 stay because the stream can still
+    // replay them. The stream then restarts: batch 2 is REPLAYED against
+    // the surviving store history and a fresh batch 3 arrives. The final
+    // novel output hash-gates the whole sequence: had the clamp not held,
+    // retention would have emptied the store and the replayed batch 2's
+    // re-posts of batch-1 seeds (ids 210..219) plus batch 3's re-posts
+    // (310..319) would re-enter as novel. Seed layout avoids batch-0
+    // content in batches 2+ so deleting partition 0 (legitimate retention
+    // of non-replayable history) never changes later decisions.
+    "q153_housekeeping_checkpoint_clamp" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q153").toString
+      java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$tmp/src"))
+      def mediaBatch(ids: Seq[(Long, Long)], batchNo: Int): DataFrame =
+        Multimodal.withSynthImage(
+          s.createDataFrame(ids).toDF("media_id", "seed"), "seed", 16, 16)
+          .withColumn("batch", lit(batchNo))
+      def addFile(df: DataFrame, stage: String, name: String, mtime: Long): Unit = {
+        df.coalesce(1).write.parquet(s"$tmp/$stage")
+        val part = new java.io.File(s"$tmp/$stage").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(s"$tmp/src/$name"))
+        require(new java.io.File(s"$tmp/src/$name").setLastModified(mtime),
+          s"cannot stamp mtime on $name")
+      }
+      // b1: seeds 0..19 novel; b2: 100..119 novel + re-posts of b1 seeds
+      // (120..129 → seeds 0..9); b3: 200..209 novel + re-posts of b2 seeds
+      // (210..219 → seeds 100..109); b4 (arrives after the restart):
+      // 300..309 novel + re-posts of b3 (310..314 → 200..204) and b2
+      // (315..319 → 100..104) seeds
+      val b1 = (0L until 20L).map(i => (i, i))
+      val b2 = (100L until 120L).map(i => (i, i)) ++ (120L until 130L).map(i => (i, i - 120))
+      val b3 = (200L until 210L).map(i => (i, i)) ++ (210L until 220L).map(i => (i, i - 110))
+      val b4 = (300L until 310L).map(i => (i, i)) ++
+        (310L until 315L).map(i => (i, i - 110)) ++ (315L until 320L).map(i => (i, i - 215))
+      val t0 = System.currentTimeMillis() - 60000
+      addFile(mediaBatch(b1, 1), "s1", "batch1.parquet", t0)
+      addFile(mediaBatch(b2, 2), "s2", "batch2.parquet", t0 + 2000)
+      addFile(mediaBatch(b3, 3), "s3", "batch3.parquet", t0 + 4000)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("seed", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.types.StructField("batch", org.apache.spark.sql.types.IntegerType)))
+      val reg = new graft.core.InstanceRegistry
+      reg.register(graft.sources.ParquetFileDataObject("media_stream", s"$tmp/src",
+        schema = Some(schema)))
+      reg.register(graft.sources.ParquetFileDataObject("media_novel", s"$tmp/out",
+        partitions = Seq("ingest_batch")))
+      reg.register(graft.sources.ParquetFileDataObject("media_store", s"$tmp/store",
+        partitions = Seq("ingest_batch")))
+      implicit val ctx: graft.core.ActionPipelineContext =
+        graft.core.ActionPipelineContext(s, reg)
+      def mkAction() = graft.operators.StreamingIncrementalDedupAction("clamp_ingest",
+        graft.operators.IncrementalMediaDedupTransformer("media_stream", "media_store",
+          "media_id", modality = "image", maxHamming = 0,
+          novelOutput = Some("media_novel")),
+        graft.operators.modes.SparkStreamingMode(
+          checkpointLocation = s"$tmp/cp", triggerType = "AvailableNow",
+          inputOptions = Map("maxFilesPerTrigger" -> "1")))
+      val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        new graft.core.ActionDAGRun(Seq(mkAction())).run()
+        // the crash: batch 2's writes landed but its commit didn't. Delete
+        // through the Hadoop FS so the ChecksumFs .crc sidecar goes with it
+        // — a stale crc makes the replay's own commit re-add fail as a
+        // phantom concurrent writer
+        val commit2 = new org.apache.hadoop.fs.Path(s"$tmp/cp/commits/2")
+        val cfs = commit2.getFileSystem(s.sparkContext.hadoopConfiguration)
+        require(cfs.exists(commit2), "three commits expected before the simulated crash")
+        require(cfs.delete(commit2, false), "cannot remove the last commit file")
+        // delete-EVERYTHING retention over the store, clamped to the
+        // checkpoint: last committed is now 1, so only partition 0 may go
+        graft.sources.PartitionRetentionMode(retentionCondition = "false",
+            streamingCheckpoint = Some(s"$tmp/cp"))
+          .exec(reg.dataObject("media_store").asInstanceOf[graft.sources.SparkFileDataObject])
+        val left = new java.io.File(s"$tmp/store").listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("ingest_batch="))
+          .map(_.getName).sorted.toSeq
+        require(left == Seq("ingest_batch=1", "ingest_batch=2"),
+          s"clamp must keep exactly the replayable partitions, got $left")
+        // restart: batch 2 replays against the surviving history, then the
+        // new file is picked up as batch 3
+        addFile(mediaBatch(b4, 4), "s4", "batch4.parquet", t0 + 6000)
+        new graft.core.ActionDAGRun(Seq(mkAction())).run()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
+      s.read.parquet(s"$tmp/out").select(col("media_id"), col("batch"))
     })
   )
 
@@ -6181,6 +6278,22 @@ object SparkEntry {
     "q152_blocked_media_store_dedup" ->
       """SELECT CAST(id AS BIGINT) AS media_id, CAST(1 AS INT) AS batch FROM range(1, 9) t(id)
         |UNION ALL
-        |SELECT CAST(id AS BIGINT), CAST(2 AS INT) FROM range(20, 24) t(id)""".stripMargin
+        |SELECT CAST(id AS BIGINT), CAST(2 AS INT) FROM range(20, 24) t(id)""".stripMargin,
+
+    // q153: structural oracle — first poster of each seed through the
+    // crash-replay + clamped-retention sequence. Every re-post (120..129,
+    // 210..219, 310..319) must be ABSENT: the replayed batch 2 and the
+    // post-restart batch 3 dedup against store partitions the checkpoint
+    // clamp protected from the delete-everything retention sweep; had the
+    // clamp not held, those ids would re-enter as novel and the hash
+    // would diverge
+    "q153_housekeeping_checkpoint_clamp" ->
+      """SELECT CAST(id AS BIGINT) AS media_id, CAST(1 AS INT) AS batch FROM range(0, 20) t(id)
+        |UNION ALL
+        |SELECT CAST(id AS BIGINT), CAST(2 AS INT) FROM range(100, 120) t(id)
+        |UNION ALL
+        |SELECT CAST(id AS BIGINT), CAST(3 AS INT) FROM range(200, 210) t(id)
+        |UNION ALL
+        |SELECT CAST(id AS BIGINT), CAST(4 AS INT) FROM range(300, 310) t(id)""".stripMargin
   )
 }
