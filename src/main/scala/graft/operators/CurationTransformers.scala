@@ -185,7 +185,11 @@ trait IncrementalStoreDfsTransformer extends DfsTransformer {
     * intentional re-ingestion only: the rerun classifies the whole batch
     * as already-stored (dedup family: novel output comes out EMPTY) or
     * double-counts it (span/line count stores: later batches
-    * over-scrubbed). Default false = [[guardBatchRerun]] fails loudly. */
+    * over-scrubbed). Default false = [[guardBatchRerun]] fails loudly on
+    * any of the last [[rerunGuardRingSize]] applied batches (older ones
+    * fall off the ring — a rerun from beyond that horizon is not
+    * detected). true disables the guard for EVERY batch of this
+    * transformer, permanently — prefer fixing the orchestration. */
   def allowRerun: Boolean = false
   /** set by [[StreamingIncrementalDedupAction]]: its sinks are batchId-
     * keyed dynamic partition OVERWRITES, so a replayed micro-batch is
