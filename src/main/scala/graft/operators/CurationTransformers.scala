@@ -466,13 +466,13 @@ case class IncrementalDedupTransformer(
       * bucket set — the per-batch store READ stops scaling with the
       * store. */
     storePartitions: Int = 0,
-    /** permit re-running a batch whose store append already committed —
-      * see [[IncrementalStoreDfsTransformer.allowRerun]] */
     /** batch-keyed novel sink: column stamped onto the novel/clean
       * output, written with dynamic partition overwrite — see
       * [[IncrementalStoreDfsTransformer.novelBatchKeyColumn]] */
     override val novelBatchKeyColumn: Option[String] = None,
     override val novelBatchKeyValue: Option[String] = None,
+    /** permit re-running a batch whose store append already committed —
+      * see [[IncrementalStoreDfsTransformer.allowRerun]] */
     override val allowRerun: Boolean = false) extends IncrementalStoreDfsTransformer {
   override protected def fingerprintContentColumn: Option[String] = Some(textColumn)
   require(signatureScheme == "minhash" || signatureScheme == "oph",
@@ -638,13 +638,13 @@ case class IncrementalMediaDedupTransformer(
       * three: candidates share a key with the delta by construction and
       * over-cap counts are complete per prefix. */
     storePartitions: Int = 0,
-    /** permit re-running a batch whose store append already committed —
-      * see [[IncrementalStoreDfsTransformer.allowRerun]] */
     /** batch-keyed novel sink: column stamped onto the novel/clean
       * output, written with dynamic partition overwrite — see
       * [[IncrementalStoreDfsTransformer.novelBatchKeyColumn]] */
     override val novelBatchKeyColumn: Option[String] = None,
     override val novelBatchKeyValue: Option[String] = None,
+    /** permit re-running a batch whose store append already committed —
+      * see [[IncrementalStoreDfsTransformer.allowRerun]] */
     override val allowRerun: Boolean = false)
   extends IncrementalStoreDfsTransformer {
   override protected def fingerprintContentColumn: Option[String] = Some(contentColumn)
@@ -800,13 +800,13 @@ case class IncrementalEmbeddingDedupTransformer(
       * and over-cap counts are complete per prefix (bucket → prefix is a
       * function). */
     storePartitions: Int = 0,
-    /** permit re-running a batch whose store append already committed —
-      * see [[IncrementalStoreDfsTransformer.allowRerun]] */
     /** batch-keyed novel sink: column stamped onto the novel/clean
       * output, written with dynamic partition overwrite — see
       * [[IncrementalStoreDfsTransformer.novelBatchKeyColumn]] */
     override val novelBatchKeyColumn: Option[String] = None,
     override val novelBatchKeyValue: Option[String] = None,
+    /** permit re-running a batch whose store append already committed —
+      * see [[IncrementalStoreDfsTransformer.allowRerun]] */
     override val allowRerun: Boolean = false) extends IncrementalStoreDfsTransformer {
   override protected def fingerprintContentColumn: Option[String] = Some(embColumn)
   /** the store layout: embedding store rows have exactly one blocking key
@@ -882,13 +882,13 @@ case class IncrementalSpanRemovalTransformer(
     windowTokens: Int = 8, portableFingerprints: Boolean = true,
     cleanOutput: Option[String] = None,
     storePartitions: Int = 0,
-    /** permit re-running a batch whose store append already committed —
-      * see [[IncrementalStoreDfsTransformer.allowRerun]] */
     /** batch-keyed novel sink: column stamped onto the novel/clean
       * output, written with dynamic partition overwrite — see
       * [[IncrementalStoreDfsTransformer.novelBatchKeyColumn]] */
     override val novelBatchKeyColumn: Option[String] = None,
     override val novelBatchKeyValue: Option[String] = None,
+    /** permit re-running a batch whose store append already committed —
+      * see [[IncrementalStoreDfsTransformer.allowRerun]] */
     override val allowRerun: Boolean = false) extends IncrementalStoreDfsTransformer {
   override protected def fingerprintContentColumn: Option[String] = Some(textColumn)
   override def novelOutput: Option[String] = cleanOutput
@@ -957,13 +957,13 @@ case class IncrementalLineDedupTransformer(
     maxOccurrences: Int = 1,
     cleanOutput: Option[String] = None,
     storePartitions: Int = 0,
-    /** permit re-running a batch whose store append already committed —
-      * see [[IncrementalStoreDfsTransformer.allowRerun]] */
     /** batch-keyed novel sink: column stamped onto the novel/clean
       * output, written with dynamic partition overwrite — see
       * [[IncrementalStoreDfsTransformer.novelBatchKeyColumn]] */
     override val novelBatchKeyColumn: Option[String] = None,
     override val novelBatchKeyValue: Option[String] = None,
+    /** permit re-running a batch whose store append already committed —
+      * see [[IncrementalStoreDfsTransformer.allowRerun]] */
     override val allowRerun: Boolean = false) extends IncrementalStoreDfsTransformer {
   override protected def fingerprintContentColumn: Option[String] = Some(textColumn)
   override def novelOutput: Option[String] = cleanOutput
