@@ -59,7 +59,11 @@ object Decontamination {
   def splitContamination(df: DataFrame, idCol: String, textCol: String,
                          splitCol: String, n: Int = 8): DataFrame = {
     val train = df.where(col(splitCol) === "train")
-    val heldOut = df.where(col(splitCol) =!= "train")
+    // NULL-SAFE: a row with a NULL split label is NOT train — plain =!=
+    // evaluates to NULL there and silently drops the row from the guard
+    // entirely (an unlabeled doc would escape the leak check on both
+    // sides; auditing it as held-out is the conservative reading)
+    val heldOut = df.where(!(col(splitCol) <=> "train"))
     val heldNgrams = Dedup.ensureParallelism(heldOut, idCol)
       .select(col(idCol), explode(wordNgramHashes(col(textCol), n)).as("_ng"))
     val trainNgrams = Dedup.ensureParallelism(train, idCol)

@@ -248,6 +248,28 @@ class RerunGuardSpec extends AnyFunSuite {
       Set(1L))
   }
 
+  test("fingerprint ring is bounded at 16: the oldest entry falls off, the newest lands last") {
+    val dir = java.nio.file.Files.createTempDirectory("rerun_ringcap").toString
+    val (action, reg) = setup(dir,
+      IncrementalDedupTransformer("batch", "store", "doc_id", "text",
+        threshold = 0.5, bands = 16, novelOutput = Some("novel")))
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    Seq((1L, textA)).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/batch")
+    new ActionDAGRun(Seq(action)).run()
+    // a full ring of 16 synthetic prior batches
+    val fakes = (1 to 16).map(i => s"$i:$i")
+    StoreMeta.merge(s"$dir/store", Map("recentBatchFingerprints" -> fakes.mkString("|")))
+    Seq((2L, textC)).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/batch")
+    new ActionDAGRun(Seq(action)).run()
+    val ring = StoreMeta.read(s"$dir/store").get("recentBatchFingerprints").split('|').toSeq
+    assert(ring.length == 16, s"ring must stay bounded, got ${ring.length}")
+    assert(!ring.contains("1:1"), "the oldest entry must fall off")
+    assert(ring.take(15) == fakes.drop(1), s"order preserved, got $ring")
+    assert(ring.last == StoreMeta.read(s"$dir/store").get("lastBatchCount") + ":" +
+      StoreMeta.read(s"$dir/store").get("lastBatchChecksum"),
+      "the newest entry mirrors lastBatchCount/lastBatchChecksum")
+  }
+
   test("batch-keyed novel sink: rerun after failing between novel write and store append is exactly-once") {
     // VERDICT r17 What's-missing #3: the novel sink is a plain Append that
     // writes BEFORE the store append, so a run dying between the two
