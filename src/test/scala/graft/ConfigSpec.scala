@@ -607,4 +607,30 @@ class ConfigSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/dst").as[(Long, String)].collect()
       .map(_._1).toSet == Set(1L, 3L))
   }
+
+  test("batch-keyed novel sink knobs parse on the incremental transformers") {
+    val cfg =
+      """dataObjects {
+        |  b { type = parquet, path = "/tmp/x/b" }
+        |  s { type = parquet, path = "/tmp/x/s" }
+        |}
+        |actions {
+        |  ing {
+        |    type = customDataFrame
+        |    inputIds = [b, s]
+        |    outputIds = [b, s]
+        |    dfsTransformers = [
+        |      { type = incrementalDedup, batchInput = b, storeInput = s,
+        |        idColumn = id, textColumn = t,
+        |        novelBatchKeyColumn = ingest_batch, novelBatchKeyValue = "2026-08-16" }
+        |    ]
+        |  }
+        |}
+        |""".stripMargin
+    val t = ConfigParser.parse(cfg).action("ing")
+      .asInstanceOf[graft.operators.CustomDataFrameAction]
+      .dfsTransformers.head.asInstanceOf[graft.operators.IncrementalDedupTransformer]
+    assert(t.novelBatchKeyColumn.contains("ingest_batch"))
+    assert(t.novelBatchKeyValue.contains("2026-08-16"))
+  }
 }
