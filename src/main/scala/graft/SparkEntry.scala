@@ -3993,6 +3993,67 @@ object SparkEntry {
         new graft.core.ActionDAGRun(Seq(mkAction())).run()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
       s.read.parquet(s"$tmp/out").select(col("media_id"), col("batch"))
+    }),
+
+    // BATCH-KEYED NOVEL SINK end-to-end (exactly-once novel output on the
+    // batch path): run 1 dies BETWEEN the novel write and the store append
+    // (an always-failing constraint on the store — non-recursive outputs
+    // write first, so the novel partition has already landed); the
+    // guard-permitted rerun then OVERWRITES its own batch partition via
+    // the batch-keyed dynamic partition overwrite instead of re-appending
+    // it, and a second batch dedups against the store the rerun committed.
+    // The hash gates the whole sequence: with a plain Append novel sink,
+    // batch 1's rows would appear twice.
+    "q154_batchkeyed_novel_rerun" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q154").toString
+      def doc(id: Long, seed: Long): (Long, String) =
+        (id, (0 until 40).map(i => s"w${seed}_$i").mkString(" "))
+      def transformer(batchKey: String) = graft.operators.IncrementalDedupTransformer(
+        "docs_batch", "sig_store", "doc_id", "text",
+        threshold = 0.5, bands = 16, novelOutput = Some("docs_novel"),
+        novelBatchKeyColumn = Some("ingest_batch"), novelBatchKeyValue = Some(batchKey))
+      def action(batchKey: String) = graft.operators.CustomDataFrameAction(
+        "inc154", Seq("docs_batch"), Seq("docs_novel", "sig_store"),
+        dfsTransformers = Seq(transformer(batchKey)),
+        saveMode = Some(graft.core.SdlSaveMode.Append),
+        recursiveInputIds = Seq("sig_store"))
+      def registry(storeConstraints: Seq[graft.quality.Constraint]) = {
+        val reg = new graft.core.InstanceRegistry
+        reg.register(graft.sources.ParquetFileDataObject("docs_batch", s"$tmp/batch"))
+        reg.register(graft.sources.ParquetFileDataObject("docs_novel", s"$tmp/novel",
+          partitions = Seq("ingest_batch")))
+        reg.register(graft.sources.ParquetFileDataObject("sig_store", s"$tmp/store",
+          constraints = storeConstraints))
+        reg
+      }
+      val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        // batch 1: ids 1..10, all novel
+        s.createDataFrame((1L to 10L).map(i => doc(i, i))).toDF("doc_id", "text")
+          .write.mode("overwrite").parquet(s"$tmp/batch")
+        // run 1: the STORE append dies after the novel write landed
+        val broken = registry(Seq(graft.quality.Constraint("store_down", "id IS NULL")))
+        val failed = try {
+          new graft.core.ActionDAGRun(Seq(action("b1")))
+            .run()(graft.core.ActionPipelineContext(s, broken)); false
+        } catch { case _: Exception => true }
+        require(failed, "run 1 must die at the store constraint")
+        require(s.read.parquet(s"$tmp/novel").count() == 10,
+          "the novel partition lands before the store append fails")
+        // run 2 (healthy store): guard permits — the append never
+        // committed — and the rerun OVERWRITES partition b1
+        implicit val ctx: graft.core.ActionPipelineContext =
+          graft.core.ActionPipelineContext(s, registry(Seq.empty))
+        new graft.core.ActionDAGRun(Seq(action("b1"))).run()
+        // batch 2: 21..25 novel, 26..30 re-post batch 1's texts
+        s.createDataFrame((21L to 25L).map(i => doc(i, i)) ++
+            (26L to 30L).map(i => doc(i, i - 25)))
+          .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$tmp/batch")
+        new graft.core.ActionDAGRun(Seq(action("b2"))).run()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
+      s.read.parquet(s"$tmp/novel")
+        .select(col("doc_id"), col("ingest_batch").cast("string").as("ingest_batch"))
     })
   )
 
@@ -6294,6 +6355,16 @@ object SparkEntry {
         |UNION ALL
         |SELECT CAST(id AS BIGINT), CAST(3 AS INT) FROM range(200, 210) t(id)
         |UNION ALL
-        |SELECT CAST(id AS BIGINT), CAST(4 AS INT) FROM range(300, 310) t(id)""".stripMargin
+        |SELECT CAST(id AS BIGINT), CAST(4 AS INT) FROM range(300, 310) t(id)""".stripMargin,
+
+    // q154: structural oracle — exactly-once novel output through the
+    // fail-between-writes + rerun sequence: batch 1's ids 1..10 appear
+    // ONCE under partition b1 (the rerun overwrote, never re-appended);
+    // batch 2's novels 21..25 under b2; 26..30 re-post batch-1 texts and
+    // are dropped by the store the rerun committed
+    "q154_batchkeyed_novel_rerun" ->
+      """SELECT CAST(id AS BIGINT) AS doc_id, 'b1' AS ingest_batch FROM range(1, 11) t(id)
+        |UNION ALL
+        |SELECT CAST(id AS BIGINT), 'b2' FROM range(21, 26) t(id)""".stripMargin
   )
 }
