@@ -4054,6 +4054,58 @@ object SparkEntry {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
       s.read.parquet(s"$tmp/novel")
         .select(col("doc_id"), col("ingest_batch").cast("string").as("ingest_batch"))
+    }),
+
+    // CATALOG / LINEAGE EXPORT (the reference's ActionsExporter +
+    // DataObjectsExporter surface, previously spec-only): a HOCON config
+    // is parsed through the real ConfigParser — data objects with and
+    // without metadata blocks, a multi-input/multi-output action and a
+    // copy — and the two exporters' frames are joined into the lineage
+    // edge table a catalog would ingest (one row per action×input, the
+    // input's type/location/metadata resolved). Hash-gates the parse of
+    // metadata fields (name/layer/tags incl. the empty-tags vs no-metadata
+    // NULL distinction), class names, and the id-list encoding.
+    "q155_catalog_lineage_export" -> ((s, dir) => {
+      val cfg =
+        """dataObjects {
+          |  cust155 {
+          |    type = parquet, path = "/data/lake/staging/customers"
+          |    metadata = { name = "Customers", description = "raw customer feed",
+          |                 layer = staging, subjectArea = crm, tags = [pii, daily] }
+          |  }
+          |  ord155 {
+          |    type = csv, path = "/data/lake/staging/orders"
+          |    metadata = { layer = staging, subjectArea = sales }
+          |  }
+          |  mart155 {
+          |    type = parquet, path = "/data/lake/mart/cust_orders"
+          |    metadata = { name = "CustOrders", layer = mart }
+          |  }
+          |  audit155 { type = parquet, path = "/data/lake/mart/audit" }
+          |}
+          |actions {
+          |  build155 {
+          |    type = customDataFrame
+          |    inputIds = [cust155, ord155]
+          |    outputIds = [mart155, audit155]
+          |    outputSql = { mart155 = "select 1 as one", audit155 = "select 1 as one" }
+          |  }
+          |  copy155 { type = copy, inputId = cust155, outputId = audit155 }
+          |}
+          |""".stripMargin
+      val reg = graft.core.ConfigParser.parse(cfg)
+      implicit val ctx: graft.core.ActionPipelineContext =
+        graft.core.ActionPipelineContext(s, reg)
+      val dos = graft.sources.DataObjectsExporterDataObject("do_exp").getDataFrame()
+      val acts = graft.sources.ActionsExporterDataObject("act_exp").getDataFrame()
+      acts.withColumn("input_id", explode(split(col("input_ids"), ",")))
+        .join(dos.select(col("id").as("input_id"), col("type").as("input_type"),
+          col("location").as("input_location"), col("name").as("input_name"),
+          col("layer").as("input_layer"), col("tags").as("input_tags")), Seq("input_id"))
+        .select(col("id").as("action_id"), col("type").as("action_type"),
+          col("input_id"), col("input_type"), col("input_location"),
+          col("input_name"), col("input_layer"), col("input_tags"),
+          col("output_ids"))
     })
   )
 
@@ -6365,6 +6417,22 @@ object SparkEntry {
     "q154_batchkeyed_novel_rerun" ->
       """SELECT CAST(id AS BIGINT) AS doc_id, 'b1' AS ingest_batch FROM range(1, 11) t(id)
         |UNION ALL
-        |SELECT CAST(id AS BIGINT), 'b2' FROM range(21, 26) t(id)""".stripMargin
+        |SELECT CAST(id AS BIGINT), 'b2' FROM range(21, 26) t(id)""".stripMargin,
+
+    // q155: literal oracle — the lineage edge table the two exporters
+    // produce over the parsed config: one row per action×input with the
+    // input's resolved type/location/metadata; ord155 has metadata but no
+    // name/tags (NULL name, EMPTY-string tags), audit155 never appears as
+    // an input; id lists keep declaration order
+    "q155_catalog_lineage_export" ->
+      """SELECT * FROM (VALUES
+        |  ('build155','CustomDataFrameAction','cust155','ParquetFileDataObject',
+        |   '/data/lake/staging/customers','Customers','staging','pii,daily','mart155,audit155'),
+        |  ('build155','CustomDataFrameAction','ord155','CsvFileDataObject',
+        |   '/data/lake/staging/orders',NULL,'staging','','mart155,audit155'),
+        |  ('copy155','CopyAction','cust155','ParquetFileDataObject',
+        |   '/data/lake/staging/customers','Customers','staging','pii,daily','audit155')
+        |) v(action_id, action_type, input_id, input_type, input_location,
+        |    input_name, input_layer, input_tags, output_ids)""".stripMargin
   )
 }
