@@ -4106,6 +4106,32 @@ object SparkEntry {
           col("input_id"), col("input_type"), col("input_location"),
           col("input_name"), col("input_layer"), col("input_tags"),
           col("output_ids"))
+    }),
+
+    // CUSTOM DF SOURCE by CLASS NAME (the reference's CustomDfCreator
+    // reflection contract, previously programmatic+spec-only): the HOCON
+    // config names a creator class ([[Q156SyntheticFeed]]) with options;
+    // the parser resolves it reflectively at parse time and a copy action
+    // pipelines the generated frame into parquet. The hash gates the
+    // class resolution, the options pass-through, and the pipeline write.
+    "q156_custom_df_classname" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q156").toString
+      val cfg =
+        s"""dataObjects {
+           |  src156 {
+           |    type = customDf
+           |    className = "graft.Q156SyntheticFeed"
+           |    options = { rows = "200", factor = "3", prefix = "row_" }
+           |  }
+           |  dst156 { type = parquet, path = "$tmp/dst" }
+           |}
+           |actions {
+           |  load156 { type = copy, inputId = src156, outputId = dst156,
+           |            metadata = { feed = q156 } }
+           |}
+           |""".stripMargin
+      core.PipelineRunner.run(cfg, s, feedSel = Some("q156"))
+      s.read.parquet(s"$tmp/dst").select(col("k"), col("v"), col("tag"))
     })
   )
 
@@ -6433,6 +6459,26 @@ object SparkEntry {
         |  ('copy155','CopyAction','cust155','ParquetFileDataObject',
         |   '/data/lake/staging/customers','Customers','staging','pii,daily','audit155')
         |) v(action_id, action_type, input_id, input_type, input_location,
-        |    input_name, input_layer, input_tags, output_ids)""".stripMargin
+        |    input_name, input_layer, input_tags, output_ids)""".stripMargin,
+
+    // q156: the reflective creator's deterministic output — range with
+    // the configured factor and prefix applied
+    "q156_custom_df_classname" ->
+      """SELECT CAST(id AS BIGINT) AS k, CAST(id * 3 AS BIGINT) AS v,
+        |  'row_' || CAST(id AS VARCHAR) AS tag
+        |FROM range(0, 200) t(id)""".stripMargin
   )
+}
+
+/** q156 fixture: a deterministic synthetic feed resolved BY CLASS NAME
+  * through the config surface ([[graft.sources.CustomDfCreator]] — the
+  * reference's `CustomDfCreator` reflection contract). Options pass
+  * through from HOCON. */
+class Q156SyntheticFeed extends graft.sources.CustomDfCreator {
+  override def exec(spark: SparkSession,
+                    options: Map[String, String]): DataFrame =
+    spark.range(options("rows").toLong).select(
+      col("id").as("k"),
+      (col("id") * options("factor").toLong).as("v"),
+      concat(lit(options.getOrElse("prefix", "p")), col("id")).as("tag"))
 }

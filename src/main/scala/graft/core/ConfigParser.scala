@@ -206,6 +206,9 @@ object ConfigParser {
         XmlFileDataObject(id, require(str(n, "path"), id, "path"),
           rowTag = str(n, "rowTag").getOrElse("row"), xmlOptions = strMap(n, "xmlOptions"),
           partitions = strSeq(n, "partitions"), schema = ddlSchema(n, "schema"))
+      case "CustomDfDataObject" | "customDf" =>
+        CustomDfDataObject.fromClassName(id,
+          require(str(n, "className"), id, "className"), strMap(n, "options"))
       case "RelaxedCsvFileDataObject" | "relaxedCsv" =>
         RelaxedCsvFileDataObject(id, require(str(n, "path"), id, "path"),
           csvOptions = strMap(n, "csvOptions"), schema = ddlSchema(n, "schema"),

@@ -836,3 +836,31 @@ case class CustomDfDataObject(id: String, creator: SparkSession => DataFrame)
   override def getDataFrame(partitionValues: Seq[PartitionValues] = Seq.empty)
                            (implicit ctx: ActionPipelineContext): DataFrame = creator(ctx.spark)
 }
+
+/** User-supplied DataFrame creator for CONFIG-driven pipelines — the
+  * reflective half of [[CustomDfDataObject]] (reference
+  * `spark/customlogic/CustomDfCreator.scala`: a `className` in HOCON
+  * resolves to an implementation, `options` pass through). Implement with
+  * a no-arg constructor. */
+trait CustomDfCreator extends Serializable {
+  def exec(spark: SparkSession, options: Map[String, String]): DataFrame
+}
+
+object CustomDfDataObject {
+  /** resolve `className` to a [[CustomDfCreator]] at CONFIG-PARSE time —
+    * a typo fails the parse, not the first exec (reference instantiates
+    * through CustomCodeUtil the same way) */
+  def fromClassName(id: String, className: String,
+                    options: Map[String, String] = Map.empty): CustomDfDataObject = {
+    val creator =
+      try Class.forName(className).getDeclaredConstructor().newInstance()
+        .asInstanceOf[CustomDfCreator]
+      catch {
+        case e: ClassNotFoundException => throw new IllegalArgumentException(
+          s"DataObject $id: creator class '$className' not found", e)
+        case e: ClassCastException => throw new IllegalArgumentException(
+          s"DataObject $id: '$className' does not implement graft.sources.CustomDfCreator", e)
+      }
+    CustomDfDataObject(id, s => creator.exec(s, options))
+  }
+}

@@ -608,6 +608,23 @@ class ConfigSpec extends AnyFunSuite {
       .map(_._1).toSet == Set(1L, 3L))
   }
 
+  test("customDf className resolves at PARSE time; a typo fails the parse, not the first exec") {
+    val good =
+      """dataObjects {
+        |  src { type = customDf, className = "graft.Q156SyntheticFeed",
+        |        options = { rows = "3", factor = "2", prefix = "x" } }
+        |}""".stripMargin
+    val reg = ConfigParser.parse(good)
+    implicit val ctx: graft.core.ActionPipelineContext =
+      graft.core.ActionPipelineContext(spark, reg)
+    val df = reg.dataObject("src").asInstanceOf[graft.sources.CustomDfDataObject].getDataFrame()
+    assert(df.count() == 3)
+    val e = intercept[IllegalArgumentException] {
+      ConfigParser.parse(good.replace("graft.Q156SyntheticFeed", "graft.NoSuchCreator"))
+    }
+    assert(e.getMessage.contains("not found"), e.getMessage)
+  }
+
   test("batch-keyed novel sink knobs parse on the incremental transformers") {
     val cfg =
       """dataObjects {
