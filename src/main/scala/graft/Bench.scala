@@ -1,6 +1,31 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Full JSON string escape: r18's backslash+quote-only escaping produced an
+    * INVALID bench.json exactly when a query failed, because Spark exception
+    * messages routinely contain newlines (AnalysisException is multi-line). */
+  private[graft] def jsonStr(s: String): String = {
+    val sb = new StringBuilder("\"")
+    String.valueOf(s).foreach {
+      case '"'  => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append("\"").toString
+  }
+  /** 1-min loadavg sampled from /proc/loadavg — the co-tenant adjudication
+    * signal. Three straight rounds (r16-r18) burned builder+judge wall-time
+    * re-measuring phantom regressions (q149 33.7s driver vs 5.0s quiet in
+    * r18) that the artifact could have resolved alone: a reading with both
+    * passes inflated UNDER HIGH LOAD is co-tenant noise by inspection. */
+  private def loadavg(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -49,21 +74,36 @@ object Bench {
     // trivial queries (q1 1.7s→9.5s round 4). The minimum is the standard
     // robust estimator of true cost under one-sided noise.
     val timedPasses = sys.env.get("SPARK_GRAFT_TIMED_PASSES").map(_.toInt).getOrElse(2)
+    // loadSamples(i) = (loadavg before pass i, loadavg after pass i)
+    val loadSamples = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
     val passes = (1 to timedPasses).map { _ =>
-      selected.map { case (name, fn) => name -> runOnce(name, fn) }.toMap
+      val before = loadavg()
+      val pass = selected.map { case (name, fn) => name -> runOnce(name, fn) }.toMap
+      loadSamples += ((before, loadavg()))
+      pass
     }
-    val results = selected.map { case (name, _) =>
+    // A query that threw during any timed pass has no meaningful duration:
+    // its time-to-exception would silently SHRINK the headline total and
+    // break cross-round total comparability (ADVICE r18). Exclude it from
+    // the per-query map and the total; it is visible via errors+failedQueries.
+    val results = selected.collect { case (name, _) if !failed.contains(name) =>
       name -> passes.map(_(name)).min }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // Full-precision, full-name record → bench.json (the archival channel),
-    // plus the failed-query names and messages so a swallowed exception is
-    // diagnosable from the artifact alone
+    // Full-precision, full-name record → bench.json (the archival channel):
+    // min per query, PLUS per-pass readings and loadavg brackets so an
+    // outlier is adjudicable from the artifact alone (both passes >Nx under
+    // loadavg 12 = co-tenant; one quiet pass at baseline = genuine min).
     val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errsFull = failed.map { case (k, v) =>
-      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
+    val passesFull = passes.map { p =>
+      results.map { case (k, _) => "\"" + k + "\":" + p(k) }.mkString("{", ",", "}")
+    }.mkString("[", ",", "]")
+    val loadFull = loadSamples.map { case (b, a) =>
+      s"""{"before":$b,"after":$a}""" }.mkString("[", ",", "]")
+    val errsFull = failed.map { case (k, v) => "\"" + k + "\":" + jsonStr(v) }
       .mkString("{", ",", "}")
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,""" +
+      s""""passes":$passesFull,"loadavg":$loadFull,""" +
       s""""errors":${failed.size},"failedQueries":$errsFull,"sf":"$sfDir"}"""
     // Printed line must fit the driver's 2000-char tail-capture window
     // (round 5's 2310-char line was head-truncated → parse failed, no bench
