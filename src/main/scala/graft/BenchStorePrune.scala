@@ -34,7 +34,11 @@ object BenchStorePrune {
 
     val numHashes = 32
     val bands = 8
-    val storePartitions = 256
+    // overridable to measure the parallel-partition-discovery threshold
+    // crossing (spark.sql.sources.parallelPartitionDiscovery.threshold =
+    // 32 dirs): 16 stays on driver-side listing, 64 launches a listing
+    // job per store read — SCALE.md round-19 documents the crossing
+    val storePartitions = sys.env.get("SPARK_GRAFT_STORE_PARTITIONS").map(_.toInt).getOrElse(256)
     val batchSize = 8       // streaming-shaped micro-batch (batch × bands ≪ N)
     val nBatches = 5
 

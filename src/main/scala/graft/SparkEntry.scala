@@ -4132,6 +4132,283 @@ object SparkEntry {
            |""".stripMargin
       core.PipelineRunner.run(cfg, s, feedSel = Some("q156"))
       s.read.parquet(s"$tmp/dst").select(col("k"), col("v"), col("tag"))
+    }),
+
+    // CONFIG-ONLY EXACTLY-ONCE NOVEL OUTPUT (the derived batch key): the
+    // incremental transformer sets novelBatchKeyColumn but NO value — the
+    // enclosing action derives the key from PartitionDiffMode's batch
+    // identity (the selected partition values, reference
+    // `executionMode/PartitionDiffMode.scala:61-170`), so no driver loop
+    // threads a key anywhere. Run 1 (dt=2024-01-01) dies BETWEEN the
+    // novel write and the store append; the recovery rerun passes the
+    // SAME partition explicitly (the diff would skip the half-written
+    // partition — explicitly requested partitions win over the diff, the
+    // reference's recovery practice) and, the token being a pure function
+    // of the partition values, OVERWRITES its own batch partition instead
+    // of re-appending. Run 3 diffs to dt=2024-01-02 alone and dedups
+    // against the store the rerun committed. The hash gates the derived
+    // tokens, the exactly-once rerun, and the cross-batch dedup at once.
+    "q157_derived_batchkey_partitiondiff" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q157").toString
+      def doc(id: Long, seed: Long): (Long, String) =
+        (id, (0 until 40).map(i => s"w${seed}_$i").mkString(" "))
+      def writeBatch(dt: String, docs: Seq[(Long, String)]): Unit =
+        s.createDataFrame(docs).toDF("doc_id", "text")
+          .withColumn("dt", lit(dt))
+          .write.mode("append").partitionBy("dt").parquet(s"$tmp/batch")
+      val action = graft.operators.CustomDataFrameAction(
+        "inc157", Seq("docs_batch"), Seq("docs_novel", "sig_store"),
+        dfsTransformers = Seq(graft.operators.IncrementalDedupTransformer(
+          "docs_batch", "sig_store", "doc_id", "text",
+          threshold = 0.5, bands = 16, novelOutput = Some("docs_novel"),
+          novelBatchKeyColumn = Some("ingest_batch"))), // no value: derived
+        saveMode = Some(graft.core.SdlSaveMode.Append),
+        recursiveInputIds = Seq("sig_store"),
+        executionMode = Some(graft.operators.modes.PartitionDiffMode()))
+      def registry(storeConstraints: Seq[graft.quality.Constraint]) = {
+        val reg = new graft.core.InstanceRegistry
+        reg.register(graft.sources.ParquetFileDataObject("docs_batch", s"$tmp/batch",
+          partitions = Seq("dt")))
+        // batch key first (the dynamic-overwrite target), dt second (the
+        // partition-diff key) — sub-partitioning by dt keeps the diff and
+        // the keyed overwrite on one sink
+        reg.register(graft.sources.ParquetFileDataObject("docs_novel", s"$tmp/novel",
+          partitions = Seq("ingest_batch", "dt")))
+        reg.register(graft.sources.ParquetFileDataObject("sig_store", s"$tmp/store",
+          constraints = storeConstraints))
+        reg
+      }
+      val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        // batch dt=2024-01-01: ids 1..10, all novel
+        writeBatch("2024-01-01", (1L to 10L).map(i => doc(i, i)))
+        // run 1: the STORE append dies after the novel write landed
+        val broken = registry(Seq(graft.quality.Constraint("store_down", "id IS NULL")))
+        val failed = try {
+          new graft.core.ActionDAGRun(Seq(action))
+            .run()(graft.core.ActionPipelineContext(s, broken)); false
+        } catch { case _: Exception => true }
+        require(failed, "run 1 must die at the store constraint")
+        require(s.read.parquet(s"$tmp/novel").count() == 10,
+          "the novel partition lands before the store append fails")
+        // run 2 (healthy store): the recovery rerun names the SAME batch
+        // by explicit partition values — same derived key, guard permits
+        // (the append never committed), partition overwritten not doubled
+        implicit val ctx: graft.core.ActionPipelineContext =
+          graft.core.ActionPipelineContext(s, registry(Seq.empty))
+        new graft.core.ActionDAGRun(Seq(action)).run(Seq(graft.core.SubFeed(
+          "docs_batch", partitionValues = Seq(
+            graft.core.PartitionValues(Map("dt" -> "2024-01-01"))))))
+        // batch dt=2024-01-02: 21..25 novel, 26..30 re-post batch 1's
+        // texts; the diff selects ONLY the new partition
+        writeBatch("2024-01-02", (21L to 25L).map(i => doc(i, i)) ++
+          (26L to 30L).map(i => doc(i, i - 25)))
+        new graft.core.ActionDAGRun(Seq(action)).run()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
+      s.read.parquet(s"$tmp/novel")
+        .select(col("doc_id"), col("dt").cast("string").as("dt"),
+          col("ingest_batch").cast("string").as("ingest_batch"))
+    }),
+
+    // JMS RECEIVER against a LIVE loopback queue (the q93/q101 pattern —
+    // upgrading the JMS row from injected-fake specs to the oracle): a
+    // broker stub serves the nation table as JSON text messages over a
+    // real TCP socket with a line protocol (RECV → one message or NONE,
+    // ACK n → cumulative CLIENT_ACKNOWLEDGE commit); the DataObject runs
+    // the reference's synchronous batch-receive loop against it
+    // (`sdl-jms/.../SynchronousJmsReceiver.scala:62-125`: poll with
+    // maxWait, stop at batchSize, intermediate ack every txBatchSize).
+    // The run asserts every message was committed to the broker and the
+    // hash gates the full payload decode.
+    "q158_jms_loopback_queue" -> ((s, dir) => {
+      implicit val c: ActionPipelineContext = ctx(s)
+      def js(v: String): String = "\"" + v.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case ch => ch.toString } + "\""
+      val msgs = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("int"), col("n_name"), col("n_regionkey").cast("int"))
+        .collect().sortBy(_.getInt(0)).map(r =>
+          s"""{"n_nationkey":${r.getInt(0)},"n_name":${js(r.getString(1))},"n_regionkey":${r.getInt(2)}}""")
+      // ---- broker stub: one queue, cumulative-ack bookkeeping ----
+      val acked = new java.util.concurrent.atomic.AtomicInteger(0)
+      val server = new java.net.ServerSocket(0, 1, java.net.InetAddress.getByName("127.0.0.1"))
+      val broker = new Thread(() => {
+        try {
+          val sock = server.accept()
+          val in = new java.io.BufferedReader(
+            new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+          val out = new java.io.PrintWriter(
+            new java.io.OutputStreamWriter(sock.getOutputStream, "UTF-8"), true)
+          var next = 0
+          var line = in.readLine()
+          while (line != null) {
+            if (line == "RECV") {
+              if (next < msgs.length) { out.println("MSG " + msgs(next)); next += 1 }
+              else out.println("NONE")
+            } else if (line.startsWith("ACK ")) {
+              // cumulative: acking message n commits 1..n
+              acked.set(line.drop(4).trim.toInt); out.println("OK")
+            }
+            line = in.readLine()
+          }
+          sock.close()
+        } catch { case _: java.net.SocketException => () }
+      })
+      broker.setDaemon(true); broker.start()
+      try {
+        val port = server.getLocalPort
+        def consumer(): sources.JmsConsumer = new sources.JmsConsumer {
+          private val sock = new java.net.Socket("127.0.0.1", port)
+          private val in = new java.io.BufferedReader(
+            new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+          private val out = new java.io.PrintWriter(
+            new java.io.OutputStreamWriter(sock.getOutputStream, "UTF-8"), true)
+          private var delivered = 0
+          override def receive(maxWaitMs: Long): sources.JmsMessage = {
+            sock.setSoTimeout(math.max(1, maxWaitMs).toInt)
+            out.println("RECV")
+            val resp = in.readLine()
+            if (resp == null || resp == "NONE") null
+            else {
+              delivered += 1; val d = delivered
+              new sources.JmsMessage {
+                val text: String = resp.drop(4)
+                def acknowledge(): Unit = { out.println(s"ACK $d"); in.readLine(); () }
+              }
+            }
+          }
+          override def close(): Unit = sock.close()
+        }
+        val df = sources.JmsDataObject("q158_jms", () => consumer(),
+          batchSize = msgs.length, maxWaitMs = 1000, maxBatchAgeMs = 60000,
+          txBatchSize = 7,
+          schema = Some(StructType(Seq(
+            StructField("n_nationkey", IntegerType),
+            StructField("n_name", StringType),
+            StructField("n_regionkey", IntegerType)))))
+          .getDataFrame() // the receive/ack loop runs eagerly in here
+        require(acked.get() == msgs.length,
+          s"every delivered message must be committed to the broker, acked=${acked.get()}")
+        df.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      } finally server.close()
+    }),
+
+    // SFTP-SHAPED FILE TRANSFER against a LIVE loopback file server (the
+    // FileRef surface the reference models SFTP downloads with,
+    // `sdl-core/.../SFtpFileRefDataObject.scala` — the ssh jar is
+    // out-of-env, so the remote speaks a line protocol over a real TCP
+    // socket: LIST glob → refs, GET path → bytes; the graft-side
+    // [[graft.sources.FileRefTransport]] client plugs into the SAME
+    // FileRefDataObject as the Hadoop transport). Two transfer passes
+    // exercise the modified-after watermark: pass 1 lands four region
+    // files; a fifth appears with a newer mtime and pass 2 moves ONLY it.
+    // The landed CSVs read back through CsvFileDataObject and the hash
+    // gates the full download path.
+    "q159_sftp_fileref_transfer" -> ((s, dir) => {
+      implicit val c: ActionPipelineContext = ctx(s)
+      val lnd = java.nio.file.Files.createTempDirectory("graft_q159").toString
+      val byRegion = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("int"), col("n_name"), col("n_regionkey").cast("int"))
+        .collect().groupBy(_.getInt(2))
+      def csv(r: Int): Array[Byte] =
+        ("n_nationkey,n_name,n_regionkey\n" + byRegion(r).sortBy(_.getInt(0))
+          .map(row => s"${row.getInt(0)},${row.getString(1)},${row.getInt(2)}")
+          .mkString("\n") + "\n").getBytes("UTF-8")
+      // ---- remote stub: path → (bytes, mtime); one command per connection
+      val remote = new java.util.concurrent.ConcurrentHashMap[String, (Array[Byte], Long)]()
+      (0 to 3).foreach(r => remote.put(s"/outbox/region_$r.csv", (csv(r), 1000L + r)))
+      val server = new java.net.ServerSocket(0, 8, java.net.InetAddress.getByName("127.0.0.1"))
+      val srv = new Thread(() => {
+        try while (true) {
+          val sock = server.accept()
+          try {
+            val in = new java.io.BufferedReader(
+              new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+            val out = sock.getOutputStream
+            def line(t: String): Unit = out.write((t + "\n").getBytes("UTF-8"))
+            val cmd = in.readLine()
+            if (cmd != null && cmd.startsWith("LIST ")) {
+              val m = java.nio.file.FileSystems.getDefault
+                .getPathMatcher("glob:" + cmd.drop(5))
+              remote.forEach { (p, fm) =>
+                if (m.matches(java.nio.file.Paths.get(p)))
+                  line(s"F $p ${fm._1.length} ${fm._2}")
+              }
+              line("END")
+            } else if (cmd != null && cmd.startsWith("GET ")) {
+              Option(remote.get(cmd.drop(4))) match {
+                case Some((bytes, _)) => line(s"SIZE ${bytes.length}"); out.write(bytes)
+                case None => line("SIZE -1")
+              }
+            }
+            out.flush()
+          } finally sock.close()
+        } catch { case _: java.net.SocketException => () }
+      })
+      srv.setDaemon(true); srv.start()
+      try {
+        val port = server.getLocalPort
+        // graft-side protocol client behind the SAME FileRefTransport
+        // interface the Hadoop transport implements — download-only, like
+        // an SFTP source remote
+        val sftpLike = new sources.FileRefTransport {
+          private def connect[T](send: String)(read: java.io.InputStream => T): T = {
+            val sock = new java.net.Socket("127.0.0.1", port)
+            try {
+              sock.getOutputStream.write((send + "\n").getBytes("UTF-8"))
+              sock.getOutputStream.flush()
+              read(sock.getInputStream)
+            } finally sock.close()
+          }
+          private def readLine(in: java.io.InputStream): String = {
+            val sb = new StringBuilder
+            var b = in.read()
+            while (b != -1 && b != '\n') { sb.append(b.toChar); b = in.read() }
+            sb.toString
+          }
+          override def list(pattern: String): Seq[sources.FileRef] =
+            connect(s"LIST $pattern") { in =>
+              Iterator.continually(readLine(in)).takeWhile(_ != "END")
+                .collect { case l if l.startsWith("F ") =>
+                  val Array(p, sz, mt) = l.drop(2).split(' ')
+                  sources.FileRef(p, sz.toLong, mt.toLong)
+                }.toSeq
+            }
+          override def open(path: String): java.io.InputStream =
+            connect(s"GET $path") { in =>
+              val n = readLine(in).stripPrefix("SIZE ").toInt
+              require(n >= 0, s"remote has no file $path")
+              val buf = new Array[Byte](n)
+              var off = 0
+              while (off < n) {
+                val r = in.read(buf, off, n - off)
+                require(r > 0, s"short read from remote at $off/$n"); off += r
+              }
+              new java.io.ByteArrayInputStream(buf)
+            }
+          override def put(path: String, in: java.io.InputStream): Unit =
+            throw new UnsupportedOperationException("download-only remote")
+        }
+        val src = sources.FileRefDataObject("q159_remote", "/outbox/*.csv", sftpLike)
+        val dst = sources.FileRefDataObject("q159_landing", s"$lnd/*",
+          new sources.HadoopFileRefTransport(s.sparkContext.hadoopConfiguration),
+          targetDir = Some(lnd))
+        val pass1 = src.transferTo(dst)
+        require(pass1.size == 4, s"pass 1 must land the four initial files, got ${pass1.size}")
+        // a fifth file arrives with a newer mtime; the watermark admits
+        // ONLY it on the next pass
+        remote.put("/outbox/region_4.csv", (csv(4), 2000L))
+        val pass2 = src.transferTo(dst)
+        require(pass2.map(_.path) == Seq("/outbox/region_4.csv"),
+          s"pass 2 must move only the new file, got ${pass2.map(_.path)}")
+        sources.CsvFileDataObject("q159_csv", lnd,
+          schema = Some(StructType(Seq(
+            StructField("n_nationkey", IntegerType),
+            StructField("n_name", StringType),
+            StructField("n_regionkey", IntegerType)))))
+          .getDataFrame()
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      } finally server.close()
     })
   )
 
@@ -6466,7 +6743,31 @@ object SparkEntry {
     "q156_custom_df_classname" ->
       """SELECT CAST(id AS BIGINT) AS k, CAST(id * 3 AS BIGINT) AS v,
         |  'row_' || CAST(id AS VARCHAR) AS tag
-        |FROM range(0, 200) t(id)""".stripMargin
+        |FROM range(0, 200) t(id)""".stripMargin,
+
+    // q157: ids 1..10 land exactly ONCE under the DERIVED key of the first
+    // partition (the rerun overwrote its own batch partition); 21..25
+    // under the second partition's derived key; 26..30 re-post batch-1
+    // texts and are dropped by the store the rerun committed. The token
+    // is PartitionDiffMode's canonical partition-values identity.
+    "q157_derived_batchkey_partitiondiff" ->
+      """SELECT CAST(id AS BIGINT) AS doc_id, '2024-01-01' AS dt,
+        |  'dt=2024-01-01' AS ingest_batch FROM range(1, 11) t(id)
+        |UNION ALL
+        |SELECT CAST(id AS BIGINT), '2024-01-02', 'dt=2024-01-02' FROM range(21, 26) t(id)""".stripMargin,
+
+    // q158: the queue serves nation verbatim; the receive loop must
+    // deliver every message exactly once (the run itself asserts the
+    // cumulative acks reached the broker)
+    "q158_jms_loopback_queue" ->
+      """SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS INT) AS n_regionkey FROM nation""".stripMargin,
+
+    // q159: the five region CSVs the two transfer passes landed tile the
+    // nation table exactly — a lost or double-landed file breaks the hash
+    "q159_sftp_fileref_transfer" ->
+      """SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS INT) AS n_regionkey FROM nation""".stripMargin
   )
 }
 

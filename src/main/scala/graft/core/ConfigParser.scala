@@ -365,7 +365,9 @@ object ConfigParser {
         CustomDataFrameAction(id, strSeq(n, "inputIds"), strSeq(n, "outputIds"), dfs, saveMode,
           execCond, metricsFail, recursiveInputIds = strSeq(n, "recursiveInputIds"),
           breakDataFrameLineage = bool(n, "breakDataFrameLineage"),
-          saveModeOptions = saveModeOptions)
+          saveModeOptions = saveModeOptions,
+          executionMode = execMode,
+          mainInputId = str(n, "mainInputId"))
       case "DeduplicateAction" | "deduplicate" =>
         DeduplicateAction(id, require(str(n, "inputId"), id, "inputId"),
           require(str(n, "outputId"), id, "outputId"),
@@ -614,7 +616,8 @@ object ConfigParser {
           storePartitions = int(n, "storePartitions").getOrElse(0),
           novelBatchKeyColumn = str(n, "novelBatchKeyColumn"),
           novelBatchKeyValue = str(n, "novelBatchKeyValue"),
-          allowRerun = bool(n, "allowRerun"))
+          allowRerun = bool(n, "allowRerun"),
+          rerunGuardRingSize = int(n, "rerunGuardRingSize").getOrElse(16))
       case "IncrementalSpanRemovalTransformer" | "incrementalSpanRemoval" =>
         IncrementalSpanRemovalTransformer(
           require(str(n, "batchInput"), id, "batchInput"),
@@ -627,7 +630,8 @@ object ConfigParser {
           storePartitions = int(n, "storePartitions").getOrElse(0),
           novelBatchKeyColumn = str(n, "novelBatchKeyColumn"),
           novelBatchKeyValue = str(n, "novelBatchKeyValue"),
-          allowRerun = bool(n, "allowRerun"))
+          allowRerun = bool(n, "allowRerun"),
+          rerunGuardRingSize = int(n, "rerunGuardRingSize").getOrElse(16))
       case "IncrementalLineDedupTransformer" | "incrementalLineDedup" =>
         IncrementalLineDedupTransformer(
           require(str(n, "batchInput"), id, "batchInput"),
@@ -639,7 +643,8 @@ object ConfigParser {
           storePartitions = int(n, "storePartitions").getOrElse(0),
           novelBatchKeyColumn = str(n, "novelBatchKeyColumn"),
           novelBatchKeyValue = str(n, "novelBatchKeyValue"),
-          allowRerun = bool(n, "allowRerun"))
+          allowRerun = bool(n, "allowRerun"),
+          rerunGuardRingSize = int(n, "rerunGuardRingSize").getOrElse(16))
       case "DecontaminateSpansTransformer" | "decontaminateSpans" =>
         DecontaminateSpansTransformer(
           require(str(n, "corpusInput"), id, "corpusInput"),
@@ -667,7 +672,8 @@ object ConfigParser {
           storePartitions = int(n, "storePartitions").getOrElse(0),
           novelBatchKeyColumn = str(n, "novelBatchKeyColumn"),
           novelBatchKeyValue = str(n, "novelBatchKeyValue"),
-          allowRerun = bool(n, "allowRerun"))
+          allowRerun = bool(n, "allowRerun"),
+          rerunGuardRingSize = int(n, "rerunGuardRingSize").getOrElse(16))
       case "IncrementalEmbeddingDedupTransformer" | "incrementalEmbeddingDedup" =>
         IncrementalEmbeddingDedupTransformer(
           require(str(n, "batchInput"), id, "batchInput"),
@@ -684,7 +690,8 @@ object ConfigParser {
           storePartitions = int(n, "storePartitions").getOrElse(0),
           novelBatchKeyColumn = str(n, "novelBatchKeyColumn"),
           novelBatchKeyValue = str(n, "novelBatchKeyValue"),
-          allowRerun = bool(n, "allowRerun"))
+          allowRerun = bool(n, "allowRerun"),
+          rerunGuardRingSize = int(n, "rerunGuardRingSize").getOrElse(16))
       case "NbQualityTransformer" | "nbQuality" =>
         NbQualityTransformer(
           require(str(n, "corpusInput"), id, "corpusInput"),

@@ -109,29 +109,55 @@ class RunStateStore(statePath: String, appName: String,
 
   /** Fold each action's continuously-written streaming metrics snapshot
     * (`<statePath>/streaming/<actionId>.json`, refreshed by
-    * [[graft.operators.StreamingIncrementalDedupAction
-    * .persistStreamMetrics]] on every progress event) into its
-    * ActionState, so the run-state artifact the CLI reports carries the
-    * stream's run totals — previously the snapshot lived ONLY in the
-    * sidecar and the main state file never referenced it. Runs on every
-    * save: the final (finished) state absorbs the totals as of run end; a
-    * torn or unparseable snapshot is skipped, never fails a checkpoint. */
+    * [[graft.operators.StreamingMetricsSupport.persistStreamMetrics]] on
+    * every progress event) into its ActionState, so the run-state artifact
+    * the CLI reports carries the stream's run totals — previously the
+    * snapshot lived ONLY in the sidecar and the main state file never
+    * referenced it. Runs on every save: the final (finished) state absorbs
+    * the totals as of run end; a torn or unparseable snapshot is skipped,
+    * never fails a checkpoint.
+    *
+    * STALENESS: the snapshot is stamped with its writer's runId, and a
+    * snapshot from ANOTHER run is skipped — the file is never cleaned up
+    * (a ProcessingTime stream legitimately outlives its launching run and
+    * keeps refreshing it), so a later run whose action did not refresh it
+    * (skipped on no-data, or converted to a batch action under the same
+    * id) must not inherit the previous run's totals. Unstamped snapshots
+    * (pre-r19) absorb as before.
+    *
+    * FS traffic: ONE listStatus of the streaming dir per save instead of
+    * an exists()+open() probe per action — on a large DAG with per-node
+    * checkpointing the per-action round-trips were O(actions) per save. */
   private def absorbStreamingMetrics(rs: RunState): RunState = {
+    if (rs.actionsState.isEmpty) return rs
     val dir = new Path(statePath, "streaming")
-    if (rs.actionsState.isEmpty || !fs.exists(dir)) rs
-    else rs.copy(actionsState = rs.actionsState.map { case (id, st) =>
-      val f = new Path(dir, s"$id.json")
-      if (!fs.exists(f)) id -> st
-      else try {
-        val in = fs.open(f)
-        val root = try mapper.readTree(in) finally in.close()
-        val t = root.get("totals")
-        val m = Seq("microBatches", "inputRows", "dupRows", "novelRows", "storeDeltaRows")
-          .flatMap(k => Option(t.get(k)).map(k -> _.asLong())).toMap
-        id -> st.copy(
-          recordsWritten = m.getOrElse("novelRows", st.recordsWritten),
-          observedMetrics = st.observedMetrics ++ m)
-      } catch { case scala.util.control.NonFatal(_) => id -> st }
+    val files: Map[String, Path] =
+      try fs.listStatus(dir).filter(_.isFile).map(s => s.getPath.getName -> s.getPath).toMap
+      catch { case _: java.io.FileNotFoundException => return rs }
+    if (files.isEmpty) return rs
+    rs.copy(actionsState = rs.actionsState.map { case (id, st) =>
+      files.get(s"$id.json") match {
+        case None => id -> st
+        case Some(f) => try {
+          val in = fs.open(f)
+          val root = try mapper.readTree(in) finally in.close()
+          val sameRun = Option(root.get("runId")).forall(_.asInt == rs.runId)
+          val t = root.get("totals")
+          if (!sameRun || t == null) id -> st
+          else {
+            // absorb EVERY totals field (the generic progress accumulator
+            // and the dedup action publish different metric names)
+            val b = Map.newBuilder[String, Long]
+            t.properties().forEach(e =>
+              if (e.getValue.isNumber) b += (e.getKey -> e.getValue.asLong()))
+            val m = b.result()
+            id -> st.copy(
+              recordsWritten = m.get("novelRows").orElse(m.get("recordsWritten"))
+                .getOrElse(st.recordsWritten),
+              observedMetrics = st.observedMetrics ++ m)
+          }
+        } catch { case scala.util.control.NonFatal(_) => id -> st }
+      }
     })
   }
 

@@ -144,7 +144,7 @@ case class CopyAction(
     override val metricsFailCondition: Option[String] = None,
     override val breakDataFrameLineage: Boolean = false,
     override val saveModeOptions: Option[SaveModeMergeOptions] = None)
-  extends DataFrameAction {
+  extends DataFrameAction with ProgressStreamMetrics {
 
   def inputIds: Seq[String] = Seq(inputId)
   def outputIds: Seq[String] = Seq(outputId)
@@ -223,20 +223,36 @@ case class CopyAction(
     m.triggerType match {
       case "Once" | "AvailableNow" =>
         query.awaitTermination()
+        // run totals from the drained progress history (batchId-keyed, so
+        // a replayed micro-batch never double-counts) — persisted to the
+        // run-state snapshot so the authoritative artifact carries them
+        drainRecentProgress(query)
+        persistStreamMetrics()
+        val totals = streamTotalsSnapshot
         Seq(SubFeed(outputId, isStreaming = true,
-          metrics = Some(ActionMetrics(recordsWritten =
-            Option(query.lastProgress).map(_.sink.numOutputRows).getOrElse(-1L)))))
+          metrics = Some(ActionMetrics(
+            recordsWritten =
+              Option(query.lastProgress).map(_.sink.numOutputRows).getOrElse(-1L),
+            observedMetrics = totals))))
       case _ =>
         // async: await the FIRST completed micro-batch so downstream sees
         // data — NOT processAllAvailable(), which blocks until the source is
         // drained and so never returns under a continuously-producing
         // source (Spark's own scaladoc warns it may block forever); poll
-        // recentProgress for the first batch instead, bounded
+        // recentProgress for the first batch instead, bounded. Later
+        // batches' metrics can only land in the run-state snapshot —
+        // refresh it on every progress event (the reference's
+        // SparkStreamingQueryListener covers EVERY streaming action).
+        registerStreamMetricsListener(query)
         val deadline = System.currentTimeMillis() + m.firstBatchTimeoutSec * 1000L
         while (!query.recentProgress.exists(_.numInputRows >= 0) && query.isActive &&
                System.currentTimeMillis() < deadline)
           Thread.sleep(50)
         query.exception.foreach(throw _)
+        // drain what landed before the listener registered (the first
+        // batch's progress event can race registration), then snapshot
+        drainRecentProgress(query)
+        persistStreamMetrics()
         Seq(SubFeed(outputId, isStreaming = true))
     }
   }
@@ -256,10 +272,22 @@ case class CustomDataFrameAction(
       * (the plan reads the object being overwritten). */
     recursiveInputIds: Seq[String] = Seq.empty,
     override val breakDataFrameLineage: Boolean = false,
-    override val saveModeOptions: Option[SaveModeMergeOptions] = None)
+    override val saveModeOptions: Option[SaveModeMergeOptions] = None,
+    /** execution mode applied to [[mainInputId]] (reference
+      * `CustomDataFrameAction.executionMode` via its mainInput contract):
+      * partition-diff / incremental-state selection of the increment. Its
+      * [[graft.operators.modes.ExecutionMode.batchIdentity]] also defaults
+      * the batch key of any incremental transformer whose
+      * `novelBatchKeyColumn` is set without an explicit value — config-only
+      * exactly-once novel output. */
+    override val executionMode: Option[graft.operators.modes.ExecutionMode] = None,
+    /** the input the execution mode narrows (default: first of inputIds) */
+    mainInputId: Option[String] = None)
   extends DataFrameAction {
 
   def transformers: Seq[DfTransformer] = Seq.empty
+  require(mainInputId.forall(inputIds.contains),
+    s"Action $id: mainInputId must be one of inputIds")
   require(recursiveInputIds.forall(outputIds.contains),
     s"Action $id: recursiveInputIds must be outputs of this action")
   // the incremental dedup transformers emit a store DELTA under their
@@ -275,10 +303,27 @@ case class CustomDataFrameAction(
       "store output — wire the action with saveMode = Append (a plain overwrite would " +
       "truncate the store to the last batch's novel rows)")
 
+  private def mainInput: String = mainInputId.getOrElse(inputIds.head)
+
   private def buildOutputs(subFeeds: Seq[SubFeed])(implicit ctx: ActionPipelineContext): Map[String, DataFrame] = {
     val byId = subFeeds.map(sf => sf.dataObjectId -> sf).toMap
+    // the execution mode narrows the MAIN input (increment selection) and
+    // names the increment: its batch identity defaults the batch key of
+    // any incremental transformer without an explicit one, BEFORE the
+    // transformer chain runs (keyNovel reads the effective value)
+    val appliedMain: Option[SubFeed] = executionMode.map { m =>
+      val applied = m.apply(this, byId.getOrElse(mainInput, SubFeed(mainInput)))
+      val derived = m.batchIdentity(this, applied)
+      dfsTransformers.foreach {
+        case t: IncrementalStoreDfsTransformer => t.derivedNovelBatchKeyValue = derived
+        case _ => ()
+      }
+      applied
+    }
     val regular: Map[String, DataFrame] = inputIds.map { inId =>
-      inId -> byId.get(inId).flatMap(_.dataFrame).getOrElse(readInput(inId, Seq.empty))
+      val sf = if (inId == mainInput) appliedMain.orElse(byId.get(inId)) else byId.get(inId)
+      inId -> sf.flatMap(_.dataFrame)
+        .getOrElse(readInput(inId, sf.map(_.partitionValues).getOrElse(Seq.empty)))
     }.toMap
     // recursive inputs read the CURRENT state of this action's own outputs;
     // absent state (first run) is skipped — the transformer sees no entry
@@ -293,10 +338,11 @@ case class CustomDataFrameAction(
     * a guard-permitted rerun (a run that failed between the novel write
     * and the store append) overwrites its own partition instead of
     * re-appending the same rows — the streaming action's idempotent-sink
-    * layout on the batch path */
-  private val batchKeyedNovel: Map[String, String] = dfsTransformers.collect {
+    * layout on the batch path. A def, not a val: the key VALUE may be
+    * derived per run from the execution mode's batch identity. */
+  private def batchKeyedNovel: Map[String, String] = dfsTransformers.collect {
     case t: IncrementalStoreDfsTransformer
-      if t.novelBatchKeyColumn.isDefined && t.novelBatchKeyValue.isDefined =>
+      if t.novelBatchKeyColumn.isDefined && t.effectiveNovelBatchKeyValue.isDefined =>
       t.novelKey -> t.novelBatchKeyColumn.get
   }.toMap
 

@@ -210,9 +210,19 @@ trait IncrementalStoreDfsTransformer extends DfsTransformer {
   /** the current batch's key value — caller-supplied and STABLE across a
     * rerun of the same batch (an ingestion date / feed batch id) */
   def novelBatchKeyValue: Option[String] = None
+  /** batch key DERIVED by the enclosing action from its execution mode's
+    * batch identity ([[graft.operators.modes.ExecutionMode.batchIdentity]]:
+    * PartitionDiffMode's partition values, the incremental modes' state
+    * tokens) — a config-only pipeline gets exactly-once novel output
+    * without a custom driver loop stamping the key. Used only when
+    * [[novelBatchKeyValue]] is not explicitly configured (an explicit key
+    * always wins). Installed per run before transform; JVM-local. */
+  @transient private[operators] var derivedNovelBatchKeyValue: Option[String] = None
+  final def effectiveNovelBatchKeyValue: Option[String] =
+    novelBatchKeyValue.orElse(derivedNovelBatchKeyValue)
   /** stamp the configured batch key onto a novel/clean output frame */
   protected final def keyNovel(df: DataFrame): DataFrame =
-    (for { c <- novelBatchKeyColumn; v <- novelBatchKeyValue }
+    (for { c <- novelBatchKeyColumn; v <- effectiveNovelBatchKeyValue }
       yield df.withColumn(c, lit(v))).getOrElse(df)
 
   /** The CONTENT column folded into the batch fingerprint's checksum, so
@@ -225,9 +235,11 @@ trait IncrementalStoreDfsTransformer extends DfsTransformer {
   /** fingerprints the guard remembers — a re-submitted batch N−K..N−1
     * after batch N committed must fail as loudly as N itself (the
     * reference's skip-completed protects ALL completed actions,
-    * `sdl-core/.../app/SmartDataLakeBuilder.scala:377-396`); 16 covers
-    * any sane retry horizon while keeping the sidecar bounded */
-  protected def rerunGuardRingSize: Int = 16
+    * `sdl-core/.../app/SmartDataLakeBuilder.scala:377-396`); default 16
+    * covers any sane retry horizon while keeping the sidecar bounded.
+    * A RETRY HORIZON is operational policy, not a code constant — the
+    * concrete transformers expose it as a constructor/HOCON knob. */
+  def rerunGuardRingSize: Int = 16
   /** Machine-checked rerun-after-commit contract (the RERUN CONTRACT
     * above, enforced instead of documented): fingerprint the incoming
     * batch (row count + an order-independent xxhash64 checksum over the
@@ -284,13 +296,28 @@ trait IncrementalStoreDfsTransformer extends DfsTransformer {
         val ck = r.getDecimal(1).toBigInteger.toString
         val ckId = r.getDecimal(2).toBigInteger.toString
         val stored = graft.sources.StoreMeta.read(f.path).getOrElse(Map.empty)
+        // ring entry format: `count:checksum[:v2]` — the v2 tag marks an
+        // entry KNOWN to carry the content-folded checksum. The id-only
+        // fallback match applies only to entries NOT known to be v2
+        // (pre-content-era sidecars, and r18's untagged content-era
+        // entries, which are indistinguishable from them): against a
+        // tagged entry, a same-ids-new-content batch — the exact case
+        // fingerprintContentColumn exists to permit — is a fresh batch,
+        // not a refused rerun.
+        case class RingEntry(count: String, checksum: String, tagged: Boolean) {
+          def render: String = s"$count:$checksum" + (if (tagged) ":v2" else "")
+        }
         val ring = stored.get("recentBatchFingerprints").toSeq
           .flatMap(_.split('|')).filter(_.contains(':'))
-          .map { e => val i = e.indexOf(':'); (e.take(i), e.drop(i + 1)) }
+          .map { e =>
+            val parts = e.split(':')
+            RingEntry(parts(0), parts(1), parts.length > 2 && parts(2) == "v2")
+          }
         val legacy = for { c <- stored.get("lastBatchCount")
-                           k <- stored.get("lastBatchChecksum") } yield (c, k)
+                           k <- stored.get("lastBatchChecksum") } yield RingEntry(c, k, tagged = false)
         val applied = (ring ++ legacy).distinct
-        val hit = applied.exists { case (c, k) => c == n && (k == ck || k == ckId) }
+        val hit = applied.exists(e => e.count == n &&
+          (e.checksum == ck || (!e.tagged && e.checksum == ckId)))
         if (hit && !allowRerun) throw new IllegalStateException(
           s"${getClass.getSimpleName}: batch '$batchInput' ($n rows) matches a batch " +
             s"already applied to store '$storeInput' (last ${applied.size} remembered) — " +
@@ -300,8 +327,9 @@ trait IncrementalStoreDfsTransformer extends DfsTransformer {
             "allowRerun = true. At-least-once sources belong on " +
             "StreamingIncrementalDedupAction, whose batchId-keyed partition overwrite " +
             "makes replays idempotent")
-        val entry = s"$n:$ck"
-        val newRing = (ring.filterNot(_ == (n, ck)).map { case (c, k) => s"$c:$k" } :+ entry)
+        val entry = RingEntry(n, ck, tagged = true)
+        val newRing = (ring.filterNot(e => e.count == n && e.checksum == ck)
+          .map(_.render) :+ entry.render)
           .takeRight(rerunGuardRingSize)
         ctx.pendingStoreMetaUpdates(storeInput) = Map(
           "lastBatchCount" -> n, "lastBatchChecksum" -> ck,
@@ -473,7 +501,10 @@ case class IncrementalDedupTransformer(
     override val novelBatchKeyValue: Option[String] = None,
     /** permit re-running a batch whose store append already committed —
       * see [[IncrementalStoreDfsTransformer.allowRerun]] */
-    override val allowRerun: Boolean = false) extends IncrementalStoreDfsTransformer {
+    override val allowRerun: Boolean = false,
+    /** retry horizon: applied-batch fingerprints the rerun guard remembers
+      * — see [[IncrementalStoreDfsTransformer.rerunGuardRingSize]] */
+    override val rerunGuardRingSize: Int = 16) extends IncrementalStoreDfsTransformer {
   override protected def fingerprintContentColumn: Option[String] = Some(textColumn)
   require(signatureScheme == "minhash" || signatureScheme == "oph",
     s"IncrementalDedupTransformer: unknown signatureScheme '$signatureScheme' (minhash|oph)")
@@ -645,7 +676,10 @@ case class IncrementalMediaDedupTransformer(
     override val novelBatchKeyValue: Option[String] = None,
     /** permit re-running a batch whose store append already committed —
       * see [[IncrementalStoreDfsTransformer.allowRerun]] */
-    override val allowRerun: Boolean = false)
+    override val allowRerun: Boolean = false,
+    /** retry horizon: applied-batch fingerprints the rerun guard remembers
+      * — see [[IncrementalStoreDfsTransformer.rerunGuardRingSize]] */
+    override val rerunGuardRingSize: Int = 16)
   extends IncrementalStoreDfsTransformer {
   override protected def fingerprintContentColumn: Option[String] = Some(contentColumn)
   require(modality == "image" || modality == "audio" || modality == "video",
@@ -807,7 +841,10 @@ case class IncrementalEmbeddingDedupTransformer(
     override val novelBatchKeyValue: Option[String] = None,
     /** permit re-running a batch whose store append already committed —
       * see [[IncrementalStoreDfsTransformer.allowRerun]] */
-    override val allowRerun: Boolean = false) extends IncrementalStoreDfsTransformer {
+    override val allowRerun: Boolean = false,
+    /** retry horizon: applied-batch fingerprints the rerun guard remembers
+      * — see [[IncrementalStoreDfsTransformer.rerunGuardRingSize]] */
+    override val rerunGuardRingSize: Int = 16) extends IncrementalStoreDfsTransformer {
   override protected def fingerprintContentColumn: Option[String] = Some(embColumn)
   /** the store layout: embedding store rows have exactly one blocking key
     * (the hyperplane bucket), so partitioning needs no layout change —
@@ -889,7 +926,10 @@ case class IncrementalSpanRemovalTransformer(
     override val novelBatchKeyValue: Option[String] = None,
     /** permit re-running a batch whose store append already committed —
       * see [[IncrementalStoreDfsTransformer.allowRerun]] */
-    override val allowRerun: Boolean = false) extends IncrementalStoreDfsTransformer {
+    override val allowRerun: Boolean = false,
+    /** retry horizon: applied-batch fingerprints the rerun guard remembers
+      * — see [[IncrementalStoreDfsTransformer.rerunGuardRingSize]] */
+    override val rerunGuardRingSize: Int = 16) extends IncrementalStoreDfsTransformer {
   override protected def fingerprintContentColumn: Option[String] = Some(textColumn)
   override def novelOutput: Option[String] = cleanOutput
   /** within-batch repeats are counted by construction (delta window
@@ -964,7 +1004,10 @@ case class IncrementalLineDedupTransformer(
     override val novelBatchKeyValue: Option[String] = None,
     /** permit re-running a batch whose store append already committed —
       * see [[IncrementalStoreDfsTransformer.allowRerun]] */
-    override val allowRerun: Boolean = false) extends IncrementalStoreDfsTransformer {
+    override val allowRerun: Boolean = false,
+    /** retry horizon: applied-batch fingerprints the rerun guard remembers
+      * — see [[IncrementalStoreDfsTransformer.rerunGuardRingSize]] */
+    override val rerunGuardRingSize: Int = 16) extends IncrementalStoreDfsTransformer {
   override protected def fingerprintContentColumn: Option[String] = Some(textColumn)
   override def novelOutput: Option[String] = cleanOutput
   /** within-batch repeats are counted by construction */

@@ -44,7 +44,8 @@ case class StreamingIncrementalDedupAction(
     mode: graft.operators.modes.SparkStreamingMode,
     batchIdColumn: String = "ingest_batch",
     override val executionCondition: Option[Condition] = None,
-    override val metricsFailCondition: Option[String] = None) extends Action {
+    override val metricsFailCondition: Option[String] = None)
+  extends Action with StreamingMetricsSupport {
 
   private def inputId: String = transformer.batchInput
   private def storeId: String = transformer.storeInput
@@ -112,71 +113,25 @@ case class StreamingIncrementalDedupAction(
         .foreach(streamMetrics.remove)
   }
 
-  /** Persist the per-batch metrics + run totals to
-    * `<runStateDir>/streaming/<actionId>.json` — the async-path analog of
-    * the sync path's SubFeed metrics checkpoint: a ProcessingTime run has
-    * no run-end to aggregate at, so the state file is refreshed after
-    * every query progress event (the reference feeds run state
-    * continuously through a StreamingQueryListener,
-    * `sdl-core/.../metrics/SparkStreamingQueryListener.scala`). Atomic
-    * temp-then-rename like [[graft.core.RunStateStore.save]]; no-op
-    * without a configured runStateDir.
-    *
-    * SERIALIZED on [[totalsLock]]: the listener thread (every progress
-    * event), the exec thread (first-batch snapshot + run-end), and the
-    * sync path all call this concurrently, and two interleaved
-    * temp-then-rename writes to one snapshot file lose the race on
-    * local ChecksumFs (Rename.OVERWRITE there is exists-check/delete/
-    * rename, NOT atomic — the loser threw FileAlreadyExistsException and
-    * could fail the ACTION on a healthy stream). The snapshot is
-    * monotonic, so on a residual destination race (another process, or
-    * an FS whose OVERWRITE still throws) last-writer-wins is correct:
-    * retry once after clearing the destination, then drop the snapshot
-    * rather than the stream. */
-  def persistStreamMetrics()(implicit ctx: ActionPipelineContext): Unit = totalsLock.synchronized {
-    ctx.runStateDir.foreach { d =>
-      import org.apache.hadoop.fs.Path
-      val target = new Path(d, s"streaming/$id.json")
-      val fs = target.getFileSystem(ctx.spark.sparkContext.hadoopConfiguration)
-      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      val root = mapper.createObjectNode()
-      root.put("action", id)
-      val t = runTotals
-      val tn = root.putObject("totals")
-      tn.put("microBatches", t.batches); tn.put("inputRows", t.inputRows)
-      tn.put("dupRows", t.dupRows); tn.put("novelRows", t.novelRows)
-      tn.put("storeDeltaRows", t.storeDeltaRows)
-      val bn = root.putObject("batches")
-      streamMetrics.toSeq.sortBy(_._1).foreach { case (b, m) =>
-        val n = bn.putObject(b.toString)
-        n.put("inputRows", m.inputRows); n.put("dupRows", m.dupRows)
-        n.put("novelRows", m.novelRows); n.put("storeDeltaRows", m.storeDeltaRows)
-        n.put("durationMillis", m.durationMillis)
-      }
-      fs.mkdirs(target.getParent)
-      val tmp = new Path(target.getParent, s"._${id}.tmp_${java.util.UUID.randomUUID().toString.take(8)}")
-      val out = fs.create(tmp, true)
-      try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
-      finally out.close()
-      def renameOver(): Unit =
-        try {
-          val fc = org.apache.hadoop.fs.FileContext.getFileContext(target.toUri,
-            ctx.spark.sparkContext.hadoopConfiguration)
-          fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-        } catch {
-          case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-            if (fs.exists(target)) fs.delete(target, false)
-            fs.rename(tmp, target); ()
-        }
-      try renameOver()
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-             _: java.nio.file.FileAlreadyExistsException =>
-          try { if (fs.exists(target)) fs.delete(target, false); renameOver() }
-          catch { case scala.util.control.NonFatal(_) => fs.delete(tmp, false); () }
-      }
-    }
+  /** The snapshot plumbing lives in [[StreamingMetricsSupport]] (shared
+    * with every SparkStreamingMode action since r19); this action feeds it
+    * the foreachBatch-derived totals and per-batch detail, serialized on
+    * [[totalsLock]] — the listener thread (every progress event), the exec
+    * thread (first-batch snapshot + run-end), and the sync path all call
+    * concurrently. */
+  override protected def streamPersistLock: Object = totalsLock
+  override protected def streamTotalsSnapshot: Map[String, Long] = {
+    val t = runTotals
+    Map("microBatches" -> t.batches, "inputRows" -> t.inputRows,
+      "dupRows" -> t.dupRows, "novelRows" -> t.novelRows,
+      "storeDeltaRows" -> t.storeDeltaRows)
   }
+  override protected def streamBatchesSnapshot: Seq[(Long, Map[String, Long])] =
+    streamMetrics.readOnlySnapshot().toSeq.map { case (b, m) =>
+      b -> Map("inputRows" -> m.inputRows, "dupRows" -> m.dupRows,
+        "novelRows" -> m.novelRows, "storeDeltaRows" -> m.storeDeltaRows,
+        "durationMillis" -> m.durationMillis)
+    }
 
   private def sinkObject(doId: String)(implicit ctx: ActionPipelineContext): SparkFileDataObject =
     ctx.registry.dataObject(doId) match {
@@ -316,19 +271,7 @@ case class StreamingIncrementalDedupAction(
         // land — refresh it on every progress event for THIS query (the
         // reference's SparkStreamingQueryListener contract); the listener
         // unregisters itself when the query dies
-        if (ctx.runStateDir.isDefined) {
-          val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
-            override def onQueryStarted(
-                e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
-            override def onQueryProgress(
-                e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
-              if (e.progress.id == query.id) persistStreamMetrics()
-            override def onQueryTerminated(
-                e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
-              if (e.id == query.id) ctx.spark.streams.removeListener(this)
-          }
-          ctx.spark.streams.addListener(listener)
-        }
+        registerStreamMetricsListener(query)
         // same first-batch wait discipline as CopyAction.execStreaming
         val deadline = System.currentTimeMillis() + mode.firstBatchTimeoutSec * 1000L
         while (!query.recentProgress.exists(_.numInputRows >= 0) && query.isActive &&

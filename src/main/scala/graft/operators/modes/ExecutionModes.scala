@@ -23,6 +23,37 @@ trait ExecutionMode extends Serializable {
     * file snapshots) WITHOUT advancing watermarks — otherwise a failed run
     * leaks a bounded read view into sibling actions that share the input. */
   def postExecFailed(action: Action)(implicit ctx: ActionPipelineContext): Unit = ()
+
+  /** A STABLE, filesystem-safe identity of the increment `apply` selected
+    * this run: re-running the SAME batch (a recovery rerun before the
+    * mode's state advanced) yields the same token; the next increment
+    * yields a different one. None when the mode has no natural batch
+    * identity (ProcessAll, streaming, custom). Drives config-only
+    * exactly-once novel sinks — the enclosing action defaults an
+    * incremental transformer's `novelBatchKeyValue` to this token, so a
+    * guard-permitted rerun overwrites its own batch partition instead of
+    * re-appending (reference batch-identity sources: PartitionDiffMode's
+    * selected partition values `PartitionDiffMode.scala:61-170`, the
+    * incremental modes' state tokens). */
+  def batchIdentity(action: Action, applied: SubFeed)
+                   (implicit ctx: ActionPipelineContext): Option[String] = None
+}
+
+object ExecutionMode {
+  /** Partition-directory-safe batch token: raw state strings (offset JSON,
+    * ISO timestamps with colons) would create illegal or unwieldy
+    * partition values — keep a readable prefix, replace unsafe chars, and
+    * disambiguate anything shortened with a hash of the full string. */
+  def sanitizeBatchToken(s: String): String = {
+    val cleaned = s.map(c => if (c.isLetterOrDigit || c == '=' || c == '_' || c == '.' || c == '-') c else '+')
+    if (cleaned.length <= 64 && cleaned == s) cleaned
+    else {
+      val h1 = scala.util.hashing.MurmurHash3.stringHash(s)
+      val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c)
+      cleaned.take(40) + "~" + java.lang.Long.toHexString(
+        ((h1.toLong & 0xffffffffL) << 32) | (h2.toLong & 0xffffffffL))
+    }
+  }
 }
 
 /** Thrown when a mode determines there is nothing to process; the DAG marks
@@ -155,6 +186,18 @@ case class PartitionDiffMode(
     if (selected.isEmpty) throw NoDataToProcessWarning(action.id, s"no new partitions for ${action.id}")
     in.copy(partitionValues = selected, dataFrame = None)
   }
+
+  /** batch identity = the selected partition values (canonically ordered):
+    * a recovery rerun re-diffs to the SAME missing partitions (the failed
+    * run wrote nothing to the diffed output), the next increment selects
+    * different ones */
+  override def batchIdentity(action: Action, applied: SubFeed)
+                            (implicit ctx: ActionPipelineContext): Option[String] =
+    Some(applied.partitionValues).filter(_.nonEmpty).map { pvs =>
+      ExecutionMode.sanitizeBatchToken(
+        pvs.map(_.elements.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(","))
+          .sorted.mkString("+"))
+    }
 }
 
 /** High-watermark on a compare column: read `max(compareCol)` from the
@@ -265,6 +308,19 @@ case class DataObjectStateIncrementalMode() extends ExecutionMode {
         pendingState = None
         f.setReadUpperBound(None)
       case _ => ()
+    }
+
+  /** batch identity = the COMMITTED lower-bound state (everything-after-W
+    * names the increment): stable across a recovery rerun — the watermark
+    * only advances in postExec after success — and different once it has.
+    * (The read-time UPPER bound is wall clock and deliberately excluded:
+    * it changes on every rerun of the same batch.) */
+  override def batchIdentity(action: Action, applied: SubFeed)
+                            (implicit ctx: ActionPipelineContext): Option[String] =
+    ctx.registry.dataObject(action.inputIds.head) match {
+      case inc: CanCreateIncrementalOutput =>
+        Some(ExecutionMode.sanitizeBatchToken("since_" + inc.getState.getOrElse("epoch")))
+      case _ => None
     }
 }
 
@@ -397,6 +453,19 @@ case class KafkaStateIncrementalMode(delayedMaxTimestampExpr: Option[String] = N
         pendingState = None
       case _ => ()
     }
+
+  /** batch identity = the COMMITTED start offsets (the consume-from point
+    * names the increment): stable until postExec commits the end snapshot.
+    * A rerun that finds MORE rows landed (a later end snapshot) still
+    * overwrites the same batch partition with the superset — exactly-once
+    * per offset either way. */
+  override def batchIdentity(action: Action, applied: SubFeed)
+                            (implicit ctx: ActionPipelineContext): Option[String] =
+    ctx.registry.dataObject(action.inputIds.head) match {
+      case k: graft.sources.KafkaTopicDataObject =>
+        Some(ExecutionMode.sanitizeBatchToken("from_" + k.getState.getOrElse(k.startingOffsets)))
+      case _ => None
+    }
 }
 
 /** Committed-version incremental CDC consumption of a
@@ -442,6 +511,17 @@ case class CdcIncrementalMode() extends ExecutionMode {
         pendingState.foreach(s => v.setState(Some(s)))
         pendingState = None
       case _ => ()
+    }
+
+  /** batch identity = the COMMITTED from-version: stable until postExec
+    * commits the consumed version; a rerun spanning extra commits
+    * overwrites the same batch partition with the superset. */
+  override def batchIdentity(action: Action, applied: SubFeed)
+                            (implicit ctx: ActionPipelineContext): Option[String] =
+    ctx.registry.dataObject(action.inputIds.head) match {
+      case v: graft.sources.VersionedTableDataObject =>
+        Some(ExecutionMode.sanitizeBatchToken("fromver_" + v.getState.getOrElse("initial")))
+      case _ => None
     }
 }
 

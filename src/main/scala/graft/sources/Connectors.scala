@@ -707,17 +707,58 @@ case class KafkaTopicDataObject(
   }
 }
 
-/** JMS queue reader behind an injectable receiver (reference
-  * `sdl-jms/.../JmsDataObject.scala`, 100 LoC — niche; the receiver
-  * abstracts the javax.jms dependency). */
-case class JmsDataObject(id: String, receive: () => Seq[String],
+/** One received queue message: text payload plus a CLIENT_ACKNOWLEDGE-style
+  * ack — acknowledging a message acknowledges EVERY message delivered on
+  * the session so far (the javax.jms contract the reference relies on:
+  * `sdl-jms/.../SynchronousJmsReceiver.scala:96-99` acks `buffer.last`). */
+trait JmsMessage { def text: String; def acknowledge(): Unit }
+
+/** Minimal consumer surface the receiver loop needs (javax.jms
+  * MessageConsumer shape); `receive` returns null when nothing arrived
+  * within `maxWaitMs`. The factory abstracts the broker dependency — a
+  * javax.jms session adapter plugs in where the jar is available, a
+  * loopback stub where it is not. */
+trait JmsConsumer extends AutoCloseable { def receive(maxWaitMs: Long): JmsMessage }
+
+/** JMS queue reader with the reference's synchronous batch-receive
+  * semantics (`sdl-jms/.../SynchronousJmsReceiver.scala:62-125`,
+  * `JmsDataObject.scala`): poll the consumer with `maxWaitMs` per
+  * message, collect until `batchSize` messages arrived or `maxBatchAgeMs`
+  * elapsed, acknowledge every `txBatchSize` collected messages (an
+  * intermediate commit bounds redelivery after a crash) and once more
+  * when the batch is stored. Payloads parse as JSON rows. */
+case class JmsDataObject(id: String, consumerFactory: () => JmsConsumer,
+                         batchSize: Int = 100000,
+                         maxWaitMs: Long = 1000L,
+                         maxBatchAgeMs: Long = 120000L,
+                         txBatchSize: Int = 100,
                          schema: Option[StructType] = None)
   extends DataObject with CanCreateDataFrame {
   override def getDataFrame(partitionValues: Seq[PartitionValues] = Seq.empty)
                            (implicit ctx: ActionPipelineContext): DataFrame = {
     val spark = ctx.spark
     import spark.implicits._
-    val ds: Dataset[String] = spark.createDataset(receive())
+    val buffer = scala.collection.mutable.ArrayBuffer.empty[JmsMessage]
+    var lastCommitted = 0
+    val start = System.currentTimeMillis()
+    val consumer = consumerFactory()
+    try {
+      var running = true
+      while (running) {
+        val msg = if (maxWaitMs > 0) consumer.receive(maxWaitMs) else consumer.receive(0L)
+        if (msg != null) buffer += msg
+        if (System.currentTimeMillis() - start >= maxBatchAgeMs || buffer.size >= batchSize)
+          running = false
+        else if (lastCommitted + txBatchSize == buffer.size) {
+          buffer.last.acknowledge()
+          lastCommitted = buffer.size
+        }
+      }
+      // batch complete: the final ack commits the tail past the last
+      // intermediate commit (cumulative CLIENT_ACKNOWLEDGE semantics)
+      if (buffer.nonEmpty) buffer.last.acknowledge()
+    } finally consumer.close()
+    val ds: Dataset[String] = spark.createDataset(buffer.map(_.text).toSeq)
     schema.fold(spark.read.json(ds))(s => spark.read.schema(s).json(ds))
   }
 }

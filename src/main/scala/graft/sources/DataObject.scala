@@ -571,28 +571,38 @@ abstract class SparkFileDataObject extends DataObject
     val w0 = repartitioned.write.format(format).options(options)
     val w = if (partitions.nonEmpty) w0.partitionBy(partitions: _*) else w0
     w.mode("overwrite").save(staging.toString)
-    // rerun-guard state rides the commit: the transformer registered the
-    // batch's fingerprint as a pending sidecar update — make it durable
-    // AFTER the staged write succeeded (a failed write must stay
-    // rerunnable) and BEFORE the commit marker (once the marker exists the
-    // increment WILL reach the store — recovery completes the moves — so
-    // from that point a rerun of the same batch must fail loudly; the only
-    // residual window is a crash between this merge and the marker, which
-    // reclaims the unmarked staging and fails the rerun loudly too — a
-    // recoverable false positive, never silent loss)
-    ctx.pendingStoreMetaUpdates.remove(id).foreach(upd => StoreMeta.merge(path, upd))
-    // COMMIT POINT: the staged increment is complete — from here recovery
-    // completes the moves instead of discarding the staging dir
-    fs.create(new Path(staging, SparkFileDataObject.commitMarker), true).close()
-    moveStagedAppendFiles(staging)
-    // cleanup delete CHECKED but non-fatal: the increment is fully moved,
-    // so a false return (transient FS) only leaves marker-bearing residue
-    // — reclaimOrFailLeftoverStaging deletes data-less marked dirs
-    // regardless of age, so the next append is never wedged behind the
-    // age guard by our own leftovers
-    if (!fs.delete(staging, true) && fs.exists(staging))
-      System.err.println(s"[graft] DataObject $id: staged-append cleanup of $staging " +
-        "returned false; residue will be reclaimed on the next append")
+    // the COMMIT WINDOW (sidecar merge + marker + file moves) runs under
+    // the store's cross-process writer LEASE: within the JVM the DAG
+    // serializes same-store actions, but a second pipeline PROCESS
+    // committing against this store would interleave sidecar merges and
+    // file moves silently — the lease makes the documented single-writer
+    // contract enforced (a concurrent committer waits briefly, then fails
+    // loudly; a crashed holder's lease goes stale after the TTL). Taken
+    // AFTER the staged Spark write so the TTL covers only this window.
+    StoreMeta.withLease(path, s"stagedAppend:$id") {
+      // rerun-guard state rides the commit: the transformer registered the
+      // batch's fingerprint as a pending sidecar update — make it durable
+      // AFTER the staged write succeeded (a failed write must stay
+      // rerunnable) and BEFORE the commit marker (once the marker exists the
+      // increment WILL reach the store — recovery completes the moves — so
+      // from that point a rerun of the same batch must fail loudly; the only
+      // residual window is a crash between this merge and the marker, which
+      // reclaims the unmarked staging and fails the rerun loudly too — a
+      // recoverable false positive, never silent loss)
+      ctx.pendingStoreMetaUpdates.remove(id).foreach(upd => StoreMeta.merge(path, upd))
+      // COMMIT POINT: the staged increment is complete — from here recovery
+      // completes the moves instead of discarding the staging dir
+      fs.create(new Path(staging, SparkFileDataObject.commitMarker), true).close()
+      moveStagedAppendFiles(staging)
+      // cleanup delete CHECKED but non-fatal: the increment is fully moved,
+      // so a false return (transient FS) only leaves marker-bearing residue
+      // — reclaimOrFailLeftoverStaging deletes data-less marked dirs
+      // regardless of age, so the next append is never wedged behind the
+      // age guard by our own leftovers
+      if (!fs.delete(staging, true) && fs.exists(staging))
+        System.err.println(s"[graft] DataObject $id: staged-append cleanup of $staging " +
+          "returned false; residue will be reclaimed on the next append")
+    }
     if (!isSelfDescribing || schemaEvolvable) SchemaUtil.persistSchema(path, df.schema)
     // an append-only store accumulates one file set per batch — let the
     // object's housekeeping (e.g. FileCompactionMode) re-bin when due,

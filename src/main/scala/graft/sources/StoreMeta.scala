@@ -68,6 +68,92 @@ object StoreMeta {
     * one path synchronizes on the same object) */
   private val mergeLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  // ------------------------------------------------------------ writer lease
+  // Cross-PROCESS enforcement of the single-writer store contract: the
+  // JVM-local merge lock cannot see a second pipeline process, and at
+  // 100 TB with multiple pipelines an accidental second writer is a when,
+  // not an if — two staged-append commits interleaving against one store
+  // corrupt silently (both fingerprint rings half-applied, both deltas
+  // moved into one file set). A create-EXCLUSIVE lease file with TTL next
+  // to the sidecar turns the documented contract into an enforced one:
+  // the commit window (staged-append moves + sidecar merge) runs under
+  // the lease; a second committer WAITS briefly, then fails LOUDLY —
+  // never interleaves. A crashed holder's lease goes stale after the TTL
+  // and is taken over with a loud log line.
+
+  /** lease considered stale (holder crashed) after this; the lease is
+    * taken AFTER the long staged Spark write, so the TTL only needs to
+    * cover the commit window (sidecar merge + marker + file moves) */
+  private def leaseTtlMs: Long =
+    sys.props.get("graft.store.lease.ttlMs").map(_.toLong).getOrElse(10 * 60 * 1000L)
+  /** how long a second committer waits for the lease before failing */
+  private def leaseWaitMs: Long =
+    sys.props.get("graft.store.lease.waitMs").map(_.toLong).getOrElse(30 * 1000L)
+
+  private def leaseFile(basePath: String) = new Path(basePath, ".schema/storeLease")
+
+  /** Run `body` holding the store's writer lease. Reentrant per JVM via
+    * the interned path lock is NOT provided — callers hold it once per
+    * commit (the DAG serializes same-store actions). `holder` names the
+    * acquirer in logs and in the lease content. */
+  def withLease[T](basePath: String, holder: String)
+                  (body: => T)(implicit ctx: ActionPipelineContext): T = {
+    val f = leaseFile(basePath)
+    val fs = f.getFileSystem(ctx.spark.sparkContext.hadoopConfiguration)
+    val nonce = java.util.UUID.randomUUID().toString
+    val content = s"$holder $nonce".getBytes("UTF-8")
+    fs.mkdirs(f.getParent)
+    val deadline = System.currentTimeMillis() + leaseWaitMs
+    var acquired = false
+    while (!acquired) {
+      try {
+        // overwrite=false = atomic create-exclusive on HDFS/S3A-with-
+        // conditional-puts; on the local FS it is check-then-create, which
+        // still catches every non-pathological overlap (and the JVM-local
+        // merge lock covers in-process races)
+        val out = fs.create(f, false)
+        try out.write(content) finally out.close()
+        acquired = true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.nio.file.FileAlreadyExistsException |
+             _: org.apache.hadoop.fs.PathExistsException =>
+          val ageMs = try System.currentTimeMillis() - fs.getFileStatus(f).getModificationTime
+                      catch { case _: java.io.FileNotFoundException => -1L } // released between create and stat — retry now
+          if (ageMs > leaseTtlMs) {
+            val prev = try {
+              val in = fs.open(f)
+              try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+            } catch { case scala.util.control.NonFatal(_) => "<unreadable>" }
+            System.err.println(s"[graft] StoreMeta: TAKING OVER stale writer lease on " +
+              s"'$basePath' (held by '$prev', age ${ageMs / 1000}s > TTL ${leaseTtlMs / 1000}s) " +
+              "— the previous holder is presumed crashed; if it is alive, the single-writer " +
+              "contract is being violated")
+            fs.delete(f, false) // next loop races the create-exclusive fairly
+          } else if (ageMs >= 0 && System.currentTimeMillis() >= deadline) {
+            throw new IllegalStateException(
+              s"StoreMeta: store '$basePath' is being committed by another writer " +
+                s"(lease age ${ageMs / 1000}s, waited ${leaseWaitMs / 1000}s) — a store has ONE " +
+                "committing action; a concurrent commit would interleave staged-append moves " +
+                "and sidecar merges silently. Serialize the pipelines, or remove " +
+                s"$f if the holder is known dead")
+          } else Thread.sleep(100)
+      }
+    }
+    try body
+    finally {
+      // release only OUR lease: a stale takeover may have replaced it while
+      // we overran the TTL — deleting the newcomer's lease would let a
+      // third writer in on top of the second
+      val ours = try {
+        val in = fs.open(f)
+        (try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close())
+          .contains(nonce)
+      } catch { case scala.util.control.NonFatal(_) => false }
+      if (ours) try fs.delete(f, false) catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
   def write(basePath: String, params: Map[String, String])
            (implicit ctx: ActionPipelineContext): Unit = {
     val f = metaFile(basePath)

