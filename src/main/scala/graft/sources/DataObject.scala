@@ -494,23 +494,31 @@ abstract class SparkFileDataObject extends DataObject
     val w0 = repartitioned.write.format(format).options(options)
     val w = if (partitions.nonEmpty) w0.partitionBy(partitions: _*) else w0
     w.mode("overwrite").save(staging.toString)
-    // the swap below deletes .schema/ wholesale — carry the store-meta
-    // sidecar across it (a FileCompactionMode rewrite of a signature
-    // store would otherwise destroy the signing-parameter/rerun-guard
-    // record, and the next run would silently re-bootstrap it from the
-    // CURRENT config — the exact drift the sidecar exists to catch)
-    val storeMeta = StoreMeta.read(path)
-    // Hadoop delete/rename signal failure by RETURNING FALSE — unchecked,
-    // a failed swap would report success while the path sits empty and
-    // the data lives on in the staging dir (silent total loss)
-    require(fs.delete(hadoopPath, true) || !fs.exists(hadoopPath),
-      s"DataObject $id: staged swap could not delete $hadoopPath")
-    require(fs.rename(staging, hadoopPath),
-      s"DataObject $id: staged swap rename $staging -> $hadoopPath failed; data preserved in staging")
-    // the swap deleted the previous .schema file — re-persist so the next
-    // schema-on-read doesn't fall back to inference and drift types
-    if (!isSelfDescribing || schemaEvolvable) SchemaUtil.persistSchema(path, df.schema)
-    storeMeta.foreach(StoreMeta.write(path, _))
+    // the SWAP WINDOW (sidecar carry + delete + rename + schema/sidecar
+    // re-persist) runs under the same cross-process writer lease as the
+    // staged-append commit: a compaction rewrite racing another process's
+    // append would otherwise interleave — the appender's moves land into
+    // a path the swap is about to delete wholesale. Taken AFTER the
+    // staged Spark write so the TTL covers only this window.
+    StoreMeta.withLease(path, s"stagedOverwrite:$id") {
+      // the swap below deletes .schema/ wholesale — carry the store-meta
+      // sidecar across it (a FileCompactionMode rewrite of a signature
+      // store would otherwise destroy the signing-parameter/rerun-guard
+      // record, and the next run would silently re-bootstrap it from the
+      // CURRENT config — the exact drift the sidecar exists to catch)
+      val storeMeta = StoreMeta.read(path)
+      // Hadoop delete/rename signal failure by RETURNING FALSE — unchecked,
+      // a failed swap would report success while the path sits empty and
+      // the data lives on in the staging dir (silent total loss)
+      require(fs.delete(hadoopPath, true) || !fs.exists(hadoopPath),
+        s"DataObject $id: staged swap could not delete $hadoopPath")
+      require(fs.rename(staging, hadoopPath),
+        s"DataObject $id: staged swap rename $staging -> $hadoopPath failed; data preserved in staging")
+      // the swap deleted the previous .schema file — re-persist so the next
+      // schema-on-read doesn't fall back to inference and drift types
+      if (!isSelfDescribing || schemaEvolvable) SchemaUtil.persistSchema(path, df.schema)
+      storeMeta.foreach(StoreMeta.write(path, _))
+    }
     val jobMetrics = expObs.map(o =>
       graft.quality.DataQualityValidation.evaluateObserved(o, expectations)).getOrElse(Map.empty)
     val rows = try obs.get("records_written").asInstanceOf[Long] catch { case _: Throwable => -1L }

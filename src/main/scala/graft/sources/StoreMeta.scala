@@ -90,7 +90,12 @@ object StoreMeta {
   private def leaseWaitMs: Long =
     sys.props.get("graft.store.lease.waitMs").map(_.toLong).getOrElse(30 * 1000L)
 
-  private def leaseFile(basePath: String) = new Path(basePath, ".schema/storeLease")
+  /** SIBLING of the data dir (the `_graft_staging` pattern), NOT inside
+    * it: the staged-overwrite swap deletes the data dir wholesale — a
+    * lease stored inside would be destroyed by the very window it
+    * protects, and a concurrent committer would acquire a "fresh" lease
+    * mid-swap. */
+  private def leaseFile(basePath: String) = new Path(basePath.stripSuffix("/") + "_graft_lease")
 
   /** Run `body` holding the store's writer lease. Reentrant per JVM via
     * the interned path lock is NOT provided — callers hold it once per

@@ -46,8 +46,9 @@ class StoreLeaseSpec extends AnyFunSuite {
   test("a crashed holder's stale lease is taken over after the TTL; a live one is respected") {
     implicit val c: ActionPipelineContext = ctx()
     val dir = java.nio.file.Files.createTempDirectory("lease_stale").toString
-    val leaseFile = new java.io.File(s"$dir/.schema/storeLease")
-    leaseFile.getParentFile.mkdirs()
+    // the lease is a SIBLING of the data dir (the swap path deletes the
+    // data dir wholesale — an in-dir lease would die mid-hold)
+    val leaseFile = new java.io.File(dir + "_graft_lease")
     java.nio.file.Files.writeString(leaseFile.toPath, "crashed-writer deadbeef")
     // fresh lease + tiny wait: the newcomer must FAIL (holder presumed live)
     System.setProperty("graft.store.lease.waitMs", "300")
@@ -65,7 +66,7 @@ class StoreLeaseSpec extends AnyFunSuite {
   test("the release is nonce-guarded: an overrunning holder never deletes a successor's lease") {
     implicit val c: ActionPipelineContext = ctx()
     val dir = java.nio.file.Files.createTempDirectory("lease_nonce").toString
-    val leaseFile = new java.io.File(s"$dir/.schema/storeLease")
+    val leaseFile = new java.io.File(dir + "_graft_lease")
     StoreMeta.withLease(dir, "writerA") {
       // simulate a stale takeover replacing OUR lease mid-body (we overran
       // the TTL): the successor's lease must survive our release
@@ -93,12 +94,12 @@ class StoreLeaseSpec extends AnyFunSuite {
     val meta = StoreMeta.read(s"$dir/store").get
     assert(meta.get("commit1").contains("done") && meta.get("commit2").contains("done"),
       s"both sidecar merges must apply, got $meta")
-    assert(!new java.io.File(s"$dir/store/.schema/storeLease").exists,
+    assert(!new java.io.File(s"$dir/store_graft_lease").exists,
       "lease must be released after both commits")
     // a FOREIGN process mid-commit (fresh live lease on the store): a
     // third committer's commit window must be refused loudly — never
     // interleaved — and the store left exactly as committed
-    val leaseFile = new java.io.File(s"$dir/store/.schema/storeLease")
+    val leaseFile = new java.io.File(s"$dir/store_graft_lease")
     java.nio.file.Files.writeString(leaseFile.toPath, "other-process foreign-nonce")
     System.setProperty("graft.store.lease.waitMs", "300")
     try {
@@ -113,5 +114,35 @@ class StoreLeaseSpec extends AnyFunSuite {
       System.clearProperty("graft.store.lease.waitMs")
       leaseFile.delete()
     }
+  }
+
+  test("staged-overwrite swaps run under the lease; the sibling lease survives the swap") {
+    implicit val c: ActionPipelineContext = ctx()
+    val dir = java.nio.file.Files.createTempDirectory("lease_swap").toString
+    val store = ParquetFileDataObject("sw", s"$dir/store")
+    store.writeDataFrame(Seq((1L, "a")).toDF("id", "payload"))
+    def ids(): Set[Long] = spark.read.parquet(s"$dir/store").select("id").as[Long].collect().toSet
+    // a FOREIGN live lease refuses the swap loudly and leaves the data
+    // untouched (the overwrite path deletes the data dir wholesale — an
+    // interleaved swap is total silent loss, the worst case of the class)
+    val leaseFile = new java.io.File(s"$dir/store_graft_lease")
+    java.nio.file.Files.writeString(leaseFile.toPath, "other-process foreign-nonce")
+    System.setProperty("graft.store.lease.waitMs", "300")
+    try {
+      val e = intercept[IllegalStateException] {
+        store.writeDataFrameStaged(Seq((2L, "b")).toDF("id", "payload"))
+      }
+      assert(e.getMessage.contains("another writer"), e.getMessage)
+      assert(ids() == Set(1L), "the refused swap must not have touched the store")
+    } finally {
+      System.clearProperty("graft.store.lease.waitMs")
+      leaseFile.delete()
+    }
+    // clean path: the swap replaces the state and releases the lease —
+    // which it can only do because the lease lives BESIDE the data dir
+    // the swap deletes
+    store.writeDataFrameStaged(Seq((2L, "b")).toDF("id", "payload"))
+    assert(ids() == Set(2L))
+    assert(!leaseFile.exists, "lease must be released after the swap")
   }
 }
