@@ -209,6 +209,24 @@ object ConfigParser {
       case "CustomDfDataObject" | "customDf" =>
         CustomDfDataObject.fromClassName(id,
           require(str(n, "className"), id, "className"), strMap(n, "options"))
+      case "JmsDataObject" | "jms" =>
+        // reference config surface (sdl-jms JmsDataObject.scala:40-58):
+        // connection params travel in `options` to the named provider;
+        // batch knobs keep the reference's second-granular names
+        JmsDataObject.fromClassName(id,
+          require(str(n, "consumerFactoryClassName"), id, "consumerFactoryClassName"),
+          strMap(n, "options"),
+          batchSize = int(n, "batchSize").getOrElse(100000),
+          maxWaitMs = int(n, "maxWaitSec").map(_ * 1000L).getOrElse(1000L),
+          maxBatchAgeMs = int(n, "maxBatchAgeSec").map(_ * 1000L).getOrElse(120000L),
+          txBatchSize = int(n, "txBatchSize").getOrElse(100),
+          schema = ddlSchema(n, "schema"))
+      case "FileRefDataObject" | "fileRef" =>
+        FileRefDataObject.fromClassName(id,
+          require(str(n, "pattern"), id, "pattern"),
+          transportClassName = str(n, "transportClassName"),
+          options = strMap(n, "options"),
+          targetDir = str(n, "targetDir"))
       case "RelaxedCsvFileDataObject" | "relaxedCsv" =>
         RelaxedCsvFileDataObject(id, require(str(n, "path"), id, "path"),
           csvOptions = strMap(n, "csvOptions"), schema = ddlSchema(n, "schema"),

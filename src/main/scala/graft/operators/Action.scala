@@ -428,6 +428,18 @@ case class FileTransferAction(id: String, inputId: String, outputId: String)
   override def exec(subFeeds: Seq[SubFeed])(implicit ctx: ActionPipelineContext): Seq[SubFeed] = {
     import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
     val (src, dst) = (ctx.registry.dataObject(inputId), ctx.registry.dataObject(outputId))
+    // a FileRef PAIR transfers through the transports (SFTP-shaped remote
+    // → landing zone, incremental by modification-time watermark) — the
+    // reference's FileTransferAction serves FileRef DataObjects the same
+    // way (`FileTransferAction.scala:49-118`); with `fileRef` objects in
+    // HOCON this makes the remote-download pipeline config-only
+    (src, dst) match {
+      case (s: graft.sources.FileRefDataObject, d: graft.sources.FileRefDataObject) =>
+        val moved = s.transferTo(d)
+        return Seq(SubFeed(outputId,
+          metrics = Some(ActionMetrics(recordsWritten = moved.size.toLong))))
+      case _ => ()
+    }
     def pathOf(d: DataObject): Path = d match {
       case f: SparkFileDataObject => new Path(f.path)
       case r: RawFileDataObject => new Path(r.path)

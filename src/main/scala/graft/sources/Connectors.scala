@@ -384,6 +384,41 @@ class HadoopFileRefTransport(conf: org.apache.hadoop.conf.Configuration)
   }
 }
 
+/** Config seam for [[FileRefDataObject]]: resolves the protocol
+  * dependency by class name (an SFTP transport where the ssh jar is on
+  * the runtime classpath, the Hadoop transport by default — the
+  * reference's SFtpFileRefDataObject binds its transport through a
+  * connection config the same way,
+  * `sdl-core/.../connection/SFtpFileRefConnection.scala`). */
+trait FileRefTransportProvider {
+  def create(conf: org.apache.hadoop.conf.Configuration,
+             options: Map[String, String]): FileRefTransport
+}
+
+object FileRefDataObject {
+  /** resolve `transportClassName` at CONFIG-PARSE time; absent, the
+    * Hadoop transport covers local/HDFS/S3A patterns */
+  def fromClassName(id: String, pattern: String,
+                    transportClassName: Option[String] = None,
+                    options: Map[String, String] = Map.empty,
+                    targetDir: Option[String] = None): FileRefDataObject = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val transport = transportClassName match {
+      case None => new HadoopFileRefTransport(conf)
+      case Some(cn) =>
+        try Class.forName(cn).getDeclaredConstructor().newInstance()
+          .asInstanceOf[FileRefTransportProvider].create(conf, options)
+        catch {
+          case e: ClassNotFoundException => throw new IllegalArgumentException(
+            s"DataObject $id: transport class '$cn' not found", e)
+          case e: ClassCastException => throw new IllegalArgumentException(
+            s"DataObject $id: '$cn' does not implement graft.sources.FileRefTransportProvider", e)
+        }
+    }
+    FileRefDataObject(id, pattern, transport, targetDir)
+  }
+}
+
 /** FileRef DataObject over any transport: the SFTP-shaped surface
   * (list/transfer, incremental by modification time) without a protocol
   * dependency baked in. */
@@ -719,6 +754,37 @@ trait JmsMessage { def text: String; def acknowledge(): Unit }
   * javax.jms session adapter plugs in where the jar is available, a
   * loopback stub where it is not. */
 trait JmsConsumer extends AutoCloseable { def receive(maxWaitMs: Long): JmsMessage }
+
+/** Config seam for [[JmsDataObject]]: resolves the broker dependency by
+  * class name, so a HOCON-only pipeline can wire a JMS source the way the
+  * reference does (its config carries jndiContextFactory/providerUrl/
+  * connectionFactory/queue, `sdl-jms/.../JmsDataObject.scala:40-58`; the
+  * javax.jms jar is out-of-env here, so those connection params pass
+  * through `options` to a provider implementation). */
+trait JmsConsumerProvider { def create(options: Map[String, String]): JmsConsumer }
+
+object JmsDataObject {
+  /** resolve `className` to a [[JmsConsumerProvider]] at CONFIG-PARSE
+    * time — a typo fails the parse, not the first exec (the
+    * CustomDfCreator discipline) */
+  def fromClassName(id: String, className: String,
+                    options: Map[String, String] = Map.empty,
+                    batchSize: Int = 100000, maxWaitMs: Long = 1000L,
+                    maxBatchAgeMs: Long = 120000L, txBatchSize: Int = 100,
+                    schema: Option[StructType] = None): JmsDataObject = {
+    val provider =
+      try Class.forName(className).getDeclaredConstructor().newInstance()
+        .asInstanceOf[JmsConsumerProvider]
+      catch {
+        case e: ClassNotFoundException => throw new IllegalArgumentException(
+          s"DataObject $id: provider class '$className' not found", e)
+        case e: ClassCastException => throw new IllegalArgumentException(
+          s"DataObject $id: '$className' does not implement graft.sources.JmsConsumerProvider", e)
+      }
+    JmsDataObject(id, () => provider.create(options),
+      batchSize, maxWaitMs, maxBatchAgeMs, txBatchSize, schema)
+  }
+}
 
 /** JMS queue reader with the reference's synchronous batch-receive
   * semantics (`sdl-jms/.../SynchronousJmsReceiver.scala:62-125`,

@@ -688,4 +688,70 @@ class ConfigSpec extends AnyFunSuite {
     // column set, VALUE left to the mode's batch identity
     assert(t.novelBatchKeyColumn.contains("ingest_batch") && t.novelBatchKeyValue.isEmpty)
   }
+
+  test("jms and fileRef data objects parse with reflective providers (connection params via options)") {
+    // the reference wires JMS/SFTP through config (jndi/connection
+    // blocks); the engine-side analog names a provider class resolved at
+    // PARSE time, with connection params passing through `options`
+    val cfg =
+      """dataObjects {
+        |  jq { type = jms, consumerFactoryClassName = "graft.TestJmsProvider",
+        |       options = { queue = ORDERS }, batchSize = 50, maxWaitSec = 2,
+        |       maxBatchAgeSec = 30, txBatchSize = 10, schema = "q STRING" }
+        |  fr { type = fileRef, pattern = "/remote/*.csv",
+        |       transportClassName = "graft.TestTransportProvider",
+        |       options = { host = sfs01 }, targetDir = "/tmp/lnd159" }
+        |  fr2 { type = fileRef, pattern = "/local/*.csv" }
+        |}
+        |""".stripMargin
+    val reg = ConfigParser.parse(cfg)
+    val j = reg.dataObject("jq").asInstanceOf[graft.sources.JmsDataObject]
+    assert(j.batchSize == 50 && j.maxWaitMs == 2000L &&
+      j.maxBatchAgeMs == 30000L && j.txBatchSize == 10)
+    // the provider got the options map and mints live consumers
+    val msg = j.consumerFactory().receive(0)
+    assert(msg.text == """{"q":"ORDERS"}""", msg.text)
+    val f = reg.dataObject("fr").asInstanceOf[graft.sources.FileRefDataObject]
+    assert(f.targetDir.contains("/tmp/lnd159"))
+    assert(f.transport.list("ignored").map(_.path) == Seq("/remote/seen-sfs01"))
+    // no transport class → the Hadoop transport default
+    val f2 = reg.dataObject("fr2").asInstanceOf[graft.sources.FileRefDataObject]
+    assert(f2.transport.isInstanceOf[graft.sources.HadoopFileRefTransport])
+    // a typo'd provider fails the PARSE, not the first exec
+    val e = intercept[IllegalArgumentException] {
+      ConfigParser.parse(
+        """dataObjects { bad { type = jms, consumerFactoryClassName = "nope.Missing" } }""")
+    }
+    assert(e.getMessage.contains("not found"), e.getMessage)
+  }
+}
+
+/** fixtures for the reflective-provider parse test */
+class TestJmsProvider extends graft.sources.JmsConsumerProvider {
+  override def create(options: Map[String, String]): graft.sources.JmsConsumer =
+    new graft.sources.JmsConsumer {
+      private var drained = false
+      override def receive(maxWaitMs: Long): graft.sources.JmsMessage =
+        if (drained) null
+        else {
+          drained = true
+          new graft.sources.JmsMessage {
+            val text: String = s"""{"q":"${options("queue")}"}"""
+            def acknowledge(): Unit = ()
+          }
+        }
+      override def close(): Unit = ()
+    }
+}
+
+class TestTransportProvider extends graft.sources.FileRefTransportProvider {
+  override def create(conf: org.apache.hadoop.conf.Configuration,
+                      options: Map[String, String]): graft.sources.FileRefTransport =
+    new graft.sources.FileRefTransport {
+      override def list(pattern: String): Seq[graft.sources.FileRef] =
+        Seq(graft.sources.FileRef(s"/remote/seen-${options("host")}", 1L, 1L))
+      override def open(path: String): java.io.InputStream =
+        new java.io.ByteArrayInputStream(Array.emptyByteArray)
+      override def put(path: String, in: java.io.InputStream): Unit = ()
+    }
 }

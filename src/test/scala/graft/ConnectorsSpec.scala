@@ -342,6 +342,29 @@ class ConnectorsSpec extends AnyFunSuite {
       == """{"t":{"0":0}}""")
   }
 
+  test("fileTransfer action drives a FileRef pair through the transports") {
+    // with `fileRef` objects in HOCON this is the config-only remote
+    // download pipeline: the action dispatches to transferTo (transport
+    // streams + modification-time watermark), not the Hadoop path copy
+    val srcDir = java.nio.file.Files.createTempDirectory("frta_src")
+    val dstDir = java.nio.file.Files.createTempDirectory("frta_dst")
+    java.nio.file.Files.writeString(srcDir.resolve("a.txt"), "one")
+    java.nio.file.Files.writeString(srcDir.resolve("b.txt"), "two")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val reg = new InstanceRegistry
+    reg.register(FileRefDataObject("frsrc", s"$srcDir/*.txt", new HadoopFileRefTransport(conf)))
+    reg.register(FileRefDataObject("frdst", s"$dstDir/*", new HadoopFileRefTransport(conf),
+      targetDir = Some(dstDir.toString)))
+    val c2: ActionPipelineContext = ActionPipelineContext(spark, reg)
+    val out = graft.operators.FileTransferAction("ft", "frsrc", "frdst").exec(Seq.empty)(c2)
+    assert(out.head.metrics.exists(_.recordsWritten == 2L))
+    assert(new java.io.File(dstDir.toFile, "a.txt").exists())
+    assert(new java.io.File(dstDir.toFile, "b.txt").exists())
+    // watermark held by the src object: a re-exec moves nothing new
+    val again = graft.operators.FileTransferAction("ft", "frsrc", "frdst").exec(Seq.empty)(c2)
+    assert(again.head.metrics.exists(_.recordsWritten == 0L))
+  }
+
   test("jms receiver: batchSize stop, cumulative txBatchSize acks, json parse") {
     val msgs = (1 to 10).map(i => s"""{"m":$i}""")
     var delivered = 0
