@@ -2689,9 +2689,14 @@ object SparkEntry {
       val nPlanted = copies.count()
       require(plantedDropped.count() == nPlanted,
         "SemDeDup must drop every planted exact copy (id tie-break is structural)")
-      // the dedup is consistent: kept + dropped partitions the corpus
+      // the dedup is consistent: kept + dropped partitions the corpus.
+      // `dropped` is passed through: semDeDup would otherwise re-run the
+      // whole k-means train + within-cell pair join (droppedIds is
+      // deterministic under the fixed seed, so the reused frame is the
+      // identical set — the partition check below is unchanged)
       val kept = graft.functions.SemDeDup.semDeDup(
-        corpus, "vec_id", "embedding", k = 8, threshold = 0.99)
+        corpus, "vec_id", "embedding", k = 8, threshold = 0.99,
+        precomputedDropped = Some(dropped))
       require(kept.count() + dropped.count() == corpus.count(),
         "semDeDup(kept) and droppedIds must partition the corpus")
       plantedDropped.select(col("vec_id").as("dropped_id"))

@@ -1019,12 +1019,15 @@ object Dedup {
 
   /** Connected components over duplicate PAIRS → cluster id per document
     * (the step after pair generation in a dedup pipeline: keep one doc per
-    * cluster). Iterative min-label propagation: each round every node takes
-    * the minimum label among itself and its neighbors — one shuffle join
-    * per round over the PAIR graph only (tiny next to the corpus), with
-    * early exit on convergence and lineage cuts via localCheckpoint so the
-    * plan stays bounded. Converges in O(component diameter) rounds; near-dup
-    * clusters are small and dense, so a handful in practice.
+    * cluster). Iterative min-label propagation with pointer doubling: each
+    * round every node takes the minimum label among itself and its
+    * neighbors (one shuffle join over the PAIR graph only — tiny next to
+    * the corpus), then shortcuts through its label's own label
+    * (label := min(label, label[label])), with early exit on convergence
+    * and lineage cuts via localCheckpoint so the plan stays bounded.
+    * The shortcut turns the worst case from O(component diameter) rounds
+    * into O(log diameter) — a transitive near-dup CHAIN of length d costs
+    * ~log₂(d) shuffle rounds instead of d.
     *
     * When the pair graph is small (≤ `localThreshold` edges — near-dup
     * pair sets are orders of magnitude smaller than the corpus, often
@@ -1077,10 +1080,31 @@ object Dedup {
     // verification round — otherwise a component converging in exactly
     // maxIter rounds would discard its correct labels with the guard below
     while (!converged && i < maxIter + 1) {
+      // one-hop propagation: every node takes the min label among itself
+      // and its neighbors
       val neighborMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-      val updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+      val hopped = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      // pointer doubling (shortcutting): label := min(label, label[label]).
+      // Every label value IS a node id (labels start as ids and only take
+      // mins of other labels), so the self-join hits exactly one row; the
+      // left join + coalesce keeps the row count invariant regardless.
+      // One-hop propagation alone converges in O(component diameter)
+      // rounds — a long chain (the doc→2·doc pair pattern, or any
+      // transitive near-dup chain) pays one full shuffle round per hop.
+      // With the jump the distance each label travels doubles per round:
+      // O(log diameter) rounds, each round two joins over materialized
+      // (localCheckpoint'd) inputs instead of one. Same fixed point — at
+      // it, no neighbor has a smaller label, which alone forces every
+      // node on the path to its component min to carry that min (the
+      // jump only accelerates, never changes, the limit).
+      val updated = hopped.join(
+          hopped.select(col("id").as("_pid"), col("label").as("_plabel")),
+          hopped("label") === col("_pid"), "left")
+        .select(hopped("id"),
+          least(hopped("label"), coalesce(col("_plabel"), hopped("label"))).as("label"))
         .localCheckpoint(true)
       val newSum = fingerprint(updated)
       converged = newSum == prevSum

@@ -110,12 +110,22 @@ object SemDeDup {
     dropped
   }
 
-  /** The deduplicated corpus: `df` minus the dropped rows. */
+  /** The deduplicated corpus: `df` minus the dropped rows.
+    *
+    * @param precomputedDropped reuse a [[droppedIds]] result the caller
+    *        already holds (same df/params) instead of re-running the
+    *        k-means training + within-cell pair join a second time — the
+    *        clustering is the expensive half, and `droppedIds` output is
+    *        already persisted+materialized, so a caller that needs BOTH
+    *        frames (audit the drops, then materialize the survivors)
+    *        should pay for it once. */
   def semDeDup(df: DataFrame, idCol: String, embCol: String,
                k: Int, threshold: Double, seed: Long = 42L,
                maxClusterSize: Int = 10000,
-               failOnCappedCells: Boolean = false): DataFrame = {
-    val dropped = droppedIds(df, idCol, embCol, k, threshold, seed, maxClusterSize, failOnCappedCells)
+               failOnCappedCells: Boolean = false,
+               precomputedDropped: Option[DataFrame] = None): DataFrame = {
+    val dropped = precomputedDropped
+      .getOrElse(droppedIds(df, idCol, embCol, k, threshold, seed, maxClusterSize, failOnCappedCells))
       .withColumnRenamed(idCol, "_sd_dropped")
     // no forced broadcast: the dropped set can be a large fraction of the
     // corpus at aggressive thresholds — let AQE pick the join strategy

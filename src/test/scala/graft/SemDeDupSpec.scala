@@ -24,6 +24,12 @@ class SemDeDupSpec extends AnyFunSuite {
     val kept = SemDeDup.semDeDup(df, "id", "emb", k = 2, threshold = 0.99)
       .select($"id").as[Long].collect().toSet
     assert(kept == (0L until 8L).toSet)
+    // the precomputed-dropped path (skips the second clustering) must
+    // produce the identical survivor set
+    val keptReused = SemDeDup.semDeDup(df, "id", "emb", k = 2, threshold = 0.99,
+        precomputedDropped = Some(SemDeDup.droppedIds(df, "id", "emb", k = 2, threshold = 0.99)))
+      .select($"id").as[Long].collect().toSet
+    assert(keptReused == kept)
   }
 
   test("keep policy: the member nearer the centroid is dropped (outlier survives)") {

@@ -909,6 +909,19 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
   }
 
+  test("duplicateClusters pointer doubling: a 32-hop chain converges in O(log d) rounds") {
+    // chain 0-1-…-32 (diameter 32) through the DISTRIBUTED path with
+    // maxIter = 9: one-hop propagation alone moves the min label one edge
+    // per round and would need 32 change rounds — only the
+    // label-of-label shortcut (distance doubles per round) can converge
+    // inside this budget. Pins the O(log diameter) round complexity, not
+    // just the fixed point.
+    val chain = (0L until 32L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(chain, maxIter = 9, localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 33 && got.forall(_._2 == 0L))
+  }
+
   test("minhash banding rejects degenerate parameters loudly") {
     val docs = Seq((1L, baseText)).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
