@@ -129,21 +129,39 @@ object Dedup {
       s"minhash: numHashes=$numHashes must be a positive multiple of bands=$bands")
     val sigs = minhashSignatures(df, idCol, textCol, shingleSize, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // probeGateUncapped = true: this wrapper OWNS the persist, so the
+    // probe's side effect (materializing the cache) is work the first
+    // consumer pays anyway — measured net −0.4..−0.8 s on every wrapper
+    // query (q27/q37/q61) with zero capped buckets
     minhashPairsFromSigs(sigs, bands, numHashes / bands, threshold,
       maxBucketSize, failOnCappedBuckets, cappedBucketExactFallback,
-      dedupBeforeVerify)
+      dedupBeforeVerify, probeGateUncapped = true)
   }
 
   /** Banding + verification over a prepared `(id, shingles, sig)` frame
     * ([[minhashSignatures]] / [[minhashSignaturesOph]] output — any
     * signature scheme with the same shape feeds the same machinery). The
     * caller is responsible for persisting `sigs` (it is consumed three
-    * times: banding + both verification joins). */
+    * times: banding + both verification joins).
+    *
+    * @param probeGateUncapped run ONE eager aggregate over the banded view
+    *        first; when no bucket exceeds `maxBucketSize` (the common
+    *        case), plan the pair join WITHOUT the anti-join prune, the
+    *        exact-star fallback and the post-union pair dedup — three plan
+    *        stages that contribute nothing on an uncapped corpus.
+    *        Default FALSE on this public entry: the probe is an extra
+    *        synchronous pass over `sigs`, and whether it pays depends on
+    *        the caller's frame (measured r19-opt: wrapper paths −0.4-0.8 s
+    *        with the probe; the q72 OPH direct path +0.4-1.0 s — its lazy
+    *        in-plan shape overlaps the guard aggregate better). Callers
+    *        with a persisted frame they want eagerly materialized should
+    *        enable it; [[minhashDuplicatePairs]] does. */
   def minhashPairsFromSigs(sigs: DataFrame, bands: Int, rowsPerBand: Int,
                            threshold: Double = 0.7, maxBucketSize: Int = 1000,
                            failOnCappedBuckets: Boolean = false,
                            cappedBucketExactFallback: Boolean = true,
-                           dedupBeforeVerify: Boolean = false): DataFrame = {
+                           dedupBeforeVerify: Boolean = false,
+                           probeGateUncapped: Boolean = false): DataFrame = {
     // the guard lives HERE, not only in the wrappers: this is the public
     // direct entry for pre-built signature stores, and rowsPerBand=0 would
     // silently produce empty band slices → one global bucket → the skew
@@ -189,11 +207,31 @@ object Dedup {
     if (failOnCappedBuckets) {
       assertNoCappedBuckets(banded, Seq("band", "bucket"), maxBucketSize, "minhash LSH")
       pairsOf(banded)
+    } else if (probeGateUncapped &&
+        !anyCappedBuckets(banded, Seq("band", "bucket"), maxBucketSize)) {
+      // no capped buckets (the common case): nothing to prune, and the
+      // exact-star fallback — which exists ONLY to recover pairs the cap
+      // dropped — would contribute nothing (exact copies share every band,
+      // so their uncapped buckets already pair them). Probe-gating skips
+      // the anti-join (whose over-cap aggregate the self-join would build
+      // on BOTH pair sides), the star subtree, and the second
+      // pair-dedup shuffle after the union — the r18 incremental-path
+      // design (minhashIncrementalPairsFromSigs) applied to the batch
+      // entry. Measured (BenchLsh 2×2 re-run, r19 opt round): the star
+      // union cost q61 1.2-1.7 s with ZERO capped buckets and identical
+      // output (4756 rows all four arms). The probe itself is one
+      // aggregate over the slim banded view of the signature frame and
+      // doubles as the persist's materialization on the wrapper path —
+      // unlike round-7's rejected probe, it BUYS the skip of three plan
+      // stages rather than running in addition to them. It stays OFF by
+      // default on this public entry (see the param doc: the q72 direct
+      // OPH path measured slower with it).
+      pairsOf(banded)
     } else {
-      // lazy skew guard: the over-cap bucket list is a broadcast anti-join
-      // build side INSIDE the plan — no job at construction (init phases
-      // stay job-free), and the aggregation overlaps the main query
-      // instead of running as a separate synchronous probe
+      // lazy shape (probe off, or the probe found capped buckets): the
+      // over-cap bucket list rides inside the plan as a broadcast
+      // anti-join build side — no job at construction, the aggregation
+      // overlaps the main query — followed by the exact-star recovery pass
       val bigBuckets = banded.groupBy(col("band"), col("bucket"))
         .agg(count(lit(1)).as("_n")).where(col("_n") > maxBucketSize)
         .select(col("band"), col("bucket"))

@@ -806,6 +806,24 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(inc == (1L to 40L).map(j => (100L, j)).toSet)
   }
 
+  test("uncapped buckets: probe-gated batch path emits exact-copy pairs without the star union") {
+    // NO bucket is capped here, so the probe gate skips the anti-join and
+    // the exact-star fallback entirely — recall must be unaffected because
+    // exact copies share every band and pair through their own (uncapped)
+    // buckets. The gated output must equal the fallback-off arm AND still
+    // contain every planted exact-copy pair at jaccard 1.0 (the pairs the
+    // star would have contributed if it ran).
+    val docs = ((1L to 6L).map(i => (i, s"$baseText unique tail $i")) ++
+      Seq((101L, baseText), (102L, baseText))).toDF("doc_id", "text")
+    def run(fallback: Boolean) = Dedup.minhashDuplicatePairs(docs, "doc_id", "text",
+        shingleSize = 5, numHashes = 32, bands = 8, threshold = 0.5,
+        cappedBucketExactFallback = fallback)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val gated = run(fallback = true)
+    assert(gated == run(fallback = false))
+    assert(gated.contains((101L, 102L, 1.0)))
+  }
+
   test("simhash capped bucket: exact-fingerprint fallback recovers exact copies") {
     // ADVICE r18: the simhash pair paths dropped over-cap buckets with NO
     // exact-copy fallback — exact duplicates of corpus-wide boilerplate
