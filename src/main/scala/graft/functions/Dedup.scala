@@ -104,6 +104,14 @@ object Dedup {
   /** Candidate duplicate pairs via MinHash+LSH, verified with exact Jaccard
     * over the shingle sets.
     *
+    * NOTE: construction is NOT lazy — this wrapper runs the eager over-cap
+    * probe (one Spark aggregate over the banded signatures), which also
+    * materializes the internal signature persist. Build-but-never-execute
+    * callers (plan-only tooling) pay that pass and leave the cache blocks
+    * behind; they should call [[minhashSignatures]] +
+    * [[minhashPairsFromSigs]] directly with `probeGateUncapped = false`,
+    * which stays job-free at construction (ADVICE r19).
+    *
     * @param maxBucketSize skew guard: buckets larger than this (boilerplate)
     *                      are dropped — standard practice, docs this common
     *                      are better handled by exact dedup first.
@@ -204,37 +212,9 @@ object Dedup {
         .select(col("id_a"), col("id_b"), col("jaccard"))
       if (dedupBeforeVerify) verified else verified.dropDuplicates("id_a", "id_b")
     }
-    if (failOnCappedBuckets) {
-      assertNoCappedBuckets(banded, Seq("band", "bucket"), maxBucketSize, "minhash LSH")
-      pairsOf(banded)
-    } else if (probeGateUncapped &&
-        !anyCappedBuckets(banded, Seq("band", "bucket"), maxBucketSize)) {
-      // no capped buckets (the common case): nothing to prune, and the
-      // exact-star fallback — which exists ONLY to recover pairs the cap
-      // dropped — would contribute nothing (exact copies share every band,
-      // so their uncapped buckets already pair them). Probe-gating skips
-      // the anti-join (whose over-cap aggregate the self-join would build
-      // on BOTH pair sides), the star subtree, and the second
-      // pair-dedup shuffle after the union — the r18 incremental-path
-      // design (minhashIncrementalPairsFromSigs) applied to the batch
-      // entry. Measured (BenchLsh 2×2 re-run, r19 opt round): the star
-      // union cost q61 1.2-1.7 s with ZERO capped buckets and identical
-      // output (4756 rows all four arms). The probe itself is one
-      // aggregate over the slim banded view of the signature frame and
-      // doubles as the persist's materialization on the wrapper path —
-      // unlike round-7's rejected probe, it BUYS the skip of three plan
-      // stages rather than running in addition to them. It stays OFF by
-      // default on this public entry (see the param doc: the q72 direct
-      // OPH path measured slower with it).
-      pairsOf(banded)
-    } else {
-      // lazy shape (probe off, or the probe found capped buckets): the
-      // over-cap bucket list rides inside the plan as a broadcast
-      // anti-join build side — no job at construction, the aggregation
-      // overlaps the main query — followed by the exact-star recovery pass
-      val bigBuckets = banded.groupBy(col("band"), col("bucket"))
-        .agg(count(lit(1)).as("_n")).where(col("_n") > maxBucketSize)
-        .select(col("band"), col("bucket"))
+    // capped shape, shared by the probe-capped and lazy branches: anti-join
+    // prune on the over-cap keys, then the exact-star recovery union
+    def cappedShape(bigBuckets: DataFrame): DataFrame = {
       val pruned = banded.join(broadcast(bigBuckets), Seq("band", "bucket"), "left_anti")
       val lshPairs = pairsOf(pruned)
       if (!cappedBucketExactFallback) lshPairs
@@ -248,6 +228,44 @@ object Dedup {
       // blew q27/q61 up ~8×. The whole-corpus star's slim (id, hash)
       // shuffle is 1/16th of the banding shuffle this query already
       // performs, so it is not the scale bottleneck either.)
+    }
+    if (failOnCappedBuckets) {
+      assertNoCappedBuckets(banded, Seq("band", "bucket"), maxBucketSize, "minhash LSH")
+      pairsOf(banded)
+    } else if (probeGateUncapped) {
+      collectCappedBuckets(banded, Seq("band", "bucket"), maxBucketSize) match {
+        case None =>
+          // no capped buckets (the common case): nothing to prune, and the
+          // exact-star fallback — which exists ONLY to recover pairs the cap
+          // dropped — would contribute nothing (exact copies share every band,
+          // so their uncapped buckets already pair them). Probe-gating skips
+          // the anti-join (whose over-cap aggregate the self-join would build
+          // on BOTH pair sides), the star subtree, and the second
+          // pair-dedup shuffle after the union — the r18 incremental-path
+          // design (minhashIncrementalPairsFromSigs) applied to the batch
+          // entry. Measured (BenchLsh 2×2 re-run, r19 opt round): the star
+          // union cost q61 1.2-1.7 s with ZERO capped buckets and identical
+          // output (4756 rows all four arms). The probe itself is one
+          // aggregate over the slim banded view of the signature frame and
+          // doubles as the persist's materialization on the wrapper path —
+          // unlike round-7's rejected probe, it BUYS the skip of three plan
+          // stages rather than running in addition to them. It stays OFF by
+          // default on this public entry (see the param doc: the q72 direct
+          // OPH path measured slower with it).
+          pairsOf(banded)
+        case Some(bigBuckets) =>
+          // capped: the probe's collected key list IS the anti-join build
+          // side (a LocalRelation) — one over-cap aggregate total, not the
+          // probe plus an identical lazy rebuild (r19 VERDICT #3)
+          cappedShape(bigBuckets)
+      }
+    } else {
+      // lazy shape (probe off): the over-cap bucket list rides inside the
+      // plan as a broadcast anti-join build side — no job at construction,
+      // the aggregation overlaps the main query
+      cappedShape(banded.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("_n")).where(col("_n") > maxBucketSize)
+        .select(col("band"), col("bucket")))
     }
   }
 
@@ -402,48 +420,48 @@ object Dedup {
       assertNoCappedBuckets(corpusBanded, Seq("band", "bucket"), maxBucketSize,
         "incremental minhash LSH")
       pairsOf(corpusBanded)
-    } else if (!anyCappedBuckets(corpusBanded, Seq("band", "bucket"), maxBucketSize)) {
-      // no capped buckets (the common case): nothing to prune, and the
-      // exact-copy fallback — which exists ONLY to recover pairs the cap
-      // pruned — would contribute nothing; skipping both saves a full
-      // corpus-view traversal + checksum join EVERY batch (the lazy
-      // shape built the fallback unconditionally)
-      pairsOf(corpusBanded)
-    } else {
-      val bigBuckets = corpusBanded.groupBy(col("band"), col("bucket"))
-        .agg(count(lit(1)).as("_n")).where(col("_n") > maxBucketSize)
-        .select(col("band"), col("bucket"))
-      val prunedCorpus = corpusBanded.join(broadcast(bigBuckets), Seq("band", "bucket"), "left_anti")
-      val lshPairs = pairsOf(prunedCorpus)
-      if (!cappedBucketExactFallback) lshPairs
-      else {
-        // capped-bucket mitigation, delta-shaped: exact-content hash join
-        // of the delta against the corpus store. Only the delta's
-        // (id, hash) pairs broadcast — 16 bytes per delta doc — the corpus
-        // is STREAMED once (never shuffled for the fallback), and exact
-        // copies of boilerplate are recovered no matter which buckets the
-        // cap pruned. Shingle arrays are fetched per MATCH (tiny/empty)
-        // for the collision-guard verification.
-        val deltaSlim = newSigs
-          .select(col("id").as("id_new"), xxhash64(col("shingles")).as("_ck"))
-        val matches = corpusSigs
-          .select(col("id").as("id_corpus"), xxhash64(col("shingles")).as("_ck"))
-          .join(broadcast(deltaSlim), "_ck")
-          .select(col("id_new"), col("id_corpus"))
-        // matches = delta × per-hash multiplicity: in the exact regime the
-        // fallback targets (boilerplate copied corpus-wide) the multiplicity
-        // is corpus-scaled, so matches must NOT be forced through a
-        // broadcast — AQE sizes it at runtime (r13 VERDICT #1)
-        val withA = newSigs.select(col("id").as("id_new"), col("shingles").as("sh_a"))
-          .join(matches, "id_new")
-        // same fat-side rationale as exactStarPairs: let AQE size it
-        val exact = corpusSigs.select(col("id").as("id_corpus"), col("shingles").as("sh_b"))
-          .join(withA, "id_corpus")
-          .withColumn("jaccard", sortedJaccard(col("sh_a"), col("sh_b")))
-          .where(col("jaccard") >= threshold)
-          .select(col("id_new"), col("id_corpus"), col("jaccard"))
-        lshPairs.unionByName(exact).dropDuplicates("id_new", "id_corpus")
-      }
+    } else collectCappedBuckets(corpusBanded, Seq("band", "bucket"), maxBucketSize) match {
+      case None =>
+        // no capped buckets (the common case): nothing to prune, and the
+        // exact-copy fallback — which exists ONLY to recover pairs the cap
+        // pruned — would contribute nothing; skipping both saves a full
+        // corpus-view traversal + checksum join EVERY batch (the lazy
+        // shape built the fallback unconditionally)
+        pairsOf(corpusBanded)
+      case Some(bigBuckets) =>
+        // capped: reuse the probe's collected key list as the anti-join
+        // build side — one over-cap aggregate, not two (r19 VERDICT #3)
+        val prunedCorpus = corpusBanded.join(broadcast(bigBuckets), Seq("band", "bucket"), "left_anti")
+        val lshPairs = pairsOf(prunedCorpus)
+        if (!cappedBucketExactFallback) lshPairs
+        else {
+          // capped-bucket mitigation, delta-shaped: exact-content hash join
+          // of the delta against the corpus store. Only the delta's
+          // (id, hash) pairs broadcast — 16 bytes per delta doc — the corpus
+          // is STREAMED once (never shuffled for the fallback), and exact
+          // copies of boilerplate are recovered no matter which buckets the
+          // cap pruned. Shingle arrays are fetched per MATCH (tiny/empty)
+          // for the collision-guard verification.
+          val deltaSlim = newSigs
+            .select(col("id").as("id_new"), xxhash64(col("shingles")).as("_ck"))
+          val matches = corpusSigs
+            .select(col("id").as("id_corpus"), xxhash64(col("shingles")).as("_ck"))
+            .join(broadcast(deltaSlim), "_ck")
+            .select(col("id_new"), col("id_corpus"))
+          // matches = delta × per-hash multiplicity: in the exact regime the
+          // fallback targets (boilerplate copied corpus-wide) the multiplicity
+          // is corpus-scaled, so matches must NOT be forced through a
+          // broadcast — AQE sizes it at runtime (r13 VERDICT #1)
+          val withA = newSigs.select(col("id").as("id_new"), col("shingles").as("sh_a"))
+            .join(matches, "id_new")
+          // same fat-side rationale as exactStarPairs: let AQE size it
+          val exact = corpusSigs.select(col("id").as("id_corpus"), col("shingles").as("sh_b"))
+            .join(withA, "id_corpus")
+            .withColumn("jaccard", sortedJaccard(col("sh_a"), col("sh_b")))
+            .where(col("jaccard") >= threshold)
+            .select(col("id_new"), col("id_corpus"), col("jaccard"))
+          lshPairs.unionByName(exact).dropDuplicates("id_new", "id_corpus")
+        }
     }
   }
 
@@ -547,18 +565,18 @@ object Dedup {
       assertNoCappedBuckets(bandedStore.select(col("id"), col("band"), col("bucket")),
         Seq("band", "bucket"), maxBucketSize, "incremental banded minhash LSH")
       pairsOf(bandedStore)
-    } else if (!anyCappedBuckets(bandedStore, Seq("band", "bucket"), maxBucketSize)) {
+    } else collectCappedBuckets(bandedStore, Seq("band", "bucket"), maxBucketSize) match {
+      case None =>
       // no capped buckets: no prune, no fallback — one probe job instead
       // of a per-batch store-view traversal for a fallback that would
       // recover nothing (see minhashIncrementalPairsFromSigs)
       pairsOf(bandedStore)
-    } else {
+      case Some(bigBuckets) =>
       // over-cap guard, the minhashIncrementalPairsFromSigs shape —
       // bucket counts are complete on a prefix-pruned view because a
-      // (band, bucket) group lives entirely inside its own prefix
-      val bigBuckets = bandedStore.groupBy(col("band"), col("bucket"))
-        .agg(count(lit(1)).as("_n")).where(col("_n") > maxBucketSize)
-        .select(col("band"), col("bucket"))
+      // (band, bucket) group lives entirely inside its own prefix; the
+      // probe's collected key list IS the anti-join build side — one
+      // over-cap aggregate, not two (r19 VERDICT #3)
       val prunedStore = bandedStore.join(broadcast(bigBuckets), Seq("band", "bucket"), "left_anti")
       val lshPairs = pairsOf(prunedStore)
       if (!cappedBucketExactFallback) lshPairs
@@ -582,17 +600,30 @@ object Dedup {
     }
   }
 
-  /** EAGER over-cap probe: does ANY blocking-key bucket exceed the cap?
-    * One map-side-combined aggregate job at plan-construction time. The
-    * lazy alternative builds the prune anti-join AND the exact-copy
-    * fallback into every batch's plan unconditionally — and the fallback
-    * traverses the whole corpus view (scan + checksum join) even when
-    * NOTHING is capped, which is the common case. With the probe, both
-    * exist only when a capped bucket actually does; when caps appear the
-    * batch pays one extra small aggregate. */
-  private def anyCappedBuckets(df: DataFrame, keyCols: Seq[String], maxBucketSize: Int): Boolean =
-    !df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_n"))
-      .where(col("_n") > maxBucketSize).isEmpty
+  /** EAGER over-cap probe: ONE map-side-combined aggregate job at
+    * plan-construction time that returns the over-cap key list itself
+    * (None = nothing capped, the common case). The lazy alternative builds
+    * the prune anti-join AND the exact-copy fallback into every batch's
+    * plan unconditionally — and the fallback traverses the whole corpus
+    * view (scan + checksum join) even when NOTHING is capped.
+    *
+    * The keys come back to the driver as a LocalRelation: they are
+    * broadcast-build-side sized BY CONSTRUCTION (the lazy shape ships the
+    * identical list to every executor as the anti-join build), so when
+    * caps DO appear the capped branch reuses the probe's result instead of
+    * re-running the same full aggregate inside the plan — r19 VERDICT #3:
+    * the probe-then-lazy shape paid the over-cap pass twice exactly on the
+    * skewed corpora the guard exists for. */
+  private def collectCappedBuckets(df: DataFrame, keyCols: Seq[String],
+                                   maxBucketSize: Int): Option[DataFrame] = {
+    val slim = df.select(keyCols.map(col): _*)
+    val rows = slim.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_n"))
+      .where(col("_n") > maxBucketSize)
+      .select(keyCols.map(col): _*).collect()
+    if (rows.isEmpty) None
+    else Some(df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), slim.schema))
+  }
 
   /** Skew guard used ONLY for `failOnCappedBuckets = true`: aggregate the
     * banded set once and fail at CONSTRUCTION with the over-cap count —
@@ -975,20 +1006,20 @@ object Dedup {
       assertNoCappedBuckets(slimStore,
         Seq("block", "bkey"), maxBucketSize, "incremental blocked-simhash store")
       pairsOf(blockedStore)
-    } else if (!anyCappedBuckets(slimStore, Seq("block", "bkey"), maxBucketSize)) {
-      // no capped buckets (the common case): nothing to prune, the
-      // fallback would contribute nothing — the minhash eager-probe shape
-      pairsOf(blockedStore)
-    } else {
-      val bigBuckets = blockedStore.groupBy(col("block"), col("bkey"))
-        .agg(count(lit(1)).as("_n")).where(col("_n") > maxBucketSize)
-        .select(col("block"), col("bkey"))
-      val lshPairs = pairsOf(
-        blockedStore.join(broadcast(bigBuckets), Seq("block", "bkey"), "left_anti"))
-      if (!cappedBucketExactFallback) lshPairs
-      else lshPairs
-        .unionByName(simhashExactFallbackPairs(deltaSigs, blockedStore))
-        .dropDuplicates("id_new", "id_corpus")
+    } else collectCappedBuckets(slimStore, Seq("block", "bkey"), maxBucketSize) match {
+      case None =>
+        // no capped buckets (the common case): nothing to prune, the
+        // fallback would contribute nothing — the minhash eager-probe shape
+        pairsOf(blockedStore)
+      case Some(bigBuckets) =>
+        // capped: the probe's collected key list is the anti-join build
+        // side — one over-cap aggregate, not two (r19 VERDICT #3)
+        val lshPairs = pairsOf(
+          blockedStore.join(broadcast(bigBuckets), Seq("block", "bkey"), "left_anti"))
+        if (!cappedBucketExactFallback) lshPairs
+        else lshPairs
+          .unionByName(simhashExactFallbackPairs(deltaSigs, blockedStore))
+          .dropDuplicates("id_new", "id_corpus")
     }
   }
 
@@ -1030,28 +1061,27 @@ object Dedup {
       assertNoCappedBuckets(storeBlocked, Seq("block", "bkey"), maxBucketSize,
         "incremental simhash blocking")
       pairsOf(storeBlocked)
-    } else if (!anyCappedBuckets(storeBlocked, Seq("block", "bkey"), maxBucketSize)) {
-      // no capped buckets (the common case): nothing to prune, the
-      // fallback would contribute nothing — the eager probe replaces the
-      // old ALWAYS-ON in-plan anti-join aggregate (one corpus-blocked
-      // traversal per batch retired when nothing is capped)
-      pairsOf(storeBlocked)
-    } else {
-      // over-cap guard, the minhashIncrementalPairs shape: a
-      // map-side-combined aggregate to the slim over-cap key list,
-      // applied as a broadcast anti-join. NOT bucketSized's window —
-      // that would force a full shuffle of the store's blocked rows
-      // every batch, when the pair join itself needs none (AQE
-      // broadcasts the delta side and the store streams).
-      val bigBuckets = storeBlocked.groupBy(col("block"), col("bkey"))
-        .agg(count(lit(1)).as("_n")).where(col("_n") > maxBucketSize)
-        .select(col("block"), col("bkey"))
-      val lshPairs = pairsOf(
-        storeBlocked.join(broadcast(bigBuckets), Seq("block", "bkey"), "left_anti"))
-      if (!cappedBucketExactFallback) lshPairs
-      else lshPairs
-        .unionByName(simhashExactFallbackPairs(deltaSigs, storeSigs))
-        .dropDuplicates("id_new", "id_corpus")
+    } else collectCappedBuckets(storeBlocked, Seq("block", "bkey"), maxBucketSize) match {
+      case None =>
+        // no capped buckets (the common case): nothing to prune, the
+        // fallback would contribute nothing — the eager probe replaces the
+        // old ALWAYS-ON in-plan anti-join aggregate (one corpus-blocked
+        // traversal per batch retired when nothing is capped)
+        pairsOf(storeBlocked)
+      case Some(bigBuckets) =>
+        // over-cap guard, the minhashIncrementalPairs shape: the probe's
+        // collected over-cap key list applied as a broadcast anti-join —
+        // one aggregate, not a probe PLUS an identical in-plan rebuild
+        // (r19 VERDICT #3). NOT bucketSized's window — that would force a
+        // full shuffle of the store's blocked rows every batch, when the
+        // pair join itself needs none (AQE broadcasts the delta side and
+        // the store streams).
+        val lshPairs = pairsOf(
+          storeBlocked.join(broadcast(bigBuckets), Seq("block", "bkey"), "left_anti"))
+        if (!cappedBucketExactFallback) lshPairs
+        else lshPairs
+          .unionByName(simhashExactFallbackPairs(deltaSigs, storeSigs))
+          .dropDuplicates("id_new", "id_corpus")
     }
   }
 
@@ -1155,7 +1185,8 @@ object Dedup {
     // several clusters and let duplicates survive dedup — fail loudly
     if (!converged) throw new IllegalStateException(
       s"duplicateClusters: min-label propagation did not converge in $maxIter rounds " +
-        "(component diameter exceeds maxIter) — raise maxIter")
+        "(log2 of the component diameter exceeds maxIter — pointer doubling " +
+        "converges in ~log2(diameter) change rounds) — raise maxIter")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
@@ -1759,34 +1790,34 @@ object Dedup {
       assertNoCappedBuckets(storeSigs.select(col("id"), col("bucket")), Seq("bucket"),
         maxBucketSize, "incremental embedding LSH")
       pairsOf(storeSigs)
-    } else if (!anyCappedBuckets(storeSigs, Seq("bucket"), maxBucketSize)) {
-      // no capped buckets: no prune, no fallback — the fallback's
-      // per-batch store-view scan + checksum join would recover nothing
-      pairsOf(storeSigs).dropDuplicates("id_new", "id_corpus")
-    } else {
-      val bigBuckets = storeSigs.groupBy(col("bucket"))
-        .agg(count(lit(1)).as("_n")).where(col("_n") > maxBucketSize)
-        .select(col("bucket"))
-      val prunedStore = storeSigs.join(broadcast(bigBuckets), Seq("bucket"), "left_anti")
-      val lshPairs = pairsOf(prunedStore)
-      if (!cappedBucketExactFallback) lshPairs.dropDuplicates("id_new", "id_corpus")
-      else {
-        // exact-copy recovery, delta-shaped (the minhashIncrementalPairs
-        // fallback on vectors): delta (id, hash) broadcasts, store streams
-        val deltaSlim = deltaSigs.select(col("id").as("id_new"), xxhash64(col("emb")).as("_ck"))
-        val matches = storeSigs.select(col("id").as("id_corpus"), xxhash64(col("emb")).as("_ck"))
-          .join(broadcast(deltaSlim), "_ck")
-          .select(col("id_new"), col("id_corpus"))
-        // matches are duplicate-volume-scaled → hint-free, AQE sizes them
-        val withA = deltaSigs.select(col("id").as("id_new"), col("emb").as("emb_a"))
-          .join(matches, "id_new")
-        val exact = storeSigs.select(col("id").as("id_corpus"), col("emb").as("emb_b"))
-          .join(withA, "id_corpus")
-          .withColumn("cosine", Similarity.cosineSimilarity(col("emb_a"), col("emb_b")))
-          .where(col("cosine") >= threshold)
-          .select(col("id_new"), col("id_corpus"), col("cosine"))
-        lshPairs.unionByName(exact).dropDuplicates("id_new", "id_corpus")
-      }
+    } else collectCappedBuckets(storeSigs, Seq("bucket"), maxBucketSize) match {
+      case None =>
+        // no capped buckets: no prune, no fallback — the fallback's
+        // per-batch store-view scan + checksum join would recover nothing
+        pairsOf(storeSigs).dropDuplicates("id_new", "id_corpus")
+      case Some(bigBuckets) =>
+        // capped: the probe's collected key list is the anti-join build
+        // side — one over-cap aggregate, not two (r19 VERDICT #3)
+        val prunedStore = storeSigs.join(broadcast(bigBuckets), Seq("bucket"), "left_anti")
+        val lshPairs = pairsOf(prunedStore)
+        if (!cappedBucketExactFallback) lshPairs.dropDuplicates("id_new", "id_corpus")
+        else {
+          // exact-copy recovery, delta-shaped (the minhashIncrementalPairs
+          // fallback on vectors): delta (id, hash) broadcasts, store streams
+          val deltaSlim = deltaSigs.select(col("id").as("id_new"), xxhash64(col("emb")).as("_ck"))
+          val matches = storeSigs.select(col("id").as("id_corpus"), xxhash64(col("emb")).as("_ck"))
+            .join(broadcast(deltaSlim), "_ck")
+            .select(col("id_new"), col("id_corpus"))
+          // matches are duplicate-volume-scaled → hint-free, AQE sizes them
+          val withA = deltaSigs.select(col("id").as("id_new"), col("emb").as("emb_a"))
+            .join(matches, "id_new")
+          val exact = storeSigs.select(col("id").as("id_corpus"), col("emb").as("emb_b"))
+            .join(withA, "id_corpus")
+            .withColumn("cosine", Similarity.cosineSimilarity(col("emb_a"), col("emb_b")))
+            .where(col("cosine") >= threshold)
+            .select(col("id_new"), col("id_corpus"), col("cosine"))
+          lshPairs.unionByName(exact).dropDuplicates("id_new", "id_corpus")
+        }
     }
   }
 

@@ -11,15 +11,19 @@ import org.apache.spark.sql.functions._
   * non-negative Lucene form `ln(1 + (N - df + 0.5)/(df + 0.5))`).
   *
   * Scale shape (100 TB corpus, small query set):
-  *  - the query-term table is tiny and BROADCAST — the exploded corpus
-  *    token stream is pruned against it BEFORE the term-frequency
-  *    aggregation, so the only corpus-sized shuffle carries just the
-  *    tokens that match some query term (for a handful of queries that
-  *    is a ~99% reduction ahead of the shuffle);
+  *  - the query-term set is tiny and lives as a LITERAL in the corpus
+  *    projection — the token stream is pruned against it BEFORE the
+  *    term-frequency aggregation, so the only corpus-sized shuffle
+  *    carries just the tokens that match some query term (for a handful
+  *    of queries that is a ~99% reduction ahead of the shuffle);
+  *  - the corpus is TOKENIZED EXACTLY ONCE: one narrow per-doc pass
+  *    yields (doc_id, dl, matched tokens), persisted; corpus stats
+  *    (N, avgdl — one scalar agg to the driver, like every codebook/
+  *    centroid pass) and the term frequencies both read that frame
+  *    (r19-verdict ask: the prior shape ran a second full tokenize just
+  *    for the stats);
   *  - document frequency over the pruned term set is a second tiny
   *    aggregate, broadcast back;
-  *  - corpus stats (N, avgdl) are one narrow scalar aggregation,
-  *    collected to the driver like every codebook/centroid pass;
   *  - the final top-k per query is a row_number window partitioned by
   *    query — each query's candidate set is already bounded by the
   *    docs containing its terms.
@@ -39,23 +43,42 @@ object Retrieval {
                queries: DataFrame, qidCol: String, qtextCol: String,
                k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     def toks(c: org.apache.spark.sql.Column) = TextAnalysis.wsTokens(c, lowercase = true)
-    val base = docs.select(col(idCol).as("doc_id"),
-      size(toks(col(textCol))).as("dl"),
-      toks(col(textCol)).as("toks"))
-    // corpus stats: one narrow agg, two scalars to the driver. Empty
-    // corpus: sum() is NULL and 0/0 is NaN — neutral values keep the
-    // (naturally empty) plan valid instead of NPE-ing on getLong
-    val statsRow = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")).head()
+    // distinct query terms — tiny; ALSO collected to the driver (like every
+    // codebook/centroid pass) so the corpus pass can prune tokens with a
+    // literal-set membership test instead of a broadcast join. That is what
+    // makes the single corpus pass below possible: the per-doc projection
+    // needs no join, so stats and matched tokens come out of one tokenize.
+    val qterms = queries.select(col(qidCol).as("query_id"),
+        explode(array_distinct(toks(col(qtextCol)))).as("term"))
+    val termSeq = qterms.select(col("term")).distinct().collect()
+      .map(_.getString(0)).sorted.toSeq
+    val isQueryTerm: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (termSeq.isEmpty) _ => lit(false) else _.isInCollection(termSeq)
+    // ONE tokenize pass over the corpus (was two: a stats aggregate plus
+    // the term-frequency pass — the r19 verdict's biggest verified
+    // double-compute). Per doc: its length and its query-matched tokens
+    // (duplicates kept — they ARE the term frequencies). The frame is
+    // NARROW — id, int, tiny matched array, never the token stream — and
+    // persisted so the stats aggregate below and the tf aggregation share
+    // the single tokenize; at cluster scale this is the §8 "fingerprint
+    // table" you would write to storage between stages, ~99% smaller than
+    // the tokenized corpus.
+    val perDoc = docs.select(col(idCol).as("doc_id"),
+        size(toks(col(textCol))).as("dl"),
+        filter(toks(col(textCol)), t => isQueryTerm(t)).as("matched"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // corpus stats: one narrow agg, two scalars to the driver (this head()
+    // is also what materializes the persist). Empty corpus: sum() is NULL
+    // and 0/0 is NaN — neutral values keep the (naturally empty) plan
+    // valid instead of NPE-ing on getLong. avgdl is derived EXACTLY as
+    // before (long sum / long count on the driver), so the score doubles
+    // are bit-identical to the two-pass shape.
+    val statsRow = perDoc.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")).head()
     val nDocs = statsRow.getLong(0)
     val avgdl = if (nDocs == 0 || statsRow.isNullAt(1)) 1.0
                 else statsRow.getLong(1).toDouble / nDocs.toDouble
-    // distinct query terms — tiny, broadcast for the pre-shuffle prune
-    val qterms = queries.select(col(qidCol).as("query_id"),
-        explode(array_distinct(toks(col(qtextCol)))).as("term"))
-    val termSet = qterms.select(col("term")).distinct()
-    val tf = base
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .join(broadcast(termSet), Seq("term"))
+    val tf = perDoc
+      .select(col("doc_id"), col("dl"), explode(col("matched")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
     // document frequency per surviving term: one row per query term

@@ -272,29 +272,80 @@ trait IncrementalStoreDfsTransformer extends DfsTransformer {
     * downstream. */
   protected final def guardBatchRerun(batch: DataFrame, idColumn: String)
                                      (implicit ctx: ActionPipelineContext): Unit = {
-    if (ctx.phase != ExecutionPhase.Exec || skipRerunGuard) return
+    val (observed, obs) = observeForRerunGuard(batch, idColumn)
+    // standalone (non-ride-along) form: force with a projection pruned to
+    // the fingerprint columns — one column-pruned delta job, the pre-r20
+    // guard cost
+    checkBatchRerun(obs, observed
+      .select((idColumn +: fingerprintContentColumn.toSeq).map(col): _*)
+      .foreach(_ => ()))
+  }
+
+  /** The fingerprint aggregates, ride-along form (guide §1: one pass, two
+    * outputs): attach them to the batch plan that feeds the signature /
+    * fingerprint pass via `observe`, so they fill DURING that pass's
+    * materialization and [[checkBatchRerun]] reads them without the
+    * dedicated per-batch delta aggregate the r18 shape paid (~one
+    * column-pruned batch scan per store batch — r19 VERDICT #5). Returns
+    * the frame to build on plus the observation to hand to
+    * [[checkBatchRerun]]; None (frame unchanged) whenever the guard would
+    * not run — Init phase, streaming replay path, unresolvable store —
+    * so those plans carry no CollectMetrics node.
+    *
+    * decimal(38,0) sums: order-independent, duplicate-sensitive, and
+    * cannot overflow under ANSI mode (sum of 19-digit hashes needs
+    * ~10^19 rows to reach 38 digits). BOTH checksums ride one
+    * aggregate: the id+content one is the fingerprint going forward;
+    * the id-only one matches entries a pre-content-era sidecar
+    * recorded (which scheme a stored value used is not recorded, so
+    * match either — a 64-bit-sum collision across schemes is noise). */
+  protected final def observeForRerunGuard(batch: DataFrame, idColumn: String)
+                                          (implicit ctx: ActionPipelineContext)
+      : (DataFrame, Option[org.apache.spark.sql.Observation]) = {
+    val active = ctx.phase == ExecutionPhase.Exec && !skipRerunGuard &&
+      ctx.registry.dataObjectOption(storeInput)
+        .exists(_.isInstanceOf[graft.sources.SparkFileDataObject])
+    if (!active) (batch, None)
+    else {
+      def ckSum(c: Column) = coalesce(sum(c
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+        lit(java.math.BigDecimal.ZERO))
+      val fullHash = fingerprintContentColumn match {
+        case Some(cc) => xxhash64(col(idColumn), col(cc))
+        case None => xxhash64(col(idColumn))
+      }
+      val obs = org.apache.spark.sql.Observation()
+      (batch.observe(obs, count(lit(1)).as("_n"), ckSum(fullHash).as("_ck"),
+        ckSum(xxhash64(col(idColumn))).as("_ckId")), Some(obs))
+    }
+  }
+
+  /** Second half of the ride-along guard: read the observed fingerprint
+    * and enforce the rerun contract. `force` must run an action over the
+    * observed plan so get() cannot block forever — at call sites where an
+    * earlier collect already materialized the persisted pass, the force is
+    * a cache-hit scan of the delta-sized cache (milliseconds), and the
+    * metrics come from the build's CollectMetrics accumulator (reported
+    * through InMemoryTableScanExec — verified empirically, see
+    * OPTIMIZATION_r20.md). */
+  protected final def checkBatchRerun(obs: Option[org.apache.spark.sql.Observation],
+                                      force: => Unit)
+                                     (implicit ctx: ActionPipelineContext): Unit = obs.foreach { o =>
+    force
+    val m = o.get
+    def big(v: Any): java.math.BigInteger = v match {
+      case d: java.math.BigDecimal => d.toBigInteger
+      case d: scala.math.BigDecimal => d.toBigInt.bigInteger
+      case other => new java.math.BigInteger(other.toString)
+    }
+    applyRerunGuard(m("_n").asInstanceOf[Long].toString,
+      big(m("_ck")).toString, big(m("_ckId")).toString)
+  }
+
+  private def applyRerunGuard(n: String, ck: String, ckId: String)
+                             (implicit ctx: ActionPipelineContext): Unit =
     ctx.registry.dataObjectOption(storeInput) match {
       case Some(f: graft.sources.SparkFileDataObject) =>
-        // decimal(38,0) sums: order-independent, duplicate-sensitive, and
-        // cannot overflow under ANSI mode (sum of 19-digit hashes needs
-        // ~10^19 rows to reach 38 digits). BOTH checksums ride one
-        // aggregate: the id+content one is the fingerprint going forward;
-        // the id-only one matches entries a pre-content-era sidecar
-        // recorded (which scheme a stored value used is not recorded, so
-        // match either — a 64-bit-sum collision across schemes is noise)
-        def ckSum(c: Column) = coalesce(sum(c
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0))),
-          lit(java.math.BigDecimal.ZERO))
-        val fullHash = fingerprintContentColumn match {
-          case Some(cc) => xxhash64(col(idColumn), col(cc))
-          case None => xxhash64(col(idColumn))
-        }
-        val r = batch.agg(count(lit(1)).as("_n"),
-          ckSum(fullHash).as("_ck"),
-          ckSum(xxhash64(col(idColumn))).as("_ckId")).collect()(0)
-        val n = r.getLong(0).toString
-        val ck = r.getDecimal(1).toBigInteger.toString
-        val ckId = r.getDecimal(2).toBigInteger.toString
         val stored = graft.sources.StoreMeta.read(f.path).getOrElse(Map.empty)
         // ring entry format: `count:checksum[:v2]` — the v2 tag marks an
         // entry KNOWN to carry the content-folded checksum. The id-only
@@ -336,7 +387,6 @@ trait IncrementalStoreDfsTransformer extends DfsTransformer {
           "recentBatchFingerprints" -> newRing.mkString("|"))
       case _ => ()
     }
-  }
   /** store paths whose sidecar this INSTANCE already validated — a
     * long-running stream validates on its first micro-batch only (one
     * sidecar read per stream, not one data probe per batch; the sidecar
@@ -565,10 +615,13 @@ case class IncrementalDedupTransformer(
             s"signatures but this transformer signs at numHashes=$numHashes — deltas would " +
             "never match the store; align numHashes (and the signature scheme) with the store"))
     if (!validateStoreMeta(() => widthProbe())) widthProbe()
-    guardBatchRerun(batch, idColumn)
+    // rerun-guard fingerprint rides the signature pass (guide §1: one
+    // pass, two outputs) — checked below once a pass materializes, so the
+    // former dedicated per-batch delta aggregate is gone (r19 VERDICT #5)
+    val (obsBatch, guardObs) = observeForRerunGuard(batch, idColumn)
     // sign ONCE; multi-consumer (pair pipeline + store delta) → persisted,
     // swept by the DAG at run end
-    val sigs = persistForRun(sign(batch), s"$batchInput.sigs")
+    val sigs = persistForRun(sign(obsBatch), s"$batchInput.sigs")
     // banded layout: the delta's banded frame is ALSO computed once per
     // batch and persisted — the prefix set, the pair join's delta side,
     // and the store delta all read it
@@ -579,6 +632,12 @@ case class IncrementalDedupTransformer(
     val storeView = pruneStoreByPrefix(store, storePartitions,
       banded.get.select(col("store_pfx")).distinct()
         .collect().map(_.getLong(0)).toSeq)
+    // guard reads the observation filled by the prefix collect above
+    // (prefix-pruned banded layout — zero extra jobs); otherwise the force
+    // materializes the signature cache, work the first sink job would do
+    // anyway, pulled forward
+    val prefixCollectRan = storePartitions > 0 && store.columns.contains("store_pfx")
+    checkBatchRerun(guardObs, if (!prefixCollectRan) sigs.count())
     // FUSED store + within-batch pass: ONE band join whose corpus side is
     // store ∪ (delta when intraBatch), origins tagged — see
     // [[IncrementalStoreDfsTransformer.tagCorpus]]. Within-batch EXACT
@@ -731,10 +790,15 @@ case class IncrementalMediaDedupTransformer(
     // frame layout (frameSize/stride) determines frame-hash values — the
     // sidecar catches a layout drift that would silently never match
     validateStoreMeta(() => ())
-    guardBatchRerun(batch, idColumn)
+    // rerun-guard fingerprint rides the decode pass (guide §1: one pass,
+    // two outputs) — checked once a pass materializes, replacing the
+    // former dedicated per-batch content scan (r19 VERDICT #5; decode is
+    // this family's measured dominant cost, so the saved scan is the
+    // expensive kind)
+    val (obsBatch, guardObs) = observeForRerunGuard(batch, idColumn)
     // decode ONCE; multi-consumer (pair join + store delta) → persisted,
     // swept by the DAG at run end
-    val deltaFps = persistForRun(fingerprints(batch), s"$batchInput.fps")
+    val deltaFps = persistForRun(fingerprints(obsBatch), s"$batchInput.fps")
     // blocked delta computed ONCE per batch and persisted (r16 What's
     // wrong #1: the old shape re-blocked the delta up to three times) —
     // the prefix set, the store pair join, the fused intra contribution
@@ -749,6 +813,12 @@ case class IncrementalMediaDedupTransformer(
     val storeView = pruneStoreByPrefix(store, storePartitions,
       blocked.getOrElse(toStoreLayout(deltaFps)).select(col("store_pfx"))
         .distinct().collect().map(_.getLong(0)).toSeq)
+    // guard reads the observation filled by the prefix collect above
+    // (partitioned layouts — zero extra jobs); otherwise the force
+    // materializes the decode cache, work the first sink job would do
+    // anyway, pulled forward
+    val prefixCollectRan = storePartitions > 0 && store.columns.contains("store_pfx")
+    checkBatchRerun(guardObs, if (!prefixCollectRan) deltaFps.count())
     def pairsAgainst(corpus: DataFrame): DataFrame = modality match {
       case "video" =>
         Multimodal.videoIncrementalPairsFromSigs(deltaFps, corpus,
@@ -869,14 +939,20 @@ case class IncrementalEmbeddingDedupTransformer(
     // dim/numPlanes determine bucket values — the sidecar catches a
     // drift that would silently never (or wrongly) bucket-match
     validateStoreMeta(() => ())
-    guardBatchRerun(batch, idColumn)
+    // rerun-guard fingerprint rides the signature pass (guide §1: one
+    // pass, two outputs — r19 VERDICT #5), checked after the prefix
+    // collect (or the forced cache materialization) below
+    val (obsBatch, guardObs) = observeForRerunGuard(batch, idColumn)
     val sigs = persistForRun(
-      Dedup.embeddingStore(batch, idColumn, embColumn, dim, numPlanes), s"$batchInput.esigs")
+      Dedup.embeddingStore(obsBatch, idColumn, embColumn, dim, numPlanes), s"$batchInput.esigs")
     // prefix-pruned store view: only the store files in the delta's own
     // bucket-prefix set feed the bucket join
     val storeView = pruneStoreByPrefix(store, storePartitions,
       sigs.select(Dedup.storePrefix(storePartitions, col("bucket")).as("p"))
         .distinct().collect().map(_.getLong(0)).toSeq)
+    // observation filled by the prefix collect when it ran; force otherwise
+    val prefixCollectRan = storePartitions > 0 && store.columns.contains("store_pfx")
+    checkBatchRerun(guardObs, if (!prefixCollectRan) sigs.count())
     // FUSED store + within-batch pass: ONE bucket join over store ∪
     // (delta when intraBatch), origins tagged — see
     // [[IncrementalStoreDfsTransformer.tagCorpus]]
@@ -959,12 +1035,16 @@ case class IncrementalSpanRemovalTransformer(
         .withColumn("n_removed_tokens", lit(0))),
         storeInput -> store.limit(0))
     validateStoreMeta(() => ())
-    guardBatchRerun(batch, idColumn)
+    // rerun-guard fingerprint rides the tokenize pass (guide §1: one pass,
+    // two outputs — r19 VERDICT #5): the force materializes the window
+    // cache, work the first sink job would do anyway, pulled forward
+    val (obsBatch, guardObs) = observeForRerunGuard(batch, idColumn)
     // tokenize + fingerprint ONCE: base and windows feed the clean AND
     // the store delta, swept by the DAG at run end
-    val base = persistForRun(Dedup.spanBase(batch, idColumn, textColumn), s"$batchInput.sbase")
+    val base = persistForRun(Dedup.spanBase(obsBatch, idColumn, textColumn), s"$batchInput.sbase")
     val windows = persistForRun(
       Dedup.spanWindows(base, windowTokens, portableFingerprints), s"$batchInput.swin")
+    checkBatchRerun(guardObs, windows.count())
     val cleaned = Dedup.removeRepeatedSpansIncrementalFromWindows(
         base, windows, store, windowTokens, storePartitions)
       .select(col("id").as(idColumn), col("cleaned_text"),
@@ -1031,11 +1111,14 @@ case class IncrementalLineDedupTransformer(
         .withColumn("n_lines", lit(0)).withColumn("n_removed_lines", lit(0))),
         storeInput -> store.limit(0))
     validateStoreMeta(() => ())
-    guardBatchRerun(batch, idColumn)
+    // rerun-guard fingerprint rides the explode+hash pass (guide §1: one
+    // pass, two outputs — r19 VERDICT #5)
+    val (obsBatch, guardObs) = observeForRerunGuard(batch, idColumn)
     // explode + hash ONCE: base and hashes feed the clean AND the store
     // delta, swept by the DAG at run end
-    val base = persistForRun(Dedup.lineBase(batch, idColumn, textColumn), s"$batchInput.lbase")
+    val base = persistForRun(Dedup.lineBase(obsBatch, idColumn, textColumn), s"$batchInput.lbase")
     val hashes = persistForRun(Dedup.lineHashes(base), s"$batchInput.lh")
+    checkBatchRerun(guardObs, hashes.count())
     val cleaned = Dedup.removeDuplicatedLinesIncrementalFromLines(
         base, hashes, store, maxOccurrences, storePartitions)
       .select(col("id").as(idColumn), col("cleaned_text"),

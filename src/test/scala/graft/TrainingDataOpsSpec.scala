@@ -810,18 +810,54 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     // NO bucket is capped here, so the probe gate skips the anti-join and
     // the exact-star fallback entirely — recall must be unaffected because
     // exact copies share every band and pair through their own (uncapped)
-    // buckets. The gated output must equal the fallback-off arm AND still
-    // contain every planted exact-copy pair at jaccard 1.0 (the pairs the
-    // star would have contributed if it ran).
+    // buckets. The CONTROL arm drives minhashPairsFromSigs directly with
+    // probeGateUncapped = false, which genuinely takes the lazy
+    // star-union branch (the r19 spec compared the gated path with itself
+    // — both arms went through minhashDuplicatePairs, whose probe gate is
+    // hardwired on; ADVICE r19 #1). Same sigs frame feeds both arms.
     val docs = ((1L to 6L).map(i => (i, s"$baseText unique tail $i")) ++
       Seq((101L, baseText), (102L, baseText))).toDF("doc_id", "text")
-    def run(fallback: Boolean) = Dedup.minhashDuplicatePairs(docs, "doc_id", "text",
-        shingleSize = 5, numHashes = 32, bands = 8, threshold = 0.5,
-        cappedBucketExactFallback = fallback)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val gated = run(fallback = true)
-    assert(gated == run(fallback = false))
-    assert(gated.contains((101L, 102L, 1.0)))
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", shingleSize = 5, numHashes = 32)
+      .persist()
+    try {
+      def run(probe: Boolean) = Dedup.minhashPairsFromSigs(sigs, bands = 8, rowsPerBand = 4,
+          threshold = 0.5, cappedBucketExactFallback = true, probeGateUncapped = probe)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val gated = run(probe = true)     // probe branch: no anti-join, no star union
+      val starred = run(probe = false)  // lazy branch: anti-join + star union + pair dedup
+      assert(gated == starred,
+        s"gated and star-unioned arms must agree on an uncapped corpus: $gated vs $starred")
+      assert(gated.contains((101L, 102L, 1.0)))
+    } finally sigs.unpersist()
+  }
+
+  test("capped corpus with probe gate: ONE over-cap aggregate, reused as the anti-join build") {
+    // r19 VERDICT #3: with the probe ON and a bucket actually capped, the
+    // old shape ran the eager probe aggregate AND an identical lazy
+    // over-cap aggregate inside the plan — one redundant full pass over
+    // the banded view, paid exactly on the skewed corpora the guard
+    // exists for. Now the probe's collected key list IS the anti-join
+    // build side: the executed plan must contain NO over-cap aggregate
+    // (no `_n > cap` filter — the keys arrive as a LocalRelation) while
+    // the output still routes the capped boilerplate through the star
+    // fallback unchanged.
+    val boiler = (1L to 40L).map(i => (i, baseText)).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(boiler, "doc_id", "text", shingleSize = 5, numHashes = 32)
+      .persist()
+    try {
+      val pairs = Dedup.minhashPairsFromSigs(sigs, bands = 8, rowsPerBand = 4,
+        threshold = 0.5, maxBucketSize = 10, probeGateUncapped = true)
+      val plan = pairs.queryExecution.optimizedPlan.toString
+      // the lazy shape's rebuild aggregates over the banded view — its
+      // signature is `Aggregate [band, bucket]`; the star fallback's head
+      // aggregate (over _ck) legitimately remains
+      assert(!plan.contains("Aggregate [band"),
+        s"probe-gated capped plan must not rebuild the over-cap aggregate:\n$plan")
+      assert(plan.contains("LocalRelation"),
+        s"probe's collected keys must arrive as a LocalRelation build side:\n$plan")
+      val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == (2L to 40L).map(j => (1L, j, 1.0)).toSet)
+    } finally sigs.unpersist()
   }
 
   test("simhash capped bucket: exact-fingerprint fallback recovers exact copies") {
